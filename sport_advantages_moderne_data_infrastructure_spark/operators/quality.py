@@ -1,0 +1,71 @@
+"""Data-quality expectations — the reference's Great Expectations suite
+(airflow/dags/data_validation_dag.py:306-320, Q1-Q4) as composable,
+oracle-verifiable DataFrame checks.
+
+Unlike the GE DAG (driver-side, one pass per expectation), all expectations
+evaluate in a SINGLE aggregation pass over the fact table (conditional
+count-if per rule) — one scan + one reduce at any scale, no shuffle beyond
+the final 1-row exchange, then exploded to one row per expectation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# (name, violation predicate SQL — shared Spark/DuckDB syntax)
+EXPECTATIONS: list[tuple[str, str]] = [
+    # Q1 data_validation_dag.py:306
+    ("start_datetime_not_null", "start_datetime IS NULL"),
+    # Q2 :307
+    ("sport_type_not_null", "sport_type IS NULL"),
+    # Q3 :308-312 (mostly=1.0)
+    ("activity_duration_non_negative",
+     "activity_duration IS NOT NULL AND activity_duration < 0"),
+    # Q4 :313-320 (ignore missing)
+    ("distance_non_negative", "distance IS NOT NULL AND distance < 0"),
+]
+
+
+def quality_report(activities: DataFrame) -> DataFrame:
+    """One row per expectation: (expectation, failing_rows, passed)."""
+    agg = activities.agg(*[
+        F.sum(F.expr(f"CASE WHEN {pred} THEN 1 ELSE 0 END"))
+        .cast("bigint").alias(name)
+        for name, pred in EXPECTATIONS
+    ])
+    pairs = []
+    for name, _ in EXPECTATIONS:
+        pairs.append(F.struct(
+            F.lit(name).alias("expectation"),
+            F.col(name).alias("failing_rows"),
+        ))
+    return (
+        agg.select(F.explode(F.array(*pairs)).alias("e"))
+        .select(
+            F.col("e.expectation").alias("expectation"),
+            F.col("e.failing_rows").alias("failing_rows"),
+            (F.col("e.failing_rows") == 0).alias("passed"),
+        )
+    )
+
+
+def quality_report_sql(table: str = "sport_activities") -> str:
+    selects = [
+        f"SELECT '{name}' AS expectation, "
+        f"CAST(SUM(CASE WHEN {pred} THEN 1 ELSE 0 END) AS BIGINT) AS failing_rows "
+        f"FROM {table}"
+        for name, pred in EXPECTATIONS
+    ]
+    union = " UNION ALL ".join(f"({s})" for s in selects)
+    return (
+        f"SELECT expectation, failing_rows, failing_rows = 0 AS passed "
+        f"FROM ({union}) u"
+    )
+
+
+def fk_integrity(fact: DataFrame, dim: DataFrame, key: str) -> DataFrame:
+    """J4 (init-db.sql:34,48): FK check as a left-anti join — rows in the
+    fact whose key has no match in the dim. Empty result = constraint holds.
+    At scale: broadcast the dim key set; anti-join never shuffles the fact."""
+    return fact.join(F.broadcast(dim.select(key).distinct()), key, "left_anti")

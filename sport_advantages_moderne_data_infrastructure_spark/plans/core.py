@@ -1,0 +1,139 @@
+"""Core reference-semantics queries (SURVEY §5.3 t2 suite, domain half).
+
+Each query takes (spark, sf_dir), derives the domain tables from the star
+schema (sources/domain.py — identical derivation in the oracle CTE prefix)
+and applies the operator under test.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import relational as R
+from ..operators import quality as Q
+from ..operators.cdc import oracle_parse_cdc_sql, parse_cdc
+from ..sources import domain as D
+from ..sources.domain import oracle_with_domain as W
+from .catalog import register
+
+
+@register("activity_agg", oracle=W(R.ACTIVITY_AGG_SQL),
+          tags=("A1",), bench=True)
+def q_activity_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 — per-employee count/avg (read_delta.py:114-127)."""
+    return R.activity_agg(D.sport_activities(spark, sf_dir))
+
+
+@register("top_sports", oracle=W(R.TOP_SPORTS_SQL), tags=("A2", "O1", "O2"))
+def q_top_sports(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/O1/O2 — top-5 sports by activity count (SaveDelta.scala:236-242)."""
+    return R.top_sports(D.sport_activities(spark, sf_dir))
+
+
+@register("inner_join_dims",
+          oracle=W(
+              "SELECT e.id_employee, e.gross_salary, e.business_unity, "
+              "e.constract_type, v.id_validate, v.is_valid "
+              "FROM employees e JOIN commute_validations v "
+              "ON e.id_employee = v.id_employee"),
+          tags=("J1", "P3"))
+def q_inner_join_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/P3 — employees ⋈ commute_validations (read_delta.py:261,280)."""
+    emp = R.employee_projection(D.employees(spark, sf_dir))
+    val = D.commute_validations(spark, sf_dir).select(
+        "id_employee", "id_validate", "is_valid")
+    return emp.join(val, "id_employee").select(
+        "id_employee", "gross_salary", "business_unity", "constract_type",
+        "id_validate", "is_valid")
+
+
+@register("final_table", oracle=W(R.FINAL_TABLE_SQL),
+          tags=("J1", "J2", "A1", "P3", "P9"), bench=True)
+def q_final_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full batch pipeline → `final` (read_delta.py:234-294)."""
+    return R.final_table(
+        D.employees(spark, sf_dir),
+        D.commute_validations(spark, sf_dir),
+        D.sport_activities(spark, sf_dir),
+    )
+
+
+@register("prime_query", oracle=W(R.PRIME_QUERY_SQL),
+          tags=("J3", "F4", "F5", "F6", "F7"), bench=True)
+def q_prime_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship — commute prime + total salary (README.md:140-164)."""
+    return R.prime_query(q_final_table(spark, sf_dir))
+
+
+@register("commute_validation",
+          oracle=W("SELECT id_validate, id_employee, calculed_distance, "
+                   "calculed_duration, is_valid, error_message, created_at "
+                   "FROM commute_validations"),
+          tags=("P7", "P8", "F13"))
+def q_commute_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7/P8/F13 — transport-mode membership + distance-threshold validation
+    (commute_validation.py:84-112); the derivation IS the operator."""
+    return D.commute_validations(spark, sf_dir).select(
+        "id_validate", "id_employee", "calculed_distance",
+        "calculed_duration", "is_valid", "error_message", "created_at")
+
+
+@register("masked_projection", oracle=W(R.MASKED_EMPLOYEES_SQL),
+          tags=("P4", "F8"))
+def q_masked_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4/F8 — employees_masked view semantics (init-db.sql:74-89)."""
+    return R.masked_employees(D.employees(spark, sf_dir), mask=True)
+
+
+@register("cdc_parse_project", oracle=W(oracle_parse_cdc_sql()),
+          tags=("P1", "P2", "F1", "F2", "F3", "P5"), bench=True)
+def q_cdc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC envelope parse (SaveDelta.scala:134-149) as a batch transform —
+    the same function the streaming pipeline applies."""
+    return parse_cdc(D.cdc_events(spark, sf_dir))
+
+
+@register("notifier_filter",
+          oracle=W(R.notifier_sql(oracle_parse_cdc_sql())),
+          tags=("P6", "F9"))
+def q_notifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6/F9 — comment-bearing events → Slack message fields
+    (slack_notification.py:119-124)."""
+    return R.notifier_events(parse_cdc(D.cdc_events(spark, sf_dir)))
+
+
+@register("quality_checks", oracle=W(Q.quality_report_sql()),
+          tags=("Q1", "Q2", "Q3", "Q4"))
+def q_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1-Q4 — GE expectations in one aggregation pass
+    (data_validation_dag.py:306-320)."""
+    return Q.quality_report(D.sport_activities(spark, sf_dir))
+
+
+@register("fk_integrity_check",
+          oracle=W("SELECT a.id, a.id_employee FROM sport_activities a "
+                   "LEFT JOIN employees e ON a.id_employee = e.id_employee "
+                   "WHERE e.id_employee IS NULL"),
+          tags=("J4",))
+def q_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 — FK check via broadcast anti-join (init-db.sql:34,48)."""
+    return Q.fk_integrity(
+        D.sport_activities(spark, sf_dir).select("id", "id_employee"),
+        D.employees(spark, sf_dir), "id_employee")
+
+
+@register("scalar_counts",
+          oracle=W("SELECT (SELECT COUNT(*) FROM employees) AS n_employees, "
+                   "(SELECT COUNT(*) FROM commute_validations) AS n_validations, "
+                   "(SELECT COUNT(*) FROM sport_activities) AS n_activities"),
+          tags=("A3",))
+def q_scalar_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 — gating row counts (sql_scripts.py:32, read_delta.py:52,102)."""
+    from pyspark.sql import functions as F
+    e = D.employees(spark, sf_dir).count()
+    v = D.commute_validations(spark, sf_dir).count()
+    a = D.sport_activities(spark, sf_dir).count()
+    return spark.range(1).select(
+        F.lit(e).cast("bigint").alias("n_employees"),
+        F.lit(v).cast("bigint").alias("n_validations"),
+        F.lit(a).cast("bigint").alias("n_activities"))

@@ -1,0 +1,92 @@
+"""Similarity search over the ``embeddings`` table (array<float> column) —
+the ANN extension of the north star.
+
+Baseline: brute-force cosine top-k. The dot product runs as a JVM-side
+``aggregate(zip_with(...))`` over the arrays — sequential, bit-deterministic
+summation order, identical to DuckDB's list_dot_product, so scores are
+bit-equal across engines and ranking needs no tolerance.
+
+Scale path (ann_lsh_bucketed): random-hyperplane signatures bucket the
+vectors; candidates only join within a bucket — turns the O(N·Q) cross join
+into O(N·Q/2^bits) with deterministic md5-derived hyperplanes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .catalog import register
+
+_DOT = ("aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * "
+        "CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+
+
+def dot_expr(a: str, b: str) -> str:
+    """Sequential-order dot product of two array<float> cols (JVM, no UDF)."""
+    return _DOT.format(a=a, b=b)
+
+
+@register(
+    "embedding_norms",
+    oracle=(
+        "SELECT vec_id, label, CAST(len(embedding) AS INT) AS dim, "
+        "ROUND(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), "
+        "CAST(embedding AS DOUBLE[]))), 6) AS l2_norm "
+        "FROM embeddings ORDER BY vec_id"))
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector plumbing sanity: dimension + L2 norm per embedding."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id", "label",
+        F.size("embedding").cast("int").alias("dim"),
+        F.round(F.sqrt(F.expr(dot_expr("embedding", "embedding"))), 6)
+        .alias("l2_norm"),
+    ).orderBy("vec_id")
+
+
+_ANN_ORACLE = (
+    "WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS qe "
+    "FROM embeddings WHERE vec_id % 50 = 0), "
+    "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ee FROM embeddings), "
+    "scored AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, "
+    "list_dot_product(qe, ee) / (sqrt(list_dot_product(qe, qe)) * "
+    "sqrt(list_dot_product(ee, ee))) AS cos FROM q CROSS JOIN e), "
+    "ranked AS (SELECT query_id, neighbor_id, cos, "
+    "CAST(ROW_NUMBER() OVER (PARTITION BY query_id "
+    "ORDER BY cos DESC, neighbor_id) AS INT) AS rank "
+    "FROM scored) "
+    "SELECT query_id, neighbor_id, ROUND(cos, 6) AS score, rank "
+    "FROM ranked WHERE rank <= 10 ORDER BY query_id, rank")
+
+
+@register("ann_cosine_topk", oracle=_ANN_ORACLE, bench=True)
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for every 50th vector as query.
+
+    The query set is broadcast (tiny); each executor scans its slice of the
+    corpus once and keeps a k-heap per query via the rank-filtered window —
+    at 100 TB this is the exact shape of a GPU-less exhaustive rerank pass.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q = (e.filter(F.col("vec_id") % 50 == 0)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("q_embedding")))
+    cos = (F.expr(dot_expr("q_embedding", "embedding"))
+           / (F.sqrt(F.expr(dot_expr("q_embedding", "q_embedding")))
+              * F.sqrt(F.expr(dot_expr("embedding", "embedding")))))
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                cos.alias("cos"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "neighbor_id",
+                F.round("cos", 6).alias("score"), "rank")
+        .orderBy("query_id", "rank")
+    )

@@ -1,0 +1,234 @@
+"""Generic relational operator coverage over the driver's star schema —
+aggregations, multi-way joins, top-k, windows, semi/anti joins, set ops,
+rollup. These exercise the same operator classes as SURVEY §2 (A1-A3,
+J1-J4, O1-O3, P-series) at fact-table scale, and double as the bench
+headline set (bench.py).
+
+Scale notes per query in the docstrings; the common rules:
+- dims (region/nation/customer/supplier/part) are broadcast — never shuffle
+  the fact for a dim join;
+- aggregations are authored pre-join where semantics allow;
+- top-k always goes through ORDER BY + LIMIT (TakeOrderedAndProject — heap
+  per partition + driver merge of k rows, no full sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .catalog import register
+
+
+@register(
+    "pricing_summary",
+    oracle=(
+        "SELECT l_returnflag, l_linestatus, "
+        "SUM(l_quantity) AS sum_qty, "
+        "ROUND(SUM(l_extendedprice), 2) AS sum_base_price, "
+        "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+        "ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge, "
+        "ROUND(AVG(l_quantity), 4) AS avg_qty, "
+        "ROUND(AVG(l_discount), 4) AS avg_disc, "
+        "CAST(COUNT(*) AS BIGINT) AS count_order "
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
+        "GROUP BY l_returnflag, l_linestatus "
+        "ORDER BY l_returnflag, l_linestatus"),
+    bench=True)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped scan+agg: the partial/final hash-agg workhorse.
+    Group cardinality is tiny (RF×LS) so the exchange carries a handful of
+    rows regardless of fact size — the 100 TB-safe shape."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("sum_disc_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                          * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "revenue_by_nation",
+    oracle=(
+        "SELECT n.n_name, "
+        "ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue, "
+        "CAST(COUNT(*) AS BIGINT) AS n_items "
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "JOIN customer c ON o.o_custkey = c.c_custkey "
+        "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+        "JOIN region r ON n.n_regionkey = r.r_regionkey "
+        "GROUP BY n.n_name ORDER BY revenue DESC, n.n_name"),
+    bench=True)
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped 5-way join. nation/region are broadcast explicitly;
+    customer is broadcast at test SF and becomes a shuffle join at 100 TB —
+    AQE decides from runtime stats. The only unavoidable shuffle is
+    lineitem⋈orders on orderkey (co-partitionable via bucketing on a real
+    deployment)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+@register(
+    "top_orders_by_revenue",
+    oracle=(
+        "SELECT l_orderkey, "
+        "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+        "FROM lineitem GROUP BY l_orderkey "
+        "ORDER BY revenue DESC, l_orderkey LIMIT 10"),
+    bench=True)
+def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k after agg (TakeOrderedAndProject): heap-k per partition, merge
+    k×partitions rows on the driver — no global sort at any scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "mktsegment_stats",
+    oracle=(
+        "SELECT c_mktsegment, CAST(COUNT(DISTINCT c_custkey) AS BIGINT) "
+        "AS n_customers, ROUND(AVG(c_acctbal), 4) AS avg_acctbal "
+        "FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"))
+def q_mktsegment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-agg (expand + two-phase agg in Catalyst)."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(F.countDistinct("c_custkey").alias("n_customers"),
+             F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "customer_order_ranks",
+    oracle=(
+        "SELECT * FROM (SELECT o_custkey, o_orderkey, o_totalprice, "
+        "CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey "
+        "ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn "
+        "FROM orders) t WHERE rn <= 3"),
+    bench=True)
+def q_customer_order_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window function: top-3 orders per customer. One shuffle on the
+    partition key; rank pushdown (WindowGroupLimit) keeps per-key state at
+    k rows in Spark 3.5+."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"),
+                                           F.asc("o_orderkey"))
+    return (
+        o.select("o_custkey", "o_orderkey", "o_totalprice",
+                 F.row_number().over(w).cast("int").alias("rn"))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "events_hourly",
+    oracle=(
+        "SELECT date_trunc('hour', ts) AS window_start, event_type, "
+        "CAST(COUNT(*) AS BIGINT) AS n_events, "
+        "ROUND(AVG(value), 4) AS avg_value "
+        "FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
+    bench=True)
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation, batch form (the streaming twin with
+    watermark lives in streaming/windows.py — same grouping expression)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_trunc("hour", F.col("ts")).alias("window_start"),
+                  "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.avg("value"), 4).alias("avg_value"))
+        .orderBy("window_start", "event_type")
+    )
+
+
+@register(
+    "customers_without_orders",
+    oracle=(
+        "SELECT c.c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_customers "
+        "FROM customer c WHERE NOT EXISTS "
+        "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) "
+        "GROUP BY c.c_nationkey ORDER BY c.c_nationkey"))
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join (NOT EXISTS). The key-set side is aggregated to distinct
+    keys then broadcast — fact side never shuffles."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o.select(F.col("o_custkey").alias("c_custkey")).distinct(),
+               "c_custkey", "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("c_nationkey")
+    )
+
+
+@register(
+    "nations_with_customers_and_suppliers",
+    oracle=(
+        "SELECT c_nationkey AS nationkey FROM customer "
+        "INTERSECT SELECT s_nationkey FROM supplier ORDER BY nationkey"))
+def q_nations_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op (INTERSECT → left-semi over distinct in Catalyst)."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s).orderBy("nationkey")
+
+
+@register(
+    "orders_status_rollup",
+    oracle=(
+        "SELECT o_orderstatus, o_orderpriority, "
+        "CAST(COUNT(*) AS BIGINT) AS n_orders, "
+        "ROUND(SUM(o_totalprice), 2) AS total_price "
+        "FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority) "
+        "ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"))
+def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (subtotals + grand total in one pass)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("total_price"))
+        .orderBy(F.col("o_orderstatus").asc_nulls_first(),
+                 F.col("o_orderpriority").asc_nulls_first())
+    )

@@ -1,0 +1,147 @@
+"""Text-analysis / dedup operators over the ``documents`` table — the
+LLM-training-data-pipeline extension (BASELINE.json north star; no
+counterpart in the reference, which is pure relational).
+
+All operators are pure JVM-side expressions (no Python UDFs): string
+builtins, md5, split — whole-stage-codegen friendly and linear-scan shaped,
+i.e. they scale to 100 TB as an embarrassingly-parallel map + one grouped
+shuffle where dedup requires it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .catalog import register
+
+# Corpus with injected duplicates (the driver's documents are all-distinct,
+# TESTDATA.md): re-append every 7th doc under a shifted id. Deterministic and
+# reproduced verbatim in the oracle CTE.
+_DUP_CORPUS_SQL = (
+    "SELECT doc_id, text, lang, source, n_chars FROM documents "
+    "UNION ALL SELECT doc_id + 10000 AS doc_id, text, lang, source, n_chars "
+    "FROM documents WHERE doc_id % 7 = 0"
+)
+
+
+def dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.unionAll(
+        d.filter(F.col("doc_id") % 7 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 10000))
+
+
+@register(
+    "dedup_exact",
+    oracle=(
+        f"WITH corpus AS ({_DUP_CORPUS_SQL}) "
+        "SELECT md5(text) AS content_hash, "
+        "CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id, "
+        "CAST(COUNT(*) AS BIGINT) AS n_copies "
+        "FROM corpus GROUP BY md5(text) "
+        "ORDER BY keep_doc_id"),
+    bench=True)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup as hash-groupBy: shuffle carries (hash, id) pairs, never
+    the document bodies — the 100 TB shape (group on md5, keep min id)."""
+    c = dup_corpus(spark, sf_dir)
+    return (
+        c.select(F.md5("text").alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").cast("bigint").alias("keep_doc_id"),
+             F.count(F.lit(1)).alias("n_copies"))
+        .orderBy("keep_doc_id")
+    )
+
+
+@register(
+    "text_stats",
+    oracle=(
+        "SELECT doc_id, "
+        "CAST(length(text) AS BIGINT) AS n_chars_actual, "
+        "CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT) AS n_tokens, "
+        "ROUND(CAST(length(text) AS DOUBLE) / "
+        "len(regexp_split_to_array(trim(text), ' +')), 4) AS avg_token_len, "
+        "CAST(length(text) - length(replace(text, 'e', '')) AS BIGINT) AS n_e, "
+        "ROUND(CAST((length(text) - length(replace(text, ' the ', ''))) / 5 "
+        "AS DOUBLE) / len(regexp_split_to_array(trim(text), ' +')), 4) "
+        "AS stopword_ratio "
+        "FROM documents ORDER BY doc_id"))
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring signals: token count (whitespace tokenizer), average
+    token length, character frequency, stopword ratio — all codegen'd
+    string expressions, no UDF."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), " +"))
+    return (
+        d.select(
+            "doc_id",
+            F.length("text").cast("bigint").alias("n_chars_actual"),
+            n_tokens.cast("bigint").alias("n_tokens"),
+            F.round(F.length("text").cast("double") / n_tokens, 4)
+            .alias("avg_token_len"),
+            (F.length("text") - F.length(F.regexp_replace(F.col("text"), "e", "")))
+            .cast("bigint").alias("n_e"),
+            F.round(
+                ((F.length("text")
+                  - F.length(F.regexp_replace(F.col("text"), " the ", ""))) / 5)
+                .cast("double") / n_tokens, 4)
+            .alias("stopword_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "doc_fingerprint",
+    oracle=(
+        "SELECT doc_id, md5(lower(trim(text))) AS fingerprint, "
+        "substr(md5(lower(trim(text))), 1, 8) AS shard_key "
+        "FROM documents ORDER BY doc_id"))
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized content fingerprint — join/partition key for incremental
+    dedup across 100 TB snapshots."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.trim(F.col("text"))))
+    return d.select("doc_id", fp.alias("fingerprint"),
+                    F.substring(fp, 1, 8).alias("shard_key")).orderBy("doc_id")
+
+
+_LANGS = [("en", " the "), ("es", " de "), ("fr", " le "), ("zh", " zh ")]
+
+
+@register(
+    "lang_id_heuristic",
+    oracle=(
+        "WITH scored AS (SELECT doc_id, lang, "
+        + ", ".join(
+            f"(length(text) - length(replace(text, '{pat}', ''))) / "
+            f"{len(pat)} AS s_{lang}"
+            for lang, pat in _LANGS)
+        + " FROM documents) "
+        "SELECT doc_id, lang, "
+        "CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en' "
+        "WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es' "
+        "WHEN s_fr >= s_zh THEN 'fr' ELSE 'zh' END AS predicted_lang "
+        "FROM scored ORDER BY doc_id"))
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram/stopword language-ID heuristic: per-language marker counts,
+    argmax with a fixed precedence order (deterministic tie-break)."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "lang",
+        *[((F.length("text")
+            - F.length(F.regexp_replace(F.col("text"), pat, ""))) / len(pat))
+          .alias(f"s_{lang}") for lang, pat in _LANGS])
+    pred = (
+        F.when((F.col("s_en") >= F.col("s_es")) & (F.col("s_en") >= F.col("s_fr"))
+               & (F.col("s_en") >= F.col("s_zh")), "en")
+        .when((F.col("s_es") >= F.col("s_fr")) & (F.col("s_es") >= F.col("s_zh")),
+              "es")
+        .when(F.col("s_fr") >= F.col("s_zh"), "fr")
+        .otherwise("zh")
+    )
+    return scored.select("doc_id", "lang", pred.alias("predicted_lang")) \
+        .orderBy("doc_id")

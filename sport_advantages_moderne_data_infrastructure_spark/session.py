@@ -1,0 +1,49 @@
+"""SparkSession factory.
+
+Mirrors the reference's session builders (/root/reference/airflow/config/
+read_delta.py:10-30 and /root/reference/spark/SaveDelta.scala:74-84) minus
+the S3A/Delta wiring, plus the scale-oriented defaults the reference lacks
+(AQE, skew-join handling, sane shuffle partitioning).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(app_name: str = "samdis-engine", shuffle_partitions: int | None = None,
+              extra_conf: dict | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for the engine.
+
+    On a real cluster the same conf applies; only ``master`` changes.
+    ``spark.sql.shuffle.partitions`` is a floor — AQE coalesces down and
+    splits skewed partitions at runtime, which is the 100 TB-safe default.
+    """
+    n = shuffle_partitions or default_parallelism()
+    b = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(n))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # the driver's events.parquet stores TIMESTAMP(NANOS); read as
+        # int64 ns and convert at the source adapter (sources/tables.py)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    if not os.environ.get("SPARK_GRAFT_ON_CLUSTER"):
+        b = b.master(f"local[{n}]")
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

