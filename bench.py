@@ -1,0 +1,56 @@
+#!/usr/bin/env python
+"""Headline benchmark: runs the bench-flagged catalog queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is timed end-to-end (plan + execute); results are drained with
+count() on a cached-nothing plan so the full pipeline executes, but nothing
+is collected to the driver beyond the count.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    from sport_advantages_moderne_data_infrastructure_spark.plans import catalog
+    from sport_advantages_moderne_data_infrastructure_spark.session import get_spark
+
+    spark = get_spark("samdis-bench")
+    # warm the JVM + parquet footers once so per-query numbers measure the
+    # queries, not session bootstrap
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name, q in catalog.bench_queries().items():
+        t0 = time.perf_counter()
+        df = q.spark_fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(json.dumps({
+        "metric": "headline_queries_wall_clock",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -65,4 +65,5 @@ def _load_all() -> None:
     from . import star  # noqa: F401
     from . import textops  # noqa: F401
     from . import simops  # noqa: F401
+    from . import streamops  # noqa: F401
     _loaded = True

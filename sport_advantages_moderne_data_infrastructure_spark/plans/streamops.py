@@ -1,0 +1,88 @@
+"""Batch twins of the streaming operators (oracle-checkable half of
+streaming/windows.py). The streaming forms are exercised with
+Trigger.AvailableNow in tests/test_streaming.py against these same
+groupings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from ..streaming.windows import SESSIONIZE_SQL, tumbling_counts
+from .catalog import register
+
+
+@register(
+    "tumbling_window_counts",
+    oracle=(
+        "SELECT date_trunc('hour', ts) AS window_start, "
+        "date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end, "
+        "event_type, CAST(COUNT(*) AS BIGINT) AS n_events, "
+        "ROUND(AVG(value), 4) AS avg_value "
+        "FROM events GROUP BY 1, 2, 3 ORDER BY 1, 3"))
+def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """window('1 hour') aggregation — identical expression batch/streaming
+    (streaming twin: streaming/windows.tumbling_counts + watermark)."""
+    e = load_table(spark, sf_dir, "events")
+    return tumbling_counts(e).orderBy("window_start", "event_type")
+
+
+@register(
+    "sliding_window_counts",
+    oracle=(
+        # 1h/30m sliding: an event belongs to exactly two windows, starting
+        # at floor_30(ts) and floor_30(ts) - 30min (epoch-aligned like
+        # Spark's window()).
+        "WITH slides AS (SELECT ts, event_type, "
+        "date_trunc('hour', ts) + (CASE WHEN minute(ts) >= 30 "
+        "THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END) AS f30 "
+        "FROM events) "
+        "SELECT window_start, window_start + INTERVAL 1 HOUR AS window_end, "
+        "event_type, CAST(COUNT(*) AS BIGINT) AS n_events FROM ("
+        "SELECT f30 AS window_start, event_type FROM slides "
+        "UNION ALL "
+        "SELECT f30 - INTERVAL 30 MINUTE AS window_start, event_type FROM slides"
+        ") x GROUP BY 1, 2, 3 ORDER BY 1, 3"))
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """window('1 hour', '30 minutes') — each event in 2 windows. The oracle
+    expands each event into its two slide starts explicitly."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+                "event_type", "n_events")
+        .orderBy("window_start", "event_type")
+    )
+
+
+@register("session_windows_batch", oracle=SESSIONIZE_SQL, bench=True)
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization (5-minute gap) — the batch form of
+    session_window, one shuffle on user_id + two window passes. Runs the
+    SAME portable SQL Spark-side (spark.sql over the events view)."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(SESSIONIZE_SQL).orderBy("user_id", "session_id")
+
+
+@register(
+    "dedup_events_exact",
+    oracle=(
+        "WITH doubled AS (SELECT * FROM events UNION ALL "
+        "SELECT * FROM events WHERE event_id % 5 = 0), "
+        "d AS (SELECT DISTINCT event_id, ts, user_id, event_type, value "
+        "FROM doubled) "
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, "
+        "CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_ids FROM d"))
+def q_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact streaming-style dedup (batch twin of
+    dropDuplicatesWithinWatermark) on a corpus with re-delivered events."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value")
+    doubled = e.unionAll(e.filter(F.col("event_id") % 5 == 0))
+    d = doubled.dropDuplicates(["event_id", "ts", "user_id", "event_type", "value"])
+    return d.agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.countDistinct("event_id").alias("n_ids"))

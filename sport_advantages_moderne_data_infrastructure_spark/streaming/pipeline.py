@@ -1,0 +1,113 @@
+"""Structured Streaming ingestion — the reference's Kafka→Delta job
+(spark/SaveDelta.scala) re-expressed, source- and sink-agnostic.
+
+The transform (operators/cdc.parse_cdc) is the SAME function the batch/oracle
+path uses; only the frame source differs. That is the testing seam the
+reference itself hints at with its rate-source fallback
+(SaveDelta.scala:121-128): file source + Trigger.AvailableNow in tests,
+Kafka + processing-time trigger in deployment.
+
+Scale posture: one micro-batch = one Kafka offset range per partition; the
+parse is stateless (no shuffle), so throughput scales linearly with
+executors × topic partitions. Checkpointing gives exactly-once into
+file/Delta sinks (T3, SaveDelta.scala:161).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.cdc import parse_cdc
+
+# Schema of the raw CDC record frame (FIXTURES.md §4 / Kafka wire format).
+CDC_RAW_SCHEMA = T.StructType([
+    T.StructField("key", T.StringType()),
+    T.StructField("value", T.StringType()),
+    T.StructField("topic", T.StringType()),
+    T.StructField("partition", T.IntegerType()),
+    T.StructField("offset", T.LongType()),
+    T.StructField("timestamp", T.TimestampType()),
+])
+
+
+def stream_cdc_from_files(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stand-in for the Kafka topic (S1/S2 test twin):
+    a directory of parquet files with the Kafka record schema."""
+    raw = spark.readStream.schema(CDC_RAW_SCHEMA).parquet(path)
+    return parse_cdc(raw)
+
+
+def stream_cdc_from_kafka(spark: SparkSession, bootstrap_servers: str,
+                          topic: str, starting_offsets: str = "earliest") -> DataFrame:
+    """S1 (SaveDelta.scala:104-112): Kafka source with the reference's
+    options (earliest offsets, tolerate data loss). Requires the
+    spark-sql-kafka package on the cluster — construction is lazy, so this
+    plan builds anywhere and fails only at start() without it."""
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .option("failOnDataLoss", "false")
+        .load()
+    )
+    return parse_cdc(raw)  # parse_cdc casts binary value → string itself
+
+
+def stream_rate_fallback(spark: SparkSession, rows_per_second: int = 1) -> DataFrame:
+    """S2 (SaveDelta.scala:123-127): synthetic rate source fallback."""
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second).load()
+    )
+
+
+def write_stream_parquet(df: DataFrame, path: str, checkpoint: str,
+                         available_now: bool = True, processing_time: str | None = None):
+    """K1 (SaveDelta.scala:156-163): checkpointed append sink. Parquet here;
+    on a lakehouse deployment swap format for "delta" — the call shape is
+    identical."""
+    w = (
+        df.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    elif processing_time:
+        w = w.trigger(processingTime=processing_time)  # T1: "30 seconds"
+    return w.start()
+
+
+def write_stream_memory(df: DataFrame, name: str, available_now: bool = True):
+    """Test sink: in-memory table queryable as ``SELECT * FROM {name}``."""
+    w = df.writeStream.format("memory").queryName(name).outputMode("append")
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def notify_foreach_batch(df: DataFrame, send, checkpoint: str,
+                         available_now: bool = True):
+    """K4 (slack_notification.py:37-91): filtered webhook sink via
+    foreachBatch. ``send(row_dict)`` is the transport — an HTTP POST in
+    deployment, a list-append in tests (the reference's requests.post is
+    IO wiring, not query semantics)."""
+    from ..operators.relational import notifier_events
+
+    msgs = notifier_events(df)
+
+    def _emit(batch_df: DataFrame, batch_id: int) -> None:
+        for row in batch_df.toLocalIterator():
+            send(row.asDict())
+
+    w = (
+        msgs.writeStream.foreachBatch(_emit)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

@@ -1,0 +1,124 @@
+"""Structured Streaming tests: availableNow micro-batch runs must produce
+exactly the batch transform's result (the reference's streaming path,
+SaveDelta.scala, modeled with the file-source twin)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from sport_advantages_moderne_data_infrastructure_spark.operators.cdc import (
+    parse_cdc,
+)
+from sport_advantages_moderne_data_infrastructure_spark.sources import domain as D
+from sport_advantages_moderne_data_infrastructure_spark.sources.tables import (
+    load_table,
+)
+from sport_advantages_moderne_data_infrastructure_spark.streaming import (
+    pipeline as P,
+)
+from sport_advantages_moderne_data_infrastructure_spark.streaming import (
+    windows as SW,
+)
+
+
+@pytest.fixture(scope="module")
+def cdc_dir(spark, sf_dir, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("cdc_src"))
+    D.cdc_events(spark, sf_dir).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _counts(df):
+    return {r["k"]: r["n"] for r in
+            df.groupBy(F.col("sport_type").alias("k"))
+            .agg(F.count(F.lit(1)).alias("n")).collect()}
+
+
+def test_stream_cdc_parse_equals_batch(spark, sf_dir, cdc_dir, tmp_path):
+    parsed_stream = P.stream_cdc_from_files(spark, cdc_dir)
+    assert parsed_stream.isStreaming
+    q = P.write_stream_memory(parsed_stream, "cdc_parsed_mem")
+    q.awaitTermination(120)
+    got = spark.table("cdc_parsed_mem")
+    want = parse_cdc(D.cdc_events(spark, sf_dir))
+    assert got.count() == want.count()
+    assert _counts(got) == _counts(want)
+    assert got.schema == want.schema
+
+
+def test_stream_parquet_sink_checkpointed(spark, cdc_dir, tmp_path):
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    parsed = P.stream_cdc_from_files(spark, cdc_dir)
+    q = P.write_stream_parquet(parsed, out, ckpt)
+    q.awaitTermination(120)
+    written = spark.read.parquet(out)
+    assert written.count() == parsed.count() if not parsed.isStreaming else True
+    # restart with same checkpoint: no new data → no duplicate rows (T3)
+    n1 = written.count()
+    q2 = P.write_stream_parquet(P.stream_cdc_from_files(spark, cdc_dir), out, ckpt)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == n1
+
+
+def test_tumbling_stream_equals_batch(spark, sf_dir, tmp_path_factory):
+    events = load_table(spark, sf_dir, "events")
+    epath = str(tmp_path_factory.mktemp("events_src"))
+    events.write.mode("overwrite").parquet(epath)
+    stream = spark.readStream.schema(events.schema).parquet(epath)
+    agg = SW.tumbling_counts(stream)
+    q = (agg.writeStream.format("memory").queryName("tumbling_mem")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.table("tumbling_mem").orderBy("window_start", "event_type")
+    want = SW.tumbling_counts(events).orderBy("window_start", "event_type")
+    assert [r.asDict() for r in got.collect()] == \
+        [r.asDict() for r in want.collect()]
+
+
+def test_session_window_stream_runs(spark, sf_dir, tmp_path_factory):
+    events = load_table(spark, sf_dir, "events")
+    epath = str(tmp_path_factory.mktemp("events_sess"))
+    events.write.mode("overwrite").parquet(epath)
+    stream = spark.readStream.schema(events.schema).parquet(epath)
+    sess = SW.session_counts(stream)
+    q = (sess.writeStream.format("memory").queryName("session_mem")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.table("session_mem")
+    # session totals must cover every event exactly once
+    total = got.agg(F.sum("n_events")).collect()[0][0]
+    assert total == events.count()
+    # and agree with the batch sessionizer's session count per user
+    events.createOrReplaceTempView("events")
+    batch = spark.sql(SW.SESSIONIZE_SQL)
+    assert got.count() == batch.count()
+
+
+def test_dedup_within_watermark_stream(spark, sf_dir, tmp_path_factory):
+    events = load_table(spark, sf_dir, "events").limit(500)
+    doubled = events.unionAll(events)
+    epath = str(tmp_path_factory.mktemp("events_dup"))
+    doubled.write.mode("overwrite").parquet(epath)
+    stream = spark.readStream.schema(doubled.schema).parquet(epath)
+    dedup = SW.dedup_within_watermark(stream, ["event_id"])
+    q = P.write_stream_memory(dedup, "dedup_mem")
+    q.awaitTermination(120)
+    got = spark.table("dedup_mem")
+    assert got.count() == 500
+    assert got.select("event_id").distinct().count() == 500
+
+
+def test_notifier_foreach_batch(spark, sf_dir, cdc_dir, tmp_path):
+    sent: list[dict] = []
+    parsed = P.stream_cdc_from_files(spark, cdc_dir)
+    q = P.notify_foreach_batch(parsed, sent.append, str(tmp_path / "nckpt"))
+    q.awaitTermination(120)
+    from sport_advantages_moderne_data_infrastructure_spark.operators.relational import (
+        notifier_events,
+    )
+    want = notifier_events(parse_cdc(D.cdc_events(spark, sf_dir))).count()
+    assert len(sent) == want
+    assert all(m["message"].startswith("Auteur: ") for m in sent)
