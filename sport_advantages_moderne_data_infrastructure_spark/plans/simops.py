@@ -47,6 +47,50 @@ def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+_NEAR_VEC_SQL = (
+    # duplicate-injected vector corpus: every 13th vector re-appended under
+    # a shifted id → guaranteed cosine≈1.0 pairs for the near-dup detector
+    "SELECT vec_id, embedding FROM embeddings "
+    "UNION ALL SELECT vec_id + 10000 AS vec_id, embedding "
+    "FROM embeddings WHERE vec_id % 13 = 0"
+)
+
+
+@register(
+    "embedding_near_dup",
+    oracle=(
+        f"WITH corpus AS ({_NEAR_VEC_SQL}), "
+        "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM corpus) "
+        "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
+        "ROUND(list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) "
+        "* sqrt(list_dot_product(b.e, b.e))), 6) AS cosine "
+        "FROM v a JOIN v b ON a.vec_id < b.vec_id "
+        "WHERE list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) "
+        "* sqrt(list_dot_product(b.e, b.e))) >= 0.99 "
+        "ORDER BY vec_a, vec_b"))
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (≥0.99) over a
+    duplicate-injected corpus — brute-force all-pairs; at 100 TB this runs
+    after LSH/IVF bucketing as the rerank stage."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = e.unionAll(
+        e.filter(F.col("vec_id") % 13 == 0)
+        .select((F.col("vec_id") + 10000).alias("vec_id"), "embedding"))
+    a = corpus.alias("a")
+    b = corpus.alias("b")
+    cos = (F.expr(dot_expr("a.embedding", "b.embedding"))
+           / (F.sqrt(F.expr(dot_expr("a.embedding", "a.embedding")))
+              * F.sqrt(F.expr(dot_expr("b.embedding", "b.embedding")))))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .filter(cos >= 0.99)
+        .select(F.col("a.vec_id").alias("vec_a"),
+                F.col("b.vec_id").alias("vec_b"),
+                F.round(cos, 6).alias("cosine"))
+        .orderBy("vec_a", "vec_b")
+    )
+
+
 _ANN_ORACLE = (
     "WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS qe "
     "FROM embeddings WHERE vec_id % 50 = 0), "

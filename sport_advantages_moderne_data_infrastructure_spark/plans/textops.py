@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators import dedup as DD
+from ..operators import multimodal as MM
 from ..sources.tables import load_table
 from .catalog import register
 
@@ -107,6 +109,82 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = F.md5(F.lower(F.trim(F.col("text"))))
     return d.select("doc_id", fp.alias("fingerprint"),
                     F.substring(fp, 1, 8).alias("shard_key")).orderBy("doc_id")
+
+
+# Near-duplicate corpus: every 11th doc re-appended with a small tail edit
+# (high-but-not-1.0 Jaccard) — ground truth for the near-dup detectors.
+_NEAR_CORPUS_SQL = (
+    "SELECT doc_id, text FROM documents "
+    "UNION ALL SELECT doc_id + 2000 AS doc_id, "
+    "concat(text, ' zq tail marker zq') AS text "
+    "FROM documents WHERE doc_id % 11 = 0"
+)
+
+
+def near_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.unionAll(
+        d.filter(F.col("doc_id") % 11 == 0)
+        .select((F.col("doc_id") + 2000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" zq tail marker zq"))
+                .alias("text")))
+
+
+@register("dedup_jaccard_pairs",
+          oracle=f"WITH corpus AS ({_NEAR_CORPUS_SQL}), "
+                 f"j AS ({DD.jaccard_pairs_sql('corpus')}) SELECT * FROM j",
+          bench=True)
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-8-gram Jaccard near-dup pairs (threshold 0.5) over the
+    shingle inverted index."""
+    return DD.jaccard_pairs(near_corpus(spark, sf_dir))
+
+
+@register("minhash_signatures",
+          oracle=f"WITH corpus AS ({_NEAR_CORPUS_SQL}), "
+                 f"s AS ({DD.minhash_signatures_sql('corpus')}) "
+                 "SELECT * FROM s ORDER BY doc_id")
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k=16 md5-keyed MinHash signatures per document."""
+    return DD.minhash_signatures(near_corpus(spark, sf_dir)).orderBy("doc_id")
+
+
+@register("dedup_minhash_lsh",
+          oracle=f"WITH corpus AS ({_NEAR_CORPUS_SQL}), "
+                 f"p AS ({DD.lsh_candidate_pairs_sql('corpus')}) "
+                 "SELECT * FROM p",
+          bench=True)
+def q_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs (4 bands × 4 rows) — the scalable
+    near-dup path: equi-join on band buckets only."""
+    return DD.lsh_candidate_pairs(near_corpus(spark, sf_dir))
+
+
+@register("simhash_fingerprints",
+          oracle=f"WITH corpus AS ({_NEAR_CORPUS_SQL}), "
+                 f"s AS ({DD.simhash_sql('corpus')}) "
+                 "SELECT * FROM s ORDER BY doc_id")
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprints over distinct tokens."""
+    return DD.simhash(near_corpus(spark, sf_dir)).orderBy("doc_id")
+
+
+@register("dedup_simhash_pairs",
+          oracle=f"WITH corpus AS ({_NEAR_CORPUS_SQL}), "
+                 f"p AS ({DD.simhash_near_dup_sql('corpus')}) "
+                 "SELECT * FROM p")
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming ≤ 3)."""
+    return DD.simhash_near_dup(near_corpus(spark, sf_dir))
+
+
+@register("multimodal_meta", oracle=MM.SYNTH_MEDIA_META_SQL)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column + typed metadata projection (blob as hex for
+    cross-engine hashing); the mapInPandas decode plumbing is exercised in
+    tests/test_multimodal.py."""
+    return MM.media_meta(
+        MM.synth_media(load_table(spark, sf_dir, "documents")))
 
 
 _LANGS = [("en", " the "), ("es", " de "), ("fr", " le "), ("zh", " zh ")]
