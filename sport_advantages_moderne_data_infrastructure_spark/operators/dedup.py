@@ -25,7 +25,12 @@ from pyspark.sql import functions as F
 
 from ..functions.dialect import DUCKDB, SPARK, Dialect
 
-SHINGLE_LEN = 8
+# 20-char shingles (~4 words): on shared-vocabulary corpora short char
+# n-grams are near-universal (every doc shares most 8-grams with every
+# other), which turns the shingle inverted-index join quadratic. 20 chars
+# is selective — expected docs-per-shingle ≈ O(1) — while tail-edited
+# near-dups still share >90% of their shingles.
+SHINGLE_LEN = 20
 N_MINHASH = 16
 LSH_BANDS = 4  # × 4 rows per band
 SIMHASH_BITS = 32
@@ -59,17 +64,41 @@ def shingles_sql(corpus_cte: str) -> str:
     )
 
 
+# --- hashed shingles ------------------------------------------------------
+# One md5 per distinct shingle; everything downstream (Jaccard join,
+# MinHash permutations) works on the 8-byte hash — 2.5× less shuffle than
+# 20-char strings and 16× less hashing than per-permutation md5. Both
+# engines derive h identically, so md5-collision effects (≈0 at these
+# cardinalities) cancel in the differential check.
+
+_MH_P = 4294967311  # prime > 2^32 (h < 2^32, a < 2^30 → a·h+b < 2^63)
+_MH_A = [((2654435761 * (j + 1)) % (1 << 30)) | 1 for j in range(N_MINHASH)]
+_MH_B = [(40503 * (j + 7) ** 2) % _MH_P for j in range(N_MINHASH)]
+
+
+def shingle_hashes(corpus: DataFrame) -> DataFrame:
+    return (shingles(corpus)
+            .select("doc_id", F.expr(SPARK.md5_bigint("sh")).alias("h"))
+            .distinct())
+
+
+def shingle_hashes_sql(corpus_cte: str) -> str:
+    return (f"SELECT DISTINCT doc_id, {DUCKDB.md5_bigint('sh')} AS h "
+            f"FROM ({shingles_sql(corpus_cte)}) s")
+
+
 # --- n-gram Jaccard -------------------------------------------------------
 
 def jaccard_pairs(corpus: DataFrame, threshold: float = 0.5) -> DataFrame:
-    """All-pairs Jaccard over the shingle inverted index: candidate pairs
-    come from the equi-join on shingle (docs sharing none never meet)."""
-    sh = shingles(corpus).cache()
+    """All-pairs Jaccard over the hashed-shingle inverted index: candidate
+    pairs come from the equi-join on shingle hash (docs sharing none never
+    meet)."""
+    sh = shingle_hashes(corpus).cache()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh"))
+        a.join(b, (F.col("a.h") == F.col("b.h"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"),
                  F.col("b.doc_id").alias("doc_b"))
@@ -88,10 +117,10 @@ def jaccard_pairs(corpus: DataFrame, threshold: float = 0.5) -> DataFrame:
 
 def jaccard_pairs_sql(corpus_cte: str, threshold: float = 0.5) -> str:
     return (
-        f"WITH sh AS ({shingles_sql(corpus_cte)}), "
+        f"WITH sh AS ({shingle_hashes_sql(corpus_cte)}), "
         "sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id), "
         "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
-        "COUNT(*) AS c FROM sh a JOIN sh b ON a.sh = b.sh "
+        "COUNT(*) AS c FROM sh a JOIN sh b ON a.h = b.h "
         "AND a.doc_id < b.doc_id GROUP BY 1, 2) "
         "SELECT doc_a, doc_b, "
         "ROUND(CAST(c AS DOUBLE) / (na.n + nb.n - c), 4) AS jaccard "
@@ -104,24 +133,25 @@ def jaccard_pairs_sql(corpus_cte: str, threshold: float = 0.5) -> str:
 
 # --- MinHash + LSH --------------------------------------------------------
 
-def _minhash_expr(d: Dialect, j: int) -> str:
-    keyed = d.md5_bigint(f"concat('{j}|', sh)")
-    return f"MIN({keyed})"
+def _perm_expr(j: int) -> str:
+    """j-th universal-hash permutation of the base shingle hash — pure
+    64-bit integer arithmetic, identical in Spark SQL and DuckDB (md5 runs
+    once per shingle in shingle_hashes, not once per permutation)."""
+    return f"MIN(({_MH_A[j]} * h + {_MH_B[j]}) % {_MH_P})"
 
 
 def minhash_signatures(corpus: DataFrame) -> DataFrame:
-    """k=16 md5-keyed minhash values per doc (signature ≈ Jaccard sketch)."""
-    sh = shingles(corpus)
+    """k=16 minhash values per doc (signature ≈ Jaccard sketch)."""
+    sh = shingle_hashes(corpus)
     return sh.groupBy("doc_id").agg(*[
-        F.expr(_minhash_expr(SPARK, j)).alias(f"sig_{j}")
-        for j in range(N_MINHASH)
+        F.expr(_perm_expr(j)).alias(f"sig_{j}") for j in range(N_MINHASH)
     ])
 
 
 def minhash_signatures_sql(corpus_cte: str) -> str:
     exprs = ", ".join(
-        f"{_minhash_expr(DUCKDB, j)} AS sig_{j}" for j in range(N_MINHASH))
-    return (f"WITH sh AS ({shingles_sql(corpus_cte)}) "
+        f"{_perm_expr(j)} AS sig_{j}" for j in range(N_MINHASH))
+    return (f"WITH sh AS ({shingle_hashes_sql(corpus_cte)}) "
             f"SELECT doc_id, {exprs} FROM sh GROUP BY doc_id")
 
 
@@ -138,13 +168,23 @@ def lsh_candidate_pairs(corpus: DataFrame) -> DataFrame:
     The join is equi on (band, key) — the scalable skeleton; at 100 TB the
     band table is the only shuffled artifact (doc_id + 16 longs)."""
     sigs = minhash_signatures(corpus)
-    bands = None
-    for b, cols in enumerate(_band_key_cols()):
-        part = sigs.select(
-            "doc_id", F.lit(b).alias("band"),
+    # one pass: explode each signature row into its 4 (band, key) rows
+    # (a 4-way union would recompute the shingle+minhash pipeline per
+    # branch and again per self-join side — 8× the work), then cache the
+    # tiny band table for the self-join.
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
             F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
             .alias("key"))
-        bands = part if bands is None else bands.unionAll(part)
+        for b, cols in enumerate(_band_key_cols())
+    ])
+    bands = (
+        sigs.select("doc_id", F.explode(band_structs).alias("bk"))
+        .select("doc_id", F.col("bk.band").alias("band"),
+                F.col("bk.key").alias("key"))
+        .cache()
+    )
     a = bands.alias("a")
     b_ = bands.alias("b")
     return (

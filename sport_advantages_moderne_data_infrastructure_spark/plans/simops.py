@@ -47,6 +47,78 @@ def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+def _hyperplane(p: int, dim: int) -> list[float]:
+    """Deterministic ±1 hyperplane from md5 — reproducible everywhere
+    (hashlib md5 ≡ SQL md5), no RNG state."""
+    import hashlib
+    signs = []
+    for d in range(dim):
+        h = hashlib.md5(f"{p}_{d}".encode()).hexdigest()
+        signs.append(1.0 if int(h[:8], 16) % 2 == 1 else -1.0)
+    return signs
+
+
+N_PLANES = 4  # 16 buckets — sized for the 500-2000-vector test corpus
+
+
+@register("ann_lsh_bucketed", bench=True)  # rows-only check: bucketing is
+# an approximation strategy, not a SQL-expressible contract; recall vs the
+# brute-force oracle is pinned in tests/test_ann.py instead.
+def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for ANN: random-hyperplane LSH buckets, cosine rerank
+    inside the bucket only.
+
+    At 100 TB: bucket assignment is a map-side projection (no shuffle);
+    the rerank join is equi on bucket — candidate set shrinks by ~2^planes.
+    Single-probe here; multi-probe (flip one bit) is the standard recall
+    knob and adds probes× candidates, still ≪ brute force.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    dim = len(e.select("embedding").first()[0])
+    planes = [_hyperplane(p, dim) for p in range(N_PLANES)]
+
+    def bucket_col():
+        b = None
+        for p, plane in enumerate(planes):
+            arr = F.array(*[F.lit(v) for v in plane])
+            dot = F.expr(
+                "aggregate(zip_with(embedding, {a}, (x, y) -> "
+                "CAST(x AS DOUBLE) * y), CAST(0 AS DOUBLE), "
+                "(acc, v) -> acc + v)".format(a="pl_" + str(p)))
+            term = F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+            b = term if b is None else b + term
+        return b
+
+    with_planes = e
+    for p, plane in enumerate(planes):
+        with_planes = with_planes.withColumn(
+            f"pl_{p}", F.array(*[F.lit(v) for v in plane]))
+    bucketed = with_planes.withColumn("bucket", bucket_col().cast("int")) \
+        .select("vec_id", "embedding", "bucket",
+                F.sqrt(F.expr(dot_expr("embedding", "embedding")))
+                .alias("e_norm"))
+
+    q = (bucketed.filter(F.col("vec_id") % 50 == 0)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("q_embedding"),
+                 F.col("bucket"), F.col("e_norm").alias("q_norm")))
+    cos = (F.expr(dot_expr("q_embedding", "embedding"))
+           / (F.col("q_norm") * F.col("e_norm")))
+    scored = (
+        bucketed.join(F.broadcast(q), "bucket")  # equi-join on bucket
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                cos.alias("cos"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("score"),
+                "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
 _NEAR_VEC_SQL = (
     # duplicate-injected vector corpus: every 13th vector re-appended under
     # a shifted id → guaranteed cosine≈1.0 pairs for the near-dup detector
@@ -76,11 +148,13 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = e.unionAll(
         e.filter(F.col("vec_id") % 13 == 0)
         .select((F.col("vec_id") + 10000).alias("vec_id"), "embedding"))
+    corpus = corpus.select(
+        "vec_id", "embedding",
+        F.sqrt(F.expr(dot_expr("embedding", "embedding"))).alias("nrm"))
     a = corpus.alias("a")
     b = corpus.alias("b")
     cos = (F.expr(dot_expr("a.embedding", "b.embedding"))
-           / (F.sqrt(F.expr(dot_expr("a.embedding", "a.embedding")))
-              * F.sqrt(F.expr(dot_expr("b.embedding", "b.embedding")))))
+           / (F.col("a.nrm") * F.col("b.nrm")))
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .filter(cos >= 0.99)
@@ -114,13 +188,19 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus once and keeps a k-heap per query via the rank-filtered window —
     at 100 TB this is the exact shape of a GPU-less exhaustive rerank pass.
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    e = (load_table(spark, sf_dir, "embeddings")
+         .select("vec_id", "embedding",
+                 F.sqrt(F.expr(dot_expr("embedding", "embedding")))
+                 .alias("e_norm")))
     q = (e.filter(F.col("vec_id") % 50 == 0)
          .select(F.col("vec_id").alias("query_id"),
-                 F.col("embedding").alias("q_embedding")))
+                 F.col("embedding").alias("q_embedding"),
+                 F.col("e_norm").alias("q_norm")))
+    # norms precomputed per side (N + Q sqrts, not 2·N·Q); the pairwise
+    # work is exactly one dot product — same value bits as the oracle's
+    # per-pair formula, ~3× less compute
     cos = (F.expr(dot_expr("q_embedding", "embedding"))
-           / (F.sqrt(F.expr(dot_expr("q_embedding", "q_embedding")))
-              * F.sqrt(F.expr(dot_expr("embedding", "embedding")))))
+           / (F.col("q_norm") * F.col("e_norm")))
     scored = (
         e.crossJoin(F.broadcast(q))
         .select("query_id", F.col("vec_id").alias("neighbor_id"),

@@ -187,6 +187,63 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         MM.synth_media(load_table(spark, sf_dir, "documents")))
 
 
+@register(
+    "token_count_regex",
+    oracle=(
+        "SELECT doc_id, "
+        "CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) "
+        "AS n_word_tokens, "
+        "CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) "
+        "AS n_number_tokens, "
+        "CAST(CEIL(length(text) / 4.0) AS BIGINT) AS approx_llm_tokens "
+        "FROM documents ORDER BY doc_id"))
+def q_token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token accounting: regex word/number token counts plus the
+    chars/4 LLM-token heuristic — all JVM regexp, no UDF."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.expr("CAST(regexp_count(text, '[a-z]+') AS BIGINT)")
+        .alias("n_word_tokens"),
+        F.expr("CAST(regexp_count(text, '[0-9]+') AS BIGINT)")
+        .alias("n_number_tokens"),
+        F.ceil(F.length("text") / 4.0).cast("bigint")
+        .alias("approx_llm_tokens"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "doc_quality_score",
+    oracle=(
+        "WITH s AS (SELECT doc_id, "
+        "len(regexp_split_to_array(trim(text), ' +')) AS n_tokens, "
+        "length(text) AS n_c FROM documents) "
+        "SELECT doc_id, "
+        "CASE WHEN n_tokens >= 20 AND n_c >= 100 AND n_c <= 10000 "
+        "AND CAST(n_c AS DOUBLE) / n_tokens BETWEEN 3 AND 12 "
+        "THEN 'keep' ELSE 'drop' END AS quality_bucket, "
+        "ROUND(LEAST(CAST(n_tokens AS DOUBLE) / 100, 1.0) * 0.5 + "
+        "CASE WHEN CAST(n_c AS DOUBLE) / n_tokens BETWEEN 3 AND 12 "
+        "THEN 0.5 ELSE 0.0 END, 4) AS quality_score "
+        "FROM s ORDER BY doc_id"))
+def q_doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality gate (length / token-ratio heuristics) — the
+    filter stage of a training-data pipeline, as one codegen'd projection."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), " +"))
+    n_c = F.length("text")
+    ratio = n_c.cast("double") / n_tokens
+    keep = ((n_tokens >= 20) & (n_c >= 100) & (n_c <= 10000)
+            & (ratio >= 3) & (ratio <= 12))
+    score = (F.least(n_tokens.cast("double") / 100, F.lit(1.0)) * 0.5
+             + F.when((ratio >= 3) & (ratio <= 12), 0.5).otherwise(0.0))
+    return d.select(
+        "doc_id",
+        F.when(keep, "keep").otherwise("drop").alias("quality_bucket"),
+        F.round(score, 4).alias("quality_score"),
+    ).orderBy("doc_id")
+
+
 _LANGS = [("en", " the "), ("es", " de "), ("fr", " le "), ("zh", " zh ")]
 
 

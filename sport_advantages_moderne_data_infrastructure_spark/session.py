@@ -41,7 +41,11 @@ def get_spark(app_name: str = "samdis-engine", shuffle_partitions: int | None = 
         .config("spark.ui.enabled", "false")
     )
     if not os.environ.get("SPARK_GRAFT_ON_CLUSTER"):
-        b = b.master(f"local[{n}]")
+        # local mode = driver-only: driver memory is the ONLY memory knob
+        # (default 1g would spill/GC-thrash every shuffle at bench scale)
+        b = b.master(f"local[{n}]").config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()

@@ -1,0 +1,97 @@
+"""Batch source/sink adapters — the reference's I/O edges re-expressed.
+
+Sources: S4 JDBC scan (read_delta.py:59-111), S5 Excel scan
+(commute_validation.py:187), S3 lakehouse scan (read_delta.py:47-53).
+Sinks: K2 batch overwrite (read_delta.py:219-222), K3 JDBC bulk insert
+(sql_scripts.py:104-148), K6 console.
+
+The lakehouse format here is parquet (the container has no Delta jars); on
+a Delta deployment every ``format("parquet")`` below becomes
+``format("delta")`` — call shape identical, as with the streaming sink.
+
+Scale fixes over the reference, by design:
+- JDBC reads are PARTITIONED (partitionColumn/lowerBound/upperBound/
+  numPartitions) — the reference's single-partition read
+  (read_delta.py:101) serializes the whole table through one task.
+- Batch writes take partition columns (the reference writes unpartitioned
+  Delta, SaveDelta.scala:163) — at 100 TB, date-partitioned layout is what
+  makes partition pruning + incremental rewrite possible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_lakehouse(spark: SparkSession, path: str) -> DataFrame:
+    """S3: lakehouse table scan (format-agnostic parquet/Delta)."""
+    return spark.read.parquet(path)
+
+
+def read_jdbc_partitioned(spark: SparkSession, url: str, table: str,
+                          partition_column: str, lower: int, upper: int,
+                          num_partitions: int = 16,
+                          properties: dict | None = None) -> DataFrame:
+    """S4: partitioned JDBC scan. Each executor issues a range-bounded
+    query; no single-task bottleneck. Construction is lazy — builds
+    anywhere, connects on action (deployment-only; no DB in this env)."""
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("partitionColumn", partition_column)
+        .option("lowerBound", str(lower))
+        .option("upperBound", str(upper))
+        .option("numPartitions", str(num_partitions))
+    )
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def read_excel(spark: SparkSession, path: str, sheet: str | int = 0) -> DataFrame:
+    """S5: HR-workbook ingestion — pandas reads the sheet (driver-side: HR
+    files are KB-scale dimension inputs, commute_validation.py:187), Spark
+    takes over via Arrow. Raises ImportError without openpyxl; tests feed
+    the same path CSV fixtures through read_tabular."""
+    import pandas as pd
+
+    return spark.createDataFrame(pd.read_excel(path, sheet_name=sheet))
+
+
+def read_tabular(spark: SparkSession, path: str, **options) -> DataFrame:
+    """CSV twin of the Excel edge (same downstream transforms)."""
+    return spark.read.options(header=True, inferSchema=True,
+                              **options).csv(path)
+
+
+def write_overwrite(df: DataFrame, path: str,
+                    partition_by: list[str] | None = None) -> None:
+    """K2: full-refresh batch sink (read_delta.py:219-222 semantics —
+    overwriteSchema ≡ parquet overwrite). Partitioned layout opt-in."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_append(df: DataFrame, path: str,
+                 partition_by: list[str] | None = None) -> None:
+    w = df.write.mode("append")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "append",
+               properties: dict | None = None) -> None:
+    """K3: bulk JDBC insert — the execute_values batch loop
+    (sql_scripts.py:104-148) is one line in Spark; batching/parallelism come
+    from the partition layout. Deployment-only in this env."""
+    df.write.jdbc(url=url, table=table, mode=mode,
+                  properties=properties or {})
+
+
+def show_sample(df: DataFrame, n: int = 5) -> None:
+    """K6: console progress display (read_delta.py:255-287)."""
+    df.show(n, truncate=False)
