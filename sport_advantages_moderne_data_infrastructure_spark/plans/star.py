@@ -214,6 +214,115 @@ def q_nations_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.intersect(s).orderBy("nationkey")
 
 
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+@register(
+    "orders_pivot_priority",
+    oracle=(
+        "SELECT o_orderstatus, "
+        + ", ".join(
+            f"CAST(SUM(CASE WHEN o_orderpriority = '{p}' THEN 1 ELSE 0 END) "
+            f"AS BIGINT) AS \"{p}\"" for p in _PRIORITIES)
+        + " FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"))
+def q_orders_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT with an explicit value list (explicit list = single pass, no
+    distinct-scan to discover columns — the scale-safe form); the oracle is
+    the equivalent conditional aggregation."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", _PRIORITIES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, _PRIORITIES)
+        .select("o_orderstatus",
+                *[F.col(p).cast("bigint").alias(p) for p in _PRIORITIES])
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "order_price_quantiles",
+    oracle=(
+        "SELECT o_orderstatus, "
+        "ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50, "
+        "ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90, "
+        "ROUND(quantile_cont(o_totalprice, 0.99), 4) AS p99 "
+        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"))
+def q_order_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    quantile_cont). At 100 TB swap for approx_percentile with an accuracy
+    knob — exact percentile needs a per-group sort."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(*[
+            F.round(F.expr(f"percentile(o_totalprice, {q})"), 4)
+            .alias(name)
+            for name, q in [("p50", 0.5), ("p90", 0.9), ("p99", 0.99)]
+        ])
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "incremental_activity_agg",
+    oracle=(
+        # oracle recomputes over the FULL table — the incremental combine
+        # must be indistinguishable from a full recompute
+        "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events, "
+        "ROUND(SUM(value), 4) AS total_value "
+        "FROM events GROUP BY user_id ORDER BY user_id"))
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance — the scale fix for the
+    reference's full-overwrite rewrite (read_delta.py:219-222, SURVEY
+    §4.3): partial aggregates (count, sum) combine associatively, so a new
+    batch only touches its own keys. Modeled by splitting events into a
+    base (80%) and a delta (20%), aggregating independently, and combining
+    — the oracle is a full recompute."""
+    e = load_table(spark, sf_dir, "events")
+    base = e.filter(F.col("event_id") % 5 != 0)
+    delta = e.filter(F.col("event_id") % 5 == 0)
+
+    def part(df):
+        return df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+
+    return (
+        part(base).unionAll(part(delta))
+        .groupBy("user_id")
+        .agg(F.sum("n").cast("bigint").alias("n_events"),
+             F.round(F.sum("v"), 4).alias("total_value"))
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "salted_user_totals",
+    oracle=(
+        "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events, "
+        "ROUND(SUM(value), 4) AS total_value "
+        "FROM events GROUP BY user_id ORDER BY user_id"))
+def q_salted_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation: salt the hot key space into 8
+    subkeys (phase 1 spreads a hot key over 8 reducers), then combine.
+    Results are exactly the plain groupBy (the oracle). At 100 TB this is
+    the manual fallback when AQE skew handling can't help (single massive
+    key in a non-join agg). Salt from a deterministic key hash — rand()
+    would break retry idempotency at scale."""
+    e = load_table(spark, sf_dir, "events")
+    salted = e.withColumn(
+        "salt", (F.abs(F.xxhash64("event_id")) % 8).cast("int"))
+    phase1 = salted.groupBy("user_id", "salt").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+    return (
+        phase1.groupBy("user_id")
+        .agg(F.sum("n").cast("bigint").alias("n_events"),
+             F.round(F.sum("v"), 4).alias("total_value"))
+        .orderBy("user_id")
+    )
+
+
 @register(
     "orders_status_rollup",
     oracle=(

@@ -92,6 +92,18 @@ def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "append",
                   properties=properties or {})
 
 
+def write_bucketed(df: DataFrame, table: str, bucket_cols: list[str],
+                   n_buckets: int = 32) -> None:
+    """Bucketed managed table: co-locates join/agg keys at WRITE time so
+    repeated joins on the key run with ZERO exchange (the 100 TB answer to
+    the lineitem⋈orders shuffle — pay the partitioning once, reuse it every
+    query). Sorted within buckets so sort-merge join skips its sort too."""
+    (df.write.mode("overwrite")
+     .bucketBy(n_buckets, *bucket_cols)
+     .sortBy(*bucket_cols)
+     .saveAsTable(table))
+
+
 def show_sample(df: DataFrame, n: int = 5) -> None:
     """K6: console progress display (read_delta.py:255-287)."""
     df.show(n, truncate=False)
