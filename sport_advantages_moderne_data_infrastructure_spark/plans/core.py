@@ -65,6 +65,42 @@ def q_prime_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.prime_query(q_final_table(spark, sf_dir))
 
 
+_PRIME_SQL_SURFACE = (
+    # The reference's flagship Trino SQL (README.md:140-164) modulo
+    # dialect-neutral cosmetics — run VERBATIM through spark.sql over a
+    # registered `final` view (the Trino/Superset layer collapses to this,
+    # SURVEY §3.3). Portable: doubles forced explicitly, same text runs on
+    # DuckDB as the oracle.
+    "WITH prime AS ("
+    " SELECT id_employee,"
+    "  CASE WHEN is_valid THEN ROUND(gross_salary * CAST(0.05 AS DOUBLE), 2)"
+    "  ELSE CAST(0 AS DOUBLE) END AS commute_prime"
+    " FROM final) "
+    "SELECT f.id_employee, f.gross_salary, f.business_unity,"
+    " f.constract_type, f.is_valid, f.count_activity, f.mean_duration,"
+    " p.commute_prime,"
+    " CASE WHEN f.count_activity >= 15 THEN true ELSE false END"
+    "  AS is_valid_activities,"
+    " CAST(f.gross_salary + p.commute_prime AS DOUBLE) AS total_salary "
+    "FROM final f JOIN prime p ON f.id_employee = p.id_employee"
+)
+
+
+@register("prime_query_sql",
+          # merge the `final` CTE with the flagship text's own WITH-clause
+          oracle=W(f"WITH final AS ({R.FINAL_TABLE_SQL}), "
+                   + _PRIME_SQL_SURFACE[len("WITH "):]),
+          tags=("J3", "F4", "F5", "F6", "F7", "S8"))
+def q_prime_query_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship query through the SQL surface: the reference's interactive
+    CTE self-join (README.md:140-164) executed verbatim by spark.sql over a
+    registered `final` view — proves a reference user's SQL ports as-is.
+    (The DataFrame twin `prime_query` authors it collapsed; Catalyst
+    reaches the same place from this text via self-join elimination.)"""
+    q_final_table(spark, sf_dir).createOrReplaceTempView("final")
+    return spark.sql(_PRIME_SQL_SURFACE)
+
+
 @register("commute_validation",
           oracle=W("SELECT id_validate, id_employee, calculed_distance, "
                    "calculed_duration, is_valid, error_message, created_at "

@@ -98,10 +98,17 @@ def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sqrt(F.expr(dot_expr("embedding", "embedding")))
                 .alias("e_norm"))
 
+    # multi-probe: each query scans its own bucket plus the N_PLANES
+    # hamming-1 neighbor buckets (the standard recall knob — candidates
+    # grow to (1+planes)/2^planes of the corpus, still ≪ brute force)
+    probes = F.array(F.col("bucket"),
+                     *[F.expr(f"CAST(bucket ^ {1 << p} AS INT)")
+                       for p in range(N_PLANES)])
     q = (bucketed.filter(F.col("vec_id") % 50 == 0)
          .select(F.col("vec_id").alias("query_id"),
                  F.col("embedding").alias("q_embedding"),
-                 F.col("bucket"), F.col("e_norm").alias("q_norm")))
+                 F.explode(probes).alias("bucket"),
+                 F.col("e_norm").alias("q_norm")))
     cos = (F.expr(dot_expr("q_embedding", "embedding"))
            / (F.col("q_norm") * F.col("e_norm")))
     scored = (
