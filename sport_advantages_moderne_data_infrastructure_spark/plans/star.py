@@ -214,6 +214,53 @@ def q_nations_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.intersect(s).orderBy("nationkey")
 
 
+@register(
+    "orders_by_month",
+    oracle=(
+        "SELECT CAST(year(o_orderdate) AS INT) AS y, "
+        "CAST(month(o_orderdate) AS INT) AS m, "
+        "CAST(COUNT(*) AS BIGINT) AS n_orders, "
+        "ROUND(SUM(o_totalprice), 2) AS total_price "
+        "FROM orders GROUP BY 1, 2 ORDER BY 1, 2"))
+def q_orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar rollup (year/month extraction — the partition-pruning
+    grouping at 100 TB when orders is date-partitioned)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.year("o_orderdate").cast("int").alias("y"),
+                  F.month("o_orderdate").cast("int").alias("m"))
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("total_price"))
+        .orderBy("y", "m")
+    )
+
+
+@register(
+    "supplier_name_fuzzy",
+    oracle=(
+        "SELECT a.s_suppkey AS supp_a, b.s_suppkey AS supp_b, "
+        "CAST(levenshtein(a.s_name, b.s_name) AS INT) AS edit_distance "
+        "FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey "
+        "WHERE levenshtein(a.s_name, b.s_name) <= 3 "
+        "ORDER BY supp_a, supp_b"))
+def q_supplier_name_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity matching via edit distance (classic DP levenshtein —
+    identical semantics in both engines). At scale: length + q-gram
+    prefilters before the quadratic comparison; the dim is small enough
+    here to pair directly."""
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    a, b = s.alias("a"), s.alias("b")
+    dist = F.levenshtein(F.col("a.s_name"), F.col("b.s_name"))
+    return (
+        a.join(b, F.col("a.s_suppkey") < F.col("b.s_suppkey"))
+        .filter(dist <= 3)
+        .select(F.col("a.s_suppkey").alias("supp_a"),
+                F.col("b.s_suppkey").alias("supp_b"),
+                dist.cast("int").alias("edit_distance"))
+        .orderBy("supp_a", "supp_b")
+    )
+
+
 _PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
 
 

@@ -51,3 +51,35 @@ def get_spark(app_name: str = "samdis-engine", shuffle_partitions: int | None = 
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def cluster_conf(executors: int = 1000, cores_per_executor: int = 4,
+                 target_partition_mb: int = 128) -> dict[str, str]:
+    """Recommended conf for the real 100 TB deployment (documented contract;
+    local runs don't need it). Sizing rules:
+
+    - shuffle partitions ≈ 2-3× total cores so every wave is full and AQE
+      has room to coalesce; with 100 TB inputs this also keeps the average
+      post-shuffle partition near target_partition_mb.
+    - AQE owns runtime re-planning (coalesce, skew split, join demotion).
+    - Kryo + zstd shuffle: CPU-cheap, 2-3× smaller shuffle files.
+    - maxPartitionBytes bounds scan task size so a 100 TB scan yields
+      ~800k tasks, not 8M.
+    """
+    total_cores = executors * cores_per_executor
+    return {
+        "spark.sql.shuffle.partitions": str(total_cores * 2),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes":
+            str(target_partition_mb * 1024 * 1024),
+        "spark.sql.files.maxPartitionBytes":
+            str(target_partition_mb * 1024 * 1024),
+        "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+        "spark.io.compression.codec": "zstd",
+        "spark.sql.parquet.compression.codec": "zstd",
+        "spark.speculation": "true",
+        "spark.task.maxFailures": "4",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+    }

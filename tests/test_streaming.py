@@ -111,6 +111,18 @@ def test_dedup_within_watermark_stream(spark, sf_dir, tmp_path_factory):
     assert got.select("event_id").distinct().count() == 500
 
 
+def test_parse_cdc_accepts_binary_value(spark, sf_dir):
+    """Kafka delivers key/value as BINARY — parse_cdc must handle both
+    (it casts to string itself, SaveDelta.scala:134-135 semantics)."""
+    raw = D.cdc_events(spark, sf_dir)
+    binary = raw.withColumn("value", F.col("value").cast("binary")) \
+                .withColumn("key", F.col("key").cast("binary"))
+    got = parse_cdc(binary)
+    want = parse_cdc(raw)
+    assert got.count() == want.count()
+    assert got.schema == want.schema
+
+
 def test_notifier_foreach_batch(spark, sf_dir, cdc_dir, tmp_path):
     sent: list[dict] = []
     parsed = P.stream_cdc_from_files(spark, cdc_dir)
