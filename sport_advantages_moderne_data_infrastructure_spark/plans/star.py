@@ -241,7 +241,7 @@ def q_orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT a.s_suppkey AS supp_a, b.s_suppkey AS supp_b, "
         "CAST(levenshtein(a.s_name, b.s_name) AS INT) AS edit_distance "
         "FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey "
-        "WHERE levenshtein(a.s_name, b.s_name) <= 3 "
+        "WHERE levenshtein(a.s_name, b.s_name) <= 1 "
         "ORDER BY supp_a, supp_b"))
 def q_supplier_name_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy entity matching via edit distance (classic DP levenshtein —
@@ -253,7 +253,7 @@ def q_supplier_name_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     dist = F.levenshtein(F.col("a.s_name"), F.col("b.s_name"))
     return (
         a.join(b, F.col("a.s_suppkey") < F.col("b.s_suppkey"))
-        .filter(dist <= 3)
+        .filter(dist <= 1)
         .select(F.col("a.s_suppkey").alias("supp_a"),
                 F.col("b.s_suppkey").alias("supp_b"),
                 dist.cast("int").alias("edit_distance"))
