@@ -126,6 +126,18 @@ def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ann_ivf_topk", bench=True)  # rows-only: approximation strategy;
+# recall vs brute force pinned in tests/test_ann.py
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: k-means centroids (pyspark.ml, seeded) partition the
+    corpus; queries rerank only their nprobe=4 nearest centroid lists —
+    the partition-pruned lakehouse index layout (operators/ivf.py)."""
+    from ..operators.ivf import ivf_topk, train_centroids
+    e = load_table(spark, sf_dir, "embeddings")
+    centroids = train_centroids(e, k=16)
+    return ivf_topk(e, centroids, lambda vid: vid % 50 == 0, k=10, nprobe=4)
+
+
 _NEAR_VEC_SQL = (
     # duplicate-injected vector corpus: every 13th vector re-appended under
     # a shifted id → guaranteed cosine≈1.0 pairs for the near-dup detector

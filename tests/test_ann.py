@@ -32,6 +32,21 @@ def test_lsh_recall_vs_bruteforce(spark, sf_dir):
     assert mean_recall >= 0.3, f"mean recall {mean_recall:.3f}"
 
 
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    brute = _topk(catalog.REGISTRY["ann_cosine_topk"].spark_fn(spark, sf_dir))
+    ivf = _topk(catalog.REGISTRY["ann_ivf_topk"].spark_fn(spark, sf_dir))
+    assert set(ivf) == set(brute)
+    recalls = []
+    for qid, want in brute.items():
+        got = ivf.get(qid, set())
+        recalls.append(len(got & want) / len(want))
+        assert qid in got  # self is always in the probed home centroid
+    mean_recall = sum(recalls) / len(recalls)
+    # nprobe=4 of k=16 centroids: stronger than LSH single-bucket — expect
+    # a solid majority of true neighbors
+    assert mean_recall >= 0.5, f"mean recall {mean_recall:.3f}"
+
+
 def test_stateful_running_totals(spark, sf_dir, tmp_path_factory):
     import pyspark.sql.functions as F
 

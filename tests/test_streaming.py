@@ -111,6 +111,54 @@ def test_dedup_within_watermark_stream(spark, sf_dir, tmp_path_factory):
     assert got.select("event_id").distinct().count() == 500
 
 
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Late-data policy: with a 30-minute watermark, a row arriving hours
+    behind the stream's max event time must NOT update its (long-closed)
+    window. Files are fed one per micro-batch (maxFilesPerTrigger) so the
+    watermark advances between the on-time batch and the late batch."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    schema = "ts timestamp, event_type string, value double"
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    on_time = [Row(ts=t0 + dt.timedelta(minutes=m), event_type="a", value=1.0)
+               for m in range(0, 120, 10)]  # 10:00 → 11:50
+    more = [Row(ts=t0 + dt.timedelta(minutes=115), event_type="a", value=1.0)]
+    late = [Row(ts=t0 - dt.timedelta(hours=3), event_type="a", value=1.0)]
+
+    # watermark computed from batch N commits at batch end and applies from
+    # batch N+1 — so the late file goes THIRD: batch0 sets 11:20, batch1
+    # commits it, batch2's late row is evaluated against it.
+    src = tmp_path / "late_src"
+    import time as _t
+    for i, rows in enumerate([on_time, more, late]):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / f"batch={i}"))
+        _t.sleep(1.1)  # distinct mtimes → deterministic file order
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1")
+              .parquet(str(src) + "/*"))
+    agg = (stream.withWatermark("ts", "30 minutes")
+           .groupBy(SW.F.window("ts", "1 hour").alias("w"), "event_type")
+           .agg(SW.F.count(SW.F.lit(1)).alias("n")))
+    q = (agg.writeStream.format("memory").queryName("late_mem")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.table("late_mem").select(
+        SW.F.col("w.start").alias("ws"), "n").collect()
+    windows = {r["ws"].hour for r in got}
+    # the 07:00 window of the late row must be absent — dropped by watermark
+    assert 7 not in windows, sorted(windows)
+    assert {10, 11} <= windows
+    dropped = sum(
+        (p["stateOperators"][0]["numRowsDroppedByWatermark"]
+         if p["stateOperators"] else 0)
+        for p in q.recentProgress)
+    assert dropped == 1
+
+
 def test_parse_cdc_accepts_binary_value(spark, sf_dir):
     """Kafka delivers key/value as BINARY — parse_cdc must handle both
     (it casts to string itself, SaveDelta.scala:134-135 semantics)."""
