@@ -29,25 +29,7 @@ EXPECTATIONS: list[tuple[str, str]] = [
 
 def quality_report(activities: DataFrame) -> DataFrame:
     """One row per expectation: (expectation, failing_rows, passed)."""
-    agg = activities.agg(*[
-        F.sum(F.expr(f"CASE WHEN {pred} THEN 1 ELSE 0 END"))
-        .cast("bigint").alias(name)
-        for name, pred in EXPECTATIONS
-    ])
-    pairs = []
-    for name, _ in EXPECTATIONS:
-        pairs.append(F.struct(
-            F.lit(name).alias("expectation"),
-            F.col(name).alias("failing_rows"),
-        ))
-    return (
-        agg.select(F.explode(F.array(*pairs)).alias("e"))
-        .select(
-            F.col("e.expectation").alias("expectation"),
-            F.col("e.failing_rows").alias("failing_rows"),
-            (F.col("e.failing_rows") == 0).alias("passed"),
-        )
-    )
+    return run_suite(activities, EXPECTATIONS)
 
 
 def quality_report_sql(table: str = "sport_activities") -> str:
@@ -61,6 +43,28 @@ def quality_report_sql(table: str = "sport_activities") -> str:
     return (
         f"SELECT expectation, failing_rows, failing_rows = 0 AS passed "
         f"FROM ({union}) u"
+    )
+
+
+def run_suite(df: DataFrame,
+              rules: list[tuple[str, str]] | None = None) -> DataFrame:
+    """Declarative expectation runner over ANY table: rules are
+    (name, violation-predicate SQL) pairs — the Great-Expectations-suite
+    shape (data_validation_dag.py:297-328) without the GE/Airflow runtime.
+    One scan + one reduce regardless of rule count."""
+    rules = rules if rules is not None else EXPECTATIONS
+    agg = df.agg(*[
+        F.sum(F.expr(f"CASE WHEN {pred} THEN 1 ELSE 0 END"))
+        .cast("bigint").alias(name)
+        for name, pred in rules
+    ])
+    pairs = [F.struct(F.lit(n).alias("expectation"),
+                      F.col(n).alias("failing_rows")) for n, _ in rules]
+    return (
+        agg.select(F.explode(F.array(*pairs)).alias("e"))
+        .select(F.col("e.expectation").alias("expectation"),
+                F.col("e.failing_rows").alias("failing_rows"),
+                (F.col("e.failing_rows") == 0).alias("passed"))
     )
 
 

@@ -214,6 +214,31 @@ def q_nations_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.intersect(s).orderBy("nationkey")
 
 
+_LI_RULES = [
+    ("quantity_positive", "l_quantity <= 0"),
+    ("discount_in_unit_range", "l_discount < 0 OR l_discount > 1"),
+    ("tax_non_negative", "l_tax < 0"),
+    ("shipdate_not_null", "l_shipdate IS NULL"),
+]
+
+
+@register(
+    "lineitem_quality",
+    oracle=(
+        "SELECT expectation, failing_rows, failing_rows = 0 AS passed FROM ("
+        + " UNION ALL ".join(
+            f"(SELECT '{n}' AS expectation, CAST(SUM(CASE WHEN {p} THEN 1 "
+            f"ELSE 0 END) AS BIGINT) AS failing_rows FROM lineitem)"
+            for n, p in _LI_RULES)
+        + ") u"))
+def q_lineitem_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative quality suite applied to an arbitrary table (the
+    reusable GE-shape runner, operators/quality.run_suite): N rules in one
+    scan + one reduce."""
+    from ..operators.quality import run_suite
+    return run_suite(load_table(spark, sf_dir, "lineitem"), _LI_RULES)
+
+
 @register(
     "orders_by_month",
     oracle=(

@@ -178,6 +178,17 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash_near_dup(near_corpus(spark, sf_dir))
 
 
+@register("multimodal_decode_features")  # rows-only: Arrow mapInPandas
+# stage (byte-level feature extraction) — not SQL-expressible; determinism
+# and partition-independence pinned in tests/test_multimodal.py
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The media decode stage's plumbing: binary blobs → per-item features
+    through an Arrow-batched pandas iterator (the real codec swaps in on a
+    production cluster; the byte-level extractor here is deterministic)."""
+    return MM.fake_decode_features(
+        MM.synth_media(load_table(spark, sf_dir, "documents"))).orderBy("doc_id")
+
+
 @register("multimodal_meta", oracle=MM.SYNTH_MEDIA_META_SQL)
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media column + typed metadata projection (blob as hex for
