@@ -214,6 +214,71 @@ def q_nations_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.intersect(s).orderBy("nationkey")
 
 
+@register(
+    "nation_pair_revenue",
+    oracle=(
+        "SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation, "
+        "ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue "
+        "FROM lineitem l "
+        "JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "JOIN customer c ON o.o_custkey = c.c_custkey "
+        "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+        "JOIN nation cn ON c.c_nationkey = cn.n_nationkey "
+        "JOIN nation sn ON s.s_nationkey = sn.n_nationkey "
+        "WHERE cn.n_nationkey < 5 AND sn.n_nationkey < 5 "
+        "AND cn.n_nationkey <> sn.n_nationkey "
+        "GROUP BY cn.n_name, sn.n_name ORDER BY revenue DESC, 1, 2"))
+def q_nation_pair_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped: revenue between (customer-nation, supplier-nation)
+    pairs — two independent dimension chains hanging off the same fact
+    (nation joined twice under different aliases); filters on both chains
+    push into the broadcast sides."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    cn = n.select(F.col("n_nationkey").alias("c_nk"),
+                  F.col("n_name").alias("cust_nation"))
+    sn = n.select(F.col("n_nationkey").alias("s_nk"),
+                  F.col("n_name").alias("supp_nation"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(cn), c.c_nationkey == F.col("c_nk"))
+        .join(F.broadcast(sn), s.s_nationkey == F.col("s_nk"))
+        .filter((F.col("c_nk") < 5) & (F.col("s_nk") < 5)
+                & (F.col("c_nk") != F.col("s_nk")))
+        .groupBy("cust_nation", "supp_nation")
+        .agg(F.round(F.sum(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "cust_nation", "supp_nation")
+    )
+
+
+@register(
+    "above_segment_avg_customers",
+    oracle=(
+        "SELECT c_custkey, c_mktsegment, ROUND(c_acctbal, 2) AS acctbal "
+        "FROM customer c WHERE c_acctbal > (SELECT AVG(c_acctbal) * 1.5 "
+        "FROM customer i WHERE i.c_mktsegment = c.c_mktsegment) "
+        "ORDER BY c_custkey"))
+def q_above_segment_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery semantics (per-group threshold) as a window
+    average — one shuffle on the group key instead of a per-row subquery,
+    the decorrelated plan Catalyst/any CBO would aim for."""
+    c = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment")
+    return (
+        c.withColumn("seg_avg", F.avg("c_acctbal").over(w))
+        .filter(F.col("c_acctbal") > F.col("seg_avg") * 1.5)
+        .select("c_custkey", "c_mktsegment",
+                F.round("c_acctbal", 2).alias("acctbal"))
+        .orderBy("c_custkey")
+    )
+
+
 _LI_RULES = [
     ("quantity_positive", "l_quantity <= 0"),
     ("discount_in_unit_range", "l_discount < 0 OR l_discount > 1"),

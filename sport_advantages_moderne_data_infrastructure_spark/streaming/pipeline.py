@@ -43,16 +43,23 @@ def stream_cdc_from_kafka(spark: SparkSession, bootstrap_servers: str,
                           topic: str, starting_offsets: str = "earliest") -> DataFrame:
     """S1 (SaveDelta.scala:104-112): Kafka source with the reference's
     options (earliest offsets, tolerate data loss). Requires the
-    spark-sql-kafka package on the cluster — construction is lazy, so this
-    plan builds anywhere and fails only at start() without it."""
-    raw = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
-        .option("failOnDataLoss", "false")
-        .load()
-    )
+    spark-sql-kafka package (cluster deployment); without it, load() fails
+    at analysis time — re-raised here with the actionable fix."""
+    try:
+        raw = (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap_servers)
+            .option("subscribe", topic)
+            .option("startingOffsets", starting_offsets)
+            .option("failOnDataLoss", "false")
+            .load()
+        )
+    except Exception as e:  # AnalysisException: data source not found
+        raise RuntimeError(
+            "Kafka source unavailable: add the spark-sql-kafka-0-10 package "
+            "(--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<spark "
+            "version>) or use stream_cdc_from_files for the file-source twin"
+        ) from e
     return parse_cdc(raw)  # parse_cdc casts binary value → string itself
 
 
