@@ -184,6 +184,63 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embedding_dedup_lsh",
+    # oracle = brute-force pairs: sound here because duplicate-injected
+    # vectors are bit-identical → identical hyperplane signs → same bucket
+    # ALWAYS, so the LSH prefilter provably loses nothing at cosine≥0.99
+    # on this corpus (the general case trades recall for the 2^planes scan
+    # reduction — see ann_lsh_bucketed / tests/test_ann.py).
+    oracle=(
+        "WITH corpus AS ({nv}), "
+        "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM corpus) "
+        "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
+        "ROUND(list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) "
+        "* sqrt(list_dot_product(b.e, b.e))), 6) AS cosine "
+        "FROM v a JOIN v b ON a.vec_id < b.vec_id "
+        "WHERE list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) "
+        "* sqrt(list_dot_product(b.e, b.e))) >= 0.99 "
+        "ORDER BY vec_a, vec_b").format(nv=_NEAR_VEC_SQL))
+def q_embedding_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for embedding dedup: random-hyperplane bucket →
+    within-bucket pairs only → cosine≥0.99 rerank. The candidate join is
+    equi on bucket; all-pairs never materializes."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = e.unionAll(
+        e.filter(F.col("vec_id") % 13 == 0)
+        .select((F.col("vec_id") + 10000).alias("vec_id"), "embedding"))
+    dim = len(corpus.select("embedding").first()[0])
+    planes = [_hyperplane(p, dim) for p in range(N_PLANES)]
+    with_planes = corpus
+    for p, plane in enumerate(planes):
+        with_planes = with_planes.withColumn(
+            f"pl_{p}", F.array(*[F.lit(v) for v in plane]))
+    bucket = None
+    for p in range(len(planes)):
+        dot = F.expr(
+            "aggregate(zip_with(embedding, pl_{p}, (x, y) -> "
+            "CAST(x AS DOUBLE) * y), CAST(0 AS DOUBLE), "
+            "(acc, v) -> acc + v)".format(p=p))
+        term = F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = term if bucket is None else bucket + term
+    bucketed = with_planes.select(
+        "vec_id", "embedding", bucket.cast("int").alias("bucket"),
+        F.sqrt(F.expr(dot_expr("embedding", "embedding"))).alias("nrm"),
+    ).cache()
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    cos = (F.expr(dot_expr("a.embedding", "b.embedding"))
+           / (F.col("a.nrm") * F.col("b.nrm")))
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .filter(cos >= 0.99)
+        .select(F.col("a.vec_id").alias("vec_a"),
+                F.col("b.vec_id").alias("vec_b"),
+                F.round(cos, 6).alias("cosine"))
+        .orderBy("vec_a", "vec_b")
+    )
+
+
 _ANN_ORACLE = (
     "WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS qe "
     "FROM embeddings WHERE vec_id % 50 = 0), "
