@@ -279,6 +279,71 @@ def q_above_segment_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_props_extract",
+    oracle=(
+        "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+        "ROUND(AVG(CAST(props->>'$.k' AS INT)), 4) AS avg_k, "
+        "CAST(MAX(CAST(props->>'$.k' AS INT)) AS INT) AS max_k "
+        "FROM events GROUP BY event_type ORDER BY event_type"))
+def q_events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction on the star schema's stringly-typed props
+    column (F1 on arbitrary payloads — get_json_object ≡ ->>)."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.avg(k), 4).alias("avg_k"),
+             F.max(k).cast("int").alias("max_k"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "user_value_trend",
+    oracle=(
+        "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n, "
+        "ROUND(regr_slope(value, (epoch_us(ts) / 1000000.0 - 1704067200) "
+        "/ 86400.0), 4) AS slope_per_day "
+        "FROM events GROUP BY user_id ORDER BY user_id"))
+def q_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user OLS trend (slope of value over days) via the
+    covariance/variance identity — one grouped aggregate, JVM-side.
+    tests/test_applyinpandas.py checks the applyInPandas (per-group numpy)
+    formulation agrees: same math, two execution strategies."""
+    e = load_table(spark, sf_dir, "events")
+    x = (F.unix_micros("ts") / 1e6 - 1704067200) / 86400.0
+    return (
+        e.select("user_id", x.alias("x"), F.col("value").alias("v"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.covar_pop("x", "v") / F.var_pop("x"), 4)
+             .alias("slope_per_day"))
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "nation_customer_names",
+    oracle=(
+        "SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_customers, "
+        "array_to_string(list_sort(list(c_name))[1:3], ',') AS sample_names "
+        "FROM customer GROUP BY c_nationkey ORDER BY c_nationkey"))
+def q_nation_customer_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered list aggregation (collect → sort → slice → join): collect_list
+    is unordered by contract, so determinism comes from sort_array — the
+    only way a grouped string agg is reproducible on a distributed run."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_customers"),
+             F.concat_ws(",", F.slice(F.sort_array(F.collect_list("c_name")),
+                                      1, 3)).alias("sample_names"))
+        .orderBy("c_nationkey")
+    )
+
+
 _LI_RULES = [
     ("quantity_positive", "l_quantity <= 0"),
     ("discount_in_unit_range", "l_discount < 0 OR l_discount > 1"),
