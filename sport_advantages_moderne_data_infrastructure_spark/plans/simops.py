@@ -20,13 +20,7 @@ from pyspark.sql import functions as F
 from ..sources.tables import load_table
 from .catalog import register
 
-_DOT = ("aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * "
-        "CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
-
-
-def dot_expr(a: str, b: str) -> str:
-    """Sequential-order dot product of two array<float> cols (JVM, no UDF)."""
-    return _DOT.format(a=a, b=b)
+from ..functions.vectors import dot_expr  # noqa: E402  (shared vector math)
 
 
 @register(

@@ -69,6 +69,28 @@ def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "funnel_click_purchase",
+    oracle=(
+        "SELECT c.user_id, CAST(c.event_id AS BIGINT) AS click_id, "
+        "CAST(p.event_id AS BIGINT) AS purchase_id, "
+        "c.ts AS click_ts, p.ts AS purchase_ts, "
+        "p.value AS purchase_value "
+        "FROM (SELECT * FROM events WHERE event_type = 'click') c "
+        "JOIN (SELECT * FROM events WHERE event_type = 'purchase') p "
+        "ON c.user_id = p.user_id AND p.ts >= c.ts "
+        "AND p.ts <= c.ts + INTERVAL 30 MINUTE "
+        "ORDER BY click_id, purchase_id"),
+    bench=True)
+def q_funnel_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (event-time funnel): batch twin of the stream-stream join
+    (streaming/joins.py — identical predicate; streaming adds watermarked
+    state). tests/test_streaming.py pins stream == batch."""
+    from ..streaming.joins import funnel_click_purchase
+    e = load_table(spark, sf_dir, "events")
+    return funnel_click_purchase(e).orderBy("click_id", "purchase_id")
+
+
+@register(
     "dedup_events_exact",
     oracle=(
         "WITH doubled AS (SELECT * FROM events UNION ALL "

@@ -111,6 +111,28 @@ def test_dedup_within_watermark_stream(spark, sf_dir, tmp_path_factory):
     assert got.select("event_id").distinct().count() == 500
 
 
+def test_stream_stream_funnel_equals_batch(spark, sf_dir, tmp_path_factory):
+    """Stream-stream interval join (watermarked both sides) must produce
+    exactly the batch range join's pairs."""
+    from sport_advantages_moderne_data_infrastructure_spark.streaming.joins import (
+        funnel_click_purchase,
+    )
+    events = load_table(spark, sf_dir, "events")
+    epath = str(tmp_path_factory.mktemp("events_funnel"))
+    events.write.mode("overwrite").parquet(epath)
+    stream = spark.readStream.schema(events.schema).parquet(epath)
+    q = (funnel_click_purchase(stream)
+         .writeStream.format("memory").queryName("funnel_mem")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["click_id"], r["purchase_id"])
+           for r in spark.table("funnel_mem").collect()}
+    want = {(r["click_id"], r["purchase_id"])
+            for r in funnel_click_purchase(events).collect()}
+    assert got == want
+    assert len(want) > 0
+
+
 def test_watermark_drops_late_rows(spark, tmp_path):
     """Late-data policy: with a 30-minute watermark, a row arriving hours
     behind the stream's max event time must NOT update its (long-closed)
