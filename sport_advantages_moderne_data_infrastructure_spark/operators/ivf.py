@@ -27,8 +27,8 @@ _L2SQ = ("aggregate(zip_with(embedding, cvec, (x, y) -> "
          "CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
 
 
-def train_centroids(embeddings: DataFrame, k: int = 16,
-                    seed: int = 42) -> list[list[float]]:
+def train_centroids(embeddings: DataFrame, k: int = 16, seed: int = 42,
+                    max_iter: int = 20) -> list[list[float]]:
     """Distributed k-means over the embedding column (index build step)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -36,7 +36,7 @@ def train_centroids(embeddings: DataFrame, k: int = 16,
     vecs = embeddings.select(
         array_to_vector(F.col("embedding").cast("array<double>"))
         .alias("features"))
-    model = KMeans(k=k, seed=seed, maxIter=20).fit(vecs)
+    model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(vecs)
     return [list(map(float, c)) for c in model.clusterCenters()]
 
 

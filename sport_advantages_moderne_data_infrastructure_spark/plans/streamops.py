@@ -91,6 +91,37 @@ def q_funnel_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_last_signup",
+    oracle=(
+        # DuckDB native ASOF (>= picks the greatest right ts <= left ts)
+        "SELECT CAST(p.event_id AS BIGINT) AS purchase_id, p.user_id, "
+        "p.ts AS purchase_ts, CAST(s.event_id AS BIGINT) AS signup_id, "
+        "s.ts AS signup_ts "
+        "FROM (SELECT * FROM events WHERE event_type = 'purchase') p "
+        "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s "
+        "ON p.user_id = s.user_id AND p.ts >= s.ts "
+        "ORDER BY purchase_id"))
+def q_asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): for each purchase, the most recent
+    signup by the same user at or before it — candidate join + rank-1
+    window; purchases with no prior signup keep NULLs (left semantics)."""
+    from ..operators.asof import asof_join
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").cast("bigint").alias("purchase_id"),
+        "user_id", F.col("ts").alias("purchase_ts"))
+    signups = e.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").cast("bigint").alias("signup_id"),
+        F.col("user_id").alias("s_user"), F.col("ts").alias("signup_ts"))
+    return asof_join(
+        purchases, signups.withColumnRenamed("s_user", "user_id"),
+        on="user_id", left_ts="purchase_ts", right_ts="signup_ts",
+        right_cols=["signup_id", "signup_ts"],
+    ).select("purchase_id", "user_id", "purchase_ts", "signup_id",
+             "signup_ts").orderBy("purchase_id")
+
+
+@register(
     "dedup_events_exact",
     oracle=(
         "WITH doubled AS (SELECT * FROM events UNION ALL "
