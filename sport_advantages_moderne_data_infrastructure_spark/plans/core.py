@@ -138,6 +138,26 @@ def q_notifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.notifier_events(parse_cdc(D.cdc_events(spark, sf_dir)))
 
 
+@register("pii_scrub",
+          oracle=W("SELECT id_employee, "
+                   "regexp_replace(address, '[0-9]+', '#', 'g') "
+                   "AS address_scrubbed, "
+                   "concat(substr(first_name, 1, 1), '***') AS name_initial "
+                   "FROM employees ORDER BY id_employee"),
+          tags=("F8", "P4"))
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII reduction beyond the reference's NULL-masking: digit scrubbing +
+    initials (regexp_replace — note Spark replaces ALL matches by default,
+    DuckDB needs the 'g' flag)."""
+    from pyspark.sql import functions as F
+    return (D.employees(spark, sf_dir).select(
+        "id_employee",
+        F.regexp_replace("address", "[0-9]+", "#").alias("address_scrubbed"),
+        F.concat(F.substring("first_name", 1, 1), F.lit("***"))
+        .alias("name_initial"))
+        .orderBy("id_employee"))
+
+
 @register("quality_checks", oracle=W(Q.quality_report_sql()),
           tags=("Q1", "Q2", "Q3", "Q4"))
 def q_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -135,6 +135,31 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(e, centroids, lambda vid: vid % 50 == 0, k=10, nprobe=4)
 
 
+@register(
+    "embedding_component_stats",
+    oracle=(
+        "SELECT vec_id, "
+        "CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_positive, "
+        "ROUND(list_sum(list_transform(CAST(embedding AS DOUBLE[]), "
+        "x -> abs(x))), 6) AS l1_norm, "
+        "ROUND(list_max(CAST(embedding AS DOUBLE[])), 6) AS max_component "
+        "FROM embeddings ORDER BY vec_id"))
+def q_embedding_component_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions (filter/transform/aggregate) over the
+    vector column — all JVM lambda expressions, no UDF."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.expr("CAST(size(filter(embedding, x -> x > 0)) AS INT)")
+        .alias("n_positive"),
+        F.round(F.expr(
+            "aggregate(embedding, CAST(0 AS DOUBLE), "
+            "(acc, x) -> acc + abs(CAST(x AS DOUBLE)))"), 6).alias("l1_norm"),
+        F.round(F.expr("CAST(array_max(embedding) AS DOUBLE)"), 6)
+        .alias("max_component"),
+    ).orderBy("vec_id")
+
+
 _NEAR_VEC_SQL = (
     # duplicate-injected vector corpus: every 13th vector re-appended under
     # a shifted id → guaranteed cosine≈1.0 pairs for the near-dup detector

@@ -526,6 +526,22 @@ def q_salted_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "small_spenders_except",
+    oracle=(
+        "SELECT o_custkey AS custkey FROM orders "
+        "EXCEPT SELECT o_custkey FROM orders WHERE o_totalprice > 200000 "
+        "ORDER BY custkey"))
+def q_small_spenders_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT set op (→ left-anti over distinct in Catalyst): customers who
+    ordered but never above 200k."""
+    o = load_table(spark, sf_dir, "orders")
+    all_c = o.select(F.col("o_custkey").alias("custkey"))
+    big_c = o.filter(F.col("o_totalprice") > 200000).select(
+        F.col("o_custkey").alias("custkey"))
+    return all_c.subtract(big_c).orderBy("custkey")
+
+
+@register(
     "orders_status_rollup",
     oracle=(
         "SELECT o_orderstatus, o_orderpriority, "
