@@ -276,6 +276,72 @@ def simhash_near_dup(corpus: DataFrame,
     )
 
 
+def connected_components(nodes: DataFrame, edges: DataFrame,
+                         max_iter: int = 20) -> DataFrame:
+    """Min-label propagation over an undirected edge list → (doc_id,
+    cluster_id) where cluster_id = smallest doc_id in the component.
+
+    The dedup endgame: near-dup PAIRS become KEEP-LISTS (canonical doc per
+    cluster). Driver-controlled loop of joins, converging in
+    graph-diameter iterations; per-iteration localCheckpoint truncates
+    lineage (without it the plan doubles every round). At 100 TB use the
+    same loop with checkpointing to storage, or the large-star/small-star
+    variant — the join pattern is identical.
+
+    nodes: (doc_id), edges: (doc_a, doc_b).
+    """
+    sym = edges.select(F.col("doc_a").alias("src"),
+                       F.col("doc_b").alias("dst")).unionAll(
+        edges.select(F.col("doc_b").alias("src"),
+                     F.col("doc_a").alias("dst")))
+    sym = sym.localCheckpoint()
+    labels = nodes.select("doc_id", F.col("doc_id").alias("cluster_id")) \
+        .localCheckpoint()
+    for _ in range(max_iter):
+        neigh = (
+            sym.join(labels, sym.dst == labels.doc_id)
+            .groupBy("src").agg(F.min("cluster_id").alias("n_min"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.doc_id == neigh.src, "left")
+            .select(labels.doc_id,
+                    F.least(labels.cluster_id,
+                            F.coalesce(F.col("n_min"), labels.cluster_id))
+                    .alias("cluster_id"))
+            .localCheckpoint()
+        )
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "doc_id")
+                   .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+                   .count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def connected_components_sql(corpus_cte: str, edges_sql: str) -> str:
+    """DuckDB twin: transitive closure via recursive CTE, label = min
+    reachable doc_id (exact for the small oracle-side graphs)."""
+    return (
+        "WITH RECURSIVE "
+        f"e AS ({edges_sql}), "
+        "sym AS (SELECT doc_a AS src, doc_b AS dst FROM e "
+        "UNION ALL SELECT doc_b, doc_a FROM e), "
+        "reach(src, dst) AS ("
+        " SELECT src, dst FROM sym "
+        " UNION "
+        " SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src), "
+        f"nodes AS (SELECT DISTINCT doc_id FROM {corpus_cte}), "
+        "labels AS (SELECT n.doc_id, "
+        " LEAST(n.doc_id, COALESCE(MIN(r.dst), n.doc_id)) AS cluster_id "
+        " FROM nodes n LEFT JOIN reach r ON r.src = n.doc_id "
+        " GROUP BY n.doc_id) "
+        "SELECT doc_id, cluster_id, doc_id = cluster_id AS is_canonical "
+        "FROM labels ORDER BY doc_id"
+    )
+
+
 def simhash_near_dup_sql(corpus_cte: str,
                          max_hamming: int = SIMHASH_MAX_HAMMING) -> str:
     return (

@@ -178,6 +178,28 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash_near_dup(near_corpus(spark, sf_dir))
 
 
+_NC_SUB = f"({_NEAR_CORPUS_SQL})"
+
+
+@register("dedup_clusters",
+          oracle=DD.connected_components_sql(
+              _NC_SUB,
+              f"SELECT doc_a, doc_b FROM "
+              f"({DD.jaccard_pairs_sql(_NC_SUB)}) jp"))
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup endgame: Jaccard near-dup pairs → connected components →
+    (doc_id, cluster_id, is_canonical) keep-list. Min-label propagation in
+    Spark; transitive-closure recursive CTE as the DuckDB oracle."""
+    corpus = near_corpus(spark, sf_dir)
+    pairs = DD.jaccard_pairs(corpus).select("doc_a", "doc_b")
+    nodes = corpus.select("doc_id").distinct()
+    labels = DD.connected_components(nodes, pairs)
+    return labels.select(
+        "doc_id", "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical")
+    ).orderBy("doc_id")
+
+
 @register("multimodal_decode_features")  # rows-only: Arrow mapInPandas
 # stage (byte-level feature extraction) — not SQL-expressible; determinism
 # and partition-independence pinned in tests/test_multimodal.py
