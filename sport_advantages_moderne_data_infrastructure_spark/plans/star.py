@@ -280,6 +280,29 @@ def q_above_segment_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_props_map",
+    oracle=(
+        # json_keys ≡ map_keys(from_json(...)); surface arrays, not MAP
+        # values (MAP column representations don't hash across engines)
+        "SELECT event_id, array_to_string(list_sort(json_keys(props)), ',') "
+        "AS prop_keys, CAST(json_array_length(json_keys(props)) AS INT) "
+        "AS n_keys FROM events ORDER BY event_id LIMIT 100"))
+def q_events_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: JSON payload → map<string,int> → key inventory
+    (map columns themselves stay engine-internal; the hashable surface is
+    the sorted key list)."""
+    e = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    return (
+        e.select("event_id",
+                 F.concat_ws(",", F.sort_array(F.map_keys(m)))
+                 .alias("prop_keys"),
+                 F.size(F.map_keys(m)).cast("int").alias("n_keys"))
+        .orderBy("event_id").limit(100)
+    )
+
+
+@register(
     "events_props_extract",
     oracle=(
         "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
