@@ -276,6 +276,27 @@ def simhash_near_dup(corpus: DataFrame,
     )
 
 
+def jaccard_for_pairs(corpus: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact Jaccard for a GIVEN candidate pair list (doc_a, doc_b) — the
+    verify stage after LSH: per-pair set intersection via two hash-joins
+    against the shingle index; all-pairs never materializes."""
+    sh = shingle_hashes(corpus).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("h").alias("ha"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("h").alias("hb"))
+    inter = (
+        pairs.join(a, "doc_a").join(b, "doc_b")
+        .filter(F.col("ha") == F.col("hb"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))
+    return (inter.join(na, "doc_a").join(nb, "doc_b")
+            .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard")))
+
+
 def connected_components(nodes: DataFrame, edges: DataFrame,
                          max_iter: int = 20) -> DataFrame:
     """Min-label propagation over an undirected edge list → (doc_id,

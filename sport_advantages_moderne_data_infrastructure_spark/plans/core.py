@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators import relational as R
+from ..operators.merge import merge_upsert_sql
 from ..operators import quality as Q
 from ..operators.cdc import oracle_parse_cdc_sql, parse_cdc
 from ..sources import domain as D
@@ -136,6 +137,38 @@ def q_notifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P6/F9 — comment-bearing events → Slack message fields
     (slack_notification.py:119-124)."""
     return R.notifier_events(parse_cdc(D.cdc_events(spark, sf_dir)))
+
+
+_EMP_PROJ_SQL = ("SELECT id_employee, gross_salary, business_unity, "
+                 "constract_type FROM employees")
+_EMP_RAISE_SQL = (
+    "SELECT id_employee, CAST(gross_salary + 1000 AS INT) AS gross_salary, "
+    "business_unity, 'CDI' AS constract_type FROM employees "
+    "WHERE id_employee % 10 = 0")
+
+
+@register("merge_upsert_employees",
+          oracle=W(merge_upsert_sql(
+              _EMP_PROJ_SQL, _EMP_RAISE_SQL, "id_employee",
+              ["id_employee", "gross_salary", "business_unity",
+               "constract_type"])),
+          tags=("K2",))
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert semantics (operators/merge.py) — the incremental
+    replacement for the reference's full-overwrite rewrite: a raises batch
+    (every 10th employee, +1000, forced CDI) merged into the employee
+    projection; updates win, everyone else unchanged."""
+    from pyspark.sql import functions as F
+
+    from ..operators.merge import merge_upsert
+    emp = R.employee_projection(D.employees(spark, sf_dir))
+    updates = (emp.filter(F.col("id_employee") % 10 == 0)
+               .select("id_employee",
+                       (F.col("gross_salary") + 1000).cast("int")
+                       .alias("gross_salary"),
+                       "business_unity",
+                       F.lit("CDI").alias("constract_type")))
+    return merge_upsert(emp, updates, "id_employee")
 
 
 @register("pii_scrub",

@@ -181,6 +181,30 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NC_SUB = f"({_NEAR_CORPUS_SQL})"
 
 
+@register(
+    "dedup_lsh_verified",
+    oracle=(
+        # LSH candidates ∩ exact-Jaccard verify — both stages composed in
+        # SQL exactly as the Spark side composes the DataFrames
+        f"WITH cand AS ({DD.lsh_candidate_pairs_sql(_NC_SUB)}), "
+        f"jac AS ({DD.jaccard_pairs_sql(_NC_SUB)}) "
+        "SELECT c.doc_a, c.doc_b, j.jaccard FROM cand c "
+        "JOIN jac j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b "
+        "ORDER BY c.doc_a, c.doc_b"),
+    bench=True)
+def q_dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production dedup pipeline end-to-end: MinHash-LSH candidate
+    generation (scales: equi-join on band buckets) followed by exact
+    Jaccard verification on candidates only — all-pairs never
+    materializes, yet every surviving pair carries its true similarity."""
+    corpus = near_corpus(spark, sf_dir)
+    cand = DD.lsh_candidate_pairs(corpus)
+    verified = DD.jaccard_for_pairs(corpus, cand)
+    return (verified.filter(F.col("jaccard") >= 0.5)
+            .select("doc_a", "doc_b", "jaccard")
+            .orderBy("doc_a", "doc_b"))
+
+
 @register("dedup_clusters",
           oracle=DD.connected_components_sql(
               _NC_SUB,
