@@ -111,6 +111,25 @@ def test_dedup_within_watermark_stream(spark, sf_dir, tmp_path_factory):
     assert got.select("event_id").distinct().count() == 500
 
 
+def test_rate_fallback_source_flows(spark):
+    """S2 (SaveDelta.scala:123-127): the synthetic rate source must produce
+    rows when Kafka is unavailable."""
+    import time
+
+    stream = P.stream_rate_fallback(spark, rows_per_second=50)
+    q = (stream.writeStream.format("memory").queryName("rate_mem")
+         .outputMode("append").start())
+    try:
+        for _ in range(40):
+            if spark.table("rate_mem").count() > 0:
+                break
+            time.sleep(0.5)
+        assert spark.table("rate_mem").count() > 0
+        assert set(spark.table("rate_mem").columns) == {"timestamp", "value"}
+    finally:
+        q.stop()
+
+
 def test_stream_stream_funnel_equals_batch(spark, sf_dir, tmp_path_factory):
     """Stream-stream interval join (watermarked both sides) must produce
     exactly the batch range join's pairs."""
