@@ -36,6 +36,10 @@ def main() -> None:
         n = df.count()
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        # operators cache() intermediates (shingle index, LSH bands, IVF
+        # assignments) whose lifetime the caller owns — drop them so
+        # storage memory doesn't accumulate across the headline set
+        spark.catalog.clearCache()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:

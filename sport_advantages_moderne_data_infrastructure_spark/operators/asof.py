@@ -30,9 +30,16 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
 
     Determinism: ties on right_ts broken by the first right_col (callers
     pass an id column first).
+
+    The synthetic left-row id is materialized (localCheckpoint) before the
+    plan forks into the candidate-join branch and the final join-back
+    branch: monotonically_increasing_id is partition-order-dependent, so
+    evaluating it independently in two branches (or on task retry) could
+    disagree and silently drop rows (ADVICE.md r1). At 100 TB prefer a
+    stable natural key for the join-back and skip the materialization.
     """
     lid = "__asof_lid"
-    l_ = left.withColumn(lid, F.monotonically_increasing_id())
+    l_ = left.withColumn(lid, F.monotonically_increasing_id()).localCheckpoint()
     cand = l_.join(
         right.select(F.col(on).alias("__r_key"),
                      F.col(right_ts).alias("__r_ts"),

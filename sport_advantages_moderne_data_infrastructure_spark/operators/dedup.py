@@ -7,15 +7,19 @@ same BIGINT).
 
 Scale shapes (the reason each variant exists):
 - exact:     groupBy(md5(text)) — one shuffle of (hash, id), never bodies.
-- jaccard:   exact pairwise on shingle inverted index — quadratic in docs
-             sharing a shingle; correct but only for candidate RERANK at
-             100 TB.
-- minhash+LSH: the scale path — k=16 signatures, 4 bands × 4 rows; the only
-             shuffle joins band-buckets (equi-join), candidate set is
-             |pairs sharing a band|, not |all pairs|.
-- simhash:   constant-size fingerprint per doc; near-dup = hamming ≤ r on a
-             16-bit fingerprint; self-join on fingerprint prefix buckets at
-             scale (here: direct join, the corpus is small).
+- jaccard:   pairwise on the shingle inverted index — quadratic in
+             docs-per-shingle, bounded by the JACCARD_DF_CAP stop-shingle
+             document-frequency cap (shingles appearing in more docs are
+             dropped from the index AND the set sizes, identically in both
+             engines); primarily the candidate RERANK stage at 100 TB.
+- minhash+LSH: the scale path — N_MINHASH signatures in LSH_BANDS bands;
+             the only shuffle joins band-buckets (equi-join), candidate set
+             is |pairs sharing a band|, not |all pairs|.
+- simhash:   constant-size SIMHASH_BITS-wide fingerprint per doc; near-dup
+             = hamming ≤ SIMHASH_MAX_HAMMING; pair generation is a
+             pigeonhole band equi-join (never all-pairs): split the
+             fingerprint into SIMHASH_MAX_HAMMING+1 bands — any pair within
+             the hamming budget matches exactly on ≥1 band.
 """
 
 from __future__ import annotations
@@ -32,36 +36,14 @@ from ..functions.dialect import DUCKDB, SPARK, Dialect
 # near-dups still share >90% of their shingles.
 SHINGLE_LEN = 20
 N_MINHASH = 16
-LSH_BANDS = 4  # × 4 rows per band
+LSH_BANDS = 4  # × N_MINHASH/LSH_BANDS rows per band
 SIMHASH_BITS = 32
 SIMHASH_MAX_HAMMING = 2
-
-
-# --- shingling ------------------------------------------------------------
-
-def shingles(corpus: DataFrame) -> DataFrame:
-    """(doc_id, sh): distinct character 8-grams, stride 1 (positions
-    explode JVM-side; no UDF)."""
-    n_pos = F.greatest(F.length("text") - (SHINGLE_LEN - 1), F.lit(1))
-    return (
-        corpus.select(
-            "doc_id",
-            F.explode(F.sequence(F.lit(1), n_pos)).alias("i"),
-            "text")
-        .select("doc_id",
-                F.expr(f"substr(text, i, {SHINGLE_LEN})").alias("sh"))
-        .distinct()
-    )
-
-
-def shingles_sql(corpus_cte: str) -> str:
-    """DuckDB twin of :func:`shingles` over a corpus CTE name."""
-    return (
-        f"SELECT DISTINCT doc_id, substr(text, i, {SHINGLE_LEN}) AS sh "
-        f"FROM (SELECT doc_id, text, unnest(range(1, "
-        f"greatest(length(text) - {SHINGLE_LEN - 1}, 1) + 1)) AS i "
-        f"FROM {corpus_cte}) t"
-    )
+# stop-shingle trick: a shingle shared by d docs contributes O(d²) join
+# pairs; ultra-common shingles dominate runtime while adding ~no signal on
+# near-dup corpora. Dropped from the index AND the per-doc set sizes, so
+# jaccard stays |A∩B|/|A∪B| over the capped shingle space in both engines.
+JACCARD_DF_CAP = 8
 
 
 # --- hashed shingles ------------------------------------------------------
@@ -77,31 +59,83 @@ _MH_B = [(40503 * (j + 7) ** 2) % _MH_P for j in range(N_MINHASH)]
 
 
 def shingle_hashes(corpus: DataFrame) -> DataFrame:
-    return (shingles(corpus)
-            .select("doc_id", F.expr(SPARK.md5_bigint("sh")).alias("h"))
-            .distinct())
+    """ONE distinct, at the hash level: hashing positions directly and
+    deduping (doc_id, h) saves the string-level distinct's second full
+    shuffle of the index (md5 collisions are identical cross-engine, so
+    hash-level dedup is equivalent under the differential gate)."""
+    n_pos = F.greatest(F.length("text") - (SHINGLE_LEN - 1), F.lit(1))
+    sh_expr = f"substr(text, i, {SHINGLE_LEN})"
+    return (
+        corpus.select("doc_id",
+                      F.explode(F.sequence(F.lit(1), n_pos)).alias("i"),
+                      "text")
+        .select("doc_id", F.expr(SPARK.md5_bigint(sh_expr)).alias("h"))
+        .distinct()
+    )
 
 
 def shingle_hashes_sql(corpus_cte: str) -> str:
-    return (f"SELECT DISTINCT doc_id, {DUCKDB.md5_bigint('sh')} AS h "
-            f"FROM ({shingles_sql(corpus_cte)}) s")
+    sh_expr = f"substr(text, i, {SHINGLE_LEN})"
+    return (
+        f"SELECT DISTINCT doc_id, {DUCKDB.md5_bigint(sh_expr)} AS h "
+        f"FROM (SELECT doc_id, text, unnest(range(1, "
+        f"greatest(length(text) - {SHINGLE_LEN - 1}, 1) + 1)) AS i "
+        f"FROM {corpus_cte}) t"
+    )
 
 
 # --- n-gram Jaccard -------------------------------------------------------
 
-def jaccard_pairs(corpus: DataFrame, threshold: float = 0.5) -> DataFrame:
-    """All-pairs Jaccard over the hashed-shingle inverted index: candidate
+def capped_shingle_hashes(corpus: DataFrame,
+                          hashes: DataFrame | None = None) -> DataFrame:
+    """Shingle index restricted to shingles with document frequency ≤
+    JACCARD_DF_CAP — bounds the inverted-index self-join at O(cap²) pairs
+    per shingle instead of quadratic in the corpus (VERDICT.md r1 #3).
+
+    The stop-set (df > cap) is by construction tiny — broadcast it and
+    drop via LEFT ANTI, so the cap costs one aggregation, never a
+    full index⋈index shuffle join. ``hashes``: a precomputed (ideally
+    cached) shingle_hashes(corpus) to share across pipeline stages.
+    """
+    sh = shingle_hashes(corpus) if hashes is None else hashes
+    frequent = (sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+                .filter(F.col("df") > JACCARD_DF_CAP)
+                .select("h"))
+    return sh.join(F.broadcast(frequent), "h", "left_anti")
+
+
+def capped_shingle_hashes_sql(corpus_cte: str) -> str:
+    return (
+        f"SELECT sh.doc_id, sh.h FROM ({shingle_hashes_sql(corpus_cte)}) sh "
+        f"ANTI JOIN (SELECT h FROM ({shingle_hashes_sql(corpus_cte)}) s2 "
+        f"GROUP BY h HAVING COUNT(*) > {JACCARD_DF_CAP}) freq "
+        f"ON sh.h = freq.h"
+    )
+
+
+def jaccard_pairs(corpus: DataFrame, threshold: float = 0.5,
+                  hashes: DataFrame | None = None) -> DataFrame:
+    """Jaccard over the capped hashed-shingle inverted index: candidate
     pairs come from the equi-join on shingle hash (docs sharing none never
-    meet)."""
-    sh = shingle_hashes(corpus).cache()
+    meet); the DF cap bounds docs-per-shingle."""
+    base = (shingle_hashes(corpus).cache() if hashes is None else hashes)
+    sh = capped_shingle_hashes(corpus, hashes=base)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    # bounded pair generation off the posting lists: with df ≤ cap, each
+    # shingle's sorted id list yields ≤ C(cap,2) pairs via an array
+    # transform — the index shuffles ONCE (groupBy h) instead of twice
+    # (self-join), and the a<b order falls out of array_sort
+    pair_expr = (
+        "explode(flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), "
+        "y -> struct(x AS doc_a, y AS doc_b)))))"
+    )
     inter = (
-        a.join(b, (F.col("a.h") == F.col("b.h"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"),
-                 F.col("b.doc_id").alias("doc_b"))
+        sh.groupBy("h")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .select(F.expr(pair_expr).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("c"))
     )
     na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
@@ -117,7 +151,7 @@ def jaccard_pairs(corpus: DataFrame, threshold: float = 0.5) -> DataFrame:
 
 def jaccard_pairs_sql(corpus_cte: str, threshold: float = 0.5) -> str:
     return (
-        f"WITH sh AS ({shingle_hashes_sql(corpus_cte)}), "
+        f"WITH sh AS ({capped_shingle_hashes_sql(corpus_cte)}), "
         "sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id), "
         "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
         "COUNT(*) AS c FROM sh a JOIN sh b ON a.h = b.h "
@@ -140,9 +174,11 @@ def _perm_expr(j: int) -> str:
     return f"MIN(({_MH_A[j]} * h + {_MH_B[j]}) % {_MH_P})"
 
 
-def minhash_signatures(corpus: DataFrame) -> DataFrame:
-    """k=16 minhash values per doc (signature ≈ Jaccard sketch)."""
-    sh = shingle_hashes(corpus)
+def minhash_signatures(corpus: DataFrame,
+                       hashes: DataFrame | None = None) -> DataFrame:
+    """k=N_MINHASH minhash values per doc (signature ≈ Jaccard sketch).
+    ``hashes``: precomputed shingle_hashes to share across stages."""
+    sh = shingle_hashes(corpus) if hashes is None else hashes
     return sh.groupBy("doc_id").agg(*[
         F.expr(_perm_expr(j)).alias(f"sig_{j}") for j in range(N_MINHASH)
     ])
@@ -163,11 +199,12 @@ def _band_key_cols(prefix: str = "sig_"):
     ]
 
 
-def lsh_candidate_pairs(corpus: DataFrame) -> DataFrame:
+def lsh_candidate_pairs(corpus: DataFrame,
+                        hashes: DataFrame | None = None) -> DataFrame:
     """LSH banding: docs agreeing on ALL rows of ≥1 band become candidates.
     The join is equi on (band, key) — the scalable skeleton; at 100 TB the
     band table is the only shuffled artifact (doc_id + 16 longs)."""
-    sigs = minhash_signatures(corpus)
+    sigs = minhash_signatures(corpus, hashes=hashes)
     # one pass: explode each signature row into its 4 (band, key) rows
     # (a 4-way union would recompute the shingle+minhash pipeline per
     # branch and again per self-join side — 8× the work), then cache the
@@ -216,7 +253,7 @@ def lsh_candidate_pairs_sql(corpus_cte: str) -> str:
 # --- SimHash --------------------------------------------------------------
 
 def simhash(corpus: DataFrame) -> DataFrame:
-    """32-bit frequency-weighted SimHash: per-token md5 hash computed ONCE,
+    """SIMHASH_BITS-wide frequency-weighted SimHash: per-token md5 hash computed ONCE,
     token weight = occurrence count (distinct-token simhash collapses when
     all docs share a vocabulary — weighting by frequency is what separates
     same-vocab documents)."""
@@ -260,33 +297,84 @@ def simhash_sql(corpus_cte: str) -> str:
     )
 
 
+def _simhash_bands(max_hamming: int) -> list[tuple[int, int]]:
+    """(shift, width) per pigeonhole band: max_hamming+1 disjoint bit
+    ranges covering SIMHASH_BITS — a pair within the hamming budget cannot
+    differ in every band, so it matches exactly on ≥1 band."""
+    n_bands = max_hamming + 1
+    base, extra = divmod(SIMHASH_BITS, n_bands)
+    bounds, start = [], 0
+    for i in range(n_bands):
+        w = base + (1 if i < extra else 0)
+        bounds.append((start, w))
+        start += w
+    return bounds
+
+
 def simhash_near_dup(corpus: DataFrame,
                      max_hamming: int = SIMHASH_MAX_HAMMING) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance."""
+    """Near-dup pairs by SimHash hamming distance, via pigeonhole banding:
+    equi-join on (band, band_bits) generates exactly the candidate set that
+    can be within budget, then the bit_count filter is exact — same result
+    as the all-pairs theta join, but a hash join instead of a
+    BroadcastNestedLoop over N²/2 pairs (VERDICT.md r1 #2; plan shape
+    pinned in tests/test_plan_quality.py)."""
     s = simhash(corpus)
-    a, b = s.alias("a"), s.alias("b")
+    band_structs = F.array(*[
+        F.struct(F.lit(i).alias("band"),
+                 F.expr(f"(simhash >> {shift}) & {(1 << width) - 1}")
+                 .alias("key"))
+        for i, (shift, width) in enumerate(_simhash_bands(max_hamming))
+    ])
+    bands = (
+        s.select("doc_id", "simhash", F.explode(band_structs).alias("bk"))
+        .select("doc_id", "simhash", F.col("bk.band").alias("band"),
+                F.col("bk.key").alias("key"))
+    )
+    a, b = bands.alias("a"), bands.alias("b")
     ham = F.expr("bit_count(a.simhash ^ b.simhash)")
     return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.key") == F.col("b.key"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
         .filter(ham <= max_hamming)
         .select(F.col("a.doc_id").alias("doc_a"),
                 F.col("b.doc_id").alias("doc_b"),
                 ham.cast("int").alias("hamming"))
+        .distinct()  # a pair may agree on several bands
         .orderBy("doc_a", "doc_b")
     )
 
 
-def jaccard_for_pairs(corpus: DataFrame, pairs: DataFrame) -> DataFrame:
+def jaccard_for_pairs(corpus: DataFrame, pairs: DataFrame,
+                      hashes: DataFrame | None = None) -> DataFrame:
     """Exact Jaccard for a GIVEN candidate pair list (doc_a, doc_b) — the
-    verify stage after LSH: per-pair set intersection via two hash-joins
-    against the shingle index; all-pairs never materializes."""
-    sh = shingle_hashes(corpus).cache()
+    verify stage after LSH: per-pair set intersection via hash-joins
+    against the (capped) shingle index; all-pairs never materializes.
+    Same capped index as jaccard_pairs so both report identical values.
+
+    Two shapes that keep this candidate-driven, not corpus-driven:
+    - the index is broadcast-semi-restricted to docs that appear in a pair
+      BEFORE any join (candidates ≪ corpus — the full index never
+      shuffles for the verify stage);
+    - the b-side joins on BOTH (doc_b, h), so only true intersections
+      materialize (joining on doc_b alone would cross every a-shingle with
+      every b-shingle of the pair — |A|×|B| rows per pair pre-filter).
+    """
+    base = (shingle_hashes(corpus).cache() if hashes is None else hashes)
+    # the pair list feeds TWO consumers (the doc-restriction broadcast and
+    # the intersection join); it is tiny but its producer (LSH) is not —
+    # materialize once so the candidate pipeline doesn't run per consumer
+    pairs = pairs.localCheckpoint()
+    cand_docs = (pairs.select(F.explode(F.array("doc_a", "doc_b"))
+                              .alias("doc_id")).distinct())
+    sh = (capped_shingle_hashes(corpus, hashes=base)
+          .join(F.broadcast(cand_docs), "doc_id"))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("h").alias("ha"))
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("h").alias("hb"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("h").alias("h"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("h").alias("h"))
     inter = (
-        pairs.join(a, "doc_a").join(b, "doc_b")
-        .filter(F.col("ha") == F.col("hb"))
+        pairs.join(a, "doc_a").join(b, ["doc_b", "h"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("c"))
     )

@@ -19,23 +19,35 @@ from pyspark.sql import functions as F
 
 
 def merge_upsert(target: DataFrame, updates: DataFrame, key: str) -> DataFrame:
-    """Full-outer coalesce merge: updates win on conflict, both sides'
-    unmatched rows survive. Column set = target's (updates must share it).
-    """
+    """Full-outer merge with ROW-wise precedence: when the key matches, the
+    update row's values are taken wholesale — including columns the update
+    legitimately sets to NULL (a per-column coalesce would silently keep the
+    stale target value; ADVICE.md r1). Matching is detected via an
+    update-side marker, not value nullness. Column set = target's (updates
+    must share it)."""
+    marker = "__from_update"
     cols = target.columns
     t = target.select(*cols).alias("t")
-    u = updates.select(*cols).alias("u")
-    joined = t.join(F.broadcast(u), F.col(f"t.{key}") == F.col(f"u.{key}"),
-                    "full_outer")
+    u = updates.select(*cols).withColumn(marker, F.lit(True)).alias("u")
+    # full-outer cannot broadcast-build (Spark ignores the hint) — the join
+    # shuffles on the key; at 100 TB pair this with partition-overwrite of
+    # only the partitions containing matched keys (module docstring)
+    joined = t.join(u, F.col(f"t.{key}") == F.col(f"u.{key}"), "full_outer")
+    matched = F.col(f"u.{marker}").isNotNull()
     return joined.select(*[
-        F.coalesce(F.col(f"u.{c}"), F.col(f"t.{c}")).alias(c) for c in cols
+        F.when(matched, F.col(f"u.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+        for c in cols
     ])
 
 
 def merge_upsert_sql(target_sql: str, updates_sql: str, key: str,
                      cols: list[str]) -> str:
-    sel = ", ".join(f"COALESCE(u.{c}, t.{c}) AS {c}" for c in cols)
+    """DuckDB twin — same marker-based row-wise CASE as merge_upsert."""
+    sel = ", ".join(
+        f"CASE WHEN u.__from_update THEN u.{c} ELSE t.{c} END AS {c}"
+        for c in cols)
     return (
-        f"WITH t AS ({target_sql}), u AS ({updates_sql}) "
+        f"WITH t AS ({target_sql}), "
+        f"u AS (SELECT *, TRUE AS __from_update FROM ({updates_sql}) u0) "
         f"SELECT {sel} FROM t FULL OUTER JOIN u ON t.{key} = u.{key}"
     )

@@ -91,6 +91,132 @@ def fake_decode_features(media: DataFrame) -> DataFrame:
         _extract, schema=_FEATURES_SCHEMA)
 
 
+# --- REAL decode path: BMP (uncompressed, stdlib+numpy decodable) ---------
+# The container has no codec libs (no PIL/opencv), but BMP needs none:
+# synth_bmp packs REAL 24-bit BI_RGB files (14-byte file header + 40-byte
+# BITMAPINFOHEADER + bottom-up rows with 4-byte padding) and
+# decode_bmp_features PARSES them back — header offsets, signed dims, bpp,
+# row stride — through the same Arrow mapInPandas plumbing a PIL/ffmpeg
+# stage would use. Pixel values are a pure function of doc_id, so a SQL
+# oracle (BMP_DECODE_SQL) can recompute every decoded stat independently:
+# the closed loop catches either a mis-packed writer or a mis-parsed
+# reader (e.g. dropped row padding shifts the mean).
+
+BMP_HEADER_LEN = 54  # 14 file + 40 DIB
+_PX_MOD = 251  # prime; avoids mod-256/stride alignment artifacts
+
+
+def _bmp_dims_cols():
+    w = (4 + F.col("doc_id") % 4).cast("int")
+    h = (2 + F.col("doc_id") % 3).cast("int")
+    return w, h
+
+
+def synth_bmp(documents: DataFrame) -> DataFrame:
+    """(doc_id, blob): real 24-bit BMP bytes, w=4+doc_id%4, h=2+doc_id%3,
+    pixel byte i (top-down row-major, pre-padding) = (doc_id*7 + i) % 251."""
+    import struct
+
+    import numpy as np
+    import pandas as pd
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("blob", T.BinaryType()),
+    ])
+
+    def _pack_one(doc_id: int) -> bytes:
+        w, h = 4 + doc_id % 4, 2 + doc_id % 3
+        row = 3 * w
+        stride = (row + 3) // 4 * 4
+        px = ((doc_id * 7 + np.arange(3 * w * h)) % _PX_MOD).astype(np.uint8)
+        rows = px.reshape(h, row)
+        pad = bytes(stride - row)
+        data = b"".join(rows[r].tobytes() + pad for r in range(h - 1, -1, -1))
+        file_header = struct.pack("<2sIHHI", b"BM",
+                                  BMP_HEADER_LEN + len(data), 0, 0,
+                                  BMP_HEADER_LEN)
+        dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data),
+                          2835, 2835, 0, 0)
+        return file_header + dib + data
+
+    def _pack(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "blob": pdf["doc_id"].map(lambda d: _pack_one(int(d))),
+            })
+
+    return documents.select("doc_id").mapInPandas(_pack, schema=schema)
+
+
+_BMP_FEATURES_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("n_pixel_bytes", T.IntegerType()),
+    T.StructField("pixel_sum", T.LongType()),
+    T.StructField("mean_pixel", T.DoubleType()),
+])
+
+
+def decode_bmp_features(media: DataFrame) -> DataFrame:
+    """Parse the BMP headers + pixel rows (numpy) per blob: width/height
+    come from the DIB header, the row stride's 4-byte padding is stripped
+    before the stats — a real decode, not an echo of generator metadata."""
+    import numpy as np
+    import pandas as pd
+
+    def _decode_one(b: bytes):
+        if bytes(b[:2]) != b"BM":
+            raise ValueError("not a BMP stream")
+        off = int.from_bytes(b[10:14], "little")
+        w = int.from_bytes(b[18:22], "little", signed=True)
+        h = int.from_bytes(b[22:26], "little", signed=True)
+        bpp = int.from_bytes(b[28:30], "little")
+        row = (bpp // 8) * w
+        stride = (row + 3) // 4 * 4
+        px = (np.frombuffer(b, dtype=np.uint8, offset=off)
+              .reshape(h, stride)[:, :row])
+        n = row * h
+        return w, h, n, int(px.sum(dtype=np.int64))
+
+    def _extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            decoded = pdf["blob"].map(_decode_one)
+            n = decoded.map(lambda t: t[2])
+            s = decoded.map(lambda t: t[3])
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "width": decoded.map(lambda t: t[0]).astype("int32"),
+                "height": decoded.map(lambda t: t[1]).astype("int32"),
+                "n_pixel_bytes": n.astype("int32"),
+                "pixel_sum": s.astype("int64"),
+                "mean_pixel": (s / n).round(4),
+            })
+
+    return media.select("doc_id", "blob").mapInPandas(
+        _extract, schema=_BMP_FEATURES_SCHEMA)
+
+
+BMP_DECODE_SQL = (
+    # independent recomputation of every decoded stat from the generator
+    # spec (never touches the bytes): w=4+id%4, h=2+id%3,
+    # pixel_i = (id*7+i) % 251 over i in [0, 3wh)
+    "WITH dims AS (SELECT doc_id, CAST(4 + doc_id % 4 AS INT) AS width, "
+    "CAST(2 + doc_id % 3 AS INT) AS height FROM documents), "
+    "px AS (SELECT doc_id, width, height, "
+    "unnest(range(0, 3 * width * height)) AS i FROM dims), "
+    f"agg AS (SELECT doc_id, width, height, "
+    f"SUM((doc_id * 7 + i) % {_PX_MOD}) AS pixel_sum, COUNT(*) AS n "
+    "FROM px GROUP BY doc_id, width, height) "
+    "SELECT doc_id, width, height, CAST(n AS INT) AS n_pixel_bytes, "
+    "CAST(pixel_sum AS BIGINT) AS pixel_sum, "
+    "ROUND(CAST(pixel_sum AS DOUBLE) / n, 4) AS mean_pixel "
+    "FROM agg ORDER BY doc_id"
+)
+
+
 def decode_image(media: DataFrame) -> DataFrame:  # pragma: no cover - stub
     """REAL image decode — STUB. The container ships no codec libraries
     (no PIL/opencv); on a production cluster, swap the body for a

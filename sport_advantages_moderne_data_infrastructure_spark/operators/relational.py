@@ -175,6 +175,16 @@ MASKED_EMPLOYEES_SQL = (
     "transport_mode, paid_leaved_days FROM employees"
 )
 
+# the privileged-role branch of the CASE (init-db.sql:74-89 masks only for
+# sportadvantagebiuser; any other role sees the raw columns)
+UNMASKED_EMPLOYEES_SQL = (
+    "SELECT id_employee, first_name, last_name, "
+    "CAST(birthday AS STRING) AS birthday, business_unity, "
+    "CAST(hire_date AS STRING) AS hire_date, "
+    "gross_salary, constract_type, address, "
+    "transport_mode, paid_leaved_days FROM employees"
+)
+
 
 def notifier_events(parsed: DataFrame) -> DataFrame:
     """P6/F9 (slack_notification.py:119-124, payload :63-72): comment-bearing

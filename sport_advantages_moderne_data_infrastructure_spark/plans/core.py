@@ -25,7 +25,8 @@ def q_activity_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.activity_agg(D.sport_activities(spark, sf_dir))
 
 
-@register("top_sports", oracle=W(R.TOP_SPORTS_SQL), tags=("A2", "O1", "O2"))
+@register("top_sports", oracle=W(R.TOP_SPORTS_SQL), tags=("A2", "O1", "O2"),
+          driver=False)  # top-k shape driver-checked via top_orders_by_revenue
 def q_top_sports(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2/O1/O2 — top-5 sports by activity count (SaveDelta.scala:236-242)."""
     return R.top_sports(D.sport_activities(spark, sf_dir))
@@ -37,7 +38,8 @@ def q_top_sports(spark: SparkSession, sf_dir: str) -> DataFrame:
               "e.constract_type, v.id_validate, v.is_valid "
               "FROM employees e JOIN commute_validations v "
               "ON e.id_employee = v.id_employee"),
-          tags=("J1", "P3"))
+          tags=("J1", "P3"),
+          driver=False)  # J1/P3 driver-checked via final_table (superset plan)
 def q_inner_join_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1/P3 — employees ⋈ commute_validations (read_delta.py:261,280)."""
     emp = R.employee_projection(D.employees(spark, sf_dir))
@@ -91,7 +93,9 @@ _PRIME_SQL_SURFACE = (
           # merge the `final` CTE with the flagship text's own WITH-clause
           oracle=W(f"WITH final AS ({R.FINAL_TABLE_SQL}), "
                    + _PRIME_SQL_SURFACE[len("WITH "):]),
-          tags=("J3", "F4", "F5", "F6", "F7", "S8"))
+          tags=("J3", "F4", "F5", "F6", "F7", "S8"),
+          driver=False)  # same result set as prime_query (DF twin, driver-
+          # checked); the verbatim-SQL surface stays pytest-verified
 def q_prime_query_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query through the SQL surface: the reference's interactive
     CTE self-join (README.md:140-164) executed verbatim by spark.sql over a
@@ -120,6 +124,15 @@ def q_commute_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_masked_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P4/F8 — employees_masked view semantics (init-db.sql:74-89)."""
     return R.masked_employees(D.employees(spark, sf_dir), mask=True)
+
+
+@register("unmasked_projection", oracle=W(R.UNMASKED_EMPLOYEES_SQL),
+          tags=("P4", "F8"))
+def q_unmasked_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4/F8, other CASE arm — the privileged-role view of employees_masked
+    (init-db.sql:74-89 masks only for sportadvantagebiuser; this verifies
+    the mask=False branch end-to-end, VERDICT.md What's-missing #5)."""
+    return R.masked_employees(D.employees(spark, sf_dir), mask=False)
 
 
 @register("cdc_parse_project", oracle=W(oracle_parse_cdc_sql()),
@@ -177,7 +190,8 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
                    "AS address_scrubbed, "
                    "concat(substr(first_name, 1, 1), '***') AS name_initial "
                    "FROM employees ORDER BY id_employee"),
-          tags=("F8", "P4"))
+          tags=("F8", "P4"),
+          driver=False)  # F8/P4 driver-checked via masked/unmasked_projection
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII reduction beyond the reference's NULL-masking: digit scrubbing +
     initials (regexp_replace — note Spark replaces ALL matches by default,
@@ -217,12 +231,19 @@ def q_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
                    "(SELECT COUNT(*) FROM sport_activities) AS n_activities"),
           tags=("A3",))
 def q_scalar_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A3 — gating row counts (sql_scripts.py:32, read_delta.py:52,102)."""
+    """A3 — gating row counts (sql_scripts.py:32, read_delta.py:52,102).
+    One job: the three tables union into a tagged 1-column stream and a
+    single conditional agg counts each tag (r1 ran three sequential
+    driver-side .count() actions — three jobs for one row)."""
     from pyspark.sql import functions as F
-    e = D.employees(spark, sf_dir).count()
-    v = D.commute_validations(spark, sf_dir).count()
-    a = D.sport_activities(spark, sf_dir).count()
-    return spark.range(1).select(
-        F.lit(e).cast("bigint").alias("n_employees"),
-        F.lit(v).cast("bigint").alias("n_validations"),
-        F.lit(a).cast("bigint").alias("n_activities"))
+
+    def tagged(df, tag):
+        return df.select(F.lit(tag).alias("t"))
+
+    u = (tagged(D.employees(spark, sf_dir), 0)
+         .unionAll(tagged(D.commute_validations(spark, sf_dir), 1))
+         .unionAll(tagged(D.sport_activities(spark, sf_dir), 2)))
+    return u.agg(
+        F.count(F.when(F.col("t") == 0, 1)).alias("n_employees"),
+        F.count(F.when(F.col("t") == 1, 1)).alias("n_validations"),
+        F.count(F.when(F.col("t") == 2, 1)).alias("n_activities"))

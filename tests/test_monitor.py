@@ -34,5 +34,16 @@ def test_progress_monitor_accounts_all_rows(spark, sf_dir, tmp_path):
         assert s.batches >= 1
         assert s.total_rows == cdc.count()
         assert mon.summary()[qid]["mean_rows_per_batch"] > 0
+
+        # drift reconciliation (SaveDelta.scala:209-219): the memory sink
+        # holds the parsed rows; the parse drops malformed/NULL frames, so
+        # accounting them as filtered must reconcile to zero drift
+        sink_rows = spark.table("mon_mem").count()
+        filtered = cdc.count() - sink_rows
+        rec = mon.reconcile(qid, sink_rows, filtered_rows=filtered)
+        assert rec["drift"] == 0 and rec["explanation"] == "in sync"
+        # and a shortfall is flagged as listener-ahead
+        assert mon.reconcile(qid, sink_rows - 1,
+                             filtered_rows=filtered)["drift"] == 1
     finally:
         spark.streams.removeListener(mon)

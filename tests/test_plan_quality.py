@@ -41,3 +41,22 @@ def test_topk_is_take_ordered(spark, sf_dir):
 def test_cdc_parse_is_exchange_free(spark, sf_dir):
     plan = _plan(catalog.REGISTRY["cdc_parse_project"].spark_fn(spark, sf_dir))
     assert "Exchange" not in plan, "stateless parse must not shuffle"
+
+
+def test_simhash_pairs_is_hash_join_not_nested_loop(spark, sf_dir):
+    # pigeonhole banding must keep the pair generation an equi (hash/SMJ)
+    # join; a BroadcastNestedLoopJoin means the all-pairs theta join is back
+    plan = _plan(catalog.REGISTRY["dedup_simhash_pairs"].spark_fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan), plan
+
+
+def test_ivf_assignment_has_no_window_shuffle(spark, sf_dir):
+    # centroid assignment must be an argmin projection over the broadcast
+    # centroid array — a Window on vec_id would shuffle N×k distance rows.
+    # Only the final per-query top-k Window node may remain (its
+    # WindowGroupLimit companions are the rank pushdown, not extra windows).
+    import re
+    plan = _plan(catalog.REGISTRY["ann_ivf_topk"].spark_fn(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) <= 1, plan

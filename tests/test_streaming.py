@@ -55,7 +55,9 @@ def test_stream_parquet_sink_checkpointed(spark, cdc_dir, tmp_path):
     q = P.write_stream_parquet(parsed, out, ckpt)
     q.awaitTermination(120)
     written = spark.read.parquet(out)
-    assert written.count() == parsed.count() if not parsed.isStreaming else True
+    # sink contents == the batch twin of the same parse over the same files
+    batch_twin = parse_cdc(spark.read.parquet(cdc_dir))
+    assert written.count() == batch_twin.count()
     # restart with same checkpoint: no new data → no duplicate rows (T3)
     n1 = written.count()
     q2 = P.write_stream_parquet(P.stream_cdc_from_files(spark, cdc_dir), out, ckpt)
