@@ -33,17 +33,56 @@ def quality_report(activities: DataFrame) -> DataFrame:
 
 
 def quality_report_sql(table: str = "sport_activities") -> str:
+    return suite_sql(EXPECTATIONS, table)
+
+
+def suite_sql(rules: list[tuple[str, str]], table: str) -> str:
+    """Oracle twin of :func:`run_suite` for any rule list (predicates use
+    the shared Spark/DuckDB SQL subset)."""
     selects = [
         f"SELECT '{name}' AS expectation, "
         f"CAST(SUM(CASE WHEN {pred} THEN 1 ELSE 0 END) AS BIGINT) AS failing_rows "
         f"FROM {table}"
-        for name, pred in EXPECTATIONS
+        for name, pred in rules
     ]
     union = " UNION ALL ".join(f"({s})" for s in selects)
     return (
         f"SELECT expectation, failing_rows, failing_rows = 0 AS passed "
         f"FROM ({union}) u"
     )
+
+
+def rules_from_config(config: list[dict]) -> list[tuple[str, str]]:
+    """GE-style declarative rule spec → :func:`run_suite` rules. Each entry
+    is ``{"column": ..., "expectation": ..., **params}`` — exactly the
+    shape ``yaml.safe_load`` produces from a Great-Expectations-like YAML
+    suite (data_validation_dag.py:297-328), with no YAML/GE runtime needed.
+
+    Supported expectations (violation predicates stay in the shared
+    Spark/DuckDB SQL subset so suites remain oracle-checkable):
+    not_null · non_negative · between(min,max) · in_set(values) ·
+    min_length(n).
+    """
+    out: list[tuple[str, str]] = []
+    for r in config:
+        col, exp = r["column"], r["expectation"]
+        name = r.get("name", f"{col}_{exp}")
+        if exp == "not_null":
+            pred = f"{col} IS NULL"
+        elif exp == "non_negative":
+            pred = f"{col} IS NOT NULL AND {col} < 0"
+        elif exp == "between":
+            pred = (f"{col} IS NOT NULL AND "
+                    f"({col} < {r['min']} OR {col} > {r['max']})")
+        elif exp == "in_set":
+            vals = ", ".join(f"'{v}'" for v in r["values"])
+            pred = f"{col} IS NOT NULL AND {col} NOT IN ({vals})"
+        elif exp == "min_length":
+            pred = f"{col} IS NOT NULL AND length({col}) < {int(r['n'])}"
+        else:
+            raise ValueError(f"unknown expectation type: {exp!r}")
+        out.append((name, pred))
+    return out
 
 
 def run_suite(df: DataFrame,

@@ -83,6 +83,21 @@ def write_append(df: DataFrame, path: str,
     w.parquet(path)
 
 
+def write_overwrite_partitions(df: DataFrame, path: str,
+                               partition_by: list[str]) -> None:
+    """K2 at scale: DYNAMIC partition overwrite — rewrite only the
+    partitions present in ``df`` (Delta ``replaceWhere`` semantics on
+    parquet), leaving every other partition's files physically untouched.
+    This is what the reference's full-table ``overwriteSchema`` rewrite
+    (read_delta.py:219-222) becomes at 100 TB: the nightly batch touches
+    the affected dates, not the table. Untouched-files invariant pinned in
+    tests/test_jdbc.py::test_partition_overwrite_is_incremental."""
+    (df.write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy(*partition_by)
+     .parquet(path))
+
+
 def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "append",
                properties: dict | None = None) -> None:
     """K3: bulk JDBC insert — the execute_values batch loop

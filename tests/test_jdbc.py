@@ -56,6 +56,43 @@ def test_jdbc_append_accumulates(spark, sf_dir, derby_url):
             .filter(F.col("count") != 2).count() == 0)
 
 
+def test_partition_overwrite_is_incremental(spark, sf_dir, tmp_path):
+    """write_overwrite_partitions must rewrite ONLY the partitions present
+    in the incoming batch: untouched partitions keep their exact files
+    (the incremental replacement for the reference's full-table rewrite)."""
+    import os
+
+    out = str(tmp_path / "orders_part")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus")
+    io.write_overwrite(orders, out, partition_by=["o_orderstatus"])
+
+    def files_of(status):
+        d = f"{out}/o_orderstatus={status}"
+        return sorted((f, os.path.getmtime(f"{d}/{f}"))
+                      for f in os.listdir(d) if f.endswith(".parquet"))
+
+    before_f = files_of("F")
+    before_o = files_of("O")
+
+    patch = (orders.filter(F.col("o_orderstatus") == "O")
+             .withColumn("o_totalprice", F.col("o_totalprice") + 1))
+    io.write_overwrite_partitions(patch, out, ["o_orderstatus"])
+
+    # untouched partition: identical files, identical mtimes
+    assert files_of("F") == before_f
+    # touched partition: physically rewritten
+    assert files_of("O") != before_o
+    back = spark.read.parquet(out)
+    assert back.count() == orders.count()
+    want = (orders.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderstatus") == "O",
+               F.col("o_totalprice") + 1).otherwise(F.col("o_totalprice"))))
+    assert (back.select("o_orderkey", "o_totalprice").exceptAll(
+        want.select("o_orderkey", "o_totalprice")).count() == 0)
+
+
 def test_read_excel_raises_importerror_without_openpyxl(spark, tmp_path):
     pd = pytest.importorskip("pandas")
     try:
