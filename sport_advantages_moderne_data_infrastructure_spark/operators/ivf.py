@@ -111,19 +111,40 @@ def probe_centroids(embeddings: DataFrame, centroids: list[list[float]],
     )
 
 
+def build_ivf_index(embeddings: DataFrame, centroids: list[list[float]],
+                    path: str) -> None:
+    """Materialize the IVF INVERTED LISTS: the assigned corpus written
+    partitioned by centroid_id — each centroid's posting list is its own
+    parquet partition, so probe joins prune at the file level (dynamic
+    partition pruning fires on the broadcast probe join). This plus
+    train_centroids is the whole index build; queries touch only
+    nprobe/k of the data."""
+    from ..functions.vectors import dot_expr
+
+    base = embeddings.select(
+        "vec_id", "embedding",
+        F.sqrt(F.expr(dot_expr("embedding", "embedding"))).alias("e_norm"))
+    (assign_centroids(base, centroids)
+     .write.mode("overwrite").partitionBy("centroid_id").parquet(path))
+
+
 def ivf_topk(embeddings: DataFrame, centroids: list[list[float]],
-             query_pred, k: int = 10, nprobe: int = 4) -> DataFrame:
+             query_pred, k: int = 10, nprobe: int = 4,
+             assigned: DataFrame | None = None) -> DataFrame:
     """IVF cosine top-k for the query rows selected by query_pred. The only
     shuffle is the final per-query top-k window; candidate generation is
-    the equi-join of (broadcast) query probes against the assigned corpus —
-    with centroid-partitioned storage that join is partition pruning."""
+    the equi-join of (broadcast) query probes against the assigned corpus.
+    Pass ``assigned`` (a build_ivf_index table) to skip per-query
+    assignment entirely — the centroid-partitioned layout turns the probe
+    join into partition pruning."""
     from ..functions.vectors import dot_expr
 
     base = embeddings.select(
         "vec_id", "embedding",
         F.sqrt(F.expr(dot_expr("embedding", "embedding"))).alias("e_norm"))
 
-    assigned = assign_centroids(base, centroids)
+    if assigned is None:
+        assigned = assign_centroids(base, centroids)
 
     q_probes = (
         probe_centroids(base.filter(query_pred(F.col("vec_id"))),

@@ -119,11 +119,13 @@ def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# index artifacts, keyed by sf_dir: IVF centroids are BUILT once (sample
-# k-means, operators/ivf.py) and REUSED by every subsequent query run —
-# the index-build/query split a real deployment has (r1 retrained inside
-# every query invocation). Same for the embedding dimension probe.
+# index artifacts, keyed by sf_dir: IVF centroids AND the inverted-list
+# table (assigned corpus, parquet partitioned by centroid_id) are BUILT
+# once (operators/ivf.py) and REUSED by every subsequent query run — the
+# index-build/query split a real deployment has (r1 retrained + reassigned
+# inside every query invocation). Same for the embedding dimension probe.
 _IVF_CENTROIDS: dict[str, list[list[float]]] = {}
+_IVF_INDEX: dict[str, str] = {}
 _EMB_DIM: dict[str, int] = {}
 
 
@@ -133,20 +135,36 @@ def _emb_dim(df, sf_dir: str) -> int:
     return _EMB_DIM[sf_dir]
 
 
-@register("ann_ivf_topk", bench=True)  # rows-only: approximation strategy;
-# recall vs brute force pinned in tests/test_ann.py
-def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: sample-trained k-means centroids (seeded, cached per
-    sf_dir as the index artifact) partition the corpus; queries rerank only
-    their nprobe=4 nearest centroid lists; assignment/probing are pure
-    projections — the partition-pruned lakehouse index layout
-    (operators/ivf.py)."""
-    from ..operators.ivf import ivf_topk, train_centroids
+def ensure_ivf_index(spark: SparkSession, sf_dir: str):
+    """Build-if-absent: centroids (sample k-means) + inverted-list table
+    (parquet partitioned by centroid_id). Returns (centroids, index_df)."""
+    import tempfile
+
+    from ..operators.ivf import build_ivf_index, train_centroids
     e = load_table(spark, sf_dir, "embeddings")
     if sf_dir not in _IVF_CENTROIDS:
         _IVF_CENTROIDS[sf_dir] = train_centroids(e, k=16, max_iter=8)
-    return ivf_topk(e, _IVF_CENTROIDS[sf_dir],
-                    lambda vid: vid % 50 == 0, k=10, nprobe=4)
+    if sf_dir not in _IVF_INDEX:
+        path = tempfile.mkdtemp(prefix="samdis_ivf_idx_") + "/index.parquet"
+        build_ivf_index(e, _IVF_CENTROIDS[sf_dir], path)
+        _IVF_INDEX[sf_dir] = path
+    return _IVF_CENTROIDS[sf_dir], spark.read.parquet(_IVF_INDEX[sf_dir])
+
+
+@register("ann_ivf_topk", bench=True)  # rows-only: approximation strategy;
+# recall vs brute force pinned in tests/test_ann.py
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: sample-trained k-means centroids + inverted-list table
+    (parquet partitioned by centroid_id), both cached per sf_dir as the
+    index artifact (built via catalog.build_indexes in the load phase); a
+    query reranks only its nprobe=4 nearest centroid lists, read via the
+    probe join against the partitioned index — the partition-pruned
+    lakehouse layout (operators/ivf.py)."""
+    from ..operators.ivf import ivf_topk
+    e = load_table(spark, sf_dir, "embeddings")
+    centroids, assigned = ensure_ivf_index(spark, sf_dir)
+    return ivf_topk(e, centroids, lambda vid: vid % 50 == 0,
+                    k=10, nprobe=4, assigned=assigned)
 
 
 @register(

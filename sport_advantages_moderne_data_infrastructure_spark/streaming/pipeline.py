@@ -16,6 +16,7 @@ file/Delta sinks (T3, SaveDelta.scala:161).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -92,6 +93,49 @@ def write_stream_parquet(df: DataFrame, path: str, checkpoint: str,
 def write_stream_memory(df: DataFrame, name: str, available_now: bool = True):
     """Test sink: in-memory table queryable as ``SELECT * FROM {name}``."""
     w = df.writeStream.format("memory").queryName(name).outputMode("append")
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def write_stream_merge(df: DataFrame, target: str, checkpoint: str,
+                       key: str = "id", order_col: str = "start_datetime",
+                       available_now: bool = True):
+    """Streaming UPSERT sink: each micro-batch MERGEs into the target by
+    key via foreachBatch — the Delta "MERGE INTO from a stream" pattern
+    (the incremental successor to the reference's append-only sink), on
+    plain parquet. Last write per key wins; replayed batches are
+    idempotent because merge is keyed, so the end state is exactly-once
+    even at-least-once delivery.
+
+    Parquet cannot transactionally overwrite a path it is reading, so the
+    merged batch is materialized (localCheckpoint) before the overwrite —
+    on Delta this hop disappears (MERGE is a single transactional
+    command); at 100 TB pair with write_overwrite_partitions so only the
+    batch's partitions rewrite.
+    """
+    from ..operators.merge import merge_upsert
+
+    def _merge(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        # last event per key within the batch wins (micro-batches can
+        # carry several CDC frames for one key)
+        latest = (batch_df.withColumn(
+            "__rn", F.row_number().over(
+                W.partitionBy(key).orderBy(F.desc(order_col))))
+            .filter(F.col("__rn") == 1).drop("__rn"))
+        try:
+            target_df = spark.read.parquet(target)
+            merged = merge_upsert(target_df, latest.select(*target_df.columns),
+                                  key).localCheckpoint()
+        except Exception:  # first batch: no target yet
+            merged = latest
+        merged.write.mode("overwrite").parquet(target)
+
+    w = (df.writeStream.foreachBatch(_merge)
+         .option("checkpointLocation", checkpoint))
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()

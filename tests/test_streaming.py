@@ -65,6 +65,34 @@ def test_stream_parquet_sink_checkpointed(spark, cdc_dir, tmp_path):
     assert spark.read.parquet(out).count() == n1
 
 
+def test_stream_merge_upserts_by_key(spark, sf_dir, cdc_dir, tmp_path):
+    """Streaming MERGE sink: the parsed CDC stream upserts into the target
+    by id — one row per id (not append), update frames win, and replaying
+    the same source on a fresh checkpoint leaves the state unchanged
+    (keyed merge is idempotent)."""
+    target = str(tmp_path / "merged")
+    q = P.write_stream_merge(
+        P.stream_cdc_from_files(spark, cdc_dir), target,
+        str(tmp_path / "ckpt1"), key="id")
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(target)
+    want = parse_cdc(D.cdc_events(spark, sf_dir))
+    n_ids = want.select("id").distinct().count()
+    assert got.count() == n_ids
+    assert got.select("id").distinct().count() == n_ids
+    before = _counts(got)  # snapshot — the target is overwritten below
+
+    # replay from scratch (new checkpoint): keyed merge is idempotent
+    q2 = P.write_stream_merge(
+        P.stream_cdc_from_files(spark, cdc_dir), target,
+        str(tmp_path / "ckpt2"), key="id")
+    q2.awaitTermination(120)
+    again = spark.read.parquet(target)
+    assert again.count() == n_ids
+    assert _counts(again) == before
+
+
 def test_tumbling_stream_equals_batch(spark, sf_dir, tmp_path_factory):
     events = load_table(spark, sf_dir, "events")
     epath = str(tmp_path_factory.mktemp("events_src"))
