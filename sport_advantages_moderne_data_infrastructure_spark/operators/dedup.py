@@ -200,11 +200,15 @@ def _band_key_cols(prefix: str = "sig_"):
 
 
 def lsh_candidate_pairs(corpus: DataFrame,
-                        hashes: DataFrame | None = None) -> DataFrame:
+                        hashes: DataFrame | None = None,
+                        sigs: DataFrame | None = None) -> DataFrame:
     """LSH banding: docs agreeing on ALL rows of ≥1 band become candidates.
     The join is equi on (band, key) — the scalable skeleton; at 100 TB the
-    band table is the only shuffled artifact (doc_id + 16 longs)."""
-    sigs = minhash_signatures(corpus, hashes=hashes)
+    band table is the only shuffled artifact (doc_id + N_MINHASH longs).
+    ``sigs``: a precomputed signature table (index artifact) — candidate
+    generation then never touches the corpus at all."""
+    if sigs is None:
+        sigs = minhash_signatures(corpus, hashes=hashes)
     # one pass: explode each signature row into its 4 (band, key) rows
     # (a 4-way union would recompute the shingle+minhash pipeline per
     # branch and again per self-join side — 8× the work), then cache the

@@ -84,6 +84,7 @@ def build_indexes(spark, sf_dir: str) -> None:
     deployment builds these once per corpus snapshot, not per query)."""
     from . import simops, textops
     textops.shingle_index(spark, sf_dir)
+    textops.minhash_index(spark, sf_dir)
     simops.ensure_ivf_index(spark, sf_dir)
 
 

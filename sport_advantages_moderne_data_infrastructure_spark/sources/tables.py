@@ -47,3 +47,24 @@ def register_star_views(spark: SparkSession, sf_dir: str) -> None:
     reference's createOrReplaceTempView, spark/SaveDelta.scala:233)."""
     for t in STAR_TABLES:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def wait_for_source(spark: SparkSession, path: str, timeout_sec: float = 60,
+                    poll_sec: float = 1.0) -> bool:
+    """Q5 existence preflight with bounded retry — the reference's
+    wait-until-the-upstream-table-exists bootstrap loop
+    (read_delta.py:47-53 retries until the Delta table appears). True once
+    the source is readable (schema resolves), False on timeout; never
+    raises, so DAG-style callers can branch. Driver-side by design:
+    preflight is control flow, not data flow."""
+    import time
+
+    deadline = time.monotonic() + timeout_sec
+    while True:
+        try:
+            spark.read.parquet(path).schema  # resolves footers only
+            return True
+        except Exception:
+            if time.monotonic() >= deadline:
+                return False
+            time.sleep(poll_sec)

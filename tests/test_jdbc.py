@@ -93,6 +93,36 @@ def test_partition_overwrite_is_incremental(spark, sf_dir, tmp_path):
         want.select("o_orderkey", "o_totalprice")).count() == 0)
 
 
+def test_wait_for_source_preflight(spark, sf_dir, tmp_path):
+    """Q5 existence preflight: True for a readable source, False (not an
+    exception) on timeout, True when the source appears mid-wait — the
+    reference's bootstrap retry loop (read_delta.py:47-53)."""
+    import threading
+
+    from sport_advantages_moderne_data_infrastructure_spark.sources.tables import (
+        load_table as lt,
+        wait_for_source,
+    )
+
+    assert wait_for_source(spark, f"{sf_dir}/region.parquet", timeout_sec=5)
+    assert not wait_for_source(spark, str(tmp_path / "never"),
+                               timeout_sec=2, poll_sec=0.2)
+
+    late = str(tmp_path / "late")
+
+    def _writer():
+        import time
+        time.sleep(1.5)
+        lt(spark, sf_dir, "region").write.parquet(late)
+
+    t = threading.Thread(target=_writer)
+    t.start()
+    try:
+        assert wait_for_source(spark, late, timeout_sec=30, poll_sec=0.2)
+    finally:
+        t.join()
+
+
 def test_read_excel_raises_importerror_without_openpyxl(spark, tmp_path):
     pd = pytest.importorskip("pandas")
     try:

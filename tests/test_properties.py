@@ -1,0 +1,78 @@
+"""Property-based invariants (hypothesis) for the hand-built operators
+whose semantics are easy to get subtly wrong: MERGE row-wise precedence
+and as-of join. Each property is checked against a pure-Python reference
+implementation on randomized small inputs — complementary to the
+fixed-fixture oracle gate."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+KEYS = st.integers(min_value=0, max_value=6)
+VALS = st.one_of(st.none(), st.integers(min_value=-5, max_value=5))
+
+ROWS = st.lists(st.tuples(KEYS, VALS), max_size=8)
+
+_settings = settings(max_examples=12, deadline=None,
+                     suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+
+@given(target=ROWS, updates=ROWS)
+@_settings
+def test_merge_upsert_rowwise_semantics(spark, target, updates):
+    from sport_advantages_moderne_data_infrastructure_spark.operators.merge import (
+        merge_upsert,
+    )
+
+    # one row per key (MERGE requires unique keys per side)
+    tgt = {k: v for k, v in target}
+    upd = {k: v for k, v in updates}
+    t = spark.createDataFrame(
+        [(k, v) for k, v in tgt.items()] or [(None, None)],
+        "k int, v int").filter("k IS NOT NULL")
+    u = spark.createDataFrame(
+        [(k, v) for k, v in upd.items()] or [(None, None)],
+        "k int, v int").filter("k IS NOT NULL")
+
+    got = {r["k"]: r["v"] for r in merge_upsert(t, u, "k").collect()}
+    # reference semantics: update row wins WHOLESALE when key matches —
+    # including explicit NULLs (dict union, updates last)
+    want = {**tgt, **upd}
+    assert got == want
+
+
+@given(
+    left=st.lists(st.tuples(KEYS, st.integers(0, 20)), max_size=8),
+    right=st.lists(st.tuples(KEYS, st.integers(0, 20),
+                             st.integers(0, 100)), max_size=8),
+)
+@_settings
+def test_asof_join_matches_reference_impl(spark, left, right):
+    from sport_advantages_moderne_data_infrastructure_spark.operators.asof import (
+        asof_join,
+    )
+
+    # unique (key, ts) per side keeps expected output single-valued
+    lrows = list({(k, t): None for k, t in left})
+    rrows = list({(k, t): v for k, t, v in right}.items())
+    l_df = spark.createDataFrame(
+        [(k, t) for (k, t) in lrows] or [(None, None)],
+        "k int, lts int").filter("k IS NOT NULL")
+    r_df = spark.createDataFrame(
+        [(k, t, v) for (k, t), v in rrows] or [(None, None, None)],
+        "k int, rts int, rv int").filter("k IS NOT NULL")
+
+    got = {(r["k"], r["lts"]): r["rv"]
+           for r in asof_join(l_df, r_df, on="k", left_ts="lts",
+                              right_ts="rts", right_cols=["rv"]).collect()}
+
+    want = {}
+    rmap = {}
+    for (k, t), v in rrows:
+        rmap.setdefault(k, []).append((t, v))
+    for k, lt in lrows:
+        cands = [(t, v) for t, v in rmap.get(k, []) if t <= lt]
+        # operator tie-break: latest ts, then largest first right_col
+        want[(k, lt)] = max(cands)[1] if cands else None
+    assert got == want
