@@ -84,6 +84,40 @@ def shingle_hashes_sql(corpus_cte: str) -> str:
     )
 
 
+WORD_SHINGLE_N = 5  # w-shingling window (Broder '97 document-level standard)
+
+
+def word_shingle_hashes(corpus: DataFrame,
+                        n: int = WORD_SHINGLE_N) -> DataFrame:
+    """(doc_id, h): distinct md5 hashes of n-WORD shingles (w-shingling) —
+    the token-level alternative to character shingles: robust to
+    whitespace normalization, selective on shared-vocabulary corpora
+    because a 5-word window is rare. Same downstream machinery
+    (cap/Jaccard/MinHash) as the char index via the ``hashes`` params."""
+    n_pos = F.greatest(F.size("toks") - (n - 1), F.lit(1))
+    return (
+        corpus.select("doc_id", F.split(F.trim("text"), " +").alias("toks"))
+        .select("doc_id",
+                F.explode(F.sequence(F.lit(1), n_pos)).alias("i"), "toks")
+        .select("doc_id",
+                F.expr(SPARK.md5_bigint(
+                    f"array_join(slice(toks, i, {n}), ' ')")).alias("h"))
+        .distinct()
+    )
+
+
+def word_shingle_hashes_sql(corpus_cte: str,
+                            n: int = WORD_SHINGLE_N) -> str:
+    sh = f"array_to_string(list_slice(toks, i, i + {n - 1}), ' ')"
+    return (
+        f"SELECT DISTINCT doc_id, {DUCKDB.md5_bigint(sh)} AS h "
+        f"FROM (SELECT doc_id, toks, unnest(range(1, "
+        f"greatest(len(toks) - {n - 1}, 1) + 1)) AS i "
+        f"FROM (SELECT doc_id, regexp_split_to_array(trim(text), ' +') "
+        f"AS toks FROM {corpus_cte}) t0) t"
+    )
+
+
 # --- n-gram Jaccard -------------------------------------------------------
 
 def capped_shingle_hashes(corpus: DataFrame,
@@ -104,13 +138,18 @@ def capped_shingle_hashes(corpus: DataFrame,
     return sh.join(F.broadcast(frequent), "h", "left_anti")
 
 
-def capped_shingle_hashes_sql(corpus_cte: str) -> str:
+def capped_hashes_sql_from(hashes_sql: str) -> str:
+    """Generic DF-cap over ANY (doc_id, h) hash-index SQL."""
     return (
-        f"SELECT sh.doc_id, sh.h FROM ({shingle_hashes_sql(corpus_cte)}) sh "
-        f"ANTI JOIN (SELECT h FROM ({shingle_hashes_sql(corpus_cte)}) s2 "
+        f"SELECT sh.doc_id, sh.h FROM ({hashes_sql}) sh "
+        f"ANTI JOIN (SELECT h FROM ({hashes_sql}) s2 "
         f"GROUP BY h HAVING COUNT(*) > {JACCARD_DF_CAP}) freq "
         f"ON sh.h = freq.h"
     )
+
+
+def capped_shingle_hashes_sql(corpus_cte: str) -> str:
+    return capped_hashes_sql_from(shingle_hashes_sql(corpus_cte))
 
 
 def jaccard_pairs(corpus: DataFrame, threshold: float = 0.5,
@@ -150,8 +189,13 @@ def jaccard_pairs(corpus: DataFrame, threshold: float = 0.5,
 
 
 def jaccard_pairs_sql(corpus_cte: str, threshold: float = 0.5) -> str:
+    return jaccard_sql_from(capped_shingle_hashes_sql(corpus_cte), threshold)
+
+
+def jaccard_sql_from(capped_hashes_sql: str, threshold: float = 0.5) -> str:
+    """Jaccard-pairs SQL over ANY capped (doc_id, h) index SQL."""
     return (
-        f"WITH sh AS ({capped_shingle_hashes_sql(corpus_cte)}), "
+        f"WITH sh AS ({capped_hashes_sql}), "
         "sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id), "
         "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
         "COUNT(*) AS c FROM sh a JOIN sh b ON a.h = b.h "

@@ -223,6 +223,63 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash_near_dup(near_corpus(spark, sf_dir))
 
 
+@register("dedup_word_jaccard_pairs", driver=False,  # w-shingling variant;
+          # char-shingle twin is driver-checked — this stays pytest-verified
+          oracle=f"WITH corpus AS ({_NEAR_CORPUS_SQL}), "
+                 f"j AS ({DD.jaccard_sql_from(DD.capped_hashes_sql_from(DD.word_shingle_hashes_sql('corpus')))}) "
+                 "SELECT * FROM j")
+def q_word_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WORD-shingle (w-shingling, n=WORD_SHINGLE_N) Jaccard near-dup
+    pairs — token-level twin of dedup_jaccard_pairs, same capped
+    inverted-index machinery via the hashes param."""
+    corpus = near_corpus(spark, sf_dir)
+    return DD.jaccard_pairs(corpus,
+                            hashes=DD.word_shingle_hashes(corpus).cache())
+
+
+@register(
+    "tfidf_top_terms", driver=False,  # extension breadth; pytest-verified
+    oracle=(
+        "WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array("
+        "trim(text), ' +')) AS tok FROM documents), "
+        "tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks "
+        "WHERE tok <> '' GROUP BY doc_id, tok), "
+        "df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY tok), "
+        "n AS (SELECT COUNT(*) AS n_docs FROM documents), "
+        "scored AS (SELECT tf.doc_id, tf.tok, "
+        "ROUND(tf.tf * n.n_docs / CAST(df.df AS DOUBLE), 4) AS score "
+        "FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n), "
+        "ranked AS (SELECT doc_id, tok, score, "
+        "CAST(ROW_NUMBER() OVER (PARTITION BY doc_id "
+        "ORDER BY score DESC, tok) AS INT) AS rnk FROM scored) "
+        "SELECT doc_id, tok, score, rnk FROM ranked WHERE rnk <= 3 "
+        "ORDER BY doc_id, rnk"))
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by a log-free TF-IDF
+    (tf · N/df — integer-ratio arithmetic, so scores are bit-identical
+    cross-engine; ln() would diverge in the last ulp between libms).
+    Shape: two shuffles (tf groupBy, df groupBy) + broadcast df join +
+    per-doc top-k window — linear at corpus scale."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = (d.select("doc_id",
+                     F.explode(F.split(F.trim("text"), " +")).alias("tok"))
+            .filter(F.col("tok") != ""))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()  # index-build-style scalar, one job
+    scored = (tf.join(F.broadcast(df), "tok")
+              .select("doc_id", "tok",
+                      F.round(F.col("tf") * F.lit(n_docs)
+                              / F.col("df").cast("double"), 4)
+                      .alias("score")))
+    from pyspark.sql import Window as W
+    w = W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("tok"))
+    return (scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+            .filter(F.col("rnk") <= 3)
+            .select("doc_id", "tok", "score", "rnk")
+            .orderBy("doc_id", "rnk"))
+
+
 _NC_SUB = f"({_NEAR_CORPUS_SQL})"
 
 
