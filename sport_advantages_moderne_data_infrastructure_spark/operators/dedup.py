@@ -158,7 +158,9 @@ def jaccard_pairs(corpus: DataFrame, threshold: float = 0.5,
     pairs come from the equi-join on shingle hash (docs sharing none never
     meet); the DF cap bounds docs-per-shingle."""
     base = (shingle_hashes(corpus).cache() if hashes is None else hashes)
-    sh = capped_shingle_hashes(corpus, hashes=base)
+    # cached: the capped index feeds three consumers (pair generation and
+    # both size joins) — without it each re-runs the stop-set anti-join
+    sh = capped_shingle_hashes(corpus, hashes=base).cache()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     # bounded pair generation off the posting lists: with df ≤ cap, each
     # shingle's sorted id list yields ≤ C(cap,2) pairs via an array
