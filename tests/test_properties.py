@@ -48,6 +48,40 @@ def test_merge_upsert_rowwise_semantics(spark, target, updates):
                              st.integers(0, 100)), max_size=8),
 )
 @_settings
+def test_asof_bucketed_equals_plain(spark, left, right):
+    """The time-bucketed as-of (scale path) must return exactly what the
+    plain operator returns — bucket width chosen so rows straddle
+    buckets (width 7 over ts range 0..20 → 3 buckets)."""
+    from sport_advantages_moderne_data_infrastructure_spark.operators.asof import (
+        asof_join,
+        asof_join_bucketed,
+    )
+
+    lrows = list({(k, t) for k, t in left})
+    rrows = list({(k, t, v) for k, t, v in right})
+    l_df = spark.createDataFrame(
+        lrows or [(None, None)], "k int, lts int").filter("k IS NOT NULL")
+    r_df = spark.createDataFrame(
+        rrows or [(None, None, None)],
+        "k int, rts int, rv int").filter("k IS NOT NULL")
+
+    def to_map(df):
+        return {(r["k"], r["lts"]): r["rv"] for r in df.collect()}
+
+    plain = to_map(asof_join(l_df, r_df, on="k", left_ts="lts",
+                             right_ts="rts", right_cols=["rv"]))
+    bucketed = to_map(asof_join_bucketed(l_df, r_df, on="k", left_ts="lts",
+                                         right_ts="rts", right_cols=["rv"],
+                                         bucket="7"))
+    assert bucketed == plain
+
+
+@given(
+    left=st.lists(st.tuples(KEYS, st.integers(0, 20)), max_size=8),
+    right=st.lists(st.tuples(KEYS, st.integers(0, 20),
+                             st.integers(0, 100)), max_size=8),
+)
+@_settings
 def test_asof_join_matches_reference_impl(spark, left, right):
     from sport_advantages_moderne_data_infrastructure_spark.operators.asof import (
         asof_join,
