@@ -280,6 +280,94 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id", "rnk"))
 
 
+# --- training-data set operations: sampling / splits / packing -----------
+# All keyed on md5(doc_id) arithmetic, not RNG: stable across runs,
+# engines, and cluster sizes — the production way to sample/split a
+# 100 TB corpus (a seeded RNG sample changes under repartitioning; a
+# content/id-hash sample never does).
+
+_H100 = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
+_H100_SPARK = "conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) % 100"
+
+
+@register(
+    "sample_stable_10pct", driver=False,  # extension; pytest-verified
+    oracle=(
+        f"SELECT doc_id, lang, n_chars FROM documents "
+        f"WHERE {_H100} < 10 ORDER BY doc_id"))
+def q_sample_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% corpus sample by id-hash bucket — reproducible
+    across runs/engines/partitionings (unlike df.sample's seeded RNG,
+    which is partitioning-dependent); a pure map-side filter at any
+    scale."""
+    d = load_table(spark, sf_dir, "documents")
+    return (d.filter(F.expr(_H100_SPARK) < 10)
+            .select("doc_id", "lang", "n_chars").orderBy("doc_id"))
+
+
+@register(
+    "dataset_splits", driver=False,  # extension; pytest-verified
+    oracle=(
+        f"WITH tagged AS (SELECT lang, CASE WHEN {_H100} < 80 THEN 'train' "
+        f"WHEN {_H100} < 90 THEN 'val' ELSE 'test' END AS split "
+        "FROM documents) "
+        "SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n_docs "
+        "FROM tagged GROUP BY split, lang ORDER BY split, lang"))
+def q_dataset_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test assignment (80/10/10) by the same stable id-hash —
+    a document's split never changes as the corpus grows, the property
+    training pipelines rely on for incremental re-runs."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.expr(_H100_SPARK)
+    split = (F.when(h < 80, "train").when(h < 90, "val").otherwise("test"))
+    return (d.select(split.alias("split"), "lang")
+            .groupBy("split", "lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy("split", "lang"))
+
+
+_PACK_BUDGET = 2048  # tokens per pack
+_N_SHARDS = 32
+
+
+@register(
+    "token_pack_assignments", driver=False,  # extension; pytest-verified
+    oracle=(
+        "WITH t AS (SELECT doc_id, CAST(doc_id % 32 AS INT) AS shard, "
+        "CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT) "
+        "AS n_tokens FROM documents), "
+        "c AS (SELECT doc_id, shard, n_tokens, "
+        "SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior "
+        "FROM t) "
+        "SELECT doc_id, shard, n_tokens, "
+        # FLOOR explicitly: DuckDB CAST(double AS INT) rounds, Spark
+        # truncates (memory'd parity rule) — floor-then-cast is identical
+        f"CAST(FLOOR(COALESCE(prior, 0) / {_PACK_BUDGET}) AS INT) AS pack_id "
+        "FROM c ORDER BY doc_id"))
+def q_token_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training: documents are assigned to
+    fixed-token-budget packs by running token count (the standard
+    cumulative approximation of greedy packing). Packing is PER SHARD
+    (doc_id % 32) so the window never needs a global single-partition
+    sort — each shard packs independently, which is exactly how a
+    1000-executor job does it."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+    t = d.select(
+        "doc_id",
+        (F.col("doc_id") % _N_SHARDS).cast("int").alias("shard"),
+        F.size(F.split(F.trim("text"), " +")).cast("bigint")
+        .alias("n_tokens"))
+    w = (W.partitionBy("shard").orderBy("doc_id")
+         .rowsBetween(W.unboundedPreceding, -1))
+    prior = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (t.withColumn("pack_id",
+                         F.floor(prior / _PACK_BUDGET).cast("int"))
+            .select("doc_id", "shard", "n_tokens", "pack_id")
+            .orderBy("doc_id"))
+
+
 _NC_SUB = f"({_NEAR_CORPUS_SQL})"
 
 
