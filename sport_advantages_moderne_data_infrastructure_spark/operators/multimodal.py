@@ -156,7 +156,6 @@ _BMP_FEATURES_SCHEMA = T.StructType([
     T.StructField("height", T.IntegerType()),
     T.StructField("n_pixel_bytes", T.IntegerType()),
     T.StructField("pixel_sum", T.LongType()),
-    T.StructField("mean_pixel", T.DoubleType()),
 ])
 
 
@@ -184,19 +183,22 @@ def decode_bmp_features(media: DataFrame) -> DataFrame:
     def _extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             decoded = pdf["blob"].map(_decode_one)
-            n = decoded.map(lambda t: t[2])
-            s = decoded.map(lambda t: t[3])
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"].astype("int64"),
                 "width": decoded.map(lambda t: t[0]).astype("int32"),
                 "height": decoded.map(lambda t: t[1]).astype("int32"),
-                "n_pixel_bytes": n.astype("int32"),
-                "pixel_sum": s.astype("int64"),
-                "mean_pixel": (s / n).round(4),
+                "n_pixel_bytes": decoded.map(lambda t: t[2]).astype("int32"),
+                "pixel_sum": decoded.map(lambda t: t[3]).astype("int64"),
             })
 
-    return media.select("doc_id", "blob").mapInPandas(
+    # decoder emits INTEGERS only; the rounded mean is Spark-side F.round
+    # (pandas .round is half-to-even, DuckDB ROUND half-away — ints are
+    # the only tie-free currency out of a Python stage)
+    raw = media.select("doc_id", "blob").mapInPandas(
         _extract, schema=_BMP_FEATURES_SCHEMA)
+    return raw.withColumn(
+        "mean_pixel",
+        F.round(F.col("pixel_sum") / F.col("n_pixel_bytes"), 4))
 
 
 BMP_DECODE_SQL = (
@@ -213,6 +215,121 @@ BMP_DECODE_SQL = (
     "SELECT doc_id, width, height, CAST(n AS INT) AS n_pixel_bytes, "
     "CAST(pixel_sum AS BIGINT) AS pixel_sum, "
     "ROUND(CAST(pixel_sum AS DOUBLE) / n, 4) AS mean_pixel "
+    "FROM agg ORDER BY doc_id"
+)
+
+
+# --- REAL decode path #2: WAV (RIFF PCM16, stdlib+numpy decodable) --------
+# Same closed loop as BMP: synth_wav packs genuine RIFF/WAVE files
+# (fmt + data chunks, 16-bit mono PCM with deterministic samples);
+# decode_wav_features walks the chunk list, parses the format fields and
+# the PCM payload; the SQL oracle recomputes every stat from the sample
+# formula without touching the bytes.
+
+WAV_SR = 8000
+_WAV_AMP_MOD = 201  # samples = ((doc_id*13 + i*7) % 201) - 100 ∈ [-100,100]
+
+
+def synth_wav(documents: DataFrame) -> DataFrame:
+    """(doc_id, blob): real 16-bit mono PCM WAV bytes;
+    n_samples = 64 + doc_id % 64, sample_i = ((doc_id*13 + i*7) % 201) - 100."""
+    import struct
+
+    import numpy as np
+    import pandas as pd
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("blob", T.BinaryType()),
+    ])
+
+    def _pack_one(doc_id: int) -> bytes:
+        n = 64 + doc_id % 64
+        samples = (((doc_id * 13 + np.arange(n) * 7) % _WAV_AMP_MOD) - 100) \
+            .astype(np.int16)
+        data = samples.tobytes()
+        hdr = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+               + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, WAV_SR,
+                                       WAV_SR * 2, 2, 16)
+               + b"data" + struct.pack("<I", len(data)))
+        return hdr + data
+
+    def _pack(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "blob": pdf["doc_id"].map(lambda d: _pack_one(int(d))),
+            })
+
+    return documents.select("doc_id").mapInPandas(_pack, schema=schema)
+
+
+_WAV_FEATURES_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("n_samples", T.IntegerType()),
+    T.StructField("duration_ms", T.IntegerType()),
+    T.StructField("abs_sum", T.LongType()),
+])
+
+
+def decode_wav_features(media: DataFrame) -> DataFrame:
+    """Chunk-walking WAV parse (numpy): verifies RIFF/WAVE magics, reads
+    fmt (rate/channels/bits) and data chunks wherever they appear in the
+    chunk list — a real decoder, not an offset guess."""
+    import numpy as np
+    import pandas as pd
+
+    def _decode_one(b: bytes):
+        if bytes(b[:4]) != b"RIFF" or bytes(b[8:12]) != b"WAVE":
+            raise ValueError("not a RIFF/WAVE stream")
+        pos, sr, bits, pcm = 12, None, None, None
+        while pos + 8 <= len(b):
+            cid = bytes(b[pos:pos + 4])
+            size = int.from_bytes(b[pos + 4:pos + 8], "little")
+            body = b[pos + 8:pos + 8 + size]
+            if cid == b"fmt ":
+                sr = int.from_bytes(body[4:8], "little")
+                bits = int.from_bytes(body[14:16], "little")
+            elif cid == b"data":
+                pcm = body
+            pos += 8 + size + (size % 2)  # chunks are word-aligned
+        if sr is None or pcm is None or bits != 16:
+            raise ValueError("missing fmt/data chunk or not PCM16")
+        s = np.frombuffer(pcm, dtype="<i2")
+        return sr, len(s), int(np.abs(s.astype(np.int64)).sum())
+
+    def _extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            dec = pdf["blob"].map(_decode_one)
+            sr = dec.map(lambda t: t[0])
+            n = dec.map(lambda t: t[1])
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "sample_rate": sr.astype("int32"),
+                "n_samples": n.astype("int32"),
+                "duration_ms": (n * 1000 // sr).astype("int32"),
+                "abs_sum": dec.map(lambda t: t[2]).astype("int64"),
+            })
+
+    # integers out of Python; rounded mean Spark-side (see BMP note)
+    raw = media.select("doc_id", "blob").mapInPandas(
+        _extract, schema=_WAV_FEATURES_SCHEMA)
+    return raw.withColumn(
+        "mean_abs", F.round(F.col("abs_sum") / F.col("n_samples"), 4))
+
+
+WAV_DECODE_SQL = (
+    "WITH dims AS (SELECT doc_id, CAST(64 + doc_id % 64 AS INT) AS n "
+    "FROM documents), "
+    "s AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM dims), "
+    f"agg AS (SELECT doc_id, n, "
+    f"SUM(ABS((doc_id * 13 + i * 7) % {_WAV_AMP_MOD} - 100)) AS abs_sum "
+    "FROM s GROUP BY doc_id, n) "
+    f"SELECT doc_id, {WAV_SR} AS sample_rate, n AS n_samples, "
+    f"CAST(FLOOR(n * 1000.0 / {WAV_SR}) AS INT) AS duration_ms, "
+    "CAST(abs_sum AS BIGINT) AS abs_sum, "
+    "ROUND(CAST(abs_sum AS DOUBLE) / n, 4) AS mean_abs "
     "FROM agg ORDER BY doc_id"
 )
 

@@ -442,6 +442,18 @@ def q_multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.decode_bmp_features(MM.synth_bmp(docs)).orderBy("doc_id")
 
 
+@register("multimodal_wav_decode", driver=False,  # second real codec;
+          # the BMP twin is driver-checked — this stays pytest-verified
+          oracle=MM.WAV_DECODE_SQL)
+def q_multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode: pack genuine RIFF/WAVE PCM16 files per document,
+    then chunk-walk the headers and PCM payload in a second Arrow
+    mapInPandas stage; the oracle recomputes every stat from the sample
+    formula without touching the bytes."""
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.decode_wav_features(MM.synth_wav(docs)).orderBy("doc_id")
+
+
 @register("multimodal_meta", oracle=MM.SYNTH_MEDIA_META_SQL)
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media column + typed metadata projection (blob as hex for
