@@ -52,6 +52,43 @@ def test_simhash_pairs_is_hash_join_not_nested_loop(spark, sf_dir):
             or "BroadcastHashJoin" in plan), plan
 
 
+# all-pairs is allowed ONLY where it is the documented exhaustive-rerank
+# baseline (broadcast query set × corpus scan)
+_NESTED_LOOP_ALLOWED = {"ann_cosine_topk", "embedding_near_dup"}
+
+
+def test_no_driver_query_regresses_to_nested_loop(spark, sf_dir):
+    """Sweeping anti-pattern net: no driver-facing query may plan a
+    BroadcastNestedLoopJoin unless it IS the documented all-pairs rerank
+    baseline — this is the regression that silently turns an equi-join
+    shape quadratic (the r1 SimHash defect, generalized)."""
+    catalog.build_indexes(spark, sf_dir)
+    offenders = []
+    for name, q in catalog.REGISTRY.items():
+        if not q.driver or name in _NESTED_LOOP_ALLOWED:
+            continue
+        plan = _plan(q.spark_fn(spark, sf_dir))
+        if "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan:
+            offenders.append(name)
+    assert offenders == [], f"nested-loop plans: {offenders}"
+
+
+def test_no_row_at_a_time_python_udfs_in_source():
+    """The engine's contract (ARCHITECTURE.md, SURVEY §2.10): zero
+    row-at-a-time Python UDFs anywhere — Python appears only as
+    Arrow-batched mapInPandas/applyInPandas stages."""
+    import pathlib
+
+    root = (pathlib.Path(__file__).resolve().parent.parent
+            / "sport_advantages_moderne_data_infrastructure_spark")
+    offenders = []
+    for p in root.rglob("*.py"):
+        src = p.read_text()
+        if "F.udf(" in src or "@udf" in src or "pandas_udf" in src:
+            offenders.append(str(p))
+    assert offenders == [], offenders
+
+
 def test_ivf_assignment_has_no_window_shuffle(spark, sf_dir):
     # centroid assignment must be an argmin projection over the broadcast
     # centroid array — a Window on vec_id would shuffle N×k distance rows.
