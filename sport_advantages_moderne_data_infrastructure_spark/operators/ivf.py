@@ -48,6 +48,8 @@ def train_centroids(embeddings: DataFrame, k: int = 16, seed: int = 42,
     rows = (embeddings.select("vec_id", "embedding")
             .orderBy("vec_id").limit(sample).collect())
     X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    if len(X) == 0:  # guard before any rng/index use (ADVICE r2)
+        raise ValueError("train_centroids: embeddings table is empty")
     k = min(k, len(X))
     rng = np.random.RandomState(seed)
 

@@ -175,9 +175,17 @@ def decode_bmp_features(media: DataFrame) -> DataFrame:
         bpp = int.from_bytes(b[28:30], "little")
         row = (bpp // 8) * w
         stride = (row + 3) // 4 * 4
+        # BMP height is signed: h>0 = bottom-up row order, h<0 = top-down.
+        # Reshape on |h| and normalize to top-down so any order-sensitive
+        # downstream stat sees rows in image order (ADVICE r2: a signed
+        # read followed by reshape(h, ...) raised on legitimate top-down
+        # files and never flipped bottom-up ones).
+        n_rows = abs(h)
         px = (np.frombuffer(b, dtype=np.uint8, offset=off)
-              .reshape(h, stride)[:, :row])
-        n = row * h
+              .reshape(n_rows, stride)[:, :row])
+        if h > 0:
+            px = px[::-1]
+        n = row * n_rows
         return w, h, n, int(px.sum(dtype=np.int64))
 
     def _extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:

@@ -63,9 +63,23 @@ def rules_from_config(config: list[dict]) -> list[tuple[str, str]]:
     not_null · non_negative · between(min,max) · in_set(values) ·
     min_length(n).
     """
+    import re
+
+    def _num(v) -> str:
+        # numeric params must BE numeric — refuse to format anything else
+        if not isinstance(v, (int, float)) or isinstance(v, bool):
+            raise ValueError(f"numeric rule param expected, got {v!r}")
+        return repr(v)
+
     out: list[tuple[str, str]] = []
     for r in config:
         col, exp = r["column"], r["expectation"]
+        # column names are identifiers, not expressions — config values are
+        # interpolated into SQL run by BOTH engines, so validate/escape
+        # every one of them (ADVICE r2: quote-bearing values previously
+        # produced malformed or injected predicates)
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", col):
+            raise ValueError(f"invalid column name in rule config: {col!r}")
         name = r.get("name", f"{col}_{exp}")
         if exp == "not_null":
             pred = f"{col} IS NULL"
@@ -73,9 +87,10 @@ def rules_from_config(config: list[dict]) -> list[tuple[str, str]]:
             pred = f"{col} IS NOT NULL AND {col} < 0"
         elif exp == "between":
             pred = (f"{col} IS NOT NULL AND "
-                    f"({col} < {r['min']} OR {col} > {r['max']})")
+                    f"({col} < {_num(r['min'])} OR {col} > {_num(r['max'])})")
         elif exp == "in_set":
-            vals = ", ".join(f"'{v}'" for v in r["values"])
+            vals = ", ".join(
+                "'" + str(v).replace("'", "''") + "'" for v in r["values"])
             pred = f"{col} IS NOT NULL AND {col} NOT IN ({vals})"
         elif exp == "min_length":
             pred = f"{col} IS NOT NULL AND length({col}) < {int(r['n'])}"

@@ -59,9 +59,10 @@ def register(name: str, oracle: str | None = None, doc: str = "",
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _load_all()
     out = {name: q.spark_fn for name, q in REGISTRY.items() if q.driver}
-    assert len(out) <= DRIVER_CAP, (
-        f"driver-facing catalog has {len(out)} entries > cap {DRIVER_CAP}; "
-        "demote redundant queries with driver=False")
+    if len(out) > DRIVER_CAP:  # real exception: assert vanishes under -O
+        raise ValueError(
+            f"driver-facing catalog has {len(out)} entries > cap {DRIVER_CAP}; "
+            "demote redundant queries with driver=False")
     return out
 
 

@@ -126,11 +126,19 @@ def write_stream_merge(df: DataFrame, target: str, checkpoint: str,
             "__rn", F.row_number().over(
                 W.partitionBy(key).orderBy(F.desc(order_col))))
             .filter(F.col("__rn") == 1).drop("__rn"))
-        try:
+        # Only "target does not exist yet" may fall back to plain-append
+        # semantics (ADVICE r2): a transient read/merge/materialization
+        # error must FAIL the batch so the checkpoint retries it —
+        # swallowing it here would overwrite the whole target with just
+        # this micro-batch (silent data loss).
+        jvm_fs = spark._jvm.org.apache.hadoop.fs  # noqa: SLF001
+        hconf = spark._jsc.hadoopConfiguration()  # noqa: SLF001
+        tpath = jvm_fs.Path(target)
+        if tpath.getFileSystem(hconf).exists(tpath):
             target_df = spark.read.parquet(target)
             merged = merge_upsert(target_df, latest.select(*target_df.columns),
                                   key).localCheckpoint()
-        except Exception:  # first batch: no target yet
+        else:  # first batch: no target yet
             merged = latest
         merged.write.mode("overwrite").parquet(target)
 
