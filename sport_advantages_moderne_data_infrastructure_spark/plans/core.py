@@ -249,7 +249,7 @@ def q_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         D.employees(spark, sf_dir), "id_employee")
 
 
-@register("scalar_counts",
+@register("scalar_counts", driver=False,  # green r1+r2; slot rotated r3
           oracle=W("SELECT (SELECT COUNT(*) FROM employees) AS n_employees, "
                    "(SELECT COUNT(*) FROM commute_validations) AS n_validations, "
                    "(SELECT COUNT(*) FROM sport_activities) AS n_activities"),

@@ -285,7 +285,7 @@ def q_above_segment_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "events_props_map",
+    "events_props_map", driver=False,  # green r1+r2; slot rotated r3
     oracle=(
         # json_keys ≡ map_keys(from_json(...)); surface arrays, not MAP
         # values (MAP column representations don't hash across engines)

@@ -122,6 +122,40 @@ def q_asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_bucketed_last_signup",
+    oracle=(
+        # identical contract to asof_last_signup (DuckDB native ASOF) —
+        # driven through the time-bucketed candidate-bounding variant
+        "SELECT CAST(p.event_id AS BIGINT) AS purchase_id, p.user_id, "
+        "p.ts AS purchase_ts, CAST(s.event_id AS BIGINT) AS signup_id, "
+        "s.ts AS signup_ts "
+        "FROM (SELECT * FROM events WHERE event_type = 'purchase') p "
+        "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s "
+        "ON p.user_id = s.user_id AND p.ts >= s.ts "
+        "ORDER BY purchase_id"))
+def q_asof_bucketed_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """asof_last_signup through asof_join_bucketed (daily time buckets):
+    candidates are bounded to (key, bucket) + one carried row instead of
+    the key's whole history — the 100 TB as-of shape, exact same results
+    (property-equal to the plain operator in tests/test_properties.py,
+    value-equal to DuckDB's native ASOF here)."""
+    from ..operators.asof import asof_join_bucketed
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").cast("bigint").alias("purchase_id"),
+        "user_id", F.col("ts").alias("purchase_ts"))
+    signups = e.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").cast("bigint").alias("signup_id"),
+        F.col("user_id").alias("s_user"), F.col("ts").alias("signup_ts"))
+    return asof_join_bucketed(
+        purchases, signups.withColumnRenamed("s_user", "user_id"),
+        on="user_id", left_ts="purchase_ts", right_ts="signup_ts",
+        right_cols=["signup_id", "signup_ts"], bucket="86400",
+    ).select("purchase_id", "user_id", "purchase_ts", "signup_id",
+             "signup_ts").orderBy("purchase_id")
+
+
+@register(
     "dedup_events_exact",
     oracle=(
         "WITH doubled AS (SELECT * FROM events UNION ALL "

@@ -49,14 +49,84 @@ def read_jdbc_partitioned(spark: SparkSession, url: str, table: str,
     return reader.load()
 
 
-def read_excel(spark: SparkSession, path: str, sheet: str | int = 0) -> DataFrame:
-    """S5: HR-workbook ingestion — pandas reads the sheet (driver-side: HR
-    files are KB-scale dimension inputs, commute_validation.py:187), Spark
-    takes over via Arrow. Raises ImportError without openpyxl; tests feed
-    the same path CSV fixtures through read_tabular."""
+def _read_xlsx_stdlib(path: str, sheet: str = "sheet1"):
+    """Minimal xlsx reader on stdlib only (zipfile + ElementTree): xlsx is
+    a zip of XML — sharedStrings.xml holds the string pool, each worksheet
+    is a sparse cell grid. Covers the cell types the HR workbook (and any
+    plain tabular export) uses: shared strings ('s'), inline strings
+    ('inlineStr'), booleans ('b'), and numbers (default). Returns a pandas
+    DataFrame with row 1 as the header; numeric cells come back as float
+    (Excel's only numeric type — dates included, as serial day numbers,
+    exactly like pandas+openpyxl before its date-style pass)."""
+    import zipfile
+    import xml.etree.ElementTree as ET
+
     import pandas as pd
 
-    return spark.createDataFrame(pd.read_excel(path, sheet_name=sheet))
+    ns = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+    z = zipfile.ZipFile(path)
+    try:
+        sst = ET.fromstring(z.read("xl/sharedStrings.xml"))
+        strings = ["".join(t.text or "" for t in si.iter(f"{ns}t"))
+                   for si in sst.iter(f"{ns}si")]
+    except KeyError:  # workbook with no string pool
+        strings = []
+
+    def col_idx(ref: str) -> int:
+        n = 0
+        for ch in ref:
+            if ch.isalpha():
+                n = n * 26 + (ord(ch.upper()) - 64)
+            else:
+                break
+        return n - 1
+
+    grid: list[dict[int, object]] = []
+    root = ET.fromstring(z.read(f"xl/worksheets/{sheet}.xml"))
+    for row in root.iter(f"{ns}row"):
+        cells: dict[int, object] = {}
+        for c in row.iter(f"{ns}c"):
+            ref, ctype = c.get("r", ""), c.get("t")
+            v = c.find(f"{ns}v")
+            if ctype == "inlineStr":
+                val: object = "".join(
+                    t.text or "" for t in c.iter(f"{ns}t"))
+            elif v is None or v.text is None:
+                continue
+            elif ctype == "s":
+                val = strings[int(v.text)]
+            elif ctype == "b":
+                val = v.text == "1"
+            else:
+                val = float(v.text)
+            cells[col_idx(ref)] = val
+        if cells:
+            grid.append(cells)
+    if not grid:
+        return pd.DataFrame()
+    header_cells, data = grid[0], grid[1:]
+    width = max(max(r) for r in grid) + 1
+    cols = [str(header_cells.get(i, f"col_{i}")) for i in range(width)]
+    return pd.DataFrame(
+        [[r.get(i) for i in range(width)] for r in data], columns=cols)
+
+
+def read_excel(spark: SparkSession, path: str, sheet: str | int = 0) -> DataFrame:
+    """S5: HR-workbook ingestion (commute_validation.py:187 reads
+    ``Données+RH.xlsx`` with pandas). Driver-side parse — HR files are
+    KB-scale dimension inputs — then Spark takes over via Arrow.
+
+    pandas+openpyxl when available; otherwise the stdlib zip/XML parser
+    above (same DataFrame shape), so the edge EXECUTES in this container
+    — pinned against the real reference workbook in tests/test_xlsx.py."""
+    import pandas as pd
+
+    try:
+        pdf = pd.read_excel(path, sheet_name=sheet)
+    except ImportError:  # no openpyxl in the container
+        name = sheet if isinstance(sheet, str) else f"sheet{int(sheet) + 1}"
+        pdf = _read_xlsx_stdlib(path, sheet=name)
+    return spark.createDataFrame(pdf)
 
 
 def read_tabular(spark: SparkSession, path: str, **options) -> DataFrame:
