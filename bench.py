@@ -50,6 +50,9 @@ def main() -> None:
         # storage memory doesn't accumulate across the headline set
         spark.catalog.clearCache()
 
+    stream = bench_streaming(spark, sf_dir)
+    print(f"# stream: {stream}", file=sys.stderr)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)
@@ -61,9 +64,56 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "index_build_sec": index_build,
+        "stream": stream,
         "sf": sf_val,
     }))
     spark.stop()
+
+
+def bench_streaming(spark, sf_dir: str) -> dict:
+    """Streaming-path throughput (BASELINE.md bench plan: the reference's
+    only measured metrics are its streaming job's rows/sec + micro-batch
+    progress, SaveDelta.scala:194-201): the CDC parse pipeline drained
+    with Trigger.AvailableNow through the checkpointed parquet sink,
+    maxFilesPerTrigger bounding each micro-batch like a Kafka offset
+    range. Reports end-to-end rows/sec and per-micro-batch latency."""
+    import shutil
+    import tempfile
+    import time
+
+    from sport_advantages_moderne_data_infrastructure_spark.sources import (
+        domain as D,
+    )
+    from sport_advantages_moderne_data_infrastructure_spark.streaming import (
+        pipeline as P,
+    )
+
+    root = tempfile.mkdtemp(prefix="samdis_bench_stream_")
+    src, out, ckpt = f"{root}/src", f"{root}/out", f"{root}/ckpt"
+    # 16 source files ≈ 16 Kafka partitions; 4 files per trigger → 4
+    # micro-batches over the full CDC frame set
+    D.cdc_events(spark, sf_dir).repartition(16).write.parquet(src)
+    n_rows = spark.read.parquet(src).count()
+
+    t0 = time.perf_counter()
+    q = P.write_stream_parquet(
+        P.stream_cdc_from_files(spark, src, max_files_per_trigger=4),
+        out, ckpt)
+    q.awaitTermination(600)
+    wall = time.perf_counter() - t0
+    progress = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    out_rows = spark.read.parquet(out).count()
+    batch_ms = [p["batchDuration"] for p in progress]
+    stream = {
+        "input_rows": n_rows,
+        "output_rows": out_rows,
+        "rows_per_sec": round(n_rows / wall, 1),
+        "micro_batches": len(progress),
+        "mean_batch_ms": round(sum(batch_ms) / max(len(batch_ms), 1), 1),
+        "wall_sec": round(wall, 3),
+    }
+    shutil.rmtree(root, ignore_errors=True)
+    return stream
 
 
 if __name__ == "__main__":

@@ -58,11 +58,26 @@ _MH_A = [((2654435761 * (j + 1)) % (1 << 30)) | 1 for j in range(N_MINHASH)]
 _MH_B = [(40503 * (j + 7) ** 2) % _MH_P for j in range(N_MINHASH)]
 
 
+def _spread_for_fanout(df: DataFrame) -> DataFrame:
+    """Round-robin repartition IFF the input has fewer partitions than the
+    cluster has cores: the shingle explode multiplies each document row
+    ~n_chars× and the md5 per position is the real work, so a 2-file
+    corpus would otherwise hash millions of shingles on 2 threads (4.7×
+    of the sf0.1 index build). A corpus that already has ≥ parallelism
+    partitions (any real 100 TB layout) passes through untouched — no
+    full-text shuffle is ever forced on a well-partitioned input."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def shingle_hashes(corpus: DataFrame) -> DataFrame:
     """ONE distinct, at the hash level: hashing positions directly and
     deduping (doc_id, h) saves the string-level distinct's second full
     shuffle of the index (md5 collisions are identical cross-engine, so
     hash-level dedup is equivalent under the differential gate)."""
+    corpus = _spread_for_fanout(corpus)
     n_pos = F.greatest(F.length("text") - (SHINGLE_LEN - 1), F.lit(1))
     sh_expr = f"substr(text, i, {SHINGLE_LEN})"
     return (
@@ -94,6 +109,7 @@ def word_shingle_hashes(corpus: DataFrame,
     whitespace normalization, selective on shared-vocabulary corpora
     because a 5-word window is rare. Same downstream machinery
     (cap/Jaccard/MinHash) as the char index via the ``hashes`` params."""
+    corpus = _spread_for_fanout(corpus)
     n_pos = F.greatest(F.size("toks") - (n - 1), F.lit(1))
     return (
         corpus.select("doc_id", F.split(F.trim("text"), " +").alias("toks"))
@@ -153,14 +169,21 @@ def capped_shingle_hashes_sql(corpus_cte: str) -> str:
 
 
 def jaccard_pairs(corpus: DataFrame, threshold: float = 0.5,
-                  hashes: DataFrame | None = None) -> DataFrame:
+                  hashes: DataFrame | None = None,
+                  capped: DataFrame | None = None) -> DataFrame:
     """Jaccard over the capped hashed-shingle inverted index: candidate
     pairs come from the equi-join on shingle hash (docs sharing none never
-    meet); the DF cap bounds docs-per-shingle."""
-    base = (shingle_hashes(corpus).cache() if hashes is None else hashes)
-    # cached: the capped index feeds three consumers (pair generation and
-    # both size joins) — without it each re-runs the stop-set anti-join
-    sh = capped_shingle_hashes(corpus, hashes=base).cache()
+    meet); the DF cap bounds docs-per-shingle. ``capped``: a PRE-BUILT
+    capped index (the stop-set pass is corpus-level, so the index build
+    materializes it once — queries then skip the per-run df>cap
+    aggregation entirely)."""
+    if capped is not None:
+        sh = capped
+    else:
+        base = (shingle_hashes(corpus).cache() if hashes is None else hashes)
+        # cached: the capped index feeds three consumers (pair generation
+        # and both size joins) — else each re-runs the stop-set anti-join
+        sh = capped_shingle_hashes(corpus, hashes=base).cache()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     # bounded pair generation off the posting lists: with df ≤ cap, each
     # shingle's sorted id list yields ≤ C(cap,2) pairs via an array
@@ -397,7 +420,8 @@ def simhash_near_dup(corpus: DataFrame,
 
 
 def jaccard_for_pairs(corpus: DataFrame, pairs: DataFrame,
-                      hashes: DataFrame | None = None) -> DataFrame:
+                      hashes: DataFrame | None = None,
+                      capped: DataFrame | None = None) -> DataFrame:
     """Exact Jaccard for a GIVEN candidate pair list (doc_a, doc_b) — the
     verify stage after LSH: per-pair set intersection via hash-joins
     against the (capped) shingle index; all-pairs never materializes.
@@ -411,15 +435,16 @@ def jaccard_for_pairs(corpus: DataFrame, pairs: DataFrame,
       materialize (joining on doc_b alone would cross every a-shingle with
       every b-shingle of the pair — |A|×|B| rows per pair pre-filter).
     """
-    base = (shingle_hashes(corpus).cache() if hashes is None else hashes)
+    if capped is None:
+        base = (shingle_hashes(corpus).cache() if hashes is None else hashes)
+        capped = capped_shingle_hashes(corpus, hashes=base)
     # the pair list feeds TWO consumers (the doc-restriction broadcast and
     # the intersection join); it is tiny but its producer (LSH) is not —
     # materialize once so the candidate pipeline doesn't run per consumer
     pairs = pairs.localCheckpoint()
     cand_docs = (pairs.select(F.explode(F.array("doc_a", "doc_b"))
                               .alias("doc_id")).distinct())
-    sh = (capped_shingle_hashes(corpus, hashes=base)
-          .join(F.broadcast(cand_docs), "doc_id"))
+    sh = capped.join(F.broadcast(cand_docs), "doc_id")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("h").alias("h"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("h").alias("h"))

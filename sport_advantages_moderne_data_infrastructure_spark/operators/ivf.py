@@ -126,7 +126,12 @@ def build_ivf_index(embeddings: DataFrame, centroids: list[list[float]],
     base = embeddings.select(
         "vec_id", "embedding",
         F.sqrt(F.expr(dot_expr("embedding", "embedding"))).alias("e_norm"))
+    # repartition ON the partition column before partitionBy: each write
+    # task then owns whole centroid lists, so the layout is k files — not
+    # (shuffle-partitions × k) splinter files whose open/close dominates
+    # the build and whose tiny footers dominate later probe scans
     (assign_centroids(base, centroids)
+     .repartition("centroid_id")
      .write.mode("overwrite").partitionBy("centroid_id").parquet(path))
 
 

@@ -33,10 +33,17 @@ CDC_RAW_SCHEMA = T.StructType([
 ])
 
 
-def stream_cdc_from_files(spark: SparkSession, path: str) -> DataFrame:
+def stream_cdc_from_files(spark: SparkSession, path: str,
+                          max_files_per_trigger: int | None = None) -> DataFrame:
     """File-source stand-in for the Kafka topic (S1/S2 test twin):
-    a directory of parquet files with the Kafka record schema."""
-    raw = spark.readStream.schema(CDC_RAW_SCHEMA).parquet(path)
+    a directory of parquet files with the Kafka record schema.
+    ``max_files_per_trigger`` bounds each micro-batch (the file-source
+    analog of a Kafka offset range) — without it availableNow drains the
+    directory in one batch."""
+    reader = spark.readStream.schema(CDC_RAW_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.parquet(path)
     return parse_cdc(raw)
 
 
