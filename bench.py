@@ -45,9 +45,13 @@ def main() -> None:
         n = df.count()
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
-        # operators cache() intermediates (shingle index, LSH bands, IVF
-        # assignments) whose lifetime the caller owns — drop them so
-        # storage memory doesn't accumulate across the headline set
+        # drop per-query cache() intermediates so storage memory doesn't
+        # accumulate and numbers stay standalone. Index artifacts are NOT
+        # affected: they are parquet tables (shingle, capped, minhash,
+        # IVF lists) re-read per query — the honest steady-state cost a
+        # deployment pays from storage. The formerly per-query stop-set
+        # aggregation moved into the build phase (capped_shingle_index),
+        # which is what r2's clearCache was unfairly re-charging per run.
         spark.catalog.clearCache()
 
     stream = bench_streaming(spark, sf_dir)

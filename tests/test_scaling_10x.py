@@ -1,0 +1,148 @@
+"""Asymptotics stress (VERDICT r2 next-round #8): the capped/banded/
+bucketed paths must grow ≲ linearly in corpus size — the plans are pinned
+elsewhere (tests/test_plan_quality.py); this measures the actual runtime
+ratio at 1× vs 10× and fails if it drifts toward quadratic.
+
+Corpus scaling is by DISJOINT transformed copies, not duplication:
+- documents: per-copy alphabet rotation (``translate``) — each copy is a
+  disjoint vocabulary universe, so the shingle-df distribution, near-dup
+  pair structure, and cap behavior are preserved per copy while the index
+  grows 10×. (Plain duplication would push every shingle's df over the
+  stop cap and make every banded bucket quadratic in the copy count —
+  measuring a degenerate corpus, not the algorithm.)
+- events: per-copy user_id/event_id shifts — disjoint as-of key spaces.
+
+Runs only with SAMDIS_SCALING=1 (several minutes of deliberate load);
+the observed table lives in PLANS.md §scaling.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sport_advantages_moderne_data_infrastructure_spark.operators import (
+    dedup as DD,
+)
+from sport_advantages_moderne_data_infrastructure_spark.operators.asof import (
+    asof_join_bucketed,
+)
+from sport_advantages_moderne_data_infrastructure_spark.plans import textops
+from sport_advantages_moderne_data_infrastructure_spark.sources.tables import (
+    load_table,
+)
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("SAMDIS_SCALING") != "1",
+    reason="scaling stress: set SAMDIS_SCALING=1 (several minutes)")
+
+SF = "/root/testdata/sf0.1"
+M = 10  # scale factor between the two measurements
+# linear growth ⇒ ratio ≈ M (plus fixed overheads that shrink it);
+# quadratic ⇒ ratio ≈ M² = 100. 3×M is a generous noise margin that a
+# quadratic regression still cannot pass.
+MAX_RATIO = 3 * M
+
+_ALPHA = "abcdefghijklmnopqrstuvwxyz"
+
+
+def _scaled_docs(spark, m: int) -> DataFrame:
+    base = load_table(spark, SF, "documents").select("doc_id", "text")
+    copies = [
+        base.select(
+            (F.col("doc_id") + i * 10_000_000).alias("doc_id"),
+            F.translate("text", _ALPHA, _ALPHA[i:] + _ALPHA[:i]).alias("text"))
+        for i in range(m)
+    ]
+    df = copies[0]
+    for c in copies[1:]:
+        df = df.unionAll(c)
+    return df
+
+
+def _scaled_events(spark, m: int) -> DataFrame:
+    base = load_table(spark, SF, "events")
+    copies = [
+        base.select(
+            (F.col("event_id") + i * 100_000_000).alias("event_id"),
+            (F.col("user_id") + i * 10_000_000).alias("user_id"),
+            "event_type", "ts")
+        for i in range(m)
+    ]
+    df = copies[0]
+    for c in copies[1:]:
+        df = df.unionAll(c)
+    return df
+
+
+def _timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
+def _report(name: str, n1: int, t1: float, n10: int, t10: float) -> float:
+    ratio = t10 / t1
+    print(f"RESULT: {name}: 1x({n1} rows) {t1:.2f}s | "
+          f"{M}x({n10} rows) {t10:.2f}s | ratio {ratio:.1f}")
+    return ratio
+
+
+def test_jaccard_pairs_scales_linearly(spark):
+    def run(m):
+        corpus = _scaled_docs(spark, m)
+        out = DD.jaccard_pairs(corpus, hashes=DD.shingle_hashes(corpus).cache())
+        n = out.count()
+        spark.catalog.clearCache()
+        return n
+    n1 = run(1)  # warm run: codegen + parquet footers out of the timings
+    t1 = _timed(lambda: run(1))
+    t10 = _timed(lambda: run(M))
+    ratio = _report("dedup_jaccard_pairs", n1, t1, -1, t10)
+    assert ratio <= MAX_RATIO, f"superlinear: {ratio:.1f}x at {M}x corpus"
+
+
+def test_simhash_pairs_scales_linearly(spark):
+    def run(m):
+        return DD.simhash_near_dup(_scaled_docs(spark, m)).count()
+    n1 = run(1)
+    t1 = _timed(lambda: run(1))
+    t10 = _timed(lambda: run(M))
+    ratio = _report("dedup_simhash_pairs", n1, t1, -1, t10)
+    assert ratio <= MAX_RATIO, f"superlinear: {ratio:.1f}x at {M}x corpus"
+
+
+def test_asof_bucketed_scales_linearly(spark):
+    def run(m):
+        e = _scaled_events(spark, m)
+        purchases = e.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").cast("bigint").alias("purchase_id"),
+            "user_id", F.col("ts").alias("purchase_ts"))
+        signups = e.filter(F.col("event_type") == "signup").select(
+            F.col("event_id").cast("bigint").alias("signup_id"),
+            "user_id", F.col("ts").alias("signup_ts"))
+        return asof_join_bucketed(
+            purchases, signups, on="user_id", left_ts="purchase_ts",
+            right_ts="signup_ts", right_cols=["signup_id", "signup_ts"],
+            bucket="86400").count()
+    n1 = run(1)
+    t1 = _timed(lambda: run(1))
+    t10 = _timed(lambda: run(M))
+    ratio = _report("asof_join_bucketed", n1, t1, -1, t10)
+    assert ratio <= MAX_RATIO, f"superlinear: {ratio:.1f}x at {M}x corpus"
+
+
+def test_lsh_candidates_scale_linearly(spark):
+    def run(m):
+        corpus = _scaled_docs(spark, m)
+        return DD.lsh_candidate_pairs(corpus).count()
+    n1 = run(1)
+    t1 = _timed(lambda: run(1))
+    t10 = _timed(lambda: run(M))
+    ratio = _report("dedup_minhash_lsh", n1, t1, -1, t10)
+    assert ratio <= MAX_RATIO, f"superlinear: {ratio:.1f}x at {M}x corpus"
