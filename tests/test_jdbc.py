@@ -3,9 +3,10 @@ Spark's jars/ as the metastore dependency — no external DB needed;
 VERDICT.md r1 next-round #6). Round-trip: write_jdbc → partitioned
 read_jdbc_partitioned → exact value compare vs the source DataFrame.
 
-Also pins the S5 Excel edge's behavior in this codec-less container:
-read_excel must fail with ImportError (openpyxl absent), not something
-opaque; the CSV twin (read_tabular) carries the tested path.
+Also pins the S5 Excel edge's failure mode: a MALFORMED workbook must
+fail with a clear early error (never a hung executor) — since r3 the
+happy path executes for real via the stdlib xlsx parser, pinned against
+the reference workbook in tests/test_xlsx.py.
 """
 
 from __future__ import annotations
@@ -123,7 +124,7 @@ def test_wait_for_source_preflight(spark, sf_dir, tmp_path):
         t.join()
 
 
-def test_read_excel_raises_importerror_without_openpyxl(spark, tmp_path):
+def test_read_excel_fails_fast_on_malformed_workbook(spark, tmp_path):
     pd = pytest.importorskip("pandas")
     try:
         import openpyxl  # noqa: F401
@@ -133,9 +134,8 @@ def test_read_excel_raises_importerror_without_openpyxl(spark, tmp_path):
     import zipfile
     fake = tmp_path / "hr.xlsx"
     fake.write_bytes(b"PK\x03\x04 not a real workbook")
-    # pandas probes the container before importing the engine, so either
-    # the zip probe or the missing-openpyxl import surfaces — both are
-    # clear, early errors (the contract; never a hung executor)
+    # pandas raises ImportError (no openpyxl) or a container error; the
+    # stdlib fallback then hits the zip probe — all clear, early errors
     with pytest.raises((ImportError, ValueError, zipfile.BadZipFile)):
         io.read_excel(spark, str(fake))
     # the CSV twin still serves the same downstream transforms
