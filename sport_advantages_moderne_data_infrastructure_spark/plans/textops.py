@@ -387,6 +387,115 @@ def q_token_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+# --- benchmark contamination + intra-doc repetition ----------------------
+# Two standard training-data quality ops (GPT-3 §C / Gopher-style):
+# contamination = train docs sharing ≥K word-n-grams with an eval/benchmark
+# doc; repetition = fraction of duplicated word 3-grams inside a doc.
+
+# contamination fixture: every 97th doc is the "benchmark set"; every 2nd
+# benchmark doc leaks back into training under a shifted id with a prefix
+# edit (reproduced verbatim in the oracle CTE)
+_CONTAM_CORPUS_SQL = (
+    "SELECT doc_id, text, CAST(doc_id % 97 = 0 AS BOOLEAN) AS is_eval "
+    "FROM documents "
+    "UNION ALL SELECT doc_id + 50000 AS doc_id, "
+    "concat('leaked copy: ', text) AS text, FALSE AS is_eval "
+    "FROM documents WHERE doc_id % 194 = 0"
+)
+
+_CONTAM_MIN_SHARED = 3
+
+
+def _contam_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = d.select("doc_id", "text",
+                    (F.col("doc_id") % 97 == 0).alias("is_eval"))
+    leaked = (d.filter(F.col("doc_id") % 194 == 0)
+              .select((F.col("doc_id") + 50000).alias("doc_id"),
+                      F.concat(F.lit("leaked copy: "), F.col("text"))
+                      .alias("text"),
+                      F.lit(False).alias("is_eval")))
+    return base.unionAll(leaked)
+
+
+@register(
+    "contamination_check", driver=False,  # new in r3; r4 rotation candidate
+    oracle=(
+        f"WITH corpus AS ({_CONTAM_CORPUS_SQL}), "
+        f"sh AS ({DD.word_shingle_hashes_sql('corpus')}), "
+        "ev AS (SELECT s.doc_id, s.h FROM sh s "
+        "JOIN corpus c ON s.doc_id = c.doc_id WHERE c.is_eval), "
+        "tr AS (SELECT s.doc_id, s.h FROM sh s "
+        "JOIN corpus c ON s.doc_id = c.doc_id WHERE NOT c.is_eval), "
+        "hits AS (SELECT tr.doc_id AS train_doc_id, "
+        "ev.doc_id AS eval_doc_id, COUNT(*) AS n_shared "
+        "FROM tr JOIN ev ON tr.h = ev.h GROUP BY 1, 2) "
+        "SELECT train_doc_id, eval_doc_id, CAST(n_shared AS BIGINT) "
+        f"AS n_shared FROM hits WHERE n_shared >= {_CONTAM_MIN_SHARED} "
+        "ORDER BY train_doc_id, eval_doc_id"))
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination detection (the GPT-3-style n-gram overlap
+    check): training docs sharing ≥3 word-5-gram shingles with any
+    eval-set doc. The eval side is tiny by construction (benchmarks are),
+    so its shingle set BROADCASTS — at 100 TB this is one linear scan of
+    the train corpus with a map-side hash join, no shuffle of train
+    shingles at all; the only grouped shuffle is over hit pairs."""
+    corpus = _contam_corpus(spark, sf_dir)
+    sh = DD.word_shingle_hashes(corpus)
+    flags = corpus.select("doc_id", "is_eval")
+    sh = sh.join(flags, "doc_id")
+    ev = (sh.filter(F.col("is_eval"))
+          .select(F.col("doc_id").alias("eval_doc_id"), "h"))
+    tr = (sh.filter(~F.col("is_eval"))
+          .select(F.col("doc_id").alias("train_doc_id"), "h"))
+    return (
+        tr.join(F.broadcast(ev), "h")
+        .groupBy("train_doc_id", "eval_doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= _CONTAM_MIN_SHARED)
+        .orderBy("train_doc_id", "eval_doc_id")
+    )
+
+
+@register(
+    "doc_repetition_score", driver=False,  # new in r3; r4 rotation candidate
+    oracle=(
+        "WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), ' +') "
+        "AS t FROM documents), "
+        "g AS (SELECT doc_id, array_to_string(list_slice(t, i, i + 2), ' ') "
+        "AS gram FROM (SELECT doc_id, t, unnest(range(1, "
+        "greatest(len(t) - 2, 1) + 1)) AS i FROM toks) x), "
+        "agg AS (SELECT doc_id, COUNT(*) AS n_grams, "
+        "COUNT(DISTINCT gram) AS n_distinct FROM g GROUP BY doc_id) "
+        "SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, "
+        "CAST(n_distinct AS BIGINT) AS n_distinct, "
+        "ROUND(CAST(n_grams - n_distinct AS DOUBLE) / n_grams, 4) "
+        "AS dup_ratio FROM agg ORDER BY doc_id"))
+def q_doc_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition (Gopher/RefinedWeb-style quality signal):
+    fraction of duplicated word 3-grams per doc — high ratios flag
+    boilerplate/spam for the filter stage. One explode + one grouped
+    agg per doc; integer counts and a single rounded division keep it
+    bit-identical cross-engine."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split(F.trim("text"), " +").alias("t"))
+    n_pos = F.greatest(F.size("t") - 2, F.lit(1))
+    grams = (toks.select(
+        "doc_id", F.explode(F.sequence(F.lit(1), n_pos)).alias("i"), "t")
+        .select("doc_id",
+                F.expr("array_join(slice(t, i, 3), ' ')").alias("gram")))
+    agg = grams.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.countDistinct("gram").alias("n_distinct"))
+    return (agg.select(
+        "doc_id",
+        F.col("n_grams").cast("bigint").alias("n_grams"),
+        F.col("n_distinct").cast("bigint").alias("n_distinct"),
+        F.round((F.col("n_grams") - F.col("n_distinct")).cast("double")
+                / F.col("n_grams"), 4).alias("dup_ratio"))
+        .orderBy("doc_id"))
+
+
 _NC_SUB = f"({_NEAR_CORPUS_SQL})"
 
 
