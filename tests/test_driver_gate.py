@@ -1,0 +1,42 @@
+"""Replica of the external driver's correctness gate at ITS scale:
+every driver-facing query (the 50-slot `__spark_entry__.queries()`
+surface) vs its DuckDB oracle at sf0.01 — `test_oracle_parity` covers
+the FULL registry at sf0.001 for speed; this module pins the exact
+(surface, scale) pair the external gate hashes, so a query that only
+diverges at sf0.01 (row-count-dependent plans, tie distributions) can
+never reach the driver unverified."""
+
+from __future__ import annotations
+
+import pytest
+
+from sport_advantages_moderne_data_infrastructure_spark.plans import catalog
+
+from .conftest import SF_DIR_T2
+from .oracle import assert_oracle_match, duck_connection
+
+catalog._load_all()
+DRIVER_NAMES = [n for n, q in catalog.REGISTRY.items()
+                if q.driver and q.oracle is not None]
+
+
+def test_driver_surface_is_fully_oracle_bearing():
+    # the r2 state (two no_oracle driver rows) may not come back
+    bare = [n for n, q in catalog.REGISTRY.items()
+            if q.driver and q.oracle is None]
+    assert bare == [], f"driver queries without an oracle: {bare}"
+    assert len(DRIVER_NAMES) <= catalog.DRIVER_CAP
+
+
+@pytest.fixture(scope="module")
+def con_t2():
+    c = duck_connection(SF_DIR_T2)
+    yield c
+    c.close()
+
+
+@pytest.mark.parametrize("name", DRIVER_NAMES)
+def test_driver_query_matches_oracle_at_gate_scale(spark, con_t2, name):
+    q = catalog.REGISTRY[name]
+    df = q.spark_fn(spark, SF_DIR_T2)
+    assert_oracle_match(df, con_t2, q.oracle, name)
