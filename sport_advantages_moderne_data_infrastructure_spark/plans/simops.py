@@ -384,6 +384,49 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("query_id"))
 
 
+# IVF's driver contract (VERDICT r2 #2, second half): the IVF pipeline is
+# deterministic END-TO-END — centroids train on the first 4096 vectors BY
+# vec_id with a seeded RandomState (operators/ivf.py), assignment is a
+# pure argmin projection, every ranking tie-break is pinned — so its
+# per-query overlap against brute-force truth at the gate's scale
+# (sf0.01) is a fixed integer vector. k-means itself is not
+# SQL-expressible, so the oracle pins those expected overlaps as
+# literals, exactly the "literal expected overlap values pinned at
+# generation time" contract VERDICT r2 proposed. Scale-specific by
+# construction: tagged gate_scale_only, verified at sf0.01 by
+# tests/test_driver_gate.py (and by the external gate); regenerate the
+# literals if the corpus, seed, or distance formula ever changes.
+_IVF_EXPECTED_SF001 = [(0, 9), (50, 7), (100, 8), (150, 7), (200, 8),
+                       (250, 7), (300, 4), (350, 5), (400, 6), (450, 7)]
+
+_IVF_RECALL_ORACLE = (
+    "SELECT CAST(query_id AS BIGINT) AS query_id, "
+    "CAST(overlap_at_10 AS BIGINT) AS overlap_at_10 FROM (VALUES "
+    + ", ".join(f"({q}, {o})" for q, o in _IVF_EXPECTED_SF001)
+    + ") t(query_id, overlap_at_10) ORDER BY query_id")
+
+
+@register("ann_ivf_recall", oracle=_IVF_RECALL_ORACLE,
+          tags=("gate_scale_only",))
+def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query INTEGER overlap of the IVF top-10 (from the persisted
+    inverted-list index) against the brute-force top-10 — the IVF twin of
+    ann_recall_report. The oracle is a pinned golden vector (see above):
+    any drift in centroid training, assignment, probe order, or ranking
+    surfaces as a driver-gate hash mismatch."""
+    brute = q_ann_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    ivf = q_ann_ivf_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = (brute.join(ivf, ["query_id", "neighbor_id"])
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("overlap")))
+    qs = brute.select("query_id").distinct()
+    return (qs.join(hits, "query_id", "left")
+            .select("query_id",
+                    F.coalesce("overlap", F.lit(0)).cast("bigint")
+                    .alias("overlap_at_10"))
+            .orderBy("query_id"))
+
+
 @register("ann_cosine_topk", oracle=_ANN_ORACLE, bench=True)
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 for every 50th vector as query.

@@ -609,7 +609,9 @@ def q_multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.decode_wav_features(MM.synth_wav(docs)).orderBy("doc_id")
 
 
-@register("multimodal_meta", oracle=MM.SYNTH_MEDIA_META_SQL)
+@register("multimodal_meta", oracle=MM.SYNTH_MEDIA_META_SQL,
+          driver=False)  # green r1+r2; slot rotated r3 to ann_ivf_recall
+          # (the REAL decode twins bmp/wav stay driver-checked)
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media column + typed metadata projection (blob as hex for
     cross-engine hashing); the mapInPandas decode plumbing is exercised in

@@ -24,5 +24,10 @@ def con(sf_dir):
 @pytest.mark.parametrize("name", NAMES)
 def test_query_matches_oracle(spark, sf_dir, con, name):
     q = catalog.REGISTRY[name]
+    if "gate_scale_only" in q.tags and sf_dir != "/root/testdata/sf0.01":
+        # pinned-golden oracle (e.g. ann_ivf_recall): literals are valid
+        # only at the gate's scale — tests/test_driver_gate.py checks it
+        # there on every run
+        pytest.skip("oracle pinned at gate scale (sf0.01)")
     df = q.spark_fn(spark, sf_dir)
     assert_oracle_match(df, con, q.oracle, name)

@@ -56,10 +56,12 @@ def test_simhash_pairs_is_hash_join_not_nested_loop(spark, sf_dir):
 # baseline (broadcast query set × corpus scan); embedding_near_dup left
 # this list in r3 when it became pytest-only (driver=False) — its
 # driver-facing twin is the bucketed embedding_dedup_lsh.
-# ann_recall_report necessarily CONTAINS the brute baseline: it measures
-# the LSH approximation against exhaustive truth, so the crossJoin side
-# is the point, not a regression (the LSH side stays equi-join).
-_NESTED_LOOP_ALLOWED = {"ann_cosine_topk", "ann_recall_report"}
+# ann_recall_report / ann_ivf_recall necessarily CONTAIN the brute
+# baseline: they measure the approximate paths against exhaustive truth,
+# so the crossJoin side is the point, not a regression (the LSH/IVF
+# sides stay equi-joins).
+_NESTED_LOOP_ALLOWED = {"ann_cosine_topk", "ann_recall_report",
+                        "ann_ivf_recall"}
 
 
 def test_no_driver_query_regresses_to_nested_loop(spark, sf_dir):
