@@ -387,6 +387,69 @@ def q_token_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+@register(
+    "training_pipeline_e2e", driver=False,  # new in r3; r4 rotation
+    # candidate — the composed pipeline, every stage already gate-checked
+    oracle=(
+        f"WITH corpus AS ({_DUP_CORPUS_SQL}), "
+        "q AS (SELECT doc_id, text FROM corpus WHERE "
+        "len(regexp_split_to_array(trim(text), ' +')) >= 20 "
+        "AND length(text) BETWEEN 100 AND 10000 "
+        "AND CAST(length(text) AS DOUBLE) / "
+        "len(regexp_split_to_array(trim(text), ' +')) BETWEEN 3 AND 12), "
+        "canon AS (SELECT doc_id, text FROM (SELECT doc_id, text, "
+        "MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id FROM q) x "
+        "WHERE doc_id = keep_id), "
+        "tagged AS (SELECT doc_id, text, CASE WHEN "
+        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) "
+        "% 100 < 80 THEN 'train' WHEN "
+        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) "
+        "% 100 < 90 THEN 'val' ELSE 'test' END AS split, "
+        "CAST(doc_id % 32 AS INT) AS shard, "
+        "CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT) "
+        "AS n_tokens FROM canon), "
+        "c AS (SELECT doc_id, split, shard, n_tokens, "
+        "SUM(n_tokens) OVER (PARTITION BY split, shard ORDER BY doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior "
+        "FROM tagged) "
+        "SELECT doc_id, split, shard, n_tokens, "
+        f"CAST(FLOOR(COALESCE(prior, 0) / {_PACK_BUDGET}) AS INT) AS pack_id "
+        "FROM c ORDER BY doc_id"))
+def q_training_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole training-data pipeline as ONE composed plan — quality
+    gate → exact-dedup canonicalization → stable split assignment →
+    per-(split, shard) token packing — over the duplicate-injected
+    corpus. Each stage is the already-gate-checked operator; composing
+    them proves the stages chain without materialization barriers: one
+    scan, the dedup window's shuffle on md5(text), the pack window's
+    shuffle on (split, shard) — nothing else, at any corpus size."""
+    from pyspark.sql import Window as W
+    c = dup_corpus(spark, sf_dir).select("doc_id", "text")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), " +"))
+    n_c = F.length("text")
+    ratio = n_c.cast("double") / n_tokens
+    q = c.filter((n_tokens >= 20) & (n_c >= 100) & (n_c <= 10000)
+                 & (ratio >= 3) & (ratio <= 12))
+    keep = F.min("doc_id").over(W.partitionBy(F.md5("text")))
+    canon = (q.withColumn("__keep", keep)
+             .filter(F.col("doc_id") == F.col("__keep")).drop("__keep"))
+    h = F.expr(_H100_SPARK)
+    tagged = canon.select(
+        "doc_id",
+        (F.when(h < 80, "train").when(h < 90, "val").otherwise("test"))
+        .alias("split"),
+        (F.col("doc_id") % _N_SHARDS).cast("int").alias("shard"),
+        F.size(F.split(F.trim("text"), " +")).cast("bigint")
+        .alias("n_tokens"))
+    w = (W.partitionBy("split", "shard").orderBy("doc_id")
+         .rowsBetween(W.unboundedPreceding, -1))
+    prior = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (tagged.withColumn(
+        "pack_id", F.floor(prior / _PACK_BUDGET).cast("int"))
+        .select("doc_id", "split", "shard", "n_tokens", "pack_id")
+        .orderBy("doc_id"))
+
+
 # --- benchmark contamination + intra-doc repetition ----------------------
 # Two standard training-data quality ops (GPT-3 §C / Gopher-style):
 # contamination = train docs sharing ≥K word-n-grams with an eval/benchmark
