@@ -640,3 +640,59 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("s_acctbal"), "s_name", "p_partkey")
         .limit(100)
     )
+
+
+@register(
+    "customer_order_gaps", driver=False,  # new in r3; r4 rotation candidate
+    oracle=(
+        "WITH g AS (SELECT o_custkey, o_orderkey, o_orderdate, "
+        "lag(o_orderdate) OVER (PARTITION BY o_custkey "
+        "ORDER BY o_orderdate, o_orderkey) AS prev_orderdate "
+        "FROM orders) "
+        "SELECT o_custkey, o_orderkey, o_orderdate, prev_orderdate, "
+        "CAST(FLOOR(epoch(o_orderdate - prev_orderdate) / 86400) AS BIGINT) "
+        "AS gap_days "
+        "FROM g ORDER BY o_custkey, o_orderdate, o_orderkey"))
+def q_customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() inter-event gaps: days since each customer's previous order
+    (NULL for the first). One shuffle on the partition key; ties on
+    o_orderdate break by o_orderkey so the lag sequence is total-ordered
+    in both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window as W
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_orderdate").over(w)
+    gap = F.floor(
+        (F.unix_timestamp("o_orderdate") - F.unix_timestamp(prev)) / 86400
+    ).cast("bigint")
+    return (o.select("o_custkey", "o_orderkey", "o_orderdate",
+                     prev.alias("prev_orderdate"), gap.alias("gap_days"))
+            .orderBy("o_custkey", "o_orderdate", "o_orderkey"))
+
+
+@register(
+    "approx_distinct_contract", driver=False,  # new in r3; r4 candidate
+    oracle=(
+        # the oracle pins the EXACT counts and asserts the sketch landed
+        # inside the tolerance (literal TRUE): if Spark's HLL ever drifts
+        # beyond 3%, within_3pct flips FALSE and the hash mismatches
+        "SELECT o_orderpriority, "
+        "CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_exact, "
+        "TRUE AS within_3pct "
+        "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"))
+def q_approx_distinct_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The approx-distinct scale path with a checkable contract: HLL++
+    (rsd=0.01) must land within 3% of the exact distinct count per group
+    (observed ≤0.85% on this data; both aggregates are deterministic).
+    At 100 TB the exact arm drops away and the sketch — mergeable,
+    constant-memory — is the only affordable distinct; this query pins
+    the accuracy the swap relies on."""
+    o = load_table(spark, sf_dir, "orders")
+    agg = o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").cast("bigint").alias("n_exact"),
+        F.expr("approx_count_distinct(o_custkey, 0.01)").alias("n_approx"))
+    within = (F.abs(F.col("n_approx") - F.col("n_exact"))
+              / F.col("n_exact") <= 0.03)
+    return (agg.select("o_orderpriority", "n_exact",
+                       within.alias("within_3pct"))
+            .orderBy("o_orderpriority"))
