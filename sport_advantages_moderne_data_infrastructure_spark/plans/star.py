@@ -428,18 +428,29 @@ def q_orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ORDER BY supp_a, supp_b"))
 def q_supplier_name_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy entity matching via edit distance (classic DP levenshtein —
-    identical semantics in both engines). At scale: length + q-gram
-    prefilters before the quadratic comparison; the dim is small enough
-    here to pair directly."""
-    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    a, b = s.alias("a"), s.alias("b")
-    dist = F.levenshtein(F.col("a.s_name"), F.col("b.s_name"))
+    identical semantics in both engines), with the LENGTH PREFILTER as an
+    equi-join key: edit distance ≤ 1 implies |len(a) − len(b)| ≤ 1, so
+    each left name probes only the three length buckets it could match —
+    a hash join over length-bucketed names, never an all-pairs nested
+    loop (a pair meets in exactly one bucket, so no dedup is needed).
+    At web scale add a q-gram prefilter the same way. The oracle states
+    the quadratic definition; the values are identical."""
+    s = (load_table(spark, sf_dir, "supplier")
+         .select("s_suppkey", "s_name",
+                 F.length("s_name").alias("__len")))
+    probes = s.select(
+        F.col("s_suppkey").alias("supp_a"),
+        F.col("s_name").alias("__a_name"),
+        F.explode(F.array(F.col("__len") - 1, F.col("__len"),
+                          F.col("__len") + 1)).alias("__len"))
+    b = s.select(F.col("s_suppkey").alias("supp_b"),
+                 F.col("s_name").alias("__b_name"), "__len")
+    dist = F.levenshtein(F.col("__a_name"), F.col("__b_name"))
     return (
-        a.join(b, F.col("a.s_suppkey") < F.col("b.s_suppkey"))
+        probes.join(b, "__len")
+        .filter(F.col("supp_a") < F.col("supp_b"))
         .filter(dist <= 1)
-        .select(F.col("a.s_suppkey").alias("supp_a"),
-                F.col("b.s_suppkey").alias("supp_b"),
-                dist.cast("int").alias("edit_distance"))
+        .select("supp_a", "supp_b", dist.cast("int").alias("edit_distance"))
         .orderBy("supp_a", "supp_b")
     )
 

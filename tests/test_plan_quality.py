@@ -64,20 +64,42 @@ _NESTED_LOOP_ALLOWED = {"ann_cosine_topk", "ann_recall_report",
                         "ann_ivf_recall"}
 
 
-def test_no_driver_query_regresses_to_nested_loop(spark, sf_dir):
-    """Sweeping anti-pattern net: no driver-facing query may plan a
-    BroadcastNestedLoopJoin unless it IS the documented all-pairs rerank
-    baseline — this is the regression that silently turns an equi-join
-    shape quadratic (the r1 SimHash defect, generalized)."""
+# non-driver entries whose all-pairs shape is the documented point:
+# embedding_near_dup is the pytest-only brute rerank baseline (r3)
+_NESTED_LOOP_ALLOWED_FULL = _NESTED_LOOP_ALLOWED | {"embedding_near_dup"}
+
+
+def test_no_registry_query_regresses_to_nested_loop(spark, sf_dir):
+    """Sweeping anti-pattern net over the FULL registry (driver-facing
+    and demoted alike): no query may plan a BroadcastNestedLoopJoin or
+    CartesianProduct unless it IS a documented all-pairs baseline — this
+    is the regression that silently turns an equi-join shape quadratic
+    (the r1 SimHash defect, generalized)."""
     catalog.build_indexes(spark, sf_dir)
     offenders = []
     for name, q in catalog.REGISTRY.items():
-        if not q.driver or name in _NESTED_LOOP_ALLOWED:
+        if name in _NESTED_LOOP_ALLOWED_FULL:
             continue
         plan = _plan(q.spark_fn(spark, sf_dir))
         if "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan:
             offenders.append(name)
     assert offenders == [], f"nested-loop plans: {offenders}"
+
+
+def test_contamination_eval_side_broadcasts(spark, sf_dir):
+    # the eval/benchmark shingle set is tiny by construction — the train
+    # scan must stay map-side (broadcast), never shuffle train shingles
+    plan = _plan(catalog.REGISTRY["contamination_check"].spark_fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_training_pipeline_is_two_window_shuffles(spark, sf_dir):
+    # quality→dedup→split→pack composes as ONE plan: the dedup window
+    # (md5 partition) and the pack window (split, shard) are the only
+    # required wide dependencies besides the final presentation sort
+    import re
+    plan = _plan(catalog.REGISTRY["training_pipeline_e2e"].spark_fn(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 2, plan
 
 
 def test_no_row_at_a_time_python_udfs_in_source():
