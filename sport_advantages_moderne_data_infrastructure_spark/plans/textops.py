@@ -672,6 +672,20 @@ def q_multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.decode_wav_features(MM.synth_wav(docs)).orderBy("doc_id")
 
 
+@register("multimodal_png_decode", driver=False,  # new in r3; r4 rotation
+          # candidate — third REAL codec, the first COMPRESSED one
+          oracle=MM.PNG_DECODE_SQL)
+def q_multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image decode: pack spec-conformant PNGs per
+    document (zlib IDAT, per-row filters cycling all five types, correct
+    CRC32s), then chunk-walk + CRC-verify + inflate + unfilter in a
+    second Arrow mapInPandas stage; the oracle recomputes width/height/
+    pixel stats AND the filter mix from the generator spec without
+    touching the bytes."""
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.decode_png_features(MM.synth_png(docs)).orderBy("doc_id")
+
+
 @register("multimodal_meta", oracle=MM.SYNTH_MEDIA_META_SQL,
           driver=False)  # green r1+r2; slot rotated r3 to ann_ivf_recall
           # (the REAL decode twins bmp/wav stay driver-checked)
