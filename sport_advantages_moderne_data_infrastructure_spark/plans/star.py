@@ -707,3 +707,39 @@ def q_approx_distinct_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (agg.select("o_orderpriority", "n_exact",
                        within.alias("within_3pct"))
             .orderBy("o_orderpriority"))
+
+
+@register(
+    "order_price_outliers", driver=False,  # new in r3; r4 candidate
+    oracle=(
+        # z-score anomaly detection per priority group; population stddev
+        # (stddev_pop ≡ Spark stddev_pop) — boundary values rounded away
+        # from the 3σ edge by the data, counts are integers
+        "WITH stats AS (SELECT o_orderpriority, AVG(o_totalprice) AS mu, "
+        "stddev_pop(o_totalprice) AS sigma FROM orders GROUP BY 1) "
+        "SELECT o.o_orderpriority, "
+        "CAST(COUNT(*) AS BIGINT) AS n_orders, "
+        "CAST(SUM(CASE WHEN ABS(o.o_totalprice - s.mu) > 3 * s.sigma "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers, "
+        "ROUND(MAX(ABS(o.o_totalprice - s.mu) / s.sigma), 2) AS max_z "
+        "FROM orders o JOIN stats s ON o.o_orderpriority = s.o_orderpriority "
+        "GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority"))
+def q_order_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical anomaly detection: per-group z-score outliers (>3σ on
+    population stddev). Two-pass shape — tiny per-group stats broadcast
+    back over the fact — the scalable form of a quality-monitoring scan;
+    the single-pass alternative is a window, which would shuffle the
+    whole fact instead of 5 stat rows."""
+    o = load_table(spark, sf_dir, "orders")
+    stats = (o.groupBy("o_orderpriority")
+             .agg(F.avg("o_totalprice").alias("mu"),
+                  F.stddev_pop("o_totalprice").alias("sigma")))
+    z = F.abs(F.col("o_totalprice") - F.col("mu")) / F.col("sigma")
+    return (o.join(F.broadcast(stats), "o_orderpriority")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum(F.when(F.abs(F.col("o_totalprice") - F.col("mu"))
+                              > 3 * F.col("sigma"), 1).otherwise(0))
+                 .cast("bigint").alias("n_outliers"),
+                 F.round(F.max(z), 2).alias("max_z"))
+            .orderBy("o_orderpriority"))

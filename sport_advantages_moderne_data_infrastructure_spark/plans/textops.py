@@ -345,6 +345,41 @@ def q_dataset_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("split", "lang"))
 
 
+# per-language keep-rates (percent): the corpus-rebalancing stage every
+# multilingual training pipeline runs (downsample dominant languages)
+_LANG_RATES = [("en", 40), ("es", 70), ("fr", 70), ("zh", 100)]
+
+
+@register(
+    "lang_rebalanced_sample", driver=False,  # new in r3; r4 candidate
+    oracle=(
+        "WITH rates(lang, keep_pct) AS (VALUES "
+        + ", ".join(f"('{lg}', {r})" for lg, r in _LANG_RATES)
+        + "), tagged AS (SELECT d.doc_id, d.lang, "
+        f"{_H100} AS h, COALESCE(r.keep_pct, 100) AS keep_pct "
+        "FROM documents d LEFT JOIN rates r ON d.lang = r.lang) "
+        "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept, "
+        "CAST(MIN(doc_id) AS BIGINT) AS first_kept "
+        "FROM tagged WHERE h < keep_pct GROUP BY lang ORDER BY lang"))
+def q_lang_rebalanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language rebalancing: per-language stable-hash keep-rates (the
+    downsample-the-dominant-language stage of a multilingual corpus
+    build). Same id-hash bucketing as sample_stable_10pct, so membership
+    is reproducible under any partitioning and monotone in the rate (a
+    doc kept at 40% is still kept at 70%); the rate table broadcasts."""
+    d = load_table(spark, sf_dir, "documents")
+    rates = d.sparkSession.createDataFrame(_LANG_RATES, "lang string, keep_pct int")
+    h = F.expr(_H100_SPARK)
+    return (d.join(F.broadcast(rates), "lang", "left")
+            .select("doc_id", "lang", h.alias("h"),
+                    F.coalesce("keep_pct", F.lit(100)).alias("keep_pct"))
+            .filter(F.col("h") < F.col("keep_pct"))
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_kept"),
+                 F.min("doc_id").cast("bigint").alias("first_kept"))
+            .orderBy("lang"))
+
+
 _PACK_BUDGET = 2048  # tokens per pack
 _N_SHARDS = 32
 
