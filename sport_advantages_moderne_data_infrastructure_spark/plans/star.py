@@ -743,3 +743,110 @@ def q_order_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .cast("bigint").alias("n_outliers"),
                  F.round(F.max(z), 2).alias("max_z"))
             .orderBy("o_orderpriority"))
+
+
+@register(
+    "repeat_buyers_intersect", driver=False,  # new in r3; r4 candidate
+    oracle=(
+        "SELECT o_custkey AS custkey FROM orders "
+        "WHERE year(o_orderdate) = 1996 "
+        "INTERSECT SELECT o_custkey FROM orders "
+        "WHERE year(o_orderdate) = 1997 ORDER BY custkey"))
+def q_repeat_buyers_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT set op (→ left-semi over distinct in Catalyst): customers
+    who ordered in both 1996 and 1997. Completes the set-op family
+    (UNION via incremental_activity_agg, EXCEPT via small_spenders_except)."""
+    o = load_table(spark, sf_dir, "orders")
+    y96 = o.filter(F.year("o_orderdate") == 1996).select(
+        F.col("o_custkey").alias("custkey"))
+    y97 = o.filter(F.year("o_orderdate") == 1997).select(
+        F.col("o_custkey").alias("custkey"))
+    return y96.intersect(y97).orderBy("custkey")
+
+
+@register(
+    "customer_running_revenue", driver=False,  # new in r3; r4 candidate
+    oracle=(
+        # DECIMAL accumulation is exact and associative, so DuckDB's
+        # segment-tree window agg and Spark's running frame agree bitwise;
+        # a DOUBLE running sum would drift on association order
+        "SELECT o_custkey, o_orderkey, "
+        "ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER ("
+        "PARTITION BY o_custkey ORDER BY o_orderkey "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) "
+        "AS running_revenue "
+        "FROM orders ORDER BY o_custkey, o_orderkey"))
+def q_customer_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running cumulative sum (explicit ROWS frame — the window-function
+    family beyond rank/lag): per-customer revenue-to-date ordered by the
+    unique o_orderkey, accumulated in DECIMAL for cross-engine exactness.
+    One shuffle on the partition key; frames never cross partitions, so
+    this scales like any keyed window."""
+    from pyspark.sql import Window as W
+    o = load_table(spark, sf_dir, "orders")
+    w = (W.partitionBy("o_custkey").orderBy("o_orderkey")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    run = F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w)
+    return (o.select("o_custkey", "o_orderkey",
+                     F.round(run.cast("double"), 2).alias("running_revenue"))
+            .orderBy("o_custkey", "o_orderkey"))
+
+
+@register(
+    "doc_length_histogram", driver=False,  # new in r3; r4 candidate
+    oracle=(
+        "SELECT CAST(FLOOR(n_chars / 50) AS BIGINT) AS bucket, "
+        "CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(MIN(n_chars) AS BIGINT) AS min_chars, "
+        "CAST(MAX(n_chars) AS BIGINT) AS max_chars "
+        "FROM documents GROUP BY bucket ORDER BY bucket"))
+def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of document lengths (corpus profiling — the
+    first look any training-data pipeline takes at a new crawl dump).
+    Pure integer arithmetic → bit-identical cross-engine; single partial+
+    final agg, output rows bounded by the bucket count regardless of
+    corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    b = F.floor(F.col("n_chars") / 50).cast("bigint")
+    return (d.groupBy(b.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min("n_chars").cast("bigint").alias("min_chars"),
+                 F.max("n_chars").cast("bigint").alias("max_chars"))
+            .orderBy("bucket"))
+
+
+@register(
+    "approx_quantile_contract", driver=False,  # new in r3; r4 candidate
+    oracle=(
+        # pins the exact quantiles AND asserts the sketch landed within
+        # 1% (literal TRUE): a drifting approx_percentile flips the
+        # boolean and the hash mismatches — same contract pattern as
+        # approx_distinct_contract
+        "SELECT o_orderstatus, "
+        "ROUND(quantile_cont(o_totalprice, 0.5), 2) AS p50_exact, "
+        "TRUE AS p50_within_1pct, "
+        "ROUND(quantile_cont(o_totalprice, 0.99), 2) AS p99_exact, "
+        "TRUE AS p99_within_1pct "
+        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"))
+def q_approx_quantile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The approx-quantile scale path with a checkable contract:
+    approx_percentile (accuracy=10000, mergeable constant-memory sketch —
+    the only affordable percentile at 100 TB) must land within 1% of the
+    exact interpolated percentile per group. Complements
+    approx_distinct_contract; order_price_quantiles already pins the
+    exact-percentile parity this contract measures against."""
+    o = load_table(spark, sf_dir, "orders")
+    agg = o.groupBy("o_orderstatus").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("e50"),
+        F.expr("percentile(o_totalprice, 0.99)").alias("e99"),
+        F.expr("approx_percentile(o_totalprice, 0.5, 10000)").alias("a50"),
+        F.expr("approx_percentile(o_totalprice, 0.99, 10000)").alias("a99"))
+    return (agg.select(
+        "o_orderstatus",
+        F.round("e50", 2).alias("p50_exact"),
+        (F.abs(F.col("a50") - F.col("e50")) / F.col("e50") <= 0.01)
+        .alias("p50_within_1pct"),
+        F.round("e99", 2).alias("p99_exact"),
+        (F.abs(F.col("a99") - F.col("e99")) / F.col("e99") <= 0.01)
+        .alias("p99_within_1pct"))
+        .orderBy("o_orderstatus"))

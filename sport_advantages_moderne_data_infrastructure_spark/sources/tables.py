@@ -33,12 +33,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # the caller built the session
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    # events.ts is parquet TIMESTAMP(NANOS) → read as int64 ns
-    # (spark.sql.legacy.parquet.nanosAsLong) and truncated to µs here; the
-    # sub-µs part is zero in the driver's data, so this is lossless and
-    # value-identical to DuckDB's TIMESTAMP_NS read.
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # Normalize events.ts to session-local TIMESTAMP whatever the parquet
+    # physical type is (the driver has generated both):
+    #  - TIMESTAMP(NANOS) → int64 ns under nanosAsLong → truncate to µs
+    #    (sub-µs is zero in the driver's data, lossless)
+    #  - TIMESTAMP(MICROS, isAdjustedToUTC=false) → TIMESTAMP_NTZ under
+    #    Spark 4's inferTimestampNTZ → cast; value-identical because the
+    #    session timezone is pinned UTC (session.py)
+    if name == "events":
+        dt = dict(df.dtypes).get("ts")
+        if dt == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif dt == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
