@@ -850,3 +850,36 @@ def q_approx_quantile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.abs(F.col("a99") - F.col("e99")) / F.col("e99") <= 0.01)
         .alias("p99_within_1pct"))
         .orderBy("o_orderstatus"))
+
+
+@register(
+    "order_price_quartile_bands", driver=False,  # new in r3; r4 candidate
+    oracle=(
+        # ntile ordering includes the unique o_orderkey tiebreak so bucket
+        # assignment is total-ordered — identical in both engines
+        "WITH t AS (SELECT o_orderpriority, o_totalprice, "
+        "CAST(ntile(4) OVER (PARTITION BY o_orderpriority "
+        "ORDER BY o_totalprice, o_orderkey) AS INT) AS quartile "
+        "FROM orders) "
+        "SELECT o_orderpriority, quartile, "
+        "CAST(COUNT(*) AS BIGINT) AS n_orders, "
+        "ROUND(MIN(o_totalprice), 2) AS min_price, "
+        "ROUND(MAX(o_totalprice), 2) AS max_price "
+        "FROM t GROUP BY o_orderpriority, quartile "
+        "ORDER BY o_orderpriority, quartile"))
+def q_order_price_quartile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile() bucketing (the remaining ranking-window family member
+    beyond rank/lag/running-frame): quartile bands of order value within
+    each priority, reduced to per-band count + price range. One shuffle on
+    the partition key; output bounded at groups × 4 rows regardless of
+    fact size."""
+    from pyspark.sql import Window as W
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (o.select("o_orderpriority", "o_totalprice",
+                     F.ntile(4).over(w).cast("int").alias("quartile"))
+            .groupBy("o_orderpriority", "quartile")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.min("o_totalprice"), 2).alias("min_price"),
+                 F.round(F.max("o_totalprice"), 2).alias("max_price"))
+            .orderBy("o_orderpriority", "quartile"))

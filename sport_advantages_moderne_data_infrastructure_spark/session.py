@@ -35,8 +35,9 @@ def get_spark(app_name: str = "samdis-engine", shuffle_partitions: int | None = 
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
-        # the driver's events.parquet stores TIMESTAMP(NANOS); read as
-        # int64 ns and convert at the source adapter (sources/tables.py)
+        # the driver's events.parquet has stored ts as TIMESTAMP(NANOS) in
+        # some rounds (read as int64 ns) and TIMESTAMP(MICROS, ntz) in
+        # others; the source adapter (sources/tables.py) normalizes both
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
     )
