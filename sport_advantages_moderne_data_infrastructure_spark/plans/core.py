@@ -184,6 +184,40 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_upsert(emp, updates, "id_employee")
 
 
+@register("txn_merge_employees",
+          driver=False,  # new in r3; r4 candidate
+          oracle=W(merge_upsert_sql(
+              _EMP_PROJ_SQL, _EMP_RAISE_SQL, "id_employee",
+              ["id_employee", "gross_salary", "business_unity",
+               "constract_type"])),
+          tags=("K1", "K2"))
+def q_txn_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME merge as merge_upsert_employees, but executed through the
+    transactional table format (sources/txnlog.TxnTable): base snapshot
+    committed, updates MERGEd as an atomic second commit, result read back
+    from the snapshot — proving the commit-log path end-to-end against
+    the identical DuckDB oracle. This is the jar-less stand-in for the
+    reference's Delta MERGE deployment shape (read_delta.py:219-222,
+    SURVEY §4.3)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..sources.txnlog import TxnTable
+    emp = R.employee_projection(D.employees(spark, sf_dir))
+    updates = (emp.filter(F.col("id_employee") % 10 == 0)
+               .select("id_employee",
+                       (F.col("gross_salary") + 1000).cast("int")
+                       .alias("gross_salary"),
+                       "business_unity",
+                       F.lit("CDI").alias("constract_type")))
+    # the table must outlive this call (the returned DataFrame is lazy)
+    table = TxnTable(tempfile.mkdtemp(prefix="samdis_txn_merge_"))
+    table.overwrite(emp)
+    table.merge(spark, updates, "id_employee")
+    return table.read(spark)
+
+
 @register("pii_scrub",
           oracle=W("SELECT id_employee, "
                    "regexp_replace(address, '[0-9]+', '#', 'g') "

@@ -1,0 +1,207 @@
+"""Transactional parquet table ("txn table") — a minimal commit-log format
+supplying the Delta-sink semantics the reference's pipeline relies on
+(streaming Delta append, spark/SaveDelta.scala:157-163; batch Delta
+overwrite with overwriteSchema, airflow/config/read_delta.py:219-222;
+MERGE-shaped rewrites, SURVEY §4.3) in an environment without io.delta
+jars. This is NOT a Delta Lake reimplementation — it is the smallest
+commit protocol that makes the engine's overwrite/merge sinks atomic,
+snapshot-isolated, and replay-idempotent, so the semantics are testable.
+
+Layout::
+
+    <table>/
+      data/<commit-uuid>/part-*.parquet   one Spark-written dir per commit
+      _txnlog/00000000000.json            one commit doc per version
+
+A commit doc is ``{"version": N, "adds": [dirs], "removes": [dirs],
+"meta": {...}}`` where dirs are table-relative data directories. The live
+snapshot at version V is the union of adds minus removes over log[0..V].
+
+Why this is crash-safe (the failure mode ADVICE r2 flagged in the
+non-transactional stream-merge overwrite): data files are written FIRST,
+under ``data/``, where no reader looks until a log doc references them;
+the log doc is then published by writing a temp file and hard-linking it
+to its final versioned name. ``os.link`` is atomic and fails if the name
+exists, so a crash anywhere leaves either the old latest version (plus
+unreferenced orphan data, reclaimable via :meth:`TxnTable.vacuum`) or the
+complete new one — never a torn table. The link-fails-if-exists property
+doubles as optimistic concurrency control: two writers racing to commit
+version N+1 produce one winner and one :class:`TxnConflictError`.
+
+Scale notes (100 TB): the protocol is exactly the one lakehouse formats
+use on object stores — metadata is O(commits), data I/O is only the
+files a commit touches, readers plan from the log without listing the
+table. On S3/HDFS the ``os.link`` publish step becomes the filesystem's
+put-if-absent primitive (what Delta's LogStore abstracts); everything
+else is unchanged. Snapshot planning is driver-side by design — the log
+is metadata, not data.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_LOG_DIR = "_txnlog"
+_DATA_DIR = "data"
+
+
+class TxnConflictError(RuntimeError):
+    """Another writer committed the version this writer raced for."""
+
+
+class TxnTable:
+    def __init__(self, path: str):
+        self.path = path
+        self.log_dir = os.path.join(path, _LOG_DIR)
+
+    # -- log plumbing -----------------------------------------------------
+
+    @staticmethod
+    def is_table(path: str) -> bool:
+        return os.path.isdir(os.path.join(path, _LOG_DIR))
+
+    def versions(self) -> list[int]:
+        if not os.path.isdir(self.log_dir):
+            return []
+        return sorted(
+            int(f.split(".")[0]) for f in os.listdir(self.log_dir)
+            if f.endswith(".json"))
+
+    def latest_version(self) -> int | None:
+        v = self.versions()
+        return v[-1] if v else None
+
+    def _doc(self, version: int) -> dict:
+        with open(os.path.join(self.log_dir, f"{version:011d}.json")) as fh:
+            return json.load(fh)
+
+    def history(self) -> list[dict]:
+        return [self._doc(v) for v in self.versions()]
+
+    def snapshot_dirs(self, version: int | None = None) -> list[str]:
+        """Table-relative live data dirs at ``version`` (default latest)."""
+        live: list[str] = []
+        for v in self.versions():
+            if version is not None and v > version:
+                break
+            doc = self._doc(v)
+            removed = set(doc["removes"])
+            live = [d for d in live if d not in removed] + doc["adds"]
+        return live
+
+    # -- reads ------------------------------------------------------------
+
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Snapshot (or time-travel, with ``version=``) read. Planning is
+        log-driven: no directory listing of ``data/``, so orphans from
+        crashed writers are invisible."""
+        if self.latest_version() is None:
+            raise ValueError(f"not a txn table (no commits): {self.path}")
+        dirs = [os.path.join(self.path, d)
+                for d in self.snapshot_dirs(version)]
+        if not dirs:  # a committed-empty table still has a schema? No: empty
+            raise ValueError(f"empty snapshot at version {version}")
+        return spark.read.parquet(*dirs)
+
+    def last_meta(self) -> dict:
+        v = self.latest_version()
+        return {} if v is None else self._doc(v).get("meta", {})
+
+    # -- writes -----------------------------------------------------------
+
+    def _write_data(self, df: DataFrame) -> str:
+        rel = os.path.join(_DATA_DIR, uuid.uuid4().hex)
+        df.write.parquet(os.path.join(self.path, rel))
+        return rel
+
+    def commit(self, adds: list[str], removes: list[str],
+               meta: dict | None = None,
+               expected_version: int | None = None) -> int:
+        """Publish a commit doc atomically. ``expected_version`` is the
+        version this writer based its work on (None for a fresh table);
+        losing the race to version+1 raises :class:`TxnConflictError`."""
+        os.makedirs(self.log_dir, exist_ok=True)
+        if expected_version is None:
+            expected_version = self.latest_version()
+        version = 0 if expected_version is None else expected_version + 1
+        doc = {"version": version, "adds": adds, "removes": removes,
+               "meta": meta or {}}
+        tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}")
+        final = os.path.join(self.log_dir, f"{version:011d}.json")
+        with open(tmp, "w") as fh:
+            json.dump(doc, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            os.link(tmp, final)  # atomic put-if-absent
+        except FileExistsError:
+            raise TxnConflictError(
+                f"version {version} already committed at {self.path}"
+            ) from None
+        finally:
+            os.unlink(tmp)
+        return version
+
+    def append(self, df: DataFrame, meta: dict | None = None) -> int:
+        base = self.latest_version()
+        return self.commit([self._write_data(df)], [], meta,
+                           expected_version=base)
+
+    def overwrite(self, df: DataFrame, meta: dict | None = None) -> int:
+        """Atomic full replace (the reference's overwriteSchema rewrite,
+        read_delta.py:219-222, without its torn-write window)."""
+        base = self.latest_version()
+        live = self.snapshot_dirs(base)
+        return self.commit([self._write_data(df)], live, meta,
+                           expected_version=base)
+
+    def merge(self, spark: SparkSession, updates: DataFrame, key: str,
+              meta: dict | None = None) -> int:
+        """MERGE INTO: upsert ``updates`` by ``key`` into the snapshot and
+        commit the result atomically. Readers see the pre-merge snapshot
+        until the log flips — the transactional hop the plain-parquet
+        sink can't offer (streaming/pipeline.write_stream_merge docstring).
+        First merge into an empty table is just the updates."""
+        from ..operators.merge import merge_upsert
+
+        base = self.latest_version()
+        if base is None:
+            return self.commit([self._write_data(updates)], [], meta,
+                               expected_version=None)
+        target = self.read(spark, base)
+        merged = merge_upsert(target, updates.select(*target.columns), key)
+        # materialize BEFORE the commit: the new files must be fully on
+        # disk when the log doc appears (they read from the old snapshot,
+        # so no self-overwrite hazard exists at any point)
+        rel = self._write_data(merged)
+        return self.commit([rel], self.snapshot_dirs(base), meta,
+                           expected_version=base)
+
+    # -- maintenance ------------------------------------------------------
+
+    def vacuum(self, keep_versions: bool = True) -> list[str]:
+        """Delete orphan data dirs — written but never referenced by any
+        commit (a crashed writer's leftovers). With ``keep_versions=False``
+        also drops dirs referenced only by superseded versions (disables
+        time travel to them). Never touches the current snapshot."""
+        import shutil
+
+        referenced: set[str] = set()
+        if keep_versions:
+            for doc in self.history():
+                referenced.update(doc["adds"])
+        else:
+            referenced.update(self.snapshot_dirs())
+        data_root = os.path.join(self.path, _DATA_DIR)
+        victims = []
+        if os.path.isdir(data_root):
+            for d in os.listdir(data_root):
+                rel = os.path.join(_DATA_DIR, d)
+                if rel not in referenced:
+                    victims.append(rel)
+                    shutil.rmtree(os.path.join(self.path, rel))
+        return sorted(victims)

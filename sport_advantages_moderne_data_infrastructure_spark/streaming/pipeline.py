@@ -156,6 +156,43 @@ def write_stream_merge(df: DataFrame, target: str, checkpoint: str,
     return w.start()
 
 
+def write_stream_merge_txn(df: DataFrame, target: str, checkpoint: str,
+                           key: str = "id", order_col: str = "start_datetime",
+                           available_now: bool = True):
+    """Streaming MERGE INTO a transactional table (sources/txnlog.TxnTable)
+    — the actual Delta-sink shape (SaveDelta.scala:157-163 + MERGE, minus
+    the jars): each micro-batch upserts by key and commits atomically, so
+    a crash at ANY point leaves the previous snapshot intact (the failure
+    mode the plain-parquet write_stream_merge can only narrow, not close).
+
+    Exactly-once comes from two independent layers: the commit meta
+    records the micro-batch id, so a batch replayed after
+    crash-after-commit-before-checkpoint is detected and skipped; and the
+    merge itself is keyed, so even a double-applied batch converges to
+    the same state."""
+    from ..sources.txnlog import TxnTable
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        table = TxnTable(target)
+        if table.last_meta().get("stream_batch_id") == batch_id:
+            return  # replay of an already-committed batch
+        latest = (batch_df.withColumn(
+            "__rn", F.row_number().over(
+                W.partitionBy(key).orderBy(F.desc(order_col))))
+            .filter(F.col("__rn") == 1).drop("__rn"))
+        table.merge(spark, latest, key,
+                    meta={"stream_batch_id": batch_id})
+
+    w = (df.writeStream.foreachBatch(_merge)
+         .option("checkpointLocation", checkpoint))
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
 def notify_foreach_batch(df: DataFrame, send, checkpoint: str,
                          available_now: bool = True):
     """K4 (slack_notification.py:37-91): filtered webhook sink via

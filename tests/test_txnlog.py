@@ -1,0 +1,151 @@
+"""Transactional table format (sources/txnlog): atomicity, snapshot
+isolation, time travel, optimistic concurrency, vacuum, and the
+exactly-once streaming MERGE sink built on it."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from sport_advantages_moderne_data_infrastructure_spark.sources.txnlog import (
+    TxnConflictError,
+    TxnTable,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id int, val string")
+
+
+def _rows(df):
+    return {(r["id"], r["val"]) for r in df.collect()}
+
+
+def test_append_overwrite_roundtrip(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a"), (2, "b")]))
+    t.append(_df(spark, [(3, "c")]))
+    assert _rows(t.read(spark)) == {(1, "a"), (2, "b"), (3, "c")}
+    t.overwrite(_df(spark, [(9, "z")]))
+    assert _rows(t.read(spark)) == {(9, "z")}
+    assert t.versions() == [0, 1, 2]
+
+
+def test_time_travel(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))
+    t.overwrite(_df(spark, [(2, "b")]))
+    assert _rows(t.read(spark, version=0)) == {(1, "a")}
+    assert _rows(t.read(spark, version=1)) == {(2, "b")}
+
+
+def test_merge_upsert_semantics(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "t"))
+    t.overwrite(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    t.merge(spark, _df(spark, [(2, "B!"), (4, "d")]), "id")
+    assert _rows(t.read(spark)) == {(1, "a"), (2, "B!"), (3, "c"), (4, "d")}
+    # pre-merge snapshot still readable (snapshot isolation for readers
+    # planned against the old version)
+    assert _rows(t.read(spark, version=0)) == {(1, "a"), (2, "b"), (3, "c")}
+
+
+def test_crash_leaves_snapshot_intact_and_vacuum_reclaims(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "t"))
+    t.overwrite(_df(spark, [(1, "a")]))
+    # simulate a writer crashing after data write, before commit: data
+    # files exist but no log doc references them
+    orphan = t._write_data(_df(spark, [(99, "junk")]))
+    assert _rows(t.read(spark)) == {(1, "a")}  # reader never sees it
+    victims = t.vacuum()
+    assert victims == [orphan]
+    assert not os.path.exists(os.path.join(t.path, orphan))
+    assert _rows(t.read(spark)) == {(1, "a")}  # snapshot untouched
+
+
+def test_optimistic_concurrency_conflict(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "t"))
+    t.overwrite(_df(spark, [(1, "a")]))
+    base = t.latest_version()
+    d1 = t._write_data(_df(spark, [(2, "b")]))
+    d2 = t._write_data(_df(spark, [(3, "c")]))
+    t.commit([d1], [], expected_version=base)
+    with pytest.raises(TxnConflictError):
+        t.commit([d2], [], expected_version=base)  # lost the race
+    # winner's commit is the table state
+    assert _rows(t.read(spark)) == {(1, "a"), (2, "b")}
+
+
+def test_vacuum_aggressive_drops_superseded_versions(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "t"))
+    t.overwrite(_df(spark, [(1, "a")]))
+    t.overwrite(_df(spark, [(2, "b")]))
+    victims = t.vacuum(keep_versions=False)
+    assert len(victims) == 1  # version-0 data gone
+    assert _rows(t.read(spark)) == {(2, "b")}  # current snapshot safe
+
+
+def test_stream_merge_txn_exactly_once_restart(spark, sf_dir, tmp_path):
+    from sport_advantages_moderne_data_infrastructure_spark.sources import (
+        domain as D,
+    )
+    from sport_advantages_moderne_data_infrastructure_spark.streaming import (
+        pipeline as P,
+    )
+
+    src = str(tmp_path / "src")
+    target = str(tmp_path / "target")
+    ckpt = str(tmp_path / "ckpt")
+    D.cdc_events(spark, sf_dir).repartition(4).write.parquet(src)
+    parsed = P.stream_cdc_from_files(spark, src, max_files_per_trigger=2)
+
+    q = P.write_stream_merge_txn(parsed, target, ckpt)
+    q.awaitTermination(120)
+    t = TxnTable(target)
+    n1 = t.read(spark).count()
+    v1 = t.latest_version()
+    assert n1 > 0
+    # ids are unique in the fixture → merge state = distinct parsed ids
+    from sport_advantages_moderne_data_infrastructure_spark.operators.cdc import (
+        parse_cdc,
+    )
+    expect = parse_cdc(spark.read.parquet(src)).select("id").distinct().count()
+    assert n1 == expect
+
+    # restart on the same checkpoint: no new input → no new commits, no
+    # row growth (exactly-once)
+    q2 = P.write_stream_merge_txn(
+        P.stream_cdc_from_files(spark, src, max_files_per_trigger=2),
+        target, ckpt)
+    q2.awaitTermination(120)
+    assert t.read(spark).count() == n1
+    assert t.latest_version() == v1
+
+
+def test_stream_merge_txn_replayed_batch_is_skipped(spark, sf_dir, tmp_path):
+    """Crash-after-commit-before-checkpoint: the replayed micro-batch id
+    is detected in the commit meta and skipped — no duplicate commit."""
+    from sport_advantages_moderne_data_infrastructure_spark.sources import (
+        domain as D,
+    )
+    from sport_advantages_moderne_data_infrastructure_spark.streaming import (
+        pipeline as P,
+    )
+
+    src = str(tmp_path / "src")
+    target = str(tmp_path / "target")
+    D.cdc_events(spark, sf_dir).repartition(2).write.parquet(src)
+    parsed = P.stream_cdc_from_files(spark, src)
+    q = P.write_stream_merge_txn(parsed, target, str(tmp_path / "ck1"))
+    q.awaitTermination(120)
+    t = TxnTable(target)
+    v1, n1 = t.latest_version(), t.read(spark).count()
+    assert t.last_meta()["stream_batch_id"] == 0
+
+    # fresh checkpoint replays batch 0 against the same target — the
+    # meta guard must no-op it
+    q2 = P.write_stream_merge_txn(
+        P.stream_cdc_from_files(spark, src), target, str(tmp_path / "ck2"))
+    q2.awaitTermination(120)
+    assert t.latest_version() == v1
+    assert t.read(spark).count() == n1
