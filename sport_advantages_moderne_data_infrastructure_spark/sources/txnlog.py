@@ -183,6 +183,26 @@ class TxnTable:
 
     # -- maintenance ------------------------------------------------------
 
+    def compact(self, spark: SparkSession, target_files: int = 1,
+                meta: dict | None = None) -> int:
+        """OPTIMIZE / bin-packing compaction: rewrite the live snapshot's
+        many small data dirs (a streaming-merge table accretes one per
+        micro-batch) into ``target_files`` output files in one dir, as a
+        normal commit — readers flip atomically, time travel to the
+        pre-compaction layout still works, and the data is byte-identical
+        (the commit is metadata+layout only). The small-files problem is
+        the #1 operational cost of log-structured tables at scale; on a
+        real deployment this runs on a schedule, keyed off
+        ``len(snapshot_dirs())``."""
+        base = self.latest_version()
+        if base is None:
+            raise ValueError(f"nothing to compact: {self.path}")
+        df = self.read(spark, base).coalesce(target_files)
+        rel = self._write_data(df)
+        return self.commit([rel], self.snapshot_dirs(base),
+                           {**(meta or {}), "operation": "compact"},
+                           expected_version=base)
+
     def vacuum(self, keep_versions: bool = True) -> list[str]:
         """Delete orphan data dirs — written but never referenced by any
         commit (a crashed writer's leftovers). With ``keep_versions=False``

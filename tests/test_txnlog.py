@@ -149,3 +149,30 @@ def test_stream_merge_txn_replayed_batch_is_skipped(spark, sf_dir, tmp_path):
     q2.awaitTermination(120)
     assert t.latest_version() == v1
     assert t.read(spark).count() == n1
+
+
+def test_compact_preserves_state_and_history(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "t"))
+    for i in range(5):  # five appends = five data dirs (streaming shape)
+        t.append(_df(spark, [(i, f"v{i}")]))
+    before = _rows(t.read(spark))
+    assert len(t.snapshot_dirs()) == 5
+    v = t.compact(spark)
+    assert len(t.snapshot_dirs()) == 1
+    assert _rows(t.read(spark)) == before  # byte-identical state
+    assert _rows(t.read(spark, version=v - 1)) == before  # time travel ok
+    # aggressive vacuum now reclaims the five small dirs
+    assert len(t.vacuum(keep_versions=False)) == 5
+    assert _rows(t.read(spark)) == before
+
+
+def test_overwrite_schema_evolution(spark, tmp_path):
+    """The reference's overwriteSchema=true full-refresh semantics
+    (read_delta.py:219-222): an overwrite may change the schema; the new
+    snapshot reads with the new schema, time travel reads the old one."""
+    t = TxnTable(str(tmp_path / "t"))
+    t.overwrite(_df(spark, [(1, "a")]))
+    t.overwrite(spark.createDataFrame([(2, "b", 9.5)],
+                                      "id int, val string, score double"))
+    assert t.read(spark).columns == ["id", "val", "score"]
+    assert t.read(spark, version=0).columns == ["id", "val"]
