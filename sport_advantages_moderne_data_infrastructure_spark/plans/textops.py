@@ -825,3 +825,43 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scored.select("doc_id", "lang", pred.alias("predicted_lang")) \
         .orderBy("doc_id")
+
+
+@register(
+    "boilerplate_ngrams", driver=False,  # new in r3; r4 candidate
+    oracle=(
+        "WITH toks AS (SELECT doc_id, "
+        "regexp_split_to_array(trim(text), ' +') AS t FROM documents), "
+        "pos AS (SELECT doc_id, t, unnest(range(1, "
+        "greatest(len(t) - 4, 1) + 1)) AS i FROM toks), "
+        "g AS (SELECT doc_id, "
+        "array_to_string(list_slice(t, i, i + 4), ' ') AS gram FROM pos), "
+        "df AS (SELECT gram, CAST(COUNT(DISTINCT doc_id) AS BIGINT) "
+        "AS doc_freq FROM g GROUP BY gram) "
+        "SELECT gram, doc_freq FROM df "
+        "WHERE doc_freq >= 0.05 * (SELECT COUNT(*) FROM documents) "
+        "ORDER BY doc_freq DESC, gram LIMIT 20"))
+def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate discovery (the precursor of line/paragraph boilerplate
+    removal in crawl pipelines): word 5-grams whose DOCUMENT frequency
+    exceeds 5% of the corpus — headers, footers, license blurbs. The df
+    threshold is corpus-relative (broadcast scalar), so the query is
+    scale-free; the shuffle carries grams + doc_ids, never documents, and
+    the output is top-20 bounded with a total ORDER BY tie-break."""
+    d = (load_table(spark, sf_dir, "documents")
+         .select("doc_id", F.split(F.trim("text"), " +").alias("t")))
+    n_pos = F.greatest(F.size("t") - 4, F.lit(1))
+    grams = (d.select("doc_id",
+                      F.explode(F.sequence(F.lit(1), n_pos)).alias("i"), "t")
+             .select("doc_id",
+                     F.array_join(F.slice("t", F.col("i"), 5), " ")
+                     .alias("gram")))
+    df_counts = grams.groupBy("gram").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("doc_freq"))
+    n_docs = load_table(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).alias("n_docs"))
+    return (df_counts.crossJoin(F.broadcast(n_docs))
+            .filter(F.col("doc_freq") >= 0.05 * F.col("n_docs"))
+            .select("gram", "doc_freq")
+            .orderBy(F.desc("doc_freq"), "gram")
+            .limit(20))
