@@ -176,3 +176,42 @@ def test_overwrite_schema_evolution(spark, tmp_path):
                                       "id int, val string, score double"))
     assert t.read(spark).columns == ["id", "val", "score"]
     assert t.read(spark, version=0).columns == ["id", "val"]
+
+
+def test_txn_random_op_sequences_match_model(spark, tmp_path):
+    """Model-based check: any interleaving of append/overwrite/merge must
+    leave the table equal to a dict-model replay, and every historical
+    version must stay time-travel readable. Deterministic op table (not
+    hypothesis: each op is a Spark write, so we bound the count)."""
+    seqs = [
+        ["a1", "m2", "o3", "m4"],
+        ["m1", "a2", "m3", "o4"],
+    ]
+    for si, seq in enumerate(seqs):
+        t = TxnTable(str(tmp_path / f"t{si}"))
+        model: dict[int, str] = {}
+        snapshots = []
+        for step, op in enumerate(seq):
+            kind, base = op[0], int(op[1])
+            if kind == "a":
+                # appends use fresh keys (append-only fact semantics —
+                # duplicate-key appends are the merge sink's job)
+                rows = [(100 + step * 10 + j, f"{op}_{j}") for j in range(2)]
+            else:
+                # merges/overwrites reuse a small key space so matched-key
+                # updates genuinely occur across steps
+                rows = [((base % 2) * 10 + j, f"{op}_{j}") for j in range(2)]
+            if kind == "a":
+                t.append(_df(spark, rows))
+                model.update(dict(rows))
+            elif kind == "o":
+                t.overwrite(_df(spark, rows))
+                model = dict(rows)
+            else:
+                t.merge(spark, _df(spark, rows), "id")
+                model.update(dict(rows))
+            snapshots.append(dict(model))
+            assert _rows(t.read(spark)) == set(model.items()), (si, step)
+        # full history stays readable and correct
+        for v, snap in enumerate(snapshots):
+            assert _rows(t.read(spark, version=v)) == set(snap.items())
