@@ -53,6 +53,16 @@ class TxnConflictError(RuntimeError):
     """Another writer committed the version this writer raced for."""
 
 
+def _partition_of(rel_dir: str) -> tuple[str, str] | None:
+    """``data/<uuid>/date=2024-01-01`` → ("date", "2024-01-01");
+    None for a plain (unpartitioned) commit dir."""
+    base = os.path.basename(rel_dir)
+    if "=" in base:
+        col, _, val = base.partition("=")
+        return col, val
+    return None
+
+
 class TxnTable:
     def __init__(self, path: str):
         self.path = path
@@ -101,11 +111,44 @@ class TxnTable:
         crashed writers are invisible."""
         if self.latest_version() is None:
             raise ValueError(f"not a txn table (no commits): {self.path}")
-        dirs = [os.path.join(self.path, d)
-                for d in self.snapshot_dirs(version)]
-        if not dirs:  # a committed-empty table still has a schema? No: empty
+        dirs = self.snapshot_dirs(version)
+        if not dirs:
             raise ValueError(f"empty snapshot at version {version}")
-        return spark.read.parquet(*dirs)
+        return self._read_dirs(spark, dirs)
+
+    def read_partitions(self, spark: SparkSession, values: list,
+                        version: int | None = None) -> DataFrame:
+        """Partition-pruned snapshot read: only the log entries whose
+        ``col=value`` path segment matches are planned — METADATA pruning,
+        zero storage I/O for everything else (the lakehouse read path at
+        100 TB: the log, not a directory listing, decides what to scan)."""
+        want = {str(v) for v in values}
+        dirs = [d for d in self.snapshot_dirs(version)
+                if _partition_of(d) is not None and _partition_of(d)[1] in want]
+        if not dirs:
+            raise ValueError(f"no live partitions match {values}")
+        return self._read_dirs(spark, dirs)
+
+    def _read_dirs(self, spark: SparkSession, rel_dirs: list[str]) -> DataFrame:
+        """Plan a union over plain commit dirs and partition subdirs.
+        Partition subdirs are read with ``basePath`` = their commit dir so
+        Spark re-derives the partition column from the path."""
+        from functools import reduce
+
+        plain = [d for d in rel_dirs if _partition_of(d) is None]
+        parts: dict[str, list[str]] = {}
+        for d in rel_dirs:
+            if _partition_of(d) is not None:
+                parts.setdefault(os.path.dirname(d), []).append(d)
+        frames = []
+        if plain:
+            frames.append(spark.read.parquet(
+                *[os.path.join(self.path, d) for d in plain]))
+        for root, subs in sorted(parts.items()):
+            frames.append(
+                spark.read.option("basePath", os.path.join(self.path, root))
+                .parquet(*[os.path.join(self.path, d) for d in subs]))
+        return reduce(lambda a, b: a.unionByName(b), frames)
 
     def last_meta(self) -> dict:
         v = self.latest_version()
@@ -117,6 +160,24 @@ class TxnTable:
         rel = os.path.join(_DATA_DIR, uuid.uuid4().hex)
         df.write.parquet(os.path.join(self.path, rel))
         return rel
+
+    def _write_data_partitioned(self, df: DataFrame, part_col: str) -> list[str]:
+        """Write one commit dir partitioned by ``part_col`` and return its
+        partition SUBDIRS — the log's unit of add/remove for
+        partition-granular commits."""
+        rel = os.path.join(_DATA_DIR, uuid.uuid4().hex)
+        abs_dir = os.path.join(self.path, rel)
+        df.write.partitionBy(part_col).parquet(abs_dir)
+        return sorted(
+            os.path.join(rel, d) for d in os.listdir(abs_dir)
+            if "=" in d and os.path.isdir(os.path.join(abs_dir, d)))
+
+    def _live_partition_col(self, dirs: list[str]) -> str | None:
+        for d in dirs:
+            p = _partition_of(d)
+            if p is not None:
+                return p[0]
+        return None
 
     def commit(self, adds: list[str], removes: list[str],
                meta: dict | None = None,
@@ -159,6 +220,33 @@ class TxnTable:
         return self.commit([self._write_data(df)], live, meta,
                            expected_version=base)
 
+    def overwrite_partitions(self, df: DataFrame, part_col: str,
+                             meta: dict | None = None) -> int:
+        """Partition-granular atomic overwrite (Delta's ``replaceWhere`` /
+        dynamic partition overwrite): replaces exactly the partitions
+        present in ``df``, leaves every other partition's files untouched
+        — at 100 TB a daily batch rewrites one date partition, never the
+        table. The log's add/remove unit is the ``col=value`` subdir, so
+        untouched partitions keep their physical files across versions
+        (cheap commits, cheap time travel). Requires the table's writes to
+        be consistently partitioned by ``part_col``."""
+        base = self.latest_version()
+        live = self.snapshot_dirs(base)
+        live_col = self._live_partition_col(live)
+        if live and (live_col is None or live_col != part_col):
+            raise ValueError(
+                f"overwrite_partitions({part_col!r}) on a table whose live "
+                f"layout is partitioned by {live_col!r} — partition-granular "
+                "commits need a consistently partitioned table")
+        adds = self._write_data_partitioned(df, part_col)
+        new_parts = {os.path.basename(a) for a in adds}
+        removes = [d for d in live if os.path.basename(d) in new_parts]
+        return self.commit(adds, removes,
+                           {**(meta or {}),
+                            "operation": "overwrite_partitions",
+                            "partition_by": part_col},
+                           expected_version=base)
+
     def merge(self, spark: SparkSession, updates: DataFrame, key: str,
               meta: dict | None = None) -> int:
         """MERGE INTO: upsert ``updates`` by ``key`` into the snapshot and
@@ -176,10 +264,14 @@ class TxnTable:
         merged = merge_upsert(target, updates.select(*target.columns), key)
         # materialize BEFORE the commit: the new files must be fully on
         # disk when the log doc appears (they read from the old snapshot,
-        # so no self-overwrite hazard exists at any point)
-        rel = self._write_data(merged)
-        return self.commit([rel], self.snapshot_dirs(base), meta,
-                           expected_version=base)
+        # so no self-overwrite hazard exists at any point). A partitioned
+        # live layout is preserved — a plain full rewrite would strand the
+        # table's rows outside partition-granular bookkeeping.
+        live = self.snapshot_dirs(base)
+        part_col = self._live_partition_col(live)
+        adds = (self._write_data_partitioned(merged, part_col)
+                if part_col else [self._write_data(merged)])
+        return self.commit(adds, live, meta, expected_version=base)
 
     # -- maintenance ------------------------------------------------------
 
@@ -197,9 +289,12 @@ class TxnTable:
         base = self.latest_version()
         if base is None:
             raise ValueError(f"nothing to compact: {self.path}")
+        live = self.snapshot_dirs(base)
+        part_col = self._live_partition_col(live)
         df = self.read(spark, base).coalesce(target_files)
-        rel = self._write_data(df)
-        return self.commit([rel], self.snapshot_dirs(base),
+        adds = (self._write_data_partitioned(df, part_col)
+                if part_col else [self._write_data(df)])
+        return self.commit(adds, live,
                            {**(meta or {}), "operation": "compact"},
                            expected_version=base)
 
@@ -221,7 +316,11 @@ class TxnTable:
         if os.path.isdir(data_root):
             for d in os.listdir(data_root):
                 rel = os.path.join(_DATA_DIR, d)
-                if rel not in referenced:
-                    victims.append(rel)
-                    shutil.rmtree(os.path.join(self.path, rel))
+                # partition-granular commits reference SUBDIRS of a commit
+                # dir — the commit dir is live if any subdir is
+                if rel in referenced or any(
+                        r.startswith(rel + os.sep) for r in referenced):
+                    continue
+                victims.append(rel)
+                shutil.rmtree(os.path.join(self.path, rel))
         return sorted(victims)

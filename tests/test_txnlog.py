@@ -215,3 +215,65 @@ def test_txn_random_op_sequences_match_model(spark, tmp_path):
         # full history stays readable and correct
         for v, snap in enumerate(snapshots):
             assert _rows(t.read(spark, version=v)) == set(snap.items())
+
+
+def _pdf(spark, rows):
+    return spark.createDataFrame(rows, "id int, val string, day int")
+
+
+def _prows(df):
+    return {(r["id"], r["val"], r["day"]) for r in df.collect()}
+
+
+def test_overwrite_partitions_touches_only_matching(spark, tmp_path):
+    import glob
+    t = TxnTable(str(tmp_path / "t"))
+    t.overwrite_partitions(
+        _pdf(spark, [(1, "a", 1), (2, "b", 2), (3, "c", 3)]), "day")
+    day2_files = sorted(glob.glob(os.path.join(t.path, "data", "*",
+                                               "day=2", "*.parquet")))
+    # replace day 1 and add day 4; days 2 and 3 untouched
+    t.overwrite_partitions(_pdf(spark, [(9, "A", 1), (4, "d", 4)]), "day")
+    assert _prows(t.read(spark)) == {
+        (9, "A", 1), (2, "b", 2), (3, "c", 3), (4, "d", 4)}
+    # untouched partition kept its exact physical files (no rewrite)
+    assert sorted(glob.glob(os.path.join(
+        t.path, "data", "*", "day=2", "*.parquet"))) == day2_files
+    # time travel to the pre-overwrite snapshot
+    assert _prows(t.read(spark, version=0)) == {
+        (1, "a", 1), (2, "b", 2), (3, "c", 3)}
+
+
+def test_read_partitions_plans_only_matching_dirs(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "t"))
+    t.overwrite_partitions(
+        _pdf(spark, [(1, "a", 1), (2, "b", 2), (3, "c", 3)]), "day")
+    pruned = t.read_partitions(spark, [2])
+    assert _prows(pruned) == {(2, "b", 2)}
+    # metadata pruning: nothing outside day=2 is even planned
+    assert all("day=2" in f for f in pruned.inputFiles())
+
+
+def test_merge_preserves_partitioned_layout(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "t"))
+    t.overwrite_partitions(_pdf(spark, [(1, "a", 1), (2, "b", 2)]), "day")
+    t.merge(spark, _pdf(spark, [(2, "B!", 2), (5, "e", 5)]), "id")
+    assert _prows(t.read(spark)) == {(1, "a", 1), (2, "B!", 2), (5, "e", 5)}
+    # layout stayed partition-granular → partition overwrite still exact
+    t.overwrite_partitions(_pdf(spark, [(7, "g", 5)]), "day")
+    assert _prows(t.read(spark)) == {(1, "a", 1), (2, "B!", 2), (7, "g", 5)}
+
+
+def test_overwrite_partitions_rejects_layout_mismatch(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "t"))
+    t.overwrite(_pdf(spark, [(1, "a", 1)]))  # plain layout
+    with pytest.raises(ValueError, match="partition"):
+        t.overwrite_partitions(_pdf(spark, [(2, "b", 2)]), "day")
+
+
+def test_vacuum_keeps_partitioned_commit_dirs(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "t"))
+    t.overwrite_partitions(_pdf(spark, [(1, "a", 1), (2, "b", 2)]), "day")
+    orphan = t._write_data(_pdf(spark, [(9, "x", 9)]))
+    assert t.vacuum() == [orphan]  # live partitioned dir NOT a victim
+    assert _prows(t.read(spark)) == {(1, "a", 1), (2, "b", 2)}
