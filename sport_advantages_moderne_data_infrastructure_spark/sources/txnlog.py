@@ -154,6 +154,29 @@ class TxnTable:
         v = self.latest_version()
         return {} if v is None else self._doc(v).get("meta", {})
 
+    def read_increment(self, spark: SparkSession,
+                       since_version: int) -> DataFrame:
+        """Rows added by commits AFTER ``since_version`` (a change feed for
+        append-only consumption): a downstream job remembers the last
+        version it processed and reads only the delta — the incremental
+        pattern that replaces the reference's re-read-everything batch
+        loop (read_delta.py:47-53 + full overwrite). Only valid over
+        append commits; a rewrite (overwrite/merge/compact) in the range
+        raises, because its adds are not row-level changes."""
+        docs = [self._doc(v) for v in self.versions() if v > since_version]
+        adds: list[str] = []
+        for doc in docs:
+            if doc["removes"]:
+                raise ValueError(
+                    f"version {doc['version']} is a rewrite "
+                    f"({doc['meta'].get('operation', 'overwrite/merge')}); "
+                    "read_increment is append-only — reprocess from a "
+                    "snapshot read instead")
+            adds.extend(doc["adds"])
+        if not adds:
+            return self.read(spark).limit(0)
+        return self._read_dirs(spark, adds)
+
     # -- writes -----------------------------------------------------------
 
     def _write_data(self, df: DataFrame) -> str:

@@ -277,3 +277,17 @@ def test_vacuum_keeps_partitioned_commit_dirs(spark, tmp_path):
     orphan = t._write_data(_pdf(spark, [(9, "x", 9)]))
     assert t.vacuum() == [orphan]  # live partitioned dir NOT a victim
     assert _prows(t.read(spark)) == {(1, "a", 1), (2, "b", 2)}
+
+
+def test_read_increment_change_feed(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "t"))
+    v0 = t.append(_df(spark, [(1, "a")]))
+    t.append(_df(spark, [(2, "b")]))
+    t.append(_df(spark, [(3, "c")]))
+    assert _rows(t.read_increment(spark, since_version=v0)) == {
+        (2, "b"), (3, "c")}
+    assert t.read_increment(spark, since_version=2).count() == 0
+    # a rewrite in the range invalidates append-only incremental reads
+    t.overwrite(_df(spark, [(9, "z")]))
+    with pytest.raises(ValueError, match="rewrite"):
+        t.read_increment(spark, since_version=v0)
