@@ -291,3 +291,48 @@ def test_read_increment_change_feed(spark, tmp_path):
     t.overwrite(_df(spark, [(9, "z")]))
     with pytest.raises(ValueError, match="rewrite"):
         t.read_increment(spark, since_version=v0)
+
+
+def test_txnlog_python_datasource(spark, tmp_path):
+    """format("txnlog") via the Spark 4 Python DataSource API: batch
+    snapshot + time travel, and the streaming change feed with
+    checkpointed exactly-once incremental restart."""
+    from sport_advantages_moderne_data_infrastructure_spark.sources import (
+        txnstream,
+    )
+    txnstream.register_txn_source(spark)
+    t = TxnTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))
+    t.append(_df(spark, [(2, "b")]))
+
+    batch = spark.read.format("txnlog").load(t.path)
+    assert _rows(batch) == {(1, "a"), (2, "b")}
+    assert _rows(spark.read.format("txnlog")
+                 .option("version", 0).load(t.path)) == {(1, "a")}
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def drain():
+        q = (spark.readStream.format("txnlog").load(t.path)
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    drain()
+    assert _rows(spark.read.parquet(out)) == {(1, "a"), (2, "b")}
+    t.append(_df(spark, [(3, "c")]))
+    drain()  # same checkpoint: only the new commit is read
+    assert _rows(spark.read.parquet(out)) == {(1, "a"), (2, "b"), (3, "c")}
+
+
+def test_txnlog_datasource_partitioned_batch(spark, tmp_path):
+    from sport_advantages_moderne_data_infrastructure_spark.sources import (
+        txnstream,
+    )
+    txnstream.register_txn_source(spark)
+    t = TxnTable(str(tmp_path / "t"))
+    t.overwrite_partitions(_pdf(spark, [(1, "a", 1), (2, "b", 2)]), "day")
+    got = spark.read.format("txnlog").load(t.path)
+    assert {(r["id"], r["val"], r["day"]) for r in got.collect()} == {
+        (1, "a", 1), (2, "b", 2)}
