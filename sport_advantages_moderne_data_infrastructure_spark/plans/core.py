@@ -127,6 +127,7 @@ def q_masked_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("unmasked_projection", oracle=W(R.UNMASKED_EMPLOYEES_SQL),
+          driver=False,  # rotated out r3 (green r1+r2; pytest oracle continues)
           tags=("P4", "F8"))
 def q_unmasked_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P4/F8, other CASE arm — the privileged-role view of employees_masked
@@ -185,7 +186,7 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("txn_merge_employees",
-          driver=False,  # new in r3; r4 candidate
+          # promoted into the driver window r3
           oracle=W(merge_upsert_sql(
               _EMP_PROJ_SQL, _EMP_RAISE_SQL, "id_employee",
               ["id_employee", "gross_salary", "business_unity",
@@ -260,6 +261,7 @@ _LINEITEM_SUITE = [
 @register("quality_config_suite",
           oracle=Q.suite_sql(Q.rules_from_config(_LINEITEM_SUITE),
                              "lineitem"),
+          driver=False,  # rotated out r3 (green r1+r2; pytest oracle continues)
           tags=("Q1", "Q6"))
 def q_quality_config_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Config-driven expectations (the GE YAML suite shape,

@@ -105,6 +105,7 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "top_orders_by_revenue",
+    driver=False,  # rotated out r3 (green r1+r2; pytest oracle continues)
     oracle=(
         "SELECT l_orderkey, "
         "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue "
@@ -165,6 +166,7 @@ def q_customer_order_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_hourly",
+    driver=False,  # rotated out r3 (green r1+r2; pytest oracle continues)
     oracle=(
         "SELECT date_trunc('hour', ts) AS window_start, event_type, "
         "CAST(COUNT(*) AS BIGINT) AS n_events, "
@@ -460,6 +462,7 @@ _PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
 
 @register(
     "orders_pivot_priority",
+    driver=False,  # rotated out r3 (green r1+r2; pytest oracle continues)
     oracle=(
         "SELECT o_orderstatus, "
         + ", ".join(
@@ -484,6 +487,7 @@ def q_orders_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "order_price_quantiles",
+    driver=False,  # rotated out r3 (green r1+r2; pytest oracle continues)
     oracle=(
         "SELECT o_orderstatus, "
         "ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50, "
@@ -654,7 +658,7 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "customer_order_gaps", driver=False,  # new in r3; r4 rotation candidate
+    "customer_order_gaps",  # promoted into the driver window r3
     oracle=(
         "WITH g AS (SELECT o_custkey, o_orderkey, o_orderdate, "
         "lag(o_orderdate) OVER (PARTITION BY o_custkey "
@@ -746,7 +750,7 @@ def q_order_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "repeat_buyers_intersect", driver=False,  # new in r3; r4 candidate
+    "repeat_buyers_intersect",  # promoted into the driver window r3
     oracle=(
         "SELECT o_custkey AS custkey FROM orders "
         "WHERE year(o_orderdate) = 1996 "
@@ -765,7 +769,7 @@ def q_repeat_buyers_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "customer_running_revenue", driver=False,  # new in r3; r4 candidate
+    "customer_running_revenue",  # promoted into the driver window r3
     oracle=(
         # DECIMAL accumulation is exact and associative, so DuckDB's
         # segment-tree window agg and Spark's running frame agree bitwise;
@@ -793,7 +797,7 @@ def q_customer_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "doc_length_histogram", driver=False,  # new in r3; r4 candidate
+    "doc_length_histogram",  # promoted into the driver window r3
     oracle=(
         "SELECT CAST(FLOOR(n_chars / 50) AS BIGINT) AS bucket, "
         "CAST(COUNT(*) AS BIGINT) AS n_docs, "
@@ -816,7 +820,7 @@ def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "approx_quantile_contract", driver=False,  # new in r3; r4 candidate
+    "approx_quantile_contract",  # promoted into the driver window r3
     oracle=(
         # pins the exact quantiles AND asserts the sketch landed within
         # 1% (literal TRUE): a drifting approx_percentile flips the
@@ -853,7 +857,7 @@ def q_approx_quantile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "order_price_quartile_bands", driver=False,  # new in r3; r4 candidate
+    "order_price_quartile_bands",  # promoted into the driver window r3
     oracle=(
         # ntile ordering includes the unique o_orderkey tiebreak so bucket
         # assignment is total-ordered — identical in both engines

@@ -92,6 +92,7 @@ def q_funnel_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "asof_last_signup",
+    driver=False,  # rotated out r3 (green r1+r2; pytest oracle continues)
     oracle=(
         # DuckDB native ASOF (>= picks the greatest right ts <= left ts)
         "SELECT CAST(p.event_id AS BIGINT) AS purchase_id, p.user_id, "
@@ -157,6 +158,7 @@ def q_asof_bucketed_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_events_exact",
+    driver=False,  # rotated out r3 (green r1+r2; pytest oracle continues)
     oracle=(
         "WITH doubled AS (SELECT * FROM events UNION ALL "
         "SELECT * FROM events WHERE event_id % 5 = 0), "

@@ -828,7 +828,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "boilerplate_ngrams", driver=False,  # new in r3; r4 candidate
+    "boilerplate_ngrams",  # promoted into the driver window r3
     oracle=(
         "WITH toks AS (SELECT doc_id, "
         "regexp_split_to_array(trim(text), ' +') AS t FROM documents), "
