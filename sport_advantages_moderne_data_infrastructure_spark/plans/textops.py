@@ -858,10 +858,15 @@ def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .alias("gram")))
     df_counts = grams.groupBy("gram").agg(
         F.countDistinct("doc_id").cast("bigint").alias("doc_freq"))
-    n_docs = load_table(spark, sf_dir, "documents").agg(
-        F.count(F.lit(1)).alias("n_docs"))
-    return (df_counts.crossJoin(F.broadcast(n_docs))
-            .filter(F.col("doc_freq") >= 0.05 * F.col("n_docs"))
+    # corpus-relative threshold via a bounded driver-side scalar probe
+    # (the accepted dim-probe pattern, cf. simops' cached dim first()):
+    # a 1-row crossJoin would plan BroadcastNestedLoopJoin and a
+    # constant-key equi-join constant-folds back to one — a parquet
+    # row-count metadata read keeps the repo's no-nested-loop invariant
+    # strict at zero plan cost.
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    return (df_counts
+            .filter(F.col("doc_freq") >= 0.05 * F.lit(n_docs))
             .select("gram", "doc_freq")
             .orderBy(F.desc("doc_freq"), "gram")
             .limit(20))
