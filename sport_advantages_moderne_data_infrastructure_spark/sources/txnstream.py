@@ -49,6 +49,20 @@ def _files_of(table: TxnTable, rel_dirs: list[str]) -> list[_FilePartition]:
     return parts
 
 
+def _normalize_ts(table):
+    """Spark writes INT96/nanosecond timestamps that pyarrow surfaces as
+    Timestamp(NANOSECOND) — unsupported by the DataSource Arrow bridge;
+    cast them to microseconds (Spark's native precision, lossless here)."""
+    import pyarrow as pa
+
+    for i, f in enumerate(table.schema):
+        if pa.types.is_timestamp(f.type) and f.type.unit != "us":
+            table = table.set_column(
+                i, f.name,
+                table.column(i).cast(pa.timestamp("us", f.type.tz)))
+    return table
+
+
 def _read_file(p: _FilePartition):
     """Executor-side: one parquet file → arrow batches. The partition
     column (if the file lives in a ``col=value`` subdir) is re-attached
@@ -56,7 +70,7 @@ def _read_file(p: _FilePartition):
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    t = pq.read_table(p.path)
+    t = _normalize_ts(pq.read_table(p.path))
     if p.part_col is not None:
         t = t.append_column(
             p.part_col, pa.array([int(p.part_val)] * len(t), pa.int32()))
@@ -133,7 +147,11 @@ class TxnLogDataSource(DataSource):
         if not dirs:
             raise ValueError(f"txnlog: empty table {table.path}")
         files = _files_of(table, dirs[-1:])  # newest commit defines schema
-        arrow = pq.read_schema(files[0].path)
+        import pyarrow as pa
+        arrow = pa.schema([
+            pa.field(f.name, pa.timestamp("us", f.type.tz))
+            if pa.types.is_timestamp(f.type) and f.type.unit != "us" else f
+            for f in pq.read_schema(files[0].path)])
         spark_schema = from_arrow_schema(arrow)
         if files[0].part_col is not None:
             spark_schema = spark_schema.add(

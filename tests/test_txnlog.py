@@ -336,3 +336,33 @@ def test_txnlog_datasource_partitioned_batch(spark, tmp_path):
     got = spark.read.format("txnlog").load(t.path)
     assert {(r["id"], r["val"], r["day"]) for r in got.collect()} == {
         (1, "a", 1), (2, "b", 2)}
+
+
+def test_txnlog_stream_composes_with_windowed_agg(spark, sf_dir, tmp_path):
+    """The txnlog streaming source plugs into the event-time layer: a
+    micro-batch of events appended to a txn table flows through the
+    watermarked tumbling-window aggregation and matches the batch twin
+    over the same snapshot."""
+    from sport_advantages_moderne_data_infrastructure_spark.sources import (
+        TxnTable,
+        register_txn_source,
+    )
+    from sport_advantages_moderne_data_infrastructure_spark.sources.tables import (
+        load_table,
+    )
+    from sport_advantages_moderne_data_infrastructure_spark.streaming.windows import (
+        tumbling_counts,
+    )
+
+    register_txn_source(spark)
+    t = TxnTable(str(tmp_path / "t"))
+    ev = load_table(spark, sf_dir, "events").limit(2000)
+    t.append(ev)
+
+    out = (tumbling_counts(spark.readStream.format("txnlog").load(t.path))
+           .writeStream.format("memory").queryName("txn_windows")
+           .outputMode("complete").trigger(availableNow=True).start())
+    out.awaitTermination(120)
+    got = {tuple(r) for r in spark.table("txn_windows").collect()}
+    want = {tuple(r) for r in tumbling_counts(t.read(spark)).collect()}
+    assert got == want and len(got) > 0
