@@ -87,19 +87,20 @@ def build_indexes(spark, sf_dir: str) -> None:
 
     from . import simops, textops
 
-    def _text_chain() -> None:
-        # shingle → capped → minhash are a dependency chain (each derives
-        # from the previous artifact); the IVF build is independent —
-        # submit both chains as concurrent Spark jobs (FIFO scheduler
-        # interleaves their stages; small-stage builds underuse the
-        # cluster alone, which is exactly why real index pipelines
-        # parallelize their DAG branches)
+    def _text_chain(pool) -> None:
+        # the DAG is shingle → {capped, minhash}: both downstream
+        # artifacts derive only from the shingle index, so they build in
+        # parallel once it lands; the IVF build is fully independent.
+        # Concurrent Spark jobs interleave under the FIFO scheduler —
+        # small-stage builds underuse the cluster alone, which is exactly
+        # why real index pipelines parallelize their DAG branches.
         textops.shingle_index(spark, sf_dir)
-        textops.capped_shingle_index(spark, sf_dir)
-        textops.minhash_index(spark, sf_dir)
+        for f in [pool.submit(textops.capped_shingle_index, spark, sf_dir),
+                  pool.submit(textops.minhash_index, spark, sf_dir)]:
+            f.result()
 
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        futs = [pool.submit(_text_chain),
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        futs = [pool.submit(_text_chain, pool),
                 pool.submit(simops.ensure_ivf_index, spark, sf_dir)]
         for f in futs:
             f.result()  # re-raise any build failure
