@@ -5,7 +5,12 @@ the reference's poll-the-table-again batch loop (read_delta.py:47-53
 re-reads and re-counts the whole Delta table every cycle; here each
 micro-batch reads exactly the commits since the last checkpointed
 version). ``spark.read.format("txnlog")`` gives batch snapshot reads with
-time travel via ``option("version", N)``.
+time travel via ``option("version", N)``. The WRITE side is symmetric:
+``df.write.format("txnlog").mode("append"|"overwrite")`` publishes one
+atomic commit per job, and ``writeStream.format("txnlog")`` is an
+exactly-once streaming append sink (per-micro-batch atomic commit +
+batch-id replay guard — the Delta streaming-sink shape of
+SaveDelta.scala:156-163 without the jars).
 
 Design: offsets are log versions ({"version": N}), so exactly-once
 restart falls out of Structured Streaming's offset checkpointing plus the
@@ -26,7 +31,10 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 from .txnlog import TxnTable
@@ -120,6 +128,82 @@ class _TxnBatchReader(DataSourceReader):
         return _read_file(partition)
 
 
+@dataclass
+class _DirCommit(WriterCommitMessage):
+    rel_dir: str | None  # None when the task partition was empty
+
+
+class _TxnWriterBase:
+    """Shared executor-side write: each task writes its own commit dir
+    under ``data/`` (invisible until a log doc references it), the driver
+    publishes all task dirs in ONE atomic commit — the manifest-commit
+    pattern every lakehouse sink uses; failed/speculative task dirs are
+    never referenced and fall to ``vacuum()``."""
+
+    def __init__(self, path: str, schema):
+        self.path = path
+        self.spark_schema = schema
+
+    def write(self, iterator) -> _DirCommit:
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        rows = [r.asDict(recursive=True) for r in iterator]
+        if not rows:
+            return _DirCommit(None)
+        arrow = to_arrow_schema(self.spark_schema)
+        t = pa.Table.from_pylist(rows, schema=arrow)
+        rel = os.path.join("data", _uuid.uuid4().hex)
+        os.makedirs(os.path.join(self.path, rel), exist_ok=True)
+        pq.write_table(t, os.path.join(self.path, rel, "part-0.parquet"))
+        return _DirCommit(rel)
+
+    def _adds(self, messages) -> list[str]:
+        return [m.rel_dir for m in messages if m is not None and m.rel_dir]
+
+    def _drop(self, messages) -> None:
+        import shutil
+
+        for rel in self._adds(messages):
+            shutil.rmtree(os.path.join(self.path, rel), ignore_errors=True)
+
+
+class _TxnStreamWriter(_TxnWriterBase, DataSourceStreamWriter):
+    def commit(self, messages, batchId: int) -> None:
+        table = TxnTable(self.path)
+        if table.last_meta().get("stream_batch_id") == batchId:
+            self._drop(messages)  # replayed batch: already committed
+            return
+        adds = self._adds(messages)
+        if adds:
+            table.commit(adds, [], {"stream_batch_id": batchId,
+                                    "operation": "stream_append"})
+
+    def abort(self, messages, batchId: int) -> None:
+        self._drop(messages)
+
+
+class _TxnBatchWriter(_TxnWriterBase, DataSourceWriter):
+    def __init__(self, path: str, schema, overwrite: bool):
+        super().__init__(path, schema)
+        self.overwrite = overwrite
+
+    def commit(self, messages) -> None:
+        table = TxnTable(self.path)
+        adds = self._adds(messages)
+        removes = table.snapshot_dirs() if self.overwrite else []
+        if adds or removes:
+            table.commit(adds, removes,
+                         {"operation":
+                          "overwrite" if self.overwrite else "append"})
+
+    def abort(self, messages) -> None:
+        self._drop(messages)
+
+
 class TxnLogDataSource(DataSource):
     """``format("txnlog")`` — register once per session with
     :func:`register_txn_source`. Options: ``path`` (table root; or pass to
@@ -165,6 +249,12 @@ class TxnLogDataSource(DataSource):
         version = self.options.get("version")
         return _TxnBatchReader(self._path(),
                                None if version is None else int(version))
+
+    def streamWriter(self, schema, overwrite: bool) -> _TxnStreamWriter:
+        return _TxnStreamWriter(self._path(), schema)
+
+    def writer(self, schema, overwrite: bool) -> _TxnBatchWriter:
+        return _TxnBatchWriter(self._path(), schema, overwrite)
 
 
 def register_txn_source(spark) -> None:

@@ -366,3 +366,46 @@ def test_txnlog_stream_composes_with_windowed_agg(spark, sf_dir, tmp_path):
     got = {tuple(r) for r in spark.table("txn_windows").collect()}
     want = {tuple(r) for r in tumbling_counts(t.read(spark)).collect()}
     assert got == want and len(got) > 0
+
+
+def test_txnlog_datasource_batch_writer(spark, tmp_path):
+    from sport_advantages_moderne_data_infrastructure_spark.sources import (
+        register_txn_source,
+    )
+    register_txn_source(spark)
+    tp = str(tmp_path / "t")
+    _df(spark, [(1, "a"), (2, "b")]).write.format("txnlog") \
+        .mode("append").save(tp)
+    _df(spark, [(3, "c")]).write.format("txnlog").mode("append").save(tp)
+    t = TxnTable(tp)
+    assert _rows(t.read(spark)) == {(1, "a"), (2, "b"), (3, "c")}
+    _df(spark, [(9, "z")]).write.format("txnlog").mode("overwrite").save(tp)
+    assert _rows(t.read(spark)) == {(9, "z")}
+    # previous state still time-travel readable through the format reader
+    assert _rows(spark.read.format("txnlog").option("version", 1)
+                 .load(tp)) == {(1, "a"), (2, "b"), (3, "c")}
+
+
+def test_txnlog_datasource_stream_writer_exactly_once(spark, tmp_path):
+    from sport_advantages_moderne_data_infrastructure_spark.sources import (
+        register_txn_source,
+    )
+    register_txn_source(spark)
+    src, tp, ckpt = (str(tmp_path / d) for d in ("src", "t", "ckpt"))
+    _df(spark, [(i, f"v{i}") for i in range(20)]) \
+        .repartition(4).write.parquet(src)
+
+    def drain():
+        q = (spark.readStream.schema("id int, val string").parquet(src)
+             .writeStream.format("txnlog").option("path", tp)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    drain()
+    t = TxnTable(tp)
+    assert _rows(t.read(spark)) == {(i, f"v{i}") for i in range(20)}
+    v1 = t.latest_version()
+    drain()  # same checkpoint, no new input: no growth, no new commits
+    assert t.read(spark).count() == 20
+    assert t.latest_version() == v1
