@@ -230,10 +230,22 @@ class TxnTable:
             os.unlink(tmp)
         return version
 
-    def append(self, df: DataFrame, meta: dict | None = None) -> int:
-        base = self.latest_version()
-        return self.commit([self._write_data(df)], [], meta,
-                           expected_version=base)
+    def append(self, df: DataFrame, meta: dict | None = None,
+               retries: int = 5) -> int:
+        """Blind appends touch no existing files, so losing a commit race
+        is never a semantic conflict — re-reading the latest version and
+        re-publishing is always safe (the optimistic-retry rule real log
+        stores apply to AddFile-only transactions). Data is written once;
+        only the metadata publish retries."""
+        rel = self._write_data(df)
+        for _ in range(retries):
+            try:
+                return self.commit([rel], [], meta,
+                                   expected_version=self.latest_version())
+            except TxnConflictError:
+                continue
+        return self.commit([rel], [], meta,
+                           expected_version=self.latest_version())
 
     def overwrite(self, df: DataFrame, meta: dict | None = None) -> int:
         """Atomic full replace (the reference's overwriteSchema rewrite,

@@ -409,3 +409,19 @@ def test_txnlog_datasource_stream_writer_exactly_once(spark, tmp_path):
     drain()  # same checkpoint, no new input: no growth, no new commits
     assert t.read(spark).count() == 20
     assert t.latest_version() == v1
+
+
+def test_concurrent_appends_both_land(spark, tmp_path):
+    """Blind appends retry through commit races: N threads appending
+    concurrently all land, in some serial order, with no lost updates."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    t = TxnTable(str(tmp_path / "t"))
+    t.overwrite(_df(spark, [(0, "base")]))
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        futs = [pool.submit(t.append, _df(spark, [(i, f"w{i}")]))
+                for i in range(1, 5)]
+        versions = [f.result() for f in futs]
+    assert sorted(versions) == [1, 2, 3, 4]  # four distinct commits
+    assert _rows(t.read(spark)) == {(0, "base"), (1, "w1"), (2, "w2"),
+                                    (3, "w3"), (4, "w4")}
