@@ -113,8 +113,26 @@ class TxnTable:
             raise ValueError(f"not a txn table (no commits): {self.path}")
         dirs = self.snapshot_dirs(version)
         if not dirs:
-            raise ValueError(f"empty snapshot at version {version}")
+            # A removes-only commit (e.g. overwrite with an empty frame)
+            # leaves a legal empty snapshot: return 0 rows with the schema
+            # of the most recent data the log ever referenced, mirroring
+            # how a lakehouse table stays queryable after DELETE-all.
+            schema_dirs = self._schema_dirs(version)
+            if not schema_dirs:
+                raise ValueError(f"empty snapshot at version {version}")
+            return self._read_dirs(spark, schema_dirs).limit(0)
         return self._read_dirs(spark, dirs)
+
+    def _schema_dirs(self, version: int | None = None) -> list[str]:
+        """Adds of the newest commit at/before ``version`` that added data
+        — the schema source for empty snapshots."""
+        for v in reversed(self.versions()):
+            if version is not None and v > version:
+                continue
+            adds = self._doc(v)["adds"]
+            if adds:
+                return adds
+        return []
 
     def read_partitions(self, spark: SparkSession, values: list,
                         version: int | None = None) -> DataFrame:
@@ -153,6 +171,26 @@ class TxnTable:
     def last_meta(self) -> dict:
         v = self.latest_version()
         return {} if v is None else self._doc(v).get("meta", {})
+
+    def max_stream_batch_id(self, app_id: str | None = None) -> int | None:
+        """Highest ``stream_batch_id`` recorded by ANY commit (optionally
+        restricted to commits whose ``stream_app_id`` matches ``app_id``).
+        This is the Delta SetTransaction lookup: the exactly-once replay
+        guard must scan the whole log, not just the head commit — a
+        compaction or a second writer interleaving between a sink's commit
+        and its crash-replay would otherwise hide the sink's own batch id
+        (ADVICE r3). O(commits) driver-side metadata, like all planning."""
+        best: int | None = None
+        for doc in self.history():
+            meta = doc.get("meta", {})
+            bid = meta.get("stream_batch_id")
+            if bid is None:
+                continue
+            if app_id is not None and meta.get("stream_app_id") != app_id:
+                continue
+            if best is None or bid > best:
+                best = bid
+        return best
 
     def read_increment(self, spark: SparkSession,
                        since_version: int) -> DataFrame:
@@ -320,7 +358,10 @@ class TxnTable:
         (the commit is metadata+layout only). The small-files problem is
         the #1 operational cost of log-structured tables at scale; on a
         real deployment this runs on a schedule, keyed off
-        ``len(snapshot_dirs())``."""
+        ``len(snapshot_dirs())``. NOTE: a compaction is a rewrite commit —
+        downstream change-feed streams fail on it by default; they should
+        read with ``option("skipChangeCommits", "true")`` (txnstream) to
+        keep streaming across maintenance."""
         base = self.latest_version()
         if base is None:
             raise ValueError(f"nothing to compact: {self.path}")
@@ -333,12 +374,23 @@ class TxnTable:
                            {**(meta or {}), "operation": "compact"},
                            expected_version=base)
 
-    def vacuum(self, keep_versions: bool = True) -> list[str]:
+    def vacuum(self, keep_versions: bool = True,
+               older_than_seconds: float = 3600.0) -> list[str]:
         """Delete orphan data dirs — written but never referenced by any
         commit (a crashed writer's leftovers). With ``keep_versions=False``
         also drops dirs referenced only by superseded versions (disables
-        time travel to them). Never touches the current snapshot."""
+        time travel to them). Never touches the current snapshot.
+
+        ``older_than_seconds`` is the retention window (Delta's VACUUM
+        retention, ADVICE r3): a dir younger than the window is skipped,
+        because an IN-FLIGHT writer that has written its data but not yet
+        published its log doc is indistinguishable from a crashed one —
+        deleting its dir would let its later commit publish a snapshot
+        referencing missing files. Keep the window longer than any
+        plausible write+commit duration; pass ``0`` only when no writer
+        can be concurrent (e.g. tests, single-writer maintenance)."""
         import shutil
+        import time
 
         referenced: set[str] = set()
         if keep_versions:
@@ -347,6 +399,7 @@ class TxnTable:
         else:
             referenced.update(self.snapshot_dirs())
         data_root = os.path.join(self.path, _DATA_DIR)
+        cutoff = time.time() - older_than_seconds
         victims = []
         if os.path.isdir(data_root):
             for d in os.listdir(data_root):
@@ -356,6 +409,11 @@ class TxnTable:
                 if rel in referenced or any(
                         r.startswith(rel + os.sep) for r in referenced):
                     continue
+                try:
+                    if os.path.getmtime(os.path.join(self.path, rel)) > cutoff:
+                        continue  # possibly an in-flight writer's dir
+                except OSError:
+                    continue  # raced with its deletion/creation: skip
                 victims.append(rel)
                 shutil.rmtree(os.path.join(self.path, rel))
         return sorted(victims)

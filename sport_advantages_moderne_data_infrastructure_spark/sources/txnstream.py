@@ -37,7 +37,7 @@ from pyspark.sql.datasource import (
     WriterCommitMessage,
 )
 
-from .txnlog import TxnTable
+from .txnlog import TxnConflictError, TxnTable
 
 
 @dataclass
@@ -45,15 +45,42 @@ class _FilePartition(InputPartition):
     path: str  # one parquet file; value may be a partition-subdir file
     part_col: str | None = None
     part_val: str | None = None
+    part_type: str = "string"  # "int32" | "int64" | "string"
+
+
+def _infer_part_type(vals: list[str]) -> str:
+    """Partition-value type rule, mirrored by :meth:`TxnLogDataSource.schema`
+    and executor-side ``_read_file`` (ADVICE r3: the read path hardcoded
+    int32 and crashed on string-partitioned tables). Mimics Spark's own
+    partition-column inference: every value integral → int (widened to
+    int64 when any value overflows 32 bits), else string. Tables must use
+    consistently-typed partition values (Spark's rule too)."""
+    ints = []
+    for v in vals:
+        try:
+            ints.append(int(v))
+        except (TypeError, ValueError):
+            return "string"
+    if not ints:
+        return "string"
+    if all(-(2 ** 31) <= i < 2 ** 31 for i in ints):
+        return "int32"
+    return "int64"
 
 
 def _files_of(table: TxnTable, rel_dirs: list[str]) -> list[_FilePartition]:
     parts = []
+    vals = []
     for rel in rel_dirs:
         base = os.path.basename(rel)
         col, _, val = base.partition("=") if "=" in base else (None, "", None)
+        if val is not None:
+            vals.append(val)
         for f in sorted(glob.glob(os.path.join(table.path, rel, "*.parquet"))):
             parts.append(_FilePartition(f, col, val))
+    ptype = _infer_part_type(vals) if vals else "string"
+    for p in parts:
+        p.part_type = ptype
     return parts
 
 
@@ -71,23 +98,33 @@ def _normalize_ts(table):
     return table
 
 
-def _read_file(p: _FilePartition):
+def _read_file(p: _FilePartition | None):
     """Executor-side: one parquet file → arrow batches. The partition
     column (if the file lives in a ``col=value`` subdir) is re-attached
-    from partition metadata, mirroring Spark's own partitioned reads."""
+    from partition metadata, mirroring Spark's own partitioned reads.
+    ``p`` is None when the snapshot is empty (Spark plans one no-op task
+    over an empty partition list)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    if p is None:
+        return
     t = _normalize_ts(pq.read_table(p.path))
     if p.part_col is not None:
-        t = t.append_column(
-            p.part_col, pa.array([int(p.part_val)] * len(t), pa.int32()))
+        if p.part_type == "int32":
+            arr = pa.array([int(p.part_val)] * len(t), pa.int32())
+        elif p.part_type == "int64":
+            arr = pa.array([int(p.part_val)] * len(t), pa.int64())
+        else:
+            arr = pa.array([p.part_val] * len(t), pa.string())
+        t = t.append_column(p.part_col, arr)
     yield from t.to_batches()
 
 
 class _TxnStreamReader(DataSourceStreamReader):
-    def __init__(self, path: str):
+    def __init__(self, path: str, skip_change_commits: bool = False):
         self.table = TxnTable(path)
+        self.skip_change_commits = skip_change_commits
 
     def initialOffset(self) -> dict:
         return {"version": -1}
@@ -102,10 +139,21 @@ class _TxnStreamReader(DataSourceStreamReader):
             if start["version"] < v <= end["version"]:
                 doc = self.table._doc(v)  # noqa: SLF001
                 if doc["removes"]:
+                    # A rewrite's adds are NOT row-level changes; by
+                    # default the change feed fails rather than emit them
+                    # as inserts. skipChangeCommits (Delta's option of the
+                    # same name) skips the commit so routine maintenance
+                    # (compact/overwrite/merge) doesn't permanently brick
+                    # downstream streams (ADVICE r3) — rewritten rows are
+                    # then simply not re-delivered.
+                    if self.skip_change_commits:
+                        continue
                     raise ValueError(
                         f"txnlog stream: version {v} is a rewrite "
                         f"({doc['meta'].get('operation', 'overwrite/merge')});"
-                        " the change feed is append-only")
+                        " the change feed is append-only — restart from a "
+                        "snapshot read, or set .option('skipChangeCommits',"
+                        " 'true') to skip rewrite commits")
                 adds.extend(doc["adds"])
         return _files_of(self.table, adds)
 
@@ -172,15 +220,39 @@ class _TxnWriterBase:
 
 
 class _TxnStreamWriter(_TxnWriterBase, DataSourceStreamWriter):
+    """Exactly-once sink. The replay guard is Delta's SetTransaction rule:
+    scan the WHOLE log for this sink's highest committed batch id — not
+    just the head commit, which an interleaved compact()/second writer
+    would mask (ADVICE r3). Batch ids are monotonic per checkpoint, so
+    ``batchId <= max seen`` means replay. ``txnAppId`` (option) scopes the
+    guard when several independent streams append to one table."""
+
+    def __init__(self, path: str, schema, app_id: str | None):
+        super().__init__(path, schema)
+        self.app_id = app_id
+
     def commit(self, messages, batchId: int) -> None:
         table = TxnTable(self.path)
-        if table.last_meta().get("stream_batch_id") == batchId:
+        seen = table.max_stream_batch_id(self.app_id)
+        if seen is not None and batchId <= seen:
             self._drop(messages)  # replayed batch: already committed
             return
         adds = self._adds(messages)
         if adds:
-            table.commit(adds, [], {"stream_batch_id": batchId,
-                                    "operation": "stream_append"})
+            meta = {"stream_batch_id": batchId,
+                    "operation": "stream_append"}
+            if self.app_id is not None:
+                meta["stream_app_id"] = self.app_id
+            for _ in range(5):  # blind append: commit races are retryable
+                try:
+                    table.commit(adds, [], meta)
+                    return
+                except TxnConflictError:
+                    if (table.max_stream_batch_id(self.app_id) or -1) \
+                            >= batchId:
+                        self._drop(messages)  # racer was our own replay
+                        return
+            table.commit(adds, [], meta)
 
     def abort(self, messages, batchId: int) -> None:
         self._drop(messages)
@@ -194,11 +266,27 @@ class _TxnBatchWriter(_TxnWriterBase, DataSourceWriter):
     def commit(self, messages) -> None:
         table = TxnTable(self.path)
         adds = self._adds(messages)
-        removes = table.snapshot_dirs() if self.overwrite else []
-        if adds or removes:
-            table.commit(adds, removes,
-                         {"operation":
-                          "overwrite" if self.overwrite else "append"})
+        if self.overwrite:
+            # Base version captured ONCE: removes and expected_version come
+            # from the same snapshot, so a commit landing in between makes
+            # this overwrite raise TxnConflictError instead of silently
+            # retaining the interloper's files (ADVICE r3 TOCTOU). An
+            # empty-input overwrite commits removes-only — a legal empty
+            # snapshot (TxnTable.read returns 0 rows with the prior
+            # schema).
+            base = table.latest_version()
+            removes = table.snapshot_dirs(base)
+            if adds or removes:
+                table.commit(adds, removes, {"operation": "overwrite"},
+                             expected_version=base)
+        elif adds:
+            for _ in range(5):  # blind append: races are retryable
+                try:
+                    table.commit(adds, [], {"operation": "append"})
+                    return
+                except TxnConflictError:
+                    continue
+            table.commit(adds, [], {"operation": "append"})
 
     def abort(self, messages) -> None:
         self._drop(messages)
@@ -207,7 +295,11 @@ class _TxnBatchWriter(_TxnWriterBase, DataSourceWriter):
 class TxnLogDataSource(DataSource):
     """``format("txnlog")`` — register once per session with
     :func:`register_txn_source`. Options: ``path`` (table root; or pass to
-    ``load()``), ``version`` (batch time travel)."""
+    ``load()``), ``version`` (batch time travel), ``skipChangeCommits``
+    (streaming read: skip rewrite commits instead of failing — keeps a
+    compacted table streamable), ``txnAppId`` (streaming write: scope the
+    exactly-once replay guard to this sink when several streams append to
+    one table)."""
 
     @classmethod
     def name(cls) -> str:
@@ -221,29 +313,44 @@ class TxnLogDataSource(DataSource):
 
     def schema(self):
         from pyspark.sql.pandas.types import from_arrow_schema
-        from pyspark.sql.types import IntegerType, StructField
+        from pyspark.sql.types import (IntegerType, LongType, StringType,
+                                       StructField)
 
         import pyarrow.parquet as pq
 
         table = TxnTable(self._path())
         version = self.options.get("version")
-        dirs = table.snapshot_dirs(None if version is None else int(version))
+        v = None if version is None else int(version)
+        dirs = table.snapshot_dirs(v)
+        if not dirs:
+            # legal empty snapshot (removes-only commit): schema comes
+            # from the newest data the log ever referenced
+            dirs = table._schema_dirs(v)  # noqa: SLF001
         if not dirs:
             raise ValueError(f"txnlog: empty table {table.path}")
-        files = _files_of(table, dirs[-1:])  # newest commit defines schema
+        # Columns come from the newest commit; the partition column's type
+        # is inferred over ALL live partition values so it matches what
+        # _read_file attaches executor-side (ADVICE r3: was hardcoded int).
+        files = _files_of(table, dirs)
+        newest = _files_of(table, dirs[-1:])
         import pyarrow as pa
         arrow = pa.schema([
             pa.field(f.name, pa.timestamp("us", f.type.tz))
             if pa.types.is_timestamp(f.type) and f.type.unit != "us" else f
-            for f in pq.read_schema(files[0].path)])
+            for f in pq.read_schema(newest[0].path)])
         spark_schema = from_arrow_schema(arrow)
-        if files[0].part_col is not None:
+        if newest[0].part_col is not None:
+            ptype = {"int32": IntegerType(), "int64": LongType(),
+                     "string": StringType()}[files[0].part_type]
             spark_schema = spark_schema.add(
-                StructField(files[0].part_col, IntegerType()))
+                StructField(newest[0].part_col, ptype))
         return spark_schema
 
     def streamReader(self, schema) -> _TxnStreamReader:
-        return _TxnStreamReader(self._path())
+        skip = str(self.options.get("skipChangeCommits",
+                                    self.options.get("ignoreChanges",
+                                                     "false"))).lower()
+        return _TxnStreamReader(self._path(), skip_change_commits=skip == "true")
 
     def reader(self, schema) -> _TxnBatchReader:
         version = self.options.get("version")
@@ -251,7 +358,8 @@ class TxnLogDataSource(DataSource):
                                None if version is None else int(version))
 
     def streamWriter(self, schema, overwrite: bool) -> _TxnStreamWriter:
-        return _TxnStreamWriter(self._path(), schema)
+        return _TxnStreamWriter(self._path(), schema,
+                                self.options.get("txnAppId"))
 
     def writer(self, schema, overwrite: bool) -> _TxnBatchWriter:
         return _TxnBatchWriter(self._path(), schema, overwrite)

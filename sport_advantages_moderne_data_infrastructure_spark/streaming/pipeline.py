@@ -177,7 +177,12 @@ def write_stream_merge_txn(df: DataFrame, target: str, checkpoint: str,
             return
         spark = batch_df.sparkSession
         table = TxnTable(target)
-        if table.last_meta().get("stream_batch_id") == batch_id:
+        # Delta SetTransaction rule (ADVICE r3): scan the WHOLE log for
+        # this sink's highest batch id — a compact() or second writer
+        # interleaving between commit and crash-replay hides it from the
+        # head commit. Batch ids are monotonic per checkpoint.
+        seen = table.max_stream_batch_id()
+        if seen is not None and batch_id <= seen:
             return  # replay of an already-committed batch
         latest = (batch_df.withColumn(
             "__rn", F.row_number().over(

@@ -57,7 +57,7 @@ def test_crash_leaves_snapshot_intact_and_vacuum_reclaims(spark, tmp_path):
     # files exist but no log doc references them
     orphan = t._write_data(_df(spark, [(99, "junk")]))
     assert _rows(t.read(spark)) == {(1, "a")}  # reader never sees it
-    victims = t.vacuum()
+    victims = t.vacuum(older_than_seconds=0)
     assert victims == [orphan]
     assert not os.path.exists(os.path.join(t.path, orphan))
     assert _rows(t.read(spark)) == {(1, "a")}  # snapshot untouched
@@ -80,7 +80,7 @@ def test_vacuum_aggressive_drops_superseded_versions(spark, tmp_path):
     t = TxnTable(str(tmp_path / "t"))
     t.overwrite(_df(spark, [(1, "a")]))
     t.overwrite(_df(spark, [(2, "b")]))
-    victims = t.vacuum(keep_versions=False)
+    victims = t.vacuum(keep_versions=False, older_than_seconds=0)
     assert len(victims) == 1  # version-0 data gone
     assert _rows(t.read(spark)) == {(2, "b")}  # current snapshot safe
 
@@ -162,7 +162,7 @@ def test_compact_preserves_state_and_history(spark, tmp_path):
     assert _rows(t.read(spark)) == before  # byte-identical state
     assert _rows(t.read(spark, version=v - 1)) == before  # time travel ok
     # aggressive vacuum now reclaims the five small dirs
-    assert len(t.vacuum(keep_versions=False)) == 5
+    assert len(t.vacuum(keep_versions=False, older_than_seconds=0)) == 5
     assert _rows(t.read(spark)) == before
 
 
@@ -275,7 +275,7 @@ def test_vacuum_keeps_partitioned_commit_dirs(spark, tmp_path):
     t = TxnTable(str(tmp_path / "t"))
     t.overwrite_partitions(_pdf(spark, [(1, "a", 1), (2, "b", 2)]), "day")
     orphan = t._write_data(_pdf(spark, [(9, "x", 9)]))
-    assert t.vacuum() == [orphan]  # live partitioned dir NOT a victim
+    assert t.vacuum(older_than_seconds=0) == [orphan]  # live dir NOT a victim
     assert _prows(t.read(spark)) == {(1, "a", 1), (2, "b", 2)}
 
 
@@ -425,3 +425,183 @@ def test_concurrent_appends_both_land(spark, tmp_path):
     assert sorted(versions) == [1, 2, 3, 4]  # four distinct commits
     assert _rows(t.read(spark)) == {(0, "base"), (1, "w1"), (2, "w2"),
                                     (3, "w3"), (4, "w4")}
+
+
+# -- ADVICE r3 fixes ------------------------------------------------------
+
+
+def test_replay_guard_survives_interleaved_compact(spark, sf_dir, tmp_path):
+    """Exactly-once guard is a log SCAN, not a head-commit peek: a
+    compact() interleaving between a batch's commit and its crash-replay
+    must not hide the batch id (Delta's SetTransaction rule)."""
+    from sport_advantages_moderne_data_infrastructure_spark.sources import (
+        domain as D,
+    )
+    from sport_advantages_moderne_data_infrastructure_spark.streaming import (
+        pipeline as P,
+    )
+
+    src, target = str(tmp_path / "src"), str(tmp_path / "target")
+    D.cdc_events(spark, sf_dir).repartition(2).write.parquet(src)
+    q = P.write_stream_merge_txn(
+        P.stream_cdc_from_files(spark, src), target, str(tmp_path / "ck1"))
+    q.awaitTermination(120)
+    t = TxnTable(target)
+    n1 = t.read(spark).count()
+    t.compact(spark)  # maintenance commit lands AFTER the stream batch
+    v_compacted = t.latest_version()
+    assert t.last_meta().get("stream_batch_id") is None  # head hides it
+
+    # fresh checkpoint replays batch 0: scan-based guard must no-op it
+    q2 = P.write_stream_merge_txn(
+        P.stream_cdc_from_files(spark, src), target, str(tmp_path / "ck2"))
+    q2.awaitTermination(120)
+    assert t.latest_version() == v_compacted
+    assert t.read(spark).count() == n1
+
+
+def test_datasource_stream_writer_replay_after_compact(spark, tmp_path):
+    """Same scan-based guard on the format('txnlog') streaming sink."""
+    from sport_advantages_moderne_data_infrastructure_spark.sources import (
+        register_txn_source,
+    )
+    register_txn_source(spark)
+    src, tp, ck1, ck2 = (str(tmp_path / d)
+                         for d in ("src", "t", "ck1", "ck2"))
+    _df(spark, [(i, f"v{i}") for i in range(10)]) \
+        .repartition(2).write.parquet(src)
+
+    def drain(ck):
+        q = (spark.readStream.schema("id int, val string").parquet(src)
+             .writeStream.format("txnlog").option("path", tp)
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    drain(ck1)
+    t = TxnTable(tp)
+    t.compact(spark)
+    v = t.latest_version()
+    drain(ck2)  # fresh checkpoint replays batch 0 → must be skipped
+    assert t.latest_version() == v
+    assert t.read(spark).count() == 10
+
+
+def test_datasource_reads_string_partitions(spark, tmp_path):
+    """ADVICE r3: the DataSource read path hardcoded int32 partition
+    values; a date-string-partitioned table must read back correctly with
+    a string-typed partition column."""
+    from sport_advantages_moderne_data_infrastructure_spark.sources import (
+        register_txn_source,
+    )
+    register_txn_source(spark)
+    t = TxnTable(str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(1, "a", "2024-01-01"), (2, "b", "2024-01-02")],
+        "id int, val string, day string")
+    t.overwrite_partitions(df, "day")
+    got = spark.read.format("txnlog").load(t.path)
+    assert dict(got.dtypes)["day"] == "string"
+    assert {(r["id"], r["val"], r["day"]) for r in got.collect()} == {
+        (1, "a", "2024-01-01"), (2, "b", "2024-01-02")}
+
+
+def test_vacuum_retention_spares_young_dirs(spark, tmp_path):
+    """A just-written unreferenced dir may belong to an in-flight writer:
+    default vacuum leaves it; a zero-retention vacuum reclaims it."""
+    t = TxnTable(str(tmp_path / "t"))
+    t.overwrite(_df(spark, [(1, "a")]))
+    orphan = t._write_data(_df(spark, [(99, "junk")]))
+    assert t.vacuum() == []  # default retention: too young to kill
+    assert os.path.exists(os.path.join(t.path, orphan))
+    assert t.vacuum(older_than_seconds=0) == [orphan]
+
+
+def test_datasource_empty_overwrite_yields_empty_snapshot(spark, tmp_path):
+    """ADVICE r3: overwriting with an empty frame is a legal removes-only
+    commit; the table then reads as 0 rows with the prior schema instead
+    of raising."""
+    from sport_advantages_moderne_data_infrastructure_spark.sources import (
+        register_txn_source,
+    )
+    register_txn_source(spark)
+    tp = str(tmp_path / "t")
+    _df(spark, [(1, "a")]).write.format("txnlog").mode("append").save(tp)
+    _df(spark, []).write.format("txnlog").mode("overwrite").save(tp)
+    t = TxnTable(tp)
+    empty = t.read(spark)
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == ["id", "val"]
+    got = spark.read.format("txnlog").load(tp)
+    assert got.count() == 0
+    # previous state still time travels
+    assert _rows(t.read(spark, version=0)) == {(1, "a")}
+
+
+def test_overwrite_toctou_conflict_detected(spark, tmp_path):
+    """The format('txnlog') overwrite captures its base version once: a
+    commit landing between planning and publish makes it CONFLICT (and
+    Spark surfaces the error) instead of silently keeping the
+    interloper's files."""
+    from unittest import mock
+
+    from sport_advantages_moderne_data_infrastructure_spark.sources import txnstream
+
+    tp = str(tmp_path / "t")
+    t = TxnTable(tp)
+    t.overwrite(_df(spark, [(1, "a")]))
+
+    w = txnstream._TxnBatchWriter(tp, _df(spark, [(9, "z")]).schema, True)
+    rel = t._write_data(_df(spark, [(9, "z")]))
+    msgs = [txnstream._DirCommit(rel)]
+    real_snapshot_dirs = TxnTable.snapshot_dirs
+
+    def interloper(self, version=None):
+        dirs = real_snapshot_dirs(self, version)
+        # another writer lands AFTER base was captured
+        if not getattr(interloper, "fired", False):
+            interloper.fired = True
+            t.append(_df(spark, [(5, "race")]))
+        return dirs
+
+    with mock.patch.object(TxnTable, "snapshot_dirs", interloper):
+        with pytest.raises(TxnConflictError):
+            w.commit(msgs)
+    # interloper's row survives; no silent half-overwrite
+    assert (5, "race") in _rows(t.read(spark))
+
+
+def test_stream_skip_change_commits(spark, tmp_path):
+    """A compacted table stays streamable with skipChangeCommits=true
+    (Delta's option); without it the change feed fails on the rewrite."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from sport_advantages_moderne_data_infrastructure_spark.sources import (
+        register_txn_source,
+    )
+    register_txn_source(spark)
+    t = TxnTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+
+    def drain(**opts):
+        r = spark.readStream.format("txnlog")
+        for k, v in opts.items():
+            r = r.option(k, v)
+        q = (r.load(t.path)
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    drain(skipChangeCommits="true")
+    assert _rows(spark.read.parquet(out)) == {(1, "a")}
+    t.compact(spark)  # rewrite commit in the next offset range
+    t.append(_df(spark, [(2, "b")]))
+    drain(skipChangeCommits="true")  # skips the compact, takes the append
+    assert _rows(spark.read.parquet(out)) == {(1, "a"), (2, "b")}
+
+    # default behavior still fails loudly on rewrites
+    t.compact(spark)
+    with pytest.raises(StreamingQueryException, match="rewrite"):
+        drain()
