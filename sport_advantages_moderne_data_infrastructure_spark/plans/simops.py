@@ -160,14 +160,16 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: sample-trained k-means centroids + inverted-list table
     (parquet partitioned by centroid_id), both cached per sf_dir as the
     index artifact (built via catalog.build_indexes in the load phase); a
-    query reranks only its nprobe=4 nearest centroid lists, read via the
+    query reranks only its nprobe=6 nearest centroid lists, read via the
     probe join against the partitioned index — the partition-pruned
-    lakehouse layout (operators/ivf.py)."""
+    lakehouse layout (operators/ivf.py). nprobe raised 4→6 in r4 to put
+    the measured recall comfortably above the driver-enforced floor
+    (ann_ivf_recall_floor: mean overlap@10 >= 7)."""
     from ..operators.ivf import ivf_topk
     e = load_table(spark, sf_dir, "embeddings")
     centroids, assigned = ensure_ivf_index(spark, sf_dir)
     return ivf_topk(e, centroids, lambda vid: vid % 50 == 0,
-                    k=10, nprobe=4, assigned=assigned)
+                    k=10, nprobe=6, assigned=assigned)
 
 
 @register(
@@ -396,8 +398,8 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # construction: tagged gate_scale_only, verified at sf0.01 by
 # tests/test_driver_gate.py (and by the external gate); regenerate the
 # literals if the corpus, seed, or distance formula ever changes.
-_IVF_EXPECTED_SF001 = [(0, 9), (50, 7), (100, 8), (150, 7), (200, 8),
-                       (250, 7), (300, 4), (350, 5), (400, 6), (450, 7)]
+_IVF_EXPECTED_SF001 = [(0, 9), (50, 8), (100, 8), (150, 8), (200, 8),
+                       (250, 7), (300, 6), (350, 7), (400, 9), (450, 9)]
 
 _IVF_RECALL_ORACLE = (
     "SELECT CAST(query_id AS BIGINT) AS query_id, "
@@ -425,6 +427,29 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce("overlap", F.lit(0)).cast("bigint")
                     .alias("overlap_at_10"))
             .orderBy("query_id"))
+
+
+_IVF_FLOOR = 7.0  # mean overlap@10 the IVF path must clear (VERDICT r3 #3)
+
+
+@register("ann_ivf_recall_floor",
+          oracle="SELECT CAST(10 AS BIGINT) AS n_queries, "
+                 "CAST(1 AS BOOLEAN) AS floor_met",
+          tags=("gate_scale_only",))
+def q_ann_ivf_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENFORCED recall floor for the IVF path (VERDICT r3 "What's wrong"
+    #2): Spark computes mean(overlap@10) of the IVF top-10 against
+    ann_cosine_topk's exactly-oracled brute truth and emits
+    ``floor_met = mean >= 7``; the oracle expects TRUE, so the driver
+    gate goes red the moment recall degrades below the floor — unlike
+    the pinned golden in ann_ivf_recall, which only anchors drift. The
+    golden pins the exact behavior; this row pins the quality contract.
+    n_queries is sf-dependent (10 at the gate's sf0.01) →
+    gate_scale_only."""
+    rec = q_ann_ivf_recall(spark, sf_dir)
+    return rec.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+        (F.avg("overlap_at_10") >= F.lit(_IVF_FLOOR)).alias("floor_met"))
 
 
 @register("ann_cosine_topk", oracle=_ANN_ORACLE, bench=True)

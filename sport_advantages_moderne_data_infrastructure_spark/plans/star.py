@@ -686,7 +686,7 @@ def q_customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "approx_distinct_contract", driver=False,  # new in r3; r4 candidate
+    "approx_distinct_contract",  # promoted into the driver window r4
     oracle=(
         # the oracle pins the EXACT counts and asserts the sketch landed
         # inside the tolerance (literal TRUE): if Spark's HLL ever drifts
@@ -714,7 +714,7 @@ def q_approx_distinct_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "order_price_outliers", driver=False,  # new in r3; r4 candidate
+    "order_price_outliers",  # promoted into the driver window r4
     oracle=(
         # z-score anomaly detection per priority group; population stddev
         # (stddev_pop ≡ Spark stddev_pop) — boundary values rounded away

@@ -31,6 +31,7 @@ def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sliding_window_counts",
+    driver=False,  # rotated out r4 (multiply green; pytest oracle continues)
     oracle=(
         # 1h/30m sliding: an event belongs to exactly two windows, starting
         # at floor_30(ts) and floor_30(ts) - 30min (epoch-aligned like
@@ -70,6 +71,7 @@ def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "funnel_click_purchase",
+    driver=False,  # rotated out r4 (multiply green; pytest oracle continues)
     oracle=(
         "SELECT c.user_id, CAST(c.event_id AS BIGINT) AS click_id, "
         "CAST(p.event_id AS BIGINT) AS purchase_id, "

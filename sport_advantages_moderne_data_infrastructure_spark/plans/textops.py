@@ -351,7 +351,7 @@ _LANG_RATES = [("en", 40), ("es", 70), ("fr", 70), ("zh", 100)]
 
 
 @register(
-    "lang_rebalanced_sample", driver=False,  # new in r3; r4 candidate
+    "lang_rebalanced_sample",  # promoted into the driver window r4
     oracle=(
         "WITH rates(lang, keep_pct) AS (VALUES "
         + ", ".join(f"('{lg}', {r})" for lg, r in _LANG_RATES)
@@ -423,7 +423,7 @@ def q_token_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "training_pipeline_e2e", driver=False,  # new in r3; r4 rotation
+    "training_pipeline_e2e",  # promoted into the driver window r4
     # candidate — the composed pipeline, every stage already gate-checked
     oracle=(
         f"WITH corpus AS ({_DUP_CORPUS_SQL}), "
@@ -517,7 +517,7 @@ def _contam_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "contamination_check", driver=False,  # new in r3; r4 rotation candidate
+    "contamination_check",  # promoted into the driver window r4
     oracle=(
         f"WITH corpus AS ({_CONTAM_CORPUS_SQL}), "
         f"sh AS ({DD.word_shingle_hashes_sql('corpus')}), "
@@ -556,7 +556,7 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "doc_repetition_score", driver=False,  # new in r3; r4 rotation candidate
+    "doc_repetition_score",  # promoted into the driver window r4
     oracle=(
         "WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), ' +') "
         "AS t FROM documents), "
@@ -626,6 +626,8 @@ def q_dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("dedup_clusters",
+          driver=False,  # rotated out r4 — dedup_clusters_large_star gates the
+          # same oracle through the two-phase variant
           oracle=DD.connected_components_sql(
               _NC_SUB,
               f"SELECT doc_a, doc_b FROM "
@@ -684,7 +686,8 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         MM.synth_media(load_table(spark, sf_dir, "documents"))).orderBy("doc_id")
 
 
-@register("multimodal_bmp_decode", oracle=MM.BMP_DECODE_SQL)
+@register("multimodal_bmp_decode", driver=False,  # rotated out r4 (multiply green; pytest oracle continues)
+          oracle=MM.BMP_DECODE_SQL)
 def q_multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL media decode with an oracle (VERDICT.md r1 next-round #5):
     pack genuine 24-bit BMP files per document (mapInPandas), then a second
@@ -707,7 +710,7 @@ def q_multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.decode_wav_features(MM.synth_wav(docs)).orderBy("doc_id")
 
 
-@register("multimodal_png_decode", driver=False,  # new in r3; r4 rotation
+@register("multimodal_png_decode",  # promoted into the driver window r4
           # candidate — third REAL codec, the first COMPRESSED one
           oracle=MM.PNG_DECODE_SQL)
 def q_multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -828,7 +831,10 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "boilerplate_ngrams",  # promoted into the driver window r3
+    "boilerplate_ngrams",
+    driver=False,  # rotated out r4 — its green row was vacuous at sf0.01
+    # (0 rows both engines); boilerplate_ngrams_abs gates the machinery on
+    # non-empty output, this corpus-relative form stays the scale default
     oracle=(
         "WITH toks AS (SELECT doc_id, "
         "regexp_split_to_array(trim(text), ' +') AS t FROM documents), "
@@ -867,6 +873,47 @@ def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs = load_table(spark, sf_dir, "documents").count()
     return (df_counts
             .filter(F.col("doc_freq") >= 0.05 * F.lit(n_docs))
+            .select("gram", "doc_freq")
+            .orderBy(F.desc("doc_freq"), "gram")
+            .limit(20))
+
+
+_BOILERPLATE_GRAMS_CTE = (
+    "WITH toks AS (SELECT doc_id, "
+    "regexp_split_to_array(trim(text), ' +') AS t FROM documents), "
+    "pos AS (SELECT doc_id, t, unnest(range(1, "
+    "greatest(len(t) - 4, 1) + 1)) AS i FROM toks), "
+    "g AS (SELECT doc_id, "
+    "array_to_string(list_slice(t, i, i + 4), ' ') AS gram FROM pos), "
+    "df AS (SELECT gram, CAST(COUNT(DISTINCT doc_id) AS BIGINT) "
+    "AS doc_freq FROM g GROUP BY gram) ")
+
+
+@register(
+    "boilerplate_ngrams_abs",
+    oracle=(_BOILERPLATE_GRAMS_CTE +
+            "SELECT gram, doc_freq FROM df WHERE doc_freq >= 2 "
+            "ORDER BY doc_freq DESC, gram LIMIT 20"))
+def q_boilerplate_ngrams_abs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Absolute-threshold twin of boilerplate_ngrams (VERDICT r3 "What's
+    wrong" #1): at sf0.01 the corpus-relative 5% threshold exceeds every
+    real 5-gram's document frequency, so that gate's green row compared
+    two EMPTY sets. ``doc_freq >= 2`` bites at the gate's scale — the
+    fixture's duplicated documents share 5-grams — so THIS row
+    hash-checks the gram/df machinery on non-empty output. Same plan
+    shape: grams+ids shuffle, top-20 bound. The corpus-relative form
+    remains the scale-correct production default."""
+    d = (load_table(spark, sf_dir, "documents")
+         .select("doc_id", F.split(F.trim("text"), " +").alias("t")))
+    n_pos = F.greatest(F.size("t") - 4, F.lit(1))
+    grams = (d.select("doc_id",
+                      F.explode(F.sequence(F.lit(1), n_pos)).alias("i"), "t")
+             .select("doc_id",
+                     F.array_join(F.slice("t", F.col("i"), 5), " ")
+                     .alias("gram")))
+    return (grams.groupBy("gram")
+            .agg(F.countDistinct("doc_id").cast("bigint").alias("doc_freq"))
+            .filter(F.col("doc_freq") >= 2)
             .select("gram", "doc_freq")
             .orderBy(F.desc("doc_freq"), "gram")
             .limit(20))

@@ -45,9 +45,11 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
         recalls.append(len(got & want) / len(want))
         assert qid in got  # self is always in the probed home centroid
     mean_recall = sum(recalls) / len(recalls)
-    # nprobe=4 of k=16 centroids, observed 0.69 @sf0.001 / 0.68 @sf0.01;
-    # floor raised from the soft r2 0.5 to just under the observed level
-    assert mean_recall >= 0.60, f"mean recall {mean_recall:.3f}"
+    # nprobe=6 of k=16 centroids (raised 4->6 in r4), observed
+    # 0.84 @sf0.001 / 0.79 @sf0.01; floor just under the observed level,
+    # and the driver gate enforces mean overlap@10 >= 7 at sf0.01
+    # (ann_ivf_recall_floor)
+    assert mean_recall >= 0.70, f"mean recall {mean_recall:.3f}"
 
 
 # The IVF pipeline is deterministic end-to-end (ordered-sample seeded
@@ -56,8 +58,8 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
 # IVF contract VERDICT r2 #2 asked for (k-means isn't SQL-expressible, so
 # this lives here rather than in a DuckDB oracle like ann_recall_report).
 _IVF_GOLDEN_OVERLAPS = {
-    "/root/testdata/sf0.001": [8, 9, 6, 6, 5, 5, 8, 6, 8, 8],
-    "/root/testdata/sf0.01": [9, 7, 8, 7, 8, 7, 4, 5, 6, 7],
+    "/root/testdata/sf0.001": [9, 9, 7, 9, 8, 6, 9, 8, 9, 10],
+    "/root/testdata/sf0.01": [9, 8, 8, 8, 8, 7, 6, 7, 9, 9],
 }
 
 

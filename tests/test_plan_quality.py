@@ -61,7 +61,7 @@ def test_simhash_pairs_is_hash_join_not_nested_loop(spark, sf_dir):
 # so the crossJoin side is the point, not a regression (the LSH/IVF
 # sides stay equi-joins).
 _NESTED_LOOP_ALLOWED = {"ann_cosine_topk", "ann_recall_report",
-                        "ann_ivf_recall"}
+                        "ann_ivf_recall", "ann_ivf_recall_floor"}
 
 
 # non-driver entries whose all-pairs shape is the documented point:
