@@ -69,7 +69,14 @@ def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     knob and adds probes× candidates, still ≪ brute force.
     """
     e = load_table(spark, sf_dir, "embeddings")
-    planes = [_hyperplane(p, _emb_dim(e, sf_dir)) for p in range(N_PLANES)]
+    return ann_lsh_topk(e, _emb_dim(e, sf_dir), lambda v: v % 50 == 0)
+
+
+def ann_lsh_topk(e: DataFrame, dim: int, query_pred, k: int = 10) -> DataFrame:
+    """LSH-bucketed cosine top-k over an arbitrary embeddings frame —
+    the DF-parameterized core of ann_lsh_bucketed (the scaling harness
+    measures it at 1x vs 10x corpora, tests/test_scaling_10x.py)."""
+    planes = [_hyperplane(p, dim) for p in range(N_PLANES)]
 
     def bucket_col():
         b = None
@@ -98,7 +105,7 @@ def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = F.array(F.col("bucket"),
                      *[F.expr(f"CAST(bucket ^ {1 << p} AS INT)")
                        for p in range(N_PLANES)])
-    q = (bucketed.filter(F.col("vec_id") % 50 == 0)
+    q = (bucketed.filter(query_pred(F.col("vec_id")))
          .select(F.col("vec_id").alias("query_id"),
                  F.col("embedding").alias("q_embedding"),
                  F.explode(probes).alias("bucket"),
@@ -113,7 +120,7 @@ def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= 10)
+        .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("cos", 6).alias("score"),
                 "rank")
         .orderBy("query_id", "rank")

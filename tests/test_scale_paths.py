@@ -48,3 +48,106 @@ def test_approx_count_distinct_tolerance(spark, sf_dir):
     ).collect()[0]["a"]
     # HLL++ at 2% rsd: allow 5x the nominal error bound
     assert abs(approx - exact) / exact < 0.10, (approx, exact)
+
+
+def _restore_conf(spark, keys):
+    saved = {}
+    for k in keys:
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+    return saved
+
+
+def test_aqe_skew_join_splits_hot_key(spark, sf_dir, tmp_path):
+    """A synthetic hot key (one user owning ~2/3 of the fact rows) must
+    trigger AQE's runtime skew split on the sort-merge join — the
+    'skew=true' marker on the executed SMJ — instead of leaving one
+    straggler partition (VERDICT r3 #8). Thresholds are scaled down to
+    the fixture; at 100 TB the defaults (256 MB advisory) play the same
+    role."""
+    keys = ["spark.sql.adaptive.enabled",
+            "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.coalescePartitions.enabled",
+            "spark.sql.autoBroadcastJoinThreshold"]
+    saved = _restore_conf(spark, keys)
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "16KB")
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+        # (thresholds scaled to the fixture; production keeps defaults)
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", "false")
+        # force SMJ: broadcasting the dim is the OTHER legit skew answer,
+        # but here we are proving the skew-split path specifically
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+        e = load_table(spark, sf_dir, "events") \
+            .select("event_id", "user_id", "value")
+        hot = e.withColumn("user_id", F.lit(7))
+        fact = e  # hot key gets ~10/11 of all rows
+        for _ in range(10):
+            fact = fact.unionAll(hot)
+        # dim must reach the join as a bare scan->Exchange->Sort:
+        # OptimizeSkewedJoin pattern-matches SMJ whose children are sorts
+        # over shuffle stages; a distinct()'s HashAggregate in between
+        # makes the rule skip the join entirely (a real-world gotcha worth
+        # pinning in itself)
+        (e.select("user_id").distinct()
+         .withColumn("weight", (F.col("user_id") % 100).cast("int"))
+         .write.mode("overwrite").parquet(str(tmp_path / "dim")))
+        dim = spark.read.parquet(str(tmp_path / "dim"))
+        joined = fact.join(dim, "user_id")
+        # collect() executes THIS DataFrame's queryExecution, so its
+        # adaptive plan is final afterwards (count() would plan its own)
+        n = len(joined.collect())
+        assert n == fact.count()  # dim is complete -> inner join keeps all
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:4000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    """Manual salting fallback (operators/skew.salted_join): exact result
+    parity with the plain join under the same hot key, and the salted
+    shuffle key spreads the hot key over all buckets."""
+    from sport_advantages_moderne_data_infrastructure_spark.operators.skew import (
+        salted_join,
+    )
+
+    e = load_table(spark, sf_dir, "events") \
+        .select("event_id", "user_id", "value")
+    hot = e.withColumn("user_id", F.lit(7))
+    fact = e.unionAll(hot)
+    dim = (e.select("user_id").distinct()
+           .withColumn("weight", (F.col("user_id") % 100).cast("int")))
+
+    plain = fact.join(dim, "user_id")
+    salted = salted_join(fact, dim, on="user_id", buckets=8,
+                         salt_from="event_id")
+    cols = ["user_id", "event_id", "value", "weight"]
+    got = {tuple(r) for r in salted.select(*cols).collect()}
+    want = {tuple(r) for r in plain.select(*cols).collect()}
+    assert got == want and len(got) > 0
+    # the hot key's fact rows really spread over all 8 salt buckets
+    from sport_advantages_moderne_data_infrastructure_spark.operators import skew
+    spread = (fact.filter(F.col("user_id") == 7)
+              .withColumn("s", (F.abs(F.xxhash64("event_id")) % 8))
+              .select("s").distinct().count())
+    assert spread == 8, spread

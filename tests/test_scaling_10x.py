@@ -146,3 +146,70 @@ def test_lsh_candidates_scale_linearly(spark):
     t10 = _timed(lambda: run(M))
     ratio = _report("dedup_minhash_lsh", n1, t1, -1, t10)
     assert ratio <= MAX_RATIO, f"superlinear: {ratio:.1f}x at {M}x corpus"
+
+
+def _scaled_embeddings(spark, m: int) -> DataFrame:
+    """Disjoint transformed copies of the embedding corpus: vec_id shift +
+    component ROTATION per copy (norm-preserving, decorrelates hyperplane
+    projections and centroid assignment) — plain duplication would pile
+    every copy into the same LSH bucket / centroid list and measure a
+    degenerate corpus, not the algorithm."""
+    base = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    copies = []
+    for i in range(m):
+        emb = (F.col("embedding") if i == 0 else F.expr(
+            f"concat(slice(embedding, {i + 1}, size(embedding) - {i}), "
+            f"slice(embedding, 1, {i}))"))
+        copies.append(base.select(
+            (F.col("vec_id") + i * 10_000_000).alias("vec_id"),
+            emb.alias("embedding")))
+    df = copies[0]
+    for c in copies[1:]:
+        df = df.unionAll(c)
+    return df
+
+
+# constant query set across scales: the 1x-copy ids only — so the ratio
+# measures corpus growth, not |Q| x corpus growth
+def _base_queries(v):
+    return (v % 50 == 0) & (v < 10_000_000)
+
+
+def test_ann_lsh_scales_linearly(spark):
+    from sport_advantages_moderne_data_infrastructure_spark.plans.simops import (
+        ann_lsh_topk,
+    )
+
+    dim = len(load_table(spark, SF, "embeddings")
+              .select("embedding").first()[0])
+
+    def run(m):
+        return ann_lsh_topk(_scaled_embeddings(spark, m), dim,
+                            _base_queries).count()
+    n1 = run(1)
+    t1 = _timed(lambda: run(1))
+    t10 = _timed(lambda: run(M))
+    ratio = _report("ann_lsh_bucketed", n1, t1, -1, t10)
+    assert ratio <= MAX_RATIO, f"superlinear: {ratio:.1f}x at {M}x corpus"
+
+
+def test_ann_ivf_scales_linearly(spark):
+    from sport_advantages_moderne_data_infrastructure_spark.operators.ivf import (
+        ivf_topk,
+        train_centroids,
+    )
+
+    # centroids train ONCE on the 1x corpus (bounded sample by design —
+    # at 100 TB training cost is constant; assignment+probe is what
+    # scales), then both measurements assign + probe on the fly
+    centroids = train_centroids(
+        load_table(spark, SF, "embeddings"), k=16, max_iter=8)
+
+    def run(m):
+        return ivf_topk(_scaled_embeddings(spark, m), centroids,
+                        _base_queries, k=10, nprobe=6).count()
+    n1 = run(1)
+    t1 = _timed(lambda: run(1))
+    t10 = _timed(lambda: run(M))
+    ratio = _report("ann_ivf_topk", n1, t1, -1, t10)
+    assert ratio <= MAX_RATIO, f"superlinear: {ratio:.1f}x at {M}x corpus"
