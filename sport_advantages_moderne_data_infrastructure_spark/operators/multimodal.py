@@ -568,3 +568,202 @@ def decode_image(media: DataFrame) -> DataFrame:  # pragma: no cover - stub
             "in this environment; use fake_decode_features for plumbing tests"
         ) from e
     raise NotImplementedError("wire PIL decode here on a real deployment")
+
+
+# --- resize stage (REAL, on the BMP path) ---------------------------------
+# The decode/feature-extract/RESIZE/frame-sample quartet of a multimodal
+# training pipeline: resize here is a genuine nearest-neighbor resample of
+# the decoded pixel matrix (numpy fancy indexing over the stride-stripped
+# rows), not an echo of metadata. Same closed loop as the decoders: pixels
+# are a pure function of doc_id, so RESIZE_BMP_SQL recomputes the resized
+# stats by sampling the SOURCE formula at the NN coordinates — a mis-done
+# resample (off-by-one grid, bottom-up flip missed) shifts the sum.
+
+RESIZE_W, RESIZE_H = 3, 2  # fixed target; every source is >= this
+
+
+def resize_bmp_features(media: DataFrame, out_w: int = RESIZE_W,
+                        out_h: int = RESIZE_H) -> DataFrame:
+    """Decode each BMP, nearest-neighbor-resample to (out_w, out_h), and
+    emit the resized image's integer stats. NN grid: src_x = x*w // out_w,
+    src_y = y*h // out_h (floor), on the top-down normalized rows."""
+    import numpy as np
+    import pandas as pd
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("out_w", T.IntegerType()),
+        T.StructField("out_h", T.IntegerType()),
+        T.StructField("resized_sum", T.LongType()),
+    ])
+
+    def _resize_one(b: bytes):
+        if bytes(b[:2]) != b"BM":
+            raise ValueError("not a BMP stream")
+        off = int.from_bytes(b[10:14], "little")
+        w = int.from_bytes(b[18:22], "little", signed=True)
+        h = int.from_bytes(b[22:26], "little", signed=True)
+        row = 3 * w
+        stride = (row + 3) // 4 * 4
+        n_rows = abs(h)
+        px = (np.frombuffer(b, dtype=np.uint8, offset=off)
+              .reshape(n_rows, stride)[:, :row])
+        if h > 0:
+            px = px[::-1]  # normalize to top-down image order
+        ys = (np.arange(out_h) * n_rows) // out_h
+        xs = (np.arange(out_w) * w) // out_w
+        cols = (3 * xs[:, None] + np.arange(3)).ravel()
+        resized = px[ys][:, cols]
+        return w, n_rows, int(resized.sum(dtype=np.int64))
+
+    def _extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            r = pdf["blob"].map(_resize_one)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "width": r.map(lambda t: t[0]).astype("int32"),
+                "height": r.map(lambda t: t[1]).astype("int32"),
+                "out_w": np.int32(out_w),
+                "out_h": np.int32(out_h),
+                "resized_sum": r.map(lambda t: t[2]).astype("int64"),
+            })
+
+    raw = media.select("doc_id", "blob").mapInPandas(_extract, schema=schema)
+    return raw.withColumn(
+        "mean_resized",
+        F.round(F.col("resized_sum") / (3 * out_w * out_h), 4))
+
+
+RESIZE_BMP_SQL = (
+    # recompute the NN-resampled sum straight from the pixel formula:
+    # sampled source pixel for output (x,y,c) has flat byte index
+    # i = 3*(src_y*w + src_x) + c with src = floor(out * src_dim / out_dim)
+    "WITH dims AS (SELECT doc_id, CAST(4 + doc_id % 4 AS INT) AS width, "
+    "CAST(2 + doc_id % 3 AS INT) AS height FROM documents), "
+    f"grid AS (SELECT doc_id, width, height, x, y, c FROM dims, "
+    f"unnest(range(0, {RESIZE_W})) AS gx(x), "
+    f"unnest(range(0, {RESIZE_H})) AS gy(y), "
+    "unnest(range(0, 3)) AS gc(c)), "
+    f"samp AS (SELECT doc_id, width, height, "
+    f"3 * ((y * height) // {RESIZE_H} * width + (x * width) // {RESIZE_W}) "
+    "+ c AS i FROM grid), "
+    f"agg AS (SELECT doc_id, width, height, "
+    f"SUM((doc_id * 7 + i) % {_PX_MOD}) AS s FROM samp "
+    "GROUP BY doc_id, width, height) "
+    "SELECT doc_id, width, height, "
+    f"CAST({RESIZE_W} AS INT) AS out_w, CAST({RESIZE_H} AS INT) AS out_h, "
+    "CAST(s AS BIGINT) AS resized_sum, "
+    f"ROUND(CAST(s AS DOUBLE) / {3 * RESIZE_W * RESIZE_H}, 4) "
+    "AS mean_resized FROM agg ORDER BY doc_id"
+)
+
+
+# --- frame-sample stage (deterministic fake video container) --------------
+# Video decode needs ffmpeg (absent) — per the multimodal contract the
+# CONTAINER is a clearly-marked deterministic fake ("SVID": magic +
+# n_frames/w/h header + raw frame planes), while the Spark-side plumbing
+# is real: binary column in, mapInPandas batch iterator, EXPLODED one row
+# per SAMPLED frame out — the exact shape an ffmpeg keyframe sampler
+# plugs into. Frame f byte i = (doc_id*7 + f*31 + i) % 251.
+
+_VID_MAGIC = b"SVID"
+VID_W, VID_H = 4, 3
+FRAME_SAMPLE_EVERY = 2
+
+
+def synth_video(documents: DataFrame) -> DataFrame:
+    """(doc_id, blob): fake-container video, n_frames = 6 + doc_id % 5,
+    frame plane = raw w*h*3 bytes by the deterministic formula."""
+    import numpy as np
+    import pandas as pd
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("blob", T.BinaryType()),
+    ])
+    plane = 3 * VID_W * VID_H
+
+    def _pack_one(doc_id: int) -> bytes:
+        n_frames = 6 + doc_id % 5
+        head = (_VID_MAGIC + n_frames.to_bytes(4, "little")
+                + VID_W.to_bytes(4, "little") + VID_H.to_bytes(4, "little"))
+        frames = [
+            (((doc_id * 7 + f * 31 + np.arange(plane)) % _PX_MOD)
+             .astype(np.uint8).tobytes())
+            for f in range(n_frames)]
+        return head + b"".join(frames)
+
+    def _pack(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "blob": pdf["doc_id"].map(lambda d: _pack_one(int(d))),
+            })
+
+    return documents.select("doc_id").mapInPandas(_pack, schema=schema)
+
+
+def sample_frame_features(media: DataFrame,
+                          every: int = FRAME_SAMPLE_EVERY) -> DataFrame:
+    """Frame sampling: parse the container header, take every ``every``-th
+    frame (f = 0, every, 2*every, ...), emit ONE ROW PER SAMPLED FRAME
+    with its integer pixel stats — the row-explosion plumbing a keyframe
+    extractor needs (input rows : output rows is 1 : n_sampled)."""
+    import numpy as np
+    import pandas as pd
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_sum", T.LongType()),
+    ])
+    plane = 3 * VID_W * VID_H
+
+    def _frames_one(doc_id: int, b: bytes):
+        if bytes(b[:4]) != _VID_MAGIC:
+            raise ValueError("not an SVID stream")
+        n_frames = int.from_bytes(b[4:8], "little")
+        w = int.from_bytes(b[8:12], "little")
+        h = int.from_bytes(b[12:16], "little")
+        sz = 3 * w * h
+        out = []
+        for f in range(0, n_frames, every):
+            px = np.frombuffer(b, dtype=np.uint8, offset=16 + f * sz,
+                               count=sz)
+            out.append((doc_id, n_frames, f, int(px.sum(dtype=np.int64))))
+        return out
+
+    def _extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = [r for d, b in zip(pdf["doc_id"], pdf["blob"])
+                    for r in _frames_one(int(d), b)]
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_frames", "frame_idx",
+                               "frame_sum"]).astype(
+                {"doc_id": "int64", "n_frames": "int32",
+                 "frame_idx": "int32", "frame_sum": "int64"})
+
+    raw = media.select("doc_id", "blob").mapInPandas(_extract, schema=schema)
+    return raw.withColumn(
+        "mean_frame", F.round(F.col("frame_sum") / plane, 4))
+
+
+FRAME_SAMPLE_SQL = (
+    "WITH vids AS (SELECT doc_id, CAST(6 + doc_id % 5 AS INT) AS n_frames "
+    "FROM documents), "
+    "fr AS (SELECT doc_id, n_frames, unnest(range(0, n_frames)) AS f "
+    "FROM vids), "
+    f"samp AS (SELECT * FROM fr WHERE f % {FRAME_SAMPLE_EVERY} = 0), "
+    f"px AS (SELECT doc_id, n_frames, f, "
+    f"unnest(range(0, {3 * VID_W * VID_H})) AS i FROM samp), "
+    f"agg AS (SELECT doc_id, n_frames, f, "
+    f"SUM((doc_id * 7 + f * 31 + i) % {_PX_MOD}) AS s "
+    "FROM px GROUP BY doc_id, n_frames, f) "
+    "SELECT doc_id, CAST(n_frames AS INT) AS n_frames, "
+    "CAST(f AS INT) AS frame_idx, CAST(s AS BIGINT) AS frame_sum, "
+    f"ROUND(CAST(s AS DOUBLE) / {3 * VID_W * VID_H}, 4) AS mean_frame "
+    "FROM agg ORDER BY doc_id, frame_idx"
+)

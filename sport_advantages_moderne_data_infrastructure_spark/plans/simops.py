@@ -416,6 +416,9 @@ _IVF_RECALL_ORACLE = (
 
 
 @register("ann_ivf_recall", oracle=_IVF_RECALL_ORACLE,
+          driver=False,  # rotated out r4 — ann_ivf_recall_floor ENFORCES
+          # the quality contract; the golden drift anchor stays pinned in
+          # tests/test_ann.py + pytest oracle parity
           tags=("gate_scale_only",))
 def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-query INTEGER overlap of the IVF top-10 (from the persisted

@@ -16,6 +16,8 @@ from .catalog import register
 
 @register(
     "tumbling_window_counts",
+    driver=False,  # rotated out r4 — session_windows_batch keeps the
+    # event-time window shape gated; pytest oracle continues
     oracle=(
         "SELECT date_trunc('hour', ts) AS window_start, "
         "date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end, "

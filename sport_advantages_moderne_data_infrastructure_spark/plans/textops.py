@@ -686,6 +686,32 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         MM.synth_media(load_table(spark, sf_dir, "documents"))).orderBy("doc_id")
 
 
+@register("multimodal_bmp_resize",  # new in r4, gated immediately
+          oracle=MM.RESIZE_BMP_SQL)
+def q_multimodal_bmp_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESIZE stage of the multimodal quartet (decode / feature-extract /
+    resize / frame-sample): decode each packed BMP and nearest-neighbor
+    resample it to a fixed target — a REAL resample of the pixel matrix
+    (numpy fancy indexing over stride-stripped top-down rows). The oracle
+    recomputes the resized stats by sampling the generator formula at the
+    same NN grid, so an off-by-one grid or a missed bottom-up flip is a
+    hash mismatch."""
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.resize_bmp_features(MM.synth_bmp(docs)).orderBy("doc_id")
+
+
+@register("multimodal_frame_sample",  # new in r4, gated immediately
+          oracle=MM.FRAME_SAMPLE_SQL)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FRAME-SAMPLE stage: every 2nd frame of a deterministic fake video
+    container (the ffmpeg seam — the container is the fake, the Spark
+    plumbing is real), exploded to ONE ROW PER SAMPLED FRAME with integer
+    pixel stats. Oracle recomputes from the frame formula."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (MM.sample_frame_features(MM.synth_video(docs))
+            .orderBy("doc_id", "frame_idx"))
+
+
 @register("multimodal_bmp_decode", driver=False,  # rotated out r4 (multiply green; pytest oracle continues)
           oracle=MM.BMP_DECODE_SQL)
 def q_multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:

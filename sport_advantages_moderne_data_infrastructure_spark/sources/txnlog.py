@@ -215,6 +215,93 @@ class TxnTable:
             return self.read(spark).limit(0)
         return self._read_dirs(spark, adds)
 
+    # -- file skipping (min/max stats) ------------------------------------
+
+    def _dir_stats(self, rel_dir: str) -> dict:
+        """Per-column [min, max] over every parquet file in a commit dir,
+        read from ROW-GROUP FOOTERS only (no data I/O) at commit time —
+        what Delta records per AddFile. Only JSON-representable scalar
+        stats (int/float/str) are kept; columns without usable footer
+        stats are simply absent, and absent means "never pruned"."""
+        import glob as _glob
+
+        import pyarrow.parquet as pq
+
+        stats: dict[str, list] = {}
+        for f in _glob.glob(os.path.join(self.path, rel_dir, "*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                row_group = md.row_group(rg)
+                for ci in range(row_group.num_columns):
+                    col = row_group.column(ci)
+                    st = col.statistics
+                    if st is None or not st.has_min_max:
+                        continue
+                    mn, mx = st.min, st.max
+                    if isinstance(mn, bytes):
+                        try:
+                            mn, mx = mn.decode(), mx.decode()
+                        except UnicodeDecodeError:
+                            continue
+                    if not (isinstance(mn, (int, float, str))
+                            and not isinstance(mn, bool)):
+                        continue
+                    name = col.path_in_schema
+                    cur = stats.get(name)
+                    stats[name] = ([mn, mx] if cur is None else
+                                   [min(cur[0], mn), max(cur[1], mx)])
+        return stats
+
+    def _live_stats(self, version: int | None = None) -> dict[str, dict]:
+        """dir -> stats for the live snapshot, from the commit docs that
+        added each dir (pre-stats commits yield {} = unprunable)."""
+        out: dict[str, dict] = {}
+        for v in self.versions():
+            if version is not None and v > version:
+                break
+            doc = self._doc(v)
+            doc_stats = doc.get("stats", {})
+            for d in doc["adds"]:
+                out[d] = doc_stats.get(d, {})
+        return {d: out.get(d, {}) for d in self.snapshot_dirs(version)}
+
+    def pruned_dirs(self, col: str, lo=None, hi=None,
+                    version: int | None = None) -> list[str]:
+        """Live dirs whose ``col`` [min, max] range overlaps [lo, hi] —
+        the file-skipping planning step. Dirs without stats for ``col``
+        are kept (conservative, like Delta's missing-stats files)."""
+        keep = []
+        for d, stats in self._live_stats(version).items():
+            rng = stats.get(col)
+            if rng is None:
+                keep.append(d)
+                continue
+            mn, mx = rng
+            if (lo is None or mx >= lo) and (hi is None or mn <= hi):
+                keep.append(d)
+        return keep
+
+    def read_range(self, spark: SparkSession, col: str, lo=None, hi=None,
+                   version: int | None = None) -> DataFrame:
+        """Stats-pruned snapshot read: plans ONLY the data dirs whose
+        footer min/max for ``col`` can contain [lo, hi], then applies the
+        residual row filter — log-metadata file skipping, the second
+        pruning axis next to read_partitions (at 100 TB a time-range query
+        over an append-only table touches the handful of commits whose
+        ranges overlap, not the table). Equals
+        ``read().filter(lo <= col <= hi)`` exactly."""
+        from pyspark.sql import functions as F
+
+        dirs = self.pruned_dirs(col, lo, hi, version)
+        if not dirs:
+            return self.read(spark, version).filter(F.lit(False))
+        df = self._read_dirs(spark, dirs)
+        if lo is not None:
+            df = df.filter(F.col(col) >= lo)
+        if hi is not None:
+            df = df.filter(F.col(col) <= hi)
+        return df
+
     # -- writes -----------------------------------------------------------
 
     def _write_data(self, df: DataFrame) -> str:
@@ -251,7 +338,11 @@ class TxnTable:
             expected_version = self.latest_version()
         version = 0 if expected_version is None else expected_version + 1
         doc = {"version": version, "adds": adds, "removes": removes,
-               "meta": meta or {}}
+               "meta": meta or {},
+               # per-dir column min/max harvested from parquet footers
+               # (metadata-only, no data scan) — the Delta AddFile-stats
+               # analogue that read_range() prunes by
+               "stats": {rel: self._dir_stats(rel) for rel in adds}}
         tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}")
         final = os.path.join(self.log_dir, f"{version:011d}.json")
         with open(tmp, "w") as fh:
@@ -373,6 +464,19 @@ class TxnTable:
         return self.commit(adds, live,
                            {**(meta or {}), "operation": "compact"},
                            expected_version=base)
+
+    def compact_if_needed(self, spark: SparkSession,
+                          max_live_dirs: int = 32,
+                          target_files: int = 1) -> int | None:
+        """Scheduled-maintenance hook: compact only when the live snapshot
+        has accreted more than ``max_live_dirs`` data dirs (a streaming
+        sink adds one per micro-batch). Returns the new version, or None
+        when no compaction was needed — the keyed-off-len(snapshot_dirs())
+        policy the compact() docstring describes, as code. Downstream
+        change-feed streams should read with skipChangeCommits=true."""
+        if len(self.snapshot_dirs()) <= max_live_dirs:
+            return None
+        return self.compact(spark, target_files=target_files)
 
     def vacuum(self, keep_versions: bool = True,
                older_than_seconds: float = 3600.0) -> list[str]:

@@ -675,3 +675,78 @@ def test_racing_overwrite_vs_append_serializes(spark, tmp_path):
         assert post <= got
     else:
         assert got == {(0, "base"), (1, "a1"), (2, "a2"), (3, "a3")}
+
+
+# -- file skipping (min/max footer stats) ---------------------------------
+
+
+def test_read_range_prunes_by_footer_stats(spark, tmp_path):
+    """Commits record per-dir column min/max from parquet footers; a
+    range read plans ONLY the overlapping dirs and equals the full-scan
+    filter exactly."""
+    t = TxnTable(str(tmp_path / "t"))
+    for lo in (0, 100, 200, 300):  # four appends with disjoint id ranges
+        t.append(spark.createDataFrame(
+            [(lo + i, f"v{lo + i}") for i in range(50)],
+            "id int, val string"))
+    assert len(t.snapshot_dirs()) == 4
+    # stats landed in the log
+    doc = t._doc(t.latest_version())
+    (only_dir,) = doc["adds"]
+    assert doc["stats"][only_dir]["id"] == [300, 349]
+
+    pruned = t.pruned_dirs("id", 120, 180)
+    assert len(pruned) == 1  # only the [100,149] dir overlaps... plus none
+    got = _rows(t.read_range(spark, "id", 120, 180))
+    want = {(i, f"v{i}") for i in range(120, 150)}
+    assert got == want
+    # full parity against the unpruned read
+    from pyspark.sql import functions as F
+    assert got == _rows(t.read(spark).filter(
+        (F.col("id") >= 120) & (F.col("id") <= 180)))
+    # open ranges: [200,249] and [300,349] overlap lo=220
+    assert len(t.pruned_dirs("id", lo=220)) == 2
+    assert t.read_range(spark, "id", lo=220).count() == 80
+    # disjoint range: zero dirs planned, empty result, schema intact
+    assert t.read_range(spark, "id", 1000, 2000).count() == 0
+
+
+def test_read_range_keeps_statless_dirs(spark, tmp_path):
+    """Dirs committed without stats (older tables) are conservatively
+    scanned, never wrongly skipped."""
+    import json
+
+    t = TxnTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))
+    # simulate a pre-stats commit doc by stripping the stats key
+    doc_path = os.path.join(t.log_dir, f"{0:011d}.json")
+    doc = json.load(open(doc_path))
+    del doc["stats"]
+    os.chmod(doc_path, 0o644)
+    json.dump(doc, open(doc_path, "w"))
+    t.append(_df(spark, [(500, "z")]))
+    assert len(t.pruned_dirs("id", 400, 600)) == 2  # statless dir kept
+    assert _rows(t.read_range(spark, "id", 400, 600)) == {(500, "z")}
+
+
+def test_read_range_string_and_partitioned(spark, tmp_path):
+    """String stats prune too, and partition-granular commits carry stats
+    per SUBDIR."""
+    t = TxnTable(str(tmp_path / "t"))
+    t.overwrite_partitions(_pdf(spark, [(1, "apple", 1), (2, "pear", 2)]),
+                           "day")
+    stats = t._live_stats()
+    assert all(st.get("val") for st in stats.values())
+    assert _prows(t.read_range(spark, "val", "aa", "mm")) == {(1, "apple", 1)}
+
+
+def test_compact_if_needed_policy(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "t"))
+    for i in range(5):
+        t.append(_df(spark, [(i, f"v{i}")]))
+    assert t.compact_if_needed(spark, max_live_dirs=8) is None  # under cap
+    assert len(t.snapshot_dirs()) == 5
+    v = t.compact_if_needed(spark, max_live_dirs=4)  # over cap: compacts
+    assert v == t.latest_version()
+    assert len(t.snapshot_dirs()) == 1
+    assert _rows(t.read(spark)) == {(i, f"v{i}") for i in range(5)}
