@@ -164,13 +164,33 @@ class _TxnStreamReader(DataSourceStreamReader):
         pass  # the log is immutable; nothing to clean up
 
 
+def _typed(v: str | None):
+    """Option values arrive as strings; stats are int/float/str — compare
+    in the widest matching numeric type, else lexicographically."""
+    if v is None:
+        return None
+    for cast in (int, float):
+        try:
+            return cast(v)
+        except ValueError:
+            pass
+    return v
+
+
 class _TxnBatchReader(DataSourceReader):
-    def __init__(self, path: str, version: int | None):
+    def __init__(self, path: str, version: int | None,
+                 prune: tuple[str, object, object] | None = None):
         self.table = TxnTable(path)
         self.version = version
+        self.prune = prune
 
     def partitions(self):
-        return _files_of(self.table, self.table.snapshot_dirs(self.version))
+        if self.prune is not None:
+            col, lo, hi = self.prune
+            dirs = self.table.pruned_dirs(col, lo, hi, self.version)
+        else:
+            dirs = self.table.snapshot_dirs(self.version)
+        return _files_of(self.table, dirs)
 
     def read(self, partition: _FilePartition):
         return _read_file(partition)
@@ -297,7 +317,9 @@ class _TxnBatchWriter(_TxnWriterBase, DataSourceArrowWriter):
 class TxnLogDataSource(DataSource):
     """``format("txnlog")`` — register once per session with
     :func:`register_txn_source`. Options: ``path`` (table root; or pass to
-    ``load()``), ``version`` (batch time travel), ``skipChangeCommits``
+    ``load()``), ``version`` (batch time travel), ``pruneCol`` /
+    ``pruneMin`` / ``pruneMax`` (batch file skipping via footer stats —
+    plan-level only, combine with ``.filter()``), ``skipChangeCommits``
     (streaming read: skip rewrite commits instead of failing — keeps a
     compacted table streamable), ``txnAppId`` (streaming write: scope the
     exactly-once replay guard to this sink when several streams append to
@@ -356,8 +378,18 @@ class TxnLogDataSource(DataSource):
 
     def reader(self, schema) -> _TxnBatchReader:
         version = self.options.get("version")
+        prune = None
+        if self.options.get("pruneCol"):
+            # FILE-LEVEL skipping only: dirs whose footer min/max for
+            # pruneCol overlap [pruneMin, pruneMax] are planned, others
+            # skipped — pair with .filter() for the row-level residual
+            # (TxnTable.read_range bundles both for the Python API).
+            prune = (self.options["pruneCol"],
+                     _typed(self.options.get("pruneMin")),
+                     _typed(self.options.get("pruneMax")))
         return _TxnBatchReader(self._path(),
-                               None if version is None else int(version))
+                               None if version is None else int(version),
+                               prune)
 
     def streamWriter(self, schema, overwrite: bool) -> _TxnStreamWriter:
         return _TxnStreamWriter(self._path(), schema,

@@ -750,3 +750,28 @@ def test_compact_if_needed_policy(spark, tmp_path):
     assert v == t.latest_version()
     assert len(t.snapshot_dirs()) == 1
     assert _rows(t.read(spark)) == {(i, f"v{i}") for i in range(5)}
+
+
+def test_datasource_prune_options_skip_files(spark, tmp_path):
+    """format('txnlog') file skipping: pruneCol/Min/Max plan only the
+    overlapping commit dirs; with the residual filter the result equals
+    the unpruned read."""
+    from sport_advantages_moderne_data_infrastructure_spark.sources import (
+        register_txn_source,
+        txnstream,
+    )
+    register_txn_source(spark)
+    t = TxnTable(str(tmp_path / "t"))
+    for lo in (0, 100, 200):
+        t.append(spark.createDataFrame(
+            [(lo + i, f"v{lo + i}") for i in range(50)],
+            "id int, val string"))
+    # planning-level: the reader plans 1 of 3 dirs
+    r = txnstream._TxnBatchReader(t.path, None, ("id", 120, 140))
+    assert len({p.path.rsplit("/", 2)[1] for p in r.partitions()}) == 1
+    from pyspark.sql import functions as F
+    got = (spark.read.format("txnlog")
+           .option("pruneCol", "id").option("pruneMin", "120")
+           .option("pruneMax", "140").load(t.path)
+           .filter((F.col("id") >= 120) & (F.col("id") <= 140)))
+    assert _rows(got) == {(i, f"v{i}") for i in range(120, 141)}
