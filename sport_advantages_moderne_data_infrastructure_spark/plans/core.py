@@ -224,6 +224,40 @@ def q_txn_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read(spark)
 
 
+@register("txn_read_range",  # new in r4, gated immediately
+          oracle=("SELECT o_orderkey, o_custkey, "
+                  "ROUND(o_totalprice, 2) AS total FROM orders "
+                  "WHERE o_orderkey BETWEEN 1000 AND 2000 "
+                  "ORDER BY o_orderkey"))
+def q_txn_read_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-skipping read gated end-to-end: orders lands in a txn table
+    as three appends of disjoint o_orderkey thirds (each commit doc
+    records footer min/max stats), then read_range plans ONLY the
+    overlapping commit dirs for [1000, 2000] (one third of three at both
+    gate scales) — the oracle is the plain
+    WHERE over the source table, so a wrongly-skipped or wrongly-kept
+    file is a hash mismatch, not just a missing-file error."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..sources.tables import load_table
+    from ..sources.txnlog import TxnTable
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    mx = o.agg(F.max("o_orderkey")).first()[0]  # bounded scalar probe
+    cuts = [0, mx // 3, 2 * mx // 3, mx]
+    table = TxnTable(tempfile.mkdtemp(prefix="samdis_txn_range_"))
+    for lo, hi in zip(cuts, cuts[1:]):
+        table.append(o.filter((F.col("o_orderkey") > lo)
+                              & (F.col("o_orderkey") <= hi)))
+    return (table.read_range(spark, "o_orderkey", 1000, 2000)
+            .select("o_orderkey", "o_custkey",
+                    F.round("o_totalprice", 2).alias("total"))
+            .orderBy("o_orderkey"))
+
+
 @register("pii_scrub",
           oracle=W("SELECT id_employee, "
                    "regexp_replace(address, '[0-9]+', '#', 'g') "

@@ -788,6 +788,8 @@ def q_token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "doc_quality_score",
+    driver=False,  # rotated out r4 — token_count_regex + lang_id_heuristic
+    # keep text projections gated; pytest oracle continues
     oracle=(
         "WITH s AS (SELECT doc_id, "
         "len(regexp_split_to_array(trim(text), ' +')) AS n_tokens, "
