@@ -176,21 +176,22 @@ class TxnTable:
         """Highest ``stream_batch_id`` recorded by ANY commit (optionally
         restricted to commits whose ``stream_app_id`` matches ``app_id``).
         This is the Delta SetTransaction lookup: the exactly-once replay
-        guard must scan the whole log, not just the head commit — a
-        compaction or a second writer interleaving between a sink's commit
-        and its crash-replay would otherwise hide the sink's own batch id
-        (ADVICE r3). O(commits) driver-side metadata, like all planning."""
-        best: int | None = None
-        for doc in self.history():
-            meta = doc.get("meta", {})
+        guard must scan the log, not just the head commit — a compaction
+        or a second writer interleaving between a sink's commit and its
+        crash-replay would otherwise hide the sink's own batch id
+        (ADVICE r3). Scanned NEWEST-FIRST with early exit: a sink's batch
+        ids are monotonic (Structured Streaming's epoch counter), so the
+        most recent commit carrying one IS that sink's max — the per-batch
+        guard costs O(commits since the sink last wrote), not O(log)."""
+        for v in reversed(self.versions()):
+            meta = self._doc(v).get("meta", {})
             bid = meta.get("stream_batch_id")
             if bid is None:
                 continue
             if app_id is not None and meta.get("stream_app_id") != app_id:
                 continue
-            if best is None or bid > best:
-                best = bid
-        return best
+            return bid
+        return None
 
     def read_increment(self, spark: SparkSession,
                        since_version: int) -> DataFrame:

@@ -775,3 +775,21 @@ def test_datasource_prune_options_skip_files(spark, tmp_path):
            .option("pruneMax", "140").load(t.path)
            .filter((F.col("id") >= 120) & (F.col("id") <= 140)))
     assert _rows(got) == {(i, f"v{i}") for i in range(120, 141)}
+
+
+def test_max_stream_batch_id_scan(spark, tmp_path):
+    """Reverse-scan guard lookup: finds the sink's max batch id past
+    interleaved non-stream commits, scopes by app id, and returns None on
+    stream-free logs."""
+    t = TxnTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))  # no stream meta
+    assert t.max_stream_batch_id() is None
+    d = t._write_data(_df(spark, [(2, "b")]))
+    t.commit([d], [], {"stream_batch_id": 3, "stream_app_id": "s1"})
+    t.compact(spark)  # non-stream commit on top
+    d = t._write_data(_df(spark, [(3, "c")]))
+    t.commit([d], [], {"stream_batch_id": 1, "stream_app_id": "s2"})
+    assert t.max_stream_batch_id() == 1          # latest stream commit
+    assert t.max_stream_batch_id("s1") == 3      # per-app max
+    assert t.max_stream_batch_id("s2") == 1
+    assert t.max_stream_batch_id("s3") is None
