@@ -168,6 +168,27 @@ class TxnTable:
                 .parquet(*[os.path.join(self.path, d) for d in subs]))
         return reduce(lambda a, b: a.unionByName(b), frames)
 
+    def version_at(self, timestamp: float) -> int:
+        """Latest version committed at or before ``timestamp`` (epoch
+        seconds) — Delta's TIMESTAMP AS OF resolution. Pre-r4 commits
+        without a recorded ts are treated as older than any timestamp.
+        Raises if the table's first commit is newer than ``timestamp``."""
+        best = None
+        for v in self.versions():
+            if self._doc(v).get("ts", 0.0) <= timestamp:
+                best = v
+            else:
+                break  # commit ts is monotone over versions
+        if best is None:
+            raise ValueError(
+                f"no commit at or before timestamp {timestamp} in {self.path}")
+        return best
+
+    def read_at(self, spark: SparkSession, timestamp: float) -> DataFrame:
+        """Timestamp time travel: snapshot as of the given epoch seconds
+        (``read(version=version_at(ts))``)."""
+        return self.read(spark, version=self.version_at(timestamp))
+
     def last_meta(self) -> dict:
         v = self.latest_version()
         return {} if v is None else self._doc(v).get("meta", {})
@@ -338,7 +359,9 @@ class TxnTable:
         if expected_version is None:
             expected_version = self.latest_version()
         version = 0 if expected_version is None else expected_version + 1
+        import time as _time
         doc = {"version": version, "adds": adds, "removes": removes,
+               "ts": _time.time(),  # commit wall clock (timestamp travel)
                "meta": meta or {},
                # per-dir column min/max harvested from parquet footers
                # (metadata-only, no data scan) — the Delta AddFile-stats

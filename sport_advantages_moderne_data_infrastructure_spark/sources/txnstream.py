@@ -317,7 +317,8 @@ class _TxnBatchWriter(_TxnWriterBase, DataSourceArrowWriter):
 class TxnLogDataSource(DataSource):
     """``format("txnlog")`` — register once per session with
     :func:`register_txn_source`. Options: ``path`` (table root; or pass to
-    ``load()``), ``version`` (batch time travel), ``pruneCol`` /
+    ``load()``), ``version`` / ``timestampAsOf`` (batch time travel by
+    log version or epoch-seconds wall clock), ``pruneCol`` /
     ``pruneMin`` / ``pruneMax`` (batch file skipping via footer stats —
     plan-level only, combine with ``.filter()``), ``skipChangeCommits``
     (streaming read: skip rewrite commits instead of failing — keeps a
@@ -344,6 +345,9 @@ class TxnLogDataSource(DataSource):
 
         table = TxnTable(self._path())
         version = self.options.get("version")
+        ts = self.options.get("timestampAsOf")
+        if ts is not None and version is None:
+            version = table.version_at(float(ts))
         v = None if version is None else int(version)
         dirs = table.snapshot_dirs(v)
         if not dirs:
@@ -378,6 +382,9 @@ class TxnLogDataSource(DataSource):
 
     def reader(self, schema) -> _TxnBatchReader:
         version = self.options.get("version")
+        ts = self.options.get("timestampAsOf")
+        if ts is not None and version is None:
+            version = TxnTable(self._path()).version_at(float(ts))
         prune = None
         if self.options.get("pruneCol"):
             # FILE-LEVEL skipping only: dirs whose footer min/max for

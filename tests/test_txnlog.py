@@ -793,3 +793,31 @@ def test_max_stream_batch_id_scan(spark, tmp_path):
     assert t.max_stream_batch_id("s1") == 3      # per-app max
     assert t.max_stream_batch_id("s2") == 1
     assert t.max_stream_batch_id("s3") is None
+
+
+def test_timestamp_time_travel(spark, tmp_path):
+    """TIMESTAMP AS OF: commits record wall clock; read_at resolves the
+    snapshot at-or-before a timestamp, and format('txnlog') accepts
+    option('timestampAsOf', epoch_seconds)."""
+    import time
+
+    from sport_advantages_moderne_data_infrastructure_spark.sources import (
+        register_txn_source,
+    )
+
+    t = TxnTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))
+    t_mid = time.time()
+    time.sleep(0.05)
+    t.overwrite(_df(spark, [(2, "b")]))
+
+    assert t.version_at(t_mid) == 0
+    assert _rows(t.read_at(spark, t_mid)) == {(1, "a")}
+    assert _rows(t.read_at(spark, time.time())) == {(2, "b")}
+    with pytest.raises(ValueError, match="no commit"):
+        t.version_at(t_mid - 3600)
+
+    register_txn_source(spark)
+    got = (spark.read.format("txnlog")
+           .option("timestampAsOf", str(t_mid)).load(t.path))
+    assert _rows(got) == {(1, "a")}
