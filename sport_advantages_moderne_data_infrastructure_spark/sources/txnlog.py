@@ -351,22 +351,28 @@ class TxnTable:
 
     def commit(self, adds: list[str], removes: list[str],
                meta: dict | None = None,
-               expected_version: int | None = None) -> int:
+               expected_version: int | None = None,
+               stats: dict[str, dict] | None = None) -> int:
         """Publish a commit doc atomically. ``expected_version`` is the
         version this writer based its work on (None for a fresh table);
-        losing the race to version+1 raises :class:`TxnConflictError`."""
+        losing the race to version+1 raises :class:`TxnConflictError`.
+        ``stats`` carries EXECUTOR-computed per-dir column min/max (the
+        DataSource Arrow writers compute them in the write tasks and ship
+        them via commit messages — Delta's AddFile-stats flow); dirs not
+        covered fall back to a driver-side footer harvest, which is fine
+        for single-digit-file commits and avoided at scale."""
         os.makedirs(self.log_dir, exist_ok=True)
         if expected_version is None:
             expected_version = self.latest_version()
         version = 0 if expected_version is None else expected_version + 1
         import time as _time
+        stats = stats or {}
         doc = {"version": version, "adds": adds, "removes": removes,
                "ts": _time.time(),  # commit wall clock (timestamp travel)
                "meta": meta or {},
-               # per-dir column min/max harvested from parquet footers
-               # (metadata-only, no data scan) — the Delta AddFile-stats
-               # analogue that read_range() prunes by
-               "stats": {rel: self._dir_stats(rel) for rel in adds}}
+               "stats": {rel: (stats[rel] if rel in stats
+                               else self._dir_stats(rel))
+                         for rel in adds}}
         tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}")
         final = os.path.join(self.log_dir, f"{version:011d}.json")
         with open(tmp, "w") as fh:

@@ -199,6 +199,37 @@ class _TxnBatchReader(DataSourceReader):
 @dataclass
 class _DirCommit(WriterCommitMessage):
     rel_dir: str | None  # None when the task partition was empty
+    stats: dict | None = None  # executor-computed per-column [min, max]
+
+
+def _batch_stats(batches) -> dict:
+    """Per-column [min, max] over arrow RecordBatches — computed IN THE
+    WRITE TASK (executor-side, zero extra I/O) and shipped to the driver
+    via the commit message, so commit() never re-opens footers: the
+    AddFile-stats flow that keeps commit cost independent of file count
+    at scale. Only int/float/str columns participate (the same rule as
+    the footer harvest)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    stats: dict[str, list] = {}
+    for b in batches:
+        for i, f in enumerate(b.schema):
+            t = f.type
+            if not (pa.types.is_integer(t) or pa.types.is_floating(t)
+                    or pa.types.is_string(t) or pa.types.is_large_string(t)):
+                continue
+            col = b.column(i)
+            if col.null_count == len(col):
+                continue
+            mm = pc.min_max(col)
+            mn, mx = mm["min"].as_py(), mm["max"].as_py()
+            if mn is None:
+                continue
+            cur = stats.get(f.name)
+            stats[f.name] = ([mn, mx] if cur is None else
+                             [min(cur[0], mn), max(cur[1], mx)])
+    return stats
 
 
 class _TxnWriterBase:
@@ -229,10 +260,14 @@ class _TxnWriterBase:
         rel = os.path.join("data", _uuid.uuid4().hex)
         os.makedirs(os.path.join(self.path, rel), exist_ok=True)
         pq.write_table(t, os.path.join(self.path, rel, "part-0.parquet"))
-        return _DirCommit(rel)
+        return _DirCommit(rel, _batch_stats(batches))
 
     def _adds(self, messages) -> list[str]:
         return [m.rel_dir for m in messages if m is not None and m.rel_dir]
+
+    def _stats(self, messages) -> dict[str, dict]:
+        return {m.rel_dir: m.stats for m in messages
+                if m is not None and m.rel_dir and m.stats is not None}
 
     def _drop(self, messages) -> None:
         import shutil
@@ -265,16 +300,17 @@ class _TxnStreamWriter(_TxnWriterBase, DataSourceStreamArrowWriter):
                     "operation": "stream_append"}
             if self.app_id is not None:
                 meta["stream_app_id"] = self.app_id
+            stats = self._stats(messages)
             for _ in range(5):  # blind append: commit races are retryable
                 try:
-                    table.commit(adds, [], meta)
+                    table.commit(adds, [], meta, stats=stats)
                     return
                 except TxnConflictError:
                     if (table.max_stream_batch_id(self.app_id) or -1) \
                             >= batchId:
                         self._drop(messages)  # racer was our own replay
                         return
-            table.commit(adds, [], meta)
+            table.commit(adds, [], meta, stats=stats)
 
     def abort(self, messages, batchId: int) -> None:
         self._drop(messages)
@@ -300,15 +336,18 @@ class _TxnBatchWriter(_TxnWriterBase, DataSourceArrowWriter):
             removes = table.snapshot_dirs(base)
             if adds or removes:
                 table.commit(adds, removes, {"operation": "overwrite"},
-                             expected_version=base)
+                             expected_version=base,
+                             stats=self._stats(messages))
         elif adds:
+            stats = self._stats(messages)
             for _ in range(5):  # blind append: races are retryable
                 try:
-                    table.commit(adds, [], {"operation": "append"})
+                    table.commit(adds, [], {"operation": "append"},
+                                 stats=stats)
                     return
                 except TxnConflictError:
                     continue
-            table.commit(adds, [], {"operation": "append"})
+            table.commit(adds, [], {"operation": "append"}, stats=stats)
 
     def abort(self, messages) -> None:
         self._drop(messages)

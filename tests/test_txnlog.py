@@ -821,3 +821,29 @@ def test_timestamp_time_travel(spark, tmp_path):
     got = (spark.read.format("txnlog")
            .option("timestampAsOf", str(t_mid)).load(t.path))
     assert _rows(got) == {(1, "a")}
+
+
+def test_datasource_writer_ships_executor_stats(spark, tmp_path):
+    """The Arrow writers compute column min/max IN THE WRITE TASKS and
+    ship them via commit messages — the commit doc carries them without
+    any driver-side footer read, and pruning works off them."""
+    from sport_advantages_moderne_data_infrastructure_spark.sources import (
+        register_txn_source,
+    )
+    from unittest import mock
+
+    register_txn_source(spark)
+    tp = str(tmp_path / "t")
+    with mock.patch.object(TxnTable, "_dir_stats",
+                           side_effect=AssertionError(
+                               "driver-side footer harvest must not run "
+                               "for DataSource writes")):
+        spark.createDataFrame([(i, f"v{i}") for i in range(100)],
+                              "id int, val string") \
+            .coalesce(1).write.format("txnlog").mode("append").save(tp)
+    t = TxnTable(tp)
+    doc = t._doc(0)
+    (d,) = doc["adds"]
+    assert doc["stats"][d]["id"] == [0, 99]
+    assert doc["stats"][d]["val"] == ["v0", "v99"]
+    assert t.pruned_dirs("id", 200, 300) == []
