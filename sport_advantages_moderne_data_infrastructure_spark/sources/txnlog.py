@@ -389,6 +389,31 @@ class TxnTable:
             os.unlink(tmp)
         return version
 
+    def _check_append_schema(self, df: DataFrame) -> None:
+        """Reject schema-mismatched appends AT WRITE TIME with a clear
+        error (Delta's behavior) instead of failing later inside the
+        snapshot read's union. Column NAMES must match the live schema;
+        overwrite() is the schema-evolution path."""
+        dirs = self._schema_dirs()
+        if not dirs:
+            return
+        import glob as _glob
+
+        import pyarrow.parquet as pq
+
+        files = _glob.glob(os.path.join(self.path, dirs[-1], "*.parquet"))
+        if not files:
+            return
+        live = set(pq.read_schema(files[0]).names)
+        part = _partition_of(dirs[-1])
+        if part is not None:
+            live.add(part[0])
+        if set(df.columns) != live:
+            raise ValueError(
+                f"append schema mismatch: table has {sorted(live)}, "
+                f"frame has {sorted(df.columns)} — align columns or use "
+                "overwrite() for schema evolution")
+
     def append(self, df: DataFrame, meta: dict | None = None,
                retries: int = 5) -> int:
         """Blind appends touch no existing files, so losing a commit race
@@ -396,6 +421,7 @@ class TxnTable:
         re-publishing is always safe (the optimistic-retry rule real log
         stores apply to AddFile-only transactions). Data is written once;
         only the metadata publish retries."""
+        self._check_append_schema(df)
         rel = self._write_data(df)
         for _ in range(retries):
             try:

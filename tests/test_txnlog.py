@@ -847,3 +847,20 @@ def test_datasource_writer_ships_executor_stats(spark, tmp_path):
     assert doc["stats"][d]["id"] == [0, 99]
     assert doc["stats"][d]["val"] == ["v0", "v99"]
     assert t.pruned_dirs("id", 200, 300) == []
+
+
+def test_append_schema_mismatch_rejected_at_write(spark, tmp_path):
+    """A mismatched append fails AT WRITE TIME with an actionable error
+    (Delta's rule), not later inside the snapshot read's union; the table
+    stays clean and overwrite() remains the schema-evolution path."""
+    t = TxnTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))
+    v = t.latest_version()
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.append(spark.createDataFrame([(2, "b", 1.5)],
+                                       "id int, val string, score double"))
+    assert t.latest_version() == v  # nothing committed
+    assert _rows(t.read(spark)) == {(1, "a")}
+    t.overwrite(spark.createDataFrame([(3, "c", 2.5)],
+                                      "id int, val string, score double"))
+    assert t.read(spark).columns == ["id", "val", "score"]
