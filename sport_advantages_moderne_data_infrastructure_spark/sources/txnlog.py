@@ -79,7 +79,7 @@ class TxnTable:
             return []
         return sorted(
             int(f.split(".")[0]) for f in os.listdir(self.log_dir)
-            if f.endswith(".json"))
+            if f.endswith(".json") and ".checkpoint." not in f)
 
     def latest_version(self) -> int | None:
         v = self.versions()
@@ -92,10 +92,115 @@ class TxnTable:
     def history(self) -> list[dict]:
         return [self._doc(v) for v in self.versions()]
 
-    def snapshot_dirs(self, version: int | None = None) -> list[str]:
-        """Table-relative live data dirs at ``version`` (default latest)."""
-        live: list[str] = []
+    # -- log checkpoints ---------------------------------------------------
+    #
+    # A checkpoint is the reconstructed table state at one version, written
+    # as ``_txnlog/<version>.checkpoint.json`` — Delta's parquet checkpoint
+    # in miniature. Readers plan from the NEWEST checkpoint at-or-below
+    # their target version and replay only the tail commits, so snapshot
+    # planning costs O(commits since checkpoint) instead of O(all commits):
+    # the metadata term that otherwise grows without bound on a table fed
+    # by a 30-second streaming trigger (2,880 commits/day). Checkpoints are
+    # pure metadata — commit docs stay in place, so time travel to any
+    # pre-checkpoint version still full-replays correctly.
+
+    def checkpoints(self) -> list[int]:
+        if not os.path.isdir(self.log_dir):
+            return []
+        return sorted(
+            int(f.split(".")[0]) for f in os.listdir(self.log_dir)
+            if f.endswith(".checkpoint.json"))
+
+    def _checkpoint_doc(self, version: int) -> dict:
+        p = os.path.join(self.log_dir, f"{version:011d}.checkpoint.json")
+        with open(p) as fh:
+            return json.load(fh)
+
+    def _base_checkpoint(self, version: int | None) -> dict | None:
+        """Newest checkpoint doc at-or-below ``version`` (None = latest)."""
+        for cv in reversed(self.checkpoints()):
+            if version is None or cv <= version:
+                return self._checkpoint_doc(cv)
+        return None
+
+    def checkpoint(self, version: int | None = None) -> int:
+        """Write a checkpoint of the state at ``version`` (default latest).
+        Published with the same tmp+hard-link protocol as commit docs, so
+        concurrent checkpointers produce one file; a checkpoint already
+        existing at the version is success, not conflict (the content is a
+        pure function of the log prefix)."""
+        if version is None:
+            version = self.latest_version()
+        if version is None:
+            raise ValueError(f"nothing to checkpoint: {self.path}")
+        prev = self._base_checkpoint(version)
+        per_app, last_bid = self._stream_ids_upto(version, prev)
+        doc = {
+            "checkpoint_version": version,
+            "live": self.snapshot_dirs(version),
+            "stats": self._live_stats(version),
+            "schema_dirs": self._schema_dirs(version),
+            "stream_batch_ids": per_app,
+            "last_stream_batch_id": last_bid,
+        }
+        tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}")
+        final = os.path.join(self.log_dir,
+                             f"{version:011d}.checkpoint.json")
+        with open(tmp, "w") as fh:
+            json.dump(doc, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            os.link(tmp, final)
+        except FileExistsError:
+            pass  # idempotent: same log prefix -> same checkpoint
+        finally:
+            os.unlink(tmp)
+        return version
+
+    def checkpoint_if_needed(self, interval: int = 10) -> int | None:
+        """Maintenance hook (Delta writes a checkpoint every 10 commits):
+        checkpoint when ``interval`` or more commits landed since the last
+        one. Returns the checkpointed version, or None."""
+        latest = self.latest_version()
+        if latest is None:
+            return None
+        cps = self.checkpoints()
+        base = cps[-1] if cps else -1
+        if latest - base < interval:
+            return None
+        return self.checkpoint(latest)
+
+    def _stream_ids_upto(self, version: int,
+                         prev: dict | None) -> tuple[dict, int | None]:
+        """(per-app max stream_batch_id, newest stream commit's id) over
+        log[0..version], built incrementally from the previous checkpoint."""
+        per_app = dict((prev or {}).get("stream_batch_ids", {}))
+        last_bid = (prev or {}).get("last_stream_batch_id")
+        floor = (prev or {}).get("checkpoint_version", -1)
         for v in self.versions():
+            if v <= floor or v > version:
+                continue
+            meta = self._doc(v).get("meta", {})
+            bid = meta.get("stream_batch_id")
+            if bid is None:
+                continue
+            app = meta.get("stream_app_id", "")
+            if per_app.get(app) is None or bid > per_app[app]:
+                per_app[app] = bid
+            last_bid = bid
+        return per_app, last_bid
+
+    def snapshot_dirs(self, version: int | None = None) -> list[str]:
+        """Table-relative live data dirs at ``version`` (default latest).
+        Plans from the newest checkpoint at-or-below the target and
+        replays only the tail commits."""
+        cp = self._base_checkpoint(version)
+        live: list[str] = list(cp["live"]) if cp else []
+        floor = cp["checkpoint_version"] if cp else -1
+        for v in self.versions():
+            if v <= floor:
+                continue
             if version is not None and v > version:
                 break
             doc = self._doc(v)
@@ -125,14 +230,19 @@ class TxnTable:
 
     def _schema_dirs(self, version: int | None = None) -> list[str]:
         """Adds of the newest commit at/before ``version`` that added data
-        — the schema source for empty snapshots."""
+        — the schema source for empty snapshots. The reverse scan stops at
+        the newest checkpoint, which recorded the answer for its prefix."""
+        cp = self._base_checkpoint(version)
+        floor = cp["checkpoint_version"] if cp else -1
         for v in reversed(self.versions()):
             if version is not None and v > version:
                 continue
+            if v <= floor:
+                break
             adds = self._doc(v)["adds"]
             if adds:
                 return adds
-        return []
+        return cp["schema_dirs"] if cp else []
 
     def read_partitions(self, spark: SparkSession, values: list,
                         version: int | None = None) -> DataFrame:
@@ -203,8 +313,14 @@ class TxnTable:
         (ADVICE r3). Scanned NEWEST-FIRST with early exit: a sink's batch
         ids are monotonic (Structured Streaming's epoch counter), so the
         most recent commit carrying one IS that sink's max — the per-batch
-        guard costs O(commits since the sink last wrote), not O(log)."""
+        guard costs O(commits since the sink last wrote), not O(log). A
+        checkpoint floors the scan: below it, the recorded per-app map
+        answers without reading older commit docs."""
+        cp = self._base_checkpoint(None)
+        floor = cp["checkpoint_version"] if cp else -1
         for v in reversed(self.versions()):
+            if v <= floor:
+                break
             meta = self._doc(v).get("meta", {})
             bid = meta.get("stream_batch_id")
             if bid is None:
@@ -212,7 +328,11 @@ class TxnTable:
             if app_id is not None and meta.get("stream_app_id") != app_id:
                 continue
             return bid
-        return None
+        if cp is None:
+            return None
+        if app_id is not None:
+            return cp.get("stream_batch_ids", {}).get(app_id)
+        return cp.get("last_stream_batch_id")
 
     def read_increment(self, spark: SparkSession,
                        since_version: int) -> DataFrame:
@@ -277,8 +397,12 @@ class TxnTable:
     def _live_stats(self, version: int | None = None) -> dict[str, dict]:
         """dir -> stats for the live snapshot, from the commit docs that
         added each dir (pre-stats commits yield {} = unprunable)."""
-        out: dict[str, dict] = {}
+        cp = self._base_checkpoint(version)
+        out: dict[str, dict] = dict(cp["stats"]) if cp else {}
+        floor = cp["checkpoint_version"] if cp else -1
         for v in self.versions():
+            if v <= floor:
+                continue
             if version is not None and v > version:
                 break
             doc = self._doc(v)

@@ -304,6 +304,12 @@ class _TxnStreamWriter(_TxnWriterBase, DataSourceStreamArrowWriter):
             for _ in range(5):  # blind append: commit races are retryable
                 try:
                     table.commit(adds, [], meta, stats=stats)
+                    # Delta-style maintenance from the writer: one commit
+                    # per micro-batch makes the log the fastest-growing
+                    # metadata in the system, so the sink checkpoints it
+                    # every 10 commits — snapshot planning stays
+                    # O(interval), not O(stream lifetime).
+                    table.checkpoint_if_needed()
                     return
                 except TxnConflictError:
                     if (table.max_stream_batch_id(self.app_id) or -1) \
@@ -311,6 +317,7 @@ class _TxnStreamWriter(_TxnWriterBase, DataSourceStreamArrowWriter):
                         self._drop(messages)  # racer was our own replay
                         return
             table.commit(adds, [], meta, stats=stats)
+            table.checkpoint_if_needed()
 
     def abort(self, messages, batchId: int) -> None:
         self._drop(messages)

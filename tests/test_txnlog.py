@@ -864,3 +864,176 @@ def test_append_schema_mismatch_rejected_at_write(spark, tmp_path):
     t.overwrite(spark.createDataFrame([(3, "c", 2.5)],
                                       "id int, val string, score double"))
     assert t.read(spark).columns == ["id", "val", "score"]
+
+
+# -- log checkpoints (Delta-style bounded metadata replay) -----------------
+
+
+def test_checkpoint_read_equivalence_and_tail_replay(spark, tmp_path):
+    """A checkpoint changes planning cost, never results: snapshots, time
+    travel below/above the checkpoint, and post-checkpoint commits all
+    read identically to full log replay."""
+    t = TxnTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a"), (2, "b")]))          # v0
+    t.overwrite(_df(spark, [(3, "c")]))                 # v1
+    t.merge(spark, _df(spark, [(3, "C!"), (4, "d")]), "id")  # v2
+    full_dirs = t.snapshot_dirs()
+    assert t.checkpoint() == 2
+    assert t.checkpoints() == [2]
+    # state from the checkpoint equals full replay
+    assert t.snapshot_dirs() == full_dirs
+    assert _rows(t.read(spark)) == {(3, "C!"), (4, "d")}
+    # time travel BELOW the checkpoint still full-replays correctly
+    assert _rows(t.read(spark, version=0)) == {(1, "a"), (2, "b")}
+    assert _rows(t.read(spark, version=1)) == {(3, "c")}
+    # commits after the checkpoint replay as a tail on top of it
+    t.append(_df(spark, [(5, "e")]))                    # v3
+    assert _rows(t.read(spark)) == {(3, "C!"), (4, "d"), (5, "e")}
+
+
+def test_checkpoint_bounds_commit_doc_reads(spark, tmp_path):
+    """Snapshot planning after a checkpoint reads ONLY the tail commit
+    docs — the O(commits-since-checkpoint) contract."""
+    t = TxnTable(str(tmp_path / "t"))
+    for i in range(8):
+        t.append(_df(spark, [(i, f"v{i}")]))
+    t.checkpoint()  # at v7
+    t.append(_df(spark, [(100, "x")]))  # v8
+    t.append(_df(spark, [(101, "y")]))  # v9
+    read_docs = []
+    orig = TxnTable._doc
+    try:
+        TxnTable._doc = lambda self, v: read_docs.append(v) or orig(self, v)
+        dirs = t.snapshot_dirs()
+    finally:
+        TxnTable._doc = orig
+    assert len(dirs) == 10
+    assert set(read_docs) == {8, 9}  # nothing at or below the checkpoint
+
+
+def test_checkpoint_if_needed_interval_policy(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "t"))
+    for i in range(5):
+        t.append(_df(spark, [(i, "a")]))
+    assert t.checkpoint_if_needed(interval=10) is None  # only 5 commits
+    assert t.checkpoint_if_needed(interval=5) == 4
+    assert t.checkpoints() == [4]
+    assert t.checkpoint_if_needed(interval=5) is None  # 0 since last
+    for i in range(5):
+        t.append(_df(spark, [(10 + i, "b")]))
+    assert t.checkpoint_if_needed(interval=5) == 9
+
+
+def test_checkpoint_idempotent_republish(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))
+    assert t.checkpoint() == 0
+    assert t.checkpoint() == 0  # same prefix -> same content; no error
+    assert t.checkpoints() == [0]
+    assert t.versions() == [0]  # checkpoint files never pollute versions
+
+
+def test_checkpoint_preserves_file_skipping_stats(spark, tmp_path):
+    """pruned_dirs planned from checkpoint stats equals pre-checkpoint
+    planning; read_range stays exact."""
+    t = TxnTable(str(tmp_path / "t"))
+    for lo in (0, 100, 200):
+        t.append(spark.createDataFrame(
+            [(lo + i, f"v{lo + i}") for i in range(50)],
+            "id int, val string"))
+    before = t.pruned_dirs("id", 120, 140)
+    t.checkpoint()
+    assert t.pruned_dirs("id", 120, 140) == before
+    assert len(before) == 1
+    got = _rows(t.read_range(spark, "id", 120, 140))
+    assert got == {(i, f"v{i}") for i in range(120, 141)}
+
+
+def test_checkpoint_schema_dirs_for_empty_snapshot(spark, tmp_path):
+    """A removes-only head + a checkpoint: the empty snapshot's schema
+    resolves through the checkpoint's recorded schema_dirs."""
+    t = TxnTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))          # v0
+    t.commit([], t.snapshot_dirs(), {"operation": "delete_all"})  # v1
+    t.checkpoint()                            # at v1 (empty snapshot)
+    got = t.read(spark)
+    assert got.count() == 0
+    assert got.columns == ["id", "val"]
+
+
+def test_checkpoint_partitioned_table(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "t"))
+    t.overwrite_partitions(_pdf(spark, [(1, "a", 1), (2, "b", 1),
+                                        (3, "c", 2)]), "day")
+    t.checkpoint()
+    t.overwrite_partitions(_pdf(spark, [(4, "d", 2)]), "day")
+    assert _prows(t.read(spark)) == {(1, "a", 1), (2, "b", 1),
+                                     (4, "d", 2)}
+    assert _prows(t.read_partitions(spark, [1])) == {(1, "a", 1),
+                                                     (2, "b", 1)}
+
+
+def test_stream_guard_reads_through_checkpoint(spark, tmp_path):
+    """max_stream_batch_id floors its reverse scan at the checkpoint and
+    answers from the recorded per-app map — an old stream commit stays
+    visible to the replay guard without reading pre-checkpoint docs."""
+    t = TxnTable(str(tmp_path / "t"))
+    d = t._write_data(_df(spark, [(1, "a")]))
+    t.commit([d], [], {"stream_batch_id": 7, "stream_app_id": "s1"})  # v0
+    d = t._write_data(_df(spark, [(2, "b")]))
+    t.commit([d], [], {"stream_batch_id": 2, "stream_app_id": "s2"})  # v1
+    t.checkpoint()
+    t.compact(spark)  # non-stream commits above the checkpoint
+    t.append(_df(spark, [(3, "c")]))
+    read_docs = []
+    orig = TxnTable._doc
+    try:
+        TxnTable._doc = lambda self, v: read_docs.append(v) or orig(self, v)
+        assert t.max_stream_batch_id("s1") == 7
+        assert t.max_stream_batch_id("s2") == 2
+        assert t.max_stream_batch_id("s3") is None
+        assert t.max_stream_batch_id() == 2  # newest stream commit's id
+    finally:
+        TxnTable._doc = orig
+    assert set(read_docs) <= {2, 3}  # v0/v1 answered by the checkpoint
+
+
+def test_checkpoint_incremental_build_from_previous(spark, tmp_path):
+    """A second checkpoint builds from the first (stream ids and stats
+    carried forward), and reads keep matching full replay."""
+    t = TxnTable(str(tmp_path / "t"))
+    d = t._write_data(_df(spark, [(1, "a")]))
+    t.commit([d], [], {"stream_batch_id": 4, "stream_app_id": "s1"})  # v0
+    t.checkpoint()                                                    # cp0
+    t.append(_df(spark, [(2, "b")]))                                  # v1
+    d = t._write_data(_df(spark, [(3, "c")]))
+    t.commit([d], [], {"stream_batch_id": 9, "stream_app_id": "s1"})  # v2
+    t.checkpoint()                                                    # cp2
+    assert t.checkpoints() == [0, 2]
+    assert t.max_stream_batch_id("s1") == 9
+    assert _rows(t.read(spark)) == {(1, "a"), (2, "b"), (3, "c")}
+    cp = t._checkpoint_doc(2)
+    assert cp["stream_batch_ids"]["s1"] == 9
+    assert len(cp["live"]) == 3
+
+
+def test_stream_sink_auto_checkpoints_every_10_commits(spark, tmp_path):
+    """The exactly-once txnlog sink checkpoints the log as it streams:
+    after >10 micro-batch commits a checkpoint exists and the table reads
+    back every batch exactly once."""
+    from sport_advantages_moderne_data_infrastructure_spark.sources import register_txn_source
+    register_txn_source(spark)
+    target = str(tmp_path / "t")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ck")
+    for i in range(12):
+        _df(spark, [(i, f"v{i}")]).write.mode("append").json(src)
+    q = (spark.readStream.schema("id int, val string").option(
+            "maxFilesPerTrigger", "1").json(src)
+         .writeStream.format("txnlog").option("checkpointLocation", ckpt)
+         .option("path", target).trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    t = TxnTable(target)
+    assert len(t.versions()) >= 11
+    assert t.checkpoints(), "sink should have checkpointed by commit 10"
+    assert _rows(t.read(spark)) == {(i, f"v{i}") for i in range(12)}
