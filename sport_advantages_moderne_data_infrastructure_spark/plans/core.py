@@ -19,6 +19,8 @@ from .catalog import register
 
 
 @register("activity_agg", oracle=W(R.ACTIVITY_AGG_SQL),
+          driver=False,  # rotated out r4 late — triple-green; A1 group-agg
+          # stays gated via pricing_summary; slot went to pii_redaction
           tags=("A1",), bench=True)
 def q_activity_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 — per-employee count/avg (read_delta.py:114-127)."""

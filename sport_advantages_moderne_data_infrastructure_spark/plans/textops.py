@@ -945,3 +945,97 @@ def q_boilerplate_ngrams_abs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("gram", "doc_freq")
             .orderBy(F.desc("doc_freq"), "gram")
             .limit(20))
+
+
+# -- PII redaction ---------------------------------------------------------
+
+# Shared regexes — valid under BOTH Java regex (Spark) and RE2 (DuckDB):
+# character classes, bounded repetition, and \b only. The fixture corpus
+# carries no natural PII (verified), so the derivation below injects
+# deterministic emails/phones/IPs — the fk_violations pattern: a positive
+# arm the gate can hash-match, instead of a vacuous all-zeros green row.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\b555-\d{4}\b"
+_PII_IP = r"\b10\.\d{1,3}\.0\.\d{1,3}\b"
+
+_PII_CORPUS_SQL = (
+    "SELECT doc_id, text || "
+    "CASE WHEN doc_id % 5 = 0 THEN ' contact user' || "
+    "CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END || "
+    "CASE WHEN doc_id % 7 = 0 THEN ' call 555-' || "
+    "CAST(1000 + doc_id % 9000 AS VARCHAR) || ' today' ELSE '' END || "
+    "CASE WHEN doc_id % 11 = 0 THEN ' from 10.' || "
+    "CAST(doc_id % 256 AS VARCHAR) || '.0.' || "
+    "CAST(doc_id % 250 AS VARCHAR) || ' logged' ELSE '' END AS text "
+    "FROM documents"
+)
+
+
+def pii_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(did % 5 == 0,
+                   F.concat(F.lit(" contact user"),
+                            did.cast("string"),
+                            F.lit("@example.com now"))).otherwise(""),
+            F.when(did % 7 == 0,
+                   F.concat(F.lit(" call 555-"),
+                            (did % 9000 + 1000).cast("string"),
+                            F.lit(" today"))).otherwise(""),
+            F.when(did % 11 == 0,
+                   F.concat(F.lit(" from 10."),
+                            (did % 256).cast("string"),
+                            F.lit(".0."),
+                            (did % 250).cast("string"),
+                            F.lit(" logged"))).otherwise(""),
+        ).alias("text"))
+
+
+@register(
+    "pii_redaction",  # new in r4, gated immediately (slot: activity_agg
+    # demoted — A1 group-agg stays gated via pricing_summary)
+    oracle=(
+        f"WITH pii_docs AS ({_PII_CORPUS_SQL}) "
+        "SELECT doc_id, "
+        f"CAST(length(regexp_extract_all(text, '{_PII_EMAIL}')) AS INT) "
+        "AS n_emails, "
+        f"CAST(length(regexp_extract_all(text, '{_PII_PHONE}')) AS INT) "
+        "AS n_phones, "
+        f"CAST(length(regexp_extract_all(text, '{_PII_IP}')) AS INT) "
+        "AS n_ips, "
+        "regexp_replace(regexp_replace(regexp_replace(text, "
+        f"'{_PII_EMAIL}', '<EMAIL>', 'g'), "
+        f"'{_PII_PHONE}', '<PHONE>', 'g'), "
+        f"'{_PII_IP}', '<IP>', 'g') AS redacted "
+        "FROM pii_docs "
+        "WHERE doc_id % 5 = 0 OR doc_id % 7 = 0 OR doc_id % 11 = 0 "
+        "ORDER BY doc_id"))
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the redaction stage every public-web training
+    pipeline runs (emails, phone numbers, IPs) as pure JVM-side
+    regexp_count/regexp_replace expressions: one linear scan, no shuffle,
+    no UDF — embarrassingly parallel at 100 TB. Counts are kept per doc
+    (the audit artifact); `redacted` is the cleaned text itself, so the
+    gate hash-matches the actual string surgery, not just totals. The
+    regex subset is restricted to what Java regex and RE2 agree on."""
+    c = pii_corpus(spark, sf_dir)
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE, "<PHONE>"),
+        _PII_IP, "<IP>")
+    did = F.col("doc_id")
+    return (c.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(_PII_EMAIL)).cast("int")
+        .alias("n_emails"),
+        F.regexp_count("text", F.lit(_PII_PHONE)).cast("int")
+        .alias("n_phones"),
+        F.regexp_count("text", F.lit(_PII_IP)).cast("int").alias("n_ips"),
+        redacted.alias("redacted"))
+        .filter((did % 5 == 0) | (did % 7 == 0) | (did % 11 == 0))
+        .orderBy("doc_id"))
