@@ -496,3 +496,121 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round("cos", 6).alias("score"), "rank")
         .orderBy("query_id", "rank")
     )
+
+
+# -- SQ8: scalar-quantized similarity (4x smaller vectors) -----------------
+#
+# Per-vector symmetric int8 quantization: scale = max(|x_i|), code_i =
+# floor(x_i * 127 / scale). The quantized cosine
+#     dot(qc, ec) / (sqrt(dot(qc, qc)) * sqrt(dot(ec, ec)))
+# is scale-free (the per-vector scales cancel), so scoring is pure INTEGER
+# dot products — int8 codes move 4x fewer bytes than float32 through every
+# scan/shuffle, which is the point at 100 TB: the exhaustive rerank's cost
+# is memory bandwidth, not FLOPs. Integer-valued arithmetic in IEEE double
+# is exact in both engines, so DuckDB recomputes the ENTIRE pipeline
+# (quantize -> integer dots -> rank) and the gate hash-matches it — no
+# pinned goldens.
+
+_SQ8_CODES_SQL = (
+    "SELECT vec_id, list_transform(de, x -> CAST(floor(x * 127.0 / scale) "
+    "AS INT)) AS code FROM (SELECT vec_id, de, "
+    "list_max(list_transform(de, x -> abs(x))) AS scale FROM "
+    "(SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de FROM embeddings)) "
+    "WHERE scale > 0"
+)
+
+
+def sq8_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """vec_id + int8-valued code array (stored int32; the wire/memory win
+    is realized by parquet byte-packing and dictionary pages — Spark has
+    no int8 array type, the arithmetic is what matters for parity)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    de = F.expr("transform(embedding, x -> cast(x as double))")
+    scale = F.array_max(F.expr("transform(de, x -> abs(x))"))
+    return (e.select("vec_id", de.alias("de"))
+            .withColumn("scale", scale)
+            .filter(F.col("scale") > 0)
+            .select("vec_id",
+                    F.expr("transform(de, x -> cast(floor(x * 127.0D / "
+                           "scale) as int))").alias("code")))
+
+
+_INT_DOT = ("aggregate(zip_with({a}, {b}, (x, y) -> cast(x as bigint) * y), "
+            "cast(0 as bigint), (acc, v) -> acc + v)")
+
+
+@register(
+    "ann_sq8_topk",  # new in r4, gated immediately (slot:
+    # customer_order_ranks demoted — window-rank shape stays gated via
+    # order_price_quartile_bands / customer_running_revenue / _gaps)
+    oracle=(
+        f"WITH codes AS ({_SQ8_CODES_SQL}), "
+        "q AS (SELECT vec_id AS query_id, code AS qc, "
+        "sqrt(list_dot_product(CAST(code AS DOUBLE[]), "
+        "CAST(code AS DOUBLE[]))) AS qn "
+        "FROM codes WHERE vec_id % 50 = 0), "
+        "e AS (SELECT vec_id, code AS ec, "
+        "sqrt(list_dot_product(CAST(code AS DOUBLE[]), "
+        "CAST(code AS DOUBLE[]))) AS en FROM codes), "
+        "scored AS (SELECT query_id, e.vec_id AS neighbor_id, "
+        "list_dot_product(CAST(qc AS DOUBLE[]), CAST(ec AS DOUBLE[])) "
+        "/ (qn * en) AS cos FROM q CROSS JOIN e), "
+        "ranked AS (SELECT query_id, neighbor_id, cos, "
+        "CAST(ROW_NUMBER() OVER (PARTITION BY query_id "
+        "ORDER BY cos DESC, neighbor_id) AS INT) AS rank FROM scored) "
+        "SELECT query_id, neighbor_id, ROUND(cos, 6) AS score, rank "
+        "FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"))
+def q_ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exhaustive top-10 over SQ8 codes, same shape as ann_cosine_topk
+    (broadcast query side, one corpus scan, per-side norms precomputed)
+    but moving int8 codes instead of float32 vectors. Integer dot
+    products accumulate in the same sequential order as DuckDB's
+    list_dot_product over exactly-representable integer doubles, so the
+    driver gate hash-matches the full quantize+rank pipeline."""
+    codes = sq8_codes(spark, sf_dir)
+    selfdot = F.expr(_INT_DOT.format(a="code", b="code"))
+    e = codes.withColumn("en", F.sqrt(selfdot.cast("double")))
+    q = (e.filter(F.col("vec_id") % 50 == 0)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("code").alias("qc"), F.col("en").alias("qn")))
+    cos = (F.expr(_INT_DOT.format(a="qc", b="code")).cast("double")
+           / (F.col("qn") * F.col("en")))
+    scored = (e.crossJoin(F.broadcast(q))
+              .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                      cos.alias("cos")))
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= 10)
+            .select("query_id", "neighbor_id",
+                    F.round("cos", 6).alias("score"), "rank")
+            .orderBy("query_id", "rank"))
+
+
+_SQ8_FLOOR = 9.0  # mean overlap@10 vs float32 brute truth (measured 9.8+
+# at sf0.01/sf0.1 — SQ8 error is tiny on unit-scale random vectors; the
+# floor catches a quantizer regression, not noise)
+
+
+@register(
+    "ann_sq8_recall_floor",  # new in r4, gated immediately (slot:
+    # dedup_minhash_lsh demoted — the LSH machinery stays gated via
+    # dedup_lsh_verified, which consumes the same minhash artifact)
+    oracle="SELECT CAST(10 AS BIGINT) AS n_queries, "
+           "CAST(1 AS BOOLEAN) AS floor_met",
+    tags=("gate_scale_only",))
+def q_ann_sq8_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENFORCED quality contract for the quantized path (the
+    ann_ivf_recall_floor pattern): mean overlap@10 of SQ8 top-10 against
+    the float32 brute truth must clear the floor, or the driver row goes
+    red. n_queries is sf-dependent -> gate_scale_only."""
+    brute = q_ann_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    sq8 = q_ann_sq8_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = (brute.join(sq8, ["query_id", "neighbor_id"])
+            .groupBy("query_id").agg(F.count(F.lit(1)).alias("overlap")))
+    qs = brute.select("query_id").distinct()
+    rec = (qs.join(hits, "query_id", "left")
+           .select("query_id",
+                   F.coalesce("overlap", F.lit(0)).alias("overlap_at_10")))
+    return rec.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+        (F.avg("overlap_at_10") >= F.lit(_SQ8_FLOOR)).alias("floor_met"))

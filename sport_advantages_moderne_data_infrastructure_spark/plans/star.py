@@ -144,6 +144,9 @@ def q_mktsegment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "customer_order_ranks",
+    driver=False,  # rotated out r4 late — triple-green; window-rank shape
+    # stays gated via order_price_quartile_bands / customer_running_revenue
+    # / customer_order_gaps; slot went to ann_sq8_topk
     oracle=(
         "SELECT * FROM (SELECT o_custkey, o_orderkey, o_totalprice, "
         "CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey "

@@ -209,6 +209,9 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("dedup_minhash_lsh",
+          driver=False,  # rotated out r4 late — green r2+r3; the LSH band
+          # machinery stays gated via dedup_lsh_verified (same minhash
+          # artifact); slot went to ann_sq8_recall_floor
           oracle=f"WITH corpus AS ({_NEAR_CORPUS_SQL}), "
                  f"p AS ({DD.lsh_candidate_pairs_sql('corpus')}) "
                  "SELECT * FROM p",

@@ -61,7 +61,12 @@ def test_simhash_pairs_is_hash_join_not_nested_loop(spark, sf_dir):
 # so the crossJoin side is the point, not a regression (the LSH/IVF
 # sides stay equi-joins).
 _NESTED_LOOP_ALLOWED = {"ann_cosine_topk", "ann_recall_report",
-                        "ann_ivf_recall", "ann_ivf_recall_floor"}
+                        "ann_ivf_recall", "ann_ivf_recall_floor",
+                        # SQ8 is the exhaustive rerank over int8 codes —
+                        # the broadcast-query all-pairs is its documented
+                        # shape (4x less bandwidth is the win, not fewer
+                        # pairs); its floor row contains the brute truth
+                        "ann_sq8_topk", "ann_sq8_recall_floor"}
 
 
 # non-driver entries whose all-pairs shape is the documented point:
