@@ -540,7 +540,9 @@ _INT_DOT = ("aggregate(zip_with({a}, {b}, (x, y) -> cast(x as bigint) * y), "
 
 
 @register(
-    "ann_sq8_topk",  # new in r4, gated immediately (slot:
+    "ann_sq8_topk", bench=True,  # benched next to ann_cosine_topk: the
+    # int8-vs-float32 bandwidth win should show as wall clock
+    # new in r4, gated immediately (slot:
     # customer_order_ranks demoted — window-rank shape stays gated via
     # order_price_quartile_bands / customer_running_revenue / _gaps)
     oracle=(
