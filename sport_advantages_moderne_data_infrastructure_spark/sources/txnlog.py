@@ -645,6 +645,57 @@ class TxnTable:
                            {**(meta or {}), "operation": "compact"},
                            expected_version=base)
 
+    def compact_clustered(self, spark: SparkSession, cluster_by: str,
+                          target_dirs: int = 8,
+                          meta: dict | None = None) -> int:
+        """OPTIMIZE with clustering (Delta's ZORDER in one dimension):
+        rewrite the live snapshot into ``target_dirs`` commit dirs, each
+        covering a disjoint range of ``cluster_by``, so the per-dir
+        min/max stats become TIGHT and :meth:`read_range` prunes to
+        ~1/target_dirs of the data. Bucket boundaries come from a
+        sample-based approxQuantile (one scan, no global sort — the same
+        boundary mechanism as repartitionByRange); each bucket is then
+        one write inside a single atomic commit. Without clustering,
+        appends in arrival order leave every dir's range spanning the
+        whole domain and stats prune nothing — clustering is what makes
+        file skipping BITE on a compacted table."""
+        from pyspark.sql import functions as F
+
+        base = self.latest_version()
+        if base is None:
+            raise ValueError(f"nothing to compact: {self.path}")
+        live = self.snapshot_dirs(base)
+        df = self.read(spark, base)
+        probs = [i / target_dirs for i in range(1, target_dirs)]
+        bounds = df.approxQuantile(cluster_by, probs, 0.001)
+        bounds = sorted(set(bounds))  # dedup collapsed quantiles
+        if not bounds:  # constant column: clustering is a no-op
+            return self.compact(spark, meta=meta)
+        blit = F.array(*[F.lit(b) for b in bounds])
+        bucket = F.size(F.filter(blit, lambda b: F.col(cluster_by) > b))
+        staged = (df.withColumn("_bucket", bucket)
+                  .repartition(len(bounds) + 1, "_bucket")
+                  .sortWithinPartitions(cluster_by))
+        tmp_rel = os.path.join(_DATA_DIR, f".compact-{uuid.uuid4().hex}")
+        tmp_abs = os.path.join(self.path, tmp_rel)
+        # partitionBy drops _bucket from the parquet files themselves
+        # (it lives in the path), so each bucket subdir promotes to a
+        # plain commit dir with the original schema
+        staged.write.partitionBy("_bucket").parquet(tmp_abs)
+        adds = []
+        for d in sorted(os.listdir(tmp_abs)):
+            if not d.startswith("_bucket="):
+                continue
+            rel = os.path.join(_DATA_DIR, uuid.uuid4().hex)
+            os.rename(os.path.join(tmp_abs, d), os.path.join(self.path, rel))
+            adds.append(rel)
+        import shutil
+        shutil.rmtree(tmp_abs, ignore_errors=True)
+        return self.commit(adds, live,
+                           {**(meta or {}), "operation": "compact",
+                            "cluster_by": cluster_by},
+                           expected_version=base)
+
     def compact_if_needed(self, spark: SparkSession,
                           max_live_dirs: int = 32,
                           target_files: int = 1) -> int | None:

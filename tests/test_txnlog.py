@@ -1037,3 +1037,38 @@ def test_stream_sink_auto_checkpoints_every_10_commits(spark, tmp_path):
     assert len(t.versions()) >= 11
     assert t.checkpoints(), "sink should have checkpointed by commit 10"
     assert _rows(t.read(spark)) == {(i, f"v{i}") for i in range(12)}
+
+
+def test_compact_clustered_makes_read_range_prune(spark, tmp_path):
+    """OPTIMIZE with clustering: interleaved appends leave every dir
+    spanning the whole id domain (stats prune nothing); compact_clustered
+    rewrites into range-disjoint dirs, after which read_range plans ~1/N
+    of them — and the data stays byte-identical."""
+    t = TxnTable(str(tmp_path / "t"))
+    # 3 appends, each spanning the WHOLE domain -> no pruning possible
+    for off in (0, 1, 2):
+        t.append(spark.createDataFrame(
+            [(i, f"v{i}") for i in range(off, 300, 3)],
+            "id int, val string"))
+    assert len(t.pruned_dirs("id", 10, 40)) == 3  # every dir overlaps
+    expect = _rows(t.read(spark))
+    v = t.compact_clustered(spark, "id", target_dirs=3)
+    assert v == t.latest_version()
+    assert _rows(t.read(spark)) == expect  # byte-identical data
+    dirs = t.snapshot_dirs()
+    assert len(dirs) == 3
+    # now the stats are tight: a 10% range plans exactly one dir
+    assert len(t.pruned_dirs("id", 10, 40)) == 1
+    got = _rows(t.read_range(spark, "id", 10, 40))
+    assert got == {(i, f"v{i}") for i in range(10, 41)}
+    # time travel to the pre-clustering layout still works
+    assert _rows(t.read(spark, version=v - 1)) == expect
+
+
+def test_compact_clustered_constant_column_falls_back(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "t"))
+    for _ in range(3):
+        t.append(spark.createDataFrame([(7, "x")], "id int, val string"))
+    t.compact_clustered(spark, "id", target_dirs=4)
+    assert len(t.snapshot_dirs()) == 1  # plain compaction
+    assert _rows(t.read(spark)) == {(7, "x")}
