@@ -617,6 +617,53 @@ class TxnTable:
                 if part_col else [self._write_data(merged)])
         return self.commit(adds, live, meta, expected_version=base)
 
+    def delete_where(self, spark: SparkSession, condition: str,
+                     prune: tuple | None = None,
+                     meta: dict | None = None) -> int:
+        """Row-level DELETE (Delta's ``DELETE WHERE``): rewrite ONLY the
+        data dirs that can contain matching rows, atomically. With
+        ``prune=(col, lo, hi)`` the candidate set comes from the log's
+        footer stats — on an append-only table a time-range purge (the
+        GDPR/retention case) rewrites the few commits whose ranges
+        overlap, never the table; without it every live dir is a
+        candidate but dirs whose rewrite keeps every row are left in
+        place. Cost is O(matching data), not O(table). Unpartitioned
+        layouts only — partition-granular deletes go through
+        :meth:`overwrite_partitions`."""
+        from pyspark.sql import functions as F
+
+        base = self.latest_version()
+        if base is None:
+            raise ValueError(f"not a txn table (no commits): {self.path}")
+        live = self.snapshot_dirs(base)
+        if self._live_partition_col(live) is not None:
+            raise ValueError(
+                "delete_where on a partition-granular table — rewrite the "
+                "affected partitions via overwrite_partitions instead")
+        if prune is not None:
+            col, lo, hi = prune
+            candidates = set(self.pruned_dirs(col, lo, hi, base))
+        else:
+            candidates = set(live)
+        adds, removes = [], []
+        for d in live:
+            if d not in candidates:
+                continue
+            df = self._read_dirs(spark, [d])
+            kept = df.filter(~F.expr(condition))
+            n_kept, n_all = kept.count(), df.count()
+            if n_kept == n_all:
+                continue  # no matches here: leave the dir untouched
+            removes.append(d)
+            if n_kept > 0:
+                adds.append(self._write_data(kept))
+        if not removes:
+            return base  # nothing matched: no empty commit
+        return self.commit(adds, removes,
+                           {**(meta or {}), "operation": "delete",
+                            "condition": condition},
+                           expected_version=base)
+
     # -- maintenance ------------------------------------------------------
 
     def compact(self, spark: SparkSession, target_files: int = 1,

@@ -1072,3 +1072,54 @@ def test_compact_clustered_constant_column_falls_back(spark, tmp_path):
     t.compact_clustered(spark, "id", target_dirs=4)
     assert len(t.snapshot_dirs()) == 1  # plain compaction
     assert _rows(t.read(spark)) == {(7, "x")}
+
+
+# -- row-level DELETE ------------------------------------------------------
+
+
+def test_delete_where_rewrites_only_matching_dirs(spark, tmp_path):
+    """DELETE WHERE with stats pruning: the dir whose range can't contain
+    matches keeps its exact physical path across the commit (zero I/O);
+    the matching dir is rewritten without the deleted rows."""
+    t = TxnTable(str(tmp_path / "t"))
+    for lo in (0, 100, 200):
+        t.append(spark.createDataFrame(
+            [(lo + i, f"v{lo + i}") for i in range(50)],
+            "id int, val string"))
+    before = set(t.snapshot_dirs())
+    v = t.delete_where(spark, "id >= 120 AND id <= 130",
+                       prune=("id", 120, 130))
+    after = set(t.snapshot_dirs())
+    # dirs 0-49 and 200-249 untouched (same rel paths); 100-149 rewritten
+    assert len(before & after) == 2
+    assert len(after - before) == 1
+    expect = {(i, f"v{i}") for rng in ((0, 50), (100, 150), (200, 250))
+              for i in range(*rng) if not 120 <= i <= 130}
+    assert _rows(t.read(spark)) == expect
+    # time travel to the pre-delete snapshot still has the rows
+    assert len(_rows(t.read(spark, version=v - 1))) == 150
+
+
+def test_delete_where_no_match_is_noop(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a"), (2, "b")]))
+    v = t.latest_version()
+    assert t.delete_where(spark, "id > 100") == v  # no commit added
+    assert t.latest_version() == v
+    assert _rows(t.read(spark)) == {(1, "a"), (2, "b")}
+
+
+def test_delete_where_all_rows_leaves_empty_snapshot(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a"), (2, "b")]))
+    t.delete_where(spark, "id >= 1")
+    got = t.read(spark)
+    assert got.count() == 0
+    assert got.columns == ["id", "val"]  # schema survives DELETE-all
+
+
+def test_delete_where_rejects_partitioned_layout(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "t"))
+    t.overwrite_partitions(_pdf(spark, [(1, "a", 1), (2, "b", 2)]), "day")
+    with pytest.raises(ValueError, match="overwrite_partitions"):
+        t.delete_where(spark, "id = 1")
