@@ -47,6 +47,9 @@ from pyspark.sql import DataFrame, SparkSession
 
 _LOG_DIR = "_txnlog"
 _DATA_DIR = "data"
+_CHANGES_DIR = "changes"  # row-level change files (the Delta _change_data
+# analog): written by merge/delete alongside their data rewrite,
+# referenced by the commit doc's "changes" key, consumed by read_changes
 
 
 class TxnConflictError(RuntimeError):
@@ -357,6 +360,57 @@ class TxnTable:
             return self.read(spark).limit(0)
         return self._read_dirs(spark, adds)
 
+    def read_changes(self, spark: SparkSession,
+                     since_version: int) -> DataFrame:
+        """Row-level change feed (Delta CDF): every row changed by commits
+        AFTER ``since_version``, with ``_change_type`` in {insert,
+        update_postimage, delete} and ``_commit_version``. Unlike
+        :meth:`read_increment` (append-only, fails on rewrites), this
+        consumes MERGE and DELETE commits through the change files they
+        wrote alongside their rewrite — an incremental consumer follows an
+        upserted dimension table without reprocessing snapshots. Compaction
+        and clustering commits are layout-only (no logical change) and are
+        skipped; a full overwrite has no row-level delta and raises —
+        resync from a snapshot read, as with Delta's CDF."""
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
+        frames = []
+        for v in self.versions():
+            if v <= since_version:
+                continue
+            doc = self._doc(v)
+            op = doc.get("meta", {}).get("operation")
+            if doc.get("changes"):
+                df = (spark.read.parquet(
+                        os.path.join(self.path, doc["changes"]))
+                      .withColumn("_commit_version", F.lit(v)))
+            elif op == "compact":
+                continue  # bin-packing/clustering: layout only
+            elif not doc["removes"]:
+                if not doc["adds"]:
+                    continue
+                df = (self._read_dirs(spark, doc["adds"])
+                      .withColumn("_change_type", F.lit("insert"))
+                      .withColumn("_commit_version", F.lit(v)))
+            else:
+                raise ValueError(
+                    f"version {v} is a full rewrite "
+                    f"({op or 'overwrite'}) with no change files; "
+                    "reprocess from a snapshot read")
+            frames.append(df)
+        if not frames:
+            return (self.read(spark).limit(0)
+                    .withColumn("_change_type", F.lit(""))
+                    .withColumn("_commit_version", F.lit(0)))
+        return reduce(lambda a, b: a.unionByName(b), frames)
+
+    def _write_changes(self, df: DataFrame) -> str:
+        rel = os.path.join(_CHANGES_DIR, uuid.uuid4().hex)
+        df.write.parquet(os.path.join(self.path, rel))
+        return rel
+
     # -- file skipping (min/max stats) ------------------------------------
 
     def _dir_stats(self, rel_dir: str) -> dict:
@@ -476,7 +530,8 @@ class TxnTable:
     def commit(self, adds: list[str], removes: list[str],
                meta: dict | None = None,
                expected_version: int | None = None,
-               stats: dict[str, dict] | None = None) -> int:
+               stats: dict[str, dict] | None = None,
+               changes: str | None = None) -> int:
         """Publish a commit doc atomically. ``expected_version`` is the
         version this writer based its work on (None for a fresh table);
         losing the race to version+1 raises :class:`TxnConflictError`.
@@ -494,6 +549,7 @@ class TxnTable:
         doc = {"version": version, "adds": adds, "removes": removes,
                "ts": _time.time(),  # commit wall clock (timestamp travel)
                "meta": meta or {},
+               **({"changes": changes} if changes else {}),
                "stats": {rel: (stats[rel] if rel in stats
                                else self._dir_stats(rel))
                          for rel in adds}}
@@ -605,7 +661,19 @@ class TxnTable:
             return self.commit([self._write_data(updates)], [], meta,
                                expected_version=None)
         target = self.read(spark, base)
-        merged = merge_upsert(target, updates.select(*target.columns), key)
+        ups = updates.select(*target.columns)
+        merged = merge_upsert(target, ups, key)
+        # CDF change set (Delta _change_data): the update frame classified
+        # by key existence — post-images only, tiny relative to the
+        # rewrite the merge already performs
+        from pyspark.sql import functions as F
+        tkeys = target.select(key)
+        changes_rel = self._write_changes(
+            ups.join(tkeys, key, "left_anti")
+            .withColumn("_change_type", F.lit("insert"))
+            .unionByName(
+                ups.join(tkeys, key, "left_semi")
+                .withColumn("_change_type", F.lit("update_postimage"))))
         # materialize BEFORE the commit: the new files must be fully on
         # disk when the log doc appears (they read from the old snapshot,
         # so no self-overwrite hazard exists at any point). A partitioned
@@ -615,7 +683,8 @@ class TxnTable:
         part_col = self._live_partition_col(live)
         adds = (self._write_data_partitioned(merged, part_col)
                 if part_col else [self._write_data(merged)])
-        return self.commit(adds, live, meta, expected_version=base)
+        return self.commit(adds, live, meta, expected_version=base,
+                           changes=changes_rel)
 
     def delete_where(self, spark: SparkSession, condition: str,
                      prune: tuple | None = None,
@@ -645,7 +714,7 @@ class TxnTable:
             candidates = set(self.pruned_dirs(col, lo, hi, base))
         else:
             candidates = set(live)
-        adds, removes = [], []
+        adds, removes, deleted = [], [], []
         for d in live:
             if d not in candidates:
                 continue
@@ -655,14 +724,19 @@ class TxnTable:
             if n_kept == n_all:
                 continue  # no matches here: leave the dir untouched
             removes.append(d)
+            deleted.append(df.filter(F.expr(condition)))
             if n_kept > 0:
                 adds.append(self._write_data(kept))
         if not removes:
             return base  # nothing matched: no empty commit
+        from functools import reduce
+        changes_rel = self._write_changes(
+            reduce(lambda a, b: a.unionByName(b), deleted)
+            .withColumn("_change_type", F.lit("delete")))
         return self.commit(adds, removes,
                            {**(meta or {}), "operation": "delete",
                             "condition": condition},
-                           expected_version=base)
+                           expected_version=base, changes=changes_rel)
 
     # -- maintenance ------------------------------------------------------
 

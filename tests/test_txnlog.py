@@ -1123,3 +1123,63 @@ def test_delete_where_rejects_partitioned_layout(spark, tmp_path):
     t.overwrite_partitions(_pdf(spark, [(1, "a", 1), (2, "b", 2)]), "day")
     with pytest.raises(ValueError, match="overwrite_partitions"):
         t.delete_where(spark, "id = 1")
+
+
+# -- change data feed (row-level, across rewrites) -------------------------
+
+
+def _changes(df):
+    return {(r["id"], r["val"], r["_change_type"], r["_commit_version"])
+            for r in df.collect()}
+
+
+def test_read_changes_append_merge_delete(spark, tmp_path):
+    """CDF across the full op mix: appends surface as inserts, MERGE as
+    insert/update_postimage from its change files, DELETE as delete rows;
+    compaction is layout-only and contributes nothing."""
+    t = TxnTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a"), (2, "b")]))                 # v0
+    t.merge(spark, _df(spark, [(2, "B!"), (3, "c")]), "id")    # v1
+    t.compact(spark)                                           # v2
+    t.delete_where(spark, "id = 1")                            # v3
+    got = _changes(t.read_changes(spark, since_version=-1))
+    assert got == {
+        (1, "a", "insert", 0), (2, "b", "insert", 0),
+        (3, "c", "insert", 1), (2, "B!", "update_postimage", 1),
+        (1, "a", "delete", 3),
+    }
+    # consumer that already processed v1 sees only the delete
+    assert _changes(t.read_changes(spark, since_version=2)) == {
+        (1, "a", "delete", 3)}
+    # fully caught up: empty frame with the CDF schema
+    caught = t.read_changes(spark, since_version=3)
+    assert caught.count() == 0
+    assert "_change_type" in caught.columns
+
+
+def test_read_changes_overwrite_requires_resync(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))
+    t.overwrite(_df(spark, [(9, "z")]))
+    with pytest.raises(ValueError, match="snapshot read"):
+        t.read_changes(spark, since_version=0)
+    # but the snapshot after resync is consistent
+    assert _rows(t.read(spark)) == {(9, "z")}
+
+
+def test_read_changes_matches_snapshot_replay(spark, tmp_path):
+    """Applying the change feed to a downstream copy reproduces the
+    upstream snapshot — the contract that makes CDF consumable."""
+    t = TxnTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    t.merge(spark, _df(spark, [(3, "C!"), (4, "d")]), "id")
+    t.delete_where(spark, "id = 2")
+    state: dict[int, str] = {}
+    rows = sorted(t.read_changes(spark, -1).collect(),
+                  key=lambda r: r["_commit_version"])
+    for r in rows:
+        if r["_change_type"] == "delete":
+            state.pop(r["id"], None)
+        else:
+            state[r["id"]] = r["val"]
+    assert set(state.items()) == _rows(t.read(spark))
