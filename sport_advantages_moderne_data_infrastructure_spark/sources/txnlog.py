@@ -872,4 +872,25 @@ class TxnTable:
                     continue  # raced with its deletion/creation: skip
                 victims.append(rel)
                 shutil.rmtree(os.path.join(self.path, rel))
+        # change-file sweep: a crashed merge/delete may have written its
+        # CDF dir without publishing the commit. Only UNREFERENCED change
+        # dirs are reclaimable — referenced ones stay regardless of
+        # keep_versions, because read_changes serves arbitrarily-old
+        # consumers (Delta keeps _change_data for the retention period of
+        # the commits themselves).
+        cdc_referenced = {doc["changes"] for doc in self.history()
+                          if doc.get("changes")}
+        changes_root = os.path.join(self.path, _CHANGES_DIR)
+        if os.path.isdir(changes_root):
+            for d in os.listdir(changes_root):
+                rel = os.path.join(_CHANGES_DIR, d)
+                if rel in cdc_referenced:
+                    continue
+                try:
+                    if os.path.getmtime(os.path.join(self.path, rel)) > cutoff:
+                        continue
+                except OSError:
+                    continue
+                victims.append(rel)
+                shutil.rmtree(os.path.join(self.path, rel))
         return sorted(victims)

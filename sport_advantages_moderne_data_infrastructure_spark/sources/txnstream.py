@@ -46,6 +46,12 @@ class _FilePartition(InputPartition):
     part_col: str | None = None
     part_val: str | None = None
     part_type: str = "string"  # "int32" | "int64" | "string"
+    # change-feed reads: _change_type to attach ("insert" for append
+    # commits; None when the file already carries the column, i.e. a
+    # merge/delete change file) and the commit version, or None outside
+    # CDF mode
+    change_type: str | None = None
+    commit_version: int | None = None
 
 
 def _infer_part_type(vals: list[str]) -> str:
@@ -118,13 +124,21 @@ def _read_file(p: _FilePartition | None):
         else:
             arr = pa.array([p.part_val] * len(t), pa.string())
         t = t.append_column(p.part_col, arr)
+    if p.change_type is not None:
+        t = t.append_column("_change_type",
+                            pa.array([p.change_type] * len(t), pa.string()))
+    if p.commit_version is not None:
+        t = t.append_column("_commit_version",
+                            pa.array([p.commit_version] * len(t), pa.int64()))
     yield from t.to_batches()
 
 
 class _TxnStreamReader(DataSourceStreamReader):
-    def __init__(self, path: str, skip_change_commits: bool = False):
+    def __init__(self, path: str, skip_change_commits: bool = False,
+                 change_feed: bool = False):
         self.table = TxnTable(path)
         self.skip_change_commits = skip_change_commits
+        self.change_feed = change_feed
 
     def initialOffset(self) -> dict:
         return {"version": -1}
@@ -134,6 +148,8 @@ class _TxnStreamReader(DataSourceStreamReader):
         return {"version": -1 if v is None else v}
 
     def partitions(self, start: dict, end: dict):
+        if self.change_feed:
+            return self._cdf_partitions(start, end)
         adds: list[str] = []
         for v in self.table.versions():
             if start["version"] < v <= end["version"]:
@@ -156,6 +172,39 @@ class _TxnStreamReader(DataSourceStreamReader):
                         " 'true') to skip rewrite commits")
                 adds.extend(doc["adds"])
         return _files_of(self.table, adds)
+
+    def _cdf_partitions(self, start: dict, end: dict):
+        """readChangeFeed mode (Delta's option of the same name): MERGE
+        and DELETE commits stream as the row-level change files they
+        wrote, appends as inserts, compaction as nothing — so a stream
+        follows an upserted table through routine maintenance instead of
+        failing on the first rewrite. Every row carries _change_type and
+        _commit_version. A full overwrite still raises: it has no
+        row-level delta (resync from a snapshot read)."""
+        parts: list[_FilePartition] = []
+        for v in self.table.versions():
+            if not start["version"] < v <= end["version"]:
+                continue
+            doc = self.table._doc(v)  # noqa: SLF001
+            op = doc.get("meta", {}).get("operation")
+            if doc.get("changes"):
+                batch = _files_of(self.table, [doc["changes"]])
+                for p in batch:
+                    p.commit_version = v
+            elif op == "compact":
+                continue
+            elif not doc["removes"]:
+                batch = _files_of(self.table, doc["adds"])
+                for p in batch:
+                    p.change_type = "insert"
+                    p.commit_version = v
+            else:
+                raise ValueError(
+                    f"txnlog stream: version {v} is a full rewrite "
+                    f"({op or 'overwrite'}) with no change files; "
+                    "restart the change-feed stream from a snapshot read")
+            parts.extend(batch)
+        return parts
 
     def read(self, partition: _FilePartition):
         return _read_file(partition)
@@ -418,13 +467,19 @@ class TxnLogDataSource(DataSource):
                      "string": StringType()}[files[0].part_type]
             spark_schema = spark_schema.add(
                 StructField(newest[0].part_col, ptype))
+        if str(self.options.get("readChangeFeed", "false")).lower() == "true":
+            spark_schema = (spark_schema
+                            .add(StructField("_change_type", StringType()))
+                            .add(StructField("_commit_version", LongType())))
         return spark_schema
 
     def streamReader(self, schema) -> _TxnStreamReader:
         skip = str(self.options.get("skipChangeCommits",
                                     self.options.get("ignoreChanges",
                                                      "false"))).lower()
-        return _TxnStreamReader(self._path(), skip_change_commits=skip == "true")
+        cdf = str(self.options.get("readChangeFeed", "false")).lower()
+        return _TxnStreamReader(self._path(), skip_change_commits=skip == "true",
+                                change_feed=cdf == "true")
 
     def reader(self, schema) -> _TxnBatchReader:
         version = self.options.get("version")

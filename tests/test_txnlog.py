@@ -1183,3 +1183,61 @@ def test_read_changes_matches_snapshot_replay(spark, tmp_path):
         else:
             state[r["id"]] = r["val"]
     assert set(state.items()) == _rows(t.read(spark))
+
+
+def test_stream_read_change_feed_follows_merge_and_delete(spark, tmp_path):
+    """readChangeFeed streaming: a stream over an upserted table delivers
+    row-level changes through MERGE/DELETE/compact instead of failing on
+    the first rewrite commit."""
+    from sport_advantages_moderne_data_infrastructure_spark.sources import register_txn_source
+    register_txn_source(spark)
+    t = TxnTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a"), (2, "b")]))                # v0
+    t.merge(spark, _df(spark, [(2, "B!"), (3, "c")]), "id")   # v1
+    t.compact(spark)                                          # v2
+    t.delete_where(spark, "id = 1")                           # v3
+    out = str(tmp_path / "out")
+    q = (spark.readStream.format("txnlog")
+         .option("readChangeFeed", "true").load(t.path)
+         .writeStream.format("parquet")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .option("path", out).trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["id"], r["val"], r["_change_type"], r["_commit_version"])
+           for r in spark.read.parquet(out).collect()}
+    assert got == {
+        (1, "a", "insert", 0), (2, "b", "insert", 0),
+        (3, "c", "insert", 1), (2, "B!", "update_postimage", 1),
+        (1, "a", "delete", 3),
+    }
+    # incremental restart: new delete commit -> exactly the new rows
+    t.delete_where(spark, "id = 3")                           # v4
+    q2 = (spark.readStream.format("txnlog")
+          .option("readChangeFeed", "true").load(t.path)
+          .writeStream.format("parquet")
+          .option("checkpointLocation", str(tmp_path / "ck"))
+          .option("path", out).trigger(availableNow=True).start())
+    q2.awaitTermination(120)
+    got2 = {(r["id"], r["val"], r["_change_type"], r["_commit_version"])
+            for r in spark.read.parquet(out).collect()}
+    assert got2 == got | {(3, "c", "delete", 4)}
+
+
+def test_vacuum_reclaims_orphan_change_dirs(spark, tmp_path):
+    """A crashed merge's unpublished change dir is reclaimed; referenced
+    change files survive vacuum (read_changes still serves old
+    consumers)."""
+    t = TxnTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))
+    t.merge(spark, _df(spark, [(1, "A!")]), "id")  # writes referenced CDF
+    orphan = t._write_changes(
+        _df(spark, [(9, "junk")]).withColumn(
+            "_change_type", __import__("pyspark.sql.functions",
+                                       fromlist=["lit"]).lit("insert")))
+    victims = t.vacuum(older_than_seconds=0)
+    assert orphan in victims
+    assert not os.path.exists(os.path.join(t.path, orphan))
+    # the merge's change files still readable
+    got = {r["_change_type"]
+           for r in t.read_changes(spark, since_version=0).collect()}
+    assert got == {"update_postimage"}
