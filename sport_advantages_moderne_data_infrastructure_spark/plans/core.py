@@ -259,6 +259,56 @@ def q_txn_read_range(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("o_totalprice", 2).alias("total"))
             .orderBy("o_orderkey"))
 
+@register("txn_changes_feed",  # new late-r4, gated immediately (slot:
+          # revenue_by_nation demoted — multi-join agg shape stays gated
+          # via final_table/prime_query/pricing_summary)
+          oracle=W(
+              "WITH emp AS ({emp}), raises AS ({raises}), "
+              "merged AS ({merged}) "
+              "SELECT id_employee, gross_salary, business_unity, "
+              "constract_type, _change_type, _commit_version FROM ("
+              "SELECT emp.*, 'insert' AS _change_type, "
+              "CAST(0 AS BIGINT) AS _commit_version FROM emp "
+              "UNION ALL "
+              "SELECT raises.*, 'update_postimage', CAST(1 AS BIGINT) "
+              "FROM raises "
+              "UNION ALL "
+              "SELECT merged.*, 'delete', CAST(2 AS BIGINT) FROM merged "
+              "WHERE id_employee % 97 = 0) "
+              "ORDER BY _commit_version, id_employee".format(
+                  emp=_EMP_PROJ_SQL, raises=_EMP_RAISE_SQL,
+                  merged=merge_upsert_sql(
+                      _EMP_PROJ_SQL, _EMP_RAISE_SQL, "id_employee",
+                      ["id_employee", "gross_salary", "business_unity",
+                       "constract_type"]))),
+          tags=("K1", "K2"))
+def q_txn_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed gated end-to-end: employees loaded as commit 0,
+    the raises batch MERGEd as commit 1, a slice DELETEd as commit 2 —
+    read_changes(-1) must emit exactly the row-level history (inserts,
+    update post-images, deleted rows with their merged values), which
+    the oracle reconstructs relationally. Every _change_type arm is
+    non-empty at the gate's scale."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..sources.txnlog import TxnTable
+    emp = R.employee_projection(D.employees(spark, sf_dir))
+    updates = (emp.filter(F.col("id_employee") % 10 == 0)
+               .select("id_employee",
+                       (F.col("gross_salary") + 1000).cast("int")
+                       .alias("gross_salary"),
+                       "business_unity",
+                       F.lit("CDI").alias("constract_type")))
+    table = TxnTable(tempfile.mkdtemp(prefix="samdis_txn_cdf_"))
+    table.overwrite(emp)                     # v0: fresh table, no removes
+    table.merge(spark, updates, "id_employee")        # v1
+    table.delete_where(spark, "id_employee % 97 = 0")  # v2
+    return (table.read_changes(spark, since_version=-1)
+            .orderBy("_commit_version", "id_employee"))
+
+
 
 @register("pii_scrub",
           oracle=W("SELECT id_employee, "

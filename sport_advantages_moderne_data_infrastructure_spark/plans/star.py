@@ -67,6 +67,9 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "revenue_by_nation",
+    driver=False,  # rotated out r4 late — triple-green; multi-join agg
+    # shape stays gated via final_table/prime_query/pricing_summary;
+    # slot went to txn_changes_feed
     oracle=(
         "SELECT n.n_name, "
         "ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue, "
