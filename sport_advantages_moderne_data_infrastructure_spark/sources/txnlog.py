@@ -273,13 +273,17 @@ class TxnTable:
                 parts.setdefault(os.path.dirname(d), []).append(d)
         frames = []
         if plain:
-            frames.append(spark.read.parquet(
+            # mergeSchema: commits may carry evolved schemas (append with
+            # merge_schema=True); parquet schema merging unions the
+            # fields and null-fills the gaps, exactly Delta's behavior
+            frames.append(spark.read.option("mergeSchema", "true").parquet(
                 *[os.path.join(self.path, d) for d in plain]))
         for root, subs in sorted(parts.items()):
             frames.append(
                 spark.read.option("basePath", os.path.join(self.path, root))
                 .parquet(*[os.path.join(self.path, d) for d in subs]))
-        return reduce(lambda a, b: a.unionByName(b), frames)
+        return reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=True), frames)
 
     def version_at(self, timestamp: float) -> int:
         """Latest version committed at or before ``timestamp`` (epoch
@@ -595,13 +599,20 @@ class TxnTable:
                 "overwrite() for schema evolution")
 
     def append(self, df: DataFrame, meta: dict | None = None,
-               retries: int = 5) -> int:
+               retries: int = 5, merge_schema: bool = False) -> int:
         """Blind appends touch no existing files, so losing a commit race
         is never a semantic conflict — re-reading the latest version and
         re-publishing is always safe (the optimistic-retry rule real log
         stores apply to AddFile-only transactions). Data is written once;
-        only the metadata publish retries."""
-        self._check_append_schema(df)
+        only the metadata publish retries.
+
+        ``merge_schema=True`` (Delta's mergeSchema) admits a frame whose
+        columns differ from the live schema: new columns null-fill old
+        rows, missing columns null-fill the new rows — the snapshot read
+        unions schemas across commits. Python-API reads only; the
+        ``format("txnlog")`` DataSource plans a uniform schema."""
+        if not merge_schema:
+            self._check_append_schema(df)
         rel = self._write_data(df)
         for _ in range(retries):
             try:

@@ -1241,3 +1241,24 @@ def test_vacuum_reclaims_orphan_change_dirs(spark, tmp_path):
     got = {r["_change_type"]
            for r in t.read_changes(spark, since_version=0).collect()}
     assert got == {"update_postimage"}
+
+
+def test_append_merge_schema_evolution(spark, tmp_path):
+    """mergeSchema appends: a new column null-fills history, a dropped
+    column null-fills the new rows; time travel below the evolution
+    keeps the old schema; plain appends still reject mismatches."""
+    t = TxnTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))
+    t.append(spark.createDataFrame([(2, "b", 9.5)],
+                                   "id int, val string, score double"),
+             merge_schema=True)
+    got = {(r["id"], r["val"], r["score"]) for r in t.read(spark).collect()}
+    assert got == {(1, "a", None), (2, "b", 9.5)}
+    assert t.read(spark, version=0).columns == ["id", "val"]
+    # missing column null-fills the new rows
+    t.append(spark.createDataFrame([(3,)], "id int"), merge_schema=True)
+    got = {(r["id"], r["val"], r["score"]) for r in t.read(spark).collect()}
+    assert got == {(1, "a", None), (2, "b", 9.5), (3, None, None)}
+    # without the flag, mismatches still fail fast at write time
+    with pytest.raises(ValueError, match="append schema mismatch"):
+        t.append(spark.createDataFrame([(4, 1.5)], "id int, other double"))
