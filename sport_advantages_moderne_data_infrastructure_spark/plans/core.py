@@ -270,12 +270,15 @@ def q_txn_read_range(spark: SparkSession, sf_dir: str) -> DataFrame:
               "SELECT emp.*, 'insert' AS _change_type, "
               "CAST(0 AS BIGINT) AS _commit_version FROM emp "
               "UNION ALL "
+              "SELECT emp.*, 'update_preimage', CAST(1 AS BIGINT) "
+              "FROM emp WHERE id_employee % 10 = 0 "
+              "UNION ALL "
               "SELECT raises.*, 'update_postimage', CAST(1 AS BIGINT) "
               "FROM raises "
               "UNION ALL "
               "SELECT merged.*, 'delete', CAST(2 AS BIGINT) FROM merged "
               "WHERE id_employee % 97 = 0) "
-              "ORDER BY _commit_version, id_employee".format(
+              "ORDER BY _commit_version, id_employee, _change_type".format(
                   emp=_EMP_PROJ_SQL, raises=_EMP_RAISE_SQL,
                   merged=merge_upsert_sql(
                       _EMP_PROJ_SQL, _EMP_RAISE_SQL, "id_employee",
@@ -286,7 +289,7 @@ def q_txn_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change data feed gated end-to-end: employees loaded as commit 0,
     the raises batch MERGEd as commit 1, a slice DELETEd as commit 2 —
     read_changes(-1) must emit exactly the row-level history (inserts,
-    update post-images, deleted rows with their merged values), which
+    update pre/post-images, deleted rows with their merged values), which
     the oracle reconstructs relationally. Every _change_type arm is
     non-empty at the gate's scale."""
     import tempfile
@@ -306,7 +309,7 @@ def q_txn_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     table.merge(spark, updates, "id_employee")        # v1
     table.delete_where(spark, "id_employee % 97 = 0")  # v2
     return (table.read_changes(spark, since_version=-1)
-            .orderBy("_commit_version", "id_employee"))
+            .orderBy("_commit_version", "id_employee", "_change_type"))
 
 
 

@@ -675,13 +675,20 @@ class TxnTable:
         ups = updates.select(*target.columns)
         merged = merge_upsert(target, ups, key)
         # CDF change set (Delta _change_data): the update frame classified
-        # by key existence — post-images only, tiny relative to the
-        # rewrite the merge already performs
+        # by key existence, PLUS the pre-update target rows
+        # (update_preimage, as Delta emits) — preimages are what let a
+        # downstream consumer maintain sums/avgs incrementally (subtract
+        # pre, add post); without them only counts are derivable. Tiny
+        # relative to the rewrite the merge already performs.
         from pyspark.sql import functions as F
         tkeys = target.select(key)
+        ukeys = ups.select(key)
         changes_rel = self._write_changes(
             ups.join(tkeys, key, "left_anti")
             .withColumn("_change_type", F.lit("insert"))
+            .unionByName(
+                target.join(ukeys, key, "left_semi")
+                .withColumn("_change_type", F.lit("update_preimage")))
             .unionByName(
                 ups.join(tkeys, key, "left_semi")
                 .withColumn("_change_type", F.lit("update_postimage"))))
@@ -905,3 +912,22 @@ class TxnTable:
                 victims.append(rel)
                 shutil.rmtree(os.path.join(self.path, rel))
         return sorted(victims)
+
+
+def agg_delta_from_changes(changes: DataFrame, group_cols: list[str],
+                           value_col: str) -> DataFrame:
+    """Incremental view maintenance over the change feed: turn a CDF
+    frame into per-group (d_count, d_sum) deltas — inserts and update
+    post-images add, deletes and update pre-images subtract (this is why
+    the feed carries preimages). A downstream count/sum/avg materialized
+    view applies the delta to its stored partials instead of recomputing
+    from the snapshot: the combine is associative, so maintenance cost is
+    O(changed rows) at any table size."""
+    from pyspark.sql import functions as F
+
+    sign = F.when(F.col("_change_type").isin("insert", "update_postimage"),
+                  F.lit(1)).otherwise(F.lit(-1))
+    return (changes
+            .groupBy(*group_cols)
+            .agg(F.sum(sign).alias("d_count"),
+                 F.sum(sign * F.col(value_col)).alias("d_sum")))

@@ -1145,7 +1145,8 @@ def test_read_changes_append_merge_delete(spark, tmp_path):
     got = _changes(t.read_changes(spark, since_version=-1))
     assert got == {
         (1, "a", "insert", 0), (2, "b", "insert", 0),
-        (3, "c", "insert", 1), (2, "B!", "update_postimage", 1),
+        (3, "c", "insert", 1), (2, "b", "update_preimage", 1),
+        (2, "B!", "update_postimage", 1),
         (1, "a", "delete", 3),
     }
     # consumer that already processed v1 sees only the delete
@@ -1180,7 +1181,7 @@ def test_read_changes_matches_snapshot_replay(spark, tmp_path):
     for r in rows:
         if r["_change_type"] == "delete":
             state.pop(r["id"], None)
-        else:
+        elif r["_change_type"] != "update_preimage":
             state[r["id"]] = r["val"]
     assert set(state.items()) == _rows(t.read(spark))
 
@@ -1207,7 +1208,8 @@ def test_stream_read_change_feed_follows_merge_and_delete(spark, tmp_path):
            for r in spark.read.parquet(out).collect()}
     assert got == {
         (1, "a", "insert", 0), (2, "b", "insert", 0),
-        (3, "c", "insert", 1), (2, "B!", "update_postimage", 1),
+        (3, "c", "insert", 1), (2, "b", "update_preimage", 1),
+        (2, "B!", "update_postimage", 1),
         (1, "a", "delete", 3),
     }
     # incremental restart: new delete commit -> exactly the new rows
@@ -1262,3 +1264,46 @@ def test_append_merge_schema_evolution(spark, tmp_path):
     # without the flag, mismatches still fail fast at write time
     with pytest.raises(ValueError, match="append schema mismatch"):
         t.append(spark.createDataFrame([(4, 1.5)], "id int, other double"))
+
+
+def test_agg_delta_maintains_materialized_view(spark, tmp_path):
+    """IVM contract: base partial aggregates + CDF deltas == a full
+    recompute over the current snapshot, across merge (with preimages)
+    and delete commits."""
+    from pyspark.sql import functions as F
+
+    from sport_advantages_moderne_data_infrastructure_spark.sources.txnlog import (
+        agg_delta_from_changes,
+    )
+
+    sdf = spark.createDataFrame(
+        [(i, f"g{i % 3}", float(i)) for i in range(30)],
+        "id int, grp string, amount double")
+    t = TxnTable(str(tmp_path / "t"))
+    t.append(sdf)                                             # v0
+    base_v = t.latest_version()
+    base = (t.read(spark).groupBy("grp")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.sum("amount").alias("total")))
+    # upstream keeps changing: updates move amounts, deletes remove rows
+    ups = spark.createDataFrame(
+        [(3, "g0", 100.0), (4, "g1", 200.0), (99, "g2", 7.0)],
+        "id int, grp string, amount double")
+    t.merge(spark, ups, "id")                                 # v1
+    t.delete_where(spark, "id >= 25")                         # v2
+    delta = agg_delta_from_changes(
+        t.read_changes(spark, since_version=base_v), ["grp"], "amount")
+    maintained = (base.join(delta, "grp", "full")
+                  .select("grp",
+                          (F.coalesce("cnt", F.lit(0))
+                           + F.coalesce("d_count", F.lit(0))).alias("cnt"),
+                          (F.coalesce("total", F.lit(0.0))
+                           + F.coalesce("d_sum", F.lit(0.0))).alias("total")))
+    direct = (t.read(spark).groupBy("grp")
+              .agg(F.count(F.lit(1)).alias("cnt"),
+                   F.sum("amount").alias("total")))
+    m = {(r["grp"]): (r["cnt"], round(r["total"], 6))
+         for r in maintained.collect()}
+    d = {(r["grp"]): (r["cnt"], round(r["total"], 6))
+         for r in direct.collect()}
+    assert m == d
