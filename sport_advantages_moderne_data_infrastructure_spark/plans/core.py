@@ -313,6 +313,40 @@ def q_txn_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+@register("txn_point_lookup",  # new late-r4; driver window full — pytest
+          # oracle parity (test_oracle_parity) is the gate
+          oracle=("SELECT o_orderkey, o_custkey, "
+                  "ROUND(o_totalprice, 2) AS total FROM orders "
+                  "WHERE o_custkey = 371 ORDER BY o_orderkey"),
+          driver=False)
+def q_txn_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-indexed point lookup gated against the plain WHERE oracle:
+    orders lands as 6 appends split by a custkey hash (so o_custkey is
+    UNORDERED across dirs — min/max stats cannot prune a point probe),
+    with a bloom index enabled on o_custkey; read_point plans only the
+    dirs whose bloom may contain the probe and the residual equality
+    filter makes the result exact even through false positives. The
+    100 TB needle-in-haystack shape (Delta bloom filter indexes)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..sources.tables import load_table
+    from ..sources.txnlog import TxnTable
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    table = TxnTable(tempfile.mkdtemp(prefix="samdis_txn_point_"))
+    table.enable_bloom(["o_custkey"], bits=1 << 17, k=6)
+    for b in range(6):
+        table.append(o.filter(F.crc32(F.col("o_custkey").cast("string"))
+                              % 6 == b))
+    return (table.read_point(spark, "o_custkey", 371)
+            .select("o_orderkey", "o_custkey",
+                    F.round("o_totalprice", 2).alias("total"))
+            .orderBy("o_orderkey"))
+
+
 @register("pii_scrub",
           oracle=W("SELECT id_employee, "
                    "regexp_replace(address, '[0-9]+', '#', 'g') "

@@ -56,6 +56,37 @@ class TxnConflictError(RuntimeError):
     """Another writer committed the version this writer raced for."""
 
 
+def _bloom_positions(value, m: int, k: int) -> list[int]:
+    """Bit positions for ``value`` via Kirsch-Mitzenmacher double hashing
+    over one md5 (h1 + i*h2 mod m) — stable across Python processes
+    (never the salted builtin ``hash``), so a bloom written by one driver
+    prunes correctly in another. Values canonicalize through ``str`` (an
+    int and its string collide — false-positive direction only; the
+    residual equality filter keeps reads exact)."""
+    import hashlib
+
+    d = hashlib.md5(str(value).encode("utf-8")).digest()
+    h1 = int.from_bytes(d[:8], "big")
+    h2 = int.from_bytes(d[8:], "big") | 1  # odd: full cycle for any m
+    return [(h1 + i * h2) % m for i in range(k)]
+
+
+def _bloom_build(values, m: int, k: int) -> str:
+    """Hex-encoded m-bit bloom filter over ``values``."""
+    bits = 0
+    for v in values:
+        if v is None:
+            continue
+        for p in _bloom_positions(v, m, k):
+            bits |= 1 << p
+    return format(bits, "x")
+
+
+def _bloom_may_contain(hex_bits: str, value, m: int, k: int) -> bool:
+    bits = int(hex_bits, 16)
+    return all(bits >> p & 1 for p in _bloom_positions(value, m, k))
+
+
 def _partition_of(rel_dir: str) -> tuple[str, str] | None:
     """``data/<uuid>/date=2024-01-01`` → ("date", "2024-01-01");
     None for a plain (unpartitioned) commit dir."""
@@ -82,7 +113,8 @@ class TxnTable:
             return []
         return sorted(
             int(f.split(".")[0]) for f in os.listdir(self.log_dir)
-            if f.endswith(".json") and ".checkpoint." not in f)
+            if f.endswith(".json") and ".checkpoint." not in f
+            and f.split(".")[0].isdigit())  # skip config docs (bloom.json)
 
     def latest_version(self) -> int | None:
         v = self.versions()
@@ -142,6 +174,7 @@ class TxnTable:
             "checkpoint_version": version,
             "live": self.snapshot_dirs(version),
             "stats": self._live_stats(version),
+            "bloom": self._live_blooms(version),
             "schema_dirs": self._schema_dirs(version),
             "stream_batch_ids": per_app,
             "last_stream_batch_id": last_bid,
@@ -506,6 +539,106 @@ class TxnTable:
             df = df.filter(F.col(col) <= hi)
         return df
 
+    # -- bloom file skipping (equality lookups) ----------------------------
+    # Min/max ranges prune range scans but are useless for point lookups on
+    # high-cardinality unordered columns (uuids, user ids): every dir's
+    # [min, max] spans the probe. Delta answers with per-file bloom filter
+    # indexes; this is that, recorded per commit dir in the log doc.
+
+    def enable_bloom(self, cols: list[str], bits: int = 8192,
+                     k: int = 6) -> None:
+        """Opt a table into bloom indexing for ``cols``. Commits AFTER
+        enablement record an m-bit bloom per added dir per column;
+        pre-existing dirs have no bloom and are never pruned
+        (conservative, like pre-stats commits). 8192 bits / k=6 holds a
+        ~1% false-positive rate to ~850 distinct values per dir — size
+        ``bits`` to the expected distinct count per commit. Config is
+        admin metadata (one writer), published atomically."""
+        cfg = {"cols": list(cols), "bits": int(bits), "k": int(k)}
+        os.makedirs(self.log_dir, exist_ok=True)
+        tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            json.dump(cfg, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, os.path.join(self.log_dir, "bloom.json"))
+
+    def _bloom_config(self) -> dict | None:
+        p = os.path.join(self.log_dir, "bloom.json")
+        if not os.path.exists(p):
+            return None
+        with open(p) as fh:
+            return json.load(fh)
+
+    def _dir_bloom(self, rel_dir: str, cfg: dict) -> dict:
+        """col -> hex bloom over every value in the dir's parquet files.
+        Unlike footer min/max this reads the indexed COLUMNS' data — the
+        cost Delta also pays at write time; only configured columns are
+        scanned (column pruning applies)."""
+        import glob as _glob
+
+        import pyarrow.parquet as pq
+
+        m, k = cfg["bits"], cfg["k"]
+        out = {}
+        for col in cfg["cols"]:
+            vals = []
+            for f in _glob.glob(os.path.join(self.path, rel_dir,
+                                             "*.parquet")):
+                sch = pq.read_schema(f)
+                if col not in sch.names:
+                    continue
+                vals.extend(pq.read_table(f, columns=[col])
+                            .column(0).to_pylist())
+            if vals:
+                out[col] = {"m": m, "k": k,
+                            "hex": _bloom_build(vals, m, k)}
+        return out
+
+    def _live_blooms(self, version: int | None = None) -> dict[str, dict]:
+        """dir -> {col -> bloom doc} for the live snapshot (pre-bloom
+        commits yield {} = unprunable), checkpoint-accelerated like
+        :meth:`_live_stats`."""
+        cp = self._base_checkpoint(version)
+        out: dict[str, dict] = dict(cp.get("bloom", {})) if cp else {}
+        floor = cp["checkpoint_version"] if cp else -1
+        for v in self.versions():
+            if v <= floor:
+                continue
+            if version is not None and v > version:
+                break
+            doc = self._doc(v)
+            doc_bloom = doc.get("bloom", {})
+            for d in doc["adds"]:
+                out[d] = doc_bloom.get(d, {})
+        return {d: out.get(d, {}) for d in self.snapshot_dirs(version)}
+
+    def pruned_dirs_eq(self, col: str, value,
+                       version: int | None = None) -> list[str]:
+        """Live dirs whose bloom for ``col`` may contain ``value`` —
+        point-lookup file skipping. Dirs without a bloom are kept."""
+        keep = []
+        for d, blooms in self._live_blooms(version).items():
+            b = blooms.get(col)
+            if b is None or _bloom_may_contain(b["hex"], value,
+                                               b["m"], b["k"]):
+                keep.append(d)
+        return keep
+
+    def read_point(self, spark: SparkSession, col: str, value,
+                   version: int | None = None) -> DataFrame:
+        """Bloom-pruned point lookup: plans ONLY the dirs whose bloom can
+        contain ``value``, then applies the residual equality filter —
+        exact regardless of false positives. Equals
+        ``read().filter(col = value)``; at 100 TB a needle lookup over an
+        append-only table touches ~k dirs, not every commit."""
+        from pyspark.sql import functions as F
+
+        dirs = self.pruned_dirs_eq(col, value, version)
+        if not dirs:
+            return self.read(spark, version).filter(F.lit(False))
+        return self._read_dirs(spark, dirs).filter(F.col(col) == value)
+
     # -- writes -----------------------------------------------------------
 
     def _write_data(self, df: DataFrame) -> str:
@@ -557,6 +690,10 @@ class TxnTable:
                "stats": {rel: (stats[rel] if rel in stats
                                else self._dir_stats(rel))
                          for rel in adds}}
+        bloom_cfg = self._bloom_config()
+        if bloom_cfg and adds:
+            doc["bloom"] = {rel: self._dir_bloom(rel, bloom_cfg)
+                            for rel in adds}
         tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}")
         final = os.path.join(self.log_dir, f"{version:011d}.json")
         with open(tmp, "w") as fh:
@@ -754,6 +891,78 @@ class TxnTable:
         return self.commit(adds, removes,
                            {**(meta or {}), "operation": "delete",
                             "condition": condition},
+                           expected_version=base, changes=changes_rel)
+
+    def update_where(self, spark: SparkSession, condition: str,
+                     set_exprs: dict, prune: tuple | None = None,
+                     meta: dict | None = None) -> int:
+        """Row-level UPDATE (Delta's ``UPDATE ... SET ... WHERE``):
+        rewrite ONLY the data dirs that can contain matching rows,
+        applying ``set_exprs`` ({column: SQL expression}) to matching
+        rows and carrying non-matching rows through unchanged, as one
+        atomic commit. ``prune=(col, lo, hi)`` bounds the candidate dirs
+        from the log's footer stats, exactly like :meth:`delete_where`;
+        without it every live dir is a candidate but dirs with zero
+        matches are left in place (no rewrite, no commit entry). Emits
+        ``update_preimage``/``update_postimage`` change rows so the
+        change feed (:meth:`read_changes`) carries the delta — cost is
+        O(matching dirs), not O(table). Unpartitioned layouts only, as
+        with DELETE. Reference anchor: the employees MERGE path
+        (spark/SaveDelta.scala:157-163) covers keyed upserts; this is
+        the predicate-addressed complement."""
+        from pyspark.sql import functions as F
+
+        base = self.latest_version()
+        if base is None:
+            raise ValueError(f"not a txn table (no commits): {self.path}")
+        bad = set(set_exprs) - set(self.read(spark, base).columns)
+        if bad:
+            raise ValueError(f"SET on unknown columns: {sorted(bad)}")
+        live = self.snapshot_dirs(base)
+        if self._live_partition_col(live) is not None:
+            raise ValueError(
+                "update_where on a partition-granular table — rewrite the "
+                "affected partitions via overwrite_partitions instead")
+        if prune is not None:
+            col, lo, hi = prune
+            candidates = set(self.pruned_dirs(col, lo, hi, base))
+        else:
+            candidates = set(live)
+        cond = F.expr(condition)
+        adds, removes, pre, post = [], [], [], []
+        for d in live:
+            if d not in candidates:
+                continue
+            df = self._read_dirs(spark, [d])
+            hit = df.filter(cond)
+            if hit.limit(1).count() == 0:
+                continue  # no matches here: leave the dir untouched
+            updated = df.select(*[
+                F.when(cond, F.expr(set_exprs[c]).cast(df.schema[c].dataType))
+                 .otherwise(F.col(c)).alias(c) if c in set_exprs
+                else F.col(c) for c in df.columns])
+            removes.append(d)
+            adds.append(self._write_data(updated))
+            pre.append(hit)
+            # postimage from the MATCHED rows, not a re-filter of the
+            # rewrite: when SET touches a condition column (mark-as-seen
+            # patterns), the condition no longer selects the updated rows.
+            post.append(hit.select(*[
+                F.expr(set_exprs[c]).cast(df.schema[c].dataType).alias(c)
+                if c in set_exprs else F.col(c) for c in df.columns]))
+        if not removes:
+            return base  # nothing matched: no empty commit
+        from functools import reduce
+        changes_rel = self._write_changes(
+            reduce(lambda a, b: a.unionByName(b), pre)
+            .withColumn("_change_type", F.lit("update_preimage"))
+            .unionByName(
+                reduce(lambda a, b: a.unionByName(b), post)
+                .withColumn("_change_type", F.lit("update_postimage"))))
+        return self.commit(adds, removes,
+                           {**(meta or {}), "operation": "update",
+                            "condition": condition,
+                            "set": sorted(set_exprs)},
                            expected_version=base, changes=changes_rel)
 
     # -- maintenance ------------------------------------------------------

@@ -1125,6 +1125,79 @@ def test_delete_where_rejects_partitioned_layout(spark, tmp_path):
         t.delete_where(spark, "id = 1")
 
 
+# -- row-level UPDATE ------------------------------------------------------
+
+
+def test_update_where_rewrites_only_matching_dirs(spark, tmp_path):
+    """UPDATE ... SET ... WHERE with stats pruning: non-candidate dirs keep
+    their physical paths (zero I/O); the matching dir is rewritten with
+    the SET applied to matching rows and other rows carried through."""
+    t = TxnTable(str(tmp_path / "t"))
+    for lo in (0, 100, 200):
+        t.append(spark.createDataFrame(
+            [(lo + i, f"v{lo + i}") for i in range(50)],
+            "id int, val string"))
+    before = set(t.snapshot_dirs())
+    v = t.update_where(spark, "id >= 120 AND id <= 130",
+                       {"val": "upper(val)"}, prune=("id", 120, 130))
+    after = set(t.snapshot_dirs())
+    assert len(before & after) == 2       # two dirs untouched
+    assert len(after - before) == 1       # one rewritten
+    expect = {(i, f"V{i}".upper() if 120 <= i <= 130 else f"v{i}")
+              for rng in ((0, 50), (100, 150), (200, 250))
+              for i in range(*rng)}
+    assert _rows(t.read(spark)) == expect
+    assert len(_rows(t.read(spark, version=v - 1))) == 150  # time travel
+
+
+def test_update_where_set_on_condition_column(spark, tmp_path):
+    """Mark-as-seen: SET rewrites the very column the WHERE reads. The
+    snapshot flips and the CDF postimage reflects the NEW values (a
+    re-filter of the rewritten frame would lose them)."""
+    t = TxnTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "new"), (2, "new"), (3, "done")]))
+    t.update_where(spark, "val = 'new'", {"val": "'seen'"})
+    assert _rows(t.read(spark)) == {(1, "seen"), (2, "seen"), (3, "done")}
+    got = _changes(t.read_changes(spark, since_version=0))
+    assert got == {
+        (1, "new", "update_preimage", 1), (2, "new", "update_preimage", 1),
+        (1, "seen", "update_postimage", 1),
+        (2, "seen", "update_postimage", 1),
+    }
+
+
+def test_update_where_no_match_is_noop(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a"), (2, "b")]))
+    v = t.latest_version()
+    assert t.update_where(spark, "id > 100", {"val": "'x'"}) == v
+    assert t.latest_version() == v
+
+
+def test_update_where_rejects_bad_targets(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))
+    with pytest.raises(ValueError, match="unknown columns"):
+        t.update_where(spark, "id = 1", {"nope": "'x'"})
+    tp = TxnTable(str(tmp_path / "p"))
+    tp.overwrite_partitions(_pdf(spark, [(1, "a", 1), (2, "b", 2)]), "day")
+    with pytest.raises(ValueError, match="overwrite_partitions"):
+        tp.update_where(spark, "id = 1", {"val": "'x'"})
+
+
+def test_update_where_cast_preserves_schema(spark, tmp_path):
+    """A SET expression whose natural type differs (int arithmetic on an
+    int column yielding bigint) is cast back to the column's declared
+    type, so appends after the UPDATE still schema-match."""
+    t = TxnTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a"), (2, "b")]))
+    t.update_where(spark, "id = 2", {"id": "id + 100"})
+    assert t.read(spark).schema["id"].dataType.simpleString() == "int"
+    assert _rows(t.read(spark)) == {(1, "a"), (102, "b")}
+    t.append(_df(spark, [(5, "e")]))  # must not raise
+    assert (5, "e") in _rows(t.read(spark))
+
+
 # -- change data feed (row-level, across rewrites) -------------------------
 
 
@@ -1239,10 +1312,11 @@ def test_vacuum_reclaims_orphan_change_dirs(spark, tmp_path):
     victims = t.vacuum(older_than_seconds=0)
     assert orphan in victims
     assert not os.path.exists(os.path.join(t.path, orphan))
-    # the merge's change files still readable
+    # the merge's change files still readable (pre+postimage since the
+    # CDF carries update preimages for incremental consumers)
     got = {r["_change_type"]
            for r in t.read_changes(spark, since_version=0).collect()}
-    assert got == {"update_postimage"}
+    assert got == {"update_preimage", "update_postimage"}
 
 
 def test_append_merge_schema_evolution(spark, tmp_path):
@@ -1307,3 +1381,75 @@ def test_agg_delta_maintains_materialized_view(spark, tmp_path):
     d = {(r["grp"]): (r["cnt"], round(r["total"], 6))
          for r in direct.collect()}
     assert m == d
+
+
+# -- bloom-filter file skipping (point lookups) ----------------------------
+
+
+def test_bloom_prunes_point_lookups(spark, tmp_path):
+    """Equality probes on a high-cardinality string column: min/max can't
+    prune (every dir's range spans the probe) but the per-dir bloom
+    narrows the plan to the one dir holding the needle, and the read
+    equals the full-scan filter exactly."""
+    t = TxnTable(str(tmp_path / "t"))
+    t.enable_bloom(["val"])
+    for lo in (0, 100, 200, 300):
+        t.append(spark.createDataFrame(
+            [(lo + i, f"user-{(lo + i) * 7919 % 100000:05d}")
+             for i in range(50)], "id int, val string"))
+    # blooms landed in the log
+    doc = t._doc(t.latest_version())
+    (only_dir,) = doc["adds"]
+    assert "val" in doc["bloom"][only_dir]
+    needle = f"user-{123 * 7919 % 100000:05d}"  # lives in the 100-149 dir
+    pruned = t.pruned_dirs_eq("val", needle)
+    assert len(pruned) == 1
+    got = _rows(t.read_point(spark, "val", needle))
+    assert got == {(123, needle)}
+    from pyspark.sql import functions as F
+    assert got == _rows(t.read(spark).filter(F.col("val") == needle))
+    # absent needle: usually zero dirs planned (bloom may false-positive,
+    # never false-negative); result is exactly empty either way
+    assert t.read_point(spark, "val", "user-nope").count() == 0
+
+
+def test_bloom_pre_enable_dirs_stay_unprunable(spark, tmp_path):
+    """Dirs committed before enable_bloom have no bloom: conservative
+    keep, so reads stay exact across enablement."""
+    t = TxnTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a"), (2, "b")]))     # pre-bloom
+    t.enable_bloom(["val"])
+    t.append(_df(spark, [(3, "c"), (4, "d")]))     # bloomed
+    pruned = t.pruned_dirs_eq("val", "a")
+    assert len(pruned) == 1  # pre-bloom dir kept, bloomed dir pruned
+    assert _rows(t.read_point(spark, "val", "a")) == {(1, "a")}
+    assert _rows(t.read_point(spark, "val", "c")) == {(3, "c")}
+
+
+def test_bloom_survives_checkpoint_and_update(spark, tmp_path):
+    """Checkpoints carry live blooms forward; rewrite commits (UPDATE)
+    regenerate blooms for their new dirs, so a post-update probe for the
+    NEW value finds its dir and a probe for the OLD value stays exact."""
+    t = TxnTable(str(tmp_path / "t"))
+    t.enable_bloom(["val"], bits=4096, k=5)
+    for i in range(6):
+        t.append(_df(spark, [(i, f"w{i}")]))
+    t.checkpoint()
+    t.append(_df(spark, [(99, "tail")]))
+    blooms = t._live_blooms()
+    assert all("val" in b for b in blooms.values())
+    assert len(t.pruned_dirs_eq("val", "w3")) <= 2  # fp-bounded, not 7
+    t.update_where(spark, "id = 3", {"val": "'W3!'"})
+    assert _rows(t.read_point(spark, "val", "W3!")) == {(3, "W3!")}
+    assert t.read_point(spark, "val", "w3").count() == 0
+
+
+def test_bloom_int_column_and_partitioned_commits(spark, tmp_path):
+    """Int columns probe by canonical string; partition-granular commit
+    dirs get blooms too (their parquet lives under the subdir)."""
+    t = TxnTable(str(tmp_path / "t"))
+    t.enable_bloom(["id"], bits=2048, k=4)
+    t.overwrite_partitions(_pdf(spark, [(1, "a", 1), (2, "b", 2)]), "day")
+    t.overwrite_partitions(_pdf(spark, [(3, "c", 3)]), "day")
+    assert {r["id"] for r in t.read_point(spark, "id", 3).collect()} == {3}
+    assert t.read_point(spark, "id", 77).count() == 0
