@@ -56,16 +56,42 @@ class TxnConflictError(RuntimeError):
     """Another writer committed the version this writer raced for."""
 
 
+def _bloom_canon(value) -> str:
+    """Canonical hash key for a bloom value. Numeric values that compare
+    equal MUST hash identically regardless of Python type — a double
+    column storing 371.0 probed with int 371 would otherwise be a FALSE
+    NEGATIVE (dir pruned, matching rows dropped). Int-valued floats and
+    Decimals collapse to the int string; fractional Decimals normalize to
+    the float-style repr. Remaining cross-type collisions (int 1 vs str
+    "1") are in the false-POSITIVE direction only, which the residual
+    equality filter absorbs."""
+    from decimal import Decimal
+
+    if isinstance(value, bool):
+        return str(value)
+    if isinstance(value, float):
+        return str(int(value)) if value.is_integer() else repr(value)
+    if isinstance(value, int):
+        return str(value)
+    if isinstance(value, Decimal):
+        if value == value.to_integral_value():
+            return str(int(value))
+        return repr(float(value))  # align with float storage of same value
+    return str(value)
+
+
 def _bloom_positions(value, m: int, k: int) -> list[int]:
     """Bit positions for ``value`` via Kirsch-Mitzenmacher double hashing
     over one md5 (h1 + i*h2 mod m) — stable across Python processes
     (never the salted builtin ``hash``), so a bloom written by one driver
-    prunes correctly in another. Values canonicalize through ``str`` (an
-    int and its string collide — false-positive direction only; the
-    residual equality filter keeps reads exact)."""
+    prunes correctly in another. Values canonicalize through
+    :func:`_bloom_canon` so numerically-equal values of different Python
+    types (371 vs 371.0 vs Decimal("371")) agree between build and probe;
+    residual collisions are false-positive-only and the equality filter
+    keeps reads exact."""
     import hashlib
 
-    d = hashlib.md5(str(value).encode("utf-8")).digest()
+    d = hashlib.md5(_bloom_canon(value).encode("utf-8")).digest()
     h1 = int.from_bytes(d[:8], "big")
     h2 = int.from_bytes(d[8:], "big") | 1  # odd: full cycle for any m
     return [(h1 + i * h2) % m for i in range(k)]
@@ -574,7 +600,11 @@ class TxnTable:
         """col -> hex bloom over every value in the dir's parquet files.
         Unlike footer min/max this reads the indexed COLUMNS' data — the
         cost Delta also pays at write time; only configured columns are
-        scanned (column pruning applies)."""
+        scanned (column pruning applies). Values stream through
+        ``ParquetFile.iter_batches`` and fold into the bit vector
+        incrementally — driver memory stays O(batch), never the whole
+        column, so bloom-enabled streaming micro-batch commits don't
+        materialize their input on the driver."""
         import glob as _glob
 
         import pyarrow.parquet as pq
@@ -582,17 +612,23 @@ class TxnTable:
         m, k = cfg["bits"], cfg["k"]
         out = {}
         for col in cfg["cols"]:
-            vals = []
+            bits = 0
+            seen = False
             for f in _glob.glob(os.path.join(self.path, rel_dir,
                                              "*.parquet")):
-                sch = pq.read_schema(f)
-                if col not in sch.names:
+                pf = pq.ParquetFile(f)
+                if col not in pf.schema_arrow.names:
                     continue
-                vals.extend(pq.read_table(f, columns=[col])
-                            .column(0).to_pylist())
-            if vals:
-                out[col] = {"m": m, "k": k,
-                            "hex": _bloom_build(vals, m, k)}
+                for batch in pf.iter_batches(columns=[col],
+                                             batch_size=65536):
+                    for v in batch.column(0).to_pylist():
+                        if v is None:
+                            continue
+                        seen = True
+                        for p in _bloom_positions(v, m, k):
+                            bits |= 1 << p
+            if seen:
+                out[col] = {"m": m, "k": k, "hex": format(bits, "x")}
         return out
 
     def _live_blooms(self, version: int | None = None) -> dict[str, dict]:
@@ -841,6 +877,22 @@ class TxnTable:
         return self.commit(adds, live, meta, expected_version=base,
                            changes=changes_rel)
 
+    @staticmethod
+    def _align_to_schema(df: DataFrame, schema) -> DataFrame:
+        """Project ``df`` to the merged snapshot ``schema``: missing
+        columns null-fill, present columns cast to the snapshot type.
+        Row-level DELETE/UPDATE read candidate dirs one at a time, so a
+        dir that predates a schema evolution would otherwise lack the SET
+        column (silently skipping its matching rows) and its change
+        frames would fail the union with post-evolution dirs — Delta
+        resolves both against the table schema, and so do we."""
+        from pyspark.sql import functions as F
+
+        return df.select(*[
+            (F.col(f.name).cast(f.dataType) if f.name in df.columns
+             else F.lit(None).cast(f.dataType)).alias(f.name)
+            for f in schema.fields])
+
     def delete_where(self, spark: SparkSession, condition: str,
                      prune: tuple | None = None,
                      meta: dict | None = None) -> int:
@@ -869,11 +921,13 @@ class TxnTable:
             candidates = set(self.pruned_dirs(col, lo, hi, base))
         else:
             candidates = set(live)
+        snap_schema = self.read(spark, base).schema
         adds, removes, deleted = [], [], []
         for d in live:
             if d not in candidates:
                 continue
-            df = self._read_dirs(spark, [d])
+            df = self._align_to_schema(self._read_dirs(spark, [d]),
+                                       snap_schema)
             kept = df.filter(~F.expr(condition))
             n_kept, n_all = kept.count(), df.count()
             if n_kept == n_all:
@@ -886,7 +940,8 @@ class TxnTable:
             return base  # nothing matched: no empty commit
         from functools import reduce
         changes_rel = self._write_changes(
-            reduce(lambda a, b: a.unionByName(b), deleted)
+            reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True),
+                   deleted)
             .withColumn("_change_type", F.lit("delete")))
         return self.commit(adds, removes,
                            {**(meta or {}), "operation": "delete",
@@ -929,11 +984,15 @@ class TxnTable:
         else:
             candidates = set(live)
         cond = F.expr(condition)
+        snap_schema = self.read(spark, base).schema
         adds, removes, pre, post = [], [], [], []
         for d in live:
             if d not in candidates:
                 continue
-            df = self._read_dirs(spark, [d])
+            # merged-snapshot alignment: a pre-evolution dir null-fills the
+            # SET/condition columns instead of silently skipping its rows
+            df = self._align_to_schema(self._read_dirs(spark, [d]),
+                                       snap_schema)
             hit = df.filter(cond)
             if hit.limit(1).count() == 0:
                 continue  # no matches here: leave the dir untouched
@@ -954,11 +1013,14 @@ class TxnTable:
             return base  # nothing matched: no empty commit
         from functools import reduce
         changes_rel = self._write_changes(
-            reduce(lambda a, b: a.unionByName(b), pre)
+            reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True),
+                   pre)
             .withColumn("_change_type", F.lit("update_preimage"))
             .unionByName(
-                reduce(lambda a, b: a.unionByName(b), post)
-                .withColumn("_change_type", F.lit("update_postimage"))))
+                reduce(lambda a, b: a.unionByName(
+                    b, allowMissingColumns=True), post)
+                .withColumn("_change_type", F.lit("update_postimage")),
+                allowMissingColumns=True))
         return self.commit(adds, removes,
                            {**(meta or {}), "operation": "update",
                             "condition": condition,

@@ -1453,3 +1453,88 @@ def test_bloom_int_column_and_partitioned_commits(spark, tmp_path):
     t.overwrite_partitions(_pdf(spark, [(3, "c", 3)]), "day")
     assert {r["id"] for r in t.read_point(spark, "id", 3).collect()} == {3}
     assert t.read_point(spark, "id", 77).count() == 0
+
+
+def test_bloom_numeric_type_mismatch_no_false_negative(spark, tmp_path):
+    """ADVICE r4: a double column storing 371.0 probed with int 371 must
+    NOT be a false negative — build and probe canonicalize numerics to
+    the same key (int-valued float == int == Decimal). Direct unit check
+    plus the end-to-end read_point."""
+    from decimal import Decimal
+
+    from sport_advantages_moderne_data_infrastructure_spark.sources.txnlog import (
+        _bloom_build, _bloom_may_contain)
+
+    b = _bloom_build([371.0], 8192, 6)
+    assert _bloom_may_contain(b, 371, 8192, 6)          # int probe
+    assert _bloom_may_contain(b, 371.0, 8192, 6)        # float probe
+    assert _bloom_may_contain(b, Decimal("371"), 8192, 6)
+    b2 = _bloom_build([Decimal("2.50")], 8192, 6)
+    assert _bloom_may_contain(b2, 2.5, 8192, 6)          # frac decimal == float
+    # end-to-end: double column, int probe
+    t = TxnTable(str(tmp_path / "t"))
+    t.enable_bloom(["score"])
+    t.append(spark.createDataFrame(
+        [(i, float(i * 10)) for i in range(50)], "id int, score double"))
+    t.append(spark.createDataFrame(
+        [(i, float(i * 10)) for i in range(50, 100)], "id int, score double"))
+    got = {(r["id"], r["score"])
+           for r in t.read_point(spark, "score", 370).collect()}
+    assert got == {(37, 370.0)}
+
+
+def test_update_where_schema_evolved_dirs(spark, tmp_path):
+    """ADVICE r4: a dir that predates a schema evolution must still take
+    the UPDATE — candidate dirs align to the merged snapshot schema
+    (null-filling the new column), not their own file schema; the mixed
+    pre/post change frames union cleanly."""
+    from pyspark.sql import functions as F
+
+    t = TxnTable(str(tmp_path / "t"))
+    t.append(spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id int, val string"))          # pre-evolution
+    t.append(spark.createDataFrame(
+        [(3, "c", "x3")], "id int, val string, extra string"),
+        merge_schema=True)                                     # evolved
+    v = t.update_where(spark, "id <= 3", {"extra": "'seen'"})
+    rows = {(r["id"], r["val"], r["extra"])
+            for r in t.read(spark).collect()}
+    assert rows == {(1, "a", "seen"), (2, "b", "seen"), (3, "c", "seen")}
+    # change feed carries pre/post images across the mixed schemas
+    ch = t.read_changes(spark, v - 1)
+    pre = ch.filter(F.col("_change_type") == "update_preimage")
+    post = ch.filter(F.col("_change_type") == "update_postimage")
+    assert pre.count() == 3 and post.count() == 3
+    assert {r["extra"] for r in post.collect()} == {"seen"}
+    assert {r["extra"] for r in pre.collect()} == {None, "x3"}
+
+
+def test_update_where_set_condition_on_evolved_column(spark, tmp_path):
+    """Condition references the NEW column: pre-evolution rows null-fill,
+    so 'extra IS NULL' addresses exactly the old dirs."""
+    t = TxnTable(str(tmp_path / "t"))
+    t.append(spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id int, val string"))
+    t.append(spark.createDataFrame(
+        [(3, "c", "x3")], "id int, val string, extra string"),
+        merge_schema=True)
+    t.update_where(spark, "extra IS NULL", {"extra": "'backfilled'"})
+    rows = {(r["id"], r["extra"]) for r in t.read(spark).collect()}
+    assert rows == {(1, "backfilled"), (2, "backfilled"), (3, "x3")}
+
+
+def test_delete_where_schema_evolved_change_frames(spark, tmp_path):
+    """DELETE spanning pre- and post-evolution dirs: both rewrite, and
+    the deleted change frames union across the mixed schemas."""
+    from pyspark.sql import functions as F
+
+    t = TxnTable(str(tmp_path / "t"))
+    t.append(spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id int, val string"))
+    t.append(spark.createDataFrame(
+        [(3, "c", "x3"), (4, "d", "x4")],
+        "id int, val string, extra string"), merge_schema=True)
+    v = t.delete_where(spark, "id IN (1, 3)")
+    assert {r["id"] for r in t.read(spark).collect()} == {2, 4}
+    ch = t.read_changes(spark, v - 1)
+    assert ch.filter(F.col("_change_type") == "delete").count() == 2
