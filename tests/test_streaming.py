@@ -253,3 +253,82 @@ def test_notifier_foreach_batch(spark, sf_dir, cdc_dir, tmp_path):
     want = notifier_events(parse_cdc(D.cdc_events(spark, sf_dir))).count()
     assert len(sent) == want
     assert all(m["message"].startswith("Auteur: ") for m in sent)
+
+
+def test_txn_append_sink_jvm_path(spark, cdc_dir, tmp_path):
+    """write_stream_txn_append (JVM-write exactly-once txn sink): sink
+    contents equal the batch twin; restart on the same checkpoint adds
+    nothing; the log records one stream_append commit per micro-batch
+    with footer stats."""
+    from sport_advantages_moderne_data_infrastructure_spark.sources.txnlog import (
+        TxnTable,
+    )
+
+    table = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    parsed = P.stream_cdc_from_files(spark, cdc_dir, max_files_per_trigger=2)
+    q = P.write_stream_txn_append(parsed, table, ckpt)
+    q.awaitTermination(120)
+    t = TxnTable(table)
+    batch_twin = parse_cdc(spark.read.parquet(cdc_dir))
+    n1 = t.read(spark).count()
+    assert n1 == batch_twin.count()
+    # per-batch commits carry the replay-guard meta + footer stats
+    docs = t.history()
+    assert all(d["meta"]["operation"] == "stream_append" for d in docs)
+    assert all("stream_batch_id" in d["meta"] for d in docs)
+    ids = [d["meta"]["stream_batch_id"] for d in docs]
+    assert ids == sorted(set(ids))  # one commit per micro-batch, in order
+    assert all(d["stats"][rel] for d in docs for rel in d["adds"])
+    # restart with the same checkpoint: no new data -> no growth (T3)
+    q2 = P.write_stream_txn_append(
+        P.stream_cdc_from_files(spark, cdc_dir, max_files_per_trigger=2),
+        table, ckpt)
+    q2.awaitTermination(120)
+    assert t.read(spark).count() == n1
+
+
+def test_txn_append_sink_replay_guard(spark, cdc_dir, tmp_path):
+    """Crash-after-commit-before-checkpoint replay: a FRESH checkpoint
+    replays every batch id from 0 — the log-scan guard must skip them all
+    (same contract as the DataSource sink's SetTransaction rule)."""
+    from sport_advantages_moderne_data_infrastructure_spark.sources.txnlog import (
+        TxnTable,
+    )
+
+    table = str(tmp_path / "t")
+    parsed = P.stream_cdc_from_files(spark, cdc_dir)
+    q = P.write_stream_txn_append(parsed, table, str(tmp_path / "ck1"))
+    q.awaitTermination(120)
+    t = TxnTable(table)
+    n1 = t.read(spark).count()
+    v1 = t.latest_version()
+    # new checkpoint == replayed batch ids; guard drops them
+    q2 = P.write_stream_txn_append(
+        P.stream_cdc_from_files(spark, cdc_dir), table,
+        str(tmp_path / "ck2"))
+    q2.awaitTermination(120)
+    assert t.read(spark).count() == n1
+    assert t.latest_version() == v1  # no empty/duplicate commits
+
+
+def test_txn_append_sink_app_id_scopes_guard(spark, cdc_dir, tmp_path):
+    """Two independent streams appending to ONE table: app_id scopes the
+    replay guard, so stream B's batch 0 is not mistaken for a replay of
+    stream A's batch 0."""
+    from sport_advantages_moderne_data_infrastructure_spark.sources.txnlog import (
+        TxnTable,
+    )
+
+    table = str(tmp_path / "t")
+    parsed = P.stream_cdc_from_files(spark, cdc_dir)
+    q = P.write_stream_txn_append(parsed, table, str(tmp_path / "cka"),
+                                  app_id="a")
+    q.awaitTermination(120)
+    t = TxnTable(table)
+    n1 = t.read(spark).count()
+    q2 = P.write_stream_txn_append(
+        P.stream_cdc_from_files(spark, cdc_dir), table,
+        str(tmp_path / "ckb"), app_id="b")
+    q2.awaitTermination(120)
+    assert t.read(spark).count() == 2 * n1
