@@ -313,12 +313,11 @@ def q_txn_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-@register("txn_point_lookup",  # new late-r4; driver window full — pytest
-          # oracle parity (test_oracle_parity) is the gate
+@register("txn_point_lookup",  # rotated INTO the driver window r5
+          # (customer_order_gaps rotated out) — the last never-gated entry
           oracle=("SELECT o_orderkey, o_custkey, "
                   "ROUND(o_totalprice, 2) AS total FROM orders "
-                  "WHERE o_custkey = 371 ORDER BY o_orderkey"),
-          driver=False)
+                  "WHERE o_custkey = 371 ORDER BY o_orderkey"))
 def q_txn_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-indexed point lookup gated against the plain WHERE oracle:
     orders lands as 6 appends split by a custkey hash (so o_custkey is

@@ -440,6 +440,28 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _IVF_FLOOR = 7.0  # mean overlap@10 the IVF path must clear (VERDICT r3 #3)
+_LSH_FLOOR = 5.0  # mean overlap@10 for multi-probe LSH (VERDICT r4 #7;
+# observed 5.1 @sf0.01, 6.1 @sf0.001)
+
+
+@register("ann_lsh_recall_floor",  # rotated into the driver window r5
+          # (customer_running_revenue rotated out)
+          oracle="SELECT CAST(10 AS BIGINT) AS n_queries, "
+                 "CAST(1 AS BOOLEAN) AS floor_met",
+          tags=("gate_scale_only",))
+def q_ann_lsh_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENFORCED recall floor for the multi-probe LSH path (VERDICT r4
+    #7), completing the floor trio with IVF and SQ8: Spark computes
+    mean(overlap@10) of ann_recall_report and emits ``floor_met = mean
+    >= 5``; the oracle expects TRUE, so the gate goes red the moment LSH
+    recall degrades. ann_recall_report hash-checks the exact per-query
+    overlaps (drift anchor); this row pins the quality contract.
+    n_queries is sf-dependent (10 at the gate's sf0.01) →
+    gate_scale_only."""
+    rec = q_ann_recall_report(spark, sf_dir)
+    return rec.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+        (F.avg("overlap_at_10") >= F.lit(_LSH_FLOOR)).alias("floor_met"))
 
 
 @register("ann_ivf_recall_floor",

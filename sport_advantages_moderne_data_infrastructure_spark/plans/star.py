@@ -664,7 +664,9 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "customer_order_gaps",  # promoted into the driver window r3
+    "customer_order_gaps",  # gated green r4; slot rotated to
+    # txn_point_lookup in r5 (pytest oracle parity still checks this)
+    driver=False,
     oracle=(
         "WITH g AS (SELECT o_custkey, o_orderkey, o_orderdate, "
         "lag(o_orderdate) OVER (PARTITION BY o_custkey "
@@ -775,7 +777,9 @@ def q_repeat_buyers_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "customer_running_revenue",  # promoted into the driver window r3
+    "customer_running_revenue",  # gated green r3+r4; slot rotated to
+    # ann_lsh_recall_floor in r5 (pytest oracle parity still checks this)
+    driver=False,
     oracle=(
         # DECIMAL accumulation is exact and associative, so DuckDB's
         # segment-tree window agg and Spark's running frame agree bitwise;
