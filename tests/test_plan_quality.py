@@ -62,6 +62,8 @@ def test_simhash_pairs_is_hash_join_not_nested_loop(spark, sf_dir):
 # sides stay equi-joins).
 _NESTED_LOOP_ALLOWED = {"ann_cosine_topk", "ann_recall_report",
                         "ann_ivf_recall", "ann_ivf_recall_floor",
+                        "ann_lsh_recall_floor",  # aggregates
+                        # ann_recall_report (contains the brute baseline)
                         # SQ8 is the exhaustive rerank over int8 codes —
                         # the broadcast-query all-pairs is its documented
                         # shape (4x less bandwidth is the win, not fewer
