@@ -101,6 +101,9 @@ def main() -> None:
                      key=lambda s: s["sink_rows_per_sec"])
     print(f"# txn_stream: {txn_stream}", file=sys.stderr)
 
+    row_ops = bench_row_ops(spark, sf_dir)  # per-leg 2-rep min inside
+    print(f"# row_ops: {row_ops}", file=sys.stderr)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)
@@ -127,8 +130,10 @@ def main() -> None:
         "index_build_sec": index_build,
         "stream": stream,
         "txn_stream": txn_stream,
+        "row_ops": row_ops,
         "floors": floors,
-        "floors_ok": all(f["ok"] for f in floors.values()),
+        "floors_ok": all(f["ok"] for f in floors.values())
+        and row_ops["ratios_ok"],
         "sf": sf_val,
     }))
     spark.stop()
@@ -246,6 +251,149 @@ def bench_txn_stream(spark, sf_dir: str) -> dict:
         "feed_rows_per_sec": round(out_rows / feed_wall, 1),
         "feed_wall_sec": round(feed_wall, 3),
     }
+    shutil.rmtree(root, ignore_errors=True)
+    return res
+
+
+def bench_row_ops(spark, sf_dir: str) -> dict:
+    """Row-level write-path wall-clock (VERDICT r4 #4): DELETE WHERE and
+    UPDATE WHERE on a 64-commit txn table built from ``lineitem``
+    replicated to 38.4M rows, each measured BOTH ways — stats-pruned
+    (candidate dirs from the log's footer min/max, rewrite only the
+    commits whose key range overlaps) and the naive full-table
+    read-filter-overwrite a format without file-level stats is forced
+    into. The pruned/full ratio is the scale claim: at 100 TB a
+    retention purge that rewrites O(matching commits) instead of
+    O(table) is the difference between a maintenance window and a
+    non-starter, and the ratio only IMPROVES with table size (pruned
+    cost is constant in the number of untouched commits). Each leg runs
+    TWICE on fresh hardlink clones of the same base table and reports
+    the per-leg min — the same interference-window recovery the query
+    timings use. MERGE (keyed replacement of every line of the touched
+    orders — full-snapshot rewrite by design, Delta's non-matched path)
+    is timed for the record at its own input size."""
+    import shutil
+    import tempfile
+    import time
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from sport_advantages_moderne_data_infrastructure_spark.sources.txnlog import (
+        TxnTable,
+    )
+
+    import os
+
+    root = tempfile.mkdtemp(prefix="samdis_bench_rowops_")
+    base_path = f"{root}/base"
+    raw = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    base_hi = raw.agg(F.max("l_orderkey")).first()[0]
+    # replicate 64x with disjoint key ranges (38.4M rows at sf0.1):
+    # local[32] job-scheduling overhead (~0.3s per job barrier) otherwise
+    # swamps the data cost the ratio measures — the same reason TPC
+    # row-op studies use the fact table. input_rows records the size.
+    reps = 64
+    lineitem = (raw.repartition(32).withColumn(
+        "_r", F.explode(F.sequence(F.lit(0), F.lit(reps - 1))))
+        .withColumn("l_orderkey",
+                    F.col("l_orderkey") + F.col("_r") * (base_hi + 1))
+        .drop("_r"))
+    hi_key = reps * (base_hi + 1) - 1
+    n_commits = 64
+    step = hi_key // n_commits + 1
+
+    # setup: ONE partitioned staging write, then metadata-only commits
+    # over the moved bucket dirs (the low-level commit API; footer stats
+    # are computed from the placed files exactly as append would)
+    t0 = time.perf_counter()
+    staging = f"{root}/staging"
+    # shuffle-free: each of the 32 upstream tasks writes its slice of
+    # every bucket, yielding ~32 files per commit dir — per-dir ops
+    # parallelize (a single-file commit would serialize every
+    # downstream scan of that commit)
+    (lineitem.withColumn("_b", (F.col("l_orderkey") / step).cast("int"))
+     .write.partitionBy("_b").parquet(staging))
+    base = TxnTable(base_path)
+    os.makedirs(f"{base_path}/data")
+    for i in range(n_commits):
+        rel = f"data/{_uuid.uuid4().hex}"
+        shutil.move(f"{staging}/_b={i}", f"{base_path}/{rel}")
+        base.commit([rel], [], expected_version=base.latest_version())
+    setup = time.perf_counter() - t0
+
+    def clone() -> TxnTable:
+        # hardlink clone: data/log files are immutable (ops only add new
+        # dirs), so each leg gets an isolated table for the cost of the
+        # metadata tree, not a data copy
+        dst = f"{root}/t{_uuid.uuid4().hex[:8]}"
+        shutil.copytree(base_path, dst, copy_function=os.link)
+        return TxnTable(dst)
+
+    # the op targets HALF of one commit's keyspan (commit #7): pruning
+    # plans exactly one candidate dir, and the rewrite both keeps and
+    # changes rows (the general case — a full-dir match would reduce
+    # DELETE to a metadata drop)
+    lo, hi = 7 * step, 7 * step + step // 2
+    cond = f"l_orderkey >= {lo} AND l_orderkey < {hi}"
+
+    def timed(fn) -> float:
+        # per-leg min over two reps, each on a fresh clone: one rep
+        # inside a co-tenant interference window would otherwise flip
+        # the ratio in either direction
+        best = None
+        for _ in range(2):
+            t = clone()
+            t0 = time.perf_counter()
+            fn(t)
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return round(best, 3)
+
+    # merge leg runs on a 4-commit subtable (hardlinked from base):
+    # MERGE is a full-snapshot rewrite by design (Delta's non-matched
+    # path), so its wall-clock is reported at its own input size
+    merge_path = f"{root}/merge_base"
+    mt = TxnTable(merge_path)
+    os.makedirs(f"{merge_path}/data")
+    for rel in base.snapshot_dirs()[:4]:
+        dst_rel = f"data/{_uuid.uuid4().hex}"
+        shutil.copytree(f"{base_path}/{rel}", f"{merge_path}/{dst_rel}",
+                        copy_function=os.link)
+        mt.commit([dst_rel], [], expected_version=mt.latest_version())
+    merge_rows = mt.read(spark).count()
+    merge_updates = (
+        mt.read(spark).filter(F.col("l_orderkey") % 1000 == 0)
+        .withColumn("l_extendedprice", F.col("l_extendedprice") * 1.1))
+    t0 = time.perf_counter()
+    mt.merge(spark, merge_updates, "l_orderkey")
+    merge_sec = round(time.perf_counter() - t0, 3)
+
+    res = {
+        "input_rows": raw.count() * reps,
+        "commits": n_commits,
+        "setup_sec": round(setup, 3),
+        "delete_pruned_sec": timed(lambda t: t.delete_where(
+            spark, cond, prune=("l_orderkey", lo, hi - 1))),
+        "delete_full_sec": timed(lambda t: t.overwrite(
+            t.read(spark).filter(~F.expr(cond)))),
+        "update_pruned_sec": timed(lambda t: t.update_where(
+            spark, cond, {"l_returnflag": "'R'"},
+            prune=("l_orderkey", lo, hi - 1))),
+        "update_full_sec": timed(lambda t: t.overwrite(
+            t.read(spark).withColumn(
+                "l_returnflag",
+                F.when(F.expr(cond), F.lit("R"))
+                .otherwise(F.col("l_returnflag"))))),
+        "merge_rows": merge_rows,
+        "merge_sec": merge_sec,
+    }
+    res["delete_ratio"] = round(
+        res["delete_pruned_sec"] / res["delete_full_sec"], 3)
+    res["update_ratio"] = round(
+        res["update_pruned_sec"] / res["update_full_sec"], 3)
+    res["ratios_ok"] = (res["delete_ratio"] < 0.5
+                        and res["update_ratio"] < 0.5)
     shutil.rmtree(root, ignore_errors=True)
     return res
 

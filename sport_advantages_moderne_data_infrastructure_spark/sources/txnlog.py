@@ -127,6 +127,10 @@ class TxnTable:
     def __init__(self, path: str):
         self.path = path
         self.log_dir = os.path.join(path, _LOG_DIR)
+        # exact Spark schema of dirs written through _write_data in THIS
+        # process, consumed by commit() when it records the table schema
+        # (externally placed dirs fall back to a footer harvest)
+        self._pending_schemas: dict = {}
 
     # -- log plumbing -----------------------------------------------------
 
@@ -288,6 +292,13 @@ class TxnTable:
             if not schema_dirs:
                 raise ValueError(f"empty snapshot at version {version}")
             return self._read_dirs(spark, schema_dirs).limit(0)
+        sch = self.table_schema(version)
+        if sch is not None and all(_partition_of(d) is None for d in dirs):
+            # log-recorded schema: no mergeSchema footer job — files
+            # missing an evolved column null-fill it, exactly as the
+            # merge path would
+            return spark.read.schema(sch).parquet(
+                *[os.path.join(self.path, d) for d in dirs])
         return self._read_dirs(spark, dirs)
 
     def _schema_dirs(self, version: int | None = None) -> list[str]:
@@ -680,6 +691,7 @@ class TxnTable:
     def _write_data(self, df: DataFrame) -> str:
         rel = os.path.join(_DATA_DIR, uuid.uuid4().hex)
         df.write.parquet(os.path.join(self.path, rel))
+        self._pending_schemas[rel] = df.schema
         return rel
 
     def _write_data_partitioned(self, df: DataFrame, part_col: str) -> list[str]:
@@ -700,6 +712,110 @@ class TxnTable:
                 return p[0]
         return None
 
+    # -- table schema in the log (Delta's metaData action) -----------------
+    #
+    # Each commit doc records the FULL merged table schema after that
+    # commit, so readers plan with an explicit schema instead of paying a
+    # distributed mergeSchema footer job over every live file — the term
+    # that grows with commit count on a streaming-fed table. Fallbacks
+    # (partitioned adds, cross-type evolution, pre-schema commits) simply
+    # omit the key and readers take the mergeSchema path.
+
+    def _dir_struct(self, rel_dir: str):
+        """Spark StructType of one data dir: the exact schema recorded at
+        write time when available, else a driver-side footer read
+        (tz-naive parquet timestamps map to TimestampNTZ, matching
+        Spark's parquet inference). None when unknowable."""
+        if rel_dir in self._pending_schemas:
+            return self._pending_schemas[rel_dir]
+        if _partition_of(rel_dir) is not None:
+            return None  # partition col lives in the path, not the files
+        import glob as _glob
+
+        import pyarrow.parquet as pq
+
+        files = _glob.glob(os.path.join(self.path, rel_dir, "*.parquet"))
+        if not files:
+            return None
+        try:
+            arrow = pq.read_schema(files[0])
+            meta = arrow.metadata or {}
+            spark_json = meta.get(
+                b"org.apache.spark.sql.parquet.row.metadata")
+            if spark_json:  # Spark-written file: its schema is exact
+                from pyspark.sql.types import StructType
+
+                return StructType.fromJson(json.loads(spark_json))
+            # non-Spark writer: arrow annotations are faithful (tz-naive
+            # -> NTZ, matching Spark's parquet inference) EXCEPT for
+            # INT96, whose arrow view loses the LTZ meaning
+            md = pq.ParquetFile(files[0]).metadata
+            rg = md.row_group(0)
+            if any(rg.column(i).physical_type == "INT96"
+                   for i in range(rg.num_columns)):
+                return None
+            from pyspark.sql.pandas.types import from_arrow_schema
+
+            return from_arrow_schema(arrow, prefer_timestamp_ntz=True)
+        except Exception:
+            return None
+
+    @staticmethod
+    def _merge_struct(a, b):
+        """Union of two StructTypes by field name, first type wins; None
+        on a same-name type conflict (readers then fall back to Spark's
+        mergeSchema promotion rules rather than risking a wrong cast)."""
+        from pyspark.sql.types import StructType
+
+        if a is None:
+            return b
+        if b is None:
+            return a
+        by_name = {f.name: f for f in a.fields}
+        fields = list(a.fields)
+        for f in b.fields:
+            cur = by_name.get(f.name)
+            if cur is None:
+                fields.append(f)
+            elif cur.dataType != f.dataType:
+                return None
+        return StructType(fields)
+
+    def _commit_schema(self, adds: list[str], removes: list[str],
+                       expected_version: int | None):
+        """Merged table schema after this commit, or None (omit key)."""
+        adds_s = None
+        for rel in adds:
+            s = self._dir_struct(rel)
+            if s is None:
+                return None
+            adds_s = self._merge_struct(adds_s, s)
+            if adds_s is None:
+                return None
+        if expected_version is None:
+            return adds_s
+        prev_live = set(self.snapshot_dirs(expected_version))
+        if prev_live and prev_live <= set(removes):
+            return adds_s  # full replacement: overwrite/compact/merge
+        prev = self.table_schema(expected_version)
+        if prev is None:
+            return None  # pre-schema history: stay on the fallback path
+        return self._merge_struct(prev, adds_s)
+
+    def table_schema(self, version: int | None = None):
+        """Table schema at ``version`` from the log, or None when the
+        governing commit predates schema recording. Like Delta, DELETE /
+        UPDATE never shrink the schema even if the last file carrying a
+        column is rewritten away."""
+        from pyspark.sql.types import StructType
+
+        versions = [v for v in self.versions()
+                    if version is None or v <= version]
+        if not versions:
+            return None
+        sch = self._doc(versions[-1]).get("schema")
+        return StructType.fromJson(sch) if sch else None
+
     def commit(self, adds: list[str], removes: list[str],
                meta: dict | None = None,
                expected_version: int | None = None,
@@ -719,9 +835,11 @@ class TxnTable:
         version = 0 if expected_version is None else expected_version + 1
         import time as _time
         stats = stats or {}
+        schema = self._commit_schema(adds, removes, expected_version)
         doc = {"version": version, "adds": adds, "removes": removes,
                "ts": _time.time(),  # commit wall clock (timestamp travel)
                "meta": meta or {},
+               **({"schema": schema.jsonValue()} if schema else {}),
                **({"changes": changes} if changes else {}),
                "stats": {rel: (stats[rel] if rel in stats
                                else self._dir_stats(rel))
@@ -893,6 +1011,74 @@ class TxnTable:
              else F.lit(None).cast(f.dataType)).alias(f.name)
             for f in schema.fields])
 
+    def _tagged_candidates(self, spark: SparkSession, live: list[str],
+                           prune: tuple | None, base: int, snap_schema):
+        """One DataFrame over every candidate dir (stats-pruned when
+        ``prune`` is given), each dir's rows schema-aligned to the merged
+        snapshot and tagged with their source dir in ``_src_dir`` — so
+        DELETE/UPDATE can size, rewrite, and change-capture every
+        candidate in a CONSTANT number of Spark jobs instead of 2-3 per
+        dir. Returns (None, []) when pruning leaves no candidates."""
+        from pyspark.sql import functions as F
+
+        if prune is not None:
+            col, lo, hi = prune
+            keep = set(self.pruned_dirs(col, lo, hi, base))
+            candidates = [d for d in live if d in keep]
+        else:
+            candidates = list(live)
+        if not candidates:
+            return None, []
+        sch = self.table_schema(base)
+        if sch is not None and all(
+                _partition_of(d) is None for d in candidates):
+            # log schema: ONE explicit-schema scan over every candidate
+            # (no per-dir mergeSchema inference job), source dir derived
+            # from the file path
+            tagged = (spark.read.schema(sch).parquet(
+                *[os.path.join(self.path, d) for d in candidates])
+                .withColumn("_src_dir", F.regexp_extract(
+                    F.input_file_name(),
+                    f".*/({_DATA_DIR}/[^/]+)/[^/]+$", 1)))
+            return tagged, candidates
+        tagged = None
+        for d in candidates:
+            part = (self._align_to_schema(self._read_dirs(spark, [d]),
+                                          snap_schema)
+                    .withColumn("_src_dir", F.lit(d)))
+            tagged = part if tagged is None else tagged.unionByName(part)
+        return tagged, candidates
+
+    @staticmethod
+    def _candidate_obs(candidates: list[str], cond):
+        """Observation + per-candidate-dir metrics (total rows ``n_i``,
+        matching rows ``m_i``) to attach to the change-frame write, so
+        the sizing pass rides the job DELETE/UPDATE already runs."""
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
+        obs = Observation()
+        metrics = []
+        for i, d in enumerate(candidates):
+            is_d = F.col("_src_dir") == d
+            metrics.append(F.count(F.when(is_d, 1)).alias(f"n_{i}"))
+            metrics.append(F.count(F.when(is_d & cond, 1)).alias(f"m_{i}"))
+        return obs, metrics
+
+    @staticmethod
+    def _obs_counts(obs, candidates: list[str]) -> dict[str, tuple]:
+        """dir -> (rows, matches) from a completed candidate Observation."""
+        vals = obs.get
+        return {d: (vals[f"n_{i}"], vals[f"m_{i}"])
+                for i, d in enumerate(candidates)}
+
+    def _drop_changes(self, rel: str) -> None:
+        """Remove a change file written by a probe that found no matches
+        (the commit it would have belonged to never happens)."""
+        import shutil
+
+        shutil.rmtree(os.path.join(self.path, rel), ignore_errors=True)
+
     def delete_where(self, spark: SparkSession, condition: str,
                      prune: tuple | None = None,
                      meta: dict | None = None) -> int:
@@ -916,33 +1102,35 @@ class TxnTable:
             raise ValueError(
                 "delete_where on a partition-granular table — rewrite the "
                 "affected partitions via overwrite_partitions instead")
-        if prune is not None:
-            col, lo, hi = prune
-            candidates = set(self.pruned_dirs(col, lo, hi, base))
-        else:
-            candidates = set(live)
         snap_schema = self.read(spark, base).schema
-        adds, removes, deleted = [], [], []
-        for d in live:
-            if d not in candidates:
-                continue
-            df = self._align_to_schema(self._read_dirs(spark, [d]),
-                                       snap_schema)
-            kept = df.filter(~F.expr(condition))
-            n_kept, n_all = kept.count(), df.count()
-            if n_kept == n_all:
-                continue  # no matches here: leave the dir untouched
-            removes.append(d)
-            deleted.append(df.filter(F.expr(condition)))
-            if n_kept > 0:
-                adds.append(self._write_data(kept))
-        if not removes:
-            return base  # nothing matched: no empty commit
-        from functools import reduce
+        tagged, candidates = self._tagged_candidates(
+            spark, live, prune, base, snap_schema)
+        if tagged is None:
+            return base  # pruning left no candidates: no commit
+        cond = F.expr(condition)
+        # the change-frame write doubles as the sizing pass: an
+        # Observation on the pre-filter node counts rows + matches per
+        # candidate dir during that SAME job, so DELETE costs exactly two
+        # scan jobs (changes, kept-rewrite) regardless of candidate count
+        # — a separate sizing agg would pay a third full job barrier
+        obs, metrics = self._candidate_obs(candidates, cond)
         changes_rel = self._write_changes(
-            reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True),
-                   deleted)
-            .withColumn("_change_type", F.lit("delete")))
+            tagged.observe(obs, *metrics).filter(cond)
+            .drop("_src_dir").withColumn("_change_type", F.lit("delete")))
+        per_dir = self._obs_counts(obs, candidates)
+        removes = [d for d in candidates if per_dir[d][1] > 0]
+        if not removes:
+            self._drop_changes(changes_rel)  # empty file from the probe
+            return base  # nothing matched: no empty commit
+        # dirs where every row matches are dropped outright; survivors'
+        # kept rows rewrite into ONE new dir (Delta rewrites file-merge
+        # the same way — the new dir's stats are the union range)
+        rewrite = [d for d in removes if per_dir[d][1] < per_dir[d][0]]
+        adds = []
+        if rewrite:
+            adds.append(self._write_data(
+                tagged.filter(F.col("_src_dir").isin(rewrite))
+                .filter(~cond).drop("_src_dir")))
         return self.commit(adds, removes,
                            {**(meta or {}), "operation": "delete",
                             "condition": condition},
@@ -978,49 +1166,48 @@ class TxnTable:
             raise ValueError(
                 "update_where on a partition-granular table — rewrite the "
                 "affected partitions via overwrite_partitions instead")
-        if prune is not None:
-            col, lo, hi = prune
-            candidates = set(self.pruned_dirs(col, lo, hi, base))
-        else:
-            candidates = set(live)
         cond = F.expr(condition)
         snap_schema = self.read(spark, base).schema
-        adds, removes, pre, post = [], [], [], []
-        for d in live:
-            if d not in candidates:
-                continue
-            # merged-snapshot alignment: a pre-evolution dir null-fills the
-            # SET/condition columns instead of silently skipping its rows
-            df = self._align_to_schema(self._read_dirs(spark, [d]),
-                                       snap_schema)
-            hit = df.filter(cond)
-            if hit.limit(1).count() == 0:
-                continue  # no matches here: leave the dir untouched
-            updated = df.select(*[
-                F.when(cond, F.expr(set_exprs[c]).cast(df.schema[c].dataType))
-                 .otherwise(F.col(c)).alias(c) if c in set_exprs
-                else F.col(c) for c in df.columns])
-            removes.append(d)
-            adds.append(self._write_data(updated))
-            pre.append(hit)
-            # postimage from the MATCHED rows, not a re-filter of the
-            # rewrite: when SET touches a condition column (mark-as-seen
-            # patterns), the condition no longer selects the updated rows.
-            post.append(hit.select(*[
-                F.expr(set_exprs[c]).cast(df.schema[c].dataType).alias(c)
-                if c in set_exprs else F.col(c) for c in df.columns]))
-        if not removes:
-            return base  # nothing matched: no empty commit
-        from functools import reduce
+        # merged-snapshot alignment inside _tagged_candidates: a
+        # pre-evolution dir null-fills the SET/condition columns instead
+        # of silently skipping its rows
+        tagged, candidates = self._tagged_candidates(
+            spark, live, prune, base, snap_schema)
+        if tagged is None:
+            return base  # pruning left no candidates: no commit
+        # the change-frame write doubles as the match probe (Observation
+        # on the pre-filter node, exactly as in delete_where): UPDATE
+        # costs two scan jobs — changes, then the CASE-rewrite of the
+        # matched dirs. postimage comes from the MATCHED rows, not a
+        # re-filter of the rewrite: when SET touches a condition column
+        # (mark-as-seen patterns), the condition no longer selects the
+        # updated rows. pre+post are exploded from ONE two-struct array
+        # so the change write scans the matched rows once, not once per
+        # image kind.
+        cols = [f.name for f in snap_schema.fields]
+        pre_struct = F.struct(
+            *[F.col(c).alias(c) for c in cols],
+            F.lit("update_preimage").alias("_change_type"))
+        post_struct = F.struct(
+            *[(F.expr(set_exprs[c]).cast(snap_schema[c].dataType).alias(c)
+               if c in set_exprs else F.col(c).alias(c))
+              for c in cols],
+            F.lit("update_postimage").alias("_change_type"))
+        obs, metrics = self._candidate_obs(candidates, cond)
         changes_rel = self._write_changes(
-            reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True),
-                   pre)
-            .withColumn("_change_type", F.lit("update_preimage"))
-            .unionByName(
-                reduce(lambda a, b: a.unionByName(
-                    b, allowMissingColumns=True), post)
-                .withColumn("_change_type", F.lit("update_postimage")),
-                allowMissingColumns=True))
+            tagged.observe(obs, *metrics).filter(cond).drop("_src_dir")
+            .select(F.explode(F.array(pre_struct, post_struct))
+                    .alias("_c")).select("_c.*"))
+        per_dir = self._obs_counts(obs, candidates)
+        removes = [d for d in candidates if per_dir[d][1] > 0]
+        if not removes:
+            self._drop_changes(changes_rel)  # empty file from the probe
+            return base  # nothing matched: no empty commit
+        sub = tagged.filter(F.col("_src_dir").isin(removes))
+        adds = [self._write_data(sub.select(*[
+            F.when(cond, F.expr(set_exprs[c]).cast(snap_schema[c].dataType))
+             .otherwise(F.col(c)).alias(c) if c in set_exprs
+            else F.col(c) for c in cols]))]
         return self.commit(adds, removes,
                            {**(meta or {}), "operation": "update",
                             "condition": condition,

@@ -1538,3 +1538,57 @@ def test_delete_where_schema_evolved_change_frames(spark, tmp_path):
     assert {r["id"] for r in t.read(spark).collect()} == {2, 4}
     ch = t.read_changes(spark, v - 1)
     assert ch.filter(F.col("_change_type") == "delete").count() == 2
+
+
+# -- schema in the log + constant-job row ops ------------------------------
+
+
+def test_commit_records_table_schema(spark, tmp_path):
+    """Commit docs carry the merged table schema (Delta's metaData
+    action): reads plan with it (no mergeSchema footer job), evolution
+    extends it, and DELETE never shrinks it."""
+    t = TxnTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a"), (2, "b")]))
+    s0 = t.table_schema()
+    assert s0 is not None and [f.name for f in s0.fields] == ["id", "val"]
+    t.append(spark.createDataFrame(
+        [(3, "c", "x3")], "id int, val string, extra string"),
+        merge_schema=True)
+    s1 = t.table_schema()
+    assert [f.name for f in s1.fields] == ["id", "val", "extra"]
+    # the explicit-schema read null-fills the pre-evolution dir
+    got = {(r["id"], r["extra"]) for r in t.read(spark).collect()}
+    assert got == {(1, None), (2, None), (3, "x3")}
+    # deleting the only dir that carries `extra` keeps it in the schema
+    t.delete_where(spark, "id = 3")
+    assert [f.name for f in t.table_schema().fields] == [
+        "id", "val", "extra"]
+    assert "extra" in t.read(spark).columns
+
+
+def test_row_ops_constant_job_count(spark, tmp_path):
+    """DELETE/UPDATE WHERE run a CONSTANT number of Spark jobs (change
+    write doubling as the Observation sizing pass + one rewrite)
+    regardless of how many candidate dirs the table has — the per-dir
+    probe loop this pins against cost 2-3 jobs per dir."""
+    t = TxnTable(str(tmp_path / "t"))
+    for lo in range(0, 600, 100):  # 6 commits -> 6 unpruned candidates
+        t.append(spark.createDataFrame(
+            [(lo + i, f"v{lo + i}") for i in range(100)],
+            "id int, val string"))
+
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+
+    sc.setJobGroup("rowops-delete", "delete")
+    t.delete_where(spark, "id % 100 < 10")
+    n_delete = len(tracker.getJobIdsForGroup("rowops-delete"))
+    sc.setJobGroup("rowops-update", "update")
+    t.update_where(spark, "id % 100 >= 90", {"val": "'hot'"})
+    n_update = len(tracker.getJobIdsForGroup("rowops-update"))
+    sc.setJobGroup(None, None)
+
+    assert n_delete <= 3, f"delete ran {n_delete} jobs for 6 candidates"
+    assert n_update <= 3, f"update ran {n_update} jobs for 6 candidates"
+    assert {r["id"] for r in t.read(spark).collect()} == {
+        i for i in range(600) if i % 100 >= 10}
