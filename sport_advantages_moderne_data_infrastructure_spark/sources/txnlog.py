@@ -1081,7 +1081,8 @@ class TxnTable:
 
     def delete_where(self, spark: SparkSession, condition: str,
                      prune: tuple | None = None,
-                     meta: dict | None = None) -> int:
+                     meta: dict | None = None,
+                     capture_changes: bool = True) -> int:
         """Row-level DELETE (Delta's ``DELETE WHERE``): rewrite ONLY the
         data dirs that can contain matching rows, atomically. With
         ``prune=(col, lo, hi)`` the candidate set comes from the log's
@@ -1091,7 +1092,15 @@ class TxnTable:
         candidate but dirs whose rewrite keeps every row are left in
         place. Cost is O(matching data), not O(table). Unpartitioned
         layouts only — partition-granular deletes go through
-        :meth:`overwrite_partitions`."""
+        :meth:`overwrite_partitions`.
+
+        ``capture_changes=False`` mirrors Delta's default (change data
+        feed DISABLED): no delete change frames are written and the op
+        collapses to a SINGLE scan+write job with the sizing Observation
+        riding it — at the cost that every candidate dir is rewritten
+        (stats pruning still bounds candidates; a no-match op is still a
+        no-op). The default keeps the feed, which downstream
+        :meth:`read_changes` consumers rely on."""
         from pyspark.sql import functions as F
 
         base = self.latest_version()
@@ -1108,12 +1117,39 @@ class TxnTable:
         if tagged is None:
             return base  # pruning left no candidates: no commit
         cond = F.expr(condition)
+        obs, metrics = self._candidate_obs(candidates, cond)
+        if not capture_changes:
+            # ONE job: write kept rows of every candidate, sized by the
+            # riding Observation; undo on global no-op / full-match
+            rel = self._write_data(
+                tagged.observe(obs, *metrics).filter(~cond)
+                .drop("_src_dir"))
+            per_dir = self._obs_counts(obs, candidates)
+            n_match = sum(m for _, m in per_dir.values())
+            if n_match == 0:
+                import shutil as _shutil
+
+                _shutil.rmtree(os.path.join(self.path, rel),
+                               ignore_errors=True)
+                return base  # nothing matched: no empty commit
+            n_kept = sum(n - m for n, m in per_dir.values())
+            if n_kept == 0:
+                import shutil as _shutil
+
+                _shutil.rmtree(os.path.join(self.path, rel),
+                               ignore_errors=True)
+                adds = []
+            else:
+                adds = [rel]
+            return self.commit(adds, candidates,
+                               {**(meta or {}), "operation": "delete",
+                                "condition": condition},
+                               expected_version=base)
         # the change-frame write doubles as the sizing pass: an
         # Observation on the pre-filter node counts rows + matches per
         # candidate dir during that SAME job, so DELETE costs exactly two
         # scan jobs (changes, kept-rewrite) regardless of candidate count
         # — a separate sizing agg would pay a third full job barrier
-        obs, metrics = self._candidate_obs(candidates, cond)
         changes_rel = self._write_changes(
             tagged.observe(obs, *metrics).filter(cond)
             .drop("_src_dir").withColumn("_change_type", F.lit("delete")))
@@ -1138,7 +1174,8 @@ class TxnTable:
 
     def update_where(self, spark: SparkSession, condition: str,
                      set_exprs: dict, prune: tuple | None = None,
-                     meta: dict | None = None) -> int:
+                     meta: dict | None = None,
+                     capture_changes: bool = True) -> int:
         """Row-level UPDATE (Delta's ``UPDATE ... SET ... WHERE``):
         rewrite ONLY the data dirs that can contain matching rows,
         applying ``set_exprs`` ({column: SQL expression}) to matching
@@ -1152,7 +1189,14 @@ class TxnTable:
         O(matching dirs), not O(table). Unpartitioned layouts only, as
         with DELETE. Reference anchor: the employees MERGE path
         (spark/SaveDelta.scala:157-163) covers keyed upserts; this is
-        the predicate-addressed complement."""
+        the predicate-addressed complement.
+
+        ``capture_changes=False`` mirrors Delta's default (change data
+        feed DISABLED): no pre/postimage frames are written and the op
+        collapses to a SINGLE CASE-rewrite job over the candidate dirs
+        with the match-probe Observation riding it (a no-match op is
+        still a no-op; candidates with zero matches are rewritten rather
+        than skipped)."""
         from pyspark.sql import functions as F
 
         base = self.latest_version()
@@ -1175,6 +1219,29 @@ class TxnTable:
             spark, live, prune, base, snap_schema)
         if tagged is None:
             return base  # pruning left no candidates: no commit
+        cols = [f.name for f in snap_schema.fields]
+        if not capture_changes:
+            # ONE CASE-rewrite job over every candidate, match-probed by
+            # the riding Observation; undo on global no-op
+            obs, metrics = self._candidate_obs(candidates, cond)
+            rel = self._write_data(
+                tagged.observe(obs, *metrics).select(*[
+                    F.when(cond, F.expr(set_exprs[c])
+                           .cast(snap_schema[c].dataType))
+                     .otherwise(F.col(c)).alias(c) if c in set_exprs
+                    else F.col(c) for c in cols]))
+            per_dir = self._obs_counts(obs, candidates)
+            if sum(m for _, m in per_dir.values()) == 0:
+                import shutil as _shutil
+
+                _shutil.rmtree(os.path.join(self.path, rel),
+                               ignore_errors=True)
+                return base  # nothing matched: no empty commit
+            return self.commit([rel], candidates,
+                               {**(meta or {}), "operation": "update",
+                                "condition": condition,
+                                "set": sorted(set_exprs)},
+                               expected_version=base)
         # the change-frame write doubles as the match probe (Observation
         # on the pre-filter node, exactly as in delete_where): UPDATE
         # costs two scan jobs — changes, then the CASE-rewrite of the
@@ -1184,7 +1251,6 @@ class TxnTable:
         # updated rows. pre+post are exploded from ONE two-struct array
         # so the change write scans the matched rows once, not once per
         # image kind.
-        cols = [f.name for f in snap_schema.fields]
         pre_struct = F.struct(
             *[F.col(c).alias(c) for c in cols],
             F.lit("update_preimage").alias("_change_type"))

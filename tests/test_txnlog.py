@@ -1592,3 +1592,52 @@ def test_row_ops_constant_job_count(spark, tmp_path):
     assert n_update <= 3, f"update ran {n_update} jobs for 6 candidates"
     assert {r["id"] for r in t.read(spark).collect()} == {
         i for i in range(600) if i % 100 >= 10}
+
+
+def test_delete_where_no_cdf_single_job(spark, tmp_path):
+    """capture_changes=False (Delta's CDF-off default): identical final
+    snapshot, ONE Spark job, no change files, no-op still detected."""
+    t = TxnTable(str(tmp_path / "t"))
+    for lo in (0, 100, 200):
+        t.append(spark.createDataFrame(
+            [(lo + i, f"v{lo + i}") for i in range(50)],
+            "id int, val string"))
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    sc.setJobGroup("nocdf-del", "x")
+    v = t.delete_where(spark, "id >= 120 AND id <= 130",
+                       prune=("id", 120, 130), capture_changes=False)
+    n_jobs = len(tracker.getJobIdsForGroup("nocdf-del"))
+    sc.setJobGroup(None, None)
+    assert n_jobs <= 1, f"no-CDF delete ran {n_jobs} jobs"
+    expect = {(i, f"v{i}") for rng in ((0, 50), (100, 150), (200, 250))
+              for i in range(*rng) if not 120 <= i <= 130}
+    assert _rows(t.read(spark)) == expect
+    assert "changes" not in t._doc(v)
+    # no matches -> no commit, nothing left behind
+    assert t.delete_where(spark, "id > 9999",
+                          capture_changes=False) == v
+    assert t.latest_version() == v
+
+
+def test_update_where_no_cdf_single_job(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "t"))
+    for lo in (0, 100):
+        t.append(spark.createDataFrame(
+            [(lo + i, f"v{lo + i}") for i in range(50)],
+            "id int, val string"))
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    sc.setJobGroup("nocdf-upd", "x")
+    v = t.update_where(spark, "id >= 120 AND id <= 130",
+                       {"val": "upper(val)"}, prune=("id", 120, 130),
+                       capture_changes=False)
+    n_jobs = len(tracker.getJobIdsForGroup("nocdf-upd"))
+    sc.setJobGroup(None, None)
+    assert n_jobs <= 1, f"no-CDF update ran {n_jobs} jobs"
+    expect = {(i, f"v{i}".upper() if 120 <= i <= 130 else f"v{i}")
+              for rng in ((0, 50), (100, 150)) for i in range(*rng)}
+    assert _rows(t.read(spark)) == expect
+    assert "changes" not in t._doc(v)
+    assert t.update_where(spark, "id > 9999", {"val": "'x'"},
+                          capture_changes=False) == v
