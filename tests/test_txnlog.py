@@ -1641,3 +1641,68 @@ def test_update_where_no_cdf_single_job(spark, tmp_path):
     assert "changes" not in t._doc(v)
     assert t.update_where(spark, "id > 9999", {"val": "'x'"},
                           capture_changes=False) == v
+
+
+def test_planning_stays_bounded_under_mixed_maintenance(spark, tmp_path):
+    """The O(commits-since-checkpoint) planning contract survives a
+    LONG-LIVED table's full maintenance mix — row-level DELETE rewrites
+    (CDF-emitting), compaction, schema-recorded commits, vacuum — not
+    just a clean append-only log: at 120 commits with checkpoints every
+    10, planning reads <= interval tail docs, the SAME bound as at 12
+    commits (age-independence), and results match a from-scratch replay."""
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = TxnTable(str(tmp_path / "t"))
+
+    def tiny_commit(i):
+        rel = f"data/commit{i:05d}"
+        _os.makedirs(_os.path.join(t.path, rel))
+        pq.write_table(
+            pa.table({"id": pa.array([i * 5 + j for j in range(5)],
+                                     pa.int64()),
+                      "val": [f"v{i}-{j}" for j in range(5)]}),
+            _os.path.join(t.path, rel, "part-0.parquet"))
+        t.commit([rel], [], {"operation": "append"},
+                 expected_version=t.latest_version())
+        t.checkpoint_if_needed(10)
+
+    def tail_doc_reads():
+        read_docs = []
+        orig = TxnTable._doc
+        try:
+            TxnTable._doc = (
+                lambda self, v: read_docs.append(v) or orig(self, v))
+            t.snapshot_dirs()
+        finally:
+            TxnTable._doc = orig
+        return read_docs
+
+    i = 0
+    bounds = {}
+    for mark in (12, 120):
+        while (t.latest_version() or 0) < mark:
+            i += 1
+            tiny_commit(i)
+            v = t.latest_version()
+            if v % 15 == 0:
+                t.delete_where(spark, f"id = {v * 5 - 2}")
+            if v % 40 == 0:
+                t.compact(spark, target_files=2)
+        bounds[mark] = len(tail_doc_reads())
+    t.vacuum()
+    assert bounds[12] <= 11 and bounds[120] <= 11, bounds
+    # age-independence: 10x the commits, same planning bound
+    assert bounds[120] <= bounds[12] + 10
+    # planning from the checkpoint equals full replay (and survives
+    # vacuum, which must not break the metadata the planner needs)
+    full = TxnTable(t.path)
+    orig_base = TxnTable._base_checkpoint
+    try:
+        TxnTable._base_checkpoint = lambda self, version: None
+        expect = set(full.snapshot_dirs())
+    finally:
+        TxnTable._base_checkpoint = orig_base
+    assert set(t.snapshot_dirs()) == expect
