@@ -346,6 +346,43 @@ def q_txn_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("o_orderkey"))
 
 
+@register("txn_zorder_read",  # rotated INTO the driver window late-r5
+          # (dedup_word_jaccard_pairs rotated out — twice-green twin)
+          oracle=("SELECT o_orderkey, o_custkey, "
+                  "ROUND(o_totalprice, 2) AS total FROM orders "
+                  "WHERE o_totalprice BETWEEN 100000 AND 110000 "
+                  "ORDER BY o_orderkey"))
+def q_txn_zorder_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER BY, gated end-to-end: orders lands as 6
+    arrival-order appends (every dir spans the whole domain of both
+    columns — stats prune NOTHING), then compact_zorder(o_custkey,
+    o_totalprice) rewrites the table Z-ordered so a range read on the
+    SECOND clustered column plans a strict subset of dirs; the residual
+    filter keeps the read exact, which the plain-WHERE oracle verifies.
+    Delta's OPTIMIZE ZORDER; the reference's maintenance rewrite
+    (airflow/config/read_delta.py:219-222) is the unclustered
+    single-dimension ancestor."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..sources.tables import load_table
+    from ..sources.txnlog import TxnTable
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    table = TxnTable(tempfile.mkdtemp(prefix="samdis_txn_zorder_"))
+    for b in range(6):
+        table.append(o.filter(F.crc32(F.col("o_orderkey").cast("string"))
+                              % 6 == b))
+    table.compact_zorder(spark, ["o_custkey", "o_totalprice"],
+                         target_dirs=16)
+    return (table.read_range(spark, "o_totalprice", 100000.0, 110000.0)
+            .select("o_orderkey", "o_custkey",
+                    F.round("o_totalprice", 2).alias("total"))
+            .orderBy("o_orderkey"))
+
+
 @register("pii_scrub",
           oracle=W("SELECT id_employee, "
                    "regexp_replace(address, '[0-9]+', '#', 'g') "

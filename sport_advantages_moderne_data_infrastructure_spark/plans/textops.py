@@ -245,11 +245,13 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash_near_dup(near_corpus(spark, sf_dir))
 
 
-@register("dedup_word_jaccard_pairs",  # promoted to the driver window r3
-          # (VERDICT r2 next-round #1: never driver-checked before)
+@register("dedup_word_jaccard_pairs",  # gated r3+r4 (twice green);
+          # rotated out late-r5 for txn_zorder_read — its char-shingle
+          # twin dedup_jaccard_pairs stays gated; pytest oracle continues
           oracle=f"WITH corpus AS ({_NEAR_CORPUS_SQL}), "
                  f"j AS ({DD.jaccard_sql_from(DD.capped_hashes_sql_from(DD.word_shingle_hashes_sql('corpus')))}) "
-                 "SELECT * FROM j")
+                 "SELECT * FROM j",
+          driver=False)
 def q_word_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WORD-shingle (w-shingling, n=WORD_SHINGLE_N) Jaccard near-dup
     pairs — token-level twin of dedup_jaccard_pairs, same capped

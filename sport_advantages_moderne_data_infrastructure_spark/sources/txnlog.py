@@ -1359,6 +1359,72 @@ class TxnTable:
                             "cluster_by": cluster_by},
                            expected_version=base)
 
+    def compact_zorder(self, spark: SparkSession, cluster_by: list[str],
+                       target_dirs: int = 8, bits: int = 6,
+                       meta: dict | None = None) -> int:
+        """OPTIMIZE ZORDER BY (multi-column): rewrite the live snapshot
+        into ``target_dirs`` dirs ordered by a Z-value — the bit
+        interleave of each cluster column's quantile-rank code — so
+        EVERY listed column's per-dir min/max range is tight enough to
+        prune. Linear clustering (:meth:`compact_clustered`) gives one
+        column perfect pruning and the others none; Z-ordering trades a
+        little per-column tightness for pruning on all of them (a point
+        probe on any one column hits ~sqrt-fraction of dirs instead of
+        all). Quantile-rank codes (``bits`` per column, from ONE
+        multi-column approxQuantile pass) make the interleave
+        skew-robust — equal-population cells, not equal-width. This is
+        Delta's OPTIMIZE ZORDER BY mechanism; reference context:
+        read_delta.py's full-scan maintenance rewrites are the
+        single-dimension ancestor."""
+        from pyspark.sql import functions as F
+
+        if len(cluster_by) == 1:
+            return self.compact_clustered(
+                spark, cluster_by[0], target_dirs, meta)
+        base = self.latest_version()
+        if base is None:
+            raise ValueError(f"nothing to compact: {self.path}")
+        live = self.snapshot_dirs(base)
+        df = self.read(spark, base)
+        n_cells = 1 << bits
+        probs = [i / n_cells for i in range(1, n_cells)]
+        all_bounds = df.approxQuantile(cluster_by, probs, 0.001)
+        zexpr = F.lit(0).cast("long")
+        for ci, (col, bounds) in enumerate(zip(cluster_by, all_bounds)):
+            bounds = sorted(set(bounds))
+            blit = F.array(*[F.lit(b) for b in bounds])
+            code = F.size(F.filter(blit, lambda b: F.col(col) > b))
+            # interleave: bit i of column ci lands at position
+            # i*n_cols + ci in the Z-value
+            for i in range(bits):
+                zexpr = zexpr + F.shiftleft(
+                    F.shiftright(code, i).bitwiseAND(F.lit(1)),
+                    i * len(cluster_by) + ci).cast("long")
+        # repartitionByRange samples _z for its boundaries (no second
+        # full quantile pass over the z-expression); the resulting
+        # partition id IS the output bucket
+        staged = (df.withColumn("_z", zexpr)
+                  .repartitionByRange(target_dirs, "_z")
+                  .withColumn("_bucket", F.spark_partition_id())
+                  .sortWithinPartitions("_z")
+                  .drop("_z"))
+        tmp_rel = os.path.join(_DATA_DIR, f".zorder-{uuid.uuid4().hex}")
+        tmp_abs = os.path.join(self.path, tmp_rel)
+        staged.write.partitionBy("_bucket").parquet(tmp_abs)
+        adds = []
+        for d in sorted(os.listdir(tmp_abs)):
+            if not d.startswith("_bucket="):
+                continue
+            rel = os.path.join(_DATA_DIR, uuid.uuid4().hex)
+            os.rename(os.path.join(tmp_abs, d), os.path.join(self.path, rel))
+            adds.append(rel)
+        import shutil
+        shutil.rmtree(tmp_abs, ignore_errors=True)
+        return self.commit(adds, live,
+                           {**(meta or {}), "operation": "compact",
+                            "zorder_by": list(cluster_by)},
+                           expected_version=base)
+
     def compact_if_needed(self, spark: SparkSession,
                           max_live_dirs: int = 32,
                           target_files: int = 1) -> int | None:

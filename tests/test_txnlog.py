@@ -1706,3 +1706,41 @@ def test_planning_stays_bounded_under_mixed_maintenance(spark, tmp_path):
     finally:
         TxnTable._base_checkpoint = orig_base
     assert set(t.snapshot_dirs()) == expect
+
+
+def test_compact_zorder_prunes_on_both_columns(spark, tmp_path):
+    """OPTIMIZE ZORDER BY (x, y): after the rewrite, a range probe on
+    EITHER column prunes to a strict subset of dirs (~sqrt fraction),
+    where linear clustering on x leaves y completely unprunable. Data
+    and time travel are unaffected (the commit is layout-only)."""
+    t = TxnTable(str(tmp_path / "t"))
+    rows = [(i, (i * 37) % 1000, (i * 61) % 1000) for i in range(4000)]
+    for lo in range(0, 4000, 1000):  # 4 arrival-order commits
+        t.append(spark.createDataFrame(
+            rows[lo:lo + 1000], "id int, x int, y int"))
+    before = {r for r in rows}
+    v = t.compact_zorder(spark, ["x", "y"], target_dirs=16)
+    dirs = t.snapshot_dirs()
+    assert len(dirs) == 16
+    # pruning bites on BOTH dimensions
+    px = t.pruned_dirs("x", 100, 120)
+    py = t.pruned_dirs("y", 100, 120)
+    assert len(px) <= len(dirs) // 2, f"x probe hit {len(px)}/{len(dirs)}"
+    assert len(py) <= len(dirs) // 2, f"y probe hit {len(py)}/{len(dirs)}"
+    # layout-only: byte-identical data, time travel intact
+    got = {(r["id"], r["x"], r["y"]) for r in t.read(spark).collect()}
+    assert got == before
+    assert t.read(spark, version=v - 1).count() == 4000
+    # pruned read is EXACT (residual filter over the kept dirs)
+    got_x = {r["id"] for r in
+             t.read_range(spark, "x", 100, 120).collect()}
+    assert got_x == {i for i in range(4000) if 100 <= (i * 37) % 1000 <= 120}
+
+
+def test_compact_zorder_single_column_delegates(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "t"))
+    t.append(spark.createDataFrame(
+        [(i, i % 100) for i in range(500)], "id int, x int"))
+    t.compact_zorder(spark, ["x"], target_dirs=4)
+    assert len(t.snapshot_dirs()) == 4
+    assert len(t.pruned_dirs("x", 10, 12)) == 1  # linear: perfectly tight
