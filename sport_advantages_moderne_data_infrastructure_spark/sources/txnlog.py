@@ -607,6 +607,43 @@ class TxnTable:
         with open(p) as fh:
             return json.load(fh)
 
+    # -- CHECK constraints (Delta's ALTER TABLE ADD CONSTRAINT) ------------
+
+    def add_check_constraint(self, name: str, expr: str) -> None:
+        """Enforce ``expr`` (SQL boolean) on every row any future write
+        produces — append, overwrite, merge, and the rewrites DELETE /
+        UPDATE emit. SQL CHECK semantics: a row passes when the
+        expression is TRUE or NULL. Enforcement is FREE in job count: an
+        Observation counting violations rides the data write itself, and
+        a violating write is rolled back (dir removed, no commit) with
+        the constraint named in the error. Existing data is not
+        re-validated (Delta validates history on ADD; here the caller
+        runs a quality suite for that)."""
+        cons = self.check_constraints()
+        cons[name] = expr
+        self._write_config("constraints.json", cons)
+
+    def drop_check_constraint(self, name: str) -> None:
+        cons = self.check_constraints()
+        cons.pop(name, None)
+        self._write_config("constraints.json", cons)
+
+    def check_constraints(self) -> dict[str, str]:
+        p = os.path.join(self.log_dir, "constraints.json")
+        if not os.path.exists(p):
+            return {}
+        with open(p) as fh:
+            return json.load(fh)
+
+    def _write_config(self, fname: str, payload: dict) -> None:
+        os.makedirs(self.log_dir, exist_ok=True)
+        tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            json.dump(payload, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, os.path.join(self.log_dir, fname))
+
     def _dir_bloom(self, rel_dir: str, cfg: dict) -> dict:
         """col -> hex bloom over every value in the dir's parquet files.
         Unlike footer min/max this reads the indexed COLUMNS' data — the
@@ -688,9 +725,41 @@ class TxnTable:
 
     # -- writes -----------------------------------------------------------
 
+    def _constrained(self, df: DataFrame):
+        """Attach a violation-counting Observation for each CHECK
+        constraint to ``df`` (rides the write job — zero extra jobs).
+        Returns (df, verify) where verify(abs_dir) rolls back and raises
+        on any violation."""
+        cons = self.check_constraints()
+        if not cons:
+            return df, lambda abs_dir: None
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
+        obs = Observation()
+        df = df.observe(obs, *[
+            F.count(F.when(
+                ~F.coalesce(F.expr(e), F.lit(True)), 1)).alias(f"c{i}")
+            for i, e in enumerate(cons.values())])
+
+        def verify(abs_dir: str) -> None:
+            vals = obs.get
+            for i, (name, e) in enumerate(cons.items()):
+                if vals[f"c{i}"] > 0:
+                    import shutil
+
+                    shutil.rmtree(abs_dir, ignore_errors=True)
+                    raise ValueError(
+                        f"CHECK constraint '{name}' ({e}) violated by "
+                        f"{vals[f'c{i}']} row(s) — write rolled back")
+        return df, verify
+
     def _write_data(self, df: DataFrame) -> str:
         rel = os.path.join(_DATA_DIR, uuid.uuid4().hex)
-        df.write.parquet(os.path.join(self.path, rel))
+        abs_dir = os.path.join(self.path, rel)
+        df, verify = self._constrained(df)
+        df.write.parquet(abs_dir)
+        verify(abs_dir)
         self._pending_schemas[rel] = df.schema
         return rel
 
@@ -700,7 +769,9 @@ class TxnTable:
         partition-granular commits."""
         rel = os.path.join(_DATA_DIR, uuid.uuid4().hex)
         abs_dir = os.path.join(self.path, rel)
+        df, verify = self._constrained(df)
         df.write.partitionBy(part_col).parquet(abs_dir)
+        verify(abs_dir)
         return sorted(
             os.path.join(rel, d) for d in os.listdir(abs_dir)
             if "=" in d and os.path.isdir(os.path.join(abs_dir, d)))
@@ -820,7 +891,8 @@ class TxnTable:
                meta: dict | None = None,
                expected_version: int | None = None,
                stats: dict[str, dict] | None = None,
-               changes: str | None = None) -> int:
+               changes: str | None = None,
+               schema=None) -> int:
         """Publish a commit doc atomically. ``expected_version`` is the
         version this writer based its work on (None for a fresh table);
         losing the race to version+1 raises :class:`TxnConflictError`.
@@ -835,7 +907,8 @@ class TxnTable:
         version = 0 if expected_version is None else expected_version + 1
         import time as _time
         stats = stats or {}
-        schema = self._commit_schema(adds, removes, expected_version)
+        if schema is None:  # explicit override: restore pins the old one
+            schema = self._commit_schema(adds, removes, expected_version)
         doc = {"version": version, "adds": adds, "removes": removes,
                "ts": _time.time(),  # commit wall clock (timestamp travel)
                "meta": meta or {},
@@ -1437,6 +1510,42 @@ class TxnTable:
         if len(self.snapshot_dirs()) <= max_live_dirs:
             return None
         return self.compact(spark, target_files=target_files)
+
+    def restore(self, version: int, meta: dict | None = None) -> int:
+        """RESTORE TABLE TO VERSION (Delta's RESTORE): publish a NEW
+        commit whose live set — and recorded schema — equal the snapshot
+        at ``version``. Pure metadata: no data is copied or rewritten,
+        the restore itself is time-travelable (the pre-restore state
+        remains one version back), and a botched restore is undone by
+        restoring again. Fails with a clear error when the target's data
+        dirs were vacuumed away (``vacuum(keep_versions=False)``
+        disables time travel, and therefore restore, to those
+        versions)."""
+        base = self.latest_version()
+        if base is None:
+            raise ValueError(f"not a txn table (no commits): {self.path}")
+        if version > base:
+            raise ValueError(
+                f"cannot restore to v{version}: latest is v{base}")
+        target = self.snapshot_dirs(version)
+        missing = [d for d in target
+                   if not os.path.isdir(os.path.join(self.path, d))]
+        if missing:
+            raise ValueError(
+                f"cannot restore to v{version}: {len(missing)} data "
+                f"dir(s) were vacuumed (e.g. {missing[0]}) — "
+                "keep_versions=False vacuum disables restore to "
+                "superseded versions")
+        current = self.snapshot_dirs(base)
+        adds = [d for d in target if d not in set(current)]
+        removes = [d for d in current if d not in set(target)]
+        if not adds and not removes:
+            return base  # already at the target state: no empty commit
+        return self.commit(adds, removes,
+                           {**(meta or {}), "operation": "restore",
+                            "restore_version": version},
+                           expected_version=base,
+                           schema=self.table_schema(version))
 
     def vacuum(self, keep_versions: bool = True,
                older_than_seconds: float = 3600.0) -> list[str]:

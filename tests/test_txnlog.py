@@ -1744,3 +1744,72 @@ def test_compact_zorder_single_column_delegates(spark, tmp_path):
     t.compact_zorder(spark, ["x"], target_dirs=4)
     assert len(t.snapshot_dirs()) == 4
     assert len(t.pruned_dirs("x", 10, 12)) == 1  # linear: perfectly tight
+
+
+# -- RESTORE TABLE TO VERSION ----------------------------------------------
+
+
+def test_restore_to_version(spark, tmp_path):
+    """RESTORE publishes a metadata-only commit equal to the target
+    snapshot: rows AND schema revert, the pre-restore state stays one
+    version back (restore is itself time-travelable), and restoring to
+    the current state is a no-op."""
+    t = TxnTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a"), (2, "b")]))                  # v0
+    t.append(_df(spark, [(3, "c")]))                            # v1
+    t.overwrite(spark.createDataFrame(
+        [(9, "z", "extra")], "id int, val string, note string"))  # v2
+    v3 = t.restore(1)
+    assert v3 == 3
+    assert _rows(t.read(spark)) == {(1, "a"), (2, "b"), (3, "c")}
+    assert [f.name for f in t.table_schema().fields] == ["id", "val"]
+    # pre-restore state is still one version back
+    assert {r["note"] for r in t.read(spark, version=2).collect()} == {
+        "extra"}
+    # restoring to where we already are adds no commit
+    assert t.restore(3) == 3
+    assert t.latest_version() == 3
+    # restore the restore: back to v2's state
+    t.restore(2)
+    assert {r["id"] for r in t.read(spark).collect()} == {9}
+
+
+def test_restore_refuses_vacuumed_target(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))       # v0
+    t.overwrite(_df(spark, [(2, "b")]))    # v1: v0's dir now superseded
+    t.vacuum(keep_versions=False, older_than_seconds=0)
+    with pytest.raises(ValueError, match="vacuumed"):
+        t.restore(0)
+    with pytest.raises(ValueError, match="latest is"):
+        t.restore(99)
+
+
+# -- CHECK constraints -----------------------------------------------------
+
+
+def test_check_constraint_blocks_violating_writes(spark, tmp_path):
+    """ADD CONSTRAINT: violating appends/updates roll back (no commit,
+    no orphan data), valid writes pass, NULL passes (SQL CHECK
+    semantics), DROP lifts enforcement."""
+    t = TxnTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))
+    t.add_check_constraint("positive_id", "id > 0")
+    v = t.latest_version()
+    with pytest.raises(ValueError, match="positive_id"):
+        t.append(_df(spark, [(-5, "bad"), (2, "ok")]))
+    assert t.latest_version() == v          # no commit
+    assert _rows(t.read(spark)) == {(1, "a")}
+    assert t.vacuum(older_than_seconds=0) == []  # no orphan left behind
+    t.append(_df(spark, [(2, "b")]))        # valid rows pass
+    # NULL evaluates as pass, like SQL CHECK
+    t.append(spark.createDataFrame([(None, "n")], "id int, val string"))
+    assert {r["val"] for r in t.read(spark).collect()} == {"a", "b", "n"}
+    # UPDATE that would break the constraint rolls back too
+    with pytest.raises(ValueError, match="positive_id"):
+        t.update_where(spark, "val = 'b'", {"id": "-1"},
+                       capture_changes=False)
+    assert _rows(t.read(spark)) == {(1, "a"), (2, "b"), (None, "n")}
+    t.drop_check_constraint("positive_id")
+    t.append(_df(spark, [(-9, "now ok")]))
+    assert (-9, "now ok") in _rows(t.read(spark))
