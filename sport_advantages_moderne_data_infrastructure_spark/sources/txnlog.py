@@ -1458,7 +1458,20 @@ class TxnTable:
         if base is None:
             raise ValueError(f"nothing to compact: {self.path}")
         live = self.snapshot_dirs(base)
-        df = self.read(spark, base)
+        adds = self._zorder_rewrite(
+            spark, self.read(spark, base), cluster_by, target_dirs, bits)
+        return self.commit(adds, live,
+                           {**(meta or {}), "operation": "compact",
+                            "zorder_by": list(cluster_by)},
+                           expected_version=base)
+
+    def _zorder_rewrite(self, spark: SparkSession, df: DataFrame,
+                        cluster_by: list[str], target_dirs: int,
+                        bits: int) -> list[str]:
+        """Z-order ``df`` into ``target_dirs`` new commit dirs; returns
+        their rel paths (caller commits)."""
+        from pyspark.sql import functions as F
+
         n_cells = 1 << bits
         probs = [i / n_cells for i in range(1, n_cells)]
         all_bounds = df.approxQuantile(cluster_by, probs, 0.001)
@@ -1493,9 +1506,53 @@ class TxnTable:
             adds.append(rel)
         import shutil
         shutil.rmtree(tmp_abs, ignore_errors=True)
-        return self.commit(adds, live,
+        return adds
+
+    def compact_zorder_incremental(self, spark: SparkSession,
+                                   cluster_by: list[str],
+                                   target_dirs: int = 4, bits: int = 6,
+                                   meta: dict | None = None) -> int | None:
+        """Incremental OPTIMIZE ZORDER: cluster ONLY the dirs appended
+        since the last clustering commit into a fresh Z-generation,
+        leaving earlier generations untouched — at 100 TB a full-table
+        rewrite never happens; maintenance clusters the streaming tail
+        on a schedule. Stats pruning composes across generations (it is
+        per-dir min/max: each generation's dirs stay tight for the
+        cluster columns; only the unclustered tail between runs is
+        loose). Returns the new version, or None when there is no
+        unclustered tail. Boundaries are computed from the tail alone —
+        per-generation quantiles, which is exactly what keeps the pass
+        O(tail), not O(table)."""
+        base = self.latest_version()
+        if base is None:
+            raise ValueError(f"nothing to compact: {self.path}")
+        last_cluster = -1
+        add_version: dict[str, int] = {}
+        for v in self.versions():
+            if v > base:
+                break
+            doc = self._doc(v)
+            for d in doc["adds"]:
+                add_version[d] = v
+            op_meta = doc.get("meta", {})
+            if "zorder_by" in op_meta or "cluster_by" in op_meta:
+                last_cluster = v
+        tail = [d for d in self.snapshot_dirs(base)
+                if add_version.get(d, -1) > last_cluster]
+        if not tail:
+            return None
+        sch = self.table_schema(base)
+        if sch is not None and all(_partition_of(d) is None for d in tail):
+            df = spark.read.schema(sch).parquet(
+                *[os.path.join(self.path, d) for d in tail])
+        else:
+            df = self._read_dirs(spark, tail)
+        adds = self._zorder_rewrite(spark, df, cluster_by, target_dirs,
+                                    bits)
+        return self.commit(adds, tail,
                            {**(meta or {}), "operation": "compact",
-                            "zorder_by": list(cluster_by)},
+                            "zorder_by": list(cluster_by),
+                            "incremental": True},
                            expected_version=base)
 
     def compact_if_needed(self, spark: SparkSession,

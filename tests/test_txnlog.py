@@ -1813,3 +1813,59 @@ def test_check_constraint_blocks_violating_writes(spark, tmp_path):
     t.drop_check_constraint("positive_id")
     t.append(_df(spark, [(-9, "now ok")]))
     assert (-9, "now ok") in _rows(t.read(spark))
+
+
+def test_row_ops_on_pre_schema_log(spark, tmp_path):
+    """Tables written before schema-in-log (commit docs without a
+    "schema" key) must keep working: delete/update fall back to the
+    per-dir mergeSchema path and produce identical results."""
+    import json as _json
+
+    t = TxnTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a"), (2, "b")]))
+    t.append(spark.createDataFrame(
+        [(3, "c", "x3")], "id int, val string, extra string"),
+        merge_schema=True)
+    # simulate a legacy log: strip the schema key from every commit doc
+    for v in t.versions():
+        p = t.log_dir + f"/{v:011d}.json"
+        doc = _json.load(open(p))
+        doc.pop("schema", None)
+        _json.dump(doc, open(p, "w"))
+    t2 = TxnTable(t.path)
+    assert t2.table_schema() is None
+    got = {(r["id"], r["extra"]) for r in t2.read(spark).collect()}
+    assert got == {(1, None), (2, None), (3, "x3")}
+    t2.delete_where(spark, "id = 1")
+    t2.update_where(spark, "id = 3", {"extra": "'seen'"})
+    got = {(r["id"], r["extra"]) for r in t2.read(spark).collect()}
+    assert got == {(2, None), (3, "seen")}
+
+
+def test_compact_zorder_incremental_clusters_only_tail(spark, tmp_path):
+    """Incremental ZORDER: after a full clustering, new appends form an
+    unclustered tail; the incremental pass rewrites ONLY those dirs into
+    a new Z-generation (earlier generation dirs keep their paths), data
+    is unchanged, and a second call with no new appends is a no-op."""
+    t = TxnTable(str(tmp_path / "t"))
+    rows1 = [(i, (i * 37) % 1000, (i * 61) % 1000) for i in range(2000)]
+    t.append(spark.createDataFrame(rows1, "id int, x int, y int"))
+    t.compact_zorder(spark, ["x", "y"], target_dirs=8)
+    gen1 = set(t.snapshot_dirs())
+    rows2 = [(i, (i * 37) % 1000, (i * 61) % 1000)
+             for i in range(2000, 3000)]
+    t.append(spark.createDataFrame(rows2[:500], "id int, x int, y int"))
+    t.append(spark.createDataFrame(rows2[500:], "id int, x int, y int"))
+    v = t.compact_zorder_incremental(spark, ["x", "y"], target_dirs=4)
+    assert v is not None
+    after = set(t.snapshot_dirs())
+    assert gen1 <= after                   # generation 1 untouched
+    assert len(after) == len(gen1) + 4     # tail -> 4 new z-dirs
+    got = {(r["id"], r["x"], r["y"]) for r in t.read(spark).collect()}
+    assert got == set(rows1) | set(rows2)
+    # no new appends -> nothing to cluster
+    assert t.compact_zorder_incremental(spark, ["x", "y"]) is None
+    # pruning still bites on both columns across generations
+    n = len(t.snapshot_dirs())
+    assert len(t.pruned_dirs("x", 100, 120)) < n
+    assert len(t.pruned_dirs("y", 100, 120)) < n
