@@ -110,3 +110,93 @@ def test_asof_join_matches_reference_impl(spark, left, right):
         # operator tie-break: latest ts, then largest first right_col
         want[(k, lt)] = max(cands)[1] if cands else None
     assert got == want
+
+
+# -- txn table model-based property ----------------------------------------
+#
+# Random sequences of write ops against a pure-Python snapshot model:
+# every committed version's row multiset must match, including via
+# time travel and RESTORE. This is the property complement to the
+# fixed-scenario txnlog tests — op INTERLEAVINGS are where snapshot
+# semantics break subtly.
+
+_OPS = st.lists(
+    st.one_of(
+        st.tuples(st.just("append"),
+                  st.lists(st.tuples(st.integers(0, 9),
+                                     st.integers(0, 5)),
+                           min_size=1, max_size=4)),
+        st.tuples(st.just("delete"), st.integers(0, 9)),
+        st.tuples(st.just("update"), st.integers(0, 9),
+                  st.integers(10, 15)),
+        st.tuples(st.just("overwrite"),
+                  st.lists(st.tuples(st.integers(0, 9),
+                                     st.integers(0, 5)),
+                           min_size=1, max_size=3)),
+        st.tuples(st.just("restore"), st.integers(0, 10)),
+        st.just(("compact",)),
+    ),
+    min_size=1, max_size=4)
+
+
+@given(ops=_OPS)
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_txn_table_matches_snapshot_model(spark, ops, tmp_path_factory):
+    from collections import Counter
+
+    from sport_advantages_moderne_data_infrastructure_spark.sources.txnlog import (
+        TxnTable,
+    )
+
+    root = tmp_path_factory.mktemp("txnprop")
+    t = TxnTable(str(root / "t"))
+    t.append(spark.createDataFrame([(0, 0), (1, 1)], "id int, val int"))
+    history = [Counter({(0, 0): 1, (1, 1): 1})]
+    model = history[0]
+
+    def snap():
+        return Counter((r["id"], r["val"])
+                       for r in t.read(spark).collect())
+
+    for op in ops:
+        before_v = t.latest_version()
+        if op[0] == "append":
+            rows = op[1]
+            t.append(spark.createDataFrame(rows, "id int, val int"))
+            model = model + Counter(rows)
+        elif op[0] == "delete":
+            t.delete_where(spark, f"id = {op[1]}",
+                           capture_changes=bool(op[1] % 2))
+            model = Counter({k: c for k, c in model.items()
+                             if k[0] != op[1]})
+        elif op[0] == "update":
+            t.update_where(spark, f"id = {op[1]}", {"val": str(op[2])},
+                           capture_changes=bool(op[1] % 2))
+            if any(k[0] == op[1] for k in model):
+                new = Counter()
+                for (i, v), c in model.items():
+                    new[(i, op[2] if i == op[1] else v)] += c
+                model = new
+        elif op[0] == "overwrite":
+            rows = op[1]
+            t.overwrite(spark.createDataFrame(rows, "id int, val int"))
+            model = Counter(rows)
+        elif op[0] == "restore":
+            target = op[1] % len(history)
+            t.restore(target)
+            model = history[target]
+        elif op[0] == "compact":
+            t.compact(spark, target_files=2)
+            # layout-only: model unchanged
+        if t.latest_version() != before_v:
+            history.append(model)
+        else:
+            model = history[-1]  # no-op op: model must not drift
+        assert snap() == model, f"after {op}"
+
+    # time travel: every recorded version replays to its model state
+    for v, m in enumerate(history):
+        got = Counter((r["id"], r["val"])
+                      for r in t.read(spark, version=v).collect())
+        assert got == m, f"time travel to v{v}"
