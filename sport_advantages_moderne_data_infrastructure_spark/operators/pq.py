@@ -1,0 +1,157 @@
+"""Product quantization (PQ) for approximate similarity search.
+
+The corpus compresses to m sub-space codes per vector (m bytes-ish vs
+4*dim bytes of float32 — 8-32x), and query scoring becomes asymmetric
+distance computation (ADC): ONE per-query lookup-table build (m*k*d
+multiplies), then each corpus pair costs m table lookups instead of a
+dim-length dot product — at 100 TB the exhaustive pass over codes moves
+~32x fewer bytes and ~dim/m x fewer multiplies than the float32 rerank.
+Jegou et al., "Product Quantization for Nearest Neighbor Search"
+(TPAMI 2011) — the compression half of the standard IVF-PQ layout; the
+IVF half is operators/ivf.py and they compose.
+
+Training mirrors the IVF convention (ivf.py:40): seeded k-means++ +
+Lloyd's per sub-space over a deterministic bounded sample — the collect
+stays 4096 rows at any corpus size; only encoding scales out, and it is
+a pure projection (no shuffle, no UDF).
+
+Reference context: the reference has no similarity search at all; this
+extends the north-star ANN suite (SURVEY §2 extensions) beyond SQ8's
+4x scalar quantization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def train_pq_codebooks(embeddings: DataFrame, m: int = 8, k: int = 16,
+                       seed: int = 42, max_iter: int = 20,
+                       sample: int = 4096) -> list[list[list[float]]]:
+    """codebooks[j][c] = centroid c of sub-space j (length dim/m each).
+    Deterministic: ordered sample, seeded k-means++ per sub-space."""
+    import numpy as np
+
+    rows = (embeddings.select("vec_id", "embedding")
+            .orderBy("vec_id").limit(sample).collect())
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    if len(X) == 0:
+        raise ValueError("train_pq_codebooks: embeddings table is empty")
+    dim = X.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d = dim // m
+    out = []
+    for j in range(m):
+        S = X[:, j * d:(j + 1) * d]
+        kk = min(k, len(S))
+        rng = np.random.RandomState(seed + j)  # per-sub-space stream
+        centers = [S[rng.randint(len(S))]]
+        for _ in range(1, kk):
+            d2 = ((S[:, None, :] - np.asarray(centers)[None, :, :]) ** 2) \
+                .sum(-1).min(axis=1)
+            tot = d2.sum()
+            if tot <= 0:
+                centers.append(S[rng.randint(len(S))])
+                continue
+            centers.append(S[rng.choice(len(S), p=d2 / tot)])
+        C = np.asarray(centers)
+        for _ in range(max_iter):
+            lab = ((S[:, None, :] - C[None, :, :]) ** 2).sum(-1).argmin(1)
+            newC = np.array([
+                S[lab == c].mean(0) if np.any(lab == c) else C[c]
+                for c in range(kk)])
+            if np.allclose(newC, C):
+                break
+            C = newC
+        out.append([[float(v) for v in c] for c in C])
+    return out
+
+
+def _arr(vals: list[float]) -> str:
+    return "array(" + ",".join(f"{v!r}D" for v in vals) + ")"
+
+
+def _cb_sql(codebooks: list[list[list[float]]]) -> str:
+    """The full codebook as ONE nested array literal (m x k x d doubles
+    — ~1k values at m=8,k=16,d=8: a few KB of plan, broadcast free)."""
+    return ("array(" + ",".join(
+        "array(" + ",".join(_arr(c) for c in cb) + ")"
+        for cb in codebooks) + ")")
+
+
+def pq_encode(embeddings: DataFrame,
+              codebooks: list[list[list[float]]]) -> DataFrame:
+    """vec_id, code (array<int>, length m: per-sub-space argmin centroid),
+    recon_norm (norm of the reconstructed vector — precomputed at encode
+    time so query scoring never touches the codebooks for the corpus
+    side). Pure projection over one corpus scan."""
+    m = len(codebooks)
+    d = len(codebooks[0][0])
+    cb = _cb_sql(codebooks)
+    # two-step so the k distances per sub-space evaluate ONCE: dists is
+    # an m x k array, code takes the argmin of each row
+    dists = (
+        "transform(sequence(0, {mm}), j -> "
+        "  transform(element_at({cb}, j + 1), c -> "
+        "    aggregate(zip_with(slice(de, j * {d} + 1, {d}), c, "
+        "      (x, y) -> (x - y) * (x - y)), 0D, (a, v) -> a + v)))"
+    ).format(mm=m - 1, cb=cb, d=d)
+    code = ("transform(dists, dj -> "
+            "cast(array_position(dj, array_min(dj)) as int) - 1)")
+    nsq = ("array(" + ",".join(
+        _arr([sum(v * v for v in c) for c in cbj]) for cbj in codebooks)
+        + ")")
+    recon = ("sqrt(aggregate(zip_with(code, {nsq}, "
+             "(cj, ns) -> element_at(ns, cj + 1)), 0D, (a, v) -> a + v))"
+             ).format(nsq=nsq)
+    return (embeddings
+            .select("vec_id",
+                    F.expr("transform(embedding, x -> cast(x as double))")
+                    .alias("de"))
+            .withColumn("dists", F.expr(dists))
+            .withColumn("code", F.expr(code))
+            .withColumn("recon_norm", F.expr(recon))
+            .drop("de", "dists"))
+
+
+def query_lut(codebooks: list[list[list[float]]],
+              q_col: str = "qe") -> Column:
+    """array<array<double>> — qlut[j][c] = dot(query sub-vector j,
+    codebook[j][c]). Built ONCE per query row (m*k*d multiplies); pair
+    scoring then never touches float vectors."""
+    m = len(codebooks)
+    d = len(codebooks[0][0])
+    cb = _cb_sql(codebooks)
+    return F.expr(
+        "transform(sequence(0, {mm}), j -> "
+        "  transform(element_at({cb}, j + 1), c -> "
+        "    aggregate(zip_with(slice({q}, j * {d} + 1, {d}), c, "
+        "      (x, y) -> x * y), 0D, (a, v) -> a + v)))"
+        .format(mm=m - 1, cb=cb, d=d, q=q_col))
+
+
+def pq_topk(codes: DataFrame, queries: DataFrame,
+            codebooks: list[list[list[float]]], k: int = 10) -> DataFrame:
+    """ADC top-k: queries carry their LUT; each (query, vector) pair
+    costs m table lookups — `zip_with(code, qlut)` — and ranking is the
+    same broadcast + per-partition window as the exact rerank.
+    ``queries`` needs (query_id, qe: array<double>, q_norm)."""
+    from pyspark.sql import Window as W
+
+    q = queries.withColumn("qlut", query_lut(codebooks, "qe")).drop("qe")
+    ip = F.expr("aggregate(zip_with(code, qlut, "
+                "(cj, lut) -> element_at(lut, cj + 1)), 0D, "
+                "(a, v) -> a + v)")
+    scored = (codes.crossJoin(F.broadcast(q))
+              .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                      (ip / (F.col("q_norm") * F.col("recon_norm")))
+                      .alias("cos")))
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"),
+                                          F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id",
+                    F.round("cos", 6).alias("score"), "rank")
+            .orderBy("query_id", "rank"))

@@ -102,7 +102,8 @@ def build_indexes(spark, sf_dir: str) -> None:
     with ThreadPoolExecutor(max_workers=4) as pool:
         futs = [pool.submit(_text_chain, pool),
                 pool.submit(simops.ensure_ivf_index, spark, sf_dir),
-                pool.submit(simops.sq8_index, spark, sf_dir)]
+                pool.submit(simops.sq8_index, spark, sf_dir),
+                pool.submit(simops.ensure_pq_index, spark, sf_dir)]
         for f in futs:
             f.result()  # re-raise any build failure
 

@@ -729,9 +729,11 @@ def q_multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.decode_bmp_features(MM.synth_bmp(docs)).orderBy("doc_id")
 
 
-@register("multimodal_wav_decode",  # promoted to the driver window r3
-          # (VERDICT #1: real codec, never driver-checked before)
-          oracle=MM.WAV_DECODE_SQL)
+@register("multimodal_wav_decode",  # gated r3+r4 (twice green); rotated
+          # out late-r5 for ann_pq_recall_floor — multimodal stays gated
+          # via png/bmp_resize/frame rows; pytest oracle continues
+          oracle=MM.WAV_DECODE_SQL,
+          driver=False)
 def q_multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode: pack genuine RIFF/WAVE PCM16 files per document,
     then chunk-walk the headers and PCM payload in a second Arrow

@@ -109,3 +109,36 @@ def test_stateful_running_totals(spark, sf_dir, tmp_path_factory):
     for k in w:
         assert g[k][0] == w[k][0]
         assert abs(g[k][1] - w[k][1]) < 1e-6
+
+
+def test_pq_recall_and_determinism(spark, sf_dir):
+    """PQ/ADC path: recall floor vs brute truth (i.i.d. vectors are
+    PQ's hardest case), self-retrieval, and bit-stable determinism of
+    the whole train->encode->score pipeline across rebuilds."""
+    from sport_advantages_moderne_data_infrastructure_spark.plans import (
+        simops,
+    )
+
+    brute = _topk(catalog.REGISTRY["ann_cosine_topk"].spark_fn(
+        spark, sf_dir))
+    pq = _topk(catalog.REGISTRY["ann_pq_topk"].spark_fn(spark, sf_dir))
+    assert set(pq) == set(brute)
+    overlaps = [len(pq[q] & brute[q]) for q in brute]
+    mean = sum(overlaps) / len(overlaps)
+    # measured 7.4 @sf0.01 / 6.5 @sf0.1 (m=32, k=16); driver row
+    # ann_pq_recall_floor enforces >= 5.0 per-round at the gate
+    assert mean >= 5.0, f"mean overlap@10 {mean:.2f}"
+    for q in brute:
+        assert q in pq[q], "self must be retrieved (cosine(self)=1)"
+    # determinism: retrain + re-encode from scratch -> identical top-10
+    simops._PQ_CB.pop(sf_dir, None)
+    simops._PQ_IDX.pop(sf_dir, None)
+    again = _topk(catalog.REGISTRY["ann_pq_topk"].spark_fn(spark, sf_dir))
+    assert again == pq
+
+
+def test_pq_floor_row_green(spark, sf_dir):
+    row = catalog.REGISTRY["ann_pq_recall_floor"].spark_fn(
+        spark, sf_dir).first()
+    assert row["floor_met"] is True
+    assert row["n_queries"] >= 10
