@@ -155,3 +155,60 @@ def pq_topk(codes: DataFrame, queries: DataFrame,
             .select("query_id", "neighbor_id",
                     F.round("cos", 6).alias("score"), "rank")
             .orderBy("query_id", "rank"))
+
+
+def build_ivfpq_index(embeddings: DataFrame,
+                      ivf_centroids: list[list[float]],
+                      codebooks: list[list[list[float]]],
+                      path: str) -> None:
+    """IVF-PQ inverted lists: the PQ-encoded corpus written partitioned
+    by IVF centroid_id — the standard billion-scale ANN layout (Jegou et
+    al. 2011): probes prune to nprobe/k of the FILES, and what those
+    files hold is 16x-compressed codes, so a query touches
+    (nprobe/k) * (1/16) of the float32 corpus bytes."""
+    from .ivf import assign_centroids
+
+    coded = pq_encode(embeddings, codebooks)
+    assigned = assign_centroids(
+        embeddings.select("vec_id", "embedding"), ivf_centroids)
+    (coded.join(assigned.select("vec_id", "centroid_id"), "vec_id")
+     .repartition("centroid_id")
+     .write.mode("overwrite").partitionBy("centroid_id").parquet(path))
+
+
+def ivfpq_topk(codes_index: DataFrame, queries: DataFrame,
+               ivf_centroids: list[list[float]],
+               codebooks: list[list[list[float]]],
+               k: int = 10, nprobe: int = 6) -> DataFrame:
+    """ADC top-k over the nprobe nearest inverted lists only: the probe
+    equi-join prunes the partitioned code table at the file level
+    (broadcast query side → dynamic partition pruning), and each
+    surviving pair costs m LUT lookups. ``queries`` needs (query_id,
+    qe: array<double>, q_norm)."""
+    from pyspark.sql import Window as W
+
+    from .ivf import probe_centroids
+
+    q_probes = (
+        probe_centroids(
+            queries.select(F.col("query_id").alias("vec_id"),
+                           F.col("qe").alias("embedding"), "q_norm"),
+            ivf_centroids, nprobe)
+        .select(F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("qe"), "q_norm", "centroid_id"))
+    q_probes = q_probes.withColumn(
+        "qlut", query_lut(codebooks, "qe")).drop("qe")
+    ip = F.expr("aggregate(zip_with(code, qlut, "
+                "(cj, lut) -> element_at(lut, cj + 1)), 0D, "
+                "(a, v) -> a + v)")
+    scored = (codes_index.join(F.broadcast(q_probes), "centroid_id")
+              .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                      (ip / (F.col("q_norm") * F.col("recon_norm")))
+                      .alias("cos")))
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"),
+                                          F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id",
+                    F.round("cos", 6).alias("score"), "rank")
+            .orderBy("query_id", "rank"))

@@ -748,3 +748,39 @@ def q_ann_pq_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rec.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_queries"),
         (F.avg("overlap_at_10") >= F.lit(_PQ_FLOOR)).alias("floor_met"))
+
+
+_IVFPQ_IDX: dict[str, str] = {}
+
+
+def ensure_ivfpq_index(spark: SparkSession, sf_dir: str):
+    """Build-if-absent IVF-PQ inverted code lists: PQ codes partitioned
+    by IVF centroid_id — probes prune files, files hold 16x-compressed
+    codes. Reuses the IVF centroids and PQ codebooks artifacts."""
+    import tempfile
+
+    from ..operators import pq as PQ
+
+    centroids, _ = ensure_ivf_index(spark, sf_dir)
+    cb, _ = ensure_pq_index(spark, sf_dir)
+    if sf_dir not in _IVFPQ_IDX:
+        path = tempfile.mkdtemp(prefix="samdis_ivfpq_idx_") + "/idx.parquet"
+        PQ.build_ivfpq_index(load_table(spark, sf_dir, "embeddings"),
+                             centroids, cb, path)
+        _IVFPQ_IDX[sf_dir] = path
+    return centroids, cb, spark.read.parquet(_IVFPQ_IDX[sf_dir])
+
+
+@register("ann_ivfpq_topk", bench=True, driver=False)  # approximation —
+# no SQL-expressible contract; hard contract: pytest recall floor
+# (tests/test_ann.py) on the composed IVF-pruning x PQ-error path
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed billion-scale layout: nprobe nearest inverted lists
+    (file-level pruning via the broadcast probe equi-join) scored by
+    ADC over PQ codes — a query touches (nprobe/k_ivf) of the files and
+    1/16 of the bytes inside them. The flagship 100 TB ANN shape."""
+    from ..operators import pq as PQ
+
+    centroids, cb, idx = ensure_ivfpq_index(spark, sf_dir)
+    return PQ.ivfpq_topk(idx, _pq_queries(spark, sf_dir), centroids, cb,
+                         nprobe=6)
