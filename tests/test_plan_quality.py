@@ -68,7 +68,14 @@ _NESTED_LOOP_ALLOWED = {"ann_cosine_topk", "ann_recall_report",
                         # the broadcast-query all-pairs is its documented
                         # shape (4x less bandwidth is the win, not fewer
                         # pairs); its floor row contains the brute truth
-                        "ann_sq8_topk", "ann_sq8_recall_floor"}
+                        "ann_sq8_topk", "ann_sq8_recall_floor",
+                        # PQ/ADC exhaustive pass: broadcast-query
+                        # all-pairs over 16x-compressed codes is its
+                        # documented shape (bandwidth is the win); the
+                        # floor row contains the brute baseline. The
+                        # composed ann_ivfpq_topk is NOT allowed here —
+                        # its probe join must stay an equi-join.
+                        "ann_pq_topk", "ann_pq_recall_floor"}
 
 
 # non-driver entries whose all-pairs shape is the documented point:
