@@ -213,3 +213,36 @@ def test_ann_ivf_scales_linearly(spark):
     t10 = _timed(lambda: run(M))
     ratio = _report("ann_ivf_topk", n1, t1, -1, t10)
     assert ratio <= MAX_RATIO, f"superlinear: {ratio:.1f}x at {M}x corpus"
+
+
+def test_ann_pq_scales_linearly(spark):
+    """PQ/ADC exhaustive pass: codebooks train ONCE on the 1x corpus
+    (bounded sample — constant at any scale); encode + ADC scoring are
+    the linear legs. IVF-PQ would be sublinear (probe pruning); the
+    exhaustive PQ pass is the conservative bound."""
+    from sport_advantages_moderne_data_infrastructure_spark.operators import (
+        pq as PQ,
+    )
+
+    e1 = load_table(spark, SF, "embeddings")
+    cb = PQ.train_pq_codebooks(e1, m=32, k=16)
+
+    def queries(m):
+        base = _scaled_embeddings(spark, m).filter(_base_queries(F.col("vec_id")))
+        return (base.select(
+            F.col("vec_id").alias("query_id"),
+            F.expr("transform(embedding, x -> cast(x as double))")
+            .alias("qe"))
+            .withColumn("q_norm", F.sqrt(F.expr(
+                "aggregate(zip_with(qe, qe, (x, y) -> x * y), 0D, "
+                "(a, v) -> a + v)"))))
+
+    def run(m):
+        codes = PQ.pq_encode(_scaled_embeddings(spark, m), cb)
+        return PQ.pq_topk(codes, queries(1), cb).count()
+
+    n1 = run(1)
+    t1 = _timed(lambda: run(1))
+    t10 = _timed(lambda: run(M))
+    ratio = _report("ann_pq_topk", n1, t1, -1, t10)
+    assert ratio <= MAX_RATIO, f"superlinear: {ratio:.1f}x at {M}x corpus"
