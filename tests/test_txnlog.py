@@ -1869,3 +1869,72 @@ def test_compact_zorder_incremental_clusters_only_tail(spark, tmp_path):
     n = len(t.snapshot_dirs())
     assert len(t.pruned_dirs("x", 100, 120)) < n
     assert len(t.pruned_dirs("y", 100, 120)) < n
+
+
+def test_stream_sink_incremental_zorder_lifecycle(spark, tmp_path):
+    """The realistic table lifecycle end-to-end: a streaming sink
+    appends micro-batches -> incremental ZORDER clusters the tail on a
+    maintenance schedule -> a downstream change-feed stream rides
+    through the rewrite with skipChangeCommits -> range reads prune on
+    both z columns across generations."""
+    from sport_advantages_moderne_data_infrastructure_spark.sources import (
+        register_txn_source,
+    )
+    from sport_advantages_moderne_data_infrastructure_spark.streaming import (
+        pipeline as P,
+    )
+
+    register_txn_source(spark)
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "table")
+    rows = [(i, (i * 37) % 100, (i * 61) % 100) for i in range(3000)]
+    spark.createDataFrame(rows, "id int, x int, y int") \
+        .repartition(6).write.parquet(src)
+
+    # streaming appends (6 files, 2 per trigger -> 3 commits)
+    q = (spark.readStream.schema("id int, x int, y int").parquet(src)
+         .writeStream.format("txnlog").option("path", table)
+         .option("checkpointLocation", str(tmp_path / "ck_sink"))
+         .option("maxFilesPerTrigger", "2")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    t = TxnTable(table)
+    assert t.read(spark).count() == 3000
+    n_before = len(t.snapshot_dirs())
+
+    # maintenance: cluster the unclustered tail (everything, first run)
+    assert t.compact_zorder_incremental(spark, ["x", "y"],
+                                        target_dirs=8) is not None
+    n = len(t.snapshot_dirs())
+    assert len(t.pruned_dirs("x", 10, 15)) < n
+    assert len(t.pruned_dirs("y", 10, 15)) < n
+
+    z_gen1 = set(t.snapshot_dirs())  # the 8 clustered dirs
+
+    # downstream change feed survives the rewrite and takes new appends
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck_feed")
+    more = [(i, (i * 37) % 100, (i * 61) % 100) for i in range(3000, 3200)]
+    t.append(spark.createDataFrame(more, "id int, x int, y int"))
+
+    q2 = (spark.readStream.format("txnlog")
+          .option("skipChangeCommits", "true").load(table)
+          .writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", ck)
+          .trigger(availableNow=True).start())
+    q2.awaitTermination(120)
+    got = spark.read.parquet(out)
+    # feed = post-zorder snapshot (as inserts) + the tail append;
+    # the zorder rewrite itself was skipped, so no row duplicates
+    assert got.count() == 3200
+    assert {r["id"] for r in got.select("id").distinct().collect()} == {
+        i for i in range(3200)}
+
+    # second maintenance run clusters ONLY the 200-row tail: every
+    # generation-1 z-dir keeps its path, the tail append dir rewrites
+    v = t.compact_zorder_incremental(spark, ["x", "y"], target_dirs=2)
+    assert v is not None
+    after = set(t.snapshot_dirs())
+    assert z_gen1 <= after
+    assert len(after) == len(z_gen1) + 2
+    assert t.read(spark).count() == 3200
+    assert n_before >= 3  # sink really did commit per micro-batch
