@@ -268,6 +268,24 @@ def _band_key_cols(prefix: str = "sig_"):
     ]
 
 
+def signature_bands(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band, key) rows from a signature table, in ONE explode
+    pass (a per-band union would recompute the upstream shingle+minhash
+    pipeline per branch — LSH_BANDS× the work). This band table is the
+    ONLY shuffled/persisted artifact of the LSH path, and the streaming
+    incremental-dedup index stores exactly these rows."""
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+            .alias("key"))
+        for b, cols in enumerate(_band_key_cols())
+    ])
+    return (sigs.select("doc_id", F.explode(band_structs).alias("bk"))
+            .select("doc_id", F.col("bk.band").alias("band"),
+                    F.col("bk.key").alias("key")))
+
+
 def lsh_candidate_pairs(corpus: DataFrame,
                         hashes: DataFrame | None = None,
                         sigs: DataFrame | None = None) -> DataFrame:
@@ -278,23 +296,7 @@ def lsh_candidate_pairs(corpus: DataFrame,
     generation then never touches the corpus at all."""
     if sigs is None:
         sigs = minhash_signatures(corpus, hashes=hashes)
-    # one pass: explode each signature row into its 4 (band, key) rows
-    # (a 4-way union would recompute the shingle+minhash pipeline per
-    # branch and again per self-join side — 8× the work), then cache the
-    # tiny band table for the self-join.
-    band_structs = F.array(*[
-        F.struct(
-            F.lit(b).alias("band"),
-            F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
-            .alias("key"))
-        for b, cols in enumerate(_band_key_cols())
-    ])
-    bands = (
-        sigs.select("doc_id", F.explode(band_structs).alias("bk"))
-        .select("doc_id", F.col("bk.band").alias("band"),
-                F.col("bk.key").alias("key"))
-        .cache()
-    )
+    bands = signature_bands(sigs).cache()
     a = bands.alias("a")
     b_ = bands.alias("b")
     return (

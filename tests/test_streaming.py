@@ -332,3 +332,75 @@ def test_txn_append_sink_app_id_scopes_guard(spark, cdc_dir, tmp_path):
         str(tmp_path / "ckb"), app_id="b")
     q2.awaitTermination(120)
     assert t.read(spark).count() == 2 * n1
+
+
+# -- streaming incremental dedup -------------------------------------------
+
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_stream_dedup_incremental(spark, tmp_path):
+    """Online dedup against a growing corpus: batch 1 establishes the
+    kept set + band index; batch 2's exact dup, near-dup (vs corpus AND
+    intra-batch), and fresh docs are each handled; restart on the same
+    checkpoint adds nothing (exactly-once on BOTH state tables)."""
+    from sport_advantages_moderne_data_infrastructure_spark.sources.txnlog import (
+        TxnTable,
+    )
+    from sport_advantages_moderne_data_infrastructure_spark.streaming.dedup import (
+        write_stream_dedup,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep dark forest tonight")
+    variant = base.replace("tonight", "today")  # near-dup of base
+    fresh = ("completely different content about spark engines and "
+             "columnar execution with vectorized readers throughout")
+    fresh2 = ("yet another unrelated document discussing parquet "
+              "footers bloom filters and partition pruning at scale")
+
+    src = str(tmp_path / "src")
+    corpus, index = str(tmp_path / "corpus"), str(tmp_path / "index")
+    ck = str(tmp_path / "ck")
+
+    # batch 1: base + its exact dup + fresh  -> keeps {1, 3}
+    _docs_df(spark, [(1, base), (2, base), (3, fresh)]) \
+        .coalesce(1).write.mode("append").parquet(src)
+    q = write_stream_dedup(
+        spark.readStream.schema("doc_id long, text string").parquet(src),
+        corpus, index, ck)
+    q.awaitTermination(120)
+    kept = {r["doc_id"] for r in TxnTable(corpus).read(spark).collect()}
+    assert kept == {1, 3}
+
+    # batch 2: near-dup of corpus doc 1 (4), exact intra-batch pair
+    # (5, 6), fresh2 (7) -> keeps {5, 7}
+    _docs_df(spark, [(4, variant), (5, fresh2), (6, fresh2),
+                     (7, "short unique snippet of novel text with "
+                         "enough words to shingle properly here")]) \
+        .coalesce(1).write.mode("append").parquet(src)
+    q = write_stream_dedup(
+        spark.readStream.schema("doc_id long, text string").parquet(src),
+        corpus, index, ck)
+    q.awaitTermination(120)
+    kept = {r["doc_id"] for r in TxnTable(corpus).read(spark).collect()}
+    assert 4 not in kept, "near-dup of corpus doc must be dropped"
+    assert 5 in kept and 6 not in kept
+    assert 7 in kept
+
+    # restart on the same checkpoint: no growth in either state table
+    n_corpus = TxnTable(corpus).read(spark).count()
+    n_index = TxnTable(index).read(spark).count()
+    q = write_stream_dedup(
+        spark.readStream.schema("doc_id long, text string").parquet(src),
+        corpus, index, ck)
+    q.awaitTermination(120)
+    assert TxnTable(corpus).read(spark).count() == n_corpus
+    assert TxnTable(index).read(spark).count() == n_index
+    # the index holds bands ONLY for kept docs
+    idx_ids = {r["doc_id"] for r in
+               TxnTable(index).read(spark).select("doc_id")
+               .distinct().collect()}
+    assert idx_ids == kept
