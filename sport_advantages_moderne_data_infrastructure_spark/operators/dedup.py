@@ -310,6 +310,15 @@ def lsh_candidate_pairs(corpus: DataFrame,
     )
 
 
+def signature_bands_sql(sigs_cte: str) -> str:
+    """DuckDB twin of :func:`signature_bands` over a signatures CTE."""
+    return " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, concat_ws('|', "
+        + ", ".join(f"CAST({c} AS STRING)" for c in cols)
+        + f") AS key FROM {sigs_cte}"
+        for b, cols in enumerate(_band_key_cols()))
+
+
 def lsh_candidate_pairs_sql(corpus_cte: str) -> str:
     band_selects = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, concat_ws('|', "

@@ -315,10 +315,13 @@ _H100_SPARK = "conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) % 100"
 
 
 @register(
-    "sample_stable_10pct",  # promoted to the driver window r3 (VERDICT #1)
+    "sample_stable_10pct",  # gated r3+r4 (twice green); rotated out
+    # late-r5 for stream_dedup_batch_twin — dataset-ops class stays
+    # gated via dataset_splits/token_pack_assignments; pytest continues
     oracle=(
         f"SELECT doc_id, lang, n_chars FROM documents "
-        f"WHERE {_H100} < 10 ORDER BY doc_id"))
+        f"WHERE {_H100} < 10 ORDER BY doc_id"),
+    driver=False)
 def q_sample_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 10% corpus sample by id-hash bucket — reproducible
     across runs/engines/partitionings (unlike df.sample's seeded RNG,
@@ -1046,3 +1049,65 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         redacted.alias("redacted"))
         .filter((did % 5 == 0) | (did % 7 == 0) | (did % 11 == 0))
         .orderBy("doc_id"))
+
+
+def _twin_batch_sql(src: str, n: int) -> str:
+    """CTE chain for one micro-batch of the streaming-dedup twin: exact
+    intra-batch dedup -> signatures -> bands -> intra-batch LSH dedup.
+    Emits CTEs {b}x, sigs{n}, bands{n}, intra{n} reading batch CTE
+    ``src``."""
+    return (
+        f"b{n}x AS (SELECT doc_id, text FROM "
+        f"(SELECT doc_id, text, MIN(doc_id) OVER "
+        f"(PARTITION BY md5(text)) AS keep FROM {src}) "
+        f"WHERE doc_id = keep), "
+        f"sigs{n} AS ({DD.minhash_signatures_sql(f'b{n}x')}), "
+        f"bands{n} AS ({DD.signature_bands_sql(f'sigs{n}')}), "
+        f"intra{n} AS (SELECT DISTINCT doc_id FROM "
+        f"(SELECT doc_id, MIN(doc_id) OVER (PARTITION BY band, key) AS m "
+        f"FROM bands{n}) WHERE doc_id != m)")
+
+
+@register(
+    "stream_dedup_batch_twin",  # rotated INTO the driver window late-r5
+    # (sample_stable_10pct rotated out — twice green)
+    oracle=(
+        f"WITH corpus AS ({_NEAR_CORPUS_SQL}), "
+        "b1 AS (SELECT * FROM corpus WHERE doc_id < 2000), "
+        "b2 AS (SELECT * FROM corpus WHERE doc_id >= 2000), "
+        + _twin_batch_sql("b1", 1) + ", "
+        "kept1 AS (SELECT doc_id FROM b1x WHERE doc_id NOT IN "
+        "(SELECT doc_id FROM intra1)), "
+        "index1 AS (SELECT * FROM bands1 WHERE doc_id IN "
+        "(SELECT doc_id FROM kept1)), "
+        + _twin_batch_sql("b2", 2) + ", "
+        "cross2 AS (SELECT DISTINCT b.doc_id FROM bands2 b "
+        "JOIN index1 i ON b.band = i.band AND b.key = i.key), "
+        "kept2 AS (SELECT doc_id FROM b2x WHERE doc_id NOT IN "
+        "(SELECT doc_id FROM intra2) AND doc_id NOT IN "
+        "(SELECT doc_id FROM cross2)) "
+        "SELECT doc_id, batch FROM "
+        "(SELECT doc_id, 1 AS batch FROM kept1 "
+        "UNION ALL SELECT doc_id, 2 AS batch FROM kept2) "
+        "ORDER BY doc_id"))
+def q_stream_dedup_batch_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming incremental-dedup semantics (streaming/dedup.py)
+    gated through the hash oracle as a two-batch static twin: batch 1 =
+    the original docs, batch 2 = the injected near-dup tails
+    (near_corpus), processed through the SAME dedup_batch function the
+    foreachBatch sink runs — exact intra-batch dedup, LSH intra-batch
+    dedup, then batch 2 deduped against batch 1's kept band index. The
+    oracle recomputes the full md5/minhash/band pipeline relationally,
+    so any drift in the online dedup policy is a gate hash mismatch."""
+    from pyspark.sql import functions as F
+
+    from ..streaming.dedup import dedup_batch
+
+    corpus = near_corpus(spark, sf_dir)
+    kept1, bands1 = dedup_batch(corpus.filter(F.col("doc_id") < 2000),
+                                None)
+    kept2, _ = dedup_batch(corpus.filter(F.col("doc_id") >= 2000),
+                           bands1)
+    return (kept1.select("doc_id", F.lit(1).alias("batch"))
+            .unionByName(kept2.select("doc_id", F.lit(2).alias("batch")))
+            .orderBy("doc_id"))
