@@ -132,14 +132,16 @@ def write_stream_dedup(stream_docs: DataFrame, corpus_path: str,
                if TxnTable.is_table(index_path) else None)
         uniques, kept_bands = dedup_batch(batch_df, idx)
         uniques = uniques.cache()  # two consumers + deterministic replay
-        if uniques.isEmpty():
-            return
-        # corpus FIRST (see module docstring for the crash argument)
-        _guarded_append(corpus_path, uniques, batch_id, app_id,
-                        "stream_dedup_append")
-        _guarded_append(index_path, kept_bands, batch_id, app_id,
-                        "stream_dedup_index")
-        uniques.unpersist()
+        try:
+            if uniques.isEmpty():
+                return
+            # corpus FIRST (see module docstring for the crash argument)
+            _guarded_append(corpus_path, uniques, batch_id, app_id,
+                            "stream_dedup_append")
+            _guarded_append(index_path, kept_bands, batch_id, app_id,
+                            "stream_dedup_index")
+        finally:
+            uniques.unpersist()
 
     writer = stream_docs.writeStream.foreachBatch(_process) \
         .option("checkpointLocation", checkpoint)
