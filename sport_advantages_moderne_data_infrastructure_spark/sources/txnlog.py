@@ -1604,6 +1604,37 @@ class TxnTable:
                            expected_version=base,
                            schema=self.table_schema(version))
 
+    def generate_symlink_manifest(self, version: int | None = None) -> str:
+        """Delta's ``GENERATE symlink_format_manifest`` for external
+        engines: write ``_symlink_format_manifest/manifest`` listing the
+        absolute path of every parquet file in the snapshot, so
+        Trino/Presto/Athena — the reference's interactive SQL layer
+        (SURVEY §3.3, Trino over the ``final`` table) — can query the
+        txn table as an external parquet table without understanding the
+        commit log. Published atomically (tmp + rename); regenerating
+        after each commit is the caller's schedule, exactly as with
+        Delta's manifests (stale manifest = stale-but-consistent
+        snapshot, never a torn one). Partitioned layouts list every
+        partition subdir's files; the partition column is re-derived
+        from the path by the external engine, as usual for hive layout.
+        Returns the manifest path."""
+        import glob as _glob
+
+        files = []
+        for d in self.snapshot_dirs(version):
+            files.extend(sorted(_glob.glob(
+                os.path.join(self.path, d, "*.parquet"))))
+        man_dir = os.path.join(self.path, "_symlink_format_manifest")
+        os.makedirs(man_dir, exist_ok=True)
+        tmp = os.path.join(man_dir, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            fh.write("\n".join(os.path.abspath(f) for f in files) + "\n")
+            fh.flush()
+            os.fsync(fh.fileno())
+        final = os.path.join(man_dir, "manifest")
+        os.replace(tmp, final)
+        return final
+
     def vacuum(self, keep_versions: bool = True,
                older_than_seconds: float = 3600.0) -> list[str]:
         """Delete orphan data dirs — written but never referenced by any

@@ -1938,3 +1938,34 @@ def test_stream_sink_incremental_zorder_lifecycle(spark, tmp_path):
     assert len(after) == len(z_gen1) + 2
     assert t.read(spark).count() == 3200
     assert n_before >= 3  # sink really did commit per micro-batch
+
+
+def test_symlink_manifest_external_read(spark, tmp_path):
+    """GENERATE symlink_format_manifest: an external engine (DuckDB here,
+    standing in for the reference's Trino layer) reads the listed files
+    as a plain parquet table and sees EXACTLY the snapshot — including
+    after a rewrite commit, once regenerated; the stale manifest still
+    reads the old snapshot consistently (never a torn view)."""
+    import duckdb
+
+    t = TxnTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a"), (2, "b")]))
+    t.append(_df(spark, [(3, "c")]))
+    man = t.generate_symlink_manifest()
+    files = [ln for ln in open(man).read().splitlines() if ln]
+    con = duckdb.connect()
+    got = {tuple(r) for r in con.execute(
+        "SELECT id, val FROM read_parquet($1)", [files]).fetchall()}
+    assert got == {(1, "a"), (2, "b"), (3, "c")}
+
+    t.delete_where(spark, "id = 2")  # rewrite commit
+    # stale manifest: still the OLD snapshot, consistently
+    got_stale = {tuple(r) for r in con.execute(
+        "SELECT id, val FROM read_parquet($1)", [files]).fetchall()}
+    assert got_stale == {(1, "a"), (2, "b"), (3, "c")}
+    # regenerated: the new snapshot
+    files2 = [ln for ln in open(t.generate_symlink_manifest())
+              .read().splitlines() if ln]
+    got2 = {tuple(r) for r in con.execute(
+        "SELECT id, val FROM read_parquet($1)", [files2]).fetchall()}
+    assert got2 == {(1, "a"), (3, "c")}
