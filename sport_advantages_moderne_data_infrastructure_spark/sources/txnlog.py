@@ -204,6 +204,7 @@ class TxnTable:
             "checkpoint_version": version,
             "live": self.snapshot_dirs(version),
             "stats": self._live_stats(version),
+            "rows": self._live_rows(version),
             "bloom": self._live_blooms(version),
             "schema_dirs": self._schema_dirs(version),
             "stream_batch_ids": per_app,
@@ -521,6 +522,60 @@ class TxnTable:
                     stats[name] = ([mn, mx] if cur is None else
                                    [min(cur[0], mn), max(cur[1], mx)])
         return stats
+
+    def _dir_rows(self, rel_dir: str) -> int:
+        """Row count of a commit dir from parquet footers only."""
+        import glob as _glob
+
+        import pyarrow.parquet as pq
+
+        return sum(
+            pq.ParquetFile(f).metadata.num_rows
+            for f in _glob.glob(os.path.join(self.path, rel_dir,
+                                             "*.parquet")))
+
+    def _live_rows(self, version: int | None = None) -> dict[str, int | None]:
+        """dir -> row count for the live snapshot from commit docs
+        (None for dirs committed before row recording)."""
+        cp = self._base_checkpoint(version)
+        out: dict[str, int | None] = dict(cp.get("rows", {})) if cp else {}
+        floor = cp["checkpoint_version"] if cp else -1
+        for v in self.versions():
+            if v <= floor:
+                continue
+            if version is not None and v > version:
+                break
+            doc = self._doc(v)
+            doc_rows = doc.get("rows", {})
+            for d in doc["adds"]:
+                out[d] = doc_rows.get(d)
+        return {d: out.get(d) for d in self.snapshot_dirs(version)}
+
+    def snapshot_row_count(self, version: int | None = None) -> int | None:
+        """COUNT(*) of the snapshot from LOG METADATA ALONE — no data
+        I/O, no Spark job (Delta answers SELECT COUNT(*) from AddFile
+        stats the same way; at 100 TB this is the difference between a
+        constant-time answer and a full scan). None when any live dir
+        predates row recording — callers then fall back to a scan."""
+        rows = self._live_rows(version)
+        if any(n is None for n in rows.values()):
+            return None
+        return sum(rows.values())
+
+    def stats_minmax(self, col: str,
+                     version: int | None = None) -> tuple | None:
+        """(min, max) of ``col`` over the snapshot from log footer stats
+        — exact for these two aggregates (per-dir min/max compose), no
+        data I/O. None when any live dir lacks stats for the column."""
+        vals = []
+        for stats in self._live_stats(version).values():
+            rng = stats.get(col)
+            if rng is None:
+                return None
+            vals.append(rng)
+        if not vals:
+            return None
+        return (min(v[0] for v in vals), max(v[1] for v in vals))
 
     def _live_stats(self, version: int | None = None) -> dict[str, dict]:
         """dir -> stats for the live snapshot, from the commit docs that
@@ -916,7 +971,10 @@ class TxnTable:
                **({"changes": changes} if changes else {}),
                "stats": {rel: (stats[rel] if rel in stats
                                else self._dir_stats(rel))
-                         for rel in adds}}
+                         for rel in adds},
+               # per-dir row counts (Delta's AddFile numRecords):
+               # metadata-only COUNT(*) and the full-match fast path
+               "rows": {rel: self._dir_rows(rel) for rel in adds}}
         bloom_cfg = self._bloom_config()
         if bloom_cfg and adds:
             doc["bloom"] = {rel: self._dir_bloom(rel, bloom_cfg)

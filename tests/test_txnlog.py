@@ -1969,3 +1969,53 @@ def test_symlink_manifest_external_read(spark, tmp_path):
     got2 = {tuple(r) for r in con.execute(
         "SELECT id, val FROM read_parquet($1)", [files2]).fetchall()}
     assert got2 == {(1, "a"), (3, "c")}
+
+
+def test_metadata_only_aggregates(spark, tmp_path):
+    """COUNT(*) and MIN/MAX answered from log metadata alone — exact
+    across append, row-level DELETE, UPDATE, compaction, restore, and
+    checkpointed planning; None (fall back to a scan) on pre-upgrade
+    logs."""
+    import json as _json
+
+    t = TxnTable(str(tmp_path / "t"))
+    t.append(spark.createDataFrame(
+        [(i, i * 10) for i in range(100)], "id int, v int"))
+    t.append(spark.createDataFrame(
+        [(i, i * 10) for i in range(100, 150)], "id int, v int"))
+    assert t.snapshot_row_count() == 150
+    assert t.stats_minmax("id") == (0, 149)
+    assert t.stats_minmax("nope") is None
+
+    t.delete_where(spark, "id >= 140")          # rewrite commit
+    assert t.snapshot_row_count() == 140 == t.read(spark).count()
+    t.update_where(spark, "id < 5", {"v": "v + 1"})
+    assert t.snapshot_row_count() == 140
+    t.compact(spark, target_files=2)
+    assert t.snapshot_row_count() == 140
+    assert t.stats_minmax("id") == (0, 139)
+    # checkpointed planning carries the counts
+    t.checkpoint()
+    t.append(spark.createDataFrame([(999, 0)], "id int, v int"))
+    assert t.snapshot_row_count() == 141
+    assert TxnTable(t.path).snapshot_row_count() == 141  # fresh instance
+    # time travel: metadata count at an old version
+    assert t.snapshot_row_count(version=1) == 150
+    # restore: counts follow the restored snapshot
+    v = t.latest_version()
+    t.restore(1)
+    assert t.snapshot_row_count() == 150
+    t.restore(v)
+
+    # legacy log without "rows" -> None, never a wrong number
+    for ver in t.versions():
+        p = t.log_dir + f"/{ver:011d}.json"
+        doc = _json.load(open(p))
+        doc.pop("rows", None)
+        _json.dump(doc, open(p, "w"))
+    for cp in t.checkpoints():
+        p = t.log_dir + f"/{cp:011d}.checkpoint.json"
+        doc = _json.load(open(p))
+        doc.pop("rows", None)
+        _json.dump(doc, open(p, "w"))
+    assert TxnTable(t.path).snapshot_row_count() is None
