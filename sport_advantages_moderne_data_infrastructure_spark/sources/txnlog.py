@@ -1210,6 +1210,36 @@ class TxnTable:
 
         shutil.rmtree(os.path.join(self.path, rel), ignore_errors=True)
 
+    def _commit_rebased(self, adds: list[str], removes: list[str],
+                        meta: dict, base: int,
+                        changes: str | None = None,
+                        retries: int = 5) -> int:
+        """WriteSerializable rebase for row-level rewrites (Delta's
+        conflict resolution for exactly this class): a concurrent commit
+        that did not touch any of OUR removed dirs — e.g. a streaming
+        append landing mid-DELETE — does not invalidate the rewrite, so
+        retry on top of it; a concurrent rewrite of an overlapping dir
+        is a genuine conflict and raises. Note the semantics this
+        implies (and Delta documents): rows appended concurrently are
+        NOT visited by this op — it deletes/updates the snapshot it
+        read."""
+        expected = base
+        ours = set(removes)
+        for _ in range(retries):
+            try:
+                return self.commit(adds, removes, meta,
+                                   expected_version=expected,
+                                   changes=changes)
+            except TxnConflictError:
+                latest = self.latest_version()
+                for v in range(expected + 1, latest + 1):
+                    if ours & set(self._doc(v)["removes"]):
+                        raise  # overlapping rewrite: real conflict
+                expected = latest
+        raise TxnConflictError(
+            f"row-level op lost {retries} straight commit races at "
+            f"{self.path}")
+
     def delete_where(self, spark: SparkSession, condition: str,
                      prune: tuple | None = None,
                      meta: dict | None = None,
@@ -1272,10 +1302,10 @@ class TxnTable:
                 adds = []
             else:
                 adds = [rel]
-            return self.commit(adds, candidates,
-                               {**(meta or {}), "operation": "delete",
-                                "condition": condition},
-                               expected_version=base)
+            return self._commit_rebased(
+                adds, candidates,
+                {**(meta or {}), "operation": "delete",
+                 "condition": condition}, base)
         # the change-frame write doubles as the sizing pass: an
         # Observation on the pre-filter node counts rows + matches per
         # candidate dir during that SAME job, so DELETE costs exactly two
@@ -1298,10 +1328,10 @@ class TxnTable:
             adds.append(self._write_data(
                 tagged.filter(F.col("_src_dir").isin(rewrite))
                 .filter(~cond).drop("_src_dir")))
-        return self.commit(adds, removes,
-                           {**(meta or {}), "operation": "delete",
-                            "condition": condition},
-                           expected_version=base, changes=changes_rel)
+        return self._commit_rebased(
+            adds, removes,
+            {**(meta or {}), "operation": "delete",
+             "condition": condition}, base, changes=changes_rel)
 
     def update_where(self, spark: SparkSession, condition: str,
                      set_exprs: dict, prune: tuple | None = None,
@@ -1368,11 +1398,11 @@ class TxnTable:
                 _shutil.rmtree(os.path.join(self.path, rel),
                                ignore_errors=True)
                 return base  # nothing matched: no empty commit
-            return self.commit([rel], candidates,
-                               {**(meta or {}), "operation": "update",
-                                "condition": condition,
-                                "set": sorted(set_exprs)},
-                               expected_version=base)
+            return self._commit_rebased(
+                [rel], candidates,
+                {**(meta or {}), "operation": "update",
+                 "condition": condition,
+                 "set": sorted(set_exprs)}, base)
         # the change-frame write doubles as the match probe (Observation
         # on the pre-filter node, exactly as in delete_where): UPDATE
         # costs two scan jobs — changes, then the CASE-rewrite of the
@@ -1405,11 +1435,11 @@ class TxnTable:
             F.when(cond, F.expr(set_exprs[c]).cast(snap_schema[c].dataType))
              .otherwise(F.col(c)).alias(c) if c in set_exprs
             else F.col(c) for c in cols]))]
-        return self.commit(adds, removes,
-                           {**(meta or {}), "operation": "update",
-                            "condition": condition,
-                            "set": sorted(set_exprs)},
-                           expected_version=base, changes=changes_rel)
+        return self._commit_rebased(
+            adds, removes,
+            {**(meta or {}), "operation": "update",
+             "condition": condition,
+             "set": sorted(set_exprs)}, base, changes=changes_rel)
 
     # -- maintenance ------------------------------------------------------
 
@@ -1529,6 +1559,17 @@ class TxnTable:
         """Z-order ``df`` into ``target_dirs`` new commit dirs; returns
         their rel paths (caller commits)."""
         from pyspark.sql import functions as F
+        from pyspark.sql.types import NumericType
+
+        bad = [c for c in cluster_by
+               if not isinstance(df.schema[c].dataType, NumericType)]
+        if bad:
+            raise ValueError(
+                f"zorder columns must be numeric (quantile-rank codes "
+                f"come from approxQuantile): {bad} — cast dates/"
+                "timestamps to epoch numbers first; string equality "
+                "probes are the bloom index's job "
+                "(enable_bloom/read_point)")
 
         n_cells = 1 << bits
         probs = [i / n_cells for i in range(1, n_cells)]

@@ -2019,3 +2019,67 @@ def test_metadata_only_aggregates(spark, tmp_path):
         doc.pop("rows", None)
         _json.dump(doc, open(p, "w"))
     assert TxnTable(t.path).snapshot_row_count() is None
+
+
+def test_row_op_rebases_over_concurrent_append(spark, tmp_path):
+    """WriteSerializable: an append landing between a DELETE's snapshot
+    read and its commit does not abort the DELETE — the op rebases onto
+    the new version; its predicate does NOT visit the concurrently
+    appended rows (it deletes the snapshot it read). A concurrent
+    rewrite of an overlapping dir is a genuine conflict."""
+    t = TxnTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a"), (2, "b")]))
+
+    orig_commit = TxnTable.commit
+    raced = {"done": False}
+
+    def racing_commit(self, adds, removes, meta=None,
+                      expected_version=None, stats=None, changes=None,
+                      schema=None):
+        # before the DELETE's own commit lands, a concurrent append
+        # takes the version it expected (once)
+        if (not raced["done"] and (meta or {}).get("operation")
+                == "delete"):
+            raced["done"] = True
+            other = TxnTable(self.path)
+            other.append(_df(spark, [(2, "late append")]))
+        return orig_commit(self, adds, removes, meta,
+                           expected_version=expected_version,
+                           stats=stats, changes=changes, schema=schema)
+
+    TxnTable.commit = racing_commit
+    try:
+        t.delete_where(spark, "id = 2")
+    finally:
+        TxnTable.commit = orig_commit
+    # the pre-existing id=2 row is gone; the concurrently appended id=2
+    # row SURVIVES (WriteSerializable — the delete saw the old snapshot)
+    assert _rows(t.read(spark)) == {(1, "a"), (2, "late append")}
+
+    # overlapping rewrite -> genuine conflict
+    raced2 = {"done": False}
+
+    def conflicting_commit(self, adds, removes, meta=None,
+                           expected_version=None, stats=None,
+                           changes=None, schema=None):
+        if (not raced2["done"] and (meta or {}).get("operation")
+                == "update"):
+            raced2["done"] = True
+            TxnTable(self.path).delete_where(spark, "id = 1")
+        return orig_commit(self, adds, removes, meta,
+                           expected_version=expected_version,
+                           stats=stats, changes=changes, schema=schema)
+
+    TxnTable.commit = conflicting_commit
+    try:
+        with pytest.raises(TxnConflictError):
+            t.update_where(spark, "id = 1", {"val": "'x'"})
+    finally:
+        TxnTable.commit = orig_commit
+
+
+def test_compact_zorder_rejects_non_numeric(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))
+    with pytest.raises(ValueError, match="must be numeric"):
+        t.compact_zorder(spark, ["id", "val"], target_dirs=2)
