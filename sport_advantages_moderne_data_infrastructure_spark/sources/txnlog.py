@@ -56,6 +56,17 @@ class TxnConflictError(RuntimeError):
     """Another writer committed the version this writer raced for."""
 
 
+class TxnProtocolError(RuntimeError):
+    """The table requires a newer reader/writer than this library."""
+
+
+# protocol versions THIS library implements (Delta's protocol action):
+# a future format change bumps the minimum and old readers fail with a
+# clear error instead of silently misreading the log
+READER_VERSION = 1
+WRITER_VERSION = 1
+
+
 def _bloom_canon(value) -> str:
     """Canonical hash key for a bloom value. Numeric values that compare
     equal MUST hash identically regardless of Python type — a double
@@ -258,10 +269,30 @@ class TxnTable:
             last_bid = bid
         return per_app, last_bid
 
+    def _check_protocol(self, writer: bool = False) -> None:
+        """Fail CLEARLY when the table's log demands a newer library
+        (Delta's protocol action): a future format change bumps the
+        table's minimum and old code stops here instead of misreading."""
+        p = os.path.join(self.log_dir, "protocol.json")
+        if not os.path.exists(p):
+            return  # pre-protocol table: current rules apply
+        with open(p) as fh:
+            proto = json.load(fh)
+        need = proto.get("min_writer_version" if writer
+                         else "min_reader_version", 1)
+        have = WRITER_VERSION if writer else READER_VERSION
+        if need > have:
+            kind = "writer" if writer else "reader"
+            raise TxnProtocolError(
+                f"table {self.path} requires {kind} protocol >= {need}; "
+                f"this library implements {have} — upgrade before "
+                f"{'writing' if writer else 'reading'}")
+
     def snapshot_dirs(self, version: int | None = None) -> list[str]:
         """Table-relative live data dirs at ``version`` (default latest).
         Plans from the newest checkpoint at-or-below the target and
         replays only the tail commits."""
+        self._check_protocol()
         cp = self._base_checkpoint(version)
         live: list[str] = list(cp["live"]) if cp else []
         floor = cp["checkpoint_version"] if cp else -1
@@ -957,9 +988,14 @@ class TxnTable:
         covered fall back to a driver-side footer harvest, which is fine
         for single-digit-file commits and avoided at scale."""
         os.makedirs(self.log_dir, exist_ok=True)
+        self._check_protocol(writer=True)
         if expected_version is None:
             expected_version = self.latest_version()
         version = 0 if expected_version is None else expected_version + 1
+        if version == 0:
+            self._write_config("protocol.json", {
+                "min_reader_version": READER_VERSION,
+                "min_writer_version": WRITER_VERSION})
         import time as _time
         stats = stats or {}
         if schema is None:  # explicit override: restore pins the old one

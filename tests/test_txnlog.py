@@ -2083,3 +2083,33 @@ def test_compact_zorder_rejects_non_numeric(spark, tmp_path):
     t.append(_df(spark, [(1, "a")]))
     with pytest.raises(ValueError, match="must be numeric"):
         t.compact_zorder(spark, ["id", "val"], target_dirs=2)
+
+
+def test_protocol_versioning(spark, tmp_path):
+    """Delta-style protocol action: commit 0 records the reader/writer
+    minimums; a table demanding a future protocol fails CLEARLY on read
+    and write instead of being silently misread; current tables and
+    pre-protocol tables keep working."""
+    import json as _json
+
+    from sport_advantages_moderne_data_infrastructure_spark.sources.txnlog import (
+        TxnProtocolError,
+    )
+
+    t = TxnTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))
+    proto = _json.load(open(t.log_dir + "/protocol.json"))
+    assert proto == {"min_reader_version": 1, "min_writer_version": 1}
+    assert _rows(t.read(spark)) == {(1, "a")}
+
+    _json.dump({"min_reader_version": 99, "min_writer_version": 99},
+               open(t.log_dir + "/protocol.json", "w"))
+    with pytest.raises(TxnProtocolError, match="reader protocol >= 99"):
+        t.read(spark)
+    with pytest.raises(TxnProtocolError, match="writer protocol >= 99"):
+        t.append(_df(spark, [(2, "b")]))
+
+    # pre-protocol table (no protocol.json): keeps working
+    import os as _os
+    _os.remove(t.log_dir + "/protocol.json")
+    assert _rows(t.read(spark)) == {(1, "a")}
