@@ -273,11 +273,16 @@ class TxnTable:
         """Fail CLEARLY when the table's log demands a newer library
         (Delta's protocol action): a future format change bumps the
         table's minimum and old code stops here instead of misreading."""
-        p = os.path.join(self.log_dir, "protocol.json")
-        if not os.path.exists(p):
-            return  # pre-protocol table: current rules apply
-        with open(p) as fh:
-            proto = json.load(fh)
+        proto = getattr(self, "_protocol_cache", None)
+        if proto is None:
+            p = os.path.join(self.log_dir, "protocol.json")
+            if not os.path.exists(p):
+                return  # pre-protocol table: current rules apply
+            with open(p) as fh:
+                proto = json.load(fh)
+            # cache positive reads only (a table's protocol is
+            # append-once); absence re-checks until commit 0 lands
+            self._protocol_cache = proto
         need = proto.get("min_writer_version" if writer
                          else "min_reader_version", 1)
         have = WRITER_VERSION if writer else READER_VERSION

@@ -2104,12 +2104,14 @@ def test_protocol_versioning(spark, tmp_path):
 
     _json.dump({"min_reader_version": 99, "min_writer_version": 99},
                open(t.log_dir + "/protocol.json", "w"))
+    # fresh instances (a new process opening the upgraded table — the
+    # protocol is cached per instance after the first positive read)
     with pytest.raises(TxnProtocolError, match="reader protocol >= 99"):
-        t.read(spark)
+        TxnTable(t.path).read(spark)
     with pytest.raises(TxnProtocolError, match="writer protocol >= 99"):
-        t.append(_df(spark, [(2, "b")]))
+        TxnTable(t.path).append(_df(spark, [(2, "b")]))
 
     # pre-protocol table (no protocol.json): keeps working
     import os as _os
     _os.remove(t.log_dir + "/protocol.json")
-    assert _rows(t.read(spark)) == {(1, "a")}
+    assert _rows(TxnTable(t.path).read(spark)) == {(1, "a")}
