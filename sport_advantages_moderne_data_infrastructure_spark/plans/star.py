@@ -592,6 +592,8 @@ def q_small_spenders_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "orders_status_rollup",
+    driver=False,  # rotated out r5 (green r1-r4; slot freed for
+    # dedup_chunks' first gate row; pytest oracle parity continues)
     oracle=(
         "SELECT o_orderstatus, o_orderpriority, "
         "CAST(COUNT(*) AS BIGINT) AS n_orders, "

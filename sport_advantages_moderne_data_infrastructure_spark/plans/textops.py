@@ -1111,3 +1111,63 @@ def q_stream_dedup_batch_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (kept1.select("doc_id", F.lit(1).alias("batch"))
             .unionByName(kept2.select("doc_id", F.lit(2).alias("batch")))
             .orderBy("doc_id"))
+
+
+# -- sub-document (chunk-level) dedup --------------------------------------
+
+_CHUNK_CTE = (
+    "WITH corpus AS ({dup}), "
+    "toks AS (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS w "
+    "FROM corpus), "
+    "idx AS (SELECT doc_id, w, unnest(range(0, greatest("
+    "CAST(ceil(len(w) / 10.0) AS INT), 1))) AS i FROM toks), "
+    "c AS (SELECT doc_id, md5(array_to_string("
+    "list_slice(w, i * 10 + 1, i * 10 + 10), ' ')) AS h FROM idx), "
+    "firstseen AS (SELECT h, MIN(doc_id) AS first_doc FROM c GROUP BY h) "
+).format(dup=_DUP_CORPUS_SQL)
+
+
+@register(
+    "dedup_chunks",
+    oracle=(_CHUNK_CTE +
+            "SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks, "
+            "CAST(SUM(CASE WHEN firstseen.first_doc < c.doc_id "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks "
+            "FROM c JOIN firstseen USING (h) "
+            "GROUP BY c.doc_id ORDER BY doc_id"),
+    bench=True)
+def q_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document EXACT dedup at 10-word-chunk granularity (the
+    train-data shape of Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better": duplication lives INSIDE documents —
+    shared boilerplate, quoted passages — so whole-doc hashing misses
+    it). Each doc is chunked into fixed 10-word windows by a pure JVM
+    projection (split + transform/slice — zero shuffle, zero UDF); a
+    chunk in doc d is a cross-doc duplicate iff some doc with a smaller
+    id contains an identical chunk. Plan: chunk projection → groupBy
+    chunk-hash (shuffle 1, carries (md5, doc_id) pairs only, never
+    text) → hash-join chunks back to first-seen (shuffle 2) → per-doc
+    roll-up (shuffle 3). All three shuffles carry 16-byte hashes + ids —
+    at 100 TB the text never moves; this is the same
+    carry-hashes-not-bodies discipline as dedup_exact."""
+    d = (dup_corpus(spark, sf_dir)
+         .select("doc_id", F.split(F.trim("text"), " +").alias("w")))
+    n_chunks = F.greatest(F.ceil(F.size("w") / F.lit(10)).cast("int"),
+                          F.lit(1))
+    chunks = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), n_chunks - 1),
+                    lambda i: F.md5(
+                        F.array_join(F.slice("w", i * 10 + 1, 10), " "))))
+            .alias("h")))
+    firstseen = chunks.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        chunks.join(firstseen, "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+             F.sum((F.col("first_doc") < F.col("doc_id")).cast("int"))
+             .cast("bigint").alias("n_dup_chunks"))
+        .orderBy("doc_id"))
