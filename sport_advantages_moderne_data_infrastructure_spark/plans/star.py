@@ -272,6 +272,8 @@ def q_nation_pair_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "above_segment_avg_customers",
+    driver=False,  # rotated out r5 (green r1-r4; slot freed for
+    # interval_join_events' first gate row; pytest oracle parity continues)
     oracle=(
         "SELECT c_custkey, c_mktsegment, ROUND(c_acctbal, 2) AS acctbal "
         "FROM customer c WHERE c_acctbal > (SELECT AVG(c_acctbal) * 1.5 "

@@ -179,3 +179,45 @@ def q_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = doubled.dropDuplicates(["event_id", "ts", "user_id", "event_type", "value"])
     return d.agg(F.count(F.lit(1)).alias("n_rows"),
                  F.countDistinct("event_id").alias("n_ids"))
+
+
+@register(
+    "interval_join_events",
+    oracle=(
+        "WITH win AS (SELECT event_id AS incident_id, ts AS w_start, "
+        "ts + INTERVAL 15 MINUTE AS w_end FROM events "
+        "WHERE event_type = 'error' AND value >= 100) "
+        "SELECT w.incident_id, CAST(COUNT(*) AS BIGINT) AS n_events "
+        "FROM win w JOIN events e "
+        "ON e.ts >= w.w_start AND e.ts < w.w_end "
+        "GROUP BY w.incident_id ORDER BY incident_id"),
+    bench=True)
+def q_interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join with NO shared equi-key: count the events
+    inside each 15-minute incident window opened by a high-value error
+    event. The naive containment predicate would plan a
+    BroadcastNestedLoopJoin — O(events x windows); this runs through
+    operators/rangejoin.interval_join, which quantizes time into 900 s
+    buckets, explodes each window into the <= 2 buckets it overlaps, and
+    hash-equi-joins on the bucket id with the exact containment as a
+    residual filter (the equi-join reduction behind Databricks' range
+    join hint). A point has exactly one bucket, so no post-join dedup.
+    The oracle is DuckDB's native inequality join — same pairs, proving
+    the bucketed reduction loses/duplicates nothing."""
+    from ..operators.rangejoin import interval_join
+
+    e = load_table(spark, sf_dir, "events")
+    windows = (e.filter((F.col("event_type") == "error")
+                        & (F.col("value") >= 100))
+               .select(F.col("event_id").alias("incident_id"),
+                       F.col("ts").alias("w_start"),
+                       (F.col("ts") + F.expr("INTERVAL 15 MINUTES"))
+                       .alias("w_end")))
+    points = e.select(F.col("event_id").alias("p_event"),
+                      F.col("ts").alias("p_ts"))
+    pairs = interval_join(points, windows, point_ts="p_ts",
+                          start_ts="w_start", end_ts="w_end",
+                          bucket_seconds=900)
+    return (pairs.groupBy("incident_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+            .orderBy("incident_id"))

@@ -140,3 +140,27 @@ def test_ivf_assignment_has_no_window_shuffle(spark, sf_dir):
     import re
     plan = _plan(catalog.REGISTRY["ann_ivf_topk"].spark_fn(spark, sf_dir))
     assert len(re.findall(r"\(\d+\) Window\b", plan)) <= 1, plan
+
+
+def test_interval_join_is_equi_join_not_nested_loop(spark, sf_dir):
+    # the bucketed reduction must keep the containment join an equi join;
+    # BroadcastNestedLoopJoin means the raw theta join came back
+    plan = _plan(catalog.REGISTRY["interval_join_events"]
+                 .spark_fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Cartesian" not in plan, plan
+    assert ("BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
+            or "SortMergeJoin" in plan), plan
+
+
+def test_dedup_chunks_chunking_is_exchange_free_prefix(spark, sf_dir):
+    # the chunk projection (split + transform/slice + md5) must stay a
+    # pure map: the first Exchange in the plan may only be the
+    # chunk-hash aggregation, never a repartition of document text
+    plan = _plan(catalog.REGISTRY["dedup_chunks"].spark_fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # text column never crosses an exchange: every Exchange argument list
+    # carries only hashes/ids/counts
+    for line in plan.splitlines():
+        if line.strip().startswith("Arguments: hashpartitioning"):
+            assert "text" not in line, line
