@@ -784,3 +784,61 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids, cb, idx = ensure_ivfpq_index(spark, sf_dir)
     return PQ.ivfpq_topk(idx, _pq_queries(spark, sf_dir), centroids, cb,
                          nprobe=6)
+
+
+@register(
+    "semantic_dedup_prune",
+    # Oracle = brute-force pair SQL + greedy larger-id prune. Sound for
+    # the same reason as embedding_dedup_lsh's: the injected duplicates
+    # are bit-identical vectors, so their squared-L2 arrays to every
+    # centroid are identical, argmin picks the same centroid, and the
+    # cluster prefilter provably loses none of their pairs; any DISTINCT
+    # pair reaching 0.99 across a cluster boundary would hash-mismatch
+    # here — the gate doubles as the no-boundary-pairs proof for this
+    # corpus (the general case trades recall for the k-fold scan cut).
+    oracle=(
+        "WITH corpus AS ({nv}), "
+        "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e "
+        "FROM corpus), "
+        "pairs AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b "
+        "FROM v a JOIN v b ON a.vec_id < b.vec_id "
+        "WHERE list_dot_product(a.e, b.e) / "
+        "(sqrt(list_dot_product(a.e, a.e)) * "
+        "sqrt(list_dot_product(b.e, b.e))) >= 0.99) "
+        "SELECT DISTINCT vec_b AS pruned_vec_id FROM pairs "
+        "ORDER BY pruned_vec_id").format(nv=_NEAR_VEC_SQL))
+def q_semantic_dedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): embedding dedup
+    blocked by LEARNED k-means clusters instead of random hyperplanes —
+    assign every vector to its nearest IVF centroid (the SAME cached
+    centroid artifact the ANN paths share, one map-side projection, no
+    shuffle), generate candidate pairs only WITHIN a cluster via the
+    centroid_id equi-join, rerank with exact cosine >= 0.99, and prune
+    the larger id of each near-dup pair (greedy keep-first). Clusters
+    track the data distribution, so for semantically-clumped corpora the
+    candidate volume is k-fold smaller than hyperplane buckets of equal
+    count; the pair join stays a hash equi-join — all-pairs never
+    materializes. Complements embedding_dedup_lsh (data-oblivious
+    buckets) as the second scale path for embedding-space dedup."""
+    from ..operators.ivf import assign_centroids
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = e.unionAll(
+        e.filter(F.col("vec_id") % 13 == 0)
+        .select((F.col("vec_id") + 10000).alias("vec_id"), "embedding"))
+    centroids, _ = ensure_ivf_index(spark, sf_dir)
+    assigned = assign_centroids(
+        corpus.withColumn(
+            "nrm", F.sqrt(F.expr(dot_expr("embedding", "embedding")))),
+        centroids).select("vec_id", "embedding", "nrm", "centroid_id")
+    a, b = assigned.alias("a"), assigned.alias("b")
+    cos = (F.expr(dot_expr("a.embedding", "b.embedding"))
+           / (F.col("a.nrm") * F.col("b.nrm")))
+    return (
+        a.join(b, (F.col("a.centroid_id") == F.col("b.centroid_id"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .filter(cos >= 0.99)
+        .select(F.col("b.vec_id").alias("pruned_vec_id"))
+        .distinct()
+        .orderBy("pruned_vec_id"))

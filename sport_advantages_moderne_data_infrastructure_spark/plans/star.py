@@ -616,6 +616,8 @@ def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "min_cost_supplier",
+    driver=False,  # rotated out r5 (green r2-r4; slot freed for
+    # semantic_dedup_prune's first gate row; pytest oracle parity continues)
     oracle=(
         # correlated min-subquery, authored as a true correlation here —
         # DuckDB decorrelates it the same way the DataFrame twin is written

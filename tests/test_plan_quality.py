@@ -164,3 +164,13 @@ def test_dedup_chunks_chunking_is_exchange_free_prefix(spark, sf_dir):
     for line in plan.splitlines():
         if line.strip().startswith("Arguments: hashpartitioning"):
             assert "text" not in line, line
+
+
+def test_semantic_dedup_pair_join_is_equi_join(spark, sf_dir):
+    # cluster blocking must keep pair generation an equi join on
+    # centroid_id; a nested loop means all-pairs came back
+    plan = _plan(catalog.REGISTRY["semantic_dedup_prune"]
+                 .spark_fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert ("BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
+            or "SortMergeJoin" in plan), plan
