@@ -246,3 +246,82 @@ def test_ann_pq_scales_linearly(spark):
     t10 = _timed(lambda: run(M))
     ratio = _report("ann_pq_topk", n1, t1, -1, t10)
     assert ratio <= MAX_RATIO, f"superlinear: {ratio:.1f}x at {M}x corpus"
+
+
+def _chunk_dedup_over(docs: DataFrame) -> DataFrame:
+    # the dedup_chunks pipeline over an arbitrary corpus (the registered
+    # query binds the fixture corpus; scaling needs the scaled one)
+    d = docs.select("doc_id", F.split(F.trim("text"), " +").alias("w"))
+    n_chunks = F.greatest(F.ceil(F.size("w") / F.lit(10)).cast("int"),
+                          F.lit(1))
+    chunks = d.select(
+        "doc_id",
+        F.explode(F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.md5(F.array_join(F.slice("w", i * 10 + 1, 10), " "))))
+        .alias("h"))
+    firstseen = chunks.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    return (chunks.join(firstseen, "h")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_chunks"),
+                 F.sum((F.col("first_doc") < F.col("doc_id")).cast("int"))
+                 .alias("n_dup_chunks")))
+
+
+def test_dedup_chunks_scales_linearly(spark):
+    def run(m):
+        return _chunk_dedup_over(_scaled_docs(spark, m)).count()
+
+    n1 = run(1)
+    t1 = _timed(lambda: run(1))
+    n10 = run(M)
+    t10 = _timed(lambda: run(M))
+    assert _report("dedup_chunks", n1, t1, n10, t10) <= MAX_RATIO
+
+
+def _scaled_events_time_shifted(spark, m: int) -> DataFrame:
+    # copies shifted into DISJOINT 35-day spans: the interval workload
+    # (points x overlapping windows) then grows linearly in m — copies
+    # stacked into the SAME month would densify every bucket m-fold and
+    # the true pair count itself would be quadratic (a workload property,
+    # not an algorithmic regression)
+    base = load_table(spark, SF, "events").select(
+        "event_id", "ts", "event_type", "value")
+    copies = [
+        base.select(
+            (F.col("event_id") + i * 100_000_000).alias("event_id"),
+            (F.col("ts") + F.expr(f"INTERVAL {i * 35} DAYS")).alias("ts"),
+            "event_type", "value")
+        for i in range(m)
+    ]
+    df = copies[0]
+    for c in copies[1:]:
+        df = df.unionAll(c)
+    return df
+
+
+def test_interval_join_scales_linearly(spark):
+    from sport_advantages_moderne_data_infrastructure_spark.operators.rangejoin import (  # noqa: E501
+        interval_join,
+    )
+
+    def run(m):
+        e = _scaled_events_time_shifted(spark, m)
+        windows = (e.filter((F.col("event_type") == "error")
+                            & (F.col("value") >= 100))
+                   .select(F.col("event_id").alias("incident_id"),
+                           F.col("ts").alias("w_start"),
+                           (F.col("ts") + F.expr("INTERVAL 15 MINUTES"))
+                           .alias("w_end")))
+        points = e.select(F.col("event_id").alias("p_event"),
+                          F.col("ts").alias("p_ts"))
+        return (interval_join(points, windows, point_ts="p_ts",
+                              start_ts="w_start", end_ts="w_end",
+                              bucket_seconds=900)
+                .groupBy("incident_id").count().count())
+
+    n1 = run(1)
+    t1 = _timed(lambda: run(1))
+    n10 = run(M)
+    t10 = _timed(lambda: run(M))
+    assert _report("interval_join", n1, t1, n10, t10) <= MAX_RATIO
