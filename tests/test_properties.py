@@ -200,3 +200,74 @@ def test_txn_table_matches_snapshot_model(spark, ops, tmp_path_factory):
         got = Counter((r["id"], r["val"])
                       for r in t.read(spark, version=v).collect())
         assert got == m, f"time travel to v{v}"
+
+
+@given(
+    points=st.lists(st.integers(min_value=0, max_value=120), max_size=10),
+    intervals=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=120),
+                  st.integers(min_value=0, max_value=40)),
+        max_size=6),
+)
+@_settings
+def test_interval_join_matches_brute_force(spark, points, intervals):
+    """The bucketed interval join must emit EXACTLY the containment
+    pairs (start <= ts < end), each exactly once — bucket width 30 s
+    over a 0..160 s span so intervals straddle buckets, including
+    zero-length and multi-bucket intervals."""
+    import datetime as dt
+
+    from sport_advantages_moderne_data_infrastructure_spark.operators.rangejoin import (  # noqa: E501
+        interval_join,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+
+    def ts(s):
+        return base + dt.timedelta(seconds=s)
+
+    prows = [(i, ts(s)) for i, s in enumerate(points)]
+    irows = [(j, ts(s), ts(s + d)) for j, (s, d) in enumerate(intervals)]
+    want = sorted((i, j) for i, pt in prows for j, s, e in irows
+                  if s <= pt < e)
+    if not prows or not irows:
+        return
+    p = spark.createDataFrame(prows, "pid int, p_ts timestamp")
+    iv = spark.createDataFrame(irows,
+                               "iid int, w_start timestamp, w_end timestamp")
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in interval_join(p, iv, point_ts="p_ts", start_ts="w_start",
+                               end_ts="w_end", bucket_seconds=30)
+        .select("pid", "iid").collect())
+    assert got == want
+
+
+@given(words=st.lists(
+    st.sampled_from(["alpha", "beta", "gamma", "delta"]), max_size=25))
+@_settings
+def test_dedup_chunk_boundaries_match_reference(spark, words):
+    """Chunking must agree with the obvious Python reference: 10-word
+    windows, stride 10, last chunk short, empty text = one chunk."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    text = " ".join(words)
+    ws = text.strip().split() if text.strip() else [""]
+    # reference: Spark's split('', ' +') yields [''] for empty text
+    ref = [" ".join(ws[i:i + 10]) for i in range(0, len(ws), 10)] or [""]
+    want = sorted(hashlib.md5(c.encode()).hexdigest() for c in ref)
+
+    d = spark.createDataFrame([(0, text)], "doc_id long, text string") \
+        .select("doc_id", F.split(F.trim("text"), " +").alias("w"))
+    n_chunks = F.greatest(F.ceil(F.size("w") / F.lit(10)).cast("int"),
+                          F.lit(1))
+    got = sorted(
+        r["h"] for r in d.select(
+            F.explode(F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.md5(
+                    F.array_join(F.slice("w", i * 10 + 1, 10), " "))))
+            .alias("h")).collect())
+    assert got == want
