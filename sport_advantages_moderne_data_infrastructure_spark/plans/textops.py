@@ -835,6 +835,8 @@ _LANGS = [("en", " the "), ("es", " de "), ("fr", " le "), ("zh", " zh ")]
 
 @register(
     "lang_id_heuristic",
+    driver=False,  # rotated out r5 (green r2-r4; slot freed for
+    # unigram_surprisal_score's first gate row; pytest parity continues)
     oracle=(
         "WITH scored AS (SELECT doc_id, lang, "
         + ", ".join(
@@ -1171,3 +1173,49 @@ def q_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum((F.col("first_doc") < F.col("doc_id")).cast("int"))
              .cast("bigint").alias("n_dup_chunks"))
         .orderBy("doc_id"))
+
+
+@register(
+    "unigram_surprisal_score",
+    oracle=(
+        "WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array("
+        "trim(text), ' +')) AS tok FROM documents), "
+        "t AS (SELECT doc_id, tok FROM toks WHERE tok <> ''), "
+        "cnt AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM t "
+        "GROUP BY tok), "
+        "tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM t) "
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, "
+        "CAST(SUM(n // c) AS BIGINT) AS surprisal_sum, "
+        "ROUND(CAST(SUM(n // c) AS DOUBLE) / COUNT(*), 4) "
+        "AS mean_surprisal "
+        "FROM t JOIN cnt USING (tok) CROSS JOIN tot "
+        "GROUP BY doc_id ORDER BY doc_id"))
+def q_unigram_surprisal_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring, CCNet-flavored: score each document
+    by the mean INVERSE unigram frequency of its tokens under the
+    corpus' own unigram model (a doc of corpus-rare tokens scores high —
+    gibberish/OCR noise; a doc of stopwords scores ~1). The per-token
+    surprisal proxy is the INTEGER-floored N/count(tok) (``div``), so
+    the per-doc sum is exact bigint arithmetic — order-independent under
+    parallel aggregation and bit-identical cross-engine, where a
+    ln-probability sum would drift by libm ulps and summation order
+    (the repo-wide log-free discipline; cf. tfidf_top_terms). Shape:
+    token explode → unigram counts (shuffle 1) → broadcast count join →
+    per-doc rollup (shuffle 2); the unigram table is the only broadcast
+    state and the shuffles carry (tok, ids/counts) — linear at corpus
+    scale, vocab-bounded broadcast."""
+    d = load_table(spark, sf_dir, "documents")
+    t = (d.select("doc_id",
+                  F.explode(F.split(F.trim("text"), " +")).alias("tok"))
+         .filter(F.col("tok") != ""))
+    cnt = t.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    n_total = t.count()  # index-build-style scalar, one job
+    scored = t.join(F.broadcast(cnt), "tok").select(
+        "doc_id", F.expr(f"{n_total} div c").alias("surprisal"))
+    return (scored.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+                 F.sum("surprisal").cast("bigint").alias("surprisal_sum"))
+            .select("doc_id", "n_tokens", "surprisal_sum",
+                    F.round(F.col("surprisal_sum").cast("double")
+                            / F.col("n_tokens"), 4).alias("mean_surprisal"))
+            .orderBy("doc_id"))
