@@ -325,3 +325,40 @@ def test_interval_join_scales_linearly(spark):
     n10 = run(M)
     t10 = _timed(lambda: run(M))
     assert _report("interval_join", n1, t1, n10, t10) <= MAX_RATIO
+
+
+def test_semantic_dedup_scales_linearly_with_scaled_k(spark):
+    """SemDeDup's candidate volume is sum(cluster_size^2): with k FIXED a
+    10x corpus makes every cluster 10x bigger and candidates 100x — so
+    the production discipline (SemDeDup uses ~10^5 clusters at web
+    scale) is k ∝ corpus, holding E[cluster size] constant. Measured
+    here: k=16 at 1x vs k=160 at 10x, centroids retrained per scale on
+    the bounded sample (training is constant-cost by design)."""
+    from sport_advantages_moderne_data_infrastructure_spark.functions.vectors import (  # noqa: E501
+        dot_expr,
+    )
+    from sport_advantages_moderne_data_infrastructure_spark.operators.ivf import (
+        assign_centroids,
+        train_centroids,
+    )
+
+    def run(m):
+        corpus = _scaled_embeddings(spark, m)
+        cents = train_centroids(corpus, k=16 * m, max_iter=4)
+        assigned = assign_centroids(
+            corpus.withColumn(
+                "nrm", F.sqrt(F.expr(dot_expr("embedding", "embedding")))),
+            cents).select("vec_id", "embedding", "nrm", "centroid_id")
+        a, b = assigned.alias("a"), assigned.alias("b")
+        cos = (F.expr(dot_expr("a.embedding", "b.embedding"))
+               / (F.col("a.nrm") * F.col("b.nrm")))
+        return (a.join(b, (F.col("a.centroid_id") == F.col("b.centroid_id"))
+                       & (F.col("a.vec_id") < F.col("b.vec_id")))
+                .filter(cos >= 0.99)
+                .select(F.col("b.vec_id")).distinct().count())
+
+    n1 = run(1)
+    t1 = _timed(lambda: run(1))
+    n10 = run(M)
+    t10 = _timed(lambda: run(M))
+    assert _report("semantic_dedup", n1, t1, n10, t10) <= MAX_RATIO
