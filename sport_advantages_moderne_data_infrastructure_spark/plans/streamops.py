@@ -221,3 +221,51 @@ def q_interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (pairs.groupBy("incident_id")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
             .orderBy("incident_id"))
+
+
+# rule suite for the quarantine path — rules_from_config shape, shared
+# Spark/DuckDB predicate subset; 'error' events and short props violate
+# at every sf, so the gate rows are never vacuous
+QUARANTINE_RULES: list[tuple[str, str]] = [
+    ("value_between_0_400",
+     "value IS NOT NULL AND (value < 0 OR value > 400)"),
+    ("props_min_length_9", "props IS NOT NULL AND length(props) < 9"),
+    ("event_type_known",
+     "event_type IS NOT NULL AND event_type NOT IN "
+     "('click', 'view', 'purchase', 'signup')"),
+]
+
+
+@register(
+    "stream_quarantine_batch_twin",
+    oracle=(
+        "SELECT event_id, concat_ws(',', "
+        "CASE WHEN value IS NOT NULL AND (value < 0 OR value > 400) "
+        "THEN 'value_between_0_400' END, "
+        "CASE WHEN props IS NOT NULL AND length(props) < 9 "
+        "THEN 'props_min_length_9' END, "
+        "CASE WHEN event_type IS NOT NULL AND event_type NOT IN "
+        "('click', 'view', 'purchase', 'signup') "
+        "THEN 'event_type_known' END) AS violations "
+        "FROM events "
+        "WHERE (value IS NOT NULL AND (value < 0 OR value > 400)) "
+        "OR (props IS NOT NULL AND length(props) < 9) "
+        "OR (event_type IS NOT NULL AND event_type NOT IN "
+        "('click', 'view', 'purchase', 'signup')) "
+        "ORDER BY event_id"))
+def q_stream_quarantine_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming quarantine split (streaming/quality.py) gated
+    through the hash oracle as a batch twin: the SAME split_quarantine
+    the foreachBatch sink runs, applied to the events table — the
+    quarantined rows with their comma-joined violation list must match
+    a DuckDB recomputation of every predicate (concat_ws skips the
+    NULL arms identically in both engines, so the violation STRING is
+    order- and content-exact, not just the row set). The tagging is a
+    pure projection — zero exchanges before the final ORDER BY."""
+    from ..streaming.quality import split_quarantine
+
+    e = load_table(spark, sf_dir, "events")
+    _, bad = split_quarantine(e, QUARANTINE_RULES)
+    return (bad.select("event_id",
+                       F.array_join("violations", ",").alias("violations"))
+            .orderBy("event_id"))

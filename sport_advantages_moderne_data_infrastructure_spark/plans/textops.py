@@ -773,6 +773,8 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "token_count_regex",
+    driver=False,  # rotated out r5 (green r2-r4; slot freed for
+    # stream_quarantine_batch_twin's first gate row; pytest parity continues)
     oracle=(
         "SELECT doc_id, "
         "CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) "

@@ -449,3 +449,58 @@ def test_interval_join_stream_static_equals_batch(spark, sf_dir,
                                bucket_seconds=900)
         .select("p_event", "incident_id").collect())
     assert got and got == want
+
+
+def test_stream_quarantine_routes_and_is_exactly_once(spark, sf_dir,
+                                                      tmp_path):
+    """Dead-letter routing: clean rows -> target, violating rows (tagged
+    with their failed expectations) -> quarantine; the two tables
+    partition the input exactly, and a restart on the same checkpoint
+    grows neither (per-table replay guards)."""
+    from pyspark.sql import functions as F
+
+    from sport_advantages_moderne_data_infrastructure_spark.plans.streamops import (  # noqa: E501
+        QUARANTINE_RULES,
+    )
+    from sport_advantages_moderne_data_infrastructure_spark.sources.txnlog import (
+        TxnTable,
+    )
+    from sport_advantages_moderne_data_infrastructure_spark.streaming.quality import (  # noqa: E501
+        split_quarantine,
+        write_stream_quarantine,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "src")
+    events.repartition(4).write.parquet(src)
+    target, quar = str(tmp_path / "clean"), str(tmp_path / "quar")
+    ckpt = str(tmp_path / "ck")
+
+    def run():
+        stream = (spark.readStream.schema(events.schema)
+                  .option("maxFilesPerTrigger", "2").parquet(src))
+        q = write_stream_quarantine(stream, QUARANTINE_RULES, target, quar,
+                                    ckpt, app_id="quartest")
+        q.awaitTermination(180)
+
+    run()
+    clean = TxnTable(target).read(spark)
+    bad = TxnTable(quar).read(spark)
+    n_clean, n_bad = clean.count(), bad.count()
+    want_clean, want_bad = split_quarantine(events, QUARANTINE_RULES)
+    assert n_bad > 0  # rules bite on this corpus
+    assert n_clean == want_clean.count()
+    assert n_bad == want_bad.count()
+    assert n_clean + n_bad == events.count()
+    # row-exact: quarantined ids and their violation tags match batch
+    got = {(r["event_id"], r["violations"]) for r in
+           bad.select("event_id", "violations").collect()}
+    want = {(r["event_id"], r["v"]) for r in
+            want_bad.select(
+                "event_id",
+                F.array_join("violations", ",").alias("v")).collect()}
+    assert got == want
+    # restart on the same checkpoint: no growth on either leg
+    run()
+    assert TxnTable(target).read(spark).count() == n_clean
+    assert TxnTable(quar).read(spark).count() == n_bad
