@@ -1600,21 +1600,50 @@ class TxnTable:
         """Z-order ``df`` into ``target_dirs`` new commit dirs; returns
         their rel paths (caller commits)."""
         from pyspark.sql import functions as F
-        from pyspark.sql.types import NumericType
+        from pyspark.sql.types import (
+            DateType,
+            NumericType,
+            StringType,
+            TimestampType,
+        )
 
+        orderable = (NumericType, StringType, DateType, TimestampType)
         bad = [c for c in cluster_by
-               if not isinstance(df.schema[c].dataType, NumericType)]
+               if not isinstance(df.schema[c].dataType, orderable)]
         if bad:
             raise ValueError(
-                f"zorder columns must be numeric (quantile-rank codes "
-                f"come from approxQuantile): {bad} — cast dates/"
-                "timestamps to epoch numbers first; string equality "
-                "probes are the bloom index's job "
+                f"zorder columns must be numeric, string, date or "
+                f"timestamp (quantile-rank codes need an ordered "
+                f"domain): {bad} — equality probes on unordered "
+                "columns are the bloom index's job "
                 "(enable_bloom/read_point)")
 
         n_cells = 1 << bits
         probs = [i / n_cells for i in range(1, n_cells)]
-        all_bounds = df.approxQuantile(cluster_by, probs, 0.001)
+        num_cols = [c for c in cluster_by
+                    if isinstance(df.schema[c].dataType, NumericType)]
+        num_bounds = dict(zip(
+            num_cols, df.approxQuantile(num_cols, probs, 0.001)
+        )) if num_cols else {}
+
+        def _sampled_bounds(col: str) -> list:
+            # approxQuantile is numeric-only; strings/dates take their
+            # cell boundaries from a bounded DETERMINISTIC row sample
+            # (TakeOrdered on a row hash — frequency-weighted, so cells
+            # stay equal-population under value skew; same bounded-
+            # sample discipline as IVF centroid training)
+            rows = (df.select(F.col(col).alias("v"),
+                              F.xxhash64(*df.columns).alias("h"))
+                    .where(F.col(col).isNotNull())
+                    .orderBy("h").limit(4096).collect())
+            vals = sorted(r["v"] for r in rows)
+            if not vals:
+                return []
+            return [vals[min(len(vals) - 1, (len(vals) * i) // n_cells)]
+                    for i in range(1, n_cells)]
+
+        all_bounds = [num_bounds[c] if c in num_bounds
+                      else _sampled_bounds(c) for c in cluster_by]
         zexpr = F.lit(0).cast("long")
         for ci, (col, bounds) in enumerate(zip(cluster_by, all_bounds)):
             bounds = sorted(set(bounds))

@@ -2078,11 +2078,39 @@ def test_row_op_rebases_over_concurrent_append(spark, tmp_path):
         TxnTable.commit = orig_commit
 
 
-def test_compact_zorder_rejects_non_numeric(spark, tmp_path):
+def test_compact_zorder_rejects_unordered_types(spark, tmp_path):
     t = TxnTable(str(tmp_path / "t"))
-    t.append(_df(spark, [(1, "a")]))
-    with pytest.raises(ValueError, match="must be numeric"):
-        t.compact_zorder(spark, ["id", "val"], target_dirs=2)
+    df = spark.createDataFrame([(1, ["a"])], "id long, tags array<string>")
+    t.append(df)
+    with pytest.raises(ValueError, match="must be numeric, string"):
+        t.compact_zorder(spark, ["id", "tags"], target_dirs=2)
+
+
+def test_compact_zorder_string_column_prunes(spark, tmp_path):
+    """Delta's OPTIMIZE ZORDER BY accepts string columns; ours takes the
+    string cell boundaries from a bounded deterministic row sample
+    (approxQuantile is numeric-only). After zordering on (num, str),
+    a range probe on the STRING column must prune dirs and read_range
+    must equal the plain filter exactly."""
+    from pyspark.sql import functions as F
+
+    t = TxnTable(str(tmp_path / "t"))
+    df = spark.range(0, 4000).select(
+        F.col("id"),
+        F.concat(F.lit("user_"),
+                 F.lpad((F.col("id") * 2654435761 % 4000)
+                        .cast("string"), 5, "0")).alias("name"))
+    t.append(df)
+    t.compact_zorder(spark, ["id", "name"], target_dirs=8)
+    pruned = t.pruned_dirs("name", "user_01000", "user_01499")
+    live = t.snapshot_dirs(t.latest_version())
+    assert len(pruned) < len(live), (len(pruned), len(live))
+    got = sorted(r["name"] for r in t.read_range(
+        spark, "name", "user_01000", "user_01499").collect())
+    want = sorted(r["name"] for r in t.read(spark).filter(
+        (F.col("name") >= "user_01000")
+        & (F.col("name") <= "user_01499")).collect())
+    assert got == want and got
 
 
 def test_protocol_versioning(spark, tmp_path):
