@@ -502,3 +502,55 @@ def q_scalar_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("t") == 0, 1)).alias("n_employees"),
         F.count(F.when(F.col("t") == 1, 1)).alias("n_validations"),
         F.count(F.when(F.col("t") == 2, 1)).alias("n_activities"))
+
+
+# --- SCD2 dimension build from the change stream ---------------------------
+# The reference lands CDC rows as a flat append-only activity table
+# (spark/SaveDelta.scala:157-163); any BI consumer that wants "what was
+# the employee's sport at time T" needs the type-2 slowly-changing
+# dimension over that stream. Built here batch-side from the same
+# sport_activities fixture the CDC parse produces — per-key ordered
+# change detection (lag) then interval closing (lead), the canonical
+# SCD2 derivation.
+
+_SCD2_SQL = (
+    "WITH ord AS (SELECT id_employee, sport_type, start_datetime, id, "
+    "lag(sport_type) OVER (PARTITION BY id_employee "
+    "ORDER BY start_datetime, id) AS prev_type FROM sport_activities), "
+    "chg AS (SELECT id_employee, sport_type, start_datetime, id FROM ord "
+    "WHERE prev_type IS NULL OR prev_type <> sport_type) "
+    "SELECT id_employee, sport_type, start_datetime AS valid_from, "
+    "lead(start_datetime) OVER w AS valid_to, "
+    "CAST(lead(start_datetime) OVER w IS NULL AS INT) AS is_current "
+    "FROM chg WINDOW w AS (PARTITION BY id_employee "
+    "ORDER BY start_datetime, id) "
+    "ORDER BY id_employee, valid_from")
+
+
+@register("scd2_employee_sport_dim", oracle=W(_SCD2_SQL),
+          tags=("J3", "F4"))
+def q_scd2_employee_sport_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing dimension from the activity change stream:
+    one row per (employee, sport_type) run with [valid_from, valid_to)
+    validity and an is_current flag. Two window functions over the SAME
+    (id_employee | start_datetime, id) sort — Catalyst plans ONE
+    exchange + ONE sort, then lag for change detection and lead (after
+    the change filter) for interval closing. The partition key is the
+    high-cardinality entity id, so the shuffle is uniform and the plan
+    is unchanged at 1000 executors; no self-join, no global sort."""
+    from pyspark.sql import Window as Wn
+    from pyspark.sql import functions as F
+
+    a = D.sport_activities(spark, sf_dir).select(
+        "id_employee", "sport_type", "start_datetime", "id")
+    w = Wn.partitionBy("id_employee").orderBy("start_datetime", "id")
+    chg = (a.withColumn("prev_type", F.lag("sport_type").over(w))
+           .filter(F.col("prev_type").isNull()
+                   | (F.col("prev_type") != F.col("sport_type"))))
+    return (chg.withColumn("valid_to", F.lead("start_datetime").over(w))
+            .select("id_employee", "sport_type",
+                    F.col("start_datetime").alias("valid_from"),
+                    "valid_to",
+                    F.col("valid_to").isNull().cast("int")
+                    .alias("is_current"))
+            .orderBy("id_employee", "valid_from"))

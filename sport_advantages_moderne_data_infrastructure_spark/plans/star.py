@@ -764,7 +764,9 @@ def q_order_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "repeat_buyers_intersect",  # promoted into the driver window r3
+    "repeat_buyers_intersect",  # gated green r3+r4; slot rotated to
+    # scd2_employee_sport_dim late r5 (pytest oracle parity continues)
+    driver=False,
     oracle=(
         "SELECT o_custkey AS custkey FROM orders "
         "WHERE year(o_orderdate) = 1996 "
@@ -813,7 +815,9 @@ def q_customer_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "doc_length_histogram",  # promoted into the driver window r3
+    "doc_length_histogram",  # gated green r3+r4; slot rotated to
+    # mixture_token_budget late r5 (pytest oracle parity continues)
+    driver=False,
     oracle=(
         "SELECT CAST(FLOOR(n_chars / 50) AS BIGINT) AS bucket, "
         "CAST(COUNT(*) AS BIGINT) AS n_docs, "

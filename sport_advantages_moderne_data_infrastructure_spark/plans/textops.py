@@ -1221,3 +1221,91 @@ def q_unigram_surprisal_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("surprisal_sum").cast("double")
                             / F.col("n_tokens"), 4).alias("mean_surprisal"))
             .orderBy("doc_id"))
+
+
+# --- mixture sampling to a token budget ------------------------------------
+# The data-mixing step of a training run: given target weights per
+# source, select documents per source (by stable-hash priority) until
+# each source's share of a global token budget is filled. The selection
+# threshold is a CUMULATIVE token sum per source — computed with the
+# two-level distributed prefix sum (per-(source, bucket) partials, then
+# a tiny prefix table of bucket offsets) so no source ever needs a
+# single-partition sort, no matter how many documents it holds.
+
+# weight(srcN): N % 7 == 0 -> 0 (excluded from the mixture entirely),
+# else 1 + N % 3 (weights 1..3). Derived from the source name so both
+# engines compute it from the same string.
+_MIX_W_SPARK = ("CASE WHEN CAST(substring(source, 4, 8) AS INT) % 7 = 0 "
+                "THEN 0 ELSE 1 + CAST(substring(source, 4, 8) AS INT) % 3 "
+                "END")
+_MIX_W_DUCK = ("CASE WHEN CAST(substr(source, 4) AS INT) % 7 = 0 "
+               "THEN 0 ELSE 1 + CAST(substr(source, 4) AS INT) % 3 END")
+
+
+@register(
+    "mixture_token_budget",
+    oracle=(
+        "WITH d AS (SELECT doc_id, source, "
+        "CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT) "
+        "AS n_tokens, md5(CAST(doc_id AS VARCHAR)) AS pri FROM documents), "
+        f"s AS (SELECT source, SUM(n_tokens) AS src_tok, {_MIX_W_DUCK} "
+        "AS w FROM d GROUP BY source), "
+        "tot AS (SELECT SUM(src_tok) AS t, SUM(w) AS tw FROM s), "
+        "quota AS (SELECT source, CAST(((t // 2) * w) // tw AS BIGINT) "
+        "AS quota_tokens FROM s CROSS JOIN tot), "
+        "c AS (SELECT doc_id, source, n_tokens, "
+        "SUM(n_tokens) OVER (PARTITION BY source ORDER BY pri, doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens "
+        "FROM d) "
+        "SELECT doc_id, source, n_tokens, "
+        "CAST(cum_tokens AS BIGINT) AS cum_tokens, quota_tokens "
+        "FROM c JOIN quota USING (source) "
+        "WHERE cum_tokens <= quota_tokens ORDER BY doc_id"))
+def q_mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted mixture sampling to a global token budget (half the
+    corpus' tokens, split across sources by weight). Selection order
+    within a source is the stable md5(doc_id) priority — deterministic
+    under any partitioning — and the cumulative token count that decides
+    the cut is the classic two-level distributed prefix sum: (1) docs
+    aggregate into per-(source, md5-prefix-bucket) token partials —
+    a uniform fine-grained shuffle; (2) the 256-bucket-per-source
+    partial table (tiny, driver-scale) gets per-bucket offsets via a
+    window; (3) offsets broadcast back and each (source, bucket)
+    partition computes offset + within-bucket running sum. Ordering by
+    (bucket, pri) == ordering by pri since the bucket IS pri's prefix,
+    so the oracle's single-window cumsum is exactly equivalent. At
+    100 TB the only big shuffle keys are (source, bucket) — 256× finer
+    than a per-source window, which would serialize each source through
+    one task. Weight-0 sources get quota 0 and drop out entirely."""
+    from pyspark.sql import Window as Wn
+
+    d = (load_table(spark, sf_dir, "documents")
+         .select("doc_id", "source",
+                 F.size(F.split(F.trim("text"), " +")).cast("bigint")
+                 .alias("n_tokens"),
+                 F.md5(F.col("doc_id").cast("string")).alias("pri"))
+         .withColumn("bkt", F.substring("pri", 1, 2)))
+    s = (d.groupBy("source").agg(F.sum("n_tokens").alias("src_tok"))
+         .withColumn("w", F.expr(_MIX_W_SPARK)))
+    tot = s.agg(F.sum("src_tok").alias("t"), F.sum("w").alias("tw"))
+    quota = (s.crossJoin(F.broadcast(tot))
+             .select("source",
+                     F.expr("((t div 2) * w) div tw").cast("bigint")
+                     .alias("quota_tokens")))
+    btot = d.groupBy("source", "bkt").agg(F.sum("n_tokens").alias("btok"))
+    w_off = (Wn.partitionBy("source").orderBy("bkt")
+             .rowsBetween(Wn.unboundedPreceding, -1))
+    off = btot.select(
+        "source", "bkt",
+        F.coalesce(F.sum("btok").over(w_off), F.lit(0)).alias("off"))
+    w_cum = (Wn.partitionBy("source", "bkt").orderBy("pri", "doc_id")
+             .rowsBetween(Wn.unboundedPreceding, 0))
+    return (d.join(F.broadcast(off), ["source", "bkt"])
+            .withColumn("cum_tokens",
+                        (F.col("off") + F.sum("n_tokens").over(w_cum))
+                        .cast("bigint"))
+            .join(F.broadcast(quota), "source")
+            .filter(F.col("cum_tokens") <= F.col("quota_tokens"))
+            .select("doc_id", "source", "n_tokens", "cum_tokens",
+                    "quota_tokens")
+            .orderBy("doc_id"))
