@@ -538,19 +538,28 @@ def q_scd2_employee_sport_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     the change filter) for interval closing. The partition key is the
     high-cardinality entity id, so the shuffle is uniform and the plan
     is unchanged at 1000 executors; no self-join, no global sort."""
+    a = D.sport_activities(spark, sf_dir).select(
+        "id_employee", "sport_type", "start_datetime", "id")
+    return scd2_runs(a, key="id_employee", attr="sport_type",
+                     ts="start_datetime", tie="id")
+
+
+def scd2_runs(df: DataFrame, key: str, attr: str, ts: str,
+              tie: str) -> DataFrame:
+    """Generic SCD2 derivation over any (key, attr, ts, tie) change
+    stream — the core of q_scd2_employee_sport_dim, reused by the 10×
+    scaling stress over a synthetic change stream."""
     from pyspark.sql import Window as Wn
     from pyspark.sql import functions as F
 
-    a = D.sport_activities(spark, sf_dir).select(
-        "id_employee", "sport_type", "start_datetime", "id")
-    w = Wn.partitionBy("id_employee").orderBy("start_datetime", "id")
-    chg = (a.withColumn("prev_type", F.lag("sport_type").over(w))
-           .filter(F.col("prev_type").isNull()
-                   | (F.col("prev_type") != F.col("sport_type"))))
-    return (chg.withColumn("valid_to", F.lead("start_datetime").over(w))
-            .select("id_employee", "sport_type",
-                    F.col("start_datetime").alias("valid_from"),
+    w = Wn.partitionBy(key).orderBy(ts, tie)
+    chg = (df.withColumn("__prev", F.lag(attr).over(w))
+           .filter(F.col("__prev").isNull()
+                   | (F.col("__prev") != F.col(attr))))
+    return (chg.withColumn("valid_to", F.lead(ts).over(w))
+            .select(key, attr,
+                    F.col(ts).alias("valid_from"),
                     "valid_to",
                     F.col("valid_to").isNull().cast("int")
                     .alias("is_current"))
-            .orderBy("id_employee", "valid_from"))
+            .orderBy(key, "valid_from"))

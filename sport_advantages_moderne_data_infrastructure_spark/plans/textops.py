@@ -1277,9 +1277,15 @@ def q_mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the only big shuffle keys are (source, bucket) — 256× finer
     than a per-source window, which would serialize each source through
     one task. Weight-0 sources get quota 0 and drop out entirely."""
+    return mixture_select(load_table(spark, sf_dir, "documents"))
+
+
+def mixture_select(docs: DataFrame) -> DataFrame:
+    """Core of the mixture sampler over a (doc_id, source, text) frame —
+    reused by the registered query and the 10× scaling stress."""
     from pyspark.sql import Window as Wn
 
-    d = (load_table(spark, sf_dir, "documents")
+    d = (docs
          .select("doc_id", "source",
                  F.size(F.split(F.trim("text"), " +")).cast("bigint")
                  .alias("n_tokens"),

@@ -362,3 +362,61 @@ def test_semantic_dedup_scales_linearly_with_scaled_k(spark):
     n10 = run(M)
     t10 = _timed(lambda: run(M))
     assert _report("semantic_dedup", n1, t1, n10, t10) <= MAX_RATIO
+
+
+def test_scd2_scales_linearly(spark):
+    """SCD2 is one keyed window pass: 10x events over 10x disjoint
+    employees must stay ~linear (the partition key is the entity id, so
+    parallelism grows WITH the corpus)."""
+    from sport_advantages_moderne_data_infrastructure_spark.plans.core import (
+        scd2_runs,
+    )
+
+    def run(m):
+        e = _scaled_events(spark, m)
+        stream = e.select(F.col("user_id").alias("id_employee"),
+                          F.col("event_type").alias("sport_type"),
+                          F.col("ts").alias("start_datetime"),
+                          F.col("event_id").alias("id"))
+        return scd2_runs(stream, key="id_employee", attr="sport_type",
+                         ts="start_datetime", tie="id").count()
+
+    n1 = run(1)
+    t1 = _timed(lambda: run(1))
+    n10 = run(M)
+    t10 = _timed(lambda: run(M))
+    assert _report("scd2_runs", n1, t1, n10, t10) <= MAX_RATIO
+
+
+def test_mixture_select_scales_linearly(spark):
+    """Mixture sampling is two keyed aggregations plus a per-(source,
+    bucket) window: 10x docs over 10x disjoint sources must stay
+    ~linear. Sources scale as src(idx + 20*i) so the weight parse and
+    the per-source doc distribution are preserved per copy."""
+    from sport_advantages_moderne_data_infrastructure_spark.plans.textops import (  # noqa: E501
+        mixture_select,
+    )
+
+    def run(m):
+        base = load_table(spark, SF, "documents").select(
+            "doc_id", "source", "text")
+        copies = [
+            base.select(
+                (F.col("doc_id") + i * 10_000_000).alias("doc_id"),
+                F.concat(F.lit("src"),
+                         (F.expr("CAST(substring(source, 4, 8) AS INT)")
+                          + F.lit(i * 20)).cast("string")).alias("source"),
+                F.translate("text", _ALPHA,
+                            _ALPHA[i:] + _ALPHA[:i]).alias("text"))
+            for i in range(m)
+        ]
+        df = copies[0]
+        for c in copies[1:]:
+            df = df.unionAll(c)
+        return mixture_select(df).count()
+
+    n1 = run(1)
+    t1 = _timed(lambda: run(1))
+    n10 = run(M)
+    t10 = _timed(lambda: run(M))
+    assert _report("mixture_select", n1, t1, n10, t10) <= MAX_RATIO
