@@ -35,6 +35,8 @@ COSTS = {
     "test_multimodal.py": 40,
     "test_properties.py": 40,
     "test_pipeline.py": 30,
+    "test_streaming_scd2.py": 25,
+    "test_scd2_mixture.py": 16,
 }
 
 
