@@ -528,7 +528,8 @@ _SCD2_SQL = (
 
 
 @register("scd2_employee_sport_dim", oracle=W(_SCD2_SQL),
-          tags=("J3", "F4"))
+          tags=("J3", "F4"),
+          bench=True)  # reports under added_queries; core set stays frozen
 def q_scd2_employee_sport_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Type-2 slowly-changing dimension from the activity change stream:
     one row per (employee, sport_type) run with [valid_from, valid_to)

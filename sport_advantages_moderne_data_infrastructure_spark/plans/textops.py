@@ -1244,6 +1244,7 @@ _MIX_W_DUCK = ("CASE WHEN CAST(substr(source, 4) AS INT) % 7 = 0 "
 
 @register(
     "mixture_token_budget",
+    bench=True,  # reports under added_queries; core set stays frozen
     oracle=(
         "WITH d AS (SELECT doc_id, source, "
         "CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT) "
@@ -1276,7 +1277,13 @@ def q_mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the oracle's single-window cumsum is exactly equivalent. At
     100 TB the only big shuffle keys are (source, bucket) — 256× finer
     than a per-source window, which would serialize each source through
-    one task. Weight-0 sources get quota 0 and drop out entirely."""
+    one task. Weight-0 sources get quota 0 and drop out entirely.
+
+    Multi-pass note: the quota/offset sides re-aggregate the corpus, so
+    the executed plan tokenizes it ~3×. At 100 TB you'd materialize the
+    (doc_id, source, n_tokens, pri) projection once — ~1% of corpus
+    bytes, the same store-the-derived-column discipline as the minhash/
+    SQ8 index artifacts — and every pass after the first reads that."""
     return mixture_select(load_table(spark, sf_dir, "documents"))
 
 
@@ -1293,11 +1300,12 @@ def mixture_select(docs: DataFrame) -> DataFrame:
          .withColumn("bkt", F.substring("pri", 1, 2)))
     s = (d.groupBy("source").agg(F.sum("n_tokens").alias("src_tok"))
          .withColumn("w", F.expr(_MIX_W_SPARK)))
-    tot = s.agg(F.sum("src_tok").alias("t"), F.sum("w").alias("tw"))
-    quota = (s.crossJoin(F.broadcast(tot))
-             .select("source",
-                     F.expr("((t div 2) * w) div tw").cast("bigint")
-                     .alias("quota_tokens")))
+    # global totals via an unpartitioned window over the tiny per-source
+    # table (|sources| rows) — exact integer div, no scalar cross join
+    quota = s.selectExpr(
+        "source",
+        "CAST(((SUM(src_tok) OVER () div 2) * w) div (SUM(w) OVER ()) "
+        "AS BIGINT) AS quota_tokens")
     btot = d.groupBy("source", "bkt").agg(F.sum("n_tokens").alias("btok"))
     w_off = (Wn.partitionBy("source").orderBy("bkt")
              .rowsBetween(Wn.unboundedPreceding, -1))
