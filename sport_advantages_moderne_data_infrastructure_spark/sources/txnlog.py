@@ -1094,6 +1094,59 @@ class TxnTable:
         return self.commit([self._write_data(df)], live, meta,
                            expected_version=base)
 
+    def clone(self, dest: str, version: int | None = None) -> "TxnTable":
+        """CLONE (Delta's ``CREATE TABLE ... CLONE``, optionally
+        ``VERSION AS OF``): an independent table at ``dest`` whose
+        commit 0 is the source snapshot at ``version`` (default latest).
+        Data files are HARDLINKED where the filesystem allows (byte-copy
+        fallback), so the clone costs metadata + inode links, never a
+        data rewrite — and stays vacuum-safe: either table's vacuum only
+        unlinks ITS name for a file, the other's link keeps the inode
+        alive. After the clone the tables evolve independently (every
+        write in this format creates new uuid dirs; shared files are
+        never mutated in place). Column stats and the log schema carry
+        over from the source commit docs, so the clone's planner prunes
+        exactly like the source's; CHECK constraints carry over; bloom
+        indexing restarts (blooms live in commit docs — the clone's
+        pre-existing dirs are simply never bloom-pruned, the same
+        contract as :meth:`enable_bloom` on any existing table)."""
+        import shutil as _shutil
+
+        src_version = (self.latest_version() if version is None
+                       else version)
+        if src_version is None:
+            raise ValueError(f"not a txn table (no commits): {self.path}")
+        dirs = self.snapshot_dirs(src_version)
+        other = TxnTable(dest)
+        if other.latest_version() is not None:
+            raise ValueError(f"clone destination is not empty: {dest}")
+        for rel in dirs:
+            for root, _, files in os.walk(os.path.join(self.path, rel)):
+                relroot = os.path.relpath(root, self.path)
+                os.makedirs(os.path.join(dest, relroot), exist_ok=True)
+                for f in files:
+                    s = os.path.join(root, f)
+                    d = os.path.join(dest, relroot, f)
+                    try:
+                        os.link(s, d)
+                    except OSError:
+                        _shutil.copy2(s, d)
+        cpath = os.path.join(self.log_dir, "constraints.json")
+        if os.path.exists(cpath):
+            os.makedirs(other.log_dir, exist_ok=True)
+            _shutil.copy2(cpath,
+                          os.path.join(other.log_dir, "constraints.json"))
+        other.commit(dirs, [],
+                     {"operation": "clone", "source_path": self.path,
+                      "source_version": src_version},
+                     stats=self._live_stats(src_version),
+                     schema=self.table_schema(src_version))
+        bpath = os.path.join(self.log_dir, "bloom.json")
+        if os.path.exists(bpath):  # after commit 0: indexing restarts
+            _shutil.copy2(bpath,
+                          os.path.join(other.log_dir, "bloom.json"))
+        return other
+
     def overwrite_partitions(self, df: DataFrame, part_col: str,
                              meta: dict | None = None) -> int:
         """Partition-granular atomic overwrite (Delta's ``replaceWhere`` /
