@@ -39,6 +39,37 @@ FLOORS = {
     "txn_feed_rows_per_sec": 45000,     # change-feed source (r5 steady
     # state 62-70k across four full-bench runs; raised 35k->45k to stay
     # ~25-30% under best like the other floors)
+    "stream_dedup_docs_per_sec": 1500,  # incremental dedup at the
+    # realistic 20k-docs/micro-batch size (r6 sweep: 898/s at the old
+    # 4-batch split, 2.3k/s at 20k-doc batches — floor 35% under)
+}
+
+# Per-core-query wall-clock budgets (sec at sf0.1): 1.5x the rolling min
+# over rounds 3-5 (BENCH_r0{3,4,5}.json), so a silent per-query drift like
+# cdc_parse_project's r5 +24% gets flagged the round it crosses 1.5x, not
+# rounds later (VERDICT r5 #3). Applied only when floors apply (sf >= 0.1);
+# a failing query gets ONE extra timed rep (recorded) before the miss
+# stands — same bounded-retry-for-weather policy as the streaming floors.
+QUERY_BUDGETS = {
+    "ann_lsh_bucketed": 1.43,       # min 0.950
+    "ann_ivf_topk": 2.12,           # min 1.413
+    "ann_cosine_topk": 1.25,        # min 0.835
+    "ann_sq8_topk": 1.19,           # min 0.793
+    "dedup_exact": 0.48,            # min 0.319
+    "dedup_jaccard_pairs": 2.15,    # min 1.436
+    "dedup_minhash_lsh": 0.72,      # min 0.483
+    "dedup_lsh_verified": 2.02,     # min 1.349
+    "activity_agg": 0.39,           # min 0.263
+    "final_table": 0.54,            # min 0.363
+    "prime_query": 0.52,            # min 0.348
+    "cdc_parse_project": 1.47,      # min 0.982
+    "session_windows_batch": 0.75,  # min 0.502
+    "funnel_click_purchase": 0.42,  # min 0.282
+    "pricing_summary": 0.42,        # min 0.278
+    "revenue_by_nation": 1.11,      # min 0.740
+    "top_orders_by_revenue": 0.74,  # min 0.496
+    "customer_order_ranks": 0.55,   # min 0.367
+    "events_hourly": 0.39,          # min 0.259
 }
 
 
@@ -155,8 +186,10 @@ def main() -> None:
             "txn_sink_rows_per_sec": txn_stream["sink_rows_per_sec"],
             "txn_fb_sink_rows_per_sec": txn_stream["fb_sink_rows_per_sec"],
             "txn_feed_rows_per_sec": txn_stream["feed_rows_per_sec"],
+            "stream_dedup_docs_per_sec": stream_dedup["docs_per_sec"],
         }
 
+    retry_counts = {"stream": 0, "txn": 0, "dedup": 0, "queries": 0}
     for attempt in range(2 if floors_apply else 0):
         failing = [k for k, v in _floor_vals().items() if v < FLOORS[k]]
         if not failing:
@@ -165,12 +198,39 @@ def main() -> None:
         if "stream_rows_per_sec" in failing:
             stream_runs.append(bench_streaming(spark, sf_dir))
             stream = _best(stream_runs, "rows_per_sec")
+            retry_counts["stream"] += 1
         if any(k.startswith("txn_") for k in failing):
             txn_runs.append(bench_txn_stream(spark, sf_dir))
             txn_stream = _merge_txn(txn_runs)
+            retry_counts["txn"] += 1
+        if "stream_dedup_docs_per_sec" in failing:
+            dedup_runs.append(bench_stream_dedup(spark, sf_dir))
+            stream_dedup = _best(dedup_runs, "docs_per_sec")
+            retry_counts["dedup"] += 1
     print(f"# stream: {stream}", file=sys.stderr)
     print(f"# txn_stream: {txn_stream}", file=sys.stderr)
     print(f"# stream_dedup: {stream_dedup}", file=sys.stderr)
+
+    # Per-query budget tripwire (VERDICT r5 #3): one extra timed rep for
+    # any core query over its 1.5x-rolling-min budget, then the miss
+    # stands. Retried names are recorded so a reader can tell a
+    # passed-on-retry from a passed-first-time.
+    if floors_apply:
+        over = [n for n, b in QUERY_BUDGETS.items()
+                if n in timings and timings[n] > b]
+        for name in over:
+            q = dict(bench_set)[name]
+            t0 = time.perf_counter()
+            counts[name] = q.spark_fn(spark, sf_dir).count()
+            dt = time.perf_counter() - t0
+            spark.catalog.clearCache()
+            timings[name] = round(min(timings[name], dt), 3)
+            retry_counts["queries"] += 1
+            print(f"# budget retry {name}: {dt:.3f}s", file=sys.stderr)
+    budgets = {n: {"budget": b, "value": timings.get(n),
+                   "ok": ((timings[n] <= b) if floors_apply else None)
+                   if n in timings else None}
+               for n, b in QUERY_BUDGETS.items()}
 
     row_ops = bench_row_ops(spark, sf_dir)  # per-leg 2-rep min inside
     print(f"# row_ops: {row_ops}", file=sys.stderr)
@@ -195,9 +255,25 @@ def main() -> None:
         "row_ops": row_ops,
         "stream_dedup": stream_dedup,
         "floors": floors,
-        "floors_ok": (all(f["ok"] for f in floors.values())
-                      if floors_apply else None)
-        and row_ops["ratios_ok"],
+        "query_budgets": budgets,
+        # per-run (unmerged) streaming metrics + retry counts, so a reader
+        # can see when a composite/floor only passed on retry and which
+        # single run produced which number (ADVICE r5)
+        "stream_runs_raw": [r["rows_per_sec"] for r in stream_runs],
+        "txn_runs_raw": [[r["sink_rows_per_sec"], r["fb_sink_rows_per_sec"],
+                          r["feed_rows_per_sec"]] for r in txn_runs],
+        "dedup_runs_raw": [r["docs_per_sec"] for r in dedup_runs],
+        "retries": retry_counts,
+        # floors_ok semantics: row_ops ratios are scale-independent and
+        # ALWAYS gate; the rows/sec floors and query budgets only gate at
+        # sf >= 0.1 (below that, fixed micro-batch overhead fails them by
+        # construction). Previously `None and ratios` masked a ratio
+        # regression as None when floors didn't apply (ADVICE r5).
+        "floors_ok": (row_ops["ratios_ok"] if not floors_apply
+                      else (all(f["ok"] for f in floors.values())
+                            and all(b["ok"] is not False
+                                    for b in budgets.values())
+                            and row_ops["ratios_ok"])),
         "sf": sf_val,
     }))
     spark.stop()
@@ -319,12 +395,20 @@ def bench_txn_stream(spark, sf_dir: str) -> dict:
     return res
 
 
-def bench_stream_dedup(spark, sf_dir: str) -> dict:
+def bench_stream_dedup(spark, sf_dir: str,
+                       files_per_trigger: int = 4) -> dict:
     """Streaming incremental-dedup ingest throughput: the documents
     corpus with injected exact + near dups drains through
     write_stream_dedup in micro-batches (each batch LSH-deduped against
     everything previously kept via the persisted band index). Reports
-    end-to-end docs/sec and the dedup ratio actually achieved."""
+    end-to-end docs/sec and the dedup ratio actually achieved.
+
+    ``files_per_trigger`` sets the micro-batch size (8 source files
+    total): 4 → two ~3.5k-doc batches at sf0.1, the realistic
+    amortization point per the r6 batch-size sweep
+    (scripts/bench_stream_dedup_sweep.py; PLANS.md §Stream-dedup batch
+    sweep) — per-batch fixed cost (~2s of plan/launch over 5 Spark jobs)
+    dominates below ~2k docs/batch and washes out above it."""
     import shutil
     import tempfile
     import time
@@ -358,7 +442,7 @@ def bench_stream_dedup(spark, sf_dir: str) -> dict:
     t0 = time.perf_counter()
     q = write_stream_dedup(
         spark.readStream.schema("doc_id long, text string")
-        .option("maxFilesPerTrigger", "2").parquet(src),
+        .option("maxFilesPerTrigger", str(files_per_trigger)).parquet(src),
         f"{root}/corpus", f"{root}/index", f"{root}/ck")
     q.awaitTermination(600)
     wall = time.perf_counter() - t0

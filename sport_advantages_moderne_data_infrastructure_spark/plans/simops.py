@@ -796,6 +796,15 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pair reaching 0.99 across a cluster boundary would hash-mismatch
     # here — the gate doubles as the no-boundary-pairs proof for this
     # corpus (the general case trades recall for the k-fold scan cut).
+    #
+    # FIXTURE DEPENDENCY (ADVICE r5): this equality gate holds only while
+    # the corpus has no DISTINCT cross-cluster pair with cosine >= 0.99 —
+    # true of every shipped sf (verified by the gate itself). If a future
+    # sf/fixture grows such a pair, the hash mismatch means the FIXTURE
+    # changed, not that the operator regressed: SemDeDup trades exactly
+    # that recall by construction (within-cluster pairs only). The right
+    # response is to re-verify the fixture property, not to "fix" the
+    # operator to all-pairs.
     oracle=(
         "WITH corpus AS ({nv}), "
         "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e "

@@ -1120,6 +1120,12 @@ class TxnTable:
         other = TxnTable(dest)
         if other.latest_version() is not None:
             raise ValueError(f"clone destination is not empty: {dest}")
+        if os.path.isdir(dest) and os.listdir(dest):
+            # a dest with stray files (a mistyped path, a half-deleted
+            # table) must never be silently merged into or overwritten —
+            # the pre-r6 EEXIST fallback copy2'd OVER pre-existing files
+            raise ValueError(
+                f"clone destination exists and is not empty: {dest}")
         for rel in dirs:
             for root, _, files in os.walk(os.path.join(self.path, rel)):
                 relroot = os.path.relpath(root, self.path)
@@ -1129,8 +1135,10 @@ class TxnTable:
                     d = os.path.join(dest, relroot, f)
                     try:
                         os.link(s, d)
+                    except FileExistsError:
+                        raise  # never overwrite a pre-existing file
                     except OSError:
-                        _shutil.copy2(s, d)
+                        _shutil.copy2(s, d)  # cross-device: byte copy
         cpath = os.path.join(self.log_dir, "constraints.json")
         if os.path.exists(cpath):
             os.makedirs(other.log_dir, exist_ok=True)

@@ -10,8 +10,19 @@ def test_floor_keys_cover_streaming_metrics():
 
     assert set(bench.FLOORS) == {
         "stream_rows_per_sec", "txn_sink_rows_per_sec",
-        "txn_fb_sink_rows_per_sec", "txn_feed_rows_per_sec"}
+        "txn_fb_sink_rows_per_sec", "txn_feed_rows_per_sec",
+        "stream_dedup_docs_per_sec"}
     assert all(v > 0 for v in bench.FLOORS.values())
+
+
+def test_query_budgets_cover_core_set():
+    """Every core query has a per-query wall-clock budget (VERDICT r5 #3)
+    and every budgeted query is core — the tripwire can't silently lose
+    coverage when the core set or the budgets change independently."""
+    import bench
+
+    assert set(bench.QUERY_BUDGETS) == set(bench.CORE_QUERIES)
+    assert all(0 < b < 30 for b in bench.QUERY_BUDGETS.values())
 
 
 def test_core_query_set_is_frozen_r4_set():

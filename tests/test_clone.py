@@ -50,6 +50,22 @@ def test_clone_refuses_nonempty_dest_and_missing_src(spark, tmp_path):
         src.clone(str(tmp_path / "dest"))
 
 
+def test_clone_refuses_dest_with_stray_files(spark, tmp_path):
+    """A dest that is not a txn table but contains files (mistyped path,
+    half-deleted table) must raise, not be merged into or overwritten
+    (ADVICE r5: the old EEXIST fallback copy2'd over pre-existing
+    files)."""
+    src = TxnTable(str(tmp_path / "src"))
+    src.append(_rows(spark, 0, 10))
+    stray = tmp_path / "stray"
+    stray.mkdir()
+    keep = stray / "precious.txt"
+    keep.write_text("do not clobber")
+    with pytest.raises(ValueError, match="not empty"):
+        src.clone(str(stray))
+    assert keep.read_text() == "do not clobber"
+
+
 def test_clone_evolves_independently(spark, tmp_path):
     src = TxnTable(str(tmp_path / "src"))
     src.append(_rows(spark, 0, 100))
