@@ -50,6 +50,17 @@ _DATA_DIR = "data"
 _CHANGES_DIR = "changes"  # row-level change files (the Delta _change_data
 # analog): written by merge/delete alongside their data rewrite,
 # referenced by the commit doc's "changes" key, consumed by read_changes
+_HINT_FILE = "_latest.json"  # Delta's _last_checkpoint analog: a HINT
+# ({"latest": v, "checkpoint": cv}) rewritten after every commit /
+# checkpoint so the hot paths (latest_version on every commit, snapshot
+# planning on every read) cost O(log tail) file probes instead of an
+# O(commits) log-dir listing — the term that made commit latency creep
+# 3.5 -> 15 ms over 1,202 commits (VERDICT r5 #2). Correctness never
+# depends on it: it may be STALE (a crash or racing writer loses an
+# update) but never ahead (written only after the commit doc links), and
+# commit versions are gap-free, so a forward existence-probe from the
+# hinted version always recovers the true latest; a missing/corrupt hint
+# falls back to the full listing.
 
 
 class TxnConflictError(RuntimeError):
@@ -157,9 +168,61 @@ class TxnTable:
             if f.endswith(".json") and ".checkpoint." not in f
             and f.split(".")[0].isdigit())  # skip config docs (bloom.json)
 
+    # -- latest-version hint (see _HINT_FILE) ------------------------------
+
+    def _read_hint(self) -> dict:
+        try:
+            with open(os.path.join(self.log_dir, _HINT_FILE)) as fh:
+                h = json.load(fh)
+            return h if isinstance(h, dict) else {}
+        except (OSError, ValueError):
+            return {}
+
+    def _write_hint(self, latest: int | None = None,
+                    checkpoint: int | None = None) -> None:
+        """Best-effort: merged read-modify-write, atomic replace. A lost
+        race between concurrent writers leaves the hint STALE, which the
+        forward probe absorbs; any write error is swallowed (the hint is
+        pure optimization)."""
+        try:
+            h = self._read_hint()
+            if latest is not None:
+                h["latest"] = max(latest, h.get("latest", -1))
+            if checkpoint is not None:
+                h["checkpoint"] = max(checkpoint, h.get("checkpoint", -1))
+            tmp = os.path.join(self.log_dir, f".hint-{uuid.uuid4().hex}")
+            with open(tmp, "w") as fh:
+                json.dump(h, fh)
+            os.replace(tmp, os.path.join(self.log_dir, _HINT_FILE))
+        except OSError:
+            pass
+
+    def _has_version(self, v: int) -> bool:
+        return os.path.exists(
+            os.path.join(self.log_dir, f"{v:011d}.json"))
+
     def latest_version(self) -> int | None:
-        v = self.versions()
+        h = self._read_hint().get("latest")
+        if isinstance(h, int) and h >= 0 and self._has_version(h):
+            while self._has_version(h + 1):  # hint stale: probe forward
+                h += 1
+            return h
+        v = self.versions()  # no/corrupt hint: full listing
         return v[-1] if v else None
+
+    def _versions_tail(self, floor: int,
+                       upto: int | None = None) -> list[int]:
+        """Commit versions in (floor, upto], ascending, via O(tail)
+        existence probes — valid because versions are gap-free (every
+        commit links at exactly latest+1 and log docs are never deleted).
+        The hot planning path: with a checkpoint floor this replaces the
+        full log-dir listing snapshot_dirs used to pay per read."""
+        out = []
+        v = max(floor, -1) + 1
+        while self._has_version(v) and (upto is None or v <= upto):
+            out.append(v)
+            v += 1
+        return out
 
     def _doc(self, version: int) -> dict:
         with open(os.path.join(self.log_dir, f"{version:011d}.json")) as fh:
@@ -193,7 +256,16 @@ class TxnTable:
             return json.load(fh)
 
     def _base_checkpoint(self, version: int | None) -> dict | None:
-        """Newest checkpoint doc at-or-below ``version`` (None = latest)."""
+        """Newest checkpoint doc at-or-below ``version`` (None = latest).
+        Served from the hint when possible (no log-dir listing); a stale
+        hint returns an OLDER checkpoint, which replays a longer tail but
+        stays correct."""
+        hv = self._read_hint().get("checkpoint")
+        if (isinstance(hv, int) and hv >= 0
+                and (version is None or hv <= version)
+                and os.path.exists(os.path.join(
+                    self.log_dir, f"{hv:011d}.checkpoint.json"))):
+            return self._checkpoint_doc(hv)
         for cv in reversed(self.checkpoints()):
             if version is None or cv <= version:
                 return self._checkpoint_doc(cv)
@@ -234,6 +306,7 @@ class TxnTable:
             pass  # idempotent: same log prefix -> same checkpoint
         finally:
             os.unlink(tmp)
+        self._write_hint(checkpoint=version)
         return version
 
     def checkpoint_if_needed(self, interval: int = 10) -> int | None:
@@ -243,8 +316,12 @@ class TxnTable:
         latest = self.latest_version()
         if latest is None:
             return None
-        cps = self.checkpoints()
-        base = cps[-1] if cps else -1
+        hv = self._read_hint().get("checkpoint")
+        if isinstance(hv, int) and hv >= 0:
+            base = hv  # stale hint at worst re-checkpoints early: benign
+        else:
+            cps = self.checkpoints()
+            base = cps[-1] if cps else -1
         if latest - base < interval:
             return None
         return self.checkpoint(latest)
@@ -256,9 +333,7 @@ class TxnTable:
         per_app = dict((prev or {}).get("stream_batch_ids", {}))
         last_bid = (prev or {}).get("last_stream_batch_id")
         floor = (prev or {}).get("checkpoint_version", -1)
-        for v in self.versions():
-            if v <= floor or v > version:
-                continue
+        for v in self._versions_tail(floor, version):
             meta = self._doc(v).get("meta", {})
             bid = meta.get("stream_batch_id")
             if bid is None:
@@ -301,11 +376,7 @@ class TxnTable:
         cp = self._base_checkpoint(version)
         live: list[str] = list(cp["live"]) if cp else []
         floor = cp["checkpoint_version"] if cp else -1
-        for v in self.versions():
-            if v <= floor:
-                continue
-            if version is not None and v > version:
-                break
+        for v in self._versions_tail(floor, version):
             doc = self._doc(v)
             removed = set(doc["removes"])
             live = [d for d in live if d not in removed] + doc["adds"]
@@ -344,11 +415,7 @@ class TxnTable:
         the newest checkpoint, which recorded the answer for its prefix."""
         cp = self._base_checkpoint(version)
         floor = cp["checkpoint_version"] if cp else -1
-        for v in reversed(self.versions()):
-            if version is not None and v > version:
-                continue
-            if v <= floor:
-                break
+        for v in reversed(self._versions_tail(floor, version)):
             adds = self._doc(v)["adds"]
             if adds:
                 return adds
@@ -432,9 +499,7 @@ class TxnTable:
         answers without reading older commit docs."""
         cp = self._base_checkpoint(None)
         floor = cp["checkpoint_version"] if cp else -1
-        for v in reversed(self.versions()):
-            if v <= floor:
-                break
+        for v in reversed(self._versions_tail(floor)):
             meta = self._doc(v).get("meta", {})
             bid = meta.get("stream_batch_id")
             if bid is None:
@@ -457,7 +522,7 @@ class TxnTable:
         loop (read_delta.py:47-53 + full overwrite). Only valid over
         append commits; a rewrite (overwrite/merge/compact) in the range
         raises, because its adds are not row-level changes."""
-        docs = [self._doc(v) for v in self.versions() if v > since_version]
+        docs = [self._doc(v) for v in self._versions_tail(since_version)]
         adds: list[str] = []
         for doc in docs:
             if doc["removes"]:
@@ -488,9 +553,7 @@ class TxnTable:
         from pyspark.sql import functions as F
 
         frames = []
-        for v in self.versions():
-            if v <= since_version:
-                continue
+        for v in self._versions_tail(since_version):
             doc = self._doc(v)
             op = doc.get("meta", {}).get("operation")
             if doc.get("changes"):
@@ -576,9 +639,7 @@ class TxnTable:
         cp = self._base_checkpoint(version)
         out: dict[str, int | None] = dict(cp.get("rows", {})) if cp else {}
         floor = cp["checkpoint_version"] if cp else -1
-        for v in self.versions():
-            if v <= floor:
-                continue
+        for v in self._versions_tail(floor):
             if version is not None and v > version:
                 break
             doc = self._doc(v)
@@ -619,9 +680,7 @@ class TxnTable:
         cp = self._base_checkpoint(version)
         out: dict[str, dict] = dict(cp["stats"]) if cp else {}
         floor = cp["checkpoint_version"] if cp else -1
-        for v in self.versions():
-            if v <= floor:
-                continue
+        for v in self._versions_tail(floor):
             if version is not None and v > version:
                 break
             doc = self._doc(v)
@@ -777,9 +836,7 @@ class TxnTable:
         cp = self._base_checkpoint(version)
         out: dict[str, dict] = dict(cp.get("bloom", {})) if cp else {}
         floor = cp["checkpoint_version"] if cp else -1
-        for v in self.versions():
-            if v <= floor:
-                continue
+        for v in self._versions_tail(floor):
             if version is not None and v > version:
                 break
             doc = self._doc(v)
@@ -971,11 +1028,13 @@ class TxnTable:
         column is rewritten away."""
         from pyspark.sql.types import StructType
 
-        versions = [v for v in self.versions()
-                    if version is None or v <= version]
-        if not versions:
+        latest = self.latest_version()
+        if latest is None:
             return None
-        sch = self._doc(versions[-1]).get("schema")
+        v = latest if version is None else min(version, latest)
+        if v < 0:
+            return None
+        sch = self._doc(v).get("schema")
         return StructType.fromJson(sch) if sch else None
 
     def commit(self, adds: list[str], removes: list[str],
@@ -1034,6 +1093,7 @@ class TxnTable:
             ) from None
         finally:
             os.unlink(tmp)
+        self._write_hint(latest=version)
         return version
 
     def _check_append_schema(self, df: DataFrame) -> None:

@@ -2143,3 +2143,76 @@ def test_protocol_versioning(spark, tmp_path):
     import os as _os
     _os.remove(t.log_dir + "/protocol.json")
     assert _rows(TxnTable(t.path).read(spark)) == {(1, "a")}
+
+
+# -- _latest hint (VERDICT r5 #2: flat commit latency) ---------------------
+
+
+def test_hint_written_and_latest_uses_it(spark, tmp_path):
+    import json
+
+    t = TxnTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))
+    t.append(_df(spark, [(2, "b")]))
+    hint = os.path.join(t.log_dir, "_latest.json")
+    assert os.path.exists(hint)
+    with open(hint) as fh:
+        assert json.load(fh)["latest"] == 1
+    assert t.latest_version() == 1
+
+
+def test_stale_hint_forward_probe_recovers(spark, tmp_path):
+    """A hint older than reality (crashed writer, racing writers) must be
+    absorbed by the forward existence-probe — versions are gap-free."""
+    import json
+
+    t = TxnTable(str(tmp_path / "t"))
+    for i in range(5):
+        t.append(_df(spark, [(i, "x")]))
+    hint = os.path.join(t.log_dir, "_latest.json")
+    with open(hint, "w") as fh:
+        json.dump({"latest": 1}, fh)  # stale by 3 commits
+    assert t.latest_version() == 4
+    assert len(t.snapshot_dirs()) == 5
+    # a commit on the stale hint must land at 5, not clobber 2
+    t.append(_df(spark, [(9, "z")]))
+    assert t.latest_version() == 5
+    assert _rows(t.read(spark)) == {(i, "x") for i in range(5)} | {(9, "z")}
+
+
+def test_missing_and_corrupt_hint_fall_back_to_listing(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))
+    t.overwrite(_df(spark, [(2, "b")]))
+    hint = os.path.join(t.log_dir, "_latest.json")
+    os.unlink(hint)
+    assert t.latest_version() == 1
+    assert _rows(t.read(spark)) == {(2, "b")}
+    with open(hint, "w") as fh:
+        fh.write("{not json")
+    assert t.latest_version() == 1
+    with open(hint, "w") as fh:
+        fh.write('{"latest": 99}')  # points past reality: file missing
+    assert t.latest_version() == 1
+    assert _rows(t.read(spark)) == {(2, "b")}
+
+
+def test_hint_tracks_checkpoints_and_stale_checkpoint_is_safe(spark, tmp_path):
+    import json
+
+    t = TxnTable(str(tmp_path / "t"))
+    for i in range(12):
+        t.append(_df(spark, [(i, "x")]))
+        t.checkpoint_if_needed(5)
+    hint = os.path.join(t.log_dir, "_latest.json")
+    with open(hint) as fh:
+        h = json.load(fh)
+    assert h["checkpoint"] in t.checkpoints()
+    # stale checkpoint pointer: replays a longer tail, same answer
+    with open(hint, "w") as fh:
+        json.dump({**h, "checkpoint": t.checkpoints()[0]}, fh)
+    assert _rows(t.read(spark)) == {(i, "x") for i in range(12)}
+    # checkpoint pointer at a version with no checkpoint file: fallback
+    with open(hint, "w") as fh:
+        json.dump({**h, "checkpoint": 3}, fh)
+    assert _rows(t.read(spark)) == {(i, "x") for i in range(12)}
