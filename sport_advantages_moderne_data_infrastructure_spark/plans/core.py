@@ -383,6 +383,96 @@ def q_txn_zorder_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("o_orderkey"))
 
 
+@register("txn_clone_readback",  # new r6, gated immediately (slot:
+          # approx_quantile_contract demoted — triple-green)
+          oracle=(
+              "WITH cut AS (SELECT CAST(FLOOR(MAX(o_orderkey) / 3) "
+              "AS BIGINT) AS c FROM orders) "
+              "SELECT 'clone' AS side, o_orderkey, o_custkey, "
+              "ROUND(o_totalprice, 2) AS total FROM orders, cut "
+              "WHERE o_orderkey <= cut.c "
+              "UNION ALL "
+              "SELECT 'source' AS side, o_orderkey, o_custkey, "
+              "ROUND(o_totalprice, 2) AS total FROM orders "
+              "WHERE o_orderkey % 5 <> 0 "
+              "ORDER BY side, o_orderkey"))
+def q_txn_clone_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLONE gated end-to-end (Delta's CREATE TABLE ... CLONE ...
+    VERSION AS OF; VERDICT r5 #4): orders lands as two appends (first
+    orderkey third, then the rest), the table is CLONEd at VERSION AS OF
+    0, and the SOURCE then deletes every 5th orderkey. Reading BOTH
+    tables back — clone tagged 'clone', source tagged 'source' — against
+    plain-WHERE oracles proves (a) the clone is the v0 snapshot, not the
+    latest, (b) the hardlinked files read back exactly, and (c) the two
+    tables evolved independently after the clone (the source's delete
+    did not leak into the clone)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..sources.tables import load_table
+    from ..sources.txnlog import TxnTable
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    cut = o.agg(F.max("o_orderkey")).first()[0] // 3  # bounded probe
+    root = tempfile.mkdtemp(prefix="samdis_txn_clone_")
+    src = TxnTable(f"{root}/src")
+    src.append(o.filter(F.col("o_orderkey") <= cut))
+    src.append(o.filter(F.col("o_orderkey") > cut))
+    clone = src.clone(f"{root}/clone", version=0)
+    src.delete_where(spark, "o_orderkey % 5 = 0")
+    proj = [F.col("o_orderkey"), F.col("o_custkey"),
+            F.round("o_totalprice", 2).alias("total")]
+    return (clone.read(spark).select(F.lit("clone").alias("side"), *proj)
+            .unionByName(
+                src.read(spark).select(F.lit("source").alias("side"), *proj))
+            .orderBy("side", "o_orderkey"))
+
+
+@register("txn_metadata_counts",  # new r6, gated immediately (slot:
+          # order_price_quartile_bands demoted — triple-green)
+          oracle=(
+              "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, "
+              "MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key, "
+              "(SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_rows_pre "
+              "FROM orders WHERE o_orderkey % 7 <> 0"))
+def q_txn_metadata_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only aggregates gated against full-scan oracles (VERDICT
+    r5 #4): orders lands as three appends, then DELETEs every 7th
+    orderkey. snapshot_row_count / stats_minmax answer COUNT(*) and
+    MIN/MAX from the commit log's per-dir row counts and footer stats —
+    ZERO data I/O, no Spark job (Delta answers SELECT COUNT(*) from
+    AddFile stats the same way; at 100 TB this is a constant-time
+    answer vs a full scan). The pre-delete count comes from the
+    time-travel snapshot at the last append, so version-addressed
+    metadata is gated too. The result frame is built from those driver
+    scalars; the oracle recomputes all four the hard way."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..sources.tables import load_table
+    from ..sources.txnlog import TxnTable
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    mx = o.agg(F.max("o_orderkey")).first()[0]
+    cuts = [-1, mx // 3, 2 * mx // 3, mx]  # -1: o_orderkey starts at 0
+    table = TxnTable(tempfile.mkdtemp(prefix="samdis_txn_meta_"))
+    for lo, hi in zip(cuts, cuts[1:]):
+        table.append(o.filter((F.col("o_orderkey") > lo)
+                              & (F.col("o_orderkey") <= hi)))
+    table.delete_where(spark, "o_orderkey % 7 = 0")
+    n = table.snapshot_row_count()
+    mn, mxk = table.stats_minmax("o_orderkey")
+    n_pre = table.snapshot_row_count(version=2)
+    assert n is not None and n_pre is not None
+    return spark.createDataFrame(
+        [(int(n), int(mn), int(mxk), int(n_pre))],
+        "n_rows long, min_key long, max_key long, n_rows_pre long")
+
+
 @register("pii_scrub",
           oracle=W("SELECT id_employee, "
                    "regexp_replace(address, '[0-9]+', '#', 'g') "

@@ -840,7 +840,10 @@ def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "approx_quantile_contract",  # promoted into the driver window r3
+    "approx_quantile_contract",  # promoted r3; rotated out r6 (triple-
+    # green r3-r5; slot freed for txn_clone_readback — the quantile
+    # shape stays gated via order_price_outliers; pytest parity continues)
+    driver=False,
     oracle=(
         # pins the exact quantiles AND asserts the sketch landed within
         # 1% (literal TRUE): a drifting approx_percentile flips the
@@ -877,7 +880,10 @@ def q_approx_quantile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "order_price_quartile_bands",  # promoted into the driver window r3
+    "order_price_quartile_bands",  # promoted r3; rotated out r6 (triple-
+    # green r3-r5; slot freed for txn_metadata_counts — the window-rank
+    # shape stays gated via customer-rank twins; pytest parity continues)
+    driver=False,
     oracle=(
         # ntile ordering includes the unique o_orderkey tiebreak so bucket
         # assignment is total-ordered — identical in both engines

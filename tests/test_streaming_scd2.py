@@ -126,3 +126,82 @@ def test_scd2_stream_multi_batch_files_single_start(spark, tmp_path):
     assert _dim_set(spark, dim) == _batch_set(spark, raw)
     assert (7, "A", _t(0), _t(2), 0) in _dim_set(spark, dim)
     assert (8, "X", _t(1), None, 1) in _dim_set(spark, dim)
+
+
+# -- property: maintained dim == full recompute, any arrival order ---------
+
+
+def _tracked_set(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_scd2_property_arbitrary_arrival_orders(spark, tmp_path):
+    """Hypothesis over event streams split into micro-batches in
+    arbitrary order: after the stream drains, the maintained dimension
+    (INCLUDING the maintenance bookkeeping columns) must equal
+    scd2_tracked over the full raw history — late events, run splits,
+    duplicate keys and ts collisions included (VERDICT r5 #1 done
+    criterion)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from sport_advantages_moderne_data_infrastructure_spark.streaming.scd2 import (
+        scd2_tracked,
+    )
+
+    event = st.tuples(st.integers(0, 5),               # key
+                      st.sampled_from(["A", "B", "C"]),  # attr
+                      st.integers(0, 15))              # ts minute
+    streams = st.lists(st.lists(event, min_size=1, max_size=8),
+                       min_size=1, max_size=3)
+
+    counter = [0]
+
+    @given(batches=streams)
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def run(batches):
+        counter[0] += 1
+        base = tmp_path / f"case{counter[0]}"
+        src, raw, dim, ck = (str(base / "src"), str(base / "raw"),
+                             str(base / "dim"), str(base / "ck"))
+        tie = [0]
+        for rows in batches:
+            _df(spark, [(k, a, _t(m), (tie := [tie[0] + 1])[0])
+                        for k, a, m in rows]) \
+                .coalesce(1).write.mode("append").parquet(src)
+        q = write_stream_scd2(
+            spark.readStream.schema(_SCHEMA)
+            .option("maxFilesPerTrigger", "1").parquet(src),
+            raw, dim, ck, key="id_employee", attr="sport_type",
+            ts="start_datetime", tie="id", n_buckets=4,
+            app_id=f"scd2prop{counter[0]}")
+        q.awaitTermination(120)
+        full = TxnTable(raw).read(spark).select(
+            "id_employee", "sport_type", "start_datetime", "id")
+        want = _tracked_set(scd2_tracked(
+            full, key="id_employee", attr="sport_type",
+            ts="start_datetime", tie="id"))
+        got = _tracked_set(TxnTable(dim).read(spark).drop("key_bucket"))
+        assert got == want
+
+    run()
+
+
+def test_scd2_duplicate_event_redelivery(spark, tmp_path):
+    """An at-least-once upstream re-sends an already-landed event (same
+    key/ts/tie) in a LATER batch: classified late (bmin == plast), the
+    slow path recomputes from raw where the duplicate rows collapse —
+    the dim stays equal to the batch derivation."""
+    src = str(tmp_path / "src")
+    raw, dim, ck = (str(tmp_path / "raw"), str(tmp_path / "dim"),
+                    str(tmp_path / "ck"))
+    _df(spark, [(1, "A", _t(0), 10), (1, "B", _t(5), 11)]) \
+        .coalesce(1).write.mode("append").parquet(src)
+    _run(spark, src, raw, dim, ck)
+    _df(spark, [(1, "B", _t(5), 11)]) \
+        .coalesce(1).write.mode("append").parquet(src)  # re-delivery
+    _run(spark, src, raw, dim, ck)
+    got = _dim_set(spark, dim)
+    assert got == _batch_set(spark, raw)
+    assert got == {(1, "A", _t(0), _t(5), 0), (1, "B", _t(5), None, 1)}
