@@ -39,9 +39,13 @@ FLOORS = {
     "txn_feed_rows_per_sec": 45000,     # change-feed source (r5 steady
     # state 62-70k across four full-bench runs; raised 35k->45k to stay
     # ~25-30% under best like the other floors)
-    "stream_dedup_docs_per_sec": 1500,  # incremental dedup at the
-    # realistic 20k-docs/micro-batch size (r6 sweep: 898/s at the old
-    # 4-batch split, 2.3k/s at 20k-doc batches — floor 35% under)
+    "stream_dedup_docs_per_sec": 1200,  # incremental dedup at the r6
+    # default of ~3.5k-doc micro-batches (files_per_trigger=4). The r6
+    # batch-size sweep (scripts/bench_stream_dedup_sweep.py, PLANS.md)
+    # measured 479/960/1738/3275 docs/s at 890/1780/3561/7122-doc
+    # batches — per-batch fixed cost ~1.85 s amortizes linearly, so the
+    # r5 headline 898/s was batch-size-bound, not pipeline-bound. Floor
+    # ~25% under the 1571-1738 steady band at the default batch size.
 }
 
 # Per-core-query wall-clock budgets (sec at sf0.1): 1.5x the rolling min
@@ -404,11 +408,13 @@ def bench_stream_dedup(spark, sf_dir: str,
     end-to-end docs/sec and the dedup ratio actually achieved.
 
     ``files_per_trigger`` sets the micro-batch size (8 source files
-    total): 4 → two ~3.5k-doc batches at sf0.1, the realistic
-    amortization point per the r6 batch-size sweep
+    total): 4 → two ~3.5k-doc batches at sf0.1, keeping the
+    incremental (index-vs-prior-batch) path exercised while sitting in
+    the amortized regime per the r6 batch-size sweep
     (scripts/bench_stream_dedup_sweep.py; PLANS.md §Stream-dedup batch
-    sweep) — per-batch fixed cost (~2s of plan/launch over 5 Spark jobs)
-    dominates below ~2k docs/batch and washes out above it."""
+    sweep): per-batch fixed cost is ~1.85 s flat, so docs/sec scales
+    almost linearly with batch size (479 -> 3275 from 890- to 7122-doc
+    batches) with identical kept_docs at every split."""
     import shutil
     import tempfile
     import time

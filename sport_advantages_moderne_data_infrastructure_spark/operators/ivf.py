@@ -37,6 +37,23 @@ _CDISTS = (
 )
 
 
+TARGET_LIST_SIZE = 125  # E[vectors per inverted list / SemDeDup cluster]
+
+
+def k_for_corpus(n: int) -> int:
+    """Cluster-count policy (VERDICT r5 #7): k grows WITH the corpus so
+    the expected inverted-list / cluster size stays constant. SemDeDup's
+    candidate volume is sum(cluster_size²) ≈ n²/k — with k fixed, a 10×
+    corpus costs 100×; with k ∝ n it costs 10× (the production
+    discipline: SemDeDup uses ~10^5 clusters at web scale, and IVF
+    deployments size nlist ∝ sqrt(n)·C for the same reason). The floor
+    keeps the shipped small-sf behavior (and the ANN golden values /
+    recall floors tuned there) unchanged: every shipped sf has
+    n <= 2000 → k = 16; the 10× stress corpus (n = 20000) gets k = 160,
+    which is exactly the ratio the linearity stress measures."""
+    return max(16, n // TARGET_LIST_SIZE)
+
+
 def train_centroids(embeddings: DataFrame, k: int = 16, seed: int = 42,
                     max_iter: int = 20, sample: int = 4096) -> list[list[float]]:
     """Index build: seeded k-means++ + Lloyd's over a deterministic sample

@@ -120,16 +120,35 @@ def query_lut(codebooks: list[list[list[float]]],
               q_col: str = "qe") -> Column:
     """array<array<double>> — qlut[j][c] = dot(query sub-vector j,
     codebook[j][c]). Built ONCE per query row (m*k*d multiplies); pair
-    scoring then never touches float vectors."""
-    m = len(codebooks)
-    d = len(codebooks[0][0])
-    cb = _cb_sql(codebooks)
-    return F.expr(
-        "transform(sequence(0, {mm}), j -> "
-        "  transform(element_at({cb}, j + 1), c -> "
-        "    aggregate(zip_with(slice({q}, j * {d} + 1, {d}), c, "
-        "      (x, y) -> x * y), 0D, (a, v) -> a + v)))"
-        .format(mm=m - 1, cb=cb, d=d, q=q_col))
+    scoring then never touches float vectors.
+
+    Arrow-batched pandas UDF, deliberately NOT a SQL expression: the
+    codebook-as-literal version compiled an m*k*d-double expression
+    tree on the driver at EVERY query invocation (~0.7 s of the 1.8 s
+    ann_ivfpq_topk headline at sf0.1 — measured in PLANS.md §IVF-PQ
+    fixed vs marginal, r6). The UDF runs only on the QUERY side (tens
+    to hundreds of rows, never the corpus), so the usual
+    stay-JVM-on-the-hot-path rule cuts the other way here; ADC pair
+    scoring over the corpus codes remains a pure JVM expression."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cb = np.asarray(codebooks, dtype=np.float64)  # (m, k, d)
+    m, _, d = cb.shape
+
+    # no type hints: `from __future__ import annotations` stringifies
+    # them and pandas_udf's hint inference rejects unresolvable names;
+    # hint-less pandas_udf defaults to the scalar Series -> Series kind
+    @pandas_udf("array<array<double>>")
+    def _lut(qe):
+        return pd.Series(
+            [np.einsum("jd,jkd->jk",
+                       np.asarray(q, dtype=np.float64).reshape(m, d),
+                       cb).tolist()
+             for q in qe])
+
+    return _lut(q_col)
 
 
 def pq_topk(codes: DataFrame, queries: DataFrame,

