@@ -603,6 +603,12 @@ def bench_row_ops(spark, sf_dir: str) -> dict:
         "update_pruned_cdf_sec": lambda t: t.update_where(
             spark, cond, {"l_returnflag": "'R'"},
             prune=("l_orderkey", lo, hi - 1)),
+        # r6 deletion vectors: same pruned predicate, CDF off (matching
+        # delete_pruned_sec's legs) — the delete writes a position
+        # sidecar instead of rewriting the candidate dir
+        "delete_dv_sec": lambda t: t.delete_where(
+            spark, cond, prune=("l_orderkey", lo, hi - 1),
+            capture_changes=False, use_dv=True),
     })
     res = {
         "input_rows": raw.count() * reps,
@@ -616,8 +622,11 @@ def bench_row_ops(spark, sf_dir: str) -> dict:
         res["delete_pruned_sec"] / res["delete_full_sec"], 3)
     res["update_ratio"] = round(
         res["update_pruned_sec"] / res["update_full_sec"], 3)
+    res["delete_dv_ratio"] = round(
+        res["delete_dv_sec"] / res["delete_full_sec"], 3)
     res["ratios_ok"] = (res["delete_ratio"] < 0.5
-                        and res["update_ratio"] < 0.5)
+                        and res["update_ratio"] < 0.5
+                        and res["delete_dv_ratio"] < 0.5)
     shutil.rmtree(root, ignore_errors=True)
     return res
 

@@ -473,6 +473,49 @@ def q_txn_metadata_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows long, min_key long, max_key long, n_rows_pre long")
 
 
+@register("txn_dv_delete_read",  # new r6, gated immediately (slot:
+          # tfidf_top_terms demoted — triple-green)
+          oracle=(
+              "SELECT o_orderkey, o_custkey, "
+              "ROUND(o_totalprice, 2) AS total FROM orders "
+              "WHERE o_orderkey % 5 <> 0 AND o_custkey % 13 <> 0 "
+              "ORDER BY o_orderkey"))
+def q_txn_dv_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-vector DELETE gated end-to-end (round 6): orders lands
+    as three appends, then TWO DV deletes (every 5th orderkey, then
+    every 13th custkey — the second cumulative over the first, and the
+    second predicate hits rows in every dir, so min/max stats prune
+    nothing). NO data file is rewritten — the commits record position
+    sidecars that the snapshot read anti-joins out — and the oracle is
+    the plain double-WHERE, so a resurrected or over-deleted row is a
+    hash mismatch. The 100 TB shape: a GDPR needle delete from a huge
+    immutable table costs a KB of metadata, not a rewrite."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..sources.tables import load_table
+    from ..sources.txnlog import TxnTable
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    mx = o.agg(F.max("o_orderkey")).first()[0]
+    cuts = [-1, mx // 3, 2 * mx // 3, mx]
+    table = TxnTable(tempfile.mkdtemp(prefix="samdis_txn_dv_"))
+    for lo, hi in zip(cuts, cuts[1:]):
+        table.append(o.filter((F.col("o_orderkey") > lo)
+                              & (F.col("o_orderkey") <= hi)))
+    table.delete_where(spark, "o_orderkey % 5 = 0", use_dv=True)
+    table.delete_where(spark, "o_custkey % 13 = 0", use_dv=True)
+    assert not any(  # the point of DVs: zero rewritten data dirs
+        table._doc(v)["adds"] or table._doc(v)["removes"]  # noqa: SLF001
+        for v in (3, 4))
+    return (table.read(spark)
+            .select("o_orderkey", "o_custkey",
+                    F.round("o_totalprice", 2).alias("total"))
+            .orderBy("o_orderkey"))
+
+
 @register("pii_scrub",
           oracle=W("SELECT id_employee, "
                    "regexp_replace(address, '[0-9]+', '#', 'g') "

@@ -262,7 +262,11 @@ def q_word_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "tfidf_top_terms",  # promoted to the driver window r3 (VERDICT #1)
+    "tfidf_top_terms",  # promoted r3; rotated out r6 (triple-green
+    # r3-r5; slot freed for txn_dv_delete_read — the explode/broadcast
+    # text-rollup shape stays gated via boilerplate_ngrams_abs and
+    # unigram_surprisal_score; pytest parity continues)
+    driver=False,
     oracle=(
         "WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array("
         "trim(text), ' +')) AS tok FROM documents), "

@@ -74,8 +74,17 @@ class TxnProtocolError(RuntimeError):
 # protocol versions THIS library implements (Delta's protocol action):
 # a future format change bumps the minimum and old readers fail with a
 # clear error instead of silently misreading the log
-READER_VERSION = 1
+READER_VERSION = 1   # minimum we stamp into NEW tables' protocol docs
 WRITER_VERSION = 1
+DV_READER_VERSION = 2   # a table's first deletion-vector commit raises
+# its min_reader to this: a v1 reader would silently RESURRECT deleted
+# rows (exactly why Delta gates DVs behind a protocol bump)
+_READER_CAPABILITY = 2  # what this library can read
+_DV_DIR = "dv"  # deletion-vector files (Delta's DV sidecars): parquet of
+# (src_dir, src_file, row_idx) naming deleted row positions; referenced
+# from commit docs' "dvs" key ({data_dir: {"path": dv_rel, "rows": n}},
+# cumulative per dir, null value = mapping cleared). A DV delete commits
+# METADATA + a tiny position file — the data files are never rewritten.
 
 
 def _bloom_canon(value) -> str:
@@ -286,8 +295,9 @@ class TxnTable:
         doc = {
             "checkpoint_version": version,
             "live": self.snapshot_dirs(version),
+            "dvs": self.snapshot_dvs(version),
             "stats": self._live_stats(version),
-            "rows": self._live_rows(version),
+            "rows": self._live_rows_gross(version),
             "bloom": self._live_blooms(version),
             "schema_dirs": self._schema_dirs(version),
             "stream_batch_ids": per_app,
@@ -360,7 +370,7 @@ class TxnTable:
             self._protocol_cache = proto
         need = proto.get("min_writer_version" if writer
                          else "min_reader_version", 1)
-        have = WRITER_VERSION if writer else READER_VERSION
+        have = WRITER_VERSION if writer else _READER_CAPABILITY
         if need > have:
             kind = "writer" if writer else "reader"
             raise TxnProtocolError(
@@ -382,6 +392,69 @@ class TxnTable:
             live = [d for d in live if d not in removed] + doc["adds"]
         return live
 
+    # -- deletion vectors (Delta's DV sidecars) ----------------------------
+    #
+    # A DV delete never rewrites data files: the commit records, per data
+    # dir, a position file naming the deleted rows, and every read path
+    # anti-joins those positions out via the parquet scan's
+    # _metadata.file_path/row_index. At 100 TB this turns "delete 100
+    # rows from a 1 TB partition" from a 1 TB rewrite into a KB-sized
+    # metadata commit; rewites (compact/merge/delete/update) naturally
+    # MATERIALIZE the DVs because they read through the DV-filtered
+    # snapshot and their commits remove the dir (dropping its mapping).
+
+    def snapshot_dvs(self, version: int | None = None) -> dict[str, dict]:
+        """dir -> {"path": dv_rel, "rows": n_deleted} for live dirs with
+        deletion vectors at ``version`` (checkpoint-accelerated like
+        snapshot_dirs). A commit's "dvs" entries replace the mapping for
+        their dirs (null clears it); removing a dir drops its entry."""
+        cp = self._base_checkpoint(version)
+        out: dict[str, dict] = dict(cp.get("dvs", {})) if cp else {}
+        floor = cp["checkpoint_version"] if cp else -1
+        for v in self._versions_tail(floor, version):
+            doc = self._doc(v)
+            for d in doc["removes"]:
+                out.pop(d, None)
+            for d, ref in doc.get("dvs", {}).items():
+                if ref is None:
+                    out.pop(d, None)
+                else:
+                    out[d] = ref
+        return out
+
+    # dir/file key of a scanned row, matching the DV's src_file column:
+    # the last three path segments (data/<uuid>/<part-file>) — DVs exist
+    # only on unpartitioned layouts (delete_where refuses partitioned)
+    _DV_FILE_KEY = "substring_index(_metadata.file_path, '/', -3)"
+
+    def _apply_dvs(self, spark: SparkSession, df: DataFrame,
+                   dvs: dict[str, dict]) -> DataFrame:
+        """Anti-join the DV'd positions out of a plain-dir scan frame.
+        Must be applied directly on the scan (before joins/unions) so the
+        _metadata struct resolves; the DV side is tiny and broadcast, so
+        the data side neither shuffles nor widens."""
+        if not dvs:
+            return df
+        from pyspark.sql import functions as F
+
+        paths = sorted({ref["path"] for ref in dvs.values()})
+        dv = (spark.read.parquet(
+            *[os.path.join(self.path, p) for p in paths])
+            .select(F.col("src_file").alias("__dv_f"),
+                    F.col("row_idx").alias("__dv_r")))
+        keyed = df.withColumn("__dv_f", F.expr(self._DV_FILE_KEY)) \
+                  .withColumn("__dv_r", F.col("_metadata.row_index"))
+        return (keyed.join(F.broadcast(dv), ["__dv_f", "__dv_r"],
+                           "left_anti")
+                .drop("__dv_f", "__dv_r"))
+
+    def _dvs_for(self, dirs: list[str],
+                 version: int | None = None) -> dict[str, dict]:
+        """The snapshot DV mapping restricted to ``dirs``."""
+        want = set(dirs)
+        return {d: ref for d, ref in self.snapshot_dvs(version).items()
+                if d in want}
+
     # -- reads ------------------------------------------------------------
 
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
@@ -400,14 +473,15 @@ class TxnTable:
             if not schema_dirs:
                 raise ValueError(f"empty snapshot at version {version}")
             return self._read_dirs(spark, schema_dirs).limit(0)
+        dvs = self._dvs_for(dirs, version)
         sch = self.table_schema(version)
         if sch is not None and all(_partition_of(d) is None for d in dirs):
             # log-recorded schema: no mergeSchema footer job — files
             # missing an evolved column null-fill it, exactly as the
             # merge path would
-            return spark.read.schema(sch).parquet(
-                *[os.path.join(self.path, d) for d in dirs])
-        return self._read_dirs(spark, dirs)
+            return self._apply_dvs(spark, spark.read.schema(sch).parquet(
+                *[os.path.join(self.path, d) for d in dirs]), dvs)
+        return self._read_dirs(spark, dirs, dvs)
 
     def _schema_dirs(self, version: int | None = None) -> list[str]:
         """Adds of the newest commit at/before ``version`` that added data
@@ -434,10 +508,13 @@ class TxnTable:
             raise ValueError(f"no live partitions match {values}")
         return self._read_dirs(spark, dirs)
 
-    def _read_dirs(self, spark: SparkSession, rel_dirs: list[str]) -> DataFrame:
+    def _read_dirs(self, spark: SparkSession, rel_dirs: list[str],
+                   dvs: dict[str, dict] | None = None) -> DataFrame:
         """Plan a union over plain commit dirs and partition subdirs.
         Partition subdirs are read with ``basePath`` = their commit dir so
-        Spark re-derives the partition column from the path."""
+        Spark re-derives the partition column from the path. ``dvs``
+        (deletion-vector mapping for the plain dirs) is anti-joined out
+        at the scan."""
         from functools import reduce
 
         plain = [d for d in rel_dirs if _partition_of(d) is None]
@@ -450,8 +527,11 @@ class TxnTable:
             # mergeSchema: commits may carry evolved schemas (append with
             # merge_schema=True); parquet schema merging unions the
             # fields and null-fills the gaps, exactly Delta's behavior
-            frames.append(spark.read.option("mergeSchema", "true").parquet(
-                *[os.path.join(self.path, d) for d in plain]))
+            frames.append(self._apply_dvs(
+                spark,
+                spark.read.option("mergeSchema", "true").parquet(
+                    *[os.path.join(self.path, d) for d in plain]),
+                dvs or {}))
         for root, subs in sorted(parts.items()):
             frames.append(
                 spark.read.option("basePath", os.path.join(self.path, root))
@@ -525,7 +605,7 @@ class TxnTable:
         docs = [self._doc(v) for v in self._versions_tail(since_version)]
         adds: list[str] = []
         for doc in docs:
-            if doc["removes"]:
+            if doc["removes"] or doc.get("dvs"):
                 raise ValueError(
                     f"version {doc['version']} is a rewrite "
                     f"({doc['meta'].get('operation', 'overwrite/merge')}); "
@@ -633,9 +713,11 @@ class TxnTable:
             for f in _glob.glob(os.path.join(self.path, rel_dir,
                                              "*.parquet")))
 
-    def _live_rows(self, version: int | None = None) -> dict[str, int | None]:
-        """dir -> row count for the live snapshot from commit docs
-        (None for dirs committed before row recording)."""
+    def _live_rows_gross(self, version: int | None = None
+                         ) -> dict[str, int | None]:
+        """dir -> GROSS row count for the live snapshot from commit docs
+        (None for dirs committed before row recording); net-of-DV is
+        :meth:`_live_rows`."""
         cp = self._base_checkpoint(version)
         out: dict[str, int | None] = dict(cp.get("rows", {})) if cp else {}
         floor = cp["checkpoint_version"] if cp else -1
@@ -647,6 +729,17 @@ class TxnTable:
             for d in doc["adds"]:
                 out[d] = doc_rows.get(d)
         return {d: out.get(d) for d in self.snapshot_dirs(version)}
+
+    def _live_rows(self, version: int | None = None) -> dict[str, int | None]:
+        """dir -> NET row count (gross minus deletion-vector'd rows) for
+        the live snapshot. Checkpoints store the GROSS counts (the DV
+        mapping is carried separately), so the subtraction happens
+        exactly once, here."""
+        out = self._live_rows_gross(version)
+        dvs = self.snapshot_dvs(version)
+        return {d: (out[d] - dvs[d]["rows"]
+                    if d in dvs and out.get(d) is not None else out.get(d))
+                for d in out}
 
     def snapshot_row_count(self, version: int | None = None) -> int | None:
         """COUNT(*) of the snapshot from LOG METADATA ALONE — no data
@@ -663,7 +756,13 @@ class TxnTable:
                      version: int | None = None) -> tuple | None:
         """(min, max) of ``col`` over the snapshot from log footer stats
         — exact for these two aggregates (per-dir min/max compose), no
-        data I/O. None when any live dir lacks stats for the column."""
+        data I/O. None when any live dir lacks stats for the column, or
+        carries a deletion vector (the deleted rows may have been the
+        extremes, so footer stats are only BOUNDS there — callers fall
+        back to a scan; file-skipping via pruned_dirs stays valid
+        because bounds are exactly what pruning needs)."""
+        if self.snapshot_dvs(version):
+            return None
         vals = []
         for stats in self._live_stats(version).values():
             rng = stats.get(col)
@@ -719,7 +818,7 @@ class TxnTable:
         dirs = self.pruned_dirs(col, lo, hi, version)
         if not dirs:
             return self.read(spark, version).filter(F.lit(False))
-        df = self._read_dirs(spark, dirs)
+        df = self._read_dirs(spark, dirs, self._dvs_for(dirs, version))
         if lo is not None:
             df = df.filter(F.col(col) >= lo)
         if hi is not None:
@@ -869,7 +968,8 @@ class TxnTable:
         dirs = self.pruned_dirs_eq(col, value, version)
         if not dirs:
             return self.read(spark, version).filter(F.lit(False))
-        return self._read_dirs(spark, dirs).filter(F.col(col) == value)
+        return (self._read_dirs(spark, dirs, self._dvs_for(dirs, version))
+                .filter(F.col(col) == value))
 
     # -- writes -----------------------------------------------------------
 
@@ -1042,7 +1142,8 @@ class TxnTable:
                expected_version: int | None = None,
                stats: dict[str, dict] | None = None,
                changes: str | None = None,
-               schema=None) -> int:
+               schema=None,
+               dvs: dict | None = None) -> int:
         """Publish a commit doc atomically. ``expected_version`` is the
         version this writer based its work on (None for a fresh table);
         losing the race to version+1 raises :class:`TxnConflictError`.
@@ -1060,6 +1161,15 @@ class TxnTable:
             self._write_config("protocol.json", {
                 "min_reader_version": READER_VERSION,
                 "min_writer_version": WRITER_VERSION})
+        if dvs and any(ref is not None for ref in dvs.values()):
+            # first DV raises the table's floor: a pre-DV reader would
+            # resurrect deleted rows, so it must refuse instead
+            cur = getattr(self, "_protocol_cache", None) or {}
+            if cur.get("min_reader_version", 1) < DV_READER_VERSION:
+                self._write_config("protocol.json", {
+                    "min_reader_version": DV_READER_VERSION,
+                    "min_writer_version": WRITER_VERSION})
+                self._protocol_cache = None  # re-read on next check
         import time as _time
         stats = stats or {}
         if schema is None:  # explicit override: restore pins the old one
@@ -1069,6 +1179,7 @@ class TxnTable:
                "meta": meta or {},
                **({"schema": schema.jsonValue()} if schema else {}),
                **({"changes": changes} if changes else {}),
+               **({"dvs": dvs} if dvs else {}),
                "stats": {rel: (stats[rel] if rel in stats
                                else self._dir_stats(rel))
                          for rel in adds},
@@ -1186,7 +1297,9 @@ class TxnTable:
             # the pre-r6 EEXIST fallback copy2'd OVER pre-existing files
             raise ValueError(
                 f"clone destination exists and is not empty: {dest}")
-        for rel in dirs:
+        src_dvs = self.snapshot_dvs(src_version)
+        dv_paths = sorted({ref["path"] for ref in src_dvs.values()})
+        for rel in list(dirs) + dv_paths:  # DV sidecars clone alongside
             for root, _, files in os.walk(os.path.join(self.path, rel)):
                 relroot = os.path.relpath(root, self.path)
                 os.makedirs(os.path.join(dest, relroot), exist_ok=True)
@@ -1208,7 +1321,8 @@ class TxnTable:
                      {"operation": "clone", "source_path": self.path,
                       "source_version": src_version},
                      stats=self._live_stats(src_version),
-                     schema=self.table_schema(src_version))
+                     schema=self.table_schema(src_version),
+                     dvs=src_dvs or None)
         bpath = os.path.join(self.log_dir, "bloom.json")
         if os.path.exists(bpath):  # after commit 0: indexing restarts
             _shutil.copy2(bpath,
@@ -1333,12 +1447,15 @@ class TxnTable:
                 .withColumn("_src_dir", F.regexp_extract(
                     F.input_file_name(),
                     f".*/({_DATA_DIR}/[^/]+)/[^/]+$", 1)))
+            tagged = self._apply_dvs(
+                spark, tagged, self._dvs_for(candidates, base))
             return tagged, candidates
         tagged = None
         for d in candidates:
-            part = (self._align_to_schema(self._read_dirs(spark, [d]),
-                                          snap_schema)
-                    .withColumn("_src_dir", F.lit(d)))
+            part = (self._align_to_schema(
+                self._read_dirs(spark, [d], self._dvs_for([d], base)),
+                snap_schema)
+                .withColumn("_src_dir", F.lit(d)))
             tagged = part if tagged is None else tagged.unionByName(part)
         return tagged, candidates
 
@@ -1375,7 +1492,8 @@ class TxnTable:
     def _commit_rebased(self, adds: list[str], removes: list[str],
                         meta: dict, base: int,
                         changes: str | None = None,
-                        retries: int = 5) -> int:
+                        retries: int = 5,
+                        dvs: dict | None = None) -> int:
         """WriteSerializable rebase for row-level rewrites (Delta's
         conflict resolution for exactly this class): a concurrent commit
         that did not touch any of OUR removed dirs — e.g. a streaming
@@ -1386,16 +1504,21 @@ class TxnTable:
         NOT visited by this op — it deletes/updates the snapshot it
         read."""
         expected = base
-        ours = set(removes)
+        # dirs whose state we are replacing: removed dirs AND dirs whose
+        # DV mapping we rewrite — a concurrent rewrite/DV of either is a
+        # genuine conflict (our positions/rewrite would clobber theirs)
+        ours = set(removes) | set(dvs or {})
         for _ in range(retries):
             try:
                 return self.commit(adds, removes, meta,
                                    expected_version=expected,
-                                   changes=changes)
+                                   changes=changes, dvs=dvs)
             except TxnConflictError:
                 latest = self.latest_version()
                 for v in range(expected + 1, latest + 1):
-                    if ours & set(self._doc(v)["removes"]):
+                    doc = self._doc(v)
+                    theirs = set(doc["removes"]) | set(doc.get("dvs") or {})
+                    if ours & theirs:
                         raise  # overlapping rewrite: real conflict
                 expected = latest
         raise TxnConflictError(
@@ -1405,7 +1528,8 @@ class TxnTable:
     def delete_where(self, spark: SparkSession, condition: str,
                      prune: tuple | None = None,
                      meta: dict | None = None,
-                     capture_changes: bool = True) -> int:
+                     capture_changes: bool = True,
+                     use_dv: bool = False) -> int:
         """Row-level DELETE (Delta's ``DELETE WHERE``): rewrite ONLY the
         data dirs that can contain matching rows, atomically. With
         ``prune=(col, lo, hi)`` the candidate set comes from the log's
@@ -1423,7 +1547,17 @@ class TxnTable:
         riding it — at the cost that every candidate dir is rewritten
         (stats pruning still bounds candidates; a no-match op is still a
         no-op). The default keeps the feed, which downstream
-        :meth:`read_changes` consumers rely on."""
+        :meth:`read_changes` consumers rely on.
+
+        ``use_dv=True`` deletes WITHOUT rewriting any data file
+        (Delta's deletion vectors): the commit records per-dir position
+        files that every read anti-joins out, so a needle delete from a
+        huge dir costs a KB of metadata instead of the dir's rewrite —
+        the 100 TB GDPR shape. First DV commit raises the table's
+        min_reader protocol (a pre-DV reader would resurrect rows).
+        Trade-offs (same as Delta's): stats_minmax degrades to
+        None-fallback while DVs are live, and the next
+        rewrite/compaction of the dir materializes them."""
         from pyspark.sql import functions as F
 
         base = self.latest_version()
@@ -1434,6 +1568,9 @@ class TxnTable:
             raise ValueError(
                 "delete_where on a partition-granular table — rewrite the "
                 "affected partitions via overwrite_partitions instead")
+        if use_dv:
+            return self._delete_where_dv(spark, condition, prune, meta,
+                                         capture_changes, base, live)
         snap_schema = self.read(spark, base).schema
         tagged, candidates = self._tagged_candidates(
             spark, live, prune, base, snap_schema)
@@ -1494,6 +1631,81 @@ class TxnTable:
             adds, removes,
             {**(meta or {}), "operation": "delete",
              "condition": condition}, base, changes=changes_rel)
+
+    def _delete_where_dv(self, spark: SparkSession, condition: str,
+                         prune: tuple | None, meta: dict | None,
+                         capture_changes: bool, base: int,
+                         live: list[str]) -> int:
+        """DV-mode DELETE: write one position file covering the matching
+        rows of every candidate dir (plus the carried-forward positions
+        of dirs already DV'd — per-dir DVs are CUMULATIVE, one live file
+        per dir) and commit the remapping. No data file is touched."""
+        import shutil as _shutil
+
+        from pyspark.sql import functions as F
+
+        if prune is not None:
+            col, lo, hi = prune
+            keep = set(self.pruned_dirs(col, lo, hi, base))
+            candidates = [d for d in live if d in keep]
+        else:
+            candidates = list(live)
+        if not candidates:
+            return base
+        existing = self._dvs_for(candidates, base)
+        sch = self.table_schema(base)
+        reader = (spark.read.schema(sch) if sch is not None
+                  else spark.read.option("mergeSchema", "true"))
+        df = (reader.parquet(
+            *[os.path.join(self.path, d) for d in candidates])
+            .withColumn("__dv_file", F.expr(self._DV_FILE_KEY))
+            .withColumn("__dv_row", F.col("_metadata.row_index")))
+        old = None
+        if existing:
+            opaths = sorted({ref["path"] for ref in existing.values()})
+            old = (spark.read.parquet(
+                *[os.path.join(self.path, p) for p in opaths])
+                .filter(F.col("src_dir").isin(list(existing))))
+            # already-deleted rows are invisible to the new predicate
+            df = df.join(
+                F.broadcast(old.select(
+                    F.col("src_file").alias("__dv_file"),
+                    F.col("row_idx").alias("__dv_row"))),
+                ["__dv_file", "__dv_row"], "left_anti")
+        matches = df.filter(F.expr(condition))
+        new_pos = matches.select(
+            F.expr("substring_index(__dv_file, '/', 2)").alias("src_dir"),
+            F.col("__dv_file").alias("src_file"),
+            F.col("__dv_row").alias("row_idx"))
+        if old is not None:
+            new_pos = new_pos.unionByName(
+                old.select("src_dir", "src_file", "row_idx"))
+        dv_rel = os.path.join(_DV_DIR, uuid.uuid4().hex)
+        dv_abs = os.path.join(self.path, dv_rel)
+        new_pos.coalesce(1).write.parquet(dv_abs)
+        per_dir = {r["src_dir"]: r["n"] for r in
+                   spark.read.parquet(dv_abs)
+                   .groupBy("src_dir").agg(F.count("*").alias("n"))
+                   .collect()}  # bounded: <= |candidates| rows
+        prev = sum(ref["rows"] for ref in existing.values())
+        if sum(per_dir.values()) == prev:  # no NEW matches
+            _shutil.rmtree(dv_abs, ignore_errors=True)
+            return base
+        changes_rel = None
+        if capture_changes:
+            changes_rel = self._write_changes(
+                matches.drop("__dv_file", "__dv_row")
+                .withColumn("_change_type", F.lit("delete")))
+        dvs = {d: {"path": dv_rel, "rows": int(n)}
+               for d, n in sorted(per_dir.items())}
+        try:
+            return self._commit_rebased(
+                [], [], {**(meta or {}), "operation": "delete_dv",
+                         "condition": condition}, base,
+                changes=changes_rel, dvs=dvs)
+        except TxnConflictError:
+            _shutil.rmtree(dv_abs, ignore_errors=True)
+            raise
 
     def update_where(self, spark: SparkSession, condition: str,
                      set_exprs: dict, prune: tuple | None = None,
@@ -1883,16 +2095,36 @@ class TxnTable:
                 f"dir(s) were vacuumed (e.g. {missing[0]}) — "
                 "keep_versions=False vacuum disables restore to "
                 "superseded versions")
+        target_dvs = self.snapshot_dvs(version)
+        missing_dv = [ref["path"] for ref in target_dvs.values()
+                      if not os.path.isdir(
+                          os.path.join(self.path, ref["path"]))]
+        if missing_dv:
+            raise ValueError(
+                f"cannot restore to v{version}: deletion-vector file(s) "
+                f"were vacuumed (e.g. {missing_dv[0]})")
         current = self.snapshot_dirs(base)
         adds = [d for d in target if d not in set(current)]
         removes = [d for d in current if d not in set(target)]
-        if not adds and not removes:
+        # DV mapping delta: after this commit the replay state for a
+        # surviving dir is its CURRENT entry unless overridden — emit an
+        # explicit entry (null = clear) wherever target and current
+        # disagree, so restore round-trips DV state exactly
+        cur_dvs = self.snapshot_dvs(base)
+        dv_delta = {}
+        for d in target:
+            want = target_dvs.get(d)
+            have = cur_dvs.get(d) if d in set(current) else None
+            if want != have:
+                dv_delta[d] = want  # may be None -> clears the mapping
+        if not adds and not removes and not dv_delta:
             return base  # already at the target state: no empty commit
         return self.commit(adds, removes,
                            {**(meta or {}), "operation": "restore",
                             "restore_version": version},
                            expected_version=base,
-                           schema=self.table_schema(version))
+                           schema=self.table_schema(version),
+                           dvs=dv_delta or None)
 
     def generate_symlink_manifest(self, version: int | None = None) -> str:
         """Delta's ``GENERATE symlink_format_manifest`` for external
@@ -1980,6 +2212,32 @@ class TxnTable:
             for d in os.listdir(changes_root):
                 rel = os.path.join(_CHANGES_DIR, d)
                 if rel in cdc_referenced:
+                    continue
+                try:
+                    if os.path.getmtime(os.path.join(self.path, rel)) > cutoff:
+                        continue
+                except OSError:
+                    continue
+                victims.append(rel)
+                shutil.rmtree(os.path.join(self.path, rel))
+        # deletion-vector sweep, same retention semantics as data dirs:
+        # with keep_versions every historically-referenced DV file stays
+        # (time travel / restore may need it); without, only the live
+        # snapshot's DV files survive
+        dv_referenced: set[str] = set()
+        if keep_versions:
+            for doc in self.history():
+                for ref in (doc.get("dvs") or {}).values():
+                    if ref is not None:
+                        dv_referenced.add(ref["path"])
+        else:
+            dv_referenced = {ref["path"]
+                             for ref in self.snapshot_dvs().values()}
+        dv_root = os.path.join(self.path, _DV_DIR)
+        if os.path.isdir(dv_root):
+            for d in os.listdir(dv_root):
+                rel = os.path.join(_DV_DIR, d)
+                if rel in dv_referenced:
                     continue
                 try:
                     if os.path.getmtime(os.path.join(self.path, rel)) > cutoff:

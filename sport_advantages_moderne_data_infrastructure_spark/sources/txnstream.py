@@ -154,7 +154,7 @@ class _TxnStreamReader(DataSourceStreamReader):
         for v in self.table.versions():
             if start["version"] < v <= end["version"]:
                 doc = self.table._doc(v)  # noqa: SLF001
-                if doc["removes"]:
+                if doc["removes"] or doc.get("dvs"):
                     # A rewrite's adds are NOT row-level changes; by
                     # default the change feed fails rather than emit them
                     # as inserts. skipChangeCommits (Delta's option of the
@@ -193,6 +193,12 @@ class _TxnStreamReader(DataSourceStreamReader):
                     p.commit_version = v
             elif op == "compact":
                 continue
+            elif doc.get("dvs"):
+                raise ValueError(
+                    f"txnlog stream: version {v} is a deletion-vector "
+                    "delete with change capture disabled — its deletes "
+                    "have no row-level change files; restart the "
+                    "change-feed stream from a snapshot read")
             elif not doc["removes"]:
                 batch = _files_of(self.table, doc["adds"])
                 for p in batch:
@@ -239,6 +245,16 @@ class _TxnBatchReader(DataSourceReader):
             dirs = self.table.pruned_dirs(col, lo, hi, self.version)
         else:
             dirs = self.table.snapshot_dirs(self.version)
+        if self.table.snapshot_dvs(self.version):
+            # the Arrow file readers below have no row-position filter:
+            # reading a DV'd snapshot here would RESURRECT deleted rows.
+            # Fail loudly (the protocol gate catches pre-DV libraries;
+            # this catches this DataSource's own gap) — the Python-API
+            # read path (TxnTable.read) fully supports DVs.
+            raise ValueError(
+                "format('txnlog') batch reads do not support deletion "
+                "vectors yet — read via TxnTable.read(), or materialize "
+                "DVs with compact()")
         return _files_of(self.table, dirs)
 
     def read(self, partition: _FilePartition):

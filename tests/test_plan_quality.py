@@ -119,7 +119,10 @@ def test_training_pipeline_is_two_window_shuffles(spark, sf_dir):
 def test_no_row_at_a_time_python_udfs_in_source():
     """The engine's contract (ARCHITECTURE.md, SURVEY §2.10): zero
     row-at-a-time Python UDFs anywhere — Python appears only as
-    Arrow-batched mapInPandas/applyInPandas stages."""
+    Arrow-batched stages (mapInPandas/applyInPandas, and since r6 scalar
+    pandas_udf where the batch is query-side-small: operators/pq.py's
+    codebook LUT, which replaced a per-invocation 1024-literal
+    expression compile — PLANS.md §IVF-PQ fixed vs marginal)."""
     import pathlib
 
     root = (pathlib.Path(__file__).resolve().parent.parent
@@ -127,9 +130,16 @@ def test_no_row_at_a_time_python_udfs_in_source():
     offenders = []
     for p in root.rglob("*.py"):
         src = p.read_text()
-        if "F.udf(" in src or "@udf" in src or "pandas_udf" in src:
+        if "F.udf(" in src or "@udf(" in src or "\n@udf" in src:
             offenders.append(str(p))
     assert offenders == [], offenders
+    # pandas_udf (Arrow-batched) is allowed but must stay rare and
+    # deliberate: pin the exact usage sites so a new one is a conscious
+    # decision in this test, not a drive-by
+    pandas_sites = sorted(
+        str(p.relative_to(root)) for p in root.rglob("*.py")
+        if "pandas_udf" in p.read_text())
+    assert pandas_sites == ["operators/pq.py"], pandas_sites
 
 
 def test_ivf_assignment_has_no_window_shuffle(spark, sf_dir):

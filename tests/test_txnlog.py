@@ -2035,7 +2035,7 @@ def test_row_op_rebases_over_concurrent_append(spark, tmp_path):
 
     def racing_commit(self, adds, removes, meta=None,
                       expected_version=None, stats=None, changes=None,
-                      schema=None):
+                      schema=None, dvs=None):
         # before the DELETE's own commit lands, a concurrent append
         # takes the version it expected (once)
         if (not raced["done"] and (meta or {}).get("operation")
@@ -2045,7 +2045,8 @@ def test_row_op_rebases_over_concurrent_append(spark, tmp_path):
             other.append(_df(spark, [(2, "late append")]))
         return orig_commit(self, adds, removes, meta,
                            expected_version=expected_version,
-                           stats=stats, changes=changes, schema=schema)
+                           stats=stats, changes=changes, schema=schema,
+                           dvs=dvs)
 
     TxnTable.commit = racing_commit
     try:
@@ -2061,14 +2062,15 @@ def test_row_op_rebases_over_concurrent_append(spark, tmp_path):
 
     def conflicting_commit(self, adds, removes, meta=None,
                            expected_version=None, stats=None,
-                           changes=None, schema=None):
+                           changes=None, schema=None, dvs=None):
         if (not raced2["done"] and (meta or {}).get("operation")
                 == "update"):
             raced2["done"] = True
             TxnTable(self.path).delete_where(spark, "id = 1")
         return orig_commit(self, adds, removes, meta,
                            expected_version=expected_version,
-                           stats=stats, changes=changes, schema=schema)
+                           stats=stats, changes=changes, schema=schema,
+                           dvs=dvs)
 
     TxnTable.commit = conflicting_commit
     try:
