@@ -544,6 +544,9 @@ def bench_row_ops(spark, sf_dir: str) -> dict:
     # DELETE to a metadata drop)
     lo, hi = 7 * step, 7 * step + step // 2
     cond = f"l_orderkey >= {lo} AND l_orderkey < {hi}"
+    # ~0.05% of rows, spread over every dir (partkey is uncorrelated
+    # with the orderkey-ranged dir layout) — unprunable by stats
+    scatter_cond = "l_partkey % 2000 = 17"
 
     def timed_passes(legs: dict) -> dict:
         # per-leg min over two INTERLEAVED passes (leg A,B,C,D then
@@ -605,10 +608,22 @@ def bench_row_ops(spark, sf_dir: str) -> dict:
             prune=("l_orderkey", lo, hi - 1)),
         # r6 deletion vectors: same pruned predicate, CDF off (matching
         # delete_pruned_sec's legs) — the delete writes a position
-        # sidecar instead of rewriting the candidate dir
+        # sidecar instead of rewriting the candidate dir. When stats
+        # already prune to one dir the two are comparable (~0.6s both);
+        # the scatter legs below are where DVs earn their keep.
         "delete_dv_sec": lambda t: t.delete_where(
             spark, cond, prune=("l_orderkey", lo, hi - 1),
             capture_changes=False, use_dv=True),
+        # SCATTERED needle delete: the predicate hits a sliver of EVERY
+        # commit (l_partkey is unordered across the orderkey-ranged
+        # dirs, so min/max stats prune nothing). The rewrite path must
+        # rewrite all 128 dirs — effectively a full-table rewrite; the
+        # DV path scans once and writes only positions. This is the
+        # 100 TB GDPR shape and the ratio that motivates DVs.
+        "delete_scatter_rw_sec": lambda t: t.delete_where(
+            spark, scatter_cond, capture_changes=False),
+        "delete_scatter_dv_sec": lambda t: t.delete_where(
+            spark, scatter_cond, capture_changes=False, use_dv=True),
     })
     res = {
         "input_rows": raw.count() * reps,
@@ -624,9 +639,12 @@ def bench_row_ops(spark, sf_dir: str) -> dict:
         res["update_pruned_sec"] / res["update_full_sec"], 3)
     res["delete_dv_ratio"] = round(
         res["delete_dv_sec"] / res["delete_full_sec"], 3)
+    res["scatter_dv_ratio"] = round(
+        res["delete_scatter_dv_sec"] / res["delete_scatter_rw_sec"], 3)
     res["ratios_ok"] = (res["delete_ratio"] < 0.5
                         and res["update_ratio"] < 0.5
-                        and res["delete_dv_ratio"] < 0.5)
+                        and res["delete_dv_ratio"] < 0.5
+                        and res["scatter_dv_ratio"] < 0.5)
     shutil.rmtree(root, ignore_errors=True)
     return res
 

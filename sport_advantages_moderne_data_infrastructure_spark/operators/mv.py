@@ -1,0 +1,95 @@
+"""Incremental materialized-view maintenance over the txn change feed.
+
+The reference recomputes its aggregate table from scratch on every cycle
+(airflow/config/read_delta.py:47-53 re-reads the whole Delta table and
+re-aggregates). At 100 TB that is a full scan per refresh; the lakehouse
+answer is a materialized view maintained FROM THE CHANGE FEED: the view
+stores per-group partials (count, sum — the associative combiners), and
+each refresh applies only the rows that changed since the last
+maintained source version. Cost per refresh is O(changed rows) +
+O(view), never O(source table).
+
+Built from pieces that already exist and are independently gated: the
+change data feed (``TxnTable.read_changes`` — insert / pre/postimage /
+delete rows with ``_commit_version``) and
+``txnlog.agg_delta_from_changes`` (CDF frame → signed per-group deltas;
+preimages subtract, postimages add — which is WHY the feed carries
+preimages). A history range the feed cannot express row-wise (a full
+overwrite / compaction landed since the last refresh) degrades to a
+full recompute from the snapshot — same answer, full-scan cost, exactly
+Delta's "resync after a non-CDF commit" rule.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.txnlog import TxnTable, agg_delta_from_changes
+
+
+def maintain_agg_view(spark: SparkSession, source: TxnTable,
+                      view: TxnTable, group_cols: list[str],
+                      value_col: str) -> int:
+    """Bring ``view`` (per-group ``cnt``/``sm`` partials over
+    ``source``) up to the source's latest version. Returns the source
+    version now reflected. Idempotent: re-running with no new source
+    commits is a no-op (no empty commit)."""
+    src_v = source.latest_version()
+    if src_v is None:
+        raise ValueError(f"source has no commits: {source.path}")
+    last = (view.last_meta().get("mv_source_version", -1)
+            if view.latest_version() is not None else -1)
+    if src_v <= last:
+        return last
+    meta = {"operation": "mv_refresh", "mv_source_version": src_v}
+    try:
+        changes = source.read_changes(spark, since_version=last)
+    except ValueError:
+        # non-row-level history (overwrite/compact): full resync
+        snap = source.read(spark)
+        view.overwrite(_partials(snap, group_cols, value_col),
+                       {**meta, "mv_resync": True})
+        return src_v
+    delta = agg_delta_from_changes(changes, group_cols, value_col)
+    if view.latest_version() is None:
+        merged = (delta.select(
+            *group_cols,
+            F.col("d_count").alias("cnt"), F.col("d_sum").alias("sm"))
+            .filter(F.col("cnt") != 0))
+    else:
+        cur = view.read(spark).alias("c")
+        d = delta.alias("d")
+        on = [cur[c].eqNullSafe(d[c]) for c in group_cols]
+        cond = on[0]
+        for o in on[1:]:
+            cond = cond & o
+        merged = (cur.join(d, cond, "full_outer")
+                  .select(
+                      *[F.coalesce(cur[c], d[c]).alias(c)
+                        for c in group_cols],
+                      (F.coalesce(cur["cnt"], F.lit(0))
+                       + F.coalesce(d["d_count"], F.lit(0))).alias("cnt"),
+                      (F.coalesce(cur["sm"], F.lit(0))
+                       + F.coalesce(d["d_sum"], F.lit(0))).alias("sm"))
+                  .filter(F.col("cnt") != 0))  # fully-deleted groups drop
+    # the view is O(groups) — tiny next to the source — so an atomic
+    # overwrite is the right write shape at any source scale
+    view.overwrite(merged, meta)
+    return src_v
+
+
+def _partials(df: DataFrame, group_cols: list[str],
+              value_col: str) -> DataFrame:
+    return df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(value_col).alias("sm"))
+
+
+def read_agg_view(spark: SparkSession, view: TxnTable) -> DataFrame:
+    """The maintained aggregates, with the derived mean (partials
+    compose; avg never does — it is derived at read time)."""
+    v = view.read(spark)
+    return v.select(*[c for c in v.columns if c not in ("cnt", "sm")],
+                    F.col("cnt"), F.col("sm"),
+                    (F.col("sm") / F.col("cnt")).alias("mean"))

@@ -516,6 +516,69 @@ def q_txn_dv_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("o_orderkey"))
 
 
+@register("txn_incremental_mv",  # new r6, gated immediately (slot:
+          # dataset_splits demoted — triple-green)
+          oracle=W(
+              "WITH merged AS ({merged}) "
+              "SELECT business_unity, CAST(COUNT(*) AS BIGINT) AS cnt, "
+              "CAST(SUM(gross_salary) AS BIGINT) AS sm, "
+              "ROUND(SUM(gross_salary) * 1.0 / COUNT(*), 4) AS mean "
+              "FROM merged WHERE id_employee % 97 <> 0 "
+              "AND id_employee % 89 <> 0 "
+              "GROUP BY business_unity ORDER BY business_unity".format(
+                  merged=merge_upsert_sql(
+                      _EMP_PROJ_SQL, _EMP_RAISE_SQL, "id_employee",
+                      ["id_employee", "gross_salary", "business_unity",
+                       "constract_type"]))),
+          tags=("A1", "K2"))
+def q_txn_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance gated end-to-end
+    (operators/mv.py): a per-business-unit salary aggregate is
+    maintained from the source's CHANGE FEED through four commits —
+    initial load, a MERGE of raises, a rewrite DELETE, and a
+    deletion-vector DELETE — with a refresh after EVERY commit, so each
+    refresh applies only that commit's delta (preimages subtract,
+    postimages add; the fully-incremental path, never a source rescan).
+    The oracle recomputes the final aggregate the hard way from the
+    relational definition; any drift in any delta application is a hash
+    mismatch. This replaces the reference's re-read-and-reaggregate
+    refresh loop (read_delta.py:47-53) with O(changed rows) per cycle."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..operators.mv import maintain_agg_view, read_agg_view
+    from ..sources.txnlog import TxnTable
+
+    emp = R.employee_projection(D.employees(spark, sf_dir))
+    updates = (emp.filter(F.col("id_employee") % 10 == 0)
+               .select("id_employee",
+                       (F.col("gross_salary") + 1000).cast("int")
+                       .alias("gross_salary"),
+                       "business_unity",
+                       F.lit("CDI").alias("constract_type")))
+    root = tempfile.mkdtemp(prefix="samdis_txn_mv_")
+    src, view = TxnTable(f"{root}/src"), TxnTable(f"{root}/view")
+
+    def refresh():
+        maintain_agg_view(spark, src, view,
+                          ["business_unity"], "gross_salary")
+
+    src.overwrite(emp)                                        # v0
+    refresh()
+    src.merge(spark, updates, "id_employee")                  # v1
+    refresh()
+    src.delete_where(spark, "id_employee % 97 = 0")           # v2
+    refresh()
+    src.delete_where(spark, "id_employee % 89 = 0",
+                     use_dv=True)                             # v3
+    refresh()
+    return (read_agg_view(spark, view)
+            .select("business_unity", "cnt", "sm",
+                    F.round("mean", 4).alias("mean"))
+            .orderBy("business_unity"))
+
+
 @register("pii_scrub",
           oracle=W("SELECT id_employee, "
                    "regexp_replace(address, '[0-9]+', '#', 'g') "

@@ -193,6 +193,62 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "timeseries_gapfill",  # new r6, gated immediately (slot:
+    # token_pack_assignments demoted — triple-green r3-r5; the greedy
+    # packing shape stays pytest-gated via oracle parity)
+    oracle=(
+        "WITH hourly AS (SELECT user_id, date_trunc('hour', ts) AS hour, "
+        "CAST(COUNT(*) AS BIGINT) AS n_events, "
+        "MAX(event_type) AS tt FROM events GROUP BY 1, 2), "
+        "span AS (SELECT user_id, MIN(hour) AS lo, MAX(hour) AS hi "
+        "FROM hourly GROUP BY 1), "
+        "grid AS (SELECT user_id, "
+        "unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour "
+        "FROM span) "
+        "SELECT g.user_id, g.hour, "
+        "COALESCE(h.n_events, 0) AS n_events, "
+        "last_value(h.tt IGNORE NULLS) OVER ("
+        "PARTITION BY g.user_id ORDER BY g.hour "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_type "
+        "FROM grid g LEFT JOIN hourly h "
+        "ON g.user_id = h.user_id AND g.hour = h.hour "
+        "ORDER BY g.user_id, g.hour"))
+def q_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + gap-fill (the TimescaleDB
+    time_bucket_gapfill / locf shape): per user, an hourly grid spanning
+    [first, last] activity hour with missing hours materialized at count
+    0 and the last observed event type carried forward. The grid is
+    sequence+explode per key — Σ span-hours rows, linear in keys ×
+    span, partitioned by the key; the fill is ONE running `last(...,
+    ignorenulls)` window sharing the grid's hash-partitioning on
+    user_id, so the whole op is agg → explode → one shuffle-free join +
+    window per key at any number of keys. Per-hour rollup stays
+    deterministic under ts ties by aggregating (count, MAX(type)), so
+    both engines derive identical fills."""
+    from pyspark.sql import Window as Wn
+
+    e = load_table(spark, sf_dir, "events")
+    hourly = (e.groupBy("user_id",
+                        F.date_trunc("hour", F.col("ts")).alias("hour"))
+              .agg(F.count(F.lit(1)).alias("n_events"),
+                   F.max("event_type").alias("tt")))
+    grid = (hourly.groupBy("user_id")
+            .agg(F.min("hour").alias("lo"), F.max("hour").alias("hi"))
+            .select("user_id",
+                    F.explode(F.sequence(
+                        "lo", "hi", F.expr("interval 1 hour")))
+                    .alias("hour")))
+    w = (Wn.partitionBy("user_id").orderBy("hour")
+         .rowsBetween(Wn.unboundedPreceding, Wn.currentRow))
+    return (grid.join(hourly, ["user_id", "hour"], "left")
+            .select("user_id", "hour",
+                    F.coalesce("n_events", F.lit(0)).alias("n_events"),
+                    F.last("tt", ignorenulls=True).over(w)
+                    .alias("last_type"))
+            .orderBy("user_id", "hour"))
+
+
+@register(
     "customers_without_orders", driver=False,
     oracle=(
         "SELECT c.c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_customers "

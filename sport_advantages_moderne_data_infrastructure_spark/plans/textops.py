@@ -337,7 +337,11 @@ def q_sample_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "dataset_splits",  # promoted to the driver window r3 (VERDICT #1)
+    "dataset_splits",  # promoted r3; rotated out r6 (triple-green
+    # r3-r5; slot freed for txn_incremental_mv — the stable-hash split
+    # shape stays gated via sample_stable/training_pipeline_e2e rows;
+    # pytest parity continues)
+    driver=False,
     oracle=(
         f"WITH tagged AS (SELECT lang, CASE WHEN {_H100} < 80 THEN 'train' "
         f"WHEN {_H100} < 90 THEN 'val' ELSE 'test' END AS split "
@@ -397,7 +401,10 @@ _N_SHARDS = 32
 
 
 @register(
-    "token_pack_assignments",  # promoted to the driver window r3 (VERDICT #1)
+    "token_pack_assignments",  # promoted r3; rotated out r6 (triple-
+    # green r3-r5; slot freed for timeseries_gapfill; pytest parity
+    # continues)
+    driver=False,
     oracle=(
         "WITH t AS (SELECT doc_id, CAST(doc_id % 32 AS INT) AS shard, "
         "CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT) "

@@ -1436,7 +1436,7 @@ class TxnTable:
             candidates = list(live)
         if not candidates:
             return None, []
-        sch = self.table_schema(base)
+        sch = self.table_schema(base) or snap_schema
         if sch is not None and all(
                 _partition_of(d) is None for d in candidates):
             # log schema: ONE explicit-schema scan over every candidate
@@ -1654,9 +1654,9 @@ class TxnTable:
             return base
         existing = self._dvs_for(candidates, base)
         sch = self.table_schema(base)
-        reader = (spark.read.schema(sch) if sch is not None
-                  else spark.read.option("mergeSchema", "true"))
-        df = (reader.parquet(
+        if sch is None:  # pre-schema log: resolve the merged schema once
+            sch = self.read(spark, base).schema
+        df = (spark.read.schema(sch).parquet(
             *[os.path.join(self.path, d) for d in candidates])
             .withColumn("__dv_file", F.expr(self._DV_FILE_KEY))
             .withColumn("__dv_row", F.col("_metadata.row_index")))
@@ -1682,7 +1682,10 @@ class TxnTable:
                 old.select("src_dir", "src_file", "row_idx"))
         dv_rel = os.path.join(_DV_DIR, uuid.uuid4().hex)
         dv_abs = os.path.join(self.path, dv_rel)
-        new_pos.coalesce(1).write.parquet(dv_abs)
+        # repartition, NOT coalesce: coalesce(1) would collapse the
+        # whole upstream candidate scan into one task; the exchange
+        # carries only the (tiny) position rows
+        new_pos.repartition(1).write.parquet(dv_abs)
         per_dir = {r["src_dir"]: r["n"] for r in
                    spark.read.parquet(dv_abs)
                    .groupBy("src_dir").agg(F.count("*").alias("n"))

@@ -52,6 +52,12 @@ class _FilePartition(InputPartition):
     # CDF mode
     change_type: str | None = None
     commit_version: int | None = None
+    # deletion vectors (batch snapshot reads): absolute path of the DV
+    # parquet dir covering this file's data dir, and this file's
+    # "data/<uuid>/<name>" key inside it — executor-side _read_file
+    # masks the deleted row positions out before yielding batches
+    dv_path: str | None = None
+    dv_key: str | None = None
 
 
 def _infer_part_type(vals: list[str]) -> str:
@@ -116,6 +122,15 @@ def _read_file(p: _FilePartition | None):
     if p is None:
         return
     t = _normalize_ts(pq.read_table(p.path))
+    if p.dv_path is not None:
+        import pyarrow.compute as pc
+
+        dv = pq.read_table(p.dv_path, columns=["src_file", "row_idx"])
+        dead = dv.filter(pc.equal(dv["src_file"], p.dv_key))["row_idx"]
+        if len(dead):
+            gone = set(dead.to_pylist())
+            t = t.take(pa.array(
+                [i for i in range(len(t)) if i not in gone], pa.int64()))
     if p.part_col is not None:
         if p.part_type == "int32":
             arr = pa.array([int(p.part_val)] * len(t), pa.int32())
@@ -245,17 +260,21 @@ class _TxnBatchReader(DataSourceReader):
             dirs = self.table.pruned_dirs(col, lo, hi, self.version)
         else:
             dirs = self.table.snapshot_dirs(self.version)
-        if self.table.snapshot_dvs(self.version):
-            # the Arrow file readers below have no row-position filter:
-            # reading a DV'd snapshot here would RESURRECT deleted rows.
-            # Fail loudly (the protocol gate catches pre-DV libraries;
-            # this catches this DataSource's own gap) — the Python-API
-            # read path (TxnTable.read) fully supports DVs.
-            raise ValueError(
-                "format('txnlog') batch reads do not support deletion "
-                "vectors yet — read via TxnTable.read(), or materialize "
-                "DVs with compact()")
-        return _files_of(self.table, dirs)
+        parts = _files_of(self.table, dirs)
+        dvs = self.table.snapshot_dvs(self.version)
+        if dvs:
+            # attach each file's DV sidecar so the executor-side reader
+            # masks deleted positions (row_idx == position in file order,
+            # the same contract as Spark's _metadata.row_index)
+            for p in parts:
+                rel_dir = os.path.relpath(os.path.dirname(p.path),
+                                          self.table.path)
+                ref = dvs.get(rel_dir)
+                if ref is not None:
+                    p.dv_path = os.path.join(self.table.path, ref["path"])
+                    p.dv_key = os.path.join(rel_dir,
+                                            os.path.basename(p.path))
+        return parts
 
     def read(self, partition: _FilePartition):
         return _read_file(partition)

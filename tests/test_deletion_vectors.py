@@ -195,12 +195,51 @@ def test_dv_protocol_gates_old_readers(spark, tmp_path):
         TL._READER_CAPABILITY = old
 
 
-def test_dv_datasource_read_refuses(spark, tmp_path):
+def test_dv_datasource_batch_read_applies_positions(spark, tmp_path):
+    """format('txnlog') batch reads mask DV'd positions executor-side
+    (row_idx == file-order position, Spark's _metadata.row_index
+    contract) — the DataSource path equals the Python-API read, incl.
+    time travel to the pre-DV snapshot."""
     t = _dv_table(spark, tmp_path)
-    t.delete_where(spark, "id = 1", use_dv=True)
+    t.delete_where(spark, "id % 10 = 0", use_dv=True)
+    t.delete_where(spark, "id % 7 = 0", use_dv=True)
     from sport_advantages_moderne_data_infrastructure_spark.sources.txnstream import (  # noqa: E501
         TxnLogDataSource,
     )
     spark.dataSource.register(TxnLogDataSource)
-    with pytest.raises(Exception, match="deletion vectors"):
-        spark.read.format("txnlog").load(t.path).count()
+    got = {r.id for r in
+           spark.read.format("txnlog").load(t.path).collect()}
+    assert got == _ids(spark, t)
+    pre = {r.id for r in spark.read.format("txnlog")
+           .option("version", "1").load(t.path).collect()}
+    assert pre == set(range(200))
+
+
+def test_dv_datasource_stream_guard(spark, tmp_path):
+    """The version-offset streaming feed refuses a DV commit like any
+    rewrite (its adds are not row-level changes) unless
+    skipChangeCommits skips it."""
+    t = _dv_table(spark, tmp_path)
+    t.delete_where(spark, "id = 1", use_dv=True)
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from sport_advantages_moderne_data_infrastructure_spark.sources.txnstream import (  # noqa: E501
+        TxnLogDataSource,
+    )
+    spark.dataSource.register(TxnLogDataSource)
+
+    def drain(**opts):
+        out = str(tmp_path / f"out{len(opts)}")
+        r = spark.readStream.format("txnlog")
+        for k, v in opts.items():
+            r = r.option(k, v)
+        q = (r.load(t.path).writeStream.format("parquet")
+             .option("path", out)
+             .option("checkpointLocation", str(tmp_path / f"ck{len(opts)}"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return spark.read.parquet(out).count()
+
+    with pytest.raises(StreamingQueryException, match="rewrite"):
+        drain()
+    assert drain(skipChangeCommits="true") == 200
