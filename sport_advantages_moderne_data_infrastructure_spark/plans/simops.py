@@ -774,6 +774,67 @@ def ensure_ivfpq_index(spark: SparkSession, sf_dir: str):
     return centroids, cb, spark.read.parquet(_IVFPQ_IDX[sf_dir])
 
 
+@register(
+    "stream_ann_index_equiv",  # new r6, gated immediately (slot:
+    # contamination_check demoted — twice-green; contamination's
+    # explode/broadcast shape stays gated via boilerplate/unigram rows)
+    # Self-contained equivalence contract (the recall-floor pattern):
+    # the literal-TRUE booleans flip — and the gate hash-mismatches —
+    # if the incrementally-maintained index ever diverges from a batch
+    # rebuild, either in CONTENT (vec_id -> centroid_id assignment,
+    # both directions of exceptAll) or in QUERY RESULTS (full top-10,
+    # rank-exact, through the maintained lists vs the batch lists).
+    oracle=("SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings) "
+            "AS n_vectors, CAST(1 AS BOOLEAN) AS index_matches_batch, "
+            "CAST(1 AS BOOLEAN) AS topk_matches_batch"))
+def q_stream_ann_index_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ANN-index maintenance (streaming/annindex.py) gated as
+    a two-batch twin: embeddings arrive as two micro-batches through
+    the EXACT per-batch ingest the foreachBatch sink runs (map-side
+    centroid assignment, atomic partition-subdir append, replay guard),
+    then the maintained inverted lists are compared against a one-shot
+    batch assignment — content row-identical, and IVF top-10 through
+    the maintained index rank-identical to the batch index. Centroids
+    are the shared cached artifact, so assignment is deterministic and
+    exact equality is the right contract (no tolerance)."""
+    import tempfile
+
+    from ..operators.ivf import assign_centroids, ivf_topk
+    from ..streaming.annindex import ingest_batch, read_index
+    from ..sources.txnlog import TxnTable
+
+    e = load_table(spark, sf_dir, "embeddings")
+    centroids, _ = ensure_ivf_index(spark, sf_dir)
+    idx = TxnTable(tempfile.mkdtemp(prefix="samdis_stream_ivf_") + "/idx")
+    app = "annix_twin"
+    ingest_batch(idx, e.filter(F.col("vec_id") % 2 == 0), centroids,
+                 0, app)
+    ingest_batch(idx, e.filter(F.col("vec_id") % 2 == 1), centroids,
+                 1, app)
+    maintained = read_index(spark, idx.path)
+    batch = assign_centroids(
+        e.select("vec_id", "embedding",
+                 F.sqrt(F.expr(dot_expr("embedding", "embedding")))
+                 .alias("e_norm")), centroids)
+    m_ids = maintained.select("vec_id", "centroid_id")
+    b_ids = batch.select("vec_id", "centroid_id")
+    content_ok = (m_ids.exceptAll(b_ids).count() == 0
+                  and b_ids.exceptAll(m_ids).count() == 0)
+    pred = lambda vid: vid % 50 == 0  # noqa: E731 — the shared query set
+    mt = (ivf_topk(e, centroids, pred, k=10, nprobe=6,
+                   assigned=maintained)
+          .select("query_id", "neighbor_id", "rank"))
+    bt = (ivf_topk(e, centroids, pred, k=10, nprobe=6, assigned=batch)
+          .select("query_id", "neighbor_id", "rank"))
+    topk_ok = (mt.exceptAll(bt).count() == 0
+               and bt.exceptAll(mt).count() == 0)
+    n = e.count()
+    return spark.createDataFrame(
+        [(int(n), bool(content_ok), bool(topk_ok))],
+        "n_vectors long, index_matches_batch boolean, "
+        "topk_matches_batch boolean")
+
+
 @register("ann_ivfpq_topk", bench=True, driver=False)  # approximation —
 # no SQL-expressible contract; hard contract: pytest recall floor
 # (tests/test_ann.py) on the composed IVF-pruning x PQ-error path

@@ -536,7 +536,11 @@ def _contam_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "contamination_check",  # promoted into the driver window r4
+    "contamination_check",  # promoted r4; rotated out r6 (twice-green
+    # r4-r5; slot freed for stream_ann_index_equiv — the n-gram
+    # containment shape stays gated via boilerplate_ngrams_abs;
+    # pytest parity continues)
+    driver=False,
     oracle=(
         f"WITH corpus AS ({_CONTAM_CORPUS_SQL}), "
         f"sh AS ({DD.word_shingle_hashes_sql('corpus')}), "
