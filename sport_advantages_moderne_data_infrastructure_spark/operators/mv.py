@@ -52,31 +52,35 @@ def maintain_agg_view(spark: SparkSession, source: TxnTable,
                        {**meta, "mv_resync": True})
         return src_v
     delta = agg_delta_from_changes(changes, group_cols, value_col)
+    # the view is O(groups) — tiny next to the source — so an atomic
+    # overwrite is the right write shape at any source scale
+    view.overwrite(apply_delta(spark, view, delta, group_cols), meta)
+    return src_v
+
+
+def apply_delta(spark: SparkSession, view: TxnTable, delta: DataFrame,
+                group_cols: list[str]) -> DataFrame:
+    """Current partials + a signed delta frame (d_count/d_sum) → the new
+    partials. Fully-deleted groups (cnt reaches 0) drop, matching GROUP
+    BY over the post-delete source."""
     if view.latest_version() is None:
-        merged = (delta.select(
+        return (delta.select(
             *group_cols,
             F.col("d_count").alias("cnt"), F.col("d_sum").alias("sm"))
             .filter(F.col("cnt") != 0))
-    else:
-        cur = view.read(spark).alias("c")
-        d = delta.alias("d")
-        on = [cur[c].eqNullSafe(d[c]) for c in group_cols]
-        cond = on[0]
-        for o in on[1:]:
-            cond = cond & o
-        merged = (cur.join(d, cond, "full_outer")
-                  .select(
-                      *[F.coalesce(cur[c], d[c]).alias(c)
-                        for c in group_cols],
-                      (F.coalesce(cur["cnt"], F.lit(0))
-                       + F.coalesce(d["d_count"], F.lit(0))).alias("cnt"),
-                      (F.coalesce(cur["sm"], F.lit(0))
-                       + F.coalesce(d["d_sum"], F.lit(0))).alias("sm"))
-                  .filter(F.col("cnt") != 0))  # fully-deleted groups drop
-    # the view is O(groups) — tiny next to the source — so an atomic
-    # overwrite is the right write shape at any source scale
-    view.overwrite(merged, meta)
-    return src_v
+    cur = view.read(spark).alias("c")
+    d = delta.alias("d")
+    cond = cur[group_cols[0]].eqNullSafe(d[group_cols[0]])
+    for c in group_cols[1:]:
+        cond = cond & cur[c].eqNullSafe(d[c])
+    return (cur.join(d, cond, "full_outer")
+            .select(
+                *[F.coalesce(cur[c], d[c]).alias(c) for c in group_cols],
+                (F.coalesce(cur["cnt"], F.lit(0))
+                 + F.coalesce(d["d_count"], F.lit(0))).alias("cnt"),
+                (F.coalesce(cur["sm"], F.lit(0))
+                 + F.coalesce(d["d_sum"], F.lit(0))).alias("sm"))
+            .filter(F.col("cnt") != 0))
 
 
 def _partials(df: DataFrame, group_cols: list[str],

@@ -84,3 +84,34 @@ def test_mv_resyncs_over_non_cdf_history(spark, tmp_path):
     maintain_agg_view(spark, src, view, ["grp"], "val")
     assert _got(spark, view) == {("z", 2, 10)}
     assert view.last_meta().get("mv_resync") is None
+
+
+def test_mv_streaming_maintenance(spark, tmp_path):
+    """The CDF-stream-driven view (streaming/mv.py) converges to the
+    direct aggregation through append + MERGE + DELETE commits, and a
+    restart on the same checkpoint re-applies nothing."""
+    from sport_advantages_moderne_data_infrastructure_spark.streaming.mv import (
+        write_stream_agg_view,
+    )
+
+    src = TxnTable(str(tmp_path / "src"))
+    view_path = str(tmp_path / "view")
+    ck = str(tmp_path / "ck")
+    src.append(_df(spark, [(1, "a", 10), (2, "a", 20), (3, "b", 5)]))
+    src.merge(spark, _df(spark, [(1, "a", 100), (4, "c", 7)]), "id")
+    src.delete_where(spark, "id = 2")
+
+    def drain():
+        q = write_stream_agg_view(spark, src.path, view_path, ck,
+                                  ["grp"], "val", app_id="mvstream")
+        q.awaitTermination(120)
+
+    drain()
+    view = TxnTable(view_path)
+    assert _got(spark, view) == _want(spark, src)
+    v = view.latest_version()
+    drain()  # restart: nothing new, nothing re-applied
+    assert view.latest_version() == v
+    src.append(_df(spark, [(5, "b", 50)]))
+    drain()
+    assert _got(spark, view) == _want(spark, src)

@@ -2218,3 +2218,42 @@ def test_hint_tracks_checkpoints_and_stale_checkpoint_is_safe(spark, tmp_path):
     with open(hint, "w") as fh:
         json.dump({**h, "checkpoint": 3}, fh)
     assert _rows(t.read(spark)) == {(i, "x") for i in range(12)}
+
+
+def test_row_ops_many_candidates_prepass_path(spark, tmp_path):
+    """Above _OBS_RIDER_MAX candidates, DELETE/UPDATE switch from the
+    per-dir Observation rider (O(rows x dirs) CASEs) to a column-pruned
+    sizing pre-pass — results must be identical, full-match dirs drop
+    without rewrite, match-free dirs stay physically untouched."""
+    t = TxnTable(str(tmp_path / "t"))
+    n_dirs = TxnTable._OBS_RIDER_MAX + 4
+    for lo in range(n_dirs):
+        t.append(_df(spark, [(lo * 100 + i, f"v{lo * 100 + i}")
+                             for i in range(20)]))
+    live_before = t.snapshot_dirs()
+    # scattered delete: hits some rows in EVERY dir
+    t.delete_where(spark, "id % 10 = 3", capture_changes=False)
+    assert {r["id"] for r in t.read(spark).collect()} == {
+        lo * 100 + i for lo in range(n_dirs) for i in range(20)
+        if i != 3 and i != 13}
+    # match-free dirs untouched: none here (every dir matched), so all
+    # original dirs were replaced by ONE rewrite dir
+    assert len(t.snapshot_dirs()) == 1
+    # scattered update through the CDF path (changes still captured)
+    t2 = TxnTable(str(tmp_path / "t2"))
+    for lo in range(n_dirs):
+        t2.append(_df(spark, [(lo * 100 + i, f"v{lo * 100 + i}")
+                              for i in range(20)]))
+    keep_dir = t2.snapshot_dirs()[0]  # ids 0..19: no match below
+    t2.update_where(spark, "id % 100 = 5 AND id >= 100", {"val": "'hot'"})
+    got = {(r["id"], r["val"]) for r in t2.read(spark).collect()}
+    assert (105, "hot") in got and (5, "v5") in got
+    assert keep_dir in t2.snapshot_dirs()  # match-free dir untouched
+    ch = t2.read_changes(spark, since_version=n_dirs - 1)
+    assert ch.filter("_change_type = 'update_postimage'").count() \
+        == n_dirs - 1
+    # no-match scattered delete on the prepass path: no commit
+    v = t2.latest_version()
+    assert t2.delete_where(spark, "id = 999999",
+                           capture_changes=False) == v
+    del live_before
