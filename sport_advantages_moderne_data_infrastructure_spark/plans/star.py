@@ -219,12 +219,16 @@ def q_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     [first, last] activity hour with missing hours materialized at count
     0 and the last observed event type carried forward. The grid is
     sequence+explode per key — Σ span-hours rows, linear in keys ×
-    span, partitioned by the key; the fill is ONE running `last(...,
-    ignorenulls)` window sharing the grid's hash-partitioning on
-    user_id, so the whole op is agg → explode → one shuffle-free join +
-    window per key at any number of keys. Per-hour rollup stays
-    deterministic under ts ties by aggregating (count, MAX(type)), so
-    both engines derive identical fills."""
+    span; the fill is ONE running `last(..., ignorenulls)` window on
+    user_id. Captured plan (tests/test_plan_quality.py pins it): the
+    hourly rollup shuffles once on (user_id, hour-group), broadcasts
+    into the grid join, and Catalyst pushes the window's user_id
+    distribution BELOW the join so the grid side exchanges exactly once
+    — two hash exchanges total, each O(grid). At a scale where the
+    hourly side outgrows broadcast, the join becomes a sort-merge on
+    the same keys and the shape stays 3 exchanges, never a nested loop.
+    Per-hour rollup stays deterministic under ts ties by aggregating
+    (count, MAX(type)), so both engines derive identical fills."""
     from pyspark.sql import Window as Wn
 
     e = load_table(spark, sf_dir, "events")

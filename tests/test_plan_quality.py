@@ -184,3 +184,17 @@ def test_semantic_dedup_pair_join_is_equi_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert ("BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
             or "SortMergeJoin" in plan), plan
+
+
+def test_gapfill_two_hash_exchanges_no_nested_loop(spark, sf_dir):
+    """timeseries_gapfill: hourly-agg exchange + ONE grid-side exchange
+    (the window's user_id distribution pushed below the broadcast
+    join) — a third hash exchange or a nested-loop join means the
+    grid/window composition regressed."""
+    import re
+    plan = _plan(catalog.REGISTRY["timeseries_gapfill"]
+                 .spark_fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    n_hash = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_hash <= 2, plan
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan
