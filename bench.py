@@ -48,12 +48,16 @@ FLOORS = {
     # ~25% under the 1571-1738 steady band at the default batch size.
 }
 
-# Per-core-query wall-clock budgets (sec at sf0.1): 1.5x the rolling min
-# over rounds 3-5 (BENCH_r0{3,4,5}.json), so a silent per-query drift like
-# cdc_parse_project's r5 +24% gets flagged the round it crosses 1.5x, not
-# rounds later (VERDICT r5 #3). Applied only when floors apply (sf >= 0.1);
-# a failing query gets ONE extra timed rep (recorded) before the miss
-# stands — same bounded-retry-for-weather policy as the streaming floors.
+# Per-query wall-clock budgets (sec at sf0.1): 1.5x the rolling min over
+# prior rounds (BENCH_r0{3,4,5}.json + r6 local runs), so a silent
+# per-query drift like cdc_parse_project's r5 +24% gets flagged the round
+# it crosses 1.5x, not rounds later (VERDICT r5 #3). Applied only when
+# floors apply (sf >= 0.1); a failing query gets ONE extra timed rep
+# (recorded) before the miss stands — same bounded-retry-for-weather
+# policy as the streaming floors. Covers the frozen r4 core set AND the
+# r5-added queries (two rounds of data each as of r6); newly added bench
+# queries get a budget the round AFTER they first report, once a rolling
+# min exists.
 QUERY_BUDGETS = {
     "ann_lsh_bucketed": 1.43,       # min 0.950
     "ann_ivf_topk": 2.12,           # min 1.413
@@ -74,6 +78,15 @@ QUERY_BUDGETS = {
     "top_orders_by_revenue": 0.74,  # min 0.496
     "customer_order_ranks": 0.55,   # min 0.367
     "events_hourly": 0.39,          # min 0.259
+    # r5-added queries (report under added_queries; budgets from the
+    # r5 driver run + r6 local runs):
+    "ann_pq_topk": 1.56,            # min 1.037
+    "ann_ivfpq_topk": 1.96,         # min 1.305 (post-LUT-planning fix)
+    "dedup_chunks": 1.18,           # min 0.784
+    "mixture_token_budget": 0.96,   # min 0.640
+    "scd2_employee_sport_dim": 0.62,  # min 0.415
+    "interval_join_events": 0.59,   # min 0.396
+    "timeseries_gapfill": 0.44,     # min 0.295 (new r6; local sf0.1 runs)
 }
 
 

@@ -196,6 +196,8 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     "timeseries_gapfill",  # new r6, gated immediately (slot:
     # token_pack_assignments demoted — triple-green r3-r5; the greedy
     # packing shape stays pytest-gated via oracle parity)
+    bench=True,  # reports under added_queries; core set stays frozen.
+    # No budget yet — rolling min starts once it first reports (r6).
     oracle=(
         "WITH hourly AS (SELECT user_id, date_trunc('hour', ts) AS hour, "
         "CAST(COUNT(*) AS BIGINT) AS n_events, "

@@ -17,12 +17,18 @@ def test_floor_keys_cover_streaming_metrics():
 
 def test_query_budgets_cover_core_set():
     """Every core query has a per-query wall-clock budget (VERDICT r5 #3)
-    and every budgeted query is core — the tripwire can't silently lose
-    coverage when the core set or the budgets change independently."""
+    — the tripwire can't silently lose coverage when the core set or the
+    budgets change independently. Since r6 the budgets also cover the
+    r5-added queries, so the budgeted set is a superset of core but must
+    stay within the benched registry (checked below)."""
     import bench
 
-    assert set(bench.QUERY_BUDGETS) == set(bench.CORE_QUERIES)
+    assert set(bench.CORE_QUERIES) <= set(bench.QUERY_BUDGETS)
     assert all(0 < b < 30 for b in bench.QUERY_BUDGETS.values())
+    # the six r5 additions are budgeted as of r6
+    assert {"ann_pq_topk", "ann_ivfpq_topk", "dedup_chunks",
+            "mixture_token_budget", "scd2_employee_sport_dim",
+            "interval_join_events"} <= set(bench.QUERY_BUDGETS)
 
 
 def test_core_query_set_is_frozen_r4_set():
@@ -44,3 +50,6 @@ def test_core_queries_still_registered():
 
     bench_names = set(catalog.bench_queries())
     assert bench.CORE_QUERIES <= bench_names
+    # every budgeted query must actually be benched, or its budget row
+    # reports value=None forever without anyone noticing
+    assert set(bench.QUERY_BUDGETS) <= bench_names
