@@ -1,0 +1,154 @@
+"""Exactly-once streaming publish into an RDBMS (K3 streaming leg).
+
+The reference serves its aggregates to Postgres with plain re-INSERTs —
+an Airflow task writes `INSERT INTO sport_advantages.sport_activities`
+rows on every validation cycle (airflow/dags/data_validation_dag.py:129)
+and the batch loader is a psycopg2 ``execute_values`` loop
+(commute_validation/sql_scripts.py:104-148). Neither is idempotent: a
+retried task or a restarted consumer writes the same rows again.
+
+This module is the Structured-Streaming-correct version, the standard
+two-phase pattern for publishing micro-batches into a transactional
+store that Spark cannot write atomically:
+
+1. **Bulk leg (executor-parallel):** the micro-batch lands in a
+   per-target STAGING table via ``df.write.jdbc`` — Spark's partitioned
+   bulk path, so the data volume never funnels through the driver. At
+   100 TB-pipeline scale the published frames are aggregates (an MV, a
+   quality report), but the pattern holds for any size the RDBMS can
+   absorb: the heavy bytes move on the cluster side.
+2. **Publish leg (one driver-side transaction):** DELETE the target
+   rows whose keys appear in staging, INSERT the staging rows, and
+   record ``(app_id, batch_id)`` in a ledger table — all in ONE
+   transaction. Micro-batch replay (Structured Streaming re-offers the
+   last uncommitted batch after a restart) hits the ledger row and
+   skips; a crash between the staging write and the publish leaves only
+   staging garbage that the replayed batch overwrites.
+
+The upsert is DELETE+INSERT by key (portable SQL-92 — Derby, Postgres,
+MySQL all take it; MERGE would be dialect-specific), so re-publishing a
+key-complete frame is idempotent even before the ledger check.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+LEDGER_TABLE = "stream_sink_ledger"
+
+# Derby signals "table already exists" with SQLState X0Y32; Postgres uses
+# 42P07. Creation is CREATE-then-tolerate because neither ANSI SQL nor
+# Derby has CREATE TABLE IF NOT EXISTS.
+_EXISTS_STATES = {"X0Y32", "42P07", "42S01"}
+
+
+def _connect(spark: SparkSession, url: str, driver: str | None):
+    jvm = spark.sparkContext._jvm
+    if driver:
+        jvm.java.lang.Class.forName(driver)
+    return jvm.java.sql.DriverManager.getConnection(url)
+
+
+def _execute_tolerant(conn, sql: str) -> None:
+    """Run DDL, tolerating only already-exists races."""
+    st = conn.createStatement()
+    try:
+        st.execute(sql)
+    except Exception as e:  # py4j wraps java.sql.SQLException
+        msg = str(e)
+        if not any(state in msg for state in _EXISTS_STATES):
+            raise
+    finally:
+        st.close()
+
+
+def jdbc_exactly_once_sink(
+        spark: SparkSession, url: str, target: str, key_cols: list[str],
+        app_id: str, properties: dict | None = None,
+        ledger: str = LEDGER_TABLE) -> Callable[[DataFrame, int], None]:
+    """Build a ``foreachBatch`` callable publishing each micro-batch into
+    JDBC table ``target`` exactly once, upserting on ``key_cols``.
+
+    ``app_id`` scopes the ledger the way the txnlog sink's ``txnAppId``
+    does: two different streams publishing into one target never collide
+    on batch ids. Usage::
+
+        sink = jdbc_exactly_once_sink(spark, url, "agg_out", ["g"], "q1",
+                                      properties=DERBY_PROPS)
+        df.writeStream.foreachBatch(sink).option("checkpointLocation", ck)
+    """
+    props = dict(properties or {})
+    staging = f"{target}_stage"
+    driver = props.get("driver")
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        cols = list(batch_df.columns)
+        missing = [k for k in key_cols if k not in cols]
+        if missing:
+            raise ValueError(f"key columns {missing} not in batch "
+                             f"columns {cols}")
+        conn = _connect(spark, url, driver)
+        try:
+            conn.setAutoCommit(True)
+            _execute_tolerant(
+                conn, f"CREATE TABLE {ledger} (app_id VARCHAR(128), "
+                      "batch_id BIGINT)")
+            # replay guard: the ledger row commits in the SAME
+            # transaction as the published rows, so seeing it here means
+            # this batch's rows are fully in the target
+            ps = conn.prepareStatement(
+                f"SELECT 1 FROM {ledger} WHERE app_id = ? AND "
+                "batch_id = ?")
+            ps.setString(1, app_id)
+            ps.setLong(2, batch_id)
+            rs = ps.executeQuery()
+            seen = rs.next()
+            rs.close()
+            ps.close()
+            if seen:
+                return
+
+            # bulk leg: executor-parallel staging write (overwrite drops
+            # any half-written staging from a crashed prior attempt)
+            batch_df.write.jdbc(url=url, table=staging, mode="overwrite",
+                                properties=props)
+
+            # publish leg: one transaction — upsert + ledger row
+            conn.setAutoCommit(False)
+            try:
+                _execute_tolerant(
+                    conn, f"CREATE TABLE {target} AS SELECT * FROM "
+                          f"{staging} WITH NO DATA")
+                # Spark's JDBC writer creates columns as QUOTED (and so
+                # case-sensitive) identifiers — every data-column
+                # reference must quote the exact DataFrame column name
+                on = " AND ".join(
+                    f's."{k}" = t."{k}"' for k in key_cols)
+                st = conn.createStatement()
+                try:
+                    st.executeUpdate(
+                        f"DELETE FROM {target} t WHERE EXISTS "
+                        f"(SELECT 1 FROM {staging} s WHERE {on})")
+                    col_list = ", ".join(f'"{c}"' for c in cols)
+                    st.executeUpdate(
+                        f"INSERT INTO {target} ({col_list}) "
+                        f"SELECT {col_list} FROM {staging}")
+                finally:
+                    st.close()
+                ps = conn.prepareStatement(
+                    f"INSERT INTO {ledger} (app_id, batch_id) "
+                    "VALUES (?, ?)")
+                ps.setString(1, app_id)
+                ps.setLong(2, batch_id)
+                ps.executeUpdate()
+                ps.close()
+                conn.commit()
+            except Exception:
+                conn.rollback()
+                raise
+        finally:
+            conn.close()
+
+    return _sink

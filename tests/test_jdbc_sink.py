@@ -1,0 +1,110 @@
+"""Exactly-once streaming JDBC publish (streaming/jdbcsink.py) against
+real embedded Derby: upsert semantics, ledger-based replay skip, and a
+genuine writeStream restart on the same checkpoint."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from sport_advantages_moderne_data_infrastructure_spark.sources import io
+from sport_advantages_moderne_data_infrastructure_spark.streaming.jdbcsink import (
+    jdbc_exactly_once_sink,
+)
+
+DERBY_PROPS = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+
+
+@pytest.fixture()
+def derby_url(spark, tmp_path):
+    spark.sparkContext._jvm.System.setProperty(
+        "derby.stream.error.file", str(tmp_path / "derby.log"))
+    return f"jdbc:derby:{tmp_path}/derbydb;create=true"
+
+
+def _read_target(spark, url, table):
+    return (spark.read.format("jdbc").option("url", url)
+            .option("dbtable", table)
+            .option("driver", DERBY_PROPS["driver"]).load())
+
+
+def test_upsert_publish_and_replay_skip(spark, derby_url):
+    sink = jdbc_exactly_once_sink(
+        spark, derby_url, "agg_out", ["g"], "appA",
+        properties=DERBY_PROPS)
+
+    b0 = spark.createDataFrame(
+        [Row(g=i, cnt=10 * i) for i in range(1, 6)])
+    sink(b0, 0)
+    got = {r["g"]: r["cnt"] for r in
+           _read_target(spark, derby_url, "agg_out").collect()}
+    assert got == {i: 10 * i for i in range(1, 6)}
+
+    # batch 1 updates keys 3-5 and adds 6: DELETE+INSERT upsert
+    b1 = spark.createDataFrame(
+        [Row(g=i, cnt=100 * i) for i in range(3, 7)])
+    sink(b1, 1)
+    got = {r["g"]: r["cnt"] for r in
+           _read_target(spark, derby_url, "agg_out").collect()}
+    assert got == {1: 10, 2: 20, 3: 300, 4: 400, 5: 500, 6: 600}
+
+    # replay of batch 1 with DIFFERENT (corrupted) content: the ledger
+    # row proves the batch already published, so nothing may change
+    b1_replay = spark.createDataFrame([Row(g=3, cnt=-1)])
+    sink(b1_replay, 1)
+    got2 = {r["g"]: r["cnt"] for r in
+            _read_target(spark, derby_url, "agg_out").collect()}
+    assert got2 == got
+
+
+def test_ledger_is_scoped_by_app_id(spark, derby_url):
+    sink_a = jdbc_exactly_once_sink(
+        spark, derby_url, "multi_out", ["g"], "appA",
+        properties=DERBY_PROPS)
+    sink_b = jdbc_exactly_once_sink(
+        spark, derby_url, "multi_out", ["g"], "appB",
+        properties=DERBY_PROPS)
+    sink_a(spark.createDataFrame([Row(g=1, cnt=1)]), 0)
+    # same batch_id, different app: must NOT be skipped
+    sink_b(spark.createDataFrame([Row(g=2, cnt=2)]), 0)
+    got = {r["g"]: r["cnt"] for r in
+           _read_target(spark, derby_url, "multi_out").collect()}
+    assert got == {1: 1, 2: 2}
+
+
+def test_writestream_restart_is_exactly_once(spark, derby_url, tmp_path):
+    """Real micro-batch execution: stream a parquet directory into the
+    sink, then restart on the SAME checkpoint — Structured Streaming
+    re-offers the last batch, the ledger absorbs it, and the target
+    count must not grow."""
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    rows = spark.range(100).select(
+        F.col("id").alias("g"), (F.col("id") * 2).alias("cnt"))
+    rows.write.parquet(src)
+
+    sink = jdbc_exactly_once_sink(
+        spark, derby_url, "stream_out", ["g"], "stream1",
+        properties=DERBY_PROPS)
+
+    def run():
+        q = (spark.readStream.schema(rows.schema).parquet(src)
+             .writeStream.foreachBatch(sink)
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run()
+    n1 = _read_target(spark, derby_url, "stream_out").count()
+    assert n1 == 100
+    run()  # restart on the same checkpoint
+    n2 = _read_target(spark, derby_url, "stream_out").count()
+    assert n2 == 100
+
+
+def test_missing_key_column_fails_fast(spark, derby_url):
+    sink = jdbc_exactly_once_sink(
+        spark, derby_url, "bad_out", ["nope"], "appX",
+        properties=DERBY_PROPS)
+    with pytest.raises(ValueError, match="key columns"):
+        sink(spark.createDataFrame([Row(g=1)]), 0)
