@@ -123,9 +123,29 @@ def jdbc_exactly_once_sink(
                           f"{staging} WITH NO DATA")
                 # Spark's JDBC writer creates columns as QUOTED (and so
                 # case-sensitive) identifiers — every data-column
-                # reference must quote the exact DataFrame column name
+                # reference must quote the exact DataFrame column name.
+                # Spark also maps StringType to CLOB on Derby, and LOBs
+                # are not equality-comparable: key columns of LOB type
+                # compare through a VARCHAR cast (no-op on engines that
+                # map strings to TEXT/VARCHAR already).
+                lob_types = {2005, 2011, -1}  # CLOB, NCLOB, LONGVARCHAR
+                st = conn.createStatement()
+                rs = st.executeQuery(
+                    f"SELECT * FROM {staging} WHERE 1=0")
+                md = rs.getMetaData()
+                coltype = {md.getColumnName(i + 1): md.getColumnType(i + 1)
+                           for i in range(md.getColumnCount())}
+                rs.close()
+                st.close()
+
+                def _key(alias: str, k: str) -> str:
+                    ref = f'{alias}."{k}"'
+                    if coltype.get(k) in lob_types:
+                        return f"CAST({ref} AS VARCHAR(32672))"
+                    return ref
+
                 on = " AND ".join(
-                    f's."{k}" = t."{k}"' for k in key_cols)
+                    f"{_key('s', k)} = {_key('t', k)}" for k in key_cols)
                 st = conn.createStatement()
                 try:
                     st.executeUpdate(

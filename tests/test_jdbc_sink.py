@@ -108,3 +108,53 @@ def test_missing_key_column_fails_fast(spark, derby_url):
         properties=DERBY_PROPS)
     with pytest.raises(ValueError, match="key columns"):
         sink(spark.createDataFrame([Row(g=1)]), 0)
+
+
+def test_change_feed_to_mv_to_jdbc_serving_loop(spark, derby_url, tmp_path):
+    """The composed replacement for the reference's serving loop
+    (read_delta.py:47-53 re-aggregate + data_validation_dag.py:129
+    re-INSERT into Postgres): txn source commits -> change-feed-driven
+    MV refresh -> exactly-once JDBC publish of the refreshed groups.
+    After every cycle the RDBMS table must equal a direct GROUP BY of
+    the source snapshot, and re-publishing a cycle must change nothing."""
+    from sport_advantages_moderne_data_infrastructure_spark.operators.mv import (
+        maintain_agg_view, read_agg_view,
+    )
+    from sport_advantages_moderne_data_infrastructure_spark.sources.txnlog import (
+        TxnTable,
+    )
+
+    src = TxnTable(str(tmp_path / "src"))
+    view = TxnTable(str(tmp_path / "view"))
+    sink = jdbc_exactly_once_sink(
+        spark, derby_url, "served", ["grp"], "mv_serve",
+        properties=DERBY_PROPS)
+
+    def df(rows):
+        return spark.createDataFrame(rows, "id int, grp string, val int")
+
+    def want():
+        return {(r.grp, r.cnt, r.sm) for r in
+                src.read(spark).groupBy("grp")
+                .agg(F.count(F.lit(1)).alias("cnt"),
+                     F.sum("val").alias("sm")).collect()}
+
+    def served():
+        return {(r["grp"], r["cnt"], r["sm"]) for r in
+                _read_target(spark, derby_url, "served").collect()}
+
+    # cycle 0: load
+    src.append(df([(1, "a", 10), (2, "a", 20), (3, "b", 5)]))
+    maintain_agg_view(spark, src, view, ["grp"], "val")
+    sink(read_agg_view(spark, view), 0)
+    assert served() == want()
+
+    # cycle 1: merge raises a group, adds another; publish refresh
+    src.merge(spark, df([(1, "a", 100), (4, "c", 7)]), "id")
+    maintain_agg_view(spark, src, view, ["grp"], "val")
+    sink(read_agg_view(spark, view), 1)
+    assert served() == want()
+
+    # replay of cycle 1 (scheduler retry): ledger absorbs it
+    sink(read_agg_view(spark, view), 1)
+    assert served() == want()
