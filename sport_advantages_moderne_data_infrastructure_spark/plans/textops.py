@@ -235,7 +235,11 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash(near_corpus(spark, sf_dir)).orderBy("doc_id")
 
 
-@register("dedup_simhash_pairs",
+@register("dedup_simhash_pairs", driver=False,  # rotated out r6 (green
+          # r3-r5; slot goes to training_order_shuffle — the banded-dedup
+          # shape stays hard-gated via dedup_jaccard_pairs / minhash /
+          # lsh_verified / chunks, and this exact query stays DuckDB-
+          # verified on every pytest run via oracle parity)
           oracle=f"WITH corpus AS ({_NEAR_CORPUS_SQL}), "
                  f"p AS ({DD.simhash_near_dup_sql('corpus')}) "
                  "SELECT * FROM p")
@@ -1338,3 +1342,59 @@ def mixture_select(docs: DataFrame) -> DataFrame:
             .select("doc_id", "source", "n_tokens", "cum_tokens",
                     "quota_tokens")
             .orderBy("doc_id"))
+
+
+@register(
+    "training_order_shuffle",  # new r6, gated immediately (slot:
+    # dedup_simhash_pairs demoted — green r3-r5; banded-dedup shape
+    # stays hard-gated via the jaccard/minhash/lsh_verified/chunks rows)
+    oracle=(
+        "SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY "
+        "md5('shuffle42:' || CAST(doc_id AS VARCHAR)), doc_id) - 1 "
+        "AS BIGINT) AS pos FROM documents ORDER BY doc_id"))
+def q_training_order_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic seeded global shuffle — the training-order
+    permutation every pretraining run needs: position i in [0, N) for
+    each document, reproducible from the seed alone, identical under
+    any partitioning or cluster size. The permutation key is
+    md5(seed || doc_id); the global rank over it is the same two-level
+    distributed prefix sum as mixture_select (textops.py) rather than
+    the naive unpartitioned ROW_NUMBER (which serializes the corpus
+    through ONE task): (1) docs shuffle once on the 256-way hash-prefix
+    bucket; (2) per-bucket counts (256 rows) get exclusive prefix
+    offsets via a tiny single-task window; (3) offsets broadcast back
+    and pos = offset + within-bucket rank. Ordering by (bucket, key)
+    == ordering by key since the bucket IS the key's first byte, so
+    the oracle's single global window is exactly equivalent. At 100 TB
+    this is one uniform shuffle + a 256-row driver-scale table — and
+    reading the output back ordered by pos is a range scan per bucket,
+    no global sort. Replaces the shuffle the reference cannot express
+    at all (its generator materializes and shuffles in pandas,
+    activity_generator/sql_manipulation.py)."""
+    return training_order(load_table(spark, sf_dir, "documents"),
+                          seed="shuffle42")
+
+
+def training_order(docs: DataFrame, seed: str) -> DataFrame:
+    """Core of the seeded permutation over a (doc_id, ...) frame."""
+    from pyspark.sql import Window as Wn
+
+    d = (docs.select(
+        "doc_id",
+        F.md5(F.concat(F.lit(seed + ":"),
+                       F.col("doc_id").cast("string"))).alias("pri"))
+        .withColumn("bkt", F.substring("pri", 1, 2)))
+    counts = d.groupBy("bkt").agg(F.count(F.lit(1)).alias("n"))
+    # 256-row table: the unpartitioned window is a single task over a
+    # driver-scale frame, same discipline as mixture_select's quota
+    w_off = Wn.orderBy("bkt").rowsBetween(Wn.unboundedPreceding, -1)
+    off = counts.select(
+        "bkt", F.coalesce(F.sum("n").over(w_off), F.lit(0)).alias("off"))
+    w_in = Wn.partitionBy("bkt").orderBy("pri", "doc_id")
+    # no trailing orderBy: the permutation IS the pos column; a global
+    # range sort here would cost a full extra exchange at scale for
+    # presentation only (the oracle compare sorts values either way)
+    return (d.join(F.broadcast(off), "bkt")
+            .select("doc_id",
+                    (F.col("off") + F.row_number().over(w_in) - 1)
+                    .cast("bigint").alias("pos")))

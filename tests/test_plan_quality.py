@@ -195,6 +195,19 @@ def test_gapfill_two_hash_exchanges_no_nested_loop(spark, sf_dir):
     plan = _plan(catalog.REGISTRY["timeseries_gapfill"]
                  .spark_fn(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan, plan
-    n_hash = len(re.findall(r"Exchange hashpartitioning", plan))
+    n_hash = len(re.findall(r"Arguments: hashpartitioning", plan))
     assert n_hash <= 2, plan
     assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan
+
+
+def test_training_order_one_corpus_shuffle(spark, sf_dir):
+    """training_order_shuffle: the corpus shuffles ONCE (on the hash
+    bucket); the only single-partition exchange is the 256-row offset
+    table; no global range sort of the corpus, no nested loop."""
+    import re
+    plan = _plan(catalog.REGISTRY["training_order_shuffle"]
+                 .spark_fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert len(re.findall(r"Arguments: hashpartitioning", plan)) == 2, plan
+    assert len(re.findall(r"Arguments: SinglePartition", plan)) == 1, plan
+    assert "rangepartitioning" not in plan, plan
