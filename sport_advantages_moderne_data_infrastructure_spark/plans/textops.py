@@ -1348,6 +1348,7 @@ def mixture_select(docs: DataFrame) -> DataFrame:
     "training_order_shuffle",  # new r6, gated immediately (slot:
     # dedup_simhash_pairs demoted — green r3-r5; banded-dedup shape
     # stays hard-gated via the jaccard/minhash/lsh_verified/chunks rows)
+    bench=True,  # reports under added_queries; core set stays frozen
     oracle=(
         "SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY "
         "md5('shuffle42:' || CAST(doc_id AS VARCHAR)), doc_id) - 1 "
