@@ -444,3 +444,27 @@ def test_k_for_corpus_policy():
     assert ks == sorted(ks)             # monotone
     for n, k in zip(ns[1:], ks[1:]):
         assert abs(n / k - TARGET_LIST_SIZE) <= 1  # E[list size] pinned
+
+
+def test_training_order_scales_linearly(spark):
+    """Seeded permutation: one bucket shuffle + per-bucket sorts.
+    Positions must also stay a bijection onto [0, N) at both scales —
+    the prefix-sum offsets can't collide or gap."""
+    from sport_advantages_moderne_data_infrastructure_spark.plans.textops import (
+        training_order,
+    )
+
+    def run(m):
+        out = training_order(_scaled_docs(spark, m), seed="stress")
+        agg = out.agg(F.count(F.lit(1)).alias("n"),
+                      F.countDistinct("pos").alias("d"),
+                      F.min("pos").alias("lo"),
+                      F.max("pos").alias("hi")).first()
+        assert agg.d == agg.n and agg.lo == 0 and agg.hi == agg.n - 1, agg
+        return agg.n
+
+    n1 = run(1)
+    t1 = _timed(lambda: run(1))
+    n10 = run(M)
+    t10 = _timed(lambda: run(M))
+    assert _report("training_order", n1, t1, n10, t10) <= MAX_RATIO
