@@ -80,7 +80,11 @@ def jdbc_exactly_once_sink(
         df.writeStream.foreachBatch(sink).option("checkpointLocation", ck)
     """
     props = dict(properties or {})
-    staging = f"{target}_stage"
+    # staging is scoped per (target, app): two streams publishing into
+    # one target never overwrite each other's in-flight staging rows
+    # (their publish transactions still serialize at the RDBMS)
+    app_slug = "".join(c if c.isalnum() else "_" for c in app_id)[:32]
+    staging = f"{target}_stg_{app_slug}"
     driver = props.get("driver")
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
