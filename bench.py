@@ -87,7 +87,7 @@ QUERY_BUDGETS = {
     "scd2_employee_sport_dim": 0.62,  # min 0.415
     "interval_join_events": 0.59,   # min 0.396
     "timeseries_gapfill": 0.44,     # min 0.295 (new r6; local sf0.1 runs)
-    "training_order_shuffle": 0.83,  # min 0.550 (new r6; local sf0.1 runs)
+    "training_order_shuffle": 0.42,  # min 0.282 (new r6; local sf0.1 runs)
 }
 
 
