@@ -257,7 +257,11 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "embedding_dedup_lsh",
+    "embedding_dedup_lsh", driver=False,  # rotated out late r6 (green
+    # r3-r5; slot goes to training_shard_assignments — the embedding
+    # near-dup shape stays hard-gated via semantic_dedup_prune and the
+    # LSH-bucket path via ann_lsh_recall_floor; this exact query stays
+    # DuckDB-verified per pytest run via oracle parity)
     # oracle = brute-force pairs: sound here because duplicate-injected
     # vectors are bit-identical → identical hyperplane signs → same bucket
     # ALWAYS, so the LSH prefilter provably loses nothing at cosine≥0.99

@@ -1399,3 +1399,58 @@ def training_order(docs: DataFrame, seed: str) -> DataFrame:
             .select("doc_id",
                     (F.col("off") + F.row_number().over(w_in) - 1)
                     .cast("bigint").alias("pos")))
+
+
+@register(
+    "training_shard_assignments",  # new late r6, gated immediately
+    # (slot: embedding_dedup_lsh demoted — green r3-r5; shape twins
+    # stay gated: semantic_dedup_prune + ann_lsh_recall_floor)
+    oracle=(
+        "WITH o AS (SELECT doc_id, "
+        "CAST(ROW_NUMBER() OVER (ORDER BY "
+        "md5('shuffle42:' || CAST(doc_id AS VARCHAR)), doc_id) - 1 "
+        "AS BIGINT) AS pos, COUNT(*) OVER () AS total FROM documents) "
+        "SELECT doc_id, pos, CAST((pos * 8) // total AS INT) AS shard "
+        "FROM o ORDER BY doc_id"))
+def q_training_shard_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded training export: the seeded permutation cut into
+    n_shards CONTIGUOUS position ranges (shard = pos*n div N — sizes
+    balanced within one row, shard k holds exactly positions
+    [ceil(kN/n), ceil((k+1)N/n)), reproducible from the seed alone).
+    This is the WebDataset/TFRecord-style sharding step after the
+    global shuffle: a writer then does partitionBy("shard") and each
+    shard file reads back in global training order without any global
+    sort. Same two-level prefix sum as training_order — the corpus
+    still shuffles exactly once; the total N rides the same 256-row
+    count table as the offsets (one extra tiny window, no extra pass
+    over the corpus)."""
+    return training_shards(load_table(spark, sf_dir, "documents"),
+                           seed="shuffle42", n_shards=8)
+
+
+def training_shards(docs: DataFrame, seed: str,
+                    n_shards: int) -> DataFrame:
+    """Core of the shard assignment over a (doc_id, ...) frame."""
+    from pyspark.sql import Window as Wn
+
+    d = (docs.select(
+        "doc_id",
+        F.md5(F.concat(F.lit(seed + ":"),
+                       F.col("doc_id").cast("string"))).alias("pri"))
+        .withColumn("bkt", F.substring("pri", 1, 2)))
+    counts = d.groupBy("bkt").agg(F.count(F.lit(1)).alias("n"))
+    w_off = Wn.orderBy("bkt").rowsBetween(Wn.unboundedPreceding, -1)
+    w_all = Wn.orderBy("bkt").rowsBetween(
+        Wn.unboundedPreceding, Wn.unboundedFollowing)
+    off = counts.select(
+        "bkt",
+        F.coalesce(F.sum("n").over(w_off), F.lit(0)).alias("off"),
+        F.sum("n").over(w_all).alias("total"))
+    w_in = Wn.partitionBy("bkt").orderBy("pri", "doc_id")
+    return (d.join(F.broadcast(off), "bkt")
+            .withColumn("pos",
+                        (F.col("off") + F.row_number().over(w_in) - 1)
+                        .cast("bigint"))
+            .select("doc_id", "pos",
+                    F.expr(f"CAST((pos * {n_shards}) div total AS INT)")
+                    .alias("shard")))

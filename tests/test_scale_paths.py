@@ -151,3 +151,39 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
               .withColumn("s", (F.abs(F.xxhash64("event_id")) % 8))
               .select("s").distinct().count())
     assert spread == 8, spread
+
+
+def test_training_shards_balanced_contiguous_writable(spark, sf_dir,
+                                                      tmp_path):
+    """Shard assignment invariants: sizes within one row of each other,
+    shard ranges contiguous in pos (shard boundaries never interleave),
+    and a partitionBy('shard') write reads back each shard in global
+    training order with no global sort."""
+    from sport_advantages_moderne_data_infrastructure_spark.plans.textops import (
+        training_shards,
+    )
+    from sport_advantages_moderne_data_infrastructure_spark.sources.tables import (
+        load_table,
+    )
+
+    n_shards = 8
+    out = training_shards(load_table(spark, sf_dir, "documents"),
+                          seed="t", n_shards=n_shards)
+    stats = (out.groupBy("shard")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.min("pos").alias("lo"), F.max("pos").alias("hi"))
+             .orderBy("shard").collect())
+    assert len(stats) == n_shards
+    sizes = [r.n for r in stats]
+    assert max(sizes) - min(sizes) <= 1, sizes
+    for prev, cur in zip(stats, stats[1:]):
+        assert cur.lo == prev.hi + 1, (prev, cur)  # contiguous ranges
+    assert stats[0].lo == 0
+
+    # the export pattern: one partitioned write, per-shard ordered read
+    path = str(tmp_path / "shards")
+    out.write.partitionBy("shard").parquet(path)
+    one = (spark.read.parquet(path)
+           .filter(F.col("shard") == 3).orderBy("pos").collect())
+    assert [r.pos for r in one] == list(
+        range(stats[3].lo, stats[3].hi + 1))
