@@ -211,3 +211,16 @@ def test_training_order_one_corpus_shuffle(spark, sf_dir):
     assert len(re.findall(r"Arguments: hashpartitioning", plan)) == 2, plan
     assert len(re.findall(r"Arguments: SinglePartition", plan)) == 1, plan
     assert "rangepartitioning" not in plan, plan
+
+
+def test_training_shards_one_corpus_shuffle(spark, sf_dir):
+    """training_shard_assignments: same shape as the shuffle — one
+    corpus exchange, the single-partition exchange only for the 256-row
+    count table (its two tiny windows share it), no global range sort."""
+    import re
+    plan = _plan(catalog.REGISTRY["training_shard_assignments"]
+                 .spark_fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert len(re.findall(r"Arguments: hashpartitioning", plan)) == 2, plan
+    assert len(re.findall(r"Arguments: SinglePartition", plan)) == 1, plan
+    assert "rangepartitioning" not in plan, plan
