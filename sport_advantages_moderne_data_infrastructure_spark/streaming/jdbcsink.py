@@ -25,9 +25,15 @@ store that Spark cannot write atomically:
    skips; a crash between the staging write and the publish leaves only
    staging garbage that the replayed batch overwrites.
 
-The upsert is DELETE+INSERT by key (portable SQL-92 — Derby, Postgres,
-MySQL all take it; MERGE would be dialect-specific), so re-publishing a
-key-complete frame is idempotent even before the ledger check.
+The upsert is DELETE+INSERT by key, with the DELETE as BATCHED point
+deletes on an index the sink creates with the target (portable — every
+JDBC engine executes indexed point deletes well, while a correlated
+EXISTS/IN-subquery DELETE measured MINUTES for a 100k-key re-publish on
+Derby, whose optimizer re-runs the subquery per row; MERGE would be
+dialect-specific). ``full_frame=True`` (a complete-snapshot publisher,
+e.g. a materialized view) short-circuits to an unqualified DELETE +
+INSERT. Either way re-publishing a frame is idempotent even before the
+ledger check.
 """
 
 from __future__ import annotations
@@ -64,16 +70,54 @@ def _execute_tolerant(conn, sql: str) -> None:
         st.close()
 
 
+def _sql_literal(v) -> str:
+    """Render a key value as a SQL literal (keys are equality-compared,
+    so only scalar types appear; strings escape embedded quotes)."""
+    if v is None:
+        return "NULL"  # never matches under =; NULL-keyed rows append
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def _chunked_deletes(target: str, key_cols: list[str], rows,
+                     key_ref, chunk: int = 1000):
+    """Yield DELETE statements covering ``rows`` in ``chunk``-key
+    pieces: single-column keys as literal IN-lists (index multi-probe
+    on every engine), composite keys as OR-chains of conjunctions."""
+    for i in range(0, len(rows), chunk):
+        part = rows[i:i + chunk]
+        if len(key_cols) == 1:
+            k = key_cols[0]
+            lits = ", ".join(_sql_literal(r[k]) for r in part)
+            yield (f"DELETE FROM {target} WHERE "
+                   f"{key_ref(k)} IN ({lits})")
+        else:
+            preds = " OR ".join(
+                "(" + " AND ".join(
+                    f"{key_ref(k)} = {_sql_literal(r[k])}"
+                    for k in key_cols) + ")"
+                for r in part)
+            yield f"DELETE FROM {target} WHERE {preds}"
+
+
 def jdbc_exactly_once_sink(
         spark: SparkSession, url: str, target: str, key_cols: list[str],
         app_id: str, properties: dict | None = None,
-        ledger: str = LEDGER_TABLE) -> Callable[[DataFrame, int], None]:
+        ledger: str = LEDGER_TABLE,
+        full_frame: bool = False) -> Callable[[DataFrame, int], None]:
     """Build a ``foreachBatch`` callable publishing each micro-batch into
     JDBC table ``target`` exactly once, upserting on ``key_cols``.
 
     ``app_id`` scopes the ledger the way the txnlog sink's ``txnAppId``
     does: two different streams publishing into one target never collide
-    on batch ids. Usage::
+    on batch ids. ``full_frame=True`` declares that every published
+    frame is a COMPLETE snapshot (e.g. the whole materialized view):
+    the upsert then becomes an unqualified DELETE + INSERT — the fast
+    path for serving aggregates, and the semantics are identical
+    because a full frame supersedes every prior row. Usage::
 
         sink = jdbc_exactly_once_sink(spark, url, "agg_out", ["g"], "q1",
                                       properties=DERBY_PROPS)
@@ -125,6 +169,20 @@ def jdbc_exactly_once_sink(
                 _execute_tolerant(
                     conn, f"CREATE TABLE {target} AS SELECT * FROM "
                           f"{staging} WITH NO DATA")
+                # without an index on the upsert key, the DELETE's
+                # correlated EXISTS degrades to an O(target × staging)
+                # scan (measured: a 100k-key re-publish on unindexed
+                # Derby runs minutes; indexed it is seconds). Real
+                # targets want this index anyway — create it with the
+                # table, tolerating both exists-races and non-indexable
+                # key types (LOB keys fall back to the scan plan).
+                idx_cols = ", ".join(f'"{k}"' for k in key_cols)
+                try:
+                    _execute_tolerant(
+                        conn, f"CREATE INDEX {target}_upsert_key ON "
+                              f"{target} ({idx_cols})")
+                except Exception:
+                    pass
                 # Spark's JDBC writer creates columns as QUOTED (and so
                 # case-sensitive) identifiers — every data-column
                 # reference must quote the exact DataFrame column name.
@@ -142,19 +200,36 @@ def jdbc_exactly_once_sink(
                 rs.close()
                 st.close()
 
-                def _key(alias: str, k: str) -> str:
-                    ref = f'{alias}."{k}"'
+                def _key(k: str) -> str:
+                    ref = f'"{k}"'
                     if coltype.get(k) in lob_types:
                         return f"CAST({ref} AS VARCHAR(32672))"
                     return ref
 
-                on = " AND ".join(
-                    f"{_key('s', k)} = {_key('t', k)}" for k in key_cols)
                 st = conn.createStatement()
                 try:
-                    st.executeUpdate(
-                        f"DELETE FROM {target} t WHERE EXISTS "
-                        f"(SELECT 1 FROM {staging} s WHERE {on})")
+                    if full_frame:
+                        # a complete snapshot supersedes every prior
+                        # row: unqualified DELETE, no key matching
+                        st.executeUpdate(f"DELETE FROM {target}")
+                    else:
+                        # Per-key delete as CHUNKED literal IN-list /
+                        # OR-chain deletes on the key index — NOT a
+                        # correlated-subquery DELETE (Derby re-executes
+                        # an EXISTS/IN subquery per target row: minutes
+                        # for a 100k-key re-publish) and NOT a JDBC
+                        # PreparedStatement batch (per-row py4j calls:
+                        # ~35 s for 100k keys). The distinct keys come
+                        # out of SPARK in one collect — O(batch keys),
+                        # the cardinality the RDBMS must absorb anyway
+                        # — and each statement deletes 1000 keys via
+                        # index probes; the bulk ROWS still move
+                        # executor-parallel in the staging write.
+                        keys = (batch_df.select(*key_cols).distinct()
+                                .collect())
+                        for sql in _chunked_deletes(
+                                target, key_cols, keys, _key):
+                            st.executeUpdate(sql)
                     col_list = ", ".join(f'"{c}"' for c in cols)
                     st.executeUpdate(
                         f"INSERT INTO {target} ({col_list}) "

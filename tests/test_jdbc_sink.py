@@ -158,3 +158,38 @@ def test_change_feed_to_mv_to_jdbc_serving_loop(spark, derby_url, tmp_path):
     # replay of cycle 1 (scheduler retry): ledger absorbs it
     sink(read_agg_view(spark, view), 1)
     assert served() == want()
+
+
+def test_composite_and_quoted_string_keys(spark, derby_url):
+    """The chunked-delete upsert must handle composite keys (OR-chain
+    path) and string keys containing quotes (literal escaping)."""
+    sink = jdbc_exactly_once_sink(
+        spark, derby_url, "ck_out", ["k1", "k2"], "appC",
+        properties=DERBY_PROPS)
+    b0 = spark.createDataFrame(
+        [Row(k1=1, k2="a'b", v=10), Row(k1=1, k2="plain", v=20),
+         Row(k1=2, k2="a'b", v=30)])
+    sink(b0, 0)
+    # updates the (1, a'b) row only; (1, plain) and (2, a'b) survive
+    sink(spark.createDataFrame([Row(k1=1, k2="a'b", v=99)]), 1)
+    got = {(r["k1"], r["k2"]): r["v"] for r in
+           _read_target(spark, derby_url, "ck_out").collect()}
+    assert got == {(1, "a'b"): 99, (1, "plain"): 20, (2, "a'b"): 30}
+
+
+def test_full_frame_replace(spark, derby_url):
+    """full_frame=True: each publish is a complete snapshot — rows
+    absent from the new frame must disappear."""
+    sink = jdbc_exactly_once_sink(
+        spark, derby_url, "ff_out", ["g"], "appF",
+        properties=DERBY_PROPS, full_frame=True)
+    sink(spark.createDataFrame([Row(g=1, cnt=1), Row(g=2, cnt=2)]), 0)
+    sink(spark.createDataFrame([Row(g=2, cnt=20), Row(g=3, cnt=3)]), 1)
+    got = {r["g"]: r["cnt"] for r in
+           _read_target(spark, derby_url, "ff_out").collect()}
+    assert got == {2: 20, 3: 3}
+    # replay guard still applies
+    sink(spark.createDataFrame([Row(g=9, cnt=9)]), 1)
+    got2 = {r["g"]: r["cnt"] for r in
+            _read_target(spark, derby_url, "ff_out").collect()}
+    assert got2 == got
