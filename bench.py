@@ -46,6 +46,11 @@ FLOORS = {
     # batches — per-batch fixed cost ~1.85 s amortizes linearly, so the
     # r5 headline 898/s was batch-size-bound, not pipeline-bound. Floor
     # ~25% under the 1571-1738 steady band at the default batch size.
+    "jdbc_upsert_rows_per_sec": 8000,       # serving-leg re-publish of
+    # 100k keys on embedded Derby (late r6: chunked indexed deletes —
+    # measured ~16k steady; PLANS.md §JDBC publish)
+    "jdbc_full_frame_rows_per_sec": 15000,  # snapshot-replace path
+    # (measured 31-53k)
 }
 
 # Per-query wall-clock budgets (sec at sf0.1): 1.5x the rolling min over
@@ -150,11 +155,12 @@ def main() -> None:
     # a one-time micro-batch-scheduler/JIT cost (~3x observed), so an
     # UNTIMED warm-up run precedes the timed passes.
     _ = bench_streaming(spark, sf_dir)  # warm-up, discarded
-    stream_runs, txn_runs, dedup_runs = [], [], []
+    stream_runs, txn_runs, dedup_runs, jdbc_runs = [], [], [], []
     for pass_i in range(2):
         stream_runs.append(bench_streaming(spark, sf_dir))
         txn_runs.append(bench_txn_stream(spark, sf_dir))
         dedup_runs.append(bench_stream_dedup(spark, sf_dir))
+        jdbc_runs.append(bench_jdbc_publish(spark))
         print(f"# stream pass{pass_i}: {stream_runs[-1]['rows_per_sec']} "
               f"txn: {txn_runs[-1]['sink_rows_per_sec']}/"
               f"{txn_runs[-1]['fb_sink_rows_per_sec']}/"
@@ -180,9 +186,17 @@ def main() -> None:
                 runs, "feed_rows_per_sec")["feed_wall_sec"],
         }
 
+    def _merge_jdbc(runs):
+        return {
+            **_best(runs, "upsert_rows_per_sec"),
+            "full_frame_rows_per_sec": _best(
+                runs, "full_frame_rows_per_sec")["full_frame_rows_per_sec"],
+        }
+
     stream = _best(stream_runs, "rows_per_sec")
     txn_stream = _merge_txn(txn_runs)
     stream_dedup = _best(dedup_runs, "docs_per_sec")
+    jdbc_pub = _merge_jdbc(jdbc_runs)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -205,9 +219,13 @@ def main() -> None:
             "txn_fb_sink_rows_per_sec": txn_stream["fb_sink_rows_per_sec"],
             "txn_feed_rows_per_sec": txn_stream["feed_rows_per_sec"],
             "stream_dedup_docs_per_sec": stream_dedup["docs_per_sec"],
+            "jdbc_upsert_rows_per_sec": jdbc_pub["upsert_rows_per_sec"],
+            "jdbc_full_frame_rows_per_sec":
+                jdbc_pub["full_frame_rows_per_sec"],
         }
 
-    retry_counts = {"stream": 0, "txn": 0, "dedup": 0, "queries": 0}
+    retry_counts = {"stream": 0, "txn": 0, "dedup": 0, "jdbc": 0,
+                    "queries": 0}
     for attempt in range(2 if floors_apply else 0):
         failing = [k for k, v in _floor_vals().items() if v < FLOORS[k]]
         if not failing:
@@ -225,9 +243,14 @@ def main() -> None:
             dedup_runs.append(bench_stream_dedup(spark, sf_dir))
             stream_dedup = _best(dedup_runs, "docs_per_sec")
             retry_counts["dedup"] += 1
+        if any(k.startswith("jdbc_") for k in failing):
+            jdbc_runs.append(bench_jdbc_publish(spark))
+            jdbc_pub = _merge_jdbc(jdbc_runs)
+            retry_counts["jdbc"] += 1
     print(f"# stream: {stream}", file=sys.stderr)
     print(f"# txn_stream: {txn_stream}", file=sys.stderr)
     print(f"# stream_dedup: {stream_dedup}", file=sys.stderr)
+    print(f"# jdbc_publish: {jdbc_pub}", file=sys.stderr)
 
     # Per-query budget tripwire (VERDICT r5 #3): one extra timed rep for
     # any core query over its 1.5x-rolling-min budget, then the miss
@@ -272,6 +295,7 @@ def main() -> None:
         "txn_stream": txn_stream,
         "row_ops": row_ops,
         "stream_dedup": stream_dedup,
+        "jdbc_publish": jdbc_pub,
         "floors": floors,
         "query_budgets": budgets,
         # per-run (unmerged) streaming metrics + retry counts, so a reader
@@ -281,6 +305,9 @@ def main() -> None:
         "txn_runs_raw": [[r["sink_rows_per_sec"], r["fb_sink_rows_per_sec"],
                           r["feed_rows_per_sec"]] for r in txn_runs],
         "dedup_runs_raw": [r["docs_per_sec"] for r in dedup_runs],
+        "jdbc_runs_raw": [[r["upsert_rows_per_sec"],
+                           r["full_frame_rows_per_sec"]]
+                          for r in jdbc_runs],
         "retries": retry_counts,
         # floors_ok semantics: row_ops ratios are scale-independent and
         # ALWAYS gate; the rows/sec floors and query budgets only gate at
@@ -661,6 +688,62 @@ def bench_row_ops(spark, sf_dir: str) -> dict:
                         and res["scatter_dv_ratio"] < 0.5)
     shutil.rmtree(root, ignore_errors=True)
     return res
+
+
+
+
+def bench_jdbc_publish(spark) -> dict:
+    """Exactly-once JDBC serving-leg throughput (streaming/jdbcsink.py)
+    against embedded Derby (worst case: single-threaded, same JVM).
+    Reports the steady-state RE-publish of 100k keys — staging write +
+    chunked indexed deletes + insert + ledger, the cost a scheduler
+    pays per cycle — plus the full-frame snapshot path and the
+    replay-skip (ledger hit) latency."""
+    import shutil
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    from sport_advantages_moderne_data_infrastructure_spark.streaming.jdbcsink import (
+        jdbc_exactly_once_sink,
+    )
+
+    root = tempfile.mkdtemp(prefix="samdis_bench_jdbc_")
+    spark.sparkContext._jvm.System.setProperty(
+        "derby.stream.error.file", f"{root}/derby.log")
+    url = f"jdbc:derby:{root}/db;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    n = 100_000
+    df = spark.range(n).select(F.col("id").alias("g"),
+                               (F.col("id") * 2).alias("cnt"))
+    df.count()
+    try:
+        up = jdbc_exactly_once_sink(spark, url, "bench_up", ["g"],
+                                    "bench_up", properties=props)
+        up(df, 0)  # initial publish (CREATE + index build) — untimed
+        t0 = time.perf_counter()
+        up(df, 1)  # steady state: every key already present
+        upsert_dt = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        up(df, 1)  # ledger hit
+        skip_ms = (time.perf_counter() - t0) * 1000
+
+        ff = jdbc_exactly_once_sink(spark, url, "bench_ff", ["g"],
+                                    "bench_ff", properties=props,
+                                    full_frame=True)
+        ff(df, 0)  # untimed warm-up
+        t0 = time.perf_counter()
+        ff(df, 1)
+        ff_dt = time.perf_counter() - t0
+        return {
+            "rows": n,
+            "upsert_rows_per_sec": round(n / upsert_dt, 1),
+            "full_frame_rows_per_sec": round(n / ff_dt, 1),
+            "replay_skip_ms": round(skip_ms, 1),
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 if __name__ == "__main__":
