@@ -28,13 +28,31 @@ from pyspark.sql import functions as F
 from ..sources.txnlog import TxnTable, agg_delta_from_changes
 
 
+# Measured crossover (PLANS.md §Incremental materialized view): at
+# 0.8M source rows a full rescan beat the incremental refresh (506 vs
+# 824 ms — the refresh's fixed cost dominates), at 8M the incremental
+# path was flat while rescan grew 2.56x. "auto" picks rescan below
+# this row count (metadata-only, from commit-log footers) — the
+# threshold sits between the two measured points.
+_AUTO_RESCAN_ROWS = 2_000_000
+
+
 def maintain_agg_view(spark: SparkSession, source: TxnTable,
                       view: TxnTable, group_cols: list[str],
-                      value_col: str) -> int:
+                      value_col: str,
+                      strategy: str = "incremental") -> int:
     """Bring ``view`` (per-group ``cnt``/``sm`` partials over
     ``source``) up to the source's latest version. Returns the source
     version now reflected. Idempotent: re-running with no new source
-    commits is a no-op (no empty commit)."""
+    commits is a no-op (no empty commit).
+
+    ``strategy``: ``"incremental"`` (change-feed delta; degrades to
+    rescan on non-row-wise history), ``"rescan"`` (always recompute
+    from the snapshot — same answer, full-scan cost), or ``"auto"``
+    (rescan while the source's metadata row count is under the
+    measured crossover, incremental above it)."""
+    if strategy not in ("incremental", "rescan", "auto"):
+        raise ValueError(f"unknown strategy: {strategy!r}")
     src_v = source.latest_version()
     if src_v is None:
         raise ValueError(f"source has no commits: {source.path}")
@@ -43,18 +61,30 @@ def maintain_agg_view(spark: SparkSession, source: TxnTable,
     if src_v <= last:
         return last
     meta = {"operation": "mv_refresh", "mv_source_version": src_v}
-    try:
-        changes = source.read_changes(spark, since_version=last)
-    except ValueError:
-        # non-row-level history (overwrite/compact): full resync
-        snap = source.read(spark)
-        view.overwrite(_partials(snap, group_cols, value_col),
-                       {**meta, "mv_resync": True})
-        return src_v
-    delta = agg_delta_from_changes(changes, group_cols, value_col)
-    # the view is O(groups) — tiny next to the source — so an atomic
-    # overwrite is the right write shape at any source scale
-    view.overwrite(apply_delta(spark, view, delta, group_cols), meta)
+    if strategy == "auto":
+        rows = source.snapshot_row_count(src_v)
+        strategy = ("rescan" if rows is not None
+                    and rows < _AUTO_RESCAN_ROWS else "incremental")
+    if strategy == "incremental":
+        try:
+            # bounded to src_v: a commit landing mid-refresh must NOT
+            # be applied now (it would be replayed next refresh, whose
+            # since_version is this src_v — double-applying its delta)
+            changes = source.read_changes(spark, since_version=last,
+                                          upto=src_v)
+        except ValueError:
+            strategy = "rescan"  # non-row-level history: full resync
+            meta["mv_resync"] = True
+        else:
+            delta = agg_delta_from_changes(changes, group_cols,
+                                           value_col)
+            # the view is O(groups) — tiny next to the source — so an
+            # atomic overwrite is the right write shape at any scale
+            view.overwrite(apply_delta(spark, view, delta, group_cols),
+                           meta)
+            return src_v
+    snap = source.read(spark, version=src_v)
+    view.overwrite(_partials(snap, group_cols, value_col), meta)
     return src_v
 
 

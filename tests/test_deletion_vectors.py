@@ -243,3 +243,18 @@ def test_dv_datasource_stream_guard(spark, tmp_path):
     with pytest.raises(StreamingQueryException, match="rewrite"):
         drain()
     assert drain(skipChangeCommits="true") == 200
+
+
+def test_dv_uncaptured_delete_fails_change_feed(spark, tmp_path):
+    """A DV DELETE with capture_changes=False has no change files and no
+    removes — its row-level delta exists only as DV bitmaps. The batch
+    change feed must raise (mirroring the streaming CDF reader and
+    read_increment), never fall through to the append branch and let
+    incremental consumers silently miss the deletions."""
+    t = _dv_table(spark, tmp_path)
+    t.delete_where(spark, "id = 50", use_dv=True, capture_changes=False)
+    with pytest.raises(ValueError, match="deletion-vector"):
+        t.read_changes(spark, since_version=1)
+    # and from before the DV commit, same failure (not a silent skip)
+    with pytest.raises(ValueError, match="deletion-vector"):
+        t.read_changes(spark, since_version=-1)

@@ -193,3 +193,103 @@ def test_full_frame_replace(spark, derby_url):
     got2 = {r["g"]: r["cnt"] for r in
             _read_target(spark, derby_url, "ff_out").collect()}
     assert got2 == got
+
+
+def test_sql_literal_temporal_and_nonfinite():
+    """Temporal keys render as typed ANSI literals (implicit
+    varchar->timestamp casts fail on Derby); non-finite floats have no
+    valid SQL literal and must be rejected, not emitted as bare
+    nan/inf tokens that abort the publish transaction."""
+    import datetime
+    from sport_advantages_moderne_data_infrastructure_spark.streaming.jdbcsink import (  # noqa: E501
+        _sql_literal,
+    )
+    assert _sql_literal(datetime.date(2024, 3, 1)) == "{d '2024-03-01'}"
+    assert _sql_literal(
+        datetime.datetime(2024, 3, 1, 12, 30, 5)
+    ) == "{ts '2024-03-01 12:30:05'}"
+    assert _sql_literal(
+        datetime.datetime(2024, 3, 1, 12, 30, 5, 250000)
+    ) == "{ts '2024-03-01 12:30:05.250000'}"
+    for bad in (float("nan"), float("inf"), float("-inf")):
+        with pytest.raises(ValueError, match="non-finite"):
+            _sql_literal(bad)
+
+
+def test_execute_tolerant_exact_sqlstate(spark, derby_url):
+    """Exists-races tolerate by EXACT SQLState off the Java cause
+    chain; an unrelated failure whose message text happens to contain
+    a state code must still raise."""
+    from sport_advantages_moderne_data_infrastructure_spark.streaming.jdbcsink import (  # noqa: E501
+        _connect, _execute_tolerant, _sqlstate,
+    )
+    conn = _connect(spark, derby_url, DERBY_PROPS["driver"])
+    try:
+        _execute_tolerant(conn, 'CREATE TABLE "tol_t" (i INT)')
+        _execute_tolerant(conn, 'CREATE TABLE "tol_t" (i INT)')  # X0Y32
+        # a syntax error naming an exists-state in its MESSAGE must
+        # not be swallowed (old substring matching would eat it)
+        with pytest.raises(Exception):
+            _execute_tolerant(conn, 'CREATE TABLE "X0Y32 42P07"')
+        # and the state extractor sees the real code, not message text
+        try:
+            st = conn.createStatement()
+            st.execute('CREATE TABLE "tol_t" (i INT)')
+        except Exception as e:
+            assert _sqlstate(e) == "X0Y32"
+        finally:
+            st.close()
+    finally:
+        conn.close()
+
+
+def test_staging_join_strategy_upserts(spark, derby_url):
+    """The set-based staging-join DELETE (ANSI EXISTS form on Derby)
+    publishes the same upsert result as the inlist path — it is the
+    no-driver-collect plan Postgres/MySQL get by default."""
+    sink = jdbc_exactly_once_sink(
+        spark, derby_url, "sj_out", ["g"], "appSJ",
+        properties=DERBY_PROPS, upsert_strategy="staging_join")
+    sink(spark.createDataFrame([Row(g=i, cnt=10 * i)
+                                for i in range(1, 5)]), 0)
+    sink(spark.createDataFrame([Row(g=i, cnt=100 * i)
+                                for i in range(3, 6)]), 1)
+    got = {r["g"]: r["cnt"] for r in
+           _read_target(spark, derby_url, "sj_out").collect()}
+    assert got == {1: 10, 2: 20, 3: 300, 4: 400, 5: 500}
+
+
+def test_inlist_key_cap_falls_back_to_staging_join(spark, derby_url):
+    """A batch with more distinct keys than max_inlist_keys must not
+    collect them all to the driver — it falls back to the set-based
+    DELETE and still publishes correctly."""
+    sink = jdbc_exactly_once_sink(
+        spark, derby_url, "cap_out", ["g"], "appCap",
+        properties=DERBY_PROPS, max_inlist_keys=3)
+    sink(spark.createDataFrame([Row(g=i, cnt=i) for i in range(10)]), 0)
+    sink(spark.createDataFrame([Row(g=i, cnt=-i) for i in range(10)]), 1)
+    got = {r["g"]: r["cnt"] for r in
+           _read_target(spark, derby_url, "cap_out").collect()}
+    assert got == {i: -i for i in range(10)}
+
+
+def test_temporal_key_upsert_roundtrip(spark, derby_url):
+    """Date-keyed publish through the inlist path: the typed DATE
+    literal must compare against Derby's DATE column (the quoted-string
+    fallback relied on an implicit cast Derby rejects)."""
+    import datetime
+    d1, d2 = datetime.date(2024, 1, 1), datetime.date(2024, 1, 2)
+    sink = jdbc_exactly_once_sink(
+        spark, derby_url, "dt_out", ["d"], "appDT",
+        properties=DERBY_PROPS)
+    sink(spark.createDataFrame([Row(d=d1, cnt=1), Row(d=d2, cnt=2)]), 0)
+    sink(spark.createDataFrame([Row(d=d2, cnt=20)]), 1)
+    got = {r["d"]: r["cnt"] for r in
+           _read_target(spark, derby_url, "dt_out").collect()}
+    assert got == {d1: 1, d2: 20}
+
+
+def test_unknown_strategy_rejected(spark, derby_url):
+    with pytest.raises(ValueError, match="upsert_strategy"):
+        jdbc_exactly_once_sink(spark, derby_url, "x", ["g"], "a",
+                               upsert_strategy="merge")

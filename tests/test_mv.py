@@ -115,3 +115,83 @@ def test_mv_streaming_maintenance(spark, tmp_path):
     src.append(_df(spark, [(5, "b", 50)]))
     drain()
     assert _got(spark, view) == _want(spark, src)
+
+
+def test_mv_survives_uncaptured_dv_delete(spark, tmp_path):
+    """DV DELETE with capture_changes=False: the feed raises, so the MV
+    must resync from a snapshot — not silently drift past the delete."""
+    src = TxnTable(str(tmp_path / "src"))
+    view = TxnTable(str(tmp_path / "view"))
+    src.append(_df(spark, [(1, "a", 10), (2, "a", 20), (3, "b", 5)]))
+    maintain_agg_view(spark, src, view, ["grp"], "val")
+    src.delete_where(spark, "id = 2", use_dv=True, capture_changes=False)
+    maintain_agg_view(spark, src, view, ["grp"], "val")
+    assert _got(spark, view) == _want(spark, src) == {("a", 1, 10),
+                                                      ("b", 1, 5)}
+    assert view.last_meta().get("mv_resync") is True
+
+
+def test_mv_concurrent_commit_not_double_applied(spark, tmp_path,
+                                                 monkeypatch):
+    """A source commit landing between latest_version() capture and the
+    feed read must NOT be applied in this refresh AND replayed in the
+    next (the feed is bounded upto the captured version)."""
+    src = TxnTable(str(tmp_path / "src"))
+    view = TxnTable(str(tmp_path / "view"))
+    src.append(_df(spark, [(1, "a", 10)]))
+    maintain_agg_view(spark, src, view, ["grp"], "val")
+    src.append(_df(spark, [(2, "a", 5)]))
+
+    real_rc = src.read_changes
+    fired = {}
+
+    def racing_rc(spark_, since_version, **kw):
+        if not fired:
+            fired["x"] = True
+            src.append(_df(spark, [(3, "a", 100)]))  # lands mid-refresh
+        return real_rc(spark_, since_version=since_version, **kw)
+
+    monkeypatch.setattr(src, "read_changes", racing_rc)
+    maintain_agg_view(spark, src, view, ["grp"], "val")
+    maintain_agg_view(spark, src, view, ["grp"], "val")  # picks up id=3
+    assert _got(spark, view) == _want(spark, src) == {("a", 3, 115)}
+
+
+def test_mv_auto_strategy_picks_by_table_size(spark, tmp_path,
+                                              monkeypatch):
+    """auto = rescan under the measured crossover row count (the
+    refresh's fixed cost dominates a cheap scan), incremental above
+    it. Observed via whether the change feed is consulted at all."""
+    import sport_advantages_moderne_data_infrastructure_spark.operators.mv as mvmod
+
+    src = TxnTable(str(tmp_path / "src"))
+    view = TxnTable(str(tmp_path / "view"))
+    src.append(_df(spark, [(1, "a", 10), (2, "b", 20)]))
+
+    calls = []
+    real_rc = src.read_changes
+
+    def counting_rc(*a, **kw):
+        calls.append(1)
+        return real_rc(*a, **kw)
+
+    monkeypatch.setattr(src, "read_changes", counting_rc)
+    maintain_agg_view(spark, src, view, ["grp"], "val", strategy="auto")
+    assert not calls  # tiny table: rescan, feed never read
+    assert _got(spark, view) == _want(spark, src)
+
+    monkeypatch.setattr(mvmod, "_AUTO_RESCAN_ROWS", 1)
+    src.append(_df(spark, [(3, "a", 7)]))
+    maintain_agg_view(spark, src, view, ["grp"], "val", strategy="auto")
+    assert calls  # "large" table: incremental, feed consulted
+    assert _got(spark, view) == _want(spark, src)
+
+
+def test_mv_explicit_rescan_strategy(spark, tmp_path):
+    src = TxnTable(str(tmp_path / "src"))
+    view = TxnTable(str(tmp_path / "view"))
+    src.append(_df(spark, [(1, "a", 1), (2, "b", 2)]))
+    src.overwrite(_df(spark, [(9, "z", 9)]))  # non-CDF history: fine
+    maintain_agg_view(spark, src, view, ["grp"], "val",
+                      strategy="rescan")
+    assert _got(spark, view) == _want(spark, src) == {("z", 1, 9)}

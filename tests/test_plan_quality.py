@@ -197,6 +197,10 @@ def test_gapfill_two_hash_exchanges_no_nested_loop(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     n_hash = len(re.findall(r"Arguments: hashpartitioning", plan))
     assert n_hash <= 2, plan
+    # and no global range sort: the trailing presentation orderBy was
+    # dropped (r6 verdict) -- rangepartitioning reappearing means a
+    # full-grid sort crept back
+    assert "rangepartitioning" not in plan, plan
     assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan
 
 

@@ -1231,6 +1231,23 @@ def test_read_changes_append_merge_delete(spark, tmp_path):
     assert "_change_type" in caught.columns
 
 
+def test_read_changes_upper_bound(spark, tmp_path):
+    """upto pins the feed's high-water mark: a consumer recording the
+    version it read must not absorb a commit that lands mid-read (it
+    would be replayed — and double-applied — on the next pass)."""
+    t = TxnTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))   # v0
+    t.append(_df(spark, [(2, "b")]))   # v1
+    t.append(_df(spark, [(3, "c")]))   # v2
+    assert _changes(t.read_changes(spark, since_version=-1, upto=1)) == {
+        (1, "a", "insert", 0), (2, "b", "insert", 1)}
+    assert _changes(t.read_changes(spark, since_version=0, upto=1)) == {
+        (2, "b", "insert", 1)}
+    # upto == since: empty frame, CDF schema intact
+    empty = t.read_changes(spark, since_version=1, upto=1)
+    assert empty.count() == 0 and "_change_type" in empty.columns
+
+
 def test_read_changes_overwrite_requires_resync(spark, tmp_path):
     t = TxnTable(str(tmp_path / "t"))
     t.append(_df(spark, [(1, "a")]))
