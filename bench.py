@@ -369,12 +369,18 @@ def _emit(doc: dict, floors: dict, budgets: dict) -> None:
     compact["row_ops_ok"] = doc["row_ops"]["ratios_ok"]
     compact["full"] = "BENCH_FULL_LAST.json"
     line = json.dumps(compact, separators=(",", ":"))
-    # trim ladder — unused at today's sizes, but a registry twice as
-    # large must degrade to less detail, not to an unparseable tail
-    if len(line) > 1950:
+    # trim ladder: the driver's capture keeps the last 2000 stdout
+    # chars, so line + newline must fit in 1999; degrade to less
+    # detail, never to an unparseable tail
+    if len(line) > 1995:
+        # floor CONSTANTS are committed source (FLOORS); keep only the
+        # measured values
+        compact["floors"] = {k: v[1] for k, v in compact["floors"].items()}
+        line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1995:
         compact.pop("floors")
         line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1950:
+    if len(line) > 1995:
         compact.pop("query_budgets")
         line = json.dumps(compact, separators=(",", ":"))
     print(line)

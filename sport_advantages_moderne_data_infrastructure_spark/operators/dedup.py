@@ -600,3 +600,89 @@ def connected_components_two_phase(nodes: DataFrame, edges: DataFrame,
             .select("doc_id",
                     F.coalesce(F.col("__cc"), F.col("doc_id"))
                     .alias("cluster_id")))
+
+
+# --- exact repeated spans (substring-level dedup) -------------------------
+
+SPAN_SEED_LEN = 40  # minimum span length reported, in characters
+
+
+def repeated_span_positions(corpus: DataFrame,
+                            seed_len: int = SPAN_SEED_LEN) -> DataFrame:
+    """(doc_id, pos) for every position whose ``seed_len``-char window
+    occurs 2+ times in the corpus (any doc, any position — Lee et al.
+    2021 "Deduplicating Training Data Makes Language Models Better"
+    remove substrings repeated ANYWHERE, including within one doc).
+
+    The suffix-array equivalent, re-expressed bucketed: a repeated span
+    of length >= L contains a repeated L-window at every offset, so
+    marking duplicated window STARTS and merging consecutive marks
+    (:func:`repeated_spans`) recovers exactly the maximal repeated
+    regions — no suffix array, no all-pairs. Plan: position explode +
+    md5 (map-side, O(total chars)) -> groupBy h count (shuffle 1,
+    map-side partial agg absorbs hot windows) -> left-semi join marks
+    positions (shuffle 2). Shuffles carry (doc_id, pos, md5) — never
+    text. The full 32-char md5 is the key (a 32-bit truncation would
+    mark ~hundreds of false positions per billion; identically in both
+    engines, but noise nobody wants)."""
+    corpus = _spread_for_fanout(corpus)
+    n_pos = F.length("text") - (seed_len - 1)
+    pos = (
+        corpus.filter(F.length("text") >= seed_len)
+        .select("doc_id",
+                F.explode(F.sequence(F.lit(1), n_pos)).alias("pos"),
+                "text")
+        .select("doc_id", F.col("pos").cast("bigint").alias("pos"),
+                F.md5(F.expr(f"substr(text, pos, {seed_len})"))
+                .alias("h")))
+    dup = (pos.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+           .filter(F.col("c") >= 2).select("h"))
+    return pos.join(dup, "h", "left_semi").select("doc_id", "pos")
+
+
+def repeated_spans(corpus: DataFrame,
+                   seed_len: int = SPAN_SEED_LEN) -> DataFrame:
+    """Maximal verbatim spans of length >= ``seed_len`` that occur 2+
+    times in the corpus: (doc_id, span_start, span_end, span_len), one
+    row per maximal duplicated region per document (1-based, inclusive).
+    Gaps-and-islands over the marked positions: consecutive duplicated
+    window starts [p..p+k] are one repeated region [p..p+k+L-1]. One
+    keyed window + rollup after the marking join — every shuffle
+    carries ids and positions only."""
+    from pyspark.sql import Window as Wn
+
+    marked = repeated_span_positions(corpus, seed_len)
+    w = Wn.partitionBy("doc_id").orderBy("pos")
+    runs = marked.withColumn(
+        "grp", F.col("pos") - F.row_number().over(w))
+    return (runs.groupBy("doc_id", "grp")
+            .agg(F.min("pos").alias("span_start"),
+                 (F.max("pos") + F.lit(seed_len - 1)).alias("span_end"))
+            .select("doc_id",
+                    F.col("span_start").cast("bigint").alias("span_start"),
+                    F.col("span_end").cast("bigint").alias("span_end"),
+                    (F.col("span_end") - F.col("span_start") + 1)
+                    .cast("bigint").alias("span_len")))
+
+
+def repeated_spans_sql(corpus_cte: str,
+                       seed_len: int = SPAN_SEED_LEN) -> str:
+    """DuckDB oracle for :func:`repeated_spans` over the same corpus."""
+    lm1 = seed_len - 1
+    return (
+        f"WITH corpus AS ({corpus_cte}), "
+        f"pos AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, "
+        f"md5(substr(text, CAST(i AS INT), {seed_len})) AS h "
+        f"FROM (SELECT doc_id, text, "
+        f"unnest(range(1, length(text) - {lm1} + 1)) AS i "
+        f"FROM corpus WHERE length(text) >= {seed_len}) t), "
+        f"dup AS (SELECT h FROM pos GROUP BY h HAVING COUNT(*) >= 2), "
+        f"m AS (SELECT p.doc_id, p.pos FROM pos p "
+        f"SEMI JOIN dup d ON p.h = d.h), "
+        f"runs AS (SELECT doc_id, pos, pos - ROW_NUMBER() OVER "
+        f"(PARTITION BY doc_id ORDER BY pos) AS grp FROM m) "
+        f"SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start, "
+        f"CAST(MAX(pos) + {lm1} AS BIGINT) AS span_end, "
+        f"CAST(MAX(pos) - MIN(pos) + {seed_len} AS BIGINT) AS span_len "
+        f"FROM runs GROUP BY doc_id, grp"
+    )

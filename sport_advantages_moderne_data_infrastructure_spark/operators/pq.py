@@ -82,11 +82,15 @@ def _cb_sql(codebooks: list[list[list[float]]]) -> str:
 
 
 def pq_encode(embeddings: DataFrame,
-              codebooks: list[list[list[float]]]) -> DataFrame:
+              codebooks: list[list[list[float]]],
+              keep: tuple[str, ...] = ()) -> DataFrame:
     """vec_id, code (array<int>, length m: per-sub-space argmin centroid),
     recon_norm (norm of the reconstructed vector — precomputed at encode
     time so query scoring never touches the codebooks for the corpus
-    side). Pure projection over one corpus scan."""
+    side). Pure projection over one corpus scan. ``keep``: extra input
+    columns carried through unchanged (e.g. a precomputed centroid_id,
+    so assign+encode compose as ONE map stage with no re-join on
+    vec_id)."""
     m = len(codebooks)
     d = len(codebooks[0][0])
     cb = _cb_sql(codebooks)
@@ -107,7 +111,7 @@ def pq_encode(embeddings: DataFrame,
              "(cj, ns) -> element_at(ns, cj + 1)), 0D, (a, v) -> a + v))"
              ).format(nsq=nsq)
     return (embeddings
-            .select("vec_id",
+            .select("vec_id", *keep,
                     F.expr("transform(embedding, x -> cast(x as double))")
                     .alias("de"))
             .withColumn("dists", F.expr(dists))

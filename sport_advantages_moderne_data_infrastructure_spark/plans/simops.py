@@ -592,7 +592,11 @@ _INT_DOT = ("aggregate(zip_with({a}, {b}, (x, y) -> cast(x as bigint) * y), "
     # int8-vs-float32 bandwidth win should show as wall clock
     # new in r4, gated immediately (slot:
     # customer_order_ranks demoted — window-rank shape stays gated via
-    # order_price_quartile_bands / customer_running_revenue / _gaps)
+    # order_price_quartile_bands / customer_running_revenue / _gaps);
+    # demoted r7 after green r4-r6: the SQ8 path stays ENFORCED via the
+    # ann_sq8_recall_floor driver row (which executes this exact query
+    # inside its floor check) and stays benched/budgeted here
+    driver=False,
     oracle=(
         f"WITH codes AS ({_SQ8_CODES_SQL}), "
         "q AS (SELECT vec_id AS query_id, code AS qc, "
@@ -852,6 +856,66 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids, cb, idx = ensure_ivfpq_index(spark, sf_dir)
     return PQ.ivfpq_topk(idx, _pq_queries(spark, sf_dir), centroids, cb,
                          nprobe=6)
+
+
+@register(
+    "stream_ann_pq_equiv",  # new r7, gated immediately (slot:
+    # ann_sq8_topk demoted — green r4-r6; SQ8 stays ENFORCED via
+    # ann_sq8_recall_floor which runs the same query, and stays
+    # benched/budgeted).
+    # Same self-contained equivalence contract as stream_ann_index_equiv:
+    # the literal-TRUE booleans flip — and the gate hash-mismatches — if
+    # the stream-maintained COMPRESSED index ever diverges from the
+    # batch build, in CONTENT (vec_id -> centroid_id, the full PQ code
+    # array, the reconstructed norm; both exceptAll directions) or in
+    # QUERY RESULTS (rank-exact IVF-PQ top-10 through maintained vs
+    # batch code lists).
+    oracle=("SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings) "
+            "AS n_vectors, CAST(1 AS BOOLEAN) AS codes_match_batch, "
+            "CAST(1 AS BOOLEAN) AS topk_matches_batch"))
+def q_stream_ann_pq_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance of the COMPRESSED (IVF-PQ) index — the
+    index a deployment actually serves at 100 TB, where r6 only kept
+    the raw-embedding lists fresh. Embeddings arrive as two
+    micro-batches through the exact per-batch ingest the foreachBatch
+    sink runs (one-map-stage assign+encode via pq_encode(keep=...),
+    atomic centroid-partitioned append, replay guard); the maintained
+    code table must be row-identical to `build_ivfpq_index` over the
+    same corpus — code arrays and recon_norm bit-equal, both encode
+    paths being the same deterministic expressions over FIXED frozen
+    codebooks — and IVF-PQ top-10 through it rank-identical."""
+    import tempfile
+
+    from ..operators import pq as PQ
+    from ..sources.txnlog import TxnTable
+    from ..streaming.annindex import ingest_batch_pq, read_index
+
+    e = load_table(spark, sf_dir, "embeddings")
+    centroids, cb, batch_idx = ensure_ivfpq_index(spark, sf_dir)
+    idx = TxnTable(tempfile.mkdtemp(prefix="samdis_stream_pq_") + "/idx")
+    app = "pqix_twin"
+    ingest_batch_pq(idx, e.filter(F.col("vec_id") % 2 == 0), centroids,
+                    cb, 0, app)
+    ingest_batch_pq(idx, e.filter(F.col("vec_id") % 2 == 1), centroids,
+                    cb, 1, app)
+    maintained = read_index(spark, idx.path)
+    cols = ["vec_id", "centroid_id", "code", "recon_norm"]
+    m_rows = maintained.select(*cols)
+    b_rows = batch_idx.select(*cols)
+    codes_ok = (m_rows.exceptAll(b_rows).count() == 0
+                and b_rows.exceptAll(m_rows).count() == 0)
+    q = _pq_queries(spark, sf_dir)
+    mt = (PQ.ivfpq_topk(maintained, q, centroids, cb, nprobe=6)
+          .select("query_id", "neighbor_id", "rank"))
+    bt = (PQ.ivfpq_topk(batch_idx, q, centroids, cb, nprobe=6)
+          .select("query_id", "neighbor_id", "rank"))
+    topk_ok = (mt.exceptAll(bt).count() == 0
+               and bt.exceptAll(mt).count() == 0)
+    n = e.count()
+    return spark.createDataFrame(
+        [(int(n), bool(codes_ok), bool(topk_ok))],
+        "n_vectors long, codes_match_batch boolean, "
+        "topk_matches_batch boolean")
 
 
 @register(

@@ -53,30 +53,19 @@ def write_stream_ivf_index(df: DataFrame, index_path: str,
     return w.start()
 
 
-def ingest_batch(idx: TxnTable, batch_df: DataFrame,
-                 centroids: list[list[float]], batch_id: int,
-                 app_id: str | None = None) -> None:
-    """One micro-batch's worth of index maintenance — the exact function
-    the foreachBatch sink runs, exposed so the driver-gated batch twin
-    (``stream_ann_index_equiv``) exercises identical code."""
+def _append_partitioned(idx: TxnTable, frame: DataFrame, batch_id: int,
+                        app_id: str | None, op: str) -> None:
+    """Shared commit leg: write the batch's rows as ``centroid_id=``
+    partition subdirs and commit them atomically, cleaning up the
+    orphaned dirs if the commit loses a race."""
     import os
     import shutil
 
-    from ..operators.ivf import assign_centroids
-
-    assigned = assign_centroids(
-        batch_df.select(
-            "vec_id", "embedding",
-            F.sqrt(F.expr(dot_expr("embedding", "embedding")))
-            .alias("e_norm")),
-        centroids)
-
     def _leg():
         adds = idx._write_data_partitioned(  # noqa: SLF001
-            assigned, "centroid_id")
+            frame, "centroid_id")
         try:
-            idx.commit(adds, [],
-                       _stream_meta(batch_id, app_id, "ivf_index_append"),
+            idx.commit(adds, [], _stream_meta(batch_id, app_id, op),
                        expected_version=idx.latest_version())
         except Exception:
             for rel in {os.path.dirname(a) for a in adds}:
@@ -87,7 +76,73 @@ def ingest_batch(idx: TxnTable, batch_df: DataFrame,
     _guarded_commit(idx, batch_id, app_id, _leg)
 
 
+def ingest_batch(idx: TxnTable, batch_df: DataFrame,
+                 centroids: list[list[float]], batch_id: int,
+                 app_id: str | None = None) -> None:
+    """One micro-batch's worth of index maintenance — the exact function
+    the foreachBatch sink runs, exposed so the driver-gated batch twin
+    (``stream_ann_index_equiv``) exercises identical code."""
+    from ..operators.ivf import assign_centroids
+
+    assigned = assign_centroids(
+        batch_df.select(
+            "vec_id", "embedding",
+            F.sqrt(F.expr(dot_expr("embedding", "embedding")))
+            .alias("e_norm")),
+        centroids)
+    _append_partitioned(idx, assigned, batch_id, app_id,
+                        "ivf_index_append")
+
+
+def write_stream_ivfpq_index(df: DataFrame, index_path: str,
+                             centroids: list[list[float]],
+                             codebooks: list[list[list[float]]],
+                             checkpoint: str,
+                             app_id: str | None = None,
+                             available_now: bool = True):
+    """Maintain the COMPRESSED index — the one a deployment actually
+    serves at scale: each micro-batch is PQ-encoded with the FIXED
+    codebooks and appended to the centroid-partitioned code table
+    (the `build_ivfpq_index` layout, kept fresh incrementally).
+    Codebooks and centroids are both frozen training artifacts, so the
+    maintained code table is row-identical to a batch re-encode at
+    every point in time; drift is handled by periodic retrain+rebuild,
+    exactly as for the raw-embedding sink above."""
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        ingest_batch_pq(TxnTable(index_path), batch_df, centroids,
+                        codebooks, batch_id, app_id)
+
+    w = (df.writeStream.foreachBatch(_ingest)
+         .option("checkpointLocation", checkpoint))
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def ingest_batch_pq(idx: TxnTable, batch_df: DataFrame,
+                    centroids: list[list[float]],
+                    codebooks: list[list[list[float]]], batch_id: int,
+                    app_id: str | None = None) -> None:
+    """One micro-batch of compressed-index maintenance: centroid
+    assignment and PQ encoding compose as ONE map-side projection (the
+    assignment column rides through ``pq_encode(keep=...)`` — no
+    re-join on vec_id, no shuffle), then the same atomic partitioned
+    append as the raw sink. Per-batch cost is O(batch)."""
+    from ..operators.ivf import assign_centroids
+    from ..operators.pq import pq_encode
+
+    assigned = assign_centroids(
+        batch_df.select("vec_id", "embedding"), centroids)
+    coded = pq_encode(assigned, codebooks, keep=("centroid_id",))
+    _append_partitioned(idx, coded, batch_id, app_id,
+                        "ivfpq_index_append")
+
+
 def read_index(spark: SparkSession, index_path: str) -> DataFrame:
     """The maintained inverted lists — drop-in for the ``assigned``
-    frame `ivf_topk` takes (vec_id, embedding, e_norm, centroid_id)."""
+    frame `ivf_topk` takes (vec_id, embedding, e_norm, centroid_id),
+    or for the ``codes_index`` frame `ivfpq_topk` takes when the table
+    was maintained by the PQ sink."""
     return TxnTable(index_path).read(spark)

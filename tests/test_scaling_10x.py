@@ -468,3 +468,18 @@ def test_training_order_scales_linearly(spark):
     n10 = run(M)
     t10 = _timed(lambda: run(M))
     assert _report("training_order", n1, t1, n10, t10) <= MAX_RATIO
+
+
+def test_repeated_spans_scales_linearly(spark):
+    """Substring-level dedup: position explode + hash groupBy + semi
+    join + islands window — every stage linear in total chars. The
+    alphabet-rotated copies keep each copy's repeated-span structure
+    while the position space grows 10x."""
+    def run(m):
+        return DD.repeated_spans(_scaled_docs(spark, m)).count()
+
+    n1 = run(1)
+    t1 = _timed(lambda: run(1))
+    n10 = run(M)
+    t10 = _timed(lambda: run(M))
+    assert _report("repeated_spans", n1, t1, n10, t10) <= MAX_RATIO

@@ -79,3 +79,71 @@ def test_streamed_index_equals_batch_and_restarts_exactly_once(
     got = read_index(spark, idx).filter("vec_id = 900001").first()
     want = assign_centroids(_with_norm(extra), centroids).first()
     assert got["centroid_id"] == want["centroid_id"]
+
+
+def test_streamed_pq_index_equals_batch_and_restarts_exactly_once(
+        spark, sf_dir, tmp_path):
+    """The COMPRESSED index kept fresh by the stream: maintained PQ
+    codes must be row-identical (codes AND recon_norm) to a batch
+    encode with the same frozen codebooks, restart on the same
+    checkpoint must not re-ingest, and new arrivals must encode to
+    exactly the batch encoding."""
+    from sport_advantages_moderne_data_infrastructure_spark.operators.pq import (  # noqa: E501
+        pq_encode,
+        train_pq_codebooks,
+    )
+    from sport_advantages_moderne_data_infrastructure_spark.streaming.annindex import (  # noqa: E501
+        write_stream_ivfpq_index,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings") \
+        .select("vec_id", "embedding")
+    centroids = train_centroids(e, k=8, max_iter=4)
+    cb = train_pq_codebooks(e, m=8, k=16)
+    src, idx, ck = (str(tmp_path / "src"), str(tmp_path / "idx"),
+                    str(tmp_path / "ck"))
+    for m in range(3):
+        e.filter(F.col("vec_id") % 3 == m).coalesce(1) \
+            .write.mode("append").parquet(src)
+    q = write_stream_ivfpq_index(
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1").parquet(src),
+        idx, centroids, cb, ck, app_id="pqix")
+    q.awaitTermination(120)
+    maintained = read_index(spark, idx)
+    batch = pq_encode(assign_centroids(e, centroids), cb,
+                      keep=("centroid_id",))
+    cols = ["vec_id", "centroid_id", "code", "recon_norm"]
+    m_rows = {tuple(r) for r in
+              maintained.select(*cols)
+              .withColumn("code", F.col("code").cast("string"))
+              .collect()}
+    b_rows = {tuple(r) for r in
+              batch.select(*cols)
+              .withColumn("code", F.col("code").cast("string"))
+              .collect()}
+    assert m_rows == b_rows and len(m_rows) == e.count()
+    # restart on the same checkpoint: no re-ingest
+    v = TxnTable(idx).latest_version()
+    q = write_stream_ivfpq_index(
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1").parquet(src),
+        idx, centroids, cb, ck, app_id="pqix")
+    q.awaitTermination(120)
+    assert TxnTable(idx).latest_version() == v
+    assert read_index(spark, idx).count() == len(m_rows)
+    # new arrivals encode to exactly the batch encoding
+    extra = spark.createDataFrame(
+        [(900001, [0.5] * len(e.first()["embedding"]))], SCHEMA)
+    extra.coalesce(1).write.mode("append").parquet(src)
+    q = write_stream_ivfpq_index(
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1").parquet(src),
+        idx, centroids, cb, ck, app_id="pqix")
+    q.awaitTermination(120)
+    got = read_index(spark, idx).filter("vec_id = 900001").first()
+    want = pq_encode(assign_centroids(extra, centroids), cb,
+                     keep=("centroid_id",)).first()
+    assert (got["centroid_id"] == want["centroid_id"]
+            and list(got["code"]) == list(want["code"])
+            and got["recon_norm"] == want["recon_norm"])
