@@ -127,3 +127,211 @@ def read_agg_view(spark: SparkSession, view: TxnTable) -> DataFrame:
     return v.select(*[c for c in v.columns if c not in ("cnt", "sm")],
                     F.col("cnt"), F.col("sm"),
                     (F.col("sm") / F.col("cnt")).alias("mean"))
+
+
+# --- incremental JOIN materialized view -----------------------------------
+
+def buckets_for_rows(n_rows: int, target_rows: int = 100_000) -> int:
+    """Bucket-count policy for the join state: hold E[bucket width]
+    near ``target_rows`` so a few-keys refresh rewrites a bounded
+    number of rows REGARDLESS of corpus size — the ivf.k_for_corpus
+    discipline applied to partition-granular maintenance. At a fixed
+    bucket count, bucket width (and so refresh cost) would grow
+    linearly with the corpus."""
+    return max(8, min(65_536, -(-n_rows // max(target_rows, 1))))
+
+
+class JoinMaterializedView:
+    """Inner equi-join of two txn tables, maintained incrementally from
+    BOTH sides' change feeds — the reference's ``final`` table is a JOIN
+    rebuilt wholesale every DAG run (read_delta.py:280-285); at 100 TB a
+    refresh must cost O(changed keys), not O(join).
+
+    The classic streaming-join state shape (what Flink keeps for a
+    two-sided join), materialized on the lakehouse: three tables under
+    one root, all partitioned by ``__kb = pmod(hash(key), n_buckets)`` —
+    a keyed replica of each side (the per-key state) and the join
+    output. A refresh (1) reads each side's change feed bounded to the
+    captured version, (2) derives the set of AFFECTED BUCKETS from the
+    changed keys (a bounded collect: at most n_buckets ints, the
+    scd2.py discipline), (3) applies each side's delta to its replica
+    by NET ROW COUNT — inserts/postimages +1, deletes/preimages -1,
+    summed per exact row value, so application is correct for arbitrary
+    multisets and independent of commit order within the range — and
+    (4) recomputes the join for those buckets only, from the
+    partition-pruned replicas, never touching the sources. Every read
+    and write in the refresh is partition-granular
+    (``commit(adds, removes)`` of ``__kb=`` subdirs), so refresh cost
+    is O(changed keys x bucket width) while a rescan pays O(join).
+
+    Non-row-wise source history (overwrite / uncaptured-DV delete — the
+    feed raises) degrades to a flagged full rebuild, after which
+    incremental maintenance resumes. Join columns other than ``key``
+    must be distinct between the two sides."""
+
+    #: measured crossover (PLANS.md §Incremental JOIN materialized
+    #: view): at 20M source rows the wholesale re-join still beat the
+    #: refresh (2.27 vs 2.91 s — fixed multi-commit overhead
+    #: dominates), at 40M the flat refresh won (2.40 vs 3.64 s).
+    #: "auto" rebuilds below this combined row count (metadata-only,
+    #: from commit-log footers) and refreshes incrementally above it.
+    AUTO_REBUILD_ROWS = 25_000_000
+
+    def __init__(self, root: str, key: str, n_buckets: int = 32):
+        self.key = key
+        self.n_buckets = n_buckets
+        self.left_state = TxnTable(f"{root}/left_state")
+        self.right_state = TxnTable(f"{root}/right_state")
+        self.view = TxnTable(f"{root}/join")
+
+    # -- public ------------------------------------------------------
+
+    def refresh(self, spark: SparkSession, left: TxnTable,
+                right: TxnTable,
+                strategy: str = "incremental") -> tuple[int, int]:
+        """Bring the join view up to (left.latest, right.latest);
+        returns the (left, right) versions now reflected. No-op (no
+        empty commits) when neither source moved.
+
+        ``strategy``: ``"incremental"`` (both change feeds, affected
+        buckets only; degrades to rebuild on non-row-wise history),
+        ``"rebuild"`` (recompute the whole join — same answer, full
+        cost), or ``"auto"`` (rebuild while the sources' combined
+        metadata row count is under the measured crossover
+        ``AUTO_REBUILD_ROWS``, incremental above it)."""
+        if strategy not in ("incremental", "rebuild", "auto"):
+            raise ValueError(f"unknown strategy: {strategy!r}")
+        lv, rv = left.latest_version(), right.latest_version()
+        if lv is None or rv is None:
+            raise ValueError("both sources need at least one commit")
+        last = (self.view.last_meta()
+                if self.view.latest_version() is not None else {})
+        llast = last.get("mv_left_version", -1)
+        rlast = last.get("mv_right_version", -1)
+        if lv <= llast and rv <= rlast:
+            return llast, rlast
+        meta = {"operation": "join_mv_refresh",
+                "mv_left_version": lv, "mv_right_version": rv}
+        if strategy == "auto":
+            lrows = left.snapshot_row_count(lv)
+            rrows = right.snapshot_row_count(rv)
+            strategy = ("incremental"
+                        if lrows is not None and rrows is not None
+                        and lrows + rrows >= self.AUTO_REBUILD_ROWS
+                        else "rebuild")
+        if llast < 0 or strategy == "rebuild":  # first build / forced
+            self._rebuild(spark, left, right, lv, rv, meta)
+            return lv, rv
+        try:
+            lch = left.read_changes(spark, since_version=llast, upto=lv)
+            rch = right.read_changes(spark, since_version=rlast, upto=rv)
+        except ValueError:
+            self._rebuild(spark, left, right, lv, rv,
+                          {**meta, "mv_resync": True})
+            return lv, rv
+        keys = (lch.select(self.key)
+                .unionByName(rch.select(self.key)).distinct())
+        affected = sorted(
+            r["__kb"] for r in
+            keys.select(self._bucket().alias("__kb"))
+            .distinct().collect())  # bounded: <= n_buckets ints
+        if not affected:
+            return llast, rlast
+        self._apply_side(spark, self.left_state, lch, affected, meta)
+        self._apply_side(spark, self.right_state, rch, affected, meta)
+        joined = self._join_of(
+            self._read_buckets(spark, self.left_state, affected),
+            self._read_buckets(spark, self.right_state, affected))
+        self._replace_buckets(self.view, joined, affected, meta)
+        return lv, rv
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return self.view.read(spark).drop("__kb")
+
+    # -- internals ---------------------------------------------------
+
+    def _bucket(self):
+        return F.pmod(F.hash(F.col(self.key)),
+                      F.lit(self.n_buckets)).cast("int")
+
+    @staticmethod
+    def _read_buckets(spark, state: TxnTable,
+                      affected: list[int]) -> DataFrame:
+        """Partition-pruned bucket read, empty-graceful: a bucket can
+        be live on one side only (read_partitions raises when nothing
+        matches)."""
+        try:
+            return state.read_partitions(spark, affected)
+        except ValueError:
+            return (state.read(spark).limit(0)
+                    .withColumn("__kb", F.lit(0).cast("int")))
+
+    def _join_of(self, l: DataFrame, r: DataFrame) -> DataFrame:
+        lc = [c for c in l.columns if c not in (self.key, "__kb")]
+        rc = [c for c in r.columns if c not in (self.key, "__kb")]
+        return (l.join(r.drop("__kb"), self.key)
+                .select(self.key, *lc, *rc, "__kb"))
+
+    def _rebuild(self, spark, left, right, lv, rv, meta) -> None:
+        ls = (left.read(spark, version=lv)
+              .withColumn("__kb", self._bucket()))
+        rs = (right.read(spark, version=rv)
+              .withColumn("__kb", self._bucket()))
+        for tbl, df in ((self.left_state, ls), (self.right_state, rs),
+                        (self.view, self._join_of(ls, rs))):
+            base = tbl.latest_version()
+            adds = tbl._write_data_partitioned(df, "__kb")  # noqa: SLF001
+            removes = tbl.snapshot_dirs(base) if base is not None else []
+            tbl.commit(adds, removes,
+                       {**meta, "partition_by": "__kb"},
+                       expected_version=base)
+
+    def _apply_side(self, spark, state: TxnTable, changes: DataFrame,
+                    affected: list[int], meta: dict) -> None:
+        from functools import reduce
+
+        cols = [c for c in changes.columns
+                if c not in ("_change_type", "_commit_version")]
+        net = (changes
+               .withColumn("__w", F.when(
+                   F.col("_change_type").isin("insert",
+                                              "update_postimage"),
+                   F.lit(1)).otherwise(F.lit(-1)))
+               .groupBy(*cols).agg(F.sum("__w").alias("__net")))
+        old = (self._read_buckets(spark, state, affected).drop("__kb")
+               .groupBy(*cols).agg(F.count(F.lit(1)).alias("__cur")))
+        o, n = old.alias("o"), net.alias("n")
+        cond = reduce(lambda a, b: a & b,
+                      [o[c].eqNullSafe(n[c]) for c in cols])
+        total = (o.join(n, cond, "full_outer")
+                 .select(*[F.coalesce(o[c], n[c]).alias(c)
+                           for c in cols],
+                         (F.coalesce(o["__cur"], F.lit(0))
+                          + F.coalesce(n["__net"], F.lit(0)))
+                         .alias("__n"))
+                 .filter(F.col("__n") > 0))
+        rows = (total.select(
+            *cols,
+            F.explode(F.sequence(F.lit(1),
+                                 F.col("__n").cast("int"))).alias("__i"))
+            .drop("__i")
+            .withColumn("__kb", self._bucket()))
+        self._replace_buckets(state, rows, affected, meta)
+
+    def _replace_buckets(self, table: TxnTable, df: DataFrame,
+                         affected: list[int], meta: dict) -> None:
+        """Partition-granular replace of exactly the affected buckets —
+        unlike overwrite_partitions (which replaces partitions PRESENT
+        in df), this also removes a bucket the delta emptied."""
+        import os
+
+        base = table.latest_version()
+        live = table.snapshot_dirs(base) if base is not None else []
+        aff = {f"__kb={v}" for v in affected}
+        adds = table._write_data_partitioned(df, "__kb")  # noqa: SLF001
+        stray = [a for a in adds if os.path.basename(a) not in aff]
+        if stray:  # delta rows must land in affected buckets only
+            raise AssertionError(f"rows outside affected buckets: {stray}")
+        removes = [d for d in live if os.path.basename(d) in aff]
+        table.commit(adds, removes, {**meta, "partition_by": "__kb"},
+                     expected_version=base)

@@ -226,7 +226,12 @@ def q_txn_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read(spark)
 
 
-@register("txn_read_range",  # new in r4, gated immediately
+@register("txn_read_range",  # new in r4, gated immediately;
+          # demoted r7 after green r4-r6: stats-based file skipping
+          # stays gated via txn_point_lookup (bloom) and
+          # txn_zorder_read (range pruning over the clustered layout);
+          # stays DuckDB-verified per pytest run
+          driver=False,
           oracle=("SELECT o_orderkey, o_custkey, "
                   "ROUND(o_totalprice, 2) AS total FROM orders "
                   "WHERE o_orderkey BETWEEN 1000 AND 2000 "
@@ -577,6 +582,82 @@ def q_txn_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("business_unity", "cnt", "sm",
                     F.round("mean", 4).alias("mean"))
             .orderBy("business_unity"))
+
+
+_JL_SQL = "SELECT id_employee, gross_salary, business_unity FROM employees"
+_JL_RAISE_SQL = (
+    "SELECT id_employee, CAST(gross_salary + 1000 AS INT) AS gross_salary, "
+    "business_unity FROM employees WHERE id_employee % 10 = 0")
+_JR_SQL = ("SELECT CAST(id AS INT) AS activity_id, id_employee, "
+           "sport_type FROM sport_activities")
+
+
+@register("txn_incremental_join_mv",  # new r7, gated immediately (slot:
+          # txn_read_range demoted — green r4-r6; stats-based file
+          # skipping stays gated via txn_point_lookup + txn_zorder_read)
+          oracle=W(
+              "WITH lmerged AS ({lm}), "
+              "lfin AS (SELECT * FROM lmerged "
+              "WHERE id_employee % 97 <> 0), "
+              "rfin AS (SELECT * FROM ({r}) r0 "
+              "WHERE activity_id % 5 <> 0) "
+              "SELECT l.id_employee, l.gross_salary, l.business_unity, "
+              "r.activity_id, r.sport_type "
+              "FROM lfin l JOIN rfin r ON l.id_employee = r.id_employee"
+              .format(lm=merge_upsert_sql(
+                  _JL_SQL, _JL_RAISE_SQL, "id_employee",
+                  ["id_employee", "gross_salary", "business_unity"]),
+                  r=_JR_SQL)),
+          tags=("J1", "K2"))
+def q_txn_incremental_join_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN materialized view gated end-to-end
+    (operators/mv.JoinMaterializedView): the reference's ``final``
+    JOIN table (read_delta.py:280-285, rebuilt wholesale every DAG
+    run) maintained from BOTH sides' change feeds through five
+    commits — initial load of each side, a MERGE of raises on the
+    left, an append + rewrite DELETE on the right, a deletion-vector
+    DELETE on the left — with a refresh after EVERY commit, each
+    refresh rewriting only the affected key buckets of the two-sided
+    keyed state and of the join output (never a source rescan, never
+    a full join). The oracle recomputes the final join the hard way
+    from the relational definition; any drift in any delta
+    application, on either side, is a hash mismatch."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..operators.mv import JoinMaterializedView
+    from ..sources.txnlog import TxnTable
+
+    emp = D.employees(spark, sf_dir).select(
+        "id_employee", "gross_salary", "business_unity")
+    raises = (emp.filter(F.col("id_employee") % 10 == 0)
+              .select("id_employee",
+                      (F.col("gross_salary") + 1000).cast("int")
+                      .alias("gross_salary"),
+                      "business_unity"))
+    act = D.sport_activities(spark, sf_dir).select(
+        F.col("id").cast("int").alias("activity_id"),
+        "id_employee", "sport_type")
+    root = tempfile.mkdtemp(prefix="samdis_txn_jmv_")
+    left, right = TxnTable(f"{root}/l"), TxnTable(f"{root}/r")
+    jmv = JoinMaterializedView(f"{root}/jmv", "id_employee",
+                               n_buckets=16)
+    left.overwrite(emp)                                        # l v0
+    right.overwrite(act.filter("activity_id % 3 <> 2"))        # r v0
+    jmv.refresh(spark, left, right)
+    left.merge(spark, raises, "id_employee")                   # l v1
+    jmv.refresh(spark, left, right)
+    right.append(act.filter("activity_id % 3 = 2"))            # r v1
+    jmv.refresh(spark, left, right)
+    right.delete_where(spark, "activity_id % 5 = 0")           # r v2
+    jmv.refresh(spark, left, right)
+    left.delete_where(spark, "id_employee % 97 = 0",
+                      use_dv=True)                             # l v2
+    jmv.refresh(spark, left, right)
+    return jmv.read(spark).select(
+        "id_employee", "gross_salary", "business_unity",
+        "activity_id", "sport_type")
 
 
 @register("pii_scrub",

@@ -195,3 +195,163 @@ def test_mv_explicit_rescan_strategy(spark, tmp_path):
     maintain_agg_view(spark, src, view, ["grp"], "val",
                       strategy="rescan")
     assert _got(spark, view) == _want(spark, src) == {("z", 1, 9)}
+
+
+# --- incremental JOIN materialized view ---------------------------------
+
+from sport_advantages_moderne_data_infrastructure_spark.operators.mv import (  # noqa: E402,E501
+    JoinMaterializedView,
+)
+
+
+def _ldf(spark, rows):
+    return spark.createDataFrame(rows, "k int, lval string")
+
+
+def _rdf(spark, rows):
+    return spark.createDataFrame(rows, "k int, rval int")
+
+
+def _jwant(spark, left, right):
+    return sorted(
+        tuple(r) for r in
+        left.read(spark).join(right.read(spark), "k")
+        .select("k", "lval", "rval").collect())
+
+
+def _jgot(spark, jmv):
+    return sorted(tuple(r) for r in
+                  jmv.read(spark).select("k", "lval", "rval").collect())
+
+
+def test_join_mv_refresh_after_commits_on_either_side(spark, tmp_path):
+    left = TxnTable(str(tmp_path / "l"))
+    right = TxnTable(str(tmp_path / "r"))
+    jmv = JoinMaterializedView(str(tmp_path / "mv"), "k", n_buckets=8)
+    left.append(_ldf(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    right.append(_rdf(spark, [(1, 10), (1, 11), (2, 20), (9, 90)]))
+    assert jmv.refresh(spark, left, right) == (0, 0)
+    assert _jgot(spark, jmv) == _jwant(spark, left, right)
+    # left-side MERGE (update + insert)
+    left.merge(spark, _ldf(spark, [(2, "B!"), (9, "i")]), "k")
+    jmv.refresh(spark, left, right)
+    assert _jgot(spark, jmv) == _jwant(spark, left, right)
+    # right-side rewrite DELETE
+    right.delete_where(spark, "k = 1")
+    jmv.refresh(spark, left, right)
+    assert _jgot(spark, jmv) == _jwant(spark, left, right)
+    # right-side append (N-side grows), left-side DV delete
+    right.append(_rdf(spark, [(3, 30), (3, 31)]))
+    left.delete_where(spark, "k = 2", use_dv=True)
+    jmv.refresh(spark, left, right)
+    assert _jgot(spark, jmv) == _jwant(spark, left, right)
+    # no-op refresh: no new commits on either side, no empty commit
+    v = jmv.view.latest_version()
+    jmv.refresh(spark, left, right)
+    assert jmv.view.latest_version() == v
+
+
+def test_join_mv_duplicate_rows_multiset_correct(spark, tmp_path):
+    """The N-side can carry exact-duplicate rows; net-count delta
+    application must preserve multiplicities through delete/re-insert."""
+    left = TxnTable(str(tmp_path / "l"))
+    right = TxnTable(str(tmp_path / "r"))
+    jmv = JoinMaterializedView(str(tmp_path / "mv"), "k", n_buckets=4)
+    left.append(_ldf(spark, [(1, "a")]))
+    right.append(_rdf(spark, [(1, 10), (1, 10), (1, 10)]))  # x3 same row
+    jmv.refresh(spark, left, right)
+    assert _jgot(spark, jmv) == [(1, "a", 10)] * 3
+    right.delete_where(spark, "rval = 10")  # removes all three
+    right.append(_rdf(spark, [(1, 10)]))    # one comes back
+    jmv.refresh(spark, left, right)
+    assert _jgot(spark, jmv) == [(1, "a", 10)]
+
+
+def test_join_mv_refresh_is_partition_granular(spark, tmp_path):
+    """A 1-key change must commit adds/removes ONLY in that key's
+    bucket — the O(changed keys) contract, visible in the log."""
+    import os
+
+    left = TxnTable(str(tmp_path / "l"))
+    right = TxnTable(str(tmp_path / "r"))
+    jmv = JoinMaterializedView(str(tmp_path / "mv"), "k", n_buckets=8)
+    left.append(_ldf(spark, [(i, f"v{i}") for i in range(40)]))
+    right.append(_rdf(spark, [(i, i * 10) for i in range(40)]))
+    jmv.refresh(spark, left, right)
+    before = set(jmv.view.snapshot_dirs())
+    left.merge(spark, _ldf(spark, [(7, "CHANGED")]), "k")
+    jmv.refresh(spark, left, right)
+    after = set(jmv.view.snapshot_dirs())
+    changed_parts = {os.path.basename(d)
+                     for d in (before - after) | (after - before)}
+    assert len(changed_parts) == 1  # exactly one __kb= bucket replaced
+    assert _jgot(spark, jmv) == _jwant(spark, left, right)
+
+
+def test_join_mv_bucket_emptied_by_delete(spark, tmp_path):
+    """Deleting every row of a key must remove its rows from the view
+    even when the recomputed bucket is empty (the overwrite_partitions
+    blind spot the custom replace covers)."""
+    left = TxnTable(str(tmp_path / "l"))
+    right = TxnTable(str(tmp_path / "r"))
+    jmv = JoinMaterializedView(str(tmp_path / "mv"), "k", n_buckets=2)
+    left.append(_ldf(spark, [(1, "a")]))
+    right.append(_rdf(spark, [(1, 10)]))
+    jmv.refresh(spark, left, right)
+    assert _jgot(spark, jmv) == [(1, "a", 10)]
+    left.delete_where(spark, "k = 1")
+    jmv.refresh(spark, left, right)
+    assert _jgot(spark, jmv) == []
+    # and maintenance resumes
+    left.append(_ldf(spark, [(1, "back")]))
+    jmv.refresh(spark, left, right)
+    assert _jgot(spark, jmv) == [(1, "back", 10)]
+
+
+def test_join_mv_resyncs_over_non_cdf_history(spark, tmp_path):
+    left = TxnTable(str(tmp_path / "l"))
+    right = TxnTable(str(tmp_path / "r"))
+    jmv = JoinMaterializedView(str(tmp_path / "mv"), "k", n_buckets=4)
+    left.append(_ldf(spark, [(1, "a"), (2, "b")]))
+    right.append(_rdf(spark, [(1, 10), (2, 20)]))
+    jmv.refresh(spark, left, right)
+    right.overwrite(_rdf(spark, [(2, 99)]))  # not row-wise expressible
+    jmv.refresh(spark, left, right)
+    assert _jgot(spark, jmv) == _jwant(spark, left, right) == [
+        (2, "b", 99)]
+    assert jmv.view.last_meta().get("mv_resync") is True
+    left.append(_ldf(spark, [(2, "b2")]))
+    jmv.refresh(spark, left, right)
+    assert _jgot(spark, jmv) == _jwant(spark, left, right)
+    assert jmv.view.last_meta().get("mv_resync") is None
+
+
+def test_join_mv_auto_strategy_small_rebuilds_large_refreshes(
+        spark, tmp_path, monkeypatch):
+    """auto: below the measured crossover a refresh is a wholesale
+    rebuild (meta carries no incremental trace, result identical);
+    above it (threshold patched down) the incremental path runs and
+    stays partition-granular."""
+    left = TxnTable(str(tmp_path / "l"))
+    right = TxnTable(str(tmp_path / "r"))
+    jmv = JoinMaterializedView(str(tmp_path / "mv"), "k", n_buckets=4)
+    left.append(_ldf(spark, [(1, "a"), (2, "b")]))
+    right.append(_rdf(spark, [(1, 10), (2, 20)]))
+    jmv.refresh(spark, left, right, strategy="auto")
+    v_small = jmv.view.latest_version()
+    left.merge(spark, _ldf(spark, [(1, "A")]), "k")
+    jmv.refresh(spark, left, right, strategy="auto")  # tiny -> rebuild
+    assert _jgot(spark, jmv) == _jwant(spark, left, right)
+    # a rebuild commits all three tables wholesale: the view replaced
+    # every live dir, not just bucket hash(1)%4
+    assert jmv.view.latest_version() == v_small + 1
+    assert jmv.view.last_meta()["operation"] == "join_mv_refresh"
+    monkeypatch.setattr(JoinMaterializedView, "AUTO_REBUILD_ROWS", 1)
+    left.merge(spark, _ldf(spark, [(2, "B")]), "k")
+    before = set(jmv.view.snapshot_dirs())
+    jmv.refresh(spark, left, right, strategy="auto")  # now incremental
+    assert _jgot(spark, jmv) == _jwant(spark, left, right)
+    import os
+    changed = {os.path.basename(d) for d in
+               before ^ set(jmv.view.snapshot_dirs())}
+    assert len(changed) == 1  # partition-granular: one bucket replaced
