@@ -229,6 +229,24 @@ class JoinMaterializedView:
             self._rebuild(spark, left, right, lv, rv,
                           {**meta, "mv_resync": True})
             return lv, rv
+        if not self.apply_change_batch(spark, lch, rch, meta):
+            return llast, rlast  # no changed keys: no empty commit
+        return lv, rv
+
+    def apply_change_batch(self, spark: SparkSession, lch: DataFrame,
+                           rch: DataFrame, meta: dict,
+                           guard=None) -> list[int]:
+        """Apply one batch of change rows (read_changes shape: data
+        columns + ``_change_type``) from each side and re-join the
+        affected buckets; returns the affected bucket ids. The shared
+        core of the batch ``refresh`` and the streaming maintenance
+        (streaming/joinmv.py): ``guard`` — a
+        ``callable(table, leg_fn)`` — wraps each of the three commits
+        (left state, right state, view) so the streaming sink can make
+        every leg individually replay-guarded; each leg recomputes
+        from current state, so a guarded retry after a lost race is
+        safe."""
+        run = guard if guard is not None else (lambda table, fn: fn())
         keys = (lch.select(self.key)
                 .unionByName(rch.select(self.key)).distinct())
         affected = sorted(
@@ -236,14 +254,22 @@ class JoinMaterializedView:
             keys.select(self._bucket().alias("__kb"))
             .distinct().collect())  # bounded: <= n_buckets ints
         if not affected:
-            return llast, rlast
-        self._apply_side(spark, self.left_state, lch, affected, meta)
-        self._apply_side(spark, self.right_state, rch, affected, meta)
-        joined = self._join_of(
-            self._read_buckets(spark, self.left_state, affected),
-            self._read_buckets(spark, self.right_state, affected))
-        self._replace_buckets(self.view, joined, affected, meta)
-        return lv, rv
+            return affected
+        run(self.left_state,
+            lambda: self._apply_side(spark, self.left_state, lch,
+                                     affected, meta))
+        run(self.right_state,
+            lambda: self._apply_side(spark, self.right_state, rch,
+                                     affected, meta))
+
+        def _view_leg():
+            joined = self._join_of(
+                self._read_buckets(spark, self.left_state, affected),
+                self._read_buckets(spark, self.right_state, affected))
+            self._replace_buckets(self.view, joined, affected, meta)
+
+        run(self.view, _view_leg)
+        return affected
 
     def read(self, spark: SparkSession) -> DataFrame:
         return self.view.read(spark).drop("__kb")
@@ -298,8 +324,15 @@ class JoinMaterializedView:
                                               "update_postimage"),
                    F.lit(1)).otherwise(F.lit(-1)))
                .groupBy(*cols).agg(F.sum("__w").alias("__net")))
-        old = (self._read_buckets(spark, state, affected).drop("__kb")
-               .groupBy(*cols).agg(F.count(F.lit(1)).alias("__cur")))
+        if state.latest_version() is None:  # first batch: empty state
+            from pyspark.sql.types import LongType, StructType
+            schema = StructType(
+                [changes.schema[c] for c in cols]).add("__cur", LongType())
+            old = spark.createDataFrame([], schema)
+        else:
+            old = (self._read_buckets(spark, state, affected)
+                   .drop("__kb")
+                   .groupBy(*cols).agg(F.count(F.lit(1)).alias("__cur")))
         o, n = old.alias("o"), net.alias("n")
         cond = reduce(lambda a, b: a & b,
                       [o[c].eqNullSafe(n[c]) for c in cols])

@@ -193,7 +193,12 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("txn_merge_employees",
-          # promoted into the driver window r3
+          # promoted into the driver window r3; demoted r7 after green
+          # r3-r6: the MERGE shape stays hash-gated inside
+          # txn_incremental_mv AND txn_incremental_join_mv /
+          # stream_join_mv_equiv (their oracles embed the same
+          # merge_upsert_sql); stays DuckDB-verified per pytest run
+          driver=False,
           oracle=W(merge_upsert_sql(
               _EMP_PROJ_SQL, _EMP_RAISE_SQL, "id_employee",
               ["id_employee", "gross_salary", "business_unity",
@@ -655,6 +660,93 @@ def q_txn_incremental_join_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     left.delete_where(spark, "id_employee % 97 = 0",
                       use_dv=True)                             # l v2
     jmv.refresh(spark, left, right)
+    return jmv.read(spark).select(
+        "id_employee", "gross_salary", "business_unity",
+        "activity_id", "sport_type")
+
+
+@register("stream_join_mv_equiv",  # new r7, gated immediately (slot:
+          # txn_merge_employees demoted — green r3-r6; its MERGE shape
+          # stays hash-gated inside txn_incremental_mv and this row's
+          # own oracle, both of which embed the same merge_upsert_sql)
+          oracle=W(
+              "WITH lmerged AS ({lm}), "
+              "lfin AS (SELECT * FROM lmerged "
+              "WHERE id_employee % 97 <> 0), "
+              "rfin AS (SELECT * FROM ({r}) r0 "
+              "WHERE activity_id % 5 <> 0) "
+              "SELECT l.id_employee, l.gross_salary, l.business_unity, "
+              "r.activity_id, r.sport_type "
+              "FROM lfin l JOIN rfin r ON l.id_employee = r.id_employee"
+              .format(lm=merge_upsert_sql(
+                  _JL_SQL, _JL_RAISE_SQL, "id_employee",
+                  ["id_employee", "gross_salary", "business_unity"]),
+                  r=_JR_SQL)),
+          tags=("J1", "K1", "T5"))
+def q_stream_join_mv_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING join-MV maintenance (streaming/joinmv.py) gated as a
+    micro-batch twin over the same commit history as
+    ``txn_incremental_join_mv`` — but applied through the streaming
+    path's exact per-batch body (``apply_join_mv_stream_batch``: the
+    unioned two-sided change frame, every commit leg replay-guarded),
+    with BOTH sides' changes arriving in ONE micro-batch (a shape the
+    batch refresh never produces) and a duplicate redelivery of that
+    batch (the at-least-once case the (app_id, batch_id) ledger must
+    absorb). The oracle recomputes the final join relationally; a
+    drift in any delta application, any leg ordering, or any replay is
+    a hash mismatch."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..operators.mv import JoinMaterializedView
+    from ..sources.txnlog import TxnTable
+    from ..streaming.joinmv import _SIDE, apply_join_mv_stream_batch
+
+    emp = D.employees(spark, sf_dir).select(
+        "id_employee", "gross_salary", "business_unity")
+    raises = (emp.filter(F.col("id_employee") % 10 == 0)
+              .select("id_employee",
+                      (F.col("gross_salary") + 1000).cast("int")
+                      .alias("gross_salary"),
+                      "business_unity"))
+    act = D.sport_activities(spark, sf_dir).select(
+        F.col("id").cast("int").alias("activity_id"),
+        "id_employee", "sport_type")
+    root = tempfile.mkdtemp(prefix="samdis_stream_jmv_")
+    left, right = TxnTable(f"{root}/l"), TxnTable(f"{root}/r")
+    jmv = JoinMaterializedView(f"{root}/jmv", "id_employee",
+                               n_buckets=16)
+    lcols = ["gross_salary", "business_unity"]
+    rcols = ["activity_id", "sport_type"]
+
+    def push(batch_id, l_lo, l_hi, r_lo, r_hi):
+        lch = (left.read_changes(spark, since_version=l_lo, upto=l_hi)
+               .drop("_commit_version")
+               .withColumn("activity_id", F.lit(None).cast("int"))
+               .withColumn("sport_type", F.lit(None).cast("string"))
+               .withColumn(_SIDE, F.lit("l")))
+        rch = (right.read_changes(spark, since_version=r_lo, upto=r_hi)
+               .drop("_commit_version")
+               .withColumn("gross_salary", F.lit(None).cast("int"))
+               .withColumn("business_unity",
+                           F.lit(None).cast("string"))
+               .withColumn(_SIDE, F.lit("r")))
+        apply_join_mv_stream_batch(
+            spark, jmv, lch.unionByName(rch), batch_id, "jmv_twin",
+            lcols, rcols)
+
+    left.overwrite(emp)                                        # l v0
+    right.overwrite(act.filter("activity_id % 3 <> 2"))        # r v0
+    push(0, -1, 0, -1, 0)
+    left.merge(spark, raises, "id_employee")                   # l v1
+    right.append(act.filter("activity_id % 3 = 2"))            # r v1
+    push(1, 0, 1, 0, 1)  # both sides in ONE micro-batch
+    push(1, 0, 1, 0, 1)  # duplicate redelivery: ledger absorbs it
+    right.delete_where(spark, "activity_id % 5 = 0")           # r v2
+    left.delete_where(spark, "id_employee % 97 = 0",
+                      use_dv=True)                             # l v2
+    push(2, 1, 2, 1, 2)
     return jmv.read(spark).select(
         "id_employee", "gross_salary", "business_unity",
         "activity_id", "sport_type")

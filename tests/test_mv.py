@@ -355,3 +355,83 @@ def test_join_mv_auto_strategy_small_rebuilds_large_refreshes(
     changed = {os.path.basename(d) for d in
                before ^ set(jmv.view.snapshot_dirs())}
     assert len(changed) == 1  # partition-granular: one bucket replaced
+
+
+def test_stream_join_mv_maintains_and_restarts(spark, tmp_path):
+    """One streaming query over BOTH sources' change feeds maintains
+    the join view through append / MERGE / rewrite-DELETE / DV-DELETE
+    commits on either side; a restart on the same checkpoint
+    re-applies nothing; post-restart commits stream through."""
+    from sport_advantages_moderne_data_infrastructure_spark.streaming.joinmv import (  # noqa: E501
+        write_stream_join_mv,
+    )
+
+    left = TxnTable(str(tmp_path / "l"))
+    right = TxnTable(str(tmp_path / "r"))
+    jmv = JoinMaterializedView(str(tmp_path / "mv"), "k", n_buckets=8)
+    ck = str(tmp_path / "ck")
+    left.append(_ldf(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    right.append(_rdf(spark, [(1, 10), (2, 20), (2, 21), (9, 90)]))
+    left.merge(spark, _ldf(spark, [(2, "B!"), (9, "i")]), "k")
+    right.delete_where(spark, "k = 1")
+
+    def drain():
+        q = write_stream_join_mv(spark, left.path, right.path, jmv,
+                                 ck, app_id="jmvstream")
+        q.awaitTermination(120)
+
+    drain()
+    assert _jgot(spark, jmv) == _jwant(spark, left, right)
+    v = jmv.view.latest_version()
+    drain()  # restart: nothing new, nothing re-applied
+    assert jmv.view.latest_version() == v
+    # post-restart commits on both sides, incl. a DV delete
+    right.append(_rdf(spark, [(3, 30)]))
+    left.delete_where(spark, "k = 2", use_dv=True)
+    drain()
+    assert _jgot(spark, jmv) == _jwant(spark, left, right)
+
+
+def test_stream_join_mv_batch_twin_equivalence(spark, tmp_path):
+    """The per-batch apply (the driver-gated twin path) produces a view
+    identical to the batch refresh over the same commit history."""
+    from sport_advantages_moderne_data_infrastructure_spark.streaming.joinmv import (  # noqa: E501
+        _SIDE,
+        apply_join_mv_stream_batch,
+    )
+
+    left = TxnTable(str(tmp_path / "l"))
+    right = TxnTable(str(tmp_path / "r"))
+    sj = JoinMaterializedView(str(tmp_path / "smv"), "k", n_buckets=4)
+    bj = JoinMaterializedView(str(tmp_path / "bmv"), "k", n_buckets=4)
+    left.append(_ldf(spark, [(1, "a"), (2, "b")]))
+    right.append(_rdf(spark, [(1, 10), (2, 20)]))
+
+    def push(batch_id, l_lo, r_lo):
+        import pyspark.sql.functions as F
+        lch = (left.read_changes(spark, since_version=l_lo)
+               .drop("_commit_version")
+               .withColumn("rval", F.lit(None).cast("int"))
+               .withColumn(_SIDE, F.lit("l")))
+        rch = (right.read_changes(spark, since_version=r_lo)
+               .drop("_commit_version")
+               .withColumn("lval", F.lit(None).cast("string"))
+               .withColumn(_SIDE, F.lit("r")))
+        apply_join_mv_stream_batch(
+            spark, sj, lch.unionByName(rch), batch_id, "twin",
+            ["lval"], ["rval"])
+
+    push(0, -1, -1)
+    left.merge(spark, _ldf(spark, [(1, "A"), (3, "c")]), "k")
+    right.append(_rdf(spark, [(3, 30)]))
+    push(1, 0, 0)
+    bj.refresh(spark, left, right)
+    assert _jgot(spark, sj) == _jgot(spark, bj) == _jwant(
+        spark, left, right)
+    # replaying an applied batch is a no-op on every leg
+    vs = (sj.left_state.latest_version(),
+          sj.right_state.latest_version(), sj.view.latest_version())
+    push(1, 0, 0)
+    assert vs == (sj.left_state.latest_version(),
+                  sj.right_state.latest_version(),
+                  sj.view.latest_version())
