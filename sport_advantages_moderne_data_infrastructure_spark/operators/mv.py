@@ -177,8 +177,20 @@ class JoinMaterializedView:
     #: from commit-log footers) and refreshes incrementally above it.
     AUTO_REBUILD_ROWS = 25_000_000
 
-    def __init__(self, root: str, key: str, n_buckets: int = 32):
+    def __init__(self, root: str, key: str, n_buckets: int = 32,
+                 how: str = "inner"):
+        """``how``: ``"inner"`` or ``"left"`` (the reference's
+        ``final`` table is a LEFT join — read_delta.py:280-285, NULL
+        counts preserved). Because a refresh RECOMPUTES the affected
+        buckets from the keyed replicas — it never reasons about
+        delta-join algebra — any join type that is local to a key
+        bucket is maintained correctly, including the appearing/
+        disappearing NULL-padded rows that make left-outer delta
+        rules hard in the classical formulation."""
+        if how not in ("inner", "left"):
+            raise ValueError(f"unsupported join type: {how!r}")
         self.key = key
+        self.how = how
         self.n_buckets = n_buckets
         self.left_state = TxnTable(f"{root}/left_state")
         self.right_state = TxnTable(f"{root}/right_state")
@@ -295,7 +307,7 @@ class JoinMaterializedView:
     def _join_of(self, l: DataFrame, r: DataFrame) -> DataFrame:
         lc = [c for c in l.columns if c not in (self.key, "__kb")]
         rc = [c for c in r.columns if c not in (self.key, "__kb")]
-        return (l.join(r.drop("__kb"), self.key)
+        return (l.join(r.drop("__kb"), self.key, self.how)
                 .select(self.key, *lc, *rc, "__kb"))
 
     def _rebuild(self, spark, left, right, lv, rv, meta) -> None:

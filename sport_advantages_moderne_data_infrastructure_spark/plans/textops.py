@@ -1243,6 +1243,10 @@ def q_dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "unigram_surprisal_score",
+    driver=False,  # demoted r7 after green r5-r6: the explode → count →
+    # broadcast-join → per-doc rollup machinery stays gated by its
+    # CONDITIONAL sibling bigram_surprisal_score (registered with its
+    # gate row in the same slot); stays DuckDB-verified per pytest run
     oracle=(
         "WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array("
         "trim(text), ' +')) AS tok FROM documents), "
@@ -1284,6 +1288,73 @@ def q_unigram_surprisal_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "n_tokens", "surprisal_sum",
                     F.round(F.col("surprisal_sum").cast("double")
                             / F.col("n_tokens"), 4).alias("mean_surprisal"))
+            .orderBy("doc_id"))
+
+
+@register(
+    "bigram_surprisal_score",  # new r7, gated immediately (slot:
+    # unigram_surprisal_score demoted — green r5-r6; same machinery,
+    # this row adds the conditional-model leg)
+    oracle=(
+        "WITH toks AS (SELECT doc_id, regexp_split_to_array("
+        "trim(text), ' +') AS t FROM documents), "
+        "pos AS (SELECT doc_id, t, unnest(range(1, len(t))) AS i "
+        "FROM toks), "
+        "bg AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2 FROM pos "
+        "WHERE t[i] <> '' AND t[i+1] <> ''), "
+        "c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 "
+        "FROM bg GROUP BY w1, w2), "
+        "c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 "
+        "FROM bg GROUP BY w1) "
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams, "
+        "CAST(SUM(c1 // c12) AS BIGINT) AS surprisal_sum, "
+        "ROUND(CAST(SUM(c1 // c12) AS DOUBLE) / COUNT(*), 4) "
+        "AS mean_surprisal "
+        "FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) "
+        "GROUP BY doc_id ORDER BY doc_id"))
+def q_bigram_surprisal_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-LM quality scoring — the bigram step from the
+    unigram model toward the KenLM-style perplexity filters of
+    CCNet/Gopher pipelines: score each document by the mean inverse
+    CONDITIONAL bigram frequency c(w1)/c(w1,w2) under the corpus' own
+    bigram model. A document whose token TRANSITIONS are corpus-rare
+    scores high (shuffled/garbled text that unigram frequency cannot
+    see — every token common, every transition novel); text that
+    follows corpus patterns scores ~1. Per-bigram surprisal is the
+    INTEGER-floored ratio (``div``), so the per-doc sum is exact
+    bigint arithmetic — order-independent under parallel aggregation
+    and bit-identical cross-engine (the repo-wide log-free
+    discipline; cf. unigram_surprisal_score).
+
+    Shape: in-array bigram construction (transform over the token
+    array — no positional self-join, no extra shuffle vs the unigram
+    op) → bigram counts (shuffled equi-join on (w1, w2): the bigram
+    vocabulary is NOT broadcastable at corpus scale, but the shuffle
+    carries token pairs + counts, never documents) → context counts
+    (vocab-bounded broadcast) → per-doc rollup. The CASE guard exists
+    because Spark's ``sequence(1, size-1)`` runs DESCENDING when
+    size=1 (a [1,0] sequence — not empty)."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.split(F.trim("text"), " +").alias("t"))
+    bg = (t.select("doc_id", F.explode(F.expr(
+            "CASE WHEN size(t) >= 2 THEN filter("
+            "transform(sequence(1, size(t)-1), "
+            "i -> named_struct('w1', t[i-1], 'w2', t[i])), "
+            "p -> p.w1 <> '' AND p.w2 <> '') "
+            "ELSE CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>) "
+            "END")).alias("p"))
+          .select("doc_id", "p.w1", "p.w2"))
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    scored = (bg.join(c12, ["w1", "w2"]).join(F.broadcast(c1), "w1")
+              .select("doc_id", F.expr("c1 div c12").alias("s")))
+    return (scored.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+                 F.sum("s").cast("bigint").alias("surprisal_sum"))
+            .select("doc_id", "n_bigrams", "surprisal_sum",
+                    F.round(F.col("surprisal_sum").cast("double")
+                            / F.col("n_bigrams"), 4)
+                    .alias("mean_surprisal"))
             .orderBy("doc_id"))
 
 

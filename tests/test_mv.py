@@ -435,3 +435,33 @@ def test_stream_join_mv_batch_twin_equivalence(spark, tmp_path):
     assert vs == (sj.left_state.latest_version(),
                   sj.right_state.latest_version(),
                   sj.view.latest_version())
+
+
+def test_join_mv_left_outer_null_pad_appears_and_disappears(
+        spark, tmp_path):
+    """how='left': deleting a key's last right-side row makes the
+    NULL-padded left row APPEAR in the view; inserting a match makes
+    it disappear — the classic hard case of outer-join delta rules,
+    free here because affected buckets are recomputed from replicas."""
+    left = TxnTable(str(tmp_path / "l"))
+    right = TxnTable(str(tmp_path / "r"))
+    jmv = JoinMaterializedView(str(tmp_path / "mv"), "k", n_buckets=4,
+                               how="left")
+    left.append(_ldf(spark, [(1, "a"), (2, "b")]))
+    right.append(_rdf(spark, [(1, 10)]))
+    jmv.refresh(spark, left, right)
+    assert _jgot(spark, jmv) == [(1, "a", 10), (2, "b", None)]
+    right.append(_rdf(spark, [(2, 20)]))     # pad row must disappear
+    jmv.refresh(spark, left, right)
+    assert _jgot(spark, jmv) == [(1, "a", 10), (2, "b", 20)]
+    right.delete_where(spark, "k = 1")       # pad row must appear
+    jmv.refresh(spark, left, right)
+    assert _jgot(spark, jmv) == [(1, "a", None), (2, "b", 20)]
+    left.delete_where(spark, "k = 1")        # left delete drops it
+    jmv.refresh(spark, left, right)
+    assert _jgot(spark, jmv) == [(2, "b", 20)]
+    # and it matches the direct left join at every point
+    want = sorted(tuple(r) for r in
+                  left.read(spark).join(right.read(spark), "k", "left")
+                  .select("k", "lval", "rval").collect())
+    assert _jgot(spark, jmv) == want
