@@ -178,7 +178,7 @@ class JoinMaterializedView:
     AUTO_REBUILD_ROWS = 25_000_000
 
     def __init__(self, root: str, key: str, n_buckets: int = 32,
-                 how: str = "inner"):
+                 how: str = "inner", capture_changes: bool = False):
         """``how``: ``"inner"`` or ``"left"`` (the reference's
         ``final`` table is a LEFT join — read_delta.py:280-285, NULL
         counts preserved). Because a refresh RECOMPUTES the affected
@@ -186,11 +186,18 @@ class JoinMaterializedView:
         delta-join algebra — any join type that is local to a key
         bucket is maintained correctly, including the appearing/
         disappearing NULL-padded rows that make left-outer delta
-        rules hard in the classical formulation."""
+        rules hard in the classical formulation.
+
+        ``capture_changes``: write row-wise change files with every
+        view commit, so the maintained view is itself a CDF source and
+        further incremental views stack on it (resync rebuilds remain
+        full overwrites — downstream consumers resync there, as
+        Delta's rule requires)."""
         if how not in ("inner", "left"):
             raise ValueError(f"unsupported join type: {how!r}")
         self.key = key
         self.how = how
+        self.capture_changes = capture_changes
         self.n_buckets = n_buckets
         self.left_state = TxnTable(f"{root}/left_state")
         self.right_state = TxnTable(f"{root}/right_state")
@@ -367,7 +374,16 @@ class JoinMaterializedView:
                          affected: list[int], meta: dict) -> None:
         """Partition-granular replace of exactly the affected buckets —
         unlike overwrite_partitions (which replaces partitions PRESENT
-        in df), this also removes a bucket the delta emptied."""
+        in df), this also removes a bucket the delta emptied. When the
+        table being replaced is the VIEW and ``capture_changes`` is on,
+        the commit also writes change files (old bucket rows as
+        ``delete``, new rows as ``insert`` — unchanged rows inside a
+        replaced bucket appear as a cancelling delete+insert pair,
+        which every net-count/partial-sum consumer absorbs), so the
+        maintained view is itself a row-wise CDF source and FURTHER
+        incremental views stack on top of it (an agg MV over the join
+        MV — see tests/test_mv.py stacked test). Change volume is
+        O(replaced buckets), the same order as the write itself."""
         import os
 
         base = table.latest_version()
@@ -378,5 +394,15 @@ class JoinMaterializedView:
         if stray:  # delta rows must land in affected buckets only
             raise AssertionError(f"rows outside affected buckets: {stray}")
         removes = [d for d in live if os.path.basename(d) in aff]
+        changes_rel = None
+        if self.capture_changes and table is self.view:
+            spark = df.sparkSession
+            old = (self._read_buckets(spark, table, affected)
+                   if base is not None
+                   else df.limit(0))
+            changes_rel = table._write_changes(  # noqa: SLF001
+                old.withColumn("_change_type", F.lit("delete"))
+                .unionByName(
+                    df.withColumn("_change_type", F.lit("insert"))))
         table.commit(adds, removes, {**meta, "partition_by": "__kb"},
-                     expected_version=base)
+                     expected_version=base, changes=changes_rel)

@@ -752,6 +752,89 @@ def q_stream_join_mv_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "activity_id", "sport_type")
 
 
+@register("txn_stacked_mv",  # new r7, gated immediately (slot:
+          # ann_cosine_topk demoted — green r3-r6; the brute-force
+          # cosine shape stays executed inside ann_recall_report's
+          # ground-truth leg and stays benched/budgeted)
+          oracle=W(
+              "WITH lmerged AS ({lm}), "
+              "lfin AS (SELECT * FROM lmerged "
+              "WHERE id_employee % 97 <> 0), "
+              "rfin AS (SELECT * FROM ({r}) r0 "
+              "WHERE activity_id % 5 <> 0) "
+              "SELECT r.sport_type, "
+              "CAST(COUNT(*) AS BIGINT) AS n_rows, "
+              "CAST(SUM(l.gross_salary) AS BIGINT) AS salary_sum, "
+              "ROUND(CAST(SUM(l.gross_salary) AS DOUBLE) / COUNT(*), 4) "
+              "AS mean_salary "
+              "FROM lfin l JOIN rfin r ON l.id_employee = r.id_employee "
+              "GROUP BY r.sport_type ORDER BY r.sport_type"
+              .format(lm=merge_upsert_sql(
+                  _JL_SQL, _JL_RAISE_SQL, "id_employee",
+                  ["id_employee", "gross_salary", "business_unity"]),
+                  r=_JR_SQL)),
+          tags=("J1", "A1", "K2"))
+def q_txn_stacked_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STACKED incremental views — the lakehouse answer to a DAG that
+    rebuilds `final` AND its aggregate every run (read_delta.py:280-285
+    then 47-53): a JoinMaterializedView with ``capture_changes=True``
+    makes the maintained join view itself a row-wise CDF source, and an
+    agg MV is maintained OVER the join view's change feed — two layers,
+    each refreshed at O(its own delta), through the same five-commit
+    history as ``txn_incremental_join_mv`` with BOTH layers refreshed
+    after every commit. The oracle recomputes the final aggregate
+    relationally from scratch; drift in either layer (a wrong join
+    delta, a wrong cancelling delete+insert pair in the view's CDF, a
+    wrong partial) is a hash mismatch."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..operators.mv import (JoinMaterializedView, maintain_agg_view,
+                                read_agg_view)
+    from ..sources.txnlog import TxnTable
+
+    emp = D.employees(spark, sf_dir).select(
+        "id_employee", "gross_salary", "business_unity")
+    raises = (emp.filter(F.col("id_employee") % 10 == 0)
+              .select("id_employee",
+                      (F.col("gross_salary") + 1000).cast("int")
+                      .alias("gross_salary"),
+                      "business_unity"))
+    act = D.sport_activities(spark, sf_dir).select(
+        F.col("id").cast("int").alias("activity_id"),
+        "id_employee", "sport_type")
+    root = tempfile.mkdtemp(prefix="samdis_txn_smv_")
+    left, right = TxnTable(f"{root}/l"), TxnTable(f"{root}/r")
+    jmv = JoinMaterializedView(f"{root}/jmv", "id_employee",
+                               n_buckets=16, capture_changes=True)
+    agg = TxnTable(f"{root}/agg")
+
+    def refresh_both():
+        jmv.refresh(spark, left, right)
+        maintain_agg_view(spark, jmv.view, agg, ["sport_type"],
+                          "gross_salary")
+
+    left.overwrite(emp)                                        # l v0
+    right.overwrite(act.filter("activity_id % 3 <> 2"))        # r v0
+    refresh_both()
+    left.merge(spark, raises, "id_employee")                   # l v1
+    refresh_both()
+    right.append(act.filter("activity_id % 3 = 2"))            # r v1
+    refresh_both()
+    right.delete_where(spark, "activity_id % 5 = 0")           # r v2
+    refresh_both()
+    left.delete_where(spark, "id_employee % 97 = 0",
+                      use_dv=True)                             # l v2
+    refresh_both()
+    v = read_agg_view(spark, agg)
+    return (v.select("sport_type",
+                     F.col("cnt").alias("n_rows"),
+                     F.col("sm").cast("bigint").alias("salary_sum"),
+                     F.round(F.col("mean"), 4).alias("mean_salary"))
+            .orderBy("sport_type"))
+
+
 @register("pii_scrub",
           oracle=W("SELECT id_employee, "
                    "regexp_replace(address, '[0-9]+', '#', 'g') "

@@ -491,7 +491,14 @@ def q_ann_ivf_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.avg("overlap_at_10") >= F.lit(_IVF_FLOOR)).alias("floor_met"))
 
 
-@register("ann_cosine_topk", oracle=_ANN_ORACLE, bench=True)
+@register("ann_cosine_topk",
+          # demoted r7 after green r3-r6: the brute-force cosine top-k
+          # shape stays EXECUTED inside ann_recall_report's
+          # ground-truth leg (still gated) and this query stays
+          # benched/budgeted + DuckDB-verified per pytest run; slot
+          # goes to txn_stacked_mv (plans/core.py)
+          driver=False,
+          oracle=_ANN_ORACLE, bench=True)
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 for every 50th vector as query.
 

@@ -1236,8 +1236,8 @@ def q_dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     Suffix-array semantics, bucketed: mark every position whose 40-char
     window hash repeats corpus-wide, then merge consecutive marks into
     maximal regions (machinery + plan shape: operators/dedup.py
-    repeated_spans). Shuffles carry (md5, doc_id, pos) only — document
-    text never moves past the first map stage."""
+    repeated_spans). Shuffles carry (xxhash64 pair, doc_id, pos)
+    only — document text never moves past the first map stage."""
     return DD.repeated_spans(span_corpus(spark, sf_dir))
 
 

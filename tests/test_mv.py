@@ -465,3 +465,70 @@ def test_join_mv_left_outer_null_pad_appears_and_disappears(
                   left.read(spark).join(right.read(spark), "k", "left")
                   .select("k", "lval", "rval").collect())
     assert _jgot(spark, jmv) == want
+
+
+def test_stacked_mv_agg_over_join_view(spark, tmp_path):
+    """MV composition: with capture_changes=True the join view is
+    itself a CDF source, so an AGG MV maintained over it stays correct
+    through join-view refreshes — each layer costs O(its own delta).
+    The first join build commits adds-only (row-wise expressible:
+    every row an insert), so the agg is incremental from the start; a
+    mid-history REBUILD of the join view (a source overwrite forces
+    one) has no row-wise delta, so the downstream agg must RESYNC
+    there, then resume incrementally."""
+    from sport_advantages_moderne_data_infrastructure_spark.operators.mv import (  # noqa: E501
+        maintain_agg_view,
+        read_agg_view,
+    )
+
+    left = TxnTable(str(tmp_path / "l"))
+    right = TxnTable(str(tmp_path / "r"))
+    jmv = JoinMaterializedView(str(tmp_path / "mv"), "k", n_buckets=4,
+                               capture_changes=True)
+    agg = TxnTable(str(tmp_path / "agg"))
+
+    def want():
+        return {
+            (r["lval"], r["cnt"], r["sm"]) for r in
+            left.read(spark).join(right.read(spark), "k")
+            .groupBy("lval")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.sum("rval").alias("sm")).collect()}
+
+    def got():
+        return {(r["lval"], r["cnt"], r["sm"]) for r in
+                read_agg_view(spark, agg)
+                .select("lval", "cnt", "sm").collect()}
+
+    left.append(_ldf(spark, [(1, "a"), (2, "b"), (3, "a")]))
+    right.append(_rdf(spark, [(1, 10), (2, 20), (3, 30), (3, 31)]))
+    jmv.refresh(spark, left, right)  # build: adds-only = all inserts
+    maintain_agg_view(spark, jmv.view, agg, ["lval"], "rval")
+    assert agg.last_meta().get("mv_resync") is None
+    assert got() == want()
+    # join-view bucket replaces carry CDF: agg stays incremental
+    left.merge(spark, _ldf(spark, [(2, "a"), (4, "c")]), "k")
+    right.append(_rdf(spark, [(4, 40)]))
+    jmv.refresh(spark, left, right)
+    maintain_agg_view(spark, jmv.view, agg, ["lval"], "rval")
+    assert agg.last_meta().get("mv_resync") is None
+    assert got() == want()
+    right.delete_where(spark, "k = 3")
+    jmv.refresh(spark, left, right)
+    maintain_agg_view(spark, jmv.view, agg, ["lval"], "rval")
+    assert agg.last_meta().get("mv_resync") is None
+    assert got() == want()
+    # a source overwrite forces a join-view REBUILD (full overwrite,
+    # no row-wise delta): the stacked agg must resync, not drift
+    right.overwrite(_rdf(spark, [(1, 11), (2, 22)]))
+    jmv.refresh(spark, left, right)
+    assert jmv.view.last_meta().get("mv_resync") is True
+    maintain_agg_view(spark, jmv.view, agg, ["lval"], "rval")
+    assert agg.last_meta().get("mv_resync") is True
+    assert got() == want()
+    # and incremental maintenance resumes end-to-end
+    left.merge(spark, _ldf(spark, [(1, "z")]), "k")
+    jmv.refresh(spark, left, right)
+    maintain_agg_view(spark, jmv.view, agg, ["lval"], "rval")
+    assert agg.last_meta().get("mv_resync") is None
+    assert got() == want()
