@@ -93,6 +93,8 @@ QUERY_BUDGETS = {
     "interval_join_events": 0.59,   # min 0.396
     "timeseries_gapfill": 0.44,     # min 0.295 (new r6; local sf0.1 runs)
     "training_order_shuffle": 0.42,  # min 0.282 (new r6; local sf0.1 runs)
+    "dedup_repeated_spans": 2.63,   # min 1.755 (new r7, post xxhash64-
+    # pair slimming; local sf0.1 runs)
 }
 
 

@@ -37,6 +37,24 @@ from ..sources.txnlog import TxnTable, agg_delta_from_changes
 _AUTO_RESCAN_ROWS = 2_000_000
 
 
+def _last_meta_with(table: TxnTable, key: str) -> dict:
+    """The most recent commit meta carrying ``key`` — NOT simply the
+    last commit's meta: a layout-only commit interleaved between
+    refreshes (OPTIMIZE/compaction on the view) must not clobber the
+    refresher's high-water bookkeeping, or the next refresh silently
+    degrades to a full rebuild (and, for a capture_changes view, hands
+    every downstream consumer a needless resync). The backward walk is
+    bounded by how many non-refresh commits landed since the last
+    refresh — ~one compaction, in practice."""
+    v = table.latest_version()
+    while v is not None and v >= 0:
+        meta = table._doc(v).get("meta", {})  # noqa: SLF001
+        if key in meta:
+            return meta
+        v -= 1
+    return {}
+
+
 def maintain_agg_view(spark: SparkSession, source: TxnTable,
                       view: TxnTable, group_cols: list[str],
                       value_col: str,
@@ -56,7 +74,8 @@ def maintain_agg_view(spark: SparkSession, source: TxnTable,
     src_v = source.latest_version()
     if src_v is None:
         raise ValueError(f"source has no commits: {source.path}")
-    last = (view.last_meta().get("mv_source_version", -1)
+    last = (_last_meta_with(view, "mv_source_version")
+            .get("mv_source_version", -1)
             if view.latest_version() is not None else -1)
     if src_v <= last:
         return last
@@ -223,7 +242,7 @@ class JoinMaterializedView:
         lv, rv = left.latest_version(), right.latest_version()
         if lv is None or rv is None:
             raise ValueError("both sources need at least one commit")
-        last = (self.view.last_meta()
+        last = (_last_meta_with(self.view, "mv_left_version")
                 if self.view.latest_version() is not None else {})
         llast = last.get("mv_left_version", -1)
         rlast = last.get("mv_right_version", -1)

@@ -1295,6 +1295,8 @@ def q_unigram_surprisal_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bigram_surprisal_score",  # new r7, gated immediately (slot:
     # unigram_surprisal_score demoted — green r5-r6; same machinery,
     # this row adds the conditional-model leg)
+    bench=True,  # reports under added_queries; budget next round per
+    # the rolling-min policy
     oracle=(
         "WITH toks AS (SELECT doc_id, regexp_split_to_array("
         "trim(text), ' +') AS t FROM documents), "

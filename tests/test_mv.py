@@ -532,3 +532,84 @@ def test_stacked_mv_agg_over_join_view(spark, tmp_path):
     maintain_agg_view(spark, jmv.view, agg, ["lval"], "rval")
     assert agg.last_meta().get("mv_resync") is None
     assert got() == want()
+
+
+def test_streaming_agg_view_over_join_view_cdf(spark, tmp_path):
+    """Full composition: the STREAMING agg-view job (streaming/mv.py)
+    consumes the JOIN view's change feed — the maintained join view is
+    a first-class txnlog CDF source like any table, so the existing
+    streaming MV machinery stacks on it unchanged."""
+    from sport_advantages_moderne_data_infrastructure_spark.operators.mv import (  # noqa: E501
+        read_agg_view,
+    )
+    from sport_advantages_moderne_data_infrastructure_spark.streaming.mv import (  # noqa: E501
+        write_stream_agg_view,
+    )
+
+    left = TxnTable(str(tmp_path / "l"))
+    right = TxnTable(str(tmp_path / "r"))
+    jmv = JoinMaterializedView(str(tmp_path / "mv"), "k", n_buckets=4,
+                               capture_changes=True)
+    agg_path, ck = str(tmp_path / "agg"), str(tmp_path / "ck")
+    left.append(_ldf(spark, [(1, "a"), (2, "b"), (3, "a")]))
+    right.append(_rdf(spark, [(1, 10), (2, 20), (3, 30)]))
+    jmv.refresh(spark, left, right)
+
+    def drain():
+        q = write_stream_agg_view(spark, jmv.view.path, agg_path, ck,
+                                  ["lval"], "rval", app_id="stacked")
+        q.awaitTermination(120)
+
+    def want():
+        return {(r["lval"], r["cnt"], r["sm"]) for r in
+                left.read(spark).join(right.read(spark), "k")
+                .groupBy("lval")
+                .agg(F.count(F.lit(1)).alias("cnt"),
+                     F.sum("rval").alias("sm")).collect()}
+
+    def got():
+        return {(r["lval"], r["cnt"], r["sm"]) for r in
+                read_agg_view(spark, TxnTable(agg_path))
+                .select("lval", "cnt", "sm").collect()}
+
+    drain()
+    assert got() == want()
+    left.merge(spark, _ldf(spark, [(1, "b"), (4, "c")]), "k")
+    right.append(_rdf(spark, [(4, 40)]))
+    jmv.refresh(spark, left, right)
+    drain()
+    assert got() == want()
+
+
+def test_stacked_mv_survives_view_compaction(spark, tmp_path):
+    """Many refreshes leave small files per bucket; OPTIMIZE on the
+    view is layout-only, so the downstream agg MUST keep applying the
+    feed across it without a resync (compaction commits are skipped
+    by read_changes) and stay correct."""
+    from sport_advantages_moderne_data_infrastructure_spark.operators.mv import (  # noqa: E501
+        maintain_agg_view,
+        read_agg_view,
+    )
+
+    left = TxnTable(str(tmp_path / "l"))
+    right = TxnTable(str(tmp_path / "r"))
+    jmv = JoinMaterializedView(str(tmp_path / "mv"), "k", n_buckets=2,
+                               capture_changes=True)
+    agg = TxnTable(str(tmp_path / "agg"))
+    left.append(_ldf(spark, [(1, "a"), (2, "b")]))
+    right.append(_rdf(spark, [(1, 10), (2, 20)]))
+    jmv.refresh(spark, left, right)
+    maintain_agg_view(spark, jmv.view, agg, ["lval"], "rval")
+    jmv.view.compact(spark)  # layout-only commit on the view
+    left.merge(spark, _ldf(spark, [(2, "a")]), "k")
+    jmv.refresh(spark, left, right)
+    maintain_agg_view(spark, jmv.view, agg, ["lval"], "rval")
+    assert agg.last_meta().get("mv_resync") is None  # no resync
+    got = {(r["lval"], r["cnt"], r["sm"]) for r in
+           read_agg_view(spark, agg).select("lval", "cnt", "sm")
+           .collect()}
+    want = {(r["lval"], r["cnt"], r["sm"]) for r in
+            left.read(spark).join(right.read(spark), "k")
+            .groupBy("lval").agg(F.count(F.lit(1)).alias("cnt"),
+                                 F.sum("rval").alias("sm")).collect()}
+    assert got == want
