@@ -692,3 +692,76 @@ def repeated_spans_sql(corpus_cte: str,
         f"CAST(MAX(pos) - MIN(pos) + {seed_len} AS BIGINT) AS span_len "
         f"FROM runs GROUP BY doc_id, grp"
     )
+
+
+def span_scrub(corpus: DataFrame,
+               seed_len: int = SPAN_SEED_LEN) -> DataFrame:
+    """The ACTION step of ExactSubstr dedup (Lee et al. 2021 cut the
+    duplicated text, they don't just report it): every maximal repeated
+    span found by :func:`repeated_spans` is CUT from its document and
+    the remainder stitched back in order — (doc_id, clean_text,
+    removed_chars), one row per input document, untouched docs passing
+    through verbatim. Policy: ALL occurrences of a repeated span are
+    removed (deterministic and local; keeping one canonical occurrence
+    would need a global arbitrary choice per duplicate class — noted,
+    not silently approximated).
+
+    Shape on top of the marking plan: spans are tiny next to the
+    corpus, so the extra cost is one doc_id equi-join of (gap
+    boundaries x corpus) and one per-doc rollup; gap boundaries come
+    from a keyed LAG over the (non-overlapping, sorted) spans, the
+    stitch is array_sort + array_join over collected (offset, piece)
+    pairs — pieces of one doc, never the corpus, sit in one group."""
+    from pyspark.sql import Window as Wn
+
+    spans = repeated_spans(corpus, seed_len)
+    w = Wn.partitionBy("doc_id").orderBy("span_start")
+    pre = (spans.withColumn(
+        "gs", F.coalesce(F.lag("span_end").over(w) + 1, F.lit(1)))
+        .select("doc_id", "gs", (F.col("span_start") - 1).alias("ge")))
+    tail = (spans.groupBy("doc_id")
+            .agg((F.max("span_end") + 1).alias("gs"))
+            .withColumn("ge", F.lit(None).cast("bigint")))
+    seg = (pre.unionByName(tail).join(corpus, "doc_id")
+           .select("doc_id", "gs",
+                   F.expr("substr(text, CAST(gs AS INT), CAST(greatest("
+                          "coalesce(ge, length(text)) - gs + 1, 0) "
+                          "AS INT))").alias("piece")))
+    clean = (seg.groupBy("doc_id")
+             .agg(F.array_join(F.transform(
+                 F.array_sort(F.collect_list(F.struct("gs", "piece"))),
+                 lambda x: x["piece"]), "").alias("__ct")))
+    rem = spans.groupBy("doc_id").agg(F.sum("span_len").alias("__rc"))
+    return (corpus.join(clean, "doc_id", "left")
+            .join(rem, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("__ct", "text").alias("clean_text"),
+                    F.coalesce("__rc", F.lit(0)).cast("bigint")
+                    .alias("removed_chars")))
+
+
+def span_scrub_sql(corpus_cte: str,
+                   seed_len: int = SPAN_SEED_LEN) -> str:
+    """DuckDB oracle for :func:`span_scrub` over the same corpus."""
+    return (
+        f"WITH spans AS ({repeated_spans_sql(corpus_cte, seed_len)}), "
+        f"corpus AS ({corpus_cte}), "
+        "pre AS (SELECT doc_id, COALESCE(LAG(span_end) OVER "
+        "(PARTITION BY doc_id ORDER BY span_start) + 1, 1) AS gs, "
+        "span_start - 1 AS ge FROM spans), "
+        "tl AS (SELECT doc_id, MAX(span_end) + 1 AS gs, NULL AS ge "
+        "FROM spans GROUP BY doc_id), "
+        "pieces AS (SELECT * FROM pre UNION ALL SELECT * FROM tl), "
+        "seg AS (SELECT p.doc_id, p.gs, substr(c.text, "
+        "CAST(p.gs AS INT), CAST(GREATEST(COALESCE(p.ge, "
+        "length(c.text)) - p.gs + 1, 0) AS INT)) AS piece "
+        "FROM pieces p JOIN corpus c USING (doc_id)), "
+        "clean AS (SELECT doc_id, string_agg(piece, '' ORDER BY gs) "
+        "AS ct FROM seg GROUP BY doc_id), "
+        "rem AS (SELECT doc_id, CAST(SUM(span_len) AS BIGINT) AS rc "
+        "FROM spans GROUP BY doc_id) "
+        "SELECT c.doc_id, COALESCE(cl.ct, c.text) AS clean_text, "
+        "COALESCE(r.rc, 0) AS removed_chars "
+        "FROM corpus c LEFT JOIN clean cl USING (doc_id) "
+        "LEFT JOIN rem r USING (doc_id)"
+    )

@@ -718,7 +718,13 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         MM.synth_media(load_table(spark, sf_dir, "documents"))).orderBy("doc_id")
 
 
-@register("multimodal_bmp_resize",  # new in r4, gated immediately
+@register("multimodal_bmp_resize",  # new in r4, gated immediately;
+          # demoted r7 after green r4-r6: the Arrow mapInPandas
+          # binary-column shape stays gated via multimodal_png_decode
+          # (decode path) + multimodal_frame_sample (sampling path);
+          # stays DuckDB-verified per pytest run; slot goes to
+          # dedup_span_scrub
+          driver=False,
           oracle=MM.RESIZE_BMP_SQL)
 def q_multimodal_bmp_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RESIZE stage of the multimodal quartet (decode / feature-extract /
@@ -1239,6 +1245,28 @@ def q_dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     repeated_spans). Shuffles carry (xxhash64 pair, doc_id, pos)
     only — document text never moves past the first map stage."""
     return DD.repeated_spans(span_corpus(spark, sf_dir))
+
+
+@register(
+    "dedup_span_scrub",  # new r7, gated immediately (slot:
+    # multimodal_bmp_resize demoted — green r3-r6; the mapInPandas
+    # binary-column shape stays gated via multimodal_png_decode +
+    # multimodal_frame_sample)
+    oracle=(DD.span_scrub_sql(_SPAN_CORPUS_SQL) + " ORDER BY doc_id"))
+def q_dedup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTION step of ExactSubstr dedup — Lee et al. 2021 CUT the
+    duplicated text from the corpus, they don't just report it: every
+    maximal repeated span that `dedup_repeated_spans` finds is removed
+    from its document and the remainder stitched back in order,
+    yielding (doc_id, clean_text, removed_chars) for the WHOLE corpus
+    (untouched docs pass through verbatim, fully-duplicated docs come
+    out empty). Machinery + policy (all occurrences removed — the
+    deterministic local choice) in operators/dedup.span_scrub; the
+    oracle recomputes detection AND surgery relationally, so a
+    one-character stitch error anywhere in the corpus is a hash
+    mismatch."""
+    return (DD.span_scrub(span_corpus(spark, sf_dir))
+            .orderBy("doc_id"))
 
 
 @register(

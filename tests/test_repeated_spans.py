@@ -69,3 +69,57 @@ def test_overlapping_seed_runs_merge_to_maximal_span(spark):
         (1, 11, 34, 24),
         (2, 1, 24, 24),
     }
+
+
+# --- span_scrub: the cut-and-stitch action step ---------------------------
+
+from sport_advantages_moderne_data_infrastructure_spark.operators.dedup import (  # noqa: E402,E501
+    span_scrub,
+)
+
+
+def _scrub(spark, docs, seed_len=L):
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    return {(r.doc_id, r.clean_text, r.removed_chars)
+            for r in span_scrub(df, seed_len=seed_len).collect()}
+
+
+def test_scrub_cuts_shared_region_exactly(spark):
+    shared = "SHAREDSPANTEXT!!"
+    docs = [(1, "abcdefghij" + shared + "klmnopqrst"),
+            (2, "zyxwvut" + shared + "rqponmlkjihg")]
+    assert _scrub(spark, docs) == {
+        (1, "abcdefghijklmnopqrst", 16),
+        (2, "zyxwvutrqponmlkjihg", 16),
+    }
+
+
+def test_scrub_whole_doc_duplicate_comes_out_empty(spark):
+    t = "The same exact document body, twice."
+    docs = [(1, t), (2, t), (3, "completely unrelated other text!")]
+    assert _scrub(spark, docs) == {
+        (1, "", len(t)), (2, "", len(t)),
+        (3, "completely unrelated other text!", 0),  # verbatim
+    }
+
+
+def test_scrub_multiple_spans_stitch_in_order(spark):
+    # two separate repeated regions inside one doc: both cut, the three
+    # untouched pieces stitch back in original order
+    a, b = "AAAAAAAAAA", "BBBBBBBBBB"  # 10 chars each, repeated in doc 2
+    docs = [(1, "head," + a + "=mid=" + b + ";tail"),
+            (2, a + "xxxxxxxx" + b)]
+    got = dict((d, (c, n)) for d, c, n in _scrub(spark, docs))
+    assert got[1] == ("head,=mid=;tail", 20)
+    assert got[2] == ("xxxxxxxx", 20)
+
+
+def test_scrub_span_at_doc_edges(spark):
+    # repeated region at position 1 and at the very end: no empty-piece
+    # artifacts, prefix/suffix surgery exact
+    edge = "EDGESPAN"
+    docs = [(1, edge + "-middle-" + edge),
+            (2, edge + "unrelated tail here")]
+    got = dict((d, (c, n)) for d, c, n in _scrub(spark, docs))
+    assert got[1] == ("-middle-", 16)
+    assert got[2] == ("unrelated tail here", 8)
