@@ -214,7 +214,10 @@ class JoinMaterializedView:
         Delta's rule requires)."""
         if how not in ("inner", "left"):
             raise ValueError(f"unsupported join type: {how!r}")
-        self.key = key
+        # single name or a composite key (list/tuple of names); stored
+        # normalized, `self.key` kept as the single-name convenience
+        self.keys = [key] if isinstance(key, str) else list(key)
+        self.key = self.keys[0] if len(self.keys) == 1 else None
         self.how = how
         self.capture_changes = capture_changes
         self.n_buckets = n_buckets
@@ -285,8 +288,8 @@ class JoinMaterializedView:
         from current state, so a guarded retry after a lost race is
         safe."""
         run = guard if guard is not None else (lambda table, fn: fn())
-        keys = (lch.select(self.key)
-                .unionByName(rch.select(self.key)).distinct())
+        keys = (lch.select(*self.keys)
+                .unionByName(rch.select(*self.keys)).distinct())
         affected = sorted(
             r["__kb"] for r in
             keys.select(self._bucket().alias("__kb"))
@@ -315,7 +318,7 @@ class JoinMaterializedView:
     # -- internals ---------------------------------------------------
 
     def _bucket(self):
-        return F.pmod(F.hash(F.col(self.key)),
+        return F.pmod(F.hash(*[F.col(k) for k in self.keys]),
                       F.lit(self.n_buckets)).cast("int")
 
     @staticmethod
@@ -331,10 +334,12 @@ class JoinMaterializedView:
                     .withColumn("__kb", F.lit(0).cast("int")))
 
     def _join_of(self, l: DataFrame, r: DataFrame) -> DataFrame:
-        lc = [c for c in l.columns if c not in (self.key, "__kb")]
-        rc = [c for c in r.columns if c not in (self.key, "__kb")]
-        return (l.join(r.drop("__kb"), self.key, self.how)
-                .select(self.key, *lc, *rc, "__kb"))
+        lc = [c for c in l.columns
+              if c not in (*self.keys, "__kb")]
+        rc = [c for c in r.columns
+              if c not in (*self.keys, "__kb")]
+        return (l.join(r.drop("__kb"), self.keys, self.how)
+                .select(*self.keys, *lc, *rc, "__kb"))
 
     def _rebuild(self, spark, left, right, lv, rv, meta) -> None:
         ls = (left.read(spark, version=lv)

@@ -1368,13 +1368,15 @@ class TxnTable:
                             "partition_by": part_col},
                            expected_version=base)
 
-    def merge(self, spark: SparkSession, updates: DataFrame, key: str,
+    def merge(self, spark: SparkSession, updates: DataFrame,
+              key: str | list[str],
               meta: dict | None = None) -> int:
-        """MERGE INTO: upsert ``updates`` by ``key`` into the snapshot and
-        commit the result atomically. Readers see the pre-merge snapshot
-        until the log flips — the transactional hop the plain-parquet
-        sink can't offer (streaming/pipeline.write_stream_merge docstring).
-        First merge into an empty table is just the updates."""
+        """MERGE INTO: upsert ``updates`` by ``key`` (one column or a
+        composite) into the snapshot and commit the result atomically.
+        Readers see the pre-merge snapshot until the log flips — the
+        transactional hop the plain-parquet sink can't offer
+        (streaming/pipeline.write_stream_merge docstring). First merge
+        into an empty table is just the updates."""
         from ..operators.merge import merge_upsert
 
         base = self.latest_version()

@@ -37,15 +37,17 @@ from .scd2 import _guarded_commit, _stream_meta
 _SIDE = "__side"
 
 
-def _conform(feed: DataFrame, side: str, key: str,
+def _conform(feed: DataFrame, side: str, keys: list,
              own: list, other: list) -> DataFrame:
-    """Tag one side's change feed and pad it to the union schema: key,
-    both sides' value columns (the other side's as typed NULLs),
-    ``_change_type``, tag. Value-column names must be distinct between
-    the sides (the JoinMaterializedView contract)."""
+    """Tag one side's change feed and pad it to the union schema: the
+    (possibly composite) key, both sides' value columns (the other
+    side's as typed NULLs), ``_change_type``, tag. Value-column names
+    must be distinct between the sides (the JoinMaterializedView
+    contract)."""
     pads = [F.lit(None).cast(f.dataType).alias(f.name) for f in other]
     return feed.select(
-        F.col(key), *[F.col(f.name) for f in own], *pads,
+        *[F.col(k) for k in keys],
+        *[F.col(f.name) for f in own], *pads,
         F.col("_change_type"), F.lit(side).alias(_SIDE))
 
 
@@ -59,9 +61,9 @@ def apply_join_mv_stream_batch(spark: SparkSession,
     change frames and run the shared batch core with every commit leg
     replay-guarded."""
     lch = (batch_df.filter(F.col(_SIDE) == "l")
-           .select(jmv.key, *lcols, "_change_type"))
+           .select(*jmv.keys, *lcols, "_change_type"))
     rch = (batch_df.filter(F.col(_SIDE) == "r")
-           .select(jmv.key, *rcols, "_change_type"))
+           .select(*jmv.keys, *rcols, "_change_type"))
     jmv.apply_change_batch(
         spark, lch, rch,
         _stream_meta(batch_id, app_id, "join_mv_stream_refresh"),
@@ -80,11 +82,11 @@ def write_stream_join_mv(spark: SparkSession, left_path: str,
     from ..sources.txnstream import TxnLogDataSource
 
     spark.dataSource.register(TxnLogDataSource)
-    key = jmv.key
+    keys = jmv.keys
     lf = [f for f in TxnTable(left_path).read(spark).schema.fields
-          if f.name != key]
+          if f.name not in keys]
     rf = [f for f in TxnTable(right_path).read(spark).schema.fields
-          if f.name != key]
+          if f.name not in keys]
     clash = {f.name for f in lf} & {f.name for f in rf}
     if clash:
         raise ValueError(f"value columns must be distinct: {clash}")
@@ -93,8 +95,8 @@ def write_stream_join_mv(spark: SparkSession, left_path: str,
         return (spark.readStream.format("txnlog")
                 .option("readChangeFeed", "true").load(path))
 
-    unioned = (_conform(_feed(left_path), "l", key, lf, rf)
-               .unionByName(_conform(_feed(right_path), "r", key,
+    unioned = (_conform(_feed(left_path), "l", keys, lf, rf)
+               .unionByName(_conform(_feed(right_path), "r", keys,
                                      rf, lf)))
     lcols, rcols = [f.name for f in lf], [f.name for f in rf]
 

@@ -613,3 +613,45 @@ def test_stacked_mv_survives_view_compaction(spark, tmp_path):
             .groupBy("lval").agg(F.count(F.lit(1)).alias("cnt"),
                                  F.sum("rval").alias("sm")).collect()}
     assert got == want
+
+
+def test_join_mv_composite_key(spark, tmp_path):
+    """Composite join keys: bucketing hashes all key columns, joins
+    match on the full tuple, and refreshes stay partition-granular."""
+    import os
+
+    left = TxnTable(str(tmp_path / "l"))
+    right = TxnTable(str(tmp_path / "r"))
+    jmv = JoinMaterializedView(str(tmp_path / "mv"), ["k1", "k2"],
+                               n_buckets=8)
+    left.append(spark.createDataFrame(
+        [(1, "x", "a"), (1, "y", "b"), (2, "x", "c")],
+        "k1 int, k2 string, lval string"))
+    right.append(spark.createDataFrame(
+        [(1, "x", 10), (1, "y", 11), (2, "x", 20), (2, "z", 99)],
+        "k1 int, k2 string, rval int"))
+    jmv.refresh(spark, left, right)
+
+    def want():
+        return sorted(tuple(r) for r in
+                      left.read(spark)
+                      .join(right.read(spark), ["k1", "k2"])
+                      .select("k1", "k2", "lval", "rval").collect())
+
+    def got():
+        return sorted(tuple(r) for r in
+                      jmv.read(spark)
+                      .select("k1", "k2", "lval", "rval").collect())
+
+    assert got() == want() == [(1, "x", "a", 10), (1, "y", "b", 11),
+                               (2, "x", "c", 20)]
+    # a one-composite-key change replaces exactly one bucket
+    before = set(jmv.view.snapshot_dirs())
+    left.merge(spark, spark.createDataFrame(
+        [(1, "y", "B!")], "k1 int, k2 string, lval string"),
+        ["k1", "k2"])
+    jmv.refresh(spark, left, right)
+    changed = {os.path.basename(d) for d in
+               before ^ set(jmv.view.snapshot_dirs())}
+    assert len(changed) == 1
+    assert got() == want()
