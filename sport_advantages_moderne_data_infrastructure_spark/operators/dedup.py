@@ -626,9 +626,15 @@ def repeated_span_positions(corpus: DataFrame,
     (128 bits as two fixed-width longs — collision-free in expectation
     past 10^14 windows, same guarantee class as md5, but 16 bytes
     instead of a 32-char string through both full-corpus shuffles;
-    measured ~15% off the query wall). A single 64-bit hash would
-    birthday-collide from ~10^9 windows; a 32-bit one marks ~hundreds
-    of false positions per billion."""
+    measured ~15% off the query wall). Independence matters: Spark's
+    multi-arg xxhash64 folds arguments left-to-right with the running
+    hash as the next seed, so ``xxhash64(win, lit(1))`` would be a
+    pure function of ``xxhash64(win)`` (any h1 collision implies an
+    h2 collision — back to 64-bit resistance). Putting the literal
+    FIRST (``xxhash64(lit(1), win)``) hashes the window under a
+    different effective seed, making the pair genuinely 128-bit. A
+    single 64-bit hash would birthday-collide from ~10^9 windows; a
+    32-bit one marks ~hundreds of false positions per billion."""
     corpus = _spread_for_fanout(corpus)
     n_pos = F.length("text") - (seed_len - 1)
     win = F.expr(f"substr(text, pos, {seed_len})")
@@ -639,7 +645,7 @@ def repeated_span_positions(corpus: DataFrame,
                 "text")
         .select("doc_id", F.col("pos").cast("bigint").alias("pos"),
                 F.xxhash64(win).alias("h1"),
-                F.xxhash64(win, F.lit(1)).alias("h2")))
+                F.xxhash64(F.lit(1), win).alias("h2")))
     dup = (pos.groupBy("h1", "h2").agg(F.count(F.lit(1)).alias("c"))
            .filter(F.col("c") >= 2).select("h1", "h2"))
     return (pos.join(dup, ["h1", "h2"], "left_semi")
@@ -731,13 +737,16 @@ def span_scrub(corpus: DataFrame,
              .agg(F.array_join(F.transform(
                  F.array_sort(F.collect_list(F.struct("gs", "piece"))),
                  lambda x: x["piece"]), "").alias("__ct")))
-    rem = spans.groupBy("doc_id").agg(F.sum("span_len").alias("__rc"))
+    # removed_chars = chars ACTUALLY removed (length difference) — NOT
+    # sum(span_len): adjacent maximal spans can overlap (two marked
+    # runs closer than seed_len-1 apart), and summing would double-
+    # count the overlap while the stitch removes it once.
     return (corpus.join(clean, "doc_id", "left")
-            .join(rem, "doc_id", "left")
             .select("doc_id",
                     F.coalesce("__ct", "text").alias("clean_text"),
-                    F.coalesce("__rc", F.lit(0)).cast("bigint")
-                    .alias("removed_chars")))
+                    (F.length("text")
+                     - F.length(F.coalesce("__ct", "text")))
+                    .cast("bigint").alias("removed_chars")))
 
 
 def span_scrub_sql(corpus_cte: str,
@@ -757,11 +766,9 @@ def span_scrub_sql(corpus_cte: str,
         "length(c.text)) - p.gs + 1, 0) AS INT)) AS piece "
         "FROM pieces p JOIN corpus c USING (doc_id)), "
         "clean AS (SELECT doc_id, string_agg(piece, '' ORDER BY gs) "
-        "AS ct FROM seg GROUP BY doc_id), "
-        "rem AS (SELECT doc_id, CAST(SUM(span_len) AS BIGINT) AS rc "
-        "FROM spans GROUP BY doc_id) "
+        "AS ct FROM seg GROUP BY doc_id) "
         "SELECT c.doc_id, COALESCE(cl.ct, c.text) AS clean_text, "
-        "COALESCE(r.rc, 0) AS removed_chars "
-        "FROM corpus c LEFT JOIN clean cl USING (doc_id) "
-        "LEFT JOIN rem r USING (doc_id)"
+        "CAST(length(c.text) - length(COALESCE(cl.ct, c.text)) "
+        "AS BIGINT) AS removed_chars "
+        "FROM corpus c LEFT JOIN clean cl USING (doc_id)"
     )

@@ -135,6 +135,25 @@ def _dialect(url: str) -> str:
         else "unknown"
 
 
+def _quote_ident(dialect: str, name: str) -> str:
+    """Dialect-correct identifier quoting. Default-config MySQL (no
+    ANSI_QUOTES) rejects double-quoted identifiers — it wants
+    backticks, the same convention Spark's own JDBC writer uses there;
+    everyone else takes the ANSI double-quote form."""
+    if dialect == "mysql":
+        return "`" + name.replace("`", "``") + "`"
+    return '"' + name.replace('"', '""') + '"'
+
+
+def _lob_key_cast(dialect: str, ref: str) -> str:
+    """Equality-comparable cast for a LOB-typed key reference. MySQL
+    has no ``CAST(... AS VARCHAR)`` — ``CHAR`` is its string cast
+    target; ANSI engines take VARCHAR (sized for Derby's max)."""
+    if dialect == "mysql":
+        return f"CAST({ref} AS CHAR)"
+    return f"CAST({ref} AS VARCHAR(32672))"
+
+
 def _staging_join_delete(dialect: str, target: str, staging: str,
                          key_cols: list[str], qkey) -> str:
     """One set-based DELETE of target rows whose keys appear in
@@ -277,7 +296,8 @@ def jdbc_exactly_once_sink(
                 # targets want this index anyway — create it with the
                 # table, tolerating both exists-races and non-indexable
                 # key types (LOB keys fall back to the scan plan).
-                idx_cols = ", ".join(f'"{k}"' for k in key_cols)
+                idx_cols = ", ".join(_quote_ident(dialect, k)
+                                     for k in key_cols)
                 try:
                     _execute_tolerant(
                         conn, f"CREATE INDEX {target}_upsert_key ON "
@@ -302,15 +322,15 @@ def jdbc_exactly_once_sink(
                 st.close()
 
                 def _key(k: str) -> str:
-                    ref = f'"{k}"'
+                    ref = _quote_ident(dialect, k)
                     if coltype.get(k) in lob_types:
-                        return f"CAST({ref} AS VARCHAR(32672))"
+                        return _lob_key_cast(dialect, ref)
                     return ref
 
                 def _qkey(qual: str, k: str) -> str:
-                    ref = f'{qual}."{k}"'
+                    ref = f"{qual}.{_quote_ident(dialect, k)}"
                     if coltype.get(k) in lob_types:
-                        return f"CAST({ref} AS VARCHAR(32672))"
+                        return _lob_key_cast(dialect, ref)
                     return ref
 
                 st = conn.createStatement()
@@ -352,7 +372,8 @@ def jdbc_exactly_once_sink(
                             for sql in _chunked_deletes(
                                     target, key_cols, keys, _key):
                                 st.executeUpdate(sql)
-                    col_list = ", ".join(f'"{c}"' for c in cols)
+                    col_list = ", ".join(_quote_ident(dialect, c)
+                                         for c in cols)
                     st.executeUpdate(
                         f"INSERT INTO {target} ({col_list}) "
                         f"SELECT {col_list} FROM {staging}")
