@@ -608,11 +608,23 @@ SPAN_SEED_LEN = 40  # minimum span length reported, in characters
 
 
 def repeated_span_positions(corpus: DataFrame,
-                            seed_len: int = SPAN_SEED_LEN) -> DataFrame:
+                            seed_len: int = SPAN_SEED_LEN,
+                            policy: str = "all") -> DataFrame:
     """(doc_id, pos) for every position whose ``seed_len``-char window
     occurs 2+ times in the corpus (any doc, any position — Lee et al.
     2021 "Deduplicating Training Data Makes Language Models Better"
     remove substrings repeated ANYWHERE, including within one doc).
+
+    ``policy="all"`` marks EVERY occurrence of a duplicated window;
+    ``policy="keep_one"`` exempts the CANONICAL occurrence of each
+    duplicate class — the globally smallest (doc_id, pos), a
+    deterministic pick — so the scrub retains one copy of each
+    repeated span instead of deleting the content from the corpus
+    entirely (the paper's actual policy). One extra keyed reduction:
+    the per-class count aggregate also carries min(struct(doc_id,
+    pos)), and the marking join keeps its equi-join shape (the
+    canonical check is a post-join filter on the carried struct);
+    never all-pairs.
 
     The suffix-array equivalent, re-expressed bucketed: a repeated span
     of length >= L contains a repeated L-window at every offset, so
@@ -635,6 +647,8 @@ def repeated_span_positions(corpus: DataFrame,
     different effective seed, making the pair genuinely 128-bit. A
     single 64-bit hash would birthday-collide from ~10^9 windows; a
     32-bit one marks ~hundreds of false positions per billion."""
+    if policy not in ("all", "keep_one"):
+        raise ValueError(f"unknown policy: {policy!r}")
     corpus = _spread_for_fanout(corpus)
     n_pos = F.length("text") - (seed_len - 1)
     win = F.expr(f"substr(text, pos, {seed_len})")
@@ -646,6 +660,16 @@ def repeated_span_positions(corpus: DataFrame,
         .select("doc_id", F.col("pos").cast("bigint").alias("pos"),
                 F.xxhash64(win).alias("h1"),
                 F.xxhash64(F.lit(1), win).alias("h2")))
+    if policy == "keep_one":
+        dup = (pos.groupBy("h1", "h2")
+               .agg(F.count(F.lit(1)).alias("c"),
+                    F.min(F.struct("doc_id", "pos")).alias("cn"))
+               .filter(F.col("c") >= 2)
+               .select("h1", "h2", "cn"))
+        return (pos.join(dup, ["h1", "h2"])
+                .filter(~((F.col("doc_id") == F.col("cn.doc_id"))
+                          & (F.col("pos") == F.col("cn.pos"))))
+                .select("doc_id", "pos"))
     dup = (pos.groupBy("h1", "h2").agg(F.count(F.lit(1)).alias("c"))
            .filter(F.col("c") >= 2).select("h1", "h2"))
     return (pos.join(dup, ["h1", "h2"], "left_semi")
@@ -653,7 +677,8 @@ def repeated_span_positions(corpus: DataFrame,
 
 
 def repeated_spans(corpus: DataFrame,
-                   seed_len: int = SPAN_SEED_LEN) -> DataFrame:
+                   seed_len: int = SPAN_SEED_LEN,
+                   policy: str = "all") -> DataFrame:
     """Maximal verbatim spans of length >= ``seed_len`` that occur 2+
     times in the corpus: (doc_id, span_start, span_end, span_len), one
     row per maximal duplicated region per document (1-based, inclusive).
@@ -663,7 +688,7 @@ def repeated_spans(corpus: DataFrame,
     carries ids and positions only."""
     from pyspark.sql import Window as Wn
 
-    marked = repeated_span_positions(corpus, seed_len)
+    marked = repeated_span_positions(corpus, seed_len, policy)
     w = Wn.partitionBy("doc_id").orderBy("pos")
     runs = marked.withColumn(
         "grp", F.col("pos") - F.row_number().over(w))
@@ -678,9 +703,23 @@ def repeated_spans(corpus: DataFrame,
 
 
 def repeated_spans_sql(corpus_cte: str,
-                       seed_len: int = SPAN_SEED_LEN) -> str:
-    """DuckDB oracle for :func:`repeated_spans` over the same corpus."""
+                       seed_len: int = SPAN_SEED_LEN,
+                       policy: str = "all") -> str:
+    """DuckDB oracle for :func:`repeated_spans` over the same corpus
+    (``policy="keep_one"``: the canonical — globally first —
+    occurrence of each duplicate window class is exempt from
+    marking)."""
     lm1 = seed_len - 1
+    if policy == "keep_one":
+        m = ("m AS (SELECT doc_id, pos FROM (SELECT doc_id, pos, "
+             "ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) "
+             "AS rn, COUNT(*) OVER (PARTITION BY h) AS c FROM pos) t "
+             "WHERE c >= 2 AND rn > 1), ")
+    else:
+        m = ("dup AS (SELECT h FROM pos GROUP BY h "
+             "HAVING COUNT(*) >= 2), "
+             "m AS (SELECT p.doc_id, p.pos FROM pos p "
+             "SEMI JOIN dup d ON p.h = d.h), ")
     return (
         f"WITH corpus AS ({corpus_cte}), "
         f"pos AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, "
@@ -688,9 +727,7 @@ def repeated_spans_sql(corpus_cte: str,
         f"FROM (SELECT doc_id, text, "
         f"unnest(range(1, length(text) - {lm1} + 1)) AS i "
         f"FROM corpus WHERE length(text) >= {seed_len}) t), "
-        f"dup AS (SELECT h FROM pos GROUP BY h HAVING COUNT(*) >= 2), "
-        f"m AS (SELECT p.doc_id, p.pos FROM pos p "
-        f"SEMI JOIN dup d ON p.h = d.h), "
+        f"{m}"
         f"runs AS (SELECT doc_id, pos, pos - ROW_NUMBER() OVER "
         f"(PARTITION BY doc_id ORDER BY pos) AS grp FROM m) "
         f"SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start, "
@@ -701,16 +738,20 @@ def repeated_spans_sql(corpus_cte: str,
 
 
 def span_scrub(corpus: DataFrame,
-               seed_len: int = SPAN_SEED_LEN) -> DataFrame:
+               seed_len: int = SPAN_SEED_LEN,
+               policy: str = "all") -> DataFrame:
     """The ACTION step of ExactSubstr dedup (Lee et al. 2021 cut the
     duplicated text, they don't just report it): every maximal repeated
     span found by :func:`repeated_spans` is CUT from its document and
     the remainder stitched back in order — (doc_id, clean_text,
     removed_chars), one row per input document, untouched docs passing
-    through verbatim. Policy: ALL occurrences of a repeated span are
-    removed (deterministic and local; keeping one canonical occurrence
-    would need a global arbitrary choice per duplicate class — noted,
-    not silently approximated).
+    through verbatim. ``policy="all"`` cuts EVERY occurrence of a
+    repeated span (deterministic and local, but deletes the content
+    from the corpus); ``policy="keep_one"`` is the paper's actual
+    policy — the canonical occurrence of each duplicate class (global
+    min (doc_id, pos), a deterministic pick made in one keyed
+    reduction, see :func:`repeated_span_positions`) survives and all
+    other copies are cut.
 
     Shape on top of the marking plan: spans are tiny next to the
     corpus, so the extra cost is one doc_id equi-join of (gap
@@ -720,7 +761,7 @@ def span_scrub(corpus: DataFrame,
     pairs — pieces of one doc, never the corpus, sit in one group."""
     from pyspark.sql import Window as Wn
 
-    spans = repeated_spans(corpus, seed_len)
+    spans = repeated_spans(corpus, seed_len, policy)
     w = Wn.partitionBy("doc_id").orderBy("span_start")
     pre = (spans.withColumn(
         "gs", F.coalesce(F.lag("span_end").over(w) + 1, F.lit(1)))
@@ -750,10 +791,12 @@ def span_scrub(corpus: DataFrame,
 
 
 def span_scrub_sql(corpus_cte: str,
-                   seed_len: int = SPAN_SEED_LEN) -> str:
+                   seed_len: int = SPAN_SEED_LEN,
+                   policy: str = "all") -> str:
     """DuckDB oracle for :func:`span_scrub` over the same corpus."""
     return (
-        f"WITH spans AS ({repeated_spans_sql(corpus_cte, seed_len)}), "
+        f"WITH spans AS "
+        f"({repeated_spans_sql(corpus_cte, seed_len, policy)}), "
         f"corpus AS ({corpus_cte}), "
         "pre AS (SELECT doc_id, COALESCE(LAG(span_end) OVER "
         "(PARTITION BY doc_id ORDER BY span_start) + 1, 1) AS gs, "

@@ -58,7 +58,8 @@ def _last_meta_with(table: TxnTable, key: str) -> dict:
 def maintain_agg_view(spark: SparkSession, source: TxnTable,
                       view: TxnTable, group_cols: list[str],
                       value_col: str,
-                      strategy: str = "incremental") -> int:
+                      strategy: str = "incremental",
+                      capture_changes: bool = False) -> int:
     """Bring ``view`` (per-group ``cnt``/``sm`` partials over
     ``source``) up to the source's latest version. Returns the source
     version now reflected. Idempotent: re-running with no new source
@@ -68,7 +69,17 @@ def maintain_agg_view(spark: SparkSession, source: TxnTable,
     rescan on non-row-wise history), ``"rescan"`` (always recompute
     from the snapshot — same answer, full-scan cost), or ``"auto"``
     (rescan while the source's metadata row count is under the
-    measured crossover, incremental above it)."""
+    measured crossover, incremental above it).
+
+    ``capture_changes``: write row-level change files (CHANGED GROUPS
+    only — old partial rows as ``delete``, new as ``insert``, volume
+    O(changed groups) per refresh, never O(groups)) with every
+    incremental refresh, making the maintained view itself a CDF
+    source so FURTHER incremental views consume it — e.g. a join MV
+    whose one side is this aggregate (the reference's ``final`` LEFT
+    JOINs the activity aggregate, read_delta.py:280-285). Rescan
+    refreshes carry no row-level delta and commit without change
+    files; downstream consumers resync there, Delta's rule."""
     if strategy not in ("incremental", "rescan", "auto"):
         raise ValueError(f"unknown strategy: {strategy!r}")
     src_v = source.latest_version()
@@ -97,14 +108,39 @@ def maintain_agg_view(spark: SparkSession, source: TxnTable,
         else:
             delta = agg_delta_from_changes(changes, group_cols,
                                            value_col)
+            new = apply_delta(spark, view, delta, group_cols)
+            ch_df = None
+            if capture_changes:
+                changed = (delta.filter((F.col("d_count") != 0)
+                                        | (F.col("d_sum") != 0))
+                           .select(*group_cols))
+                ins = (_semi_nullsafe(new, changed, group_cols)
+                       .withColumn("_change_type", F.lit("insert")))
+                ch_df = ins if view.latest_version() is None else (
+                    _semi_nullsafe(view.read(spark), changed,
+                                   group_cols)
+                    .withColumn("_change_type", F.lit("delete"))
+                    .unionByName(ins))
             # the view is O(groups) — tiny next to the source — so an
             # atomic overwrite is the right write shape at any scale
-            view.overwrite(apply_delta(spark, view, delta, group_cols),
-                           meta)
+            view.overwrite(new, meta, changes=ch_df)
             return src_v
     snap = source.read(spark, version=src_v)
     view.overwrite(_partials(snap, group_cols, value_col), meta)
     return src_v
+
+
+def _semi_nullsafe(df: DataFrame, keys_df: DataFrame,
+                   cols: list[str]) -> DataFrame:
+    """LEFT SEMI join on ``cols`` with NULL-safe equality (group
+    columns can be NULL; a plain column-name semi join would drop the
+    NULL group)."""
+    from functools import reduce
+
+    a, b = df.alias("a"), keys_df.alias("b")
+    cond = reduce(lambda x, y: x & y,
+                  [a[c].eqNullSafe(b[c]) for c in cols])
+    return a.join(b, cond, "left_semi")
 
 
 def apply_delta(spark: SparkSession, view: TxnTable, delta: DataFrame,
@@ -266,17 +302,54 @@ class JoinMaterializedView:
         try:
             lch = left.read_changes(spark, since_version=llast, upto=lv)
             rch = right.read_changes(spark, since_version=rlast, upto=rv)
+            # Crash idempotence: the three commits a refresh makes
+            # (left state, right state, view) are not atomic, and only
+            # the VIEW's commit advances (llast, rlast). A crash after
+            # a state leg leaves that replica AHEAD of the view's
+            # record; blindly re-applying the view-window deltas would
+            # double-count into it. Each state leg therefore uses ITS
+            # OWN recorded high-water (every _apply_side commit
+            # carries mv_left/right_version): a leg already at the
+            # target gets an empty delta (its bucket contents are
+            # still re-read and re-joined for the view), a leg partway
+            # ahead gets only its unapplied remainder.
+            lst = self._state_leg_feed(spark, left, self.left_state,
+                                       llast, lv, lch)
+            rst = self._state_leg_feed(spark, right, self.right_state,
+                                       rlast, rv, rch)
         except ValueError:
             self._rebuild(spark, left, right, lv, rv,
                           {**meta, "mv_resync": True})
             return lv, rv
-        if not self.apply_change_batch(spark, lch, rch, meta):
+        if not self.apply_change_batch(spark, lch, rch, meta,
+                                       lch_state=lst, rch_state=rst):
             return llast, rlast  # no changed keys: no empty commit
         return lv, rv
 
+    def _state_leg_feed(self, spark, source: TxnTable,
+                        state: TxnTable, view_last: int, target: int,
+                        view_feed: DataFrame):
+        """The change feed one state replica still needs, given what
+        its own commit meta says it already absorbed. ``view_feed`` is
+        the view-window feed (since the VIEW's recorded version);
+        normally the state matches the view and gets it unchanged."""
+        if state.latest_version() is None:
+            return view_feed
+        own_key = ("mv_left_version" if state is self.left_state
+                   else "mv_right_version")
+        m = _last_meta_with(state, own_key)
+        own = m.get(own_key, view_last)
+        if own <= view_last:
+            return view_feed          # state in lockstep with view
+        if own >= target:
+            return view_feed.limit(0)  # leg fully applied: empty delta
+        return source.read_changes(spark, since_version=own,
+                                   upto=target)
+
     def apply_change_batch(self, spark: SparkSession, lch: DataFrame,
                            rch: DataFrame, meta: dict,
-                           guard=None) -> list[int]:
+                           guard=None, lch_state: DataFrame = None,
+                           rch_state: DataFrame = None) -> list[int]:
         """Apply one batch of change rows (read_changes shape: data
         columns + ``_change_type``) from each side and re-join the
         affected buckets; returns the affected bucket ids. The shared
@@ -286,8 +359,23 @@ class JoinMaterializedView:
         (left state, right state, view) so the streaming sink can make
         every leg individually replay-guarded; each leg recomputes
         from current state, so a guarded retry after a lost race is
-        safe."""
+        safe. ``lch_state``/``rch_state`` (batch crash-resume): the
+        feed actually applied to a state replica, when it differs from
+        the affected-bucket window ``lch``/``rch`` — a leg whose prior
+        commit already absorbed part of the window gets only the
+        remainder (see ``_state_leg_feed``); affected buckets are
+        always computed from the FULL view window so the view re-join
+        covers everything since its own record."""
         run = guard if guard is not None else (lambda table, fn: fn())
+        # "__kb" is reserved: a source that is ITSELF a maintained
+        # bucketed view (stacked join MVs) carries its own bucket
+        # column in snapshots and change files; it is physical layout,
+        # not data — strip it so this view re-buckets by its own fn
+        lch, rch = lch.drop("__kb"), rch.drop("__kb")
+        if lch_state is not None:
+            lch_state = lch_state.drop("__kb")
+        if rch_state is not None:
+            rch_state = rch_state.drop("__kb")
         keys = (lch.select(*self.keys)
                 .unionByName(rch.select(*self.keys)).distinct())
         affected = sorted(
@@ -296,11 +384,13 @@ class JoinMaterializedView:
             .distinct().collect())  # bounded: <= n_buckets ints
         if not affected:
             return affected
+        lapply = lch if lch_state is None else lch_state
+        rapply = rch if rch_state is None else rch_state
         run(self.left_state,
-            lambda: self._apply_side(spark, self.left_state, lch,
+            lambda: self._apply_side(spark, self.left_state, lapply,
                                      affected, meta))
         run(self.right_state,
-            lambda: self._apply_side(spark, self.right_state, rch,
+            lambda: self._apply_side(spark, self.right_state, rapply,
                                      affected, meta))
 
         def _view_leg():
@@ -342,9 +432,9 @@ class JoinMaterializedView:
                 .select(*self.keys, *lc, *rc, "__kb"))
 
     def _rebuild(self, spark, left, right, lv, rv, meta) -> None:
-        ls = (left.read(spark, version=lv)
+        ls = (left.read(spark, version=lv).drop("__kb")
               .withColumn("__kb", self._bucket()))
-        rs = (right.read(spark, version=rv)
+        rs = (right.read(spark, version=rv).drop("__kb")
               .withColumn("__kb", self._bucket()))
         for tbl, df in ((self.left_state, ls), (self.right_state, rs),
                         (self.view, self._join_of(ls, rs))):
@@ -430,3 +520,92 @@ class JoinMaterializedView:
                     df.withColumn("_change_type", F.lit("insert"))))
         table.commit(adds, removes, {**meta, "partition_by": "__kb"},
                      expected_version=base, changes=changes_rel)
+
+
+class MapMaterializedView(JoinMaterializedView):
+    """Row-wise PROJECTION materialized view over one CDF source: the
+    maintained form of a SELECT-expression layer — the reference's
+    flagship prime/total-salary query (README.md:140-164) is exactly
+    this over its ``final`` table. A refresh maps the source's change
+    rows through ``map_fn`` (1:1, row-wise — no joins, no aggregates)
+    and applies them by net row count to the bucketed view, so refresh
+    cost is O(changed rows x bucket width), never O(view).
+
+    Inherits the bucket machinery of :class:`JoinMaterializedView`
+    (``__kb`` partition-granular replace, net-count application,
+    optional ``capture_changes`` so further views stack on top); keeps
+    a single table — the view IS the state, because a projection needs
+    no other side. ``map_fn`` must be a deterministic per-row
+    DataFrame transform that PRESERVES the key columns; change rows
+    are projected sign-by-sign (inserted rows through the map stay
+    inserts, deleted stay deletes), which is correct precisely because
+    the map is a function of the row. Non-row-wise source history
+    degrades to a flagged rebuild from the source snapshot, as
+    everywhere else in this module."""
+
+    def __init__(self, root: str, key, map_fn, n_buckets: int = 32,
+                 capture_changes: bool = False):
+        self.keys = [key] if isinstance(key, str) else list(key)
+        self.key = self.keys[0] if len(self.keys) == 1 else None
+        self.map_fn = map_fn
+        self.n_buckets = n_buckets
+        self.capture_changes = capture_changes
+        self.view = TxnTable(root)
+
+    def refresh(self, spark: SparkSession, source: TxnTable,
+                strategy: str = "incremental") -> int:
+        """Bring the view up to ``source.latest_version()``; returns
+        the source version now reflected. No empty commits."""
+        if strategy not in ("incremental", "rebuild"):
+            raise ValueError(f"unknown strategy: {strategy!r}")
+        sv = source.latest_version()
+        if sv is None:
+            raise ValueError(f"source has no commits: {source.path}")
+        last = (_last_meta_with(self.view, "mv_source_version")
+                .get("mv_source_version", -1)
+                if self.view.latest_version() is not None else -1)
+        if sv <= last:
+            return last
+        meta = {"operation": "map_mv_refresh", "mv_source_version": sv}
+        if last < 0 or strategy == "rebuild":
+            self._rebuild_from(spark, source, sv, meta)
+            return sv
+        try:
+            ch = source.read_changes(spark, since_version=last, upto=sv)
+        except ValueError:
+            self._rebuild_from(spark, source, sv,
+                               {**meta, "mv_resync": True})
+            return sv
+        ch = ch.drop("_commit_version", "__kb")
+        ct = F.col("_change_type")
+        # project sign-by-sign: map_fn sees plain data rows (its select
+        # list need not carry _change_type through)
+        pos = (self.map_fn(
+            ch.filter(ct.isin("insert", "update_postimage"))
+            .drop("_change_type"))
+            .withColumn("_change_type", F.lit("insert")))
+        neg = (self.map_fn(
+            ch.filter(ct.isin("delete", "update_preimage"))
+            .drop("_change_type"))
+            .withColumn("_change_type", F.lit("delete")))
+        projected = pos.unionByName(neg)
+        affected = sorted(
+            r["__kb"] for r in
+            projected.select(self._bucket().alias("__kb"))
+            .distinct().collect())  # bounded: <= n_buckets ints
+        if not affected:
+            return sv  # nothing changed: no empty commit
+        self._apply_side(spark, self.view, projected, affected, meta)
+        return sv
+
+    def _rebuild_from(self, spark, source: TxnTable, sv: int,
+                      meta: dict) -> None:
+        df = (self.map_fn(source.read(spark, version=sv).drop("__kb"))
+              .withColumn("__kb", self._bucket()))
+        base = self.view.latest_version()
+        adds = self.view._write_data_partitioned(df, "__kb")  # noqa: SLF001
+        removes = (self.view.snapshot_dirs(base)
+                   if base is not None else [])
+        self.view.commit(adds, removes,
+                         {**meta, "partition_by": "__kb"},
+                         expected_version=base)

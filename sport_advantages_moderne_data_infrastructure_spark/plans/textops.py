@@ -1252,7 +1252,7 @@ def q_dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # multimodal_bmp_resize demoted — green r3-r6; the mapInPandas
     # binary-column shape stays gated via multimodal_png_decode +
     # multimodal_frame_sample)
-    oracle=(DD.span_scrub_sql(_SPAN_CORPUS_SQL) + " ORDER BY doc_id"))
+    oracle=DD.span_scrub_sql(_SPAN_CORPUS_SQL))
 def q_dedup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ACTION step of ExactSubstr dedup — Lee et al. 2021 CUT the
     duplicated text from the corpus, they don't just report it: every
@@ -1260,13 +1260,36 @@ def q_dedup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     from its document and the remainder stitched back in order,
     yielding (doc_id, clean_text, removed_chars) for the WHOLE corpus
     (untouched docs pass through verbatim, fully-duplicated docs come
-    out empty). Machinery + policy (all occurrences removed — the
-    deterministic local choice) in operators/dedup.span_scrub; the
-    oracle recomputes detection AND surgery relationally, so a
-    one-character stitch error anywhere in the corpus is a hash
-    mismatch."""
-    return (DD.span_scrub(span_corpus(spark, sf_dir))
-            .orderBy("doc_id"))
+    out empty). Machinery in operators/dedup.span_scrub (this row:
+    policy="all" — every occurrence cut); the oracle recomputes
+    detection AND surgery relationally, so a one-character stitch
+    error anywhere in the corpus is a hash mismatch. No presentation
+    sort: the driver compare is order-insensitive and a corpus-sized
+    orderBy is a needless rangepartitioning exchange at scale
+    (r8; pinned in test_plan_quality)."""
+    return DD.span_scrub(span_corpus(spark, sf_dir))
+
+
+@register(
+    "dedup_span_scrub_keep_one",  # new r8, gated immediately (slot:
+    # txn_changes_feed demoted — green r5-r7; the CDF-read shape stays
+    # hash-gated inside every MV row: txn_incremental_join_mv,
+    # stream_join_mv_equiv, txn_stacked_mv, final_pipeline_incremental)
+    oracle=DD.span_scrub_sql(_SPAN_CORPUS_SQL, policy="keep_one"))
+def q_dedup_span_scrub_keep_one(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """ExactSubstr scrub under the paper's ACTUAL retention policy
+    (Lee et al. 2021 keep one occurrence of each duplicated span):
+    the canonical occurrence of every duplicate window class — the
+    globally smallest (doc_id, pos), a deterministic pick made in one
+    extra keyed reduction over the already-computed window classes,
+    never all-pairs — survives; every other copy is cut and the
+    remainder stitched. The oracle recomputes the canonical choice
+    relationally (ROW_NUMBER over each hash class), so keeping the
+    wrong copy, or cutting the canonical one, is a hash mismatch.
+    Machinery: operators/dedup.span_scrub(policy="keep_one")."""
+    return DD.span_scrub(span_corpus(spark, sf_dir),
+                         policy="keep_one")
 
 
 @register(
@@ -1301,22 +1324,32 @@ def q_unigram_surprisal_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     token explode → unigram counts (shuffle 1) → broadcast count join →
     per-doc rollup (shuffle 2); the unigram table is the only broadcast
     state and the shuffles carry (tok, ids/counts) — linear at corpus
-    scale, vocab-bounded broadcast."""
+    scale, vocab-bounded broadcast. The grand token total is a ROLLUP
+    OF THE VOCAB PARTIALS (sum of per-token counts, a one-row frame
+    cross-joined onto the broadcast side) — not a separate
+    ``t.count()`` action, which cost a whole extra tokenize scan of
+    the corpus as its own job (r7 verdict #5; single-job shape pinned
+    in tests/test_plan_quality.py)."""
     d = load_table(spark, sf_dir, "documents")
     t = (d.select("doc_id",
                   F.explode(F.split(F.trim("text"), " +")).alias("tok"))
          .filter(F.col("tok") != ""))
     cnt = t.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
-    n_total = t.count()  # index-build-style scalar, one job
-    scored = t.join(F.broadcast(cnt), "tok").select(
-        "doc_id", F.expr(f"{n_total} div c").alias("surprisal"))
+    # grand total = unpartitioned window over the vocab-bounded count
+    # table (the mixture_select discipline: the table is already
+    # broadcast-sized, so SUM OVER () costs one task of O(vocab)) —
+    # no second corpus scan, no separate count job, no scalar cross
+    # join (which would plan the forbidden nested loop)
+    cnt_n = cnt.selectExpr("tok", "c", "SUM(c) OVER () AS n")
+    scored = (t.join(F.broadcast(cnt_n), "tok")
+              .select("doc_id", F.expr("n div c").alias("surprisal")))
     return (scored.groupBy("doc_id")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
                  F.sum("surprisal").cast("bigint").alias("surprisal_sum"))
             .select("doc_id", "n_tokens", "surprisal_sum",
                     F.round(F.col("surprisal_sum").cast("double")
-                            / F.col("n_tokens"), 4).alias("mean_surprisal"))
-            .orderBy("doc_id"))
+                            / F.col("n_tokens"), 4)
+                    .alias("mean_surprisal")))
 
 
 @register(
@@ -1384,8 +1417,10 @@ def q_bigram_surprisal_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "n_bigrams", "surprisal_sum",
                     F.round(F.col("surprisal_sum").cast("double")
                             / F.col("n_bigrams"), 4)
-                    .alias("mean_surprisal"))
-            .orderBy("doc_id"))
+                    .alias("mean_surprisal")))
+    # no trailing orderBy: the driver compare is order-insensitive and
+    # a corpus-sized sort is a needless rangepartitioning exchange at
+    # scale (r8; pinned in test_plan_quality)
 
 
 # --- mixture sampling to a token budget ------------------------------------

@@ -1269,13 +1269,23 @@ class TxnTable:
         return self.commit([rel], [], meta,
                            expected_version=self.latest_version())
 
-    def overwrite(self, df: DataFrame, meta: dict | None = None) -> int:
+    def overwrite(self, df: DataFrame, meta: dict | None = None,
+                  changes: DataFrame | None = None) -> int:
         """Atomic full replace (the reference's overwriteSchema rewrite,
-        read_delta.py:219-222, without its torn-write window)."""
+        read_delta.py:219-222, without its torn-write window).
+
+        ``changes``: optional row-level change frame (data columns +
+        ``_change_type``) written alongside the commit, making this
+        overwrite CDF-consumable — the shape an MV refresher uses when
+        it rewrites its (small) view table wholesale but KNOWS the
+        row-level delta (changed groups only), so stacked consumers
+        keep following incrementally instead of resyncing."""
         base = self.latest_version()
         live = self.snapshot_dirs(base)
+        rel_changes = (self._write_changes(changes)
+                       if changes is not None else None)
         return self.commit([self._write_data(df)], live, meta,
-                           expected_version=base)
+                           expected_version=base, changes=rel_changes)
 
     def clone(self, dest: str, version: int | None = None) -> "TxnTable":
         """CLONE (Delta's ``CREATE TABLE ... CLONE``, optionally

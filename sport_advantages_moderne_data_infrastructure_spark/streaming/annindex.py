@@ -25,6 +25,8 @@ index fresh between rebuilds.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -146,3 +148,142 @@ def read_index(spark: SparkSession, index_path: str) -> DataFrame:
     or for the ``codes_index`` frame `ivfpq_topk` takes when the table
     was maintained by the PQ sink."""
     return TxnTable(index_path).read(spark)
+
+
+# --- centroid/codebook drift: monitor + rebuild ---------------------------
+#
+# Both sinks above freeze their training artifacts (centroids,
+# codebooks) at build time — the IVF contract. On a drifting corpus
+# that silently degrades recall: new vectors concentrate in a few
+# lists (the probe set misses their true neighborhoods) and the corpus
+# outgrows the k ∝ N policy. The monitor below is the tripwire
+# (metadata-only — per-list sizes come from the commit log's per-dir
+# row counts, no data scan), and the rebuild functions are the
+# response: retrain on the grown corpus, re-assign/re-encode, ONE
+# atomic swap commit on the same table. Swap protocol for a live
+# stream: stop the query → rebuild → restart the SAME checkpoint with
+# the returned artifacts. Batches the stream replays after the restart
+# are absorbed by the (app_id, batch_id) ledger — their rows were in
+# the table the rebuild re-assigned — and new batches encode with the
+# fresh artifacts.
+
+#: list-size skew (max/mean) above which the monitor flags drift —
+#: a balanced index sits near 1; a distribution shift funnels new
+#: vectors into few lists and runs this up fast
+DRIFT_MAX_SKEW = 8.0
+#: normalized assignment entropy (H / log k) below which the monitor
+#: flags drift — 1.0 is perfectly balanced lists
+DRIFT_MIN_BALANCE = 0.5
+#: corpus growth: flag when the k ∝ N policy wants more than this
+#: multiple of the trained centroid count
+DRIFT_K_FACTOR = 2.0
+
+
+def index_drift_report(idx: TxnTable, n_centroids: int,
+                       max_skew: float = DRIFT_MAX_SKEW,
+                       min_balance: float = DRIFT_MIN_BALANCE,
+                       k_factor: float = DRIFT_K_FACTOR) -> dict:
+    """Metadata-only drift check over a maintained (IVF or IVF-PQ)
+    index table: per-list row counts are summed from the commit log's
+    per-dir footers (``centroid_id=`` partition subdirs), so the check
+    costs O(commits) metadata reads — run it per batch or per N
+    batches without touching data. Returns the metrics plus
+    ``drifted`` and the reasons that fired."""
+    import math
+
+    from ..operators.ivf import k_for_corpus
+
+    sizes: dict[int, int] = {}
+    live = set(idx.snapshot_dirs())
+    v = idx.latest_version()
+    seen: set[str] = set()
+    while v is not None and v >= 0:
+        doc = idx._doc(v)  # noqa: SLF001
+        for rel, n in (doc.get("rows") or {}).items():
+            if rel in live and rel not in seen:
+                seen.add(rel)
+                part = os.path.basename(rel)
+                if "=" in part:
+                    cid = int(part.split("=", 1)[1])
+                    sizes[cid] = sizes.get(cid, 0) + int(n)
+        v -= 1
+    n_total = sum(sizes.values())
+    k_target = k_for_corpus(n_total)
+    mean = n_total / n_centroids if n_centroids else 0.0
+    mx = max(sizes.values(), default=0)
+    skew = (mx / mean) if mean else 0.0
+    if n_total and n_centroids > 1:
+        h = -sum((c / n_total) * math.log(c / n_total)
+                 for c in sizes.values() if c)
+        balance = h / math.log(n_centroids)
+    else:
+        balance = 1.0
+    reasons = []
+    if skew > max_skew:
+        reasons.append("list_skew")
+    if balance < min_balance:
+        reasons.append("low_entropy")
+    if k_target > k_factor * n_centroids:
+        reasons.append("corpus_outgrew_k")
+    return {"n_vectors": n_total, "n_centroids": n_centroids,
+            "k_target": k_target, "nonempty_lists": len(sizes),
+            "max_list": mx, "mean_list": round(mean, 2),
+            "skew": round(skew, 3), "balance": round(balance, 4),
+            "drifted": bool(reasons), "reasons": reasons}
+
+
+def rebuild_ivf_index(spark: SparkSession, index_path: str,
+                      k: int | None = None) -> list[list[float]]:
+    """Retrain centroids on the CURRENT corpus (the raw sink stores
+    embeddings, so the index is its own training source), re-assign
+    every vector, and swap the table in ONE atomic commit (readers see
+    old or new, never a mix). Returns the new centroids — restart the
+    maintenance stream with them (same checkpoint; the ledger absorbs
+    replays). k defaults to the k ∝ N policy on the grown corpus."""
+    from ..operators.ivf import (assign_centroids, k_for_corpus,
+                                 train_centroids)
+
+    idx = TxnTable(index_path)
+    corpus = idx.read(spark).select("vec_id", "embedding", "e_norm")
+    if k is None:
+        k = k_for_corpus(corpus.count())
+    cents = train_centroids(corpus.select("vec_id", "embedding"), k=k)
+    assigned = (assign_centroids(corpus, cents)
+                .repartition("centroid_id"))
+    _swap(idx, assigned, {"operation": "ivf_rebuild", "k": k})
+    return cents
+
+
+def rebuild_ivfpq_index(spark: SparkSession, index_path: str,
+                        corpus: DataFrame, k: int | None = None,
+                        m: int = 8, pq_k: int = 16
+                        ) -> tuple[list[list[float]],
+                                   list[list[list[float]]]]:
+    """Compressed-index rebuild: the code table stores codes, not
+    embeddings, so the caller supplies the raw corpus (vec_id,
+    embedding) — the same frame the stream ingests. Retrains BOTH
+    artifacts (centroids and PQ codebooks) on it, re-encodes, and
+    swaps atomically. Returns (centroids, codebooks) for the restarted
+    stream."""
+    from ..operators.ivf import (assign_centroids, k_for_corpus,
+                                 train_centroids)
+    from ..operators.pq import pq_encode, train_pq_codebooks
+
+    idx = TxnTable(index_path)
+    base = corpus.select("vec_id", "embedding")
+    if k is None:
+        k = k_for_corpus(base.count())
+    cents = train_centroids(base, k=k)
+    books = train_pq_codebooks(base, m=m, k=pq_k)
+    coded = (pq_encode(assign_centroids(base, cents), books,
+                       keep=("centroid_id",))
+             .repartition("centroid_id"))
+    _swap(idx, coded, {"operation": "ivfpq_rebuild", "k": k})
+    return cents, books
+
+
+def _swap(idx: TxnTable, frame: DataFrame, meta: dict) -> None:
+    base = idx.latest_version()
+    adds = idx._write_data_partitioned(frame, "centroid_id")  # noqa: SLF001
+    removes = idx.snapshot_dirs(base) if base is not None else []
+    idx.commit(adds, removes, meta, expected_version=base)

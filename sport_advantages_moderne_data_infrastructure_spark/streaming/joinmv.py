@@ -83,10 +83,12 @@ def write_stream_join_mv(spark: SparkSession, left_path: str,
 
     spark.dataSource.register(TxnLogDataSource)
     keys = jmv.keys
+    # "__kb" excluded: a source that is itself a maintained bucketed
+    # view carries its bucket column — physical layout, not data
     lf = [f for f in TxnTable(left_path).read(spark).schema.fields
-          if f.name not in keys]
+          if f.name not in keys and f.name != "__kb"]
     rf = [f for f in TxnTable(right_path).read(spark).schema.fields
-          if f.name not in keys]
+          if f.name not in keys and f.name != "__kb"]
     clash = {f.name for f in lf} & {f.name for f in rf}
     if clash:
         raise ValueError(f"value columns must be distinct: {clash}")

@@ -293,3 +293,56 @@ def test_unknown_strategy_rejected(spark, derby_url):
     with pytest.raises(ValueError, match="upsert_strategy"):
         jdbc_exactly_once_sink(spark, derby_url, "x", ["g"], "a",
                                upsert_strategy="merge")
+
+
+def test_staging_join_delete_sql_per_dialect_snapshots():
+    """Pin the generated set-based DELETE per dialect (r7 verdict #6:
+    the postgres/mysql strings are dialect-selected but only Derby
+    executes in-env). MySQL must get backtick identifiers and CAST AS
+    CHAR for LOB keys — default-config MySQL rejects ANSI double
+    quotes and CAST AS VARCHAR; Postgres/ANSI keep double quotes."""
+    from sport_advantages_moderne_data_infrastructure_spark.streaming.jdbcsink import (  # noqa: E501
+        _lob_key_cast,
+        _quote_ident,
+        _staging_join_delete,
+    )
+
+    def qkey_for(dialect, lob_keys=()):
+        def _qkey(qual, k):
+            ref = f"{qual}.{_quote_ident(dialect, k)}"
+            return (_lob_key_cast(dialect, ref) if k in lob_keys
+                    else ref)
+        return _qkey
+
+    assert _staging_join_delete(
+        "postgresql", "tgt", "stg", ["k"], qkey_for("postgresql")) == (
+        'DELETE FROM tgt t USING stg s WHERE t."k" = s."k"')
+    assert _staging_join_delete(
+        "mysql", "tgt", "stg", ["k"], qkey_for("mysql")) == (
+        "DELETE t FROM tgt t JOIN stg s ON t.`k` = s.`k`")
+    # ANSI EXISTS fallback (what Derby executes through the key cap)
+    assert _staging_join_delete(
+        "derby", "tgt", "stg", ["k"], qkey_for("derby")) == (
+        'DELETE FROM tgt WHERE EXISTS '
+        '(SELECT 1 FROM stg s WHERE s."k" = tgt."k")')
+    # composite + LOB-typed key: per-dialect cast form
+    assert _staging_join_delete(
+        "mysql", "tgt", "stg", ["k", "name"],
+        qkey_for("mysql", lob_keys={"name"})) == (
+        "DELETE t FROM tgt t JOIN stg s ON t.`k` = s.`k` AND "
+        "CAST(t.`name` AS CHAR) = CAST(s.`name` AS CHAR)")
+    assert _staging_join_delete(
+        "postgresql", "tgt", "stg", ["k", "name"],
+        qkey_for("postgresql", lob_keys={"name"})) == (
+        'DELETE FROM tgt t USING stg s WHERE t."k" = s."k" AND '
+        'CAST(t."name" AS VARCHAR(32672)) = '
+        'CAST(s."name" AS VARCHAR(32672))')
+
+
+def test_quote_ident_escapes_embedded_quotes():
+    from sport_advantages_moderne_data_infrastructure_spark.streaming.jdbcsink import (  # noqa: E501
+        _quote_ident,
+    )
+
+    assert _quote_ident("mysql", 'we`ird') == "`we``ird`"
+    assert _quote_ident("postgresql", 'we"ird') == '"we""ird"'

@@ -655,3 +655,60 @@ def test_join_mv_composite_key(spark, tmp_path):
                before ^ set(jmv.view.snapshot_dirs())}
     assert len(changed) == 1
     assert got() == want()
+
+
+def test_join_mv_batch_refresh_resumes_after_partial_crash(
+        spark, tmp_path, monkeypatch):
+    """The three commits a batch refresh makes are not atomic; only the
+    view's commit advances the refresher's high-water. A crash after a
+    state leg must NOT double-apply that leg's deltas on the retry:
+    each state leg carries its own (mv_left_version, mv_right_version)
+    meta and the retry gives an already-applied leg an empty delta —
+    including when the retry targets a FURTHER-advanced source (the
+    partially-applied leg then gets only its unapplied remainder)."""
+    import pytest
+
+    left = TxnTable(str(tmp_path / "l"))
+    right = TxnTable(str(tmp_path / "r"))
+    jmv = JoinMaterializedView(str(tmp_path / "mv"), "k", n_buckets=4)
+    left.append(_ldf(spark, [(1, "a"), (2, "b")]))
+    right.append(_rdf(spark, [(1, 10), (2, 20), (2, 21)]))
+    jmv.refresh(spark, left, right)
+    assert _jgot(spark, jmv) == _jwant(spark, left, right)
+
+    # -- crash exactly after the LEFT state leg commits ---------------
+    left.merge(spark, _ldf(spark, [(1, "A!"), (3, "c")]), "k")
+    right.append(_rdf(spark, [(3, 30)]))
+    orig = JoinMaterializedView._apply_side
+
+    def boom(self, spark_, state, changes, affected, meta):
+        orig(self, spark_, state, changes, affected, meta)
+        if state is self.left_state:
+            raise RuntimeError("crash between legs")
+
+    monkeypatch.setattr(JoinMaterializedView, "_apply_side", boom)
+    with pytest.raises(RuntimeError, match="crash between legs"):
+        jmv.refresh(spark, left, right)
+    monkeypatch.setattr(JoinMaterializedView, "_apply_side", orig)
+
+    # retry at the SAME target versions: left leg already applied
+    jmv.refresh(spark, left, right)
+    assert _jgot(spark, jmv) == _jwant(spark, left, right)
+    # the left replica holds exactly the source rows (no double-apply)
+    lrows = sorted(tuple(r) for r in
+                   jmv.left_state.read(spark).drop("__kb").collect())
+    assert lrows == sorted(tuple(r) for r in left.read(spark).collect())
+
+    # -- crash again, then let the source ADVANCE before the retry ----
+    left.merge(spark, _ldf(spark, [(2, "B!")]), "k")
+    monkeypatch.setattr(JoinMaterializedView, "_apply_side", boom)
+    with pytest.raises(RuntimeError, match="crash between legs"):
+        jmv.refresh(spark, left, right)
+    monkeypatch.setattr(JoinMaterializedView, "_apply_side", orig)
+    left.delete_where(spark, "k = 1")       # target advances past crash
+    right.append(_rdf(spark, [(9, 90)]))
+    jmv.refresh(spark, left, right)
+    assert _jgot(spark, jmv) == _jwant(spark, left, right)
+    lrows = sorted(tuple(r) for r in
+                   jmv.left_state.read(spark).drop("__kb").collect())
+    assert lrows == sorted(tuple(r) for r in left.read(spark).collect())

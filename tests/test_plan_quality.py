@@ -244,3 +244,45 @@ def test_repeated_spans_bucketed_plan(spark, sf_dir):
     n_hash = len(re.findall(r"Arguments: hashpartitioning", plan))
     assert 1 <= n_hash <= 4, plan
     assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan
+
+
+def test_span_scrub_no_presentation_sort(spark, sf_dir):
+    """dedup_span_scrub (both policies): the trailing corpus-sized
+    orderBy was dropped (r8 verdict) — rangepartitioning reappearing
+    means a full-corpus sort crept back; and the marking join must
+    stay an equi join (no nested loop)."""
+    for name in ("dedup_span_scrub", "dedup_span_scrub_keep_one"):
+        plan = _plan(catalog.REGISTRY[name].spark_fn(spark, sf_dir))
+        assert "BroadcastNestedLoopJoin" not in plan, (name, plan)
+        assert "rangepartitioning" not in plan, (name, plan)
+
+
+def test_bigram_surprisal_no_presentation_sort(spark, sf_dir):
+    """bigram_surprisal_score: trailing orderBy dropped (r8 verdict) —
+    no rangepartitioning; pair counting stays equi-join shaped."""
+    plan = _plan(catalog.REGISTRY["bigram_surprisal_score"]
+                 .spark_fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
+
+
+def test_unigram_no_eager_action_no_presentation_sort(
+        spark, sf_dir, monkeypatch):
+    """unigram_surprisal_score: the grand token total must come from a
+    rollup of the vocab partials INSIDE the one query — not an eager
+    t.count() action at plan-build time, which was a whole extra
+    tokenize scan of the corpus as its own job (r7 verdict #5). Also
+    no trailing corpus-sized orderBy (rangepartitioning)."""
+    from pyspark.sql import DataFrame
+
+    def boom(self):
+        raise AssertionError("eager .count() during plan build")
+
+    monkeypatch.setattr(DataFrame, "count", boom)
+    df = catalog.REGISTRY["unigram_surprisal_score"].spark_fn(spark,
+                                                              sf_dir)
+    monkeypatch.undo()
+    plan = _plan(df)
+    assert "rangepartitioning" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert df.count() > 0

@@ -123,3 +123,50 @@ def test_scrub_span_at_doc_edges(spark):
     got = dict((d, (c, n)) for d, c, n in _scrub(spark, docs))
     assert got[1] == ("-middle-", 16)
     assert got[2] == ("unrelated tail here", 8)
+
+
+def _scrub1(spark, docs, seed_len=L):
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    return {(r.doc_id, r.clean_text, r.removed_chars)
+            for r in span_scrub(df, seed_len=seed_len,
+                                policy="keep_one").collect()}
+
+
+def test_keep_one_canonical_copy_survives_cross_doc(spark):
+    # Lee et al.'s actual policy: ONE occurrence of the duplicated
+    # span is retained — the globally smallest (doc_id, pos). Doc 1
+    # holds the canonical copy and passes through verbatim; doc 2's
+    # copy is cut.
+    shared = "SHAREDSPANTEXT!!"
+    docs = [(1, "abcdefghij" + shared + "klmnopqrst"),
+            (2, "zyxwvut" + shared + "rqponmlkjihg")]
+    assert _scrub1(spark, docs) == {
+        (1, "abcdefghij" + shared + "klmnopqrst", 0),
+        (2, "zyxwvutrqponmlkjihg", 16),
+    }
+
+
+def test_keep_one_whole_doc_triplicate_keeps_first(spark):
+    t = "The same exact document body, thrice over!"
+    docs = [(1, t), (2, t), (3, t), (4, "some other unrelated text.")]
+    assert _scrub1(spark, docs) == {
+        (1, t, 0), (2, "", len(t)), (3, "", len(t)),
+        (4, "some other unrelated text.", 0),
+    }
+
+
+def test_keep_one_within_doc_first_occurrence_survives(spark):
+    # self-repeat inside one document: the earlier occurrence is the
+    # canonical one; the later copy is cut
+    edge = "EDGESPAN"
+    docs = [(1, edge + "-middle-" + edge)]
+    assert _scrub1(spark, docs) == {(1, edge + "-middle-", 8)}
+
+
+def test_keep_one_vs_all_on_unique_text_identical(spark):
+    # corpora with no repeated window at all: both policies verbatim
+    docs = [(1, "alpha bravo charlie delta"),
+            (2, "0123456789ZYXWVUTSRQ")]
+    assert (_scrub1(spark, docs) == _scrub(spark, docs)
+            == {(1, "alpha bravo charlie delta", 0),
+                (2, "0123456789ZYXWVUTSRQ", 0)})
