@@ -109,18 +109,9 @@ def maintain_agg_view(spark: SparkSession, source: TxnTable,
             delta = agg_delta_from_changes(changes, group_cols,
                                            value_col)
             new = apply_delta(spark, view, delta, group_cols)
-            ch_df = None
-            if capture_changes:
-                changed = (delta.filter((F.col("d_count") != 0)
-                                        | (F.col("d_sum") != 0))
-                           .select(*group_cols))
-                ins = (_semi_nullsafe(new, changed, group_cols)
-                       .withColumn("_change_type", F.lit("insert")))
-                ch_df = ins if view.latest_version() is None else (
-                    _semi_nullsafe(view.read(spark), changed,
-                                   group_cols)
-                    .withColumn("_change_type", F.lit("delete"))
-                    .unionByName(ins))
+            ch_df = (agg_view_changes(spark, view, delta, group_cols,
+                                      new)
+                     if capture_changes else None)
             # the view is O(groups) — tiny next to the source — so an
             # atomic overwrite is the right write shape at any scale
             view.overwrite(new, meta, changes=ch_df)
@@ -128,6 +119,26 @@ def maintain_agg_view(spark: SparkSession, source: TxnTable,
     snap = source.read(spark, version=src_v)
     view.overwrite(_partials(snap, group_cols, value_col), meta)
     return src_v
+
+
+def agg_view_changes(spark: SparkSession, view: TxnTable,
+                     delta: DataFrame, group_cols: list[str],
+                     new: DataFrame) -> DataFrame:
+    """CHANGED-GROUPS row-level change frame for an agg-view refresh
+    (old partial rows as ``delete``, new as ``insert`` — O(changed
+    groups) volume). Shared by the batch ``maintain_agg_view`` and the
+    streaming leg (``streaming/mv.write_stream_agg_view``), so both
+    write shapes make the maintained aggregate a CDF source."""
+    changed = (delta.filter((F.col("d_count") != 0)
+                            | (F.col("d_sum") != 0))
+               .select(*group_cols))
+    ins = (_semi_nullsafe(new, changed, group_cols)
+           .withColumn("_change_type", F.lit("insert")))
+    if view.latest_version() is None:
+        return ins
+    return (_semi_nullsafe(view.read(spark), changed, group_cols)
+            .withColumn("_change_type", F.lit("delete"))
+            .unionByName(ins))
 
 
 def _semi_nullsafe(df: DataFrame, keys_df: DataFrame,
@@ -576,6 +587,18 @@ class MapMaterializedView(JoinMaterializedView):
             self._rebuild_from(spark, source, sv,
                                {**meta, "mv_resync": True})
             return sv
+        self.apply_change_batch(spark, ch, meta)
+        return sv
+
+    def apply_change_batch(self, spark: SparkSession, ch: DataFrame,
+                           meta: dict, guard=None) -> list[int]:
+        """Apply one batch of change rows (read_changes shape) through
+        the projection; returns the affected bucket ids. The shared
+        core of the batch ``refresh`` and the streaming maintenance
+        (``streaming/mv.write_stream_map_view``); ``guard`` wraps the
+        single view commit the same way the join MV's legs are
+        wrapped, so the streaming sink is replay-guarded."""
+        run = guard if guard is not None else (lambda table, fn: fn())
         ch = ch.drop("_commit_version", "__kb")
         ct = F.col("_change_type")
         # project sign-by-sign: map_fn sees plain data rows (its select
@@ -594,9 +617,11 @@ class MapMaterializedView(JoinMaterializedView):
             projected.select(self._bucket().alias("__kb"))
             .distinct().collect())  # bounded: <= n_buckets ints
         if not affected:
-            return sv  # nothing changed: no empty commit
-        self._apply_side(spark, self.view, projected, affected, meta)
-        return sv
+            return affected  # nothing changed: no empty commit
+        run(self.view,
+            lambda: self._apply_side(spark, self.view, projected,
+                                     affected, meta))
+        return affected
 
     def _rebuild_from(self, spark, source: TxnTable, sv: int,
                       meta: dict) -> None:
@@ -609,3 +634,133 @@ class MapMaterializedView(JoinMaterializedView):
         self.view.commit(adds, removes,
                          {**meta, "partition_by": "__kb"},
                          expected_version=base)
+
+
+class AggMaterializedView(JoinMaterializedView):
+    """Per-group partials (cnt/sm) maintained BUCKETED: the
+    ``maintain_agg_view`` semantics on the join MV's ``__kb``
+    partition-granular layout, for aggregates whose group count scales
+    WITH the corpus (e.g. per-employee activity partials — O(groups) =
+    O(dimension rows)). The plain agg view overwrites its whole table
+    every refresh, which is fine while groups are tiny (per-BU rollups)
+    but becomes the chain's bottleneck when groups track the corpus:
+    measured in scripts/bench_final_pipeline_stress.py, the composed
+    pipeline's refresh slope was the agg overwrite. Here a refresh
+    applies the signed delta to ONLY the affected buckets (read
+    affected, full-outer with the delta, replace affected), so cost is
+    O(changed groups x bucket width) — and ``capture_changes`` makes
+    the bucketed view a CDF source through the same bucket-level
+    change files the join MV writes, so downstream views stack."""
+
+    def __init__(self, root: str, group_cols, value_col: str,
+                 n_buckets: int = 32, capture_changes: bool = False):
+        self.keys = ([group_cols] if isinstance(group_cols, str)
+                     else list(group_cols))
+        self.key = self.keys[0] if len(self.keys) == 1 else None
+        self.group_cols = list(self.keys)
+        self.value_col = value_col
+        self.n_buckets = n_buckets
+        self.capture_changes = capture_changes
+        self.view = TxnTable(root)
+
+    def refresh(self, spark: SparkSession, source: TxnTable,
+                strategy: str = "incremental") -> int:
+        """Bring the partials up to ``source.latest_version()``;
+        returns the version now reflected. No empty commits."""
+        if strategy not in ("incremental", "rebuild"):
+            raise ValueError(f"unknown strategy: {strategy!r}")
+        sv = source.latest_version()
+        if sv is None:
+            raise ValueError(f"source has no commits: {source.path}")
+        last = (_last_meta_with(self.view, "mv_source_version")
+                .get("mv_source_version", -1)
+                if self.view.latest_version() is not None else -1)
+        if sv <= last:
+            return last
+        meta = {"operation": "agg_mv_refresh", "mv_source_version": sv}
+        if last < 0 or strategy == "rebuild":
+            self._rebuild_from(spark, source, sv, meta)
+            return sv
+        try:
+            ch = source.read_changes(spark, since_version=last, upto=sv)
+        except ValueError:
+            self._rebuild_from(spark, source, sv,
+                               {**meta, "mv_resync": True})
+            return sv
+        self.apply_change_batch(spark, ch, meta)
+        return sv
+
+    def apply_change_batch(self, spark: SparkSession, ch: DataFrame,
+                           meta: dict, guard=None) -> list[int]:
+        """Apply one batch of source change rows; returns the affected
+        bucket ids. ``guard`` wraps the single commit for streaming
+        replay protection (same contract as the join MV's legs)."""
+        run = guard if guard is not None else (lambda table, fn: fn())
+        delta = agg_delta_from_changes(ch.drop("__kb"),
+                                       self.group_cols, self.value_col)
+        changed = delta.filter((F.col("d_count") != 0)
+                               | (F.col("d_sum") != 0))
+        affected = sorted(
+            r["__kb"] for r in
+            changed.select(self._bucket().alias("__kb"))
+            .distinct().collect())  # bounded: <= n_buckets ints
+        if not affected:
+            return affected
+        gc = self.group_cols
+
+        def _leg():
+            from functools import reduce
+
+            if self.view.latest_version() is None:
+                # first batch ever (streaming path): empty partials —
+                # built from scratch, NOT derived from `changed` (a
+                # limit(0) of it would make the join below an
+                # ambiguous self-join)
+                from pyspark.sql.types import StructField, StructType
+
+                sch = StructType(
+                    [changed.schema[c] for c in gc]
+                    + [StructField("cnt",
+                                   changed.schema["d_count"].dataType),
+                       StructField("sm",
+                                   changed.schema["d_sum"].dataType)])
+                old = spark.createDataFrame([], sch)
+            else:
+                old = (self._read_buckets(spark, self.view, affected)
+                       .drop("__kb"))
+            o, d = old.alias("o"), changed.alias("d")
+            cond = reduce(lambda a, b: a & b,
+                          [o[c].eqNullSafe(d[c]) for c in gc])
+            new = (o.join(d, cond, "full_outer")
+                   .select(*[F.coalesce(o[c], d[c]).alias(c)
+                             for c in gc],
+                           (F.coalesce(o["cnt"], F.lit(0))
+                            + F.coalesce(d["d_count"], F.lit(0)))
+                           .alias("cnt"),
+                           (F.coalesce(o["sm"], F.lit(0))
+                            + F.coalesce(d["d_sum"], F.lit(0)))
+                           .alias("sm"))
+                   .filter(F.col("cnt") != 0)
+                   .withColumn("__kb", self._bucket()))
+            self._replace_buckets(self.view, new, affected, meta)
+
+        run(self.view, _leg)
+        return affected
+
+    def _rebuild_from(self, spark, source: TxnTable, sv: int,
+                      meta: dict) -> None:
+        df = (_partials(source.read(spark, version=sv).drop("__kb"),
+                        self.group_cols, self.value_col)
+              .withColumn("__kb", self._bucket()))
+        base = self.view.latest_version()
+        adds = self.view._write_data_partitioned(df, "__kb")  # noqa: SLF001
+        removes = (self.view.snapshot_dirs(base)
+                   if base is not None else [])
+        self.view.commit(adds, removes,
+                         {**meta, "partition_by": "__kb"},
+                         expected_version=base)
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        """Partials + derived mean, __kb stripped."""
+        v = self.view.read(spark).drop("__kb")
+        return v.withColumn("mean", F.col("sm") / F.col("cnt"))

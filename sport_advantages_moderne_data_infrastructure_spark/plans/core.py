@@ -911,13 +911,15 @@ def build_final_pipeline(spark: SparkSession, sf_dir: str, root: str):
     prime query (README.md:140-164). Here each layer is a maintained
     artifact refreshing at O(its own delta) from the layer below's
     change feed: txn tables → JoinMaterializedView (emp ⋈ val,
-    capture_changes) → agg MV over activities (capture_changes,
-    changed-groups CDF) → LEFT-join MV (= ``final``) → MapMaterialized-
-    View (the prime projection)."""
+    capture_changes) → AggMaterializedView over activities (BUCKETED —
+    per-employee groups scale with the dimension — emitting bucket-
+    level change files) → LEFT-join MV (= ``final``) →
+    MapMaterializedView (the prime projection)."""
     from pyspark.sql import functions as F
 
-    from ..operators.mv import (JoinMaterializedView,
-                                MapMaterializedView, maintain_agg_view)
+    from ..operators.mv import (AggMaterializedView,
+                                JoinMaterializedView,
+                                MapMaterializedView)
     from ..sources.txnlog import TxnTable
 
     emp0 = (R.employee_projection(D.employees(spark, sf_dir))
@@ -949,7 +951,13 @@ def build_final_pipeline(spark: SparkSession, sf_dir: str, root: str):
     act = TxnTable(f"{root}/act")
     jmv1 = JoinMaterializedView(f"{root}/jmv1", "id_employee",
                                 n_buckets=16, capture_changes=True)
-    aggv = TxnTable(f"{root}/agg")
+    # BUCKETED agg MV: per-employee groups scale with the dimension, so
+    # the O(groups)-overwrite layout would be the chain's bottleneck
+    # (measured, scripts/bench_final_pipeline_stress.py) — this one
+    # replaces only affected buckets per refresh
+    aggv = AggMaterializedView(f"{root}/agg", "id_employee",
+                               "activity_duration", n_buckets=16,
+                               capture_changes=True)
     jmv2 = JoinMaterializedView(f"{root}/final", "id_employee",
                                 n_buckets=16, how="left",
                                 capture_changes=True)
@@ -965,9 +973,8 @@ def build_final_pipeline(spark: SparkSession, sf_dir: str, root: str):
 
     def refresh_chain():
         jmv1.refresh(spark, emp, val)
-        maintain_agg_view(spark, act, aggv, ["id_employee"],
-                          "activity_duration", capture_changes=True)
-        jmv2.refresh(spark, jmv1.view, aggv)
+        aggv.refresh(spark, act)
+        jmv2.refresh(spark, jmv1.view, aggv.view)
         prime.refresh(spark, jmv2.view)
 
     emp.overwrite(emp0)                                        # e v0

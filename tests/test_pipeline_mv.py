@@ -271,7 +271,7 @@ def test_final_pipeline_chain_matches_direct_recompute(spark, tmp_path):
         key=lambda t: tuple((x is None, x) for x in t))
     assert got_final == want_final
     # incrementality: after the initial build, no layer ever resynced
-    for tbl in (jmv1.view, jmv2.view, prime.view, aggv):
+    for tbl in (jmv1.view, jmv2.view, prime.view, aggv.view):
         metas = [tbl._doc(v).get("meta", {})  # noqa: SLF001
                  for v in range(tbl.latest_version() + 1)]
         assert not any(m.get("mv_resync") for m in metas), tbl.path
@@ -371,24 +371,20 @@ def test_final_pipeline_resync_cascades_then_resumes(spark, tmp_path):
 
     emp, val, act, jmv1, aggv, jmv2, prime = build_final_pipeline(
         spark, SF, str(tmp_path / "pipe"))
-    from sport_advantages_moderne_data_infrastructure_spark.operators.mv import (  # noqa: E501
-        maintain_agg_view,
-    )
 
     # wholesale overwrite: no row-level delta for the feed
     act.overwrite(act.read(spark).filter("id % 11 <> 0"))
 
     def refresh_chain():
         jmv1.refresh(spark, emp, val)
-        maintain_agg_view(spark, act, aggv, ["id_employee"],
-                          "activity_duration", capture_changes=True)
-        jmv2.refresh(spark, jmv1.view, aggv)
+        aggv.refresh(spark, act)
+        jmv2.refresh(spark, jmv1.view, aggv.view)
         prime.refresh(spark, jmv2.view)
 
     refresh_chain()
     assert _got_prime(spark, prime) == _expected_prime(spark, emp, val,
                                                        act)
-    assert (aggv._doc(aggv.latest_version())  # noqa: SLF001
+    assert (aggv.view._doc(aggv.view.latest_version())  # noqa: SLF001
             .get("meta", {}).get("mv_resync"))
     # ...and the chain is incremental again on the next commit
     act.append(act.read(spark).limit(0))  # schema-compatible no-op rows
@@ -401,3 +397,212 @@ def test_final_pipeline_resync_cascades_then_resumes(spark, tmp_path):
                                                        act)
     assert not (jmv2.view._doc(jmv2.view.latest_version())  # noqa: SLF001
                 .get("meta", {}).get("mv_resync"))
+
+
+def test_final_pipeline_fully_streaming(spark, tmp_path):
+    """EVERY layer of the composed DAG maintained by its streaming
+    twin: jmv1 and jmv2 by write_stream_join_mv, the activity
+    aggregate by write_stream_agg_view(capture_changes=True) — its
+    per-batch overwrite commits now carry changed-groups change files
+    so the downstream join MV follows it — and the prime projection by
+    write_stream_map_view over final's CDF. Three commit rounds, four
+    availableNow streams per round, each on its own checkpoint; the
+    chain must converge to the wholesale recompute."""
+    from sport_advantages_moderne_data_infrastructure_spark.operators import (  # noqa: E501
+        relational as R,
+    )
+    from sport_advantages_moderne_data_infrastructure_spark.operators.cdc import (  # noqa: E501
+        parse_cdc,
+    )
+    from sport_advantages_moderne_data_infrastructure_spark.sources import (  # noqa: E501
+        domain as D,
+    )
+    from sport_advantages_moderne_data_infrastructure_spark.streaming.joinmv import (  # noqa: E501
+        write_stream_join_mv,
+    )
+    from sport_advantages_moderne_data_infrastructure_spark.streaming.mv import (  # noqa: E501
+        write_stream_agg_view,
+        write_stream_map_view,
+    )
+
+    root = str(tmp_path / "pipe")
+    emp0 = (R.employee_projection(D.employees(spark, SF))
+            .withColumn("id_employee", F.col("id_employee").cast("int")))
+    raises = (emp0.filter(F.col("id_employee") % 10 == 0)
+              .select("id_employee",
+                      (F.col("gross_salary") + 1000).cast("int")
+                      .alias("gross_salary"),
+                      "business_unity",
+                      F.lit("CDI").alias("constract_type")))
+    val0 = (D.commute_validations(spark, SF)
+            .select("id_validate",
+                    F.col("id_employee").cast("int").alias("id_employee"),
+                    "calculed_distance", "calculed_duration", "is_valid",
+                    "error_message", "created_at"))
+    parsed = parse_cdc(D.cdc_events(spark, SF)).select(
+        "id", "id_employee", "sport_type", "activity_duration")
+
+    emp, val, act = (TxnTable(f"{root}/emp"), TxnTable(f"{root}/val"),
+                     TxnTable(f"{root}/act"))
+    jmv1 = JoinMaterializedView(f"{root}/jmv1", "id_employee",
+                                n_buckets=8, capture_changes=True)
+    aggv = TxnTable(f"{root}/agg")
+    jmv2 = JoinMaterializedView(f"{root}/final", "id_employee",
+                                n_buckets=8, how="left",
+                                capture_changes=True)
+
+    def prime_map(df):
+        d = (df.withColumn("count_activity", F.col("cnt"))
+             .withColumn("mean_duration",
+                         F.round(F.col("sm") / F.col("cnt"), 4)))
+        return R.prime_query(d)
+
+    prime = MapMaterializedView(f"{root}/prime", "id_employee",
+                                prime_map, n_buckets=8)
+
+    def refresh_chain():
+        write_stream_join_mv(
+            spark, emp.path, val.path, jmv1, f"{root}/ck1",
+            app_id="s_jmv1").awaitTermination(120)
+        write_stream_agg_view(
+            spark, act.path, aggv.path, f"{root}/ck2",
+            ["id_employee"], "activity_duration", app_id="s_agg",
+            capture_changes=True).awaitTermination(120)
+        write_stream_join_mv(
+            spark, jmv1.view.path, aggv.path, jmv2, f"{root}/ck3",
+            app_id="s_jmv2").awaitTermination(120)
+        write_stream_map_view(
+            spark, jmv2.view.path, prime, f"{root}/ck4",
+            app_id="s_prime").awaitTermination(120)
+
+    emp.overwrite(emp0)
+    val.overwrite(val0)
+    act.overwrite(parsed.filter("id % 3 <> 2"))
+    refresh_chain()
+    assert _got_prime(spark, prime) == _expected_prime(spark, emp, val,
+                                                       act)
+    emp.merge(spark, raises, "id_employee")
+    act.append(parsed.filter("id % 3 = 2"))
+    refresh_chain()
+    act.delete_where(spark, "id % 5 = 0", use_dv=True)
+    refresh_chain()
+    assert _got_prime(spark, prime) == _expected_prime(spark, emp, val,
+                                                       act)
+
+
+# --- AggMaterializedView (bucketed partials) ------------------------------
+
+def _agg_want(spark, src):
+    return sorted((r.grp, r.cnt, r.sm) for r in
+                  src.read(spark).groupBy("grp")
+                  .agg(F.count(F.lit(1)).alias("cnt"),
+                       F.sum("val").alias("sm")).collect())
+
+
+def _agg_got(spark, aggmv):
+    return sorted((r.grp, r.cnt, r.sm) for r in
+                  aggmv.read(spark).select("grp", "cnt", "sm")
+                  .collect())
+
+
+def test_bucketed_agg_mv_incremental_equals_recompute(spark, tmp_path):
+    from sport_advantages_moderne_data_infrastructure_spark.operators.mv import (  # noqa: E501
+        AggMaterializedView,
+    )
+
+    src = TxnTable(str(tmp_path / "src"))
+    aggmv = AggMaterializedView(str(tmp_path / "agg"), "grp", "val",
+                                n_buckets=4)
+    src.append(_df(spark, [(1, "a", 10), (2, "a", 20), (3, "b", 5)]))
+    assert aggmv.refresh(spark, src) == 0
+    assert _agg_got(spark, aggmv) == _agg_want(spark, src)
+    src.merge(spark, _df(spark, [(1, "a", 100), (4, "c", 7)]), "id")
+    aggmv.refresh(spark, src)
+    assert _agg_got(spark, aggmv) == _agg_want(spark, src)
+    src.delete_where(spark, "id = 2")
+    aggmv.refresh(spark, src)
+    assert _agg_got(spark, aggmv) == _agg_want(spark, src)
+    src.delete_where(spark, "id = 4", use_dv=True)
+    aggmv.refresh(spark, src)
+    assert _agg_got(spark, aggmv) == _agg_want(spark, src)
+    assert ("c", 1, 7) not in _agg_got(spark, aggmv)  # group emptied
+    # no-op refresh: no empty commit; overwrite => flagged resync
+    v = aggmv.view.latest_version()
+    aggmv.refresh(spark, src)
+    assert aggmv.view.latest_version() == v
+    src.overwrite(_df(spark, [(9, "z", 9)]))
+    aggmv.refresh(spark, src)
+    assert _agg_got(spark, aggmv) == _agg_want(spark, src)
+    assert (aggmv.view._doc(aggmv.view.latest_version())  # noqa: SLF001
+            .get("meta", {}).get("mv_resync"))
+
+
+def test_bucketed_agg_mv_replaces_only_affected_buckets(spark,
+                                                        tmp_path):
+    import os
+
+    from sport_advantages_moderne_data_infrastructure_spark.operators.mv import (  # noqa: E501
+        AggMaterializedView,
+    )
+
+    src = TxnTable(str(tmp_path / "src"))
+    aggmv = AggMaterializedView(str(tmp_path / "agg"), "grp", "val",
+                                n_buckets=8)
+    src.append(spark.createDataFrame(
+        [(i, f"g{i % 20}", i) for i in range(200)],
+        "id int, grp string, val int"))
+    aggmv.refresh(spark, src)
+    before = set(aggmv.view.snapshot_dirs())
+    src.append(_df(spark, [(900, "g3", 1)]))  # one group touched
+    aggmv.refresh(spark, src)
+    changed = {os.path.basename(d) for d in
+               before ^ set(aggmv.view.snapshot_dirs())}
+    assert len(changed) == 1, changed  # exactly one bucket replaced
+    assert _agg_got(spark, aggmv) == _agg_want(spark, src)
+
+
+def test_bucketed_agg_mv_streaming_twin(spark, tmp_path):
+    """write_stream_bucketed_agg_view: per-batch guarded bucket
+    replace, restart exactly-once, downstream join MV stacks on its
+    CDF."""
+    from sport_advantages_moderne_data_infrastructure_spark.operators.mv import (  # noqa: E501
+        AggMaterializedView,
+    )
+    from sport_advantages_moderne_data_infrastructure_spark.streaming.mv import (  # noqa: E501
+        write_stream_bucketed_agg_view,
+    )
+
+    src = TxnTable(str(tmp_path / "src"))
+    aggmv = AggMaterializedView(str(tmp_path / "agg"), "grp", "val",
+                                n_buckets=4, capture_changes=True)
+    ck = str(tmp_path / "ck")
+    src.append(_df(spark, [(1, "a", 10), (2, "b", 5)]))
+    write_stream_bucketed_agg_view(
+        spark, src.path, aggmv, ck, app_id="bagg").awaitTermination(120)
+    assert _agg_got(spark, aggmv) == _agg_want(spark, src)
+    src.merge(spark, _df(spark, [(1, "a", 99), (3, "c", 3)]), "id")
+    src.delete_where(spark, "id = 2", use_dv=True)
+    write_stream_bucketed_agg_view(
+        spark, src.path, aggmv, ck, app_id="bagg").awaitTermination(120)
+    assert _agg_got(spark, aggmv) == _agg_want(spark, src)
+    # restart with nothing new: no extra commits
+    v = aggmv.view.latest_version()
+    write_stream_bucketed_agg_view(
+        spark, src.path, aggmv, ck, app_id="bagg").awaitTermination(120)
+    assert aggmv.view.latest_version() == v
+    # downstream join MV follows the bucketed view's CDF incrementally
+    dim = TxnTable(str(tmp_path / "dim"))
+    dim.append(spark.createDataFrame(
+        [("a", "east"), ("c", "west")], "grp string, region string"))
+    jmv = JoinMaterializedView(str(tmp_path / "jmv"), "grp",
+                               how="left", n_buckets=4)
+    jmv.refresh(spark, dim, aggmv.view)
+    got = sorted(tuple(r) for r in
+                 jmv.read(spark).select("grp", "region", "cnt", "sm")
+                 .collect())
+    want = sorted(tuple(r) for r in
+                  dim.read(spark)
+                  .join(aggmv.read(spark).select("grp", "cnt", "sm"),
+                        "grp", "left")
+                  .select("grp", "region", "cnt", "sm").collect())
+    assert got == want

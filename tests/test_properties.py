@@ -271,3 +271,83 @@ def test_dedup_chunk_boundaries_match_reference(spark, words):
                     F.array_join(F.slice("w", i * 10 + 1, 10), " "))))
             .alias("h")).collect())
     assert got == want
+
+
+_MV_ROWS = st.lists(st.tuples(st.integers(0, 9),
+                              st.sampled_from(["a", "b", "c"]),
+                              st.integers(0, 5)),
+                    min_size=1, max_size=4)
+_MV_OPS = st.lists(
+    st.one_of(
+        st.tuples(st.just("append"), _MV_ROWS),
+        st.tuples(st.just("delete"), st.integers(0, 9)),
+        st.tuples(st.just("dv_delete"), st.integers(0, 9)),
+        st.tuples(st.just("overwrite"), _MV_ROWS),
+    ),
+    min_size=1, max_size=3)
+
+
+@given(ops=_MV_OPS)
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_projection_and_bucketed_agg_views_track_any_history(
+        spark, ops, tmp_path_factory):
+    """MapMaterializedView and AggMaterializedView refreshed after
+    EVERY commit of an arbitrary append/delete/DV-delete/overwrite
+    history must equal the direct recompute from the source snapshot —
+    including the flagged-resync path (overwrite has no row-level
+    delta) and multiset duplicates (append can repeat rows)."""
+    from pyspark.sql import functions as F
+
+    from sport_advantages_moderne_data_infrastructure_spark.operators.mv import (  # noqa: E501
+        AggMaterializedView,
+        MapMaterializedView,
+    )
+    from sport_advantages_moderne_data_infrastructure_spark.sources.txnlog import (  # noqa: E501
+        TxnTable,
+    )
+
+    root = tmp_path_factory.mktemp("mvprop")
+    src = TxnTable(str(root / "s"))
+    src.append(spark.createDataFrame([(0, "a", 1), (1, "b", 2)],
+                                     "id int, grp string, val int"))
+
+    def proj(df):
+        return df.select("id", "grp",
+                         (F.col("val") * 2).alias("dval"))
+
+    mmv = MapMaterializedView(str(root / "m"), "id", proj, n_buckets=4)
+    aggmv = AggMaterializedView(str(root / "a"), "grp", "val",
+                                n_buckets=4)
+
+    def check():
+        mmv.refresh(spark, src)
+        aggmv.refresh(spark, src)
+        from collections import Counter
+
+        want_m = Counter(tuple(r) for r in
+                         proj(src.read(spark)).collect())
+        got_m = Counter(tuple(r) for r in mmv.read(spark).collect())
+        assert got_m == want_m
+        want_a = sorted((r.grp, r.cnt, r.sm) for r in
+                        src.read(spark).groupBy("grp")
+                        .agg(F.count(F.lit(1)).alias("cnt"),
+                             F.sum("val").alias("sm")).collect())
+        got_a = sorted((r.grp, r.cnt, r.sm) for r in
+                       aggmv.read(spark)
+                       .select("grp", "cnt", "sm").collect())
+        assert got_a == want_a
+
+    check()
+    for op in ops:
+        if op[0] == "append":
+            src.append(spark.createDataFrame(
+                op[1], "id int, grp string, val int"))
+        elif op[0] == "delete":
+            src.delete_where(spark, f"id = {op[1]}")
+        elif op[0] == "dv_delete":
+            src.delete_where(spark, f"id = {op[1]}", use_dv=True)
+        else:
+            src.overwrite(spark.createDataFrame(
+                op[1], "id int, grp string, val int"))
+        check()
