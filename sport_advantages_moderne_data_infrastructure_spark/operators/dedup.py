@@ -209,7 +209,6 @@ def jaccard_pairs(corpus: DataFrame, threshold: float = 0.5,
         inter.join(na, "doc_a").join(nb, "doc_b")
         .filter(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
-        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -306,7 +305,6 @@ def lsh_candidate_pairs(corpus: DataFrame,
         .select(F.col("a.doc_id").alias("doc_a"),
                 F.col("b.doc_id").alias("doc_b"))
         .distinct()
-        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -426,7 +424,6 @@ def simhash_near_dup(corpus: DataFrame,
                 F.col("b.doc_id").alias("doc_b"),
                 ham.cast("int").alias("hamming"))
         .distinct()  # a pair may agree on several bands
-        .orderBy("doc_a", "doc_b")
     )
 
 

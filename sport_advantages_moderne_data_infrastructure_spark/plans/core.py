@@ -394,8 +394,7 @@ def q_txn_zorder_read(spark: SparkSession, sf_dir: str) -> DataFrame:
                          target_dirs=16)
     return (table.read_range(spark, "o_totalprice", 100000.0, 110000.0)
             .select("o_orderkey", "o_custkey",
-                    F.round("o_totalprice", 2).alias("total"))
-            .orderBy("o_orderkey"))
+                    F.round("o_totalprice", 2).alias("total")))
 
 
 @register("txn_clone_readback",  # new r6, gated immediately (slot:
@@ -442,7 +441,7 @@ def q_txn_clone_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (clone.read(spark).select(F.lit("clone").alias("side"), *proj)
             .unionByName(
                 src.read(spark).select(F.lit("source").alias("side"), *proj))
-            .orderBy("side", "o_orderkey"))
+            )
 
 
 @register("txn_metadata_counts",  # new r6, gated immediately (slot:
@@ -527,8 +526,7 @@ def q_txn_dv_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         for v in (3, 4))
     return (table.read(spark)
             .select("o_orderkey", "o_custkey",
-                    F.round("o_totalprice", 2).alias("total"))
-            .orderBy("o_orderkey"))
+                    F.round("o_totalprice", 2).alias("total")))
 
 
 @register("txn_incremental_mv",  # new r6, gated immediately (slot:
@@ -1204,5 +1202,4 @@ def scd2_runs(df: DataFrame, key: str, attr: str, ts: str,
                     F.col(ts).alias("valid_from"),
                     "valid_to",
                     F.col("valid_to").isNull().cast("int")
-                    .alias("is_current"))
-            .orderBy(key, "valid_from"))
+                    .alias("is_current")))

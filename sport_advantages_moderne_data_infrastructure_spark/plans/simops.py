@@ -989,4 +989,4 @@ def q_semantic_dedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cos >= 0.99)
         .select(F.col("b.vec_id").alias("pruned_vec_id"))
         .distinct()
-        .orderBy("pruned_vec_id"))
+        )

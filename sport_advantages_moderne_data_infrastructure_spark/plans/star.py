@@ -188,7 +188,6 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
                   "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"),
              F.round(F.avg("value"), 4).alias("avg_value"))
-        .orderBy("window_start", "event_type")
     )
 
 

@@ -28,7 +28,7 @@ def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """window('1 hour') aggregation — identical expression batch/streaming
     (streaming twin: streaming/windows.tumbling_counts + watermark)."""
     e = load_table(spark, sf_dir, "events")
-    return tumbling_counts(e).orderBy("window_start", "event_type")
+    return tumbling_counts(e)
 
 
 @register(
@@ -58,7 +58,6 @@ def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w.start").alias("window_start"),
                 F.col("w.end").alias("window_end"),
                 "event_type", "n_events")
-        .orderBy("window_start", "event_type")
     )
 
 
@@ -68,7 +67,7 @@ def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     session_window, one shuffle on user_id + two window passes. Runs the
     SAME portable SQL Spark-side (spark.sql over the events view)."""
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
-    return spark.sql(SESSIONIZE_SQL).orderBy("user_id", "session_id")
+    return spark.sql(SESSIONIZE_SQL)
 
 
 @register(
@@ -91,7 +90,7 @@ def q_funnel_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     state). tests/test_streaming.py pins stream == batch."""
     from ..streaming.joins import funnel_click_purchase
     e = load_table(spark, sf_dir, "events")
-    return funnel_click_purchase(e).orderBy("click_id", "purchase_id")
+    return funnel_click_purchase(e)
 
 
 @register(
@@ -123,7 +122,7 @@ def q_asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
         on="user_id", left_ts="purchase_ts", right_ts="signup_ts",
         right_cols=["signup_id", "signup_ts"],
     ).select("purchase_id", "user_id", "purchase_ts", "signup_id",
-             "signup_ts").orderBy("purchase_id")
+             "signup_ts")
 
 
 @register(
@@ -157,7 +156,7 @@ def q_asof_bucketed_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
         on="user_id", left_ts="purchase_ts", right_ts="signup_ts",
         right_cols=["signup_id", "signup_ts"], bucket="86400",
     ).select("purchase_id", "user_id", "purchase_ts", "signup_id",
-             "signup_ts").orderBy("purchase_id")
+             "signup_ts")
 
 
 @register(
@@ -219,8 +218,7 @@ def q_interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                           start_ts="w_start", end_ts="w_end",
                           bucket_seconds=900)
     return (pairs.groupBy("incident_id")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
-            .orderBy("incident_id"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_events")))
 
 
 # rule suite for the quarantine path — rules_from_config shape, shared
@@ -267,5 +265,5 @@ def q_stream_quarantine_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     _, bad = split_quarantine(e, QUARANTINE_RULES)
     return (bad.select("event_id",
-                       F.array_join("violations", ",").alias("violations"))
-            .orderBy("event_id"))
+                       F.array_join("violations", ",")
+                       .alias("violations")))

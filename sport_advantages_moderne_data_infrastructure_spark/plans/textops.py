@@ -54,7 +54,6 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("content_hash")
         .agg(F.min("doc_id").cast("bigint").alias("keep_doc_id"),
              F.count(F.lit(1)).alias("n_copies"))
-        .orderBy("keep_doc_id")
     )
 
 
@@ -93,7 +92,6 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("double") / n_tokens, 4)
             .alias("stopword_ratio"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -109,7 +107,7 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     fp = F.md5(F.lower(F.trim(F.col("text"))))
     return d.select("doc_id", fp.alias("fingerprint"),
-                    F.substring(fp, 1, 8).alias("shard_key")).orderBy("doc_id")
+                    F.substring(fp, 1, 8).alias("shard_key"))
 
 
 # Near-duplicate corpus: every 11th doc re-appended with a small tail edit
@@ -205,7 +203,7 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k=N_MINHASH md5-keyed MinHash signatures per document (reads the
     materialized signature artifact)."""
-    return minhash_index(spark, sf_dir).orderBy("doc_id")
+    return minhash_index(spark, sf_dir)
 
 
 @register("dedup_minhash_lsh",
@@ -232,7 +230,7 @@ def q_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequency-weighted SimHash fingerprints (SIMHASH_BITS wide — see
     operators/dedup.py constants)."""
-    return DD.simhash(near_corpus(spark, sf_dir)).orderBy("doc_id")
+    return DD.simhash(near_corpus(spark, sf_dir))
 
 
 @register("dedup_simhash_pairs", driver=False,  # rotated out r6 (green
@@ -308,8 +306,7 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("tok"))
     return (scored.withColumn("rnk", F.row_number().over(w).cast("int"))
             .filter(F.col("rnk") <= 3)
-            .select("doc_id", "tok", "score", "rnk")
-            .orderBy("doc_id", "rnk"))
+            .select("doc_id", "tok", "score", "rnk"))
 
 
 # --- training-data set operations: sampling / splits / packing -----------
@@ -337,7 +334,7 @@ def q_sample_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale."""
     d = load_table(spark, sf_dir, "documents")
     return (d.filter(F.expr(_H100_SPARK) < 10)
-            .select("doc_id", "lang", "n_chars").orderBy("doc_id"))
+            .select("doc_id", "lang", "n_chars"))
 
 
 @register(
@@ -441,8 +438,7 @@ def q_token_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     prior = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
     return (t.withColumn("pack_id",
                          F.floor(prior / _PACK_BUDGET).cast("int"))
-            .select("doc_id", "shard", "n_tokens", "pack_id")
-            .orderBy("doc_id"))
+            .select("doc_id", "shard", "n_tokens", "pack_id"))
 
 
 @register(
@@ -504,8 +500,7 @@ def q_training_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     prior = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
     return (tagged.withColumn(
         "pack_id", F.floor(prior / _PACK_BUDGET).cast("int"))
-        .select("doc_id", "split", "shard", "n_tokens", "pack_id")
-        .orderBy("doc_id"))
+        .select("doc_id", "split", "shard", "n_tokens", "pack_id"))
 
 
 # --- benchmark contamination + intra-doc repetition ----------------------
@@ -578,7 +573,6 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("train_doc_id", "eval_doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= _CONTAM_MIN_SHARED)
-        .orderBy("train_doc_id", "eval_doc_id")
     )
 
 
@@ -622,8 +616,7 @@ def q_doc_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_grams").cast("bigint").alias("n_grams"),
         F.col("n_distinct").cast("bigint").alias("n_distinct"),
         F.round((F.col("n_grams") - F.col("n_distinct")).cast("double")
-                / F.col("n_grams"), 4).alias("dup_ratio"))
-        .orderBy("doc_id"))
+                / F.col("n_grams"), 4).alias("dup_ratio")))
 
 
 _NC_SUB = f"({_NEAR_CORPUS_SQL})"
@@ -653,8 +646,7 @@ def q_dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified = DD.jaccard_for_pairs(corpus, cand,
                                     capped=capped_shingle_index(spark, sf_dir))
     return (verified.filter(F.col("jaccard") >= 0.5)
-            .select("doc_a", "doc_b", "jaccard")
-            .orderBy("doc_a", "doc_b"))
+            .select("doc_a", "doc_b", "jaccard"))
 
 
 @register("dedup_clusters",
@@ -677,7 +669,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         "doc_id", "cluster_id",
         (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical")
-    ).orderBy("doc_id")
+    )
 
 
 @register("dedup_clusters_large_star",
@@ -703,7 +695,7 @@ def q_dedup_clusters_large_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         "doc_id", "cluster_id",
         (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical")
-    ).orderBy("doc_id")
+    )
 
 
 @register("multimodal_decode_features", driver=False)  # rows-only: Arrow
@@ -715,7 +707,7 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     through an Arrow-batched pandas iterator (the real codec swaps in on a
     production cluster; the byte-level extractor here is deterministic)."""
     return MM.fake_decode_features(
-        MM.synth_media(load_table(spark, sf_dir, "documents"))).orderBy("doc_id")
+        MM.synth_media(load_table(spark, sf_dir, "documents")))
 
 
 @register("multimodal_bmp_resize",  # new in r4, gated immediately;
@@ -735,7 +727,7 @@ def q_multimodal_bmp_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     same NN grid, so an off-by-one grid or a missed bottom-up flip is a
     hash mismatch."""
     docs = load_table(spark, sf_dir, "documents")
-    return MM.resize_bmp_features(MM.synth_bmp(docs)).orderBy("doc_id")
+    return MM.resize_bmp_features(MM.synth_bmp(docs))
 
 
 @register("multimodal_frame_sample",  # new in r4, gated immediately
@@ -746,8 +738,7 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     plumbing is real), exploded to ONE ROW PER SAMPLED FRAME with integer
     pixel stats. Oracle recomputes from the frame formula."""
     docs = load_table(spark, sf_dir, "documents")
-    return (MM.sample_frame_features(MM.synth_video(docs))
-            .orderBy("doc_id", "frame_idx"))
+    return MM.sample_frame_features(MM.synth_video(docs))
 
 
 @register("multimodal_bmp_decode", driver=False,  # rotated out r4 (multiply green; pytest oracle continues)
@@ -759,7 +750,7 @@ def q_multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     width/height/pixel stats; the DuckDB oracle recomputes every stat from
     the deterministic generator spec without touching the bytes."""
     docs = load_table(spark, sf_dir, "documents")
-    return MM.decode_bmp_features(MM.synth_bmp(docs)).orderBy("doc_id")
+    return MM.decode_bmp_features(MM.synth_bmp(docs))
 
 
 @register("multimodal_wav_decode",  # gated r3+r4 (twice green); rotated
@@ -773,7 +764,7 @@ def q_multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapInPandas stage; the oracle recomputes every stat from the sample
     formula without touching the bytes."""
     docs = load_table(spark, sf_dir, "documents")
-    return MM.decode_wav_features(MM.synth_wav(docs)).orderBy("doc_id")
+    return MM.decode_wav_features(MM.synth_wav(docs))
 
 
 @register("multimodal_png_decode",  # promoted into the driver window r4
@@ -787,7 +778,7 @@ def q_multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     pixel stats AND the filter mix from the generator spec without
     touching the bytes."""
     docs = load_table(spark, sf_dir, "documents")
-    return MM.decode_png_features(MM.synth_png(docs)).orderBy("doc_id")
+    return MM.decode_png_features(MM.synth_png(docs))
 
 
 @register("multimodal_meta", oracle=MM.SYNTH_MEDIA_META_SQL,
@@ -825,7 +816,7 @@ def q_token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_number_tokens"),
         F.ceil(F.length("text") / 4.0).cast("bigint")
         .alias("approx_llm_tokens"),
-    ).orderBy("doc_id")
+    )
 
 
 @register(
@@ -859,7 +850,7 @@ def q_doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.when(keep, "keep").otherwise("drop").alias("quality_bucket"),
         F.round(score, 4).alias("quality_score"),
-    ).orderBy("doc_id")
+    )
 
 
 _LANGS = [("en", " the "), ("es", " de "), ("fr", " le "), ("zh", " zh ")]
@@ -898,8 +889,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("s_fr") >= F.col("s_zh"), "fr")
         .otherwise("zh")
     )
-    return scored.select("doc_id", "lang", pred.alias("predicted_lang")) \
-        .orderBy("doc_id")
+    return scored.select("doc_id", "lang", pred.alias("predicted_lang"))
 
 
 @register(
@@ -1081,8 +1071,7 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_phones"),
         F.regexp_count("text", F.lit(_PII_IP)).cast("int").alias("n_ips"),
         redacted.alias("redacted"))
-        .filter((did % 5 == 0) | (did % 7 == 0) | (did % 11 == 0))
-        .orderBy("doc_id"))
+        .filter((did % 5 == 0) | (did % 7 == 0) | (did % 11 == 0)))
 
 
 def _twin_batch_sql(src: str, n: int) -> str:
@@ -1143,8 +1132,8 @@ def q_stream_dedup_batch_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept2, _ = dedup_batch(corpus.filter(F.col("doc_id") >= 2000),
                            bands1)
     return (kept1.select("doc_id", F.lit(1).alias("batch"))
-            .unionByName(kept2.select("doc_id", F.lit(2).alias("batch")))
-            .orderBy("doc_id"))
+            .unionByName(kept2.select("doc_id",
+                                      F.lit(2).alias("batch"))))
 
 
 # -- sub-document (chunk-level) dedup --------------------------------------
@@ -1203,8 +1192,7 @@ def q_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
              F.sum((F.col("first_doc") < F.col("doc_id")).cast("int"))
-             .cast("bigint").alias("n_dup_chunks"))
-        .orderBy("doc_id"))
+             .cast("bigint").alias("n_dup_chunks")))
 
 
 # Corpus with injected repeated SPANS (not whole-doc copies): every 11th
@@ -1521,8 +1509,7 @@ def mixture_select(docs: DataFrame) -> DataFrame:
             .join(F.broadcast(quota), "source")
             .filter(F.col("cum_tokens") <= F.col("quota_tokens"))
             .select("doc_id", "source", "n_tokens", "cum_tokens",
-                    "quota_tokens")
-            .orderBy("doc_id"))
+                    "quota_tokens"))
 
 
 @register(

@@ -286,3 +286,40 @@ def test_unigram_no_eager_action_no_presentation_sort(
     assert "rangepartitioning" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert df.count() > 0
+
+
+# r8 verdict #3 sweep: corpus-proportional-output queries must not end
+# in a global sort — the driver compare and every downstream consumer
+# are order-insensitive, and a trailing orderBy is a whole
+# rangepartitioning exchange of the result at scale. Small-output
+# queries (top-k rows, O(groups) rollups) may keep their presentation
+# sort — sorting 10-100 rows is free.
+_NO_PRESENTATION_SORT = [
+    "dedup_exact", "dedup_chunks", "dedup_jaccard_pairs",
+    "dedup_minhash_lsh", "dedup_lsh_verified",
+    "dedup_clusters_large_star", "stream_dedup_batch_twin",
+    "dedup_span_scrub", "dedup_span_scrub_keep_one",
+    "dedup_repeated_spans", "bigram_surprisal_score",
+    "unigram_surprisal_score", "mixture_token_budget",
+    "training_order_shuffle", "training_shard_assignments",
+    "training_pipeline_e2e",
+    "multimodal_frame_sample", "multimodal_png_decode",
+    "pii_redaction", "semantic_dedup_prune",
+    "txn_clone_readback", "txn_dv_delete_read", "txn_zorder_read",
+    "scd2_employee_sport_dim", "session_windows_batch",
+    "events_hourly", "funnel_click_purchase",
+    "asof_bucketed_last_signup", "interval_join_events",
+    "stream_quarantine_batch_twin", "timeseries_gapfill",
+    "final_table", "prime_query", "cdc_parse_project",
+    "final_pipeline_incremental",
+]
+
+
+def test_no_presentation_sort_on_corpus_sized_outputs(spark, sf_dir):
+    catalog.build_indexes(spark, sf_dir)
+    offenders = []
+    for name in _NO_PRESENTATION_SORT:
+        plan = _plan(catalog.REGISTRY[name].spark_fn(spark, sf_dir))
+        if "rangepartitioning" in plan:
+            offenders.append(name)
+    assert offenders == [], f"global sorts crept back: {offenders}"
