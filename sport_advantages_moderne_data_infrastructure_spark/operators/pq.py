@@ -199,17 +199,15 @@ def build_ivfpq_index(embeddings: DataFrame,
      .write.mode("overwrite").partitionBy("centroid_id").parquet(path))
 
 
-def ivfpq_topk(codes_index: DataFrame, queries: DataFrame,
-               ivf_centroids: list[list[float]],
-               codebooks: list[list[list[float]]],
-               k: int = 10, nprobe: int = 6) -> DataFrame:
-    """ADC top-k over the nprobe nearest inverted lists only: the probe
-    equi-join prunes the partitioned code table at the file level
-    (broadcast query side → dynamic partition pruning), and each
-    surviving pair costs m LUT lookups. ``queries`` needs (query_id,
-    qe: array<double>, q_norm)."""
-    from pyspark.sql import Window as W
-
+def _ivfpq_scored(codes_index: DataFrame, queries: DataFrame,
+                  ivf_centroids: list[list[float]],
+                  codebooks: list[list[list[float]]],
+                  nprobe: int) -> DataFrame:
+    """Shared ADC scoring leg: (query_id, neighbor_id, cos) over the
+    nprobe probed inverted lists — the probe equi-join prunes the
+    partitioned code table at the file level (broadcast query side →
+    dynamic partition pruning), and each surviving pair costs m LUT
+    lookups."""
     from .ivf import probe_centroids
 
     q_probes = (
@@ -224,13 +222,78 @@ def ivfpq_topk(codes_index: DataFrame, queries: DataFrame,
     ip = F.expr("aggregate(zip_with(code, qlut, "
                 "(cj, lut) -> element_at(lut, cj + 1)), 0D, "
                 "(a, v) -> a + v)")
-    scored = (codes_index.join(F.broadcast(q_probes), "centroid_id")
-              .select("query_id", F.col("vec_id").alias("neighbor_id"),
-                      (ip / (F.col("q_norm") * F.col("recon_norm")))
-                      .alias("cos")))
+    return (codes_index.join(F.broadcast(q_probes), "centroid_id")
+            .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                    (ip / (F.col("q_norm") * F.col("recon_norm")))
+                    .alias("cos")))
+
+
+def ivfpq_topk(codes_index: DataFrame, queries: DataFrame,
+               ivf_centroids: list[list[float]],
+               codebooks: list[list[list[float]]],
+               k: int = 10, nprobe: int = 6) -> DataFrame:
+    """ADC top-k over the nprobe nearest inverted lists only.
+    ``queries`` needs (query_id, qe: array<double>, q_norm)."""
+    from pyspark.sql import Window as W
+
+    scored = _ivfpq_scored(codes_index, queries, ivf_centroids,
+                           codebooks, nprobe)
     w = W.partitionBy("query_id").orderBy(F.desc("cos"),
                                           F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id",
+                    F.round("cos", 6).alias("score"), "rank")
+            .orderBy("query_id", "rank"))
+
+
+def ivfpq_refined_topk(codes_index: DataFrame, embeddings: DataFrame,
+                       queries: DataFrame,
+                       ivf_centroids: list[list[float]],
+                       codebooks: list[list[list[float]]],
+                       k: int = 10, nprobe: int = 6,
+                       shortlist: int = 50) -> DataFrame:
+    """IVF-PQ with an exact refine stage (FAISS's IndexRefineFlat; the
+    re-ranking step of Jegou et al. 2011 §V.A): ADC over the probed
+    lists keeps a SHORTLIST of candidates per query (shortlist >> k),
+    ONLY those candidates' raw float32 vectors are fetched and scored
+    exactly, and the final top-k ranks by exact cosine. PQ quantization
+    error then affects recall only through shortlist MEMBERSHIP, never
+    through the final ranking — the standard way a deployment buys back
+    most of the compressed index's recall loss for a fixed small cost.
+
+    Scale shape: the shortlist is O(n_queries x shortlist) rows — tiny
+    at any corpus size — so the exact leg broadcasts it against ONE
+    column-pruned pass over the embeddings table (broadcast hash join:
+    the corpus side never shuffles; with vec_id-clustered files the
+    same join is a file-skipping point fetch). The expensive ADC leg is
+    unchanged: file-pruned to nprobe lists, 16x-compressed bytes.
+    ``queries`` needs (query_id, qe: array<double>, q_norm)."""
+    from pyspark.sql import Window as W
+
+    scored = _ivfpq_scored(codes_index, queries, ivf_centroids,
+                           codebooks, nprobe)
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"),
+                                          F.asc("neighbor_id"))
+    cand = (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= shortlist)
+            .select("query_id", "neighbor_id"))
+    # exact leg: candidates (broadcast) x raw vectors (one pruned scan)
+    cand_q = cand.join(
+        queries.select("query_id", "qe", "q_norm"), "query_id")
+    ne = F.expr("transform(embedding, x -> cast(x as double))")
+    dot = F.expr("aggregate(zip_with(ne, qe, (x, y) -> x * y), 0D, "
+                 "(a, v) -> a + v)")
+    n_norm = F.sqrt(F.expr(
+        "aggregate(zip_with(ne, ne, (x, y) -> x * y), 0D, "
+        "(a, v) -> a + v)"))
+    exact = (embeddings
+             .select(F.col("vec_id").alias("neighbor_id"),
+                     ne.alias("ne"))
+             .join(F.broadcast(cand_q), "neighbor_id")
+             .select("query_id", "neighbor_id",
+                     (dot / (F.col("q_norm") * n_norm)).alias("cos")))
+    return (exact.withColumn("rank", F.row_number().over(w).cast("int"))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id",
                     F.round("cos", 6).alias("score"), "rank")

@@ -865,6 +865,74 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                          nprobe=6)
 
 
+@register("ann_ivfpq_refined_topk", bench=True, driver=False)  # new r8;
+# approximation — no SQL-expressible contract; hard contract:
+# ann_refine_recall_floor driver row (floor + must-beat-ADC)
+def q_ann_ivfpq_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ + exact refine (FAISS IndexRefineFlat; Jegou et al. 2011
+    §V.A): the ADC pass keeps a 50-candidate shortlist per query, the
+    shortlist's raw vectors — O(n_queries x 50) rows at ANY corpus size
+    — are fetched via ONE broadcast hash join against the embeddings
+    table and scored exactly, and the final top-10 ranks by exact
+    cosine. Quantization error now only costs recall through shortlist
+    membership; the serving layout stays the compressed file-pruned
+    index."""
+    from ..operators import pq as PQ
+
+    centroids, cb, idx = ensure_ivfpq_index(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings")
+    return PQ.ivfpq_refined_topk(idx, e, _pq_queries(spark, sf_dir),
+                                 centroids, cb, nprobe=6, shortlist=50)
+
+
+_REFINE_FLOOR = 6.5  # mean overlap@10 vs float32 brute truth — must sit
+# ABOVE the raw-ADC path's quality (_PQ_FLOOR 5.0 exhaustive;
+# IVF-PQ measured ~5-6): the refine stage exists to buy recall back, so
+# its floor is the IVF probe ceiling (_IVF_FLOOR 7.0) minus safety —
+# residual loss is shortlist misses only. Measured at registration:
+# see PLANS.md §IVF-PQ refine (r8).
+
+
+@register("ann_refine_recall_floor",  # new r8, gated immediately (slot:
+          # multimodal_png_decode demoted — green r5-r7; the Arrow
+          # mapInPandas binary-column shape stays gated via
+          # multimodal_frame_sample, the PNG decoder stays pinned by
+          # tests/test_multimodal.py CRC vectors, and the row stays
+          # DuckDB-verified per pytest run).
+          oracle="SELECT CAST(10 AS BIGINT) AS n_queries, "
+                 "CAST(1 AS BOOLEAN) AS floor_met, "
+                 "CAST(1 AS BOOLEAN) AS refine_not_worse",
+          tags=("gate_scale_only",))
+def q_ann_refine_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENFORCED quality contract for the refine stage: mean overlap@10
+    of refined IVF-PQ top-10 against the float32 brute truth must clear
+    a floor ABOVE the compressed path's own, AND must be >= the
+    unrefined ADC ranking's overlap on the same queries — the refine
+    leg is only correct if fetching exact vectors never hurts."""
+    brute = q_ann_cosine_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id")
+    qs = brute.select("query_id").distinct()
+
+    def _mean_overlap(topk: DataFrame):
+        hits = (brute.join(topk.select("query_id", "neighbor_id"),
+                           ["query_id", "neighbor_id"])
+                .groupBy("query_id").agg(F.count(F.lit(1)).alias("o")))
+        return (qs.join(hits, "query_id", "left")
+                .select(F.coalesce("o", F.lit(0)).alias("o"))
+                .agg(F.avg("o").alias("m")))
+
+    ref = _mean_overlap(q_ann_ivfpq_refined_topk(spark, sf_dir))
+    adc = _mean_overlap(q_ann_ivfpq_topk(spark, sf_dir))
+    return (qs.agg(F.count(F.lit(1)).cast("bigint").alias("n_queries"))
+            .crossJoin(ref.select(F.col("m").alias("m_ref")))
+            .crossJoin(adc.select(F.col("m").alias("m_adc")))
+            .select("n_queries",
+                    (F.col("m_ref") >= F.lit(_REFINE_FLOOR))
+                    .alias("floor_met"),
+                    (F.col("m_ref") >= F.col("m_adc"))
+                    .alias("refine_not_worse")))
+
+
 @register(
     "stream_ann_pq_equiv",  # new r7, gated immediately (slot:
     # ann_sq8_topk demoted — green r4-r6; SQ8 stays ENFORCED via

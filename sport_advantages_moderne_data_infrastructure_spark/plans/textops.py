@@ -768,7 +768,13 @@ def q_multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("multimodal_png_decode",  # promoted into the driver window r4
-          # candidate — third REAL codec, the first COMPRESSED one
+          # candidate — third REAL codec, the first COMPRESSED one.
+          # Demoted r8 after green r5-r7: the Arrow mapInPandas
+          # binary-column shape stays gated via multimodal_frame_sample,
+          # the decoder stays pinned by tests/test_multimodal.py CRC
+          # vectors + this row's DuckDB parity per pytest run; slot goes
+          # to ann_refine_recall_floor
+          driver=False,
           oracle=MM.PNG_DECODE_SQL)
 def q_multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL compressed-image decode: pack spec-conformant PNGs per

@@ -166,3 +166,55 @@ def test_ivfpq_recall_vs_bruteforce(spark, sf_dir):
         f"vs exhaustive PQ {mean_pq:.2f}"
     for q in brute:
         assert q in ivfpq[q], "self must survive probing (nearest list)"
+
+
+def test_refine_recovers_recall_and_is_exactly_ranked(spark, sf_dir):
+    """The r8 refine stage (ADC shortlist -> exact re-rank): refined
+    top-10 must (a) clear the enforced floor row, (b) never score below
+    the unrefined ADC ranking, and (c) return EXACT cosine scores — for
+    every refined hit that brute force also ranks, the scores must be
+    bit-equal (both legs compute float64 cosine over the raw vectors),
+    proving the final ranking never touches quantized values."""
+    row = catalog.REGISTRY["ann_refine_recall_floor"].spark_fn(
+        spark, sf_dir).first()
+    assert row["floor_met"] is True
+    assert row["refine_not_worse"] is True
+    assert row["n_queries"] >= 10
+
+    brute_df = catalog.REGISTRY["ann_cosine_topk"].spark_fn(spark, sf_dir)
+    ref_df = catalog.REGISTRY["ann_ivfpq_refined_topk"].spark_fn(
+        spark, sf_dir)
+    brute = {(r["query_id"], r["neighbor_id"]): r["score"]
+             for r in brute_df.collect()}
+    ref = {(r["query_id"], r["neighbor_id"]): r["score"]
+           for r in ref_df.collect()}
+    shared = set(brute) & set(ref)
+    assert len(shared) >= 50  # 10 queries x >=5 overlap
+    for key in shared:
+        assert brute[key] == ref[key], (key, brute[key], ref[key])
+    # self-hit: the query vector itself survives shortlist + refine at
+    # exact score 1.0
+    for (q, n), s in ref.items():
+        if q == n:
+            assert s == 1.0
+
+
+def test_refine_shortlist_bounds_candidates(spark, sf_dir):
+    """Determinism + shape: two invocations are row-identical, and with
+    shortlist=k the refined ranking degenerates to re-scoring the ADC
+    top-k — same NEIGHBOR SET, exact scores."""
+    from sport_advantages_moderne_data_infrastructure_spark.operators import pq as PQ
+    from sport_advantages_moderne_data_infrastructure_spark.plans import simops
+
+    a = catalog.REGISTRY["ann_ivfpq_refined_topk"].spark_fn(
+        spark, sf_dir).collect()
+    b = catalog.REGISTRY["ann_ivfpq_refined_topk"].spark_fn(
+        spark, sf_dir).collect()
+    assert a == b
+    centroids, cb, idx = simops.ensure_ivfpq_index(spark, sf_dir)
+    e = simops.load_table(spark, sf_dir, "embeddings")
+    qs = simops._pq_queries(spark, sf_dir)
+    adc = _topk(PQ.ivfpq_topk(idx, qs, centroids, cb, nprobe=6, k=10))
+    narrow = _topk(PQ.ivfpq_refined_topk(
+        idx, e, qs, centroids, cb, nprobe=6, k=10, shortlist=10))
+    assert narrow == adc
