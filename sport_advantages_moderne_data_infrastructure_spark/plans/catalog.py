@@ -98,6 +98,8 @@ def build_indexes(spark, sf_dir: str) -> None:
         for f in [pool.submit(textops.capped_shingle_index, spark, sf_dir),
                   pool.submit(textops.minhash_index, spark, sf_dir)]:
             f.result()
+        textops.bm25_index(spark, sf_dir)  # independent of the shingle
+        # DAG but serialized after it — the pool is already saturated
 
     with ThreadPoolExecutor(max_workers=4) as pool:
         futs = [pool.submit(_text_chain, pool),

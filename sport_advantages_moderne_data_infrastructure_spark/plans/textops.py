@@ -309,6 +309,225 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "tok", "score", "rnk"))
 
 
+# --- BM25 lexical retrieval + hybrid (text x vector) fusion --------------
+#
+# Okapi BM25 (Robertson & Walker 1994) over a materialized postings
+# artifact, fused with the exactly-oracled brute cosine leg via
+# Reciprocal Rank Fusion (Cormack et al., SIGIR 2009) — the standard
+# first-stage retrieval stack of a training-data/RAG pipeline. Both
+# legs and the fusion are deterministic and SQL-expressible, so the
+# gate is a FULL hash oracle, not a floor. Cross-engine bit-parity
+# notes: idf is the log-free rational (N - df + .5)/(df + .5) (ln()
+# diverges in the last ulp between libms — the tfidf_top_terms rule);
+# per-(query, doc) term sums fold a SORTED array so double addition
+# order is identical in both engines; expression shapes/parenthesization
+# mirror the oracle token for token.
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_IDX: dict[str, tuple[str, str, int, float]] = {}
+
+
+def bm25_index(spark: SparkSession, sf_dir: str):
+    """Materialized BM25 postings — the inverted-index build of a text
+    search engine, done ONCE per corpus snapshot (the load/index phase,
+    like shingle_index/ensure_pq_index): postings (doc_id, tok, tf, dl)
+    and df (tok, df) parquet artifacts plus the two corpus scalars
+    (n_docs, avgdl — docs with >= 1 token). Queries read ONLY the
+    artifacts: the corpus text is never re-tokenized per query."""
+    if sf_dir not in _BM25_IDX:
+        import tempfile
+
+        d = load_table(spark, sf_dir, "documents")
+        toks = (d.select("doc_id",
+                         F.explode(F.split(F.trim("text"), " +"))
+                         .alias("tok"))
+                .filter(F.col("tok") != ""))
+        tf = toks.groupBy("doc_id", "tok").agg(
+            F.count(F.lit(1)).alias("tf"))
+        dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+        base = tempfile.mkdtemp(prefix="samdis_bm25_idx_")
+        tf.join(dl, "doc_id").write.parquet(base + "/postings.parquet")
+        (tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+         .write.parquet(base + "/df.parquet"))
+        n_docs, total = dl.agg(F.count(F.lit(1)), F.sum("dl")).first()
+        _BM25_IDX[sf_dir] = (base + "/postings.parquet",
+                             base + "/df.parquet", int(n_docs),
+                             int(total) / int(n_docs))
+    p_path, d_path, n_docs, avgdl = _BM25_IDX[sf_dir]
+    return (spark.read.parquet(p_path), spark.read.parquet(d_path),
+            n_docs, avgdl)
+
+
+def _bm25_query_terms(postings: DataFrame, df: DataFrame,
+                      n_docs: int) -> DataFrame:
+    """Query set: every 50th doc (the ANN convention, so the hybrid row
+    fuses over one id space); each query is its doc's top-3 TF-IDF terms
+    — derived entirely from the index artifacts (tf * N/df, the
+    tfidf_top_terms formula), never from raw text."""
+    from pyspark.sql import Window as W
+
+    scored = (postings.filter(F.col("doc_id") % 50 == 0)
+              .join(F.broadcast(df), "tok")
+              .select(F.col("doc_id").alias("query_id"), "tok",
+                      (F.col("tf") * F.lit(n_docs)
+                       / F.col("df").cast("double")).alias("s")))
+    w = W.partitionBy("query_id").orderBy(F.desc("s"), F.asc("tok"))
+    return (scored.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= 3).select("query_id", "tok"))
+
+
+# Shared oracle prefix: tokenize -> tf/dl/df/meta -> query terms ->
+# per-term BM25 partials -> sorted-fold sums -> ranked top-10.
+_BM25_SQL = (
+    "toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), "
+    "' +')) AS tok FROM documents), "
+    "tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM toks "
+    "WHERE tok <> '' GROUP BY doc_id, tok), "
+    "dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf "
+    "GROUP BY doc_id), "
+    "meta AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, "
+    "CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl FROM dl), "
+    "df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf "
+    "GROUP BY tok), "
+    "qs AS (SELECT tf.doc_id AS query_id, tf.tok, "
+    "tf.tf * meta.n_docs / CAST(df.df AS DOUBLE) AS s "
+    "FROM tf JOIN df USING (tok) CROSS JOIN meta "
+    "WHERE tf.doc_id % 50 = 0), "
+    "qt AS (SELECT query_id, tok FROM (SELECT query_id, tok, "
+    "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY s DESC, tok) AS r "
+    "FROM qs) WHERE r <= 3), "
+    "terms AS (SELECT qt.query_id, tf.doc_id, "
+    "((meta.n_docs - df.df + 0.5) / (df.df + 0.5)) * "
+    "(tf.tf * 2.2 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / meta.avgdl)"
+    ")) AS ts "
+    "FROM qt JOIN tf USING (tok) JOIN df USING (tok) "
+    "JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN meta), "
+    "bm25_agg AS (SELECT query_id, doc_id, "
+    "list_aggregate(list_sort(list(ts)), 'sum') AS score "
+    "FROM terms GROUP BY query_id, doc_id), "
+    "bm25 AS (SELECT query_id, doc_id, score, "
+    "CAST(ROW_NUMBER() OVER (PARTITION BY query_id "
+    "ORDER BY score DESC, doc_id) AS INT) AS rank FROM bm25_agg)"
+)
+
+
+def _bm25_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, doc_id, score, rank) for rank <= 10 — the Spark twin
+    of the oracle's ``bm25`` CTE. Scale shape: candidates are the UNION
+    OF POSTING LISTS of <= 30 query terms (posting-list-bounded, like
+    the capped inverted-index jaccard — never a corpus scan per query);
+    the tiny query-term and df sides broadcast; the only corpus-sized
+    shuffles are the index build's."""
+    from pyspark.sql import Window as W
+
+    postings, df, n_docs, avgdl = bm25_index(spark, sf_dir)
+    qt = _bm25_query_terms(postings, df, n_docs)
+    idf = ((F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tf_part = (F.col("tf") * 2.2
+               / (F.col("tf") + 1.2 * (1 - 0.75 + 0.75 * F.col("dl")
+                                       / F.lit(avgdl))))
+    cand = (postings.join(F.broadcast(qt), "tok")
+            .join(F.broadcast(df), "tok")
+            .select("query_id", "doc_id", (idf * tf_part).alias("ts")))
+    scored = (cand.groupBy("query_id", "doc_id")
+              .agg(F.aggregate(F.array_sort(F.collect_list("ts")),
+                               F.lit(0.0), lambda a, x: a + x)
+                   .alias("score")))
+    w = W.partitionBy("query_id").orderBy(F.desc("score"),
+                                          F.asc("doc_id"))
+    return (scored.withColumn("rank",
+                              F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= 10))
+
+
+@register(
+    "text_bm25_topk", bench=True, driver=False,  # new r8; full oracle
+    # parity per pytest run; the gated surface is hybrid_search_rrf,
+    # which embeds this leg end-to-end
+    oracle=(f"WITH {_BM25_SQL} "
+            "SELECT query_id, doc_id, ROUND(score, 4) AS score, rank "
+            "FROM bm25 WHERE rank <= 10 ORDER BY query_id, rank"))
+def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 (k1=1.2, b=0.75) for every 50th doc as query
+    (query = its own top-3 TF-IDF terms). The oracle recomputes the
+    ENTIRE pipeline — tokenize, postings, df, query-term selection,
+    log-free idf, length-normalized tf, sorted-fold sums, ranking —
+    so retrieval itself is value-verified, not just the plumbing."""
+    return (_bm25_ranked(spark, sf_dir)
+            .select("query_id", "doc_id",
+                    F.round("score", 4).alias("score"), "rank")
+            .orderBy("query_id", "rank"))
+
+
+@register(
+    "hybrid_search_rrf",  # new r8, gated immediately (slot:
+    # lang_rebalanced_sample demoted — green r5-r7; the
+    # quota-resampling shape stays gated via mixture_token_budget,
+    # its harder generalization (per-source token budgets over
+    # distributed prefix sums), and stays DuckDB-verified per pytest
+    # run).
+    oracle=(
+        f"WITH {_BM25_SQL}, "
+        "q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS qe "
+        "FROM embeddings WHERE vec_id % 50 = 0), "
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ee "
+        "FROM embeddings), "
+        "vscored AS (SELECT q.vec_id AS query_id, e.vec_id AS doc_id, "
+        "list_dot_product(qe, ee) / (sqrt(list_dot_product(qe, qe)) * "
+        "sqrt(list_dot_product(ee, ee))) AS cos FROM q CROSS JOIN e), "
+        "vec AS (SELECT query_id, doc_id, "
+        "CAST(ROW_NUMBER() OVER (PARTITION BY query_id "
+        "ORDER BY cos DESC, doc_id) AS INT) AS rank FROM vscored "
+        "QUALIFY rank <= 10), "
+        "fused AS (SELECT COALESCE(b.query_id, v.query_id) AS query_id, "
+        "COALESCE(b.doc_id, v.doc_id) AS doc_id, "
+        "COALESCE(1.0 / (60 + b.rank), 0.0) + "
+        "COALESCE(1.0 / (60 + v.rank), 0.0) AS rrf, "
+        "b.rank IS NOT NULL AS in_text, v.rank IS NOT NULL AS in_vector "
+        "FROM (SELECT * FROM bm25 WHERE rank <= 10) b "
+        "FULL OUTER JOIN vec v "
+        "ON b.query_id = v.query_id AND b.doc_id = v.doc_id), "
+        "ranked AS (SELECT query_id, doc_id, rrf, in_text, in_vector, "
+        "CAST(ROW_NUMBER() OVER (PARTITION BY query_id "
+        "ORDER BY rrf DESC, doc_id) AS INT) AS rank FROM fused) "
+        "SELECT query_id, doc_id, ROUND(rrf, 6) AS rrf_score, rank, "
+        "in_text, in_vector FROM ranked WHERE rank <= 10 "
+        "ORDER BY query_id, rank"))
+def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 top-10 (lexical) fused with brute-cosine
+    top-10 (semantic, the exactly-oracled ANN truth leg) by Reciprocal
+    Rank Fusion, rrf = sum 1/(60 + rank) over the legs that returned
+    the doc — the standard first-stage stack (Cormack et al. 2009).
+    Documents and embeddings share the id space (TESTDATA.md), so the
+    fusion is a (query_id, doc_id) FULL OUTER join of two <= 10-row-
+    per-query frames: O(queries) work on top of the two legs at any
+    corpus size. in_text/in_vector provenance booleans are part of the
+    hashed contract."""
+    from pyspark.sql import Window as W
+
+    from .simops import q_ann_cosine_topk
+
+    text = (_bm25_ranked(spark, sf_dir)
+            .select("query_id", "doc_id", F.col("rank").alias("r_t")))
+    vec = (q_ann_cosine_topk(spark, sf_dir)
+           .select("query_id", F.col("neighbor_id").alias("doc_id"),
+                   F.col("rank").alias("r_v")))
+    fused = text.join(vec, ["query_id", "doc_id"], "full_outer")
+    rrf = (F.coalesce(1.0 / (60 + F.col("r_t")), F.lit(0.0))
+           + F.coalesce(1.0 / (60 + F.col("r_v")), F.lit(0.0)))
+    w = W.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return (fused.select("query_id", "doc_id", rrf.alias("rrf"),
+                         F.col("r_t").isNotNull().alias("in_text"),
+                         F.col("r_v").isNotNull().alias("in_vector"))
+            .withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= 10)
+            .select("query_id", "doc_id",
+                    F.round("rrf", 6).alias("rrf_score"), "rank",
+                    "in_text", "in_vector")
+            .orderBy("query_id", "rank"))
+
+
 # --- training-data set operations: sampling / splits / packing -----------
 # All keyed on md5(doc_id) arithmetic, not RNG: stable across runs,
 # engines, and cluster sizes — the production way to sample/split a
@@ -368,7 +587,12 @@ _LANG_RATES = [("en", 40), ("es", 70), ("fr", 70), ("zh", 100)]
 
 
 @register(
-    "lang_rebalanced_sample",  # promoted into the driver window r4
+    "lang_rebalanced_sample",  # promoted into the driver window r4.
+    # Demoted r8 after green r5-r7: the quota-resampling shape stays
+    # gated via mixture_token_budget (per-source token budgets over
+    # distributed prefix sums — the harder generalization); stays
+    # DuckDB-verified per pytest run; slot goes to hybrid_search_rrf
+    driver=False,
     oracle=(
         "WITH rates(lang, keep_pct) AS (VALUES "
         + ", ".join(f"('{lg}', {r})" for lg, r in _LANG_RATES)

@@ -75,7 +75,16 @@ _NESTED_LOOP_ALLOWED = {"ann_cosine_topk", "ann_recall_report",
                         # floor row contains the brute baseline. The
                         # composed ann_ivfpq_topk is NOT allowed here —
                         # its probe join must stay an equi-join.
-                        "ann_pq_topk", "ann_pq_recall_floor"}
+                        "ann_pq_topk", "ann_pq_recall_floor",
+                        # r8: both CONTAIN the brute baseline by design
+                        # — the refine floor measures refined AND ADC
+                        # against exhaustive truth; the hybrid row fuses
+                        # the exactly-oracled brute cosine leg. The
+                        # refined query itself (ann_ivfpq_refined_topk)
+                        # is NOT allowed here: its ADC leg is an
+                        # equi-join and its exact leg a broadcast HASH
+                        # join on doc id — never all-pairs.
+                        "ann_refine_recall_floor", "hybrid_search_rrf"}
 
 
 # non-driver entries whose all-pairs shape is the documented point:

@@ -1,0 +1,83 @@
+"""BM25 + hybrid RRF retrieval (r8): oracle parity is covered by
+test_oracle_parity (both rows carry full hash oracles); these tests pin
+the retrieval SEMANTICS (self-retrieval, fusion behavior) and the plan
+shape (posting-list joins stay broadcast hash, never all-pairs)."""
+
+from __future__ import annotations
+
+import contextlib
+import io as _io
+
+from sport_advantages_moderne_data_infrastructure_spark.plans import catalog
+
+catalog._load_all()
+
+
+def _plan(df) -> str:
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_bm25_self_retrieval(spark, sf_dir):
+    """A document queried by its own top-3 TF-IDF terms should rank in
+    its own top-10 almost always (BM25's length normalization can
+    legitimately push a long self-doc below shorter docs dense in the
+    same terms — observed for 1 of 10 queries at sf0.001)."""
+    rows = catalog.REGISTRY["text_bm25_topk"].spark_fn(
+        spark, sf_dir).collect()
+    queries = {r["query_id"] for r in rows}
+    self_hits = {r["query_id"] for r in rows
+                 if r["query_id"] == r["doc_id"]}
+    assert len(queries) >= 10
+    assert len(self_hits) >= len(queries) - 2, (queries - self_hits)
+    # scores positive and ranks contiguous from 1 per query
+    by_q = {}
+    for r in rows:
+        assert r["score"] > 0
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), q
+
+
+def test_hybrid_rrf_fusion_semantics(spark, sf_dir):
+    """Fusion contract: exactly 10 rows per query, every row came from
+    at least one leg, rrf bounded by (0, 2/61], a doc present in BOTH
+    legs carries the sum of both reciprocal ranks, and the self doc —
+    rank 1 in the vector leg by construction — lands in the hybrid
+    top-2 for every query."""
+    rows = catalog.REGISTRY["hybrid_search_rrf"].spark_fn(
+        spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+        assert r["in_text"] or r["in_vector"]
+        assert 0 < r["rrf_score"] <= round(2 / 61, 6)
+        if r["in_text"] and r["in_vector"]:
+            assert r["rrf_score"] > round(1 / 61, 6)  # strictly above
+            # the best any single-leg doc can score
+    for q, qr in by_q.items():
+        assert len(qr) == 10, q
+        self_rank = [r["rank"] for r in qr if r["doc_id"] == q]
+        assert self_rank and self_rank[0] <= 2, (q, self_rank)
+
+
+def test_hybrid_deterministic(spark, sf_dir):
+    a = catalog.REGISTRY["hybrid_search_rrf"].spark_fn(
+        spark, sf_dir).collect()
+    b = catalog.REGISTRY["hybrid_search_rrf"].spark_fn(
+        spark, sf_dir).collect()
+    assert a == b
+
+
+def test_bm25_plan_is_posting_list_broadcast_join(spark, sf_dir):
+    """The candidate set is the union of <= 30 query-term posting lists:
+    the query-term and df sides must BROADCAST against the postings
+    artifact (never shuffle the corpus per query) and nothing may plan
+    all-pairs."""
+    plan = _plan(catalog.REGISTRY["text_bm25_topk"].spark_fn(
+        spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
