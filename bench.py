@@ -95,6 +95,13 @@ QUERY_BUDGETS = {
     "training_order_shuffle": 0.42,  # min 0.282 (new r6; local sf0.1 runs)
     "dedup_repeated_spans": 2.63,   # min 1.755 (new r7, post xxhash64-
     # pair slimming; local sf0.1 runs)
+    # r8-added queries:
+    "ann_ivfpq_refined_topk": 2.46,  # min 1.641 (ADC leg + exact
+    # refine of the 50-candidate shortlist)
+    "text_bm25_topk": 3.81,         # min 2.537 — the synthetic corpus
+    # has a 31-token vocabulary, so every posting list spans ~the whole
+    # corpus and candidates are O(n_queries x corpus); with a real
+    # Zipfian vocabulary candidates are posting-list-bounded
 }
 
 

@@ -1,0 +1,106 @@
+"""BM25 lexical retrieval primitives (Robertson & Walker 1994), shared
+by the batch index build (plans/textops.bm25_index), the registered
+queries, and the streaming index maintenance (streaming/bm25.py).
+
+Scale shape: the postings build is one tokenize scan + one (doc_id,
+tok) rollup; df is a rollup of the postings (rows are already distinct
+per (doc_id, tok), so df = COUNT per tok). Query-time candidates are
+the union of the query terms' posting lists — the term and df sides
+broadcast, so per-query cost is posting-list-bounded at any corpus
+size. Cross-engine bit-parity rules (log-free rational idf,
+sorted-fold sums) are documented at the registered queries
+(plans/textops.py, §BM25).
+
+Reference context: the reference has no text retrieval; this extends
+the training-data/RAG north star (SURVEY §2 extensions) — dedup,
+similarity search, and now first-stage hybrid retrieval share one
+engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+K1 = 1.2
+B = 0.75
+
+
+def postings_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, tok, tf, dl) from a documents frame — whitespace
+    tokenization (the corpus-wide convention, tfidf_top_terms), term
+    frequency per (doc, term), document token length attached to every
+    posting so scoring never re-joins a lengths table."""
+    toks = (docs.select("doc_id",
+                        F.explode(F.split(F.trim("text"), " +"))
+                        .alias("tok"))
+            .filter(F.col("tok") != ""))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    return tf.join(dl, "doc_id")
+
+
+def df_frame(postings: DataFrame) -> DataFrame:
+    """(tok, df): document frequency — postings rows are distinct per
+    (doc_id, tok), so this is a plain COUNT rollup."""
+    return postings.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+
+
+def corpus_scalars(postings: DataFrame) -> tuple[int, float]:
+    """(n_docs, avgdl) over docs with >= 1 token — one bounded job."""
+    dl = postings.select("doc_id", "dl").distinct()
+    n_docs, total = dl.agg(F.count(F.lit(1)), F.sum("dl")).first()
+    return int(n_docs), int(total) / int(n_docs)
+
+
+def query_terms_tfidf(postings: DataFrame, df: DataFrame, n_docs: int,
+                      doc_pred, n_terms: int = 3) -> DataFrame:
+    """(query_id, tok): each selected doc's top-``n_terms`` TF-IDF
+    terms (tf * N/df, the tfidf_top_terms formula) — derived entirely
+    from the index artifacts, never from raw text. ``doc_pred`` is a
+    Column predicate over ``doc_id`` selecting the query docs."""
+    from pyspark.sql import Window as W
+
+    # broadcast the QUERY DOCS' postings (tiny — n_queries docs' terms)
+    # against the vocab-sized df table, never the reverse: at corpus
+    # scale the vocabulary does not fit in a broadcast, the query set
+    # always does
+    scored = (F.broadcast(postings.filter(doc_pred))
+              .join(df, "tok")
+              .select(F.col("doc_id").alias("query_id"), "tok",
+                      (F.col("tf") * F.lit(n_docs)
+                       / F.col("df").cast("double")).alias("s")))
+    w = W.partitionBy("query_id").orderBy(F.desc("s"), F.asc("tok"))
+    return (scored.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= n_terms).select("query_id", "tok"))
+
+
+def bm25_topk(postings: DataFrame, df: DataFrame,
+              query_terms: DataFrame, n_docs: int, avgdl: float,
+              k: int = 10) -> DataFrame:
+    """(query_id, doc_id, score, rank) for rank <= k. ``query_terms``
+    is any (query_id, tok) frame — the public API takes arbitrary
+    queries, the registered row instantiates it with TF-IDF-derived
+    ones. Expression shapes mirror the DuckDB oracle token for token
+    (plans/textops.py) so the contract stays a full hash."""
+    from pyspark.sql import Window as W
+
+    idf = ((F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tf_part = (F.col("tf") * 2.2
+               / (F.col("tf") + 1.2 * (1 - 0.75 + 0.75 * F.col("dl")
+                                       / F.lit(avgdl))))
+    # attach df to the query-term side FIRST (broadcast the <= 30-row
+    # term list against the vocab-sized df — never broadcast the
+    # vocabulary), so the postings scan joins ONE tiny broadcast side
+    qt_df = F.broadcast(query_terms).join(df, "tok")
+    cand = (postings.join(F.broadcast(qt_df), "tok")
+            .select("query_id", "doc_id", (idf * tf_part).alias("ts")))
+    scored = (cand.groupBy("query_id", "doc_id")
+              .agg(F.aggregate(F.array_sort(F.collect_list("ts")),
+                               F.lit(0.0), lambda a, x: a + x)
+                   .alias("score")))
+    w = W.partitionBy("query_id").orderBy(F.desc("score"),
+                                          F.asc("doc_id"))
+    return (scored.withColumn("rank",
+                              F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= k))

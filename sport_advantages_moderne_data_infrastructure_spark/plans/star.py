@@ -791,7 +791,14 @@ def q_approx_distinct_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "order_price_outliers",  # promoted into the driver window r4
+    "order_price_outliers",  # promoted into the driver window r4.
+    # Demoted r8 after green r5-r7: the grouped robust-stats shape
+    # stays gated via pricing_summary (grouped agg, benched) +
+    # customer_order_ranks (window rank, benched), and the quantile
+    # machinery stays DuckDB-verified per pytest run via
+    # order_price_quantiles / order_price_quartile_bands /
+    # approx_quantile_contract; slot goes to stream_bm25_index_equiv
+    driver=False,
     oracle=(
         # z-score anomaly detection per priority group; population stddev
         # (stddev_pop ≡ Spark stddev_pop) — boundary values rounded away

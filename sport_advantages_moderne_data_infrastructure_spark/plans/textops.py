@@ -334,47 +334,26 @@ def bm25_index(spark: SparkSession, sf_dir: str):
     like shingle_index/ensure_pq_index): postings (doc_id, tok, tf, dl)
     and df (tok, df) parquet artifacts plus the two corpus scalars
     (n_docs, avgdl — docs with >= 1 token). Queries read ONLY the
-    artifacts: the corpus text is never re-tokenized per query."""
+    artifacts: the corpus text is never re-tokenized per query.
+    Streaming twin: streaming/bm25.py maintains the same three pieces
+    incrementally (gated ``stream_bm25_index_equiv``)."""
+    from ..operators import retrieval as R
+
     if sf_dir not in _BM25_IDX:
         import tempfile
 
         d = load_table(spark, sf_dir, "documents")
-        toks = (d.select("doc_id",
-                         F.explode(F.split(F.trim("text"), " +"))
-                         .alias("tok"))
-                .filter(F.col("tok") != ""))
-        tf = toks.groupBy("doc_id", "tok").agg(
-            F.count(F.lit(1)).alias("tf"))
-        dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+        postings = R.postings_frame(d)
         base = tempfile.mkdtemp(prefix="samdis_bm25_idx_")
-        tf.join(dl, "doc_id").write.parquet(base + "/postings.parquet")
-        (tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-         .write.parquet(base + "/df.parquet"))
-        n_docs, total = dl.agg(F.count(F.lit(1)), F.sum("dl")).first()
+        postings.write.parquet(base + "/postings.parquet")
+        written = spark.read.parquet(base + "/postings.parquet")
+        R.df_frame(written).write.parquet(base + "/df.parquet")
+        n_docs, avgdl = R.corpus_scalars(written)
         _BM25_IDX[sf_dir] = (base + "/postings.parquet",
-                             base + "/df.parquet", int(n_docs),
-                             int(total) / int(n_docs))
+                             base + "/df.parquet", n_docs, avgdl)
     p_path, d_path, n_docs, avgdl = _BM25_IDX[sf_dir]
     return (spark.read.parquet(p_path), spark.read.parquet(d_path),
             n_docs, avgdl)
-
-
-def _bm25_query_terms(postings: DataFrame, df: DataFrame,
-                      n_docs: int) -> DataFrame:
-    """Query set: every 50th doc (the ANN convention, so the hybrid row
-    fuses over one id space); each query is its doc's top-3 TF-IDF terms
-    — derived entirely from the index artifacts (tf * N/df, the
-    tfidf_top_terms formula), never from raw text."""
-    from pyspark.sql import Window as W
-
-    scored = (postings.filter(F.col("doc_id") % 50 == 0)
-              .join(F.broadcast(df), "tok")
-              .select(F.col("doc_id").alias("query_id"), "tok",
-                      (F.col("tf") * F.lit(n_docs)
-                       / F.col("df").cast("double")).alias("s")))
-    w = W.partitionBy("query_id").orderBy(F.desc("s"), F.asc("tok"))
-    return (scored.withColumn("r", F.row_number().over(w))
-            .filter(F.col("r") <= 3).select("query_id", "tok"))
 
 
 # Shared oracle prefix: tokenize -> tf/dl/df/meta -> query terms ->
@@ -414,31 +393,19 @@ _BM25_SQL = (
 
 def _bm25_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(query_id, doc_id, score, rank) for rank <= 10 — the Spark twin
-    of the oracle's ``bm25`` CTE. Scale shape: candidates are the UNION
-    OF POSTING LISTS of <= 30 query terms (posting-list-bounded, like
-    the capped inverted-index jaccard — never a corpus scan per query);
-    the tiny query-term and df sides broadcast; the only corpus-sized
-    shuffles are the index build's."""
-    from pyspark.sql import Window as W
+    of the oracle's ``bm25`` CTE (operators/retrieval.bm25_topk over
+    the materialized index; queries = every 50th doc's top-3 TF-IDF
+    terms, the ANN id convention). Scale shape: candidates are the
+    UNION OF POSTING LISTS of <= 30 query terms (posting-list-bounded,
+    like the capped inverted-index jaccard — never a corpus scan per
+    query); the tiny query-term and df sides broadcast; the only
+    corpus-sized shuffles are the index build's."""
+    from ..operators import retrieval as R
 
     postings, df, n_docs, avgdl = bm25_index(spark, sf_dir)
-    qt = _bm25_query_terms(postings, df, n_docs)
-    idf = ((F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5))
-    tf_part = (F.col("tf") * 2.2
-               / (F.col("tf") + 1.2 * (1 - 0.75 + 0.75 * F.col("dl")
-                                       / F.lit(avgdl))))
-    cand = (postings.join(F.broadcast(qt), "tok")
-            .join(F.broadcast(df), "tok")
-            .select("query_id", "doc_id", (idf * tf_part).alias("ts")))
-    scored = (cand.groupBy("query_id", "doc_id")
-              .agg(F.aggregate(F.array_sort(F.collect_list("ts")),
-                               F.lit(0.0), lambda a, x: a + x)
-                   .alias("score")))
-    w = W.partitionBy("query_id").orderBy(F.desc("score"),
-                                          F.asc("doc_id"))
-    return (scored.withColumn("rank",
-                              F.row_number().over(w).cast("int"))
-            .filter(F.col("rank") <= 10))
+    qt = R.query_terms_tfidf(postings, df, n_docs,
+                             F.col("doc_id") % 50 == 0)
+    return R.bm25_topk(postings, df, qt, n_docs, avgdl)
 
 
 @register(
@@ -526,6 +493,84 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("rrf", 6).alias("rrf_score"), "rank",
                     "in_text", "in_vector")
             .orderBy("query_id", "rank"))
+
+
+@register(
+    "stream_bm25_index_equiv",  # new r8, gated immediately (slot:
+    # order_price_outliers demoted — green r5-r7; the grouped
+    # robust-stats shape stays gated via pricing_summary +
+    # customer_order_ranks, quantile machinery stays DuckDB-verified
+    # per pytest run).
+    # Self-contained equivalence contract (the stream_ann_index_equiv
+    # pattern): the literal-TRUE booleans flip — and the gate
+    # hash-mismatches — if the stream-maintained BM25 index ever
+    # diverges from the batch build in CONTENT (postings rows, the
+    # df view's counts, the meta-accumulated corpus scalars) or in
+    # QUERY RESULTS (rank-exact BM25 top-10 through maintained vs
+    # batch artifacts). n_docs is recomputed relationally by the
+    # oracle, so the scalar accumulation is value-verified too.
+    oracle=(f"WITH {_BM25_SQL} "
+            "SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM dl) "
+            "AS n_docs, CAST(1 AS BOOLEAN) AS postings_match, "
+            "CAST(1 AS BOOLEAN) AS df_match, "
+            "CAST(1 AS BOOLEAN) AS scalars_match, "
+            "CAST(1 AS BOOLEAN) AS topk_match"))
+def q_stream_bm25_index_equiv(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Streaming maintenance of the BM25 index (streaming/bm25.py):
+    documents arrive as two micro-batches through the exact per-batch
+    ingest the foreachBatch sink runs (postings append with
+    meta-accumulated scalars + bucketed df-view refresh from the
+    postings change feed, every leg replay-guarded); the maintained
+    postings/df/scalars must be row-identical to the batch build over
+    the same corpus, and BM25 top-10 served from the maintained
+    artifacts must be rank-identical to the batch-index answer."""
+    import tempfile
+
+    from ..operators import retrieval as R
+    from ..sources.txnlog import TxnTable
+    from ..streaming.bm25 import ingest_batch, make_df_view, \
+        read_bm25_index
+
+    d = load_table(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="samdis_stream_bm25_")
+    postings = TxnTable(root + "/postings")
+    df_view = make_df_view(root)
+    app = "bm25ix_twin"
+    ingest_batch(postings, df_view, d.filter(F.col("doc_id") % 2 == 0),
+                 0, app)
+    ingest_batch(postings, df_view, d.filter(F.col("doc_id") % 2 == 1),
+                 1, app)
+    m_post, m_df, m_n, m_avgdl = read_bm25_index(spark, root)
+
+    b_post = R.postings_frame(d)
+    b_df = R.df_frame(b_post)
+    b_n, b_avgdl = R.corpus_scalars(b_post)
+
+    cols = ["doc_id", "tok", "tf", "dl"]
+    postings_ok = (
+        m_post.select(cols).exceptAll(b_post.select(cols)).count() == 0
+        and b_post.select(cols).exceptAll(m_post.select(cols)).count()
+        == 0)
+    m_dfc = m_df.select("tok", F.col("df").cast("long").alias("df"))
+    b_dfc = b_df.select("tok", F.col("df").cast("long").alias("df"))
+    df_ok = (m_dfc.exceptAll(b_dfc).count() == 0
+             and b_dfc.exceptAll(m_dfc).count() == 0)
+    scalars_ok = (m_n == b_n and m_avgdl == b_avgdl)
+
+    qt = R.query_terms_tfidf(m_post, m_dfc, m_n,
+                             F.col("doc_id") % 50 == 0)
+    mt = (R.bm25_topk(m_post, m_dfc, qt, m_n, m_avgdl)
+          .select("query_id", "doc_id", "rank"))
+    bt = (_bm25_ranked(spark, sf_dir)
+          .select("query_id", "doc_id", "rank"))
+    topk_ok = (mt.exceptAll(bt).count() == 0
+               and bt.exceptAll(mt).count() == 0)
+    return spark.createDataFrame(
+        [(int(b_n), bool(postings_ok), bool(df_ok), bool(scalars_ok),
+          bool(topk_ok))],
+        "n_docs long, postings_match boolean, df_match boolean, "
+        "scalars_match boolean, topk_match boolean")
 
 
 # --- training-data set operations: sampling / splits / packing -----------

@@ -8,6 +8,8 @@ from __future__ import annotations
 import contextlib
 import io as _io
 
+from pyspark.sql import functions as F
+
 from sport_advantages_moderne_data_infrastructure_spark.plans import catalog
 
 catalog._load_all()
@@ -81,3 +83,66 @@ def test_bm25_plan_is_posting_list_broadcast_join(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_stream_bm25_index_restart_exactly_once(spark, sf_dir,
+                                                tmp_path_factory):
+    """Real writeStream leg: maintain the index from a file stream,
+    then RESTART on the same checkpoint — the replay-guarded commits
+    must not double-ingest (postings row count, df counts, and the
+    meta-accumulated scalars all unchanged), and the maintained index
+    must equal the batch build."""
+    from sport_advantages_moderne_data_infrastructure_spark.operators import (
+        retrieval as R,
+    )
+    from sport_advantages_moderne_data_infrastructure_spark.sources.tables import (
+        load_table,
+    )
+    from sport_advantages_moderne_data_infrastructure_spark.streaming.bm25 import (
+        read_bm25_index, write_stream_bm25_index,
+    )
+
+    base = tmp_path_factory.mktemp("bm25stream")
+    src = str(base / "src")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d.write.parquet(src)
+
+    stream = (spark.readStream.schema(d.schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    root, ckpt = str(base / "idx"), str(base / "ckpt")
+    q = write_stream_bm25_index(stream, root, ckpt, app_id="bm25_t")
+    q.awaitTermination(120)
+    q.stop()
+
+    post1, df1, n1, avg1 = read_bm25_index(spark, root)
+    rows1, toks1 = post1.count(), df1.count()
+
+    # restart on the same checkpoint: no new input -> nothing changes
+    q2 = write_stream_bm25_index(
+        (spark.readStream.schema(d.schema)
+         .option("maxFilesPerTrigger", "1").parquet(src)),
+        root, ckpt, app_id="bm25_t")
+    q2.awaitTermination(60)
+    q2.stop()
+    post2, df2, n2, avg2 = read_bm25_index(spark, root)
+    assert (post2.count(), df2.count(), n2, avg2) == (rows1, toks1,
+                                                     n1, avg1)
+
+    batch = R.postings_frame(d)
+    bn, bavg = R.corpus_scalars(batch)
+    assert (n1, avg1) == (bn, bavg)
+    cols = ["doc_id", "tok", "tf", "dl"]
+    assert post1.select(cols).exceptAll(batch.select(cols)).count() == 0
+    assert batch.select(cols).exceptAll(post1.select(cols)).count() == 0
+    bdf = R.df_frame(batch)
+    m = df1.select("tok", F.col("df").cast("long").alias("df"))
+    b = bdf.select("tok", F.col("df").cast("long").alias("df"))
+    assert m.exceptAll(b).count() == 0 and b.exceptAll(m).count() == 0
+
+
+def test_stream_bm25_equiv_row_green(spark, sf_dir):
+    row = catalog.REGISTRY["stream_bm25_index_equiv"].spark_fn(
+        spark, sf_dir).first()
+    assert row["postings_match"] and row["df_match"]
+    assert row["scalars_match"] and row["topk_match"]
+    assert row["n_docs"] > 0
