@@ -1185,6 +1185,83 @@ def q_scd2_employee_sport_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
                      ts="start_datetime", tie="id")
 
 
+_PIT_SQL = (
+    "WITH ord AS (SELECT id_employee, sport_type, start_datetime, id, "
+    "lag(sport_type) OVER (PARTITION BY id_employee "
+    "ORDER BY start_datetime, id) AS prev_type FROM sport_activities), "
+    "chg AS (SELECT id_employee, sport_type, start_datetime, id FROM ord "
+    "WHERE prev_type IS NULL OR prev_type <> sport_type), "
+    "dim AS (SELECT id_employee, sport_type, "
+    "start_datetime AS valid_from, "
+    "lead(start_datetime) OVER (PARTITION BY id_employee "
+    "ORDER BY start_datetime, id) AS valid_to FROM chg), "
+    # probe timestamps: validations all land in the first minutes of the
+    # month while activities span all of it, so raw created_at would
+    # make the contract vacuous (every answer NULL); the deterministic
+    # day/hour spread puts probes THROUGHOUT the dimension's history —
+    # mirrored exactly Spark-side (integer-interval timestamp adds are
+    # bit-exact in both engines)
+    "probes AS (SELECT id_validate, id_employee, "
+    "created_at + ((id_validate % 30) * INTERVAL 1 DAY) "
+    "+ ((id_validate % 24) * INTERVAL 1 HOUR) AS probe_ts "
+    "FROM commute_validations) "
+    "SELECT v.id_validate, v.id_employee, v.probe_ts, "
+    "d.sport_type AS sport_at_validation, "
+    "d.valid_from AS sport_since "
+    "FROM probes v LEFT JOIN dim d "
+    "ON v.id_employee = d.id_employee "
+    "AND d.valid_from <= v.probe_ts "
+    "AND (d.valid_to IS NULL OR v.probe_ts < d.valid_to) "
+    "ORDER BY v.id_validate")
+
+
+@register("scd2_point_in_time_join",  # new r8, gated immediately (slot:
+          # asof_bucketed_last_signup demoted — green r5-r7; the
+          # bucketed-asof machinery is exercised HARDER by this row
+          # (same operator over a DERIVED SCD2 dimension instead of a
+          # raw event table), and asof_last_signup + the streaming
+          # stateful twin stay DuckDB-verified per pytest run.
+          oracle=W(_PIT_SQL), tags=("J2", "T5"))
+def q_scd2_point_in_time_join(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Point-in-time join against the SCD2 dimension — THE query a
+    type-2 dimension exists to answer ("what sport was the employee
+    doing when this validation happened"). The oracle states the
+    SEMANTIC definition — a LEFT range join on interval containment
+    [valid_from, valid_to) — while the Spark side runs the SCALE shape:
+    SCD2 runs are contiguous and non-overlapping per key, so
+    containment is EQUIVALENT to an as-of join on run starts, and the
+    bucketed as-of operator (operators/asof.py — (key, day-bucket)
+    equi-candidates + carried last-run rows, one shuffle, no range
+    join) serves it. The gate hash-matching proves that equivalence
+    end-to-end on real data; tests/test_scd2_pit.py pins the
+    no-tie/no-degenerate-run preconditions so data drift surfaces
+    loudly rather than silently changing semantics."""
+    from pyspark.sql import functions as F
+
+    from ..operators.asof import asof_join_bucketed
+
+    a = D.sport_activities(spark, sf_dir).select(
+        "id_employee", "sport_type", "start_datetime", "id")
+    dim = scd2_runs(a, key="id_employee", attr="sport_type",
+                    ts="start_datetime", tie="id")
+    facts = (D.commute_validations(spark, sf_dir)
+             .select("id_validate", "id_employee",
+                     F.expr("created_at + make_interval(0, 0, 0, "
+                            "id_validate % 30, id_validate % 24, 0, 0)")
+                     .alias("probe_ts")))
+    out = asof_join_bucketed(
+        facts,
+        dim.select("id_employee", "sport_type", "valid_from"),
+        on="id_employee", left_ts="probe_ts",
+        right_ts="valid_from",
+        right_cols=["sport_type", "valid_from"], bucket="86400")
+    return (out.select("id_validate", "id_employee", "probe_ts",
+                       F.col("sport_type").alias("sport_at_validation"),
+                       F.col("valid_from").alias("sport_since"))
+            .orderBy("id_validate"))
+
+
 def scd2_runs(df: DataFrame, key: str, attr: str, ts: str,
               tie: str) -> DataFrame:
     """Generic SCD2 derivation over any (key, attr, ts, tie) change

@@ -127,6 +127,12 @@ def q_asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "asof_bucketed_last_signup",
+    # Demoted r8 after green r5-r7: the bucketed-asof machinery is
+    # exercised HARDER by scd2_point_in_time_join (same operator over
+    # a derived SCD2 dimension); asof_last_signup + the streaming
+    # stateful twin stay DuckDB-verified per pytest run; slot goes to
+    # scd2_point_in_time_join (plans/core.py)
+    driver=False,
     oracle=(
         # identical contract to asof_last_signup (DuckDB native ASOF) —
         # driven through the time-bucketed candidate-bounding variant
