@@ -1,0 +1,93 @@
+"""Bounded-memory frequency sketches: Misra-Gries heavy hitters
+(Misra & Gries 1982, the FREQUENT algorithm) with an EXACT second
+pass.
+
+Why a sketch when groupBy-count is exact? The shuffle. At 100 TB a
+groupBy over a high-cardinality key shuffles the whole key column;
+heavy-hitter recovery needs none of it:
+
+- pass 1 (shuffle-free): every partition runs Misra-Gries with
+  ceil(1/phi) counters over its slice — an Arrow-batched
+  ``mapInPandas`` whose state is a bounded dict (batch-level MG: exact
+  per-batch counts merge into the counters, then the (k+1)-th largest
+  value is subtracted from all — the classic batched form, undercount
+  still <= n_p/(k+1)). Each task emits <= k candidate rows.
+  Guarantee: if an item's GLOBAL count c > n/k then in SOME partition
+  c_p > n_p/k (else summing the per-partition inequalities gives
+  c <= n/k), and MG retains every item with c_p > n_p/(k+1) — so the
+  candidate union is a SUPERSET of the true phi-heavy hitters.
+- pass 2 (bounded shuffle): one aggregation grouped by
+  candidate-or-NULL — rows outside the candidate set collapse into
+  the NULL group, so map-side combine reduces the exchange to
+  <= (k+1) rows per task; the grand total n is the SUM over all
+  groups of the same aggregate (no separate count scan).
+
+The result is DETERMINISTIC AND EXACT — the sketch only proposes
+candidates, the second pass counts them exactly and applies the
+c > phi*n cut — which is why the registered row carries a FULL hash
+oracle (plain GROUP BY ... HAVING in DuckDB), not a tolerance
+contract.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def mg_candidates(df: DataFrame, col: str, k: int) -> DataFrame:
+    """Per-partition Misra-Gries candidate items (<= k per task), as a
+    1-column frame of DISTINCT candidate values. Arrow-batched; state
+    is a <= 2k-entry dict regardless of partition size."""
+    field = df.schema[col]
+    spark_type = field.dataType.simpleString()
+
+    def _mg(batches):
+        import pandas as pd
+
+        counters: dict = {}
+        for pdf in batches:
+            # batch-level MG: exact batch counts merge into the
+            # sketch, then one truncation back to k counters
+            for v, c in pdf[col].value_counts().items():
+                counters[v] = counters.get(v, 0) + int(c)
+            if len(counters) > k:
+                cut = sorted(counters.values(), reverse=True)[k]
+                counters = {v: c - cut for v, c in counters.items()
+                            if c - cut > 0}
+        yield pd.DataFrame({col: list(counters.keys())})
+
+    return (df.select(col).mapInPandas(_mg, schema=f"{col} {spark_type}")
+            .distinct())
+
+
+def heavy_hitters_exact(df: DataFrame, col: str,
+                        phi: float) -> DataFrame:
+    """All values of ``col`` with frequency > phi * n, with EXACT
+    counts and shares — two scans, no wide shuffle (see module doc).
+    Returns (col, cnt, share) unordered."""
+    k = math.ceil(1.0 / phi)
+    cand = mg_candidates(df, col, k)
+    # pass 2: tag each row with its candidate value (or NULL), one
+    # map-side-combined aggregation over <= k+1 groups gives both the
+    # per-candidate exact counts and (summed) the grand total
+    tagged = (df.select(col)
+              .join(F.broadcast(cand.select(F.col(col).alias("__cand"))),
+                    F.col(col).eqNullSafe(F.col("__cand")), "left")
+              .select("__cand"))
+    from pyspark.sql import Window as W
+
+    counts = tagged.groupBy("__cand").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    # global window over the <= k+1 aggregated rows only — bounded, a
+    # single-task stage over a sketch-sized frame, never the corpus
+    n_total = F.sum("cnt").over(W.partitionBy())
+    return (counts.withColumn("__n", n_total)
+            .filter(F.col("__cand").isNotNull()
+                    & (F.col("cnt") > phi * F.col("__n")))
+            .select(F.col("__cand").alias(col),
+                    F.col("cnt").cast("long").alias("cnt"),
+                    F.round(F.col("cnt") / F.col("__n"), 6)
+                    .alias("share")))

@@ -763,7 +763,13 @@ def q_customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "approx_distinct_contract",  # promoted into the driver window r4
+    "approx_distinct_contract",  # promoted into the driver window r4.
+    # Demoted r8 after green r5-r7: the sketch-contract class stays
+    # gated via heavy_hitters_users — a STRICTER contract (exact
+    # recovery + full hash oracle vs a tolerance band); HLL accuracy
+    # stays DuckDB-verified per pytest run; slot goes to
+    # heavy_hitters_users
+    driver=False,
     oracle=(
         # the oracle pins the EXACT counts and asserts the sketch landed
         # inside the tolerance (literal TRUE): if Spark's HLL ever drifts
@@ -788,6 +794,48 @@ def q_approx_distinct_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (agg.select("o_orderpriority", "n_exact",
                        within.alias("within_3pct"))
             .orderBy("o_orderpriority"))
+
+
+_HH_PHI = 0.007  # heavy-hitter threshold: share > 0.7% of all events.
+# sf0.001: every user qualifies (15 users, ~6.6% each) — the recovery
+# arm; sf0.01: ~a third of the 150 users clear 70 events — the
+# discrimination arm (both qualifying and non-qualifying users exist,
+# so a sketch that over- OR under-proposes flips the hash).
+
+
+@register(
+    "heavy_hitters_users",  # new r8, gated immediately (slot:
+    # approx_distinct_contract demoted — green r5-r7; the
+    # sketch-contract class stays gated via this STRICTER row and HLL
+    # stays DuckDB-verified per pytest run).
+    oracle=(
+        # the sketch only PROPOSES candidates — the second pass counts
+        # exactly and applies the cut, so the contract is a FULL hash
+        # oracle (plain GROUP BY/HAVING), not a tolerance band
+        "WITH c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt "
+        "FROM events WHERE user_id IS NOT NULL GROUP BY user_id), "
+        "t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM c) "
+        f"SELECT user_id, cnt, ROUND(cnt / CAST(n AS DOUBLE), 6) "
+        f"AS share FROM c, t WHERE cnt > {_HH_PHI} * n "
+        "ORDER BY user_id"))
+def q_heavy_hitters_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries heavy hitters over events.user_id (share > 0.7%),
+    EXACT via the two-pass design (operators/sketches.py): pass 1 is a
+    shuffle-FREE per-partition MG sketch (Arrow mapInPandas, bounded
+    ceil(1/phi) counters, provable no-false-negative union); pass 2 is
+    one map-side-combined aggregation over candidate-or-NULL (<= k+1
+    groups — the exchange carries ~k rows per task, and the grand
+    total n is the sum over the same groups, no separate count scan).
+    At 100 TB this replaces a full key-column shuffle with two scans;
+    the oracle recomputes the answer as a plain GROUP BY/HAVING, so
+    the gate proves exact recovery — candidates proposed by the sketch
+    and then exactly counted equal the true heavy-hitter set."""
+    from ..operators.sketches import heavy_hitters_exact
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull())
+    return (heavy_hitters_exact(e, "user_id", _HH_PHI)
+            .orderBy("user_id"))
 
 
 @register(
