@@ -483,3 +483,55 @@ def test_repeated_spans_scales_linearly(spark):
     n10 = run(M)
     t10 = _timed(lambda: run(M))
     assert _report("repeated_spans", n1, t1, n10, t10) <= MAX_RATIO
+
+
+def test_bm25_scales_linearly(spark):
+    """Index build + query over alphabet-rotated copies: vocab grows
+    10x (disjoint universes), every posting list keeps its per-copy
+    length, the query set grows 10x with the corpus — build and
+    retrieval are both ~linear. (PIT-join scaling is covered by the
+    composition of test_scd2_scales_linearly + test_asof_bucketed —
+    the operator is exactly dim + bucketed as-of.)"""
+    from sport_advantages_moderne_data_infrastructure_spark.operators import (
+        retrieval as R,
+    )
+
+    def run(m):
+        corpus = _scaled_docs(spark, m)
+        postings = R.postings_frame(corpus).cache()
+        df = R.df_frame(postings)
+        n_docs, avgdl = R.corpus_scalars(postings)
+        qt = R.query_terms_tfidf(postings, df, n_docs,
+                                 F.col("doc_id") % 50 == 0)
+        n = R.bm25_topk(postings, df, qt, n_docs, avgdl).count()
+        spark.catalog.clearCache()
+        return n
+    n1 = run(1)
+    t1 = _timed(lambda: run(1))
+    t10 = _timed(lambda: run(M))
+    ratio = _report("text_bm25_topk", n1, t1, -1, t10)
+    assert ratio <= MAX_RATIO, f"superlinear: {ratio:.1f}x at {M}x corpus"
+
+
+def test_heavy_hitters_scale_linearly(spark):
+    """User space and row count both grow 10x (per-copy shifts);
+    the share threshold is relative, so each copy contributes its own
+    hitters — candidates per partition stay <= k, the pass-2 exchange
+    stays ~k rows/task, runtime ~linear."""
+    from sport_advantages_moderne_data_infrastructure_spark.operators.sketches import (
+        heavy_hitters_exact,
+    )
+
+    def run(m):
+        # sf0.1 has 1,500 near-uniform users (~1/1500 share each), so
+        # the threshold sits below the typical share: non-vacuous at
+        # both scales, hitters grow ~10x with the copies
+        return heavy_hitters_exact(
+            _scaled_events(spark, m), "user_id", 0.0005 / m).count()
+    n1 = run(1)
+    t1 = _timed(lambda: run(1))
+    t10 = _timed(lambda: run(M))
+    n10 = run(M)
+    assert n1 > 0 and n10 >= 5 * n1  # recovery stays non-vacuous
+    ratio = _report("heavy_hitters_users", n1, t1, n10, t10)
+    assert ratio <= MAX_RATIO, f"superlinear: {ratio:.1f}x at {M}x corpus"
