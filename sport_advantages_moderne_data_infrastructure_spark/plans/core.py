@@ -1256,10 +1256,12 @@ def q_scd2_point_in_time_join(spark: SparkSession,
         on="id_employee", left_ts="probe_ts",
         right_ts="valid_from",
         right_cols=["sport_type", "valid_from"], bucket="86400")
-    return (out.select("id_validate", "id_employee", "probe_ts",
-                       F.col("sport_type").alias("sport_at_validation"),
-                       F.col("valid_from").alias("sport_since"))
-            .orderBy("id_validate"))
+    # no trailing presentation sort: the output is O(facts) and the
+    # driver compare is order-insensitive (r7 verdict #3 rule; pinned
+    # in test_no_presentation_sort_on_corpus_sized_outputs)
+    return out.select("id_validate", "id_employee", "probe_ts",
+                      F.col("sport_type").alias("sport_at_validation"),
+                      F.col("valid_from").alias("sport_since"))
 
 
 def scd2_runs(df: DataFrame, key: str, attr: str, ts: str,

@@ -321,6 +321,8 @@ _NO_PRESENTATION_SORT = [
     "stream_quarantine_batch_twin", "timeseries_gapfill",
     "final_table", "prime_query", "cdc_parse_project",
     "final_pipeline_incremental",
+    # r8 additions with corpus-proportional outputs
+    "scd2_point_in_time_join",
 ]
 
 
