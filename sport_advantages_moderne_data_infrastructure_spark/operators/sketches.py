@@ -37,10 +37,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def mg_candidates(df: DataFrame, col: str, k: int) -> DataFrame:
-    """Per-partition Misra-Gries candidate items (<= k per task), as a
-    1-column frame of DISTINCT candidate values. Arrow-batched; state
-    is a <= 2k-entry dict regardless of partition size."""
+def mg_partial(df: DataFrame, col: str, k: int) -> DataFrame:
+    """Per-partition Misra-Gries counters (<= k rows per task) WITH
+    their residual weights — the mergeable form (Agarwal et al. 2012,
+    "Mergeable Summaries": MG summaries with k counters merge with
+    cumulative undercount <= n/(k+1)). Arrow-batched; state is a
+    <= 2k-entry dict regardless of partition size. Returns
+    (col, weight) where 0 < weight <= true per-partition count."""
     field = df.schema[col]
     spark_type = field.dataType.simpleString()
 
@@ -57,10 +60,50 @@ def mg_candidates(df: DataFrame, col: str, k: int) -> DataFrame:
                 cut = sorted(counters.values(), reverse=True)[k]
                 counters = {v: c - cut for v, c in counters.items()
                             if c - cut > 0}
-        yield pd.DataFrame({col: list(counters.keys())})
+        yield pd.DataFrame({col: list(counters.keys()),
+                            "weight": list(counters.values())})
 
-    return (df.select(col).mapInPandas(_mg, schema=f"{col} {spark_type}")
-            .distinct())
+    return df.select(col).mapInPandas(
+        _mg, schema=f"{col} {spark_type}, weight long")
+
+
+def mg_merge(parts: DataFrame, col: str, k: int) -> DataFrame:
+    """s-way MG merge: pointwise-sum the counters, then ONE truncation
+    by the (k+1)-th largest summed weight (drop non-positive). Valid
+    per the mergeability theorem — each unit of cut consumes >= k+1
+    units of total mass, so cumulative undercount stays <= n/(k+1)
+    across any merge tree; MG never overcounts, so
+    true - n/(k+1) <= weight <= true for every surviving counter.
+    The sort/cut window runs over the AGGREGATED sketch-sized frame
+    (<= n_tasks*k rows), never the data."""
+    from pyspark.sql import Window as W
+
+    agg = parts.groupBy(col).agg(F.sum("weight").alias("weight"))
+    wr = W.partitionBy().orderBy(F.desc("weight"), F.asc(col))
+    ranked = agg.withColumn("__rn", F.row_number().over(wr))
+    cut = F.max(F.when(F.col("__rn") == k + 1, F.col("weight"))
+                .otherwise(F.lit(0))).over(W.partitionBy())
+    return (ranked.withColumn("__cut", cut)
+            .filter(F.col("weight") > F.col("__cut"))
+            .select(col, (F.col("weight") - F.col("__cut"))
+                    .cast("long").alias("weight")))
+
+
+def mg_sketch(df: DataFrame, col: str, k: int) -> DataFrame:
+    """Global Misra-Gries sketch of ``col``: <= k (value, weight) rows,
+    shuffle-free over the data (per-partition sketches, one bounded
+    merge). Any value with global count > n/(k+1) survives with a
+    positive weight — the candidate-superset guarantee heavy-hitter
+    recovery rests on."""
+    return mg_merge(mg_partial(df, col, k), col, k)
+
+
+def mg_candidates(df: DataFrame, col: str, k: int) -> DataFrame:
+    """Per-partition Misra-Gries candidate items as a 1-column frame of
+    DISTINCT candidate values (the union of per-task candidate SETS —
+    a superset of :func:`mg_sketch`'s keys, used where only proposal
+    matters and the exact pass does the counting)."""
+    return mg_partial(df, col, k).select(col).distinct()
 
 
 def heavy_hitters_exact(df: DataFrame, col: str,
@@ -69,7 +112,16 @@ def heavy_hitters_exact(df: DataFrame, col: str,
     counts and shares — two scans, no wide shuffle (see module doc).
     Returns (col, cnt, share) unordered."""
     k = math.ceil(1.0 / phi)
-    cand = mg_candidates(df, col, k)
+    return exact_pass(df, mg_candidates(df, col, k), col, phi)
+
+
+def exact_pass(df: DataFrame, cand: DataFrame, col: str,
+               phi: float) -> DataFrame:
+    """Pass 2 of heavy-hitter recovery, given an externally-proposed
+    candidate frame (1 column named ``col``; e.g. a stream-maintained
+    MG sketch's keys): exact counts + the phi cut, one bounded
+    map-side-combined aggregation."""
+    cand = cand.select(col)
     # pass 2: tag each row with its candidate value (or NULL), one
     # map-side-combined aggregation over <= k+1 groups gives both the
     # per-candidate exact counts and (summed) the grand total

@@ -329,7 +329,14 @@ def q_txn_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("txn_point_lookup",  # rotated INTO the driver window r5
-          # (customer_order_gaps rotated out) — the last never-gated entry
+          # (customer_order_gaps rotated out) — the last never-gated
+          # entry. Demoted r8 after green r5-r7: the stats-driven
+          # pruned-read class stays gated via txn_zorder_read, the
+          # bloom point-probe stays pinned by
+          # tests/test_txnlog.py::test_bloom_prunes_point_lookups,
+          # and this row stays DuckDB-verified per pytest run; slot
+          # goes to stream_heavy_hitters_equiv.
+          driver=False,
           oracle=("SELECT o_orderkey, o_custkey, "
                   "ROUND(o_totalprice, 2) AS total FROM orders "
                   "WHERE o_custkey = 371 ORDER BY o_orderkey"))

@@ -839,6 +839,96 @@ def q_heavy_hitters_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_heavy_hitters_equiv",  # new r8, gated immediately (slot:
+    # txn_point_lookup demoted — green r5-r7; the stats-driven
+    # pruned-read class stays gated via txn_zorder_read, the bloom
+    # point-probe stays pinned by
+    # tests/test_txnlog.py::test_bloom_prunes_point_lookups, and the
+    # row stays DuckDB-verified per pytest run).
+    # Self-contained equivalence contract (the stream_bm25_index_equiv
+    # pattern): the literal-TRUE booleans flip — and the gate
+    # hash-mismatches — if the stream-maintained MG sketch ever grows
+    # past k rows, leaves the mergeability error band, drops a true
+    # heavy hitter, or serves answers that diverge from the batch
+    # two-pass. n_heavy is recomputed relationally by the oracle, so
+    # the served heavy-hitter SET is value-verified too.
+    oracle=(
+        "WITH c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt "
+        "FROM events WHERE user_id IS NOT NULL GROUP BY user_id), "
+        "t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM c) "
+        f"SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM c, t "
+        f"WHERE cnt > {_HH_PHI} * n) AS n_heavy, "
+        "CAST(1 AS BOOLEAN) AS sketch_bounded, "
+        "CAST(1 AS BOOLEAN) AS estimate_bounds_ok, "
+        "CAST(1 AS BOOLEAN) AS superset_ok, "
+        "CAST(1 AS BOOLEAN) AS hh_match"))
+def q_stream_heavy_hitters_equiv(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Streaming maintenance of the MG heavy-hitter sketch
+    (streaming/sketches.py): events arrive as two micro-batches
+    through the exact per-batch ingest the foreachBatch sink runs
+    (events append with meta-accumulated row count + sketch merge from
+    the events change feed, every leg replay-guarded); the maintained
+    sketch must stay <= k rows with every counter inside the
+    mergeability error band [exact - n/(k+1), exact] (Agarwal et al.
+    2012), must retain every true heavy hitter, and heavy hitters
+    served THROUGH the maintained sketch (exact second pass over the
+    accumulated events) must be row-identical to the batch two-pass.
+    Completes "every index artifact has a streaming twin" for sketch
+    artifacts (IVF r6, IVF-PQ r7, BM25 r8, MG r8)."""
+    import math
+    import tempfile
+
+    from ..operators.sketches import heavy_hitters_exact
+    from ..streaming.sketches import _tables, heavy_hitters_served, \
+        ingest_batch, sketch_estimates
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull())
+    k = math.ceil(1.0 / _HH_PHI)
+    root = tempfile.mkdtemp(prefix="samdis_stream_mg_")
+    events, sketch = _tables(root)
+    app = "mg_twin"
+    ingest_batch(events, sketch, e.filter(F.col("event_id") % 2 == 0),
+                 0, "user_id", k, app)
+    ingest_batch(events, sketch, e.filter(F.col("event_id") % 2 == 1),
+                 1, "user_id", k, app)
+
+    served = heavy_hitters_served(spark, root, "user_id", _HH_PHI)
+    batch = heavy_hitters_exact(e, "user_id", _HH_PHI)
+    served.persist()
+    batch.persist()
+    try:
+        hh_ok = (served.exceptAll(batch).count() == 0
+                 and batch.exceptAll(served).count() == 0)
+
+        sk, n = sketch_estimates(spark, root)
+        exact = (e.groupBy("user_id")
+                 .agg(F.count(F.lit(1)).alias("cnt")))
+        n_exact = int(e.count())
+        joined = sk.join(exact, "user_id", "left")
+        bad = joined.filter(
+            F.col("cnt").isNull()
+            | (F.col("weight") > F.col("cnt"))
+            | (F.col("cnt") - F.col("weight") > n / (k + 1.0))).count()
+        bounds_ok = bad == 0 and n == n_exact
+        sketch_bounded = sk.count() <= k
+        superset_ok = (batch.select("user_id")
+                       .join(sk.select("user_id"), "user_id",
+                             "left_anti").count() == 0)
+        n_heavy = served.count()
+    finally:
+        served.unpersist()
+        batch.unpersist()
+    return spark.createDataFrame(
+        [(int(n_heavy), bool(sketch_bounded), bool(bounds_ok),
+          bool(superset_ok), bool(hh_ok))],
+        "n_heavy long, sketch_bounded boolean, "
+        "estimate_bounds_ok boolean, superset_ok boolean, "
+        "hh_match boolean")
+
+
+@register(
     "order_price_outliers",  # promoted into the driver window r4.
     # Demoted r8 after green r5-r7: the grouped robust-stats shape
     # stays gated via pricing_summary (grouped agg, benched) +

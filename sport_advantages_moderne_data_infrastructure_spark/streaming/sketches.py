@@ -1,0 +1,133 @@
+"""Streaming Misra-Gries maintenance: the heavy-hitter sketch kept
+continuously up to date as events arrive — the frequency-sketch twin
+of the streaming index sinks (annindex.py IVF r6 / IVF-PQ r7, bm25.py
+r8), extending "every index artifact has a streaming twin" to sketch
+artifacts. MG summaries are mergeable (Agarwal et al. 2012), so the
+persisted sketch is just a bounded materialized view of the event
+stream: per micro-batch, merge the batch's own MG sketch into the
+stored counters and truncate back to k — O(batch) work, <= k rows of
+state, regardless of how much history has streamed through.
+
+Per micro-batch (the foreachBatch sink and the driver-gated batch twin
+``stream_heavy_hitters_equiv`` run the SAME ``ingest_batch``):
+
+- events leg: append the batch's key column to the events table,
+  replay-guarded; the running row count ACCUMULATES in commit meta
+  (``mg_n_rows``), so the sketch-only serving path gets n in O(1).
+- sketch leg: fold the events CHANGE FEED since the sketch's recorded
+  high-water into the stored sketch (batch MG sketch -> pointwise sum
+  -> one truncation) and atomically overwrite the <= k-row sketch
+  table. Reading the feed (not the batch frame) gives the join-MV
+  crash discipline for free: a crash between legs leaves the events
+  table ahead, and the next batch's feed covers both batches.
+
+Serving:
+
+- :func:`heavy_hitters_served` — EXACT: the stored sketch proposes
+  candidates, one bounded aggregation over the accumulated events
+  counts them exactly (operators/sketches.exact_pass). Row-identical
+  to the batch two-pass at every point in time (the gate's contract).
+- :func:`sketch_estimates` — APPROXIMATE, O(1) data touched: the
+  stored counters themselves, each within [true - n/(k+1), true]
+  by the mergeability bound (pinned in tests/test_sketches.py).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.mv import _last_meta_with
+from ..operators.sketches import exact_pass, mg_merge, mg_partial
+from ..sources.txnlog import TxnTable
+from .scd2 import _guarded_commit, _stream_meta
+
+
+def _tables(root: str) -> tuple[TxnTable, TxnTable]:
+    return TxnTable(root + "/events"), TxnTable(root + "/sketch")
+
+
+def ingest_batch(events: TxnTable, sketch: TxnTable,
+                 batch_df: DataFrame, batch_id: int, col: str, k: int,
+                 app_id: str | None = None) -> None:
+    """One micro-batch of sketch maintenance (see module doc). Two
+    legs, each individually (app_id, batch_id) replay-guarded."""
+    spark = batch_df.sparkSession
+
+    def _events_leg():
+        prev = (_last_meta_with(events, "mg_n_rows")
+                if events.latest_version() is not None else {})
+        meta = _stream_meta(batch_id, app_id, "mg_events_append")
+        meta["mg_n_rows"] = (prev.get("mg_n_rows", 0)
+                             + batch_df.count())
+        rel = events._write_data(batch_df.select(col))  # noqa: SLF001
+        events.commit([rel], [], meta,
+                      expected_version=events.latest_version())
+
+    _guarded_commit(events, batch_id, app_id, _events_leg)
+
+    # sketch leg: fold the events feed since the sketch's high-water.
+    # On replay the guard skips; on crash-between-legs the next
+    # batch's feed covers the gap (the bm25 df-leg discipline).
+    sv = events.latest_version()
+    last = (_last_meta_with(sketch, "mg_source_version")
+            .get("mg_source_version", -1)
+            if sketch.latest_version() is not None else -1)
+    if sv > last:
+        ch = (events.read_changes(spark, since_version=last, upto=sv)
+              .filter(F.col("_change_type") == "insert"))
+        fresh = mg_partial(ch.select(col), col, k)
+        if sketch.latest_version() is not None:
+            fresh = fresh.unionByName(sketch.read(spark))
+        merged = mg_merge(fresh, col, k)
+
+        def _sketch_leg():
+            meta = _stream_meta(batch_id, app_id, "mg_sketch_merge")
+            meta["mg_source_version"] = sv
+            meta["mg_k"] = k
+            sketch.overwrite(merged, meta)
+
+        _guarded_commit(sketch, batch_id, app_id, _sketch_leg)
+
+
+def write_stream_mg_sketch(df: DataFrame, root: str, checkpoint: str,
+                           col: str, phi: float,
+                           app_id: str | None = None,
+                           available_now: bool = True):
+    """Start the maintenance sink over ``df`` (a streaming frame
+    containing ``col``). k = ceil(1/phi) counters. Returns the
+    StreamingQuery; serve with :func:`heavy_hitters_served`."""
+    events, sketch = _tables(root)
+    k = math.ceil(1.0 / phi)
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        ingest_batch(events, sketch, batch_df, batch_id, col, k,
+                     app_id)
+
+    w = (df.writeStream.foreachBatch(_ingest)
+         .option("checkpointLocation", checkpoint))
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def heavy_hitters_served(spark: SparkSession, root: str, col: str,
+                         phi: float) -> DataFrame:
+    """EXACT heavy hitters from a maintained sketch root: the stored
+    <= k-row sketch proposes, one bounded aggregation over the
+    accumulated events counts exactly. Returns (col, cnt, share)."""
+    events, sketch = _tables(root)
+    return exact_pass(events.read(spark), sketch.read(spark), col, phi)
+
+
+def sketch_estimates(spark: SparkSession, root: str) -> tuple[DataFrame, int]:
+    """(stored sketch frame, accumulated n) — the O(1) approximate
+    serving path: weights are within [true - n/(k+1), true]; n comes
+    from the latest events commit meta, never a scan."""
+    events, sketch = _tables(root)
+    n = _last_meta_with(events, "mg_n_rows")["mg_n_rows"]
+    return sketch.read(spark), int(n)

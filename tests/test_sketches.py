@@ -65,6 +65,146 @@ def test_heavy_hitters_high_phi_is_empty_not_wrong(spark, sf_dir):
     assert heavy_hitters_exact(e, "user_id", 0.5).count() == 0
 
 
+def test_mg_sketch_merge_bounds_on_crafted_skew(spark):
+    """Mergeability contract (Agarwal et al. 2012) on an adversarial
+    Zipf-ish frame with far more distinct values than counters: the
+    merged sketch stays <= k rows, never overcounts, undercounts by
+    <= n/(k+1), and retains every phi-heavy value — under two
+    different partitionings."""
+    import math
+
+    from sport_advantages_moderne_data_infrastructure_spark.operators.sketches import (
+        mg_sketch,
+    )
+
+    # 3 heavy values (1000 each) drowned in 2000 singletons + 500
+    # mid-weight values (8 each) -> n = 9000
+    rows = ([(v,) for v in (1, 2, 3) for _ in range(1000)]
+            + [(100 + i,) for i in range(2000)]
+            + [(10_000 + i,) for i in range(500) for _ in range(8)])
+    phi = 0.05
+    k = math.ceil(1.0 / phi)  # 20 counters, 2503 distinct values
+    n = len(rows)
+    truth = {1: 1000, 2: 1000, 3: 1000}
+    for parts in (4, 17):
+        df = spark.createDataFrame(rows, "v long").repartition(parts)
+        sk = {r["v"]: r["weight"]
+              for r in mg_sketch(df, "v", k).collect()}
+        assert len(sk) <= k
+        for v, w in sk.items():
+            true_c = truth.get(v, 8 if v >= 10_000 else 1)
+            assert w <= true_c, (v, w, true_c)
+            assert true_c - w <= n / (k + 1), (v, w, true_c)
+        assert set(truth) <= set(sk)  # phi-heavy always survive
+
+
+def test_stream_mg_restart_exactly_once(spark, sf_dir,
+                                        tmp_path_factory):
+    """Real writeStream leg: maintain the sketch from a file stream,
+    RESTART on the same checkpoint — replay-guarded commits must not
+    double-ingest (accumulated n and sketch weights unchanged), and
+    heavy hitters served through the maintained sketch must equal the
+    batch two-pass."""
+    from sport_advantages_moderne_data_infrastructure_spark.streaming.sketches import (
+        heavy_hitters_served, sketch_estimates, write_stream_mg_sketch,
+    )
+
+    base = tmp_path_factory.mktemp("mgstream")
+    src = str(base / "src")
+    e = (load_table(spark, sf_dir, "events")
+         .filter(F.col("user_id").isNotNull())
+         .select("event_id", "user_id"))
+    e.write.parquet(src)
+
+    def _stream():
+        return (spark.readStream.schema(e.schema)
+                .option("maxFilesPerTrigger", "1").parquet(src))
+
+    root, ckpt = str(base / "mg"), str(base / "ckpt")
+    q = write_stream_mg_sketch(_stream(), root, ckpt, "user_id", PHI,
+                               app_id="mg_t")
+    q.awaitTermination(120)
+    q.stop()
+    sk1, n1 = sketch_estimates(spark, root)
+    w1 = {r["user_id"]: r["weight"] for r in sk1.collect()}
+
+    q2 = write_stream_mg_sketch(_stream(), root, ckpt, "user_id", PHI,
+                                app_id="mg_t")
+    q2.awaitTermination(60)
+    q2.stop()
+    sk2, n2 = sketch_estimates(spark, root)
+    assert n2 == n1 == e.count()
+    assert {r["user_id"]: r["weight"] for r in sk2.collect()} == w1
+
+    served = {(r["user_id"], r["cnt"]) for r in heavy_hitters_served(
+        spark, root, "user_id", PHI).collect()}
+    batch = {(r["user_id"], r["cnt"]) for r in heavy_hitters_exact(
+        e, "user_id", PHI).collect()}
+    assert served == batch and len(served) > 0
+
+
+def test_stream_mg_crash_between_legs_recovers(spark, sf_dir,
+                                               monkeypatch):
+    """Crash AFTER the events append but BEFORE the sketch merge: the
+    next batch's change-feed fold must cover the gap (the bm25 df-leg
+    discipline), and a replayed batch_id must be a no-op."""
+    import math
+    import tempfile
+
+    from sport_advantages_moderne_data_infrastructure_spark.streaming import (
+        sketches as S,
+    )
+
+    e = (load_table(spark, sf_dir, "events")
+         .filter(F.col("user_id").isNotNull()))
+    k = math.ceil(1.0 / PHI)
+    root = tempfile.mkdtemp(prefix="samdis_mg_crash_")
+    events, sketch = S._tables(root)
+
+    S.ingest_batch(events, sketch, e.filter(F.col("event_id") % 3 == 0),
+                   0, "user_id", k, "mg_c")
+
+    # batch 1 crashes inside the sketch leg, after the events commit
+    boom = RuntimeError("injected crash before sketch merge")
+
+    def _raise(*a, **kw):
+        raise boom
+
+    real = S.mg_partial
+    monkeypatch.setattr(S, "mg_partial", _raise)
+    try:
+        S.ingest_batch(events, sketch,
+                       e.filter(F.col("event_id") % 3 == 1),
+                       1, "user_id", k, "mg_c")
+        raise AssertionError("injected crash did not fire")
+    except RuntimeError as ex:
+        assert ex is boom
+    monkeypatch.setattr(S, "mg_partial", real)
+    assert events.latest_version() > sketch.latest_version()  # torn
+
+    # redelivery of batch 1: events leg skips (guard), sketch leg
+    # folds the uncovered feed; then batch 2 proceeds normally
+    S.ingest_batch(events, sketch,
+                   e.filter(F.col("event_id") % 3 == 1),
+                   1, "user_id", k, "mg_c")
+    S.ingest_batch(events, sketch,
+                   e.filter(F.col("event_id") % 3 == 2),
+                   2, "user_id", k, "mg_c")
+    # and a pure replay is a no-op on both legs
+    ev_v, sk_v = events.latest_version(), sketch.latest_version()
+    S.ingest_batch(events, sketch,
+                   e.filter(F.col("event_id") % 3 == 2),
+                   2, "user_id", k, "mg_c")
+    assert (events.latest_version(), sketch.latest_version()) == (ev_v,
+                                                                  sk_v)
+
+    served = {(r["user_id"], r["cnt"]) for r in S.heavy_hitters_served(
+        spark, root, "user_id", PHI).collect()}
+    batch = {(r["user_id"], r["cnt"]) for r in heavy_hitters_exact(
+        e, "user_id", PHI).collect()}
+    assert served == batch and len(served) > 0
+
+
 def test_heavy_hitters_plan_shape(spark, sf_dir):
     """Pass 2's only join is the broadcast candidate tag; nothing may
     plan all-pairs."""
