@@ -945,7 +945,13 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
           # identical contract to dedup_clusters — same recursive-CTE
           # transitive-closure oracle — through the OTHER distributed CC
           # algorithm (large-star/small-star, O(log² n) rounds vs
-          # graph-diameter rounds for label propagation)
+          # graph-diameter rounds for label propagation).
+          # Demoted r8 after green r5-r7: the two-phase star CC shape
+          # is exercised HARDER by leakage_safe_splits (same operator,
+          # its output drives the split function, same embedded
+          # closure oracle); stays DuckDB-verified per pytest run;
+          # slot goes to leakage_safe_splits.
+          driver=False,
           oracle=DD.connected_components_sql(
               _NC_SUB,
               f"SELECT doc_a, doc_b FROM "
@@ -965,6 +971,52 @@ def q_dedup_clusters_large_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "cluster_id",
         (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical")
     )
+
+
+@register(
+    "leakage_safe_splits",  # new r8, gated immediately (slot:
+    # dedup_clusters_large_star demoted — green r5-r7; the two-phase
+    # star CC machinery is exercised HARDER by this row — the same
+    # operator output DRIVES the split function, and its oracle embeds
+    # the same recursive-CTE transitive closure — while dedup_clusters
+    # (label propagation) + this row keep the CC class DuckDB-verified
+    # per pytest run).
+    oracle=(
+        "SELECT doc_id, cluster_id, CASE WHEN h < 80 THEN 'train' "
+        "WHEN h < 90 THEN 'val' ELSE 'test' END AS split FROM ("
+        "SELECT doc_id, cluster_id, "
+        "CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8)) "
+        "AS BIGINT) % 100 AS h FROM ("
+        + DD.connected_components_sql(
+            _NC_SUB,
+            f"SELECT doc_a, doc_b FROM "
+            f"({DD.jaccard_pairs_sql(_NC_SUB)}) jp")
+        + ") l) ORDER BY doc_id"))
+def q_leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test assignment that near-duplicates CANNOT straddle:
+    the split is a stable md5-bucket of the doc's near-dup CLUSTER id
+    (LSH pairs → two-phase star connected components → hash the
+    component label), not of the doc id — so a document and its
+    near-copies always land in the SAME split, closing the
+    train-test-contamination hole a per-doc hash split leaves open
+    (the eval-set failure mode the contamination_check row measures).
+    Costs nothing beyond the CC rounds the dedup pipeline already
+    runs: the split itself is one map-side hash of the label. The
+    oracle recomputes the exact transitive closure AND the bucket
+    arithmetic relationally — a wrong cluster, a split flip, or a
+    cluster straddling buckets is a hash mismatch."""
+    corpus = near_corpus(spark, sf_dir)
+    pairs = DD.jaccard_pairs(
+        corpus,
+        capped=capped_shingle_index(spark, sf_dir)).select("doc_a", "doc_b")
+    nodes = corpus.select("doc_id").distinct()
+    labels = DD.connected_components_two_phase(nodes, pairs)
+    h = F.expr(
+        "conv(substr(md5(CAST(cluster_id AS STRING)), 1, 8), 16, 10) "
+        "% 100")
+    split = (F.when(h < 80, "train").when(h < 90, "val")
+             .otherwise("test"))
+    return labels.select("doc_id", "cluster_id", split.alias("split"))
 
 
 @register("multimodal_decode_features", driver=False)  # rows-only: Arrow

@@ -322,7 +322,7 @@ _NO_PRESENTATION_SORT = [
     "final_table", "prime_query", "cdc_parse_project",
     "final_pipeline_incremental",
     # r8 additions with corpus-proportional outputs
-    "scd2_point_in_time_join",
+    "scd2_point_in_time_join", "leakage_safe_splits",
 ]
 
 
