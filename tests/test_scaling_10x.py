@@ -535,3 +535,65 @@ def test_heavy_hitters_scale_linearly(spark):
     assert n1 > 0 and n10 >= 5 * n1  # recovery stays non-vacuous
     ratio = _report("heavy_hitters_users", n1, t1, n10, t10)
     assert ratio <= MAX_RATIO, f"superlinear: {ratio:.1f}x at {M}x corpus"
+
+
+def test_leakage_splits_scale_linearly(spark):
+    """Pairs -> two-phase star CC -> label hash: edges grow ~10x with
+    the disjoint copies, CC rounds stay O(log² n), split is one
+    map-side projection. Runtime must track the edge volume."""
+    def run(m):
+        corpus = _scaled_docs(spark, m)
+        pairs = DD.jaccard_pairs(
+            corpus, hashes=DD.shingle_hashes(corpus).cache()
+        ).select("doc_a", "doc_b")
+        nodes = corpus.select("doc_id").distinct()
+        labels = DD.connected_components_two_phase(nodes, pairs)
+        h = F.expr("conv(substr(md5(CAST(cluster_id AS STRING)), 1, 8)"
+                   ", 16, 10) % 100")
+        split = (F.when(h < 80, "train").when(h < 90, "val")
+                 .otherwise("test"))
+        n = labels.select("doc_id", split.alias("split")).count()
+        spark.catalog.clearCache()
+        return n
+    n1 = run(1)
+    t1 = _timed(lambda: run(1))
+    t10 = _timed(lambda: run(M))
+    n10 = run(M)
+    assert n10 >= 9 * n1
+    ratio = _report("leakage_safe_splits", n1, t1, n10, t10)
+    assert ratio <= MAX_RATIO, f"superlinear: {ratio:.1f}x at {M}x corpus"
+
+
+def test_stream_mg_ingest_flat_in_history(spark, tmp_path_factory):
+    """The streaming sketch's O(batch) claim: ingesting the SAME fixed
+    batch must cost the same whether 1x or 10x of history has already
+    streamed through — the sketch leg folds only the change feed since
+    its high-water and the stored state is <= k rows, so per-batch
+    cost cannot grow with the accumulated corpus. (Exact SERVING is
+    O(corpus) by design — the claim is about maintenance.)"""
+    import math
+
+    from sport_advantages_moderne_data_infrastructure_spark.streaming import (
+        sketches as S,
+    )
+
+    k = math.ceil(1.0 / 0.007)
+    batch = (_scaled_events(spark, 1)
+             .filter(F.col("user_id").isNotNull())
+             .filter(F.col("event_id") % 7 == 0))
+
+    def ingest_time(m, root):
+        events, sketch = S._tables(str(root))
+        hist = _scaled_events(spark, m).filter(
+            F.col("user_id").isNotNull())
+        S.ingest_batch(events, sketch, hist, 0, "user_id", k, "mg_s")
+        return _timed(lambda: S.ingest_batch(
+            events, sketch, batch, 1, "user_id", k, "mg_s"))
+
+    base = tmp_path_factory.mktemp("mgscale")
+    t_small = ingest_time(1, base / "small")
+    t_big = ingest_time(M, base / "big")
+    ratio = t_big / t_small
+    print(f"RESULT: stream_mg_ingest: after 1x history {t_small:.2f}s"
+          f" | after {M}x history {t_big:.2f}s | ratio {ratio:.1f}")
+    assert ratio <= 3.0, f"ingest cost grows with history: {ratio:.1f}x"
