@@ -597,3 +597,41 @@ def test_stream_mg_ingest_flat_in_history(spark, tmp_path_factory):
     print(f"RESULT: stream_mg_ingest: after 1x history {t_small:.2f}s"
           f" | after {M}x history {t_big:.2f}s | ratio {ratio:.1f}")
     assert ratio <= 3.0, f"ingest cost grows with history: {ratio:.1f}x"
+
+
+def test_stream_cc_ingest_scales_sublinearly(spark, tmp_path_factory):
+    """Incremental CC maintenance: ingesting the SAME fixed batch of
+    docs+edges after 1x vs 10x accumulated corpus history. The only
+    history-sized term is the endpoint lookup's partition-pruned read
+    (touched buckets' width — bounded by sizing N_BUCKETS to the
+    corpus, the k_for_corpus discipline); delta CC, assign append and
+    remap append are all O(batch). Must stay far below proportional
+    growth."""
+    from sport_advantages_moderne_data_infrastructure_spark.streaming import (
+        cc as C,
+    )
+
+    def seed(root, m):
+        a, r = C._tables(str(root))
+        docs = _scaled_docs(spark, m).select("doc_id")
+        C.ingest_batch(a, r, docs.select(
+            "doc_id", F.lit(None).cast("long").alias("nbr")), 0, "cc")
+        return a, r
+
+    # fixed probe batch: 200 new docs, each with one edge to an old doc
+    probe = spark.range(200).select(
+        (F.col("id") + 900_000_000).alias("doc_id"),
+        (F.col("id") * 17 % 5000).alias("nbr"))
+    probe = (probe.select("doc_id", F.lit(None).cast("long")
+                          .alias("nbr"))
+             .unionByName(probe))
+
+    base = tmp_path_factory.mktemp("ccscale")
+    t = {}
+    for m, name in ((1, "small"), (M, "big")):
+        a, r = seed(base / name, m)
+        t[name] = _timed(lambda: C.ingest_batch(a, r, probe, 1, "cc"))
+    ratio = t["big"] / t["small"]
+    print(f"RESULT: stream_cc_ingest: after 1x history {t['small']:.2f}s"
+          f" | after {M}x history {t['big']:.2f}s | ratio {ratio:.1f}")
+    assert ratio <= 5.0, f"ingest cost tracks history: {ratio:.1f}x"
