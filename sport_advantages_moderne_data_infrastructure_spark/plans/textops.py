@@ -893,6 +893,11 @@ _NC_SUB = f"({_NEAR_CORPUS_SQL})"
 
 @register(
     "dedup_lsh_verified",
+    # Demoted r8 after green r5-r7: the LSH-candidate + exact-verify
+    # shape is EMBEDDED end-to-end in stream_splits_e2e, this query
+    # keeps running in every bench pass (bench=True), and it stays
+    # DuckDB-verified per pytest run; slot goes to stream_splits_e2e.
+    driver=False,
     oracle=(
         # LSH candidates ∩ exact-Jaccard verify — both stages composed in
         # SQL exactly as the Spark side composes the DataFrames
@@ -1087,6 +1092,62 @@ def q_stream_leakage_splits_equiv(spark: SparkSession,
     split = (F.when(h < 80, "train").when(h < 90, "val")
              .otherwise("test"))
     return labels.select("doc_id", "cluster_id", split.alias("split"))
+
+
+@register(
+    "stream_splits_e2e",  # new r8, gated immediately (slot:
+    # dedup_lsh_verified demoted — green r5-r7; the LSH-candidate +
+    # exact-verify shape is EMBEDDED end-to-end in this row, the query
+    # keeps running in every bench pass (bench=True is independent of
+    # the driver flag), and it stays DuckDB-verified per pytest run).
+    # FULL hash contract: the maintained per-doc frame must equal the
+    # from-scratch relational pipeline — LSH candidates ∩ UNCAPPED
+    # exact Jaccard >= 0.5 → transitive closure → md5 bucket — all
+    # recomputed by DuckDB. The verify is uncapped ON PURPOSE: bands
+    # and shingle sets are pure per-doc derivations, so this edge
+    # definition is pair-intrinsic — the one a stream can maintain
+    # exactly (the df-cap stop-set is corpus-level; scheduled batch
+    # territory, streaming/splits.py module doc).
+    oracle=(
+        "SELECT doc_id, cluster_id, CASE WHEN h < 80 THEN 'train' "
+        "WHEN h < 90 THEN 'val' ELSE 'test' END AS split FROM ("
+        "SELECT doc_id, cluster_id, "
+        "CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8)) "
+        "AS BIGINT) % 100 AS h FROM ("
+        + DD.connected_components_sql(
+            _NC_SUB,
+            "SELECT c.doc_a, c.doc_b FROM ("
+            + DD.lsh_candidate_pairs_sql(_NC_SUB) + ") c JOIN ("
+            + DD.jaccard_sql_from(DD.shingle_hashes_sql(_NC_SUB))
+            + ") j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b")
+        + ") l) ORDER BY doc_id"))
+def q_stream_splits_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE documents→splits pipeline as one continuously
+    maintained streaming artifact (streaming/splits.py): raw docs
+    arrive as three micro-batches; each batch derives its MinHash
+    bands and shingle postings (pure per-doc math), generates
+    candidate edges against the partition-pruned persisted band
+    index, exact-verifies them against partition-pruned persisted
+    postings, feeds nodes+edges into the incremental CC maintainer,
+    then appends its own bands/postings state — every leg
+    replay-guarded. The served (doc_id, cluster_id, split) must
+    hash-equal DuckDB's from-scratch recomputation of the entire
+    pipeline."""
+    import tempfile
+
+    from ..streaming.splits import current_splits, ingest_batch
+
+    corpus = near_corpus(spark, sf_dir).persist()
+    root = tempfile.mkdtemp(prefix="samdis_stream_splits_")
+    try:
+        for i in range(3):
+            ingest_batch(root,
+                         corpus.filter(F.pmod(F.col("doc_id"),
+                                              F.lit(3)) == i),
+                         i, "splits_twin")
+    finally:
+        corpus.unpersist()
+    return current_splits(spark, root)
 
 
 @register("multimodal_decode_features", driver=False)  # rows-only: Arrow

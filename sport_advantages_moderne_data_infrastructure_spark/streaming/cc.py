@@ -192,7 +192,8 @@ def ingest_batch(assign: TxnTable, remap: TxnTable, batch: DataFrame,
         pinned.append(labels)
 
         new_assign = (labels.join(nodes_b, "doc_id", "left_semi")
-                      .withColumn("__kb", _bucket(F.col("doc_id"))))
+                      .withColumn("__kb", _bucket(F.col("doc_id")))
+                      .repartition(N_BUCKETS, "__kb"))
         lost_roots = (labels.join(nodes_b, "doc_id", "left_anti")
                       .filter(F.col("cluster_id") != F.col("doc_id"))
                       .select(F.col("doc_id").alias("src"),
@@ -264,7 +265,8 @@ def compact(spark: SparkSession, root: str) -> None:
     if remap.latest_version() is None:
         return
     folded = (current_labels(spark, root)
-              .withColumn("__kb", _bucket(F.col("doc_id"))))
+              .withColumn("__kb", _bucket(F.col("doc_id")))
+              .repartition(N_BUCKETS, "__kb"))
     adds = assign._write_data_partitioned(folded, "__kb")  # noqa: SLF001
     assign.commit(adds, assign.snapshot_dirs(assign.latest_version()),
                   {"operation": "cc_compact", "partition_by": "__kb"},
