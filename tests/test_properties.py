@@ -351,3 +351,74 @@ def test_projection_and_bucketed_agg_views_track_any_history(
             src.overwrite(spark.createDataFrame(
                 op[1], "id int, grp string, val int"))
         check()
+
+
+# --- incremental connected components (streaming/cc.py) -------------------
+# random small graphs, random batch schedules (respecting the edge
+# arrival contract), reference = pure-Python union-find
+
+_CC_NODES = st.lists(st.integers(0, 11), min_size=1, max_size=10,
+                     unique=True)
+
+
+@given(
+    nodes=_CC_NODES,
+    edge_picks=st.lists(st.tuples(st.integers(0, 9), st.integers(0, 9)),
+                        max_size=10),
+    cuts=st.lists(st.integers(1, 9), max_size=2, unique=True),
+    data=st.data(),
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_incremental_cc_matches_union_find(spark, nodes, edge_picks,
+                                           cuts, data, tmp_path_factory):
+    import tempfile
+
+    from sport_advantages_moderne_data_infrastructure_spark.streaming import (
+        cc as C,
+    )
+
+    # edges over the sampled node set only
+    edges = sorted({(nodes[a % len(nodes)], nodes[b % len(nodes)])
+                    for a, b in edge_picks
+                    if nodes[a % len(nodes)] != nodes[b % len(nodes)]})
+    # batch schedule: nodes split positionally at the sampled cuts;
+    # each edge lands in the batch where its LATER endpoint arrives
+    bounds = sorted(c for c in cuts if c < len(nodes)) + [len(nodes)]
+    batches, start = [], 0
+    for end in bounds:
+        if end > start:
+            batches.append(nodes[start:end])
+            start = end
+    when = {n: i for i, bs in enumerate(batches) for n in bs}
+
+    root = tempfile.mkdtemp(prefix="cc_prop_")
+    a_t, r_t = C._tables(root)
+    for i, bs in enumerate(batches):
+        rows = ([(n, None) for n in bs]
+                + [(u, v) for u, v in edges
+                   if max(when[u], when[v]) == i])
+        C.ingest_batch(
+            a_t, r_t,
+            spark.createDataFrame(rows, "doc_id long, nbr long"),
+            i, "cc_prop")
+
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in C.current_labels(spark, root).collect()}
+
+    # reference union-find with min-label roots
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            lo, hi = min(ru, rv), max(ru, rv)
+            parent[hi] = lo
+    want = {n: find(n) for n in nodes}
+    assert got == want
