@@ -807,7 +807,10 @@ _HH_PHI = 0.007  # heavy-hitter threshold: share > 0.7% of all events.
     "heavy_hitters_users",  # new r8, gated immediately (slot:
     # approx_distinct_contract demoted — green r5-r7; the
     # sketch-contract class stays gated via this STRICTER row and HLL
-    # stays DuckDB-verified per pytest run).
+    # stays DuckDB-verified per pytest run). bench=True late-r8 so the
+    # sketch class has a measured per-round presence (reports under
+    # added_queries this round; budget forms from the rolling min).
+    bench=True,
     oracle=(
         # the sketch only PROPOSES candidates — the second pass counts
         # exactly and applies the cut, so the contract is a FULL hash
