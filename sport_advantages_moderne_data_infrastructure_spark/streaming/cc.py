@@ -49,6 +49,12 @@ size. ``compact()`` optionally folds the resolved forest back into
 ``assign`` (bucket-granular rewrite) and truncates ``remap`` — the
 OPTIMIZE-style maintenance job that keeps resolution chains short.
 
+Reference context: the reference has no graph or dedup processing at
+all (its streaming leg is a plain Kafka→Delta append,
+spark/SaveDelta.scala:104-163); this is the training-data north-star
+extension (SURVEY §2 extensions) — the incremental form of the batch
+CC the dedup keep-list needs at 100 TB.
+
 Edge arrival contract: an edge arrives no earlier than both its
 endpoints (a new doc brings its edges to already-seen docs — how LSH
 candidate generation naturally emits them). Edge GENERATION

@@ -30,6 +30,11 @@ Serving:
 - :func:`sketch_estimates` — APPROXIMATE, O(1) data touched: the
   stored counters themselves, each within [true - n/(k+1), true]
   by the mergeability bound (pinned in tests/test_sketches.py).
+
+Reference context: the reference's only streaming aggregate is a
+console row counter (spark/SaveDelta.scala:104-163); this is the
+SURVEY §2 extension class — frequency analytics a 100 TB event
+stream needs without a full key-column shuffle.
 """
 
 from __future__ import annotations

@@ -32,6 +32,11 @@ Gated ``stream_splits_e2e``: the maintained per-doc (doc_id,
 cluster_id, split) frame must HASH-EQUAL the from-scratch relational
 pipeline — LSH candidates ∩ uncapped Jaccard >= 0.5 → transitive
 closure → md5 bucket — recomputed entirely by DuckDB.
+
+Reference context: no counterpart in the reference (its streaming leg
+is a plain Kafka→Delta append, spark/SaveDelta.scala:104-163); this
+composes the engine's own primitives into the ingest pipeline a
+100 TB training corpus needs (SURVEY §2 extensions).
 """
 
 from __future__ import annotations
