@@ -45,9 +45,13 @@ runs the exact ``ingest_batch`` the foreachBatch sink runs):
 
 Serving is one broadcast map-side join: assign ⟕ collapsed-remap,
 label = COALESCE(root, insert-time label) — no shuffle at any corpus
-size. ``compact()`` optionally folds the resolved forest back into
-``assign`` (bucket-granular rewrite) and truncates ``remap`` — the
-OPTIMIZE-style maintenance job that keeps resolution chains short.
+size. The broadcast is bounded by the number of merges SINCE THE LAST
+COMPACTION, not by history: ``compact()`` folds the resolved forest
+back into ``assign`` (bucket-granular rewrite) and truncates
+``remap`` — the OPTIMIZE-style maintenance job that keeps both the
+resolution chains and the broadcast small; run it on the same
+schedule as any other table OPTIMIZE (correctness never depends on
+it, only the serve-side broadcast size does).
 
 Reference context: the reference has no graph or dedup processing at
 all (its streaming leg is a plain Kafka→Delta append,

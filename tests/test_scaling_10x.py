@@ -635,3 +635,36 @@ def test_stream_cc_ingest_scales_sublinearly(spark, tmp_path_factory):
     print(f"RESULT: stream_cc_ingest: after 1x history {t['small']:.2f}s"
           f" | after {M}x history {t['big']:.2f}s | ratio {ratio:.1f}")
     assert ratio <= 5.0, f"ingest cost tracks history: {ratio:.1f}x"
+
+
+def test_stream_splits_ingest_after_history(spark, tmp_path_factory):
+    """E2E splits pipeline: ingesting the SAME fixed doc batch after 1x
+    vs 10x accumulated corpus. Unlike the CC-only and sketch ingests
+    (flat), this one carries TWO honest history terms — the pruned
+    band-index read and the pruned postings read for old candidate
+    endpoints — both bounded by sizing the bucket counts to the corpus
+    (N_SB / N_BUCKETS ∝ corpus, the k_for_corpus discipline). With the
+    bucket counts FIXED this measurement exposes the raw growth, so
+    the bound here is deliberately loose; the number goes in PLANS.md
+    with the sizing note."""
+    from sport_advantages_moderne_data_infrastructure_spark.streaming import (
+        splits as SP,
+    )
+
+    probe = (_scaled_docs(spark, 1)
+             .filter(F.col("doc_id") % 37 == 0)
+             .select((F.col("doc_id") + 800_000_000).alias("doc_id"),
+                     "text"))
+
+    base = tmp_path_factory.mktemp("spscale")
+    t = {}
+    for m, name in ((1, "small"), (M, "big")):
+        root = str(base / name)
+        SP.ingest_batch(root, _scaled_docs(spark, m), 0, "sp_s")
+        t[name] = _timed(
+            lambda: SP.ingest_batch(root, probe, 1, "sp_s"))
+    ratio = t["big"] / t["small"]
+    print(f"RESULT: stream_splits_ingest: after 1x history "
+          f"{t['small']:.2f}s | after {M}x history {t['big']:.2f}s | "
+          f"ratio {ratio:.1f}")
+    assert ratio <= 6.0, f"ingest tracks history superlinearly: {ratio:.1f}"
