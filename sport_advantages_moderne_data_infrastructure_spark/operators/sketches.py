@@ -98,6 +98,73 @@ def mg_sketch(df: DataFrame, col: str, k: int) -> DataFrame:
     return mg_merge(mg_partial(df, col, k), col, k)
 
 
+def grouped_mg_candidates(df: DataFrame, group_col: str, col: str,
+                          k: int) -> DataFrame:
+    """Per-partition, PER-GROUP Misra-Gries candidates: one k-counter
+    sketch per (task, group) — state is n_groups_in_task × k entries,
+    the grouped generalization of :func:`mg_candidates` for frames
+    whose group column is LOW-cardinality (event types, languages,
+    sources — the frequent-items-per-category question). The averaging
+    argument applies WITHIN each group: c_g(x) > n_g/k in some
+    partition's group-slice, so the per-group candidate union is a
+    superset of each group's phi-heavy items."""
+    gt = df.schema[group_col].dataType.simpleString()
+    vt = df.schema[col].dataType.simpleString()
+
+    def _mg(batches):
+        import pandas as pd
+
+        sketches: dict = {}
+        for pdf in batches:
+            for (g, v), c in (pdf.groupby([group_col, col],
+                                          dropna=False).size().items()):
+                counters = sketches.setdefault(g, {})
+                counters[v] = counters.get(v, 0) + int(c)
+                if len(counters) > k:
+                    cut = sorted(counters.values(), reverse=True)[k]
+                    sketches[g] = {x: n - cut for x, n in counters.items()
+                                   if n - cut > 0}
+        yield pd.DataFrame(
+            {group_col: [g for g, cs in sketches.items() for _ in cs],
+             col: [v for cs in sketches.values() for v in cs]})
+
+    return (df.select(group_col, col)
+            .mapInPandas(_mg, schema=f"{group_col} {gt}, {col} {vt}")
+            .distinct())
+
+
+def grouped_heavy_hitters_exact(df: DataFrame, group_col: str,
+                                col: str, phi: float) -> DataFrame:
+    """All (group, value) with value frequency > phi * n_group, EXACT —
+    the two-pass discipline of :func:`heavy_hitters_exact` per group:
+    sketch proposes, one map-side-combined aggregation over
+    (group, candidate-or-NULL) counts exactly, and each group's total
+    is the sum over its own <= k+1 aggregated rows (no separate
+    per-group count scan). Returns (group_col, col, cnt, share)."""
+    from pyspark.sql import Window as W
+
+    k = math.ceil(1.0 / phi)
+    cand = grouped_mg_candidates(df, group_col, col, k)
+    tagged = (df.select(group_col, col)
+              .join(F.broadcast(cand.select(
+                  F.col(group_col).alias("__g"),
+                  F.col(col).alias("__cand"))),
+                  F.col(group_col).eqNullSafe(F.col("__g"))
+                  & F.col(col).eqNullSafe(F.col("__cand")), "left")
+              .select(group_col, "__cand"))
+    counts = tagged.groupBy(group_col, "__cand").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    # per-group window over <= k+1 aggregated rows per group — bounded
+    n_group = F.sum("cnt").over(W.partitionBy(group_col))
+    return (counts.withColumn("__n", n_group)
+            .filter(F.col("__cand").isNotNull()
+                    & (F.col("cnt") > phi * F.col("__n")))
+            .select(group_col, F.col("__cand").alias(col),
+                    F.col("cnt").cast("long").alias("cnt"),
+                    F.round(F.col("cnt") / F.col("__n"), 6)
+                    .alias("share")))
+
+
 def mg_candidates(df: DataFrame, col: str, k: int) -> DataFrame:
     """Per-partition Misra-Gries candidate items as a 1-column frame of
     DISTINCT candidate values (the union of per-task candidate SETS —

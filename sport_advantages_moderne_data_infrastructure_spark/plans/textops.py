@@ -1411,6 +1411,11 @@ _BOILERPLATE_GRAMS_CTE = (
 
 @register(
     "boilerplate_ngrams_abs",
+    # Demoted r8 after green r5-r7: repeated-content detection stays
+    # gated via dedup_repeated_spans (substring-level, strictly
+    # harder); this row and boilerplate_ngrams stay DuckDB-verified
+    # per pytest run; slot goes to heavy_hitters_by_type.
+    driver=False,
     oracle=(_BOILERPLATE_GRAMS_CTE +
             "SELECT gram, doc_freq FROM df WHERE doc_freq >= 2 "
             "ORDER BY doc_freq DESC, gram LIMIT 20"))

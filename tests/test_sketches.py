@@ -205,6 +205,50 @@ def test_stream_mg_crash_between_legs_recovers(spark, sf_dir,
     assert served == batch and len(served) > 0
 
 
+def test_grouped_heavy_hitters_exact_recovery(spark, sf_dir):
+    """Grouped two-pass: exact (group, key, cnt) recovery per group,
+    invariant under repartitioning."""
+    from sport_advantages_moderne_data_infrastructure_spark.operators.sketches import (
+        grouped_heavy_hitters_exact,
+    )
+
+    e = (load_table(spark, sf_dir, "events")
+         .filter(F.col("user_id").isNotNull()))
+    c = e.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    tot = {r["event_type"]: r["n"] for r in
+           c.groupBy("event_type").agg(F.sum("cnt").alias("n"))
+           .collect()}
+    truth = {(r["event_type"], r["user_id"]): r["cnt"]
+             for r in c.collect()
+             if r["cnt"] > PHI * tot[r["event_type"]]}
+    for parts in (3, 13):
+        got = {(r["event_type"], r["user_id"]): r["cnt"]
+               for r in grouped_heavy_hitters_exact(
+                   e.repartition(parts), "event_type", "user_id",
+                   PHI).collect()}
+        assert got == truth and len(got) > 0
+
+
+def test_grouped_heavy_hitters_groups_independent(spark):
+    """A value heavy in ONE group must not leak into another group's
+    answer — per-group totals, per-group cuts."""
+    from sport_advantages_moderne_data_infrastructure_spark.operators.sketches import (
+        grouped_heavy_hitters_exact,
+    )
+
+    rows = ([("a", 1)] * 60 + [("a", i) for i in range(100, 140)]
+            + [("b", 1)] * 2 + [("b", 2)] * 90
+            + [("b", i) for i in range(200, 208)])
+    df = spark.createDataFrame(rows, "g string, v long").repartition(5)
+    got = {(r["g"], r["v"]): r["cnt"] for r in
+           grouped_heavy_hitters_exact(df, "g", "v", 0.25).collect()}
+    # group a: total 100, v=1 has 60 (> 25) qualifies; singletons don't.
+    # group b: total 100, v=2 has 90 qualifies; v=1 has only 2 — must
+    # NOT ride in on group a's weight.
+    assert got == {("a", 1): 60, ("b", 2): 90}
+
+
 def test_heavy_hitters_plan_shape(spark, sf_dir):
     """Pass 2's only join is the broadcast candidate tag; nothing may
     plan all-pairs."""
