@@ -994,7 +994,66 @@ def q_stream_ann_pq_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_semantic_dedup_equiv",  # new r8, gated immediately (slot:
+    # semantic_dedup_prune demoted — green r5-r7; the SemDeDup shape is
+    # exercised HARDER by this twin — same frozen-centroid assignment
+    # and >= 0.99 prune rule run per batch through the maintained
+    # centroid-partitioned index, plus the maintenance legs — and the
+    # batch row stays DuckDB-verified per pytest run).
+    # SemDeDup's prune rule is ORDER-FREE (the larger vec_id of every
+    # same-centroid pair), so the stream-maintained prune set must
+    # EQUAL the batch answer — same FULL hash oracle, same fixture
+    # dependency note as the batch row.
+    oracle=(
+        "WITH corpus AS ({nv}), "
+        "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e "
+        "FROM corpus), "
+        "pairs AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b "
+        "FROM v a JOIN v b ON a.vec_id < b.vec_id "
+        "WHERE list_dot_product(a.e, b.e) / "
+        "(sqrt(list_dot_product(a.e, a.e)) * "
+        "sqrt(list_dot_product(b.e, b.e))) >= 0.99) "
+        "SELECT DISTINCT vec_b AS pruned_vec_id FROM pairs "
+        "ORDER BY pruned_vec_id").format(nv=_NEAR_VEC_SQL))
+def q_stream_semantic_dedup_equiv(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Streaming SemDeDup (streaming/semdedup.py): the duplicate-
+    injected vector corpus arrives as three micro-batches; each batch
+    assigns to the SHARED frozen centroid artifact, reranks exact
+    cosine against intra-batch + partition-pruned persisted
+    same-centroid members, appends newly pruned ids (prune leg first,
+    replay-guarded), then appends itself to the centroid-partitioned
+    index. The maintained prune set must hash-equal the batch
+    brute-force oracle — pairs straddling batches are discovered when
+    their later member arrives, including RETROACTIVE prunes of
+    already-kept vectors (new id smaller than an old near-dup's)."""
+    import tempfile
+
+    from ..streaming.semdedup import ingest_batch, pruned_ids
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding")
+    corpus = e.unionAll(
+        e.filter(F.col("vec_id") % 13 == 0)
+        .select((F.col("vec_id") + 10000).alias("vec_id"), "embedding"))
+    centroids, _ = ensure_ivf_index(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="samdis_stream_semdedup_")
+    for i in range(3):
+        ingest_batch(root,
+                     corpus.filter(F.pmod(F.col("vec_id"),
+                                          F.lit(3)) == i),
+                     centroids, i, "sem_twin")
+    return pruned_ids(spark, root)
+
+
+@register(
     "semantic_dedup_prune",
+    # Demoted r8 after green r5-r7: the SemDeDup shape is exercised
+    # HARDER by stream_semantic_dedup_equiv (same assignment + prune
+    # rule through the maintained index, plus maintenance legs); this
+    # row stays DuckDB-verified per pytest run; slot goes to
+    # stream_semantic_dedup_equiv.
+    driver=False,
     # Oracle = brute-force pair SQL + greedy larger-id prune. Sound for
     # the same reason as embedding_dedup_lsh's: the injected duplicates
     # are bit-identical vectors, so their squared-L2 arrays to every
