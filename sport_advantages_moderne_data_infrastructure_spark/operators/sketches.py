@@ -165,6 +165,80 @@ def grouped_heavy_hitters_exact(df: DataFrame, group_col: str,
                     .alias("share")))
 
 
+def exact_quantiles(df: DataFrame, col: str, qs: list[float],
+                    accuracy: int = 10_000, max_rounds: int = 4,
+                    direct_limit: int = 100_000,
+                    ) -> list[tuple[float, float]]:
+    """EXACT order statistics at scale via sketch-guided bracketing —
+    the quantile analog of the heavy-hitter two-pass: a mergeable rank
+    sketch (Spark's ``approx_percentile``, Greenwald-Khanna style)
+    PROPOSES a value bracket guaranteed to contain the k-th smallest
+    (k = ceil(q*n), the DuckDB ``ORDER BY .. OFFSET k-1`` definition);
+    exact conditional counts then locate k WITHIN the bracket, and the
+    answer is read with a bounded TakeOrdered over bracket rows only.
+
+    Rank math, not trust: the sketch's rank error is <= n/accuracy per
+    endpoint, so the bracket holds ~2n/accuracy rows; each round the
+    bracket is re-sketched, multiplying accuracy — rounds needed =
+    ceil(log_accuracy(n / collectable)), 2 at 10^12 rows with the
+    default accuracy. The sketch is only advisory: every round VERIFIES
+    by exact count that the bracket still contains rank k (and widens
+    to the verified side if a sketch merge-order wobble ever drops it),
+    so the OUTPUT is deterministic and exact regardless of sketch
+    nondeterminism. Duplicates are absorbed by counting strictly-below
+    vs at-or-below; a value owning the whole bracket short-circuits.
+
+    Returns [(q, value)] in input order — a driver-side list (one
+    scalar per requested quantile, like any aggregate)."""
+    n = df.count()
+    out = []
+    for q in qs:
+        k = max(1, math.ceil(q * n))
+        lo, hi = None, None  # open bracket = whole domain
+        for _ in range(max_rounds):
+            sl = df if lo is None else df.filter(
+                (F.col(col) >= lo) & (F.col(col) <= hi))
+            # exact rank of the bracket floor: rows strictly below lo
+            c_below = (0 if lo is None
+                       else df.filter(F.col(col) < lo).count())
+            k_in = k - c_below  # target rank within the bracket slice
+            cnt = sl.count()
+            if cnt <= max(2 * accuracy, direct_limit):
+                row = (sl.select(col).orderBy(F.col(col).asc())
+                       .limit(k_in).orderBy(F.col(col).desc())
+                       .limit(1).collect())
+                out.append((q, float(row[0][0])))
+                break
+            # re-sketch WITHIN the bracket: each round multiplies the
+            # effective accuracy by n_bracket/accuracy shrink
+            q_in = k_in / cnt
+            eps = 1.0 / accuracy
+            ql, qh = max(0.0, q_in - 2 * eps), min(1.0, q_in + 2 * eps)
+            b = sl.agg(F.expr(
+                f"approx_percentile({col}, array({ql}, {qh}), "
+                f"{accuracy})").alias("b")).first()["b"]
+            nlo, nhi = float(b[0]), float(b[1])
+            # verify the bracket really contains rank k (exact counts;
+            # the sketch only proposed) — widen to the failing side
+            below_nlo = df.filter(F.col(col) < nlo).count()
+            upto_nhi = df.filter(F.col(col) <= nhi).count()
+            if below_nlo >= k:
+                nlo = lo if lo is not None else float("-inf")
+            if upto_nhi < k:
+                nhi = hi if hi is not None else float("inf")
+            if nlo == nhi:
+                # one value owns the bracket: it IS the k-th smallest
+                # (below_nlo < k <= upto_nhi just verified)
+                out.append((q, nlo))
+                break
+            lo, hi = nlo, nhi
+        else:
+            raise RuntimeError(
+                f"quantile bracketing did not converge in {max_rounds}"
+                " rounds — accuracy too low for this n")
+    return out
+
+
 def mg_candidates(df: DataFrame, col: str, k: int) -> DataFrame:
     """Per-partition Misra-Gries candidate items as a 1-column frame of
     DISTINCT candidate values (the union of per-task candidate SETS —

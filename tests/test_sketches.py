@@ -249,6 +249,43 @@ def test_grouped_heavy_hitters_groups_independent(spark):
     assert got == {("a", 1): 60, ("b", 2): 90}
 
 
+def test_exact_quantiles_match_sorted_reference(spark, sf_dir):
+    """Every q against the brute-force order statistic, with the
+    direct path disabled (direct_limit tiny) so real bracketing rounds
+    run; invariant under repartitioning."""
+    import math
+
+    from sport_advantages_moderne_data_infrastructure_spark.operators.sketches import (
+        exact_quantiles,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    vals = sorted(r[0] for r in o.select("o_totalprice").collect())
+    n = len(vals)
+    qs = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.95, 0.99, 1.0]
+    want = [(q, vals[max(1, math.ceil(q * n)) - 1]) for q in qs]
+    for parts in (3, 17):
+        got = exact_quantiles(o.repartition(parts), "o_totalprice",
+                              qs, accuracy=50, direct_limit=120)
+        assert got == want
+
+
+def test_exact_quantiles_heavy_duplicates_short_circuit(spark):
+    """A value owning most of the mass: the bracket collapses to one
+    value and the short-circuit must return it exactly (a naive
+    bracket-shrink loop would spin and raise)."""
+    from sport_advantages_moderne_data_infrastructure_spark.operators.sketches import (
+        exact_quantiles,
+    )
+
+    rows = ([(42.0,)] * 5000
+            + [(float(i),) for i in range(1000)]
+            + [(float(10_000 + i),) for i in range(1000)])
+    df = spark.createDataFrame(rows, "x double").repartition(7)
+    got = exact_quantiles(df, "x", [0.5], accuracy=50, direct_limit=100)
+    assert got == [(0.5, 42.0)]
+
+
 def test_heavy_hitters_plan_shape(spark, sf_dir):
     """Pass 2's only join is the broadcast candidate tag; nothing may
     plan all-pairs."""
