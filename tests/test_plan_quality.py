@@ -334,3 +334,17 @@ def test_no_presentation_sort_on_corpus_sized_outputs(spark, sf_dir):
         if "rangepartitioning" in plan:
             offenders.append(name)
     assert offenders == [], f"global sorts crept back: {offenders}"
+
+
+def test_pricing_rollup_one_scan_one_expand(spark, sf_dir):
+    """ROLLUP must plan ONE pushed-filter scan + ONE Expand + a
+    partial/final hash aggregate — never one scan per grouping set;
+    the map-side partial agg absorbs the Expand's 3x row blow-up
+    before the exchange."""
+    plan = _plan(catalog.REGISTRY["pricing_rollup"].spark_fn(
+        spark, sf_dir))
+    nodes = plan.split("\n\n")[0]  # the numbered node tree
+    assert nodes.count("Scan parquet") == 1, nodes
+    assert nodes.count("Expand") == 1, nodes
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual" \
+        in plan, plan
