@@ -82,13 +82,24 @@ def bm25_topk(postings: DataFrame, df: DataFrame,
     is any (query_id, tok) frame — the public API takes arbitrary
     queries, the registered row instantiates it with TF-IDF-derived
     ones. Expression shapes mirror the DuckDB oracle token for token
-    (plans/textops.py) so the contract stays a full hash."""
+    (plans/textops.py) so the contract stays a full hash.
+
+    DEVIATION from textbook Okapi BM25: the idf term is the RATIONAL
+    core (N - df + 0.5)/(df + 0.5) WITHOUT the log — a monotone
+    transform whose per-term magnitudes (and so multi-term rankings)
+    differ from log-idf BM25. Chosen deliberately: ln() diverges
+    cross-engine in the last ulp, and the log-free form keeps the
+    registered row a bit-exact full-hash oracle. Callers wanting
+    literature-comparable scores should wrap the idf in log themselves
+    (rank-k for single-term queries is unaffected)."""
     from pyspark.sql import Window as W
 
     idf = ((F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5))
-    tf_part = (F.col("tf") * 2.2
-               / (F.col("tf") + 1.2 * (1 - 0.75 + 0.75 * F.col("dl")
-                                       / F.lit(avgdl))))
+    # K1/B drive the expression; float identity (K1 + 1 == 2.2 etc.)
+    # keeps the DuckDB oracle string (plans/textops.py) in bit-sync
+    tf_part = (F.col("tf") * F.lit(K1 + 1)
+               / (F.col("tf") + F.lit(K1) * (1 - B + B * F.col("dl")
+                                             / F.lit(avgdl))))
     # attach df to the query-term side FIRST (broadcast the <= 30-row
     # term list against the vocab-sized df — never broadcast the
     # vocabulary), so the postings scan joins ONE tiny broadcast side

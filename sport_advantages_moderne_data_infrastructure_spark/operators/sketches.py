@@ -43,7 +43,16 @@ def mg_partial(df: DataFrame, col: str, k: int) -> DataFrame:
     "Mergeable Summaries": MG summaries with k counters merge with
     cumulative undercount <= n/(k+1)). Arrow-batched; state is a
     <= 2k-entry dict regardless of partition size. Returns
-    (col, weight) where 0 < weight <= true per-partition count."""
+    (col, weight) where 0 < weight <= true per-partition count.
+
+    NULL contract (shared by the flat AND grouped paths): NULL values
+    are never proposed and can never be returned as heavy hitters —
+    pass 2 uses the NULL candidate tag as its "other rows" group, so a
+    NULL hitter is unrepresentable there — but NULL rows DO count
+    toward the denominator n (they collapse into that other-group and
+    its count sums into the grand total). Dropping NULLs from the
+    sketch only LOOSENS the per-partition cut, so the candidate
+    superset guarantee for non-null values is preserved."""
     field = df.schema[col]
     spark_type = field.dataType.simpleString()
 
@@ -118,6 +127,11 @@ def grouped_mg_candidates(df: DataFrame, group_col: str, col: str,
         for pdf in batches:
             for (g, v), c in (pdf.groupby([group_col, col],
                                           dropna=False).size().items()):
+                # dropna=False keeps NULL GROUPS (real groups); NULL
+                # VALUES are skipped per mg_partial's NULL contract —
+                # unrepresentable in pass 2's output either way
+                if pd.isna(v):
+                    continue
                 counters = sketches.setdefault(g, {})
                 counters[v] = counters.get(v, 0) + int(c)
                 if len(counters) > k:
@@ -165,6 +179,71 @@ def grouped_heavy_hitters_exact(df: DataFrame, group_col: str,
                     .alias("share")))
 
 
+class _QState:
+    """Per-quantile bracketing state shared by the batched engines.
+    Invariant after every update: ``below < k <= upto`` where
+    ``below`` = exact count strictly below ``lo`` and ``upto`` = exact
+    count at-or-below ``hi`` (``lo is None`` = open domain, below=0,
+    upto=n)."""
+
+    __slots__ = ("q", "k", "lo", "hi", "below", "upto", "val")
+
+    def __init__(self, q: float, n: int):
+        self.q, self.k = q, max(1, math.ceil(q * n))
+        self.lo = self.hi = None
+        self.below, self.upto = 0, n
+        self.val: float | None = None
+
+    def width(self) -> int:
+        return self.upto - self.below
+
+    def band(self, accuracy: int) -> tuple[float, float]:
+        """The sketch percentage band for the target rank WITHIN the
+        current bracket slice (2/accuracy guard each side)."""
+        q_in = (self.k - self.below) / self.width()
+        eps = 1.0 / accuracy
+        return max(0.0, q_in - 2 * eps), min(1.0, q_in + 2 * eps)
+
+    def apply_verified(self, nlo: float, nhi: float,
+                       below_nlo: int, upto_nhi: int) -> None:
+        """Adopt the proposed bracket per side ONLY where the exact
+        counts prove rank k stays inside (widen-on-wobble); detect the
+        one-value-owns-the-bracket short circuit."""
+        if below_nlo < self.k:
+            self.lo, self.below = nlo, below_nlo
+        if upto_nhi >= self.k:
+            self.hi, self.upto = nhi, upto_nhi
+        if self.lo is not None and self.lo == self.hi:
+            # one value owns the bracket: it IS the k-th smallest
+            # (below < k <= upto holds by the two guards above)
+            self.val = self.lo
+
+
+def _read_ready_brackets(vals: DataFrame, col: str,
+                         ready: list[tuple[int, "_QState"]]) -> dict:
+    """ONE window job reading EVERY TakeOrdered-small bracket's target
+    order statistic: rows are tagged with the bracket ids they fall in
+    (a row can serve several quantiles), ranked per bracket, and the
+    per-bracket rank k_in = k - below row is kept. Partition sizes are
+    bracket sizes (<= the direct threshold) — bounded, never the
+    corpus. Returns {state_index: value}."""
+    from pyspark.sql import Window as W
+
+    conds = [F.when(
+        F.lit(True) if s.lo is None
+        else (F.col(col) >= F.lit(s.lo)) & (F.col(col) <= F.lit(s.hi)),
+        F.lit(i)) for i, s in ready]
+    kmap = F.create_map(*[x for i, s in ready
+                          for x in (F.lit(i), F.lit(s.k - s.below))])
+    w = W.partitionBy("__qi").orderBy(F.col(col).asc())
+    hits = (vals.select(col, F.explode(F.array(*conds)).alias("__qi"))
+            .filter(F.col("__qi").isNotNull())
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == F.element_at(kmap, F.col("__qi")))
+            .select("__qi", col).collect())
+    return {r["__qi"]: float(r[col]) for r in hits}
+
+
 def exact_quantiles(df: DataFrame, col: str, qs: list[float],
                     accuracy: int = 10_000, max_rounds: int = 4,
                     direct_limit: int = 100_000,
@@ -175,7 +254,18 @@ def exact_quantiles(df: DataFrame, col: str, qs: list[float],
     PROPOSES a value bracket guaranteed to contain the k-th smallest
     (k = ceil(q*n), the DuckDB ``ORDER BY .. OFFSET k-1`` definition);
     exact conditional counts then locate k WITHIN the bracket, and the
-    answer is read with a bounded TakeOrdered over bracket rows only.
+    answer is read with one bounded ranked read over bracket rows only.
+
+    BATCHED ACROSS QUANTILES (r9): every round runs a CONSTANT number
+    of jobs regardless of ``len(qs)`` — one multi-bracket re-sketch
+    (every open bracket's ``approx_percentile`` band as a FILTERed
+    aggregate in a single ``agg``), one conditional-aggregation verify
+    pass (every bracket's strictly-below / at-or-below counts in the
+    same ``agg``), and one shared window job reading every
+    TakeOrdered-small bracket (tests/test_sketches.py pins the job
+    count for a 9-quantile sweep to the 1-quantile count). Bracket
+    floor counts are REUSED from the previous round's verify pass, so
+    there is no separate per-bracket count scan at all.
 
     Rank math, not trust: the sketch's rank error is <= n/accuracy per
     endpoint, so the bracket holds ~2n/accuracy rows; each round the
@@ -188,55 +278,68 @@ def exact_quantiles(df: DataFrame, col: str, qs: list[float],
     nondeterminism. Duplicates are absorbed by counting strictly-below
     vs at-or-below; a value owning the whole bracket short-circuits.
 
+    NULL semantics: NULL values are EXCLUDED — n counts non-null rows
+    only, matching the DuckDB ``WHERE col IS NOT NULL ORDER BY col
+    OFFSET k-1`` oracle definition (every bracket predicate and the
+    sketch already ignore NULLs; pre-r9 the denominator didn't, so a
+    NULL-bearing column could chase a rank past the last non-null row).
+
     Returns [(q, value)] in input order — a driver-side list (one
     scalar per requested quantile, like any aggregate)."""
-    n = df.count()
-    out = []
-    for q in qs:
-        k = max(1, math.ceil(q * n))
-        lo, hi = None, None  # open bracket = whole domain
-        for _ in range(max_rounds):
-            sl = df if lo is None else df.filter(
-                (F.col(col) >= lo) & (F.col(col) <= hi))
-            # exact rank of the bracket floor: rows strictly below lo
-            c_below = (0 if lo is None
-                       else df.filter(F.col(col) < lo).count())
-            k_in = k - c_below  # target rank within the bracket slice
-            cnt = sl.count()
-            if cnt <= max(2 * accuracy, direct_limit):
-                row = (sl.select(col).orderBy(F.col(col).asc())
-                       .limit(k_in).orderBy(F.col(col).desc())
-                       .limit(1).collect())
-                out.append((q, float(row[0][0])))
-                break
-            # re-sketch WITHIN the bracket: each round multiplies the
-            # effective accuracy by n_bracket/accuracy shrink
-            q_in = k_in / cnt
-            eps = 1.0 / accuracy
-            ql, qh = max(0.0, q_in - 2 * eps), min(1.0, q_in + 2 * eps)
-            b = sl.agg(F.expr(
-                f"approx_percentile({col}, array({ql}, {qh}), "
-                f"{accuracy})").alias("b")).first()["b"]
-            nlo, nhi = float(b[0]), float(b[1])
-            # verify the bracket really contains rank k (exact counts;
-            # the sketch only proposed) — widen to the failing side
-            below_nlo = df.filter(F.col(col) < nlo).count()
-            upto_nhi = df.filter(F.col(col) <= nhi).count()
-            if below_nlo >= k:
-                nlo = lo if lo is not None else float("-inf")
-            if upto_nhi < k:
-                nhi = hi if hi is not None else float("inf")
-            if nlo == nhi:
-                # one value owns the bracket: it IS the k-th smallest
-                # (below_nlo < k <= upto_nhi just verified)
-                out.append((q, nlo))
-                break
-            lo, hi = nlo, nhi
-        else:
+    vals = df.select(col).filter(F.col(col).isNotNull())
+    n = vals.count()
+    if n == 0:
+        raise ValueError(f"exact_quantiles: no non-null rows in {col}")
+    st = [_QState(q, n) for q in qs]
+    threshold = max(2 * accuracy, direct_limit)
+    sketch_rounds = 0
+    while True:
+        open_st = [(i, s) for i, s in enumerate(st) if s.val is None]
+        if not open_st:
+            break
+        ready = [(i, s) for i, s in open_st if s.width() <= threshold]
+        if ready:
+            for i, v in _read_ready_brackets(vals, col, ready).items():
+                st[i].val = v
+        sketching = [(i, s) for i, s in open_st
+                     if s.width() > threshold]
+        if not sketching:
+            continue
+        if sketch_rounds >= max_rounds:
             raise RuntimeError(
                 f"quantile bracketing did not converge in {max_rounds}"
                 " rounds — accuracy too low for this n")
-    return out
+        sketch_rounds += 1
+        # ONE multi-bracket re-sketch: per open bracket, a FILTERed
+        # approx_percentile at its band — a single aggregation job
+        exprs = []
+        for i, s in sketching:
+            ql, qh = s.band(accuracy)
+            filt = ("" if s.lo is None else
+                    f" FILTER (WHERE {col} >= {s.lo!r}"
+                    f" AND {col} <= {s.hi!r})")
+            exprs.append(F.expr(
+                f"approx_percentile({col}, array({ql!r}, {qh!r}), "
+                f"{accuracy}){filt}").alias(f"b{i}"))
+        brow = vals.agg(*exprs).first()
+        props = {i: (float(brow[f"b{i}"][0]), float(brow[f"b{i}"][1]))
+                 for i, _ in sketching}
+        # ONE conditional-aggregation verify pass for every bracket
+        vexprs = []
+        for i, _ in sketching:
+            nlo, nhi = props[i]
+            vexprs.append(F.sum(F.when(
+                F.col(col) < F.lit(nlo), 1).otherwise(0))
+                .alias(f"l{i}"))
+            vexprs.append(F.sum(F.when(
+                F.col(col) <= F.lit(nhi), 1).otherwise(0))
+                .alias(f"u{i}"))
+        vrow = vals.agg(*vexprs).first()
+        for i, s in sketching:
+            nlo, nhi = props[i]
+            s.apply_verified(nlo, nhi, int(vrow[f"l{i}"]),
+                             int(vrow[f"u{i}"]))
+    return [(s.q, s.val) for s in st]
 
 
 def mg_candidates(df: DataFrame, col: str, k: int) -> DataFrame:

@@ -474,6 +474,13 @@ def q_ann_lsh_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("ann_ivf_recall_floor",
           oracle="SELECT CAST(10 AS BIGINT) AS n_queries, "
                  "CAST(1 AS BOOLEAN) AS floor_met",
+          driver=False,  # rotated out r9 (green r4-r8; slot:
+          # text_bm25_topk promoted per VERDICT r8 #1). The IVF
+          # probe machinery stays gated via ann_pq_recall_floor /
+          # ann_refine_recall_floor (IVF-partitioned codes, same
+          # centroid-pruned probe join) and stream_ann_index_equiv
+          # (the IVF index itself, maintained streaming), and stays
+          # enforced per pytest run via test_oracle_parity.
           tags=("gate_scale_only",))
 def q_ann_ivf_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ENFORCED recall floor for the IVF path (VERDICT r3 "What's wrong"

@@ -88,6 +88,12 @@ def ingest_batch(root: str, batch_df: DataFrame,
         cos_no = (F.expr(dot_expr("embedding", "o_emb"))
                   / (F.col("nrm") * F.col("o_nrm")))
         cross = (assigned.join(old, "centroid_id")
+                 # self-pair exclusion: on at-least-once redelivery of a
+                 # batch whose index append already committed, the batch's
+                 # own vectors sit in `old` (cos == 1 with themselves) —
+                 # without this filter every redelivered vector would be
+                 # pruned (greatest(v, v) == v)
+                 .filter(F.col("vec_id") != F.col("o_vec_id"))
                  .filter(cos_no >= COS_THRESHOLD)
                  .select(F.greatest("vec_id", "o_vec_id")
                          .alias("pruned_vec_id")))
@@ -97,12 +103,17 @@ def ingest_batch(root: str, batch_df: DataFrame,
     if pruned.latest_version() is not None:
         newly = newly.join(pruned.read(spark), ["pruned_vec_id"],
                            "left_anti")
-    if not newly.isEmpty():
-        def _prune_leg():
-            pruned.append(newly, _stream_meta(batch_id, app_id,
-                                              "semdedup_prune_append"))
 
-        _guarded_commit(pruned, batch_id, app_id, _prune_leg)
+    def _prune_leg():
+        # committed even when `newly` is empty: the empty commit is the
+        # batch's marker in the pruned table's stream meta, so a replay
+        # skips this leg via the (app_id, batch_id) guard even for the
+        # common batch that pruned nothing (second, independent guard
+        # against the redelivery self-pair hazard above)
+        pruned.append(newly, _stream_meta(batch_id, app_id,
+                                          "semdedup_prune_append"))
+
+    _guarded_commit(pruned, batch_id, app_id, _prune_leg)
 
     _append_partitioned(idx, assigned, batch_id, app_id,
                         "semdedup_index_append")

@@ -300,3 +300,79 @@ def test_heavy_hitters_plan_shape(spark, sf_dir):
     plan = buf.getvalue()
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_exact_quantiles_job_count_batched(spark, sf_dir):
+    """VERDICT r8 #2 pin: a 9-quantile sweep costs the SAME number of
+    Spark jobs as a 1-quantile call — every bracketing round is one
+    multi-bracket re-sketch + one conditional-agg verify pass, and all
+    ready brackets share one ranked read; never a per-quantile loop.
+
+    direct_limit=300 makes convergence DETERMINISTIC at this scale:
+    the post-sketch bracket width is bounded by ~4n/accuracy = 120
+    (< 300 with margin even under tie-wobble), so every bracket is
+    ready after exactly one sketch round and the job counts compare
+    exactly. The 50-accuracy sweep test above still exercises the
+    multi-round widen path."""
+    from sport_advantages_moderne_data_infrastructure_spark.operators.sketches import (
+        exact_quantiles,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    sc = spark.sparkContext
+
+    def njobs(tag, qs):
+        sc.setJobGroup(tag, "quantile job-count pin")
+        try:
+            exact_quantiles(o, "o_totalprice", qs,
+                            accuracy=50, direct_limit=300)
+        finally:
+            sc.setJobGroup(None, None)
+        return len(sc.statusTracker().getJobIdsForGroup(tag))
+
+    one = njobs("qpin1", [0.5])
+    nine = njobs("qpin9", [0.01, 0.1, 0.25, 0.5, 0.75, 0.9,
+                           0.95, 0.99, 1.0])
+    assert 0 < one <= 10  # count + sketch + verify + read, AQE-split
+    assert nine == one, (one, nine)
+
+
+def test_exact_quantiles_null_semantics(spark):
+    """ADVICE r8 medium: NULLs are excluded from n — k is a rank among
+    NON-NULL rows (the DuckDB WHERE col IS NOT NULL ... OFFSET k-1
+    definition). Pre-r9, 400 NULLs in a 100-value column pushed
+    k = ceil(q*500) past the last non-null row."""
+    from sport_advantages_moderne_data_infrastructure_spark.operators.sketches import (
+        exact_quantiles,
+    )
+
+    rows = ([(float(i),) for i in range(1, 101)]
+            + [(None,)] * 400)
+    df = spark.createDataFrame(rows, "x double").repartition(5)
+    got = exact_quantiles(df, "x", [0.5, 0.9, 1.0],
+                          accuracy=50, direct_limit=10)
+    assert got == [(0.5, 50.0), (0.9, 90.0), (1.0, 100.0)]
+
+
+def test_heavy_hitters_null_contract(spark):
+    """ADVICE r8 low: NULL values are never heavy hitters in EITHER
+    path, but NULL rows count toward the denominator — consistent
+    across flat and grouped."""
+    from sport_advantages_moderne_data_infrastructure_spark.operators.sketches import (
+        grouped_heavy_hitters_exact,
+    )
+
+    rows = ([("a", "x")] * 60 + [("a", None)] * 30 + [("a", "y")] * 10
+            + [(None, "z")] * 50 + [(None, None)] * 50)
+    df = spark.createDataFrame(rows, "g string, v string").repartition(4)
+    flat = {r["v"]: r["cnt"]
+            for r in heavy_hitters_exact(df, "v", 0.25).collect()}
+    # n = 200 incl. NULL rows: x=60 > 50 qualifies; z=50 does not
+    # (> is strict); NULL (80 rows) is excluded by contract
+    assert flat == {"x": 60}
+    grp = {(r["g"], r["v"]): r["cnt"]
+           for r in grouped_heavy_hitters_exact(df, "g", "v",
+                                                0.4).collect()}
+    # group a: n=100, x=60 > 40; NULL group is a REAL group: n=100,
+    # z=50 > 40; NULL values never returned in either group
+    assert grp == {("a", "x"): 60, (None, "z"): 50}

@@ -104,6 +104,48 @@ def test_stream_semdedup_restart_exactly_once(spark, sf_dir,
     assert (idx.latest_version(), pruned.latest_version()) == v1
 
 
+def test_replay_after_full_commit_prunes_nothing(spark, sf_dir):
+    """At-least-once redelivery of a batch whose BOTH legs already
+    committed — including the common batch that pruned NOTHING, which
+    before r9 left no (app_id, batch_id) record in the pruned table, so
+    the replayed prune leg re-ran against an index that now contains
+    the batch's own vectors (cos == 1 self-pairs) and pruned the entire
+    batch. The empty-prune marker + self-pair filter both guard this."""
+    centroids, _ = ensure_ivf_index(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding")
+    # a batch with NO near-dup pairs (distinct raw embeddings): the
+    # first run's prune leg commits zero rows
+    batch = e.filter(F.col("vec_id") < 40)
+    root = tempfile.mkdtemp(prefix="semdd_replay_")
+    SD.ingest_batch(root, batch, centroids, 0, "rp")
+    assert _pruned(spark, root) == []
+    idx, pruned = SD._tables(root)
+    # the empty-prune marker committed: the batch is recorded
+    assert pruned.latest_version() is not None
+    assert pruned.max_stream_batch_id("rp") == 0
+    vs = (idx.latest_version(), pruned.latest_version())
+
+    SD.ingest_batch(root, batch, centroids, 0, "rp")  # full redelivery
+    assert _pruned(spark, root) == []
+    assert (idx.latest_version(), pruned.latest_version()) == vs
+
+
+def test_self_pair_filter_without_guard(spark, sf_dir):
+    """The self-pair exclusion independent of the batch-id guard: feed
+    the SAME vectors again under a NEW batch id (so the guard does not
+    skip) — each vector meets its own indexed copy at cos == 1 and must
+    NOT be pruned (vec_id == o_vec_id pairs are excluded)."""
+    centroids, _ = ensure_ivf_index(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding")
+    batch = e.filter(F.col("vec_id") < 40)
+    root = tempfile.mkdtemp(prefix="semdd_selfpair_")
+    SD.ingest_batch(root, batch, centroids, 0, "sp")
+    SD.ingest_batch(root, batch, centroids, 1, "sp")
+    assert _pruned(spark, root) == []
+
+
 def test_crash_between_legs_replays_identically(spark, sf_dir,
                                                 monkeypatch):
     """Crash AFTER the prune append but BEFORE the index append: the
