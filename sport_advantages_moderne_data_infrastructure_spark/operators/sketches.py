@@ -342,6 +342,150 @@ def exact_quantiles(df: DataFrame, col: str, qs: list[float],
     return [(s.q, s.val) for s in st]
 
 
+def grouped_exact_quantiles(df: DataFrame, group_col: str, col: str,
+                            qs: list[float], accuracy: int = 10_000,
+                            max_rounds: int = 6,
+                            direct_limit: int = 100_000,
+                            grid: int = 512) -> list[tuple]:
+    """EXACT per-group quantiles — :func:`exact_quantiles` generalized
+    the way :func:`grouped_heavy_hitters_exact` generalizes the MG
+    two-pass: one bracketing state per (group, quantile), every round a
+    CONSTANT number of jobs regardless of n_groups x len(qs), never a
+    per-group (or per-quantile) loop. For LOW-cardinality group columns
+    (event types, languages, sources — the per-segment p50/p95
+    question); the per-round driver collects are bounded by
+    n_groups x len(qs) state rows.
+
+    Per round, THREE jobs:
+
+    1. ONE grid re-sketch: rows broadcast-join the open-bracket frame
+       on the group key, bracket-slice rows are grouped per state and
+       sketched at a CONSTANT ``grid``-point percentage array
+       (``approx_percentile``'s percentages must be foldable, so
+       per-state bands are not expressible in one grouped agg — the
+       shared grid is; the driver then picks the two grid values
+       bracketing the state's in-slice rank, guard-banded by the
+       sketch's n/accuracy rank error). Shrink per round is
+       ~(2*guard+1)/grid + 2/accuracy of the bracket — log_{~grid}
+       convergence, e.g. 10^12 rows/group -> direct-readable in <= 4
+       rounds at the defaults.
+    2. ONE verify pass: rows join the same frame WITHOUT the bracket
+       filter (the Expand-style blow-up is x open-states-per-group,
+       absorbed by map-side combine) and a conditional aggregation
+       counts every state's strictly-below / at-or-below rank — the
+       per-group bounds come from the JOINED columns, exact math
+       identical to the flat path (widen-on-wobble, sketch only
+       proposes).
+    3. ONE shared ranked read over every TakeOrdered-small bracket
+       (partition sizes <= the direct threshold).
+
+    NULL semantics: NULL ``col`` values are excluded from every
+    group's n (the flat contract); a NULL GROUP is a real group.
+    Returns [(group, q, value)] ordered by (group-insertion, q)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import types as T
+
+    spark = df.sparkSession
+    gtype = df.schema[group_col].dataType
+    vals = (df.select(group_col, col)
+            .filter(F.col(col).isNotNull()))
+    sizes = (vals.groupBy(group_col)
+             .agg(F.count(F.lit(1)).alias("n")).collect())
+    states: list[tuple] = []  # (group_value, _QState)
+    for r in sizes:
+        for q in qs:
+            states.append((r[group_col], _QState(q, int(r["n"]))))
+    threshold = max(2 * accuracy, direct_limit)
+    guard = math.ceil(grid / accuracy) + 1
+    pcts = ", ".join(repr(i / grid) for i in range(grid + 1))
+
+    def _tag(frame_rows, extra_fields, bracket_filter: bool):
+        """Broadcast the per-state bracket frame (__g, __si, ...extra)
+        against the data on the group key (null-safe: a NULL group is
+        a real group), optionally slicing to in-bracket rows."""
+        fields = ([T.StructField("__g", gtype),
+                   T.StructField("__si", T.IntegerType())]
+                  + extra_fields)
+        b = spark.createDataFrame(frame_rows, T.StructType(fields))
+        j = vals.join(F.broadcast(b),
+                      F.col(group_col).eqNullSafe(F.col("__g")))
+        if bracket_filter:
+            j = j.filter(F.col("__lo").isNull()
+                         | ((F.col(col) >= F.col("__lo"))
+                            & (F.col(col) <= F.col("__hi"))))
+        return j
+
+    dbl = T.DoubleType()
+    sketch_rounds = 0
+    while True:
+        open_st = [(i, gs) for i, gs in enumerate(states)
+                   if gs[1].val is None]
+        if not open_st:
+            break
+        ready = [(i, gs) for i, gs in open_st
+                 if gs[1].width() <= threshold]
+        if ready:
+            rrows = [(g, i, _flt(s.lo), _flt(s.hi), s.k - s.below)
+                     for i, (g, s) in ready]
+            tag = _tag(rrows,
+                       [T.StructField("__lo", dbl),
+                        T.StructField("__hi", dbl),
+                        T.StructField("__kin", T.IntegerType())],
+                       bracket_filter=True)
+            w = W.partitionBy("__si").orderBy(F.col(col).asc())
+            hits = (tag.withColumn("__rn", F.row_number().over(w))
+                    .filter(F.col("__rn") == F.col("__kin"))
+                    .select("__si", col).collect())
+            for r in hits:
+                states[r["__si"]][1].val = float(r[col])
+        sketching = [(i, gs) for i, gs in open_st
+                     if gs[1].width() > threshold]
+        if not sketching:
+            continue
+        if sketch_rounds >= max_rounds:
+            raise RuntimeError(
+                f"grouped quantile bracketing did not converge in "
+                f"{max_rounds} rounds — accuracy/grid too low")
+        sketch_rounds += 1
+        srows = [(g, i, _flt(s.lo), _flt(s.hi))
+                 for i, (g, s) in sketching]
+        tag = _tag(srows, [T.StructField("__lo", dbl),
+                           T.StructField("__hi", dbl)],
+                   bracket_filter=True)
+        prow = {r["__si"]: r["p"] for r in
+                (tag.groupBy("__si")
+                 .agg(F.expr(f"approx_percentile({col}, "
+                             f"array({pcts}), {accuracy})")
+                      .alias("p")).collect())}
+        props = {}
+        for i, (g, s) in sketching:
+            p = prow[i]
+            q_in = (s.k - s.below) / s.width()
+            ilo = max(0, math.floor(q_in * grid) - guard)
+            ihi = min(grid, math.ceil(q_in * grid) + guard)
+            props[i] = (float(p[ilo]), float(p[ihi]))
+        vrows = [(g, i, props[i][0], props[i][1])
+                 for i, (g, s) in sketching]
+        tagv = _tag(vrows, [T.StructField("__nlo", dbl),
+                            T.StructField("__nhi", dbl)],
+                    bracket_filter=False)
+        counts = {r["__si"]: (int(r["l"]), int(r["u"])) for r in
+                  (tagv.groupBy("__si")
+                   .agg(F.sum(F.when(F.col(col) < F.col("__nlo"), 1)
+                              .otherwise(0)).alias("l"),
+                        F.sum(F.when(F.col(col) <= F.col("__nhi"), 1)
+                              .otherwise(0)).alias("u")).collect())}
+        for i, (g, s) in sketching:
+            nlo, nhi = props[i]
+            s.apply_verified(nlo, nhi, *counts[i])
+    return [(g, s.q, s.val) for g, s in states]
+
+
+def _flt(x):
+    """None-preserving float cast for bracket-frame literals."""
+    return None if x is None else float(x)
+
+
 def mg_candidates(df: DataFrame, col: str, k: int) -> DataFrame:
     """Per-partition Misra-Gries candidate items as a 1-column frame of
     DISTINCT candidate values (the union of per-task candidate SETS —

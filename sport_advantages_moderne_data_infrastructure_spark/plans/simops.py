@@ -666,6 +666,12 @@ _SQ8_FLOOR = 9.0  # mean overlap@10 vs float32 brute truth (measured 9.8+
     # dedup_lsh_verified, which consumes the same minhash artifact)
     oracle="SELECT CAST(10 AS BIGINT) AS n_queries, "
            "CAST(1 AS BOOLEAN) AS floor_met",
+    driver=False,  # rotated out r9 (green r4-r8; slot:
+    # grouped_quantiles_exact gated). The quantized-codes ADC shape
+    # stays gated via ann_pq_recall_floor / ann_refine_recall_floor
+    # (STRICTER: PQ subquantizers vs one scalar quantizer, same
+    # centroid-pruned probe join), and this row stays enforced per
+    # pytest run via test_oracle_parity.
     tags=("gate_scale_only",))
 def q_ann_sq8_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ENFORCED quality contract for the quantized path (the

@@ -939,6 +939,59 @@ def q_exact_quantiles_bracketed(spark: SparkSession,
 
 
 @register(
+    "grouped_quantiles_exact",  # new r9, gated immediately (slot:
+    # ann_sq8_recall_floor demoted — green r4-r8; the quantized-codes
+    # ADC shape stays gated via ann_pq_recall_floor /
+    # ann_refine_recall_floor, which are STRICTER — PQ subquantizers
+    # vs one scalar quantizer — and the SQ8 row stays DuckDB-verified
+    # per pytest run).
+    # Per-group EXACT order statistics — the grouped twin of
+    # exact_quantiles_bracketed, completing the sketch family the way
+    # heavy_hitters_by_type completed MG: the per-segment p50/p95
+    # question (the first thing a consumer of the reference's `final`
+    # table asks after the mean — its README computes only averages,
+    # read_delta.py:219-222 / README.md:140-164). One bracketing state
+    # per (group, quantile); every round THREE jobs total (grid
+    # re-sketch over broadcast-joined bracket slices, Expand-style
+    # conditional-agg verify with per-group bounds from the joined
+    # frame, shared ranked read) — never a per-group loop; job-count
+    # pinned in tests/test_sketches.py.
+    oracle=(
+        "WITH t AS (SELECT event_type, value, ROW_NUMBER() OVER "
+        "(PARTITION BY event_type ORDER BY value) AS rn, "
+        "CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n "
+        "FROM events WHERE value IS NOT NULL) "
+        "SELECT event_type, CAST(q AS DOUBLE) AS q, value "
+        "FROM (VALUES (0.25),(0.5),(0.75),(0.95)) qs(q) "
+        "JOIN t ON t.rn = GREATEST(1, CAST(CEIL(CAST(q AS DOUBLE) "
+        "* n) AS BIGINT)) "
+        "ORDER BY event_type, q"),
+    bench=True)
+def q_grouped_quantiles_exact(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """EXACT p25/p50/p75/p95 of event value PER event_type
+    (operators/sketches.grouped_exact_quantiles): k = ceil(q*n_group)
+    order statistics located by sketch-guided bracketing with one
+    state per (group, quantile) and a CONSTANT number of jobs per
+    round. The gate runs accuracy=40 / direct_limit=80 / grid=64 so
+    REAL grid-bracketing rounds execute at both test scales (group
+    sizes ~200 at sf0.001, ~2000 at sf0.01); the oracle is the
+    per-group order statistic itself (ROW_NUMBER-per-group join),
+    a FULL hash. NULL values excluded from each group's n; both
+    engines ceil the same IEEE754 q*n product via CAST."""
+    from ..operators.sketches import grouped_exact_quantiles
+
+    e = load_table(spark, sf_dir, "events")
+    got = grouped_exact_quantiles(e, "event_type", "value",
+                                  [0.25, 0.5, 0.75, 0.95],
+                                  accuracy=40, direct_limit=80,
+                                  grid=64)
+    return (spark.createDataFrame(
+        got, "event_type string, q double, value double")
+        .orderBy("event_type", "q"))
+
+
+@register(
     "heavy_hitters_by_type",  # new r8, gated immediately (slot:
     # boilerplate_ngrams_abs demoted — green r5-r7; repeated-content
     # detection stays gated via dedup_repeated_spans (substring-level,

@@ -376,3 +376,88 @@ def test_heavy_hitters_null_contract(spark):
     # group a: n=100, x=60 > 40; NULL group is a REAL group: n=100,
     # z=50 > 40; NULL values never returned in either group
     assert grp == {("a", "x"): 60, (None, "z"): 50}
+
+
+def _grouped_reference(rows, qs):
+    """Brute-force per-group order statistics (k = ceil(q*n) over
+    non-null values)."""
+    import math as m
+
+    by_g = {}
+    for g, v in rows:
+        if v is not None:
+            by_g.setdefault(g, []).append(v)
+    want = {}
+    for g, vs in by_g.items():
+        vs.sort()
+        for q in qs:
+            want[(g, q)] = vs[max(1, m.ceil(q * len(vs))) - 1]
+    return want
+
+
+def test_grouped_exact_quantiles_match_reference(spark, sf_dir):
+    """Every (event_type, q) against the per-group brute-force order
+    statistic, with the direct path disabled so real grid-bracketing
+    rounds run; invariant under repartitioning."""
+    from sport_advantages_moderne_data_infrastructure_spark.operators.sketches import (
+        grouped_exact_quantiles,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    rows = [(r["event_type"], r["value"])
+            for r in e.select("event_type", "value").collect()]
+    qs = [0.25, 0.5, 0.75, 0.95]
+    want = _grouped_reference(rows, qs)
+    for parts in (3, 17):
+        got = grouped_exact_quantiles(
+            e.repartition(parts), "event_type", "value", qs,
+            accuracy=40, direct_limit=80, grid=64)
+        assert {(g, q): v for g, q, v in got} == want
+
+
+def test_grouped_exact_quantiles_job_count(spark, sf_dir):
+    """The grouped pin (VERDICT r8 #3): 5 groups x 4 quantiles cost
+    the SAME Spark jobs as 5 groups x 1 quantile — per round one grid
+    re-sketch, one verify agg, one shared ranked read; never a
+    per-group or per-quantile loop. direct_limit=400 makes convergence
+    deterministic (post-sketch width <= ~5/64 x 210 + 2n/40 << 400
+    after one round at this scale)."""
+    from sport_advantages_moderne_data_infrastructure_spark.operators.sketches import (
+        grouped_exact_quantiles,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    sc = spark.sparkContext
+
+    def njobs(tag, qs):
+        sc.setJobGroup(tag, "grouped quantile job-count pin")
+        try:
+            grouped_exact_quantiles(e, "event_type", "value", qs,
+                                    accuracy=40, direct_limit=400,
+                                    grid=64)
+        finally:
+            sc.setJobGroup(None, None)
+        return len(sc.statusTracker().getJobIdsForGroup(tag))
+
+    one = njobs("gq1", [0.5])
+    four = njobs("gq4", [0.25, 0.5, 0.75, 0.95])
+    assert 0 < one <= 12
+    assert four == one, (one, four)
+
+
+def test_grouped_exact_quantiles_null_group_and_values(spark):
+    """A NULL group is a REAL group; NULL values are excluded from
+    every group's n (the flat contract)."""
+    from sport_advantages_moderne_data_infrastructure_spark.operators.sketches import (
+        grouped_exact_quantiles,
+    )
+
+    rows = ([("a", float(i)) for i in range(1, 101)]
+            + [("a", None)] * 50
+            + [(None, float(i)) for i in range(1, 41)])
+    df = spark.createDataFrame(rows, "g string, x double").repartition(4)
+    got = {(g, q): v for g, q, v in grouped_exact_quantiles(
+        df, "g", "x", [0.5, 1.0], accuracy=20, direct_limit=10,
+        grid=16, max_rounds=8)}
+    assert got == {("a", 0.5): 50.0, ("a", 1.0): 100.0,
+                   (None, 0.5): 20.0, (None, 1.0): 40.0}
