@@ -77,6 +77,65 @@ def q_pricing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "orders_grouping_sets",  # new r9, gated immediately (slot:
+    # session_windows_batch demoted — green r2-r8; the event-time
+    # windowing surface (T5) stays gated via interval_join_events,
+    # stream_quarantine_batch_twin and the SCD2 rows, and
+    # sessionization keeps running in every bench pass (bench=True)
+    # and stays DuckDB-verified per pytest run).
+    # The GENERAL multi-level-aggregate surface (VERDICT r8 #7):
+    # pricing_rollup covers the hierarchical ROLLUP case; this row
+    # exercises an EXPLICIT NON-HIERARCHICAL grouping-sets list —
+    # ((status, priority), (status), (priority)): neither single-col
+    # set is a prefix of the other, and there is deliberately NO grand
+    # total, so neither ROLLUP nor CUBE can express it. Same plan
+    # contract as ROLLUP, pinned: ONE pushed-filter scan + ONE Expand
+    # (3x) + partial/final hash aggregate — never a scan per grouping
+    # set. Both engines share the first-arg-most-significant
+    # grouping_id bitmask convention: gid 0 = finest, 1 = priority
+    # aggregated away, 2 = status aggregated away.
+    oracle=(
+        "SELECT CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) "
+        "AS gid, o_orderstatus, o_orderpriority, "
+        "ROUND(SUM(o_totalprice), 2) AS sum_price, "
+        "ROUND(AVG(o_totalprice), 4) AS avg_price, "
+        "CAST(COUNT(*) AS BIGINT) AS n_orders "
+        "FROM orders WHERE o_orderdate >= TIMESTAMP "
+        "'1995-01-01 00:00:00' "
+        "GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), "
+        "(o_orderstatus), (o_orderpriority)) "
+        "ORDER BY gid, o_orderstatus, o_orderpriority"),
+    bench=True)
+def q_orders_grouping_sets(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Order-value report at three independent granularities in ONE
+    plan — per (status, priority), per status, per priority — via
+    DataFrame.groupingSets (the arbitrary GROUPING SETS surface; the
+    grouping-set union that ROLLUP/CUBE cannot express). One scan +
+    one Expand + partial/final hash agg: the map-side partial absorbs
+    the 3x Expand blow-up before the exchange, so the exchange still
+    carries ~group-cardinality rows at any fact size."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderdate")
+                 >= F.lit("1995-01-01").cast("timestamp"))
+        .groupingSets(
+            [["o_orderstatus", "o_orderpriority"],
+             ["o_orderstatus"], ["o_orderpriority"]],
+            "o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select("gid", "o_orderstatus", "o_orderpriority",
+                "sum_price", "avg_price", "n_orders")
+        .orderBy("gid", "o_orderstatus", "o_orderpriority")
+    )
+
+
+@register(
     "pricing_summary",
     # Demoted r8 after green r5-r7: STRICTLY EMBEDDED in
     # pricing_rollup (its finest grouping set), keeps running in every

@@ -61,7 +61,12 @@ def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("session_windows_batch", oracle=SESSIONIZE_SQL, bench=True)
+@register("session_windows_batch", oracle=SESSIONIZE_SQL, bench=True,
+          driver=False)  # rotated out r9 (green r2-r8; slot:
+# orders_grouping_sets gated). The event-time windowing surface (T5)
+# stays gated via interval_join_events, stream_quarantine_batch_twin
+# and the SCD2 rows; sessionization keeps running in every bench pass
+# and stays DuckDB-verified per pytest run via test_oracle_parity.
 def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands sessionization (5-minute gap) — the batch form of
     session_window, one shuffle on user_id + two window passes. Runs the

@@ -348,3 +348,16 @@ def test_pricing_rollup_one_scan_one_expand(spark, sf_dir):
     assert nodes.count("Expand") == 1, nodes
     assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual" \
         in plan, plan
+
+
+def test_grouping_sets_one_scan_one_expand(spark, sf_dir):
+    """The arbitrary-GROUPING-SETS row (r9) holds the same plan
+    contract as ROLLUP: one pushed-filter scan + one Expand +
+    partial/final hash aggregate."""
+    plan = _plan(catalog.REGISTRY["orders_grouping_sets"].spark_fn(
+        spark, sf_dir))
+    nodes = plan.split("\n\n")[0]
+    assert nodes.count("Scan parquet") == 1, nodes
+    assert nodes.count("Expand") == 1, nodes
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual" \
+        in plan, plan
