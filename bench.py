@@ -51,6 +51,13 @@ FLOORS = {
     # measured ~16k steady; PLANS.md §JDBC publish)
     "jdbc_full_frame_rows_per_sec": 15000,  # snapshot-replace path
     # (measured 31-53k)
+    "final_pipeline_rows_per_sec": 3500,    # the composed reference DAG
+    # maintained by ONE stream (streaming/finalpipeline.py, r9): five
+    # source commits drained through the single-checkpoint query that
+    # advances jmv1 → bucketed agg → final → prime every trigger
+    # (measured 6.2k source-change rows/s at sf0.1; floor ~45% under —
+    # the leg makes ~15 txnlog commits per run, so fixed commit cost
+    # dominates and noise exposure is higher than the plain sinks)
 }
 
 # Per-query wall-clock budgets (sec at sf0.1): 1.5x the rolling min over
@@ -102,6 +109,10 @@ QUERY_BUDGETS = {
     # has a 31-token vocabulary, so every posting list spans ~the whole
     # corpus and candidates are O(n_queries x corpus); with a real
     # Zipfian vocabulary candidates are posting-list-bounded
+    # r9: budgets for the previously-unbudgeted r8 rows (VERDICT r8
+    # #6; 1.5x rolling min over r8 driver run + r9 local runs):
+    "heavy_hitters_users": 1.00,    # min 0.668
+    "bigram_surprisal_score": 1.86,  # min 1.237
 }
 
 
@@ -185,16 +196,20 @@ def main() -> None:
     # UNTIMED warm-up run precedes the timed passes.
     _ = bench_streaming(spark, sf_dir)  # warm-up, discarded
     stream_runs, txn_runs, dedup_runs, jdbc_runs = [], [], [], []
+    fp_runs = []
     for pass_i in range(2):
         stream_runs.append(bench_streaming(spark, sf_dir))
         txn_runs.append(bench_txn_stream(spark, sf_dir))
         dedup_runs.append(bench_stream_dedup(spark, sf_dir))
         jdbc_runs.append(bench_jdbc_publish(spark))
+        fp_runs.append(bench_final_pipeline(spark, sf_dir))
         print(f"# stream pass{pass_i}: {stream_runs[-1]['rows_per_sec']} "
               f"txn: {txn_runs[-1]['sink_rows_per_sec']}/"
               f"{txn_runs[-1]['fb_sink_rows_per_sec']}/"
               f"{txn_runs[-1]['feed_rows_per_sec']} "
-              f"dedup: {dedup_runs[-1]['docs_per_sec']}", file=sys.stderr)
+              f"dedup: {dedup_runs[-1]['docs_per_sec']} "
+              f"final_pipe: {fp_runs[-1]['rows_per_sec']}",
+              file=sys.stderr)
 
     def _best(runs, key):
         return max(runs, key=lambda s: s[key])
@@ -226,6 +241,7 @@ def main() -> None:
     txn_stream = _merge_txn(txn_runs)
     stream_dedup = _best(dedup_runs, "docs_per_sec")
     jdbc_pub = _merge_jdbc(jdbc_runs)
+    final_pipe = _best(fp_runs, "rows_per_sec")
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -251,10 +267,11 @@ def main() -> None:
             "jdbc_upsert_rows_per_sec": jdbc_pub["upsert_rows_per_sec"],
             "jdbc_full_frame_rows_per_sec":
                 jdbc_pub["full_frame_rows_per_sec"],
+            "final_pipeline_rows_per_sec": final_pipe["rows_per_sec"],
         }
 
     retry_counts = {"stream": 0, "txn": 0, "dedup": 0, "jdbc": 0,
-                    "queries": 0}
+                    "final_pipe": 0, "queries": 0}
     for attempt in range(2 if floors_apply else 0):
         failing = [k for k, v in _floor_vals().items() if v < FLOORS[k]]
         if not failing:
@@ -276,10 +293,15 @@ def main() -> None:
             jdbc_runs.append(bench_jdbc_publish(spark))
             jdbc_pub = _merge_jdbc(jdbc_runs)
             retry_counts["jdbc"] += 1
+        if "final_pipeline_rows_per_sec" in failing:
+            fp_runs.append(bench_final_pipeline(spark, sf_dir))
+            final_pipe = _best(fp_runs, "rows_per_sec")
+            retry_counts["final_pipe"] += 1
     print(f"# stream: {stream}", file=sys.stderr)
     print(f"# txn_stream: {txn_stream}", file=sys.stderr)
     print(f"# stream_dedup: {stream_dedup}", file=sys.stderr)
     print(f"# jdbc_publish: {jdbc_pub}", file=sys.stderr)
+    print(f"# final_pipeline: {final_pipe}", file=sys.stderr)
 
     # Per-query budget tripwire (VERDICT r5 #3): one extra timed rep for
     # any core query over its 1.5x-rolling-min budget, then the miss
@@ -326,6 +348,7 @@ def main() -> None:
         "row_ops": row_ops,
         "stream_dedup": stream_dedup,
         "jdbc_publish": jdbc_pub,
+        "final_pipeline": final_pipe,
         "floors": floors,
         "query_budgets": budgets,
         # per-run (unmerged) streaming metrics + retry counts, so a reader
@@ -338,6 +361,7 @@ def main() -> None:
         "jdbc_runs_raw": [[r["upsert_rows_per_sec"],
                            r["full_frame_rows_per_sec"]]
                           for r in jdbc_runs],
+        "fp_runs_raw": [r["rows_per_sec"] for r in fp_runs],
         "retries": retry_counts,
         # floors_ok semantics: row_ops ratios are scale-independent and
         # ALWAYS gate; the rows/sec floors and query budgets only gate at
@@ -378,8 +402,9 @@ def _emit(doc: dict, floors: dict, budgets: dict) -> None:
     compact = {k: v for k, v in doc.items()
                if k not in ("added_queries", "stream", "txn_stream",
                             "row_ops", "stream_dedup", "jdbc_publish",
-                            "stream_runs_raw", "txn_runs_raw",
-                            "dedup_runs_raw", "jdbc_runs_raw",
+                            "final_pipeline", "stream_runs_raw",
+                            "txn_runs_raw", "dedup_runs_raw",
+                            "jdbc_runs_raw", "fp_runs_raw",
                             "timing")}
     # floor entries carry the streaming/txn/jdbc headline rates
     # (rounded to whole rows/sec here; exact in the file); ok flags
@@ -527,6 +552,104 @@ def bench_txn_stream(spark, sf_dir: str) -> dict:
         "fb_sink_wall_sec": round(fb_wall, 3),
         "feed_rows_per_sec": round(out_rows / feed_wall, 1),
         "feed_wall_sec": round(feed_wall, 3),
+    }
+    shutil.rmtree(root, ignore_errors=True)
+    return res
+
+
+def bench_final_pipeline(spark, sf_dir: str) -> dict:
+    """The composed reference DAG maintained by ONE continuous stream
+    (streaming/finalpipeline.py, VERDICT r8 #4): five source commits —
+    initial employee/validation/activity loads, an employee-raise
+    MERGE, an activity append — drained through the single-checkpoint
+    query that advances all four layers (emp ⋈ val join MV, bucketed
+    activity agg, the reference's ``final``, the prime projection)
+    inside each trigger. Reports source-change rows/sec through the
+    WHOLE chain (commit setup excluded)."""
+    import shutil
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    from sport_advantages_moderne_data_infrastructure_spark.operators import (  # noqa: E501
+        relational as R,
+    )
+    from sport_advantages_moderne_data_infrastructure_spark.operators.cdc import (  # noqa: E501
+        parse_cdc,
+    )
+    from sport_advantages_moderne_data_infrastructure_spark.operators.mv import (  # noqa: E501
+        AggMaterializedView,
+        JoinMaterializedView,
+        MapMaterializedView,
+    )
+    from sport_advantages_moderne_data_infrastructure_spark.sources import (  # noqa: E501
+        domain as D,
+    )
+    from sport_advantages_moderne_data_infrastructure_spark.sources.txnlog import (  # noqa: E501
+        TxnTable,
+    )
+    from sport_advantages_moderne_data_infrastructure_spark.streaming.finalpipeline import (  # noqa: E501
+        write_stream_final_pipeline,
+    )
+
+    root = tempfile.mkdtemp(prefix="samdis_bench_fp_")
+    emp0 = (R.employee_projection(D.employees(spark, sf_dir))
+            .withColumn("id_employee", F.col("id_employee").cast("int")))
+    raises = (emp0.filter(F.col("id_employee") % 10 == 0)
+              .select("id_employee",
+                      (F.col("gross_salary") + 1000).cast("int")
+                      .alias("gross_salary"), "business_unity",
+                      F.lit("CDI").alias("constract_type")))
+    val0 = (D.commute_validations(spark, sf_dir)
+            .select("id_validate",
+                    F.col("id_employee").cast("int")
+                    .alias("id_employee"),
+                    "calculed_distance", "calculed_duration",
+                    "is_valid", "error_message", "created_at"))
+    parsed = parse_cdc(D.cdc_events(spark, sf_dir)).select(
+        "id", "id_employee", "sport_type", "activity_duration")
+
+    emp, val, act = (TxnTable(f"{root}/emp"), TxnTable(f"{root}/val"),
+                     TxnTable(f"{root}/act"))
+    jmv1 = JoinMaterializedView(f"{root}/jmv1", "id_employee",
+                                n_buckets=16, capture_changes=True)
+    aggv = AggMaterializedView(f"{root}/agg", "id_employee",
+                               "activity_duration", n_buckets=16,
+                               capture_changes=True)
+    jmv2 = JoinMaterializedView(f"{root}/final", "id_employee",
+                                n_buckets=16, how="left",
+                                capture_changes=True)
+
+    def prime_map(df):
+        d = (df.withColumn("count_activity", F.col("cnt"))
+             .withColumn("mean_duration",
+                         F.round(F.col("sm") / F.col("cnt"), 4)))
+        return R.prime_query(d)
+
+    prime = MapMaterializedView(f"{root}/prime", "id_employee",
+                                prime_map, n_buckets=16)
+    emp.overwrite(emp0)
+    val.overwrite(val0)
+    act.overwrite(parsed.filter("id % 3 <> 2"))
+    emp.merge(spark, raises, "id_employee")
+    act.append(parsed.filter("id % 3 = 2"))
+    src_rows = (emp0.count() + raises.count() + val0.count()
+                + parsed.count())
+
+    t0 = time.perf_counter()
+    q = write_stream_final_pipeline(
+        spark, emp.path, val.path, act.path, jmv1, aggv, jmv2, prime,
+        f"{root}/ckpt", app_id="bench_fp")
+    q.awaitTermination(600)
+    q.stop()
+    wall = time.perf_counter() - t0
+    out_rows = prime.read(spark).count()
+    res = {
+        "src_change_rows": src_rows,
+        "prime_rows": out_rows,
+        "rows_per_sec": round(src_rows / wall, 1),
+        "wall_sec": round(wall, 3),
     }
     shutil.rmtree(root, ignore_errors=True)
     return res

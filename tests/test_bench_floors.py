@@ -12,7 +12,8 @@ def test_floor_keys_cover_streaming_metrics():
         "stream_rows_per_sec", "txn_sink_rows_per_sec",
         "txn_fb_sink_rows_per_sec", "txn_feed_rows_per_sec",
         "stream_dedup_docs_per_sec", "jdbc_upsert_rows_per_sec",
-        "jdbc_full_frame_rows_per_sec"}
+        "jdbc_full_frame_rows_per_sec",
+        "final_pipeline_rows_per_sec"}  # r9: the single-stream DAG
     assert all(v > 0 for v in bench.FLOORS.values())
 
 
