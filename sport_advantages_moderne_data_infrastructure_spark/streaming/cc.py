@@ -94,7 +94,14 @@ def resolve_remap(remap: DataFrame, max_iter: int = 64) -> DataFrame:
     over the SMALL remap table until fixpoint (each hop strictly
     decreases every unresolved dst, chains are <= merges-per-label
     deep; ``max_iter`` is a loud backstop, not a correctness knob)."""
-    m = remap.select("src", "dst")
+    # localCheckpoint per hop: each iteration references the previous
+    # frame TWICE, so the unmaterialized plan doubles per hop (2^hops
+    # leaf scans) — on a long merge-heavy history planning cost and
+    # driver heap blow up (measured: a 120-merge chain stalled the
+    # 8g bench driver; with the cut, 120 batches resolve in ~log2
+    # cheap hops — scripts/bench_cc_compaction.py). The frame is
+    # merges-sized, so the materialization is trivially small.
+    m = remap.select("src", "dst").localCheckpoint(eager=True)
     for _ in range(max_iter):
         pending = (m.alias("a")
                    .join(m.alias("b"),
@@ -106,7 +113,8 @@ def resolve_remap(remap: DataFrame, max_iter: int = 64) -> DataFrame:
                    "left")
              .select(F.col("a.src").alias("src"),
                      F.coalesce(F.col("b.dst"), F.col("a.dst"))
-                     .alias("dst")))
+                     .alias("dst"))
+             .localCheckpoint(eager=True))
     raise RuntimeError(f"remap forest did not resolve in {max_iter} hops"
                        " — cycle would mean a non-decreasing redirect")
 
@@ -283,3 +291,36 @@ def compact(spark: SparkSession, root: str) -> None:
                   expected_version=assign.latest_version())
     remap.overwrite(remap.read(spark).limit(0),
                     {"operation": "cc_compact_truncate"})
+
+
+def compact_if_needed(spark: SparkSession, root: str,
+                      max_remap_rows: int = 1024,
+                      max_live_dirs: int = 64) -> bool:
+    """Scheduled-maintenance policy (the ``TxnTable.compact_if_needed``
+    discipline for the CC pair, VERDICT r8 #5): run :func:`compact`
+    only when the serve-side cost has actually accreted —
+
+    - ``remap`` holds more than ``max_remap_rows`` merge rows: the
+      serve join broadcasts the RESOLVED forest, so remap's row count
+      IS the broadcast size and bounds the pointer-doubling chain
+      work; a long merge-heavy history grows it monotonically until a
+      fold;
+    - or ``assign`` accreted more than ``max_live_dirs`` live data
+      dirs (one per appending micro-batch): the small-files cost every
+      streaming sink pays, folded by the same bucket-granular rewrite.
+
+    Both probes are bounded: remap is merges-sized (its count is a
+    sketch-sized job) and ``snapshot_dirs`` is driver metadata.
+    Returns True when a compaction ran. Correctness never depends on
+    compaction (``current_labels`` resolves any chain); ONLY the
+    broadcast size and chain length do — measured before/after at 10x
+    merge-heavy history in PLANS.md §Streaming-state compaction."""
+    assign, remap = _tables(root)
+    if remap.latest_version() is None or assign.latest_version() is None:
+        return False
+    n_remap = remap.read(spark).count()
+    n_dirs = len(assign.snapshot_dirs())
+    if n_remap <= max_remap_rows and n_dirs <= max_live_dirs:
+        return False
+    compact(spark, root)
+    return True

@@ -201,6 +201,37 @@ def write_stream_splits(df: DataFrame, root: str, checkpoint: str,
     return w.start()
 
 
+def compact_if_needed(spark: SparkSession, root: str,
+                      max_live_dirs: int = 32,
+                      cc_max_remap_rows: int = 1024) -> dict:
+    """Scheduled maintenance for the WHOLE splits pipeline state
+    (VERDICT r8 #5): the band/posting index tables grow monotonically
+    (one ``__sb``-partitioned dir set per appending micro-batch — the
+    small-files cost, NOT a broadcast cost), and the CC pair under the
+    same root grows its serve broadcast with merges-since-compaction.
+    Bands/postings go through ``TxnTable.compact_if_needed`` — whose
+    rewrite is PARTITION-AWARE (``_live_partition_col``), so the
+    ``__sb`` pruned reads every ingest depends on survive the fold —
+    and the CC pair through ``streaming/cc.compact_if_needed``.
+    Returns {"bands": v|None, "postings": v|None, "cc": bool}. Safe to
+    run between micro-batches: ingest legs key off (app_id, batch_id)
+    stream meta, which a compaction commit never touches; no change
+    feed is consumed from these tables (pruned snapshot reads only),
+    so the no-CDF-across-rewrite rule does not bite."""
+    from . import cc as CC
+
+    bands, postings = _tables(root)
+    out = {"bands": None, "postings": None, "cc": False}
+    for name, t in (("bands", bands), ("postings", postings)):
+        if t.latest_version() is not None:
+            out[name] = t.compact_if_needed(
+                spark, max_live_dirs=max_live_dirs)
+    out["cc"] = CC.compact_if_needed(
+        spark, root, max_remap_rows=cc_max_remap_rows,
+        max_live_dirs=max_live_dirs)
+    return out
+
+
 def current_splits(spark: SparkSession, root: str) -> DataFrame:
     """(doc_id, cluster_id, split) — the maintained labels through the
     stable md5 bucket of the cluster label (plans/textops

@@ -179,3 +179,36 @@ def test_serving_plan_is_broadcast_only(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_compact_if_needed_policy(spark):
+    """The scheduled-maintenance policy (VERDICT r8 #5): below both
+    thresholds -> no-op (None-equivalent False, no version bump);
+    above the merge threshold -> compacts (remap truncated, labels
+    unchanged); immediately after -> no-op again."""
+    root = tempfile.mkdtemp(prefix="cc_pol_")
+    a, r = C._tables(root)
+    # a merge-heavy history: chain 12 docs so every batch merges
+    C.ingest_batch(a, r, _mk(spark, [(100, None)]), 0, "p")
+    for i in range(1, 13):
+        C.ingest_batch(
+            a, r, _mk(spark, [(100 - i, None), (100 - i, 100 - i + 1)]),
+            i, "p")
+    before = _labels(spark, root)
+    n_remap = r.read(spark).count()
+    assert n_remap >= 12  # every batch re-rooted the chain
+
+    # below thresholds: policy declines
+    assert C.compact_if_needed(spark, root, max_remap_rows=1000,
+                               max_live_dirs=10_000) is False
+    assert r.read(spark).count() == n_remap
+
+    # merge threshold crossed: policy compacts, serve state unchanged
+    assert C.compact_if_needed(spark, root, max_remap_rows=8,
+                               max_live_dirs=10_000) is True
+    assert r.read(spark).count() == 0  # forest folded into assign
+    assert _labels(spark, root) == before
+
+    # idempotent: nothing left to fold
+    assert C.compact_if_needed(spark, root, max_remap_rows=8,
+                               max_live_dirs=10_000) is False

@@ -128,3 +128,57 @@ def test_no_pair_straddles_on_maintained_output(spark, sf_dir):
     finally:
         bands_b.unpersist()
         hashes_b.unpersist()
+
+
+def test_splits_compact_if_needed_policy(spark, sf_dir):
+    """Whole-pipeline maintenance (VERDICT r8 #5): after a multi-batch
+    ingest the band/posting tables have accreted one dir-set per
+    batch; the policy folds them PARTITION-AWARE (the __sb pruned
+    reads every subsequent ingest depends on keep working), the CC
+    pair compacts by its own policy, and the maintained splits are
+    unchanged. Below thresholds the policy is a no-op."""
+    import tempfile
+
+    from sport_advantages_moderne_data_infrastructure_spark.sources.tables import (  # noqa: E501
+        load_table,
+    )
+    from sport_advantages_moderne_data_infrastructure_spark.streaming import (
+        splits as SP,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="splits_pol_")
+    for i in range(4):
+        SP.ingest_batch(root, docs.filter(F.col("doc_id") % 5 == i),
+                        i, "pol")
+    before = sorted(tuple(r) for r in
+                    SP.current_splits(spark, root).collect())
+    bands, postings = SP._tables(root)
+    dirs_before = len(bands.snapshot_dirs())
+    assert dirs_before > 4  # one dir-set per batch accreted
+
+    # below thresholds: no-op everywhere
+    out = SP.compact_if_needed(spark, root, max_live_dirs=10_000,
+                               cc_max_remap_rows=10_000)
+    assert out == {"bands": None, "postings": None, "cc": False}
+
+    # force the fold
+    out = SP.compact_if_needed(spark, root, max_live_dirs=2,
+                               cc_max_remap_rows=10_000)
+    assert out["bands"] is not None and out["postings"] is not None
+    assert len(bands.snapshot_dirs()) < dirs_before
+    assert sorted(tuple(r) for r in
+                  SP.current_splits(spark, root).collect()) == before
+
+    # the pruned-read ingest path still works ACROSS the fold: deliver
+    # the held-out fifth slice, then require batching invariance — the
+    # 4-batch + compact + 1-batch history must land on the same splits
+    # as a single-batch ingest of the whole corpus
+    SP.ingest_batch(root, docs.filter(F.col("doc_id") % 5 == 4),
+                    4, "pol")
+    ref_root = tempfile.mkdtemp(prefix="splits_pol_ref_")
+    SP.ingest_batch(ref_root, docs, 0, "polref")
+    assert (sorted(tuple(r) for r in
+                   SP.current_splits(spark, root).collect())
+            == sorted(tuple(r) for r in
+                      SP.current_splits(spark, ref_root).collect()))
