@@ -1051,6 +1051,56 @@ def q_grouped_quantiles_exact(spark: SparkSession,
 
 
 @register(
+    "stream_quantiles_equiv",  # new r9, gated immediately (slot:
+    # training_pipeline_e2e demoted — green r4-r8; every composed
+    # stage stays gated on its own row and the harder streaming
+    # composition is gated via stream_splits_e2e; the row stays
+    # benched and DuckDB-verified per pytest run).
+    # Streaming EXACT quantiles (streaming/quantiles.py): unlike the
+    # batch bracketing operator, the maintained form needs NO
+    # verification rounds — the frozen-value-grid histogram is folded
+    # from the vals change feed with EXACT counts, so serving is the
+    # <= (n_vb+2)-row histogram locating each rank's bucket plus ONE
+    # partition-pruned ranked read over just the target buckets. The
+    # oracle is the order statistic itself recomputed relationally —
+    # served-through-maintained-state values must hash-match DuckDB's
+    # ORDER BY ... rank over the SAME rows, a FULL hash.
+    oracle=(
+        "WITH t AS (SELECT value, ROW_NUMBER() OVER "
+        "(ORDER BY value) AS rn FROM events "
+        "WHERE value IS NOT NULL), "
+        "n AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM events "
+        "WHERE value IS NOT NULL) "
+        "SELECT CAST(q AS DOUBLE) AS q, value "
+        "FROM (VALUES (0.25),(0.5),(0.75),(0.95)) qs(q) "
+        "JOIN t ON t.rn = GREATEST(1, CAST(CEIL(CAST(q AS DOUBLE) "
+        "* (SELECT c FROM n)) AS BIGINT)) "
+        "ORDER BY q"))
+def q_stream_quantiles_equiv(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Event values arrive as three micro-batches through the exact
+    per-batch ingest the foreachBatch sink runs (bucket-partitioned
+    vals append + histogram fold from the vals change feed, every leg
+    replay-guarded); p25/p50/p75/p95 served THROUGH the maintained
+    state must equal the from-scratch order statistics. Completes
+    "every sketch artifact has a streaming twin" for the quantile
+    family (IVF r6, IVF-PQ r7, BM25 r8, MG r8, CC r8, SemDeDup r8)."""
+    import tempfile
+
+    from ..streaming.quantiles import _tables, ingest_batch, \
+        quantiles_served
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "value")
+    root = tempfile.mkdtemp(prefix="samdis_stream_q_")
+    vals, hist = _tables(root)
+    for i in range(3):
+        ingest_batch(vals, hist, e.filter(F.col("event_id") % 3 == i),
+                     i, "value", 0.0, 500.0, app_id="q_twin")
+    got = quantiles_served(spark, root, [0.25, 0.5, 0.75, 0.95])
+    return spark.createDataFrame(got, "q double, value double")
+
+
+@register(
     "heavy_hitters_by_type",  # new r8, gated immediately (slot:
     # boilerplate_ngrams_abs demoted — green r5-r7; repeated-content
     # detection stays gated via dedup_repeated_spans (substring-level,

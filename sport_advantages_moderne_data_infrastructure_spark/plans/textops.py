@@ -720,6 +720,13 @@ def q_token_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "training_pipeline_e2e",  # promoted into the driver window r4
     # candidate — the composed pipeline, every stage already gate-checked
+    driver=False,  # rotated out r9 (green r4-r8; slot:
+    # stream_quantiles_equiv gated). Every composed stage stays gated
+    # on its own row (training_order_shuffle,
+    # training_shard_assignments, dedup rows) and the harder streaming
+    # composition is gated via stream_splits_e2e; this row keeps
+    # running in every bench pass (bench=True) and stays
+    # DuckDB-verified per pytest run via test_oracle_parity.
     oracle=(
         f"WITH corpus AS ({_DUP_CORPUS_SQL}), "
         "q AS (SELECT doc_id, text FROM corpus WHERE "

@@ -1,0 +1,186 @@
+"""Streaming EXACT quantiles: the order-statistic surface kept
+continuously serveable as values arrive — the quantile twin of the
+streaming MG sketch (sketches.py), completing "every sketch artifact
+has a streaming twin" for the whole sketch family (IVF r6, IVF-PQ r7,
+BM25 r8, MG r8, CC labels r8, SemDeDup r8, quantiles r9).
+
+The batch operator (operators/sketches.exact_quantiles) needs
+bracketing rounds because it must DISCOVER a rank-k bracket with an
+advisory sketch. A maintained table can do better: maintain the
+bracket index itself —
+
+- ``vals``: the raw values, PARTITION-PRUNED by a frozen value-grid
+  bucket ``__vb`` (equi-width over a declared [lo, hi) domain plus
+  under/overflow buckets — the frozen-centroid discipline of
+  streaming SemDeDup: the grid never moves, so a row's bucket is a
+  pure function of its value and appends never touch old buckets).
+- ``hist``: per-bucket EXACT counts (<= n_vb + 2 rows), folded per
+  micro-batch from the vals CHANGE FEED since the hist's recorded
+  high-water (the bm25 df-leg crash discipline: a crash between legs
+  leaves vals ahead, and the next batch's fold covers both batches).
+  Histogram counts are exact deltas of an append-only stream, so —
+  unlike the batch operator's sketch — NO verification round is ever
+  needed.
+
+Serving (:func:`quantiles_served`) is TWO bounded reads at any
+history length: the <= (n_vb+2)-row hist locates every requested
+rank's bucket and in-bucket rank by cumulative sum (driver-side,
+histogram-sized); ONE partition-pruned ranked read over just the
+target buckets returns all quantiles (the shared-window trick of the
+batch engines — rows tagged per quantile, ranked per tag). Cost is
+O(hist) + O(target-bucket rows); the corpus is never scanned or
+sorted. Bucket-width skew is the operational knob: a hot bucket makes
+its pruned read bigger, never wrong — re-gridding is compaction-style
+maintenance (correctness does not depend on grid balance).
+
+NULL values are dropped at ingest (the exact_quantiles contract: n
+counts non-null rows only).
+
+Reference context: the reference computes only averages over its
+``final`` table (README.md:140-164); percentile service over the
+activity stream is the SURVEY §2 extension class.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.mv import _last_meta_with
+from ..sources.txnlog import TxnTable
+from .scd2 import _guarded_commit, _stream_meta
+
+#: default frozen grid (documented per root in the vals commit meta)
+N_VB = 64
+
+
+def _tables(root: str) -> tuple[TxnTable, TxnTable]:
+    return TxnTable(root + "/vals"), TxnTable(root + "/hist")
+
+
+def _vb(col, lo: float, hi: float, n_vb: int):
+    """Frozen-grid bucket id: 0 = underflow, 1..n_vb = equi-width
+    cells over [lo, hi), n_vb+1 = overflow. Pure function of the
+    value — appends never re-bucket history."""
+    width = (hi - lo) / n_vb
+    cell = (F.floor((col - F.lit(lo)) / F.lit(width))
+            .cast("int") + F.lit(1))
+    return (F.when(col < F.lit(lo), F.lit(0))
+            .when(col >= F.lit(hi), F.lit(n_vb + 1))
+            .otherwise(cell).cast("int"))
+
+
+def ingest_batch(vals: TxnTable, hist: TxnTable, batch_df: DataFrame,
+                 batch_id: int, col: str, lo: float, hi: float,
+                 n_vb: int = N_VB, app_id: str | None = None) -> None:
+    """One micro-batch: vals append (bucket-partitioned), then hist
+    fold from the vals change feed since the hist's high-water. Both
+    legs individually (app_id, batch_id) replay-guarded."""
+    spark = batch_df.sparkSession
+    rows = (batch_df.select(F.col(col).cast("double").alias("v"))
+            .filter(F.col("v").isNotNull())
+            .withColumn("__vb", _vb(F.col("v"), lo, hi, n_vb)))
+
+    def _vals_leg():
+        meta = _stream_meta(batch_id, app_id, "q_vals_append")
+        meta["q_grid"] = [lo, hi, n_vb]
+        meta["partition_by"] = "__vb"
+        # shape by the bucket column before the partitioned write so a
+        # commit adds <= one file per bucket, not shuffle-partitions x
+        # buckets (the stream_splits_e2e lesson)
+        adds = vals._write_data_partitioned(  # noqa: SLF001
+            rows.repartition(16, "__vb"), "__vb")
+        vals.commit(adds, [], meta,
+                    expected_version=vals.latest_version())
+
+    _guarded_commit(vals, batch_id, app_id, _vals_leg)
+
+    sv = vals.latest_version()
+    last = (_last_meta_with(hist, "q_source_version")
+            .get("q_source_version", -1)
+            if hist.latest_version() is not None else -1)
+    if sv > last:
+        ch = (vals.read_changes(spark, since_version=last, upto=sv)
+              .filter(F.col("_change_type") == "insert"))
+        delta = ch.groupBy("__vb").agg(F.count(F.lit(1)).alias("cnt"))
+        if hist.latest_version() is not None:
+            delta = (hist.read(spark).unionByName(delta)
+                     .groupBy("__vb")
+                     .agg(F.sum("cnt").cast("long").alias("cnt")))
+
+        def _hist_leg():
+            meta = _stream_meta(batch_id, app_id, "q_hist_fold")
+            meta["q_source_version"] = sv
+            hist.overwrite(delta.select(
+                "__vb", F.col("cnt").cast("long").alias("cnt")), meta)
+
+        _guarded_commit(hist, batch_id, app_id, _hist_leg)
+
+
+def write_stream_quantiles(df: DataFrame, root: str, checkpoint: str,
+                           col: str, lo: float, hi: float,
+                           n_vb: int = N_VB,
+                           app_id: str | None = None,
+                           available_now: bool = True):
+    """Start the maintenance sink over ``df``; returns the
+    StreamingQuery. Serve with :func:`quantiles_served`."""
+    vals, hist = _tables(root)
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        ingest_batch(vals, hist, batch_df, batch_id, col, lo, hi,
+                     n_vb, app_id)
+
+    w = (df.writeStream.foreachBatch(_ingest)
+         .option("checkpointLocation", checkpoint))
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def quantiles_served(spark: SparkSession, root: str,
+                     qs: list[float]) -> list[tuple[float, float]]:
+    """EXACT [(q, k-th smallest)] (k = ceil(q*n), the
+    exact_quantiles definition) from the maintained state: the exact
+    histogram locates every rank's bucket driver-side, ONE
+    partition-pruned ranked read over the target buckets answers all
+    quantiles. Never scans or sorts the corpus."""
+    from pyspark.sql import Window as W
+
+    vals, hist = _tables(root)
+    if hist.latest_version() is None:
+        raise ValueError(f"no maintained state under {root}")
+    counts = {int(r["__vb"]): int(r["cnt"])
+              for r in hist.read(spark).collect()}
+    n = sum(counts.values())
+    if n == 0:
+        raise ValueError("no non-null values ingested")
+    # locate each rank's bucket + in-bucket rank by cumulative sum
+    order = sorted(counts)
+    targets = []  # (qi, bucket, k_in)
+    for qi, q in enumerate(qs):
+        k = max(1, math.ceil(q * n))
+        below = 0
+        for b in order:
+            if below + counts[b] >= k:
+                targets.append((qi, b, k - below))
+                break
+            below += counts[b]
+    buckets = sorted({b for _, b, _ in targets})
+    rows = vals.read_partitions(spark, buckets)
+    conds = [F.when(F.col("__vb") == F.lit(b), F.lit(qi))
+             for qi, b, _ in targets]
+    kmap = F.create_map(*[x for qi, _, k_in in targets
+                          for x in (F.lit(qi), F.lit(k_in))])
+    w = W.partitionBy("__qi").orderBy(F.col("v").asc())
+    hits = (rows.select("v", "__vb",
+                        F.explode(F.array(*conds)).alias("__qi"))
+            .filter(F.col("__qi").isNotNull())
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == F.element_at(kmap, F.col("__qi")))
+            .select("__qi", "v").collect())
+    got = {int(r["__qi"]): float(r["v"]) for r in hits}
+    return [(q, got[qi]) for qi, q in enumerate(qs)]

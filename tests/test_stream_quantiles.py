@@ -1,0 +1,154 @@
+"""Streaming exact quantiles (r9): the driver gate
+(stream_quantiles_equiv) hash-matches served quantiles against the
+DuckDB order statistics; these pin the maintenance machinery —
+equality with the batch operator, batching invariance, real
+writeStream restart, crash-between-legs recovery, pruned-read shape."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from sport_advantages_moderne_data_infrastructure_spark.operators.sketches import (  # noqa: E501
+    exact_quantiles,
+)
+from sport_advantages_moderne_data_infrastructure_spark.sources.tables import (
+    load_table,
+)
+from sport_advantages_moderne_data_infrastructure_spark.streaming import (
+    quantiles as Q,
+)
+
+QS = [0.25, 0.5, 0.75, 0.95]
+LO, HI = 0.0, 500.0
+
+
+def _events(spark, sf_dir):
+    return (load_table(spark, sf_dir, "events")
+            .select("event_id", "value"))
+
+
+def test_served_equals_batch_operator(spark, sf_dir):
+    """Three-batch ingest, then served quantiles must equal the batch
+    exact_quantiles over the same rows — the maintained state is a
+    lossless index, not an approximation."""
+    e = _events(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="sq_eq_")
+    vals, hist = Q._tables(root)
+    for i in range(3):
+        Q.ingest_batch(vals, hist,
+                       e.filter(F.col("event_id") % 3 == i),
+                       i, "value", LO, HI, app_id="eq")
+    want = exact_quantiles(e, "value", QS)
+    assert Q.quantiles_served(spark, root, QS) == want
+
+
+def test_batching_invariance(spark, sf_dir):
+    """1-batch vs 4-batch delivery must serve identical quantiles."""
+    e = _events(spark, sf_dir)
+    roots = []
+    for parts in (1, 4):
+        root = tempfile.mkdtemp(prefix=f"sq_b{parts}_")
+        vals, hist = Q._tables(root)
+        for i in range(parts):
+            Q.ingest_batch(vals, hist,
+                           e.filter(F.col("event_id") % parts == i),
+                           i, "value", LO, HI, app_id=f"b{parts}")
+        roots.append(root)
+    a = Q.quantiles_served(spark, roots[0], QS)
+    b = Q.quantiles_served(spark, roots[1], QS)
+    assert a == b
+
+
+def test_stream_restart_exactly_once(spark, sf_dir, tmp_path_factory):
+    """Real writeStream twin: restart on the same checkpoint must not
+    double-ingest (versions and served answers unchanged)."""
+    base = tmp_path_factory.mktemp("sqstream")
+    src = str(base / "src")
+    e = _events(spark, sf_dir)
+    e.write.parquet(src)
+
+    def _stream():
+        return (spark.readStream.schema(e.schema)
+                .option("maxFilesPerTrigger", "1").parquet(src))
+
+    root, ckpt = str(base / "q"), str(base / "ckpt")
+    q = Q.write_stream_quantiles(_stream(), root, ckpt, "value",
+                                 LO, HI, app_id="sq")
+    q.awaitTermination(120)
+    q.stop()
+    vals, hist = Q._tables(root)
+    v1 = (vals.latest_version(), hist.latest_version())
+    served1 = Q.quantiles_served(spark, root, QS)
+    assert served1 == exact_quantiles(e, "value", QS)
+
+    q2 = Q.write_stream_quantiles(_stream(), root, ckpt, "value",
+                                  LO, HI, app_id="sq")
+    q2.awaitTermination(60)
+    q2.stop()
+    assert (vals.latest_version(), hist.latest_version()) == v1
+    assert Q.quantiles_served(spark, root, QS) == served1
+
+
+def test_crash_between_legs_recovers(spark, sf_dir, monkeypatch):
+    """Crash AFTER the vals append but BEFORE the hist fold: the next
+    batch's change-feed fold covers the gap (the bm25 df-leg
+    discipline), and a replayed batch id is a no-op."""
+    e = _events(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="sq_crash_")
+    vals, hist = Q._tables(root)
+    Q.ingest_batch(vals, hist, e.filter(F.col("event_id") % 3 == 0),
+                   0, "value", LO, HI, app_id="cr")
+
+    boom = RuntimeError("injected crash before hist fold")
+    real = Q._last_meta_with
+
+    def _raise(table, key):
+        if table.path == hist.path and key == "q_source_version":
+            raise boom
+        return real(table, key)
+
+    monkeypatch.setattr(Q, "_last_meta_with", _raise)
+    try:
+        Q.ingest_batch(vals, hist,
+                       e.filter(F.col("event_id") % 3 == 1),
+                       1, "value", LO, HI, app_id="cr")
+        raise AssertionError("injected crash did not fire")
+    except RuntimeError as ex:
+        assert ex is boom
+    monkeypatch.setattr(Q, "_last_meta_with", real)
+    assert vals.latest_version() > hist.latest_version()  # torn
+
+    # redelivery of batch 1: vals leg skips (guard), hist leg folds
+    # the uncovered feed; then batch 2 proceeds normally
+    Q.ingest_batch(vals, hist, e.filter(F.col("event_id") % 3 == 1),
+                   1, "value", LO, HI, app_id="cr")
+    Q.ingest_batch(vals, hist, e.filter(F.col("event_id") % 3 == 2),
+                   2, "value", LO, HI, app_id="cr")
+    assert Q.quantiles_served(spark, root, QS) == exact_quantiles(
+        e, "value", QS)
+
+
+def test_serving_reads_only_target_buckets(spark, sf_dir):
+    """The serve path must plan a partition-pruned read: values far
+    from every requested rank's bucket are never scanned. Pinned by
+    bucket arithmetic — a single extreme quantile touches exactly one
+    bucket's rows."""
+    e = _events(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="sq_prune_")
+    vals, hist = Q._tables(root)
+    Q.ingest_batch(vals, hist, e, 0, "value", LO, HI, app_id="pr")
+    counts = {int(r["__vb"]): int(r["cnt"])
+              for r in Q._tables(root)[1].read(spark).collect()}
+    # the p50 bucket's rows are a strict subset of the corpus
+    [(q, v)] = Q.quantiles_served(spark, root, [0.5])
+    vb = sorted(counts)
+    n = sum(counts.values())
+    # find the bucket the median landed in and check it is partial
+    run = 0
+    for b in vb:
+        if run + counts[b] >= max(1, -(-n // 2)):
+            assert counts[b] < n
+            break
+        run += counts[b]
