@@ -136,6 +136,55 @@ def q_orders_grouping_sets(spark: SparkSession,
 
 
 @register(
+    "orders_pivot",  # new r9, gated immediately (slot:
+    # dedup_jaccard_pairs demoted — green r1-r8; the capped
+    # inverted-index pair join + exact-Jaccard verify shape is
+    # EMBEDDED end-to-end in the gated leakage_safe_splits /
+    # stream_splits_e2e rows, the query keeps running in every bench
+    # pass via bench=True, and it stays DuckDB-verified per pytest
+    # run).
+    # PIVOT completes the reshaping surface the multi-level-aggregate
+    # rows started (ROLLUP r8, arbitrary GROUPING SETS r9): long->wide
+    # with EXPLICIT pivot values — the 100 TB-relevant detail, because
+    # pivot(col) WITHOUT values runs a separate values-discovery
+    # collect over the fact table before the real plan exists; with
+    # values declared the whole query is ONE pushed-filter scan + one
+    # partial/final hash aggregate of conditional sums (same plan
+    # class as pricing_summary), exchange carrying ~|priorities| rows.
+    # The oracle is the portable spelling of the same thing: FILTERed
+    # aggregates per pivot value.
+    oracle=(
+        "SELECT o_orderpriority, "
+        "ROUND(SUM(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), "
+        "2) AS status_f, "
+        "ROUND(SUM(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), "
+        "2) AS status_o, "
+        "ROUND(SUM(o_totalprice) FILTER (WHERE o_orderstatus = 'P'), "
+        "2) AS status_p "
+        "FROM orders WHERE o_orderdate >= TIMESTAMP "
+        "'1995-01-01 00:00:00' "
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    bench=True)
+def q_orders_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order value long->wide: one row per priority, one column per
+    order status (DataFrame.pivot with EXPLICIT values — never the
+    values-discovery scan). Compiles to one pushed-filter scan + one
+    hash aggregate of conditional sums; NULL cells mean no orders in
+    that (priority, status) pair, exactly like the oracle's FILTER."""
+    o = load_table(spark, sf_dir, "orders")
+    p = (o.filter(F.col("o_orderdate")
+                  >= F.lit("1995-01-01").cast("timestamp"))
+         .groupBy("o_orderpriority")
+         .pivot("o_orderstatus", ["F", "O", "P"])
+         .agg(F.round(F.sum("o_totalprice"), 2)))
+    return (p.select("o_orderpriority",
+                     F.col("F").alias("status_f"),
+                     F.col("O").alias("status_o"),
+                     F.col("P").alias("status_p"))
+            .orderBy("o_orderpriority"))
+
+
+@register(
     "pricing_summary",
     # Demoted r8 after green r5-r7: STRICTLY EMBEDDED in
     # pricing_rollup (its finest grouping set), keeps running in every

@@ -192,6 +192,12 @@ def minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("dedup_jaccard_pairs",
           oracle=f"WITH corpus AS ({_NEAR_CORPUS_SQL}), "
                  f"j AS ({DD.jaccard_pairs_sql('corpus')}) SELECT * FROM j",
+          driver=False,  # rotated out r9 (green r1-r8; slot:
+          # orders_pivot gated). The capped inverted-index pair join +
+          # exact-Jaccard verify shape is EMBEDDED end-to-end in the
+          # gated leakage_safe_splits / stream_splits_e2e rows; this
+          # row keeps running in every bench pass and stays
+          # DuckDB-verified per pytest run via test_oracle_parity.
           bench=True)
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-SHINGLE_LEN-gram Jaccard near-dup pairs (threshold 0.5)

@@ -350,6 +350,42 @@ def test_pricing_rollup_one_scan_one_expand(spark, sf_dir):
         in plan, plan
 
 
+def test_pivot_one_scan_no_discovery(spark, sf_dir):
+    """PIVOT with explicit values (r9) must be ONE pushed-filter scan
+    + hash aggregate of conditional sums — no Expand, and (job-count
+    pinned) NO values-discovery collect before the plan exists, which
+    is what pivot(col) without values would run over the fact table."""
+    from sport_advantages_moderne_data_infrastructure_spark.sources.tables import (  # noqa: E501
+        load_table,
+    )
+
+    sc = spark.sparkContext
+
+    def njobs(tag, fn):
+        sc.setJobGroup(tag, "plan-construction job count")
+        try:
+            out = fn()
+        finally:
+            sc.setJobGroup(None, None)
+        return out, len(sc.statusTracker().getJobIdsForGroup(tag))
+
+    # load_table itself costs one schema/footer job per call; the
+    # pivot must add ZERO on top (explicit values = no discovery scan)
+    _, base = njobs("pivotbase", lambda: load_table(spark, sf_dir,
+                                                    "orders"))
+    df, full = njobs("pivotfull",
+                     lambda: catalog.REGISTRY["orders_pivot"]
+                     .spark_fn(spark, sf_dir))
+    assert full == base, (base, full)
+    plan = _plan(df)
+    nodes = plan.split("\n\n")[0]
+    assert nodes.count("Scan parquet") == 1, nodes
+    assert "Expand" not in nodes, nodes
+    assert "HashAggregate" in nodes, nodes
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual" \
+        in plan, plan
+
+
 def test_grouping_sets_one_scan_one_expand(spark, sf_dir):
     """The arbitrary-GROUPING-SETS row (r9) holds the same plan
     contract as ROLLUP: one pushed-filter scan + one Expand +
