@@ -1150,6 +1150,57 @@ def q_stream_quantiles_equiv(spark: SparkSession,
 
 
 @register(
+    "stream_grouped_quantiles_equiv",  # new r9, gated immediately
+    # (slot: dedup_chunks demoted — green r5-r8; repeated-content
+    # detection stays gated at the strictly harder substring level via
+    # the span rows, and dedup_chunks stays benched + parity-verified).
+    # The grouped twin of stream_quantiles_equiv, pairing with
+    # grouped_quantiles_exact the way streaming MG paired with grouped
+    # MG: the histogram is maintained per (group, grid-bucket) — <=
+    # n_groups x (n_vb+2) rows — and serving answers every (group,
+    # quantile) with ONE partition-pruned ranked read over the union
+    # of target buckets (a bucket dir is scanned once no matter how
+    # many groups' ranks land in it). FULL hash oracle: the per-group
+    # order statistics recomputed relationally.
+    oracle=(
+        "WITH t AS (SELECT event_type, value, ROW_NUMBER() OVER "
+        "(PARTITION BY event_type ORDER BY value) AS rn, "
+        "CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n "
+        "FROM events WHERE value IS NOT NULL) "
+        "SELECT event_type, CAST(q AS DOUBLE) AS q, value "
+        "FROM (VALUES (0.25),(0.5),(0.75),(0.95)) qs(q) "
+        "JOIN t ON t.rn = GREATEST(1, CAST(CEIL(CAST(q AS DOUBLE) "
+        "* n) AS BIGINT)) "
+        "ORDER BY event_type, q"))
+def q_stream_grouped_quantiles_equiv(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """Event values arrive as three micro-batches through the exact
+    grouped per-batch ingest the foreachBatch sink runs (group column
+    carried in vals, per-(group, bucket) histogram folded from the
+    vals change feed, every leg replay-guarded); per-event_type
+    p25/p50/p75/p95 served THROUGH the maintained state must equal
+    the from-scratch per-group order statistics."""
+    import tempfile
+
+    from ..streaming.quantiles import _tables, \
+        grouped_quantiles_served, ingest_batch
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value")
+    root = tempfile.mkdtemp(prefix="samdis_stream_gq_")
+    vals, hist = _tables(root)
+    for i in range(3):
+        ingest_batch(vals, hist, e.filter(F.col("event_id") % 3 == i),
+                     i, "value", 0.0, 500.0, app_id="gq_twin",
+                     group_col="event_type")
+    got = grouped_quantiles_served(spark, root, "event_type",
+                                   [0.25, 0.5, 0.75, 0.95])
+    return (spark.createDataFrame(
+        got, "event_type string, q double, value double")
+        .orderBy("event_type", "q"))
+
+
+@register(
     "heavy_hitters_by_type",  # new r8, gated immediately (slot:
     # boilerplate_ngrams_abs demoted — green r5-r7; repeated-content
     # detection stays gated via dedup_repeated_spans (substring-level,

@@ -1643,6 +1643,13 @@ _CHUNK_CTE = (
 
 @register(
     "dedup_chunks",
+    driver=False,  # rotated out r9 (green r5-r8; slot:
+    # stream_grouped_quantiles_equiv gated). Repeated-content
+    # detection stays gated at the STRICTLY HARDER substring level via
+    # dedup_repeated_spans / dedup_span_scrub / dedup_span_scrub_keep_one
+    # (chunk-level dedup is the coarse special case of the span
+    # machinery); this row keeps running in every bench pass
+    # (bench=True) and stays DuckDB-verified per pytest run.
     oracle=(_CHUNK_CTE +
             "SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks, "
             "CAST(SUM(CASE WHEN firstseen.first_doc < c.doc_id "

@@ -74,12 +74,21 @@ def _vb(col, lo: float, hi: float, n_vb: int):
 
 def ingest_batch(vals: TxnTable, hist: TxnTable, batch_df: DataFrame,
                  batch_id: int, col: str, lo: float, hi: float,
-                 n_vb: int = N_VB, app_id: str | None = None) -> None:
+                 n_vb: int = N_VB, app_id: str | None = None,
+                 group_col: str | None = None) -> None:
     """One micro-batch: vals append (bucket-partitioned), then hist
     fold from the vals change feed since the hist's high-water. Both
-    legs individually (app_id, batch_id) replay-guarded."""
+    legs individually (app_id, batch_id) replay-guarded.
+    ``group_col`` turns the root into the GROUPED surface (the
+    streaming twin of operators/sketches.grouped_exact_quantiles): the
+    histogram is kept per (group, bucket) — <= n_groups x (n_vb+2)
+    rows, the low-cardinality-group contract — and vals carries the
+    group column; the grid stays shared across groups (frozen, so a
+    row's bucket never depends on its group's history)."""
     spark = batch_df.sparkSession
-    rows = (batch_df.select(F.col(col).cast("double").alias("v"))
+    gcols = [group_col] if group_col else []
+    rows = (batch_df.select(*gcols,
+                            F.col(col).cast("double").alias("v"))
             .filter(F.col("v").isNotNull())
             .withColumn("__vb", _vb(F.col("v"), lo, hi, n_vb)))
 
@@ -104,17 +113,19 @@ def ingest_batch(vals: TxnTable, hist: TxnTable, batch_df: DataFrame,
     if sv > last:
         ch = (vals.read_changes(spark, since_version=last, upto=sv)
               .filter(F.col("_change_type") == "insert"))
-        delta = ch.groupBy("__vb").agg(F.count(F.lit(1)).alias("cnt"))
+        delta = (ch.groupBy(*gcols, "__vb")
+                 .agg(F.count(F.lit(1)).alias("cnt")))
         if hist.latest_version() is not None:
             delta = (hist.read(spark).unionByName(delta)
-                     .groupBy("__vb")
+                     .groupBy(*gcols, "__vb")
                      .agg(F.sum("cnt").cast("long").alias("cnt")))
 
         def _hist_leg():
             meta = _stream_meta(batch_id, app_id, "q_hist_fold")
             meta["q_source_version"] = sv
             hist.overwrite(delta.select(
-                "__vb", F.col("cnt").cast("long").alias("cnt")), meta)
+                *gcols, "__vb",
+                F.col("cnt").cast("long").alias("cnt")), meta)
 
         _guarded_commit(hist, batch_id, app_id, _hist_leg)
 
@@ -123,16 +134,18 @@ def write_stream_quantiles(df: DataFrame, root: str, checkpoint: str,
                            col: str, lo: float, hi: float,
                            n_vb: int = N_VB,
                            app_id: str | None = None,
-                           available_now: bool = True):
+                           available_now: bool = True,
+                           group_col: str | None = None):
     """Start the maintenance sink over ``df``; returns the
-    StreamingQuery. Serve with :func:`quantiles_served`."""
+    StreamingQuery. Serve with :func:`quantiles_served` (flat root)
+    or :func:`grouped_quantiles_served` (``group_col`` root)."""
     vals, hist = _tables(root)
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         ingest_batch(vals, hist, batch_df, batch_id, col, lo, hi,
-                     n_vb, app_id)
+                     n_vb, app_id, group_col=group_col)
 
     w = (df.writeStream.foreachBatch(_ingest)
          .option("checkpointLocation", checkpoint))
@@ -184,3 +197,56 @@ def quantiles_served(spark: SparkSession, root: str,
             .select("__qi", "v").collect())
     got = {int(r["__qi"]): float(r["v"]) for r in hits}
     return [(q, got[qi]) for qi, q in enumerate(qs)]
+
+
+def grouped_quantiles_served(spark: SparkSession, root: str,
+                             group_col: str,
+                             qs: list[float]) -> list[tuple]:
+    """EXACT [(group, q, value)] from a root maintained with
+    ``group_col`` — the streaming twin of
+    operators/sketches.grouped_exact_quantiles: the (groups x
+    buckets)-row histogram locates every (group, rank)'s bucket
+    driver-side (bounded collect, the low-cardinality-group
+    contract), then ONE partition-pruned ranked read over the union
+    of target buckets answers every (group, quantile) — rows tagged
+    per state, ranked per tag. Groups share the read: a bucket dir is
+    scanned once no matter how many groups' ranks land in it."""
+    from pyspark.sql import Window as W
+
+    vals, hist = _tables(root)
+    if hist.latest_version() is None:
+        raise ValueError(f"no maintained state under {root}")
+    counts: dict = {}
+    for r in hist.read(spark).collect():
+        counts.setdefault(r[group_col], {})[int(r["__vb"])] = \
+            int(r["cnt"])
+    targets = []  # (si, group, bucket, k_in) ; si indexes the output
+    out_keys = []
+    for g in counts:
+        per = counts[g]
+        n = sum(per.values())
+        for q in qs:
+            k = max(1, math.ceil(q * n))
+            below = 0
+            for b in sorted(per):
+                if below + per[b] >= k:
+                    targets.append((len(out_keys), g, b, k - below))
+                    out_keys.append((g, q))
+                    break
+                below += per[b]
+    buckets = sorted({b for _, _, b, _ in targets})
+    rows = vals.read_partitions(spark, buckets)
+    conds = [F.when(F.col(group_col).eqNullSafe(F.lit(g))
+                    & (F.col("__vb") == F.lit(b)), F.lit(si))
+             for si, g, b, _ in targets]
+    kmap = F.create_map(*[x for si, _, _, k_in in targets
+                          for x in (F.lit(si), F.lit(k_in))])
+    w = W.partitionBy("__qi").orderBy(F.col("v").asc())
+    hits = (rows.select(group_col, "v", "__vb",
+                        F.explode(F.array(*conds)).alias("__qi"))
+            .filter(F.col("__qi").isNotNull())
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == F.element_at(kmap, F.col("__qi")))
+            .select("__qi", "v").collect())
+    got = {int(r["__qi"]): float(r["v"]) for r in hits}
+    return [(g, q, got[si]) for si, (g, q) in enumerate(out_keys)]

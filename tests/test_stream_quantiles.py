@@ -152,3 +152,61 @@ def test_serving_reads_only_target_buckets(spark, sf_dir):
             assert counts[b] < n
             break
         run += counts[b]
+
+
+def test_grouped_served_equals_batch_operator(spark, sf_dir):
+    """Grouped root: served per-(group, q) values must equal the batch
+    grouped_exact_quantiles over the same rows, under a 3-batch
+    delivery."""
+    from sport_advantages_moderne_data_infrastructure_spark.operators.sketches import (  # noqa: E501
+        grouped_exact_quantiles,
+    )
+
+    e = (load_table(spark, sf_dir, "events")
+         .select("event_id", "event_type", "value"))
+    root = tempfile.mkdtemp(prefix="sq_geq_")
+    vals, hist = Q._tables(root)
+    for i in range(3):
+        Q.ingest_batch(vals, hist,
+                       e.filter(F.col("event_id") % 3 == i),
+                       i, "value", LO, HI, app_id="geq",
+                       group_col="event_type")
+    want = {(g, q): v for g, q, v in grouped_exact_quantiles(
+        e, "event_type", "value", QS)}
+    got = {(g, q): v for g, q, v in Q.grouped_quantiles_served(
+        spark, root, "event_type", QS)}
+    assert got == want
+
+
+def test_grouped_stream_restart_exactly_once(spark, sf_dir,
+                                             tmp_path_factory):
+    """Real writeStream twin with group_col: restart on the same
+    checkpoint must not double-ingest."""
+    base = tmp_path_factory.mktemp("sqgstream")
+    src = str(base / "src")
+    e = (load_table(spark, sf_dir, "events")
+         .select("event_id", "event_type", "value"))
+    e.write.parquet(src)
+
+    def _stream():
+        return (spark.readStream.schema(e.schema)
+                .option("maxFilesPerTrigger", "1").parquet(src))
+
+    root, ckpt = str(base / "q"), str(base / "ckpt")
+    q = Q.write_stream_quantiles(_stream(), root, ckpt, "value",
+                                 LO, HI, app_id="sqg",
+                                 group_col="event_type")
+    q.awaitTermination(120)
+    q.stop()
+    vals, hist = Q._tables(root)
+    v1 = (vals.latest_version(), hist.latest_version())
+    served1 = sorted(Q.grouped_quantiles_served(spark, root,
+                                                "event_type", QS))
+    q2 = Q.write_stream_quantiles(_stream(), root, ckpt, "value",
+                                  LO, HI, app_id="sqg",
+                                  group_col="event_type")
+    q2.awaitTermination(60)
+    q2.stop()
+    assert (vals.latest_version(), hist.latest_version()) == v1
+    assert sorted(Q.grouped_quantiles_served(
+        spark, root, "event_type", QS)) == served1
