@@ -1,6 +1,8 @@
-"""Bounded-memory frequency sketches: Misra-Gries heavy hitters
-(Misra & Gries 1982, the FREQUENT algorithm) with an EXACT second
-pass.
+"""Bounded-memory sketches with EXACT recovery passes: Misra-Gries
+heavy hitters (Misra & Gries 1982, the FREQUENT algorithm) with an
+exact second pass, and exact order statistics (flat and grouped)
+via sketch-guided bracketing — in every case the sketch only
+PROPOSES; exact counts decide, so outputs carry full hash oracles.
 
 Why a sketch when groupBy-count is exact? The shuffle. At 100 TB a
 groupBy over a high-cardinality key shuffles the whole key column;
