@@ -71,7 +71,7 @@ def _scaled_events(spark, m: int) -> DataFrame:
         base.select(
             (F.col("event_id") + i * 100_000_000).alias("event_id"),
             (F.col("user_id") + i * 10_000_000).alias("user_id"),
-            "event_type", "ts")
+            "event_type", "ts", "value")
         for i in range(m)
     ]
     df = copies[0]
@@ -668,3 +668,49 @@ def test_stream_splits_ingest_after_history(spark, tmp_path_factory):
           f"{t['small']:.2f}s | after {M}x history {t['big']:.2f}s | "
           f"ratio {ratio:.1f}")
     assert ratio <= 6.0, f"ingest tracks history superlinearly: {ratio:.1f}"
+
+
+def test_exact_quantiles_scale_logarithmically(spark):
+    """Rounds = ceil(log_accuracy n), so a 10x corpus costs ~the same
+    NUMBER of passes and each pass is one linear scan — total should
+    grow ~linearly (scan-bound), never with the sort the operator
+    replaces. Also pins that the 10x run converges within the default
+    round budget at a production-ish accuracy."""
+    from sport_advantages_moderne_data_infrastructure_spark.operators.sketches import (
+        exact_quantiles,
+    )
+
+    qs = [0.25, 0.5, 0.9]
+
+    def run(m):
+        return exact_quantiles(_scaled_events(spark, m), "value", qs,
+                               accuracy=1000, direct_limit=20_000)
+
+    r1 = run(1)
+    t1 = _timed(lambda: run(1))
+    t10 = _timed(lambda: run(M))
+    assert [q for q, _ in r1] == qs
+    ratio = _report("exact_quantiles", 1, t1, M, t10)
+    assert ratio <= MAX_RATIO, f"superlinear: {ratio:.1f}x at {M}x corpus"
+
+
+def test_grouped_quantiles_scale_linearly(spark):
+    """The grouped engine runs THREE jobs per round regardless of
+    groups x quantiles; a 10x corpus (same 5 groups, 10x rows per
+    group) must stay scan-bound."""
+    from sport_advantages_moderne_data_infrastructure_spark.operators.sketches import (
+        grouped_exact_quantiles,
+    )
+
+    def run(m):
+        return grouped_exact_quantiles(
+            _scaled_events(spark, m), "event_type", "value",
+            [0.25, 0.5, 0.9], accuracy=500, direct_limit=10_000,
+            grid=128)
+
+    r1 = run(1)
+    t1 = _timed(lambda: run(1))
+    t10 = _timed(lambda: run(M))
+    assert len(r1) == 15  # 5 event types x 3 quantiles
+    ratio = _report("grouped_quantiles", 1, t1, M, t10)
+    assert ratio <= MAX_RATIO, f"superlinear: {ratio:.1f}x at {M}x corpus"
