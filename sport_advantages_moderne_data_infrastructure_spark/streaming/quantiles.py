@@ -154,6 +154,24 @@ def write_stream_quantiles(df: DataFrame, root: str, checkpoint: str,
     return w.start()
 
 
+def compact_if_needed(spark: SparkSession, root: str,
+                      max_live_dirs: int = 32) -> int | None:
+    """Scheduled maintenance (the splits/CC policy discipline): the
+    vals table accretes one ``__vb``-partitioned dir-set per appending
+    micro-batch; fold it through the PARTITION-AWARE
+    ``TxnTable.compact_if_needed`` — the pruned serve reads survive,
+    and the hist leg's change-feed fold is unaffected because
+    ``read_changes`` skips compaction commits as layout-only
+    (txnlog.py read_changes), so ingest continues straight across a
+    fold (pinned by the policy test). hist is a <= (groups x
+    (n_vb+2))-row overwrite table and never needs it. Returns the
+    compaction commit version, or None."""
+    vals, _ = _tables(root)
+    if vals.latest_version() is None:
+        return None
+    return vals.compact_if_needed(spark, max_live_dirs=max_live_dirs)
+
+
 def quantiles_served(spark: SparkSession, root: str,
                      qs: list[float]) -> list[tuple[float, float]]:
     """EXACT [(q, k-th smallest)] (k = ceil(q*n), the

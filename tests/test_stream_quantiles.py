@@ -210,3 +210,33 @@ def test_grouped_stream_restart_exactly_once(spark, sf_dir,
     assert (vals.latest_version(), hist.latest_version()) == v1
     assert sorted(Q.grouped_quantiles_served(
         spark, root, "event_type", QS)) == served1
+
+
+def test_compact_if_needed_policy(spark, sf_dir):
+    """Maintenance policy for the vals table: below the dir threshold
+    -> no-op; above -> partition-aware fold (served answers unchanged,
+    pruned reads still work, ingest continues across the fold)."""
+    e = _events(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="sq_pol_")
+    vals, hist = Q._tables(root)
+    for i in range(4):
+        Q.ingest_batch(vals, hist,
+                       e.filter(F.col("event_id") % 5 == i),
+                       i, "value", LO, HI, app_id="pol")
+    before = Q.quantiles_served(spark, root, QS)
+    dirs_before = len(vals.snapshot_dirs())
+    assert dirs_before > 4
+
+    assert Q.compact_if_needed(spark, root,
+                               max_live_dirs=10_000) is None
+    v = Q.compact_if_needed(spark, root, max_live_dirs=2)
+    assert v is not None
+    assert len(vals.snapshot_dirs()) < dirs_before
+    assert Q.quantiles_served(spark, root, QS) == before
+
+    # ingest continues across the fold; final answer equals the batch
+    # operator over everything delivered
+    Q.ingest_batch(vals, hist, e.filter(F.col("event_id") % 5 == 4),
+                   4, "value", LO, HI, app_id="pol")
+    assert Q.quantiles_served(spark, root, QS) == exact_quantiles(
+        e, "value", QS)
