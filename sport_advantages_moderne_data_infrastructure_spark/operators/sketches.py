@@ -149,18 +149,73 @@ def grouped_mg_candidates(df: DataFrame, group_col: str, col: str,
             .distinct())
 
 
-def grouped_heavy_hitters_exact(df: DataFrame, group_col: str,
-                                col: str, phi: float) -> DataFrame:
-    """All (group, value) with value frequency > phi * n_group, EXACT —
-    the two-pass discipline of :func:`heavy_hitters_exact` per group:
-    sketch proposes, one map-side-combined aggregation over
-    (group, candidate-or-NULL) counts exactly, and each group's total
-    is the sum over its own <= k+1 aggregated rows (no separate
-    per-group count scan). Returns (group_col, col, cnt, share)."""
+def grouped_mg_partial(df: DataFrame, group_col: str, col: str,
+                       k: int) -> DataFrame:
+    """Per-partition, per-group MG counters WITH residual weights —
+    the mergeable form of :func:`grouped_mg_candidates`, feeding the
+    streaming grouped sketch the way :func:`mg_partial` feeds the flat
+    one. Returns (group_col, col, weight); NULL groups are real
+    groups, NULL values skipped per the module NULL contract."""
+    gt = df.schema[group_col].dataType.simpleString()
+    vt = df.schema[col].dataType.simpleString()
+
+    def _mg(batches):
+        import pandas as pd
+
+        sketches: dict = {}
+        for pdf in batches:
+            for (g, v), c in (pdf.groupby([group_col, col],
+                                          dropna=False).size().items()):
+                if pd.isna(v):
+                    continue
+                counters = sketches.setdefault(g, {})
+                counters[v] = counters.get(v, 0) + int(c)
+                if len(counters) > k:
+                    cut = sorted(counters.values(), reverse=True)[k]
+                    sketches[g] = {x: n - cut
+                                   for x, n in counters.items()
+                                   if n - cut > 0}
+        yield pd.DataFrame(
+            {group_col: [g for g, cs in sketches.items() for _ in cs],
+             col: [v for cs in sketches.values() for v in cs],
+             "weight": [w for cs in sketches.values()
+                        for w in cs.values()]})
+
+    return (df.select(group_col, col)
+            .mapInPandas(_mg, schema=f"{group_col} {gt}, {col} {vt}, "
+                                     "weight long"))
+
+
+def grouped_mg_merge(parts: DataFrame, group_col: str, col: str,
+                     k: int) -> DataFrame:
+    """Per-group s-way MG merge: pointwise-sum within each group, then
+    ONE per-group truncation by the (k+1)-th largest summed weight —
+    :func:`mg_merge` with every window keyed by the group. The
+    sort/cut runs over the aggregated sketch-sized frame only."""
     from pyspark.sql import Window as W
 
-    k = math.ceil(1.0 / phi)
-    cand = grouped_mg_candidates(df, group_col, col, k)
+    agg = (parts.groupBy(group_col, col)
+           .agg(F.sum("weight").alias("weight")))
+    wr = W.partitionBy(group_col).orderBy(F.desc("weight"), F.asc(col))
+    ranked = agg.withColumn("__rn", F.row_number().over(wr))
+    cut = F.max(F.when(F.col("__rn") == k + 1, F.col("weight"))
+                .otherwise(F.lit(0))).over(W.partitionBy(group_col))
+    return (ranked.withColumn("__cut", cut)
+            .filter(F.col("weight") > F.col("__cut"))
+            .select(group_col, col, (F.col("weight") - F.col("__cut"))
+                    .cast("long").alias("weight")))
+
+
+def grouped_exact_pass(df: DataFrame, cand: DataFrame, group_col: str,
+                       col: str, phi: float) -> DataFrame:
+    """Pass 2 of grouped heavy-hitter recovery, given an
+    externally-proposed (group, value) candidate frame (e.g. a
+    stream-maintained grouped MG sketch's keys): one
+    map-side-combined aggregation over (group, candidate-or-NULL)
+    counts exactly, each group's total summed from its own <= k+1
+    aggregated rows. Returns (group_col, col, cnt, share)."""
+    from pyspark.sql import Window as W
+
     tagged = (df.select(group_col, col)
               .join(F.broadcast(cand.select(
                   F.col(group_col).alias("__g"),
@@ -170,7 +225,6 @@ def grouped_heavy_hitters_exact(df: DataFrame, group_col: str,
               .select(group_col, "__cand"))
     counts = tagged.groupBy(group_col, "__cand").agg(
         F.count(F.lit(1)).alias("cnt"))
-    # per-group window over <= k+1 aggregated rows per group — bounded
     n_group = F.sum("cnt").over(W.partitionBy(group_col))
     return (counts.withColumn("__n", n_group)
             .filter(F.col("__cand").isNotNull()
@@ -179,6 +233,19 @@ def grouped_heavy_hitters_exact(df: DataFrame, group_col: str,
                     F.col("cnt").cast("long").alias("cnt"),
                     F.round(F.col("cnt") / F.col("__n"), 6)
                     .alias("share")))
+
+
+def grouped_heavy_hitters_exact(df: DataFrame, group_col: str,
+                                col: str, phi: float) -> DataFrame:
+    """All (group, value) with value frequency > phi * n_group, EXACT —
+    the two-pass discipline of :func:`heavy_hitters_exact` per group:
+    sketch proposes, one map-side-combined aggregation over
+    (group, candidate-or-NULL) counts exactly, and each group's total
+    is the sum over its own <= k+1 aggregated rows (no separate
+    per-group count scan). Returns (group_col, col, cnt, share)."""
+    k = math.ceil(1.0 / phi)
+    cand = grouped_mg_candidates(df, group_col, col, k)
+    return grouped_exact_pass(df, cand, group_col, col, phi)
 
 
 class _QState:

@@ -1176,6 +1176,12 @@ _SCD2_SQL = (
 
 @register("scd2_employee_sport_dim", oracle=W(_SCD2_SQL),
           tags=("J3", "F4"),
+          driver=False,  # rotated out r9 (green r5-r8; slot:
+          # stream_grouped_hh_equiv gated). The SCD2 run derivation
+          # (scd2_runs) is EMBEDDED end-to-end in the gated
+          # scd2_point_in_time_join row — the PIT join consumes the
+          # dim this query builds, over the same data — and this row
+          # stays benched + DuckDB-verified per pytest run.
           bench=True)  # reports under added_queries; core set stays frozen
 def q_scd2_employee_sport_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Type-2 slowly-changing dimension from the activity change stream:

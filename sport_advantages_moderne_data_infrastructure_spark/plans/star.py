@@ -1100,6 +1100,61 @@ def q_grouped_quantiles_exact(spark: SparkSession,
 
 
 @register(
+    "stream_grouped_hh_equiv",  # new r9, gated immediately (slot:
+    # scd2_employee_sport_dim demoted — green r5-r8; the SCD2 run
+    # derivation (scd2_runs) is EMBEDDED end-to-end in the gated
+    # scd2_point_in_time_join row, the streaming SCD2 maintainer has
+    # its own tests, and the dim row stays benched (bench=True) and
+    # DuckDB-verified per pytest run).
+    # The grouped streaming MG twin — completing the sketch-family
+    # symmetry: flat MG streamed (r8), grouped MG streamed (here),
+    # flat+grouped quantiles streamed (r9). One k-counter sketch PER
+    # GROUP maintained from the events change feed (<= n_groups x k
+    # state rows); per-group heavy hitters served THROUGH the
+    # maintained sketch (grouped exact pass over accumulated events)
+    # must be row-identical to the from-scratch grouped two-pass. The
+    # oracle is the plain per-group GROUP BY/HAVING — a FULL hash.
+    oracle=(
+        "WITH c AS (SELECT event_type, user_id, "
+        "CAST(COUNT(*) AS BIGINT) AS cnt FROM events "
+        "WHERE user_id IS NOT NULL GROUP BY event_type, user_id), "
+        "t AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n "
+        "FROM c GROUP BY event_type) "
+        f"SELECT c.event_type, user_id, cnt, "
+        f"ROUND(cnt / CAST(n AS DOUBLE), 6) AS share "
+        f"FROM c JOIN t ON c.event_type = t.event_type "
+        f"WHERE cnt > {_HH_PHI} * n "
+        "ORDER BY c.event_type, user_id"))
+def q_stream_grouped_hh_equiv(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Events arrive as three micro-batches through the exact grouped
+    per-batch ingest the foreachBatch sink runs (events append +
+    per-group sketch fold from the events change feed, every leg
+    replay-guarded); per-event_type heavy hitters served THROUGH the
+    maintained <= n_groups x k sketch must equal the relational
+    per-group GROUP BY/HAVING answer."""
+    import math
+    import tempfile
+
+    from ..streaming.sketches import _tables, \
+        grouped_heavy_hitters_served, ingest_batch_grouped
+
+    e = (load_table(spark, sf_dir, "events")
+         .filter(F.col("user_id").isNotNull())
+         .select("event_id", "event_type", "user_id"))
+    k = math.ceil(1.0 / _HH_PHI)
+    root = tempfile.mkdtemp(prefix="samdis_stream_gmg_")
+    events, sketch = _tables(root)
+    for i in range(3):
+        ingest_batch_grouped(events, sketch,
+                             e.filter(F.col("event_id") % 3 == i),
+                             i, "event_type", "user_id", k, "gmg_twin")
+    return (grouped_heavy_hitters_served(
+        spark, root, "event_type", "user_id", _HH_PHI)
+        .orderBy("event_type", "user_id"))
+
+
+@register(
     "stream_quantiles_equiv",  # new r9, gated immediately (slot:
     # training_pipeline_e2e demoted — green r4-r8; every composed
     # stage stays gated on its own row and the harder streaming

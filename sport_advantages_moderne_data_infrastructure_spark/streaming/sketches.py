@@ -45,7 +45,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.mv import _last_meta_with
-from ..operators.sketches import exact_pass, mg_merge, mg_partial
+from ..operators.sketches import (exact_pass, grouped_exact_pass,
+                                  grouped_mg_merge, grouped_mg_partial,
+                                  mg_merge, mg_partial)
 from ..sources.txnlog import TxnTable
 from .scd2 import _guarded_commit, _stream_meta
 
@@ -95,6 +97,86 @@ def ingest_batch(events: TxnTable, sketch: TxnTable,
             sketch.overwrite(merged, meta)
 
         _guarded_commit(sketch, batch_id, app_id, _sketch_leg)
+
+
+def ingest_batch_grouped(events: TxnTable, sketch: TxnTable,
+                         batch_df: DataFrame, batch_id: int,
+                         group_col: str, col: str, k: int,
+                         app_id: str | None = None) -> None:
+    """Grouped micro-batch maintenance — :func:`ingest_batch` with one
+    k-counter sketch PER GROUP (the streaming twin of
+    grouped_heavy_hitters_exact, pairing with the grouped quantile
+    twin): events leg appends (group, value), sketch leg folds the
+    feed since its high-water through grouped_mg_partial +
+    grouped_mg_merge. State is <= n_groups x k rows (the
+    low-cardinality-group contract); both legs replay-guarded with
+    the same crash-between-legs feed coverage as the flat path."""
+    spark = batch_df.sparkSession
+
+    def _events_leg():
+        meta = _stream_meta(batch_id, app_id, "gmg_events_append")
+        rel = events._write_data(  # noqa: SLF001
+            batch_df.select(group_col, col))
+        events.commit([rel], [], meta,
+                      expected_version=events.latest_version())
+
+    _guarded_commit(events, batch_id, app_id, _events_leg)
+
+    sv = events.latest_version()
+    last = (_last_meta_with(sketch, "mg_source_version")
+            .get("mg_source_version", -1)
+            if sketch.latest_version() is not None else -1)
+    if sv > last:
+        ch = (events.read_changes(spark, since_version=last, upto=sv)
+              .filter(F.col("_change_type") == "insert"))
+        fresh = grouped_mg_partial(ch.select(group_col, col),
+                                   group_col, col, k)
+        if sketch.latest_version() is not None:
+            fresh = fresh.unionByName(sketch.read(spark))
+        merged = grouped_mg_merge(fresh, group_col, col, k)
+
+        def _sketch_leg():
+            meta = _stream_meta(batch_id, app_id, "gmg_sketch_merge")
+            meta["mg_source_version"] = sv
+            meta["mg_k"] = k
+            sketch.overwrite(merged, meta)
+
+        _guarded_commit(sketch, batch_id, app_id, _sketch_leg)
+
+
+def write_stream_grouped_mg_sketch(df: DataFrame, root: str,
+                                   checkpoint: str, group_col: str,
+                                   col: str, phi: float,
+                                   app_id: str | None = None,
+                                   available_now: bool = True):
+    """Start the grouped maintenance sink; serve with
+    :func:`grouped_heavy_hitters_served`."""
+    events, sketch = _tables(root)
+    k = math.ceil(1.0 / phi)
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        ingest_batch_grouped(events, sketch, batch_df, batch_id,
+                             group_col, col, k, app_id)
+
+    w = (df.writeStream.foreachBatch(_ingest)
+         .option("checkpointLocation", checkpoint))
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def grouped_heavy_hitters_served(spark: SparkSession, root: str,
+                                 group_col: str, col: str,
+                                 phi: float) -> DataFrame:
+    """EXACT per-group heavy hitters from a maintained grouped-sketch
+    root: the stored <= n_groups x k sketch proposes, one bounded
+    grouped aggregation over the accumulated events counts exactly.
+    Returns (group_col, col, cnt, share)."""
+    events, sketch = _tables(root)
+    return grouped_exact_pass(events.read(spark), sketch.read(spark),
+                              group_col, col, phi)
 
 
 def write_stream_mg_sketch(df: DataFrame, root: str, checkpoint: str,

@@ -461,3 +461,103 @@ def test_grouped_exact_quantiles_null_group_and_values(spark):
         grid=16, max_rounds=8)}
     assert got == {("a", 0.5): 50.0, ("a", 1.0): 100.0,
                    (None, 0.5): 20.0, (None, 1.0): 40.0}
+
+
+def test_stream_grouped_mg_served_equals_batch(spark, sf_dir):
+    """Grouped streaming twin (r9): 3-batch ingest, served per-group
+    heavy hitters must equal the batch grouped two-pass; the
+    maintained sketch stays <= n_groups x k rows with every counter
+    inside the per-group mergeability band."""
+    import math
+    import tempfile
+
+    from sport_advantages_moderne_data_infrastructure_spark.operators.sketches import (  # noqa: E501
+        grouped_heavy_hitters_exact,
+    )
+    from sport_advantages_moderne_data_infrastructure_spark.streaming import (
+        sketches as S,
+    )
+
+    phi = 0.02
+    k = math.ceil(1.0 / phi)
+    e = (load_table(spark, sf_dir, "events")
+         .filter(F.col("user_id").isNotNull())
+         .select("event_id", "event_type", "user_id"))
+    root = tempfile.mkdtemp(prefix="gmg_eq_")
+    events, sketch = S._tables(root)
+    for i in range(3):
+        S.ingest_batch_grouped(events, sketch,
+                               e.filter(F.col("event_id") % 3 == i),
+                               i, "event_type", "user_id", k, "geq")
+    served = {(r["event_type"], r["user_id"]): (r["cnt"], r["share"])
+              for r in S.grouped_heavy_hitters_served(
+                  spark, root, "event_type", "user_id", phi).collect()}
+    batch = {(r["event_type"], r["user_id"]): (r["cnt"], r["share"])
+             for r in grouped_heavy_hitters_exact(
+                 e, "event_type", "user_id", phi).collect()}
+    assert served == batch and len(served) > 0
+
+    # sketch bounds: <= k rows per group; no counter overcounts, and
+    # per-group undercount stays within n_g/(k+1)
+    sk = sketch.read(spark)
+    import collections
+    per_group = collections.Counter(
+        r["event_type"] for r in sk.collect())
+    assert all(c <= k for c in per_group.values())
+    exact = {(r["event_type"], r["user_id"]): r["cnt"] for r in
+             e.groupBy("event_type", "user_id")
+             .agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    n_g = collections.Counter()
+    for (g, _), c in exact.items():
+        n_g[g] += c
+    for r in sk.collect():
+        key = (r["event_type"], r["user_id"])
+        assert key in exact
+        assert r["weight"] <= exact[key]
+        assert exact[key] - r["weight"] <= n_g[key[0]] / (k + 1)
+
+
+def test_stream_grouped_mg_restart_exactly_once(spark, sf_dir,
+                                                tmp_path_factory):
+    """Real grouped writeStream: restart on the same checkpoint must
+    not double-ingest."""
+    from sport_advantages_moderne_data_infrastructure_spark.streaming.sketches import (  # noqa: E501
+        _tables, grouped_heavy_hitters_served,
+        write_stream_grouped_mg_sketch,
+    )
+
+    base = tmp_path_factory.mktemp("gmgstream")
+    src = str(base / "src")
+    e = (load_table(spark, sf_dir, "events")
+         .filter(F.col("user_id").isNotNull())
+         .select("event_type", "user_id"))
+    e.write.parquet(src)
+
+    def _stream():
+        return (spark.readStream.schema(e.schema)
+                .option("maxFilesPerTrigger", "1").parquet(src))
+
+    root, ckpt = str(base / "gmg"), str(base / "ckpt")
+    q = write_stream_grouped_mg_sketch(_stream(), root, ckpt,
+                                       "event_type", "user_id", 0.02,
+                                       app_id="gmg_t")
+    q.awaitTermination(120)
+    q.stop()
+    events, sketch = _tables(root)
+    v1 = (events.latest_version(), sketch.latest_version())
+    s1 = sorted((r["event_type"], r["user_id"], r["cnt"]) for r in
+                grouped_heavy_hitters_served(
+                    spark, root, "event_type", "user_id", 0.02)
+                .collect())
+    assert len(s1) > 0
+
+    q2 = write_stream_grouped_mg_sketch(_stream(), root, ckpt,
+                                        "event_type", "user_id", 0.02,
+                                        app_id="gmg_t")
+    q2.awaitTermination(60)
+    q2.stop()
+    assert (events.latest_version(), sketch.latest_version()) == v1
+    assert sorted((r["event_type"], r["user_id"], r["cnt"]) for r in
+                  grouped_heavy_hitters_served(
+                      spark, root, "event_type", "user_id", 0.02)
+                  .collect()) == s1
