@@ -113,6 +113,13 @@ QUERY_BUDGETS = {
     # #6; 1.5x rolling min over r8 driver run + r9 local runs):
     "heavy_hitters_users": 1.00,    # min 0.668
     "bigram_surprisal_score": 1.86,  # min 1.237
+    # r9-added queries (budgets from two local full-bench runs the
+    # round they first reported — no reason to wait a round when a
+    # rolling min already exists):
+    "grouped_quantiles_exact": 5.04,  # min 3.358 — gate params force
+    # real bracketing rounds (~3 rounds x 3 jobs at sf0.1 group sizes)
+    "orders_grouping_sets": 0.48,   # min 0.319
+    "orders_pivot": 0.34,           # min 0.224
 }
 
 
