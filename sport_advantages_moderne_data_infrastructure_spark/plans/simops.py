@@ -379,7 +379,14 @@ _LSH_RECALL_ORACLE = (
     "ORDER BY q.query_id")
 
 
-@register("ann_recall_report", oracle=_LSH_RECALL_ORACLE)
+@register("ann_recall_report", oracle=_LSH_RECALL_ORACLE,
+          driver=False)  # rotated out r9 (green r3-r8; slot:
+# orders_unpivot_roundtrip gated). The approximate-ANN quality
+# contract is ENFORCED by the three gated recall-floor rows
+# (ann_lsh_recall_floor / ann_pq_recall_floor /
+# ann_refine_recall_floor — the same per-variant recall computation
+# with a hard boolean cut), drift is monitored by tests/test_ann_drift
+# .py, and this row stays DuckDB-verified per pytest run.
 def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard, hash-checkable contract for the approximate ANN path: per
     query, the INTEGER overlap between the LSH top-10 and the brute-force

@@ -185,6 +185,55 @@ def q_orders_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "orders_unpivot_roundtrip",  # new r9, gated immediately (slot:
+    # ann_recall_report demoted — green r3-r8; the approximate-ANN
+    # quality contract is ENFORCED by the three gated recall-floor
+    # rows, which run the same per-variant recall computation with a
+    # hard boolean cut, drift is monitored by tests/test_ann_drift.py,
+    # and the report row stays DuckDB-verified per pytest run).
+    # UNPIVOT completes the reshape pair: the wide frame orders_pivot
+    # builds is melted back to long (DataFrame.unpivot — an Expand,
+    # never a per-column scan) and must equal the DIRECT long
+    # aggregate — a genuine pivot→unpivot round-trip contract, FULL
+    # hash. NULL cells (no orders in a (priority, status) pair) are
+    # dropped on the way back, matching the long form's absent groups.
+    oracle=(
+        "SELECT o_orderpriority, o_orderstatus, "
+        "ROUND(SUM(o_totalprice), 2) AS sum_price "
+        "FROM orders WHERE o_orderdate >= TIMESTAMP "
+        "'1995-01-01 00:00:00' "
+        "GROUP BY o_orderpriority, o_orderstatus "
+        "ORDER BY o_orderpriority, o_orderstatus"))
+def q_orders_unpivot_roundtrip(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """melt(pivot(x)) == x: the wide per-priority frame (one column
+    per order status, built exactly like orders_pivot) unpivoted back
+    to (priority, status, sum) via DataFrame.unpivot, NULL cells
+    dropped — hash-matched against the direct long GROUP BY. One scan
+    + hash agg + one Expand for the melt; the status comes back from
+    the variable column name's last character."""
+    o = load_table(spark, sf_dir, "orders")
+    wide = (o.filter(F.col("o_orderdate")
+                     >= F.lit("1995-01-01").cast("timestamp"))
+            .groupBy("o_orderpriority")
+            .pivot("o_orderstatus", ["F", "O", "P"])
+            .agg(F.round(F.sum("o_totalprice"), 2))
+            .select("o_orderpriority",
+                    F.col("F").alias("status_f"),
+                    F.col("O").alias("status_o"),
+                    F.col("P").alias("status_p")))
+    return (wide.unpivot(
+        ["o_orderpriority"],
+        ["status_f", "status_o", "status_p"],
+        "status_col", "sum_price")
+        .filter(F.col("sum_price").isNotNull())
+        .select("o_orderpriority",
+                F.upper(F.substring("status_col", -1, 1))
+                .alias("o_orderstatus"), "sum_price")
+        .orderBy("o_orderpriority", "o_orderstatus"))
+
+
+@register(
     "pricing_summary",
     # Demoted r8 after green r5-r7: STRICTLY EMBEDDED in
     # pricing_rollup (its finest grouping set), keeps running in every
