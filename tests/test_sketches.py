@@ -561,3 +561,39 @@ def test_stream_grouped_mg_restart_exactly_once(spark, sf_dir,
                   grouped_heavy_hitters_served(
                       spark, root, "event_type", "user_id", 0.02)
                   .collect()) == s1
+
+
+def test_grouped_exact_quantiles_heavy_duplicates_short_circuit(spark):
+    """A value owning most of one group's mass: that group's bracket
+    collapses to one value and must short-circuit exactly while OTHER
+    groups keep bracketing normally (the per-state independence of the
+    driver loop)."""
+    from sport_advantages_moderne_data_infrastructure_spark.operators.sketches import (
+        grouped_exact_quantiles,
+    )
+
+    rows = ([("dup", 42.0)] * 5000
+            + [("dup", float(i)) for i in range(1000)]
+            + [("uni", float(i)) for i in range(1, 2001)])
+    df = spark.createDataFrame(rows, "g string, x double").repartition(7)
+    got = {(g, q): v for g, q, v in grouped_exact_quantiles(
+        df, "g", "x", [0.5], accuracy=30, direct_limit=60, grid=32,
+        max_rounds=10)}
+    # dup: n=6000, k=3000 -> 42.0 (ranks 1001..6000 are all 42.0)
+    # uni: n=2000, k=1000 -> 1000.0
+    assert got == {("dup", 0.5): 42.0, ("uni", 0.5): 1000.0}
+
+
+def test_exact_quantiles_duplicate_and_unordered_qs(spark):
+    """Duplicate and unordered quantiles share states/brackets without
+    interference; results come back in input order."""
+    from sport_advantages_moderne_data_infrastructure_spark.operators.sketches import (
+        exact_quantiles,
+    )
+
+    rows = [(float(i),) for i in range(1, 1001)]
+    df = spark.createDataFrame(rows, "x double").repartition(5)
+    got = exact_quantiles(df, "x", [0.9, 0.5, 0.5, 0.1],
+                          accuracy=40, direct_limit=100)
+    assert got == [(0.9, 900.0), (0.5, 500.0), (0.5, 500.0),
+                   (0.1, 100.0)]
