@@ -360,6 +360,47 @@ def exact_quantiles(df: DataFrame, col: str, qs: list[float],
     if n == 0:
         raise ValueError(f"exact_quantiles: no non-null rows in {col}")
     st = [_QState(q, n) for q in qs]
+    _bracket_states(vals, col, st, accuracy, max_rounds, direct_limit)
+    return [(s.q, s.val) for s in st]
+
+
+def exact_ranks(df: DataFrame, col: str, ks: list[int],
+                n: int | None = None, accuracy: int = 10_000,
+                max_rounds: int = 4,
+                direct_limit: int = 100_000) -> list[float]:
+    """EXACT k-th smallest values for explicit ranks ``ks`` (1-based)
+    over the non-null rows of ``col`` — the rank-addressed form of
+    :func:`exact_quantiles`, same bracketing engine (sketch proposes,
+    exact counts verify, one shared bounded ranked read per round; no
+    task ever sorts more than ``max(2*accuracy, direct_limit)`` rows).
+    Pass ``n`` (the exact non-null row count) when the caller already
+    holds it — e.g. a maintained exact histogram — to skip the count
+    job. Returns values positionally matching ``ks``."""
+    vals = df.select(col).filter(F.col(col).isNotNull())
+    if n is None:
+        n = vals.count()
+    if n == 0:
+        raise ValueError(f"exact_ranks: no non-null rows in {col}")
+    st = []
+    for k in ks:
+        if not 1 <= k <= n:
+            raise ValueError(f"rank {k} outside [1, {n}]")
+        s = _QState(k / n, n)
+        s.k = k  # exact rank, not a ceil(q*n) re-derivation
+        st.append(s)
+    _bracket_states(vals, col, st, accuracy, max_rounds, direct_limit)
+    return [s.val for s in st]
+
+
+def _bracket_states(vals: DataFrame, col: str, st: list["_QState"],
+                    accuracy: int, max_rounds: int,
+                    direct_limit: int) -> None:
+    """The shared bracketing loop of :func:`exact_quantiles` /
+    :func:`exact_ranks`: per round, ONE multi-bracket re-sketch, ONE
+    conditional-aggregation verify pass, ONE shared ranked read over
+    every TakeOrdered-small bracket (see exact_quantiles' doc — this
+    is a pure extraction; the job counts those tests pin live here).
+    Mutates each state's ``val`` in place."""
     threshold = max(2 * accuracy, direct_limit)
     sketch_rounds = 0
     while True:
@@ -408,7 +449,6 @@ def exact_quantiles(df: DataFrame, col: str, qs: list[float],
             nlo, nhi = props[i]
             s.apply_verified(nlo, nhi, int(vrow[f"l{i}"]),
                              int(vrow[f"u{i}"]))
-    return [(s.q, s.val) for s in st]
 
 
 def grouped_exact_quantiles(df: DataFrame, group_col: str, col: str,

@@ -172,20 +172,99 @@ def compact_if_needed(spark: SparkSession, root: str,
     return vals.compact_if_needed(spark, max_live_dirs=max_live_dirs)
 
 
-def quantiles_served(spark: SparkSession, root: str,
-                     qs: list[float]) -> list[tuple[float, float]]:
-    """EXACT [(q, k-th smallest)] (k = ceil(q*n), the
-    exact_quantiles definition) from the maintained state: the exact
-    histogram locates every rank's bucket driver-side, ONE
-    partition-pruned ranked read over the target buckets answers all
-    quantiles. Never scans or sorts the corpus."""
-    from pyspark.sql import Window as W
+#: serve-side hot-bucket threshold: a target bucket holding more rows
+#: than this is answered by the batch bracketing engine over the
+#: pruned bucket (operators/sketches.exact_ranks) instead of the
+#: shared ranked read, so no single task ever sorts more than
+#: max(2*accuracy, this) rows even when the frozen grid is skewed
+#: (heavy-tailed domains put most mass in one equi-width cell — the
+#: NORM for durations/token counts, not a corner).
+HOT_BUCKET_LIMIT = 100_000
 
+
+def _pinned_hist(spark: SparkSession, root: str):
+    """(vals, hist_df, src_version): the histogram at its latest
+    version plus the vals version it was folded from. Serving MUST
+    read vals AT that version (time travel) — hist and vals commit in
+    separate legs, so an ingest landing between the two serve reads
+    would otherwise pair a stale histogram's ranks with fresher bucket
+    rows and return silently WRONG quantiles (not merely stale ones).
+    The pinned pair is consistent under any concurrency; it requires
+    the source version's files to still be retained (no vacuum past
+    it — the standard time-travel contract)."""
     vals, hist = _tables(root)
     if hist.latest_version() is None:
         raise ValueError(f"no maintained state under {root}")
+    meta = _last_meta_with(hist, "q_source_version")
+    if "q_source_version" not in meta:
+        raise ValueError(f"hist under {root} records no source version")
+    return vals, hist.read(spark), int(meta["q_source_version"])
+
+
+def _ranked_read(rows, targets: list[tuple], tag_cond) -> dict:
+    """ONE shared ranked read over pre-pruned bucket rows: each row is
+    tagged with the state ids it serves, ranked per tag, the in-bucket
+    rank k_in row kept. Returns {state_id: value}."""
+    from pyspark.sql import Window as W
+
+    conds = [tag_cond(t) for t in targets]
+    kmap = F.create_map(*[x for t in targets
+                          for x in (F.lit(t[0]), F.lit(t[-1]))])
+    w = W.partitionBy("__qi").orderBy(F.col("v").asc())
+    hits = (rows.withColumn("__qi", F.explode(F.array(*conds)))
+            .filter(F.col("__qi").isNotNull())
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == F.element_at(kmap, F.col("__qi")))
+            .select("__qi", "v").collect())
+    return {int(r["__qi"]): float(r["v"]) for r in hits}
+
+
+def _hot_ranks(spark, vals: TxnTable, src: int, hot: dict,
+               hot_limit: int, accuracy: int,
+               group_col: str | None = None) -> dict:
+    """Answer hot-bucket targets with the batch bracketing engine:
+    per hot (group, bucket) the pruned (and group-filtered) rows go
+    through exact_ranks — sketch-guided brackets, exact verify counts,
+    bounded ranked reads — seeded with the histogram's EXACT row count
+    so no count job runs. hot maps (group, bucket) -> (n_bucket,
+    [(state_id, k_in), ...]); returns {state_id: value}."""
+    from ..operators.sketches import exact_ranks
+
+    got: dict = {}
+    for (g, b), (nb, pairs) in hot.items():
+        rows = vals.read_partitions(spark, [b], version=src)
+        if group_col is not None:
+            pred = (F.col(group_col).isNull() if g is None
+                    else F.col(group_col).eqNullSafe(F.lit(g)))
+            rows = rows.filter(pred)
+        vs = exact_ranks(rows, "v", [k for _, k in pairs], n=nb,
+                         accuracy=accuracy, direct_limit=hot_limit)
+        for (si, _), v in zip(pairs, vs):
+            got[si] = v
+    return got
+
+
+def quantiles_served(spark: SparkSession, root: str, qs: list[float],
+                     hot_bucket_limit: int = HOT_BUCKET_LIMIT,
+                     accuracy: int = 10_000) -> list[tuple[float, float]]:
+    """EXACT [(q, k-th smallest)] (k = ceil(q*n), the
+    exact_quantiles definition) from the maintained state: the exact
+    histogram locates every rank's bucket driver-side; cold target
+    buckets are answered by ONE partition-pruned ranked read (all
+    their quantiles share it), hot ones (> ``hot_bucket_limit`` rows —
+    grid skew) fall back to the batch bracketing engine over the
+    pruned bucket, so serve cost is bounded regardless of how the
+    frozen grid splits the mass. Data is read at the vals version the
+    histogram recorded (see :func:`_pinned_hist`). Never scans or
+    sorts the corpus."""
+    vals, hist_df, src = _pinned_hist(spark, root)
+    extra = set(hist_df.columns) - {"__vb", "cnt"}
+    if extra:
+        raise ValueError(
+            f"root {root} was ingested with group column(s) "
+            f"{sorted(extra)} — serve it with grouped_quantiles_served")
     counts = {int(r["__vb"]): int(r["cnt"])
-              for r in hist.read(spark).collect()}
+              for r in hist_df.collect()}
     n = sum(counts.values())
     if n == 0:
         raise ValueError("no non-null values ingested")
@@ -200,42 +279,49 @@ def quantiles_served(spark: SparkSession, root: str,
                 targets.append((qi, b, k - below))
                 break
             below += counts[b]
-    buckets = sorted({b for _, b, _ in targets})
-    rows = vals.read_partitions(spark, buckets)
-    conds = [F.when(F.col("__vb") == F.lit(b), F.lit(qi))
-             for qi, b, _ in targets]
-    kmap = F.create_map(*[x for qi, _, k_in in targets
-                          for x in (F.lit(qi), F.lit(k_in))])
-    w = W.partitionBy("__qi").orderBy(F.col("v").asc())
-    hits = (rows.select("v", "__vb",
-                        F.explode(F.array(*conds)).alias("__qi"))
-            .filter(F.col("__qi").isNotNull())
-            .withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == F.element_at(kmap, F.col("__qi")))
-            .select("__qi", "v").collect())
-    got = {int(r["__qi"]): float(r["v"]) for r in hits}
+    cold = [t for t in targets if counts[t[1]] <= hot_bucket_limit]
+    hot: dict = {}
+    for qi, b, k_in in targets:
+        if counts[b] > hot_bucket_limit:
+            hot.setdefault((None, b), (counts[b], []))[1].append(
+                (qi, k_in))
+    got = {}
+    if cold:
+        rows = vals.read_partitions(
+            spark, sorted({b for _, b, _ in cold}), version=src)
+        got.update(_ranked_read(
+            rows.select("v", "__vb"), cold,
+            lambda t: F.when(F.col("__vb") == F.lit(t[1]),
+                             F.lit(t[0]))))
+    got.update(_hot_ranks(spark, vals, src, hot, hot_bucket_limit,
+                          accuracy))
     return [(q, got[qi]) for qi, q in enumerate(qs)]
 
 
 def grouped_quantiles_served(spark: SparkSession, root: str,
-                             group_col: str,
-                             qs: list[float]) -> list[tuple]:
+                             group_col: str, qs: list[float],
+                             hot_bucket_limit: int = HOT_BUCKET_LIMIT,
+                             accuracy: int = 10_000) -> list[tuple]:
     """EXACT [(group, q, value)] from a root maintained with
     ``group_col`` — the streaming twin of
     operators/sketches.grouped_exact_quantiles: the (groups x
     buckets)-row histogram locates every (group, rank)'s bucket
     driver-side (bounded collect, the low-cardinality-group
     contract), then ONE partition-pruned ranked read over the union
-    of target buckets answers every (group, quantile) — rows tagged
-    per state, ranked per tag. Groups share the read: a bucket dir is
-    scanned once no matter how many groups' ranks land in it."""
-    from pyspark.sql import Window as W
-
-    vals, hist = _tables(root)
-    if hist.latest_version() is None:
-        raise ValueError(f"no maintained state under {root}")
+    of cold target buckets answers every (group, quantile) — rows
+    tagged per state, ranked per tag; a bucket dir is scanned once no
+    matter how many groups' ranks land in it. Hot (group, bucket)
+    cells (> ``hot_bucket_limit`` rows) fall back to the bracketing
+    engine over the pruned, group-filtered bucket. Data is read at
+    the vals version the histogram recorded (:func:`_pinned_hist`)."""
+    vals, hist_df, src = _pinned_hist(spark, root)
+    if group_col not in hist_df.columns:
+        raise ValueError(
+            f"root {root} holds no group column {group_col!r} "
+            f"(histogram columns: {hist_df.columns}) — a flat root is "
+            "served with quantiles_served")
     counts: dict = {}
-    for r in hist.read(spark).collect():
+    for r in hist_df.collect():
         counts.setdefault(r[group_col], {})[int(r["__vb"])] = \
             int(r["cnt"])
     targets = []  # (si, group, bucket, k_in) ; si indexes the output
@@ -252,19 +338,22 @@ def grouped_quantiles_served(spark: SparkSession, root: str,
                     out_keys.append((g, q))
                     break
                 below += per[b]
-    buckets = sorted({b for _, _, b, _ in targets})
-    rows = vals.read_partitions(spark, buckets)
-    conds = [F.when(F.col(group_col).eqNullSafe(F.lit(g))
-                    & (F.col("__vb") == F.lit(b)), F.lit(si))
-             for si, g, b, _ in targets]
-    kmap = F.create_map(*[x for si, _, _, k_in in targets
-                          for x in (F.lit(si), F.lit(k_in))])
-    w = W.partitionBy("__qi").orderBy(F.col("v").asc())
-    hits = (rows.select(group_col, "v", "__vb",
-                        F.explode(F.array(*conds)).alias("__qi"))
-            .filter(F.col("__qi").isNotNull())
-            .withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == F.element_at(kmap, F.col("__qi")))
-            .select("__qi", "v").collect())
-    got = {int(r["__qi"]): float(r["v"]) for r in hits}
+    cold = [t for t in targets
+            if counts[t[1]][t[2]] <= hot_bucket_limit]
+    hot: dict = {}
+    for si, g, b, k_in in targets:
+        if counts[g][b] > hot_bucket_limit:
+            hot.setdefault((g, b), (counts[g][b], []))[1].append(
+                (si, k_in))
+    got = {}
+    if cold:
+        rows = vals.read_partitions(
+            spark, sorted({b for _, _, b, _ in cold}), version=src)
+        got.update(_ranked_read(
+            rows.select(group_col, "v", "__vb"), cold,
+            lambda t: F.when(
+                F.col(group_col).eqNullSafe(F.lit(t[1]))
+                & (F.col("__vb") == F.lit(t[2])), F.lit(t[0]))))
+    got.update(_hot_ranks(spark, vals, src, hot, hot_bucket_limit,
+                          accuracy, group_col=group_col))
     return [(g, q, got[si]) for si, (g, q) in enumerate(out_keys)]

@@ -167,15 +167,38 @@ def write_stream_grouped_mg_sketch(df: DataFrame, root: str,
     return w.start()
 
 
+def _pinned_pair(spark: SparkSession, root: str):
+    """(events_df, sketch_df) as a CONSISTENT snapshot: events read AT
+    the version the stored sketch was folded from (time travel). The
+    two tables commit in separate legs, so reading both at latest
+    would let an ingest land between the reads — a stale sketch
+    counted against fresher events can MISS a just-arrived heavy
+    hitter, breaking the candidate-superset guarantee the exact pass
+    rests on. Pinning trades freshness (answers as of the sketch's
+    high-water) for that guarantee; requires the pinned version's
+    files to be retained (the time-travel contract)."""
+    from ..operators.mv import _last_meta_with
+
+    events, sketch = _tables(root)
+    if sketch.latest_version() is None:
+        raise ValueError(f"no maintained sketch under {root}")
+    meta = _last_meta_with(sketch, "mg_source_version")
+    if "mg_source_version" not in meta:
+        raise ValueError(f"sketch under {root} records no source version")
+    sv = int(meta["mg_source_version"])
+    return events.read(spark, version=sv), sketch.read(spark)
+
+
 def grouped_heavy_hitters_served(spark: SparkSession, root: str,
                                  group_col: str, col: str,
                                  phi: float) -> DataFrame:
     """EXACT per-group heavy hitters from a maintained grouped-sketch
     root: the stored <= n_groups x k sketch proposes, one bounded
-    grouped aggregation over the accumulated events counts exactly.
-    Returns (group_col, col, cnt, share)."""
-    events, sketch = _tables(root)
-    return grouped_exact_pass(events.read(spark), sketch.read(spark),
+    grouped aggregation over the accumulated events — read at the
+    sketch's recorded source version (:func:`_pinned_pair`) — counts
+    exactly. Returns (group_col, col, cnt, share)."""
+    events_df, sketch_df = _pinned_pair(spark, root)
+    return grouped_exact_pass(events_df, sketch_df,
                               group_col, col, phi)
 
 
@@ -206,15 +229,28 @@ def heavy_hitters_served(spark: SparkSession, root: str, col: str,
                          phi: float) -> DataFrame:
     """EXACT heavy hitters from a maintained sketch root: the stored
     <= k-row sketch proposes, one bounded aggregation over the
-    accumulated events counts exactly. Returns (col, cnt, share)."""
-    events, sketch = _tables(root)
-    return exact_pass(events.read(spark), sketch.read(spark), col, phi)
+    accumulated events — read at the sketch's recorded source version
+    (:func:`_pinned_pair`) — counts exactly. Returns
+    (col, cnt, share)."""
+    events_df, sketch_df = _pinned_pair(spark, root)
+    return exact_pass(events_df, sketch_df, col, phi)
 
 
 def sketch_estimates(spark: SparkSession, root: str) -> tuple[DataFrame, int]:
     """(stored sketch frame, accumulated n) — the O(1) approximate
     serving path: weights are within [true - n/(k+1), true]; n comes
-    from the latest events commit meta, never a scan."""
+    from the events commit meta AT the sketch's recorded source
+    version (not latest — the error bound pairs each counter with the
+    n it was folded against), never a scan."""
     events, sketch = _tables(root)
-    n = _last_meta_with(events, "mg_n_rows")["mg_n_rows"]
-    return sketch.read(spark), int(n)
+    if sketch.latest_version() is None:
+        raise ValueError(f"no maintained sketch under {root}")
+    sv = int(_last_meta_with(sketch, "mg_source_version")
+             ["mg_source_version"])
+    v = sv
+    while v >= 0:  # newest events commit at/before the fold version
+        meta = events._doc(v).get("meta", {})  # noqa: SLF001
+        if "mg_n_rows" in meta:
+            return sketch.read(spark), int(meta["mg_n_rows"])
+        v -= 1
+    raise ValueError(f"no mg_n_rows recorded at/before version {sv}")

@@ -597,3 +597,48 @@ def test_exact_quantiles_duplicate_and_unordered_qs(spark):
                           accuracy=40, direct_limit=100)
     assert got == [(0.9, 900.0), (0.5, 500.0), (0.5, 500.0),
                    (0.1, 100.0)]
+
+
+def test_hh_serve_pinned_to_sketch_version(spark, sf_dir):
+    """r10 (ADVICE r9 medium): heavy_hitters_served reads events AT the
+    stored sketch's recorded source version. An events-leg-only append
+    landing between the serve's two reads (a new dominant value the
+    stale sketch has never seen) must leave the served set EXACTLY the
+    consistent pre-append one — unpinned, that value would be counted
+    in n yet be unproposable, silently breaking the candidate-superset
+    guarantee."""
+    import math
+    import tempfile
+
+    from sport_advantages_moderne_data_infrastructure_spark.streaming import (
+        sketches as S,
+    )
+
+    e = (load_table(spark, sf_dir, "events")
+         .filter(F.col("user_id").isNotNull())
+         .select("event_id", "user_id"))
+    k = math.ceil(1.0 / PHI)
+    root = tempfile.mkdtemp(prefix="samdis_mg_pin_")
+    events, sketch = S._tables(root)
+    S.ingest_batch(events, sketch, e, 0, "user_id", k, "pin")
+    served1 = {(r["user_id"], r["cnt"])
+               for r in S.heavy_hitters_served(
+                   spark, root, "user_id", PHI).collect()}
+    sk1, n1 = S.sketch_estimates(spark, root)
+    w1 = {r["user_id"]: r["weight"] for r in sk1.collect()}
+
+    # torn state: a flood of one brand-new key lands in events only
+    flood = e.sparkSession.range(0, e.count()).select(
+        F.lit(999_999_999).cast(e.schema["user_id"].dataType)
+        .alias("user_id"))
+    rel = events._write_data(flood)  # noqa: SLF001
+    events.commit([rel], [], {"operation": "test_torn_append"},
+                  expected_version=events.latest_version())
+
+    served2 = {(r["user_id"], r["cnt"])
+               for r in S.heavy_hitters_served(
+                   spark, root, "user_id", PHI).collect()}
+    assert served2 == served1 and len(served1) > 0
+    sk2, n2 = S.sketch_estimates(spark, root)
+    assert n2 == n1  # n paired with the sketch's fold, not latest
+    assert {r["user_id"]: r["weight"] for r in sk2.collect()} == w1

@@ -240,3 +240,120 @@ def test_compact_if_needed_policy(spark, sf_dir):
                    4, "value", LO, HI, app_id="pol")
     assert Q.quantiles_served(spark, root, QS) == exact_quantiles(
         e, "value", QS)
+
+
+def test_hot_bucket_serve_bounded(spark, sf_dir, monkeypatch):
+    """r10 (VERDICT r9 #1): a skewed domain that lands ~all mass in ONE
+    frozen grid cell must NOT degrade the serve to a single-task sort
+    of the corpus — hot target buckets fall back to the batch
+    bracketing engine, whose shared ranked read only ever ranks
+    brackets <= max(2*accuracy, hot_bucket_limit) rows. Pinned by
+    recording every ready-bracket width at the read site."""
+    from sport_advantages_moderne_data_infrastructure_spark.operators import (
+        sketches as SK,
+    )
+
+    e = _events(spark, sf_dir)
+    n = e.count()
+    root = tempfile.mkdtemp(prefix="sq_hot_")
+    vals, hist = Q._tables(root)
+    # grid declared 100x wider than the data: every value lands in
+    # cell 1 — the heavy-tailed-domain shape (token counts, durations)
+    hot_hi = HI * 100
+    for i in range(2):
+        Q.ingest_batch(vals, hist,
+                       e.filter(F.col("event_id") % 2 == i),
+                       i, "value", LO, hot_hi, app_id="hot")
+    counts = {int(r["__vb"]): int(r["cnt"])
+              for r in Q._tables(root)[1].read(spark).collect()}
+    assert max(counts.values()) > 0.9 * n  # the crafted skew is real
+
+    limit = max(64, n // 20)
+    acc = 32
+    bound = max(2 * acc, limit)
+    want = exact_quantiles(e, "value", QS)  # before the spy attaches
+    widths: list[int] = []
+    real_read = SK._read_ready_brackets
+
+    def _spy(vals_df, col, ready):
+        widths.extend(s.width() for _, s in ready)
+        return real_read(vals_df, col, ready)
+
+    monkeypatch.setattr(SK, "_read_ready_brackets", _spy)
+    got = Q.quantiles_served(spark, root, QS,
+                             hot_bucket_limit=limit, accuracy=acc)
+    assert got == want
+    assert widths, "hot-bucket fallback never engaged"
+    assert max(widths) <= bound, (max(widths), bound)
+
+
+def test_grouped_hot_bucket_serve_bounded(spark, sf_dir):
+    """Grouped twin of the hot-bucket bound: per-(group, bucket) skew
+    falls back to bracketing over the pruned, group-filtered bucket
+    and still equals the batch grouped operator."""
+    from sport_advantages_moderne_data_infrastructure_spark.operators.sketches import (  # noqa: E501
+        grouped_exact_quantiles,
+    )
+
+    e = (load_table(spark, sf_dir, "events")
+         .select("event_id", "event_type", "value"))
+    root = tempfile.mkdtemp(prefix="sq_ghot_")
+    vals, hist = Q._tables(root)
+    Q.ingest_batch(vals, hist, e, 0, "value", LO, HI * 100,
+                   app_id="ghot", group_col="event_type")
+    want = {(g, q): v for g, q, v in grouped_exact_quantiles(
+        e, "event_type", "value", QS)}
+    got = {(g, q): v for g, q, v in Q.grouped_quantiles_served(
+        spark, root, "event_type", QS, hot_bucket_limit=64,
+        accuracy=32)}
+    assert got == want
+
+
+def test_serve_pinned_to_hist_version(spark, sf_dir):
+    """r10 (ADVICE r9 medium): hist and vals commit in separate legs,
+    so serving must read vals AT the version the histogram recorded —
+    an ingest landing between the two serve reads (simulated here as a
+    vals-leg-only append) must leave the served answer EXACTLY the
+    consistent pre-append one, never a stale-ranks/fresh-rows mix."""
+    e = _events(spark, sf_dir)
+    half = e.filter(F.col("event_id") % 2 == 0)
+    root = tempfile.mkdtemp(prefix="sq_pin_")
+    vals, hist = Q._tables(root)
+    Q.ingest_batch(vals, hist, half, 0, "value", LO, HI, app_id="pin")
+    served1 = Q.quantiles_served(spark, root, QS)
+    assert served1 == exact_quantiles(half, "value", QS)
+
+    # the torn state: fresh rows land in vals, hist not yet folded
+    rows = (e.filter(F.col("event_id") % 2 == 1)
+            .select(F.col("value").cast("double").alias("v"))
+            .filter(F.col("v").isNotNull())
+            .withColumn("__vb", Q._vb(F.col("v"), LO, HI, Q.N_VB)))
+    adds = vals._write_data_partitioned(  # noqa: SLF001
+        rows.repartition(16, "__vb"), "__vb")
+    vals.commit(adds, [], {"operation": "test_torn_append",
+                           "partition_by": "__vb"},
+                expected_version=vals.latest_version())
+
+    assert Q.quantiles_served(spark, root, QS) == served1
+
+
+def test_flat_serve_on_grouped_root_raises(spark, sf_dir):
+    """r10 (ADVICE r9 low): flat quantiles_served on a grouped root
+    must fail loudly, not collapse the per-(group, bucket) histogram
+    into last-row-wins wrong answers."""
+    import pytest
+
+    e = (load_table(spark, sf_dir, "events")
+         .select("event_id", "event_type", "value"))
+    root = tempfile.mkdtemp(prefix="sq_flatg_")
+    vals, hist = Q._tables(root)
+    Q.ingest_batch(vals, hist, e, 0, "value", LO, HI,
+                   app_id="fg", group_col="event_type")
+    with pytest.raises(ValueError, match="grouped_quantiles_served"):
+        Q.quantiles_served(spark, root, QS)
+    # and the mirror: grouped serve on a flat root
+    root2 = tempfile.mkdtemp(prefix="sq_gflat_")
+    vals2, hist2 = Q._tables(root2)
+    Q.ingest_batch(vals2, hist2, e, 0, "value", LO, HI, app_id="gf")
+    with pytest.raises(ValueError, match="flat root"):
+        Q.grouped_quantiles_served(spark, root2, "event_type", QS)
