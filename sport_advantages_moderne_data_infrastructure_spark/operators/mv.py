@@ -434,6 +434,22 @@ class JoinMaterializedView:
             return (state.read(spark).limit(0)
                     .withColumn("__kb", F.lit(0).cast("int")))
 
+    @staticmethod
+    def _bucketed_or_empty(tbl: TxnTable, df: DataFrame,
+                           meta: dict) -> tuple[list[str], dict]:
+        """(adds, meta) for a ``__kb``-partitioned rebuild write. A
+        partitioned write of ZERO rows leaves no files at all, which
+        would commit an unreadable first snapshot (no schema source) —
+        an empty side of a join is legal (e.g. an activity feed that
+        has not delivered yet), so fall back to ONE 0-row plain file
+        that carries the schema; later partition-granular commits
+        coexist with it (mixed plain/partitioned reads are the normal
+        txnlog read path)."""
+        adds = tbl._write_data_partitioned(df, "__kb")  # noqa: SLF001
+        if adds:
+            return adds, {**meta, "partition_by": "__kb"}
+        return [tbl._write_data(df.repartition(1))], dict(meta)  # noqa: SLF001
+
     def _join_of(self, l: DataFrame, r: DataFrame) -> DataFrame:
         lc = [c for c in l.columns
               if c not in (*self.keys, "__kb")]
@@ -450,11 +466,9 @@ class JoinMaterializedView:
         for tbl, df in ((self.left_state, ls), (self.right_state, rs),
                         (self.view, self._join_of(ls, rs))):
             base = tbl.latest_version()
-            adds = tbl._write_data_partitioned(df, "__kb")  # noqa: SLF001
+            adds, m = self._bucketed_or_empty(tbl, df, meta)
             removes = tbl.snapshot_dirs(base) if base is not None else []
-            tbl.commit(adds, removes,
-                       {**meta, "partition_by": "__kb"},
-                       expected_version=base)
+            tbl.commit(adds, removes, m, expected_version=base)
 
     def _apply_side(self, spark, state: TxnTable, changes: DataFrame,
                     affected: list[int], meta: dict) -> None:
@@ -628,12 +642,10 @@ class MapMaterializedView(JoinMaterializedView):
         df = (self.map_fn(source.read(spark, version=sv).drop("__kb"))
               .withColumn("__kb", self._bucket()))
         base = self.view.latest_version()
-        adds = self.view._write_data_partitioned(df, "__kb")  # noqa: SLF001
+        adds, m = self._bucketed_or_empty(self.view, df, meta)
         removes = (self.view.snapshot_dirs(base)
                    if base is not None else [])
-        self.view.commit(adds, removes,
-                         {**meta, "partition_by": "__kb"},
-                         expected_version=base)
+        self.view.commit(adds, removes, m, expected_version=base)
 
 
 class AggMaterializedView(JoinMaterializedView):
@@ -747,18 +759,41 @@ class AggMaterializedView(JoinMaterializedView):
         run(self.view, _leg)
         return affected
 
+    def initialize_empty(self, spark: SparkSession, source: TxnTable,
+                         meta: dict | None = None) -> None:
+        """Materialize ZERO partials (schema only, one 0-row data
+        file) for a view whose source feed has not delivered any rows
+        yet — so a downstream LEFT join can build against it instead
+        of waiting forever (the reference's ``final`` keeps employee
+        rows with NULL aggregates when no activities exist,
+        read_delta.py:280-294). Deliberately records NO
+        ``mv_source_version``: nothing from the feed is considered
+        absorbed, so a later batch refresh folds the entire feed and
+        the streaming ledger guards its own commits. No-op if the
+        view already has a commit."""
+        if self.view.latest_version() is not None:
+            return
+        src = source.read(spark).limit(0)
+        empty = (_partials(src.drop("__kb"), self.group_cols,
+                           self.value_col)
+                 .withColumn("__kb", self._bucket())
+                 .repartition(1))  # one 0-row file carries the schema
+        rel = self.view._write_data(empty)  # noqa: SLF001
+        self.view.commit([rel], [],
+                         {**(meta or {}),
+                          "operation": "agg_mv_init_empty"},
+                         expected_version=None)
+
     def _rebuild_from(self, spark, source: TxnTable, sv: int,
                       meta: dict) -> None:
         df = (_partials(source.read(spark, version=sv).drop("__kb"),
                         self.group_cols, self.value_col)
               .withColumn("__kb", self._bucket()))
         base = self.view.latest_version()
-        adds = self.view._write_data_partitioned(df, "__kb")  # noqa: SLF001
+        adds, m = self._bucketed_or_empty(self.view, df, meta)
         removes = (self.view.snapshot_dirs(base)
                    if base is not None else [])
-        self.view.commit(adds, removes,
-                         {**meta, "partition_by": "__kb"},
-                         expected_version=base)
+        self.view.commit(adds, removes, m, expected_version=base)
 
     def read(self, spark: SparkSession) -> DataFrame:
         """Partials + derived mean, __kb stripped."""

@@ -77,24 +77,30 @@ def query_terms_tfidf(postings: DataFrame, df: DataFrame, n_docs: int,
 
 def bm25_topk(postings: DataFrame, df: DataFrame,
               query_terms: DataFrame, n_docs: int, avgdl: float,
-              k: int = 10) -> DataFrame:
+              k: int = 10, log_idf: bool = False) -> DataFrame:
     """(query_id, doc_id, score, rank) for rank <= k. ``query_terms``
     is any (query_id, tok) frame — the public API takes arbitrary
     queries, the registered row instantiates it with TF-IDF-derived
     ones. Expression shapes mirror the DuckDB oracle token for token
     (plans/textops.py) so the contract stays a full hash.
 
-    DEVIATION from textbook Okapi BM25: the idf term is the RATIONAL
-    core (N - df + 0.5)/(df + 0.5) WITHOUT the log — a monotone
-    transform whose per-term magnitudes (and so multi-term rankings)
-    differ from log-idf BM25. Chosen deliberately: ln() diverges
-    cross-engine in the last ulp, and the log-free form keeps the
-    registered row a bit-exact full-hash oracle. Callers wanting
-    literature-comparable scores should wrap the idf in log themselves
-    (rank-k for single-term queries is unaffected)."""
+    DEVIATION from textbook Okapi BM25 (default): the idf term is the
+    RATIONAL core (N - df + 0.5)/(df + 0.5) WITHOUT the log — a
+    monotone transform whose per-term magnitudes (and so multi-term
+    rankings) differ from log-idf BM25. Chosen deliberately: ln()
+    diverges cross-engine in the last ulp, and the log-free form keeps
+    the registered row a bit-exact full-hash oracle (rank-k for
+    single-term queries is unaffected). Scores are summed across query
+    terms, so the transform CANNOT be applied after the fact — callers
+    wanting literature-comparable multi-term scores pass
+    ``log_idf=True``, which scores with the Lucene/Robertson form
+    ln(1 + (N - df + 0.5)/(df + 0.5)) inside the sum (tolerance
+    oracles only; the default keeps the bit-exact contract)."""
     from pyspark.sql import Window as W
 
     idf = ((F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    if log_idf:
+        idf = F.log(F.lit(1.0) + idf)
     # K1/B drive the expression; float identity (K1 + 1 == 2.2 etc.)
     # keeps the DuckDB oracle string (plans/textops.py) in bit-sync
     tf_part = (F.col("tf") * F.lit(K1 + 1)

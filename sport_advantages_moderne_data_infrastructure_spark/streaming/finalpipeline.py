@@ -128,11 +128,20 @@ def write_stream_final_pipeline(spark: SparkSession, emp_path: str,
             # layers 3-4: intermediate views produced inside THIS
             # trigger — followed via the crash-idempotent batch
             # high-water refresh (reads exactly the deltas above).
-            # Guarded on initialization: a batch carrying only one
-            # source's changes can arrive before the other layer's
-            # first commit exists
-            if (jmv1.view.latest_version() is not None
-                    and aggv.view.latest_version() is not None):
+            # Empty-activity corner (ADVICE r9): once jmv1 exists,
+            # final/prime must materialize even if the activity feed
+            # never delivers — the reference's `final` is a LEFT join
+            # (employee rows with NULL aggregates, read_delta.py:
+            # 280-294) — so an undelivered agg layer is initialized
+            # with zero partials and the chain proceeds
+            if jmv1.view.latest_version() is not None:
+                if aggv.view.latest_version() is None:
+                    _guarded_commit(
+                        aggv.view, batch_id, app_id,
+                        lambda: aggv.initialize_empty(
+                            spark, TxnTable(act_path),
+                            _stream_meta(batch_id, app_id,
+                                         "final_pipe_agg_init")))
                 jmv2.refresh(spark, jmv1.view, aggv.view)
                 prime.refresh(spark, jmv2.view)
         finally:

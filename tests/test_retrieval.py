@@ -146,3 +146,56 @@ def test_stream_bm25_equiv_row_green(spark, sf_dir):
     assert row["postings_match"] and row["df_match"]
     assert row["scalars_match"] and row["topk_match"]
     assert row["n_docs"] > 0
+
+
+def test_bm25_log_idf_variant(spark, sf_dir):
+    """r10 (ADVICE r9 low): scores are summed across query terms, so a
+    log transform cannot be applied post-hoc — the log_idf=True path
+    must score with ln(1 + rational-idf) INSIDE the sum. Pinned
+    against a driver-side brute-force recompute from the same index
+    artifacts; the default path stays the bit-exact rational form."""
+    import math
+
+    from sport_advantages_moderne_data_infrastructure_spark.operators import (  # noqa: E501
+        retrieval as R,
+    )
+    from sport_advantages_moderne_data_infrastructure_spark.plans.textops import (  # noqa: E501
+        bm25_index,
+    )
+
+    postings, df, n_docs, avgdl = bm25_index(spark, sf_dir)
+    qt = R.query_terms_tfidf(postings, df, n_docs,
+                             F.col("doc_id") % 50 == 0)
+    got = R.bm25_topk(postings, df, qt, n_docs, avgdl,
+                      log_idf=True).collect()
+    assert len(got) > 0
+
+    # brute force: per-(query, doc) sum of ln(1+idf) * tf_part over
+    # the SAME postings/df/query-term rows (sorted-sum to match)
+    dfm = {r["tok"]: r["df"] for r in df.collect()}
+    terms = {}
+    for r in qt.collect():
+        terms.setdefault(r["query_id"], set()).add(r["tok"])
+    post = postings.collect()
+    want: dict = {}
+    K1, B = R.K1, R.B
+    for q, toks in terms.items():
+        for p in post:
+            if p["tok"] in toks:
+                idf = math.log(
+                    1.0 + (n_docs - dfm[p["tok"]] + 0.5)
+                    / (dfm[p["tok"]] + 0.5))
+                tfp = (p["tf"] * (K1 + 1)
+                       / (p["tf"] + K1 * (1 - B + B * p["dl"] / avgdl)))
+                want.setdefault((q, p["doc_id"]), []).append(idf * tfp)
+    for r in got:
+        parts = want[(r["query_id"], r["doc_id"])]
+        total = 0.0
+        for x in sorted(parts):
+            total += x
+        assert abs(r["score"] - total) < 1e-9, (r, total)
+
+    # single-term rank order is idf-transform invariant (monotone)
+    base = R.bm25_topk(postings, df,
+                       qt.limit(0), n_docs, avgdl, log_idf=False)
+    assert base.count() == 0  # empty query set -> empty result

@@ -186,3 +186,37 @@ def test_single_stream_crash_between_layers_recovers(spark, tmp_path):
     assert jmv1.view.latest_version() == jmv1_v  # no double apply
     assert _got_prime(spark, prime) == _expected_prime(spark, emp,
                                                        val, act)
+
+
+def test_empty_activity_feed_still_materializes_final(spark, tmp_path):
+    """r10 (ADVICE r9 low): a deployment whose activity feed is empty
+    must still materialize final/prime — the reference's `final` is a
+    LEFT join (employee rows with NULL aggregates, read_delta.py:
+    280-294) — and late-arriving activities must then fold in
+    incrementally on the same checkpoint."""
+    root = str(tmp_path / "pipe_noact")
+    emp0, raises, val0, revoked, parsed = _sources(spark)
+    emp, val, act, jmv1, aggv, jmv2, prime = _chain(root)
+    ckpt = f"{root}/ckpt"
+
+    def run():
+        q = write_stream_final_pipeline(
+            spark, emp.path, val.path, act.path,
+            jmv1, aggv, jmv2, prime, ckpt, app_id="fpe")
+        q.awaitTermination(180)
+        q.stop()
+
+    emp.overwrite(emp0)
+    val.overwrite(val0)
+    act.overwrite(parsed.limit(0).repartition(1))  # schema, zero rows
+    run()
+    got = _got_prime(spark, prime)
+    assert got == _expected_prime(spark, emp, val, act)
+    assert len(got) > 0  # employee rows ARE there, aggregates NULL
+    assert all(t[5] is None for t in got)  # count_activity all NULL
+
+    # the activities arrive much later: same checkpoint, incremental
+    act.append(parsed)
+    run()
+    assert _got_prime(spark, prime) == _expected_prime(spark, emp,
+                                                       val, act)
