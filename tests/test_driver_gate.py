@@ -40,3 +40,37 @@ def test_driver_query_matches_oracle_at_gate_scale(spark, con_t2, name):
     q = catalog.REGISTRY[name]
     df = q.spark_fn(spark, SF_DIR_T2)
     assert_oracle_match(df, con_t2, q.oracle, name)
+
+
+def test_never_gated_set_is_exactly_the_adc_exception():
+    """r10 (VERDICT r9 #2): the set of registry rows that have NEVER
+    held a driver-gate slot must stay exactly the three ADC bench rows
+    (the documented permanent no-SQL-oracle convention; their quality
+    is enforced via the gated ann_pq_recall_floor /
+    ann_refine_recall_floor siblings). tests/gated_history.json is the
+    checked-in manifest of every row that ever held a slot — gating a
+    new row means adding it there, so a future rotation can't silently
+    recreate the r8 text_bm25_topk gap."""
+    import glob
+    import json
+    import os
+
+    here = os.path.dirname(__file__)
+    manifest = set(json.load(open(os.path.join(here,
+                                               "gated_history.json"))))
+    # cross-check: the manifest covers every recorded driver round
+    recorded = set()
+    for f in glob.glob(os.path.join(here, "..", "CORRECTNESS_r*.json")):
+        d = json.load(open(f))
+        rows = d.get("rows", d) if isinstance(d, dict) else d
+        recorded |= (set(rows) if isinstance(rows, dict)
+                     else {r["name"] for r in rows})
+    assert recorded <= manifest, sorted(recorded - manifest)
+    # the current window counts as gated — and must be IN the manifest
+    current = {n for n, q in catalog.REGISTRY.items() if q.driver}
+    assert current <= manifest, (
+        f"driver rows missing from tests/gated_history.json: "
+        f"{sorted(current - manifest)} — add them when gating")
+    never = set(catalog.REGISTRY) - manifest
+    assert never == {"ann_pq_topk", "ann_ivfpq_topk",
+                     "ann_ivfpq_refined_topk"}, sorted(never)
