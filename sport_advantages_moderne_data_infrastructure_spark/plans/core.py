@@ -64,6 +64,12 @@ def q_final_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("prime_query", oracle=W(R.PRIME_QUERY_SQL),
+          driver=False,  # rotated out r10 (green r1-r9): the VERBATIM
+          # SQL surface `prime_query_sql` is the surviving harder twin
+          # (same flagship semantics through the S8 temp-view layer,
+          # reference select list included); this row keeps running in
+          # every bench pass via bench=True and stays DuckDB-verified
+          # per pytest run
           tags=("J3", "F4", "F5", "F6", "F7"), bench=True)
 def q_prime_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship — commute prime + total salary (README.md:140-164)."""
@@ -71,21 +77,33 @@ def q_prime_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PRIME_SQL_SURFACE = (
-    # The reference's flagship Trino SQL (README.md:140-164) modulo
-    # dialect-neutral cosmetics — run VERBATIM through spark.sql over a
-    # registered `final` view (the Trino/Superset layer collapses to this,
-    # SURVEY §3.3). Portable: doubles forced explicitly, same text runs on
-    # DuckDB as the oracle.
+    # The reference's flagship Trino SQL (README.md:140-164), run VERBATIM
+    # through spark.sql over a registered `final` view (the Trino/Superset
+    # layer collapses to this, SURVEY §3.3): the exact select list —
+    # calculed_distance, is_valid AS commute_valid, the CASE >= 15 arm,
+    # the prime CTE self-join on id_employee — with exactly TWO documented
+    # dialect shims, both about numeric typing, so the same text runs on
+    # DuckDB as the oracle and the row stays a full value hash:
+    #   1. ROUND(gross_salary * 0.05, 2) — a bare 0.05 is DECIMAL in both
+    #      engines but with engine-specific precision/scale promotion;
+    #      CAST(0.05 AS DOUBLE) (and the ELSE 0 -> CAST(0 AS DOUBLE))
+    #      forces the IEEE double ROUND both engines share bit-for-bit.
+    #   2. total_salary = gross_salary + commute_prime is wrapped in
+    #      CAST(... AS DOUBLE) for the same int+decimal promotion reason.
+    # Everything else — `is_valid = true` comparison, identifiers, join,
+    # aliases — is the reference text character for character.
     "WITH prime AS ("
     " SELECT id_employee,"
-    "  CASE WHEN is_valid THEN ROUND(gross_salary * CAST(0.05 AS DOUBLE), 2)"
+    "  CASE WHEN is_valid = true"
+    "   THEN ROUND(gross_salary * CAST(0.05 AS DOUBLE), 2)"
     "  ELSE CAST(0 AS DOUBLE) END AS commute_prime"
     " FROM final) "
     "SELECT f.id_employee, f.gross_salary, f.business_unity,"
-    " f.constract_type, f.is_valid, f.count_activity, f.mean_duration,"
-    " p.commute_prime,"
+    " f.constract_type, f.calculed_distance,"
+    " f.is_valid AS commute_valid,"
     " CASE WHEN f.count_activity >= 15 THEN true ELSE false END"
     "  AS is_valid_activities,"
+    " f.mean_duration, p.commute_prime,"
     " CAST(f.gross_salary + p.commute_prime AS DOUBLE) AS total_salary "
     "FROM final f JOIN prime p ON f.id_employee = p.id_employee"
 )
@@ -95,15 +113,23 @@ _PRIME_SQL_SURFACE = (
           # merge the `final` CTE with the flagship text's own WITH-clause
           oracle=W(f"WITH final AS ({R.FINAL_TABLE_SQL}), "
                    + _PRIME_SQL_SURFACE[len("WITH "):]),
-          tags=("J3", "F4", "F5", "F6", "F7", "S8"),
-          driver=False)  # same result set as prime_query (DF twin, driver-
-          # checked); the verbatim-SQL surface stays pytest-verified
+          tags=("J3", "F4", "F5", "F6", "F7", "S8"))
+          # promoted r10 (VERDICT r9 #3): the verbatim-SQL surface takes
+          # the driver slot of its DataFrame twin `prime_query` (green
+          # r1-r9, demoted below with this row as the surviving — and
+          # strictly harder — twin: same semantics PLUS the S8 temp-view
+          # SQL layer; plan equality pinned in test_plan_quality)
 def q_prime_query_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query through the SQL surface: the reference's interactive
     CTE self-join (README.md:140-164) executed verbatim by spark.sql over a
     registered `final` view — proves a reference user's SQL ports as-is.
-    (The DataFrame twin `prime_query` authors it collapsed; Catalyst
-    reaches the same place from this text via self-join elimination.)"""
+    The DataFrame twin `prime_query` authors it collapsed; from this text
+    Catalyst prunes the duplicated view subtree to its dim-sized legs (the
+    left join to the activity aggregate is eliminated in the prime branch
+    because the aggregate's group key is provably unique), so the
+    corpus-scale work — activity scan, the ONE shuffle, the aggregate —
+    appears exactly once, and the CTE self-join itself is a broadcast hash
+    join adding NO shuffle (pinned in test_plan_quality)."""
     q_final_table(spark, sf_dir).createOrReplaceTempView("final")
     return spark.sql(_PRIME_SQL_SURFACE)
 
