@@ -1438,6 +1438,56 @@ def q_stream_heavy_hitters_equiv(spark: SparkSession,
 
 
 @register(
+    "stream_approx_distinct_equiv",  # new r10, gated immediately
+    # (slot: final_table demoted — green r1-r9; its FULL plan is a
+    # subtree of the just-promoted prime_query_sql gate (which
+    # registers final_table as the `final` view) and the same table
+    # is maintained incrementally under the gated
+    # final_pipeline_incremental; the row keeps running in every
+    # bench pass via bench=True and stays DuckDB-verified per pytest
+    # run). Completes the streaming-twin symmetry for the LAST
+    # mergeable sketch in the family (VERDICT r9 #4): per-batch
+    # hll_sketch_agg partials folded into a stored binary via
+    # hll_union_agg, replay-guarded from the events change feed,
+    # <= n_groups rows of state; served through hll_sketch_estimate
+    # with the approx_distinct_contract-style tolerance oracle
+    # (exact arm pinned, flag literal TRUE — if the maintained
+    # sketch ever drifts beyond 3% the hash mismatches).
+    oracle=(
+        "SELECT event_type, "
+        "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact, "
+        "TRUE AS within_3pct FROM events "
+        "GROUP BY event_type ORDER BY event_type"))
+def q_stream_approx_distinct_equiv(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Per-event-type distinct users arrive as three micro-batches
+    through the exact per-batch ingest the foreachBatch sink runs
+    (events append + HLL union fold from the events change feed,
+    every leg replay-guarded); the estimate served THROUGH the
+    maintained binary sketch must land within 3% of the exact
+    COUNT(DISTINCT) per group (observed exact at these scales — the
+    DataSketches HLL is in sparse mode), with the exact arm computed
+    over the pinned events snapshot so the row is a full hash."""
+    import tempfile
+
+    from ..streaming.distinct import (_tables, distinct_contract_served,
+                                      ingest_batch)
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id")
+    root = tempfile.mkdtemp(prefix="samdis_stream_hll_")
+    events, sketch = _tables(root)
+    for i in range(3):
+        ingest_batch(events, sketch,
+                     e.filter(F.col("event_id") % 3 == i),
+                     i, "user_id", app_id="hll_twin",
+                     group_col="event_type")
+    return (distinct_contract_served(spark, root, "user_id",
+                                     group_col="event_type")
+            .orderBy("event_type"))
+
+
+@register(
     "order_price_outliers",  # promoted into the driver window r4.
     # Demoted r8 after green r5-r7: the grouped robust-stats shape
     # stays gated via pricing_summary (grouped agg, benched) +
