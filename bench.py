@@ -116,10 +116,17 @@ QUERY_BUDGETS = {
     # r9-added queries (budgets from two local full-bench runs the
     # round they first reported — no reason to wait a round when a
     # rolling min already exists):
-    "grouped_quantiles_exact": 5.04,  # min 3.358 — gate params force
-    # real bracketing rounds (~3 rounds x 3 jobs at sf0.1 group sizes)
+    "grouped_quantiles_exact": 4.02,  # min 2.680 — re-pinned r10 after
+    # the fused-verify/optimistic-sketch job fold (r9 min was 3.358 at
+    # 1 sizes + 3 jobs/round; now ~1 fused job/round + shared reads)
     "orders_grouping_sets": 0.48,   # min 0.319
     "orders_pivot": 0.34,           # min 0.224
+    # r10-added query (provisional budget: warm local runs show it
+    # converging to prime_query's cost — the duplicated prime branch
+    # prunes to dim-sized broadcast legs, plan pinned — plus view
+    # registration + two extra dim scans; re-pin from the r10 bench
+    # min next round):
+    "prime_query_sql": 0.90,
 }
 
 

@@ -465,28 +465,30 @@ def grouped_exact_quantiles(df: DataFrame, group_col: str, col: str,
     question); the per-round driver collects are bounded by
     n_groups x len(qs) state rows.
 
-    Per round, THREE jobs:
-
-    1. ONE grid re-sketch: rows broadcast-join the open-bracket frame
-       on the group key, bracket-slice rows are grouped per state and
-       sketched at a CONSTANT ``grid``-point percentage array
-       (``approx_percentile``'s percentages must be foldable, so
-       per-state bands are not expressible in one grouped agg — the
-       shared grid is; the driver then picks the two grid values
-       bracketing the state's in-slice rank, guard-banded by the
-       sketch's n/accuracy rank error). Shrink per round is
-       ~(2*guard+1)/grid + 2/accuracy of the bracket — log_{~grid}
-       convergence, e.g. 10^12 rows/group -> direct-readable in <= 4
-       rounds at the defaults.
-    2. ONE verify pass: rows join the same frame WITHOUT the bracket
-       filter (the Expand-style blow-up is x open-states-per-group,
-       absorbed by map-side combine) and a conditional aggregation
-       counts every state's strictly-below / at-or-below rank — the
-       per-group bounds come from the JOINED columns, exact math
-       identical to the flat path (widen-on-wobble, sketch only
-       proposes).
-    3. ONE shared ranked read over every TakeOrdered-small bracket
-       (partition sizes <= the direct threshold).
+    Job shape (r10 — was 1 sizes + 3/round in r9): the sizes pass
+    DOUBLES as round 1's grid sketch (each group's exact n and its
+    shared ``grid``-point ``approx_percentile`` array in ONE grouped
+    agg — the percentages must be foldable, so per-state bands are
+    not expressible; the driver picks the two grid values bracketing
+    each state's in-slice rank, guard-banded by the sketch's
+    n/accuracy rank error). Then ONE fused job per round: rows
+    broadcast-join the open-bracket frame on the group key, slice to
+    the CURRENT bracket (verify counts are RELATIVE — proposals are
+    actual slice values, so count(col < nlo) = below + count(lo <=
+    col < nlo) exactly, and the job shrinks with the bracket instead
+    of rescanning the group), count every state's strictly-below /
+    at-or-below rank (widen-on-wobble, sketch only proposes), AND
+    optimistically sketch the PROPOSED bracket's grid in the same
+    aggregation — adopted-as-proposed states (the common case) start
+    the next round with their grid already in hand; only a
+    widen-on-wobble state pays a separate re-sketch job. Shrink per
+    round is ~(2*guard+1)/grid + 2/accuracy of the bracket —
+    log_{~grid} convergence, e.g. 10^12 rows/group ->
+    direct-readable in <= 4 rounds at the defaults. Finally ONE
+    shared ranked read over every TakeOrdered-small bracket
+    (partition sizes <= the direct threshold). The (group, value)
+    slice is persisted for the life of the call (iterative multi-job
+    discipline).
 
     NULL semantics: NULL ``col`` values are excluded from every
     group's n (the flat contract); a NULL GROUP is a real group.
@@ -498,15 +500,33 @@ def grouped_exact_quantiles(df: DataFrame, group_col: str, col: str,
     gtype = df.schema[group_col].dataType
     vals = (df.select(group_col, col)
             .filter(F.col(col).isNotNull()))
-    sizes = (vals.groupBy(group_col)
-             .agg(F.count(F.lit(1)).alias("n")).collect())
-    states: list[tuple] = []  # (group_value, _QState)
-    for r in sizes:
-        for q in qs:
-            states.append((r[group_col], _QState(q, int(r["n"]))))
     threshold = max(2 * accuracy, direct_limit)
     guard = math.ceil(grid / accuracy) + 1
     pcts = ", ".join(repr(i / grid) for i in range(grid + 1))
+    # the sizes pass DOUBLES as round 1's grid sketch (r10, VERDICT r9
+    # #6): every state's first bracket is the whole group, so ONE
+    # grouped agg returns each group's exact n AND its shared grid —
+    # one job saved per call, and round 1 skips the broadcast-join
+    # state expansion entirely (the per-group grid serves ALL of the
+    # group's quantile states)
+    # the 2-column slice is re-read by every round's sketch/verify/read
+    # job — persist it (spilling allowed) for the life of the call, the
+    # standard treatment for iterative multi-job algorithms; at corpus
+    # scale this is the projected (group, value) pair, not the table
+    from pyspark import StorageLevel
+
+    vals = vals.persist(StorageLevel.MEMORY_AND_DISK)
+    first = (vals.groupBy(group_col)
+             .agg(F.count(F.lit(1)).alias("__n"),
+                  F.expr(f"approx_percentile({col}, array({pcts}), "
+                         f"{accuracy})").alias("__p"))
+             .collect())
+    states: list[tuple] = []  # (group_value, _QState)
+    grids: dict = {}          # state index -> CURRENT bracket's grid
+    for r in first:
+        for q in qs:
+            grids[len(states)] = r["__p"]
+            states.append((r[group_col], _QState(q, int(r["__n"]))))
 
     def _tag(frame_rows, extra_fields, bracket_filter: bool):
         """Broadcast the per-state bracket frame (__g, __si, ...extra)
@@ -524,69 +544,103 @@ def grouped_exact_quantiles(df: DataFrame, group_col: str, col: str,
                             & (F.col(col) <= F.col("__hi"))))
         return j
 
-    dbl = T.DoubleType()
-    sketch_rounds = 0
-    while True:
-        open_st = [(i, gs) for i, gs in enumerate(states)
-                   if gs[1].val is None]
-        if not open_st:
-            break
-        ready = [(i, gs) for i, gs in open_st
-                 if gs[1].width() <= threshold]
-        if ready:
-            rrows = [(g, i, _flt(s.lo), _flt(s.hi), s.k - s.below)
-                     for i, (g, s) in ready]
-            tag = _tag(rrows,
-                       [T.StructField("__lo", dbl),
-                        T.StructField("__hi", dbl),
-                        T.StructField("__kin", T.IntegerType())],
-                       bracket_filter=True)
-            w = W.partitionBy("__si").orderBy(F.col(col).asc())
-            hits = (tag.withColumn("__rn", F.row_number().over(w))
-                    .filter(F.col("__rn") == F.col("__kin"))
-                    .select("__si", col).collect())
-            for r in hits:
-                states[r["__si"]][1].val = float(r[col])
-        sketching = [(i, gs) for i, gs in open_st
-                     if gs[1].width() > threshold]
-        if not sketching:
-            continue
-        if sketch_rounds >= max_rounds:
-            raise RuntimeError(
-                f"grouped quantile bracketing did not converge in "
-                f"{max_rounds} rounds — accuracy/grid too low")
-        sketch_rounds += 1
-        srows = [(g, i, _flt(s.lo), _flt(s.hi))
-                 for i, (g, s) in sketching]
-        tag = _tag(srows, [T.StructField("__lo", dbl),
-                           T.StructField("__hi", dbl)],
-                   bracket_filter=True)
-        prow = {r["__si"]: r["p"] for r in
-                (tag.groupBy("__si")
-                 .agg(F.expr(f"approx_percentile({col}, "
-                             f"array({pcts}), {accuracy})")
-                      .alias("p")).collect())}
-        props = {}
-        for i, (g, s) in sketching:
-            p = prow[i]
-            q_in = (s.k - s.below) / s.width()
-            ilo = max(0, math.floor(q_in * grid) - guard)
-            ihi = min(grid, math.ceil(q_in * grid) + guard)
-            props[i] = (float(p[ilo]), float(p[ihi]))
-        vrows = [(g, i, props[i][0], props[i][1])
-                 for i, (g, s) in sketching]
-        tagv = _tag(vrows, [T.StructField("__nlo", dbl),
-                            T.StructField("__nhi", dbl)],
-                    bracket_filter=False)
-        counts = {r["__si"]: (int(r["l"]), int(r["u"])) for r in
-                  (tagv.groupBy("__si")
-                   .agg(F.sum(F.when(F.col(col) < F.col("__nlo"), 1)
-                              .otherwise(0)).alias("l"),
-                        F.sum(F.when(F.col(col) <= F.col("__nhi"), 1)
-                              .otherwise(0)).alias("u")).collect())}
-        for i, (g, s) in sketching:
-            nlo, nhi = props[i]
-            s.apply_verified(nlo, nhi, *counts[i])
+    try:
+        dbl = T.DoubleType()
+        sketch_rounds = 0
+        while True:
+            open_st = [(i, gs) for i, gs in enumerate(states)
+                       if gs[1].val is None]
+            if not open_st:
+                break
+            ready = [(i, gs) for i, gs in open_st
+                     if gs[1].width() <= threshold]
+            if ready:
+                rrows = [(g, i, _flt(s.lo), _flt(s.hi), s.k - s.below)
+                         for i, (g, s) in ready]
+                tag = _tag(rrows,
+                           [T.StructField("__lo", dbl),
+                            T.StructField("__hi", dbl),
+                            T.StructField("__kin", T.IntegerType())],
+                           bracket_filter=True)
+                w = W.partitionBy("__si").orderBy(F.col(col).asc())
+                hits = (tag.withColumn("__rn", F.row_number().over(w))
+                        .filter(F.col("__rn") == F.col("__kin"))
+                        .select("__si", col).collect())
+                for r in hits:
+                    states[r["__si"]][1].val = float(r[col])
+            sketching = [(i, gs) for i, gs in open_st
+                         if gs[1].width() > threshold]
+            if not sketching:
+                continue
+            if sketch_rounds >= max_rounds:
+                raise RuntimeError(
+                    f"grouped quantile bracketing did not converge in "
+                    f"{max_rounds} rounds — accuracy/grid too low")
+            sketch_rounds += 1
+            # a state's grid for its CURRENT bracket usually already
+            # exists: round 1's rode the sizes pass, later rounds' rode
+            # the PREVIOUS verify job (optimistic fused sketch below) —
+            # a separate _tag sketch job runs only for states whose
+            # optimistic grid was invalidated by a widen-on-wobble
+            need = [(i, gs) for i, gs in sketching if i not in grids]
+            if need:
+                srows = [(g, i, _flt(s.lo), _flt(s.hi))
+                         for i, (g, s) in need]
+                tag = _tag(srows, [T.StructField("__lo", dbl),
+                                   T.StructField("__hi", dbl)],
+                           bracket_filter=True)
+                for r in (tag.groupBy("__si")
+                          .agg(F.expr(f"approx_percentile({col}, "
+                                      f"array({pcts}), {accuracy})")
+                               .alias("p")).collect()):
+                    grids[r["__si"]] = r["p"]
+            props = {}
+            for i, (g, s) in sketching:
+                p = grids[i]
+                q_in = (s.k - s.below) / s.width()
+                ilo = max(0, math.floor(q_in * grid) - guard)
+                ihi = min(grid, math.ceil(q_in * grid) + guard)
+                props[i] = (float(p[ilo]), float(p[ihi]))
+            # ONE fused job: verify RELATIVE to the previous bracket
+            # (proposals are actual slice values, so nlo/nhi lie inside
+            # [lo, hi] and count(col < nlo) = s.below + count(lo <=
+            # col < nlo) exactly — the verify join slices to bracket
+            # rows like the sketch, shrinking with the bracket), AND
+            # optimistically sketch the PROPOSED bracket's grid in the
+            # same aggregation — when the verify adopts both sides (the
+            # common case; the guard band makes wobble rare) the next
+            # round needs no sketch job at all
+            vrows = [(g, i, _flt(s.lo), _flt(s.hi),
+                      props[i][0], props[i][1])
+                     for i, (g, s) in sketching]
+            tagv = _tag(vrows, [T.StructField("__lo", dbl),
+                                T.StructField("__hi", dbl),
+                                T.StructField("__nlo", dbl),
+                                T.StructField("__nhi", dbl)],
+                        bracket_filter=True)
+            vres = {r["__si"]: r for r in
+                    (tagv.groupBy("__si")
+                     .agg(F.sum(F.when(F.col(col) < F.col("__nlo"), 1)
+                                .otherwise(0)).alias("l"),
+                          F.sum(F.when(F.col(col) <= F.col("__nhi"), 1)
+                                .otherwise(0)).alias("u"),
+                          F.expr(f"approx_percentile({col}, "
+                                 f"array({pcts}), {accuracy}) "
+                                 f"FILTER (WHERE {col} >= __nlo "
+                                 f"AND {col} <= __nhi)")
+                          .alias("p")).collect())}
+            grids = {}
+            for i, (g, s) in sketching:
+                nlo, nhi = props[i]
+                r = vres.get(i)
+                l, u = (int(r["l"]), int(r["u"])) if r else (0, 0)
+                s.apply_verified(nlo, nhi, s.below + l, s.below + u)
+                if (s.val is None and r is not None
+                        and r["p"] is not None
+                        and (s.lo, s.hi) == (nlo, nhi)):
+                    grids[i] = r["p"]  # optimistic grid is valid
+    finally:
+        vals.unpersist()
     return [(g, s.q, s.val) for g, s in states]
 
 

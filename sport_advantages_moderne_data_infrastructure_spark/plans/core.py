@@ -119,7 +119,7 @@ _PRIME_SQL_SURFACE = (
           # merge the `final` CTE with the flagship text's own WITH-clause
           oracle=W(f"WITH final AS ({R.FINAL_TABLE_SQL}), "
                    + _PRIME_SQL_SURFACE[len("WITH "):]),
-          tags=("J3", "F4", "F5", "F6", "F7", "S8"))
+          tags=("J3", "F4", "F5", "F6", "F7", "S8"), bench=True)
           # promoted r10 (VERDICT r9 #3): the verbatim-SQL surface takes
           # the driver slot of its DataFrame twin `prime_query` (green
           # r1-r9, demoted below with this row as the surviving — and
@@ -566,6 +566,92 @@ def q_txn_dv_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (table.read(spark)
             .select("o_orderkey", "o_custkey",
                     F.round("o_totalprice", 2).alias("total")))
+
+
+@register(
+    "txn_schema_evolution",  # new r10, gated immediately (slot:
+    # quality_checks demoted — green r1-r9; the GE expectation
+    # machinery stays gated via stream_quarantine_batch_twin and the
+    # config-compiled quality_config_suite row stays DuckDB-verified
+    # per pytest run). Additive schema evolution (VERDICT r9 #5):
+    # mergeSchema append + autoMerge MERGE — the reference's only
+    # evolution story is full-refresh overwriteSchema
+    # (read_delta.py:219-222); at 100 TB a new column must never cost
+    # a table rewrite. The oracle recomputes the whole history
+    # relationally (typed-NULL backfill + full-row upsert), and the
+    # time-travel/CDF booleans are literal-TRUE-able: if a
+    # pre-boundary snapshot ever grows the new columns, or the change
+    # feed fails to null-fill across the boundary, the hash flips.
+    oracle=(
+        "WITH base AS (SELECT o_orderkey AS k, o_totalprice AS price "
+        "FROM orders WHERE o_orderkey % 4 = 0), "
+        "evo AS (SELECT o_orderkey AS k, o_totalprice AS price, "
+        "o_orderpriority AS priority FROM orders "
+        "WHERE o_orderkey % 4 = 1), "
+        "pre AS (SELECT k, price, CAST(NULL AS VARCHAR) AS priority "
+        "FROM base UNION ALL SELECT k, price, priority FROM evo), "
+        "ups AS (SELECT o_orderkey AS k, "
+        "CAST(o_totalprice * 2 AS DOUBLE) AS price, "
+        "CAST(NULL AS VARCHAR) AS priority, "
+        "o_orderstatus AS status FROM orders WHERE o_orderkey % 3 = 0), "
+        "merged AS (SELECT k, price, priority, status FROM ups "
+        "UNION ALL SELECT p.k, p.price, p.priority, "
+        "CAST(NULL AS VARCHAR) AS status FROM pre p "
+        "WHERE NOT EXISTS (SELECT 1 FROM ups u WHERE u.k = p.k)) "
+        "SELECT k, price, priority, status, TRUE AS tt_ok, "
+        "TRUE AS cdf_ok FROM merged ORDER BY k"))
+def q_txn_schema_evolution(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Additive schema evolution end-to-end: base orders land (v0), a
+    mergeSchema append adds a priority column (v1 — old rows read with
+    typed NULLs, no rewrite), an autoMerge MERGE adds a status column
+    while upserting by key (v2 — full-row upsert: an updated row takes
+    the source's values, NULL where the source lacks a column). The
+    log-recorded schema is VERSION-AWARE: time travel at v0/v1 returns
+    the pre-evolution column sets (tt_ok), and ONE change feed read
+    across both boundaries null-fills the evolved columns for
+    pre-evolution commits (cdf_ok). Oracle: the same history replayed
+    relationally."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..sources.tables import load_table
+    from ..sources.txnlog import TxnTable
+
+    o = load_table(spark, sf_dir, "orders")
+    base = o.filter("o_orderkey % 4 = 0").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"))
+    evo = o.filter("o_orderkey % 4 = 1").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderpriority").alias("priority"))
+    ups = o.filter("o_orderkey % 3 = 0").select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_totalprice") * 2).cast("double").alias("price"),
+        F.col("o_orderstatus").alias("status"))
+    t = TxnTable(tempfile.mkdtemp(prefix="samdis_txn_evo_"))
+    t.overwrite(base)                           # v0
+    t.append(evo, merge_schema=True)            # v1: +priority
+    t.merge(spark, ups, "k", auto_merge=True)   # v2: +status, upsert
+    tt_ok = (t.read(spark, version=0).columns == ["k", "price"]
+             and t.read(spark, version=0).count() == base.count()
+             and t.read(spark, version=1).columns
+             == ["k", "price", "priority"])
+    ch = t.read_changes(spark, since_version=0)
+    pre = ch.filter("_commit_version = 1")
+    cdf_ok = (set(ch.columns)
+              >= {"k", "price", "priority", "status"}
+              and pre.filter(F.col("status").isNotNull()).count() == 0
+              and pre.count() == evo.count()
+              and ch.filter("_commit_version = 2 AND _change_type = "
+                            "'update_postimage'")
+              .filter(F.col("status").isNull()).count() == 0)
+    return t.read(spark).select(
+        "k", "price", "priority", "status",
+        F.lit(bool(tt_ok)).alias("tt_ok"),
+        F.lit(bool(cdf_ok)).alias("cdf_ok"))
 
 
 @register("txn_incremental_mv",  # new r6, gated immediately (slot:
@@ -1084,6 +1170,13 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("quality_checks", oracle=W(Q.quality_report_sql()),
+          driver=False,  # rotated out r10 (green r1-r9): the GE
+          # expectation machinery stays gated via
+          # stream_quarantine_batch_twin (the same compiled
+          # expectations applied row-wise in the streaming quarantine
+          # path) and the config-compiled suite row
+          # (quality_config_suite) stays DuckDB-verified per pytest
+          # run; slot goes to txn_schema_evolution
           tags=("Q1", "Q2", "Q3", "Q4"))
 def q_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q1-Q4 — GE expectations in one aggregation pass
