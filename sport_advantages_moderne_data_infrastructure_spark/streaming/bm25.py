@@ -122,12 +122,31 @@ def read_bm25_index(spark: SparkSession, index_root: str,
                     n_buckets: int = 32):
     """(postings, df, n_docs, avgdl) from a maintained index — the same
     quadruple ``plans/textops.bm25_index`` returns for the batch build,
-    so ``operators/retrieval.bm25_topk`` serves from either. Scalars
-    come from the latest postings commit meta: O(1), no corpus scan."""
+    so ``operators/retrieval.bm25_topk`` serves from either. The
+    quadruple is a CONSISTENT snapshot (the r10 serve-pinning
+    discipline shared with streaming/sketches.py): postings are read
+    AT the df view's recorded fold version, and the corpus scalars
+    come from the postings commit meta at/before it — an ingest
+    landing between the serve's reads can never pair fresher postings
+    (whose new tokens would be unscored and whose n_docs/avgdl would
+    be ahead) with a stale df view. Scalars stay O(1), no corpus
+    scan."""
     postings = TxnTable(index_root + "/postings")
-    meta = _last_meta_with(postings, "bm25_n_docs")
+    dfv_t = make_df_view(index_root, n_buckets)
+    if dfv_t.view.latest_version() is None:
+        raise ValueError(f"no maintained df view under {index_root}")
+    sv = int(_last_meta_with(dfv_t.view, "mv_source_version")
+             ["mv_source_version"])
+    v = sv
+    while v >= 0:  # newest postings commit at/before the fold version
+        meta = postings._doc(v).get("meta", {})  # noqa: SLF001
+        if "bm25_n_docs" in meta:
+            break
+        v -= 1
+    else:
+        raise ValueError(f"no bm25 scalars at/before version {sv}")
     n_docs = meta["bm25_n_docs"]
     avgdl = meta["bm25_total_len"] / n_docs
-    dfv = (make_df_view(index_root, n_buckets).read(spark)
+    dfv = (dfv_t.read(spark)
            .select("tok", F.col("cnt").alias("df")))
-    return postings.read(spark), dfv, n_docs, avgdl
+    return postings.read(spark, version=sv), dfv, n_docs, avgdl

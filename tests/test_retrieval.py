@@ -199,3 +199,56 @@ def test_bm25_log_idf_variant(spark, sf_dir):
     base = R.bm25_topk(postings, df,
                        qt.limit(0), n_docs, avgdl, log_idf=False)
     assert base.count() == 0  # empty query set -> empty result
+
+
+def test_bm25_index_read_pinned_to_df_fold(spark, sf_dir, tmp_path):
+    """r10 serve-pinning: read_bm25_index returns a CONSISTENT
+    (postings, df, scalars) snapshot — a postings-leg-only append
+    landing between the serve's reads (new docs with new tokens the
+    df view has never folded) must leave the quadruple, and rankings
+    through it, exactly the pre-append ones."""
+    from pyspark.sql import functions as F
+
+    from sport_advantages_moderne_data_infrastructure_spark.operators import (  # noqa: E501
+        retrieval as R,
+    )
+    from sport_advantages_moderne_data_infrastructure_spark.sources.tables import (  # noqa: E501
+        load_table,
+    )
+    from sport_advantages_moderne_data_infrastructure_spark.streaming import (
+        bm25 as B,
+    )
+    from sport_advantages_moderne_data_infrastructure_spark.sources.txnlog import (  # noqa: E501
+        TxnTable,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    root = str(tmp_path / "bm25pin")
+    postings = TxnTable(root + "/postings")
+    dfv = B.make_df_view(root)
+    B.ingest_batch(postings, dfv, d, 0, app_id="pin")
+    p1, df1, n1, a1 = B.read_bm25_index(spark, root)
+    qt = R.query_terms_tfidf(p1, df1, n1, F.col("doc_id") % 50 == 0)
+    qt = qt.localCheckpoint()
+    rank1 = sorted(tuple(r) for r in R.bm25_topk(
+        p1, df1, qt, n1, a1).collect())
+
+    # torn state: a flood of brand-new docs lands in postings only
+    flood = d.limit(20).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.lit("zzznewtok "), F.col("text")).alias("text"))
+    post = R.postings_frame(flood)
+    prev = B._last_meta_with(postings, "bm25_n_docs")
+    row = (post.select("doc_id", "dl").distinct()
+           .agg(F.count(F.lit(1)), F.sum("dl")).first())
+    rel = postings._write_data(post)  # noqa: SLF001
+    postings.commit([rel], [], {
+        "operation": "test_torn_append",
+        "bm25_n_docs": prev["bm25_n_docs"] + int(row[0]),
+        "bm25_total_len": prev["bm25_total_len"] + int(row[1])},
+        expected_version=postings.latest_version())
+
+    p2, df2, n2, a2 = B.read_bm25_index(spark, root)
+    assert (n2, a2) == (n1, a1)  # scalars pinned to the fold version
+    assert sorted(tuple(r) for r in R.bm25_topk(
+        p2, df2, qt, n2, a2).collect()) == rank1
