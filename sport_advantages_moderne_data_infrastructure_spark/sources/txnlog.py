@@ -670,7 +670,13 @@ class TxnTable:
             return (self.read(spark).limit(0)
                     .withColumn("_change_type", F.lit(""))
                     .withColumn("_commit_version", F.lit(0)))
-        return reduce(lambda a, b: a.unionByName(b), frames)
+        # allowMissingColumns: a feed window can span an additive schema
+        # evolution (mergeSchema append / autoMerge MERGE) — change rows
+        # from pre-evolution commits null-fill the evolved columns, the
+        # same typed-NULL view the snapshot read gives those rows
+        return reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=True),
+            frames)
 
     def _write_changes(self, df: DataFrame) -> str:
         rel = os.path.join(_CHANGES_DIR, uuid.uuid4().hex)
@@ -1380,13 +1386,27 @@ class TxnTable:
 
     def merge(self, spark: SparkSession, updates: DataFrame,
               key: str | list[str],
-              meta: dict | None = None) -> int:
+              meta: dict | None = None,
+              auto_merge: bool = False) -> int:
         """MERGE INTO: upsert ``updates`` by ``key`` (one column or a
         composite) into the snapshot and commit the result atomically.
         Readers see the pre-merge snapshot until the log flips — the
         transactional hop the plain-parquet sink can't offer
         (streaming/pipeline.write_stream_merge docstring). First merge
-        into an empty table is just the updates."""
+        into an empty table is just the updates.
+
+        ``auto_merge=True`` (Delta's ``schema.autoMerge.enabled``) admits
+        a source carrying columns the target lacks: the table schema
+        evolves additively — target rows the merge does not touch get
+        typed NULLs in the new columns, source rows missing old columns
+        null-fill them — and the commit's log-recorded schema is the
+        union, so snapshot reads, time travel BEFORE the boundary, and
+        the change feed ACROSS it all stay consistent (the reference's
+        only evolution story is full-refresh overwriteSchema,
+        read_delta.py:219-222; additive evolution is its 100 TB
+        replacement — never a table rewrite for a new column). Without
+        the flag, extra source columns are dropped (the pre-r10
+        behavior) and a source missing target columns raises."""
         from ..operators.merge import merge_upsert
 
         base = self.latest_version()
@@ -1394,7 +1414,23 @@ class TxnTable:
             return self.commit([self._write_data(updates)], [], meta,
                                expected_version=None)
         target = self.read(spark, base)
-        ups = updates.select(*target.columns)
+        if auto_merge:
+            from pyspark.sql import functions as _F
+            new = [f for f in updates.schema.fields
+                   if f.name not in target.columns]
+            # evolve the target view additively; untouched rows carry
+            # typed NULLs in the new columns (no data rewrite decides
+            # this — the merge below rewrites anyway, and future appends
+            # null-fill via the mergeSchema read path)
+            target = target.select(
+                "*", *[_F.lit(None).cast(f.dataType).alias(f.name)
+                       for f in new])
+            ups = updates.select(*[
+                (_F.col(c) if c in updates.columns
+                 else _F.lit(None).cast(target.schema[c].dataType)
+                 .alias(c)) for c in target.columns])
+        else:
+            ups = updates.select(*target.columns)
         merged = merge_upsert(target, ups, key)
         # CDF change set (Delta _change_data): the update frame classified
         # by key existence, PLUS the pre-update target rows
@@ -2263,7 +2299,8 @@ class TxnTable:
         return final
 
     def vacuum(self, keep_versions: bool = True,
-               older_than_seconds: float = 3600.0) -> list[str]:
+               older_than_seconds: float = 3600.0,
+               retain_from_version: int | None = None) -> list[str]:
         """Delete orphan data dirs — written but never referenced by any
         commit (a crashed writer's leftovers). With ``keep_versions=False``
         also drops dirs referenced only by superseded versions (disables
@@ -2276,7 +2313,18 @@ class TxnTable:
         deleting its dir would let its later commit publish a snapshot
         referencing missing files. Keep the window longer than any
         plausible write+commit duration; pass ``0`` only when no writer
-        can be concurrent (e.g. tests, single-writer maintenance)."""
+        can be concurrent (e.g. tests, single-writer maintenance).
+
+        ``retain_from_version`` (with ``keep_versions=False``) is the
+        time-travel retention FLOOR: every snapshot at or after it stays
+        readable. The r10 serve-pinning discipline reads a paired data
+        table AT the version its state/histogram recorded (streaming
+        quantiles/sketches/HLL/BM25), and that pin can lag the latest
+        version across a compaction — a full vacuum between the
+        compaction and the state's next fold would strand the pinned
+        serve on deleted files. Pass the state's recorded source version
+        (e.g. hist's ``q_source_version``) to keep serving consistent
+        through maintenance."""
         import shutil
         import time
 
@@ -2286,6 +2334,10 @@ class TxnTable:
                 referenced.update(doc["adds"])
         else:
             referenced.update(self.snapshot_dirs())
+            if retain_from_version is not None:
+                for v in self.versions():
+                    if v >= retain_from_version:
+                        referenced.update(self.snapshot_dirs(v))
         data_root = os.path.join(self.path, _DATA_DIR)
         cutoff = time.time() - older_than_seconds
         victims = []

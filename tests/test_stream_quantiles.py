@@ -357,3 +357,45 @@ def test_flat_serve_on_grouped_root_raises(spark, sf_dir):
     Q.ingest_batch(vals2, hist2, e, 0, "value", LO, HI, app_id="gf")
     with pytest.raises(ValueError, match="flat root"):
         Q.grouped_quantiles_served(spark, root2, "event_type", QS)
+
+
+def test_vacuum_retention_floor_keeps_pinned_serve(spark, sf_dir):
+    """r10: the pinned serve reads vals AT the histogram's recorded
+    version, which lags across a compaction until the next fold — a
+    full vacuum in that window must pass the state's recorded version
+    as the retention floor (vacuum(retain_from_version=...)) so the
+    pinned snapshot stays readable; without the floor the pinned files
+    are gone and serving fails instead of answering wrong."""
+    from sport_advantages_moderne_data_infrastructure_spark.operators.mv import (  # noqa: E501
+        _last_meta_with,
+    )
+
+    e = _events(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="sq_vac_")
+    vals, hist = Q._tables(root)
+    for i in range(4):
+        Q.ingest_batch(vals, hist,
+                       e.filter(F.col("event_id") % 4 == i),
+                       i, "value", LO, HI, app_id="vac")
+    served1 = Q.quantiles_served(spark, root, QS)
+    assert Q.compact_if_needed(spark, root, max_live_dirs=2) is not None
+    pin = int(_last_meta_with(hist, "q_source_version")
+              ["q_source_version"])
+    assert pin < vals.latest_version()  # the pin lags the compaction
+
+    # maintenance with the retention floor: pinned serve stays green
+    vals.vacuum(keep_versions=False, older_than_seconds=0,
+                retain_from_version=pin)
+    assert Q.quantiles_served(spark, root, QS) == served1
+
+    # and after the next fold advances the pin past the compaction, a
+    # full vacuum with the NEW floor is safe too
+    more = e.filter(F.col("event_id") % 4 == 0)  # replay-safe new batch
+    Q.ingest_batch(vals, hist, more, 4, "value", LO, HI, app_id="vac")
+    pin2 = int(_last_meta_with(hist, "q_source_version")
+               ["q_source_version"])
+    assert pin2 > pin
+    vals.vacuum(keep_versions=False, older_than_seconds=0,
+                retain_from_version=pin2)
+    got = Q.quantiles_served(spark, root, QS)
+    assert [q for q, _ in got] == QS
