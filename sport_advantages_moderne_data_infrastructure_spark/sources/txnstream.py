@@ -58,6 +58,13 @@ class _FilePartition(InputPartition):
     # masks the deleted row positions out before yielding batches
     dv_path: str | None = None
     dv_key: str | None = None
+    # the PLANNED arrow schema (data + CDF columns, declared order) —
+    # executor-side _read_file aligns each file to it: columns an old
+    # pre-evolution file lacks are null-filled (the additive-evolution
+    # read contract), a column the plan has never seen raises (the
+    # table evolved AFTER this read/stream was planned — Delta fails
+    # the stream the same way; restart picks up the new schema)
+    want: object | None = None
 
 
 def _infer_part_type(vals: list[str]) -> str:
@@ -122,6 +129,31 @@ def _read_file(p: _FilePartition | None):
     if p is None:
         return
     t = _normalize_ts(pq.read_table(p.path))
+    if p.want is not None:
+        appended = {p.part_col} if p.part_col is not None else set()
+        if p.change_type is not None:
+            appended.add("_change_type")
+        if p.commit_version is not None:
+            appended.add("_commit_version")
+        expect = [f for f in p.want if f.name not in appended]
+        known = {f.name for f in p.want}
+        extra = [n for n in t.schema.names if n not in known]
+        if extra:
+            raise ValueError(
+                f"txnlog: {p.path} carries column(s) {extra} the plan "
+                "has never seen — the table's schema evolved after this "
+                "read/stream was planned; restart it to pick up the "
+                "evolved schema")
+        cols = []
+        for f in expect:
+            if f.name in t.schema.names:
+                c = t.column(f.name)
+                if c.type != f.type:
+                    c = c.cast(f.type)
+                cols.append(c)
+            else:  # pre-evolution file: typed-NULL backfill
+                cols.append(pa.nulls(len(t), f.type))
+        t = pa.table(cols, schema=pa.schema(expect))
     if p.dv_path is not None:
         import pyarrow.compute as pc
 
@@ -150,10 +182,11 @@ def _read_file(p: _FilePartition | None):
 
 class _TxnStreamReader(DataSourceStreamReader):
     def __init__(self, path: str, skip_change_commits: bool = False,
-                 change_feed: bool = False):
+                 change_feed: bool = False, want=None):
         self.table = TxnTable(path)
         self.skip_change_commits = skip_change_commits
         self.change_feed = change_feed
+        self.want = want  # planned arrow schema (see _FilePartition)
 
     def initialOffset(self) -> dict:
         return {"version": -1}
@@ -186,7 +219,10 @@ class _TxnStreamReader(DataSourceStreamReader):
                         "snapshot read, or set .option('skipChangeCommits',"
                         " 'true') to skip rewrite commits")
                 adds.extend(doc["adds"])
-        return _files_of(self.table, adds)
+        parts = _files_of(self.table, adds)
+        for p in parts:
+            p.want = self.want
+        return parts
 
     def _cdf_partitions(self, start: dict, end: dict):
         """readChangeFeed mode (Delta's option of the same name): MERGE
@@ -225,6 +261,8 @@ class _TxnStreamReader(DataSourceStreamReader):
                     f"({op or 'overwrite'}) with no change files; "
                     "restart the change-feed stream from a snapshot read")
             parts.extend(batch)
+        for p in parts:
+            p.want = self.want
         return parts
 
     def read(self, partition: _FilePartition):
@@ -249,10 +287,12 @@ def _typed(v: str | None):
 
 class _TxnBatchReader(DataSourceReader):
     def __init__(self, path: str, version: int | None,
-                 prune: tuple[str, object, object] | None = None):
+                 prune: tuple[str, object, object] | None = None,
+                 want=None):
         self.table = TxnTable(path)
         self.version = version
         self.prune = prune
+        self.want = want  # planned arrow schema (see _FilePartition)
 
     def partitions(self):
         if self.prune is not None:
@@ -274,6 +314,8 @@ class _TxnBatchReader(DataSourceReader):
                     p.dv_path = os.path.join(self.table.path, ref["path"])
                     p.dv_key = os.path.join(rel_dir,
                                             os.path.basename(p.path))
+        for p in parts:
+            p.want = self.want
         return parts
 
     def read(self, partition: _FilePartition):
@@ -486,35 +528,57 @@ class TxnLogDataSource(DataSource):
             dirs = table._schema_dirs(v)  # noqa: SLF001
         if not dirs:
             raise ValueError(f"txnlog: empty table {table.path}")
-        # Columns come from the newest commit; the partition column's type
-        # is inferred over ALL live partition values so it matches what
-        # _read_file attaches executor-side (ADVICE r3: was hardcoded int).
         files = _files_of(table, dirs)
-        newest = _files_of(table, dirs[-1:])
-        import pyarrow as pa
-        arrow = pa.schema([
-            pa.field(f.name, pa.timestamp("us", f.type.tz))
-            if pa.types.is_timestamp(f.type) and f.type.unit != "us" else f
-            for f in pq.read_schema(newest[0].path)])
-        spark_schema = from_arrow_schema(arrow)
-        if newest[0].part_col is not None:
-            ptype = {"int32": IntegerType(), "int64": LongType(),
-                     "string": StringType()}[files[0].part_type]
-            spark_schema = spark_schema.add(
-                StructField(newest[0].part_col, ptype))
+        logged = table.table_schema(v)
+        if logged is not None:
+            # the log-recorded MERGED schema (version-aware, union
+            # across additive evolution — r10): the authoritative
+            # declaration. A newest-file read would under-declare when
+            # the most recent append legitimately omitted an evolved
+            # column (mergeSchema null-fills it), making older files'
+            # extra columns look like a mid-plan evolution.
+            spark_schema = logged
+        else:
+            # fallback (partitioned adds / pre-schema history): columns
+            # from the newest commit; the partition column's type is
+            # inferred over ALL live partition values so it matches
+            # what _read_file attaches executor-side (ADVICE r3).
+            newest = _files_of(table, dirs[-1:])
+            import pyarrow as pa
+            arrow = pa.schema([
+                pa.field(f.name, pa.timestamp("us", f.type.tz))
+                if pa.types.is_timestamp(f.type) and f.type.unit != "us"
+                else f
+                for f in pq.read_schema(newest[0].path)])
+            spark_schema = from_arrow_schema(arrow)
+            if newest[0].part_col is not None:
+                ptype = {"int32": IntegerType(), "int64": LongType(),
+                         "string": StringType()}[files[0].part_type]
+                spark_schema = spark_schema.add(
+                    StructField(newest[0].part_col, ptype))
         if str(self.options.get("readChangeFeed", "false")).lower() == "true":
             spark_schema = (spark_schema
                             .add(StructField("_change_type", StringType()))
                             .add(StructField("_commit_version", LongType())))
-        return spark_schema
+        # every field nullable: additive evolution null-fills old rows
+        # (and lakehouse table columns are nullable by default) — a
+        # writer-recorded non-nullable field would NPE the row encoder
+        # on the backfill
+        from pyspark.sql.types import StructType
+
+        return StructType([StructField(f.name, f.dataType, True)
+                           for f in spark_schema.fields])
 
     def streamReader(self, schema) -> _TxnStreamReader:
+        from pyspark.sql.pandas.types import to_arrow_schema
+
         skip = str(self.options.get("skipChangeCommits",
                                     self.options.get("ignoreChanges",
                                                      "false"))).lower()
         cdf = str(self.options.get("readChangeFeed", "false")).lower()
         return _TxnStreamReader(self._path(), skip_change_commits=skip == "true",
-                                change_feed=cdf == "true")
+                                change_feed=cdf == "true",
+                                want=to_arrow_schema(schema))
 
     def reader(self, schema) -> _TxnBatchReader:
         version = self.options.get("version")
@@ -530,9 +594,11 @@ class TxnLogDataSource(DataSource):
             prune = (self.options["pruneCol"],
                      _typed(self.options.get("pruneMin")),
                      _typed(self.options.get("pruneMax")))
+        from pyspark.sql.pandas.types import to_arrow_schema
+
         return _TxnBatchReader(self._path(),
                                None if version is None else int(version),
-                               prune)
+                               prune, want=to_arrow_schema(schema))
 
     def streamWriter(self, schema, overwrite: bool) -> _TxnStreamWriter:
         return _TxnStreamWriter(self._path(), schema,

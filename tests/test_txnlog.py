@@ -2274,3 +2274,215 @@ def test_row_ops_many_candidates_prepass_path(spark, tmp_path):
     assert t2.delete_where(spark, "id = 999999",
                            capture_changes=False) == v
     del live_before
+
+
+# --- additive schema evolution (r10, VERDICT r9 #5) -----------------------
+
+
+def _evo_table(spark, tmp_path, name="evo"):
+    from pyspark.sql import functions as F
+
+    t = TxnTable(str(tmp_path / name))
+    base = spark.range(0, 20).select(
+        F.col("id").cast("int").alias("k"),
+        (F.col("id") * 10).cast("long").alias("v"))
+    t.overwrite(base)                                    # v0
+    evolved = spark.range(20, 30).select(
+        F.col("id").cast("int").alias("k"),
+        (F.col("id") * 10).cast("long").alias("v"),
+        F.concat(F.lit("L"), (F.col("id") % 3).cast("string"))
+        .alias("lang"))
+    t.append(evolved, merge_schema=True)                 # v1: +lang
+    return t
+
+
+def test_schema_evolution_append_typed_nulls(spark, tmp_path):
+    """mergeSchema append: old dirs read with a typed NULL for the new
+    column (no rewrite — v0's add dirs unchanged), the log-recorded
+    schema is version-aware, and the pre-boundary time travel keeps
+    the pre-evolution column set."""
+    t = _evo_table(spark, tmp_path)
+    snap = t.read(spark)
+    assert snap.columns == ["k", "v", "lang"]
+    assert snap.schema["lang"].dataType.simpleString() == "string"
+    assert snap.filter("k < 20 AND lang IS NULL").count() == 20
+    assert snap.filter("k >= 20 AND lang IS NOT NULL").count() == 10
+    assert t.read(spark, version=0).columns == ["k", "v"]
+    assert [f.name for f in t.table_schema(0).fields] == ["k", "v"]
+    assert [f.name for f in t.table_schema(1).fields] == ["k", "v",
+                                                          "lang"]
+    # v0's data dirs were not rewritten by the evolution
+    assert set(t._doc(0)["adds"]) <= set(t.snapshot_dirs())  # noqa: SLF001
+
+
+def test_automerge_merge_evolves_and_upserts(spark, tmp_path):
+    """autoMerge MERGE: a source with a brand-new column evolves the
+    schema; matched rows take the source row WHOLESALE (NULL where the
+    source lacks a column — full-row upsert), unmatched rows keep
+    their values with typed NULLs in the new column."""
+    from pyspark.sql import functions as F
+
+    t = _evo_table(spark, tmp_path)
+    ups = spark.range(5, 25, 5).select(  # keys 5,10,15,20 — 20 has lang
+        F.col("id").cast("int").alias("k"),
+        F.lit(999).cast("long").alias("v"),
+        F.lit(1.5).alias("score"))
+    t.merge(spark, ups, "k", auto_merge=True)            # v2: +score
+    snap = t.read(spark)
+    assert snap.columns == ["k", "v", "lang", "score"]
+    up = {r["k"]: r for r in snap.filter("k IN (5, 20)").collect()}
+    assert up[5]["v"] == 999 and up[5]["score"] == 1.5
+    # full-row upsert: 20's lang came from the SOURCE (which lacks it)
+    assert up[20]["lang"] is None and up[20]["score"] == 1.5
+    keep = snap.filter("k = 21").first()
+    assert keep["lang"] == "L0" and keep["score"] is None
+    # without the flag the extra source column is dropped, not evolved
+    t2 = _evo_table(spark, tmp_path, "evo2")
+    t2.merge(spark, ups.withColumn("lang", F.lit("x")), "k")
+    assert t2.read(spark).columns == ["k", "v", "lang"]
+
+
+def test_evolution_cdf_across_boundary(spark, tmp_path):
+    """ONE change-feed read spanning the evolution boundary: rows from
+    pre-evolution commits null-fill the evolved column (the snapshot's
+    typed-NULL view), post-boundary change rows carry it."""
+    from pyspark.sql import functions as F
+
+    t = _evo_table(spark, tmp_path)
+    ch = t.read_changes(spark, since_version=0)  # v1 only (append)
+    assert "lang" in ch.columns
+    t.delete_where(spark, "k % 7 = 0", capture_changes=True)  # v2
+    ch = t.read_changes(spark, since_version=0)
+    assert ch.filter("_commit_version = 1").count() == 10
+    dels = ch.filter("_change_type = 'delete'")
+    assert dels.count() == 5  # k in 0,7,14,21,28
+    assert dels.filter("k = 21").first()["lang"] == "L0"
+    assert dels.filter("k = 7").first()["lang"] is None
+
+
+def test_evolution_dv_interaction(spark, tmp_path):
+    """DV deletes against a schema-evolved table: position sidecars on
+    BOTH pre- and post-boundary dirs, snapshot read anti-joins them out
+    under the log-recorded merged schema, and a later autoMerge MERGE
+    (which rewrites) folds the DVs away without resurrecting rows."""
+    from pyspark.sql import functions as F
+
+    t = _evo_table(spark, tmp_path)
+    t.delete_where(spark, "k % 5 = 0", use_dv=True,
+                   capture_changes=False)                # v2: DV only
+    doc = t._doc(2)  # noqa: SLF001
+    assert doc.get("dvs") and not doc["adds"] and not doc["removes"]
+    snap = t.read(spark)
+    assert snap.filter("k % 5 = 0").count() == 0
+    assert snap.count() == 24
+    assert snap.filter("lang IS NOT NULL").count() == 8  # 20,25 gone
+
+    ups = spark.range(3, 4).select(
+        F.col("id").cast("int").alias("k"),
+        F.lit(0).cast("long").alias("v"),
+        F.lit(2.5).alias("score"))
+    t.merge(spark, ups, "k", auto_merge=True)            # v3: rewrite
+    snap = t.read(spark)
+    assert snap.columns == ["k", "v", "lang", "score"]
+    assert snap.filter("k % 5 = 0").count() == 0  # DVs not resurrected
+    assert snap.count() == 24
+    assert snap.filter("k = 3").first()["score"] == 2.5
+
+
+def test_datasource_reads_evolved_table(spark, tmp_path):
+    """format("txnlog") on an additively-evolved table: the plan
+    declares the LOG-RECORDED union schema (not the newest file's),
+    executors null-fill columns a pre-evolution file lacks, and a
+    frame that legitimately omits an evolved column (mergeSchema
+    append) reads back null-filled too."""
+    from pyspark.sql import functions as F
+
+    from sport_advantages_moderne_data_infrastructure_spark.sources.txnstream import (  # noqa: E501
+        register_txn_source,
+    )
+
+    register_txn_source(spark)
+    t = _evo_table(spark, tmp_path, "ds_evo")
+    # newest append legitimately OMITS the evolved column — a
+    # newest-file schema would under-declare and make older files'
+    # lang column look like a mid-plan evolution
+    t.append(spark.range(30, 35).select(
+        F.col("id").cast("int").alias("k"),
+        (F.col("id") * 10).cast("long").alias("v")),
+        merge_schema=True)
+    df = spark.read.format("txnlog").load(t.path)
+    assert sorted(df.columns) == ["k", "lang", "v"]
+    assert df.count() == 35
+    assert df.filter("k < 20 AND lang IS NULL").count() == 20
+    assert df.filter("k >= 30 AND lang IS NULL").count() == 5
+    assert df.filter("lang IS NOT NULL").count() == 10
+    # time travel through the DataSource stays pre-evolution
+    v0 = (spark.read.format("txnlog").option("version", "0")
+          .load(t.path))
+    assert sorted(v0.columns) == ["k", "v"]
+
+
+def test_stream_evolution_guard_and_restart(spark, tmp_path):
+    """An IN-FLIGHT stream's plan (its `want` schema) predates an
+    evolution: the executor read of a post-evolution file must fail
+    with the restart message (Delta's behavior), never silently drop
+    or misbind the new column. A RESTART re-plans the schema at
+    load(), so the same checkpoint continues with the evolved schema,
+    and a fresh checkpoint reads the whole history with typed-NULL
+    backfill."""
+    import glob as _glob
+    import os as _os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from sport_advantages_moderne_data_infrastructure_spark.sources.txnstream import (  # noqa: E501
+        _FilePartition, _read_file, register_txn_source,
+    )
+
+    register_txn_source(spark)
+    t = TxnTable(str(tmp_path / "s_evo"))
+    t.overwrite(spark.range(0, 10).select(
+        F.col("id").cast("int").alias("k"),
+        (F.col("id") * 10).cast("long").alias("v")))
+    out1, ck = str(tmp_path / "out1"), str(tmp_path / "ck")
+    pre_schema = spark.read.format("txnlog").load(t.path).schema
+    q = (spark.readStream.format("txnlog").load(t.path)
+         .writeStream.format("parquet").option("path", out1)
+         .option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    q.stop()
+    assert spark.read.parquet(out1).count() == 10
+
+    # evolution lands AFTER the in-flight plan was made
+    t.append(spark.range(10, 15).select(
+        F.col("id").cast("int").alias("k"),
+        (F.col("id") * 10).cast("long").alias("v"),
+        F.lit("fr").alias("lang")), merge_schema=True)
+
+    # the in-flight guard, exercised at the executor read site: the
+    # running stream's want schema predates the evolution
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    new_dir = t._doc(1)["adds"][0]  # noqa: SLF001
+    f = sorted(_glob.glob(
+        _os.path.join(t.path, new_dir, "*.parquet")))[0]
+    part = _FilePartition(f, want=to_arrow_schema(pre_schema))
+    with pytest.raises(ValueError, match="schema evolved"):
+        list(_read_file(part))
+
+    # RESTART on the same checkpoint: load() re-plans with the evolved
+    # schema, the new commit streams through (only the delta — the
+    # checkpointed offset already covers v0)
+    out2, ck2 = str(tmp_path / "out2"), str(tmp_path / "ck2")
+    q3 = (spark.readStream.format("txnlog").load(t.path)
+          .writeStream.format("parquet").option("path", out2)
+          .option("checkpointLocation", ck2)
+          .trigger(availableNow=True).start())
+    q3.awaitTermination(120)
+    q3.stop()
+    got = spark.read.parquet(out2)
+    assert sorted(got.columns) == ["k", "lang", "v"]
+    assert got.count() == 15
+    assert got.filter("k < 10 AND lang IS NULL").count() == 10
