@@ -118,6 +118,23 @@ def write_stream_bm25_index(df: DataFrame, index_root: str,
     return w.start()
 
 
+def compact_if_needed(spark: SparkSession, index_root: str,
+                      max_live_dirs: int = 32) -> int | None:
+    """Scheduled maintenance (the quantiles/splits/CC policy
+    discipline): the postings table accretes one dir per appending
+    micro-batch; fold it through ``TxnTable.compact_if_needed`` — the
+    df view's change-feed fold is unaffected because ``read_changes``
+    skips compaction commits as layout-only. Vacuum afterwards with
+    ``retain_from_version=<the df view's mv_source_version>`` so the
+    pinned :func:`read_bm25_index` stays readable. Returns the
+    compaction commit version, or None below the threshold."""
+    postings = TxnTable(index_root + "/postings")
+    if postings.latest_version() is None:
+        return None
+    return postings.compact_if_needed(spark,
+                                      max_live_dirs=max_live_dirs)
+
+
 def read_bm25_index(spark: SparkSession, index_root: str,
                     n_buckets: int = 32):
     """(postings, df, n_docs, avgdl) from a maintained index — the same

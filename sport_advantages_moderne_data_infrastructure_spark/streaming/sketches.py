@@ -167,6 +167,24 @@ def write_stream_grouped_mg_sketch(df: DataFrame, root: str,
     return w.start()
 
 
+def compact_if_needed(spark: SparkSession, root: str,
+                      max_live_dirs: int = 32) -> int | None:
+    """Scheduled maintenance (the quantiles/splits/CC policy
+    discipline): the events table accretes one dir per appending
+    micro-batch; fold it through ``TxnTable.compact_if_needed`` — the
+    sketch leg's change-feed fold is unaffected because
+    ``read_changes`` skips compaction commits as layout-only, so
+    ingest continues straight across a fold. The <= k-row (or
+    <= n_groups x k) sketch table never needs it. Vacuum afterwards
+    with ``retain_from_version=<the sketch's mg_source_version>`` so
+    the pinned serve stays readable. Returns the compaction commit
+    version, or None below the threshold."""
+    events, _ = _tables(root)
+    if events.latest_version() is None:
+        return None
+    return events.compact_if_needed(spark, max_live_dirs=max_live_dirs)
+
+
 def _pinned_pair(spark: SparkSession, root: str):
     """(events_df, sketch_df) as a CONSISTENT snapshot: events read AT
     the version the stored sketch was folded from (time travel). The

@@ -252,3 +252,44 @@ def test_bm25_index_read_pinned_to_df_fold(spark, sf_dir, tmp_path):
     assert (n2, a2) == (n1, a1)  # scalars pinned to the fold version
     assert sorted(tuple(r) for r in R.bm25_topk(
         p2, df2, qt, n2, a2).collect()) == rank1
+
+
+def test_bm25_compact_policy(spark, sf_dir, tmp_path):
+    """Maintenance policy for the postings table (r10): fold above the
+    dir threshold — the pinned read_bm25_index quadruple and rankings
+    through it are unchanged, and ingest continues across the fold."""
+    from pyspark.sql import functions as F
+
+    from sport_advantages_moderne_data_infrastructure_spark.operators import (  # noqa: E501
+        retrieval as R,
+    )
+    from sport_advantages_moderne_data_infrastructure_spark.sources.tables import (  # noqa: E501
+        load_table,
+    )
+    from sport_advantages_moderne_data_infrastructure_spark.sources.txnlog import (  # noqa: E501
+        TxnTable,
+    )
+    from sport_advantages_moderne_data_infrastructure_spark.streaming import (
+        bm25 as B,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    root = str(tmp_path / "bm25pol")
+    postings = TxnTable(root + "/postings")
+    dfv = B.make_df_view(root)
+    for i in range(3):
+        B.ingest_batch(postings, dfv,
+                       d.filter(F.col("doc_id") % 3 == i), i,
+                       app_id="pol")
+    p1, df1, n1, a1 = B.read_bm25_index(spark, root)
+    qt = R.query_terms_tfidf(p1, df1, n1,
+                             F.col("doc_id") % 50 == 0).localCheckpoint()
+    rank1 = sorted(tuple(r) for r in R.bm25_topk(
+        p1, df1, qt, n1, a1).collect())
+    assert B.compact_if_needed(spark, root,
+                               max_live_dirs=10_000) is None
+    assert B.compact_if_needed(spark, root, max_live_dirs=2) is not None
+    p2, df2, n2, a2 = B.read_bm25_index(spark, root)
+    assert (n2, a2) == (n1, a1)
+    assert sorted(tuple(r) for r in R.bm25_topk(
+        p2, df2, qt, n2, a2).collect()) == rank1

@@ -642,3 +642,54 @@ def test_hh_serve_pinned_to_sketch_version(spark, sf_dir):
     sk2, n2 = S.sketch_estimates(spark, root)
     assert n2 == n1  # n paired with the sketch's fold, not latest
     assert {r["user_id"]: r["weight"] for r in sk2.collect()} == w1
+
+
+def test_mg_compact_policy_and_pinned_vacuum(spark, sf_dir):
+    """Maintenance policy for the MG events table (r10): fold above
+    the dir threshold, served heavy hitters unchanged, ingest
+    continues across it, and a full vacuum with the sketch's recorded
+    fold version as the retention floor keeps the pinned serve
+    readable."""
+    import math
+    import tempfile
+
+    from sport_advantages_moderne_data_infrastructure_spark.operators.mv import (  # noqa: E501
+        _last_meta_with,
+    )
+    from sport_advantages_moderne_data_infrastructure_spark.streaming import (
+        sketches as S,
+    )
+
+    e = (load_table(spark, sf_dir, "events")
+         .filter(F.col("user_id").isNotNull())
+         .select("event_id", "user_id"))
+    k = math.ceil(1.0 / PHI)
+    root = tempfile.mkdtemp(prefix="samdis_mg_pol_")
+    events, sketch = S._tables(root)
+    for i in range(4):
+        S.ingest_batch(events, sketch,
+                       e.filter(F.col("event_id") % 5 == i),
+                       i, "user_id", k, "pol")
+    before = {(r["user_id"], r["cnt"])
+              for r in S.heavy_hitters_served(
+                  spark, root, "user_id", PHI).collect()}
+    assert S.compact_if_needed(spark, root,
+                               max_live_dirs=10_000) is None
+    assert S.compact_if_needed(spark, root, max_live_dirs=2) is not None
+    pin = int(_last_meta_with(sketch, "mg_source_version")
+              ["mg_source_version"])
+    events.vacuum(keep_versions=False, older_than_seconds=0,
+                  retain_from_version=pin)
+    assert {(r["user_id"], r["cnt"])
+            for r in S.heavy_hitters_served(
+                spark, root, "user_id", PHI).collect()} == before
+
+    S.ingest_batch(events, sketch,
+                   e.filter(F.col("event_id") % 5 == 4),
+                   4, "user_id", k, "pol")
+    served = {(r["user_id"], r["cnt"])
+              for r in S.heavy_hitters_served(
+                  spark, root, "user_id", PHI).collect()}
+    batch = {(r["user_id"], r["cnt"])
+             for r in heavy_hitters_exact(e, "user_id", PHI).collect()}
+    assert served == batch and len(served) > 0

@@ -155,3 +155,49 @@ def test_serve_pinned_to_sketch_version(spark, sf_dir):
     assert sorted(tuple(r) for r in X.distinct_contract_served(
         spark, root, "user_id",
         group_col="event_type").collect()) == served1
+
+
+def test_compact_policy_and_pinned_vacuum(spark, sf_dir):
+    """Maintenance policy for the HLL events table: below the dir
+    threshold -> no-op; above -> fold (served contract unchanged,
+    ingest continues across it), and a full vacuum with the sketch's
+    recorded version as the retention floor keeps the pinned serve
+    readable."""
+    from sport_advantages_moderne_data_infrastructure_spark.operators.mv import (  # noqa: E501
+        _last_meta_with,
+    )
+
+    e = _events(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="hll_pol_")
+    events, sketch = X._tables(root)
+    for i in range(4):
+        X.ingest_batch(events, sketch,
+                       e.filter(F.col("event_id") % 5 == i),
+                       i, "user_id", app_id="pol",
+                       group_col="event_type")
+    before = sorted(tuple(r) for r in X.distinct_contract_served(
+        spark, root, "user_id", group_col="event_type").collect())
+    assert X.compact_if_needed(spark, root,
+                               max_live_dirs=10_000) is None
+    v = X.compact_if_needed(spark, root, max_live_dirs=2)
+    assert v is not None
+    pin = int(_last_meta_with(sketch, "hll_source_version")
+              ["hll_source_version"])
+    events.vacuum(keep_versions=False, older_than_seconds=0,
+                  retain_from_version=pin)
+    assert sorted(tuple(r) for r in X.distinct_contract_served(
+        spark, root, "user_id",
+        group_col="event_type").collect()) == before
+
+    # ingest continues across the fold
+    X.ingest_batch(events, sketch,
+                   e.filter(F.col("event_id") % 5 == 4),
+                   4, "user_id", app_id="pol", group_col="event_type")
+    got = X.distinct_contract_served(
+        spark, root, "user_id", group_col="event_type").collect()
+    _contract_ok(got)
+    exact = (e.filter(F.col("user_id").isNotNull())
+             .groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("n")).collect())
+    want = {r["event_type"]: r["n"] for r in exact}
+    assert {r["event_type"]: r["n_exact"] for r in got} == want
