@@ -315,6 +315,7 @@ _NO_PRESENTATION_SORT = [
     "multimodal_frame_sample", "multimodal_png_decode",
     "pii_redaction", "semantic_dedup_prune",
     "txn_clone_readback", "txn_dv_delete_read", "txn_zorder_read",
+    "txn_schema_evolution",
     "scd2_employee_sport_dim", "session_windows_batch",
     "events_hourly", "funnel_click_purchase",
     "asof_bucketed_last_signup", "interval_join_events",
