@@ -422,3 +422,68 @@ def test_incremental_cc_matches_union_find(spark, nodes, edge_picks,
             parent[hi] = lo
     want = {n: find(n) for n in nodes}
     assert got == want
+
+
+# --- exact order statistics (r10: exact_ranks powers the hot-bucket
+# serve fallback; its rank math must hold for arbitrary multisets) ----
+
+_QVALS = st.lists(
+    st.one_of(st.integers(min_value=-50, max_value=50),
+              st.sampled_from([0, 0, 1, 1, 1])),  # force duplicates
+    min_size=1, max_size=40)
+
+
+@given(vals=_QVALS,
+       ks_frac=st.lists(st.floats(min_value=0.0, max_value=1.0,
+                                  allow_nan=False),
+                        min_size=1, max_size=4))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_exact_ranks_matches_sorted_reference(spark, vals, ks_frac):
+    """exact_ranks(k) == sorted(vals)[k-1] for arbitrary multisets
+    (heavy duplicates included) and arbitrary rank positions, under a
+    tiny accuracy/direct_limit so REAL bracketing rounds run even on
+    these small inputs."""
+    from sport_advantages_moderne_data_infrastructure_spark.operators.sketches import (  # noqa: E501
+        exact_ranks,
+    )
+
+    n = len(vals)
+    ks = sorted({max(1, min(n, int(round(f * n)) or 1))
+                 for f in ks_frac})
+    df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+    got = exact_ranks(df.repartition(3), "v", ks,
+                      accuracy=8, direct_limit=4, max_rounds=12)
+    ref = sorted(float(v) for v in vals)
+    assert got == [ref[k - 1] for k in ks], (vals, ks)
+
+
+@given(vals=_QVALS)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_hot_bucket_serve_matches_sorted_reference(spark, vals,
+                                                   tmp_path_factory):
+    """Streaming-quantile serve under a maximally skewed grid (every
+    value lands in ONE cell, forcing the hot fallback) equals the
+    order-statistic definition for arbitrary multisets."""
+    import math
+
+    from sport_advantages_moderne_data_infrastructure_spark.streaming import (
+        quantiles as Q,
+    )
+
+    base = tmp_path_factory.mktemp("hotprop")
+    root = str(base / "q")
+    v, hist = Q._tables(root)
+    df = spark.createDataFrame(
+        [(i, float(x)) for i, x in enumerate(vals)],
+        "event_id long, value double")
+    # grid [lo, hi) declared far wider than the data: one hot cell
+    Q.ingest_batch(v, hist, df, 0, "value", -1e6, 1e6, app_id="hp")
+    qs = [0.25, 0.5, 0.9]
+    got = Q.quantiles_served(spark, root, qs,
+                             hot_bucket_limit=2, accuracy=8)
+    ref = sorted(float(x) for x in vals)
+    n = len(ref)
+    want = [(q, ref[max(1, math.ceil(q * n)) - 1]) for q in qs]
+    assert got == want, (vals,)
