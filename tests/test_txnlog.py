@@ -2486,3 +2486,52 @@ def test_stream_evolution_guard_and_restart(spark, tmp_path):
     assert sorted(got.columns) == ["k", "lang", "v"]
     assert got.count() == 15
     assert got.filter("k < 10 AND lang IS NULL").count() == 10
+
+
+def test_cdf_stream_across_evolution_boundary(spark, tmp_path):
+    """readChangeFeed through format("txnlog") spanning an additive
+    evolution: a stream planned AFTER the evolution reads the whole
+    feed — pre-boundary insert commits null-fill the evolved column
+    executor-side, post-boundary MERGE change files carry it — and
+    every row keeps its _change_type/_commit_version tags."""
+    from pyspark.sql import functions as F
+
+    from sport_advantages_moderne_data_infrastructure_spark.sources.txnstream import (  # noqa: E501
+        register_txn_source,
+    )
+
+    register_txn_source(spark)
+    t = TxnTable(str(tmp_path / "cdf_evo"))
+    t.overwrite(spark.range(0, 10).select(
+        F.col("id").cast("int").alias("k"),
+        (F.col("id") * 10).cast("long").alias("v")))
+    t.append(spark.range(10, 14).select(
+        F.col("id").cast("int").alias("k"),
+        (F.col("id") * 10).cast("long").alias("v"),
+        F.lit("fr").alias("lang")), merge_schema=True)      # v1
+    t.merge(spark, spark.range(3, 5).select(
+        F.col("id").cast("int").alias("k"),
+        F.lit(999).cast("long").alias("v"),
+        F.lit("en").alias("lang")), "k", auto_merge=False)  # v2
+
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = (spark.readStream.format("txnlog")
+         .option("readChangeFeed", "true").load(t.path)
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    q.stop()
+    got = spark.read.parquet(out)
+    assert sorted(got.columns) == ["_change_type", "_commit_version",
+                                   "k", "lang", "v"]
+    # v0 overwrite + v1 append stream as inserts; v1's rows carry lang
+    assert got.filter("_commit_version = 0 AND lang IS NOT NULL"
+                      ).count() == 0
+    assert got.filter("_commit_version = 1").count() == 4
+    assert got.filter("_commit_version = 1 AND lang = 'fr'").count() == 4
+    # v2 merge streams its change files (pre/post images + inserts)
+    posts = got.filter("_commit_version = 2 AND "
+                       "_change_type = 'update_postimage'")
+    assert posts.count() == 2
+    assert posts.filter("lang = 'en'").count() == 2
