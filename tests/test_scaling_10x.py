@@ -714,3 +714,36 @@ def test_grouped_quantiles_scale_linearly(spark):
     assert len(r1) == 15  # 5 event types x 3 quantiles
     ratio = _report("grouped_quantiles", 1, t1, M, t10)
     assert ratio <= MAX_RATIO, f"superlinear: {ratio:.1f}x at {M}x corpus"
+
+
+def test_stream_hll_ingest_flat_in_history(spark, tmp_path_factory):
+    """The streaming HLL twin's O(batch) claim (r10): ingesting the
+    SAME fixed batch must cost the same whether 1x or 10x of history
+    has already streamed through — the sketch leg folds only the
+    change feed since its high-water and the stored state is one
+    2^lg_k-register binary per group. (The contract SERVE's exact arm
+    is O(corpus) by design; approx_distinct_served is the O(1) path.)"""
+    from sport_advantages_moderne_data_infrastructure_spark.streaming import (
+        distinct as X,
+    )
+
+    batch = (_scaled_events(spark, 1)
+             .filter(F.col("event_id") % 7 == 0)
+             .select("event_type", "user_id"))
+
+    def ingest_time(m, root):
+        events, sketch = X._tables(str(root))
+        hist = _scaled_events(spark, m).select("event_type", "user_id")
+        X.ingest_batch(events, sketch, hist, 0, "user_id",
+                       app_id="hll_s", group_col="event_type")
+        return _timed(lambda: X.ingest_batch(
+            events, sketch, batch, 1, "user_id", app_id="hll_s",
+            group_col="event_type"))
+
+    base = tmp_path_factory.mktemp("hllscale")
+    t_small = ingest_time(1, base / "small")
+    t_big = ingest_time(M, base / "big")
+    ratio = t_big / t_small
+    print(f"RESULT: stream_hll_ingest: after 1x history {t_small:.2f}s"
+          f" | after {M}x history {t_big:.2f}s | ratio {ratio:.1f}")
+    assert ratio <= 3.0, f"ingest cost grows with history: {ratio:.1f}x"
