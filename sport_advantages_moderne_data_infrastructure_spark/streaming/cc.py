@@ -228,13 +228,27 @@ def ingest_batch(assign: TxnTable, remap: TxnTable, batch: DataFrame,
 
         _guarded_commit(assign, batch_id, app_id, _assign_leg)
 
-        if not lost_roots.isEmpty():
-            def _remap_leg():
-                remap.append(
-                    lost_roots,
-                    _stream_meta(batch_id, app_id, "cc_remap_append"))
+        # the remap leg commits EVERY batch (0-row marker when no
+        # merges — the semdedup marker-commit discipline), recording
+        # the assign version it pairs with: the serve
+        # (current_labels) reads assign AT the version the LATEST
+        # remap commit recorded, so an ingest racing the serve (or a
+        # crash between the legs) can never pair fresh assign rows
+        # with a remap missing their merges — which would SPLIT a
+        # true cluster across labels (for the splits built on these
+        # labels, a train/test leakage hazard, not just staleness)
+        av = assign.latest_version()
+        no_merges = lost_roots.isEmpty()
 
-            _guarded_commit(remap, batch_id, app_id, _remap_leg)
+        def _remap_leg():
+            meta = _stream_meta(batch_id, app_id, "cc_remap_append")
+            meta["cc_assign_version"] = av
+            remap.append(
+                lost_roots.repartition(1) if no_merges else lost_roots,
+                meta)  # repartition(1): a 0-row marker still writes
+            # one schema-bearing file, keeping the table readable
+
+        _guarded_commit(remap, batch_id, app_id, _remap_leg)
     finally:
         for df in pinned:
             df.unpersist()
@@ -262,12 +276,22 @@ def write_stream_cc(df: DataFrame, root: str, checkpoint: str,
 
 def current_labels(spark: SparkSession, root: str) -> DataFrame:
     """(doc_id, cluster_id) — assign ⟕ broadcast(collapsed remap):
-    one map-side join, no shuffle, at any corpus size."""
+    one map-side join, no shuffle, at any corpus size. The PAIR is a
+    consistent snapshot (r10 serve-pinning): assign is read AT the
+    version the latest remap commit recorded, so a racing ingest (or
+    a crash between the assign and remap legs) can never surface
+    fresh docs whose merges are missing — a cluster-splitting view
+    the leakage-safe splits must never see. With no remap commit yet
+    (no merges ever), any assign snapshot is consistent by itself."""
     assign, remap = _tables(root)
-    rows = assign.read(spark).select("doc_id", "cluster_id")
-    if remap.latest_version() is None:
-        return rows
-    res = resolve_remap(remap.read(spark))
+    rv = remap.latest_version()
+    if rv is None:
+        return assign.read(spark).select("doc_id", "cluster_id")
+    av = remap._doc(rv).get("meta", {}).get(  # noqa: SLF001
+        "cc_assign_version")  # None on pre-r10 history: legacy latest
+    rows = (assign.read(spark, version=av)
+            .select("doc_id", "cluster_id"))
+    res = resolve_remap(remap.read(spark, version=rv))
     return (rows.join(F.broadcast(res),
                       rows.cluster_id == res.src, "left")
             .select("doc_id",
@@ -289,8 +313,11 @@ def compact(spark: SparkSession, root: str) -> None:
     assign.commit(adds, assign.snapshot_dirs(assign.latest_version()),
                   {"operation": "cc_compact", "partition_by": "__kb"},
                   expected_version=assign.latest_version())
+    # the truncate records the POST-fold assign version: the pinned
+    # serve pairs the (now empty) remap with the folded assign
     remap.overwrite(remap.read(spark).limit(0),
-                    {"operation": "cc_compact_truncate"})
+                    {"operation": "cc_compact_truncate",
+                     "cc_assign_version": assign.latest_version()})
 
 
 def compact_if_needed(spark: SparkSession, root: str,

@@ -150,7 +150,15 @@ def test_crash_between_legs_recovers(spark, monkeypatch):
     except RuntimeError as ex:
         assert ex is boom and calls["n"] == 1
     monkeypatch.setattr(C, "_guarded_commit", real)
-    assert a.latest_version() == 1 and r.latest_version() is None
+    # torn: assign carries batch 1, remap still at batch 0's marker
+    assert a.latest_version() == 1 and r.latest_version() == 0
+
+    # r10 serve pinning: the torn state must serve the PRE-batch
+    # consistent view (doc 3 absent), never fresh assign rows whose
+    # merges are missing — that view would label doc 3 with the merged
+    # root while 5 and 9 keep their own labels, SPLITTING the true
+    # cluster (a leakage hazard for the splits built on these labels)
+    assert _labels(spark, root) == [(5, 5), (9, 9)]
 
     C.ingest_batch(a, r, _mk(spark, [(3, None), (3, 5), (3, 9)]),
                    1, "t")  # redelivery: assign skips, remap lands
