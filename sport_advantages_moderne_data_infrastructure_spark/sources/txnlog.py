@@ -1261,10 +1261,27 @@ class TxnTable:
         ``merge_schema=True`` (Delta's mergeSchema) admits a frame whose
         columns differ from the live schema: new columns null-fill old
         rows, missing columns null-fill the new rows — the snapshot read
-        unions schemas across commits. Python-API reads only; the
-        ``format("txnlog")`` DataSource plans a uniform schema."""
+        unions schemas across commits; evolution is ADDITIVE only, never
+        a type change (a shared column whose type differs is REJECTED at
+        write time, as Delta does without the type-widening feature —
+        committing it would brick every subsequent snapshot read at the
+        parquet schema merge, a fail-at-read corruption)."""
         if not merge_schema:
             self._check_append_schema(df)
+        else:
+            cur = self.table_schema(None)
+            if cur is not None:
+                by = {f.name: f.dataType for f in cur.fields}
+                bad = [f"{c}: table {by[c].simpleString()} vs frame "
+                       f"{df.schema[c].dataType.simpleString()}"
+                       for c in df.columns
+                       if c in by and by[c] != df.schema[c].dataType]
+                if bad:
+                    raise ValueError(
+                        "append(merge_schema=True) admits NEW columns, "
+                        f"not type changes: {bad} — cast the frame to "
+                        "the table types, or overwrite() for a typed "
+                        "rewrite")
         rel = self._write_data(df)
         for _ in range(retries):
             try:
@@ -1425,8 +1442,12 @@ class TxnTable:
             target = target.select(
                 "*", *[_F.lit(None).cast(f.dataType).alias(f.name)
                        for f in new])
+            # shared columns CAST to the target's type (Delta casts the
+            # MERGE source to the table schema — a wider source type
+            # must not smuggle a type change through autoMerge)
             ups = updates.select(*[
-                (_F.col(c) if c in updates.columns
+                (_F.col(c).cast(target.schema[c].dataType).alias(c)
+                 if c in updates.columns
                  else _F.lit(None).cast(target.schema[c].dataType)
                  .alias(c)) for c in target.columns])
         else:

@@ -2535,3 +2535,31 @@ def test_cdf_stream_across_evolution_boundary(spark, tmp_path):
                        "_change_type = 'update_postimage'")
     assert posts.count() == 2
     assert posts.filter("lang = 'en'").count() == 2
+
+
+def test_merge_schema_rejects_type_changes(spark, tmp_path):
+    """Evolution is ADDITIVE only: a merge_schema append whose shared
+    column carries a DIFFERENT type is rejected at write time (it
+    would commit fine and then brick every snapshot read at the
+    parquet schema merge — fail-at-read corruption), and an autoMerge
+    MERGE source's shared columns are cast to the table types instead
+    of smuggling a widening through."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    t = _evo_table(spark, tmp_path, "widen")
+    with pytest.raises(ValueError, match="not type changes"):
+        t.append(spark.range(0, 3).select(
+            F.col("id").cast("int").alias("k"),
+            F.col("id").cast("double").alias("v")),  # v is long
+            merge_schema=True)
+    assert t.read(spark).count() == 30  # nothing committed
+
+    t.merge(spark, spark.range(2, 3).select(
+        F.col("id").cast("int").alias("k"),
+        F.lit(7.9).alias("v"),              # double source, long table
+        F.lit(True).alias("flag")), "k", auto_merge=True)
+    snap = t.read(spark)
+    assert dict(snap.dtypes)["v"] == "bigint"  # cast, not widened
+    assert snap.filter("k = 2").first()["v"] == 7  # cast semantics
+    assert snap.schema["flag"].dataType.simpleString() == "boolean"
