@@ -2563,3 +2563,26 @@ def test_merge_schema_rejects_type_changes(spark, tmp_path):
     assert dict(snap.dtypes)["v"] == "bigint"  # cast, not widened
     assert snap.filter("k = 2").first()["v"] == 7  # cast semantics
     assert snap.schema["flag"].dataType.simpleString() == "boolean"
+
+
+def test_symlink_manifest_reads_evolved_table_externally(spark,
+                                                         tmp_path):
+    """Interop across additive evolution: the symlink manifest of an
+    evolved snapshot is readable by an external engine (DuckDB) with
+    union_by_name — pre-evolution files null-fill the new column —
+    and the external view matches the engine's own snapshot read
+    row for row."""
+    import duckdb
+
+    t = _evo_table(spark, tmp_path, "man_evo")
+    man = t.generate_symlink_manifest()
+    files = [ln for ln in open(man).read().splitlines() if ln]
+    con = duckdb.connect()
+    ext = con.execute(
+        "SELECT k, v, lang FROM read_parquet($f, union_by_name=true) "
+        "ORDER BY k", {"f": files}).fetchall()
+    own = [(r["k"], r["v"], r["lang"])
+           for r in t.read(spark).orderBy("k").collect()]
+    assert ext == own and len(ext) == 30
+    assert sum(1 for _, _, lang in ext if lang is None) == 20
+    con.close()
