@@ -121,12 +121,17 @@ QUERY_BUDGETS = {
     # 1 sizes + 3 jobs/round; now ~1 fused job/round + shared reads)
     "orders_grouping_sets": 0.48,   # min 0.319
     "orders_pivot": 0.34,           # min 0.224
-    # r10-added query (provisional budget: warm local runs show it
-    # converging to prime_query's cost — the duplicated prime branch
-    # prunes to dim-sized broadcast legs, plan pinned — plus view
-    # registration + two extra dim scans; re-pin from the r10 bench
-    # min next round):
+    # r10-added queries (provisional budgets from warm local runs;
+    # re-pin from the r10 bench mins next round):
+    # prime_query_sql converges to prime_query's cost — the duplicated
+    # prime branch prunes to dim-sized broadcast legs (plan pinned) —
+    # plus view registration + two extra dim scans
     "prime_query_sql": 0.90,
+    # grouped_quantiles_prod: production defaults are direct-readable
+    # at test group sizes (zero sketch rounds: one combined sizes+grid
+    # job + one shared ranked read) — the operator's real cost curve
+    # next to the adversarial gate config (local min 1.68)
+    "grouped_quantiles_prod": 2.60,
 }
 
 

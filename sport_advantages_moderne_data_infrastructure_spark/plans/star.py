@@ -1149,6 +1149,43 @@ def q_grouped_quantiles_exact(spark: SparkSession,
 
 
 @register(
+    "grouped_quantiles_prod",  # new r10 (VERDICT r9 #6's second half):
+    # the SAME operator at PRODUCTION defaults, benched alongside the
+    # adversarial gate config so the bench tracks the operator's real
+    # cost curve, not only the forced-round one — at default
+    # accuracy/direct_limit every test-scale group is direct-readable
+    # (zero sketch rounds: one combined sizes+grid job, one shared
+    # ranked read), which is exactly the production shape until groups
+    # pass ~100k rows. driver=False: same semantics as the gated
+    # adversarial row (identical oracle), parity-verified per pytest
+    # run, no driver slot spent.
+    driver=False, bench=True,
+    oracle=(
+        "WITH t AS (SELECT event_type, value, ROW_NUMBER() OVER "
+        "(PARTITION BY event_type ORDER BY value) AS rn, "
+        "CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n "
+        "FROM events WHERE value IS NOT NULL) "
+        "SELECT event_type, CAST(q AS DOUBLE) AS q, value "
+        "FROM (VALUES (0.25),(0.5),(0.75),(0.95)) qs(q) "
+        "JOIN t ON t.rn = GREATEST(1, CAST(CEIL(CAST(q AS DOUBLE) "
+        "* n) AS BIGINT)) "
+        "ORDER BY event_type, q"))
+def q_grouped_quantiles_prod(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """grouped_exact_quantiles at PRODUCTION defaults (accuracy=10k,
+    direct_limit=100k, grid=512) — the real cost curve next to the
+    gate's adversarial config; identical answers, identical oracle."""
+    from ..operators.sketches import grouped_exact_quantiles
+
+    e = load_table(spark, sf_dir, "events")
+    got = grouped_exact_quantiles(e, "event_type", "value",
+                                  [0.25, 0.5, 0.75, 0.95])
+    return (spark.createDataFrame(
+        got, "event_type string, q double, value double")
+        .orderBy("event_type", "q"))
+
+
+@register(
     "stream_grouped_hh_equiv",  # new r9, gated immediately (slot:
     # scd2_employee_sport_dim demoted — green r5-r8; the SCD2 run
     # derivation (scd2_runs) is EMBEDDED end-to-end in the gated
