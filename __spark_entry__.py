@@ -17,8 +17,12 @@ from sport_advantages_moderne_data_infrastructure_spark.plans import catalog
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (reference README.md:140-164 prime/total-salary
-    analytics) over /root/testdata/sf0.001."""
-    q = catalog.queries()["prime_query"]
+    analytics) over /root/testdata/sf0.001. Looks up REGISTRY, not
+    queries(): the flagship stays the entry smoke-check even when its
+    row rotates out of the 50-slot driver window (as prime_query did
+    in r10 — via queries() this raised KeyError on a vanilla run)."""
+    catalog._load_all()
+    q = catalog.REGISTRY["prime_query"].spark_fn
     return q(spark, "/root/testdata/sf0.001")
 
 

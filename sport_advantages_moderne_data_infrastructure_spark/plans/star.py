@@ -83,6 +83,13 @@ def q_pricing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stream_quarantine_batch_twin and the SCD2 rows, and
     # sessionization keeps running in every bench pass (bench=True)
     # and stays DuckDB-verified per pytest run).
+    # Demoted r11 after green r9-r10: STRICTLY EMBEDDED in orders_cube
+    # (same filter, same aggregates, and CUBE's four grouping sets are
+    # a strict superset of this row's three — every output row of this
+    # query appears verbatim in orders_cube's at gid 0/1/2), keeps
+    # running in every bench pass (bench=True), stays DuckDB-verified
+    # per pytest run; slot goes to orders_cube (VERDICT r10 #5).
+    driver=False,
     # The GENERAL multi-level-aggregate surface (VERDICT r8 #7):
     # pricing_rollup covers the hierarchical ROLLUP case; this row
     # exercises an EXPLICIT NON-HIERARCHICAL grouping-sets list —
@@ -123,6 +130,61 @@ def q_orders_grouping_sets(spark: SparkSession,
             [["o_orderstatus", "o_orderpriority"],
              ["o_orderstatus"], ["o_orderpriority"]],
             "o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select("gid", "o_orderstatus", "o_orderpriority",
+                "sum_price", "avg_price", "n_orders")
+        .orderBy("gid", "o_orderstatus", "o_orderpriority")
+    )
+
+
+@register(
+    "orders_cube",  # new r11, gated immediately (slot:
+    # orders_grouping_sets demoted — green r9-r10 and STRICTLY
+    # EMBEDDED here: CUBE(status, priority) plans the four grouping
+    # sets {(s,p), (s), (p), ()} — a strict superset of the demoted
+    # row's explicit three — with the same filter and aggregates, so
+    # every row of the demoted query appears verbatim at gid 0/1/2;
+    # the demoted row keeps running in every bench pass (bench=True)
+    # and stays DuckDB-verified per pytest run).
+    # CUBE completes the multi-level-aggregate surface (ROLLUP r8,
+    # GROUPING SETS r9, PIVOT/UNPIVOT r9 — VERDICT r10 #5): all 2^k
+    # marginal totals of a k-key report in ONE plan. Same pinned
+    # contract as its siblings: ONE pushed-filter scan + ONE Expand
+    # (4x) + partial/final hash aggregate — the map-side partial
+    # absorbs the Expand blow-up before the exchange, so at 100 TB the
+    # fact scans once for all four levels and the exchange still
+    # carries only (4 x tiny group cardinality) rows. grouping_id
+    # disambiguates NULL-filled margin levels; both engines share the
+    # first-arg-is-most-significant bitmask convention (gid 3 = grand
+    # total).
+    oracle=(
+        "SELECT CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) "
+        "AS gid, o_orderstatus, o_orderpriority, "
+        "ROUND(SUM(o_totalprice), 2) AS sum_price, "
+        "ROUND(AVG(o_totalprice), 4) AS avg_price, "
+        "CAST(COUNT(*) AS BIGINT) AS n_orders "
+        "FROM orders WHERE o_orderdate >= TIMESTAMP "
+        "'1995-01-01 00:00:00' "
+        "GROUP BY CUBE (o_orderstatus, o_orderpriority) "
+        "ORDER BY gid, o_orderstatus, o_orderpriority"),
+    bench=True)
+def q_orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-value report at ALL four granularities of (status,
+    priority) in ONE plan — per pair, per status, per priority, and
+    the grand total — via DataFrame.cube. One scan + one Expand (4x)
+    + partial/final hash agg; strictly embeds orders_grouping_sets
+    (its three sets are cube's gid 0/1/2) and adds the gid-3 grand
+    total that GROUPING SETS deliberately omitted."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderdate")
+                 >= F.lit("1995-01-01").cast("timestamp"))
+        .cube("o_orderstatus", "o_orderpriority")
         .agg(
             F.grouping_id().cast("int").alias("gid"),
             F.round(F.sum("o_totalprice"), 2).alias("sum_price"),

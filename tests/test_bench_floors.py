@@ -52,6 +52,46 @@ def test_core_queries_still_registered():
 
     bench_names = set(catalog.bench_queries())
     assert bench.CORE_QUERIES <= bench_names
-    # every budgeted query must actually be benched, or its budget row
-    # reports value=None forever without anyone noticing
-    assert set(bench.QUERY_BUDGETS) <= bench_names
+    # budgeted == benched (r11, VERDICT r10 #3/#7): every budgeted query
+    # must actually be benched (or its budget row reports value=None
+    # forever), and every benched query must carry a budget (or it never
+    # gates) — the two sets may not drift apart in either direction
+    assert set(bench.QUERY_BUDGETS) == bench_names, (
+        sorted(set(bench.QUERY_BUDGETS) ^ bench_names))
+
+
+def test_noise_scale_policy():
+    """r11 (VERDICT r10 #3): the official bench artifact gates on
+    CALIBRATION-SCALED floors/budgets so co-tenant weather at floor
+    margins can't flip floors_ok red — BENCH_r10 missed three stream
+    floors by 3.6-8.9% on a box measuring 1.28x slower than r9. The
+    policy, pinned: scale = clamp(calibration/CALIBRATION_REF, 1.0,
+    1.5); floors divide by it, budgets multiply by it. The clamp means
+    a genuine regression can't hide behind a claimed-slow box (at most
+    /1.5), and a FASTER box never tightens gates mid-round (never
+    below 1.0 — floors re-pin between rounds from rolling minima)."""
+    import bench
+
+    assert bench.CALIBRATION_REF == 0.184  # BENCH_r09 calibration_sec
+    assert bench.NOISE_SCALE_CAP == 1.5
+    # reference-speed or faster box -> raw gates
+    assert bench.noise_scale(bench.CALIBRATION_REF) == 1.0
+    assert bench.noise_scale(0.05) == 1.0
+    # the r10 box (0.235) -> 1.28x relief, within the cap
+    assert bench.noise_scale(0.235) == round(0.235 / 0.184, 3)
+    # pathological calibration clamps at the cap
+    assert bench.noise_scale(10.0) == 1.5
+    # floors scale DOWN, budgets UP, by the same factor
+    s = bench.noise_scale(0.235)
+    eff_f = bench.effective_floors(s)
+    eff_b = bench.effective_budgets(s)
+    for k, v in bench.FLOORS.items():
+        assert eff_f[k] == round(v / s, 1)
+    for n, b in bench.QUERY_BUDGETS.items():
+        assert eff_b[n] == round(b * s, 3)
+    # the r10 misses (3.6-8.9% under raw floors at calibration 0.235)
+    # would have gated GREEN under this policy
+    for miss_key, miss_val in [("stream_dedup_docs_per_sec", 1153.7),
+                               ("txn_fb_sink_rows_per_sec", 43358.0),
+                               ("txn_feed_rows_per_sec", 40999.0)]:
+        assert miss_val >= eff_f[miss_key], (miss_key, eff_f[miss_key])

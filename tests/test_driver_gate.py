@@ -20,6 +20,17 @@ DRIVER_NAMES = [n for n, q in catalog.REGISTRY.items()
                 if q.driver and q.oracle is not None]
 
 
+def test_entry_survives_rotation(spark):
+    """__spark_entry__.entry() must work regardless of which rows hold
+    driver slots — r10's demotion of prime_query broke it via
+    queries()[...] (KeyError on a vanilla run); it now reads REGISTRY."""
+    import __spark_entry__ as E
+
+    df = E.entry(spark)
+    assert df.count() > 0
+    assert "prime_query" not in E.queries()  # the broken precondition
+
+
 def test_driver_surface_is_fully_oracle_bearing():
     # the r2 state (two no_oracle driver rows) may not come back
     bare = [n for n, q in catalog.REGISTRY.items()

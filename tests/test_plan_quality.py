@@ -400,6 +400,20 @@ def test_grouping_sets_one_scan_one_expand(spark, sf_dir):
         in plan, plan
 
 
+def test_cube_one_scan_one_expand(spark, sf_dir):
+    """CUBE (r11, VERDICT r10 #5) holds the same plan contract as its
+    ROLLUP/GROUPING SETS siblings: one pushed-filter scan + ONE Expand
+    (4x — all 2^2 grouping sets) + partial/final hash aggregate, never
+    a scan per marginal level."""
+    plan = _plan(catalog.REGISTRY["orders_cube"].spark_fn(
+        spark, sf_dir))
+    nodes = plan.split("\n\n")[0]
+    assert nodes.count("Scan parquet") == 1, nodes
+    assert nodes.count("Expand") == 1, nodes
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual" \
+        in plan, plan
+
+
 def test_prime_sql_collapses_to_dataframe_shape(spark, sf_dir):
     """r10 (VERDICT r9 #3): the reference's verbatim flagship SQL
     (prime_query_sql, a CTE self-join over the `final` view) must
