@@ -136,6 +136,8 @@ QUERY_BUDGETS = {
     # re-pin from the r11 bench mins next round):
     "orders_cube": 0.58,            # orders_grouping_sets' exact shape
     # (one scan + one Expand + hash agg) with a 4th grouping set
+    "ann_filtered_topk": 1.45,      # ann_sq8_topk's exhaustive integer
+    # rerank (budget 1.19) + the documents lang filter join
 }
 
 # --- Cross-round noise calibration (VERDICT r10 #3) ---------------------

@@ -183,15 +183,21 @@ def pq_topk(codes: DataFrame, queries: DataFrame,
 def build_ivfpq_index(embeddings: DataFrame,
                       ivf_centroids: list[list[float]],
                       codebooks: list[list[list[float]]],
-                      path: str) -> None:
+                      path: str, meta_cols: tuple[str, ...] = ()) -> None:
     """IVF-PQ inverted lists: the PQ-encoded corpus written partitioned
     by IVF centroid_id — the standard billion-scale ANN layout (Jegou et
     al. 2011): probes prune to nprobe/k of the FILES, and what those
     files hold is 16x-compressed codes, so a query touches
-    (nprobe/k) * (1/16) of the float32 corpus bytes."""
+    (nprobe/k) * (1/16) of the float32 corpus bytes.
+
+    ``meta_cols`` (r11): filterable attribute columns carried INTO the
+    inverted lists next to the codes — the production layout for
+    metadata-filtered search ("top-k WHERE lang='en'"): the predicate
+    then pushes to the parquet scan of the lists themselves (min/max +
+    dictionary row-group pruning), no side join at query time."""
     from .ivf import assign_centroids
 
-    coded = pq_encode(embeddings, codebooks)
+    coded = pq_encode(embeddings, codebooks, keep=meta_cols)
     assigned = assign_centroids(
         embeddings.select("vec_id", "embedding"), ivf_centroids)
     (coded.join(assigned.select("vec_id", "centroid_id"), "vec_id")
@@ -241,6 +247,95 @@ def ivfpq_topk(codes_index: DataFrame, queries: DataFrame,
     w = W.partitionBy("query_id").orderBy(F.desc("cos"),
                                           F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id",
+                    F.round("cos", 6).alias("score"), "rank")
+            .orderBy("query_id", "rank"))
+
+
+def ivfpq_filtered_topk(codes_index: DataFrame, embeddings: DataFrame,
+                        queries: DataFrame,
+                        ivf_centroids: list[list[float]],
+                        codebooks: list[list[list[float]]],
+                        pred, k: int = 10, nprobe: int = 6,
+                        shortlist: int = 50,
+                        n_match: int | None = None,
+                        brute_threshold: int | None = None) -> DataFrame:
+    """Metadata-FILTERED IVF-PQ top-k (r11, VERDICT r10 #1): the
+    predicate lands BEFORE scoring, never as a post-filter of an
+    unfiltered top-k (retrieve-then-refill loses results whenever the
+    unfiltered shortlist under-covers the filtered region — the exact
+    failure FAISS's IDSelector pre-filter exists to avoid).
+
+    Two regimes, the FAISS selector decision:
+    - **selective** (few matching vectors): scoring the survivors
+      exactly beats probing — ONE exact cosine pass over the
+      ``pred``-filtered embeddings (pushed scan filter), identical to
+      filtered brute truth, so recall is 1.0 by construction. Chosen
+      when the match count is <= ``brute_threshold`` (default
+      4 x ``shortlist``: below that the probe machinery saves nothing).
+    - **broad**: ``codes_index.filter(pred)`` — the predicate pushes
+      into the parquet scan of the inverted lists themselves (the
+      ``meta_cols`` layout of :func:`build_ivfpq_index`), THEN the
+      nprobe probe equi-join prunes files, ADC scores only surviving
+      codes, and the exact refine fetches/reranks a per-query
+      shortlist drawn from survivors only.
+
+    ``n_match``: exact count of predicate-matching corpus rows; pass
+    it when the caller holds it (a metadata stats table at 100 TB),
+    else ONE column-pruned count over the filtered index runs.
+    ``embeddings`` must carry the predicate's column(s) for the
+    selective leg. ``queries`` needs (query_id, qe, q_norm)."""
+    from pyspark.sql import Window as W
+
+    if brute_threshold is None:
+        brute_threshold = 4 * shortlist
+    if n_match is None:
+        n_match = codes_index.filter(pred).count()
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"),
+                                          F.asc("neighbor_id"))
+    if n_match <= brute_threshold:
+        # selective regime: exact cosine over the filtered subset
+        ne = F.expr("transform(embedding, x -> cast(x as double))")
+        dot = F.expr("aggregate(zip_with(ne, qe, (x, y) -> x * y), 0D, "
+                     "(a, v) -> a + v)")
+        n_norm = F.sqrt(F.expr(
+            "aggregate(zip_with(ne, ne, (x, y) -> x * y), 0D, "
+            "(a, v) -> a + v)"))
+        exact = (embeddings.filter(pred)
+                 .select(F.col("vec_id").alias("neighbor_id"),
+                         ne.alias("ne"))
+                 .crossJoin(F.broadcast(
+                     queries.select("query_id", "qe", "q_norm")))
+                 .select("query_id", "neighbor_id",
+                         (dot / (F.col("q_norm") * n_norm))
+                         .alias("cos")))
+        ranked = exact
+    else:
+        # broad regime: filter -> probe -> ADC -> exact refine, all
+        # over survivors
+        filtered = codes_index.filter(pred)
+        scored = _ivfpq_scored(filtered, queries, ivf_centroids,
+                               codebooks, nprobe)
+        cand = (scored.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= shortlist)
+                .select("query_id", "neighbor_id"))
+        cand_q = cand.join(
+            queries.select("query_id", "qe", "q_norm"), "query_id")
+        ne = F.expr("transform(embedding, x -> cast(x as double))")
+        dot = F.expr("aggregate(zip_with(ne, qe, (x, y) -> x * y), 0D, "
+                     "(a, v) -> a + v)")
+        n_norm = F.sqrt(F.expr(
+            "aggregate(zip_with(ne, ne, (x, y) -> x * y), 0D, "
+            "(a, v) -> a + v)"))
+        ranked = (embeddings
+                  .select(F.col("vec_id").alias("neighbor_id"),
+                          ne.alias("ne"))
+                  .join(F.broadcast(cand_q), "neighbor_id")
+                  .select("query_id", "neighbor_id",
+                          (dot / (F.col("q_norm") * n_norm))
+                          .alias("cos")))
+    return (ranked.withColumn("rank", F.row_number().over(w).cast("int"))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id",
                     F.round("cos", 6).alias("score"), "rank")

@@ -459,7 +459,16 @@ _LSH_FLOOR = 5.0  # mean overlap@10 for multi-probe LSH (VERDICT r4 #7;
 
 
 @register("ann_lsh_recall_floor",  # rotated into the driver window r5
-          # (customer_running_revenue rotated out)
+          # (customer_running_revenue rotated out).
+          # Demoted r11 after green r5-r10: the enforced-recall-floor
+          # shape stays gated via ann_pq_recall_floor,
+          # ann_refine_recall_floor and the NEW ann_filtered_recall_floor
+          # (same mean-overlap@10 hard cut, harder paths), the LSH
+          # machinery stays benched (ann_lsh_bucketed) + DuckDB-verified
+          # per pytest run (this row and ann_recall_report both), and
+          # drift stays monitored by tests/test_ann_drift.py; slot goes
+          # to ann_filtered_topk (VERDICT r10 #1).
+          driver=False,
           oracle="SELECT CAST(10 AS BIGINT) AS n_queries, "
                  "CAST(1 AS BOOLEAN) AS floor_met",
           tags=("gate_scale_only",))
@@ -803,8 +812,12 @@ def ensure_ivfpq_index(spark: SparkSession, sf_dir: str):
     cb, _ = ensure_pq_index(spark, sf_dir)
     if sf_dir not in _IVFPQ_IDX:
         path = tempfile.mkdtemp(prefix="samdis_ivfpq_idx_") + "/idx.parquet"
+        # r11: the lists carry the filterable `label` attribute next to
+        # the codes (build_ivfpq_index meta_cols) — metadata-filtered
+        # search pushes its predicate into THIS scan; the unfiltered
+        # queries never read the column (pruned at the scan)
         PQ.build_ivfpq_index(load_table(spark, sf_dir, "embeddings"),
-                             centroids, cb, path)
+                             centroids, cb, path, meta_cols=("label",))
         _IVFPQ_IDX[sf_dir] = path
     return centroids, cb, spark.read.parquet(_IVFPQ_IDX[sf_dir])
 
@@ -951,6 +964,161 @@ def q_ann_refine_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("floor_met"),
                     (F.col("m_ref") >= F.col("m_adc"))
                     .alias("refine_not_worse")))
+
+
+@register(
+    "ann_filtered_topk",  # new r11, gated immediately (slot:
+    # ann_lsh_recall_floor demoted — green r5-r10; see its comment).
+    # Metadata-filtered similarity search (VERDICT r10 #1): real
+    # retrieval is almost always "top-k WHERE lang='en'/source=X" —
+    # this row pins the FULL-HASH exact variant on the SQ8 integer
+    # path (quantize -> filter -> integer-dot rank is bit-identical in
+    # both engines, the ann_sq8_topk contract), with the predicate
+    # landing BEFORE scoring: the lang filter pushes into the
+    # documents scan and the survivors JOIN the codes below the
+    # scoring cross join — never an unfiltered top-k refilled after
+    # the fact (which silently under-returns whenever the unfiltered
+    # shortlist under-covers the filtered region). The approximate
+    # IVF-PQ filtered path is gated by its own recall-floor sibling
+    # (ann_filtered_recall_floor). Plan pinned: pushed lang filter +
+    # filter-below-window (tests/test_plan_quality.py).
+    oracle=(
+        f"WITH codes AS ({_SQ8_CODES_SQL}), "
+        "q AS (SELECT vec_id AS query_id, code AS qc, "
+        "sqrt(list_dot_product(CAST(code AS DOUBLE[]), "
+        "CAST(code AS DOUBLE[]))) AS qn "
+        "FROM codes WHERE vec_id % 50 = 0), "
+        "e AS (SELECT c.vec_id, code AS ec, "
+        "sqrt(list_dot_product(CAST(code AS DOUBLE[]), "
+        "CAST(code AS DOUBLE[]))) AS en FROM codes c "
+        "JOIN documents d ON c.vec_id = d.doc_id "
+        "WHERE d.lang = 'en'), "
+        "scored AS (SELECT query_id, e.vec_id AS neighbor_id, "
+        "list_dot_product(CAST(qc AS DOUBLE[]), CAST(ec AS DOUBLE[])) "
+        "/ (qn * en) AS cos FROM q CROSS JOIN e), "
+        "ranked AS (SELECT query_id, neighbor_id, cos, "
+        "CAST(ROW_NUMBER() OVER (PARTITION BY query_id "
+        "ORDER BY cos DESC, neighbor_id) AS INT) AS rank FROM scored) "
+        "SELECT query_id, neighbor_id, ROUND(cos, 6) AS score, rank "
+        "FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"),
+    bench=True)
+def q_ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 among English documents only (embeddings and
+    documents share one id space): SQ8 integer-cosine rerank over the
+    predicate's survivors. The lang filter is PUSHED to the documents
+    scan and applied via an equi-join on the corpus side BEFORE the
+    scoring cross join — the query set stays unfiltered (any query may
+    ask for English neighbors). At 100 TB the production layout stores
+    the attribute IN the index (see ensure_ivfpq_index meta_cols and
+    the filtered IVF-PQ sibling); this row pins the cross-table form
+    with a full hash oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    allowed = (docs.filter(F.col("lang") == "en")
+               .select(F.col("doc_id").alias("vec_id")))
+    codes = (spark.read.parquet(_SQ8_IDX[sf_dir])
+             if sf_dir in _SQ8_IDX else sq8_codes(spark, sf_dir))
+    selfdot = F.expr(_INT_DOT.format(a="code", b="code"))
+    withn = codes.withColumn("en", F.sqrt(selfdot.cast("double")))
+    q = (withn.filter(F.col("vec_id") % 50 == 0)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("code").alias("qc"), F.col("en").alias("qn")))
+    e = withn.join(allowed, "vec_id")  # survivors only, pre-scoring
+    cos = (F.expr(_INT_DOT.format(a="qc", b="code")).cast("double")
+           / (F.col("qn") * F.col("en")))
+    scored = (e.crossJoin(F.broadcast(q))
+              .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                      cos.alias("cos")))
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"),
+                                          F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= 10)
+            .select("query_id", "neighbor_id",
+                    F.round("cos", 6).alias("score"), "rank")
+            .orderBy("query_id", "rank"))
+
+
+_FILTERED_PRED_SQL = "label < 7"  # ~70% selectivity: the broad regime
+# (a narrow predicate routes to the exact-brute fallback, recall 1.0
+# by construction — exercised in tests/test_ann.py)
+_FILTERED_FLOOR = 7.0  # mean overlap@10 vs FILTERED brute truth:
+# measured at registration 8.0 @sf0.001 / 7.7 @sf0.01 (deterministic
+# pipeline — fixed per scale; PLANS.md §Filtered ANN, r11). The refine
+# stage reranks survivors exactly, so residual loss is shortlist
+# membership only, same regime as _REFINE_FLOOR (6.5) but over a ~70%
+# corpus where probe coverage is relatively higher.
+
+
+def _filtered_brute_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 among predicate survivors — the filtered
+    ground truth the floor row scores against."""
+    e = (load_table(spark, sf_dir, "embeddings")
+         .select("vec_id", "embedding", "label",
+                 F.sqrt(F.expr(dot_expr("embedding", "embedding")))
+                 .alias("e_norm")))
+    q = (e.filter(F.col("vec_id") % 50 == 0)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("q_embedding"),
+                 F.col("e_norm").alias("q_norm")))
+    cos = (F.expr(dot_expr("q_embedding", "embedding"))
+           / (F.col("q_norm") * F.col("e_norm")))
+    scored = (e.filter(F.expr(_FILTERED_PRED_SQL))
+              .crossJoin(F.broadcast(q))
+              .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                      cos.alias("cos")))
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"),
+                                          F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= 10)
+            .select("query_id", "neighbor_id"))
+
+
+def filtered_ivfpq_topk(spark: SparkSession, sf_dir: str,
+                        n_match: int | None = None) -> DataFrame:
+    """The broad-regime filtered IVF-PQ plan this round gates: label<7
+    pushed into the inverted-list scan, probe join + ADC + exact refine
+    over survivors only (operators/pq.ivfpq_filtered_topk)."""
+    from ..operators import pq as PQ
+
+    centroids, cb, idx = ensure_ivfpq_index(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings")
+    return PQ.ivfpq_filtered_topk(
+        idx, e, _pq_queries(spark, sf_dir), centroids, cb,
+        F.expr(_FILTERED_PRED_SQL), nprobe=6, shortlist=50,
+        n_match=n_match)
+
+
+@register("ann_filtered_recall_floor",  # new r11, gated immediately
+          # (slot: training_shard_assignments demoted — green r6-r10;
+          # the stable-hash dataset-op shape stays gated via
+          # training_order_shuffle and leakage_safe_splits, and the row
+          # stays DuckDB-verified per pytest run; plans/textops.py).
+          # ENFORCED quality contract for the filtered IVF-PQ path
+          # (VERDICT r10 #1's second half): mean overlap@10 vs the
+          # FILTERED brute truth must clear the floor — scored against
+          # filtered truth, not unfiltered, because the failure mode of
+          # retrieve-then-refill is precisely high unfiltered recall
+          # with holes in the filtered region.
+          oracle="SELECT CAST(10 AS BIGINT) AS n_queries, "
+                 "CAST(1 AS BOOLEAN) AS floor_met",
+          tags=("gate_scale_only",))
+def q_ann_filtered_recall_floor(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """mean(overlap@10) of the filtered IVF-PQ top-10 (predicate pushed
+    into the inverted-list scan, ADC + exact refine over survivors)
+    against the exact filtered brute truth, hard-cut at the floor."""
+    brute = _filtered_brute_truth(spark, sf_dir)
+    filt = filtered_ivfpq_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id")
+    hits = (brute.join(filt, ["query_id", "neighbor_id"])
+            .groupBy("query_id").agg(F.count(F.lit(1)).alias("overlap")))
+    qs = brute.select("query_id").distinct()
+    rec = (qs.join(hits, "query_id", "left")
+           .select("query_id",
+                   F.coalesce("overlap", F.lit(0)).alias("overlap_at_10")))
+    return rec.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+        (F.avg("overlap_at_10") >= F.lit(_FILTERED_FLOOR))
+        .alias("floor_met"))
 
 
 @register(

@@ -2070,7 +2070,14 @@ def training_order(docs: DataFrame, seed: str) -> DataFrame:
 @register(
     "training_shard_assignments",  # new late r6, gated immediately
     # (slot: embedding_dedup_lsh demoted — green r3-r5; shape twins
-    # stay gated: semantic_dedup_prune + ann_lsh_recall_floor)
+    # stay gated: semantic_dedup_prune + ann_lsh_recall_floor).
+    # Demoted r11 after green r6-r10: the seeded-permutation
+    # stable-hash shape stays gated via training_order_shuffle (the
+    # SAME md5 permutation — this row only adds the contiguous-range
+    # cut on top) and leakage_safe_splits, and the row stays
+    # DuckDB-verified per pytest run; slot goes to
+    # ann_filtered_recall_floor (VERDICT r10 #1).
+    driver=False,
     oracle=(
         "WITH o AS (SELECT doc_id, "
         "CAST(ROW_NUMBER() OVER (ORDER BY "

@@ -218,3 +218,74 @@ def test_refine_shortlist_bounds_candidates(spark, sf_dir):
     narrow = _topk(PQ.ivfpq_refined_topk(
         idx, e, qs, centroids, cb, nprobe=6, k=10, shortlist=10))
     assert narrow == adc
+
+
+def test_filtered_selective_fallback_is_exact(spark, sf_dir):
+    """r11 (VERDICT r10 #1): a very selective predicate routes to the
+    exact-brute fallback (the FAISS selector decision), so the result
+    EQUALS the filtered brute truth — recall 1.0 by construction — and
+    every returned neighbor satisfies the predicate."""
+    from pyspark.sql import functions as F
+
+    from sport_advantages_moderne_data_infrastructure_spark.operators import pq as PQ
+    from sport_advantages_moderne_data_infrastructure_spark.plans import simops
+
+    centroids, cb, idx = simops.ensure_ivfpq_index(spark, sf_dir)
+    e = simops.load_table(spark, sf_dir, "embeddings")
+    qs = simops._pq_queries(spark, sf_dir)
+    pred = F.col("label") == 3  # ~10% of the corpus: under 4*shortlist
+    got = PQ.ivfpq_filtered_topk(idx, e, qs, centroids, cb, pred, k=10)
+    rows = got.collect()
+    allowed = {r["vec_id"] for r in
+               e.filter(pred).select("vec_id").collect()}
+    assert rows and all(r["neighbor_id"] in allowed for r in rows)
+    # equals exact filtered truth (the fallback IS the truth pipeline)
+    truth = {}
+    dot = F.expr(
+        "aggregate(zip_with(ne, qe, (x, y) -> x * y), 0D, (a,v) -> a+v)")
+    ne = F.expr("transform(embedding, x -> cast(x as double))")
+    nn = F.sqrt(F.expr(
+        "aggregate(zip_with(ne, ne, (x, y) -> x * y), 0D, (a,v) -> a+v)"))
+    from pyspark.sql import Window as W
+    scored = (e.filter(pred)
+              .select(F.col("vec_id").alias("neighbor_id"), ne.alias("ne"))
+              .crossJoin(F.broadcast(qs.select("query_id", "qe", "q_norm")))
+              .select("query_id", "neighbor_id",
+                      (dot / (F.col("q_norm") * nn)).alias("cos")))
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"),
+                                          F.asc("neighbor_id"))
+    want = (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 10)
+            .select("query_id", "neighbor_id", "rank").collect())
+    assert ({(r["query_id"], r["neighbor_id"], r["rank"]) for r in rows}
+            == {(r["query_id"], r["neighbor_id"], r["rank"])
+                for r in want})
+
+
+def test_filtered_broad_never_returns_nonmatching(spark, sf_dir):
+    """Broad regime (predicate pushed into the index scan): every
+    neighbor satisfies the predicate, every query returns a full
+    top-10, and two invocations are row-identical (determinism)."""
+    from pyspark.sql import functions as F
+
+    from sport_advantages_moderne_data_infrastructure_spark.plans import simops
+
+    got = simops.filtered_ivfpq_topk(spark, sf_dir)
+    rows = got.collect()
+    assert rows == simops.filtered_ivfpq_topk(spark, sf_dir).collect()
+    e = simops.load_table(spark, sf_dir, "embeddings")
+    allowed = {r["vec_id"] for r in
+               e.filter(F.expr(simops._FILTERED_PRED_SQL))
+               .select("vec_id").collect()}
+    assert all(r["neighbor_id"] in allowed for r in rows)
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert len(per_q) == 10  # every query answered
+    assert all(sorted(v) == list(range(1, 11)) for v in per_q.values())
+
+
+def test_filtered_floor_row_green(spark, sf_dir):
+    row = catalog.REGISTRY["ann_filtered_recall_floor"].spark_fn(
+        spark, sf_dir).collect()[0]
+    assert row["floor_met"] is True

@@ -400,6 +400,51 @@ def test_grouping_sets_one_scan_one_expand(spark, sf_dir):
         in plan, plan
 
 
+def test_filtered_ann_pred_lands_before_scoring(spark, sf_dir):
+    """r11 (VERDICT r10 #1): metadata-filtered ANN must apply its
+    predicate BEFORE scoring — never retrieve-then-refill. Pinned at
+    the strongest point available: the predicate is in the parquet
+    scan's PushedFilters, i.e. it executes AT THE SCAN that feeds
+    scoring, below every join and window by construction.
+
+    (a) full-hash SQ8 row: the lang filter pushes into the documents
+    scan; (b) broad-regime IVF-PQ: the label filter pushes into the
+    inverted-list index scan itself (the meta_cols layout)."""
+    from sport_advantages_moderne_data_infrastructure_spark.plans import (
+        simops,
+    )
+
+    plan = _plan(catalog.REGISTRY["ann_filtered_topk"].spark_fn(
+        spark, sf_dir))
+    assert "EqualTo(lang,en)" in plan and "PushedFilters" in plan, plan
+    import re
+
+    nodes = plan.split("\n\n")[0]
+    # exactly one ranking Window (WindowGroupLimit helper nodes — the
+    # pushed-down top-k limit — don't count)
+    assert len(re.findall(r"Window \(\d+\)", nodes)) == 1, nodes
+
+    # broad regime (n_match passed so no planning-time count job)
+    plan = _plan(simops.filtered_ivfpq_topk(spark, sf_dir,
+                                            n_match=10**9))
+    assert "LessThan(label,7)" in plan, plan
+    # the label predicate appears ONLY at/below the scan (PushedFilters
+    # + the residual Filter Spark keeps above it) — a retrieve-then-
+    # refill plan would instead carry a label Filter ABOVE the ranking
+    # Window. Formatted plans number leaves lowest (Scan = 1) and the
+    # root highest, so every Filter detail block mentioning label must
+    # carry a LOWER node id than every Window node.
+    win_ids = [int(m) for m in re.findall(r"Window \((\d+)\)", plan)]
+    assert win_ids, plan  # sanity: the ranking window exists
+    label_filters = []
+    for block in plan.split("\n\n"):
+        m = re.match(r"\((\d+)\) Filter", block.strip())
+        if m and "label" in block:
+            label_filters.append(int(m.group(1)))
+    assert label_filters, plan  # sanity: the residual filter exists
+    assert max(label_filters) < min(win_ids), (label_filters, win_ids)
+
+
 def test_cube_one_scan_one_expand(spark, sf_dir):
     """CUBE (r11, VERDICT r10 #5) holds the same plan contract as its
     ROLLUP/GROUPING SETS siblings: one pushed-filter scan + ONE Expand
