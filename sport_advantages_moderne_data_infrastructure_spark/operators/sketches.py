@@ -528,6 +528,48 @@ def grouped_exact_quantiles(df: DataFrame, group_col: str, col: str,
             grids[len(states)] = r["__p"]
             states.append((r[group_col], _QState(q, int(r["__n"]))))
 
+    try:
+        _grouped_bracket_loop(spark, vals, group_col, col, gtype,
+                              states, grids, accuracy, max_rounds,
+                              direct_limit, grid)
+    finally:
+        vals.unpersist()
+    return [(g, s.q, s.val) for g, s in states]
+
+
+def _read_ready_grouped(tag_df, col, ready):
+    """ONE shared ranked read over every TakeOrdered-small bracket of
+    the grouped engine: the tagged-and-sliced frame is ranked per state
+    and the in-bracket rank row kept. ``ready`` carries the (i, (group,
+    state)) pairs being read — a separate function so tests can spy the
+    bracket widths at the read site, exactly like the flat engine's
+    :func:`_read_ready_brackets`. Returns {state_index: value}."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("__si").orderBy(F.col(col).asc())
+    hits = (tag_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == F.col("__kin"))
+            .select("__si", col).collect())
+    return {int(r["__si"]): float(r[col]) for r in hits}
+
+
+def _grouped_bracket_loop(spark, vals, group_col, col, gtype,
+                          states, grids, accuracy, max_rounds,
+                          direct_limit, grid) -> None:
+    """The shared per-round loop of :func:`grouped_exact_quantiles` /
+    :func:`grouped_exact_ranks` (extracted r11, ADVICE r10: the
+    streaming hot-bucket serve batches ALL hot cells through this one
+    loop instead of a sequential per-cell bracketing run). ``states``
+    is [(group_value, _QState)]; ``grids`` maps state index -> the
+    CURRENT bracket's grid where already sketched. Mutates each
+    state's ``val`` in place. ``vals`` must be persisted by the
+    caller for the life of the call."""
+    from pyspark.sql import types as T
+
+    threshold = max(2 * accuracy, direct_limit)
+    guard = math.ceil(grid / accuracy) + 1
+    pcts = ", ".join(repr(i / grid) for i in range(grid + 1))
+
     def _tag(frame_rows, extra_fields, bracket_filter: bool):
         """Broadcast the per-state bracket frame (__g, __si, ...extra)
         against the data on the group key (null-safe: a NULL group is
@@ -544,104 +586,157 @@ def grouped_exact_quantiles(df: DataFrame, group_col: str, col: str,
                             & (F.col(col) <= F.col("__hi"))))
         return j
 
-    try:
-        dbl = T.DoubleType()
-        sketch_rounds = 0
-        while True:
-            open_st = [(i, gs) for i, gs in enumerate(states)
-                       if gs[1].val is None]
-            if not open_st:
-                break
-            ready = [(i, gs) for i, gs in open_st
-                     if gs[1].width() <= threshold]
-            if ready:
-                rrows = [(g, i, _flt(s.lo), _flt(s.hi), s.k - s.below)
-                         for i, (g, s) in ready]
-                tag = _tag(rrows,
-                           [T.StructField("__lo", dbl),
+    dbl = T.DoubleType()
+    sketch_rounds = 0
+    while True:
+        open_st = [(i, gs) for i, gs in enumerate(states)
+                   if gs[1].val is None]
+        if not open_st:
+            break
+        ready = [(i, gs) for i, gs in open_st
+                 if gs[1].width() <= threshold]
+        if ready:
+            rrows = [(g, i, _flt(s.lo), _flt(s.hi), s.k - s.below)
+                     for i, (g, s) in ready]
+            tag = _tag(rrows,
+                       [T.StructField("__lo", dbl),
+                        T.StructField("__hi", dbl),
+                        T.StructField("__kin", T.IntegerType())],
+                       bracket_filter=True)
+            for si, v in _read_ready_grouped(tag, col, ready).items():
+                states[si][1].val = v
+        sketching = [(i, gs) for i, gs in open_st
+                     if gs[1].width() > threshold]
+        if not sketching:
+            continue
+        if sketch_rounds >= max_rounds:
+            raise RuntimeError(
+                f"grouped quantile bracketing did not converge in "
+                f"{max_rounds} rounds — accuracy/grid too low")
+        sketch_rounds += 1
+        # a state's grid for its CURRENT bracket usually already
+        # exists: round 1's rode the sizes pass, later rounds' rode
+        # the PREVIOUS verify job (optimistic fused sketch below) —
+        # a separate _tag sketch job runs only for states whose
+        # optimistic grid was invalidated by a widen-on-wobble
+        need = [(i, gs) for i, gs in sketching if i not in grids]
+        if need:
+            srows = [(g, i, _flt(s.lo), _flt(s.hi))
+                     for i, (g, s) in need]
+            tag = _tag(srows, [T.StructField("__lo", dbl),
+                               T.StructField("__hi", dbl)],
+                       bracket_filter=True)
+            for r in (tag.groupBy("__si")
+                      .agg(F.expr(f"approx_percentile({col}, "
+                                  f"array({pcts}), {accuracy})")
+                           .alias("p")).collect()):
+                grids[r["__si"]] = r["p"]
+        props = {}
+        for i, (g, s) in sketching:
+            p = grids[i]
+            q_in = (s.k - s.below) / s.width()
+            ilo = max(0, math.floor(q_in * grid) - guard)
+            ihi = min(grid, math.ceil(q_in * grid) + guard)
+            props[i] = (float(p[ilo]), float(p[ihi]))
+        # ONE fused job: verify RELATIVE to the previous bracket
+        # (proposals are actual slice values, so nlo/nhi lie inside
+        # [lo, hi] and count(col < nlo) = s.below + count(lo <=
+        # col < nlo) exactly — the verify join slices to bracket
+        # rows like the sketch, shrinking with the bracket), AND
+        # optimistically sketch the PROPOSED bracket's grid in the
+        # same aggregation — when the verify adopts both sides (the
+        # common case; the guard band makes wobble rare) the next
+        # round needs no sketch job at all
+        vrows = [(g, i, _flt(s.lo), _flt(s.hi),
+                  props[i][0], props[i][1])
+                 for i, (g, s) in sketching]
+        tagv = _tag(vrows, [T.StructField("__lo", dbl),
                             T.StructField("__hi", dbl),
-                            T.StructField("__kin", T.IntegerType())],
-                           bracket_filter=True)
-                w = W.partitionBy("__si").orderBy(F.col(col).asc())
-                hits = (tag.withColumn("__rn", F.row_number().over(w))
-                        .filter(F.col("__rn") == F.col("__kin"))
-                        .select("__si", col).collect())
-                for r in hits:
-                    states[r["__si"]][1].val = float(r[col])
-            sketching = [(i, gs) for i, gs in open_st
-                         if gs[1].width() > threshold]
-            if not sketching:
-                continue
-            if sketch_rounds >= max_rounds:
-                raise RuntimeError(
-                    f"grouped quantile bracketing did not converge in "
-                    f"{max_rounds} rounds — accuracy/grid too low")
-            sketch_rounds += 1
-            # a state's grid for its CURRENT bracket usually already
-            # exists: round 1's rode the sizes pass, later rounds' rode
-            # the PREVIOUS verify job (optimistic fused sketch below) —
-            # a separate _tag sketch job runs only for states whose
-            # optimistic grid was invalidated by a widen-on-wobble
-            need = [(i, gs) for i, gs in sketching if i not in grids]
-            if need:
-                srows = [(g, i, _flt(s.lo), _flt(s.hi))
-                         for i, (g, s) in need]
-                tag = _tag(srows, [T.StructField("__lo", dbl),
-                                   T.StructField("__hi", dbl)],
-                           bracket_filter=True)
-                for r in (tag.groupBy("__si")
-                          .agg(F.expr(f"approx_percentile({col}, "
-                                      f"array({pcts}), {accuracy})")
-                               .alias("p")).collect()):
-                    grids[r["__si"]] = r["p"]
-            props = {}
-            for i, (g, s) in sketching:
-                p = grids[i]
-                q_in = (s.k - s.below) / s.width()
-                ilo = max(0, math.floor(q_in * grid) - guard)
-                ihi = min(grid, math.ceil(q_in * grid) + guard)
-                props[i] = (float(p[ilo]), float(p[ihi]))
-            # ONE fused job: verify RELATIVE to the previous bracket
-            # (proposals are actual slice values, so nlo/nhi lie inside
-            # [lo, hi] and count(col < nlo) = s.below + count(lo <=
-            # col < nlo) exactly — the verify join slices to bracket
-            # rows like the sketch, shrinking with the bracket), AND
-            # optimistically sketch the PROPOSED bracket's grid in the
-            # same aggregation — when the verify adopts both sides (the
-            # common case; the guard band makes wobble rare) the next
-            # round needs no sketch job at all
-            vrows = [(g, i, _flt(s.lo), _flt(s.hi),
-                      props[i][0], props[i][1])
-                     for i, (g, s) in sketching]
-            tagv = _tag(vrows, [T.StructField("__lo", dbl),
-                                T.StructField("__hi", dbl),
-                                T.StructField("__nlo", dbl),
-                                T.StructField("__nhi", dbl)],
-                        bracket_filter=True)
-            vres = {r["__si"]: r for r in
-                    (tagv.groupBy("__si")
-                     .agg(F.sum(F.when(F.col(col) < F.col("__nlo"), 1)
-                                .otherwise(0)).alias("l"),
-                          F.sum(F.when(F.col(col) <= F.col("__nhi"), 1)
-                                .otherwise(0)).alias("u"),
-                          F.expr(f"approx_percentile({col}, "
-                                 f"array({pcts}), {accuracy}) "
-                                 f"FILTER (WHERE {col} >= __nlo "
-                                 f"AND {col} <= __nhi)")
-                          .alias("p")).collect())}
-            grids = {}
-            for i, (g, s) in sketching:
-                nlo, nhi = props[i]
-                r = vres.get(i)
-                l, u = (int(r["l"]), int(r["u"])) if r else (0, 0)
-                s.apply_verified(nlo, nhi, s.below + l, s.below + u)
-                if (s.val is None and r is not None
-                        and r["p"] is not None
-                        and (s.lo, s.hi) == (nlo, nhi)):
-                    grids[i] = r["p"]  # optimistic grid is valid
+                            T.StructField("__nlo", dbl),
+                            T.StructField("__nhi", dbl)],
+                    bracket_filter=True)
+        vres = {r["__si"]: r for r in
+                (tagv.groupBy("__si")
+                 .agg(F.sum(F.when(F.col(col) < F.col("__nlo"), 1)
+                            .otherwise(0)).alias("l"),
+                      F.sum(F.when(F.col(col) <= F.col("__nhi"), 1)
+                            .otherwise(0)).alias("u"),
+                      F.expr(f"approx_percentile({col}, "
+                             f"array({pcts}), {accuracy}) "
+                             f"FILTER (WHERE {col} >= __nlo "
+                             f"AND {col} <= __nhi)")
+                      .alias("p")).collect())}
+        grids.clear()
+        for i, (g, s) in sketching:
+            nlo, nhi = props[i]
+            r = vres.get(i)
+            l, u = (int(r["l"]), int(r["u"])) if r else (0, 0)
+            s.apply_verified(nlo, nhi, s.below + l, s.below + u)
+            if (s.val is None and r is not None
+                    and r["p"] is not None
+                    and (s.lo, s.hi) == (nlo, nhi)):
+                grids[i] = r["p"]  # optimistic grid is valid
+
+
+def grouped_exact_ranks(df: DataFrame, key_col: str, col: str,
+                        cells: list[tuple], accuracy: int = 10_000,
+                        max_rounds: int = 6,
+                        direct_limit: int = 100_000,
+                        grid: int = 512) -> dict:
+    """EXACT k-th smallest per (cell, rank) for caller-known exact cell
+    sizes — the rank-addressed grouped twin of :func:`exact_ranks`,
+    batching EVERY cell through one shared bracketing loop (r11,
+    ADVICE r10: the streaming quantile serve's hot (group, bucket)
+    cells previously ran a sequential per-cell loop, making serve
+    latency linear in hot-cell count; here all cells share each
+    round's sketch/verify/read jobs, the grouped engine's constant job
+    shape).
+
+    ``cells``: [(key_value, n_cell, [(state_id, k), ...])] with k the
+    1-based rank INSIDE the cell and n_cell the cell's exact non-null
+    row count (no sizes job runs — the caller holds exact counts, e.g.
+    a maintained histogram). ``key_col`` may be any equality-
+    comparable column the caller constructed (a partition bucket, or a
+    struct of (group, bucket) for composite cells). Returns
+    {state_id: value}."""
+    spark = df.sparkSession
+    gtype = df.schema[key_col].dataType
+    vals = (df.select(key_col, col)
+            .filter(F.col(col).isNotNull()))
+    pcts = ", ".join(repr(i / grid) for i in range(grid + 1))
+    from pyspark import StorageLevel
+
+    vals = vals.persist(StorageLevel.MEMORY_AND_DISK)
+    states: list[tuple] = []   # (key_value, _QState)
+    grids: dict = {}           # state index -> current bracket's grid
+    sids: list = []            # state index -> caller's state_id
+    try:
+        # ONE shared grid sketch seeds round 1 for every cell (the
+        # analogue of grouped_exact_quantiles' fused sizes+grid pass,
+        # minus the sizes — counts are caller-supplied)
+        first = {r["__k"]: r["__p"] for r in
+                 (vals.groupBy(F.col(key_col).alias("__k"))
+                  .agg(F.expr(f"approx_percentile({col}, "
+                              f"array({pcts}), {accuracy})")
+                       .alias("__p")).collect())}
+        for key, n_cell, pairs in cells:
+            p = first.get(key)
+            for sid, k in pairs:
+                if not 1 <= k <= n_cell:
+                    raise ValueError(
+                        f"rank {k} outside [1, {n_cell}] for {key!r}")
+                s = _QState(k / n_cell, n_cell)
+                s.k = k  # exact rank, not a ceil(q*n) re-derivation
+                if p is not None:
+                    grids[len(states)] = p
+                states.append((key, s))
+                sids.append(sid)
+        _grouped_bracket_loop(spark, vals, key_col, col, gtype,
+                              states, grids, accuracy, max_rounds,
+                              direct_limit, grid)
     finally:
         vals.unpersist()
-    return [(g, s.q, s.val) for g, s in states]
+    return {sid: s.val for sid, (_, s) in zip(sids, states)}
 
 
 def _flt(x):

@@ -117,6 +117,29 @@ def _normalize_ts(table):
     return table
 
 
+def _cast_ok(have, want) -> bool:
+    """True when casting a file column from ``have`` to the planned
+    ``want`` arrow type is lossless by construction: timestamp unit/tz
+    normalization, string representation width, or one hop up the safe
+    type-widening lattice (int8→…→int64, float32→float64, int→float64 —
+    the same lattice ``TxnTable`` admits on merge_schema evolution, so a
+    widened table's OLD files upcast at the scan instead of forcing a
+    100 TB rewrite). Everything else is a real type change."""
+    import pyarrow as pa
+
+    if pa.types.is_timestamp(have) and pa.types.is_timestamp(want):
+        return True
+    if ((pa.types.is_string(have) or pa.types.is_large_string(have))
+            and (pa.types.is_string(want) or pa.types.is_large_string(want))):
+        return True
+    ints = [pa.int8(), pa.int16(), pa.int32(), pa.int64()]
+    if have in ints and want in ints:
+        return ints.index(have) <= ints.index(want)
+    if want == pa.float64():
+        return have == pa.float32() or have in ints
+    return False
+
+
 def _read_file(p: _FilePartition | None):
     """Executor-side: one parquet file → arrow batches. The partition
     column (if the file lives in a ``col=value`` subdir) is re-attached
@@ -149,6 +172,19 @@ def _read_file(p: _FilePartition | None):
             if f.name in t.schema.names:
                 c = t.column(f.name)
                 if c.type != f.type:
+                    # only known-benign normalizations and the safe-
+                    # widening lattice cast silently; anything else is a
+                    # genuine type change that must surface as the
+                    # descriptive evolved-after-plan error naming the
+                    # file, not a lossy coercion or an opaque executor
+                    # arrow failure (ADVICE r10)
+                    if not _cast_ok(c.type, f.type):
+                        raise ValueError(
+                            f"txnlog: {p.path} column {f.name!r} is "
+                            f"{c.type} but the plan expects {f.type} — "
+                            "the table's schema evolved after this "
+                            "read/stream was planned; restart it to "
+                            "pick up the evolved schema")
                     c = c.cast(f.type)
                 cols.append(c)
             else:  # pre-evolution file: typed-NULL backfill

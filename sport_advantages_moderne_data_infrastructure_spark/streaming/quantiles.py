@@ -222,26 +222,37 @@ def _ranked_read(rows, targets: list[tuple], tag_cond) -> dict:
 def _hot_ranks(spark, vals: TxnTable, src: int, hot: dict,
                hot_limit: int, accuracy: int,
                group_col: str | None = None) -> dict:
-    """Answer hot-bucket targets with the batch bracketing engine:
-    per hot (group, bucket) the pruned (and group-filtered) rows go
-    through exact_ranks — sketch-guided brackets, exact verify counts,
-    bounded ranked reads — seeded with the histogram's EXACT row count
-    so no count job runs. hot maps (group, bucket) -> (n_bucket,
-    [(state_id, k_in), ...]); returns {state_id: value}."""
-    from ..operators.sketches import exact_ranks
+    """Answer ALL hot-bucket targets with ONE batched bracketing run
+    (r11, ADVICE r10: the previous per-cell exact_ranks loop made
+    serve latency linear in hot-cell count — a grouped root whose
+    groups share a skewed grid has MANY hot (group, bucket) cells):
+    every hot bucket dir is read once (partition-pruned, at the
+    pinned version), each row keyed by its cell — the bucket alone
+    for flat roots, a (group, bucket) struct for grouped ones — and
+    the shared grouped bracketing engine answers every cell's ranks
+    with each round's sketch/verify/read jobs SHARED across cells,
+    seeded with the histogram's EXACT cell counts so no count job
+    runs. hot maps (group, bucket) -> (n_cell, [(state_id, k_in),
+    ...]); returns {state_id: value}."""
+    from ..operators.sketches import grouped_exact_ranks
 
-    got: dict = {}
-    for (g, b), (nb, pairs) in hot.items():
-        rows = vals.read_partitions(spark, [b], version=src)
-        if group_col is not None:
-            pred = (F.col(group_col).isNull() if g is None
-                    else F.col(group_col).eqNullSafe(F.lit(g)))
-            rows = rows.filter(pred)
-        vs = exact_ranks(rows, "v", [k for _, k in pairs], n=nb,
-                         accuracy=accuracy, direct_limit=hot_limit)
-        for (si, _), v in zip(pairs, vs):
-            got[si] = v
-    return got
+    if not hot:
+        return {}
+    rows = vals.read_partitions(
+        spark, sorted({b for _, b in hot}), version=src)
+    if group_col is None:
+        keyed = rows.select("v", F.col("__vb").alias("__cell"))
+        cells = [(b, nb, pairs)
+                 for (_, b), (nb, pairs) in hot.items()]
+    else:
+        keyed = rows.select(
+            "v", F.struct(F.col(group_col).alias("g"),
+                          F.col("__vb").alias("b")).alias("__cell"))
+        cells = [((g, b), nb, pairs)
+                 for (g, b), (nb, pairs) in hot.items()]
+    return grouped_exact_ranks(keyed, "__cell", "v", cells,
+                               accuracy=accuracy,
+                               direct_limit=hot_limit)
 
 
 def quantiles_served(spark: SparkSession, root: str, qs: list[float],

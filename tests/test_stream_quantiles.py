@@ -273,13 +273,15 @@ def test_hot_bucket_serve_bounded(spark, sf_dir, monkeypatch):
     bound = max(2 * acc, limit)
     want = exact_quantiles(e, "value", QS)  # before the spy attaches
     widths: list[int] = []
-    real_read = SK._read_ready_brackets
+    # r11: the hot fallback batches cells through the GROUPED engine
+    # (ADVICE r10), so the width spy moves to its shared read site
+    real_read = SK._read_ready_grouped
 
-    def _spy(vals_df, col, ready):
-        widths.extend(s.width() for _, s in ready)
-        return real_read(vals_df, col, ready)
+    def _spy(tag_df, col, ready):
+        widths.extend(s.width() for _, (_, s) in ready)
+        return real_read(tag_df, col, ready)
 
-    monkeypatch.setattr(SK, "_read_ready_brackets", _spy)
+    monkeypatch.setattr(SK, "_read_ready_grouped", _spy)
     got = Q.quantiles_served(spark, root, QS,
                              hot_bucket_limit=limit, accuracy=acc)
     assert got == want
@@ -307,6 +309,46 @@ def test_grouped_hot_bucket_serve_bounded(spark, sf_dir):
         spark, root, "event_type", QS, hot_bucket_limit=64,
         accuracy=32)}
     assert got == want
+
+
+def test_hot_cells_batched_through_one_engine_call(spark, sf_dir,
+                                                   monkeypatch):
+    """r11 (ADVICE r10): a grouped root whose groups share a skewed
+    grid has MANY hot (group, bucket) cells; the serve must answer
+    them all through ONE batched bracketing run (cells share each
+    round's sketch/verify/read jobs) — never a sequential per-cell
+    loop that makes serve latency linear in hot-cell count."""
+    from sport_advantages_moderne_data_infrastructure_spark.operators import (
+        sketches as SK,
+    )
+    from sport_advantages_moderne_data_infrastructure_spark.operators.sketches import (  # noqa: E501
+        grouped_exact_quantiles,
+    )
+
+    e = (load_table(spark, sf_dir, "events")
+         .select("event_id", "event_type", "value"))
+    root = tempfile.mkdtemp(prefix="sq_batch_")
+    vals, hist = Q._tables(root)
+    # grid 100x wider than the data: EVERY group's mass lands in one
+    # cell, so every (group, target-bucket) is hot at this limit
+    Q.ingest_batch(vals, hist, e, 0, "value", LO, HI * 100,
+                   app_id="batch", group_col="event_type")
+    calls: list[int] = []
+    real = SK.grouped_exact_ranks
+
+    def _spy(df, key_col, col, cells, **kw):
+        calls.append(len(cells))
+        return real(df, key_col, col, cells, **kw)
+
+    monkeypatch.setattr(SK, "grouped_exact_ranks", _spy)
+    want = {(g, q): v for g, q, v in grouped_exact_quantiles(
+        e, "event_type", "value", QS)}
+    got = {(g, q): v for g, q, v in Q.grouped_quantiles_served(
+        spark, root, "event_type", QS, hot_bucket_limit=64,
+        accuracy=32)}
+    assert got == want
+    assert len(calls) == 1, calls          # ONE batched run
+    assert calls[0] > 1, calls             # genuinely many hot cells
 
 
 def test_serve_pinned_to_hist_version(spark, sf_dir):

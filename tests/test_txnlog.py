@@ -1357,6 +1357,35 @@ def test_append_merge_schema_evolution(spark, tmp_path):
         t.append(spark.createDataFrame([(4, 1.5)], "id int, other double"))
 
 
+def test_merge_schema_type_change_rejected_without_logged_schema(
+        spark, tmp_path):
+    """r11 (ADVICE r10): the merge_schema type-change guard must hold
+    even when table_schema() is None (partitioned history — the log
+    records no schema for col=value dirs): the fallback compares
+    against the newest live dir's FOOTER, so a type-changed shared
+    column still fails at write time instead of committing and
+    bricking every later snapshot read at the parquet schema union."""
+    t = TxnTable(str(tmp_path / "t"))
+    t.overwrite_partitions(
+        spark.createDataFrame([(1, "a", 1.5, 0), (2, "b", 2.5, 1)],
+                              "id int, val string, score double, p int"),
+        "p")
+    assert t.table_schema(None) is None  # the unguarded precondition
+    # type-changed shared column: rejected via the footer fallback
+    with pytest.raises(ValueError, match="not type changes"):
+        t.append(spark.createDataFrame(
+            [(3, "c", "oops", 0)],
+            "id int, val string, score string, p int"),
+            merge_schema=True)
+    # matching types + a NEW column still evolve fine
+    t.append(spark.createDataFrame(
+        [(3, "c", 3.5, 0, "en")],
+        "id int, val string, score double, p int, lang string"),
+        merge_schema=True)
+    got = {(r["id"], r["lang"]) for r in t.read(spark).collect()}
+    assert got == {(1, None), (2, None), (3, "en")}
+
+
 def test_agg_delta_maintains_materialized_view(spark, tmp_path):
     """IVM contract: base partial aggregates + CDF deltas == a full
     recompute over the current snapshot, across merge (with preimages)
@@ -2486,6 +2515,48 @@ def test_stream_evolution_guard_and_restart(spark, tmp_path):
     assert sorted(got.columns) == ["k", "lang", "v"]
     assert got.count() == 15
     assert got.filter("k < 10 AND lang IS NULL").count() == 10
+
+
+def test_read_file_cast_guard(tmp_path):
+    """r11 (ADVICE r10): the executor read's plan-alignment cast is
+    restricted to lossless normalizations (timestamp unit/tz, string
+    width) plus the safe-widening lattice; a genuine type change —
+    including narrowing — raises the descriptive evolved-after-plan
+    error naming the file, never a lossy coercion or an opaque arrow
+    executor failure."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from sport_advantages_moderne_data_infrastructure_spark.sources.txnstream import (  # noqa: E501
+        _FilePartition, _read_file,
+    )
+
+    f = str(tmp_path / "one.parquet")
+    pq.write_table(pa.table({
+        "k": pa.array([1, 2], pa.int32()),
+        "v": pa.array([10, 20], pa.int64()),
+        "s": pa.array(["a", "b"], pa.string())}), f)
+
+    # safe widening + string-width normalization cast silently
+    want = pa.schema([("k", pa.int64()), ("v", pa.float64()),
+                      ("s", pa.large_string())])
+    got = pa.Table.from_batches(list(_read_file(
+        _FilePartition(f, want=want))))
+    assert got.schema == want
+    assert got["v"].to_pylist() == [10.0, 20.0]
+
+    # a genuine type change (int64 -> string) raises, naming the file
+    bad = pa.schema([("k", pa.int32()), ("v", pa.string()),
+                     ("s", pa.string())])
+    with pytest.raises(ValueError, match="schema evolved"):
+        list(_read_file(_FilePartition(f, want=bad)))
+
+    # narrowing (int64 -> int32) is NOT in the lattice
+    narrow = pa.schema([("k", pa.int32()), ("v", pa.int32()),
+                        ("s", pa.string())])
+    with pytest.raises(ValueError, match="schema evolved"):
+        list(_read_file(_FilePartition(f, want=narrow)))
 
 
 def test_cdf_stream_across_evolution_boundary(spark, tmp_path):
