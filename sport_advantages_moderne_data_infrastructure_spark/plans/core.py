@@ -401,7 +401,16 @@ def q_txn_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("txn_zorder_read",  # rotated INTO the driver window late-r5
-          # (dedup_word_jaccard_pairs rotated out — twice-green twin)
+          # (dedup_word_jaccard_pairs rotated out — twice-green twin).
+          # Demoted r11 after green r5-r10: the stats-range-pruned read
+          # class stays gated via txn_column_mapping (read_range over a
+          # RENAMED column — the same 1-of-3-dirs pruning with the
+          # extra logical->physical stats translation on top), the
+          # Z-ORDER machinery itself stays pinned by four
+          # tests/test_txnlog.py zorder tests + the row_ops bench leg,
+          # and this row stays DuckDB-verified per pytest run; slot
+          # goes to txn_column_mapping (VERDICT r10 #2).
+          driver=False,
           oracle=("SELECT o_orderkey, o_custkey, "
                   "ROUND(o_totalprice, 2) AS total FROM orders "
                   "WHERE o_totalprice BETWEEN 100000 AND 110000 "
@@ -437,7 +446,15 @@ def q_txn_zorder_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("txn_clone_readback",  # new r6, gated immediately (slot:
-          # approx_quantile_contract demoted — triple-green)
+          # approx_quantile_contract demoted — triple-green).
+          # Demoted r11 after green r6-r10: CLONE's hardlink/versioned
+          # readback stays pinned by tests/test_clone.py (incl. the r11
+          # mapped-clone protocol test) and the independent-evolution
+          # contract by test_clone_evolves_independently /
+          # test_clone_survives_source_vacuum; the row stays
+          # DuckDB-verified per pytest run; slot goes to
+          # txn_type_widening (VERDICT r10 #4).
+          driver=False,
           oracle=(
               "WITH cut AS (SELECT CAST(FLOOR(MAX(o_orderkey) / 3) "
               "AS BIGINT) AS c FROM orders) "
@@ -651,6 +668,153 @@ def q_txn_schema_evolution(spark: SparkSession,
     return t.read(spark).select(
         "k", "price", "priority", "status",
         F.lit(bool(tt_ok)).alias("tt_ok"),
+        F.lit(bool(cdf_ok)).alias("cdf_ok"))
+
+
+@register(
+    "txn_column_mapping",  # new r11, gated immediately (slot:
+    # txn_zorder_read demoted — green r5-r10; see its comment).
+    # Column mapping (VERDICT r10 #2): RENAME/DROP COLUMN as
+    # metadata-only commits — at 100 TB a rename must never cost the
+    # full-table rewrite the reference's overwriteSchema refresh
+    # implies (read_delta.py:219-222). Files keep PHYSICAL names; the
+    # log maps logical->physical per version, so time travel returns
+    # era-correct column sets and one CDF read across the rename
+    # returns the anchor's names. The oracle replays the whole history
+    # relationally under the FINAL names; the tt/cdf/pruned booleans
+    # are literal-TRUE-able — a pre-rename snapshot showing post-rename
+    # names, a change feed leaking the dropped column, or a pruning
+    # miss on the renamed column's translated stats flips the hash.
+    oracle=(
+        "SELECT o_orderkey AS k, o_orderpriority AS priority, "
+        "TRUE AS tt_ok, TRUE AS cdf_ok, TRUE AS pruned_ok "
+        "FROM orders WHERE o_orderkey BETWEEN 1000 AND 2000 "
+        "ORDER BY k"))
+def q_txn_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rename/drop without rewrite, end-to-end: orders lands as three
+    appends of disjoint okey thirds (v0-v2, footer stats recorded),
+    then okey RENAMEs to k (v3), prio to priority (v4), and price DROPs
+    (v5) — all three metadata-only (zero adds/removes, asserted). The
+    final read is a stats-PRUNED read_range over the RENAMED column
+    (the logical->physical stats translation plans 1 of 3 dirs,
+    pruned_ok); time travel below the renames shows the era's names
+    with the era's data (tt_ok); one change feed read across all three
+    boundaries returns the anchor's names with the dropped column
+    gone (cdf_ok)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..sources.tables import load_table
+    from ..sources.txnlog import TxnTable
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_totalprice").alias("price"))
+    mx = o.agg(F.max("okey")).first()[0]
+    cuts = [-1, mx // 3, 2 * mx // 3, mx]
+    t = TxnTable(tempfile.mkdtemp(prefix="samdis_txn_cm_"))
+    for lo, hi in zip(cuts, cuts[1:]):
+        t.append(o.filter((F.col("okey") > lo) & (F.col("okey") <= hi)))
+    n_total = o.count()
+    t.rename_column("okey", "k")        # v3
+    t.rename_column("prio", "priority")  # v4
+    t.drop_column("price")              # v5
+    assert all(not t._doc(v)["adds"] and not t._doc(v)["removes"]  # noqa: SLF001
+               for v in (3, 4, 5))      # metadata-only, no data I/O
+    tt_ok = (t.read(spark, version=2).columns
+             == ["okey", "prio", "price"]
+             and t.read(spark, version=2).count() == n_total
+             and t.read(spark, version=4).columns
+             == ["k", "priority", "price"])
+    ch = t.read_changes(spark, since_version=-1)
+    cdf_ok = (set(ch.columns) == {"k", "priority", "_change_type",
+                                  "_commit_version"}
+              and ch.count() == n_total)
+    pruned_ok = len(t.pruned_dirs("k", 1000, 2000)) == 1
+    return (t.read_range(spark, "k", 1000, 2000)
+            .select("k", "priority",
+                    F.lit(bool(tt_ok)).alias("tt_ok"),
+                    F.lit(bool(cdf_ok)).alias("cdf_ok"),
+                    F.lit(bool(pruned_ok)).alias("pruned_ok")))
+
+
+@register(
+    "txn_type_widening",  # new r11, gated immediately (slot:
+    # txn_clone_readback demoted — green r6-r10; see its comment).
+    # Safe type widening on evolution (VERDICT r10 #4): r10 rejected
+    # ANY shared-column type change, which is right for narrowing but
+    # forces a 100 TB rewrite for the routine INT->BIGINT /
+    # FLOAT->DOUBLE case (Delta's typeWidening feature). The log
+    # records the WIDE type, files keep their narrow physical type and
+    # upcast at the scan — never a rewrite. The oracle replays the
+    # history relationally (REAL->DOUBLE round-trips are bit-exact in
+    # both engines); tt/narrow/cdf booleans are literal-TRUE-able.
+    oracle=(
+        "WITH pre AS ("
+        "SELECT o_orderkey AS k, "
+        "CAST(CAST(o_totalprice AS REAL) AS DOUBLE) AS amt "
+        "FROM orders WHERE o_orderkey % 3 = 0 "
+        "UNION ALL SELECT o_orderkey AS k, o_totalprice AS amt "
+        "FROM orders WHERE o_orderkey % 3 = 1), "
+        "ups AS (SELECT o_orderkey AS k, o_totalprice * 2 AS amt "
+        "FROM orders WHERE o_orderkey % 2 = 0), "
+        "merged AS (SELECT k, amt FROM ups UNION ALL "
+        "SELECT p.k, p.amt FROM pre p WHERE NOT EXISTS "
+        "(SELECT 1 FROM ups u WHERE u.k = p.k)) "
+        "SELECT k, amt, TRUE AS tt_ok, TRUE AS narrow_rejected, "
+        "TRUE AS cdf_ok FROM merged ORDER BY k"))
+def q_txn_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Widening end-to-end: orders lands narrow (k INT, amt FLOAT, v0),
+    a mergeSchema append widens amt to DOUBLE (v1 — v0's float32 files
+    upcast at the scan, bit-exactly), an autoMerge MERGE widens k to
+    BIGINT while upserting by key (v2). Time travel below each boundary
+    returns the era's narrow types (tt_ok); a lossy change (long frame
+    into the double column) is still rejected at write time
+    (narrow_rejected); one change feed read across both boundaries
+    coerces to the wide types (cdf_ok). Zero data rewrites: every
+    commit's removes are empty except the MERGE's own upsert."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..sources.tables import load_table
+    from ..sources.txnlog import TxnTable
+
+    o = load_table(spark, sf_dir, "orders")
+    v0 = o.filter("o_orderkey % 3 = 0").select(
+        F.col("o_orderkey").cast("int").alias("k"),
+        F.col("o_totalprice").cast("float").alias("amt"))
+    v1 = o.filter("o_orderkey % 3 = 1").select(
+        F.col("o_orderkey").cast("int").alias("k"),
+        F.col("o_totalprice").cast("double").alias("amt"))
+    ups = o.filter("o_orderkey % 2 = 0").select(
+        F.col("o_orderkey").cast("long").alias("k"),
+        (F.col("o_totalprice") * 2).cast("double").alias("amt"))
+    t = TxnTable(tempfile.mkdtemp(prefix="samdis_txn_tw_"))
+    t.append(v0)                              # v0: narrow
+    t.append(v1, merge_schema=True)           # v1: amt FLOAT -> DOUBLE
+    t.merge(spark, ups, "k", auto_merge=True)  # v2: k INT -> BIGINT
+    tt_ok = (dict(t.read(spark, version=0).dtypes)
+             == {"k": "int", "amt": "float"}
+             and dict(t.read(spark, version=1).dtypes)
+             == {"k": "int", "amt": "double"}
+             and dict(t.read(spark).dtypes)
+             == {"k": "bigint", "amt": "double"})
+    try:  # lossy long -> double must still fail at write time
+        t.append(v0.select(F.col("k").cast("long").alias("amt"),
+                           F.col("k")), merge_schema=True)
+        narrow_rejected = False
+    except ValueError:
+        narrow_rejected = True
+    ch = t.read_changes(spark, since_version=-1)
+    cdf_ok = (dict(ch.dtypes)["k"] == "bigint"
+              and dict(ch.dtypes)["amt"] == "double")
+    return t.read(spark).select(
+        "k", "amt",
+        F.lit(bool(tt_ok)).alias("tt_ok"),
+        F.lit(bool(narrow_rejected)).alias("narrow_rejected"),
         F.lit(bool(cdf_ok)).alias("cdf_ok"))
 
 

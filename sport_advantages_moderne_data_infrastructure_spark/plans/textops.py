@@ -447,6 +447,12 @@ def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # its harder generalization (per-source token budgets over
     # distributed prefix sums), and stays DuckDB-verified per pytest
     # run).
+    # Demoted r11 after green r8-r10: STRICTLY EXTENDED by
+    # hybrid_chunk_search — the same RRF fusion of the same two legs,
+    # with the text leg refined to chunk granularity (best-passage
+    # evidence per doc) on top; this row stays DuckDB-verified per
+    # pytest run; slot goes to hybrid_chunk_search (VERDICT r10 #6).
+    driver=False,
     oracle=(
         f"WITH {_BM25_SQL}, "
         "q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS qe "
@@ -503,6 +509,178 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("rank", F.row_number().over(w).cast("int"))
             .filter(F.col("rank") <= 10)
             .select("query_id", "doc_id",
+                    F.round("rrf", 6).alias("rrf_score"), "rank",
+                    "in_text", "in_vector")
+            .orderBy("query_id", "rank"))
+
+
+# Chunk-granular BM25 CTEs (the 10-word windows of dedup_chunks, kept
+# with their positions): each chunk is the retrieval unit — tf/dl/df
+# and the corpus scalars are all per-CHUNK. Query terms reuse the
+# doc-level qt CTE (_BM25_SQL): the query set stays the doc-index
+# convention, only the unit retrieved changes.
+_CHUNK_BM25_SQL = (
+    "cw AS (SELECT doc_id, regexp_split_to_array(trim(text), ' +') "
+    "AS ws FROM documents), "
+    "cidx AS (SELECT doc_id, ws, UNNEST(range(CAST(GREATEST("
+    "CEIL(len(ws) / 10.0), 1) AS BIGINT))) AS pos FROM cw), "
+    "chunk AS (SELECT doc_id, CAST(pos AS INT) AS pos, "
+    "list_slice(ws, pos * 10 + 1, pos * 10 + 10) AS cws FROM cidx), "
+    "ctoks AS (SELECT doc_id, pos, UNNEST(cws) AS tok FROM chunk), "
+    "ctf AS (SELECT doc_id, pos, tok, CAST(COUNT(*) AS BIGINT) AS tf "
+    "FROM ctoks WHERE tok <> '' GROUP BY doc_id, pos, tok), "
+    "cdl AS (SELECT doc_id, pos, CAST(SUM(tf) AS BIGINT) AS dl "
+    "FROM ctf GROUP BY doc_id, pos), "
+    "cmeta AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_chunks, "
+    "CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl "
+    "FROM cdl), "
+    "cdf AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM ctf "
+    "GROUP BY tok), "
+    "cterms AS (SELECT qt.query_id, ctf.doc_id, ctf.pos, "
+    "((cmeta.n_chunks - cdf.df + 0.5) / (cdf.df + 0.5)) * "
+    "(ctf.tf * 2.2 / (ctf.tf + 1.2 * (1 - 0.75 + 0.75 * cdl.dl / "
+    "cmeta.avgdl))) AS ts "
+    "FROM qt JOIN ctf USING (tok) JOIN cdf USING (tok) "
+    "JOIN cdl ON ctf.doc_id = cdl.doc_id AND ctf.pos = cdl.pos "
+    "CROSS JOIN cmeta), "
+    "cscore AS (SELECT query_id, doc_id, pos, "
+    "list_aggregate(list_sort(list(ts)), 'sum') AS score "
+    "FROM cterms GROUP BY query_id, doc_id, pos), "
+    "cbest AS (SELECT query_id, doc_id, pos, score FROM ("
+    "SELECT query_id, doc_id, pos, score, ROW_NUMBER() OVER ("
+    "PARTITION BY query_id, doc_id ORDER BY score DESC, pos) AS rb "
+    "FROM cscore) WHERE rb = 1), "
+    "tdoc AS (SELECT query_id, doc_id, pos, "
+    "CAST(ROW_NUMBER() OVER (PARTITION BY query_id "
+    "ORDER BY score DESC, doc_id) AS INT) AS rank FROM cbest "
+    "QUALIFY rank <= 10)"
+)
+
+
+@register(
+    "hybrid_chunk_search",  # new r11, gated immediately (slot:
+    # hybrid_search_rrf demoted — green r8-r10; see its comment).
+    # Chunk-level hybrid retrieval (VERDICT r10 #6): the RAG
+    # composition users actually run — dedup_chunks' 10-word chunks as
+    # the retrieval unit, BM25 over CHUNK postings picking each doc's
+    # best passage, RRF-fused with the doc-embedding cosine leg,
+    # returning (query, doc, chunk_pos) evidence. chunk_pos = -1 marks
+    # vector-only hits (no lexical passage). Full pipeline hash
+    # oracle: chunking, chunk postings/df/scalars, per-chunk BM25,
+    # best-passage selection, doc ranking, fusion — all recomputed
+    # relationally.
+    oracle=(
+        f"WITH {_BM25_SQL}, {_CHUNK_BM25_SQL}, "
+        "q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS qe "
+        "FROM embeddings WHERE vec_id % 50 = 0), "
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ee "
+        "FROM embeddings), "
+        "vscored AS (SELECT q.vec_id AS query_id, e.vec_id AS doc_id, "
+        "list_dot_product(qe, ee) / (sqrt(list_dot_product(qe, qe)) * "
+        "sqrt(list_dot_product(ee, ee))) AS cos FROM q CROSS JOIN e), "
+        "vec AS (SELECT query_id, doc_id, "
+        "CAST(ROW_NUMBER() OVER (PARTITION BY query_id "
+        "ORDER BY cos DESC, doc_id) AS INT) AS rank FROM vscored "
+        "QUALIFY rank <= 10), "
+        "fused AS (SELECT COALESCE(t.query_id, v.query_id) AS query_id, "
+        "COALESCE(t.doc_id, v.doc_id) AS doc_id, "
+        "COALESCE(t.pos, -1) AS chunk_pos, "
+        "COALESCE(1.0 / (60 + t.rank), 0.0) + "
+        "COALESCE(1.0 / (60 + v.rank), 0.0) AS rrf, "
+        "t.rank IS NOT NULL AS in_text, v.rank IS NOT NULL AS in_vector "
+        "FROM tdoc t FULL OUTER JOIN vec v "
+        "ON t.query_id = v.query_id AND t.doc_id = v.doc_id), "
+        "ranked AS (SELECT query_id, doc_id, chunk_pos, rrf, in_text, "
+        "in_vector, CAST(ROW_NUMBER() OVER (PARTITION BY query_id "
+        "ORDER BY rrf DESC, doc_id) AS INT) AS rank FROM fused) "
+        "SELECT query_id, doc_id, chunk_pos, ROUND(rrf, 6) AS rrf_score, "
+        "rank, in_text, in_vector FROM ranked WHERE rank <= 10 "
+        "ORDER BY query_id, rank"))
+def q_hybrid_chunk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level hybrid retrieval, end-to-end: chunks are a pure JVM
+    projection (split + posexplode of 10-word slices — zero shuffle,
+    zero UDF, the dedup_chunks chunking with positions kept); chunk
+    BM25 candidates are the UNION OF POSTING LISTS of <= 30 broadcast
+    query terms (posting-list-bounded — never a corpus scan or an
+    all-pairs join on the text leg); each doc's best passage is a
+    (query, doc) window over candidate chunks only; RRF fuses the
+    <= 10-row-per-query doc rankings of both legs. At 100 TB the only
+    corpus-sized work is the chunk-postings build (the index phase) —
+    query cost is posting-list-bounded + O(queries)."""
+    from pyspark.sql import Window as W
+
+    from ..operators import retrieval as R
+    from .simops import q_ann_cosine_topk
+
+    # query terms: the doc-index convention (every 50th doc's top-3
+    # TF-IDF terms from the DOC-level artifacts)
+    postings, df, n_docs, _ = bm25_index(spark, sf_dir)
+    qt = R.query_terms_tfidf(postings, df, n_docs,
+                             F.col("doc_id") % 50 == 0)
+
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split(F.trim("text"), " +")
+    n_ch = F.greatest(F.ceil(F.size("ws") / F.lit(10)).cast("int"),
+                      F.lit(1))
+    chunks = (d.select("doc_id", w.alias("ws"))
+              .select("doc_id", F.posexplode(
+                  F.transform(F.sequence(F.lit(0), n_ch - 1),
+                              lambda i: F.slice("ws", i * 10 + 1, 10)))
+                  .alias("pos", "cws")))
+    ctf = (chunks.select("doc_id", "pos",
+                         F.explode("cws").alias("tok"))
+           .filter(F.col("tok") != "")
+           .groupBy("doc_id", "pos", "tok")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("tf")))
+    cdl = (ctf.groupBy("doc_id", "pos")
+           .agg(F.sum("tf").cast("bigint").alias("dl")))
+    n_chunks, sum_dl = cdl.agg(
+        F.count(F.lit(1)), F.sum("dl")).first()
+    avgdl = float(sum_dl) / float(n_chunks)
+    cdf = (ctf.groupBy("tok")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("df")))
+    # per-chunk BM25 over posting-list candidates (expressions mirror
+    # the oracle token for token; sorted-fold sum = bit-exact)
+    idf = ((F.lit(int(n_chunks)) - F.col("df") + 0.5)
+           / (F.col("df") + 0.5))
+    tf_part = (F.col("tf") * F.lit(2.2)
+               / (F.col("tf") + F.lit(1.2)
+                  * (1 - 0.75 + 0.75 * F.col("dl") / F.lit(avgdl))))
+    qt_df = F.broadcast(qt).join(cdf, "tok")
+    cand = (ctf.join(cdl, ["doc_id", "pos"])
+            .join(F.broadcast(qt_df), "tok")
+            .select("query_id", "doc_id", "pos",
+                    (idf * tf_part).alias("ts")))
+    cscore = (cand.groupBy("query_id", "doc_id", "pos")
+              .agg(F.aggregate(F.array_sort(F.collect_list("ts")),
+                               F.lit(0.0), lambda a, x: a + x)
+                   .alias("score")))
+    wb = W.partitionBy("query_id", "doc_id").orderBy(
+        F.desc("score"), F.asc("pos"))
+    cbest = (cscore.withColumn("rb", F.row_number().over(wb))
+             .filter(F.col("rb") == 1).drop("rb"))
+    wd = W.partitionBy("query_id").orderBy(F.desc("score"),
+                                           F.asc("doc_id"))
+    tdoc = (cbest.withColumn("rank", F.row_number().over(wd).cast("int"))
+            .filter(F.col("rank") <= 10)
+            .select("query_id", "doc_id", "pos",
+                    F.col("rank").alias("r_t")))
+    vec = (q_ann_cosine_topk(spark, sf_dir)
+           .select("query_id", F.col("neighbor_id").alias("doc_id"),
+                   F.col("rank").alias("r_v")))
+    fused = tdoc.join(vec, ["query_id", "doc_id"], "full_outer")
+    rrf = (F.coalesce(1.0 / (60 + F.col("r_t")), F.lit(0.0))
+           + F.coalesce(1.0 / (60 + F.col("r_v")), F.lit(0.0)))
+    wr = W.partitionBy("query_id").orderBy(F.desc("rrf"),
+                                           F.asc("doc_id"))
+    return (fused.select("query_id", "doc_id",
+                         F.coalesce("pos", F.lit(-1)).alias("chunk_pos"),
+                         rrf.alias("rrf"),
+                         F.col("r_t").isNotNull().alias("in_text"),
+                         F.col("r_v").isNotNull().alias("in_vector"))
+            .withColumn("rank", F.row_number().over(wr).cast("int"))
+            .filter(F.col("rank") <= 10)
+            .select("query_id", "doc_id", "chunk_pos",
                     F.round("rrf", 6).alias("rrf_score"), "rank",
                     "in_text", "in_vector")
             .orderBy("query_id", "rank"))

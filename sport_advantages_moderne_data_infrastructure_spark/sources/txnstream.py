@@ -58,6 +58,12 @@ class _FilePartition(InputPartition):
     # masks the deleted row positions out before yielding batches
     dv_path: str | None = None
     dv_key: str | None = None
+    # column mapping (r11): {physical: logical} renames applied to the
+    # arrow table right after read (files store PHYSICAL names), and
+    # orphaned physical columns (dropped / superseded re-adds) silently
+    # excluded instead of tripping the evolved-after-plan guard
+    rename: dict | None = None
+    ignore: tuple = ()
     # the PLANNED arrow schema (data + CDF columns, declared order) —
     # executor-side _read_file aligns each file to it: columns an old
     # pre-evolution file lacks are null-filled (the additive-evolution
@@ -103,6 +109,22 @@ def _files_of(table: TxnTable, rel_dirs: list[str]) -> list[_FilePartition]:
     return parts
 
 
+def _attach_mapping(table: TxnTable, parts: list, version=None) -> None:
+    """Column mapping (r11): files store PHYSICAL names — attach the
+    {physical: logical} rename and the orphaned-physical ignore set to
+    every planned partition so executor reads surface the version's
+    LOGICAL view (the planned `want` schema is logical already)."""
+    mapping = table.column_mapping(version)
+    if not mapping:
+        return
+    rename = {phys: log for log, phys in mapping.items() if phys != log}
+    used = set(table._physical_used(version) or [])  # noqa: SLF001
+    orphans = tuple(sorted(used - set(mapping.values())))
+    for p in parts:
+        p.rename = rename or None
+        p.ignore = orphans
+
+
 def _normalize_ts(table):
     """Spark writes INT96/nanosecond timestamps that pyarrow surfaces as
     Timestamp(NANOSECOND) — unsupported by the DataSource Arrow bridge;
@@ -136,7 +158,8 @@ def _cast_ok(have, want) -> bool:
     if have in ints and want in ints:
         return ints.index(have) <= ints.index(want)
     if want == pa.float64():
-        return have == pa.float32() or have in ints
+        # int64 -> float64 is lossy past 2^53: excluded from the lattice
+        return have in (pa.float32(), pa.int8(), pa.int16(), pa.int32())
     return False
 
 
@@ -152,6 +175,13 @@ def _read_file(p: _FilePartition | None):
     if p is None:
         return
     t = _normalize_ts(pq.read_table(p.path))
+    if p.ignore:
+        keep = [n for n in t.schema.names if n not in set(p.ignore)]
+        if len(keep) != len(t.schema.names):
+            t = t.select(keep)
+    if p.rename:
+        t = t.rename_columns(
+            [p.rename.get(n, n) for n in t.schema.names])
     if p.want is not None:
         appended = {p.part_col} if p.part_col is not None else set()
         if p.change_type is not None:
@@ -256,6 +286,7 @@ class _TxnStreamReader(DataSourceStreamReader):
                         " 'true') to skip rewrite commits")
                 adds.extend(doc["adds"])
         parts = _files_of(self.table, adds)
+        _attach_mapping(self.table, parts, end["version"])
         for p in parts:
             p.want = self.want
         return parts
@@ -297,6 +328,7 @@ class _TxnStreamReader(DataSourceStreamReader):
                     f"({op or 'overwrite'}) with no change files; "
                     "restart the change-feed stream from a snapshot read")
             parts.extend(batch)
+        _attach_mapping(self.table, parts, end["version"])
         for p in parts:
             p.want = self.want
         return parts
@@ -350,6 +382,7 @@ class _TxnBatchReader(DataSourceReader):
                     p.dv_path = os.path.join(self.table.path, ref["path"])
                     p.dv_key = os.path.join(rel_dir,
                                             os.path.basename(p.path))
+        _attach_mapping(self.table, parts, self.version)
         for p in parts:
             p.want = self.want
         return parts
@@ -404,6 +437,15 @@ class _TxnWriterBase:
     def __init__(self, path: str, schema):
         self.path = path
         self.spark_schema = schema
+        # writes would store the frame's LOGICAL names while a mapped
+        # table's files must carry PHYSICAL ones — refuse clearly (the
+        # Python API, TxnTable.append/merge, maps at the write)
+        if TxnTable.is_table(path) and \
+                TxnTable(path).column_mapping(None):
+            raise ValueError(
+                "txnlog DataSource writes to a column-mapped table are "
+                "not supported — use TxnTable.append()/merge(), which "
+                "map logical column names to the table's physical ones")
 
     def write(self, iterator) -> _DirCommit:
         # Arrow path (DataSourceArrowWriter): RecordBatches arrive over

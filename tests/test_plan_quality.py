@@ -84,7 +84,16 @@ _NESTED_LOOP_ALLOWED = {"ann_cosine_topk", "ann_recall_report",
                         # is NOT allowed here: its ADC leg is an
                         # equi-join and its exact leg a broadcast HASH
                         # join on doc id — never all-pairs.
-                        "ann_refine_recall_floor", "hybrid_search_rrf"}
+                        "ann_refine_recall_floor", "hybrid_search_rrf",
+                        # r11: filtered SQ8 is the same documented
+                        # exhaustive-rerank shape over the predicate's
+                        # survivors; its floor sibling and the chunk
+                        # hybrid row both CONTAIN the brute cosine
+                        # baseline leg. The filtered IVF-PQ query path
+                        # (filtered_ivfpq_topk) is NOT allowed here —
+                        # probe/refine stay equi-joins.
+                        "ann_filtered_topk", "ann_filtered_recall_floor",
+                        "hybrid_chunk_search"}
 
 
 # non-driver entries whose all-pairs shape is the documented point:

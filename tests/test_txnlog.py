@@ -1372,7 +1372,7 @@ def test_merge_schema_type_change_rejected_without_logged_schema(
         "p")
     assert t.table_schema(None) is None  # the unguarded precondition
     # type-changed shared column: rejected via the footer fallback
-    with pytest.raises(ValueError, match="not type changes"):
+    with pytest.raises(ValueError, match="not these changes"):
         t.append(spark.createDataFrame(
             [(3, "c", "oops", 0)],
             "id int, val string, score string, p int"),
@@ -2081,7 +2081,7 @@ def test_row_op_rebases_over_concurrent_append(spark, tmp_path):
 
     def racing_commit(self, adds, removes, meta=None,
                       expected_version=None, stats=None, changes=None,
-                      schema=None, dvs=None):
+                      schema=None, dvs=None, **kw):
         # before the DELETE's own commit lands, a concurrent append
         # takes the version it expected (once)
         if (not raced["done"] and (meta or {}).get("operation")
@@ -2092,7 +2092,7 @@ def test_row_op_rebases_over_concurrent_append(spark, tmp_path):
         return orig_commit(self, adds, removes, meta,
                            expected_version=expected_version,
                            stats=stats, changes=changes, schema=schema,
-                           dvs=dvs)
+                           dvs=dvs, **kw)
 
     TxnTable.commit = racing_commit
     try:
@@ -2108,7 +2108,7 @@ def test_row_op_rebases_over_concurrent_append(spark, tmp_path):
 
     def conflicting_commit(self, adds, removes, meta=None,
                            expected_version=None, stats=None,
-                           changes=None, schema=None, dvs=None):
+                           changes=None, schema=None, dvs=None, **kw):
         if (not raced2["done"] and (meta or {}).get("operation")
                 == "update"):
             raced2["done"] = True
@@ -2116,7 +2116,7 @@ def test_row_op_rebases_over_concurrent_append(spark, tmp_path):
         return orig_commit(self, adds, removes, meta,
                            expected_version=expected_version,
                            stats=stats, changes=changes, schema=schema,
-                           dvs=dvs)
+                           dvs=dvs, **kw)
 
     TxnTable.commit = conflicting_commit
     try:
@@ -2539,12 +2539,19 @@ def test_read_file_cast_guard(tmp_path):
         "s": pa.array(["a", "b"], pa.string())}), f)
 
     # safe widening + string-width normalization cast silently
-    want = pa.schema([("k", pa.int64()), ("v", pa.float64()),
+    # (k: int32 -> float64 is ON the lattice; v: int64 stays int64 —
+    # int64 -> float64 is lossy past 2^53 and excluded)
+    want = pa.schema([("k", pa.float64()), ("v", pa.int64()),
                       ("s", pa.large_string())])
     got = pa.Table.from_batches(list(_read_file(
         _FilePartition(f, want=want))))
     assert got.schema == want
-    assert got["v"].to_pylist() == [10.0, 20.0]
+    assert got["k"].to_pylist() == [1.0, 2.0]
+    # int64 -> float64: off-lattice, surfaces the descriptive error
+    lossy = pa.schema([("k", pa.int32()), ("v", pa.float64()),
+                       ("s", pa.string())])
+    with pytest.raises(ValueError, match="schema evolved"):
+        list(_read_file(_FilePartition(f, want=lossy)))
 
     # a genuine type change (int64 -> string) raises, naming the file
     bad = pa.schema([("k", pa.int32()), ("v", pa.string()),
@@ -2609,17 +2616,20 @@ def test_cdf_stream_across_evolution_boundary(spark, tmp_path):
 
 
 def test_merge_schema_rejects_type_changes(spark, tmp_path):
-    """Evolution is ADDITIVE only: a merge_schema append whose shared
-    column carries a DIFFERENT type is rejected at write time (it
-    would commit fine and then brick every snapshot read at the
-    parquet schema merge — fail-at-read corruption), and an autoMerge
-    MERGE source's shared columns are cast to the table types instead
-    of smuggling a widening through."""
+    """Evolution admits NEW columns and (since r11) the SAFE-widening
+    lattice only: a merge_schema append whose shared column carries an
+    OFF-LATTICE type (here double vs a bigint table — lossy past 2^53
+    in either direction) is rejected at write time (it would commit
+    fine and then brick every snapshot read at the parquet schema
+    merge — fail-at-read corruption), and an autoMerge MERGE source's
+    off-lattice shared columns are cast to the table types instead of
+    smuggling a type change through. tests/test_type_widening.py pins
+    the admitted lattice."""
     import pytest
     from pyspark.sql import functions as F
 
     t = _evo_table(spark, tmp_path, "widen")
-    with pytest.raises(ValueError, match="not type changes"):
+    with pytest.raises(ValueError, match="not these changes"):
         t.append(spark.range(0, 3).select(
             F.col("id").cast("int").alias("k"),
             F.col("id").cast("double").alias("v")),  # v is long
