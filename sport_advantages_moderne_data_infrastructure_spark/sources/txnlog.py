@@ -552,7 +552,7 @@ class TxnTable:
                 if _partition_of(d) is not None and _partition_of(d)[1] in want]
         if not dirs:
             raise ValueError(f"no live partitions match {values}")
-        return self._read_dirs(spark, dirs)
+        return self._read_dirs(spark, dirs, version=version)
 
     def _read_dirs(self, spark: SparkSession, rel_dirs: list[str],
                    dvs: dict[str, dict] | None = None,
@@ -911,7 +911,8 @@ class TxnTable:
         dirs = self.pruned_dirs(col, lo, hi, version)
         if not dirs:
             return self.read(spark, version).filter(F.lit(False))
-        df = self._read_dirs(spark, dirs, self._dvs_for(dirs, version))
+        df = self._read_dirs(spark, dirs, self._dvs_for(dirs, version),
+                             version=version)
         if lo is not None:
             df = df.filter(F.col(col) >= lo)
         if hi is not None:
@@ -1065,7 +1066,9 @@ class TxnTable:
         dirs = self.pruned_dirs_eq(col, value, version)
         if not dirs:
             return self.read(spark, version).filter(F.lit(False))
-        return (self._read_dirs(spark, dirs, self._dvs_for(dirs, version))
+        return (self._read_dirs(spark, dirs,
+                                self._dvs_for(dirs, version),
+                                version=version)
                 .filter(F.col(col) == value))
 
     # -- writes -----------------------------------------------------------
@@ -1955,7 +1958,8 @@ class TxnTable:
         tagged = None
         for d in candidates:
             part = (self._align_to_schema(
-                self._read_dirs(spark, [d], self._dvs_for([d], base)),
+                self._read_dirs(spark, [d], self._dvs_for([d], base),
+                                version=base),
                 snap_schema)
                 .withColumn("_src_dir", F.lit(d)))
             tagged = part if tagged is None else tagged.unionByName(part)
@@ -2469,6 +2473,9 @@ class TxnTable:
         staged = (df.withColumn("_bucket", bucket)
                   .repartition(len(bounds) + 1, "_bucket")
                   .sortWithinPartitions(cluster_by))
+        # mapped tables store physical names (this writer bypasses
+        # _write_data's chokepoint)
+        staged = self._to_physical(staged)
         tmp_rel = os.path.join(_DATA_DIR, f".compact-{uuid.uuid4().hex}")
         tmp_abs = os.path.join(self.path, tmp_rel)
         # partitionBy drops _bucket from the parquet files themselves
@@ -2591,6 +2598,9 @@ class TxnTable:
                   .withColumn("_bucket", F.spark_partition_id())
                   .sortWithinPartitions("_z")
                   .drop("_z"))
+        # mapped tables store physical names (this writer bypasses
+        # _write_data's chokepoint; _bucket/_z are not data columns)
+        staged = self._to_physical(staged)
         tmp_rel = os.path.join(_DATA_DIR, f".zorder-{uuid.uuid4().hex}")
         tmp_abs = os.path.join(self.path, tmp_rel)
         staged.write.partitionBy("_bucket").parquet(tmp_abs)

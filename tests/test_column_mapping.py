@@ -169,6 +169,31 @@ def test_stats_pruning_translates_renamed_column(spark, tmp_path):
     assert got == set(range(100, 110))
 
 
+def test_zorder_compaction_on_mapped_table(spark, tmp_path):
+    """The Z-order rewrite bypasses _write_data's chokepoint — it must
+    still write PHYSICAL names on a mapped table, and the range-pruned
+    read on the renamed column must stay exact through the rewrite."""
+    t = TxnTable(str(tmp_path / "t"))
+    t.append(spark.createDataFrame(
+        [(i, float(i % 7)) for i in range(200)], "id int, v double"))
+    t.rename_column("v", "value")
+    t.compact_zorder(spark, ["id", "value"], target_dirs=4)
+    got = {r["id"] for r in
+           t.read_range(spark, "id", lo=150).collect()}
+    assert got == set(range(150, 200))
+    assert t.read(spark).columns == ["id", "value"]
+    # the rewritten files carry the PHYSICAL name
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    dn = t._doc(t.latest_version())["adds"][0]  # noqa: SLF001
+    f = glob.glob(os.path.join(t.path, dn, "*.parquet"))[0]
+    assert "v" in pq.read_schema(f).names
+    assert "value" not in pq.read_schema(f).names
+
+
 def test_datasource_reads_mapped_table(spark, tmp_path):
     from sport_advantages_moderne_data_infrastructure_spark.sources.txnstream import (  # noqa: E501
         register_txn_source,
