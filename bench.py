@@ -126,18 +126,20 @@ QUERY_BUDGETS = {
     # prime_query_sql converges to prime_query's cost — the duplicated
     # prime branch prunes to dim-sized broadcast legs (plan pinned) —
     # plus view registration + two extra dim scans
-    "prime_query_sql": 0.90,
+    "prime_query_sql": 0.92,        # re-pinned r11: min 0.610
     # grouped_quantiles_prod: production defaults are direct-readable
     # at test group sizes (zero sketch rounds: one combined sizes+grid
     # job + one shared ranked read) — the operator's real cost curve
-    # next to the adversarial gate config (local min 1.68)
-    "grouped_quantiles_prod": 2.60,
-    # r11-added queries (provisional budgets from warm local runs;
-    # re-pin from the r11 bench mins next round):
-    "orders_cube": 0.58,            # orders_grouping_sets' exact shape
-    # (one scan + one Expand + hash agg) with a 4th grouping set
-    "ann_filtered_topk": 1.45,      # ann_sq8_topk's exhaustive integer
-    # rerank (budget 1.19) + the documents lang filter join
+    # next to the adversarial gate config
+    "grouped_quantiles_prod": 1.81,  # re-pinned r11: min 1.209
+    # r11-added queries (pinned at 1.5x their first full-bench mins —
+    # no reason to wait a round when a rolling min already exists):
+    "orders_cube": 0.46,            # orders_grouping_sets' exact shape
+    # (one scan + one Expand + hash agg) with a 4th grouping set;
+    # re-pinned from the r11 at-HEAD min 0.307 the round it first ran
+    "ann_filtered_topk": 1.08,      # ann_sq8_topk's exhaustive integer
+    # rerank + the documents lang filter join; re-pinned from the r11
+    # at-HEAD min 0.722 the round it first ran
 }
 
 # --- Cross-round noise calibration (VERDICT r10 #3) ---------------------

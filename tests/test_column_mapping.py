@@ -229,6 +229,39 @@ def test_datasource_reads_mapped_table(spark, tmp_path):
          .write.format("txnlog").mode("append").save(t.path))
 
 
+def test_streaming_cdf_across_rename(spark, tmp_path):
+    """readChangeFeed through the DataSource across a rename boundary:
+    pre- and post-rename commits stream under the CURRENT logical
+    names (the physical names are the stable era join key), with
+    _change_type/_commit_version attached."""
+    from sport_advantages_moderne_data_infrastructure_spark.sources.txnstream import (  # noqa: E501
+        register_txn_source,
+    )
+
+    register_txn_source(spark)
+    t = _t(spark, tmp_path)
+    t.rename_column("val", "name")
+    t.merge(spark, spark.createDataFrame(
+        [(2, "B", 20.0), (3, "c", 3.0)],
+        "id int, name string, score double"), "id")
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = (spark.readStream.format("txnlog")
+         .option("readChangeFeed", "true").load(t.path)
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    q.stop()
+    got = spark.read.parquet(out)
+    assert sorted(got.columns) == ["_change_type", "_commit_version",
+                                   "id", "name", "score"]
+    rows = {(r["id"], r["name"], r["_change_type"])
+            for r in got.collect()}
+    assert rows == {(1, "a", "insert"), (2, "b", "insert"),
+                    (3, "c", "insert"), (2, "b", "update_preimage"),
+                    (2, "B", "update_postimage")}
+
+
 def test_evolution_across_rename(spark, tmp_path):
     t = _t(spark, tmp_path)
     t.rename_column("val", "name")
