@@ -47,6 +47,121 @@ def merge_upsert(target: DataFrame, updates: DataFrame,
     ])
 
 
+def merge_clauses(target: DataFrame, source: DataFrame,
+                  key: str | list[str], *,
+                  matched_delete: str | None = None,
+                  not_matched_by_source_delete: str | None = None,
+                  insert: bool | str = True
+                  ) -> tuple[DataFrame, DataFrame]:
+    """The full MERGE clause surface (Delta's WHEN MATCHED [AND cond]
+    THEN DELETE / WHEN NOT MATCHED BY SOURCE THEN DELETE), generalizing
+    :func:`merge_upsert`:
+
+    - matched, ``matched_delete`` true  → row DELETED (the CDC-apply
+      pattern: a source change feed carries a deleted flag);
+    - matched otherwise                 → UPDATE to the source row
+      (full-row precedence, like merge_upsert);
+    - source-only                       → INSERT (``insert=True``; a
+      SQL string makes it CONDITIONAL over source columns — Delta's
+      WHEN NOT MATCHED AND cond THEN INSERT, e.g. "NOT __deleted" so
+      a CDC tombstone for an unseen key inserts nothing);
+    - target-only, ``not_matched_by_source_delete`` true → DELETED
+      (the retention/sync pattern: rows absent from the source sweep);
+    - target-only otherwise             → kept.
+
+    ``matched_delete`` is a SQL condition over SOURCE columns (it may
+    reference columns that are NOT table columns, e.g. a `__deleted`
+    CDC flag — evaluated BEFORE the source is aligned to the table
+    schema); ``not_matched_by_source_delete`` is a SQL condition over
+    TARGET columns. Both evaluate PRE-join, which keeps the relational
+    twin (and the DuckDB oracles) trivially mirrorable.
+
+    Returns ``(merged, changes)``: the post-merge snapshot plus the
+    row-level change frame (insert / update_preimage /
+    update_postimage / delete) a CDF consumer needs — deletes carry
+    the TARGET pre-image.
+
+    Shape at 100 TB: same single full-outer shuffle on the key as
+    merge_upsert; the clause flags ride as two boolean columns, so no
+    extra scan or join is added by any clause."""
+    from functools import reduce
+
+    keys = [key] if isinstance(key, str) else list(key)
+    cols = target.columns
+    t = (target.withColumn(
+        "__tdel", F.expr(not_matched_by_source_delete)
+        if not_matched_by_source_delete else F.lit(False))
+        .withColumn("__in_t", F.lit(True)).alias("t"))
+    u = (source.withColumn(
+        "__mdel", F.expr(matched_delete) if matched_delete
+        else F.lit(False))
+        .withColumn("__ins", F.expr(insert) if isinstance(insert, str)
+                    else F.lit(bool(insert)))
+        .select(*cols, "__mdel", "__ins")
+        .withColumn("__in_u", F.lit(True)).alias("u"))
+    cond = reduce(lambda a, b: a & b,
+                  [F.col(f"t.{k}") == F.col(f"u.{k}") for k in keys])
+    j = t.join(u, cond, "full_outer")
+    matched = F.col("t.__in_t").isNotNull() & F.col("u.__in_u").isNotNull()
+    t_only = F.col("u.__in_u").isNull()
+    u_only = F.col("t.__in_t").isNull()
+    keep = (
+        (matched & ~F.coalesce(F.col("u.__mdel"), F.lit(False)))
+        | (t_only & ~F.coalesce(F.col("t.__tdel"), F.lit(False)))
+        | (u_only & F.coalesce(F.col("u.__ins"), F.lit(False))))
+    merged = (j.filter(keep)
+              .select(*[F.when(F.col("u.__in_u").isNotNull(),
+                               F.col(f"u.{c}"))
+                        .otherwise(F.col(f"t.{c}")).alias(c)
+                        for c in cols]))
+    mdel = F.coalesce(F.col("u.__mdel"), F.lit(False))
+    tdel = F.coalesce(F.col("t.__tdel"), F.lit(False))
+    t_row = [F.col(f"t.{c}").alias(c) for c in cols]
+    u_row = [F.col(f"u.{c}").alias(c) for c in cols]
+    ct = lambda s: F.lit(s).alias("_change_type")  # noqa: E731
+    ins_on = F.coalesce(F.col("u.__ins"), F.lit(False))
+    changes = (
+        j.filter(u_only & ins_on).select(*u_row, ct("insert"))
+        .unionByName(j.filter(matched & ~mdel)
+                     .select(*t_row, ct("update_preimage")))
+        .unionByName(j.filter(matched & ~mdel)
+                     .select(*u_row, ct("update_postimage")))
+        .unionByName(j.filter(matched & mdel)
+                     .select(*t_row, ct("delete")))
+        .unionByName(j.filter(t_only & tdel)
+                     .select(*t_row, ct("delete"))))
+    return merged, changes
+
+
+def merge_clauses_sql(target_sql: str, source_sql: str,
+                      key: str | list[str], cols: list[str], *,
+                      matched_delete: str = "FALSE",
+                      not_matched_by_source_delete: str = "FALSE",
+                      insert: bool | str = True) -> str:
+    """DuckDB twin of :func:`merge_clauses` (the merged snapshot):
+    conditions are the same pre-join SQL, over the source/target CTEs."""
+    keys = [key] if isinstance(key, str) else list(key)
+    on = " AND ".join(f"t.{k} = u.{k}" for k in keys)
+    sel = ", ".join(
+        f"CASE WHEN u.__in_u THEN u.{c} ELSE t.{c} END AS {c}"
+        for c in cols)
+    ins = (insert if isinstance(insert, str)
+           else ("TRUE" if insert else "FALSE"))
+    return (
+        f"WITH t0 AS ({target_sql}), "
+        f"t AS (SELECT *, ({not_matched_by_source_delete}) AS __tdel, "
+        f"TRUE AS __in_t FROM t0), "
+        f"u0 AS ({source_sql}), "
+        f"u AS (SELECT *, ({matched_delete}) AS __mdel, ({ins}) AS "
+        f"__ins, TRUE AS __in_u FROM u0) "
+        f"SELECT {sel} FROM t FULL OUTER JOIN u ON {on} "
+        f"WHERE (t.__in_t IS NOT NULL AND u.__in_u IS NOT NULL "
+        f"AND NOT COALESCE(u.__mdel, FALSE)) "
+        f"OR (u.__in_u IS NULL AND NOT COALESCE(t.__tdel, FALSE)) "
+        f"OR (t.__in_t IS NULL AND COALESCE(u.__ins, FALSE))"
+    )
+
+
 def merge_upsert_sql(target_sql: str, updates_sql: str,
                      key: str | list[str],
                      cols: list[str]) -> str:

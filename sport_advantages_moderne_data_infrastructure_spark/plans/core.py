@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators import relational as R
-from ..operators.merge import merge_upsert_sql
+from ..operators.merge import merge_clauses_sql, merge_upsert_sql
 from ..operators import quality as Q
 from ..operators.cdc import oracle_parse_cdc_sql, parse_cdc
 from ..sources import domain as D
@@ -816,6 +816,77 @@ def q_txn_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(bool(tt_ok)).alias("tt_ok"),
         F.lit(bool(narrow_rejected)).alias("narrow_rejected"),
         F.lit(bool(cdf_ok)).alias("cdf_ok"))
+
+
+_MC_TARGET = ("SELECT o_orderkey AS k, o_totalprice AS val "
+              "FROM orders WHERE o_orderkey % 4 IN (0, 1)")
+_MC_SRC = ("SELECT o_orderkey AS k, o_totalprice * 2 AS val, "
+           "o_orderkey % 8 = 0 AS __deleted "
+           "FROM orders WHERE o_orderkey % 2 = 0")
+
+
+@register(
+    "txn_merge_clauses",  # new r11, gated immediately (slot:
+    # stream_ann_index_equiv demoted — green r6-r10; see its comment).
+    # The full MERGE clause surface (Delta's WHEN MATCHED [AND cond]
+    # THEN DELETE / WHEN NOT MATCHED [AND cond] THEN INSERT / WHEN NOT
+    # MATCHED BY SOURCE THEN DELETE) — until r11 the engine's MERGE
+    # was upsert-only, so applying a CDC feed with tombstones or
+    # syncing against a source of truth required a separate DELETE
+    # pass (two commits, a consistency window between them). The
+    # oracle IS operators/merge.merge_clauses_sql instantiated with
+    # the same conditions — the relational twin of the operator, so
+    # every clause's row routing is value-verified; cdf_ok pins the
+    # delete pre-images in the change feed.
+    oracle=(
+        "SELECT k, val, TRUE AS cdf_ok FROM ("
+        + merge_clauses_sql(
+            _MC_TARGET, _MC_SRC, "k", ["k", "val"],
+            matched_delete="__deleted",
+            not_matched_by_source_delete="k % 100 = 3",
+            insert="NOT __deleted")
+        + ") ORDER BY k"))
+def q_txn_merge_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One MERGE, all clauses: the source carries doubled prices with
+    tombstones on every 8th key — matched tombstones DELETE, matched
+    rows UPDATE, unmatched non-tombstones INSERT, unmatched tombstones
+    insert NOTHING, and target rows absent from the source are swept
+    where k % 100 = 3 (NOT MATCHED BY SOURCE DELETE). The change feed
+    carries delete pre-images for both delete classes (cdf_ok), and
+    the whole routing is one full-outer shuffle — the clause flags
+    ride as pre-join boolean columns, no extra scan per clause."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..sources.tables import load_table
+    from ..sources.txnlog import TxnTable
+
+    o = load_table(spark, sf_dir, "orders")
+    base = o.filter("o_orderkey % 4 IN (0, 1)").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("val"))
+    src = o.filter("o_orderkey % 2 = 0").select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_totalprice") * 2).alias("val"),
+        (F.col("o_orderkey") % 8 == 0).alias("__deleted"))
+    t = TxnTable(tempfile.mkdtemp(prefix="samdis_txn_mc_"))
+    t.append(base)
+    t.merge(spark, src, "k", matched_delete="__deleted",
+            not_matched_by_source_delete="k % 100 = 3",
+            insert="NOT __deleted")
+    ch = t.read_changes(spark, since_version=0)
+    n_matched_del = base.join(
+        src.filter("__deleted"), "k", "left_semi").count()
+    n_swept = (base.join(src, "k", "left_anti")
+               .filter("k % 100 = 3").count())
+    dels = ch.filter("_change_type = 'delete'")
+    cdf_ok = (dels.count() == n_matched_del + n_swept
+              and ch.filter("_change_type = 'insert'")
+              .join(src.filter("__deleted"), "k", "left_semi")
+              .count() == 0)
+    return t.read(spark).select(
+        "k", "val", F.lit(bool(cdf_ok)).alias("cdf_ok"))
 
 
 @register("txn_incremental_mv",  # new r6, gated immediately (slot:

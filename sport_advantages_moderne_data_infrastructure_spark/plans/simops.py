@@ -825,7 +825,15 @@ def ensure_ivfpq_index(spark: SparkSession, sf_dir: str):
 @register(
     "stream_ann_index_equiv",  # new r6, gated immediately (slot:
     # contamination_check demoted — twice-green; contamination's
-    # explode/broadcast shape stays gated via boilerplate/unigram rows)
+    # explode/broadcast shape stays gated via boilerplate/unigram rows).
+    # Demoted r11 after green r6-r10: the streaming index-maintenance
+    # equivalence shape stays gated via stream_ann_pq_equiv (the SAME
+    # per-batch ingest/replay-guard/batch-rebuild comparison over the
+    # strictly harder COMPRESSED IVF-PQ lists) and the IVF probe shape
+    # via ann_filtered_recall_floor / ann_refine_recall_floor; this row
+    # stays DuckDB-verified per pytest run; slot goes to
+    # txn_merge_clauses (the MERGE clause surface, r11).
+    driver=False,
     # Self-contained equivalence contract (the recall-floor pattern):
     # the literal-TRUE booleans flip — and the gate hash-mismatches —
     # if the incrementally-maintained index ever diverges from a batch

@@ -1791,7 +1791,10 @@ class TxnTable:
     def merge(self, spark: SparkSession, updates: DataFrame,
               key: str | list[str],
               meta: dict | None = None,
-              auto_merge: bool = False) -> int:
+              auto_merge: bool = False,
+              matched_delete: str | None = None,
+              not_matched_by_source_delete: str | None = None,
+              insert: bool | str = True) -> int:
         """MERGE INTO: upsert ``updates`` by ``key`` (one column or a
         composite) into the snapshot and commit the result atomically.
         Readers see the pre-merge snapshot until the log flips — the
@@ -1855,28 +1858,60 @@ class TxnTable:
                  .alias(c)) for c in target.columns])
         else:
             ups = updates.select(*target.columns)
-        merged = merge_upsert(target, ups, key)
-        # CDF change set (Delta _change_data): the update frame classified
-        # by key existence, PLUS the pre-update target rows
-        # (update_preimage, as Delta emits) — preimages are what let a
-        # downstream consumer maintain sums/avgs incrementally (subtract
-        # pre, add post); without them only counts are derivable. Tiny
-        # relative to the rewrite the merge already performs.
-        from pyspark.sql import functions as F
-        tkeys = target.select(key)
-        ukeys = ups.select(key)
-        mapping, cm_override, used_override = \
-            self._extend_mapping(merged.columns)
-        changes_rel = self._write_changes(
-            ups.join(tkeys, key, "left_anti")
-            .withColumn("_change_type", F.lit("insert"))
-            .unionByName(
-                target.join(ukeys, key, "left_semi")
-                .withColumn("_change_type", F.lit("update_preimage")))
-            .unionByName(
-                ups.join(tkeys, key, "left_semi")
-                .withColumn("_change_type", F.lit("update_postimage"))),
-            mapping=mapping)
+        if (matched_delete is not None
+                or not_matched_by_source_delete is not None
+                or insert is not True):
+            # full clause surface (r11): WHEN MATCHED [AND cond] THEN
+            # DELETE (CDC apply), WHEN NOT MATCHED BY SOURCE THEN
+            # DELETE (retention sweep), insert=False. matched_delete
+            # may reference source columns that are NOT table columns
+            # (a CDC deleted flag), so the source keeps its extra
+            # columns — shared ones cast to the (possibly evolved)
+            # target types, missing ones null-filled.
+            from pyspark.sql import functions as _FC
+
+            from ..operators.merge import merge_clauses
+
+            src = updates
+            for f in target.schema.fields:
+                src = (src.withColumn(f.name, _FC.col(f.name)
+                                      .cast(f.dataType))
+                       if f.name in src.columns
+                       else src.withColumn(
+                           f.name, _FC.lit(None).cast(f.dataType)))
+            merged, change_frame = merge_clauses(
+                target, src, key, matched_delete=matched_delete,
+                not_matched_by_source_delete=not_matched_by_source_delete,
+                insert=insert)
+            mapping, cm_override, used_override = \
+                self._extend_mapping(merged.columns)
+            changes_rel = self._write_changes(change_frame,
+                                              mapping=mapping)
+        else:
+            merged = merge_upsert(target, ups, key)
+            # CDF change set (Delta _change_data): the update frame
+            # classified by key existence, PLUS the pre-update target
+            # rows (update_preimage, as Delta emits) — preimages are
+            # what let a downstream consumer maintain sums/avgs
+            # incrementally (subtract pre, add post); without them only
+            # counts are derivable. Tiny relative to the rewrite the
+            # merge already performs.
+            from pyspark.sql import functions as F
+            tkeys = target.select(key)
+            ukeys = ups.select(key)
+            mapping, cm_override, used_override = \
+                self._extend_mapping(merged.columns)
+            changes_rel = self._write_changes(
+                ups.join(tkeys, key, "left_anti")
+                .withColumn("_change_type", F.lit("insert"))
+                .unionByName(
+                    target.join(ukeys, key, "left_semi")
+                    .withColumn("_change_type", F.lit("update_preimage")))
+                .unionByName(
+                    ups.join(tkeys, key, "left_semi")
+                    .withColumn("_change_type",
+                                F.lit("update_postimage"))),
+                mapping=mapping)
         # materialize BEFORE the commit: the new files must be fully on
         # disk when the log doc appears (they read from the old snapshot,
         # so no self-overwrite hazard exists at any point). A partitioned

@@ -2667,3 +2667,74 @@ def test_symlink_manifest_reads_evolved_table_externally(spark,
     assert ext == own and len(ext) == 30
     assert sum(1 for _, _, lang in ext if lang is None) == 20
     con.close()
+
+
+def test_merge_clauses_cdc_apply(spark, tmp_path):
+    """r11: the full MERGE clause surface — WHEN MATCHED AND deleted
+    THEN DELETE (CDC apply), conditional NOT-MATCHED insert (a
+    tombstone for an unseen key inserts nothing), and the delete
+    pre-images in the change feed."""
+    from pyspark.sql import functions as F
+
+    t = TxnTable(str(tmp_path / "t"))
+    t.append(spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id int, val string"))
+    src = spark.createDataFrame(
+        [(2, "B", False),     # matched, update
+         (3, None, True),     # matched, tombstone -> delete
+         (4, "d", False),     # unmatched, insert
+         (5, None, True)],    # unmatched tombstone -> NO insert
+        "id int, val string, __deleted boolean")
+    t.merge(spark, src, "id", matched_delete="__deleted",
+            insert="NOT __deleted")
+    got = {(r["id"], r["val"]) for r in t.read(spark).collect()}
+    assert got == {(1, "a"), (2, "B"), (4, "d")}
+    ch = t.read_changes(spark, since_version=0)
+    rows = {(r["id"], r["val"], r["_change_type"])
+            for r in ch.collect()}
+    assert rows == {(4, "d", "insert"),
+                    (2, "b", "update_preimage"),
+                    (2, "B", "update_postimage"),
+                    (3, "c", "delete")}
+    # time travel below the clause merge is intact
+    assert t.read(spark, version=0).count() == 3
+
+
+def test_merge_clauses_retention_sweep(spark, tmp_path):
+    """WHEN NOT MATCHED BY SOURCE THEN DELETE: a sync against the
+    source of truth removes target rows the source no longer carries
+    (condition over TARGET columns scopes the sweep)."""
+    t = TxnTable(str(tmp_path / "t"))
+    t.append(spark.createDataFrame(
+        [(1, "keep-old"), (2, "b"), (3, "sweep-old"), (4, "d")],
+        "id int, val string"))
+    src = spark.createDataFrame([(2, "B")], "id int, val string")
+    t.merge(spark, src, "id",
+            not_matched_by_source_delete="id % 2 = 1")
+    got = {(r["id"], r["val"]) for r in t.read(spark).collect()}
+    # 1 and 3 are target-only AND odd -> swept; 4 target-only even ->
+    # kept; 2 updated
+    assert got == {(2, "B"), (4, "d")}
+    ch = t.read_changes(spark, since_version=0)
+    dels = {r["id"] for r in ch.filter("_change_type = 'delete'")
+            .collect()}
+    assert dels == {1, 3}
+
+
+def test_merge_clauses_on_mapped_table(spark, tmp_path):
+    """Clause merges compose with column mapping: conditions use the
+    LOGICAL names, the rewrite lands under physical ones."""
+    t = TxnTable(str(tmp_path / "t"))
+    t.append(spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id int, val string"))
+    t.rename_column("val", "name")
+    src = spark.createDataFrame(
+        [(1, None, True), (3, "c", False)],
+        "id int, name string, __deleted boolean")
+    t.merge(spark, src, "id", matched_delete="__deleted",
+            insert="NOT __deleted")
+    got = {(r["id"], r["name"]) for r in t.read(spark).collect()}
+    assert got == {(2, "b"), (3, "c")}
+    ch = t.read_changes(spark, since_version=1)
+    assert {(r["id"], r["_change_type"]) for r in ch.collect()} == {
+        (3, "insert"), (1, "delete")}
