@@ -1818,6 +1818,14 @@ class TxnTable:
 
         base = self.latest_version()
         if base is None:
+            if (matched_delete is not None
+                    or not_matched_by_source_delete is not None
+                    or insert is not True):
+                raise ValueError(
+                    "clause merges need an existing table schema to "
+                    "route rows against (the source may carry "
+                    "condition-only columns like a CDC flag) — create "
+                    "the table with append()/overwrite() first")
             return self.commit([self._write_data(updates)], [], meta,
                                expected_version=None)
         target = self.read(spark, base)

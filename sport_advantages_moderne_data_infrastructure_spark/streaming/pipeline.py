@@ -158,7 +158,9 @@ def write_stream_merge(df: DataFrame, target: str, checkpoint: str,
 
 def write_stream_merge_txn(df: DataFrame, target: str, checkpoint: str,
                            key: str = "id", order_col: str = "start_datetime",
-                           available_now: bool = True):
+                           available_now: bool = True,
+                           matched_delete: str | None = None,
+                           insert: bool | str = True):
     """Streaming MERGE INTO a transactional table (sources/txnlog.TxnTable)
     — the actual Delta-sink shape (SaveDelta.scala:157-163 + MERGE, minus
     the jars): each micro-batch upserts by key and commits atomically, so
@@ -169,7 +171,15 @@ def write_stream_merge_txn(df: DataFrame, target: str, checkpoint: str,
     records the micro-batch id, so a batch replayed after
     crash-after-commit-before-checkpoint is detected and skipped; and the
     merge itself is keyed, so even a double-applied batch converges to
-    the same state."""
+    the same state.
+
+    ``matched_delete`` / ``insert`` (r11): the MERGE clause surface for
+    streaming CDC APPLY — a feed carrying tombstones (e.g. a
+    ``__deleted`` flag column) deletes matched keys and skips inserting
+    tombstones for unseen keys (``insert="NOT __deleted"``), in the SAME
+    atomic commit as the batch's upserts. Last-event-per-key dedup runs
+    first, so a key that is updated then tombstoned within one batch
+    deletes."""
     from ..sources.txnlog import TxnTable
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
@@ -189,7 +199,8 @@ def write_stream_merge_txn(df: DataFrame, target: str, checkpoint: str,
                 W.partitionBy(key).orderBy(F.desc(order_col))))
             .filter(F.col("__rn") == 1).drop("__rn"))
         table.merge(spark, latest, key,
-                    meta={"stream_batch_id": batch_id})
+                    meta={"stream_batch_id": batch_id},
+                    matched_delete=matched_delete, insert=insert)
 
     w = (df.writeStream.foreachBatch(_merge)
          .option("checkpointLocation", checkpoint))

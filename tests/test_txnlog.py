@@ -2738,3 +2738,75 @@ def test_merge_clauses_on_mapped_table(spark, tmp_path):
     ch = t.read_changes(spark, since_version=1)
     assert {(r["id"], r["_change_type"]) for r in ch.collect()} == {
         (3, "insert"), (1, "delete")}
+
+
+def test_stream_cdc_apply_with_tombstones(spark, tmp_path):
+    """r11: streaming CDC APPLY — the merge sink routes a feed carrying
+    tombstones through the clause surface: matched tombstones delete,
+    updates upsert, tombstones for unseen keys insert nothing, all in
+    one atomic commit per batch; a restart on the same checkpoint
+    changes nothing (exactly-once)."""
+    from pyspark.sql import functions as F
+
+    from sport_advantages_moderne_data_infrastructure_spark.streaming import (
+        pipeline as P,
+    )
+
+    t = TxnTable(str(tmp_path / "t"))
+    t.append(spark.createDataFrame(
+        [(1, "a", 0.0), (2, "b", 0.0), (3, "c", 0.0)],
+        "id int, val string, ts double"))
+    # the CDC feed: two parquet files = two micro-batches
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(2, "B", 1.0, False),      # update
+         (3, None, 1.0, True)],     # tombstone -> delete
+        "id int, val string, ts double, __deleted boolean"
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [(4, "d", 2.0, False),      # insert
+         (5, None, 2.0, True),      # tombstone for unseen key -> noop
+         (2, "B2", 2.0, False)],    # second update of 2
+        "id int, val string, ts double, __deleted boolean"
+    ).coalesce(1).write.mode("append").parquet(src)
+    feed = (spark.readStream.schema(
+        "id int, val string, ts double, __deleted boolean")
+        .option("maxFilesPerTrigger", 1).parquet(src))
+    q = P.write_stream_merge_txn(
+        feed, t.path, str(tmp_path / "ck"), key="id", order_col="ts",
+        matched_delete="__deleted", insert="NOT __deleted")
+    q.awaitTermination(120)
+    q.stop()
+    got = {(r["id"], r["val"]) for r in t.read(spark).collect()}
+    assert got == {(1, "a"), (2, "B2"), (4, "d")}
+    v = t.latest_version()
+    # restart on the same checkpoint: nothing re-applies
+    q2 = P.write_stream_merge_txn(
+        (spark.readStream.schema(
+            "id int, val string, ts double, __deleted boolean")
+         .option("maxFilesPerTrigger", 1).parquet(src)),
+        t.path, str(tmp_path / "ck"), key="id", order_col="ts",
+        matched_delete="__deleted", insert="NOT __deleted")
+    q2.awaitTermination(120)
+    q2.stop()
+    assert t.latest_version() == v
+    assert {(r["id"], r["val"]) for r in t.read(spark).collect()} == got
+    # the change feed recorded the delete pre-image
+    ch = t.read_changes(spark, since_version=0)
+    assert (3, "delete") in {(r["id"], r["_change_type"])
+                             for r in ch.collect()}
+    # a key updated THEN tombstoned within one batch deletes (last
+    # event per key wins before the clause routing)
+    t2 = TxnTable(str(tmp_path / "t2"))
+    t2.append(spark.createDataFrame([(9, "z", 0.0)],
+                                    "id int, val string, ts double"))
+    batch = spark.createDataFrame(
+        [(9, "z2", 1.0, False), (9, None, 2.0, True)],
+        "id int, val string, ts double, __deleted boolean")
+    latest = (batch.withColumn("__rn", F.row_number().over(
+        __import__("pyspark.sql.window", fromlist=["Window"])
+        .Window.partitionBy("id").orderBy(F.desc("ts"))))
+        .filter("__rn = 1").drop("__rn"))
+    t2.merge(spark, latest, "id", matched_delete="__deleted",
+             insert="NOT __deleted")
+    assert t2.read(spark).count() == 0
