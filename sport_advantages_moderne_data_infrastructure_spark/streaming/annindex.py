@@ -101,7 +101,8 @@ def write_stream_ivfpq_index(df: DataFrame, index_path: str,
                              codebooks: list[list[list[float]]],
                              checkpoint: str,
                              app_id: str | None = None,
-                             available_now: bool = True):
+                             available_now: bool = True,
+                             meta_cols: tuple = ()):
     """Maintain the COMPRESSED index — the one a deployment actually
     serves at scale: each micro-batch is PQ-encoded with the FIXED
     codebooks and appended to the centroid-partitioned code table
@@ -114,7 +115,8 @@ def write_stream_ivfpq_index(df: DataFrame, index_path: str,
         if batch_df.isEmpty():
             return
         ingest_batch_pq(TxnTable(index_path), batch_df, centroids,
-                        codebooks, batch_id, app_id)
+                        codebooks, batch_id, app_id,
+                        meta_cols=meta_cols)
 
     w = (df.writeStream.foreachBatch(_ingest)
          .option("checkpointLocation", checkpoint))
@@ -126,18 +128,24 @@ def write_stream_ivfpq_index(df: DataFrame, index_path: str,
 def ingest_batch_pq(idx: TxnTable, batch_df: DataFrame,
                     centroids: list[list[float]],
                     codebooks: list[list[list[float]]], batch_id: int,
-                    app_id: str | None = None) -> None:
+                    app_id: str | None = None,
+                    meta_cols: tuple = ()) -> None:
     """One micro-batch of compressed-index maintenance: centroid
     assignment and PQ encoding compose as ONE map-side projection (the
     assignment column rides through ``pq_encode(keep=...)`` — no
     re-join on vec_id, no shuffle), then the same atomic partitioned
-    append as the raw sink. Per-batch cost is O(batch)."""
+    append as the raw sink. Per-batch cost is O(batch). ``meta_cols``
+    (r11): filterable attributes carried into the maintained lists,
+    the build_ivfpq_index meta_cols layout — metadata-filtered top-k
+    then runs against the MAINTAINED index with the predicate pushed
+    into its scan, same as the batch-built one."""
     from ..operators.ivf import assign_centroids
     from ..operators.pq import pq_encode
 
     assigned = assign_centroids(
-        batch_df.select("vec_id", "embedding"), centroids)
-    coded = pq_encode(assigned, codebooks, keep=("centroid_id",))
+        batch_df.select("vec_id", "embedding", *meta_cols), centroids)
+    coded = pq_encode(assigned, codebooks,
+                      keep=("centroid_id",) + tuple(meta_cols))
     _append_partitioned(idx, coded, batch_id, app_id,
                         "ivfpq_index_append")
 

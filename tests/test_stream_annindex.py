@@ -147,3 +147,47 @@ def test_streamed_pq_index_equals_batch_and_restarts_exactly_once(
     assert (got["centroid_id"] == want["centroid_id"]
             and list(got["code"]) == list(want["code"])
             and got["recon_norm"] == want["recon_norm"])
+
+
+def test_maintained_meta_index_serves_filtered_topk(spark, sf_dir,
+                                                    tmp_path):
+    """r11: the maintained COMPRESSED index can carry filterable
+    attributes (ingest_batch_pq meta_cols — the build_ivfpq_index
+    layout), so metadata-filtered top-k runs against the maintained
+    lists with the predicate pushed into their scan, rank-identical to
+    the batch-built meta index."""
+    from sport_advantages_moderne_data_infrastructure_spark.operators import (
+        pq as PQ,
+    )
+    from sport_advantages_moderne_data_infrastructure_spark.plans import (
+        simops,
+    )
+    from sport_advantages_moderne_data_infrastructure_spark.sources.tables import (  # noqa: E501
+        load_table,
+    )
+    from sport_advantages_moderne_data_infrastructure_spark.sources.txnlog import (  # noqa: E501
+        TxnTable,
+    )
+    from sport_advantages_moderne_data_infrastructure_spark.streaming.annindex import (  # noqa: E501
+        ingest_batch_pq, read_index,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    centroids, cb, batch_idx = simops.ensure_ivfpq_index(spark, sf_dir)
+    idx = TxnTable(str(tmp_path / "idx"))
+    ingest_batch_pq(idx, e.filter("vec_id % 2 = 0"), centroids, cb, 0,
+                    "meta_ix", meta_cols=("label",))
+    ingest_batch_pq(idx, e.filter("vec_id % 2 = 1"), centroids, cb, 1,
+                    "meta_ix", meta_cols=("label",))
+    maintained = read_index(spark, idx.path)
+    qs = simops._pq_queries(spark, sf_dir)  # noqa: SLF001
+    pred = F.expr(simops._FILTERED_PRED_SQL)  # noqa: SLF001
+    m = PQ.ivfpq_filtered_topk(maintained, e, qs, centroids, cb, pred,
+                               n_match=10 ** 9)  # force the broad path
+    b = PQ.ivfpq_filtered_topk(batch_idx, e, qs, centroids, cb, pred,
+                               n_match=10 ** 9)
+    mt = {tuple(r) for r in
+          m.select("query_id", "neighbor_id", "rank").collect()}
+    bt = {tuple(r) for r in
+          b.select("query_id", "neighbor_id", "rank").collect()}
+    assert mt == bt and len(mt) > 0
