@@ -514,6 +514,55 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("query_id", "rank"))
 
 
+_CHUNK_BM25_IDX: dict[str, tuple] = {}
+
+
+def chunk_bm25_index(spark: SparkSession, sf_dir: str):
+    """Materialized CHUNK postings (build-if-absent, the bm25_index
+    convention): the corpus-sized chunking/tokenizing work happens ONCE
+    per corpus snapshot — queries read only the parquet artifacts
+    (ctf, cdl, cdf) plus the two corpus scalars. Chunking is a pure
+    JVM projection (split + posexplode of 10-word slices — zero
+    shuffle, zero UDF, dedup_chunks' chunking with positions kept)."""
+    if sf_dir not in _CHUNK_BM25_IDX:
+        import tempfile
+
+        d = load_table(spark, sf_dir, "documents")
+        w = F.split(F.trim("text"), " +")
+        n_ch = F.greatest(F.ceil(F.size("ws") / F.lit(10)).cast("int"),
+                          F.lit(1))
+        chunks = (d.select("doc_id", w.alias("ws"))
+                  .select("doc_id", F.posexplode(
+                      F.transform(F.sequence(F.lit(0), n_ch - 1),
+                                  lambda i: F.slice("ws", i * 10 + 1,
+                                                    10)))
+                      .alias("pos", "cws")))
+        ctf = (chunks.select("doc_id", "pos",
+                             F.explode("cws").alias("tok"))
+               .filter(F.col("tok") != "")
+               .groupBy("doc_id", "pos", "tok")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("tf")))
+        base = tempfile.mkdtemp(prefix="samdis_chunk_bm25_")
+        ctf.write.parquet(base + "/ctf.parquet")
+        ctf_w = spark.read.parquet(base + "/ctf.parquet")
+        cdl = (ctf_w.groupBy("doc_id", "pos")
+               .agg(F.sum("tf").cast("bigint").alias("dl")))
+        cdl.write.parquet(base + "/cdl.parquet")
+        cdl_w = spark.read.parquet(base + "/cdl.parquet")
+        (ctf_w.groupBy("tok")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+         .write.parquet(base + "/cdf.parquet"))
+        n_chunks, sum_dl = cdl_w.agg(
+            F.count(F.lit(1)), F.sum("dl")).first()
+        _CHUNK_BM25_IDX[sf_dir] = (base, int(n_chunks),
+                                   float(sum_dl) / float(n_chunks))
+    base, n_chunks, avgdl = _CHUNK_BM25_IDX[sf_dir]
+    return (spark.read.parquet(base + "/ctf.parquet"),
+            spark.read.parquet(base + "/cdl.parquet"),
+            spark.read.parquet(base + "/cdf.parquet"),
+            n_chunks, avgdl)
+
+
 # Chunk-granular BM25 CTEs (the 10-word windows of dedup_chunks, kept
 # with their positions): each chunk is the retrieval unit — tf/dl/df
 # and the corpus scalars are all per-CHUNK. Query terms reuse the
@@ -617,28 +666,7 @@ def q_hybrid_chunk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings, df, n_docs, _ = bm25_index(spark, sf_dir)
     qt = R.query_terms_tfidf(postings, df, n_docs,
                              F.col("doc_id") % 50 == 0)
-
-    d = load_table(spark, sf_dir, "documents")
-    w = F.split(F.trim("text"), " +")
-    n_ch = F.greatest(F.ceil(F.size("ws") / F.lit(10)).cast("int"),
-                      F.lit(1))
-    chunks = (d.select("doc_id", w.alias("ws"))
-              .select("doc_id", F.posexplode(
-                  F.transform(F.sequence(F.lit(0), n_ch - 1),
-                              lambda i: F.slice("ws", i * 10 + 1, 10)))
-                  .alias("pos", "cws")))
-    ctf = (chunks.select("doc_id", "pos",
-                         F.explode("cws").alias("tok"))
-           .filter(F.col("tok") != "")
-           .groupBy("doc_id", "pos", "tok")
-           .agg(F.count(F.lit(1)).cast("bigint").alias("tf")))
-    cdl = (ctf.groupBy("doc_id", "pos")
-           .agg(F.sum("tf").cast("bigint").alias("dl")))
-    n_chunks, sum_dl = cdl.agg(
-        F.count(F.lit(1)), F.sum("dl")).first()
-    avgdl = float(sum_dl) / float(n_chunks)
-    cdf = (ctf.groupBy("tok")
-           .agg(F.count(F.lit(1)).cast("bigint").alias("df")))
+    ctf, cdl, cdf, n_chunks, avgdl = chunk_bm25_index(spark, sf_dir)
     # per-chunk BM25 over posting-list candidates (expressions mirror
     # the oracle token for token; sorted-fold sum = bit-exact)
     idf = ((F.lit(int(n_chunks)) - F.col("df") + 0.5)
