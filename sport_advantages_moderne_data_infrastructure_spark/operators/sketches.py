@@ -287,6 +287,33 @@ class _QState:
             # (below < k <= upto holds by the two guards above)
             self.val = self.lo
 
+    def resolve_stall(self, c_le_lo: int, c_lt_hi: int) -> None:
+        """Exact edge-mass resolution (r11): duplicate masses sitting at
+        BOTH bracket edges can pin the sketch's proposals to the current
+        bracket forever — e.g. k=1 over [-39, 0] where a 17-row mass of
+        zeros owns the hi edge: every percentile in the band maps back
+        to an edge value, so no round shrinks anything (found by the
+        hypothesis suite). Given the exact counts c_le_lo = #(col <=
+        lo) and c_lt_hi = #(col < hi), rank k lands in exactly one of
+        three places: lo's mass (below < k <= c_le_lo -> val = lo),
+        hi's mass (c_lt_hi < k <= upto -> val = hi), or strictly
+        between — then the bracket advances to the OPEN interval via
+        the next representable doubles, with the exact counts as the
+        new below/upto. Progress is strict (below grows by lo's mass,
+        upto shrinks by hi's), so stalls resolve in at most
+        #distinct-values rounds."""
+        if self.k <= c_le_lo:
+            self.val = self.lo
+        elif self.k > c_lt_hi:
+            self.val = self.hi
+        else:
+            self.lo = math.nextafter(float(self.lo), math.inf)
+            self.below = c_le_lo
+            self.hi = math.nextafter(float(self.hi), -math.inf)
+            self.upto = c_lt_hi
+            if self.lo == self.hi:
+                self.val = self.lo
+
 
 def _read_ready_brackets(vals: DataFrame, col: str,
                          ready: list[tuple[int, "_QState"]]) -> dict:
@@ -445,10 +472,32 @@ def _bracket_states(vals: DataFrame, col: str, st: list["_QState"],
                 F.col(col) <= F.lit(nhi), 1).otherwise(0))
                 .alias(f"u{i}"))
         vrow = vals.agg(*vexprs).first()
+        stalled = []
         for i, s in sketching:
             nlo, nhi = props[i]
+            old = (s.lo, s.hi, s.below, s.upto)
             s.apply_verified(nlo, nhi, int(vrow[f"l{i}"]),
                              int(vrow[f"u{i}"]))
+            if s.val is None and (s.lo, s.hi, s.below, s.upto) == old:
+                stalled.append((i, s))
+        if stalled:
+            # duplicate masses pinned the proposals to the current
+            # bracket: ONE exact counting job resolves every stalled
+            # state (see _QState.resolve_stall) — an exact-progress
+            # step, so it does not count against the sketch budget
+            sexprs = []
+            for i, s in stalled:
+                sexprs.append(F.sum(F.when(
+                    F.col(col) <= F.lit(s.lo), 1).otherwise(0))
+                    .alias(f"sl{i}"))
+                sexprs.append(F.sum(F.when(
+                    F.col(col) < F.lit(s.hi), 1).otherwise(0))
+                    .alias(f"sh{i}"))
+            srow = vals.agg(*sexprs).first()
+            for i, s in stalled:
+                s.resolve_stall(int(srow[f"sl{i}"]),
+                                int(srow[f"sh{i}"]))
+            sketch_rounds -= 1
 
 
 def grouped_exact_quantiles(df: DataFrame, group_col: str, col: str,
@@ -667,15 +716,46 @@ def _grouped_bracket_loop(spark, vals, group_col, col, gtype,
                              f"AND {col} <= __nhi)")
                       .alias("p")).collect())}
         grids.clear()
+        stalled = []
         for i, (g, s) in sketching:
             nlo, nhi = props[i]
             r = vres.get(i)
             l, u = (int(r["l"]), int(r["u"])) if r else (0, 0)
+            old = (s.lo, s.hi, s.below, s.upto)
             s.apply_verified(nlo, nhi, s.below + l, s.below + u)
+            if (s.val is None
+                    and (s.lo, s.hi, s.below, s.upto) == old):
+                stalled.append((i, g, s))
+                continue
             if (s.val is None and r is not None
                     and r["p"] is not None
                     and (s.lo, s.hi) == (nlo, nhi)):
                 grids[i] = r["p"]  # optimistic grid is valid
+        if stalled:
+            # duplicate masses pinned the proposals (see
+            # _QState.resolve_stall): ONE tagged counting job over the
+            # stalled states' brackets resolves them all — counts are
+            # RELATIVE to the bracket (rows below lo are exactly
+            # s.below), an exact-progress step outside the sketch
+            # budget
+            srows = [(g, i, _flt(s.lo), _flt(s.hi))
+                     for i, g, s in stalled]
+            tag = _tag(srows, [T.StructField("__lo", dbl),
+                               T.StructField("__hi", dbl)],
+                       bracket_filter=True)
+            sres = {r["__si"]: r for r in
+                    (tag.groupBy("__si")
+                     .agg(F.sum(F.when(F.col(col) <= F.col("__lo"), 1)
+                                .otherwise(0)).alias("le_lo"),
+                          F.sum(F.when(F.col(col) < F.col("__hi"), 1)
+                                .otherwise(0)).alias("lt_hi"))
+                     .collect())}
+            for i, g, s in stalled:
+                r = sres.get(i)
+                le_lo, lt_hi = ((int(r["le_lo"]), int(r["lt_hi"]))
+                                if r else (0, 0))
+                s.resolve_stall(s.below + le_lo, s.below + lt_hi)
+            sketch_rounds -= 1
 
 
 def grouped_exact_ranks(df: DataFrame, key_col: str, col: str,

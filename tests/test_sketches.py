@@ -693,3 +693,39 @@ def test_mg_compact_policy_and_pinned_vacuum(spark, sf_dir):
     batch = {(r["user_id"], r["cnt"])
              for r in heavy_hitters_exact(e, "user_id", PHI).collect()}
     assert served == batch and len(served) > 0
+
+
+def test_bracketing_survives_edge_duplicate_stall(spark):
+    """r11 (hypothesis find): duplicate masses at BOTH bracket edges
+    pinned the sketch's proposals to the current bracket forever —
+    k=1 over [-39, 0] where a 17-row zero mass owns the hi edge never
+    shrank (RuntimeError after max_rounds). The stall now resolves
+    with ONE exact edge-mass counting job (_QState.resolve_stall):
+    rank-in-lo-mass / rank-in-hi-mass answer directly, strictly-inside
+    advances to the open interval. Pinned on BOTH engines with the
+    falsifying multiset."""
+    import math
+
+    from sport_advantages_moderne_data_infrastructure_spark.operators.sketches import (  # noqa: E501
+        exact_ranks, grouped_exact_quantiles,
+    )
+
+    vals = [-39, 0, -26, 1, 0, 1, 1, 1, -6, 0, 0, 1, 0, 0, 0, 0,
+            -26, 47, 1, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+    n = len(vals)
+    ref = sorted(float(v) for v in vals)
+    ks = sorted({max(1, math.ceil(f * n)) for f in (0.0, 0.5)})
+    df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+    got = exact_ranks(df.repartition(3), "v", ks,
+                      accuracy=8, direct_limit=4, max_rounds=12)
+    assert got == [ref[k - 1] for k in ks]
+    gdf = spark.createDataFrame(
+        [(g, float(v)) for g in ("a", "b") for v in vals],
+        "g string, v double")
+    want = {(g, q): ref[max(1, math.ceil(q * n)) - 1]
+            for g in ("a", "b") for q in (0.0, 0.5)}
+    got = grouped_exact_quantiles(gdf.repartition(3), "g", "v",
+                                  [0.0, 0.5], accuracy=8,
+                                  direct_limit=4, max_rounds=12,
+                                  grid=8)
+    assert {(g, q): v for g, q, v in got} == want
