@@ -545,6 +545,14 @@ def q_txn_metadata_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("txn_dv_delete_read",  # new r6, gated immediately (slot:
           # tfidf_top_terms demoted — triple-green)
+          driver=False,  # rotated out 2026-08-16 (r11, green r6-r10;
+          # the DV-delete-then-read shape survives gated inside
+          # txn_incremental_join_mv AND stream_join_mv_equiv — both
+          # commit a use_dv delete and read through it, change feed
+          # included — is measured every bench run by the row_ops
+          # delete_dv/scatter_dv ratio gates, and stays
+          # DuckDB-verified per pytest run; slot goes to
+          # stream_cdc_apply_equiv)
           oracle=(
               "SELECT o_orderkey, o_custkey, "
               "ROUND(o_totalprice, 2) AS total FROM orders "
@@ -887,6 +895,123 @@ def q_txn_merge_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
               .count() == 0)
     return t.read(spark).select(
         "k", "val", F.lit(bool(cdf_ok)).alias("cdf_ok"))
+
+
+# the streaming CDC-APPLY feed: batch A carries the even keys (an
+# update wave at ts=1 whose every-8th event is a tombstone, plus a
+# ts=2 re-insert wave for every 16th key — update-after-tombstone and
+# tombstone-after-update both live INSIDE one micro-batch, where the
+# last-event-per-key dedup resolves them); batch B carries odd keys
+# only, so the two micro-batches commute and the sequential per-batch
+# merges equal ONE relational merge of the globally-deduped feed —
+# which is exactly what the oracle computes.
+_SCA_TARGET = ("SELECT o_orderkey AS k, o_totalprice AS val "
+               "FROM orders WHERE o_orderkey % 3 = 0")
+_SCA_FEED = (
+    "SELECT o_orderkey AS k, o_totalprice * 2 AS val, "
+    "o_orderkey % 8 = 0 AS __deleted, 1.0 AS ts "
+    "FROM orders WHERE o_orderkey % 2 = 0 "
+    "UNION ALL "
+    "SELECT o_orderkey AS k, o_totalprice * 3 AS val, "
+    "FALSE AS __deleted, 2.0 AS ts "
+    "FROM orders WHERE o_orderkey % 16 = 0 "
+    "UNION ALL "
+    "SELECT o_orderkey AS k, o_totalprice + 100 AS val, "
+    "o_orderkey % 30 = 1 AS __deleted, 3.0 AS ts "
+    "FROM orders WHERE o_orderkey % 6 = 1")
+_SCA_DEDUP = (
+    "SELECT k, val, __deleted FROM ("
+    "SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY ts DESC) "
+    "AS __rn FROM (" + _SCA_FEED + ")) WHERE __rn = 1")
+
+
+@register(
+    "stream_cdc_apply_equiv",  # new r11, gated immediately (slot:
+    # txn_dv_delete_read demoted 2026-08-16 — green r6-r10; the
+    # DV-delete-then-read shape survives gated inside
+    # txn_incremental_join_mv and stream_join_mv_equiv (both commit a
+    # use_dv delete and read through it, change feed included), is
+    # measured every bench run by the row_ops delete_dv/scatter_dv
+    # ratio gates, and stays DuckDB-verified per pytest run plus the
+    # tests/test_txnlog DV suite).
+    # Streaming CDC APPLY end-to-end: the txn merge sink routes a
+    # tombstone-carrying feed through the MERGE clause surface —
+    # matched tombstones DELETE, updates upsert, tombstones for
+    # unseen keys insert NOTHING, each micro-batch ONE atomic commit,
+    # restarts replay-guarded. The oracle is the relational
+    # merge_clauses twin over the globally last-event-deduped feed:
+    # any drift in the per-batch dedup, clause routing, or replay
+    # guard is a hash mismatch.
+    oracle=(
+        "SELECT k, val, TRUE AS replay_ok FROM ("
+        + merge_clauses_sql(
+            _SCA_TARGET, _SCA_DEDUP, "k", ["k", "val"],
+            matched_delete="__deleted", insert="NOT __deleted")
+        + ") ORDER BY k"),
+    tags=("K1", "K2", "T1", "T4"))
+def q_stream_cdc_apply_equiv(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Streaming CDC APPLY (r11): a change feed with tombstones is
+    applied to a transactional table by the streaming merge sink
+    (streaming/pipeline.write_stream_merge_txn), two micro-batches via
+    maxFilesPerTrigger=1, then the SAME stream is restarted on its
+    checkpoint — the replay guard must commit nothing (replay_ok).
+    Final table state is hash-compared against one relational
+    merge_clauses application of the deduped feed. This is the
+    streaming twin of txn_merge_clauses: same clause surface, reached
+    through foreachBatch + the commit log's stream_batch_id ledger
+    instead of one batch call. Reference anchor: SaveDelta.scala:
+    157-163 (the checkpointed Delta sink this generalizes)."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..sources.tables import load_table
+    from ..sources.txnlog import TxnTable
+    from ..streaming import pipeline as P
+
+    o = load_table(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="samdis_sca_")
+    t = TxnTable(os.path.join(root, "t"))
+    t.append(o.filter("o_orderkey % 3 = 0").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("val")))
+    src = os.path.join(root, "feed")
+    batch_a = (o.filter("o_orderkey % 2 = 0").select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_totalprice") * 2).alias("val"),
+        (F.col("o_orderkey") % 8 == 0).alias("__deleted"),
+        F.lit(1.0).alias("ts"))
+        .unionByName(o.filter("o_orderkey % 16 = 0").select(
+            F.col("o_orderkey").alias("k"),
+            (F.col("o_totalprice") * 3).alias("val"),
+            F.lit(False).alias("__deleted"),
+            F.lit(2.0).alias("ts"))))
+    batch_b = o.filter("o_orderkey % 6 = 1").select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_totalprice") + 100).alias("val"),
+        (F.col("o_orderkey") % 30 == 1).alias("__deleted"),
+        F.lit(3.0).alias("ts"))
+    batch_a.coalesce(1).write.mode("append").parquet(src)
+    batch_b.coalesce(1).write.mode("append").parquet(src)
+
+    def _run():
+        feed = (spark.readStream.schema(batch_a.schema)
+                .option("maxFilesPerTrigger", 1).parquet(src))
+        q = P.write_stream_merge_txn(
+            feed, t.path, os.path.join(root, "ck"), key="k",
+            order_col="ts", matched_delete="__deleted",
+            insert="NOT __deleted")
+        q.awaitTermination(300)
+        q.stop()
+
+    _run()
+    v = t.latest_version()
+    _run()  # restart on the same checkpoint: the ledger replays nothing
+    replay_ok = t.latest_version() == v
+    return t.read(spark).select(
+        "k", "val", F.lit(bool(replay_ok)).alias("replay_ok"))
 
 
 @register("txn_incremental_mv",  # new r6, gated immediately (slot:
