@@ -40,6 +40,44 @@ def postings_frame(docs: DataFrame) -> DataFrame:
     return tf.join(dl, "doc_id")
 
 
+def chunk_postings_frame(docs: DataFrame,
+                         extra_keys: tuple = ()) -> DataFrame:
+    """(doc_id, pos, tok, tf, dl) CHUNK-granular postings from a
+    documents frame — the 10-word windows of dedup_chunks kept with
+    their positions (the hybrid_chunk_search retrieval unit). Chunking
+    is a pure JVM projection (split + posexplode of 10-word slices —
+    zero shuffle, zero UDF); ``dl`` is the chunk's token length,
+    attached to every posting row so chunk scoring never re-joins a
+    lengths table (the postings_frame convention). Deterministic per
+    doc row — a doc's postings regenerate bit-identically from its
+    text, which is what lets the maintained form
+    (streaming/chunkbm25.py) apply deletes by net row count.
+
+    ``extra_keys``: additional per-input-row grouping columns carried
+    through the rollups (the maintained form passes a synthetic row
+    uid so TWO copies of the same doc in one change batch — insert +
+    same-text update in a multi-commit window — yield two copies of
+    its posting rows instead of one copy with doubled tf; the uid is
+    dropped again after net-count bookkeeping)."""
+    keys = ["doc_id", *extra_keys]
+    w = F.split(F.trim("text"), " +")
+    n_ch = F.greatest(F.ceil(F.size("ws") / F.lit(10)).cast("int"),
+                      F.lit(1))
+    chunks = (docs.select(*keys, w.alias("ws"))
+              .select(*keys, F.posexplode(
+                  F.transform(F.sequence(F.lit(0), n_ch - 1),
+                              lambda i: F.slice("ws", i * 10 + 1, 10)))
+                  .alias("pos", "cws")))
+    ctf = (chunks.select(*keys, "pos",
+                         F.explode("cws").alias("tok"))
+           .filter(F.col("tok") != "")
+           .groupBy(*keys, "pos", "tok")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("tf")))
+    dl = (ctf.groupBy(*keys, "pos")
+          .agg(F.sum("tf").cast("bigint").alias("dl")))
+    return ctf.join(dl, [*keys, "pos"])
+
+
 def df_frame(postings: DataFrame) -> DataFrame:
     """(tok, df): document frequency — postings rows are distinct per
     (doc_id, tok), so this is a plain COUNT rollup."""
