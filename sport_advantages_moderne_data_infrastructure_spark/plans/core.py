@@ -897,6 +897,88 @@ def q_txn_merge_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k", "val", F.lit(bool(cdf_ok)).alias("cdf_ok"))
 
 
+@register(
+    "txn_generated_identity",  # new r11, gated immediately (slot:
+    # stream_heavy_hitters_equiv demoted 2026-08-16 — green r8-r10;
+    # the flat streaming-MG shape survives STRICTLY HARDER inside the
+    # still-gated stream_grouped_hh_equiv (same events/sketch tables,
+    # same pinned serve, per-group state) plus the gated+benched batch
+    # row heavy_hitters_users and the tests/test_sketches streaming
+    # suite).
+    # Generated + identity columns on the txnlog format (Delta's
+    # GENERATED ALWAYS AS [IDENTITY], r12-seed landed r11): values are
+    # produced by the WRITER — a generated column computes from the
+    # row at every append/overwrite/merge, identity ids allocate from
+    # a high water that lives in COMMIT META so allocation rides the
+    # same optimistic commit as the data (racing writers conflict,
+    # never collide). Ids are nondeterministic across engines
+    # (partition order), so the contract hashes what IS deterministic,
+    # per ROW: the generated value (recomputed by the oracle, doubled
+    # prices on the merge-updated keys) and two literal-TRUE booleans
+    # — rid_ok (each row's id falls in its commit's contiguous
+    # allocation range, and merge-updated rows KEPT their original
+    # ids) and rid_unique (windowed count per id == 1). Any allocation
+    # drift, id reuse, update reassignment, or generation skew flips a
+    # boolean or a value and the full hash mismatches.
+    oracle=(
+        "SELECT o_orderkey, CAST(ROUND((CASE WHEN o_orderkey % 6 = 0 "
+        "THEN o_totalprice * 2 ELSE o_totalprice END) * 100) AS "
+        "BIGINT) AS total_cents, "
+        "CAST(1 AS BOOLEAN) AS rid_ok, "
+        "CAST(1 AS BOOLEAN) AS rid_unique "
+        "FROM orders ORDER BY o_orderkey"))
+def q_txn_generated_identity(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """GENERATED ALWAYS AS + IDENTITY through a three-commit history:
+    append a third of orders (ids 1..nA), append another third
+    (nA+1..nA+nB), then ONE MERGE that updates every 6th key (doubled
+    price -> generated column recomputes, identity id KEPT) and
+    inserts the final third (fresh ids past nA+nB). Allocation is
+    distributed and shuffle-free (monotonically_increasing_id's
+    partition/local decomposition + a bounded per-partition count job
+    — never a global row_number sort), contiguous per commit.
+    Reference: the reference's tables carry hand-managed surrogate
+    keys (schema.sql PRIMARY KEYs populated by the generator); this is
+    the engine-managed form."""
+    import tempfile
+
+    from pyspark.sql import Window as W_
+    from pyspark.sql import functions as F
+
+    from ..sources.tables import load_table
+    from ..sources.txnlog import TxnTable
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    t = TxnTable(tempfile.mkdtemp(prefix="samdis_txn_gen_"))
+    t.set_generated_column(
+        "total_cents", "CAST(ROUND(o_totalprice * 100) AS BIGINT)")
+    t.set_identity_column("rid", start=1, step=1)
+
+    a = o.filter(F.col("o_orderkey") % 3 == 0)
+    b = o.filter(F.col("o_orderkey") % 3 == 1)
+    na, nb = a.count(), b.count()
+    t.append(a)
+    t.append(b)
+    upd = (a.filter(F.col("o_orderkey") % 6 == 0)
+           .withColumn("o_totalprice", F.col("o_totalprice") * 2))
+    t.merge(spark, upd.unionByName(
+        o.filter(F.col("o_orderkey") % 3 == 2)), key="o_orderkey")
+
+    s = t.read(spark)
+    cls = F.col("o_orderkey") % 3
+    rid_ok = (
+        F.when(cls == 0, F.col("rid") <= na)
+        .when(cls == 1, (F.col("rid") > na)
+              & (F.col("rid") <= na + nb))
+        .otherwise(F.col("rid") > na + nb))
+    uniq = F.count(F.lit(1)).over(W_.partitionBy("rid")) == 1
+    return (s.select("o_orderkey", "total_cents",
+                     rid_ok.alias("rid_ok"),
+                     uniq.alias("rid_unique"))
+            .orderBy("o_orderkey"))
+
+
 # the streaming CDC-APPLY feed: batch A carries the even keys (an
 # update wave at ts=1 whose every-8th event is a tombstone, plus a
 # ts=2 re-insert wave for every 16th key — update-after-tombstone and

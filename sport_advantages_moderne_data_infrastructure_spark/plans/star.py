@@ -1452,7 +1452,15 @@ def q_heavy_hitters_by_type(spark: SparkSession,
     # pruned-read class stays gated via txn_zorder_read, the bloom
     # point-probe stays pinned by
     # tests/test_txnlog.py::test_bloom_prunes_point_lookups, and the
-    # row stays DuckDB-verified per pytest run).
+    # row stays DuckDB-verified per pytest run). DEMOTED 2026-08-16
+    # (r11, green r8-r10): slot goes to txn_generated_identity
+    # (plans/core.py) — the flat streaming-MG shape survives STRICTLY
+    # HARDER inside the still-gated stream_grouped_hh_equiv (same
+    # events/sketch tables, same pinned serve, per-group state on
+    # top), the batch flat shape stays gated+benched via
+    # heavy_hitters_users, and the streaming suite in
+    # tests/test_sketches.py continues per pytest run.
+    driver=False,
     # Self-contained equivalence contract (the stream_bm25_index_equiv
     # pattern): the literal-TRUE booleans flip — and the gate
     # hash-mismatches — if the stream-maintained MG sketch ever grows

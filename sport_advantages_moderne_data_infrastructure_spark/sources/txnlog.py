@@ -87,7 +87,14 @@ TW_READER_VERSION = 3   # type widening (r11): a widened table's files
 # carry MIXED physical types under one logical (wide) schema — readers
 # must upcast at the scan (Delta gates this behind the typeWidening
 # table feature); r11 readers are the floor for both r11 features
+GEN_WRITER_VERSION = 2  # generated/identity columns (r11) move value
+# production INTO the writer: a pre-generation writer would append rows
+# with generated columns missing/stale and identity ids unallocated —
+# the first declaration raises the table's min_WRITER floor. READERS
+# are unaffected (values are materialized in the files like any
+# column), which is exactly why Delta gates these as writer features.
 _READER_CAPABILITY = 3  # what this library can read
+_WRITER_CAPABILITY = 2  # what this library can write
 _DV_DIR = "dv"  # deletion-vector files (Delta's DV sidecars): parquet of
 # (src_dir, src_file, row_idx) naming deleted row positions; referenced
 # from commit docs' "dvs" key ({data_dir: {"path": dv_rel, "rows": n}},
@@ -403,7 +410,7 @@ class TxnTable:
             self._protocol_cache = proto
         need = proto.get("min_writer_version" if writer
                          else "min_reader_version", 1)
-        have = WRITER_VERSION if writer else _READER_CAPABILITY
+        have = _WRITER_CAPABILITY if writer else _READER_CAPABILITY
         if need > have:
             kind = "writer" if writer else "reader"
             raise TxnProtocolError(
@@ -987,6 +994,221 @@ class TxnTable:
             os.fsync(fh.fileno())
         os.replace(tmp, os.path.join(self.log_dir, fname))
 
+    # -- generated & identity columns (Delta's GENERATED ALWAYS AS) --------
+
+    def set_generated_column(self, col: str, expr: str) -> None:
+        """Declare ``col`` GENERATED ALWAYS AS (``expr``, a SQL
+        expression over the row's other columns): every future append /
+        overwrite / merge computes it at write time, so reads, stats
+        pruning and partition layouts see a plain materialized column
+        (Delta's generated-columns design — generation lives in the
+        WRITER, which is why declaring one raises the table's
+        min_writer floor). Writes that provide the column explicitly
+        are REJECTED — strict ALWAYS semantics; Delta's provide-if-
+        equal variant is deliberately not offered (an equality check
+        costs the same observation machinery and a mismatch is always
+        a caller bug). Existing rows are not backfilled (Delta's rule:
+        the declaration governs future writes)."""
+        cfg = self.generation_config()
+        ident = cfg.get("identity")
+        if ident and ident["col"] == col:
+            raise ValueError(
+                f"column '{col}' is already the table's identity column")
+        cfg.setdefault("generated", {})[col] = expr
+        self._write_config("generation.json", cfg)
+        self._bump_protocol_writer()
+
+    def drop_generated_column(self, col: str) -> None:
+        """Stop generating ``col`` — it stays a plain column (values
+        already materialized remain; future writes must provide it)."""
+        cfg = self.generation_config()
+        cfg.get("generated", {}).pop(col, None)
+        self._write_config("generation.json", cfg)
+
+    def set_identity_column(self, col: str, start: int = 1,
+                            step: int = 1) -> None:
+        """Declare ``col`` GENERATED ALWAYS AS IDENTITY (START WITH
+        ``start`` STEP ``step``): appends, overwrites and merge-inserts
+        allocate values from the table's high-water mark, which lives
+        in COMMIT META — allocation therefore rides the same optimistic
+        expected-version commit as the data, so two racing writers can
+        never hand out the same id (the loser's conflict retry re-reads
+        the high water and re-assigns; Delta gates identity allocation
+        on the identical transaction-conflict rule). Values are unique
+        and ascending (per ``step``'s sign), CONTIGUOUS within one
+        commit, and merge updates KEEP the target row's id. One
+        identity column per table (Delta's rule)."""
+        if step == 0:
+            raise ValueError("identity step must be non-zero")
+        cfg = self.generation_config()
+        if col in cfg.get("generated", {}):
+            raise ValueError(
+                f"column '{col}' is already a generated column")
+        ident = cfg.get("identity")
+        if ident and ident["col"] != col:
+            raise ValueError(
+                f"table already has identity column '{ident['col']}' "
+                "(one per table)")
+        cfg["identity"] = {"col": col, "start": int(start),
+                           "step": int(step)}
+        self._write_config("generation.json", cfg)
+        self._bump_protocol_writer()
+
+    def generation_config(self) -> dict:
+        p = os.path.join(self.log_dir, "generation.json")
+        if not os.path.exists(p):
+            return {}
+        with open(p) as fh:
+            return json.load(fh)
+
+    def _bump_protocol_writer(self, floor: int = GEN_WRITER_VERSION
+                              ) -> None:
+        cur = getattr(self, "_protocol_cache", None)
+        if cur is None:
+            p = os.path.join(self.log_dir, "protocol.json")
+            cur = json.load(open(p)) if os.path.exists(p) else {}
+        if cur.get("min_writer_version", 1) < floor:
+            self._write_config("protocol.json", {
+                "min_reader_version": cur.get("min_reader_version", 1),
+                "min_writer_version": floor})
+            self._protocol_cache = None  # re-read on next check
+
+    def _apply_generated(self, df: DataFrame) -> DataFrame:
+        """Compute every declared generated column on ``df`` (strict
+        ALWAYS: a frame providing one is rejected). Pure projection —
+        rides the write plan, zero extra jobs."""
+        gens = self.generation_config().get("generated", {})
+        if not gens:
+            return df
+        from pyspark.sql import functions as F
+
+        provided = [c for c in gens if c in df.columns]
+        if provided:
+            raise ValueError(
+                f"column(s) {provided} are GENERATED ALWAYS AS (...) — "
+                "writes must not provide them; the engine computes "
+                "them from the row's other columns")
+        for c, e in gens.items():
+            df = df.withColumn(c, F.expr(e))
+        return df
+
+    def _identity_high_water(self, version: int | None = None
+                             ) -> int | None:
+        """Last allocated identity value at/before ``version`` — a
+        backward meta walk bounded by how many non-allocating commits
+        landed since the last identity write (compactions, DVs)."""
+        v = self.latest_version() if version is None else version
+        while v is not None and v >= 0:
+            m = self._doc(v).get("meta") or {}
+            if "identity_high_water" in m:
+                return int(m["identity_high_water"])
+            v -= 1
+        return None
+
+    def _assign_identity(self, df: DataFrame, ident: dict
+                         ) -> tuple[DataFrame, dict, DataFrame]:
+        """(df_with_ids, meta_delta, persisted_handle). Allocation is
+        fully DISTRIBUTED and shuffle-free: ids are
+        ``hw + step * (prefix_offset[partition] + local_pos + 1)``
+        using ``monotonically_increasing_id``'s (partition, local)
+        decomposition — one bounded per-partition counting job builds
+        the prefix offsets (#partitions rows on the driver), the write
+        itself assigns. The input is PERSISTED so the counting job and
+        the write job see the same partitioning (a recomputed
+        nondeterministic input — AQE re-plans, shuffled joins — could
+        otherwise move rows between partitions and break uniqueness);
+        the caller unpersists the returned handle once the data files
+        are on disk. Contiguous per commit; the meta delta carries the
+        new high water for the SAME commit, so allocation and data are
+        one atomic unit."""
+        from pyspark.sql import functions as F
+
+        name, start, step = ident["col"], ident["start"], ident["step"]
+        if name in df.columns:
+            raise ValueError(
+                f"column '{name}' is GENERATED ALWAYS AS IDENTITY — "
+                "writes must not provide it")
+        hw = self._identity_high_water()
+        base = hw if hw is not None else start - step
+        df = df.persist()
+        counts = {int(r["__pid"]): int(r["count"]) for r in
+                  df.withColumn("__pid", F.spark_partition_id())
+                  .groupBy("__pid").count().collect()}
+        off, acc = {}, 0
+        for pid in sorted(counts):
+            off[pid] = acc
+            acc += counts[pid]
+        spark = df.sparkSession
+        off_df = spark.createDataFrame(
+            [(int(p), int(o)) for p, o in off.items()] or [(0, 0)],
+            "__pid int, __off long")
+        mono = F.monotonically_increasing_id()
+        out = (df.withColumn("__pid", F.spark_partition_id())
+               .withColumn("__loc",
+                           mono.bitwiseAND(F.lit((1 << 33) - 1)))
+               .join(F.broadcast(off_df), "__pid", "left")
+               .withColumn(name,
+                           (F.lit(int(base)) + F.lit(int(step))
+                            * (F.col("__off") + F.col("__loc") + 1))
+                           .cast("long"))
+               .select(*df.columns, name))
+        return out, {"identity_high_water": base + step * acc}, df
+
+    def _append_identity(self, df: DataFrame, meta: dict | None,
+                         ident: dict, retries: int = 5) -> int:
+        """Identity-allocating append: unlike a blind append, losing the
+        commit race here IS a semantic conflict (the loser's ids came
+        from a stale high water), so each retry re-reads the high
+        water, RE-ASSIGNS, rewrites the data, and re-commits against
+        the version it allocated at."""
+        import shutil
+
+        last_err = None
+        for _ in range(max(1, retries)):
+            v0 = self.latest_version()
+            out, hw_meta, handle = self._assign_identity(df, ident)
+            try:
+                self._check_append_schema(out)
+                mapping, cm_o, used_o = self._extend_mapping(out.columns)
+                rel = self._write_data(out, mapping=mapping)
+                try:
+                    return self.commit(
+                        [rel], [], {**(meta or {}), **hw_meta},
+                        expected_version=v0, column_mapping=cm_o,
+                        physical_used=used_o)
+                except TxnConflictError as e:
+                    last_err = e  # stale allocation: scrap and redo
+                    shutil.rmtree(os.path.join(self.path, rel),
+                                  ignore_errors=True)
+            finally:
+                handle.unpersist()
+        raise last_err
+
+    def _merge_identity(self, spark: SparkSession, updates: DataFrame,
+                        target: DataFrame, key, ident: dict
+                        ) -> tuple[DataFrame, dict, DataFrame]:
+        """(updates_with_ids, meta_delta, persisted_handle): merge
+        semantics here are row-WHOLESALE (matched rows take the source
+        row entirely), so the source frame must carry the identity
+        column — matched keys take the TARGET's id (updates never
+        change an identity), new keys allocate fresh from the high
+        water. A conditionally-skipped insert still consumes its ids
+        (gaps are legal, Delta's identity contract)."""
+        from pyspark.sql import functions as F
+
+        name = ident["col"]
+        if name in updates.columns:
+            raise ValueError(
+                f"column '{name}' is GENERATED ALWAYS AS IDENTITY — "
+                "merge sources must not provide it")
+        keys = [key] if isinstance(key, str) else list(key)
+        up = updates.join(target.select(*keys, name), keys, "left")
+        olds = up.filter(F.col(name).isNotNull())
+        news = up.filter(F.col(name).isNull()).drop(name)
+        assigned, hw_meta, handle = self._assign_identity(news, ident)
+        return (olds.unionByName(assigned.select(*olds.columns)),
+                hw_meta, handle)
+
     def _dir_bloom(self, rel_dir: str, cfg: dict) -> dict:
         """col -> hex bloom over every value in the dir's parquet files.
         Unlike footer min/max this reads the indexed COLUMNS' data — the
@@ -1469,17 +1691,29 @@ class TxnTable:
             expected_version = self.latest_version()
         version = 0 if expected_version is None else expected_version + 1
         if version == 0:
+            # preserve floors declared BEFORE the first commit (a
+            # generated/identity declaration bumps min_writer on an
+            # empty table — stamping defaults here would clobber it)
+            p0 = os.path.join(self.log_dir, "protocol.json")
+            pre = json.load(open(p0)) if os.path.exists(p0) else {}
             self._write_config("protocol.json", {
-                "min_reader_version": READER_VERSION,
-                "min_writer_version": WRITER_VERSION})
+                "min_reader_version": max(
+                    READER_VERSION, pre.get("min_reader_version", 1)),
+                "min_writer_version": max(
+                    WRITER_VERSION, pre.get("min_writer_version", 1))})
+            self._protocol_cache = None
         if dvs and any(ref is not None for ref in dvs.values()):
             # first DV raises the table's floor: a pre-DV reader would
             # resurrect deleted rows, so it must refuse instead
-            cur = getattr(self, "_protocol_cache", None) or {}
+            cur = getattr(self, "_protocol_cache", None)
+            if cur is None:
+                p = os.path.join(self.log_dir, "protocol.json")
+                cur = json.load(open(p)) if os.path.exists(p) else {}
             if cur.get("min_reader_version", 1) < DV_READER_VERSION:
                 self._write_config("protocol.json", {
                     "min_reader_version": DV_READER_VERSION,
-                    "min_writer_version": WRITER_VERSION})
+                    "min_writer_version": cur.get(
+                        "min_writer_version", WRITER_VERSION)})
                 self._protocol_cache = None  # re-read on next check
         import time as _time
         stats = stats or {}
@@ -1579,6 +1813,19 @@ class TxnTable:
         write time, as Delta does without the type-widening feature —
         committing it would brick every subsequent snapshot read at the
         parquet schema merge, a fail-at-read corruption)."""
+        gcfg = self.generation_config()
+        if gcfg.get("generated"):
+            df = self._apply_generated(df)
+        ident = gcfg.get("identity")
+        if ident is not None:
+            if merge_schema:
+                raise ValueError(
+                    "append(merge_schema=True) on an identity table is "
+                    "not supported — evolve the schema with a plain "
+                    "append/overwrite of the new shape first, then "
+                    "append")
+            return self._append_identity(df, meta, ident,
+                                         retries=retries)
         if not merge_schema:
             self._check_append_schema(df)
         else:
@@ -1678,12 +1925,27 @@ class TxnTable:
         it rewrites its (small) view table wholesale but KNOWS the
         row-level delta (changed groups only), so stacked consumers
         keep following incrementally instead of resyncing."""
-        base = self.latest_version()
-        live = self.snapshot_dirs(base)
-        rel_changes = (self._write_changes(changes)
-                       if changes is not None else None)
-        return self.commit([self._write_data(df)], live, meta,
-                           expected_version=base, changes=rel_changes)
+        gcfg = self.generation_config()
+        if gcfg.get("generated"):
+            df = self._apply_generated(df)
+        ident = gcfg.get("identity")
+        handle = None
+        if ident is not None:
+            # overwrite KEEPS the high water (Delta's rule: identity
+            # never re-issues values a previous snapshot handed out)
+            df, hw_meta, handle = self._assign_identity(df, ident)
+            meta = {**(meta or {}), **hw_meta}
+        try:
+            base = self.latest_version()
+            live = self.snapshot_dirs(base)
+            rel_changes = (self._write_changes(changes)
+                           if changes is not None else None)
+            return self.commit([self._write_data(df)], live, meta,
+                               expected_version=base,
+                               changes=rel_changes)
+        finally:
+            if handle is not None:
+                handle.unpersist()
 
     def clone(self, dest: str, version: int | None = None) -> "TxnTable":
         """CLONE (Delta's ``CREATE TABLE ... CLONE``, optionally
@@ -1826,9 +2088,18 @@ class TxnTable:
                     "route rows against (the source may carry "
                     "condition-only columns like a CDC flag) — create "
                     "the table with append()/overwrite() first")
-            return self.commit([self._write_data(updates)], [], meta,
-                               expected_version=None)
+            # route through append so generated/identity columns apply
+            # to a first-merge table creation exactly like any append
+            return self.append(updates, meta)
         target = self.read(spark, base)
+        _gcfg = self.generation_config()
+        if _gcfg.get("generated"):
+            updates = self._apply_generated(updates)
+        _ident_handle = None
+        if _gcfg.get("identity") is not None:
+            updates, _ident_meta, _ident_handle = self._merge_identity(
+                spark, updates, target, key, _gcfg["identity"])
+            meta = {**(meta or {}), **_ident_meta}
         if auto_merge:
             from pyspark.sql import functions as _F
             # safe type WIDENING through MERGE (r11, VERDICT r10 #4): a
@@ -1930,6 +2201,10 @@ class TxnTable:
         adds = (self._write_data_partitioned(merged, part_col)
                 if part_col else [self._write_data(merged,
                                                    mapping=mapping)])
+        if _ident_handle is not None:
+            # data (and change) files are on disk: the identity
+            # assignment can no longer be recomputed, release the pin
+            _ident_handle.unpersist()
         return self.commit(adds, live, meta, expected_version=base,
                            changes=changes_rel,
                            column_mapping=cm_override,

@@ -446,6 +446,14 @@ class _TxnWriterBase:
                 "txnlog DataSource writes to a column-mapped table are "
                 "not supported — use TxnTable.append()/merge(), which "
                 "map logical column names to the table's physical ones")
+        if TxnTable(path).generation_config():
+            raise ValueError(
+                "txnlog DataSource writes to a generated/identity table "
+                "are not supported — executors write files before the "
+                "commit, so identity values could not be allocated from "
+                "the table's high water; use TxnTable.append()/merge() "
+                "or the foreachBatch append sink "
+                "(streaming/pipeline.write_stream_txn_append)")
 
     def write(self, iterator) -> _DirCommit:
         # Arrow path (DataSourceArrowWriter): RecordBatches arrive over

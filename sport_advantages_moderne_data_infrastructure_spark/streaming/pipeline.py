@@ -241,10 +241,20 @@ def write_stream_txn_append(df: DataFrame, target: str, checkpoint: str,
         seen = table.max_stream_batch_id(app_id)
         if seen is not None and batch_id <= seen:
             return  # replay of an already-committed batch
-        rel = table._write_data(batch_df)  # noqa: SLF001 — package-internal
         meta = {"stream_batch_id": batch_id, "operation": "stream_append"}
         if app_id is not None:
             meta["stream_app_id"] = app_id
+        gcfg = table.generation_config()
+        if gcfg.get("generated") or gcfg.get("identity") is not None:
+            # generated/identity tables: route through append(), which
+            # computes/allocates INSIDE the same commit (the identity
+            # conflict loop re-reads the high water and re-assigns on a
+            # lost race); the ledger check above still guards replays,
+            # and the meta keys keep the batch in the ledger
+            table.append(batch_df, meta)
+            table.checkpoint_if_needed()
+            return
+        rel = table._write_data(batch_df)  # noqa: SLF001 — package-internal
         for _ in range(5):  # blind append: commit races are retryable
             try:
                 table.commit([rel], [], meta)
