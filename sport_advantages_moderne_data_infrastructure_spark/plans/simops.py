@@ -1190,6 +1190,92 @@ def q_stream_ann_pq_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_ann_cdf_equiv",  # new r11 (late), registered with its
+    # DuckDB oracle but driver=False — the r11 window already rotated
+    # twice this round; the oracle keeps it differentially verified
+    # per pytest run (tests/test_oracle_parity) and it is the seeded
+    # r12 promotion candidate. CDF-driven ANN maintenance: the index
+    # follows a governed embeddings TxnTable's change feed — inserts
+    # ingest, DELETEs retract (partition-granular rewrite of ONLY the
+    # touched centroid lists, located via the preimage embeddings
+    # against the same frozen centroids; an emptied list is removed,
+    # not left stale), updates retract the preimage and ingest the
+    # postimage, each micro-batch folded to net effect first. The
+    # churn history here ends at the pristine embeddings corpus, so
+    # the maintained lists must be row-identical to the batch
+    # assignment and IVF top-10 rank-exact through either.
+    driver=False,
+    oracle=("SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings) "
+            "AS n_vectors, CAST(1 AS BOOLEAN) AS index_matches_batch, "
+            "CAST(1 AS BOOLEAN) AS topk_matches_batch"))
+def q_stream_ann_cdf_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN twin of streaming/chunkbm25.py's governed-corpus story
+    (streaming/annindex.apply_cdf_batch): an embeddings table is built
+    through churn — negated-embedding inserts for every 7th id + junk
+    ids, the rest of the corpus, then a corrective MERGE and a junk
+    DELETE — with one change-feed fold per window (the third folds a
+    multi-commit window through the last-event-per-id net). Ghost
+    vectors (the junk ids) must be gone, re-embedded ids must sit in
+    their corrected lists, and the result must equal the batch build
+    over the pristine corpus exactly."""
+    import tempfile
+
+    from ..operators.ivf import assign_centroids, ivf_topk
+    from ..sources.txnlog import TxnTable
+    from ..streaming.annindex import apply_cdf_batch, read_index
+
+    e = load_table(spark, sf_dir, "embeddings")
+    centroids, _ = ensure_ivf_index(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="samdis_ann_cdf_")
+    emb, idx = TxnTable(root + "/emb"), TxnTable(root + "/idx")
+    app = "anncdf_twin"
+
+    neg = F.transform("embedding", lambda x: -x)
+    wrong = (e.filter(F.col("vec_id") % 7 == 3)
+             .withColumn("embedding", neg))
+    junk = (e.filter(F.col("vec_id") % 11 == 5)
+            .withColumn("vec_id", F.col("vec_id") + 10_000_000))
+    emb.append(e.filter((F.col("vec_id") % 2 == 0)
+                        & (F.col("vec_id") % 7 != 3))
+               .unionByName(wrong).unionByName(junk))
+    apply_cdf_batch(idx, emb.read_changes(spark, since_version=-1,
+                                          upto=0), centroids, 0, app)
+    emb.append(e.filter((F.col("vec_id") % 2 == 1)
+                        & (F.col("vec_id") % 7 != 3)))
+    apply_cdf_batch(idx, emb.read_changes(spark, since_version=0,
+                                          upto=1), centroids, 1, app)
+    emb.merge(spark, e.filter(F.col("vec_id") % 7 == 3), key="vec_id")
+    emb.delete_where(spark, "vec_id >= 10000000")
+    apply_cdf_batch(idx, emb.read_changes(spark, since_version=1),
+                    centroids, 2, app)
+
+    maintained = read_index(spark, idx.path)
+    batch = assign_centroids(
+        e.select("vec_id", "embedding",
+                 F.sqrt(F.expr(dot_expr("embedding", "embedding")))
+                 .alias("e_norm")), centroids)
+    cols = ["vec_id", "centroid_id", "e_norm"]
+    content_ok = (
+        maintained.select(cols).exceptAll(batch.select(cols)).count()
+        == 0
+        and batch.select(cols).exceptAll(maintained.select(cols))
+        .count() == 0)
+    pred = lambda vid: vid % 50 == 0  # noqa: E731 — the shared query set
+    mt = (ivf_topk(e, centroids, pred, k=10, nprobe=6,
+                   assigned=maintained)
+          .select("query_id", "neighbor_id", "rank"))
+    bt = (ivf_topk(e, centroids, pred, k=10, nprobe=6, assigned=batch)
+          .select("query_id", "neighbor_id", "rank"))
+    topk_ok = (mt.exceptAll(bt).count() == 0
+               and bt.exceptAll(mt).count() == 0)
+    n = e.count()
+    return spark.createDataFrame(
+        [(int(n), bool(content_ok), bool(topk_ok))],
+        "n_vectors long, index_matches_batch boolean, "
+        "topk_matches_batch boolean")
+
+
+@register(
     "stream_semantic_dedup_equiv",  # new r8, gated immediately (slot:
     # semantic_dedup_prune demoted — green r5-r7; the SemDeDup shape is
     # exercised HARDER by this twin — same frozen-centroid assignment

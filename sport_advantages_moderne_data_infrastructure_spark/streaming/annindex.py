@@ -295,3 +295,162 @@ def _swap(idx: TxnTable, frame: DataFrame, meta: dict) -> None:
     adds = idx._write_data_partitioned(frame, "centroid_id")  # noqa: SLF001
     removes = idx.snapshot_dirs(base) if base is not None else []
     idx.commit(adds, removes, meta, expected_version=base)
+
+
+# --- CDF-driven maintenance: retraction + the embeddings-table feed -------
+#
+# The append-only sinks above keep an index fresh for a stream of NEW
+# vectors; a governed corpus also retracts (document deleted) and
+# re-embeds (document edited). Following the embeddings TABLE's change
+# feed closes that gap: inserts ingest, deletes retract, updates
+# retract the preimage and ingest the postimage — the maintained lists
+# track the table through churn instead of serving ghosts forever
+# (the ANN twin of streaming/chunkbm25.py's retrieval-index story).
+
+
+def retract_batch(idx: TxnTable, gone: DataFrame,
+                  centroids: list[list[float]], batch_id: int,
+                  app_id: str | None = None) -> None:
+    """Remove retracted vectors from a maintained index (raw IVF lists
+    or the IVF-PQ code table — retraction is layout-level, codes are
+    never recomputed). ``gone`` rows carry (vec_id, embedding): the
+    change feed's delete/update_preimage rows include the embedding,
+    so each id's list is recomputed from the SAME frozen centroids the
+    ingest used and the rewrite touches ONLY those centroid partitions
+    — read affected, anti-join the ids, replace, with a partition the
+    retraction EMPTIES removed rather than left stale. O(touched lists
+    + batch), never O(index). Retracting an id the index does not hold
+    is a no-op (the anti-join finds nothing) — which is what makes
+    retract-then-ingest the safe order when an insert and its
+    tombstone fold into one batch window."""
+    import os
+    import shutil
+
+    from ..operators.ivf import assign_centroids
+
+    if idx.latest_version() is None:
+        return  # nothing maintained yet: nothing to retract
+    spark = gone.sparkSession
+    assigned = (assign_centroids(gone.select("vec_id", "embedding"),
+                                 centroids)
+                .select("vec_id", "centroid_id").distinct())
+    assigned.persist()
+    try:
+        affected = sorted(
+            r["centroid_id"] for r in
+            assigned.select("centroid_id").distinct().collect()
+        )  # bounded by the trained centroid count
+        if not affected:
+            return
+        ids = assigned.select("vec_id").distinct()
+
+        def _leg():
+            base = idx.latest_version()
+            live = idx.snapshot_dirs(base)
+            aff = {f"centroid_id={v}" for v in affected}
+            removes = [d for d in live if os.path.basename(d) in aff]
+            if not removes:
+                return  # none of the touched lists exist in the index
+            have = sorted(int(os.path.basename(d).split("=", 1)[1])
+                          for d in removes)
+            cur = idx.read_partitions(spark, have)
+            keep = cur.join(ids, "vec_id", "left_anti")
+            adds = idx._write_data_partitioned(  # noqa: SLF001
+                keep, "centroid_id")
+            stray = [a for a in adds if os.path.basename(a) not in aff]
+            if stray:
+                raise AssertionError(
+                    f"retraction rows outside affected lists: {stray}")
+            try:
+                idx.commit(adds, removes,
+                           _stream_meta(batch_id, app_id,
+                                        "ann_index_retract"),
+                           expected_version=base)
+            except Exception:
+                for rel in {os.path.dirname(a) for a in adds}:
+                    shutil.rmtree(os.path.join(idx.path, rel),
+                                  ignore_errors=True)
+                raise
+
+        _guarded_commit(idx, batch_id, app_id, _leg)
+    finally:
+        assigned.unpersist()
+
+
+def apply_cdf_batch(idx: TxnTable, batch_df: DataFrame,
+                    centroids: list[list[float]], batch_id: int,
+                    app_id: str = "ann_cdf",
+                    codebooks: list[list[list[float]]] | None = None,
+                    meta_cols: tuple = ()) -> None:
+    """One change-feed micro-batch folded into the maintained index —
+    the exact function the CDF sink runs, exposed so the registered
+    batch twin (``stream_ann_cdf_equiv``) exercises identical code.
+    The batch folds to NET effect first: the last event per vec_id
+    wins (an insert+tombstone inside one window ingests nothing),
+    while the retract side keeps EVERY distinct preimage — safe
+    because retracting an absent id is a no-op, and necessary because
+    the index holds the id's state from BEFORE the window, whichever
+    intermediate preimage that is. Two independently replay-guarded
+    commits (ledger app ids suffixed /retract and /ingest), retract
+    FIRST so a crash between legs replays only the ingest."""
+    from pyspark.sql import Window as W
+
+    ct = F.col("_change_type")
+    batch_df.persist()
+    try:
+        pre = (batch_df.filter(ct.isin("delete", "update_preimage"))
+               .select("vec_id", "embedding").distinct())
+        is_post = ct.isin("insert", "update_postimage")
+        w = W.partitionBy("vec_id").orderBy(
+            F.desc("_commit_version"), F.desc(is_post.cast("int")))
+        post = (batch_df.withColumn("__rn", F.row_number().over(w))
+                .filter((F.col("__rn") == 1) & is_post)
+                .drop("__rn", "_change_type", "_commit_version"))
+        if pre.limit(1).count() > 0:
+            retract_batch(idx, pre, centroids, batch_id,
+                          app_id + "/retract")
+        if post.limit(1).count() > 0:
+            if codebooks is None:
+                ingest_batch(idx, post, centroids, batch_id,
+                             app_id + "/ingest")
+            else:
+                ingest_batch_pq(idx, post, centroids, codebooks,
+                                batch_id, app_id + "/ingest",
+                                meta_cols=meta_cols)
+    finally:
+        batch_df.unpersist()
+
+
+def write_stream_ivf_cdf(spark: SparkSession, embeddings_path: str,
+                         index_path: str,
+                         centroids: list[list[float]], checkpoint: str,
+                         app_id: str = "ann_cdf",
+                         codebooks: list[list[list[float]]]
+                         | None = None,
+                         meta_cols: tuple = (),
+                         available_now: bool = True):
+    """Maintain the index FROM a governed embeddings TxnTable's
+    ``format("txnlog")`` change feed (exactly-once version offsets):
+    each trigger is one :func:`apply_cdf_batch`. ``codebooks=None``
+    maintains the raw IVF lists; with codebooks, the compressed
+    (IVF-PQ) code table, ``meta_cols`` carrying filterable attributes
+    as in the append-only sink. Returns the StreamingQuery; read the
+    index back with :func:`read_index`."""
+    from ..sources.txnstream import TxnLogDataSource
+
+    spark.dataSource.register(TxnLogDataSource)
+    idx = TxnTable(index_path)
+    feed = (spark.readStream.format("txnlog")
+            .option("readChangeFeed", "true").load(embeddings_path))
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        apply_cdf_batch(idx, batch_df, centroids, batch_id, app_id,
+                        codebooks=codebooks, meta_cols=meta_cols)
+
+    w = (feed.writeStream.foreachBatch(_apply)
+         .option("checkpointLocation", checkpoint))
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

@@ -191,3 +191,141 @@ def test_maintained_meta_index_serves_filtered_topk(spark, sf_dir,
     bt = {tuple(r) for r in
           b.select("query_id", "neighbor_id", "rank").collect()}
     assert mt == bt and len(mt) > 0
+
+
+# --- CDF-driven maintenance: retraction + the embeddings-table feed -------
+
+
+def _batch_assigned(e, centroids):
+    return assign_centroids(
+        e.select("vec_id", "embedding",
+                 F.sqrt(F.expr(dot_expr("embedding", "embedding")))
+                 .alias("e_norm")), centroids)
+
+
+def test_cdf_stream_tracks_table_through_churn_and_restarts(
+        spark, sf_dir, tmp_path):
+    """Live writeStream over the embeddings table's change feed:
+    insert + re-embed (merge) + delete all fold; the maintained lists
+    equal the batch assignment over the FINAL table state; a restart
+    on the same checkpoint with no new versions changes nothing."""
+    from sport_advantages_moderne_data_infrastructure_spark.operators.ivf import (
+        k_for_corpus,
+    )
+    from sport_advantages_moderne_data_infrastructure_spark.streaming.annindex import (
+        write_stream_ivf_cdf,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").limit(200).cache()
+    centroids = train_centroids(e, k=k_for_corpus(e.count()),
+                                max_iter=4)
+    emb = TxnTable(str(tmp_path / "emb"))
+    neg = F.transform("embedding", lambda x: -x)
+    emb.append(e.filter(F.col("vec_id") % 2 == 0))
+    emb.append(e.filter(F.col("vec_id") % 2 == 1)
+               .withColumn("embedding", neg))          # wrong half
+    emb.merge(spark, e.filter(F.col("vec_id") % 2 == 1),
+              key="vec_id")                            # re-embed fix
+    emb.delete_where(spark, "vec_id % 10 = 4")         # retract some
+
+    root, ckpt = str(tmp_path / "idx"), str(tmp_path / "ckpt")
+    q = write_stream_ivf_cdf(spark, emb.path, root, centroids, ckpt)
+    q.awaitTermination(120)
+    q.stop()
+
+    final = e.filter(F.col("vec_id") % 10 != 4)
+    m = read_index(spark, root).select("vec_id", "centroid_id")
+    b = _batch_assigned(final, centroids).select("vec_id",
+                                                 "centroid_id")
+    assert m.exceptAll(b).count() == 0
+    assert b.exceptAll(m).count() == 0
+
+    v1 = TxnTable(root).latest_version()
+    q2 = write_stream_ivf_cdf(spark, emb.path, root, centroids, ckpt)
+    q2.awaitTermination(60)
+    q2.stop()
+    assert TxnTable(root).latest_version() == v1
+
+
+def test_retract_absent_id_is_noop_and_empties_lists(spark, sf_dir,
+                                                     tmp_path):
+    """Retracting ids the index does not hold commits nothing new
+    beyond the touched-list rewrite; retracting EVERY id of a list
+    removes the list's partition instead of leaving a stale dir."""
+    from sport_advantages_moderne_data_infrastructure_spark.operators.ivf import (
+        k_for_corpus,
+    )
+    from sport_advantages_moderne_data_infrastructure_spark.streaming.annindex import (
+        ingest_batch,
+        retract_batch,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").limit(100).cache()
+    centroids = train_centroids(e, k=k_for_corpus(e.count()),
+                                max_iter=4)
+    idx = TxnTable(str(tmp_path / "idx"))
+    ingest_batch(idx, e, centroids, 0, "rt")
+
+    # absent ids: same embeddings, shifted ids -> anti-join finds none
+    ghost = e.withColumn("vec_id", F.col("vec_id") + 5_000_000)
+    retract_batch(idx, ghost.select("vec_id", "embedding"),
+                  centroids, 1, "rt")
+    m = read_index(spark, idx.path).select("vec_id", "centroid_id")
+    b = _batch_assigned(e, centroids).select("vec_id", "centroid_id")
+    assert m.exceptAll(b).count() == 0 and b.exceptAll(m).count() == 0
+
+    # retract EVERYTHING: every centroid partition must disappear
+    retract_batch(idx, e.select("vec_id", "embedding"), centroids,
+                  2, "rt")
+    assert read_index(spark, idx.path).count() == 0
+    import os
+    live = idx.snapshot_dirs()
+    assert all("centroid_id=" not in os.path.basename(d) for d in live)
+
+
+def test_cdf_crash_between_legs_replays_only_ingest(spark, sf_dir,
+                                                    tmp_path):
+    """The retract and ingest legs are independently replay-guarded:
+    re-applying the same batch after the retract leg committed skips
+    the retract (ledger) and runs only the ingest — the net state is
+    as if the batch applied once."""
+    from sport_advantages_moderne_data_infrastructure_spark.operators.ivf import (
+        k_for_corpus,
+    )
+    from sport_advantages_moderne_data_infrastructure_spark.streaming.annindex import (
+        apply_cdf_batch,
+        ingest_batch,
+        retract_batch,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").limit(100).cache()
+    centroids = train_centroids(e, k=k_for_corpus(e.count()),
+                                max_iter=4)
+    emb = TxnTable(str(tmp_path / "emb"))
+    idx = TxnTable(str(tmp_path / "idx"))
+    app = "crash"
+    emb.append(e)
+    apply_cdf_batch(idx, emb.read_changes(spark, since_version=-1),
+                    centroids, 0, app)
+    emb.delete_where(spark, "vec_id % 3 = 0")
+    emb.merge(spark, e.filter(F.col("vec_id") % 3 == 1)
+              .withColumn("embedding",
+                          F.transform("embedding", lambda x: -x)),
+              key="vec_id")
+    ch = emb.read_changes(spark, since_version=0)
+    # crash point: ONLY the retract leg of batch 1 lands
+    pre = (ch.filter(F.col("_change_type")
+                     .isin("delete", "update_preimage"))
+           .select("vec_id", "embedding").distinct())
+    retract_batch(idx, pre, centroids, 1, app + "/retract")
+    # replay of the full batch: retract skipped, ingest applied
+    apply_cdf_batch(idx, ch, centroids, 1, app)
+
+    final = (e.filter(F.col("vec_id") % 3 == 2).unionByName(
+        e.filter(F.col("vec_id") % 3 == 1)
+        .withColumn("embedding",
+                    F.transform("embedding", lambda x: -x))))
+    m = read_index(spark, idx.path).select("vec_id", "centroid_id")
+    b = _batch_assigned(final, centroids).select("vec_id",
+                                                 "centroid_id")
+    assert m.exceptAll(b).count() == 0 and b.exceptAll(m).count() == 0
