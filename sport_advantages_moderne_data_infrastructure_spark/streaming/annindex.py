@@ -454,3 +454,39 @@ def write_stream_ivf_cdf(spark: SparkSession, embeddings_path: str,
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def check_and_rebuild(spark: SparkSession, index_path: str,
+                      n_centroids: int,
+                      corpus: DataFrame | None = None,
+                      m: int = 8, pq_k: int = 16,
+                      max_skew: float = DRIFT_MAX_SKEW,
+                      min_balance: float = DRIFT_MIN_BALANCE,
+                      k_factor: float = DRIFT_K_FACTOR) -> dict:
+    """The retrain pipeline as ONE tripwire-driven step — run it on a
+    maintenance schedule (between stream restarts, or every N batches
+    from the driver loop): the metadata-only drift report fires, and
+    only then does the rebuild spend compute. Returns the report with
+    ``rebuilt`` plus, when a rebuild ran, the fresh training artifacts
+    to restart the maintenance stream with (``centroids``, and
+    ``codebooks`` on the compressed path — pass ``corpus`` for it,
+    the code table stores codes, not embeddings). The swap is the
+    rebuild functions' ONE atomic commit: a reader sees old or new
+    lists, never a mix, and the (app_id, batch_id) ledger survives so
+    the restarted stream's replays are absorbed. Scheduling contract
+    (the compaction-policy discipline): stop the maintenance query ->
+    check_and_rebuild -> restart the SAME checkpoint with the
+    returned artifacts."""
+    idx = TxnTable(index_path)
+    report = index_drift_report(idx, n_centroids, max_skew=max_skew,
+                                min_balance=min_balance,
+                                k_factor=k_factor)
+    if not report["drifted"]:
+        return {**report, "rebuilt": False}
+    if corpus is None:
+        cents = rebuild_ivf_index(spark, index_path)
+        return {**report, "rebuilt": True, "centroids": cents}
+    cents, books = rebuild_ivfpq_index(spark, index_path, corpus,
+                                       m=m, pq_k=pq_k)
+    return {**report, "rebuilt": True, "centroids": cents,
+            "codebooks": books}

@@ -149,3 +149,36 @@ def test_ivfpq_drift_rebuild_and_recall(spark, sf_dir, tmp_path):
     want = ivf_topk(corpus, cents1, lambda c: c < 10, k=10,
                     nprobe=len(cents1))  # exact cosine ground truth
     assert _overlap(got, want) >= 4.0  # quantized floor (cf. test_ann)
+
+
+def test_check_and_rebuild_pipeline(spark, sf_dir, tmp_path):
+    """The composed tripwire pipeline (check_and_rebuild): below the
+    tripwire it spends NOTHING (no rebuild commit), past it the
+    rebuild runs, the report says so, and the returned artifacts
+    serve a healthy index — and the restarted stream's replays are
+    still absorbed by the surviving ledger."""
+    from sport_advantages_moderne_data_infrastructure_spark.streaming.annindex import (
+        check_and_rebuild,
+    )
+
+    e = _base(spark, sf_dir)
+    cents0 = train_centroids(e, k=K0, max_iter=6)
+    idx = TxnTable(str(tmp_path / "idx"))
+    ingest_batch(idx, e, cents0, batch_id=0, app_id="pipe")
+
+    v0 = idx.latest_version()
+    rep = check_and_rebuild(spark, idx.path, len(cents0))
+    assert rep["rebuilt"] is False and "centroids" not in rep
+    assert idx.latest_version() == v0  # no commit below the tripwire
+
+    ingest_batch(idx, _shifted(e, 2), cents0, batch_id=1,
+                 app_id="pipe")
+    rep2 = check_and_rebuild(spark, idx.path, len(cents0))
+    assert rep2["rebuilt"] is True and rep2["drifted"]
+    cents1 = rep2["centroids"]
+    assert not index_drift_report(idx, len(cents1))["drifted"]
+    # replay absorbed after the swap (restart-the-stream contract)
+    v = idx.latest_version()
+    ingest_batch(idx, _shifted(e, 2), cents1, batch_id=1,
+                 app_id="pipe")
+    assert idx.latest_version() == v
