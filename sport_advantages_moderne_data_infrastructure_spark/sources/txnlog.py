@@ -1615,6 +1615,40 @@ class TxnTable:
         used = set(self._physical_used(base) or mapping.values())
         return sch, mapping, used
 
+    def _guard_metadata_refs(self, col: str, op: str) -> None:
+        """Refuse to rename/drop a column that table-level metadata
+        still references by name — a CHECK constraint or generated
+        expression naming it would make EVERY future write fail at
+        expression resolution (or, worse, silently bind elsewhere),
+        and an identity column's allocation would lose its target.
+        Delta blocks these the same way; the remedy is explicit: drop
+        the constraint / generated declaration first. Matching is a
+        case-insensitive word-boundary scan of the expression text —
+        a column name inside a string literal false-positives, which
+        errs on the safe side for a schema-change guard."""
+        import re
+
+        pat = re.compile(rf"\b{re.escape(col)}\b", re.IGNORECASE)
+        for name, expr in self.check_constraints().items():
+            if pat.search(expr):
+                raise ValueError(
+                    f"{op} {col!r}: CHECK constraint '{name}' ({expr}) "
+                    "references it — drop_check_constraint first, or "
+                    "every future write fails resolving the expression")
+        cfg = self.generation_config()
+        for gcol, expr in cfg.get("generated", {}).items():
+            if gcol.lower() == col.lower() or pat.search(expr):
+                raise ValueError(
+                    f"{op} {col!r}: generated column '{gcol}' "
+                    f"({expr}) is or references it — "
+                    "drop_generated_column first")
+        ident = cfg.get("identity")
+        if ident and ident["col"].lower() == col.lower():
+            raise ValueError(
+                f"{op} {col!r}: it is the table's identity column — "
+                "declare a replacement strategy first (identity "
+                "allocation would lose its target)")
+
     def rename_column(self, old: str, new: str,
                       meta: dict | None = None) -> int:
         """RENAME COLUMN as a metadata-only commit (Delta columnMapping):
@@ -1623,6 +1657,7 @@ class TxnTable:
         Raises the table's reader protocol floor on first use."""
         from pyspark.sql.types import StructField, StructType
 
+        self._guard_metadata_refs(old, "rename_column")
         base = self.latest_version()
         sch, mapping, used = self._mapping_base(base)
         names = [f.name for f in sch.fields]
@@ -1651,6 +1686,7 @@ class TxnTable:
         (read_delta.py:219-222)."""
         from pyspark.sql.types import StructType
 
+        self._guard_metadata_refs(name, "drop_column")
         base = self.latest_version()
         sch, mapping, used = self._mapping_base(base)
         names = [f.name for f in sch.fields]

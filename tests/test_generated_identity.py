@@ -209,3 +209,34 @@ def test_streaming_append_sink_allocates_exactly_once(spark, tmp_path):
     q2.stop()
     assert t.read(spark).agg(F.max("rid")).first()[0] == 80
     assert t.read(spark).count() == 80
+
+
+def test_rename_drop_guard_metadata_refs(spark, tmp_path):
+    """Renaming/dropping a column that a CHECK constraint or generated
+    expression references would brick every future write at expression
+    resolution — the schema change must refuse with the remedy named;
+    an unreferenced column still renames fine."""
+    o = _orders(spark, 10)
+    t = TxnTable(str(tmp_path / "g"))
+    t.set_generated_column("total_cents", GEN_EXPR)
+    t.set_identity_column("rid")
+    t.append(o)
+    t.add_check_constraint("pos_price", "o_totalprice > 0")
+
+    with pytest.raises(ValueError, match="CHECK constraint"):
+        t.rename_column("o_totalprice", "price")
+    with pytest.raises(ValueError, match="CHECK constraint"):
+        t.drop_column("o_totalprice")
+    with pytest.raises(ValueError, match="generated column"):
+        t.drop_column("total_cents")
+    with pytest.raises(ValueError, match="identity column"):
+        t.rename_column("rid", "row_id")
+
+    t.drop_check_constraint("pos_price")
+    with pytest.raises(ValueError, match="generated column"):
+        # still blocked: the generated expr references o_totalprice
+        t.rename_column("o_totalprice", "price")
+    # an unreferenced column renames fine, and writes keep working
+    t.rename_column("o_custkey", "cust")
+    t.append(o.withColumnRenamed("o_custkey", "cust"))
+    assert t.read(spark).count() == 20
