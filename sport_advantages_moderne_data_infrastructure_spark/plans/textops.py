@@ -613,19 +613,11 @@ _CHUNK_BM25_SQL = (
 )
 
 
-@register(
-    "hybrid_chunk_search",  # new r11, gated immediately (slot:
-    # hybrid_search_rrf demoted — green r8-r10; see its comment).
-    # Chunk-level hybrid retrieval (VERDICT r10 #6): the RAG
-    # composition users actually run — dedup_chunks' 10-word chunks as
-    # the retrieval unit, BM25 over CHUNK postings picking each doc's
-    # best passage, RRF-fused with the doc-embedding cosine leg,
-    # returning (query, doc, chunk_pos) evidence. chunk_pos = -1 marks
-    # vector-only hits (no lexical passage). Full pipeline hash
-    # oracle: chunking, chunk postings/df/scalars, per-chunk BM25,
-    # best-passage selection, doc ranking, fusion — all recomputed
-    # relationally.
-    oracle=(
+# the full-pipeline hybrid oracle, shared by the batch row and its
+# maintained-artifact twin (stream_hybrid_chunk_equiv): chunking,
+# chunk postings/df/scalars, per-chunk BM25, best-passage selection,
+# doc ranking, brute-cosine vector leg, RRF fusion — all relational
+_HYBRID_CHUNK_ORACLE = (
         f"WITH {_BM25_SQL}, {_CHUNK_BM25_SQL}, "
         "q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS qe "
         "FROM embeddings WHERE vec_id % 50 = 0), "
@@ -651,7 +643,20 @@ _CHUNK_BM25_SQL = (
         "ORDER BY rrf DESC, doc_id) AS INT) AS rank FROM fused) "
         "SELECT query_id, doc_id, chunk_pos, ROUND(rrf, 6) AS rrf_score, "
         "rank, in_text, in_vector FROM ranked WHERE rank <= 10 "
-        "ORDER BY query_id, rank"))
+        "ORDER BY query_id, rank")
+
+
+@register(
+    "hybrid_chunk_search",  # new r11, gated immediately (slot:
+    # hybrid_search_rrf demoted — green r8-r10; see its comment).
+    # Chunk-level hybrid retrieval (VERDICT r10 #6): the RAG
+    # composition users actually run — dedup_chunks' 10-word chunks as
+    # the retrieval unit, BM25 over CHUNK postings picking each doc's
+    # best passage, RRF-fused with the doc-embedding cosine leg,
+    # returning (query, doc, chunk_pos) evidence. chunk_pos = -1 marks
+    # vector-only hits (no lexical passage). Full pipeline hash
+    # oracle (shared: _HYBRID_CHUNK_ORACLE).
+    oracle=_HYBRID_CHUNK_ORACLE)
 def q_hybrid_chunk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk-level hybrid retrieval, end-to-end: chunks are a pure JVM
     projection (split + posexplode of 10-word slices — zero shuffle,
@@ -703,6 +708,16 @@ def q_hybrid_chunk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec = (q_ann_cosine_topk(spark, sf_dir)
            .select("query_id", F.col("neighbor_id").alias("doc_id"),
                    F.col("rank").alias("r_v")))
+    return _rrf_fuse_chunks(tdoc, vec)
+
+
+def _rrf_fuse_chunks(tdoc: DataFrame, vec: DataFrame) -> DataFrame:
+    """RRF fusion of the best-passage text leg (query_id, doc_id, pos,
+    r_t) with a doc-ranked vector leg (query_id, doc_id, r_v) — shared
+    by the batch row and the maintained-artifact twin so both serve
+    through identical float operations."""
+    from pyspark.sql import Window as W
+
     fused = tdoc.join(vec, ["query_id", "doc_id"], "full_outer")
     rrf = (F.coalesce(1.0 / (60 + F.col("r_t")), F.lit(0.0))
            + F.coalesce(1.0 / (60 + F.col("r_v")), F.lit(0.0)))
@@ -855,6 +870,119 @@ def q_stream_chunk_bm25_equiv(spark: SparkSession,
           bool(topk_ok))],
         "n_chunks long, postings_match boolean, df_match boolean, "
         "scalars_match boolean, topk_match boolean")
+
+
+@register(
+    "stream_hybrid_chunk_equiv",  # new r11 (late), registered with the
+    # SHARED full-pipeline hybrid oracle but driver=False (the r11
+    # window already rotated twice this round; differentially verified
+    # per pytest run, an r12 promotion candidate alongside
+    # stream_ann_cdf_equiv). The governed-RAG capstone: BOTH retrieval
+    # artifact families are maintained from their source tables'
+    # change feeds through churn, and the full hybrid query is served
+    # from the MAINTAINED artifacts alone — any divergence anywhere in
+    # either maintenance chain (postings, df, scalars, inverted
+    # lists, norms) or in the serve path surfaces as a hash mismatch
+    # against the same relational oracle the batch row carries.
+    driver=False,
+    oracle=_HYBRID_CHUNK_ORACLE)
+def q_stream_hybrid_chunk_equiv(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """hybrid_chunk_search served END-TO-END from maintained
+    artifacts: the chunk-BM25 index (streaming/chunkbm25.py) follows a
+    documents TxnTable and the ANN lists (streaming/annindex CDF
+    path) follow an embeddings TxnTable, both through a churn history
+    — wrong-text / negated-embedding inserts plus junk rows, then a
+    corrective MERGE and a junk DELETE folded as one multi-commit
+    window — that ends at the pristine corpora. Text leg: _chunk_tdoc
+    over the version-pinned chunk artifacts; vector leg: brute cosine
+    over the maintained inverted lists (they hold the RAW vectors +
+    norms, so the exact leg stays exact); fusion: _rrf_fuse_chunks.
+    Bit-for-bit the batch row's answer."""
+    import tempfile
+
+    from pyspark.sql import Window as W
+
+    from ..functions.vectors import dot_expr
+    from ..operators import retrieval as R
+    from ..sources.txnlog import TxnTable
+    from ..streaming.annindex import apply_cdf_batch, read_index
+    from ..streaming.chunkbm25 import (read_chunk_bm25_index,
+                                       refresh_chunk_index)
+    from .simops import ensure_ivf_index
+
+    base = tempfile.mkdtemp(prefix="samdis_stream_hyb_")
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    docs, emb = TxnTable(base + "/docs"), TxnTable(base + "/emb")
+    app = "hyb_twin"
+
+    wrong_d = (d.filter(F.col("doc_id") % 7 == 3)
+               .withColumn("text", F.concat(F.lit("zz zz "), "text")))
+    junk_d = (d.filter(F.col("doc_id") % 11 == 5)
+              .withColumn("doc_id", F.col("doc_id") + 10_000_000))
+    docs.append(d.filter((F.col("doc_id") % 2 == 0)
+                         & (F.col("doc_id") % 7 != 3))
+                .unionByName(wrong_d).unionByName(junk_d))
+    refresh_chunk_index(spark, docs, base + "/didx", 0, app)
+    docs.append(d.filter((F.col("doc_id") % 2 == 1)
+                         & (F.col("doc_id") % 7 != 3)))
+    docs.merge(spark, d.filter(F.col("doc_id") % 7 == 3),
+               key="doc_id")
+    docs.delete_where(spark, "doc_id >= 10000000")
+    refresh_chunk_index(spark, docs, base + "/didx", 1, app)
+
+    centroids, _ = ensure_ivf_index(spark, sf_dir)
+    eidx = TxnTable(base + "/eidx")
+    neg = F.transform("embedding", lambda x: -x)
+    wrong_e = (e.filter(F.col("vec_id") % 7 == 3)
+               .withColumn("embedding", neg))
+    junk_e = (e.filter(F.col("vec_id") % 11 == 5)
+              .withColumn("vec_id", F.col("vec_id") + 10_000_000))
+    emb.append(e.filter((F.col("vec_id") % 2 == 0)
+                        & (F.col("vec_id") % 7 != 3))
+               .unionByName(wrong_e).unionByName(junk_e))
+    apply_cdf_batch(eidx, emb.read_changes(spark, since_version=-1,
+                                           upto=0), centroids, 0, app)
+    emb.append(e.filter((F.col("vec_id") % 2 == 1)
+                        & (F.col("vec_id") % 7 != 3)))
+    emb.merge(spark, e.filter(F.col("vec_id") % 7 == 3),
+              key="vec_id")
+    emb.delete_where(spark, "vec_id >= 10000000")
+    apply_cdf_batch(eidx, emb.read_changes(spark, since_version=0),
+                    centroids, 1, app)
+
+    # serve: text leg from the pinned chunk index, query terms from
+    # the shared doc-level convention
+    m_ctf, _m_cdl, m_cdf, m_n, m_avgdl = \
+        read_chunk_bm25_index(spark, base + "/didx")
+    postings, dfv, n_docs, _ = bm25_index(spark, sf_dir)
+    qt = R.query_terms_tfidf(postings, dfv, n_docs,
+                             F.col("doc_id") % 50 == 0)
+    tdoc = (_chunk_tdoc(qt, m_ctf, m_cdf, m_n, m_avgdl)
+            .select("query_id", "doc_id", "pos",
+                    F.col("rank").alias("r_t")))
+
+    # vector leg: exact brute cosine over the maintained lists (raw
+    # vectors + precomputed norms ride in the index rows)
+    midx = read_index(spark, base + "/eidx").select(
+        "vec_id", "embedding", "e_norm")
+    qv = (midx.filter(F.col("vec_id") % 50 == 0)
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("embedding").alias("q_embedding"),
+                  F.col("e_norm").alias("q_norm")))
+    cos = (F.expr(dot_expr("q_embedding", "embedding"))
+           / (F.col("q_norm") * F.col("e_norm")))
+    wv = W.partitionBy("query_id").orderBy(F.desc("cos"),
+                                           F.asc("vec_id"))
+    vec = (midx.crossJoin(F.broadcast(qv))
+           .select("query_id", F.col("vec_id").alias("doc_id"),
+                   cos.alias("cos"))
+           .withColumn("r_v", F.row_number().over(wv.orderBy(
+               F.desc("cos"), F.asc("doc_id"))).cast("int"))
+           .filter(F.col("r_v") <= 10)
+           .select("query_id", "doc_id", "r_v"))
+    return _rrf_fuse_chunks(tdoc, vec)
 
 
 @register(
