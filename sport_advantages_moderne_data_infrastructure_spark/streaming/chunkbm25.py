@@ -261,15 +261,20 @@ def read_chunk_bm25_index(spark: SparkSession, index_root: str,
             cdl, cdf, int(n_chunks), float(avgdl))
 
 
-def compact_if_needed(spark: SparkSession, index_root: str,
-                      max_live_dirs: int = 32) -> int | None:
-    """Scheduled maintenance (the quantiles/splits/CC policy
-    discipline): cpost accretes bucket-replace commits per refresh;
-    fold through ``TxnTable.compact_if_needed``. Vacuum afterwards
-    with ``retain_from_version=<the cdf view's mv_source_version>`` so
-    the pinned serve stays readable."""
-    cpost, _ = make_chunk_views(index_root)
-    if cpost.view.latest_version() is None:
-        return None
-    return cpost.view.compact_if_needed(spark,
-                                        max_live_dirs=max_live_dirs)
+def checkpoint_if_needed(index_root: str,
+                         interval: int = 10) -> tuple[int | None,
+                                                      int | None]:
+    """Scheduled maintenance. Unlike the append-accreting event tables
+    (quantiles/splits/CC), cpost's bucket-REPLACE layout keeps live
+    dirs <= n_buckets forever — what accretes is the LOG (one commit
+    per refresh per view), so the policy here is checkpointing (bounds
+    log replay), not compaction (nothing to bin-pack). Vacuum with
+    ``retain_from_version=<the cdf view's mv_source_version>`` so the
+    pinned serve stays readable. Returns the (cpost, cdf) checkpoint
+    versions (None where below the interval)."""
+    cpost, cdfv = make_chunk_views(index_root)
+    out = []
+    for t in (cpost.view, cdfv.view):
+        out.append(t.checkpoint_if_needed(interval=interval)
+                   if t.latest_version() is not None else None)
+    return tuple(out)

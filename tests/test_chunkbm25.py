@@ -174,3 +174,37 @@ def test_refresh_without_commits_raises(spark, tmp_path):
     docs = TxnTable(str(tmp_path / "docs"))
     with pytest.raises(ValueError, match="no commits"):
         refresh_chunk_index(spark, docs, str(tmp_path / "idx"))
+
+
+def test_maintenance_checkpoint_and_pinned_vacuum(spark, sf_dir,
+                                                  tmp_path):
+    """The maintenance policy for a bucket-replace view: many
+    refreshes accrete LOG commits (live dirs stay <= n_buckets), so
+    checkpointing bounds replay; vacuum with the retention floor at
+    the cdf fold version keeps the pinned serve readable."""
+    from sport_advantages_moderne_data_infrastructure_spark.operators.mv import (
+        _last_meta_with,
+    )
+    from sport_advantages_moderne_data_infrastructure_spark.streaming.chunkbm25 import (
+        checkpoint_if_needed,
+    )
+
+    d = _docs(spark, sf_dir, n=24)
+    docs = TxnTable(str(tmp_path / "docs"))
+    root = str(tmp_path / "idx")
+    for i in range(6):
+        docs.append(d.filter(F.col("doc_id") % 6 == i))
+        refresh_chunk_index(spark, docs, root, batch_id=i, app_id="mt")
+    cp_post, cp_df = checkpoint_if_needed(root, interval=5)
+    assert cp_post is not None and cp_df is not None
+
+    cpost, cdfv = make_chunk_views(root)
+    sv = int(_last_meta_with(cdfv.view, "mv_source_version")
+             ["mv_source_version"])
+    cpost.view.vacuum(retain_from_version=sv)
+    _assert_matches_batch(spark, root, d)   # pinned serve survives
+    # and maintenance continues across the checkpoint
+    extra = d.limit(3).withColumn("doc_id", F.col("doc_id") + 777_000)
+    docs.append(extra)
+    refresh_chunk_index(spark, docs, root, batch_id=6, app_id="mt")
+    _assert_matches_batch(spark, root, d.unionByName(extra))
