@@ -2035,10 +2035,24 @@ class TxnTable:
             os.makedirs(other.log_dir, exist_ok=True)
             _shutil.copy2(cpath,
                           os.path.join(other.log_dir, "constraints.json"))
+        gpath = os.path.join(self.log_dir, "generation.json")
+        if os.path.exists(gpath):
+            # generated/identity declarations carry over — a clone
+            # without them would accept writes that skip generation
+            # (or, with a user-supplied id column, break uniqueness)
+            os.makedirs(other.log_dir, exist_ok=True)
+            _shutil.copy2(gpath,
+                          os.path.join(other.log_dir, "generation.json"))
         src_cm = self.column_mapping(src_version)
-        other.commit(dirs, [],
-                     {"operation": "clone", "source_path": self.path,
-                      "source_version": src_version},
+        clone_meta = {"operation": "clone", "source_path": self.path,
+                      "source_version": src_version}
+        hw = self._identity_high_water(src_version)
+        if hw is not None:
+            # the high water lives in commit meta: seed the clone's
+            # commit 0 with the source's at src_version so the clone
+            # never re-issues ids the cloned snapshot already holds
+            clone_meta["identity_high_water"] = hw
+        other.commit(dirs, [], clone_meta,
                      stats=self._live_stats(src_version),
                      schema=self.table_schema(src_version),
                      dvs=src_dvs or None,
@@ -2050,6 +2064,10 @@ class TxnTable:
             # files are physical-named; a pre-mapping reader would
             # misbind) — written after commit 0, which stamps the default
             other._bump_protocol_cm()
+        if os.path.exists(gpath):
+            # generation is a WRITER feature: the clone's floor rises
+            # with the copied declaration (after commit 0's stamp)
+            other._bump_protocol_writer()
         bpath = os.path.join(self.log_dir, "bloom.json")
         if os.path.exists(bpath):  # after commit 0: indexing restarts
             _shutil.copy2(bpath,

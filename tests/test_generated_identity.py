@@ -240,3 +240,25 @@ def test_rename_drop_guard_metadata_refs(spark, tmp_path):
     t.rename_column("o_custkey", "cust")
     t.append(o.withColumnRenamed("o_custkey", "cust"))
     assert t.read(spark).count() == 20
+
+
+def test_clone_carries_generation_and_high_water(spark, tmp_path):
+    """CLONE of a generated/identity table: the declarations carry
+    over, the clone's commit 0 seeds the source's high water (ids the
+    cloned snapshot holds are never re-issued), and the min_writer
+    floor rises on the clone."""
+    o = _orders(spark, 30)
+    t = _table(tmp_path)
+    t.append(o)
+    c = t.clone(str(tmp_path / "dst"))
+    cfg = c.generation_config()
+    assert cfg["identity"]["col"] == "rid"
+    assert "total_cents" in cfg["generated"]
+    c.append(o.withColumn("o_orderkey", F.col("o_orderkey") + 900_000))
+    s = c.read(spark)
+    assert s.agg(F.countDistinct("rid")).first()[0] == 60
+    assert s.agg(F.max("rid")).first()[0] == 60  # continued past 30
+    import json
+    import os
+    proto = json.load(open(os.path.join(c.log_dir, "protocol.json")))
+    assert proto["min_writer_version"] >= 2
