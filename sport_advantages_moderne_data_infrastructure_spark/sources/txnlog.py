@@ -2683,6 +2683,33 @@ class TxnTable:
         bad = set(set_exprs) - set(self.read(spark, base).columns)
         if bad:
             raise ValueError(f"SET on unknown columns: {sorted(bad)}")
+        # generated/identity interaction: SET of an engine-generated
+        # column is rejected outright, and SET of a column a generated
+        # expression READS is rejected too — the CASE rewrite applies
+        # set_exprs verbatim, so it would leave the generated value
+        # STALE (silently wrong data, the worst failure class). merge()
+        # recomputes generated columns; route such updates there.
+        gcfg = self.generation_config()
+        gens = gcfg.get("generated", {})
+        ident = (gcfg.get("identity") or {}).get("col")
+        if gens or ident:
+            import re
+
+            for c in set_exprs:
+                if c in gens or (ident
+                                 and c.lower() == ident.lower()):
+                    raise ValueError(
+                        f"update_where: column {c!r} is engine-"
+                        "generated (GENERATED ALWAYS) — it cannot be "
+                        "SET")
+                pat = re.compile(rf"\b{re.escape(c)}\b", re.IGNORECASE)
+                stale = [g for g, e in gens.items() if pat.search(e)]
+                if stale:
+                    raise ValueError(
+                        f"update_where: SET {c!r} would leave "
+                        f"generated column(s) {stale} stale — route "
+                        "this update through merge(), which recomputes "
+                        "generated columns")
         live = self.snapshot_dirs(base)
         if self._live_partition_col(live) is not None:
             raise ValueError(

@@ -262,3 +262,25 @@ def test_clone_carries_generation_and_high_water(spark, tmp_path):
     import os
     proto = json.load(open(os.path.join(c.log_dir, "protocol.json")))
     assert proto["min_writer_version"] >= 2
+
+
+def test_update_where_guards_generated_staleness(spark, tmp_path):
+    """update_where applies SET expressions verbatim, so touching a
+    column a generated expression reads would leave the generated
+    value silently stale — both that and SETting the generated/
+    identity column itself must refuse (merge() is the recompute
+    path); unrelated SETs still work and deletes are unaffected."""
+    o = _orders(spark, 20)
+    t = _table(tmp_path)
+    t.append(o)
+    with pytest.raises(ValueError, match="engine-generated"):
+        t.update_where(spark, "o_orderkey = 1", {"total_cents": "0"})
+    with pytest.raises(ValueError, match="engine-generated"):
+        t.update_where(spark, "o_orderkey = 1", {"rid": "99"})
+    with pytest.raises(ValueError, match="stale"):
+        t.update_where(spark, "o_orderkey = 1",
+                       {"o_totalprice": "o_totalprice * 2"})
+    t.update_where(spark, "o_orderkey = 1", {"o_custkey": "0"})
+    assert t.read(spark).filter("o_custkey = 0").count() >= 1
+    t.delete_where(spark, "o_orderkey = 1")
+    assert t.read(spark).filter("o_orderkey = 1").count() == 0
