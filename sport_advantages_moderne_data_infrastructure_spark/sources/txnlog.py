@@ -2088,6 +2088,12 @@ class TxnTable:
         if self.column_mapping(base):
             raise ValueError(
                 "column mapping is not supported on partitioned tables")
+        if self.generation_config():
+            raise ValueError(
+                "generated/identity columns are not supported on "
+                "partition-granular tables (overwrite_partitions would "
+                "bypass generation) — use append()/merge()/overwrite() "
+                "on an unpartitioned layout")
         live = self.snapshot_dirs(base)
         live_col = self._live_partition_col(live)
         if live and (live_col is None or live_col != part_col):
