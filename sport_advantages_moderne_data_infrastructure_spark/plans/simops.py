@@ -1190,11 +1190,11 @@ def q_stream_ann_pq_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "stream_ann_cdf_equiv",  # new r11 (late), registered with its
-    # DuckDB oracle but driver=False — the r11 window already rotated
-    # twice this round; the oracle keeps it differentially verified
-    # per pytest run (tests/test_oracle_parity) and it is the seeded
-    # r12 promotion candidate. CDF-driven ANN maintenance: the index
+    "stream_ann_cdf_equiv",  # new r11 (late), gated the same round
+    # (slot: dedup_span_scrub demoted 2026-08-16 — green r7-r10; the
+    # scrub shape survives strictly harder in dedup_span_scrub_keep_one
+    # and the finder stays gated+benched via dedup_repeated_spans).
+    # CDF-driven ANN maintenance: the index
     # follows a governed embeddings TxnTable's change feed — inserts
     # ingest, DELETEs retract (partition-granular rewrite of ONLY the
     # touched centroid lists, located via the preimage embeddings
@@ -1204,7 +1204,6 @@ def q_stream_ann_pq_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     # churn history here ends at the pristine embeddings corpus, so
     # the maintained lists must be row-identical to the batch
     # assignment and IVF top-10 rank-exact through either.
-    driver=False,
     oracle=("SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings) "
             "AS n_vectors, CAST(1 AS BOOLEAN) AS index_matches_batch, "
             "CAST(1 AS BOOLEAN) AS topk_matches_batch"))

@@ -2220,7 +2220,14 @@ def q_dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_span_scrub",  # new r7, gated immediately (slot:
     # multimodal_bmp_resize demoted — green r3-r6; the mapInPandas
     # binary-column shape stays gated via multimodal_png_decode +
-    # multimodal_frame_sample)
+    # multimodal_frame_sample). DEMOTED 2026-08-16 (r11, green
+    # r7-r10): slot goes to stream_ann_cdf_equiv (plans/simops.py) —
+    # the scrub shape survives STRICTLY HARDER in the still-gated
+    # dedup_span_scrub_keep_one (same span machinery plus the
+    # keep-first retention policy), the finder stays gated AND
+    # benched (dedup_repeated_spans), and this row stays
+    # DuckDB-verified per pytest run.
+    driver=False,
     oracle=DD.span_scrub_sql(_SPAN_CORPUS_SQL))
 def q_dedup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ACTION step of ExactSubstr dedup — Lee et al. 2021 CUT the
