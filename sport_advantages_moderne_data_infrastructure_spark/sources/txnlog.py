@@ -463,9 +463,16 @@ class TxnTable:
         return out
 
     # dir/file key of a scanned row, matching the DV's src_file column:
-    # the last three path segments (data/<uuid>/<part-file>) — DVs exist
-    # only on unpartitioned layouts (delete_where refuses partitioned)
-    _DV_FILE_KEY = "substring_index(_metadata.file_path, '/', -3)"
+    # the table-relative path — data/<uuid>/<file> for plain dirs,
+    # data/<uuid>/<col>=<val>/<file> for partition subdirs. Depth is
+    # decided per ROW by whether the third-from-last segment is the
+    # data dir itself (a partition segment always carries '=' and a
+    # commit uuid is hex, so neither can collide with the literal)
+    _DV_FILE_KEY = (
+        "CASE WHEN substring_index(substring_index("
+        f"_metadata.file_path, '/', -3), '/', 1) = '{_DATA_DIR}' "
+        "THEN substring_index(_metadata.file_path, '/', -3) "
+        "ELSE substring_index(_metadata.file_path, '/', -4) END")
 
     def _apply_dvs(self, spark: SparkSession, df: DataFrame,
                    dvs: dict[str, dict]) -> DataFrame:
@@ -559,7 +566,8 @@ class TxnTable:
                 if _partition_of(d) is not None and _partition_of(d)[1] in want]
         if not dirs:
             raise ValueError(f"no live partitions match {values}")
-        return self._read_dirs(spark, dirs, version=version)
+        return self._read_dirs(spark, dirs, self._dvs_for(dirs, version),
+                               version=version)
 
     def _read_dirs(self, spark: SparkSession, rel_dirs: list[str],
                    dvs: dict[str, dict] | None = None,
@@ -590,9 +598,11 @@ class TxnTable:
                     *[os.path.join(self.path, d) for d in plain]),
                 dvs or {}))
         for root, subs in sorted(parts.items()):
-            frames.append(
+            frames.append(self._apply_dvs(
+                spark,
                 spark.read.option("basePath", os.path.join(self.path, root))
-                .parquet(*[os.path.join(self.path, d) for d in subs]))
+                .parquet(*[os.path.join(self.path, d) for d in subs]),
+                dvs or {}))
         out = reduce(
             lambda a, b: a.unionByName(b, allowMissingColumns=True), frames)
         return self._logical_view(out, version) if mapped else out
@@ -2468,10 +2478,12 @@ class TxnTable:
         if base is None:
             raise ValueError(f"not a txn table (no commits): {self.path}")
         live = self.snapshot_dirs(base)
-        if self._live_partition_col(live) is not None:
+        if self._live_partition_col(live) is not None and not use_dv:
             raise ValueError(
-                "delete_where on a partition-granular table — rewrite the "
-                "affected partitions via overwrite_partitions instead")
+                "delete_where on a partition-granular table — use "
+                "use_dv=True (needle deletes commit a position file, "
+                "no partition rewrite) or rewrite the affected "
+                "partitions via overwrite_partitions")
         if use_dv:
             return self._delete_where_dv(spark, condition, prune, meta,
                                          capture_changes, base, live)
@@ -2598,10 +2610,32 @@ class TxnTable:
                 StructField(mapping.get(f.name, f.name), f.dataType,
                             f.nullable, f.metadata)
                 for f in sch.fields])
-        df = (spark.read.schema(plan_sch).parquet(
-            *[os.path.join(self.path, d) for d in candidates])
-            .withColumn("__dv_file", F.expr(self._DV_FILE_KEY))
-            .withColumn("__dv_row", F.col("_metadata.row_index")))
+        plain = [d for d in candidates if _partition_of(d) is None]
+        part_roots: dict[str, list[str]] = {}
+        for d in candidates:
+            if _partition_of(d) is not None:
+                part_roots.setdefault(os.path.dirname(d), []).append(d)
+        frames = []
+        if plain:
+            frames.append(
+                spark.read.schema(plan_sch).parquet(
+                    *[os.path.join(self.path, d) for d in plain])
+                .withColumn("__dv_file", F.expr(self._DV_FILE_KEY))
+                .withColumn("__dv_row", F.col("_metadata.row_index")))
+        for root, subs in sorted(part_roots.items()):
+            # basePath + explicit schema: data columns come from the
+            # files, the partition column parses from the path at the
+            # schema's declared type — the condition can reference it
+            frames.append(
+                spark.read.option("basePath",
+                                  os.path.join(self.path, root))
+                .schema(plan_sch)
+                .parquet(*[os.path.join(self.path, d) for d in subs])
+                .withColumn("__dv_file", F.expr(self._DV_FILE_KEY))
+                .withColumn("__dv_row", F.col("_metadata.row_index")))
+        from functools import reduce
+
+        df = reduce(lambda a, b: a.unionByName(b), frames)
         if mapping:
             df = df.select(
                 *[F.col(mapping.get(f.name, f.name)).alias(f.name)
@@ -2620,7 +2654,9 @@ class TxnTable:
                 ["__dv_file", "__dv_row"], "left_anti")
         matches = df.filter(F.expr(condition))
         new_pos = matches.select(
-            F.expr("substring_index(__dv_file, '/', 2)").alias("src_dir"),
+            # src_dir = the file key's dirname, at either layout depth
+            F.expr("regexp_replace(__dv_file, '/[^/]+$', '')")
+            .alias("src_dir"),
             F.col("__dv_file").alias("src_file"),
             F.col("__dv_row").alias("row_idx"))
         if old is not None:

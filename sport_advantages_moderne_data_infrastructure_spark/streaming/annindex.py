@@ -310,7 +310,8 @@ def _swap(idx: TxnTable, frame: DataFrame, meta: dict) -> None:
 
 def retract_batch(idx: TxnTable, gone: DataFrame,
                   centroids: list[list[float]], batch_id: int,
-                  app_id: str | None = None) -> None:
+                  app_id: str | None = None,
+                  use_dv: bool = False, dv_max_ids: int = 1000) -> None:
     """Remove retracted vectors from a maintained index (raw IVF lists
     or the IVF-PQ code table — retraction is layout-level, codes are
     never recomputed). ``gone`` rows carry (vec_id, embedding): the
@@ -331,6 +332,26 @@ def retract_batch(idx: TxnTable, gone: DataFrame,
     if idx.latest_version() is None:
         return  # nothing maintained yet: nothing to retract
     spark = gone.sparkSession
+    if use_dv:
+        # needle path (r11 partitioned DVs): a handful of retractions
+        # commit ONE position file — no partition rewrite at all, the
+        # GDPR shape on a huge list. Bounded: past dv_max_ids the IN
+        # predicate stops being a needle and the partition rewrite
+        # below is the right tool (it also materializes accumulated
+        # DVs as a side effect).
+        ids = [r["vec_id"] for r in
+               gone.select("vec_id").distinct()
+               .limit(dv_max_ids + 1).collect()]
+        if 0 < len(ids) <= dv_max_ids:
+            def _dv_leg():
+                idx.delete_where(
+                    spark,
+                    f"vec_id IN ({','.join(str(int(i)) for i in ids)})",
+                    use_dv=True,
+                    meta=_stream_meta(batch_id, app_id,
+                                      "ann_index_retract_dv"))
+            _guarded_commit(idx, batch_id, app_id, _dv_leg)
+            return
     assigned = (assign_centroids(gone.select("vec_id", "embedding"),
                                  centroids)
                 .select("vec_id", "centroid_id").distinct())

@@ -258,3 +258,104 @@ def test_dv_uncaptured_delete_fails_change_feed(spark, tmp_path):
     # and from before the DV commit, same failure (not a silent skip)
     with pytest.raises(ValueError, match="deletion-vector"):
         t.read_changes(spark, since_version=-1)
+
+
+# --- partitioned-table DVs (r11): needle deletes without a partition
+# rewrite — the ANN inverted lists' GDPR shape ---------------------------
+
+
+def _part_table(spark, tmp_path, n=1000):
+    from pyspark.sql import functions as F
+
+    t = TxnTable(str(tmp_path / "pt"))
+    df = spark.range(0, n).select(
+        F.col("id").alias("vec_id"),
+        (F.col("id") % 8).cast("int").alias("centroid_id"),
+        (F.col("id") * 2).alias("val"))
+    adds = t._write_data_partitioned(df, "centroid_id")  # noqa: SLF001
+    t.commit(adds, [], {"operation": "seed",
+                        "partition_by": "centroid_id"},
+             expected_version=None)
+    return t
+
+
+def test_partitioned_dv_delete_all_read_paths(spark, tmp_path):
+    """use_dv=True on a partition-granular layout: the commit is a
+    position file (no partition rewrite — the live dirs are untouched),
+    the condition may reference the PARTITION column (parsed from the
+    path at the declared type), and every read path masks: snapshot,
+    partition-pruned, the Python DataSource, and the streaming source."""
+    from sport_advantages_moderne_data_infrastructure_spark.sources import (
+        register_txn_source,
+    )
+
+    register_txn_source(spark)
+    t = _part_table(spark, tmp_path)
+    live0 = set(t.snapshot_dirs())
+    t.delete_where(spark, "vec_id % 100 = 7 AND centroid_id = 7",
+                   use_dv=True)
+    assert set(t.snapshot_dirs()) == live0  # no rewrite, same dirs
+    assert t.read(spark).count() == 995
+    assert t.read(spark).filter("vec_id % 100 = 7").count() > 0  # other lists
+    assert (t.read(spark)
+            .filter("vec_id % 100 = 7 AND centroid_id = 7").count() == 0)
+    rp = t.read_partitions(spark, [7])
+    assert rp.count() == 120 and rp.filter("vec_id % 100 = 7").count() == 0
+    ds = spark.read.format("txnlog").load(t.path)
+    assert ds.count() == 995
+    # the append-only stream replays rows AS APPENDED — a later DV
+    # delete is a rewrite to that feed, refused with the remedy named
+    # (Delta's rule; churned tables stream via readChangeFeed, whose
+    # delete rows the DV commit writes — asserted in the change-feed
+    # test below)
+    from pyspark.errors.exceptions.captured import (
+        StreamingQueryException,
+    )
+
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    with pytest.raises(StreamingQueryException, match="rewrite"):
+        q = (spark.readStream.format("txnlog").load(t.path)
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        q.processAllAvailable()
+
+
+def test_partitioned_dv_cumulative_count_travel_compact(spark,
+                                                        tmp_path):
+    """Second DV on the same lists is CUMULATIVE (an already-deleted
+    row is not double-counted), metadata row counts subtract the
+    positions, time travel resurrects, and compaction materializes
+    the DVs (positions drop, mapping clears, counts hold)."""
+    t = _part_table(spark, tmp_path)
+    t.delete_where(spark, "vec_id % 100 = 7 AND centroid_id = 7",
+                   use_dv=True)
+    # vec_id 7 is already gone (7 % 8 == 7): only 16 is new
+    t.delete_where(spark, "vec_id IN (7, 16)", use_dv=True)
+    assert t.read(spark).count() == 994
+    assert t.snapshot_row_count() == 994
+    assert t.read(spark, version=0).count() == 1000
+    t.compact(spark)
+    assert t.snapshot_dvs() == {}
+    assert t.read(spark).count() == 994
+    assert t.read(spark).filter("vec_id = 16").count() == 0
+
+
+def test_partitioned_dv_change_feed_carries_preimages(spark, tmp_path):
+    """The DV commit's change rows are delete PREIMAGES with the
+    partition column attached — downstream incremental consumers
+    (e.g. a stacked MV) subtract exactly the masked rows."""
+    t = _part_table(spark, tmp_path)
+    t.delete_where(spark, "vec_id IN (3, 11)", use_dv=True)
+    ch = t.read_changes(spark, since_version=0)
+    dels = ch.filter("_change_type = 'delete'")
+    rows = {(r["vec_id"], r["centroid_id"]) for r in dels.collect()}
+    assert rows == {(3, 3), (11, 3)}
+
+
+def test_partitioned_dv_rewrite_still_refused_without_flag(spark,
+                                                           tmp_path):
+    t = _part_table(spark, tmp_path)
+    with pytest.raises(ValueError, match="use_dv=True"):
+        t.delete_where(spark, "vec_id = 3")

@@ -329,3 +329,52 @@ def test_cdf_crash_between_legs_replays_only_ingest(spark, sf_dir,
     b = _batch_assigned(final, centroids).select("vec_id",
                                                  "centroid_id")
     assert m.exceptAll(b).count() == 0 and b.exceptAll(m).count() == 0
+
+
+def test_retract_dv_needle_then_rewrite_converges(spark, sf_dir,
+                                                  tmp_path):
+    """The needle retraction path: a couple of ids commit ONE position
+    file (live dirs untouched — no partition rewrite), queries through
+    the maintained index stop seeing them, and a later rewrite-mode
+    retraction of the same lists materializes the DVs and converges to
+    the batch assignment."""
+    from sport_advantages_moderne_data_infrastructure_spark.operators.ivf import (
+        k_for_corpus,
+    )
+    from sport_advantages_moderne_data_infrastructure_spark.streaming.annindex import (
+        ingest_batch,
+        retract_batch,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").limit(100).cache()
+    centroids = train_centroids(e, k=k_for_corpus(e.count()),
+                                max_iter=4)
+    idx = TxnTable(str(tmp_path / "idx"))
+    ingest_batch(idx, e, centroids, 0, "dvr")
+
+    needles = e.limit(2).select("vec_id", "embedding")
+    gone_ids = [r["vec_id"] for r in needles.select("vec_id").collect()]
+    live0 = set(idx.snapshot_dirs())
+    retract_batch(idx, needles, centroids, 1, "dvr", use_dv=True)
+    assert set(idx.snapshot_dirs()) == live0  # position file only
+    assert idx.snapshot_dvs()  # mapping recorded
+    m = read_index(spark, idx.path)
+    assert m.filter(F.col("vec_id").isin(gone_ids)).count() == 0
+    assert m.count() == 100 - len(gone_ids)
+
+    # replay of the DV leg is absorbed by the ledger
+    retract_batch(idx, needles, centroids, 1, "dvr", use_dv=True)
+    assert m.count() == 100 - len(gone_ids)
+
+    # rewrite-mode retraction afterwards still converges (it reads the
+    # DV-masked partitions and materializes them as it replaces)
+    more = (e.filter(F.col("vec_id") % 9 == 4)
+            .select("vec_id", "embedding"))
+    retract_batch(idx, more, centroids, 2, "dvr")
+    final = e.filter(~F.col("vec_id").isin(gone_ids)).filter(
+        F.col("vec_id") % 9 != 4)
+    mm = read_index(spark, idx.path).select("vec_id", "centroid_id")
+    bb = _batch_assigned(final, centroids).select("vec_id",
+                                                  "centroid_id")
+    assert mm.exceptAll(bb).count() == 0
+    assert bb.exceptAll(mm).count() == 0
