@@ -378,3 +378,53 @@ def test_retract_dv_needle_then_rewrite_converges(spark, sf_dir,
                                                   "centroid_id")
     assert mm.exceptAll(bb).count() == 0
     assert bb.exceptAll(mm).count() == 0
+
+
+def test_cdf_compressed_index_tracks_churn(spark, sf_dir, tmp_path):
+    """The PQ leg of the CDF path: retraction is layout-level (codes
+    are never recomputed), so the same churn history folds the
+    COMPRESSED table to exactly a batch re-encode of the final state
+    — code arrays and recon_norm bit-equal under the frozen
+    centroids + codebooks."""
+    from sport_advantages_moderne_data_infrastructure_spark.operators.ivf import (
+        k_for_corpus,
+    )
+    from sport_advantages_moderne_data_infrastructure_spark.operators.pq import (
+        pq_encode,
+        train_pq_codebooks,
+    )
+    from sport_advantages_moderne_data_infrastructure_spark.streaming.annindex import (
+        apply_cdf_batch,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").limit(120).cache()
+    centroids = train_centroids(e, k=k_for_corpus(e.count()),
+                                max_iter=4)
+    books = train_pq_codebooks(e.select("vec_id", "embedding"),
+                               m=4, k=8)
+    emb = TxnTable(str(tmp_path / "emb"))
+    idx = TxnTable(str(tmp_path / "idx"))
+    app = "pqcdf"
+
+    neg = F.transform("embedding", lambda x: -x)
+    emb.append(e.filter(F.col("vec_id") % 2 == 0)
+               .withColumn("embedding", neg))  # wrong half
+    apply_cdf_batch(idx, emb.read_changes(spark, since_version=-1),
+                    centroids, 0, app, codebooks=books)
+    emb.append(e.filter(F.col("vec_id") % 2 == 1))
+    emb.merge(spark, e.filter(F.col("vec_id") % 2 == 0),
+              key="vec_id")                    # re-embed fix
+    emb.delete_where(spark, "vec_id % 10 = 4")
+    apply_cdf_batch(idx, emb.read_changes(spark, since_version=0),
+                    centroids, 1, app, codebooks=books)
+
+    final = e.filter(F.col("vec_id") % 10 != 4)
+    batch = pq_encode(
+        assign_centroids(final.select("vec_id", "embedding"),
+                         centroids),
+        books, keep=("centroid_id",))
+    cols = ["vec_id", "centroid_id", "code", "recon_norm"]
+    m = read_index(spark, idx.path).select(*cols)
+    b = batch.select(*cols)
+    assert m.exceptAll(b).count() == 0
+    assert b.exceptAll(m).count() == 0
