@@ -208,3 +208,21 @@ def test_maintenance_checkpoint_and_pinned_vacuum(spark, sf_dir,
     docs.append(extra)
     refresh_chunk_index(spark, docs, root, batch_id=6, app_id="mt")
     _assert_matches_batch(spark, root, d.unionByName(extra))
+
+
+def test_docs_dv_delete_flows_into_chunk_index(spark, sf_dir,
+                                               tmp_path):
+    """A DV-mode delete on the source documents table (no rewrite —
+    just a position file) still emits delete preimages on the change
+    feed, and the chunk index retracts those docs' postings on the
+    next refresh."""
+    d = _docs(spark, sf_dir, n=16)
+    docs = TxnTable(str(tmp_path / "docs"))
+    root = str(tmp_path / "idx")
+    docs.append(d)
+    refresh_chunk_index(spark, docs, root, batch_id=0, app_id="dv")
+    gone = d.first()["doc_id"]
+    docs.delete_where(spark, f"doc_id = {gone}", use_dv=True)
+    refresh_chunk_index(spark, docs, root, batch_id=1, app_id="dv")
+    final = d.filter(F.col("doc_id") != gone)
+    _assert_matches_batch(spark, root, final)
