@@ -93,7 +93,12 @@ _NESTED_LOOP_ALLOWED = {"ann_cosine_topk", "ann_recall_report",
                         # (filtered_ivfpq_topk) is NOT allowed here —
                         # probe/refine stay equi-joins.
                         "ann_filtered_topk", "ann_filtered_recall_floor",
-                        "hybrid_chunk_search"}
+                        # r11 (late): the maintained-artifact twin
+                        # CONTAINS the same documented brute cosine leg
+                        # — exact by design, run over the maintained
+                        # inverted lists' raw vectors; its text leg and
+                        # fusion stay equi-joins like the batch row's
+                        "hybrid_chunk_search", "stream_hybrid_chunk_equiv"}
 
 
 # non-driver entries whose all-pairs shape is the documented point:
