@@ -163,7 +163,10 @@ def read_bm25_index(spark: SparkSession, index_root: str,
     else:
         raise ValueError(f"no bm25 scalars at/before version {sv}")
     n_docs = meta["bm25_n_docs"]
-    avgdl = meta["bm25_total_len"] / n_docs
+    # same guard as the chunk serve: an empty accumulated corpus is a
+    # legal state (the sink skips empty batches, but a caller may read
+    # before the first non-empty one lands via the batch-twin path)
+    avgdl = (meta["bm25_total_len"] / n_docs) if n_docs else 0.0
     dfv = (dfv_t.read(spark)
            .select("tok", F.col("cnt").alias("df")))
     return postings.read(spark, version=sv), dfv, n_docs, avgdl

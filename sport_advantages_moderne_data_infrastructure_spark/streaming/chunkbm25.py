@@ -252,7 +252,9 @@ def read_chunk_bm25_index(spark: SparkSession, index_root: str,
     else:
         raise ValueError(f"no chunk scalars at/before version {sv}")
     n_chunks = meta["cbm25_n_chunks"]
-    avgdl = meta["cbm25_total_len"] / n_chunks
+    # a fully-retracted corpus is a legal maintained state (every doc
+    # deleted): serve 0 chunks with a neutral avgdl instead of 1/0
+    avgdl = (meta["cbm25_total_len"] / n_chunks) if n_chunks else 0.0
     ctf = (cpost.view.read(spark, version=sv).drop("__kb"))
     cdl = ctf.select("doc_id", "pos", "dl").distinct()
     cdf = (cdfv.read(spark)

@@ -487,3 +487,136 @@ def test_hot_bucket_serve_matches_sorted_reference(spark, vals,
     n = len(ref)
     want = [(q, ref[max(1, math.ceil(q * n)) - 1]) for q in qs]
     assert got == want, (vals,)
+
+
+# --- r11: identity allocation + chunk-index folding under churn ----------
+
+_ID_ROWS = st.integers(min_value=0, max_value=40)
+
+
+@given(
+    batches=st.lists(st.tuples(_ID_ROWS,
+                               st.integers(min_value=1, max_value=5)),
+                     min_size=1, max_size=4),
+    start=st.integers(min_value=-10, max_value=100),
+    step=st.integers(min_value=1, max_value=7),
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_identity_allocation_exact_sequence(spark, batches, start,
+                                            step, tmp_path_factory):
+    """Whatever the batch sizes, partition counts, start and step, the
+    allocated id multiset is EXACTLY the arithmetic sequence
+    start, start+step, ... with one term per row — unique, contiguous
+    per commit, never re-issued across appends."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from sport_advantages_moderne_data_infrastructure_spark.sources.txnlog import (
+        TxnTable,
+    )
+
+    t = TxnTable(tempfile.mkdtemp(
+        prefix="prop_id_", dir=str(tmp_path_factory.getbasetemp())))
+    t.set_identity_column("rid", start=start, step=step)
+    total = 0
+    for i, (n, parts) in enumerate(batches):
+        df = (spark.range(total, total + n)
+              .select(F.col("id").alias("k"))
+              .repartition(parts))
+        t.append(df)
+        total += n
+    if total == 0:
+        return
+    got = sorted(r["rid"] for r in
+                 t.read(spark).select("rid").collect())
+    assert got == [start + step * i for i in range(total)]
+
+
+@given(
+    script=st.lists(
+        st.lists(st.tuples(st.integers(0, 5),          # doc id
+                           st.sampled_from(["up", "del"]),
+                           st.integers(0, 4)),          # text seed
+                 min_size=1, max_size=4),
+        min_size=1, max_size=4),
+    folds=st.lists(st.booleans(), min_size=4, max_size=4),
+)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_chunk_index_folds_any_history(spark, script, folds,
+                                       tmp_path_factory):
+    """Random upsert/delete scripts against a tiny documents table,
+    refreshed at RANDOM points (so some refreshes fold multi-commit
+    windows — the per-physical-row projection's hard case): after a
+    final refresh the maintained postings/df/scalars equal the batch
+    build over the table's current state, bit for bit."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from sport_advantages_moderne_data_infrastructure_spark.operators.retrieval import (
+        chunk_postings_frame,
+    )
+    from sport_advantages_moderne_data_infrastructure_spark.sources.txnlog import (
+        TxnTable,
+    )
+    from sport_advantages_moderne_data_infrastructure_spark.streaming.chunkbm25 import (
+        read_chunk_bm25_index,
+        refresh_chunk_index,
+    )
+
+    base = tempfile.mkdtemp(
+        prefix="prop_cbx_", dir=str(tmp_path_factory.getbasetemp()))
+    docs = TxnTable(base + "/docs")
+    texts = ["alpha beta gamma delta epsilon zeta eta theta iota "
+             "kappa lam mu nu xi omicron pi",
+             "one two three four five six seven eight nine ten "
+             "eleven twelve",
+             "red green blue red green blue red green",
+             "aa bb cc dd", "solo"]
+    docs.append(spark.createDataFrame(
+        [(i, texts[i % len(texts)]) for i in range(6)],
+        "doc_id long, text string"))
+    live = set(range(6))
+    bid = 0
+    refresh_chunk_index(spark, docs, base + "/idx", bid, "prop")
+    for wi, wave in enumerate(script):
+        ups, dels = {}, set()
+        for d, op, seed in wave:   # last op per doc wins inside a wave
+            if op == "del":
+                dels.add(d)
+                ups.pop(d, None)
+            else:
+                ups[d] = texts[seed % len(texts)] + f" v{seed}"
+                dels.discard(d)
+        if ups:
+            docs.merge(spark, spark.createDataFrame(
+                [(d, tx) for d, tx in ups.items()],
+                "doc_id long, text string"), key="doc_id")
+            live |= set(ups)
+        real_dels = dels & live
+        if real_dels:
+            docs.delete_where(
+                spark, "doc_id IN (%s)" % ",".join(map(str, real_dels)))
+            live -= real_dels
+        if folds[wi % len(folds)]:
+            bid += 1
+            refresh_chunk_index(spark, docs, base + "/idx", bid, "prop")
+    bid += 1
+    refresh_chunk_index(spark, docs, base + "/idx", bid, "prop")
+
+    ctf, _cdl, cdf, n_chunks, avgdl = read_chunk_bm25_index(
+        spark, base + "/idx")
+    b_ctf = chunk_postings_frame(docs.read(spark))
+    cols = ["doc_id", "pos", "tok", "tf", "dl"]
+    assert ctf.select(cols).exceptAll(b_ctf.select(cols)).count() == 0
+    assert b_ctf.select(cols).exceptAll(ctf.select(cols)).count() == 0
+    b_cdl = b_ctf.select("doc_id", "pos", "dl").distinct()
+    bn = b_cdl.count()
+    assert n_chunks == bn
+    if bn:
+        assert avgdl == int(b_cdl.agg(F.sum("dl")).first()[0]) / bn
+    else:
+        assert avgdl == 0.0  # fully-retracted corpus serves empty
