@@ -620,3 +620,104 @@ def test_chunk_index_folds_any_history(spark, script, folds,
         assert avgdl == int(b_cdl.agg(F.sum("dl")).first()[0]) / bn
     else:
         assert avgdl == 0.0  # fully-retracted corpus serves empty
+
+
+@given(
+    script=st.lists(
+        st.lists(st.tuples(st.integers(0, 7),          # vec id
+                           st.sampled_from(["up", "del"]),
+                           st.integers(0, 3)),          # embed seed
+                 min_size=1, max_size=4),
+        min_size=1, max_size=3),
+    folds=st.lists(st.booleans(), min_size=3, max_size=3),
+)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_ann_cdf_folds_any_history(spark, script, folds,
+                                   tmp_path_factory):
+    """Random re-embed/delete scripts against a tiny embeddings table,
+    folded at random points through the CDF maintenance (retract keeps
+    every preimage, ingest takes the net-last event): the maintained
+    inverted lists always end row-identical to the batch assignment
+    over the table's current state."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from sport_advantages_moderne_data_infrastructure_spark.operators.ivf import (
+        assign_centroids,
+    )
+    from sport_advantages_moderne_data_infrastructure_spark.sources.txnlog import (
+        TxnTable,
+    )
+    from sport_advantages_moderne_data_infrastructure_spark.streaming.annindex import (
+        apply_cdf_batch,
+        read_index,
+    )
+
+    dim = 4
+    centroids = [[1.0, 0, 0, 0], [0, 1.0, 0, 0],
+                 [0, 0, 1.0, 0], [0, 0, 0, 1.0]]
+
+    def emb_of(vid, seed):
+        v = [0.1] * dim
+        v[(vid + seed) % dim] = 1.0
+        return [float(x) for x in v]
+
+    base = tempfile.mkdtemp(
+        prefix="prop_ann_", dir=str(tmp_path_factory.getbasetemp()))
+    emb = TxnTable(base + "/emb")
+    idx = TxnTable(base + "/idx")
+    emb.append(spark.createDataFrame(
+        [(i, emb_of(i, 0)) for i in range(8)],
+        "vec_id long, embedding array<float>"))
+    live = set(range(8))
+    bid, last_v = 0, -1
+
+    def fold():
+        nonlocal bid, last_v
+        sv = emb.latest_version()
+        if sv > last_v:
+            apply_cdf_batch(
+                idx, emb.read_changes(spark, since_version=last_v,
+                                      upto=sv),
+                centroids, bid, "prop")
+            last_v = sv
+            bid += 1
+
+    fold()
+    for wi, wave in enumerate(script):
+        ups, dels = {}, set()
+        for vid, op, seed in wave:
+            if op == "del":
+                dels.add(vid)
+                ups.pop(vid, None)
+            else:
+                ups[vid] = emb_of(vid, seed)
+                dels.discard(vid)
+        if ups:
+            emb.merge(spark, spark.createDataFrame(
+                [(v, e) for v, e in ups.items()],
+                "vec_id long, embedding array<float>"), key="vec_id")
+            live |= set(ups)
+        real = dels & live
+        if real:
+            emb.delete_where(
+                spark, "vec_id IN (%s)" % ",".join(map(str, real)))
+            live -= real
+        if folds[wi % len(folds)]:
+            fold()
+    fold()
+
+    m = read_index(spark, idx.path).select("vec_id", "centroid_id") \
+        if idx.latest_version() is not None else None
+    cur = emb.read(spark).select(
+        "vec_id", "embedding",
+        F.sqrt(F.expr(
+            "aggregate(zip_with(embedding, embedding, (a, b) -> "
+            "CAST(a AS DOUBLE) * b), 0D, (a, x) -> a + x)"))
+        .alias("e_norm"))
+    b = assign_centroids(cur, centroids).select("vec_id", "centroid_id")
+    assert m is not None
+    assert m.exceptAll(b).count() == 0
+    assert b.exceptAll(m).count() == 0
