@@ -24,16 +24,24 @@ import time
 # Unlisted files default to 10. Update when a file's cost shifts an
 # order of magnitude — balance only needs the right ballpark.
 COSTS = {
-    "test_txnlog.py": 150,
-    "test_oracle_parity.py": 150,
+    "test_properties.py": 480,  # r11: hypothesis over the maintained
+    # chunk/ANN folds + identity allocation — many small Spark jobs
+    "test_txnlog.py": 280,
+    "test_plan_quality.py": 250,  # r11: registry-wide sweeps grew with
+    # the registry (nested-loop sweep ~200 s alone)
+    "test_oracle_parity.py": 320,  # every registered oracle at sf0.001
+    "test_chunkbm25.py": 230,     # r11
+    "test_generated_identity.py": 170,  # r11
+    "test_column_mapping.py": 200,
     "test_ann.py": 140,
+    "test_stream_annindex.py": 130,  # r11 CDF/DV legs
     "test_scaling_10x.py": 120,
-    "test_driver_gate.py": 90,
-    "test_plan_quality.py": 60,
+    "test_driver_gate.py": 210,
+    "test_retrieval.py": 90,
+    "test_deletion_vectors.py": 75,  # r11 partitioned DVs
     "test_scale_paths.py": 60,
     "test_streaming.py": 45,
     "test_multimodal.py": 40,
-    "test_properties.py": 40,
     "test_pipeline.py": 30,
     "test_streaming_scd2.py": 25,
     "test_scd2_mixture.py": 16,

@@ -501,7 +501,7 @@ _ID_ROWS = st.integers(min_value=0, max_value=40)
     start=st.integers(min_value=-10, max_value=100),
     step=st.integers(min_value=1, max_value=7),
 )
-@settings(max_examples=8, deadline=None,
+@settings(max_examples=5, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 def test_identity_allocation_exact_sequence(spark, batches, start,
                                             step, tmp_path_factory):
