@@ -284,3 +284,40 @@ def test_update_where_guards_generated_staleness(spark, tmp_path):
     assert t.read(spark).filter("o_custkey = 0").count() >= 1
     t.delete_where(spark, "o_orderkey = 1")
     assert t.read(spark).filter("o_orderkey = 1").count() == 0
+
+
+def test_streaming_merge_sink_composes_with_identity(spark, tmp_path):
+    """The streaming MERGE sink rides TxnTable.merge, so identity
+    composes for free: matched keys keep their ids across update
+    batches, fresh keys allocate, and the whole feed stays unique."""
+    from sport_advantages_moderne_data_infrastructure_spark.streaming.pipeline import (
+        write_stream_merge_txn,
+    )
+
+    o = _orders(spark, 60).select("o_orderkey", "o_totalprice")
+    t = TxnTable(str(tmp_path / "tgt"))
+    t.set_identity_column("rid")
+    t.append(o.limit(30))
+
+    # a feed that UPDATES the first 30 keys and INSERTS 30 new ones
+    feed = (o.limit(30)
+            .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+            .withColumn("ts", F.lit(1.0))
+            .unionByName(
+                o.exceptAll(o.limit(30)).withColumn("ts", F.lit(1.0))))
+    src = str(tmp_path / "src")
+    feed.repartition(2).write.parquet(src)
+    q = write_stream_merge_txn(
+        (spark.readStream.schema(feed.schema)
+         .option("maxFilesPerTrigger", "1").parquet(src)),
+        t.path, str(tmp_path / "ck"), key="o_orderkey",
+        order_col="ts")
+    q.awaitTermination(120)
+    q.stop()
+    s = t.read(spark)
+    n, d, mx = s.agg(F.count("*"), F.countDistinct("rid"),
+                     F.max("rid")).first()
+    assert n == 60 and d == 60 and mx == 60
+    # the original 30 keys kept their first-allocation ids
+    assert (s.join(o.limit(30), "o_orderkey", "left_semi")
+            .agg(F.max("rid")).first()[0]) <= 30
