@@ -275,6 +275,64 @@ def q_word_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "eval_contamination",  # new r11 (late), registered with its
+    # DuckDB oracle at driver=False (differentially verified per
+    # pytest run; r12 promotion candidate). Benchmark DECONTAMINATION
+    # — the GPT-3-appendix sweep every serious training-data pipeline
+    # runs before training: find train documents sharing word n-grams
+    # with an eval/benchmark set, so they can be dropped (or the eval
+    # flagged). Rides the same w-shingling machinery as the Jaccard
+    # dedup family; the near-dup corpus guarantees hot pairs (the
+    # +2000 copies of eval docs are maximally contaminated).
+    driver=False,
+    oracle=(
+        f"WITH corpus AS ({_NEAR_CORPUS_SQL}), "
+        f"sh AS ({DD.word_shingle_hashes_sql('corpus')}), "
+        "ev AS (SELECT doc_id AS eval_id, h FROM sh "
+        "WHERE doc_id % 37 = 0), "
+        "tr AS (SELECT doc_id, h FROM sh WHERE doc_id % 37 <> 0), "
+        "hits AS (SELECT tr.doc_id, ev.eval_id, "
+        "CAST(COUNT(*) AS BIGINT) AS n_shared "
+        "FROM tr JOIN ev USING (h) GROUP BY tr.doc_id, ev.eval_id "
+        "HAVING COUNT(*) >= 2), "
+        "evn AS (SELECT eval_id, CAST(COUNT(*) AS BIGINT) AS n_ev "
+        "FROM ev GROUP BY eval_id) "
+        "SELECT doc_id, eval_id, n_shared, "
+        "ROUND(n_shared / CAST(n_ev AS DOUBLE), 6) AS overlap "
+        "FROM hits JOIN evn USING (eval_id) "
+        "ORDER BY doc_id, eval_id"))
+def q_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set contamination sweep: every 37th doc plays the
+    benchmark; a train doc is flagged when it shares >= 2 distinct
+    WORD_SHINGLE_N-gram shingles with an eval doc, reported with the
+    overlap share of that eval doc's shingle set. Scale shape: the
+    EVAL side is the small one — its shingles broadcast against the
+    train shingle index as an EQUI-join on the hash (posting-list
+    bounded, never corpus x eval all-pairs); the rollup is one
+    (train, eval) groupBy. At 100 TB the train shingles come from the
+    maintained shingle index artifact, the eval set is fixed and
+    tiny, and the sweep is a single bounded join — the decontamination
+    pass from the GPT-3 appendix re-expressed relationally."""
+    corpus = near_corpus(spark, sf_dir)
+    sh = DD.word_shingle_hashes(corpus)
+    ev = (sh.filter(F.col("doc_id") % 37 == 0)
+          .select(F.col("doc_id").alias("eval_id"), "h"))
+    tr = sh.filter(F.col("doc_id") % 37 != 0)
+    hits = (tr.join(F.broadcast(ev), "h")
+            .groupBy("doc_id", "eval_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+            .filter(F.col("n_shared") >= 2))
+    evn = (ev.groupBy("eval_id")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_ev")))
+    return (hits.join(F.broadcast(evn), "eval_id")
+            .select("doc_id", "eval_id", "n_shared",
+                    F.round(F.col("n_shared")
+                            / F.col("n_ev").cast("double"), 6)
+                    .alias("overlap"))
+            .orderBy("doc_id", "eval_id"))
+
+
+@register(
     "tfidf_top_terms",  # promoted r3; rotated out r6 (triple-green
     # r3-r5; slot freed for txn_dv_delete_read — the explode/broadcast
     # text-rollup shape stays gated via boilerplate_ngrams_abs and
