@@ -50,6 +50,40 @@ def split_quarantine(df: DataFrame, rules: list[tuple[str, str]]
     return clean, bad
 
 
+def _txn_append_leg(path: str, batch_df: DataFrame, batch_id: int,
+                    app_id: str | None,
+                    op: str = "stream_quarantine_append") -> None:
+    """One replay-guarded txn append — the per-table leg both routing
+    sinks share (quality quarantine and the decontamination gate): a
+    crash between a batch's two legs replays the batch and re-commits
+    only the missing one."""
+    import os
+    import shutil as _shutil
+
+    from ..sources.txnlog import TxnConflictError, TxnTable
+
+    table = TxnTable(path)
+    seen = table.max_stream_batch_id(app_id)
+    if seen is not None and batch_id <= seen:
+        return  # this leg already committed this batch
+    rel = table._write_data(batch_df)  # noqa: SLF001
+    meta = {"stream_batch_id": batch_id, "operation": op}
+    if app_id is not None:
+        meta["stream_app_id"] = app_id
+    for _ in range(5):
+        try:
+            table.commit([rel], [], meta)
+            table.checkpoint_if_needed()
+            return
+        except TxnConflictError:
+            if (table.max_stream_batch_id(app_id) or -1) >= batch_id:
+                _shutil.rmtree(os.path.join(path, rel),
+                               ignore_errors=True)
+                return
+    table.commit([rel], [], meta)
+    table.checkpoint_if_needed()
+
+
 def write_stream_quarantine(df: DataFrame, rules: list[tuple[str, str]],
                             target: str, quarantine: str, checkpoint: str,
                             app_id: str | None = None,
@@ -60,33 +94,9 @@ def write_stream_quarantine(df: DataFrame, rules: list[tuple[str, str]],
     parquet schema) append to ``quarantine``. Each leg is one atomic
     txn commit guarded by (app_id, batch_id) — replay after any crash
     re-commits only the leg that is missing."""
-    import os
-    import shutil as _shutil
-
-    from ..sources.txnlog import TxnConflictError, TxnTable
 
     def _append_leg(path: str, batch_df: DataFrame, batch_id: int) -> None:
-        table = TxnTable(path)
-        seen = table.max_stream_batch_id(app_id)
-        if seen is not None and batch_id <= seen:
-            return  # this leg already committed this batch
-        rel = table._write_data(batch_df)  # noqa: SLF001
-        meta = {"stream_batch_id": batch_id,
-                "operation": "stream_quarantine_append"}
-        if app_id is not None:
-            meta["stream_app_id"] = app_id
-        for _ in range(5):
-            try:
-                table.commit([rel], [], meta)
-                table.checkpoint_if_needed()
-                return
-            except TxnConflictError:
-                if (table.max_stream_batch_id(app_id) or -1) >= batch_id:
-                    _shutil.rmtree(os.path.join(path, rel),
-                                   ignore_errors=True)
-                    return
-        table.commit([rel], [], meta)
-        table.checkpoint_if_needed()
+        _txn_append_leg(path, batch_df, batch_id, app_id)
 
     def _route(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -100,6 +110,78 @@ def write_stream_quarantine(df: DataFrame, rules: list[tuple[str, str]],
                 bad.withColumn("violations",
                                F.array_join("violations", ",")),
                 batch_id)
+        finally:
+            batch_df.unpersist()
+
+    w = (df.writeStream.foreachBatch(_route)
+         .option("checkpointLocation", checkpoint))
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+# --- decontamination at ingest (r11): the eval-overlap gate ---------------
+
+
+def contamination_hits(batch_docs: DataFrame, eval_hashes: DataFrame,
+                       min_shared: int = 2) -> DataFrame:
+    """(doc_id, eval_id, n_shared) for batch documents sharing at
+    least ``min_shared`` distinct word shingles with an eval document
+    — the plans/textops.eval_contamination rule applied to ONE batch:
+    shingle the batch (O(batch)), equi-join the broadcast eval hash
+    set, one (doc, eval) rollup. ``eval_hashes`` is a materialized
+    (doc_id, h) artifact (operators/dedup.word_shingle_hashes over the
+    benchmark set) — fixed and tiny, the FAISS-centroid discipline:
+    frozen at sink construction, broadcast per batch."""
+    from ..operators import dedup as DD
+
+    sh = DD.word_shingle_hashes(batch_docs)
+    ev = eval_hashes.select(F.col("doc_id").alias("eval_id"), "h")
+    return (sh.join(F.broadcast(ev), "h")
+            .groupBy("doc_id", "eval_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+            .filter(F.col("n_shared") >= min_shared))
+
+
+def write_stream_decontaminate(df: DataFrame, eval_hashes: DataFrame,
+                               target: str, quarantine: str,
+                               checkpoint: str,
+                               app_id: str | None = None,
+                               min_shared: int = 2,
+                               available_now: bool = True):
+    """Decontamination AT INGEST: instead of sweeping the corpus after
+    the fact (plans/textops.eval_contamination), every arriving batch
+    is checked against the frozen eval shingle set and contaminated
+    documents are dead-lettered — clean rows append to ``target``,
+    flagged rows to ``quarantine`` annotated with their worst hit
+    (eval_id, n_shared). Same two replay-guarded legs as the quality
+    quarantine sink, so routing is exactly-once across restarts; the
+    admitted corpus is contamination-free BY CONSTRUCTION at every
+    point in time, which is the production property (a post-hoc sweep
+    leaves a window where training reads tainted docs)."""
+
+    def _route(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch_df.persist()
+        try:
+            hits = contamination_hits(batch_df, eval_hashes,
+                                      min_shared)
+            worst = (hits.groupBy("doc_id")
+                     .agg(F.max(F.struct("n_shared", "eval_id"))
+                          .alias("w"))
+                     .select("doc_id",
+                             F.col("w.eval_id").alias("eval_id"),
+                             F.col("w.n_shared").alias("n_shared")))
+            tagged = batch_df.join(F.broadcast(worst), "doc_id",
+                                   "left")
+            clean = (tagged.filter(F.col("n_shared").isNull())
+                     .drop("eval_id", "n_shared"))
+            bad = tagged.filter(F.col("n_shared").isNotNull())
+            _txn_append_leg(target, clean, batch_id, app_id,
+                            op="stream_decontaminate_append")
+            _txn_append_leg(quarantine, bad, batch_id, app_id,
+                            op="stream_decontaminate_append")
         finally:
             batch_df.unpersist()
 

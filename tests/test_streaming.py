@@ -504,3 +504,68 @@ def test_stream_quarantine_routes_and_is_exactly_once(spark, sf_dir,
     run()
     assert TxnTable(target).read(spark).count() == n_clean
     assert TxnTable(quar).read(spark).count() == n_bad
+
+
+def test_stream_decontaminate_gate(spark, sf_dir, tmp_path):
+    """Decontamination at ingest: documents stream in; any doc sharing
+    >= 2 word shingles with the frozen eval set dead-letters to the
+    quarantine table annotated with its worst hit, clean docs land in
+    the target — the union is lossless, the flagged set equals the
+    batch contamination sweep over the same corpus, and a restart on
+    the same checkpoint re-routes nothing."""
+    from pyspark.sql import functions as F
+
+    from sport_advantages_moderne_data_infrastructure_spark.operators import (
+        dedup as DD,
+    )
+    from sport_advantages_moderne_data_infrastructure_spark.plans.textops import (
+        near_corpus,
+    )
+    from sport_advantages_moderne_data_infrastructure_spark.sources.txnlog import (
+        TxnTable,
+    )
+    from sport_advantages_moderne_data_infrastructure_spark.streaming.quality import (
+        contamination_hits,
+        write_stream_decontaminate,
+    )
+
+    corpus = near_corpus(spark, sf_dir).cache()
+    ev_docs = corpus.filter(F.col("doc_id") % 37 == 0)
+    eval_hashes = DD.word_shingle_hashes(ev_docs).cache()
+    train = corpus.filter(F.col("doc_id") % 37 != 0)
+
+    src = str(tmp_path / "src")
+    train.repartition(2).write.parquet(src)
+    target, quar = str(tmp_path / "clean"), str(tmp_path / "quar")
+    stream = (spark.readStream.schema(train.schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    q = write_stream_decontaminate(stream, eval_hashes, target, quar,
+                                   str(tmp_path / "ck"), app_id="dc")
+    q.awaitTermination(120)
+    q.stop()
+
+    clean = TxnTable(target).read(spark)
+    bad = TxnTable(quar).read(spark)
+    n_train = train.count()
+    assert clean.count() + bad.count() == n_train
+    # flagged set == the batch sweep's contaminated doc set
+    want = {r["doc_id"] for r in
+            contamination_hits(train, eval_hashes)
+            .select("doc_id").distinct().collect()}
+    got = {r["doc_id"] for r in bad.select("doc_id").collect()}
+    assert got == want and len(got) > 0
+    # the admitted corpus is contamination-free by construction
+    assert contamination_hits(clean.select("doc_id", "text"),
+                              eval_hashes).count() == 0
+    # worst-hit annotation present on every quarantined row
+    assert bad.filter("eval_id IS NULL OR n_shared < 2").count() == 0
+
+    # restart: nothing re-routes
+    q2 = write_stream_decontaminate(
+        (spark.readStream.schema(train.schema)
+         .option("maxFilesPerTrigger", "1").parquet(src)),
+        eval_hashes, target, quar, str(tmp_path / "ck"), app_id="dc")
+    q2.awaitTermination(60)
+    q2.stop()
+    assert TxnTable(target).read(spark).count() == clean.count()
+    assert TxnTable(quar).read(spark).count() == bad.count()
