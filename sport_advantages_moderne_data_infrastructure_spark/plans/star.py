@@ -33,6 +33,15 @@ from .catalog import register
     # it: the finest grouping set of the ROLLUP is pricing_summary's
     # exact answer, the demoted row keeps running in every bench pass
     # (bench=True), and it stays DuckDB-verified per pytest run).
+    # DEMOTED 2026-08-16 (r11, green r8-r10): slot goes to
+    # eval_contamination (plans/textops.py) — the ONE-Expand
+    # multi-level-aggregate shape survives STRICTLY HARDER in the
+    # still-gated orders_cube (CUBE's 4x Expand is a superset of
+    # ROLLUP's over the same partial-agg absorption, plan-pinned) and
+    # orders_pivot/orders_unpivot_roundtrip keep the reshaping class;
+    # this row stays DuckDB-verified per pytest run and
+    # pricing_summary stays benched.
+    driver=False,
     # Completes the multi-level-aggregate surface (GROUPING SETS /
     # ROLLUP / CUBE): Spark plans ONE Expand + one hash aggregate — at
     # 100 TB the fact scans ONCE for all three levels instead of once

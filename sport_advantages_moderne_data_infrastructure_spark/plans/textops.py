@@ -275,16 +275,17 @@ def q_word_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "eval_contamination",  # new r11 (late), registered with its
-    # DuckDB oracle at driver=False (differentially verified per
-    # pytest run; r12 promotion candidate). Benchmark DECONTAMINATION
+    "eval_contamination",  # new r11 (late), gated the same round
+    # (slot: pricing_rollup demoted 2026-08-16 — green r8-r10; the
+    # ROLLUP shape survives strictly harder inside the still-gated
+    # orders_cube, see its comment). Benchmark DECONTAMINATION
     # — the GPT-3-appendix sweep every serious training-data pipeline
     # runs before training: find train documents sharing word n-grams
     # with an eval/benchmark set, so they can be dropped (or the eval
     # flagged). Rides the same w-shingling machinery as the Jaccard
     # dedup family; the near-dup corpus guarantees hot pairs (the
-    # +2000 copies of eval docs are maximally contaminated).
-    driver=False,
+    # +2000 copies of eval docs are maximally contaminated). The
+    # streaming form (write_stream_decontaminate) gates at ingest.
     oracle=(
         f"WITH corpus AS ({_NEAR_CORPUS_SQL}), "
         f"sh AS ({DD.word_shingle_hashes_sql('corpus')}), "
