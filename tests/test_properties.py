@@ -127,6 +127,7 @@ _OPS = st.lists(
                                      st.integers(0, 5)),
                            min_size=1, max_size=4)),
         st.tuples(st.just("delete"), st.integers(0, 9)),
+        st.tuples(st.just("delete_dv"), st.integers(0, 9)),
         st.tuples(st.just("update"), st.integers(0, 9),
                   st.integers(10, 15)),
         st.tuples(st.just("overwrite"),
@@ -168,6 +169,14 @@ def test_txn_table_matches_snapshot_model(spark, ops, tmp_path_factory):
         elif op[0] == "delete":
             t.delete_where(spark, f"id = {op[1]}",
                            capture_changes=bool(op[1] % 2))
+            model = Counter({k: c for k, c in model.items()
+                             if k[0] != op[1]})
+        elif op[0] == "delete_dv":
+            # r11: DV-mode delete interleaved with every other op —
+            # restores/compactions/updates must round-trip the masks
+            t.delete_where(spark, f"id = {op[1]}",
+                           capture_changes=bool(op[1] % 2),
+                           use_dv=True)
             model = Counter({k: c for k, c in model.items()
                              if k[0] != op[1]})
         elif op[0] == "update":
