@@ -359,3 +359,19 @@ def test_partitioned_dv_rewrite_still_refused_without_flag(spark,
     t = _part_table(spark, tmp_path)
     with pytest.raises(ValueError, match="use_dv=True"):
         t.delete_where(spark, "vec_id = 3")
+
+
+def test_partitioned_dv_clone_and_restore_roundtrip(spark, tmp_path):
+    """CLONE carries the subdir-keyed DV mapping (masked rows stay
+    masked in the clone), and RESTORE to the pre-DV version
+    resurrects then a re-restore re-masks — the metadata round-trip
+    at partition-granular depth."""
+    t = _part_table(spark, tmp_path)
+    t.delete_where(spark, "vec_id IN (5, 13)", use_dv=True)   # v1
+    c = t.clone(str(tmp_path / "dst"))
+    assert c.read(spark).count() == 998
+    assert c.read(spark).filter("vec_id IN (5, 13)").count() == 0
+    t.restore(0)
+    assert t.read(spark).count() == 1000
+    t.restore(1)
+    assert t.read(spark).count() == 998
