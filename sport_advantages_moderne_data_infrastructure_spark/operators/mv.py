@@ -46,13 +46,23 @@ def _last_meta_with(table: TxnTable, key: str) -> dict:
     every downstream consumer a needless resync). The backward walk is
     bounded by how many non-refresh commits landed since the last
     refresh — ~one compaction, in practice."""
+    return _last_meta_version_with(table, key)[0]
+
+
+def _last_meta_version_with(table: TxnTable, key: str
+                            ) -> tuple[dict, int | None]:
+    """(meta, version) — like :func:`_last_meta_with` but also returns
+    the commit VERSION that carried the meta, so a serve can pin its
+    data read at exactly that commit: reading the meta at one version
+    and the data unpinned leaves a window where a refresh landing
+    between the two reads pairs fresh data with stale bookkeeping."""
     v = table.latest_version()
     while v is not None and v >= 0:
         meta = table._doc(v).get("meta", {})  # noqa: SLF001
         if key in meta:
-            return meta
+            return meta, v
         v -= 1
-    return {}
+    return {}, None
 
 
 def maintain_agg_view(spark: SparkSession, source: TxnTable,
@@ -795,7 +805,9 @@ class AggMaterializedView(JoinMaterializedView):
                    if base is not None else [])
         self.view.commit(adds, removes, m, expected_version=base)
 
-    def read(self, spark: SparkSession) -> DataFrame:
-        """Partials + derived mean, __kb stripped."""
-        v = self.view.read(spark).drop("__kb")
+    def read(self, spark: SparkSession,
+             version: int | None = None) -> DataFrame:
+        """Partials + derived mean, __kb stripped. ``version`` pins the
+        read at a specific view commit (serve-snapshot discipline)."""
+        v = self.view.read(spark, version=version).drop("__kb")
         return v.withColumn("mean", F.col("sm") / F.col("cnt"))

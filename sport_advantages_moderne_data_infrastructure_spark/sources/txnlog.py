@@ -1073,15 +1073,27 @@ class TxnTable:
 
     def _bump_protocol_writer(self, floor: int = GEN_WRITER_VERSION
                               ) -> None:
-        cur = getattr(self, "_protocol_cache", None)
-        if cur is None:
-            p = os.path.join(self.log_dir, "protocol.json")
-            cur = json.load(open(p)) if os.path.exists(p) else {}
-        if cur.get("min_writer_version", 1) < floor:
+        self._raise_protocol(writer_floor=floor)
+
+    def _raise_protocol(self, reader_floor: int = 1,
+                        writer_floor: int = 1) -> None:
+        """RAISE protocol floors, never restate them. Always re-reads
+        protocol.json from disk — `_protocol_cache` can be stale when
+        another handle or process raised a floor after this handle
+        cached it (e.g. a concurrent first-DV commit raising
+        min_reader_version), and rewriting from the cache would
+        DOWNGRADE that floor, letting pre-DV readers resurrect deleted
+        rows. Fields only ever go up via max()."""
+        p = os.path.join(self.log_dir, "protocol.json")
+        cur = json.load(open(p)) if os.path.exists(p) else {}
+        old = (cur.get("min_reader_version", 1),
+               cur.get("min_writer_version", 1))
+        new = (max(old[0], reader_floor), max(old[1], writer_floor))
+        if new != old:
             self._write_config("protocol.json", {
-                "min_reader_version": cur.get("min_reader_version", 1),
-                "min_writer_version": floor})
-            self._protocol_cache = None  # re-read on next check
+                "min_reader_version": new[0],
+                "min_writer_version": new[1]})
+        self._protocol_cache = None  # re-read on next check
 
     def _apply_generated(self, df: DataFrame) -> DataFrame:
         """Compute every declared generated column on ``df`` (strict
@@ -1597,16 +1609,8 @@ class TxnTable:
         return mapping, mapping, sorted(used)
 
     def _bump_protocol_cm(self, floor: int = CM_READER_VERSION) -> None:
-        cur = getattr(self, "_protocol_cache", None)
-        if cur is None:
-            p = os.path.join(self.log_dir, "protocol.json")
-            cur = json.load(open(p)) if os.path.exists(p) else {}
-        if cur.get("min_reader_version", 1) < floor:
-            self._write_config("protocol.json", {
-                "min_reader_version": floor,
-                "min_writer_version": cur.get("min_writer_version",
-                                              WRITER_VERSION)})
-            self._protocol_cache = None  # re-read on next check
+        self._raise_protocol(reader_floor=floor,
+                             writer_floor=WRITER_VERSION)
 
     def _mapping_base(self, base: int):
         """(schema, mapping, used) for a metadata-evolution commit based
@@ -1751,16 +1755,8 @@ class TxnTable:
         if dvs and any(ref is not None for ref in dvs.values()):
             # first DV raises the table's floor: a pre-DV reader would
             # resurrect deleted rows, so it must refuse instead
-            cur = getattr(self, "_protocol_cache", None)
-            if cur is None:
-                p = os.path.join(self.log_dir, "protocol.json")
-                cur = json.load(open(p)) if os.path.exists(p) else {}
-            if cur.get("min_reader_version", 1) < DV_READER_VERSION:
-                self._write_config("protocol.json", {
-                    "min_reader_version": DV_READER_VERSION,
-                    "min_writer_version": cur.get(
-                        "min_writer_version", WRITER_VERSION)})
-                self._protocol_cache = None  # re-read on next check
+            self._raise_protocol(reader_floor=DV_READER_VERSION,
+                                 writer_floor=WRITER_VERSION)
         import time as _time
         stats = stats or {}
         # column mapping propagates commit-to-commit once active (like
@@ -1976,13 +1972,18 @@ class TxnTable:
             df = self._apply_generated(df)
         ident = gcfg.get("identity")
         handle = None
+        # base is captured BEFORE the identity high-water read: an
+        # identity-allocating commit interleaving between the two reads
+        # must surface as TxnConflictError, not be absorbed into a base
+        # read afterwards (which would commit a STALE high water and let
+        # later appends re-issue ids the interleaved append handed out)
+        base = self.latest_version()
         if ident is not None:
             # overwrite KEEPS the high water (Delta's rule: identity
             # never re-issues values a previous snapshot handed out)
             df, hw_meta, handle = self._assign_identity(df, ident)
             meta = {**(meta or {}), **hw_meta}
         try:
-            base = self.latest_version()
             live = self.snapshot_dirs(base)
             rel_changes = (self._write_changes(changes)
                            if changes is not None else None)
@@ -2726,11 +2727,14 @@ class TxnTable:
         if bad:
             raise ValueError(f"SET on unknown columns: {sorted(bad)}")
         # generated/identity interaction: SET of an engine-generated
-        # column is rejected outright, and SET of a column a generated
-        # expression READS is rejected too — the CASE rewrite applies
-        # set_exprs verbatim, so it would leave the generated value
-        # STALE (silently wrong data, the worst failure class). merge()
-        # recomputes generated columns; route such updates there.
+        # column is rejected outright (strict ALWAYS); a generated
+        # column READING a SET column is RECOMPUTED (r12, closing the
+        # r11 refusal): its generation expression is rewritten post-SET
+        # — every referenced SET column substituted with that column's
+        # SET expression (all SET RHS read the pre-image, so the
+        # substituted expression evaluates the generation over exactly
+        # the post-image values) — and joins set_exprs, riding the same
+        # single CASE projection at all four consumption sites below.
         gcfg = self.generation_config()
         gens = gcfg.get("generated", {})
         ident = (gcfg.get("identity") or {}).get("col")
@@ -2744,14 +2748,22 @@ class TxnTable:
                         f"update_where: column {c!r} is engine-"
                         "generated (GENERATED ALWAYS) — it cannot be "
                         "SET")
-                pat = re.compile(rf"\b{re.escape(c)}\b", re.IGNORECASE)
-                stale = [g for g, e in gens.items() if pat.search(e)]
-                if stale:
-                    raise ValueError(
-                        f"update_where: SET {c!r} would leave "
-                        f"generated column(s) {stale} stale — route "
-                        "this update through merge(), which recomputes "
-                        "generated columns")
+            if gens:
+                names = sorted(set_exprs, key=len, reverse=True)
+                pat_all = re.compile(
+                    r"\b(" + "|".join(re.escape(c) for c in names)
+                    + r")\b", re.IGNORECASE)
+                lut = {c.lower(): f"({set_exprs[c]})" for c in names}
+                recompute = {}
+                for g, e in gens.items():
+                    # SIMULTANEOUS substitution: a SET expression's own
+                    # column references mean the pre-image and must not
+                    # be re-substituted by a second pass
+                    new_e, n = pat_all.subn(
+                        lambda m: lut[m.group(1).lower()], e)
+                    if n:
+                        recompute[g] = new_e
+                set_exprs = {**set_exprs, **recompute}
         live = self.snapshot_dirs(base)
         if self._live_partition_col(live) is not None:
             raise ValueError(

@@ -343,10 +343,17 @@ def retract_batch(idx: TxnTable, gone: DataFrame,
                gone.select("vec_id").distinct()
                .limit(dv_max_ids + 1).collect()]
         if 0 < len(ids) <= dv_max_ids:
+            # type-aware IN literals: string/UUID vec_ids quote-and-
+            # escape so this fast path matches the rewrite leg's
+            # id-type tolerance (ints render bare as before)
+            lits = ",".join(
+                "'" + str(i).replace("'", "''") + "'"
+                if isinstance(i, str) else str(int(i)) for i in ids)
+
             def _dv_leg():
                 idx.delete_where(
                     spark,
-                    f"vec_id IN ({','.join(str(int(i)) for i in ids)})",
+                    f"vec_id IN ({lits})",
                     use_dv=True,
                     meta=_stream_meta(batch_id, app_id,
                                       "ann_index_retract_dv"))

@@ -29,7 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.mv import AggMaterializedView, _last_meta_with
+from ..operators.mv import (AggMaterializedView, _last_meta_version_with,
+                            _last_meta_with)
 from ..sources.txnlog import TxnTable
 from .scd2 import _guarded_commit, _stream_meta
 
@@ -152,8 +153,13 @@ def read_bm25_index(spark: SparkSession, index_root: str,
     dfv_t = make_df_view(index_root, n_buckets)
     if dfv_t.view.latest_version() is None:
         raise ValueError(f"no maintained df view under {index_root}")
-    sv = int(_last_meta_with(dfv_t.view, "mv_source_version")
-             ["mv_source_version"])
+    # the df view's own version is captured WITH the fold meta and the
+    # df read pinned at it below — same one-snapshot discipline as the
+    # chunk serve (a refresh between the meta read and the df read
+    # must not pair fresher df counts with postings pinned at sv)
+    dfv_meta, dfv_version = _last_meta_version_with(
+        dfv_t.view, "mv_source_version")
+    sv = int(dfv_meta["mv_source_version"])
     v = sv
     while v >= 0:  # newest postings commit at/before the fold version
         meta = postings._doc(v).get("meta", {})  # noqa: SLF001
@@ -167,6 +173,6 @@ def read_bm25_index(spark: SparkSession, index_root: str,
     # legal state (the sink skips empty batches, but a caller may read
     # before the first non-empty one lands via the batch-twin path)
     avgdl = (meta["bm25_total_len"] / n_docs) if n_docs else 0.0
-    dfv = (dfv_t.read(spark)
+    dfv = (dfv_t.read(spark, version=dfv_version)
            .select("tok", F.col("cnt").alias("df")))
     return postings.read(spark, version=sv), dfv, n_docs, avgdl

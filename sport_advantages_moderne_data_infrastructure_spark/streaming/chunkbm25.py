@@ -52,7 +52,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.mv import (AggMaterializedView, MapMaterializedView,
-                            _last_meta_with)
+                            _last_meta_version_with, _last_meta_with)
 from ..operators.retrieval import chunk_postings_frame
 from ..sources.txnlog import TxnTable
 from .scd2 import _guarded_commit, _stream_meta
@@ -241,8 +241,13 @@ def read_chunk_bm25_index(spark: SparkSession, index_root: str,
     cpost, cdfv = make_chunk_views(index_root, n_buckets)
     if cdfv.view.latest_version() is None:
         raise ValueError(f"no maintained chunk index under {index_root}")
-    sv = int(_last_meta_with(cdfv.view, "mv_source_version")
-             ["mv_source_version"])
+    # capture the cdf view's OWN version together with the fold meta,
+    # and pin the cdf read at it below — a refresh committing between
+    # this meta read and the cdf read must not pair fresher document
+    # frequencies with the stale postings pinned at sv
+    cdf_meta, cdf_version = _last_meta_version_with(
+        cdfv.view, "mv_source_version")
+    sv = int(cdf_meta["mv_source_version"])
     v = sv
     while v >= 0:  # newest cpost commit meta at/before the fold version
         meta = cpost.view._doc(v).get("meta", {})  # noqa: SLF001
@@ -257,7 +262,7 @@ def read_chunk_bm25_index(spark: SparkSession, index_root: str,
     avgdl = (meta["cbm25_total_len"] / n_chunks) if n_chunks else 0.0
     ctf = (cpost.view.read(spark, version=sv).drop("__kb"))
     cdl = ctf.select("doc_id", "pos", "dl").distinct()
-    cdf = (cdfv.read(spark)
+    cdf = (cdfv.read(spark, version=cdf_version)
            .select("tok", F.col("cnt").alias("df")))
     return (ctf.select("doc_id", "pos", "tok", "tf", "dl"),
             cdl, cdf, int(n_chunks), float(avgdl))

@@ -47,7 +47,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.mv import _last_meta_with
+from ..operators.mv import _last_meta_version_with, _last_meta_with
 from ..sources.txnlog import TxnTable
 from .scd2 import _guarded_commit, _stream_meta
 
@@ -155,11 +155,14 @@ def _pinned_pair(spark: SparkSession, root: str):
     events, sketch = _tables(root)
     if sketch.latest_version() is None:
         raise ValueError(f"no maintained sketch under {root}")
-    meta = _last_meta_with(sketch, "hll_source_version")
+    meta, hv = _last_meta_version_with(sketch, "hll_source_version")
     if "hll_source_version" not in meta:
         raise ValueError(f"sketch under {root} records no source version")
     sv = int(meta["hll_source_version"])
-    return events.read(spark, version=sv), sketch.read(spark)
+    # the sketch read pins at the SAME commit the meta came from — a
+    # fold landing between the meta read and this read must not pair a
+    # fresher sketch with events pinned at the stale source version
+    return events.read(spark, version=sv), sketch.read(spark, version=hv)
 
 
 def approx_distinct_served(spark: SparkSession, root: str,

@@ -48,7 +48,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.mv import _last_meta_with
+from ..operators.mv import _last_meta_version_with, _last_meta_with
 from ..sources.txnlog import TxnTable
 from .scd2 import _guarded_commit, _stream_meta
 
@@ -195,10 +195,13 @@ def _pinned_hist(spark: SparkSession, root: str):
     vals, hist = _tables(root)
     if hist.latest_version() is None:
         raise ValueError(f"no maintained state under {root}")
-    meta = _last_meta_with(hist, "q_source_version")
+    meta, hv = _last_meta_version_with(hist, "q_source_version")
     if "q_source_version" not in meta:
         raise ValueError(f"hist under {root} records no source version")
-    return vals, hist.read(spark), int(meta["q_source_version"])
+    # the histogram read pins at the commit its meta came from — a
+    # fold between the meta read and this read must not pair fresher
+    # histogram ranks with the stale source version returned here
+    return vals, hist.read(spark, version=hv), int(meta["q_source_version"])
 
 
 def _ranked_read(rows, targets: list[tuple], tag_cond) -> dict:

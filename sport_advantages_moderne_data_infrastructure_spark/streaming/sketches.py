@@ -195,16 +195,19 @@ def _pinned_pair(spark: SparkSession, root: str):
     rests on. Pinning trades freshness (answers as of the sketch's
     high-water) for that guarantee; requires the pinned version's
     files to be retained (the time-travel contract)."""
-    from ..operators.mv import _last_meta_with
+    from ..operators.mv import _last_meta_version_with
 
     events, sketch = _tables(root)
     if sketch.latest_version() is None:
         raise ValueError(f"no maintained sketch under {root}")
-    meta = _last_meta_with(sketch, "mg_source_version")
+    meta, kv = _last_meta_version_with(sketch, "mg_source_version")
     if "mg_source_version" not in meta:
         raise ValueError(f"sketch under {root} records no source version")
     sv = int(meta["mg_source_version"])
-    return events.read(spark, version=sv), sketch.read(spark)
+    # the sketch read pins at the commit its meta came from — a fold
+    # landing between the meta read and this read must not pair a
+    # fresher sketch with events pinned at the stale source version
+    return events.read(spark, version=sv), sketch.read(spark, version=kv)
 
 
 def grouped_heavy_hitters_served(spark: SparkSession, root: str,
@@ -263,12 +266,16 @@ def sketch_estimates(spark: SparkSession, root: str) -> tuple[DataFrame, int]:
     events, sketch = _tables(root)
     if sketch.latest_version() is None:
         raise ValueError(f"no maintained sketch under {root}")
-    sv = int(_last_meta_with(sketch, "mg_source_version")
-             ["mg_source_version"])
+    from ..operators.mv import _last_meta_version_with
+
+    kmeta, kv = _last_meta_version_with(sketch, "mg_source_version")
+    sv = int(kmeta["mg_source_version"])
     v = sv
     while v >= 0:  # newest events commit at/before the fold version
         meta = events._doc(v).get("meta", {})  # noqa: SLF001
         if "mg_n_rows" in meta:
-            return sketch.read(spark), int(meta["mg_n_rows"])
+            # pinned at the meta's own commit: a fold between the two
+            # reads must not pair a fresher sketch with the stale n
+            return sketch.read(spark, version=kv), int(meta["mg_n_rows"])
         v -= 1
     raise ValueError(f"no mg_n_rows recorded at/before version {sv}")

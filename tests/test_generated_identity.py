@@ -264,12 +264,11 @@ def test_clone_carries_generation_and_high_water(spark, tmp_path):
     assert proto["min_writer_version"] >= 2
 
 
-def test_update_where_guards_generated_staleness(spark, tmp_path):
-    """update_where applies SET expressions verbatim, so touching a
-    column a generated expression reads would leave the generated
-    value silently stale — both that and SETting the generated/
-    identity column itself must refuse (merge() is the recompute
-    path); unrelated SETs still work and deletes are unaffected."""
+def test_update_where_recomputes_generated(spark, tmp_path):
+    """SETting a column a generated expression reads RECOMPUTES the
+    generated value in the same CASE rewrite (r12, replacing the r11
+    refusal); SETting the generated/identity column itself still
+    refuses; unrelated SETs and deletes are unaffected."""
     o = _orders(spark, 20)
     t = _table(tmp_path)
     t.append(o)
@@ -277,13 +276,41 @@ def test_update_where_guards_generated_staleness(spark, tmp_path):
         t.update_where(spark, "o_orderkey = 1", {"total_cents": "0"})
     with pytest.raises(ValueError, match="engine-generated"):
         t.update_where(spark, "o_orderkey = 1", {"rid": "99"})
-    with pytest.raises(ValueError, match="stale"):
-        t.update_where(spark, "o_orderkey = 1",
-                       {"o_totalprice": "o_totalprice * 2"})
+    t.update_where(spark, "o_orderkey <= 3",
+                   {"o_totalprice": "o_totalprice * 2"})
+    s = t.read(spark)
+    # every row (touched or not) satisfies the generation invariant
+    assert s.filter(
+        F.expr(f"total_cents != {GEN_EXPR}")).count() == 0
+    assert s.filter("o_orderkey <= 3").count() > 0
+    # the change feed's postimages carry the RECOMPUTED value too
+    ch = (t.read_changes(spark, since_version=t.latest_version() - 1)
+          .filter(F.col("_change_type") == "update_postimage"))
+    assert ch.count() > 0
+    assert ch.filter(F.expr(f"total_cents != {GEN_EXPR}")).count() == 0
     t.update_where(spark, "o_orderkey = 1", {"o_custkey": "0"})
     assert t.read(spark).filter("o_custkey = 0").count() >= 1
     t.delete_where(spark, "o_orderkey = 1")
     assert t.read(spark).filter("o_orderkey = 1").count() == 0
+
+
+def test_update_where_recompute_substitutes_simultaneously(spark,
+                                                           tmp_path):
+    """Two SET columns where one's RHS references the other: the
+    generation rewrite substitutes both SIMULTANEOUSLY — each SET RHS
+    keeps reading the pre-image, never another SET's expression."""
+    t = TxnTable(str(tmp_path / "sim"))
+    t.set_generated_column("s", "a + b")
+    df = (_orders(spark, 4)
+          .select(F.col("o_orderkey").alias("k"),
+                  F.lit(10).alias("a"), F.lit(100).alias("b")))
+    t.append(df)
+    # post: a = b(pre) = 100, b = a(pre) + 1 = 11  ->  s = 111
+    t.update_where(spark, "k = 1", {"a": "b", "b": "a + 1"})
+    r = t.read(spark).filter("k = 1").first()
+    assert (r["a"], r["b"], r["s"]) == (100, 11, 111)
+    assert t.read(spark).filter("k != 1").filter(
+        "s != a + b").count() == 0
 
 
 def test_streaming_merge_sink_composes_with_identity(spark, tmp_path):
