@@ -979,6 +979,87 @@ def q_txn_generated_identity(spark: SparkSession,
             .orderBy("o_orderkey"))
 
 
+@register(
+    "txn_generated_partitions",  # new r12, gated immediately (VERDICT
+    # r11 #1: the generated-column surface's last two gaps). Two txn
+    # tables: U (unpartitioned, generated total_cents) takes an
+    # update_where that SETs a column its generated expression READS —
+    # the r12 RECOMPUTE path (the r11 engine refused this) — and P
+    # (partition-by-GENERATED order_month, Delta's canonical date
+    # layout vs the reference's unpartitioned writes,
+    # read_delta.py:219-222) takes a full load, a partition-granular
+    # overwrite of ONE month through generation, then a predicate-
+    # PRUNED read through the generated key. prune_ok is computed from
+    # the pruned plan's actual inputFiles (every planned file from a
+    # matching col=value subdir — metadata pruning, not a post-filter);
+    # the oracle recomputes both tables' expected values relationally.
+    oracle=(
+        "SELECT o_orderkey, "
+        "CAST(ROUND((CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2 "
+        "ELSE o_totalprice END) * 100) AS BIGINT) AS total_cents, "
+        "STRFTIME(o_orderdate, '%Y-%m') AS order_month, "
+        "CAST(ROUND((CASE WHEN STRFTIME(o_orderdate, '%Y-%m') = "
+        "'1999-06' THEN o_totalprice * 3 ELSE o_totalprice END) * 100) "
+        "AS BIGINT) AS p_cents, "
+        "CAST(1 AS BOOLEAN) AS prune_ok "
+        "FROM orders WHERE STRFTIME(o_orderdate, '%Y-%m') >= '1998-01' "
+        "ORDER BY o_orderkey"))
+def q_txn_generated_partitions(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """UPDATE-on-generated + partition-by-generated end to end: U's
+    update_where doubles every 7th key's price and the engine
+    recomputes total_cents inside the same CASE rewrite; P lays orders
+    out as order_month=<yyyy-MM> subdirs computed by the writer,
+    rewrites exactly the 1999-06 partition via
+    overwrite_partitions-through-generation (tripled price), and
+    read_partitions_where('order_month >= 1998-01') plans ONLY the
+    matching subdirs — asserted against the plan's inputFiles and
+    folded into the hashed prune_ok column."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..sources.tables import load_table
+    from ..sources.txnlog import TxnTable
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate")
+
+    u = TxnTable(tempfile.mkdtemp(prefix="samdis_txn_gp_u_"))
+    u.set_generated_column(
+        "total_cents", "CAST(ROUND(o_totalprice * 100) AS BIGINT)")
+    u.append(o.select("o_orderkey", "o_totalprice"))
+    u.update_where(spark, "o_orderkey % 7 = 0",
+                   {"o_totalprice": "o_totalprice * 2"})
+
+    p = TxnTable(tempfile.mkdtemp(prefix="samdis_txn_gp_p_"))
+    p.set_generated_column(
+        "order_month", "DATE_FORMAT(o_orderdate, 'yyyy-MM')")
+    p.set_partition_column("order_month")
+    p.append(o)
+    month_of = F.date_format("o_orderdate", "yyyy-MM")
+    p.overwrite_partitions(
+        o.filter(month_of == "1999-06")
+        .withColumn("o_totalprice", F.col("o_totalprice") * 3),
+        "order_month")
+
+    pruned = p.read_partitions_where(spark, "order_month >= '1998-01'")
+    prune_ok = bool(pruned.inputFiles()) and all(
+        seg.split("=", 1)[1] >= "1998-01"
+        for f in pruned.inputFiles()
+        for seg in f.split("/") if seg.startswith("order_month="))
+    return (pruned.select("o_orderkey",
+                          F.col("order_month").cast("string")
+                          .alias("order_month"),
+                          (F.round(F.col("o_totalprice") * 100)
+                           .cast("bigint")).alias("p_cents"))
+            .join(u.read(spark).select("o_orderkey", "total_cents"),
+                  "o_orderkey")
+            .select("o_orderkey", "total_cents", "order_month",
+                    "p_cents", F.lit(prune_ok).alias("prune_ok"))
+            .orderBy("o_orderkey"))
+
+
 # the streaming CDC-APPLY feed: batch A carries the even keys (an
 # update wave at ts=1 whose every-8th event is a tombstone, plus a
 # ts=2 re-insert wave for every 16th key — update-after-tombstone and
@@ -1331,7 +1412,15 @@ def q_stream_join_mv_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("txn_stacked_mv",  # new r7, gated immediately (slot:
           # ann_cosine_topk demoted — green r3-r6; the brute-force
           # cosine shape stays executed inside ann_recall_report's
-          # ground-truth leg and stays benched/budgeted)
+          # ground-truth leg and stays benched/budgeted).
+          # DEMOTED 2026-08-16 — green r9-r11; the MV-on-MV fold
+          # survives STRICTLY HARDER inside the still-gated
+          # txn_incremental_join_mv (two-sided incremental
+          # maintenance) and final_pipeline_incremental (the full
+          # stacked pipeline), and this row stays DuckDB-verified per
+          # pytest run. Slot goes to stream_hybrid_chunk_equiv
+          # (VERDICT r11 #2 promotion).
+          driver=False,
           oracle=W(
               "WITH lmerged AS ({lm}), "
               "lfin AS (SELECT * FROM lmerged "

@@ -334,6 +334,88 @@ def q_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_decontaminate_equiv",  # new r12, gated immediately
+    # (VERDICT r11 #3: the ingest-time decontamination gate was
+    # pytest-pinned but never externally hashed; slot:
+    # heavy_hitters_by_type demoted, see its registration). The
+    # quarantine-twin discipline applied to write_stream_decontaminate:
+    # the train corpus arrives as THREE micro-batches through the real
+    # foreachBatch sink — each batch shingled, equi-joined against the
+    # frozen broadcast eval hash set, clean rows admitted and
+    # contaminated rows dead-lettered with their worst hit, both legs
+    # replay-guarded txn appends — and the resulting (admitted +
+    # quarantined) routing must hash-equal DuckDB's from-scratch
+    # batch sweep. The check is per-doc against a FROZEN artifact, so
+    # ingest-gating commutes with batching BY CONSTRUCTION — which is
+    # exactly the property this row pins (the admitted corpus equals
+    # the post-hoc swept corpus at every point, with no tainted
+    # window).
+    oracle=(
+        f"WITH corpus AS ({_NEAR_CORPUS_SQL}), "
+        f"sh AS ({DD.word_shingle_hashes_sql('corpus')}), "
+        "ev AS (SELECT doc_id AS eval_id, h FROM sh "
+        "WHERE doc_id % 37 = 0), "
+        "tr AS (SELECT doc_id, h FROM sh WHERE doc_id % 37 <> 0), "
+        "hits AS (SELECT tr.doc_id, ev.eval_id, "
+        "CAST(COUNT(*) AS BIGINT) AS n_shared "
+        "FROM tr JOIN ev USING (h) GROUP BY tr.doc_id, ev.eval_id "
+        "HAVING COUNT(*) >= 2), "
+        "worst AS (SELECT doc_id, eval_id, n_shared FROM ("
+        "SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id "
+        "ORDER BY n_shared DESC, eval_id DESC) AS rn FROM hits) "
+        "WHERE rn = 1), "
+        "train AS (SELECT doc_id FROM corpus WHERE doc_id % 37 <> 0) "
+        "SELECT t.doc_id, "
+        "CASE WHEN w.doc_id IS NULL THEN 'admitted' "
+        "ELSE 'quarantined' END AS status, "
+        "w.eval_id, w.n_shared "
+        "FROM train t LEFT JOIN worst w ON t.doc_id = w.doc_id "
+        "ORDER BY t.doc_id"))
+def q_stream_decontaminate_equiv(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Benchmark decontamination AT INGEST, end to end: every 37th doc
+    plays the frozen benchmark (its word-shingle hash artifact built
+    once, broadcast per batch — the FAISS-centroid discipline); the
+    remaining docs stream through write_stream_decontaminate in three
+    micro-batches. Contaminated docs (>= 2 shared shingles with any
+    eval doc) dead-letter to the quarantine table annotated with their
+    worst hit; clean docs append to the target. The returned frame is
+    the full routing — admitted rows with NULL hit columns, quarantined
+    rows with (eval_id, n_shared) — and must match the batch sweep's
+    relational recomputation row for row."""
+    import tempfile
+
+    from ..sources.txnlog import TxnTable
+    from ..streaming.quality import write_stream_decontaminate
+
+    corpus = near_corpus(spark, sf_dir)
+    ev_hashes = DD.word_shingle_hashes(
+        corpus.filter(F.col("doc_id") % 37 == 0)).persist()
+    train = corpus.filter(F.col("doc_id") % 37 != 0)
+    root = tempfile.mkdtemp(prefix="samdis_stream_decon_")
+    src = f"{root}/src"
+    for i in range(3):  # three files = three micro-batches
+        (train.filter(F.pmod(F.col("doc_id"), F.lit(3)) == i)
+         .coalesce(1).write.mode("append").parquet(src))
+    q = write_stream_decontaminate(
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", "1").parquet(src),
+        ev_hashes, f"{root}/target", f"{root}/quarantine",
+        f"{root}/ck", app_id="decon_twin")
+    q.awaitTermination(300)
+    ev_hashes.unpersist()
+    admitted = (TxnTable(f"{root}/target").read(spark)
+                .select("doc_id", F.lit("admitted").alias("status"),
+                        F.lit(None).cast("bigint").alias("eval_id"),
+                        F.lit(None).cast("bigint").alias("n_shared")))
+    bad = (TxnTable(f"{root}/quarantine").read(spark)
+           .select("doc_id", F.lit("quarantined").alias("status"),
+                   F.col("eval_id").cast("bigint"),
+                   F.col("n_shared").cast("bigint")))
+    return admitted.unionByName(bad).orderBy("doc_id")
+
+
+@register(
     "tfidf_top_terms",  # promoted r3; rotated out r6 (triple-green
     # r3-r5; slot freed for txn_dv_delete_read — the explode/broadcast
     # text-rollup shape stays gated via boilerplate_ngrams_abs and
@@ -932,18 +1014,17 @@ def q_stream_chunk_bm25_equiv(spark: SparkSession,
 
 
 @register(
-    "stream_hybrid_chunk_equiv",  # new r11 (late), registered with the
-    # SHARED full-pipeline hybrid oracle but driver=False (the r11
-    # window already rotated twice this round; differentially verified
-    # per pytest run, an r12 promotion candidate alongside
-    # stream_ann_cdf_equiv). The governed-RAG capstone: BOTH retrieval
-    # artifact families are maintained from their source tables'
-    # change feeds through churn, and the full hybrid query is served
-    # from the MAINTAINED artifacts alone — any divergence anywhere in
-    # either maintenance chain (postings, df, scalars, inverted
-    # lists, norms) or in the serve path surfaces as a hash mismatch
-    # against the same relational oracle the batch row carries.
-    driver=False,
+    "stream_hybrid_chunk_equiv",  # new r11 (late); PROMOTED to the
+    # driver window 2026-08-16 (VERDICT r11 #2: the governed-RAG
+    # capstone rode the never-gated twin exemption; it now holds its
+    # own externally-hashed slot — slot: txn_stacked_mv demoted, see
+    # its registration). The capstone: BOTH retrieval artifact
+    # families are maintained from their source tables' change feeds
+    # through churn, and the full hybrid query is served from the
+    # MAINTAINED artifacts alone — any divergence anywhere in either
+    # maintenance chain (postings, df, scalars, inverted lists,
+    # norms) or in the serve path surfaces as a hash mismatch against
+    # the same relational oracle the batch row carries.
     oracle=_HYBRID_CHUNK_ORACLE)
 def q_stream_hybrid_chunk_equiv(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:

@@ -569,6 +569,39 @@ class TxnTable:
         return self._read_dirs(spark, dirs, self._dvs_for(dirs, version),
                                version=version)
 
+    def read_partitions_where(self, spark: SparkSession, condition: str,
+                              version: int | None = None) -> DataFrame:
+        """Predicate-pruned partition read (r12): evaluate ``condition``
+        — SQL over the partition KEY only, e.g. ``order_date >=
+        DATE'1995-03-01'`` — against the live partition VALUES and read
+        only the surviving ``col=value`` subdirs. The evaluation runs
+        over one tiny local frame of the distinct partition values
+        (bounded by the live partition count — the same driver-side
+        bound the log walk itself carries), so pruning is METADATA-only:
+        zero storage I/O for non-matching partitions, the partition-by-
+        generated read path at 100 TB (one year of daily partitions =
+        365 candidate values, whatever the table's size). Partition
+        values are path strings; Spark's implicit coercion compares
+        them against date/numeric literals in the condition. An empty
+        survivor set returns an empty frame of the snapshot schema
+        rather than raising (a range with no data is an answer)."""
+        from pyspark.sql import functions as F
+
+        dirs = [d for d in self.snapshot_dirs(version)
+                if _partition_of(d) is not None]
+        col = self._live_partition_col(dirs)
+        if col is None:
+            raise ValueError(
+                f"read_partitions_where on an unpartitioned table: "
+                f"{self.path}")
+        vals = sorted({_partition_of(d)[1] for d in dirs})
+        vf = spark.createDataFrame([(v,) for v in vals],
+                                   f"`{col}` string")
+        keep = {r[col] for r in vf.filter(F.expr(condition)).collect()}
+        if not keep:
+            return self.read(spark, version).limit(0)
+        return self.read_partitions(spark, sorted(keep), version=version)
+
     def _read_dirs(self, spark: SparkSession, rel_dirs: list[str],
                    dvs: dict[str, dict] | None = None,
                    mapped: bool = True,
@@ -1032,8 +1065,54 @@ class TxnTable:
         """Stop generating ``col`` — it stays a plain column (values
         already materialized remain; future writes must provide it)."""
         cfg = self.generation_config()
+        if cfg.get("partition_by") == col:
+            raise ValueError(
+                f"column '{col}' is the table's partition key — its "
+                "generation cannot be dropped while the layout depends "
+                "on it")
         cfg.get("generated", {}).pop(col, None)
         self._write_config("generation.json", cfg)
+
+    def set_partition_column(self, col: str) -> None:
+        """Declare ``col`` the table's PARTITION key (r12, Delta's
+        partition-by-generated): every future append / overwrite /
+        overwrite_partitions lays data out as ``col=value`` subdirs —
+        the log's partition-granular add/remove unit — so reads through
+        the key are METADATA-pruned (:meth:`read_partitions`,
+        :meth:`read_partitions_where`) and a daily batch rewrites one
+        partition, never the table. The headline pairing is a GENERATED
+        key: declare e.g. ``set_generated_column("order_date",
+        "CAST(o_ts AS DATE)")`` then ``set_partition_column(
+        "order_date")`` and writers compute the canonical date layout
+        from the row itself (the reference writes unpartitioned,
+        read_delta.py:219-222 — this is its 100 TB replacement). A
+        plain data column is also accepted. Declare on an EMPTY table
+        (or one already consistently partitioned by ``col``);
+        retrofitting an unpartitioned layout is an overwrite() away
+        AFTER declaring. Identity tables are excluded (allocation's
+        persisted-handle discipline assumes the unpartitioned write
+        path)."""
+        cfg = self.generation_config()
+        ident = cfg.get("identity")
+        if ident is not None:
+            raise ValueError(
+                "partition_by on an identity table is not supported — "
+                "identity allocation rides the unpartitioned write path")
+        live = self.snapshot_dirs() if self.latest_version() is not None \
+            else []
+        live_col = self._live_partition_col(live)
+        if live and live_col != col:
+            lay = (f"partitioned by {live_col!r}" if live_col
+                   else "unpartitioned")
+            raise ValueError(
+                f"set_partition_column({col!r}) on a table whose live "
+                f"layout is {lay} — a mixed layout would strand rows "
+                "outside partition-granular bookkeeping; declare on an "
+                "empty table and load it (clone/overwrite a fresh path)")
+        cfg["partition_by"] = col
+        self._write_config("generation.json", cfg)
+        if col in cfg.get("generated", {}):
+            self._bump_protocol_writer()
 
     def set_identity_column(self, col: str, start: int = 1,
                             step: int = 1) -> None:
@@ -1051,6 +1130,11 @@ class TxnTable:
         if step == 0:
             raise ValueError("identity step must be non-zero")
         cfg = self.generation_config()
+        if cfg.get("partition_by") is not None:
+            raise ValueError(
+                "identity on a partition-declared table is not "
+                "supported — identity allocation rides the "
+                "unpartitioned write path")
         if col in cfg.get("generated", {}):
             raise ValueError(
                 f"column '{col}' is already a generated column")
@@ -1858,6 +1942,29 @@ class TxnTable:
         gcfg = self.generation_config()
         if gcfg.get("generated"):
             df = self._apply_generated(df)
+        part = gcfg.get("partition_by")
+        if part is not None:
+            if merge_schema:
+                raise ValueError(
+                    "append(merge_schema=True) on a partition-declared "
+                    "table is not supported — additive evolution on "
+                    "partition-granular layouts rides overwrite() of "
+                    "the evolved shape")
+            # partition-declared table (r12): the append's unit of add
+            # is the col=value subdir — blind appends still never touch
+            # existing files, so the commit race stays retry-safe
+            self._check_append_schema(df)
+            adds = self._write_data_partitioned(df, part)
+            last = None
+            for _ in range(max(1, retries + 1)):
+                try:
+                    return self.commit(
+                        adds, [],
+                        {**(meta or {}), "partition_by": part},
+                        expected_version=self.latest_version())
+                except TxnConflictError as e:
+                    last = e
+            raise last
         ident = gcfg.get("identity")
         if ident is not None:
             if merge_schema:
@@ -1987,7 +2094,12 @@ class TxnTable:
             live = self.snapshot_dirs(base)
             rel_changes = (self._write_changes(changes)
                            if changes is not None else None)
-            return self.commit([self._write_data(df)], live, meta,
+            part = gcfg.get("partition_by")
+            adds = (self._write_data_partitioned(df, part)
+                    if part is not None else [self._write_data(df)])
+            m = ({**(meta or {}), "partition_by": part}
+                 if part is not None else meta)
+            return self.commit(adds, live, m,
                                expected_version=base,
                                changes=rel_changes)
         finally:
@@ -2099,12 +2211,22 @@ class TxnTable:
         if self.column_mapping(base):
             raise ValueError(
                 "column mapping is not supported on partitioned tables")
-        if self.generation_config():
-            raise ValueError(
-                "generated/identity columns are not supported on "
-                "partition-granular tables (overwrite_partitions would "
-                "bypass generation) — use append()/merge()/overwrite() "
-                "on an unpartitioned layout")
+        gcfg = self.generation_config()
+        if gcfg:
+            # a partition-DECLARED table (r12) routes generation through
+            # the writer before the layout write, so nothing is
+            # bypassed; the key must be the declared one. Undeclared
+            # generation on a partition-granular call still refuses.
+            declared = gcfg.get("partition_by")
+            if declared != part_col or gcfg.get("identity") is not None:
+                raise ValueError(
+                    "generated/identity columns are not supported on "
+                    "partition-granular tables (overwrite_partitions "
+                    "would bypass generation) — declare the key with "
+                    "set_partition_column() or use append()/merge()/"
+                    "overwrite() on an unpartitioned layout")
+            if gcfg.get("generated"):
+                df = self._apply_generated(df)
         live = self.snapshot_dirs(base)
         live_col = self._live_partition_col(live)
         if live and (live_col is None or live_col != part_col):
@@ -2440,6 +2562,132 @@ class TxnTable:
             f"row-level op lost {retries} straight commit races at "
             f"{self.path}")
 
+    def _hot_partitions(self, spark: SparkSession, condition: str,
+                        base: int, live: list[str], part_col: str
+                        ) -> tuple[list[str], bool]:
+        """(hot partition value strings, meta_only) for a row-level op
+        on a partition-granular layout. A predicate that RESOLVES over
+        the partition key alone evaluates against the live partition
+        VALUES — metadata-only, bounded by the live partition count,
+        zero storage I/O, and constant per partition (every row of a
+        hot partition matches) — the retention/backfill shape on a
+        partition-by-generated date key. Any other predicate falls
+        back to ONE column-pruned sizing scan of the snapshot to find
+        the partitions actually holding matches. Values compare as
+        path strings (Spark coerces against date/numeric literals) —
+        the :meth:`read_partitions_where` contract."""
+        from pyspark.sql import functions as F
+
+        vals = sorted({_partition_of(d)[1] for d in live
+                       if _partition_of(d) is not None})
+        vf = spark.createDataFrame([(v,) for v in vals],
+                                   f"`{part_col}` string")
+        try:
+            return (sorted(r[part_col] for r in
+                           vf.filter(F.expr(condition)).collect()),
+                    True)
+        except Exception:
+            pass  # condition reads data columns: size by scanning
+        snap = self._read_dirs(spark, live, self._dvs_for(live, base),
+                               version=base)
+        hot = sorted(str(r[0]) for r in
+                     snap.filter(F.expr(condition)).select(part_col)
+                     .distinct().collect())
+        return hot, False
+
+    def _delete_where_partitioned(self, spark: SparkSession,
+                                  condition: str, meta: dict | None,
+                                  capture_changes: bool, base: int,
+                                  live: list[str], part_col: str) -> int:
+        """DELETE on a partition-granular layout: candidates are whole
+        partitions. When the predicate is partition-key-only the hot
+        partitions match WHOLLY — their dirs drop with NO rewrite (and
+        with the change feed off, no data job at all: a retention
+        purge on a date-partitioned table is pure metadata); otherwise
+        the hot partitions rewrite their kept rows, cold partitions
+        keep their files. DVs on dropped/rewritten partitions
+        materialize away with them."""
+        from pyspark.sql import functions as F
+
+        hot, meta_only = self._hot_partitions(spark, condition, base,
+                                              live, part_col)
+        if not hot:
+            return base
+        want = {f"{part_col}={v}" for v in hot}
+        removes = [d for d in live if os.path.basename(d) in want]
+        m = {**(meta or {}), "operation": "delete",
+             "condition": condition}
+        if meta_only:
+            changes_rel = None
+            if capture_changes:
+                changes_rel = self._write_changes(
+                    self.read_partitions(spark, hot, version=base)
+                    .withColumn("_change_type", F.lit("delete")))
+            return self._commit_rebased([], removes, m, base,
+                                        changes=changes_rel)
+        cond = F.expr(condition)
+        sub = self.read_partitions(spark, hot, version=base)
+        changes_rel = (self._write_changes(
+            sub.filter(cond)
+            .withColumn("_change_type", F.lit("delete")))
+            if capture_changes else None)
+        adds = self._write_data_partitioned(sub.filter(~cond), part_col)
+        return self._commit_rebased(adds, removes, m, base,
+                                    changes=changes_rel)
+
+    def _update_where_partitioned(self, spark: SparkSession,
+                                  condition: str, set_exprs: dict,
+                                  meta: dict | None,
+                                  capture_changes: bool, base: int,
+                                  live: list[str], part_col: str) -> int:
+        """UPDATE on a partition-granular layout: rewrite exactly the
+        partitions holding matches (cold partitions keep their files).
+        ``set_exprs`` arrives with generated-column recomputes already
+        merged (the caller's substitution step), so a SET that moves a
+        row's generated partition key lands the row in its NEW
+        ``col=value`` subdir within the same atomic commit — the
+        partitioned write derives each row's dir from the recomputed
+        value, and `adds` may introduce partitions `removes` never
+        held."""
+        from pyspark.sql import functions as F
+
+        hot, _ = self._hot_partitions(spark, condition, base, live,
+                                      part_col)
+        if not hot:
+            return base
+        want = {f"{part_col}={v}" for v in hot}
+        removes = [d for d in live if os.path.basename(d) in want]
+        cond = F.expr(condition)
+        sub = self.read_partitions(spark, hot, version=base)
+        snap_schema = sub.schema
+        cols = [f.name for f in snap_schema.fields]
+        changes_rel = None
+        if capture_changes:
+            pre_struct = F.struct(
+                *[F.col(c).alias(c) for c in cols],
+                F.lit("update_preimage").alias("_change_type"))
+            post_struct = F.struct(
+                *[(F.expr(set_exprs[c]).cast(snap_schema[c].dataType)
+                   .alias(c) if c in set_exprs else F.col(c).alias(c))
+                  for c in cols],
+                F.lit("update_postimage").alias("_change_type"))
+            changes_rel = self._write_changes(
+                sub.filter(cond)
+                .select(F.explode(F.array(pre_struct, post_struct))
+                        .alias("_c")).select("_c.*"))
+        adds = self._write_data_partitioned(
+            sub.select(*[
+                F.when(cond, F.expr(set_exprs[c])
+                       .cast(snap_schema[c].dataType))
+                .otherwise(F.col(c)).alias(c) if c in set_exprs
+                else F.col(c) for c in cols]),
+            part_col)
+        return self._commit_rebased(
+            adds, removes,
+            {**(meta or {}), "operation": "update",
+             "condition": condition, "set": sorted(set_exprs)},
+            base, changes=changes_rel)
+
     def delete_where(self, spark: SparkSession, condition: str,
                      prune: tuple | None = None,
                      meta: dict | None = None,
@@ -2452,9 +2700,10 @@ class TxnTable:
         GDPR/retention case) rewrites the few commits whose ranges
         overlap, never the table; without it every live dir is a
         candidate but dirs whose rewrite keeps every row are left in
-        place. Cost is O(matching data), not O(table). Unpartitioned
-        layouts only — partition-granular deletes go through
-        :meth:`overwrite_partitions`.
+        place. Cost is O(matching data), not O(table). On a
+        partition-granular layout the candidates are whole partitions
+        (r12, see :meth:`_delete_where_partitioned`); ``prune`` does
+        not apply there.
 
         ``capture_changes=False`` mirrors Delta's default (change data
         feed DISABLED): no delete change frames are written and the op
@@ -2479,12 +2728,17 @@ class TxnTable:
         if base is None:
             raise ValueError(f"not a txn table (no commits): {self.path}")
         live = self.snapshot_dirs(base)
-        if self._live_partition_col(live) is not None and not use_dv:
-            raise ValueError(
-                "delete_where on a partition-granular table — use "
-                "use_dv=True (needle deletes commit a position file, "
-                "no partition rewrite) or rewrite the affected "
-                "partitions via overwrite_partitions")
+        _pcol = self._live_partition_col(live)
+        if _pcol is not None and not use_dv:
+            # partition-granular DELETE (r12): candidates are the
+            # partitions holding matches; a predicate over the
+            # partition KEY alone prunes them METADATA-only and (with
+            # the change feed off) drops whole partitions with zero
+            # data jobs — the retention-purge shape on a
+            # partition-by-generated date layout
+            return self._delete_where_partitioned(
+                spark, condition, meta, capture_changes, base, live,
+                _pcol)
         if use_dv:
             return self._delete_where_dv(spark, condition, prune, meta,
                                          capture_changes, base, live)
@@ -2707,8 +2961,10 @@ class TxnTable:
         matches are left in place (no rewrite, no commit entry). Emits
         ``update_preimage``/``update_postimage`` change rows so the
         change feed (:meth:`read_changes`) carries the delta — cost is
-        O(matching dirs), not O(table). Unpartitioned layouts only, as
-        with DELETE. Reference anchor: the employees MERGE path
+        O(matching dirs), not O(table). On a partition-granular layout
+        the candidates are whole partitions (r12, see
+        :meth:`_update_where_partitioned`); ``prune`` does not apply
+        there. Reference anchor: the employees MERGE path
         (spark/SaveDelta.scala:157-163) covers keyed upserts; this is
         the predicate-addressed complement.
 
@@ -2765,10 +3021,15 @@ class TxnTable:
                         recompute[g] = new_e
                 set_exprs = {**set_exprs, **recompute}
         live = self.snapshot_dirs(base)
-        if self._live_partition_col(live) is not None:
-            raise ValueError(
-                "update_where on a partition-granular table — rewrite the "
-                "affected partitions via overwrite_partitions instead")
+        _pcol = self._live_partition_col(live)
+        if _pcol is not None:
+            # partition-granular UPDATE (r12): rewrite ONLY the
+            # partitions holding matches; rows whose (possibly
+            # generated) partition key changes under SET migrate to
+            # their new col=value subdir in the same commit
+            return self._update_where_partitioned(
+                spark, condition, set_exprs, meta, capture_changes,
+                base, live, _pcol)
         cond = F.expr(condition)
         snap_schema = self.read(spark, base).schema
         # merged-snapshot alignment inside _tagged_candidates: a
@@ -3127,6 +3388,56 @@ class TxnTable:
         if len(self.snapshot_dirs()) <= max_live_dirs:
             return None
         return self.compact(spark, target_files=target_files)
+
+    def compact_partitions_if_needed(self, spark: SparkSession,
+                                     max_dirs_per_value: int = 8,
+                                     meta: dict | None = None
+                                     ) -> int | None:
+        """Partition-granular OPTIMIZE (r12, Delta's ``OPTIMIZE ...
+        WHERE <partition>``), the maintenance policy for the maintained
+        index artifacts: a CDF-fed partitioned sink (the streaming ANN
+        inverted lists, partition-replace chunk buckets) accretes one
+        ``col=value`` subdir per touched value per micro-batch, so a
+        hot list fragments across many small dirs while cold lists stay
+        single-dir. This rewrites ONLY the values whose live subdir
+        count exceeds ``max_dirs_per_value`` — each into one file — as
+        one atomic commit; cold partitions keep their files, cost is
+        O(hot partitions), never O(index). Reads through the rewrite
+        are row-identical (the DV-masked snapshot is what's rewritten,
+        so accumulated deletion vectors on the hot values materialize
+        away as a side effect, same as the delete paths' rewrite leg).
+        The commit carries ``operation: compact``, so change-feed
+        consumers skip it as layout-only. Returns the commit version,
+        or None when no value is fragmented past the threshold."""
+        from collections import Counter
+
+        base = self.latest_version()
+        if base is None:
+            return None
+        live = self.snapshot_dirs(base)
+        col = self._live_partition_col(live)
+        if col is None:
+            raise ValueError(
+                "compact_partitions_if_needed on an unpartitioned "
+                f"table: {self.path} — use compact_if_needed")
+        per_val = Counter(_partition_of(d)[1] for d in live
+                          if _partition_of(d) is not None)
+        hot = sorted(v for v, c in per_val.items()
+                     if c > max_dirs_per_value)
+        if not hot:
+            return None
+        want = {f"{col}={v}" for v in hot}
+        removes = [d for d in live if os.path.basename(d) in want]
+        # one task per hot value -> one output file per rewritten dir
+        df = (self.read_partitions(spark, hot, version=base)
+              .repartition(len(hot), col))
+        adds = self._write_data_partitioned(df, col)
+        return self.commit(
+            adds, removes,
+            {**(meta or {}), "operation": "compact",
+             "compact_scope": "partitions",
+             "compacted_values": len(hot)},
+            expected_version=base)
 
     def restore(self, version: int, meta: dict | None = None) -> int:
         """RESTORE TABLE TO VERSION (Delta's RESTORE): publish a NEW

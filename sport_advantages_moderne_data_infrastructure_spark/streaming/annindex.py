@@ -518,3 +518,33 @@ def check_and_rebuild(spark: SparkSession, index_path: str,
                                        m=m, pq_k=pq_k)
     return {**report, "rebuilt": True, "centroids": cents,
             "codebooks": books}
+
+
+def compact_index_if_needed(spark: SparkSession, index_path: str,
+                            max_dirs_per_value: int = 8,
+                            checkpoint_interval: int = 10
+                            ) -> tuple[int | None, int | None]:
+    """Scheduled small-files maintenance for a maintained index (r12,
+    VERDICT r11 #6): the CDF-driven folds append/replace one
+    ``centroid_id=`` subdir per touched list per micro-batch, so a hot
+    list fragments across many small dirs after sustained churn while
+    cold lists stay single-dir. This folds the table through
+    ``TxnTable.compact_partitions_if_needed`` — ONLY the lists
+    fragmented past ``max_dirs_per_value`` rewrite (each to one file),
+    one atomic commit, O(hot lists) never O(index); accumulated DV
+    masks on the hot lists materialize away as a side effect — then
+    checkpoints the log so replay stays bounded. Change-feed consumers
+    skip the commit as layout-only (operation: compact), and the
+    (app_id, batch_id) replay ledger lives in commit meta, so the
+    maintenance stream continues across it untouched. Returns the
+    (compaction, checkpoint) versions (None where below threshold).
+    Run it on the same schedule as ``check_and_rebuild`` — the
+    measured 1x/10x churn curve is in
+    scripts/bench_index_compaction.py."""
+    idx = TxnTable(index_path)
+    if idx.latest_version() is None:
+        return None, None
+    v = idx.compact_partitions_if_needed(
+        spark, max_dirs_per_value=max_dirs_per_value)
+    cp = idx.checkpoint_if_needed(interval=checkpoint_interval)
+    return v, cp

@@ -74,14 +74,20 @@ def test_noise_scale_policy():
 
     assert bench.CALIBRATION_REF == 0.184  # BENCH_r09 calibration_sec
     assert bench.NOISE_SCALE_CAP == 1.5
-    # reference-speed or faster box -> raw gates
+    assert bench.NOISE_SCALE_FLOOR == 0.8
+    # reference-speed box -> raw gates
     assert bench.noise_scale(bench.CALIBRATION_REF) == 1.0
-    assert bench.noise_scale(0.05) == 1.0
+    # r12 (VERDICT r11 #4): the clamp is SYMMETRIC — a faster box
+    # TIGHTENS gates down to the 0.8 floor instead of granting hidden
+    # headroom (the r11 policy's floor of 1.0 let a 0.74x box hide a
+    # ~30% regression inside its speed advantage)
+    assert bench.noise_scale(0.05) == 0.8
+    assert bench.noise_scale(0.136) == 0.8  # the r11 box: 0.74x, clamped
     # the r10 box (0.235) -> 1.28x relief, within the cap
     assert bench.noise_scale(0.235) == round(0.235 / 0.184, 3)
     # pathological calibration clamps at the cap
     assert bench.noise_scale(10.0) == 1.5
-    # floors scale DOWN, budgets UP, by the same factor
+    # floors scale DOWN, budgets UP, by the same factor on a slow box
     s = bench.noise_scale(0.235)
     eff_f = bench.effective_floors(s)
     eff_b = bench.effective_budgets(s)
@@ -89,9 +95,51 @@ def test_noise_scale_policy():
         assert eff_f[k] == round(v / s, 1)
     for n, b in bench.QUERY_BUDGETS.items():
         assert eff_b[n] == round(b * s, 3)
+    # on a FAST box only budgets tighten; floors stay raw (measured
+    # throughput rises with box speed, so raw floors already catch
+    # fast-box regressions — tightening them 25% would pin them at the
+    # steady-state band and guarantee weather reds)
+    assert bench.effective_floors(0.8) == {
+        k: round(float(v), 1) for k, v in bench.FLOORS.items()}
+    assert bench.effective_budgets(0.8) == {
+        n: round(b * 0.8, 3) for n, b in bench.QUERY_BUDGETS.items()}
     # the r10 misses (3.6-8.9% under raw floors at calibration 0.235)
     # would have gated GREEN under this policy
     for miss_key, miss_val in [("stream_dedup_docs_per_sec", 1153.7),
                                ("txn_fb_sink_rows_per_sec", 43358.0),
                                ("txn_feed_rows_per_sec", 40999.0)]:
         assert miss_val >= eff_f[miss_key], (miss_key, eff_f[miss_key])
+
+
+def test_fast_box_regression_goes_red():
+    """The VERDICT r11 #4 replay: on the r11 fast box (calibration
+    0.136, i.e. 0.74x the reference), a synthetic 30% engine
+    regression of each measured r11 query must MISS its effective
+    budget — under the old floor-1.0 clamp every one of them hid
+    inside the fast box's headroom — while the ACTUAL measured r11
+    values (no regression) all still gate green on the same box."""
+    import json
+    import os
+
+    import bench
+
+    here = os.path.dirname(__file__)
+    r11 = json.load(open(os.path.join(here, "..",
+                                      "BENCH_r11.json")))["parsed"]
+    s = bench.noise_scale(0.136)
+    assert s == 0.8
+    eff_b = bench.effective_budgets(s)
+    measured = {k: v for k, v in r11["queries"].items()
+                if k in eff_b}
+    assert len(measured) > 30
+    # no false reds: the real fast-box measurements pass the tight side
+    misses = [k for k, v in measured.items() if v > eff_b[k]]
+    assert misses == [], misses
+    # a 30% across-the-board regression is caught for most queries —
+    # and crucially for SOME queries at all (under the old clamp the
+    # count was ZERO: 1.3 x the worst ratio 0.77 = 1.00 < the old
+    # effective scale 1.0 only at the single worst query; typical 0.6
+    # ratios regressed to 0.8 still passed x1.0 budgets)
+    caught = [k for k, v in measured.items() if v * 1.3 > eff_b[k]]
+    assert len(caught) >= len(measured) // 3, (
+        f"only {len(caught)}/{len(measured)} 30%-regressions caught")

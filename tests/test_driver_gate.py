@@ -83,14 +83,30 @@ def test_never_gated_set_is_exactly_the_adc_exception():
         f"driver rows missing from tests/gated_history.json: "
         f"{sorted(current - manifest)} — add them when gating")
     never = set(catalog.REGISTRY) - manifest
-    # a never-gated row whose ORACLE TEXT is identical to a gated
-    # row's produces a hash-identical result set — the gate already
-    # covers it (e.g. grouped_quantiles_prod, the production-config
-    # cost-curve twin of the gated adversarial grouped_quantiles_exact)
-    gated_oracles = {catalog.REGISTRY[n].oracle for n in manifest
-                     if n in catalog.REGISTRY
-                     and catalog.REGISTRY[n].oracle is not None}
-    never = {n for n in never
-             if catalog.REGISTRY[n].oracle not in gated_oracles}
+    # r12 (VERDICT r11 #5): the oracle-text-identity exemption is now
+    # a CLOSED allowlist, not an open rule — each entry names the twin
+    # pair explicitly, the twins' oracle TEXTS must match (so the
+    # gate's hash of the gated member covers the exempt one's result
+    # set), and the gated member must have held a driver slot within
+    # the last three recorded rounds (a stale twin stops shielding).
+    TWIN_ALLOWLIST = {
+        # production-config cost-curve twin of the gated adversarial
+        # bracketing row — identical result set by construction
+        "grouped_quantiles_prod": "grouped_quantiles_exact",
+    }
+    recent = set()
+    for f in sorted(glob.glob(os.path.join(
+            here, "..", "CORRECTNESS_r*.json")))[-3:]:
+        recent |= set(json.load(open(f)))
+    current_driver = {n for n, q in catalog.REGISTRY.items() if q.driver}
+    for exempt, gated in TWIN_ALLOWLIST.items():
+        assert (catalog.REGISTRY[exempt].oracle
+                == catalog.REGISTRY[gated].oracle), (
+            f"twin allowlist stale: {exempt} and {gated} no longer "
+            "share oracle text")
+        assert gated in recent | current_driver, (
+            f"twin allowlist stale: {gated} has not held a driver "
+            f"slot recently — {exempt} is effectively ungated")
+    never -= set(TWIN_ALLOWLIST)
     assert never == {"ann_pq_topk", "ann_ivfpq_topk",
                      "ann_ivfpq_refined_topk"}, sorted(never)

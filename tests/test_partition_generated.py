@@ -1,0 +1,321 @@
+"""Generated columns as partition keys (r12, Delta's
+partition-by-generated): a declared generated key gives every write
+the canonical ``col=value`` layout — the date-partitioned shape the
+100 TB posture wants vs the reference's unpartitioned writes
+(airflow/config/read_delta.py:219-222) — with metadata-only partition
+pruning on reads, and composes with DVs, clone, merge and time
+travel."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sport_advantages_moderne_data_infrastructure_spark.sources.txnlog import (
+    TxnTable,
+)
+
+
+def _orders(spark, n=200):
+    return (spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+            .select("o_orderkey", "o_custkey", "o_totalprice",
+                    "o_orderdate")
+            .orderBy("o_orderkey").limit(n))
+
+
+def _ptable(tmp_path, name="p"):
+    t = TxnTable(str(tmp_path / name))
+    t.set_generated_column("order_month",
+                           "DATE_FORMAT(o_orderdate, 'yyyy-MM')")
+    t.set_partition_column("order_month")
+    return t
+
+
+def test_append_lays_out_generated_partitions(spark, tmp_path):
+    o = _orders(spark)
+    t = _ptable(tmp_path)
+    t.append(o.limit(120))
+    t.append(o.offset(120))
+    # every live dir is a col=value subdir of the generated key
+    dirs = t.snapshot_dirs()
+    assert dirs and all("order_month=" in d for d in dirs)
+    s = t.read(spark)
+    assert s.count() == 200
+    # the generated value holds on every row (partition col round-trips
+    # through the path)
+    assert s.filter(F.expr(
+        "CAST(order_month AS STRING) != "
+        "DATE_FORMAT(o_orderdate, 'yyyy-MM')")).count() == 0
+    # a frame PROVIDING the generated key is rejected (strict ALWAYS)
+    with pytest.raises(ValueError, match="GENERATED"):
+        t.append(o.limit(3).withColumn("order_month", F.lit("x")))
+
+
+def test_read_partitions_where_prunes_metadata_only(spark, tmp_path):
+    o = _orders(spark)
+    t = _ptable(tmp_path)
+    t.append(o)
+    months = sorted(r[0] for r in t.read(spark)
+                    .select(F.col("order_month").cast("string"))
+                    .distinct().collect())
+    assert len(months) > 2
+    cut = months[len(months) // 2]
+    pruned = t.read_partitions_where(
+        spark, f"order_month >= '{cut}'")
+    want = t.read(spark).filter(
+        F.col("order_month").cast("string") >= cut)
+    assert pruned.count() == want.count() > 0
+    # METADATA pruning: the planned files all come from matching
+    # partitions — non-matching partitions contribute zero scan I/O
+    files = pruned.inputFiles()
+    assert files
+    assert all(any(f"order_month={m}" in f for m in months
+                   if m >= cut) for f in files)
+    assert not any(f"order_month={m}" in f for m in months
+                   if m < cut for f in files)
+    # an empty survivor set is an empty frame, same schema, no raise
+    none = t.read_partitions_where(spark, "order_month >= '9999-99'")
+    assert none.count() == 0
+    assert set(none.columns) == set(t.read(spark).columns)
+
+
+def test_overwrite_partitions_through_generation(spark, tmp_path):
+    o = _orders(spark)
+    t = _ptable(tmp_path)
+    t.append(o)
+    months = sorted(r[0] for r in t.read(spark)
+                    .select(F.col("order_month").cast("string"))
+                    .distinct().collect())
+    target = months[0]
+    # the daily-batch shape: rewrite ONE partition's rows (price bump),
+    # every other partition's files untouched
+    before = {d for d in t.snapshot_dirs()
+              if f"order_month={target}" not in d}
+    batch = (o.filter(F.expr(
+        f"DATE_FORMAT(o_orderdate, 'yyyy-MM') = '{target}'"))
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2))
+    t.overwrite_partitions(batch, "order_month")
+    after = set(t.snapshot_dirs())
+    assert before <= after  # untouched partitions kept their files
+    s = t.read(spark)
+    assert s.count() == 200
+    got = (s.filter(F.col("order_month").cast("string") == target)
+           .agg(F.sum("o_totalprice")).first()[0])
+    want = (o.filter(F.expr(
+        f"DATE_FORMAT(o_orderdate, 'yyyy-MM') = '{target}'"))
+        .agg(F.sum("o_totalprice") * 2).first()[0])
+    assert abs(got - want) < 1e-6
+    # the undeclared-key call still refuses
+    with pytest.raises(ValueError, match="set_partition_column"):
+        t.overwrite_partitions(batch.drop("order_month"), "o_custkey")
+
+
+def test_declaration_guards(spark, tmp_path):
+    o = _orders(spark, 20)
+    # identity and partition_by exclude each other, both directions
+    t1 = TxnTable(str(tmp_path / "i"))
+    t1.set_identity_column("rid")
+    with pytest.raises(ValueError, match="identity"):
+        t1.set_partition_column("o_custkey")
+    t2 = TxnTable(str(tmp_path / "j"))
+    t2.set_partition_column("o_custkey")
+    with pytest.raises(ValueError, match="unpartitioned write path"):
+        t2.set_identity_column("rid")
+    # declaring over a live unpartitioned layout refuses (mixed layout)
+    t3 = TxnTable(str(tmp_path / "k"))
+    t3.append(o)
+    with pytest.raises(ValueError, match="unpartitioned"):
+        t3.set_partition_column("o_custkey")
+    # the partition key's generation cannot be dropped out from under
+    # the layout
+    t4 = _ptable(tmp_path, "l")
+    with pytest.raises(ValueError, match="partition key"):
+        t4.drop_generated_column("order_month")
+
+
+def test_dv_delete_and_time_travel_on_generated_partitions(
+        spark, tmp_path):
+    o = _orders(spark)
+    t = _ptable(tmp_path)
+    t.append(o)
+    v0 = t.latest_version()
+    # partitioned DVs (r11) compose: a needle delete rides the position
+    # file, no partition rewrite
+    live0 = set(t.snapshot_dirs())
+    n_gone = o.filter("o_orderkey <= 5").count()
+    assert n_gone > 0
+    t.delete_where(spark, "o_orderkey <= 5", use_dv=True)
+    assert set(t.snapshot_dirs()) == live0
+    s = t.read(spark)
+    assert s.count() == 200 - n_gone
+    assert s.filter("o_orderkey <= 5").count() == 0
+    # pruned reads respect the DV mask too
+    months = sorted(r[0] for r in s.select(
+        F.col("order_month").cast("string")).distinct().collect())
+    pruned = t.read_partitions_where(
+        spark, f"order_month >= '{months[0]}'")
+    assert pruned.filter("o_orderkey <= 5").count() == 0
+    # time travel to the pre-delete snapshot still sees every row
+    assert t.read(spark, version=v0).count() == 200
+
+
+def test_clone_carries_generated_partition_layout(spark, tmp_path):
+    o = _orders(spark)
+    t = _ptable(tmp_path)
+    t.append(o)
+    c = t.clone(str(tmp_path / "c"))
+    # the clone prunes exactly like the source and keeps generating on
+    # new appends
+    assert all("order_month=" in d for d in c.snapshot_dirs())
+    assert c.generation_config()["partition_by"] == "order_month"
+    extra = _orders(spark, 210).offset(200)
+    c.append(extra)
+    assert c.read(spark).count() == 210
+    assert t.read(spark).count() == 200  # source untouched
+    assert c.read(spark).filter(F.expr(
+        "CAST(order_month AS STRING) != "
+        "DATE_FORMAT(o_orderdate, 'yyyy-MM')")).count() == 0
+
+
+def test_merge_preserves_generated_partition_layout(spark, tmp_path):
+    o = _orders(spark)
+    t = _ptable(tmp_path)
+    t.append(o.limit(150))
+    ups = (o.offset(140)  # 10 updates + 50 inserts
+           .withColumn("o_totalprice", F.col("o_totalprice") + 1))
+    t.merge(spark, ups, "o_orderkey")
+    s = t.read(spark)
+    assert s.count() == 200
+    assert all("order_month=" in d for d in t.snapshot_dirs())
+    # generated key recomputed for merged rows as well
+    assert s.filter(F.expr(
+        "CAST(order_month AS STRING) != "
+        "DATE_FORMAT(o_orderdate, 'yyyy-MM')")).count() == 0
+    # updated rows carry the merged price
+    k = ups.select(F.min("o_orderkey")).first()[0]
+    assert (s.filter(F.col("o_orderkey") == k).first()["o_totalprice"]
+            == o.filter(F.col("o_orderkey") == k)
+            .first()["o_totalprice"] + 1)
+
+
+def test_overwrite_respects_declared_partitioning(spark, tmp_path):
+    o = _orders(spark)
+    t = _ptable(tmp_path)
+    t.append(o.limit(50))
+    t.overwrite(o)  # full replace, still partition-granular
+    assert t.read(spark).count() == 200
+    assert all("order_month=" in d for d in t.snapshot_dirs())
+
+
+def test_partitioned_delete_where_meta_only_purge(spark, tmp_path):
+    """A partition-key-only predicate deletes WHOLE partitions with no
+    rewrite (pure metadata with the change feed off) — the retention
+    purge on the generated date layout; the change-feed variant still
+    carries the dropped rows as delete change rows."""
+    o = _orders(spark)
+    t = _ptable(tmp_path)
+    t.append(o)
+    months = sorted(r[0] for r in t.read(spark)
+                    .select(F.col("order_month").cast("string"))
+                    .distinct().collect())
+    cut = months[2]
+    keep_dirs = {d for d in t.snapshot_dirs()
+                 if d.split("order_month=")[1] >= cut}
+    n_gone = o.filter(F.expr(
+        f"DATE_FORMAT(o_orderdate, 'yyyy-MM') < '{cut}'")).count()
+    assert n_gone > 0
+    v = t.delete_where(spark, f"order_month < '{cut}'")
+    s = t.read(spark)
+    assert s.count() == 200 - n_gone
+    # surviving partitions kept their PHYSICAL files (no rewrite)
+    assert set(t.snapshot_dirs()) == keep_dirs
+    # the change feed carries the purge
+    ch = t.read_changes(spark, since_version=v - 1)
+    assert (ch.filter("_change_type = 'delete'").count() == n_gone)
+    # feed off: zero change files, same drop semantics
+    t2 = _ptable(tmp_path, "q")
+    t2.append(o)
+    t2.delete_where(spark, f"order_month < '{cut}'",
+                    capture_changes=False)
+    assert t2.read(spark).count() == 200 - n_gone
+
+
+def test_partitioned_delete_where_row_predicate(spark, tmp_path):
+    """A data-column predicate sizes by one column-pruned scan, then
+    rewrites ONLY the partitions holding matches."""
+    o = _orders(spark)
+    t = _ptable(tmp_path)
+    t.append(o)
+    med = o.approxQuantile("o_totalprice", [0.9], 0.0)[0]
+    hot_months = {r[0] for r in o.filter(F.col("o_totalprice") > med)
+                  .select(F.date_format("o_orderdate", "yyyy-MM"))
+                  .distinct().collect()}
+    cold_dirs = {d for d in t.snapshot_dirs()
+                 if d.split("order_month=")[1] not in hot_months}
+    n_gone = o.filter(F.col("o_totalprice") > med).count()
+    t.delete_where(spark, f"o_totalprice > {med}")
+    s = t.read(spark)
+    assert s.count() == 200 - n_gone
+    assert s.filter(f"o_totalprice > {med}").count() == 0
+    assert cold_dirs <= set(t.snapshot_dirs())  # cold files untouched
+
+
+def test_partitioned_update_where_recomputes_and_migrates(spark,
+                                                          tmp_path):
+    """UPDATE on a partitioned layout: SETting the column the
+    generated partition key READS recomputes the key and MIGRATES the
+    row to its new col=value subdir in the same commit."""
+    o = _orders(spark)
+    t = _ptable(tmp_path)
+    t.append(o)
+    # push every matched order 31 days forward: order_month recomputes
+    t.update_where(
+        spark, "o_orderkey % 5 = 0",
+        {"o_orderdate": "o_orderdate + INTERVAL 31 DAYS"})
+    s = t.read(spark)
+    assert s.count() == 200
+    # the generation invariant holds for EVERY row post-migration, and
+    # the partition path agrees with the recomputed key
+    assert s.filter(F.expr(
+        "CAST(order_month AS STRING) != "
+        "DATE_FORMAT(o_orderdate, 'yyyy-MM')")).count() == 0
+    moved = s.filter("o_orderkey % 5 = 0")
+    want = o.filter("o_orderkey % 5 = 0").select(
+        "o_orderkey",
+        F.date_format(F.expr("o_orderdate + INTERVAL 31 DAYS"),
+                      "yyyy-MM").alias("m"))
+    got = moved.select("o_orderkey",
+                       F.col("order_month").cast("string").alias("m"))
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    # untouched rows unchanged
+    assert (s.filter("o_orderkey % 5 != 0")
+            .select("o_orderkey", "o_totalprice").exceptAll(
+                o.filter("o_orderkey % 5 != 0")
+                .select("o_orderkey", "o_totalprice")).count() == 0)
+
+
+def test_partitioned_update_where_cold_partitions_untouched(spark,
+                                                            tmp_path):
+    o = _orders(spark)
+    t = _ptable(tmp_path)
+    t.append(o)
+    months = sorted(r[0] for r in t.read(spark)
+                    .select(F.col("order_month").cast("string"))
+                    .distinct().collect())
+    target = months[0]
+    cold = {d for d in t.snapshot_dirs()
+            if f"order_month={target}" not in d}
+    v = t.update_where(spark, f"order_month = '{target}'",
+                       {"o_totalprice": "o_totalprice * 2"})
+    assert cold <= set(t.snapshot_dirs())
+    got = (t.read(spark)
+           .filter(F.col("order_month").cast("string") == target)
+           .agg(F.sum("o_totalprice")).first()[0])
+    want = (o.filter(F.expr(
+        f"DATE_FORMAT(o_orderdate, 'yyyy-MM') = '{target}'"))
+        .agg(F.sum("o_totalprice") * 2).first()[0])
+    assert abs(got - want) < 1e-6
+    # postimages carry the recomputed values through the feed
+    ch = t.read_changes(spark, since_version=v - 1)
+    assert ch.filter("_change_type = 'update_postimage'").count() > 0

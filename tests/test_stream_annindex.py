@@ -428,3 +428,70 @@ def test_cdf_compressed_index_tracks_churn(spark, sf_dir, tmp_path):
     b = batch.select(*cols)
     assert m.exceptAll(b).count() == 0
     assert b.exceptAll(m).count() == 0
+
+
+def test_partition_compaction_preserves_index_and_bounds_files(
+        spark, sf_dir, tmp_path):
+    """compact_index_if_needed (r12): sustained churn fragments hot
+    centroid lists across one subdir per touching batch; the
+    partition-granular OPTIMIZE rewrites ONLY the fragmented lists,
+    reads are row-identical across it, cold lists keep their files,
+    accumulated DV masks materialize away, and the change feed skips
+    the commit as layout-only."""
+    from sport_advantages_moderne_data_infrastructure_spark.sources.txnlog import (
+        _partition_of,
+    )
+    from sport_advantages_moderne_data_infrastructure_spark.streaming.annindex import (
+        compact_index_if_needed,
+        ingest_batch,
+        retract_batch,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").limit(120).cache()
+    centroids = train_centroids(e, k=6, max_iter=3)
+    idx = TxnTable(str(tmp_path / "idx"))
+    # 10 micro-batches of churn -> every touched list gains ~10 dirs
+    for b in range(10):
+        ingest_batch(idx, e.filter(F.col("vec_id") % 10 == b),
+                     centroids, b, "cmp")
+    # a DV needle on one batch's rows (accumulates a mask to materialize)
+    needles = e.limit(2).select("vec_id", "embedding")
+    retract_batch(idx, needles, centroids, 10, "cmp", use_dv=True)
+    assert idx.snapshot_dvs()
+
+    from collections import Counter
+    live0 = idx.snapshot_dirs()
+    frag0 = Counter(_partition_of(d)[1] for d in live0)
+    assert max(frag0.values()) > 4
+    before = read_index(spark, idx.path)
+    rows0 = {(r.vec_id, r.centroid_id) for r in
+             before.select("vec_id", "centroid_id").collect()}
+
+    v, _cp = compact_index_if_needed(spark, idx.path,
+                                     max_dirs_per_value=4)
+    assert v is not None
+    live1 = idx.snapshot_dirs()
+    frag1 = Counter(_partition_of(d)[1] for d in live1)
+    # every hot value collapsed to ONE dir; cold values untouched
+    for val, c in frag0.items():
+        if c > 4:
+            assert frag1[val] == 1, (val, frag1[val])
+        else:
+            assert frag1[val] == c
+    cold = {d for d in live0
+            if frag0[_partition_of(d)[1]] <= 4}
+    assert cold <= set(live1)  # cold dirs kept their physical files
+    # reads row-identical across the rewrite, DVs materialized away
+    after = read_index(spark, idx.path)
+    rows1 = {(r.vec_id, r.centroid_id) for r in
+             after.select("vec_id", "centroid_id").collect()}
+    assert rows1 == rows0
+    assert not {d for d in idx.snapshot_dvs() if d in live1}
+    # change-feed consumers skip the compaction as layout-only
+    ch = idx.read_changes(spark, since_version=v - 1, upto=v)
+    assert ch.count() == 0
+    # idempotent below threshold
+    assert compact_index_if_needed(spark, idx.path,
+                                   max_dirs_per_value=4)[0] is None
+    # time travel to the pre-compaction layout still works
+    assert idx.read(spark, version=v - 1).count() == after.count()
