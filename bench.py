@@ -925,16 +925,17 @@ def bench_row_ops(spark, sf_dir: str) -> dict:
     # with the orderkey-ranged dir layout) — unprunable by stats
     scatter_cond = "l_partkey % 2000 = 17"
 
-    def timed_passes(legs: dict) -> dict:
+    def timed_passes(legs: dict, clone_fn=None) -> dict:
         # per-leg min over two INTERLEAVED passes (leg A,B,C,D then
         # A,B,C,D again), each rep on a fresh clone: back-to-back reps
         # of one leg would both sit inside the same co-tenant
         # interference window, exactly like the query bench's two-pass
         # methodology
+        clone_fn = clone_fn or clone
         best: dict = {}
         for _ in range(2):
             for name, fn in legs.items():
-                t = clone()
+                t = clone_fn()
                 t0 = time.perf_counter()
                 fn(t)
                 dt = time.perf_counter() - t0
@@ -1002,11 +1003,53 @@ def bench_row_ops(spark, sf_dir: str) -> dict:
         "delete_scatter_dv_sec": lambda t: t.delete_where(
             spark, scatter_cond, capture_changes=False, use_dv=True),
     })
+    # partition-granular row-level ops (r12): the same 38.4M rows laid
+    # out as ONE commit of 128 `_b=<bucket>` partition subdirs
+    # (hardlinked from the staged dirs — no data copy). Three shapes:
+    # a partition-key-only PURGE (drops whole partitions, metadata-only
+    # with the feed off — the retention shape), a data-predicate delete
+    # SCOPED by partition_prune (sizing scan reads ONE partition), and
+    # the same delete UNSCOPED (sizing scan reads the table — what a
+    # caller pays without the prune). scoped/unscoped is the scale
+    # claim: at 100 TB the prune is the difference between scanning a
+    # date partition and the table, and it only improves with table
+    # size.
+    pbase_path = f"{root}/pbase"
+    pt = TxnTable(pbase_path)
+    os.makedirs(f"{pbase_path}/data")
+    prel = f"data/{_uuid.uuid4().hex}"
+    adds = []
+    for i, rel in enumerate(base.snapshot_dirs()):
+        dst = f"{prel}/_b={i}"
+        shutil.copytree(f"{base_path}/{rel}", f"{pbase_path}/{dst}",
+                        copy_function=os.link)
+        adds.append(dst)
+    pt.commit(adds, [], expected_version=None)
+
+    def pclone() -> TxnTable:
+        dst = f"{root}/p{_uuid.uuid4().hex[:8]}"
+        shutil.copytree(pbase_path, dst, copy_function=os.link)
+        return TxnTable(dst)
+
+    plegs = timed_passes({
+        "pdelete_purge_meta_sec": lambda t: t.delete_where(
+            spark, "_b < 16", capture_changes=False),
+        "pdelete_scoped_sec": lambda t: t.delete_where(
+            spark, cond, capture_changes=False,
+            partition_prune="_b = 7"),
+        "pdelete_unscoped_sec": lambda t: t.delete_where(
+            spark, cond, capture_changes=False),
+        "pupdate_scoped_sec": lambda t: t.update_where(
+            spark, cond, {"l_returnflag": "'R'"},
+            capture_changes=False, partition_prune="_b = 7"),
+    }, clone_fn=pclone)
+
     res = {
         "input_rows": raw.count() * reps,
         "commits": n_commits,
         "setup_sec": round(setup, 3),
         **legs,
+        **plegs,
         "merge_rows": merge_rows,
         "merge_sec": merge_sec,
     }
@@ -1018,10 +1061,16 @@ def bench_row_ops(spark, sf_dir: str) -> dict:
         res["delete_dv_sec"] / res["delete_full_sec"], 3)
     res["scatter_dv_ratio"] = round(
         res["delete_scatter_dv_sec"] / res["delete_scatter_rw_sec"], 3)
+    res["p_scope_ratio"] = round(
+        res["pdelete_scoped_sec"] / res["pdelete_unscoped_sec"], 3)
+    res["p_purge_ratio"] = round(
+        res["pdelete_purge_meta_sec"] / res["delete_full_sec"], 3)
     res["ratios_ok"] = (res["delete_ratio"] < 0.5
                         and res["update_ratio"] < 0.5
                         and res["delete_dv_ratio"] < 0.5
-                        and res["scatter_dv_ratio"] < 0.5)
+                        and res["scatter_dv_ratio"] < 0.5
+                        and res["p_scope_ratio"] < 0.6
+                        and res["p_purge_ratio"] < 0.2)
     shutil.rmtree(root, ignore_errors=True)
     return res
 

@@ -2563,7 +2563,8 @@ class TxnTable:
             f"{self.path}")
 
     def _hot_partitions(self, spark: SparkSession, condition: str,
-                        base: int, live: list[str], part_col: str
+                        base: int, live: list[str], part_col: str,
+                        partition_prune: str | None = None
                         ) -> tuple[list[str], bool]:
         """(hot partition value strings, meta_only) for a row-level op
         on a partition-granular layout. A predicate that RESOLVES over
@@ -2572,8 +2573,12 @@ class TxnTable:
         zero storage I/O, and constant per partition (every row of a
         hot partition matches) — the retention/backfill shape on a
         partition-by-generated date key. Any other predicate falls
-        back to ONE column-pruned sizing scan of the snapshot to find
-        the partitions actually holding matches. Values compare as
+        back to ONE column-pruned sizing scan to find the partitions
+        actually holding matches; ``partition_prune`` (an explicit
+        partition-key predicate, the partitioned analog of the flat
+        path's footer-stats ``prune``) bounds that scan to its
+        surviving partitions — at 100 TB the difference between
+        scanning one date partition and the table. Values compare as
         path strings (Spark coerces against date/numeric literals) —
         the :meth:`read_partitions_where` contract."""
         from pyspark.sql import functions as F
@@ -2582,6 +2587,17 @@ class TxnTable:
                        if _partition_of(d) is not None})
         vf = spark.createDataFrame([(v,) for v in vals],
                                    f"`{part_col}` string")
+        if partition_prune is not None:
+            keep = {r[part_col] for r in
+                    vf.filter(F.expr(partition_prune)).collect()}
+            vals = sorted(keep)
+            live = [d for d in live
+                    if _partition_of(d) is not None
+                    and _partition_of(d)[1] in keep]
+            if not live:
+                return [], True
+            vf = spark.createDataFrame([(v,) for v in vals],
+                                       f"`{part_col}` string")
         try:
             return (sorted(r[part_col] for r in
                            vf.filter(F.expr(condition)).collect()),
@@ -2598,7 +2614,9 @@ class TxnTable:
     def _delete_where_partitioned(self, spark: SparkSession,
                                   condition: str, meta: dict | None,
                                   capture_changes: bool, base: int,
-                                  live: list[str], part_col: str) -> int:
+                                  live: list[str], part_col: str,
+                                  partition_prune: str | None = None
+                                  ) -> int:
         """DELETE on a partition-granular layout: candidates are whole
         partitions. When the predicate is partition-key-only the hot
         partitions match WHOLLY — their dirs drop with NO rewrite (and
@@ -2610,7 +2628,8 @@ class TxnTable:
         from pyspark.sql import functions as F
 
         hot, meta_only = self._hot_partitions(spark, condition, base,
-                                              live, part_col)
+                                              live, part_col,
+                                              partition_prune)
         if not hot:
             return base
         want = {f"{part_col}={v}" for v in hot}
@@ -2639,7 +2658,9 @@ class TxnTable:
                                   condition: str, set_exprs: dict,
                                   meta: dict | None,
                                   capture_changes: bool, base: int,
-                                  live: list[str], part_col: str) -> int:
+                                  live: list[str], part_col: str,
+                                  partition_prune: str | None = None
+                                  ) -> int:
         """UPDATE on a partition-granular layout: rewrite exactly the
         partitions holding matches (cold partitions keep their files).
         ``set_exprs`` arrives with generated-column recomputes already
@@ -2652,7 +2673,7 @@ class TxnTable:
         from pyspark.sql import functions as F
 
         hot, _ = self._hot_partitions(spark, condition, base, live,
-                                      part_col)
+                                      part_col, partition_prune)
         if not hot:
             return base
         want = {f"{part_col}={v}" for v in hot}
@@ -2692,7 +2713,8 @@ class TxnTable:
                      prune: tuple | None = None,
                      meta: dict | None = None,
                      capture_changes: bool = True,
-                     use_dv: bool = False) -> int:
+                     use_dv: bool = False,
+                     partition_prune: str | None = None) -> int:
         """Row-level DELETE (Delta's ``DELETE WHERE``): rewrite ONLY the
         data dirs that can contain matching rows, atomically. With
         ``prune=(col, lo, hi)`` the candidate set comes from the log's
@@ -2738,7 +2760,7 @@ class TxnTable:
             # partition-by-generated date layout
             return self._delete_where_partitioned(
                 spark, condition, meta, capture_changes, base, live,
-                _pcol)
+                _pcol, partition_prune)
         if use_dv:
             return self._delete_where_dv(spark, condition, prune, meta,
                                          capture_changes, base, live)
@@ -2950,7 +2972,8 @@ class TxnTable:
     def update_where(self, spark: SparkSession, condition: str,
                      set_exprs: dict, prune: tuple | None = None,
                      meta: dict | None = None,
-                     capture_changes: bool = True) -> int:
+                     capture_changes: bool = True,
+                     partition_prune: str | None = None) -> int:
         """Row-level UPDATE (Delta's ``UPDATE ... SET ... WHERE``):
         rewrite ONLY the data dirs that can contain matching rows,
         applying ``set_exprs`` ({column: SQL expression}) to matching
@@ -3029,7 +3052,7 @@ class TxnTable:
             # their new col=value subdir in the same commit
             return self._update_where_partitioned(
                 spark, condition, set_exprs, meta, capture_changes,
-                base, live, _pcol)
+                base, live, _pcol, partition_prune)
         cond = F.expr(condition)
         snap_schema = self.read(spark, base).schema
         # merged-snapshot alignment inside _tagged_candidates: a

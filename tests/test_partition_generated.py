@@ -319,3 +319,45 @@ def test_partitioned_update_where_cold_partitions_untouched(spark,
     # postimages carry the recomputed values through the feed
     ch = t.read_changes(spark, since_version=v - 1)
     assert ch.filter("_change_type = 'update_postimage'").count() > 0
+
+
+def test_partition_prune_bounds_sizing_scan(spark, tmp_path):
+    """partition_prune (the partitioned analog of footer-stats prune)
+    bounds the data-predicate sizing scan to its surviving partitions
+    — same result, and a prune that excludes every matching partition
+    makes the op a no-op (snapshot semantics: it only visits what the
+    prune admits)."""
+    o = _orders(spark)
+    t = _ptable(tmp_path)
+    t.append(o)
+    months = sorted(r[0] for r in t.read(spark)
+                    .select(F.col("order_month").cast("string"))
+                    .distinct().collect())
+    target = months[1]
+    in_target = o.filter(F.expr(
+        f"DATE_FORMAT(o_orderdate, 'yyyy-MM') = '{target}'"))
+    key = in_target.select(F.min("o_orderkey")).first()[0]
+    v0 = t.latest_version()
+    # scoped: the sizing scan reads ONLY the pruned partition
+    t.delete_where(spark, f"o_orderkey = {key}",
+                   partition_prune=f"order_month = '{target}'")
+    assert t.read(spark).filter(f"o_orderkey = {key}").count() == 0
+    assert t.read(spark).count() == 200 - 1
+    # a prune that excludes the matching partition -> no-op commit-less
+    v1 = t.latest_version()
+    assert t.delete_where(
+        spark, "o_totalprice < 1e18",
+        partition_prune="order_month = '0000-00'") == v1
+    assert t.latest_version() == v1
+    # update with the same scoping
+    t.update_where(spark, "o_orderkey % 2 = 0",
+                   {"o_custkey": "-1"},
+                   partition_prune=f"order_month = '{target}'")
+    s = t.read(spark)
+    zeroed = s.filter("o_custkey = -1")
+    # only rows inside the pruned partition were visited
+    assert zeroed.count() == (in_target.filter("o_orderkey % 2 = 0")
+                              .filter(f"o_orderkey != {key}").count())
+    assert zeroed.filter(
+        F.col("order_month").cast("string") != target).count() == 0
+    assert t.latest_version() > v0
