@@ -730,3 +730,125 @@ def test_ann_cdf_folds_any_history(spark, script, folds,
     assert m is not None
     assert m.exceptAll(b).count() == 0
     assert b.exceptAll(m).count() == 0
+
+
+# r12: the PARTITIONED snapshot model — the same random-interleaving
+# property over a partition-by-GENERATED table: every op (appends,
+# row-predicate and partition-key deletes, DV deletes, updates that
+# MOVE rows across partitions by rewriting the column the generated
+# key reads, overwrites, restores, partition-granular compactions)
+# must leave the table's row multiset equal to the pure-Python model,
+# with the generated key consistent on every row, at every version.
+
+_POPS = st.lists(
+    st.one_of(
+        st.tuples(st.just("append"),
+                  st.lists(st.tuples(st.integers(0, 9),
+                                     st.integers(0, 5)),
+                           min_size=1, max_size=4)),
+        st.tuples(st.just("delete"), st.integers(0, 9)),
+        st.tuples(st.just("delete_pk"), st.integers(0, 2)),
+        st.tuples(st.just("delete_dv"), st.integers(0, 9)),
+        st.tuples(st.just("update"), st.integers(0, 9),
+                  st.integers(10, 15)),
+        st.tuples(st.just("shift"), st.integers(0, 5)),
+        st.tuples(st.just("overwrite"),
+                  st.lists(st.tuples(st.integers(0, 9),
+                                     st.integers(0, 5)),
+                           min_size=1, max_size=3)),
+        st.tuples(st.just("restore"), st.integers(0, 10)),
+        st.just(("pcompact",)),
+    ),
+    min_size=1, max_size=4)
+
+
+@given(ops=_POPS)
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_partitioned_txn_matches_snapshot_model(spark, ops,
+                                                tmp_path_factory):
+    from collections import Counter
+
+    from sport_advantages_moderne_data_infrastructure_spark.sources.txnlog import (
+        TxnTable,
+    )
+
+    root = tmp_path_factory.mktemp("ptxnprop")
+    t = TxnTable(str(root / "t"))
+    t.set_generated_column("pk", "CAST(id % 3 AS STRING)")
+    t.set_partition_column("pk")
+    t.append(spark.createDataFrame([(0, 0), (1, 1), (2, 2)],
+                                   "id int, val int"))
+    history = [Counter({(0, 0): 1, (1, 1): 1, (2, 2): 1})]
+    model = history[0]
+
+    def snap():
+        rows = t.read(spark).collect()
+        # the generated partition key is consistent on EVERY row at
+        # every point (round-tripped through the col=value path)
+        assert all(str(r["pk"]) == str(r["id"] % 3) for r in rows)
+        return Counter((r["id"], r["val"]) for r in rows)
+
+    for op in ops:
+        before_v = t.latest_version()
+        if op[0] == "append":
+            rows = op[1]
+            t.append(spark.createDataFrame(rows, "id int, val int"))
+            model = model + Counter(rows)
+        elif op[0] == "delete":
+            t.delete_where(spark, f"id = {op[1]}",
+                           capture_changes=bool(op[1] % 2))
+            model = Counter({k: c for k, c in model.items()
+                             if k[0] != op[1]})
+        elif op[0] == "delete_pk":
+            # partition-key-only predicate: whole partitions drop with
+            # no rewrite (metadata-only when the feed is off)
+            t.delete_where(spark, f"pk = '{op[1]}'",
+                           capture_changes=bool(op[1] % 2))
+            model = Counter({k: c for k, c in model.items()
+                             if k[0] % 3 != op[1]})
+        elif op[0] == "delete_dv":
+            t.delete_where(spark, f"id = {op[1]}",
+                           capture_changes=bool(op[1] % 2),
+                           use_dv=True)
+            model = Counter({k: c for k, c in model.items()
+                             if k[0] != op[1]})
+        elif op[0] == "update":
+            t.update_where(spark, f"id = {op[1]}", {"val": str(op[2])},
+                           capture_changes=bool(op[1] % 2))
+            if any(k[0] == op[1] for k in model):
+                new = Counter()
+                for (i, v), c in model.items():
+                    new[(i, op[2] if i == op[1] else v)] += c
+                model = new
+        elif op[0] == "shift":
+            # SET the column the generated PARTITION KEY reads: matched
+            # rows recompute pk and MIGRATE to their new partition
+            t.update_where(spark, f"val = {op[1]}", {"id": "id + 1"},
+                           capture_changes=bool(op[1] % 2))
+            if any(v == op[1] for (_, v) in model):
+                new = Counter()
+                for (i, v), c in model.items():
+                    new[(i + 1 if v == op[1] else i, v)] += c
+                model = new
+        elif op[0] == "overwrite":
+            rows = op[1]
+            t.overwrite(spark.createDataFrame(rows, "id int, val int"))
+            model = Counter(rows)
+        elif op[0] == "restore":
+            target = op[1] % len(history)
+            t.restore(target)
+            model = history[target]
+        elif op[0] == "pcompact":
+            t.compact_partitions_if_needed(spark, max_dirs_per_value=1)
+            # layout-only: model unchanged (may be a no-op commit)
+        if t.latest_version() != before_v:
+            history.append(model)
+        else:
+            model = history[-1]  # no-op op: model must not drift
+        assert snap() == model, f"after {op}"
+
+    for v, m in enumerate(history):
+        got = Counter((r["id"], r["val"])
+                      for r in t.read(spark, version=v).collect())
+        assert got == m, f"time travel to v{v}"
