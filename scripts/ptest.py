@@ -38,6 +38,8 @@ COSTS = {
     "test_scaling_10x.py": 120,
     "test_driver_gate.py": 210,
     "test_retrieval.py": 90,
+    "test_partition_generated.py": 110,  # r12 partition-by-generated
+    "test_advice_r12.py": 20,            # r12 advisor regressions
     "test_deletion_vectors.py": 75,  # r11 partitioned DVs
     "test_scale_paths.py": 60,
     "test_streaming.py": 45,

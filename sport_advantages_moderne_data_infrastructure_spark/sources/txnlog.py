@@ -2564,9 +2564,11 @@ class TxnTable:
 
     def _hot_partitions(self, spark: SparkSession, condition: str,
                         base: int, live: list[str], part_col: str,
-                        partition_prune: str | None = None
-                        ) -> tuple[list[str], bool]:
-        """(hot partition value strings, meta_only) for a row-level op
+                        partition_prune: str | None = None,
+                        prune: tuple | None = None
+                        ) -> tuple[list[str], bool, list[str]]:
+        """(hot partition value strings, meta_only, candidate dirs)
+        for a row-level op
         on a partition-granular layout. A predicate that RESOLVES over
         the partition key alone evaluates against the live partition
         VALUES — metadata-only, bounded by the live partition count,
@@ -2583,6 +2585,10 @@ class TxnTable:
         the :meth:`read_partitions_where` contract."""
         from pyspark.sql import functions as F
 
+        def dirs_of(values: set[str], pool: list[str]) -> list[str]:
+            want = {f"{part_col}={v}" for v in values}
+            return [d for d in pool if os.path.basename(d) in want]
+
         vals = sorted({_partition_of(d)[1] for d in live
                        if _partition_of(d) is not None})
         vf = spark.createDataFrame([(v,) for v in vals],
@@ -2591,67 +2597,80 @@ class TxnTable:
             keep = {r[part_col] for r in
                     vf.filter(F.expr(partition_prune)).collect()}
             vals = sorted(keep)
-            live = [d for d in live
-                    if _partition_of(d) is not None
-                    and _partition_of(d)[1] in keep]
+            live = dirs_of(keep, live)
             if not live:
-                return [], True
+                return [], True, []
             vf = spark.createDataFrame([(v,) for v in vals],
                                        f"`{part_col}` string")
         try:
-            return (sorted(r[part_col] for r in
-                           vf.filter(F.expr(condition)).collect()),
-                    True)
+            hot = sorted(r[part_col] for r in
+                         vf.filter(F.expr(condition)).collect())
+            return hot, True, dirs_of(set(hot), live)
         except Exception:
             pass  # condition reads data columns: size by scanning
+        if prune is not None:
+            # footer-stats file skipping composes with the partition
+            # layout (partition subdirs record per-dir min/max like any
+            # add): same caller contract as the flat path — rows
+            # matching `condition` also satisfy col in [lo, hi]
+            col, lo, hi = prune
+            live = [d for d in live
+                    if d in set(self.pruned_dirs(col, lo, hi, base))]
+            if not live:
+                return [], False, []
         snap = self._read_dirs(spark, live, self._dvs_for(live, base),
                                version=base)
         hot = sorted(str(r[0]) for r in
                      snap.filter(F.expr(condition)).select(part_col)
                      .distinct().collect())
-        return hot, False
+        return hot, False, dirs_of(set(hot), live)
 
     def _delete_where_partitioned(self, spark: SparkSession,
                                   condition: str, meta: dict | None,
                                   capture_changes: bool, base: int,
                                   live: list[str], part_col: str,
-                                  partition_prune: str | None = None
-                                  ) -> int:
+                                  partition_prune: str | None = None,
+                                  prune: tuple | None = None) -> int:
         """DELETE on a partition-granular layout: candidates are whole
-        partitions. When the predicate is partition-key-only the hot
+        partitions, optionally narrowed further to the candidate DIRS
+        whose footer stats overlap the ``prune`` bound (a hot value can
+        span many commit subdirs; stats-excluded ones keep their
+        files). When the predicate is partition-key-only the hot
         partitions match WHOLLY — their dirs drop with NO rewrite (and
         with the change feed off, no data job at all: a retention
         purge on a date-partitioned table is pure metadata); otherwise
-        the hot partitions rewrite their kept rows, cold partitions
-        keep their files. DVs on dropped/rewritten partitions
-        materialize away with them."""
+        the candidate dirs rewrite their kept rows, cold partitions
+        keep their files. DVs on dropped/rewritten dirs materialize
+        away with them."""
         from pyspark.sql import functions as F
 
-        hot, meta_only = self._hot_partitions(spark, condition, base,
-                                              live, part_col,
-                                              partition_prune)
+        hot, meta_only, candidates = self._hot_partitions(
+            spark, condition, base, live, part_col, partition_prune,
+            prune)
         if not hot:
             return base
-        want = {f"{part_col}={v}" for v in hot}
-        removes = [d for d in live if os.path.basename(d) in want]
         m = {**(meta or {}), "operation": "delete",
              "condition": condition}
         if meta_only:
             changes_rel = None
             if capture_changes:
                 changes_rel = self._write_changes(
-                    self.read_partitions(spark, hot, version=base)
+                    self._read_dirs(spark, candidates,
+                                    self._dvs_for(candidates, base),
+                                    version=base)
                     .withColumn("_change_type", F.lit("delete")))
-            return self._commit_rebased([], removes, m, base,
+            return self._commit_rebased([], candidates, m, base,
                                         changes=changes_rel)
         cond = F.expr(condition)
-        sub = self.read_partitions(spark, hot, version=base)
+        sub = self._read_dirs(spark, candidates,
+                              self._dvs_for(candidates, base),
+                              version=base)
         changes_rel = (self._write_changes(
             sub.filter(cond)
             .withColumn("_change_type", F.lit("delete")))
             if capture_changes else None)
         adds = self._write_data_partitioned(sub.filter(~cond), part_col)
-        return self._commit_rebased(adds, removes, m, base,
+        return self._commit_rebased(adds, candidates, m, base,
                                     changes=changes_rel)
 
     def _update_where_partitioned(self, spark: SparkSession,
@@ -2659,10 +2678,12 @@ class TxnTable:
                                   meta: dict | None,
                                   capture_changes: bool, base: int,
                                   live: list[str], part_col: str,
-                                  partition_prune: str | None = None
-                                  ) -> int:
+                                  partition_prune: str | None = None,
+                                  prune: tuple | None = None) -> int:
         """UPDATE on a partition-granular layout: rewrite exactly the
-        partitions holding matches (cold partitions keep their files).
+        candidate dirs holding matches (cold partitions — and
+        stats-``prune``-excluded subdirs of hot values — keep their
+        files).
         ``set_exprs`` arrives with generated-column recomputes already
         merged (the caller's substitution step), so a SET that moves a
         row's generated partition key lands the row in its NEW
@@ -2672,14 +2693,15 @@ class TxnTable:
         held."""
         from pyspark.sql import functions as F
 
-        hot, _ = self._hot_partitions(spark, condition, base, live,
-                                      part_col, partition_prune)
+        hot, _, candidates = self._hot_partitions(
+            spark, condition, base, live, part_col, partition_prune,
+            prune)
         if not hot:
             return base
-        want = {f"{part_col}={v}" for v in hot}
-        removes = [d for d in live if os.path.basename(d) in want]
         cond = F.expr(condition)
-        sub = self.read_partitions(spark, hot, version=base)
+        sub = self._read_dirs(spark, candidates,
+                              self._dvs_for(candidates, base),
+                              version=base)
         snap_schema = sub.schema
         cols = [f.name for f in snap_schema.fields]
         changes_rel = None
@@ -2704,7 +2726,7 @@ class TxnTable:
                 else F.col(c) for c in cols]),
             part_col)
         return self._commit_rebased(
-            adds, removes,
+            adds, candidates,
             {**(meta or {}), "operation": "update",
              "condition": condition, "set": sorted(set_exprs)},
             base, changes=changes_rel)
@@ -2724,8 +2746,10 @@ class TxnTable:
         candidate but dirs whose rewrite keeps every row are left in
         place. Cost is O(matching data), not O(table). On a
         partition-granular layout the candidates are whole partitions
-        (r12, see :meth:`_delete_where_partitioned`); ``prune`` does
-        not apply there.
+        (r12, see :meth:`_delete_where_partitioned`); ``prune``
+        composes there as a per-subdir footer-stats bound, and
+        ``partition_prune`` (a partition-key predicate) bounds the
+        sizing scan.
 
         ``capture_changes=False`` mirrors Delta's default (change data
         feed DISABLED): no delete change frames are written and the op
@@ -2760,7 +2784,7 @@ class TxnTable:
             # partition-by-generated date layout
             return self._delete_where_partitioned(
                 spark, condition, meta, capture_changes, base, live,
-                _pcol, partition_prune)
+                _pcol, partition_prune, prune)
         if use_dv:
             return self._delete_where_dv(spark, condition, prune, meta,
                                          capture_changes, base, live)
@@ -2986,8 +3010,10 @@ class TxnTable:
         change feed (:meth:`read_changes`) carries the delta — cost is
         O(matching dirs), not O(table). On a partition-granular layout
         the candidates are whole partitions (r12, see
-        :meth:`_update_where_partitioned`); ``prune`` does not apply
-        there. Reference anchor: the employees MERGE path
+        :meth:`_update_where_partitioned`); ``prune`` composes there as
+        a per-subdir footer-stats bound, and ``partition_prune`` (a
+        partition-key predicate) bounds the sizing scan.
+        Reference anchor: the employees MERGE path
         (spark/SaveDelta.scala:157-163) covers keyed upserts; this is
         the predicate-addressed complement.
 
@@ -3052,7 +3078,7 @@ class TxnTable:
             # their new col=value subdir in the same commit
             return self._update_where_partitioned(
                 spark, condition, set_exprs, meta, capture_changes,
-                base, live, _pcol, partition_prune)
+                base, live, _pcol, partition_prune, prune)
         cond = F.expr(condition)
         snap_schema = self.read(spark, base).schema
         # merged-snapshot alignment inside _tagged_candidates: a

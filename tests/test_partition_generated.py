@@ -361,3 +361,37 @@ def test_partition_prune_bounds_sizing_scan(spark, tmp_path):
     assert zeroed.filter(
         F.col("order_month").cast("string") != target).count() == 0
     assert t.latest_version() > v0
+
+
+def test_footer_stats_prune_composes_with_partitions(spark, tmp_path):
+    """prune=(col, lo, hi) on a partition-granular table narrows the
+    candidates to the SUBDIRS whose footer stats overlap — a hot value
+    spanning several commit subdirs only rewrites the ones that can
+    contain matching rows; the other subdirs keep their physical
+    files."""
+    o = _orders(spark)
+    t = _ptable(tmp_path)
+    # two appends -> each month value spans TWO commit subdirs with
+    # disjoint o_orderkey ranges (orders come key-ordered)
+    t.append(o.limit(100))
+    t.append(o.offset(100))
+    keys = sorted(r[0] for r in o.select("o_orderkey").collect())
+    lo_hi = keys[99]  # first commit's max key
+    # a key in the FIRST commit only, with the matching stats bound
+    target_key = keys[10]
+    before = set(t.snapshot_dirs())
+    t.delete_where(spark, f"o_orderkey = {target_key}",
+                   prune=("o_orderkey", target_key, target_key))
+    after = set(t.snapshot_dirs())
+    assert t.read(spark).filter(
+        f"o_orderkey = {target_key}").count() == 0
+    assert t.read(spark).count() == 199
+    # every SECOND-commit subdir survived untouched (their stats ranges
+    # start past the first commit's max key)
+    second_commit = set(t._doc(1)["adds"]) & before  # noqa: SLF001
+    assert second_commit and second_commit <= after
+    # and the same with partition_prune composed on top
+    k2 = keys[150]  # second commit
+    t.update_where(spark, f"o_orderkey = {k2}", {"o_custkey": "-7"},
+                   prune=("o_orderkey", k2, k2))
+    assert t.read(spark).filter("o_custkey = -7").count() == 1

@@ -1118,11 +1118,17 @@ def test_delete_where_all_rows_leaves_empty_snapshot(spark, tmp_path):
     assert got.columns == ["id", "val"]  # schema survives DELETE-all
 
 
-def test_delete_where_rejects_partitioned_layout(spark, tmp_path):
+def test_delete_where_on_partitioned_layout(spark, tmp_path):
+    """r12: partition-granular DELETE replaced the r11 refusal — a
+    data-column predicate rewrites only the partitions holding
+    matches; a partition-key-only predicate drops whole partitions."""
     t = TxnTable(str(tmp_path / "t"))
-    t.overwrite_partitions(_pdf(spark, [(1, "a", 1), (2, "b", 2)]), "day")
-    with pytest.raises(ValueError, match="overwrite_partitions"):
-        t.delete_where(spark, "id = 1")
+    t.overwrite_partitions(
+        _pdf(spark, [(1, "a", 1), (2, "b", 2), (3, "c", 2)]), "day")
+    t.delete_where(spark, "id = 1")
+    assert _prows(t.read(spark)) == {(2, "b", 2), (3, "c", 2)}
+    t.delete_where(spark, "day = 2")  # metadata-only whole-partition drop
+    assert t.read(spark).count() == 0
 
 
 # -- row-level UPDATE ------------------------------------------------------
@@ -1179,10 +1185,14 @@ def test_update_where_rejects_bad_targets(spark, tmp_path):
     t.append(_df(spark, [(1, "a")]))
     with pytest.raises(ValueError, match="unknown columns"):
         t.update_where(spark, "id = 1", {"nope": "'x'"})
+    # r12: a partitioned layout UPDATEs partition-granularly (the r11
+    # refusal is gone) — only the matched partition rewrites
     tp = TxnTable(str(tmp_path / "p"))
     tp.overwrite_partitions(_pdf(spark, [(1, "a", 1), (2, "b", 2)]), "day")
-    with pytest.raises(ValueError, match="overwrite_partitions"):
-        tp.update_where(spark, "id = 1", {"val": "'x'"})
+    day2 = {d for d in tp.snapshot_dirs() if "day=2" in d}
+    tp.update_where(spark, "id = 1", {"val": "'x'"})
+    assert _prows(tp.read(spark)) == {(1, "x", 1), (2, "b", 2)}
+    assert day2 <= set(tp.snapshot_dirs())  # cold partition untouched
 
 
 def test_update_where_cast_preserves_schema(spark, tmp_path):
