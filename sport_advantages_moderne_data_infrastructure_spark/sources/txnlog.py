@@ -602,6 +602,81 @@ class TxnTable:
             return self.read(spark, version).limit(0)
         return self.read_partitions(spark, sorted(keep), version=version)
 
+    #: generation shapes known MONOTONIC in their base column — the
+    #: whitelist behind base-column partition-filter inference, the
+    #: same mechanism Delta uses (its optimizer recognizes a fixed set
+    #: of expression forms over generated partition columns)
+    _MONOTONIC_GEN = (
+        r"^\s*(?:DATE_FORMAT\(\s*(\w+)\s*,\s*'yyyy(?:-MM(?:-dd)?)?'\s*\)"
+        r"|CAST\(\s*(\w+)\s+AS\s+DATE\s*\)"
+        r"|YEAR\(\s*(\w+)\s*\)"
+        r"|DATE_TRUNC\(\s*'\w+'\s*,\s*(\w+)\s*\))\s*$")
+
+    def generated_base_column(self) -> tuple[str, str] | None:
+        """(base_col, generation_expr) when the declared partition key
+        is generated by a WHITELISTED monotonic shape of one base
+        column (DATE_FORMAT 'yyyy[-MM[-dd]]', CAST AS DATE, YEAR,
+        DATE_TRUNC) — else None. The whitelist is what makes
+        :meth:`read_base_range`'s bound mapping sound: for these forms
+        ``a <= b`` implies ``T(a) <= T(b)``."""
+        import re
+
+        cfg = self.generation_config()
+        part = cfg.get("partition_by")
+        expr = (cfg.get("generated") or {}).get(part)
+        if part is None or expr is None:
+            return None
+        m = re.match(self._MONOTONIC_GEN, expr, re.IGNORECASE)
+        if m is None:
+            return None
+        return next(g for g in m.groups() if g is not None), expr
+
+    def read_base_range(self, spark: SparkSession, col: str,
+                        lo=None, hi=None,
+                        version: int | None = None) -> DataFrame:
+        """Range read over the BASE column of a generated partition key
+        (r12, Delta's generated-column partition filter inference): the
+        caller filters on ``col`` (e.g. the raw timestamp) and the
+        partition bounds are INFERRED by evaluating the whitelisted
+        monotonic generation expression on the range endpoints — the
+        read prunes to ``T(lo) <= key <= T(hi)`` metadata-only, then
+        applies the exact residual row filter. Tables whose key is not
+        a whitelisted shape of ``col`` fall back to a full read +
+        filter (correct, just unpruned). Equals
+        ``read().filter(lo <= col <= hi)`` exactly."""
+        from pyspark.sql import functions as F
+
+        def residual(df: DataFrame) -> DataFrame:
+            if lo is not None:
+                df = df.filter(F.col(col) >= lo)
+            if hi is not None:
+                df = df.filter(F.col(col) <= hi)
+            return df
+
+        gen = self.generated_base_column()
+        if gen is None or gen[0].lower() != col.lower():
+            return residual(self.read(spark, version))
+        base_col, expr = gen
+        part = self.generation_config()["partition_by"]
+
+        def key_of(v):
+            # evaluate the generation expression on ONE endpoint row —
+            # exact engine semantics, no literal-rendering pitfalls
+            row = spark.createDataFrame(
+                [(v,)], f"`{base_col}` {'timestamp' if hasattr(v, 'hour') else 'date' if hasattr(v, 'year') else 'string'}"
+            ).select(F.expr(expr).cast("string").alias("k")).first()
+            return row["k"]
+
+        conds = []
+        if lo is not None:
+            conds.append(f"{part} >= '{key_of(lo)}'")
+        if hi is not None:
+            conds.append(f"{part} <= '{key_of(hi)}'")
+        if not conds:
+            return self.read(spark, version)
+        return residual(self.read_partitions_where(
+            spark, " AND ".join(conds), version=version))
+
     def _read_dirs(self, spark: SparkSession, rel_dirs: list[str],
                    dvs: dict[str, dict] | None = None,
                    mapped: bool = True,

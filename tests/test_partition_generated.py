@@ -395,3 +395,40 @@ def test_footer_stats_prune_composes_with_partitions(spark, tmp_path):
     t.update_where(spark, f"o_orderkey = {k2}", {"o_custkey": "-7"},
                    prune=("o_orderkey", k2, k2))
     assert t.read(spark).filter("o_custkey = -7").count() == 1
+
+
+def test_read_base_range_infers_partition_bounds(spark, tmp_path):
+    """Delta's generated-column partition filter inference: filtering
+    on the BASE timestamp prunes to the generated key's range
+    metadata-only, with the exact residual filter on top — and equals
+    the unpruned read bit for bit."""
+    import datetime as dt
+
+    o = _orders(spark)
+    t = _ptable(tmp_path)
+    t.append(o)
+    assert t.generated_base_column() == (
+        "o_orderdate", "DATE_FORMAT(o_orderdate, 'yyyy-MM')")
+    dates = sorted(r[0] for r in o.select("o_orderdate").collect())
+    lo, hi = dates[50], dates[150]
+    got = t.read_base_range(spark, "o_orderdate", lo, hi)
+    want = t.read(spark).filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") <= hi))
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
+    # pruning is real: months outside [T(lo), T(hi)] contribute no files
+    lo_m, hi_m = (d.strftime("%Y-%m") for d in (lo, hi))
+    for f in got.inputFiles():
+        seg = [s for s in f.split("/") if s.startswith("order_month=")]
+        assert seg and lo_m <= seg[0].split("=", 1)[1] <= hi_m
+    # endpoints given as date objects work the same
+    got2 = t.read_base_range(spark, "o_orderdate",
+                             dt.date(1999, 1, 1), dt.date(1999, 12, 31))
+    want2 = t.read(spark).filter(
+        "o_orderdate >= DATE'1999-01-01' AND "
+        "o_orderdate <= DATE'1999-12-31'")
+    assert got2.count() == want2.count() > 0
+    # a non-whitelisted key (or wrong base column) falls back, still exact
+    fb = t.read_base_range(spark, "o_totalprice", 0.0, 1000.0)
+    assert fb.count() == o.filter(
+        "o_totalprice >= 0 AND o_totalprice <= 1000").count()
