@@ -1896,6 +1896,19 @@ class TxnTable:
         for single-digit-file commits and avoided at scale."""
         os.makedirs(self.log_dir, exist_ok=True)
         self._check_protocol(writer=True)
+        if adds and self.generation_config().get("partition_by"):
+            plain = [d for d in adds if _partition_of(d) is None]
+            if plain:
+                # a plain dir on a partition-DECLARED table would strand
+                # its rows outside partition-granular bookkeeping (the
+                # mixed layout set_partition_column refuses to create) —
+                # fail the writer clearly instead of corrupting layout
+                raise ValueError(
+                    f"commit on partition-declared table {self.path}: "
+                    f"adds include non-partitioned dir(s) {plain[:2]} — "
+                    "route writes through append()/overwrite()/"
+                    "overwrite_partitions(), which lay out "
+                    "col=value subdirs")
         if expected_version is None:
             expected_version = self.latest_version()
         version = 0 if expected_version is None else expected_version + 1

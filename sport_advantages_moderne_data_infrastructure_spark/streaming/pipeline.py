@@ -245,12 +245,16 @@ def write_stream_txn_append(df: DataFrame, target: str, checkpoint: str,
         if app_id is not None:
             meta["stream_app_id"] = app_id
         gcfg = table.generation_config()
-        if gcfg.get("generated") or gcfg.get("identity") is not None:
-            # generated/identity tables: route through append(), which
-            # computes/allocates INSIDE the same commit (the identity
-            # conflict loop re-reads the high water and re-assigns on a
-            # lost race); the ledger check above still guards replays,
-            # and the meta keys keep the batch in the ledger
+        if (gcfg.get("generated") or gcfg.get("identity") is not None
+                or gcfg.get("partition_by") is not None):
+            # generated/identity/partition-declared tables: route
+            # through append(), which computes/allocates/lays out
+            # INSIDE the same commit (the identity conflict loop
+            # re-reads the high water and re-assigns on a lost race;
+            # a partition-declared target gets col=value subdir adds —
+            # streaming ingest into a date-partitioned table); the
+            # ledger check above still guards replays, and the meta
+            # keys keep the batch in the ledger
             table.append(batch_df, meta)
             table.checkpoint_if_needed()
             return

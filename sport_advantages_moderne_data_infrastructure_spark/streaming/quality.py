@@ -66,10 +66,19 @@ def _txn_append_leg(path: str, batch_df: DataFrame, batch_id: int,
     seen = table.max_stream_batch_id(app_id)
     if seen is not None and batch_id <= seen:
         return  # this leg already committed this batch
-    rel = table._write_data(batch_df)  # noqa: SLF001
     meta = {"stream_batch_id": batch_id, "operation": op}
     if app_id is not None:
         meta["stream_app_id"] = app_id
+    if table.generation_config():
+        # generated/identity/partition-declared target: route through
+        # append() so the writer computes/allocates/lays out inside
+        # the same commit (a raw _write_data here would bypass
+        # generation and strand rows outside a declared partition
+        # layout); the ledger check above still guards replays
+        table.append(batch_df, meta)
+        table.checkpoint_if_needed()
+        return
+    rel = table._write_data(batch_df)  # noqa: SLF001
     for _ in range(5):
         try:
             table.commit([rel], [], meta)

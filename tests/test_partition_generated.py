@@ -432,3 +432,78 @@ def test_read_base_range_infers_partition_bounds(spark, tmp_path):
     fb = t.read_base_range(spark, "o_totalprice", 0.0, 1000.0)
     assert fb.count() == o.filter(
         "o_totalprice >= 0 AND o_totalprice <= 1000").count()
+
+
+def test_streaming_ingest_into_generated_partitions(spark, tmp_path):
+    """The JVM foreachBatch txn append sink routes a partition-declared
+    target through append(): streaming ingest lands as col=value
+    subdirs (the date-partitioned ingest shape), exactly-once across a
+    checkpoint restart — and a raw plain-dir commit on such a table is
+    refused at commit time instead of corrupting the layout."""
+    from sport_advantages_moderne_data_infrastructure_spark.streaming.pipeline import (
+        write_stream_txn_append,
+    )
+
+    o = _orders(spark)
+    src = str(tmp_path / "src")
+    for i in range(3):
+        (o.filter(F.pmod(F.col("o_orderkey"), F.lit(3)) == i)
+         .coalesce(1).write.mode("append").parquet(src))
+    target, ck = str(tmp_path / "t"), str(tmp_path / "ck")
+    t = TxnTable(target)
+    t.set_generated_column("order_month",
+                           "DATE_FORMAT(o_orderdate, 'yyyy-MM')")
+    t.set_partition_column("order_month")
+    schema = ("o_orderkey bigint, o_custkey bigint, "
+              "o_totalprice double, o_orderdate timestamp_ntz")
+    q = write_stream_txn_append(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src),
+        target, ck, app_id="pgen")
+    q.awaitTermination(120)
+    s = t.read(spark)
+    assert s.count() == 200
+    assert all("order_month=" in d for d in t.snapshot_dirs())
+    assert s.filter(F.expr(
+        "CAST(order_month AS STRING) != "
+        "DATE_FORMAT(o_orderdate, 'yyyy-MM')")).count() == 0
+    # restart on the same checkpoint: exactly-once, no re-ingest
+    q2 = write_stream_txn_append(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src),
+        target, ck, app_id="pgen")
+    q2.awaitTermination(120)
+    assert t.read(spark).count() == 200
+    # the raw plain-dir path is refused at commit time
+    rel = t._write_data(o.limit(1))  # noqa: SLF001
+    with pytest.raises(ValueError, match="partition-declared"):
+        t.commit([rel], [])
+
+
+def test_meta_only_purge_runs_one_local_job(spark, tmp_path):
+    """The retention-purge scale claim as a JOB-COUNT pin: a
+    partition-key-only DELETE with the change feed off runs exactly
+    ONE Spark job — the predicate evaluating over the LOCAL
+    partition-values frame (createDataFrame of the live values,
+    bounded by partition count, zero table I/O by construction) — and
+    the commit is pure metadata. At 100 TB this is the difference
+    between dropping a year of partitions in milliseconds and a
+    cluster-wide rewrite."""
+    o = _orders(spark)
+    t = _ptable(tmp_path)
+    t.append(o)
+    months = sorted(r[0] for r in t.read(spark)
+                    .select(F.col("order_month").cast("string"))
+                    .distinct().collect())
+    cut = months[2]
+    sc = spark.sparkContext
+    sc.setJobGroup("purge", "meta-only purge job count")
+    try:
+        t.delete_where(spark, f"order_month < '{cut}'",
+                       capture_changes=False)
+    finally:
+        sc.setJobGroup(None, None)
+    njobs = len(sc.statusTracker().getJobIdsForGroup("purge"))
+    assert njobs == 1, f"meta-only purge ran {njobs} Spark job(s)"
+    assert t.read(spark).filter(
+        F.col("order_month").cast("string") < cut).count() == 0
