@@ -93,8 +93,15 @@ GEN_WRITER_VERSION = 2  # generated/identity columns (r11) move value
 # the first declaration raises the table's min_WRITER floor. READERS
 # are unaffected (values are materialized in the files like any
 # column), which is exactly why Delta gates these as writer features.
+PART_WRITER_VERSION = 3  # declared partition layout (r12): writes must
+# lay data out as col=value subdirs — a pre-declaration writer's plain
+# _write_data commit would strand rows outside partition-granular
+# bookkeeping (the exact mixed layout set_partition_column refuses to
+# create), so the declaration raises the table's min_WRITER floor and
+# old writers refuse cleanly at _check_protocol. Readers are
+# unaffected (partition subdirs read like any snapshot).
 _READER_CAPABILITY = 3  # what this library can read
-_WRITER_CAPABILITY = 2  # what this library can write
+_WRITER_CAPABILITY = 3  # what this library can write
 _DV_DIR = "dv"  # deletion-vector files (Delta's DV sidecars): parquet of
 # (src_dir, src_file, row_idx) naming deleted row positions; referenced
 # from commit docs' "dvs" key ({data_dir: {"path": dv_rel, "rows": n}},
@@ -186,12 +193,25 @@ def _bloom_may_contain(hex_bits: str, value, m: int, k: int) -> bool:
 
 def _partition_of(rel_dir: str) -> tuple[str, str] | None:
     """``data/<uuid>/date=2024-01-01`` → ("date", "2024-01-01");
-    None for a plain (unpartitioned) commit dir."""
+    None for a plain (unpartitioned) commit dir. The value is the RAW
+    path segment — Hive-escaped for special chars (a timestamp key
+    writes ``ts=2024-01-01 00%3A00%3A00``); decode with
+    :func:`_unescape_partition` before comparing to logical values."""
     base = os.path.basename(rel_dir)
     if "=" in base:
         col, _, val = base.partition("=")
         return col, val
     return None
+
+
+def _unescape_partition(value: str) -> str:
+    """Decode Hive-style %XX escapes in a partition path value — what
+    ``partitionBy`` writes for ``:``, ``=``, ``%``, … . Unlike URL
+    decoding, ``+`` stays literal (urllib's unquote already treats it
+    so)."""
+    from urllib.parse import unquote
+
+    return unquote(value)
 
 
 class TxnTable:
@@ -563,7 +583,9 @@ class TxnTable:
         100 TB: the log, not a directory listing, decides what to scan)."""
         want = {str(v) for v in values}
         dirs = [d for d in self.snapshot_dirs(version)
-                if _partition_of(d) is not None and _partition_of(d)[1] in want]
+                if _partition_of(d) is not None
+                and (_partition_of(d)[1] in want
+                     or _unescape_partition(_partition_of(d)[1]) in want)]
         if not dirs:
             raise ValueError(f"no live partitions match {values}")
         return self._read_dirs(spark, dirs, self._dvs_for(dirs, version),
@@ -580,27 +602,36 @@ class TxnTable:
         bound the log walk itself carries), so pruning is METADATA-only:
         zero storage I/O for non-matching partitions, the partition-by-
         generated read path at 100 TB (one year of daily partitions =
-        365 candidate values, whatever the table's size). Partition
-        values are path strings; Spark's implicit coercion compares
-        them against date/numeric literals in the condition. An empty
-        survivor set returns an empty frame of the snapshot schema
-        rather than raising (a range with no data is an answer)."""
+        365 candidate values, whatever the table's size). Values
+        evaluate TYPED (:meth:`_typed_partition_values` — an int key's
+        ``day > 2`` is numeric, escaped timestamp segments
+        round-trip). An empty survivor set — or a partition-declared
+        table whose live set a purge emptied — returns an empty frame
+        of the snapshot schema rather than raising (a range with no
+        data is an answer)."""
         from pyspark.sql import functions as F
 
         dirs = [d for d in self.snapshot_dirs(version)
                 if _partition_of(d) is not None]
         col = self._live_partition_col(dirs)
         if col is None:
+            if self.generation_config().get("partition_by"):
+                # partition-DECLARED table with an empty live set (a
+                # purge dropped every partition): an empty frame is the
+                # answer, same as an empty survivor set below
+                return self.read(spark, version).limit(0)
             raise ValueError(
                 f"read_partitions_where on an unpartitioned table: "
                 f"{self.path}")
-        vals = sorted({_partition_of(d)[1] for d in dirs})
-        vf = spark.createDataFrame([(v,) for v in vals],
-                                   f"`{col}` string")
-        keep = {r[col] for r in vf.filter(F.expr(condition)).collect()}
+        vf, segs = self._typed_partition_values(spark, dirs, col)
+        keep = {r["__seg"] for r in
+                vf.filter(F.expr(condition)).collect()}
         if not keep:
             return self.read(spark, version).limit(0)
-        return self.read_partitions(spark, sorted(keep), version=version)
+        keep_dirs = [d for s in sorted(keep) for d in segs[s]]
+        return self._read_dirs(spark, keep_dirs,
+                               self._dvs_for(keep_dirs, version),
+                               version=version)
 
     #: generation shapes known MONOTONIC in their base column — the
     #: whitelist behind base-column partition-filter inference, the
@@ -1186,6 +1217,10 @@ class TxnTable:
                 "empty table and load it (clone/overwrite a fresh path)")
         cfg["partition_by"] = col
         self._write_config("generation.json", cfg)
+        # ALWAYS raise the writer floor (not only for generated keys):
+        # a pre-declaration writer has no plain-dir commit guard and
+        # would strand rows outside the declared layout
+        self._raise_protocol(writer_floor=PART_WRITER_VERSION)
         if col in cfg.get("generated", {}):
             self._bump_protocol_writer()
 
@@ -1965,6 +2000,24 @@ class TxnTable:
         if bloom_cfg and adds:
             doc["bloom"] = {rel: self._dir_bloom(rel, bloom_cfg)
                             for rel in adds}
+        m_ = meta or {}
+        if "stream_batch_id" in m_:
+            # Delta's SetTransaction discipline INSIDE the commit: a
+            # replica racing this same (app_id, batch_id) either (a)
+            # already published — the ledger walk up to the
+            # expected_version just read sees it and we refuse here, or
+            # (b) publishes between this check and our link — then both
+            # target the SAME version and the atomic put-if-absent
+            # makes the loser conflict. Either way the caller's
+            # conflict handler re-checks the ledger and drops the
+            # replay; the pre-commit ledger check alone left a window
+            # where a racer landing after it double-committed a batch.
+            seen_ = self.max_stream_batch_id(m_.get("stream_app_id"))
+            if seen_ is not None and m_["stream_batch_id"] <= seen_:
+                raise TxnConflictError(
+                    f"stream batch {m_['stream_batch_id']} already "
+                    f"committed to {self.path} (ledger high water "
+                    f"{seen_}) — replay absorbed")
         tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}")
         final = os.path.join(self.log_dir, f"{version:011d}.json")
         with open(tmp, "w") as fh:
@@ -2650,6 +2703,45 @@ class TxnTable:
             f"row-level op lost {retries} straight commit races at "
             f"{self.path}")
 
+    def _typed_partition_values(self, spark: SparkSession,
+                                live: list[str], part_col: str
+                                ) -> tuple[DataFrame | None,
+                                           dict[str, list[str]]]:
+        """(values frame, raw-segment -> dirs map) for the live
+        partition subdirs. The frame carries ``__seg`` (the raw
+        Hive-escaped path segment, the join-back key to dirs) and
+        ``part_col`` as the TYPE Spark's partition inference gives the
+        column — resolved from ONE subdir's read plan, zero data I/O —
+        so partition-key predicates evaluate with the same typed
+        semantics the data path uses (``day > 2`` on an int key is
+        numeric, never the lexicographic '10' < '2' trap) and escaped
+        values (timestamps' ``%3A``) round-trip correctly."""
+        from pyspark.sql import functions as F
+
+        segs: dict[str, list[str]] = {}
+        for d in live:
+            p = _partition_of(d)
+            if p is not None:
+                segs.setdefault(p[1], []).append(d)
+        if not segs:
+            return None, {}
+        one = segs[next(iter(segs))][0]
+        try:
+            dtype = (spark.read.option(
+                "basePath",
+                os.path.join(self.path, os.path.dirname(one)))
+                .parquet(os.path.join(self.path, one))
+                .schema[part_col].dataType)
+        except Exception:
+            from pyspark.sql.types import StringType
+            dtype = StringType()
+        vf = (spark.createDataFrame(
+            [(s, _unescape_partition(s)) for s in sorted(segs)],
+            "__seg string, __val string")
+            .select("__seg",
+                    F.col("__val").cast(dtype).alias(part_col)))
+        return vf, segs
+
     def _hot_partitions(self, spark: SparkSession, condition: str,
                         base: int, live: list[str], part_col: str,
                         partition_prune: str | None = None,
@@ -2668,32 +2760,30 @@ class TxnTable:
         partition-key predicate, the partitioned analog of the flat
         path's footer-stats ``prune``) bounds that scan to its
         surviving partitions — at 100 TB the difference between
-        scanning one date partition and the table. Values compare as
-        path strings (Spark coerces against date/numeric literals) —
-        the :meth:`read_partitions_where` contract."""
+        scanning one date partition and the table. Evaluation runs
+        over the TYPED values frame (:meth:`_typed_partition_values`),
+        so key predicates carry data-path semantics."""
         from pyspark.sql import functions as F
 
-        def dirs_of(values: set[str], pool: list[str]) -> list[str]:
-            want = {f"{part_col}={v}" for v in values}
-            return [d for d in pool if os.path.basename(d) in want]
+        vf, segs = self._typed_partition_values(spark, live, part_col)
+        if vf is None:
+            return [], True, []
 
-        vals = sorted({_partition_of(d)[1] for d in live
-                       if _partition_of(d) is not None})
-        vf = spark.createDataFrame([(v,) for v in vals],
-                                   f"`{part_col}` string")
+        def dirs_of(seg_values: set[str]) -> list[str]:
+            return [d for s in sorted(seg_values) for d in segs[s]]
+
         if partition_prune is not None:
-            keep = {r[part_col] for r in
+            keep = {r["__seg"] for r in
                     vf.filter(F.expr(partition_prune)).collect()}
-            vals = sorted(keep)
-            live = dirs_of(keep, live)
-            if not live:
+            if not keep:
                 return [], True, []
-            vf = spark.createDataFrame([(v,) for v in vals],
-                                       f"`{part_col}` string")
+            segs = {s: ds for s, ds in segs.items() if s in keep}
+            live = dirs_of(keep)
+            vf = vf.filter(F.col("__seg").isin(sorted(keep)))
         try:
-            hot = sorted(r[part_col] for r in
+            hot = sorted(r["__seg"] for r in
                          vf.filter(F.expr(condition)).collect())
-            return hot, True, dirs_of(set(hot), live)
+            return hot, True, dirs_of(set(hot))
         except Exception:
             pass  # condition reads data columns: size by scanning
         if prune is not None:
@@ -2708,10 +2798,17 @@ class TxnTable:
                 return [], False, []
         snap = self._read_dirs(spark, live, self._dvs_for(live, base),
                                version=base)
-        hot = sorted(str(r[0]) for r in
-                     snap.filter(F.expr(condition)).select(part_col)
-                     .distinct().collect())
-        return hot, False, dirs_of(set(hot), live)
+        # typed match-back: the scan yields the partition column's
+        # PARSED values; the semi-join against the typed values frame
+        # recovers their raw path segments (never a str() re-render,
+        # which would miss Hive-escaped segments)
+        hot_vals = snap.filter(F.expr(condition)).select(part_col) \
+            .distinct()
+        hot = sorted(r["__seg"] for r in
+                     vf.join(hot_vals, part_col, "left_semi").collect())
+        live_set = set(live)
+        cands = [d for d in dirs_of(set(hot)) if d in live_set]
+        return hot, False, cands
 
     def _delete_where_partitioned(self, spark: SparkSession,
                                   condition: str, meta: dict | None,
@@ -3147,13 +3244,34 @@ class TxnTable:
                     r"\b(" + "|".join(re.escape(c) for c in names)
                     + r")\b", re.IGNORECASE)
                 lut = {c.lower(): f"({set_exprs[c]})" for c in names}
+                lit_pat = re.compile(r"'(?:[^']|'')*'")
+
+                def _subst(text: str) -> tuple[str, int]:
+                    # SIMULTANEOUS substitution, SKIPPING string
+                    # literals: a column name inside '...' is text, not
+                    # a reference — rewriting it would corrupt the SQL
+                    # (the r11 staleness REGEX tolerated that false
+                    # positive because it only refused; a rewriter
+                    # cannot). A SET expression's own column references
+                    # mean the pre-image and are never re-substituted.
+                    out, pos, n = [], 0, 0
+                    for m in lit_pat.finditer(text):
+                        seg, c = pat_all.subn(
+                            lambda mm: lut[mm.group(1).lower()],
+                            text[pos:m.start()])
+                        n += c
+                        out.append(seg)
+                        out.append(m.group(0))
+                        pos = m.end()
+                    seg, c = pat_all.subn(
+                        lambda mm: lut[mm.group(1).lower()], text[pos:])
+                    n += c
+                    out.append(seg)
+                    return "".join(out), n
+
                 recompute = {}
                 for g, e in gens.items():
-                    # SIMULTANEOUS substitution: a SET expression's own
-                    # column references mean the pre-image and must not
-                    # be re-substituted by a second pass
-                    new_e, n = pat_all.subn(
-                        lambda m: lut[m.group(1).lower()], e)
+                    new_e, n = _subst(e)
                     if n:
                         recompute[g] = new_e
                 set_exprs = {**set_exprs, **recompute}
@@ -3554,19 +3672,26 @@ class TxnTable:
         live = self.snapshot_dirs(base)
         col = self._live_partition_col(live)
         if col is None:
+            if not live and self.generation_config().get("partition_by"):
+                return None  # fully-purged declared table: no-op
             raise ValueError(
                 "compact_partitions_if_needed on an unpartitioned "
                 f"table: {self.path} — use compact_if_needed")
-        per_val = Counter(_partition_of(d)[1] for d in live
-                          if _partition_of(d) is not None)
-        hot = sorted(v for v, c in per_val.items()
+        segs: dict[str, list[str]] = {}
+        for d in live:
+            p = _partition_of(d)
+            if p is not None:
+                segs.setdefault(p[1], []).append(d)
+        per_val = Counter({s: len(ds) for s, ds in segs.items()})
+        hot = sorted(s for s, c in per_val.items()
                      if c > max_dirs_per_value)
         if not hot:
             return None
-        want = {f"{col}={v}" for v in hot}
-        removes = [d for d in live if os.path.basename(d) in want]
+        removes = [d for s in hot for d in segs[s]]
         # one task per hot value -> one output file per rewritten dir
-        df = (self.read_partitions(spark, hot, version=base)
+        df = (self._read_dirs(spark, removes,
+                              self._dvs_for(removes, base),
+                              version=base)
               .repartition(len(hot), col))
         adds = self._write_data_partitioned(df, col)
         return self.commit(

@@ -252,9 +252,20 @@ def write_stream_txn_append(df: DataFrame, target: str, checkpoint: str,
             # INSIDE the same commit (the identity conflict loop
             # re-reads the high water and re-assigns on a lost race;
             # a partition-declared target gets col=value subdir adds —
-            # streaming ingest into a date-partitioned table); the
-            # ledger check above still guards replays, and the meta
-            # keys keep the batch in the ledger
+            # streaming ingest into a date-partitioned table).
+            # retries=0 keeps the conflict loop HERE so a racing
+            # replica of this same (app_id, batch_id) is detected by
+            # the ledger re-check instead of blindly re-committed
+            # (exactly the raw path's discipline below)
+            for _ in range(5):
+                try:
+                    table.append(batch_df, meta, retries=0)
+                    table.checkpoint_if_needed()
+                    return
+                except TxnConflictError:
+                    if (table.max_stream_batch_id(app_id)
+                            or -1) >= batch_id:
+                        return  # racer was our own replay
             table.append(batch_df, meta)
             table.checkpoint_if_needed()
             return

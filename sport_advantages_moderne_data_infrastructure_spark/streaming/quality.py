@@ -74,7 +74,21 @@ def _txn_append_leg(path: str, batch_df: DataFrame, batch_id: int,
         # append() so the writer computes/allocates/lays out inside
         # the same commit (a raw _write_data here would bypass
         # generation and strand rows outside a declared partition
-        # layout); the ledger check above still guards replays
+        # layout). retries=0 keeps the conflict loop HERE: a racing
+        # replica of this same (app_id, batch_id) must be detected via
+        # the ledger re-check, not blindly re-committed (append's own
+        # retry loop never re-reads the ledger — the raw path below has
+        # the identical discipline)
+        from ..sources.txnlog import TxnConflictError as _Conflict
+
+        for _ in range(5):
+            try:
+                table.append(batch_df, meta, retries=0)
+                table.checkpoint_if_needed()
+                return
+            except _Conflict:
+                if (table.max_stream_batch_id(app_id) or -1) >= batch_id:
+                    return  # racer was our own replay
         table.append(batch_df, meta)
         table.checkpoint_if_needed()
         return

@@ -348,3 +348,21 @@ def test_streaming_merge_sink_composes_with_identity(spark, tmp_path):
     # the original 30 keys kept their first-allocation ids
     assert (s.join(o.limit(30), "o_orderkey", "left_semi")
             .agg(F.max("rid")).first()[0]) <= 30
+
+
+def test_recompute_skips_string_literals(spark, tmp_path):
+    """Review r12: the post-SET substitution must not rewrite a SET
+    column's NAME inside a string literal of the generation expression
+    — only real column references substitute."""
+    t = TxnTable(str(tmp_path / "lit"))
+    t.set_generated_column(
+        "label", "CONCAT('status', ': ', status)")
+    df = (_orders(spark, 4)
+          .select(F.col("o_orderkey").alias("k"),
+                  F.lit("open").alias("status")))
+    t.append(df)
+    assert t.read(spark).filter("label != 'status: open'").count() == 0
+    t.update_where(spark, "k = 1", {"status": "'closed'"})
+    r = {row["k"]: row["label"] for row in t.read(spark).collect()}
+    assert r[1] == "status: closed"
+    assert all(v == "status: open" for k, v in r.items() if k != 1)

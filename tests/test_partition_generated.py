@@ -480,15 +480,16 @@ def test_streaming_ingest_into_generated_partitions(spark, tmp_path):
         t.commit([rel], [])
 
 
-def test_meta_only_purge_runs_one_local_job(spark, tmp_path):
+def test_meta_only_purge_runs_bounded_metadata_jobs(spark, tmp_path):
     """The retention-purge scale claim as a JOB-COUNT pin: a
-    partition-key-only DELETE with the change feed off runs exactly
-    ONE Spark job — the predicate evaluating over the LOCAL
-    partition-values frame (createDataFrame of the live values,
-    bounded by partition count, zero table I/O by construction) — and
-    the commit is pure metadata. At 100 TB this is the difference
-    between dropping a year of partitions in milliseconds and a
-    cluster-wide rewrite."""
+    partition-key-only DELETE with the change feed off runs at most
+    TWO Spark jobs, both metadata-bounded — one parquet-footer read
+    resolving the partition key's inferred type from ONE subdir, and
+    the predicate evaluating over the LOCAL partition-values frame
+    (createDataFrame of the live values, bounded by partition count).
+    Zero table-data rows move; the commit is pure metadata. At 100 TB
+    this is the difference between dropping a year of partitions in
+    milliseconds and a cluster-wide rewrite."""
     o = _orders(spark)
     t = _ptable(tmp_path)
     t.append(o)
@@ -504,6 +505,116 @@ def test_meta_only_purge_runs_one_local_job(spark, tmp_path):
     finally:
         sc.setJobGroup(None, None)
     njobs = len(sc.statusTracker().getJobIdsForGroup("purge"))
-    assert njobs == 1, f"meta-only purge ran {njobs} Spark job(s)"
+    assert njobs <= 2, f"meta-only purge ran {njobs} Spark job(s)"
     assert t.read(spark).filter(
         F.col("order_month").cast("string") < cut).count() == 0
+
+
+def test_timestamp_partition_key_escaped_segments(spark, tmp_path):
+    """Review r12: a DATE_TRUNC(month, ts) generated key writes
+    Hive-ESCAPED path segments (ts=1999-06-01 00%3A00%3A00); the typed
+    values frame must round-trip them — partitioned delete/update on a
+    data predicate, key-predicate reads, and read_base_range all work
+    and equal their unpruned twins."""
+    o = _orders(spark)
+    t = TxnTable(str(tmp_path / "ts"))
+    t.set_generated_column("month_ts",
+                           "DATE_TRUNC('month', o_orderdate)")
+    t.set_partition_column("month_ts")
+    t.append(o)
+    assert any("%3A" in d for d in t.snapshot_dirs())  # escaped colons
+    # data-predicate delete: sizing scan + typed match-back
+    k = o.select(F.min("o_orderkey")).first()[0]
+    t.delete_where(spark, f"o_orderkey = {k}")
+    assert t.read(spark).count() == 199
+    assert t.read(spark).filter(f"o_orderkey = {k}").count() == 0
+    # key-predicate read through the escaped values
+    cut = "1999-01-01 00:00:00"
+    got = t.read_partitions_where(spark, f"month_ts >= '{cut}'")
+    want = t.read(spark).filter(f"month_ts >= '{cut}'")
+    assert got.count() == want.count() > 0
+    # base-range inference across the escaped boundary partition
+    dates = sorted(r[0] for r in o.select("o_orderdate").collect())
+    lo, hi = dates[40], dates[160]
+    got2 = t.read_base_range(spark, "o_orderdate", lo, hi)
+    want2 = t.read(spark).filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") <= hi))
+    assert got2.count() == want2.count() > 0
+    assert got2.exceptAll(want2).count() == 0
+    # update with partition migration across escaped segments
+    t.update_where(spark, "o_orderkey % 11 = 3",
+                   {"o_orderdate": "o_orderdate + INTERVAL 40 DAYS"})
+    assert t.read(spark).filter(F.expr(
+        "month_ts != DATE_TRUNC('month', o_orderdate)")).count() == 0
+
+
+def test_int_partition_key_typed_predicate_semantics(spark, tmp_path):
+    """Review r12: partition-key predicates evaluate with the column's
+    INFERRED type, never lexicographic strings — day > 2 on an int key
+    must hit day=10..12, and a purge of day < 16 on wide int values
+    must not sweep '100'..'127'."""
+    t = TxnTable(str(tmp_path / "ik"))
+    t.set_partition_column("day")
+    rows = [(i, d) for d in (1, 2, 3, 9, 10, 11, 12, 100, 127)
+            for i in range(3)]
+    t.append(spark.createDataFrame(rows, "id int, day int"))
+    t.delete_where(spark, "day > 2 AND day < 100")
+    left = sorted(r[0] for r in t.read(spark)
+                  .select("day").distinct().collect())
+    assert left == [1, 2, 100, 127]
+    # the numeric purge drops ONLY numerically-smaller values
+    t2 = TxnTable(str(tmp_path / "ik2"))
+    t2.set_partition_column("day")
+    t2.append(spark.createDataFrame(rows, "id int, day int"))
+    t2.delete_where(spark, "day < 16", capture_changes=False)
+    left2 = sorted(r[0] for r in t2.read(spark)
+                   .select("day").distinct().collect())
+    assert left2 == [100, 127]
+    # read_partitions_where agrees
+    assert (t2.read_partitions_where(spark, "day > 99").count()
+            == t2.read(spark).count())
+
+
+def test_partition_declaration_raises_writer_floor(spark, tmp_path,
+                                                   monkeypatch):
+    """Review r12: set_partition_column stamps min_writer_version 3 —
+    a pre-declaration writer (capability 2, no plain-dir commit guard)
+    must refuse at _check_protocol instead of stranding rows in a
+    plain dir outside the declared layout."""
+    import json
+    import os
+
+    from sport_advantages_moderne_data_infrastructure_spark.sources import (
+        txnlog as TL,
+    )
+    from sport_advantages_moderne_data_infrastructure_spark.sources.txnlog import (
+        TxnProtocolError,
+    )
+
+    o = _orders(spark, 20)
+    t = TxnTable(str(tmp_path / "w"))
+    t.set_partition_column("o_custkey")  # PLAIN key: floor still rises
+    proto = json.load(open(os.path.join(t.log_dir, "protocol.json")))
+    assert proto["min_writer_version"] >= 3
+    t2 = TxnTable(t.path)
+    monkeypatch.setattr(TL, "_WRITER_CAPABILITY", 2)
+    with pytest.raises(TxnProtocolError, match="writer"):
+        t2.append(o)
+
+
+def test_empty_live_declared_table_no_ops(spark, tmp_path):
+    """Review r12: a declared table whose live set a purge emptied is
+    a legal state — reads return empty frames, the scheduled
+    partition compaction no-ops, and new appends resume the layout."""
+    o = _orders(spark, 30)
+    t = _ptable(tmp_path, "el")
+    t.append(o)
+    t.delete_where(spark, "order_month >= '0000'",
+                   capture_changes=False)  # purge EVERYTHING
+    assert t.read(spark).count() == 0
+    assert t.read_partitions_where(spark,
+                                   "order_month >= '0000'").count() == 0
+    assert t.compact_partitions_if_needed(spark) is None
+    t.append(o)  # layout resumes
+    assert t.read(spark).count() == 30
+    assert all("order_month=" in d for d in t.snapshot_dirs())
