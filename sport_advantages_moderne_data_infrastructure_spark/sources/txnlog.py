@@ -662,6 +662,29 @@ class TxnTable:
             return None
         return next(g for g in m.groups() if g is not None), expr
 
+    def show_partitions(self, version: int | None = None
+                        ) -> dict[str, int | None]:
+        """{partition value (unescaped) -> NET row count} for the live
+        snapshot, from LOG METADATA ALONE (Delta's SHOW PARTITIONS plus
+        per-partition counts): per-dir row counts come from the commit
+        docs, deletion-vector masks subtract, no data I/O and no Spark
+        job — at 100 TB the partition inventory of a daily-partitioned
+        table answers in milliseconds. A value maps to None when any of
+        its dirs predates row recording (callers fall back to a
+        scan)."""
+        rows = self._live_rows(version)
+        out: dict[str, int | None] = {}
+        for d, n in rows.items():
+            p = _partition_of(d)
+            if p is None:
+                continue
+            v = _unescape_partition(p[1])
+            if v in out and (out[v] is None or n is None):
+                out[v] = None
+            else:
+                out[v] = (out.get(v) or 0) + n if n is not None else None
+        return out
+
     def read_base_range(self, spark: SparkSession, col: str,
                         lo=None, hi=None,
                         version: int | None = None) -> DataFrame:

@@ -167,3 +167,27 @@ def test_dv_needle_retraction_accepts_string_ids(spark, sf_dir, tmp_path):
     m = read_index(spark, idx.path)
     assert m.filter(F.col("vec_id").isin(gone)).count() == 0
     assert m.count() == 60 - len(gone)
+
+
+def test_commit_ledger_guard_absorbs_same_batch_race(spark, tmp_path):
+    """r12 review: the exactly-once ledger check lives INSIDE commit()
+    (Delta's SetTransaction discipline) — a second commit of the same
+    (app_id, batch_id) raises TxnConflictError even though it targets
+    a fresh version, closing the window where a replica landing after
+    a sink's pre-commit ledger check double-committed a batch. Other
+    apps and later batches are unaffected."""
+    o = _orders(spark, 20)
+    t = TxnTable(str(tmp_path / "lg"))
+    meta = {"stream_batch_id": 5, "stream_app_id": "x",
+            "operation": "stream_append"}
+    rel = t._write_data(o.limit(5))  # noqa: SLF001
+    t.commit([rel], [], meta)
+    rel2 = t._write_data(o.limit(3))  # noqa: SLF001
+    with pytest.raises(TxnConflictError, match="already"):
+        t.commit([rel2], [], dict(meta))
+    # later batch and other app both commit fine
+    t.commit([rel2], [], {**meta, "stream_batch_id": 6})
+    rel3 = t._write_data(o.limit(2))  # noqa: SLF001
+    t.commit([rel3], [], {**meta, "stream_app_id": "y",
+                          "stream_batch_id": 5})
+    assert t.read(spark).count() == 10

@@ -354,11 +354,18 @@ def test_partitioned_dv_change_feed_carries_preimages(spark, tmp_path):
     assert rows == {(3, 3), (11, 3)}
 
 
-def test_partitioned_dv_rewrite_still_refused_without_flag(spark,
-                                                           tmp_path):
+def test_partitioned_delete_without_dv_rewrites_partition(spark,
+                                                          tmp_path):
+    """r12: the non-DV partitioned delete rewrites ONLY the matched
+    partition (the r11 refusal is gone); the DV path remains the
+    needle-cheap alternative on the same table."""
     t = _part_table(spark, tmp_path)
-    with pytest.raises(ValueError, match="use_dv=True"):
-        t.delete_where(spark, "vec_id = 3")
+    cold = {d for d in t.snapshot_dirs()
+            if "centroid_id=3" not in d}
+    t.delete_where(spark, "vec_id = 3")
+    assert t.read(spark).count() == 999
+    assert t.read(spark).filter("vec_id = 3").count() == 0
+    assert cold <= set(t.snapshot_dirs())  # cold partitions untouched
 
 
 def test_partitioned_dv_clone_and_restore_roundtrip(spark, tmp_path):

@@ -618,3 +618,34 @@ def test_empty_live_declared_table_no_ops(spark, tmp_path):
     t.append(o)  # layout resumes
     assert t.read(spark).count() == 30
     assert all("order_month=" in d for d in t.snapshot_dirs())
+
+
+def test_show_partitions_metadata_only(spark, tmp_path):
+    """SHOW PARTITIONS from the log alone: per-partition NET row
+    counts (DV masks subtracted), zero Spark jobs, values unescaped."""
+    o = _orders(spark)
+    t = _ptable(tmp_path, "sp")
+    t.append(o)
+    sc = spark.sparkContext
+    sc.setJobGroup("showp", "show partitions job count")
+    try:
+        parts = t.show_partitions()
+    finally:
+        sc.setJobGroup(None, None)
+    assert len(sc.statusTracker().getJobIdsForGroup("showp")) == 0
+    want = {r[0]: r[1] for r in
+            o.groupBy(F.date_format("o_orderdate", "yyyy-MM"))
+            .count().collect()}
+    assert parts == want
+    # DV delete subtracts from the metadata counts
+    k = o.select(F.min("o_orderkey")).first()[0]
+    m = (o.filter(f"o_orderkey = {k}")
+         .select(F.date_format("o_orderdate", "yyyy-MM")).first()[0])
+    t.delete_where(spark, f"o_orderkey = {k}", use_dv=True)
+    assert t.show_partitions()[m] == want[m] - 1
+    # escaped timestamp keys list unescaped
+    t2 = TxnTable(str(tmp_path / "sp_ts"))
+    t2.set_generated_column("mts", "DATE_TRUNC('month', o_orderdate)")
+    t2.set_partition_column("mts")
+    t2.append(o.limit(40))
+    assert all(":" in v and "%3A" not in v for v in t2.show_partitions())
