@@ -582,10 +582,10 @@ class TxnTable:
         zero storage I/O for everything else (the lakehouse read path at
         100 TB: the log, not a directory listing, decides what to scan)."""
         want = {str(v) for v in values}
-        dirs = [d for d in self.snapshot_dirs(version)
-                if _partition_of(d) is not None
-                and (_partition_of(d)[1] in want
-                     or _unescape_partition(_partition_of(d)[1]) in want)]
+        pairs = [(d, _partition_of(d)) for d in self.snapshot_dirs(version)]
+        dirs = [d for d, p in pairs
+                if p is not None
+                and (p[1] in want or _unescape_partition(p[1]) in want)]
         if not dirs:
             raise ValueError(f"no live partitions match {values}")
         return self._read_dirs(spark, dirs, self._dvs_for(dirs, version),
@@ -722,10 +722,17 @@ class TxnTable:
             return row["k"]
 
         conds = []
-        if lo is not None:
-            conds.append(f"{part} >= '{key_of(lo)}'")
-        if hi is not None:
-            conds.append(f"{part} <= '{key_of(hi)}'")
+        for bound, op in ((lo, ">="), (hi, "<=")):
+            if bound is None:
+                continue
+            k = key_of(bound)
+            if k is None:
+                # the generation expression didn't evaluate on this
+                # endpoint (unparseable literal): pruning would compare
+                # against the string 'None' and silently drop
+                # partitions — fall back to the exact unpruned read
+                return residual(self.read(spark, version))
+            conds.append(f"{part} {op} '{k}'")
         if not conds:
             return self.read(spark, version)
         return residual(self.read_partitions_where(
@@ -1239,13 +1246,15 @@ class TxnTable:
                 "outside partition-granular bookkeeping; declare on an "
                 "empty table and load it (clone/overwrite a fresh path)")
         cfg["partition_by"] = col
-        self._write_config("generation.json", cfg)
-        # ALWAYS raise the writer floor (not only for generated keys):
-        # a pre-declaration writer has no plain-dir commit guard and
-        # would strand rows outside the declared layout
+        # the floor rises BEFORE the declaration persists: a crash
+        # between the two must leave the table over-strict (floor up,
+        # no declaration), never declared-but-unprotected — a v2
+        # writer passing _check_protocol against a declared table
+        # would strand plain dirs outside the layout
         self._raise_protocol(writer_floor=PART_WRITER_VERSION)
         if col in cfg.get("generated", {}):
             self._bump_protocol_writer()
+        self._write_config("generation.json", cfg)
 
     def set_identity_column(self, col: str, start: int = 1,
                             step: int = 1) -> None:
@@ -2554,7 +2563,11 @@ class TxnTable:
         # live layout is preserved — a plain full rewrite would strand the
         # table's rows outside partition-granular bookkeeping.
         live = self.snapshot_dirs(base)
-        part_col = self._live_partition_col(live)
+        # declared-layout fallback: a purge can empty the live set of a
+        # partition-declared table, and the next merge must still lay
+        # out col=value subdirs (commit refuses plain dirs there)
+        part_col = (self._live_partition_col(live)
+                    or self.generation_config().get("partition_by"))
         adds = (self._write_data_partitioned(merged, part_col)
                 if part_col else [self._write_data(merged,
                                                    mapping=mapping)])
@@ -2762,7 +2775,19 @@ class TxnTable:
             [(s, _unescape_partition(s)) for s in sorted(segs)],
             "__seg string, __val string")
             .select("__seg",
-                    F.col("__val").cast(dtype).alias(part_col)))
+                    F.col("__val")
+                    .try_cast(dtype.simpleString()).alias(part_col)))
+        if any(r[part_col] is None for r in vf.collect()):
+            # the ONE-dir type sample was too narrow (mixed-looking
+            # values: day=1 next to day=abc — the sampled dir said int,
+            # 'abc' cast to NULL and would silently drop out of
+            # pruning). Spark's own inference falls back to string for
+            # mixed values; do the same here. Bounded: the collect is
+            # the partition-values frame, never data.
+            vf = (spark.createDataFrame(
+                [(s, _unescape_partition(s)) for s in sorted(segs)],
+                "__seg string, __val string")
+                .select("__seg", F.col("__val").alias(part_col)))
         return vf, segs
 
     def _hot_partitions(self, spark: SparkSession, condition: str,
@@ -3267,7 +3292,12 @@ class TxnTable:
                     r"\b(" + "|".join(re.escape(c) for c in names)
                     + r")\b", re.IGNORECASE)
                 lut = {c.lower(): f"({set_exprs[c]})" for c in names}
-                lit_pat = re.compile(r"'(?:[^']|'')*'")
+                # both quote styles (Spark's non-ANSI mode treats
+                # "..." as a string literal too) with backslash and
+                # doubled-quote escapes
+                lit_pat = re.compile(
+                    r"'(?:[^'\\]|\\.|'')*'"
+                    r'|"(?:[^"\\]|\\.|"")*"')
 
                 def _subst(text: str) -> tuple[str, int]:
                     # SIMULTANEOUS substitution, SKIPPING string
@@ -3426,7 +3456,8 @@ class TxnTable:
         if base is None:
             raise ValueError(f"nothing to compact: {self.path}")
         live = self.snapshot_dirs(base)
-        part_col = self._live_partition_col(live)
+        part_col = (self._live_partition_col(live)
+                    or self.generation_config().get("partition_by"))
         df = self.read(spark, base).coalesce(target_files)
         adds = (self._write_data_partitioned(df, part_col)
                 if part_col else [self._write_data(df)])

@@ -524,8 +524,8 @@ class _TxnStreamWriter(_TxnWriterBase, DataSourceStreamArrowWriter):
                     table.checkpoint_if_needed()
                     return
                 except TxnConflictError:
-                    if (table.max_stream_batch_id(self.app_id) or -1) \
-                            >= batchId:
+                    seen = table.max_stream_batch_id(self.app_id)
+                    if seen is not None and seen >= batchId:
                         self._drop(messages)  # racer was our own replay
                         return
             table.commit(adds, [], meta, stats=stats)

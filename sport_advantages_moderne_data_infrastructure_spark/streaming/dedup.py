@@ -44,6 +44,7 @@ from pyspark.sql import functions as F
 
 from ..operators.dedup import minhash_signatures, signature_bands
 from ..sources.txnlog import TxnConflictError, TxnTable
+from .scd2 import _ledger_seen
 
 
 def _guarded_append(table_path: str, df: DataFrame, batch_id: int,
@@ -68,7 +69,7 @@ def _guarded_append(table_path: str, df: DataFrame, batch_id: int,
             table.checkpoint_if_needed()
             return
         except TxnConflictError:
-            if (table.max_stream_batch_id(app_id) or -1) >= batch_id:
+            if _ledger_seen(table, app_id, batch_id):
                 shutil.rmtree(os.path.join(table_path, rel),
                               ignore_errors=True)
                 return

@@ -244,30 +244,18 @@ def write_stream_txn_append(df: DataFrame, target: str, checkpoint: str,
         meta = {"stream_batch_id": batch_id, "operation": "stream_append"}
         if app_id is not None:
             meta["stream_app_id"] = app_id
-        gcfg = table.generation_config()
-        if (gcfg.get("generated") or gcfg.get("identity") is not None
-                or gcfg.get("partition_by") is not None):
+        if table.generation_config():
             # generated/identity/partition-declared tables: route
             # through append(), which computes/allocates/lays out
             # INSIDE the same commit (the identity conflict loop
             # re-reads the high water and re-assigns on a lost race;
             # a partition-declared target gets col=value subdir adds —
-            # streaming ingest into a date-partitioned table).
-            # retries=0 keeps the conflict loop HERE so a racing
-            # replica of this same (app_id, batch_id) is detected by
-            # the ledger re-check instead of blindly re-committed
-            # (exactly the raw path's discipline below)
-            for _ in range(5):
-                try:
-                    table.append(batch_df, meta, retries=0)
-                    table.checkpoint_if_needed()
-                    return
-                except TxnConflictError:
-                    if (table.max_stream_batch_id(app_id)
-                            or -1) >= batch_id:
-                        return  # racer was our own replay
-            table.append(batch_df, meta)
-            table.checkpoint_if_needed()
+            # streaming ingest into a date-partitioned table). The
+            # shared helper absorbs same-batch replica races via the
+            # in-commit ledger raise + a None-safe ledger re-check.
+            from .scd2 import _routed_append
+
+            _routed_append(table, batch_df, batch_id, app_id, meta)
             return
         rel = table._write_data(batch_df)  # noqa: SLF001 — package-internal
         for _ in range(5):  # blind append: commit races are retryable
@@ -276,7 +264,8 @@ def write_stream_txn_append(df: DataFrame, target: str, checkpoint: str,
                 table.checkpoint_if_needed()
                 return
             except TxnConflictError:
-                if (table.max_stream_batch_id(app_id) or -1) >= batch_id:
+                from .scd2 import _ledger_seen
+                if _ledger_seen(table, app_id, batch_id):
                     # racer was our own replay: drop the duplicate dir
                     _shutil.rmtree(os.path.join(target, rel),
                                    ignore_errors=True)

@@ -74,23 +74,11 @@ def _txn_append_leg(path: str, batch_df: DataFrame, batch_id: int,
         # append() so the writer computes/allocates/lays out inside
         # the same commit (a raw _write_data here would bypass
         # generation and strand rows outside a declared partition
-        # layout). retries=0 keeps the conflict loop HERE: a racing
-        # replica of this same (app_id, batch_id) must be detected via
-        # the ledger re-check, not blindly re-committed (append's own
-        # retry loop never re-reads the ledger — the raw path below has
-        # the identical discipline)
-        from ..sources.txnlog import TxnConflictError as _Conflict
+        # layout); same-batch replica races are absorbed via the
+        # in-commit ledger raise + the shared None-safe re-check
+        from .scd2 import _routed_append
 
-        for _ in range(5):
-            try:
-                table.append(batch_df, meta, retries=0)
-                table.checkpoint_if_needed()
-                return
-            except _Conflict:
-                if (table.max_stream_batch_id(app_id) or -1) >= batch_id:
-                    return  # racer was our own replay
-        table.append(batch_df, meta)
-        table.checkpoint_if_needed()
+        _routed_append(table, batch_df, batch_id, app_id, meta)
         return
     rel = table._write_data(batch_df)  # noqa: SLF001
     for _ in range(5):
@@ -99,7 +87,8 @@ def _txn_append_leg(path: str, batch_df: DataFrame, batch_id: int,
             table.checkpoint_if_needed()
             return
         except TxnConflictError:
-            if (table.max_stream_batch_id(app_id) or -1) >= batch_id:
+            from .scd2 import _ledger_seen
+            if _ledger_seen(table, app_id, batch_id):
                 _shutil.rmtree(os.path.join(path, rel),
                                ignore_errors=True)
                 return

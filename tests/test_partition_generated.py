@@ -483,13 +483,14 @@ def test_streaming_ingest_into_generated_partitions(spark, tmp_path):
 def test_meta_only_purge_runs_bounded_metadata_jobs(spark, tmp_path):
     """The retention-purge scale claim as a JOB-COUNT pin: a
     partition-key-only DELETE with the change feed off runs at most
-    TWO Spark jobs, both metadata-bounded — one parquet-footer read
-    resolving the partition key's inferred type from ONE subdir, and
-    the predicate evaluating over the LOCAL partition-values frame
-    (createDataFrame of the live values, bounded by partition count).
-    Zero table-data rows move; the commit is pure metadata. At 100 TB
-    this is the difference between dropping a year of partitions in
-    milliseconds and a cluster-wide rewrite."""
+    THREE Spark jobs, all metadata-bounded — one parquet-footer read
+    resolving the partition key's inferred type from ONE subdir, the
+    try_cast validation over the LOCAL partition-values frame, and the
+    predicate evaluating over that same frame (createDataFrame of the
+    live values, bounded by partition count). Zero table-data rows
+    move; the commit is pure metadata. At 100 TB this is the
+    difference between dropping a year of partitions in milliseconds
+    and a cluster-wide rewrite."""
     o = _orders(spark)
     t = _ptable(tmp_path)
     t.append(o)
@@ -505,7 +506,7 @@ def test_meta_only_purge_runs_bounded_metadata_jobs(spark, tmp_path):
     finally:
         sc.setJobGroup(None, None)
     njobs = len(sc.statusTracker().getJobIdsForGroup("purge"))
-    assert njobs <= 2, f"meta-only purge ran {njobs} Spark job(s)"
+    assert njobs <= 3, f"meta-only purge ran {njobs} Spark job(s)"
     assert t.read(spark).filter(
         F.col("order_month").cast("string") < cut).count() == 0
 
@@ -649,3 +650,64 @@ def test_show_partitions_metadata_only(spark, tmp_path):
     t2.set_partition_column("mts")
     t2.append(o.limit(40))
     assert all(":" in v and "%3A" not in v for v in t2.show_partitions())
+
+
+def test_batch_zero_replay_race_absorbed(spark, tmp_path):
+    """Review r12 #2: a same-batch replica race at BATCH 0 must be
+    absorbed — the ledger high water of 0 is falsy and the old
+    `(x or -1) >= batch_id` re-check mis-read it as absent, turning the
+    in-commit ledger conflict into a dead stream."""
+    from sport_advantages_moderne_data_infrastructure_spark.streaming.scd2 import (
+        _ledger_seen,
+        _routed_append,
+    )
+
+    o = _orders(spark, 30)
+    t = _ptable(tmp_path, "bz")
+    meta = {"stream_batch_id": 0, "stream_app_id": "bz",
+            "operation": "stream_append"}
+    # replica A commits batch 0
+    _routed_append(t, o.limit(10), 0, "bz", dict(meta))
+    assert _ledger_seen(t, "bz", 0)
+    # replica B replays batch 0: the in-commit ledger raise + the
+    # None-safe re-check absorb it (no raise, no duplicate rows)
+    _routed_append(t, o.limit(10), 0, "bz", dict(meta))
+    assert t.read(spark).count() == 10
+    # the next batch commits normally
+    _routed_append(t, o.offset(10).limit(5), 1, "bz",
+                   {**meta, "stream_batch_id": 1})
+    assert t.read(spark).count() == 15
+
+
+def test_merge_resumes_declared_layout_after_full_purge(spark,
+                                                        tmp_path):
+    """Review r12 #3: merge on a purge-emptied partition-declared
+    table must lay out col=value subdirs from the DECLARED config, not
+    crash on the plain-dir commit guard."""
+    o = _orders(spark, 40)
+    t = _ptable(tmp_path, "mp")
+    t.append(o.limit(20))
+    t.delete_where(spark, "order_month >= '0000'",
+                   capture_changes=False)  # purge everything
+    assert t.read(spark).count() == 0
+    t.merge(spark, o.offset(20), "o_orderkey")
+    assert t.read(spark).count() == 20
+    assert all("order_month=" in d for d in t.snapshot_dirs())
+
+
+def test_mixed_looking_partition_values_stay_string(spark, tmp_path):
+    """Review r12 #1 (second pass): a string key whose values LOOK
+    numeric in one dir must not let the one-dir type sample drop the
+    non-numeric values from pruning — mixed values re-type as string,
+    matching Spark's own inference fallback."""
+    t = TxnTable(str(tmp_path / "mx"))
+    t.set_partition_column("day")
+    t.append(spark.createDataFrame(
+        [(1, "1"), (2, "abc"), (3, "2")], "id int, day string"))
+    t.delete_where(spark, "day = 'abc'")
+    # the survivors re-infer as ints on read (Spark's own partition
+    # inference once the non-numeric value is gone) — compare as text
+    left = sorted(str(r[0]) for r in t.read(spark)
+                  .select("day").distinct().collect())
+    assert left == ["1", "2"]
+    assert (t.read_partitions_where(spark, "day = '1'").count() == 1)
