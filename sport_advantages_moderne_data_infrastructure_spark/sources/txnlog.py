@@ -3486,6 +3486,26 @@ class TxnTable:
             raise ValueError(f"nothing to compact: {self.path}")
         live = self.snapshot_dirs(base)
         df = self.read(spark, base)
+        part_col = (self._live_partition_col(live)
+                    or self.generation_config().get("partition_by"))
+        if part_col is not None:
+            # clustering WITHIN the partition layout (r12): a plain
+            # clustered rewrite would flatten col=value subdirs into
+            # plain dirs and strand the table's partition bookkeeping;
+            # the one-column z rewrite (interleave of one column = its
+            # ranked range code) preserves the layout per z-bucket
+            if cluster_by == part_col:
+                raise ValueError(
+                    "compact_clustered: the cluster column IS the "
+                    "partition key — the layout already prunes it; "
+                    "cluster by a data column")
+            adds = self._zorder_rewrite(spark, df, [cluster_by],
+                                        target_dirs, 6,
+                                        part_col=part_col)
+            return self.commit(adds, live,
+                               {**(meta or {}), "operation": "compact",
+                                "cluster_by": cluster_by},
+                               expected_version=base)
         probs = [i / target_dirs for i in range(1, target_dirs)]
         bounds = df.approxQuantile(cluster_by, probs, 0.001)
         bounds = sorted(set(bounds))  # dedup collapsed quantiles
@@ -3538,15 +3558,30 @@ class TxnTable:
         single-dimension ancestor."""
         from pyspark.sql import functions as F
 
-        if len(cluster_by) == 1:
-            return self.compact_clustered(
-                spark, cluster_by[0], target_dirs, meta)
         base = self.latest_version()
         if base is None:
             raise ValueError(f"nothing to compact: {self.path}")
         live = self.snapshot_dirs(base)
+        part_col = (self._live_partition_col(live)
+                    or self.generation_config().get("partition_by"))
+        if part_col is not None:
+            # ZORDER WITHIN the partition layout (Delta's OPTIMIZE
+            # ZORDER on a partitioned table): the partition key is
+            # constant per subdir — it prunes via the layout already,
+            # so it drops out of the cluster set and each z-bucket
+            # writes col=value subdirs
+            cluster_by = [c for c in cluster_by if c != part_col]
+            if not cluster_by:
+                raise ValueError(
+                    "compact_zorder: every cluster column equals the "
+                    "partition key — the layout already prunes it; "
+                    "cluster by data columns")
+        if len(cluster_by) == 1 and part_col is None:
+            return self.compact_clustered(
+                spark, cluster_by[0], target_dirs, meta)
         adds = self._zorder_rewrite(
-            spark, self.read(spark, base), cluster_by, target_dirs, bits)
+            spark, self.read(spark, base), cluster_by, target_dirs,
+            bits, part_col=part_col)
         return self.commit(adds, live,
                            {**(meta or {}), "operation": "compact",
                             "zorder_by": list(cluster_by)},
@@ -3554,9 +3589,15 @@ class TxnTable:
 
     def _zorder_rewrite(self, spark: SparkSession, df: DataFrame,
                         cluster_by: list[str], target_dirs: int,
-                        bits: int) -> list[str]:
+                        bits: int, part_col: str | None = None
+                        ) -> list[str]:
         """Z-order ``df`` into ``target_dirs`` new commit dirs; returns
-        their rel paths (caller commits)."""
+        their rel paths (caller commits). With ``part_col`` (r12,
+        Delta's OPTIMIZE ZORDER on a partitioned table) each z-bucket
+        writes ``col=value`` SUBDIRS — the adds are per-(z-bucket x
+        partition), so both the partition key's metadata pruning and
+        the cluster columns' tight per-dir stats apply to every
+        read."""
         from pyspark.sql import functions as F
         from pyspark.sql.types import (
             DateType,
@@ -3626,14 +3667,21 @@ class TxnTable:
         staged = self._to_physical(staged)
         tmp_rel = os.path.join(_DATA_DIR, f".zorder-{uuid.uuid4().hex}")
         tmp_abs = os.path.join(self.path, tmp_rel)
-        staged.write.partitionBy("_bucket").parquet(tmp_abs)
+        pcols = ["_bucket"] + ([part_col] if part_col else [])
+        staged.write.partitionBy(*pcols).parquet(tmp_abs)
         adds = []
         for d in sorted(os.listdir(tmp_abs)):
             if not d.startswith("_bucket="):
                 continue
             rel = os.path.join(_DATA_DIR, uuid.uuid4().hex)
             os.rename(os.path.join(tmp_abs, d), os.path.join(self.path, rel))
-            adds.append(rel)
+            if part_col:
+                adds.extend(sorted(
+                    os.path.join(rel, s)
+                    for s in os.listdir(os.path.join(self.path, rel))
+                    if s.startswith(f"{part_col}=")))
+            else:
+                adds.append(rel)
         import shutil
         shutil.rmtree(tmp_abs, ignore_errors=True)
         return adds
@@ -3677,8 +3725,16 @@ class TxnTable:
                 *[os.path.join(self.path, d) for d in tail])
         else:
             df = self._read_dirs(spark, tail)
+        part_col = (self._live_partition_col(tail)
+                    or self.generation_config().get("partition_by"))
+        if part_col is not None:
+            cluster_by = [c for c in cluster_by if c != part_col]
+            if not cluster_by:
+                raise ValueError(
+                    "compact_zorder_incremental: every cluster column "
+                    "equals the partition key — cluster by data columns")
         adds = self._zorder_rewrite(spark, df, cluster_by, target_dirs,
-                                    bits)
+                                    bits, part_col=part_col)
         return self.commit(adds, tail,
                            {**(meta or {}), "operation": "compact",
                             "zorder_by": list(cluster_by),

@@ -711,3 +711,39 @@ def test_mixed_looking_partition_values_stay_string(spark, tmp_path):
                   .select("day").distinct().collect())
     assert left == ["1", "2"]
     assert (t.read_partitions_where(spark, "day = '1'").count() == 1)
+
+
+def test_zorder_within_generated_partitions(spark, tmp_path):
+    """OPTIMIZE ZORDER on a partition-declared table (r12): the
+    rewrite preserves the col=value layout — each z-bucket commits
+    partition SUBDIRS — so partition pruning and the cluster columns'
+    tight per-dir stats compose; reads are row-identical across it."""
+    o = _orders(spark)
+    t = _ptable(tmp_path, "zp")
+    for i in range(4):  # fragmented arrival order
+        t.append(o.filter(F.pmod(F.col("o_orderkey"), F.lit(4)) == i))
+    before = {tuple(sorted(r)) for r in
+              t.read(spark).select("o_orderkey", "o_totalprice")
+              .collect()}
+    v = t.compact_zorder(spark, ["o_custkey", "o_totalprice"],
+                         target_dirs=4)
+    dirs = t.snapshot_dirs()
+    assert dirs and all("order_month=" in d for d in dirs)
+    after = {tuple(sorted(r)) for r in
+             t.read(spark).select("o_orderkey", "o_totalprice")
+             .collect()}
+    assert after == before
+    # partition pruning still metadata-only
+    months = sorted({d.split("order_month=")[1] for d in dirs})
+    assert (t.read_partitions_where(
+        spark, f"order_month = '{months[0]}'").count() > 0)
+    # cluster stats are now tight: a narrow o_custkey range prunes dirs
+    lo = o.agg(F.min("o_custkey")).first()[0]
+    pruned = t.pruned_dirs("o_custkey", lo, lo)
+    assert len(pruned) < len(dirs)
+    # change feed skips the rewrite as layout-only
+    assert t.read_changes(spark, since_version=v - 1, upto=v).count() == 0
+    # clustered (single-column) variant also preserves the layout
+    t.compact_clustered(spark, "o_totalprice", target_dirs=3)
+    assert all("order_month=" in d for d in t.snapshot_dirs())
+    assert t.read(spark).count() == 200
