@@ -747,3 +747,23 @@ def test_zorder_within_generated_partitions(spark, tmp_path):
     t.compact_clustered(spark, "o_totalprice", target_dirs=3)
     assert all("order_month=" in d for d in t.snapshot_dirs())
     assert t.read(spark).count() == 200
+
+
+def test_bloom_point_lookup_composes_with_partitions(spark, tmp_path):
+    """Bloom file skipping records per partition SUBDIR at commit, so a
+    point lookup on a generated-partitioned table prunes subdirs by
+    bloom and still answers exactly."""
+    o = _orders(spark)
+    t = _ptable(tmp_path, "bl")
+    t.enable_bloom(["o_orderkey"])
+    t.append(o.limit(100))
+    t.append(o.offset(100))
+    k = o.select(F.max("o_orderkey")).first()[0]
+    got = t.read_point(spark, "o_orderkey", k)
+    assert got.count() == 1
+    assert got.first()["o_orderkey"] == k
+    # pruning is real: the bloom keeps a strict subset of live subdirs
+    dirs = t.pruned_dirs_eq("o_orderkey", k)
+    assert 0 < len(dirs) < len(t.snapshot_dirs())
+    # a value no row carries returns empty without raising
+    assert t.read_point(spark, "o_orderkey", -12345).count() == 0
