@@ -767,3 +767,48 @@ def test_bloom_point_lookup_composes_with_partitions(spark, tmp_path):
     assert 0 < len(dirs) < len(t.snapshot_dirs())
     # a value no row carries returns empty without raising
     assert t.read_point(spark, "o_orderkey", -12345).count() == 0
+
+
+def test_stats_range_and_metadata_count_compose(spark, tmp_path):
+    """Footer-stats range reads and the metadata-only COUNT(*) both
+    compose with the generated partition layout (per-SUBDIR stats and
+    row counts live in the commit docs), including under a DV mask."""
+    o = _orders(spark)
+    t = _ptable(tmp_path, "rc")
+    t.append(o.limit(100))
+    t.append(o.offset(100))
+    keys = sorted(r[0] for r in o.select("o_orderkey").collect())
+    lo, hi = keys[10], keys[60]
+    got = t.read_range(spark, "o_orderkey", lo, hi)
+    want = o.filter((F.col("o_orderkey") >= lo)
+                    & (F.col("o_orderkey") <= hi))
+    assert got.count() == want.count() > 0
+    # stats pruning keeps a strict subset (second append's subdirs
+    # carry disjoint key ranges)
+    assert (0 < len(t.pruned_dirs("o_orderkey", lo, hi))
+            < len(t.snapshot_dirs()))
+    # metadata-only COUNT(*), DV-adjusted
+    assert t.snapshot_row_count() == 200
+    n_gone = o.filter("o_orderkey <= 5").count()
+    t.delete_where(spark, "o_orderkey <= 5", use_dv=True)
+    assert t.snapshot_row_count() == 200 - n_gone
+
+
+def test_check_constraints_on_partitioned_writes(spark, tmp_path):
+    """CHECK constraints verify inside the partitioned write path: a
+    violating append rolls back atomically (no partial subdirs become
+    live), a clean one commits."""
+    o = _orders(spark, 40)
+    t = _ptable(tmp_path, "cc")
+    t.add_check_constraint("price_positive", "o_totalprice > 0")
+    t.append(o.limit(20))
+    assert t.read(spark).count() == 20
+    v0 = t.latest_version()
+    bad = o.offset(20).withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 2 == 0, F.lit(-1.0))
+        .otherwise(F.col("o_totalprice")))
+    with pytest.raises(ValueError, match="price_positive"):
+        t.append(bad)
+    assert t.latest_version() == v0
+    assert t.read(spark).count() == 20  # nothing partial became live
