@@ -214,6 +214,45 @@ def _unescape_partition(value: str) -> str:
     return unquote(value)
 
 
+def _partition_segs(rel_dir: str) -> list[tuple[str, str]]:
+    """ALL ``col=value`` path segments of a commit-relative dir, in
+    layout order — ``[]`` for a plain dir, one pair for a single-key
+    layout, N pairs for a nested multi-key layout
+    (``data/<uuid>/date=2024-01-01/region=EU`` →
+    ``[("date","2024-01-01"), ("region","EU")]``, r13's Delta-canonical
+    date × business-key shape). Values are RAW (Hive-escaped) path
+    segments; decode with :func:`_unescape_partition`. Commit uuid dirs
+    never contain ``=`` (hex), so the split is unambiguous; a literal
+    ``=`` inside a value is Hive-escaped to ``%3D`` by the writer."""
+    out = []
+    for seg in rel_dir.split(os.sep):
+        if "=" in seg:
+            col, _, val = seg.partition("=")
+            out.append((col, val))
+    return out
+
+
+def _commit_root(rel_dir: str) -> str:
+    """The ``data/<uuid>`` commit root of a (possibly nested) partition
+    subdir — the ``basePath`` Spark needs to re-derive EVERY partition
+    column from the path. Plain dirs return themselves."""
+    parts = rel_dir.split(os.sep)
+    while parts and "=" in parts[-1]:
+        parts.pop()
+    return os.sep.join(parts)
+
+
+def _partition_suffix(rel_dir: str) -> str:
+    """The ``c1=v1[/c2=v2…]`` suffix of a partition subdir — the
+    layout-relative identity of one partition across commits (what
+    ``overwrite_partitions`` matches removes on), '' for plain dirs."""
+    parts = rel_dir.split(os.sep)
+    segs = []
+    while parts and "=" in parts[-1]:
+        segs.append(parts.pop())
+    return os.sep.join(reversed(segs))
+
+
 class TxnTable:
     def __init__(self, path: str):
         self.path = path
@@ -582,10 +621,15 @@ class TxnTable:
         zero storage I/O for everything else (the lakehouse read path at
         100 TB: the log, not a directory listing, decides what to scan)."""
         want = {str(v) for v in values}
-        pairs = [(d, _partition_of(d)) for d in self.snapshot_dirs(version)]
+        pairs = [(d, _partition_segs(d))
+                 for d in self.snapshot_dirs(version)]
+        # multi-key layouts match on the LEADING key's value — prefix
+        # pruning (a value selects every nested subpartition under it);
+        # full-predicate pruning is read_partitions_where
         dirs = [d for d, p in pairs
-                if p is not None
-                and (p[1] in want or _unescape_partition(p[1]) in want)]
+                if p
+                and (p[0][1] in want
+                     or _unescape_partition(p[0][1]) in want)]
         if not dirs:
             raise ValueError(f"no live partitions match {values}")
         return self._read_dirs(spark, dirs, self._dvs_for(dirs, version),
@@ -593,29 +637,33 @@ class TxnTable:
 
     def read_partitions_where(self, spark: SparkSession, condition: str,
                               version: int | None = None) -> DataFrame:
-        """Predicate-pruned partition read (r12): evaluate ``condition``
-        — SQL over the partition KEY only, e.g. ``order_date >=
-        DATE'1995-03-01'`` — against the live partition VALUES and read
-        only the surviving ``col=value`` subdirs. The evaluation runs
-        over one tiny local frame of the distinct partition values
-        (bounded by the live partition count — the same driver-side
-        bound the log walk itself carries), so pruning is METADATA-only:
-        zero storage I/O for non-matching partitions, the partition-by-
-        generated read path at 100 TB (one year of daily partitions =
-        365 candidate values, whatever the table's size). Values
-        evaluate TYPED (:meth:`_typed_partition_values` — an int key's
-        ``day > 2`` is numeric, escaped timestamp segments
-        round-trip). An empty survivor set — or a partition-declared
-        table whose live set a purge emptied — returns an empty frame
-        of the snapshot schema rather than raising (a range with no
-        data is an answer)."""
+        """Predicate-pruned partition read (r12; r13 multi-key):
+        evaluate ``condition`` — SQL over the partition KEYS only, e.g.
+        ``order_year >= '1998' AND region = 'EU'`` — against the live
+        partition VALUES and read only the surviving nested
+        ``col=value`` subdirs. Predicates over ANY subset of the keys
+        prune: leading-prefix-only, trailing-key-only, and both-key
+        conjunctions all evaluate on the same tiny values frame. The
+        evaluation runs over one local frame of the distinct partition
+        TUPLES (bounded by the live partition count — the same
+        driver-side bound the log walk itself carries), so pruning is
+        METADATA-only: zero storage I/O for non-matching partitions,
+        the partition-by-generated read path at 100 TB (one year of
+        daily partitions × regions = bounded candidate tuples, whatever
+        the table's size). Values evaluate TYPED
+        (:meth:`_typed_partition_values` — an int key's ``day > 2`` is
+        numeric, escaped timestamp segments round-trip, and recorded
+        write-time types override Hive path inference). An empty
+        survivor set — or a partition-declared table whose live set a
+        purge emptied — returns an empty frame of the snapshot schema
+        rather than raising (a range with no data is an answer)."""
         from pyspark.sql import functions as F
 
         dirs = [d for d in self.snapshot_dirs(version)
-                if _partition_of(d) is not None]
-        col = self._live_partition_col(dirs)
-        if col is None:
-            if self.generation_config().get("partition_by"):
+                if _partition_segs(d)]
+        cols = self._live_partition_cols(dirs)
+        if cols is None:
+            if self._part_keys():
                 # partition-DECLARED table with an empty live set (a
                 # purge dropped every partition): an empty frame is the
                 # answer, same as an empty survivor set below
@@ -623,7 +671,7 @@ class TxnTable:
             raise ValueError(
                 f"read_partitions_where on an unpartitioned table: "
                 f"{self.path}")
-        vf, segs = self._typed_partition_values(spark, dirs, col)
+        vf, segs = self._typed_partition_values(spark, dirs, cols)
         keep = {r["__seg"] for r in
                 vf.filter(F.expr(condition)).collect()}
         if not keep:
@@ -644,16 +692,19 @@ class TxnTable:
         r"|DATE_TRUNC\(\s*'\w+'\s*,\s*(\w+)\s*\))\s*$")
 
     def generated_base_column(self) -> tuple[str, str] | None:
-        """(base_col, generation_expr) when the declared partition key
-        is generated by a WHITELISTED monotonic shape of one base
-        column (DATE_FORMAT 'yyyy[-MM[-dd]]', CAST AS DATE, YEAR,
-        DATE_TRUNC) — else None. The whitelist is what makes
+        """(base_col, generation_expr) when the declared LEADING
+        partition key is generated by a WHITELISTED monotonic shape of
+        one base column (DATE_FORMAT 'yyyy[-MM[-dd]]', CAST AS DATE,
+        YEAR, DATE_TRUNC) — else None. The whitelist is what makes
         :meth:`read_base_range`'s bound mapping sound: for these forms
-        ``a <= b`` implies ``T(a) <= T(b)``."""
+        ``a <= b`` implies ``T(a) <= T(b)``. On a multi-key layout the
+        leading key carries the inference; trailing keys prune via
+        explicit read_partitions_where predicates."""
         import re
 
         cfg = self.generation_config()
-        part = cfg.get("partition_by")
+        keys = self._part_keys(cfg)
+        part = keys[0] if keys else None
         expr = (cfg.get("generated") or {}).get(part)
         if part is None or expr is None:
             return None
@@ -675,10 +726,12 @@ class TxnTable:
         rows = self._live_rows(version)
         out: dict[str, int | None] = {}
         for d, n in rows.items():
-            p = _partition_of(d)
-            if p is None:
+            p = _partition_segs(d)
+            if not p:
                 continue
-            v = _unescape_partition(p[1])
+            # multi-key layouts key the inventory on the slash-joined
+            # value tuple ('1998/EU'); single-key stays the bare value
+            v = "/".join(_unescape_partition(x) for _, x in p)
             if v in out and (out[v] is None or n is None):
                 out[v] = None
             else:
@@ -711,7 +764,7 @@ class TxnTable:
         if gen is None or gen[0].lower() != col.lower():
             return residual(self.read(spark, version))
         base_col, expr = gen
-        part = self.generation_config()["partition_by"]
+        part = self._part_keys()[0]
 
         def key_of(v):
             # evaluate the generation expression on ONE endpoint row —
@@ -751,12 +804,18 @@ class TxnTable:
         the CDF reader aliases once at its anchor instead)."""
         from functools import reduce
 
-        plain = [d for d in rel_dirs if _partition_of(d) is None]
+        from pyspark.sql import functions as F
+
+        plain = [d for d in rel_dirs if not _partition_segs(d)]
         parts: dict[str, list[str]] = {}
         for d in rel_dirs:
-            if _partition_of(d) is not None:
-                parts.setdefault(os.path.dirname(d), []).append(d)
+            if _partition_segs(d):
+                # group by the COMMIT ROOT (data/<uuid>), not dirname:
+                # a nested multi-key subdir's basePath must sit above
+                # every col=value level so Spark re-derives ALL keys
+                parts.setdefault(_commit_root(d), []).append(d)
         frames = []
+        type_lut = self._partition_type_lut() if parts else {}
         if plain:
             # mergeSchema: commits may carry evolved schemas (append with
             # merge_schema=True); parquet schema merging unions the
@@ -767,11 +826,25 @@ class TxnTable:
                     *[os.path.join(self.path, d) for d in plain]),
                 dvs or {}))
         for root, subs in sorted(parts.items()):
-            frames.append(self._apply_dvs(
+            df = self._apply_dvs(
                 spark,
-                spark.read.option("basePath", os.path.join(self.path, root))
+                spark.read
+                .option("basePath", os.path.join(self.path, root))
                 .parquet(*[os.path.join(self.path, d) for d in subs]),
-                dvs or {}))
+                dvs or {})
+            # cast path-inferred partition columns back to their
+            # RECORDED write-time types (ADVICE r12: a generated
+            # DATE_FORMAT(col,'yyyy') key writes string '1998' but Hive
+            # inference reads int — the schema would silently diverge
+            # from the unpartitioned twin). Tables written before type
+            # recording have no LUT entry and keep inference. Applied
+            # AFTER the DV anti-join: _metadata must resolve on the
+            # bare scan, a projection in between would break it.
+            for c in (x for x, _ in _partition_segs(subs[0])):
+                want = type_lut.get(c)
+                if want and df.schema[c].dataType.simpleString() != want:
+                    df = df.withColumn(c, F.col(c).cast(want))
+            frames.append(df)
         out = reduce(
             lambda a, b: a.unionByName(b, allowMissingColumns=True), frames)
         return self._logical_view(out, version) if mapped else out
@@ -1201,58 +1274,70 @@ class TxnTable:
         """Stop generating ``col`` — it stays a plain column (values
         already materialized remain; future writes must provide it)."""
         cfg = self.generation_config()
-        if cfg.get("partition_by") == col:
+        if col in self._part_keys(cfg):
             raise ValueError(
-                f"column '{col}' is the table's partition key — its "
-                "generation cannot be dropped while the layout depends "
-                "on it")
+                f"column '{col}' is one of the table's partition keys — "
+                "its generation cannot be dropped while the layout "
+                "depends on it")
         cfg.get("generated", {}).pop(col, None)
         self._write_config("generation.json", cfg)
 
-    def set_partition_column(self, col: str) -> None:
-        """Declare ``col`` the table's PARTITION key (r12, Delta's
-        partition-by-generated): every future append / overwrite /
-        overwrite_partitions lays data out as ``col=value`` subdirs —
-        the log's partition-granular add/remove unit — so reads through
-        the key are METADATA-pruned (:meth:`read_partitions`,
-        :meth:`read_partitions_where`) and a daily batch rewrites one
-        partition, never the table. The headline pairing is a GENERATED
-        key: declare e.g. ``set_generated_column("order_date",
-        "CAST(o_ts AS DATE)")`` then ``set_partition_column(
-        "order_date")`` and writers compute the canonical date layout
-        from the row itself (the reference writes unpartitioned,
-        read_delta.py:219-222 — this is its 100 TB replacement). A
-        plain data column is also accepted. Declare on an EMPTY table
-        (or one already consistently partitioned by ``col``);
-        retrofitting an unpartitioned layout is an overwrite() away
-        AFTER declaring. Identity tables are excluded (allocation's
-        persisted-handle discipline assumes the unpartitioned write
-        path)."""
+    def set_partition_column(self, col: str | list[str]) -> None:
+        """Declare the table's PARTITION key(s) (r12 single-key; r13
+        accepts an ORDERED LIST — Delta's canonical multi-column layout,
+        e.g. generated ``order_year`` + plain ``region`` → nested
+        ``order_year=1998/region=EU`` subdirs): every future append /
+        overwrite / overwrite_partitions lays data out as nested
+        ``col=value`` subdirs — the log's partition-granular add/remove
+        unit — so reads through the keys are METADATA-pruned
+        (:meth:`read_partitions_where` evaluates predicates over ANY
+        subset of the keys: leading-prefix AND both-key pruning) and a
+        daily batch rewrites one partition, never the table. The
+        headline pairing is a GENERATED leading key: declare e.g.
+        ``set_generated_column("order_date", "CAST(o_ts AS DATE)")``
+        then ``set_partition_column(["order_date", "region"])`` and
+        writers compute the canonical date layout from the row itself
+        (the reference writes unpartitioned, read_delta.py:219-222 —
+        this is its 100 TB replacement). Plain data columns are also
+        accepted. Declare on an EMPTY table (or one already consistently
+        partitioned by the same keys); retrofitting a populated
+        unpartitioned table is :meth:`repartition_table`. Identity
+        tables compose (r13, lifting the r12 exclusion): allocation's
+        high water rides the same commit doc the partitioned append
+        publishes, so the optimistic-retry discipline is unchanged."""
+        cols = [col] if isinstance(col, str) else list(col)
+        if not cols:
+            raise ValueError("set_partition_column: empty key list")
+        if len(set(cols)) != len(cols):
+            raise ValueError(
+                f"set_partition_column: duplicate keys in {cols}")
         cfg = self.generation_config()
         ident = cfg.get("identity")
-        if ident is not None:
+        if ident is not None and ident["col"] in cols:
             raise ValueError(
-                "partition_by on an identity table is not supported — "
-                "identity allocation rides the unpartitioned write path")
+                f"column '{ident['col']}' is the table's identity "
+                "column — identity values are unique per row, a "
+                "one-row-per-subdir layout is never what you want")
         live = self.snapshot_dirs() if self.latest_version() is not None \
             else []
-        live_col = self._live_partition_col(live)
-        if live and live_col != col:
-            lay = (f"partitioned by {live_col!r}" if live_col
+        live_cols = self._live_partition_cols(live)
+        if live and live_cols != cols:
+            lay = (f"partitioned by {live_cols!r}" if live_cols
                    else "unpartitioned")
             raise ValueError(
-                f"set_partition_column({col!r}) on a table whose live "
+                f"set_partition_column({cols!r}) on a table whose live "
                 f"layout is {lay} — a mixed layout would strand rows "
                 "outside partition-granular bookkeeping; declare on an "
-                "empty table and load it (clone/overwrite a fresh path)")
-        cfg["partition_by"] = col
+                "empty table and load it, or retrofit the layout with "
+                "repartition_table()")
+        cfg["partition_by"] = cols[0] if len(cols) == 1 else cols
         # the floor rises BEFORE the declaration persists: a crash
         # between the two must leave the table over-strict (floor up,
         # no declaration), never declared-but-unprotected — a v2
         # writer passing _check_protocol against a declared table
         # would strand plain dirs outside the layout
         self._raise_protocol(writer_floor=PART_WRITER_VERSION)
-        if col in cfg.get("generated", {}):
+        if any(c in cfg.get("generated", {}) for c in cols):
             self._bump_protocol_writer()
         self._write_config("generation.json", cfg)
 
@@ -1268,15 +1353,18 @@ class TxnTable:
         on the identical transaction-conflict rule). Values are unique
         and ascending (per ``step``'s sign), CONTIGUOUS within one
         commit, and merge updates KEEP the target row's id. One
-        identity column per table (Delta's rule)."""
+        identity column per table (Delta's rule). Composes with a
+        partition-declared layout (r13): the allocating write computes
+        ids BEFORE the partitioned layout write, and the high water
+        rides the same commit doc as the partition-granular adds."""
         if step == 0:
             raise ValueError("identity step must be non-zero")
         cfg = self.generation_config()
-        if cfg.get("partition_by") is not None:
+        if col in self._part_keys(cfg):
             raise ValueError(
-                "identity on a partition-declared table is not "
-                "supported — identity allocation rides the "
-                "unpartitioned write path")
+                f"column '{col}' is one of the table's partition keys — "
+                "identity values are unique per row, a one-row-per-"
+                "subdir layout is never what you want")
         if col in cfg.get("generated", {}):
             raise ValueError(
                 f"column '{col}' is already a generated column")
@@ -1584,25 +1672,92 @@ class TxnTable:
         self._pending_schemas[rel] = df.schema
         return rel
 
-    def _write_data_partitioned(self, df: DataFrame, part_col: str) -> list[str]:
-        """Write one commit dir partitioned by ``part_col`` and return its
-        partition SUBDIRS — the log's unit of add/remove for
-        partition-granular commits."""
+    def _write_data_partitioned(self, df: DataFrame,
+                                part_cols: str | list[str]) -> list[str]:
+        """Write one commit dir partitioned by ``part_cols`` (one key or
+        an ordered list — nested ``c1=v1/c2=v2`` subdirs, r13) and
+        return its LEAF partition subdirs — the log's unit of add/remove
+        for partition-granular commits. The keys' Spark types are
+        recorded in generation.json (ADVICE r12: Hive path inference
+        would otherwise read a string '1998' segment back as int,
+        silently diverging from the written schema — Delta records
+        typed partition values in its log for the same reason)."""
+        cols = [part_cols] if isinstance(part_cols, str) \
+            else list(part_cols)
+        missing = [c for c in cols if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"partitioned write: frame lacks partition key(s) "
+                f"{missing} (has {df.columns})")
         rel = os.path.join(_DATA_DIR, uuid.uuid4().hex)
         abs_dir = os.path.join(self.path, rel)
         df, verify = self._constrained(df)
-        df.write.partitionBy(part_col).parquet(abs_dir)
+        self._record_partition_types(df, cols)
+        df.write.partitionBy(*cols).parquet(abs_dir)
         verify(abs_dir)
-        return sorted(
-            os.path.join(rel, d) for d in os.listdir(abs_dir)
-            if "=" in d and os.path.isdir(os.path.join(abs_dir, d)))
+        leaves: list[str] = []
+
+        def _walk(d: str, depth: int) -> None:
+            for s in os.listdir(d):
+                p = os.path.join(d, s)
+                if "=" in s and os.path.isdir(p):
+                    if depth + 1 == len(cols):
+                        leaves.append(os.path.relpath(p, self.path))
+                    else:
+                        _walk(p, depth + 1)
+
+        _walk(abs_dir, 0)
+        return sorted(leaves)
+
+    def _record_partition_types(self, df: DataFrame,
+                                cols: list[str]) -> None:
+        """Persist the partition keys' Spark types (simpleString) in
+        generation.json so reads cast Hive path inference back to the
+        written type (:meth:`_partition_type_lut`). Written only when
+        absent/changed — concurrent writers of the same layout write
+        the same value, so the config update is idempotent."""
+        cfg = self.generation_config()
+        cur = cfg.get("partition_types", {})
+        want = {c: df.schema[c].dataType.simpleString() for c in cols}
+        if all(cur.get(c) == t for c, t in want.items()):
+            return
+        cfg["partition_types"] = {**cur, **want}
+        self._write_config("generation.json", cfg)
+
+    def _partition_type_lut(self) -> dict[str, str]:
+        """{partition col -> recorded Spark type simpleString} — empty
+        for tables written before type recording (they keep the r12
+        inference behavior)."""
+        return self.generation_config().get("partition_types", {})
 
     def _live_partition_col(self, dirs: list[str]) -> str | None:
+        """LEADING live partition key (back-compat single-key view);
+        multi-key-aware callers use :meth:`_live_partition_cols`."""
+        cols = self._live_partition_cols(dirs)
+        return cols[0] if cols else None
+
+    def _live_partition_cols(self, dirs: list[str]) -> list[str] | None:
+        """Ordered partition-key list of the live layout (from the
+        first partitioned dir's path segments), or None when every dir
+        is plain. One commit's layout speaks for the table — mixed
+        layouts are refused at declare/commit time."""
         for d in dirs:
-            p = _partition_of(d)
-            if p is not None:
-                return p[0]
+            segs = _partition_segs(d)
+            if segs:
+                return [c for c, _ in segs]
         return None
+
+    def _part_keys(self, cfg: dict | None = None) -> list[str]:
+        """The DECLARED partition key list, normalized: generation.json
+        stores ``partition_by`` as a string (single key, the r12 shape)
+        or an ordered list (multi-key, r13) — callers always see a
+        list, [] when undeclared."""
+        if cfg is None:
+            cfg = self.generation_config()
+        pb = cfg.get("partition_by")
+        if pb is None:
+            return []
+        return [pb] if isinstance(pb, str) else list(pb)
 
     # -- table schema in the log (Delta's metaData action) -----------------
     #
@@ -2083,9 +2238,8 @@ class TxnTable:
         if not files:
             return
         live = set(pq.read_schema(files[0]).names)
-        part = _partition_of(dirs[-1])
-        if part is not None:
-            live.add(part[0])
+        for c, _ in _partition_segs(dirs[-1]):
+            live.add(c)  # partition cols live in the path, not files
         mapping = self.column_mapping(None)
         if mapping:
             # files carry PHYSICAL names; the append frame is LOGICAL
@@ -2115,30 +2269,73 @@ class TxnTable:
         gcfg = self.generation_config()
         if gcfg.get("generated"):
             df = self._apply_generated(df)
-        part = gcfg.get("partition_by")
-        if part is not None:
+        part_keys = self._part_keys(gcfg)
+        ident = gcfg.get("identity")
+        if part_keys:
             if merge_schema:
                 raise ValueError(
                     "append(merge_schema=True) on a partition-declared "
                     "table is not supported — additive evolution on "
                     "partition-granular layouts rides overwrite() of "
                     "the evolved shape")
+            import shutil as _shutil
+
+            pb = gcfg.get("partition_by")
+            if ident is not None:
+                # identity × partitioned layout (r13, lifting the r12
+                # exclusion): allocation makes a lost commit race a
+                # SEMANTIC conflict (the loser's ids came from a stale
+                # high water) — mirror _append_identity: each retry
+                # re-reads the high water, re-assigns, rewrites the
+                # layout, and re-commits against the version it
+                # allocated at. The high-water meta rides the SAME
+                # commit doc as the partition-granular adds.
+                last: TxnConflictError | None = None
+                for _ in range(max(1, retries)):
+                    v0 = self.latest_version()
+                    out, hw_meta, handle = self._assign_identity(
+                        df, ident)
+                    try:
+                        self._check_append_schema(out)
+                        adds = self._write_data_partitioned(
+                            out, part_keys)
+                        try:
+                            return self.commit(
+                                adds, [],
+                                {**(meta or {}), **hw_meta,
+                                 "partition_by": pb},
+                                expected_version=v0)
+                        except TxnConflictError as e:
+                            last = e  # stale allocation: scrap, redo
+                            _shutil.rmtree(
+                                os.path.join(self.path,
+                                             _commit_root(adds[0])),
+                                ignore_errors=True)
+                    finally:
+                        handle.unpersist()
+                raise last
             # partition-declared table (r12): the append's unit of add
             # is the col=value subdir — blind appends still never touch
             # existing files, so the commit race stays retry-safe
             self._check_append_schema(df)
-            adds = self._write_data_partitioned(df, part)
+            adds = self._write_data_partitioned(df, part_keys)
             last = None
             for _ in range(max(1, retries + 1)):
                 try:
                     return self.commit(
                         adds, [],
-                        {**(meta or {}), "partition_by": part},
+                        {**(meta or {}), "partition_by": pb},
                         expected_version=self.latest_version())
                 except TxnConflictError as e:
                     last = e
+            # exhausted retries / ledger-absorbed replay (ADVICE r12):
+            # the written layout is orphaned — reclaim its commit root
+            # now instead of leaking a batch of parquet until vacuum,
+            # mirroring the unpartitioned streaming path's rmtree
+            _shutil.rmtree(
+                os.path.join(self.path, _commit_root(adds[0])),
+                ignore_errors=True)
             raise last
-        ident = gcfg.get("identity")
         if ident is not None:
             if merge_schema:
                 raise ValueError(
@@ -2267,11 +2464,12 @@ class TxnTable:
             live = self.snapshot_dirs(base)
             rel_changes = (self._write_changes(changes)
                            if changes is not None else None)
-            part = gcfg.get("partition_by")
-            adds = (self._write_data_partitioned(df, part)
-                    if part is not None else [self._write_data(df)])
-            m = ({**(meta or {}), "partition_by": part}
-                 if part is not None else meta)
+            part_keys = self._part_keys(gcfg)
+            adds = (self._write_data_partitioned(df, part_keys)
+                    if part_keys else [self._write_data(df)])
+            m = ({**(meta or {}),
+                  "partition_by": gcfg.get("partition_by")}
+                 if part_keys else meta)
             return self.commit(adds, live, m,
                                expected_version=base,
                                changes=rel_changes)
@@ -2370,51 +2568,84 @@ class TxnTable:
                           os.path.join(other.log_dir, "bloom.json"))
         return other
 
-    def overwrite_partitions(self, df: DataFrame, part_col: str,
+    def overwrite_partitions(self, df: DataFrame,
+                             part_col: str | list[str],
                              meta: dict | None = None) -> int:
-        """Partition-granular atomic overwrite (Delta's ``replaceWhere`` /
-        dynamic partition overwrite): replaces exactly the partitions
-        present in ``df``, leaves every other partition's files untouched
-        — at 100 TB a daily batch rewrites one date partition, never the
-        table. The log's add/remove unit is the ``col=value`` subdir, so
-        untouched partitions keep their physical files across versions
-        (cheap commits, cheap time travel). Requires the table's writes to
-        be consistently partitioned by ``part_col``."""
+        """Partition-granular atomic overwrite (Delta's ``replaceWhere``
+        / dynamic partition overwrite): replaces exactly the partitions
+        present in ``df``, leaves every other partition's files
+        untouched — at 100 TB a daily batch rewrites one date
+        partition, never the table. The log's add/remove unit is the
+        (possibly nested) ``col=value`` subdir, so untouched partitions
+        keep their physical files across versions (cheap commits, cheap
+        time travel). Requires the table's writes to be consistently
+        partitioned by the table's key list; ``part_col`` names either
+        the FULL list (replace exact key tuples present in ``df``) or a
+        leading PREFIX of it (r13 — e.g. ``"order_year"`` on an
+        ``[order_year, region]`` table replaces every region
+        subpartition under the years present in ``df``: the
+        whole-date-reload shape at coarser granularity). Data is always
+        WRITTEN at the full declared layout; only the remove matching
+        runs at the requested granularity. On an identity table new
+        rows allocate ids from the high water inside the same commit
+        (replaced rows' ids retire — identity never reuses values)."""
+        given = [part_col] if isinstance(part_col, str) \
+            else list(part_col)
         base = self.latest_version()
         if self.column_mapping(base):
             raise ValueError(
                 "column mapping is not supported on partitioned tables")
         gcfg = self.generation_config()
+        declared = self._part_keys(gcfg)
+        ident = gcfg.get("identity")
+        handle = None
         if gcfg:
             # a partition-DECLARED table (r12) routes generation through
             # the writer before the layout write, so nothing is
-            # bypassed; the key must be the declared one. Undeclared
-            # generation on a partition-granular call still refuses.
-            declared = gcfg.get("partition_by")
-            if declared != part_col or gcfg.get("identity") is not None:
+            # bypassed; the given keys must be the declared list or a
+            # leading prefix of it. Undeclared generation on a
+            # partition-granular call still refuses.
+            ok_prefix = declared and declared[:len(given)] == given
+            if (gcfg.get("generated") or declared) and not ok_prefix:
                 raise ValueError(
-                    "generated/identity columns are not supported on "
-                    "partition-granular tables (overwrite_partitions "
-                    "would bypass generation) — declare the key with "
-                    "set_partition_column() or use append()/merge()/"
-                    "overwrite() on an unpartitioned layout")
+                    f"overwrite_partitions({given!r}): the table "
+                    f"declares partition keys {declared!r} — pass the "
+                    "full list or a leading prefix of it (or declare "
+                    "the key with set_partition_column())")
             if gcfg.get("generated"):
                 df = self._apply_generated(df)
         live = self.snapshot_dirs(base)
-        live_col = self._live_partition_col(live)
-        if live and (live_col is None or live_col != part_col):
+        live_cols = self._live_partition_cols(live)
+        write_cols = declared or given
+        if live and live_cols != write_cols:
             raise ValueError(
-                f"overwrite_partitions({part_col!r}) on a table whose live "
-                f"layout is partitioned by {live_col!r} — partition-granular "
-                "commits need a consistently partitioned table")
-        adds = self._write_data_partitioned(df, part_col)
-        new_parts = {os.path.basename(a) for a in adds}
-        removes = [d for d in live if os.path.basename(d) in new_parts]
-        return self.commit(adds, removes,
-                           {**(meta or {}),
-                            "operation": "overwrite_partitions",
-                            "partition_by": part_col},
-                           expected_version=base)
+                f"overwrite_partitions({given!r}) on a table whose live "
+                f"layout is partitioned by {live_cols!r} — partition-"
+                "granular commits need a consistently partitioned table")
+        hw_meta: dict = {}
+        if ident is not None:
+            df, hw_meta, handle = self._assign_identity(df, ident)
+        try:
+            adds = self._write_data_partitioned(df, write_cols)
+            # removes match at the REQUESTED granularity: the first
+            # len(given) segments of each add's suffix select the live
+            # dirs they supersede (full list => exact tuple replace)
+            k = len(given)
+            new_keys = {tuple(v for _, v in _partition_segs(a)[:k])
+                        for a in adds}
+            removes = [
+                d for d in live
+                if tuple(v for _, v in _partition_segs(d)[:k])
+                in new_keys]
+            return self.commit(adds, removes,
+                               {**(meta or {}), **hw_meta,
+                                "operation": "overwrite_partitions",
+                                "partition_by":
+                                    gcfg.get("partition_by", part_col)},
+                               expected_version=base)
+        finally:
+            if handle is not None:
+                handle.unpersist()
 
     def merge(self, spark: SparkSession, updates: DataFrame,
               key: str | list[str],
@@ -2566,11 +2797,11 @@ class TxnTable:
         # declared-layout fallback: a purge can empty the live set of a
         # partition-declared table, and the next merge must still lay
         # out col=value subdirs (commit refuses plain dirs there)
-        part_col = (self._live_partition_col(live)
-                    or self.generation_config().get("partition_by"))
-        adds = (self._write_data_partitioned(merged, part_col)
-                if part_col else [self._write_data(merged,
-                                                   mapping=mapping)])
+        part_keys = (self._live_partition_cols(live)
+                     or self._part_keys() or None)
+        adds = (self._write_data_partitioned(merged, part_keys)
+                if part_keys else [self._write_data(merged,
+                                                    mapping=mapping)])
         if _ident_handle is not None:
             # data (and change) files are on disk: the identity
             # assignment can no longer be recomputed, release the pin
@@ -2740,13 +2971,17 @@ class TxnTable:
             f"{self.path}")
 
     def _typed_partition_values(self, spark: SparkSession,
-                                live: list[str], part_col: str
+                                live: list[str],
+                                part_cols: str | list[str]
                                 ) -> tuple[DataFrame | None,
                                            dict[str, list[str]]]:
-        """(values frame, raw-segment -> dirs map) for the live
+        """(values frame, raw-suffix -> dirs map) for the live
         partition subdirs. The frame carries ``__seg`` (the raw
-        Hive-escaped path segment, the join-back key to dirs) and
-        ``part_col`` as the TYPE Spark's partition inference gives the
+        Hive-escaped ``c1=v1[/c2=v2…]`` path suffix, the join-back key
+        to dirs) and one TYPED column per partition key: the type is
+        the RECORDED write-time type when generation.json carries one
+        (ADVICE r12 — inference would read a string '1998' segment back
+        as int), else the type Spark's partition inference gives the
         column — resolved from ONE subdir's read plan, zero data I/O —
         so partition-key predicates evaluate with the same typed
         semantics the data path uses (``day > 2`` on an int key is
@@ -2754,51 +2989,76 @@ class TxnTable:
         values (timestamps' ``%3A``) round-trip correctly."""
         from pyspark.sql import functions as F
 
+        cols = [part_cols] if isinstance(part_cols, str) \
+            else list(part_cols)
         segs: dict[str, list[str]] = {}
+        vals: dict[str, list[str]] = {}
         for d in live:
-            p = _partition_of(d)
-            if p is not None:
-                segs.setdefault(p[1], []).append(d)
+            p = _partition_segs(d)
+            if p:
+                suf = _partition_suffix(d)
+                segs.setdefault(suf, []).append(d)
+                vals[suf] = [v for _, v in p]
         if not segs:
             return None, {}
-        one = segs[next(iter(segs))][0]
-        try:
-            dtype = (spark.read.option(
-                "basePath",
-                os.path.join(self.path, os.path.dirname(one)))
-                .parquet(os.path.join(self.path, one))
-                .schema[part_col].dataType)
-        except Exception:
-            from pyspark.sql.types import StringType
-            dtype = StringType()
-        vf = (spark.createDataFrame(
-            [(s, _unescape_partition(s)) for s in sorted(segs)],
-            "__seg string, __val string")
-            .select("__seg",
-                    F.col("__val")
-                    .try_cast(dtype.simpleString()).alias(part_col)))
-        if any(r[part_col] is None for r in vf.collect()):
-            # the ONE-dir type sample was too narrow (mixed-looking
-            # values: day=1 next to day=abc — the sampled dir said int,
-            # 'abc' cast to NULL and would silently drop out of
-            # pruning). Spark's own inference falls back to string for
-            # mixed values; do the same here. Bounded: the collect is
+        lut = self._partition_type_lut()
+        missing = [c for c in cols if c not in lut]
+        dtypes = dict(lut)
+        if missing:
+            one = segs[next(iter(segs))][0]
+            try:
+                sch = (spark.read.option(
+                    "basePath",
+                    os.path.join(self.path, _commit_root(one)))
+                    .parquet(os.path.join(self.path, one)).schema)
+                for c in missing:
+                    dtypes[c] = sch[c].dataType.simpleString()
+            except Exception:
+                for c in missing:
+                    dtypes[c] = "string"
+
+        def _frame(types: dict[str, str]) -> DataFrame:
+            return (spark.createDataFrame(
+                [tuple([s] + [_unescape_partition(v) for v in vals[s]])
+                 for s in sorted(segs)],
+                ", ".join(["__seg string"]
+                          + [f"`__v{i}` string"
+                             for i in range(len(cols))]))
+                .select("__seg", *[
+                    F.col(f"__v{i}").try_cast(types[c]).alias(c)
+                    for i, c in enumerate(cols)]))
+
+        vf = _frame(dtypes)
+        rows = vf.collect()
+        bad = [c for c in cols if any(r[c] is None for r in rows)]
+        if bad:
+            # an INFERRED type was too narrow (mixed-looking values:
+            # day=1 next to day=abc — the sampled dir said int, 'abc'
+            # cast to NULL and would silently drop out of pruning).
+            # Spark's own inference falls back to string for mixed
+            # values; do the same per column. Bounded: the collect is
             # the partition-values frame, never data.
-            vf = (spark.createDataFrame(
-                [(s, _unescape_partition(s)) for s in sorted(segs)],
-                "__seg string, __val string")
-                .select("__seg", F.col("__val").alias(part_col)))
+            vf = _frame({**dtypes, **{c: "string" for c in bad}})
         return vf, segs
 
+    #: nondeterministic SQL functions rejected in partition-key
+    #: predicates: a rand()-carrying condition that RESOLVES over the
+    #: values frame would get whole-partition (rather than per-row)
+    #: delete semantics — Delta rejects nondeterministic DELETE/UPDATE
+    #: conditions outright, and so do the partitioned legs here
+    _NONDET_PAT = (r"\b(?:rand|randn|random|uuid|shuffle|"
+                   r"monotonically_increasing_id)\s*\(")
+
     def _hot_partitions(self, spark: SparkSession, condition: str,
-                        base: int, live: list[str], part_col: str,
+                        base: int, live: list[str],
+                        part_cols: list[str],
                         partition_prune: str | None = None,
                         prune: tuple | None = None
                         ) -> tuple[list[str], bool, list[str]]:
-        """(hot partition value strings, meta_only, candidate dirs)
+        """(hot partition suffix strings, meta_only, candidate dirs)
         for a row-level op
         on a partition-granular layout. A predicate that RESOLVES over
-        the partition key alone evaluates against the live partition
+        the partition keys alone evaluates against the live partition
         VALUES — metadata-only, bounded by the live partition count,
         zero storage I/O, and constant per partition (every row of a
         hot partition matches) — the retention/backfill shape on a
@@ -2810,10 +3070,25 @@ class TxnTable:
         surviving partitions — at 100 TB the difference between
         scanning one date partition and the table. Evaluation runs
         over the TYPED values frame (:meth:`_typed_partition_values`),
-        so key predicates carry data-path semantics."""
+        so key predicates carry data-path semantics. The
+        metadata-only downgrade happens ONLY on AnalysisException
+        (ADVICE r12 — a transient executor failure must propagate, not
+        silently demote a purge to a full sizing scan), and
+        nondeterministic conditions are rejected outright."""
+        import re
+
+        from pyspark.errors import AnalysisException
         from pyspark.sql import functions as F
 
-        vf, segs = self._typed_partition_values(spark, live, part_col)
+        if re.search(self._NONDET_PAT, condition, re.IGNORECASE):
+            raise ValueError(
+                f"nondeterministic condition {condition!r} in a "
+                "row-level op on a partitioned table — partition-"
+                "granular semantics (whole-partition drops, sizing "
+                "scans) would evaluate it more than once with "
+                "different outcomes; materialize the random choice "
+                "into a column first")
+        vf, segs = self._typed_partition_values(spark, live, part_cols)
         if vf is None:
             return [], True, []
 
@@ -2832,7 +3107,7 @@ class TxnTable:
             hot = sorted(r["__seg"] for r in
                          vf.filter(F.expr(condition)).collect())
             return hot, True, dirs_of(set(hot))
-        except Exception:
+        except AnalysisException:
             pass  # condition reads data columns: size by scanning
         if prune is not None:
             # footer-stats file skipping composes with the partition
@@ -2846,14 +3121,15 @@ class TxnTable:
                 return [], False, []
         snap = self._read_dirs(spark, live, self._dvs_for(live, base),
                                version=base)
-        # typed match-back: the scan yields the partition column's
+        # typed match-back: the scan yields the partition columns'
         # PARSED values; the semi-join against the typed values frame
-        # recovers their raw path segments (never a str() re-render,
+        # recovers their raw path suffixes (never a str() re-render,
         # which would miss Hive-escaped segments)
-        hot_vals = snap.filter(F.expr(condition)).select(part_col) \
-            .distinct()
+        hot_vals = snap.filter(F.expr(condition)) \
+            .select(*part_cols).distinct()
         hot = sorted(r["__seg"] for r in
-                     vf.join(hot_vals, part_col, "left_semi").collect())
+                     vf.join(hot_vals, part_cols, "left_semi")
+                     .collect())
         live_set = set(live)
         cands = [d for d in dirs_of(set(hot)) if d in live_set]
         return hot, False, cands
@@ -2861,7 +3137,8 @@ class TxnTable:
     def _delete_where_partitioned(self, spark: SparkSession,
                                   condition: str, meta: dict | None,
                                   capture_changes: bool, base: int,
-                                  live: list[str], part_col: str,
+                                  live: list[str],
+                                  part_cols: list[str],
                                   partition_prune: str | None = None,
                                   prune: tuple | None = None) -> int:
         """DELETE on a partition-granular layout: candidates are whole
@@ -2878,7 +3155,7 @@ class TxnTable:
         from pyspark.sql import functions as F
 
         hot, meta_only, candidates = self._hot_partitions(
-            spark, condition, base, live, part_col, partition_prune,
+            spark, condition, base, live, part_cols, partition_prune,
             prune)
         if not hot:
             return base
@@ -2902,7 +3179,8 @@ class TxnTable:
             sub.filter(cond)
             .withColumn("_change_type", F.lit("delete")))
             if capture_changes else None)
-        adds = self._write_data_partitioned(sub.filter(~cond), part_col)
+        adds = self._write_data_partitioned(sub.filter(~cond),
+                                            part_cols)
         return self._commit_rebased(adds, candidates, m, base,
                                     changes=changes_rel)
 
@@ -2910,7 +3188,8 @@ class TxnTable:
                                   condition: str, set_exprs: dict,
                                   meta: dict | None,
                                   capture_changes: bool, base: int,
-                                  live: list[str], part_col: str,
+                                  live: list[str],
+                                  part_cols: list[str],
                                   partition_prune: str | None = None,
                                   prune: tuple | None = None) -> int:
         """UPDATE on a partition-granular layout: rewrite exactly the
@@ -2927,7 +3206,7 @@ class TxnTable:
         from pyspark.sql import functions as F
 
         hot, _, candidates = self._hot_partitions(
-            spark, condition, base, live, part_col, partition_prune,
+            spark, condition, base, live, part_cols, partition_prune,
             prune)
         if not hot:
             return base
@@ -2957,7 +3236,7 @@ class TxnTable:
                        .cast(snap_schema[c].dataType))
                 .otherwise(F.col(c)).alias(c) if c in set_exprs
                 else F.col(c) for c in cols]),
-            part_col)
+            part_cols)
         return self._commit_rebased(
             adds, candidates,
             {**(meta or {}), "operation": "update",
@@ -3007,8 +3286,8 @@ class TxnTable:
         if base is None:
             raise ValueError(f"not a txn table (no commits): {self.path}")
         live = self.snapshot_dirs(base)
-        _pcol = self._live_partition_col(live)
-        if _pcol is not None and not use_dv:
+        _pcols = self._live_partition_cols(live)
+        if _pcols is not None and not use_dv:
             # partition-granular DELETE (r12): candidates are the
             # partitions holding matches; a predicate over the
             # partition KEY alone prunes them METADATA-only and (with
@@ -3017,7 +3296,7 @@ class TxnTable:
             # partition-by-generated date layout
             return self._delete_where_partitioned(
                 spark, condition, meta, capture_changes, base, live,
-                _pcol, partition_prune, prune)
+                _pcols, partition_prune, prune)
         if use_dv:
             return self._delete_where_dv(spark, condition, prune, meta,
                                          capture_changes, base, live)
@@ -3144,11 +3423,11 @@ class TxnTable:
                 StructField(mapping.get(f.name, f.name), f.dataType,
                             f.nullable, f.metadata)
                 for f in sch.fields])
-        plain = [d for d in candidates if _partition_of(d) is None]
+        plain = [d for d in candidates if not _partition_segs(d)]
         part_roots: dict[str, list[str]] = {}
         for d in candidates:
-            if _partition_of(d) is not None:
-                part_roots.setdefault(os.path.dirname(d), []).append(d)
+            if _partition_segs(d):
+                part_roots.setdefault(_commit_root(d), []).append(d)
         frames = []
         if plain:
             frames.append(
@@ -3287,26 +3566,29 @@ class TxnTable:
                         "generated (GENERATED ALWAYS) — it cannot be "
                         "SET")
             if gens:
-                names = sorted(set_exprs, key=len, reverse=True)
-                pat_all = re.compile(
-                    r"\b(" + "|".join(re.escape(c) for c in names)
-                    + r")\b", re.IGNORECASE)
-                lut = {c.lower(): f"({set_exprs[c]})" for c in names}
-                # both quote styles (Spark's non-ANSI mode treats
-                # "..." as a string literal too) with backslash and
-                # doubled-quote escapes
+                # three token kinds are scanned around: both string-
+                # literal quote styles (Spark's non-ANSI mode treats
+                # "..." as a string literal too, with backslash and
+                # doubled-quote escapes) SKIP — a column name inside
+                # '...' is text, not a reference (the r11 staleness
+                # REGEX tolerated that false positive because it only
+                # refused; a rewriter cannot) — and `...` backquoted
+                # IDENTIFIERS (ADVICE r12) substitute as whole tokens:
+                # rewriting inside the backticks would render an
+                # invalid identifier like `(col*2)`.
                 lit_pat = re.compile(
                     r"'(?:[^'\\]|\\.|'')*'"
-                    r'|"(?:[^"\\]|\\.|"")*"')
+                    r'|"(?:[^"\\]|\\.|"")*"'
+                    r"|`(?:[^`]|``)*`")
 
-                def _subst(text: str) -> tuple[str, int]:
-                    # SIMULTANEOUS substitution, SKIPPING string
-                    # literals: a column name inside '...' is text, not
-                    # a reference — rewriting it would corrupt the SQL
-                    # (the r11 staleness REGEX tolerated that false
-                    # positive because it only refused; a rewriter
-                    # cannot). A SET expression's own column references
-                    # mean the pre-image and are never re-substituted.
+                def _subst(text: str, lut: dict) -> tuple[str, int]:
+                    # SIMULTANEOUS substitution: a SET expression's own
+                    # column references mean the pre-image and are
+                    # never re-substituted.
+                    names = sorted(lut, key=len, reverse=True)
+                    pat_all = re.compile(
+                        r"\b(" + "|".join(re.escape(c) for c in names)
+                        + r")\b", re.IGNORECASE)
                     out, pos, n = [], 0, 0
                     for m in lit_pat.finditer(text):
                         seg, c = pat_all.subn(
@@ -3314,7 +3596,16 @@ class TxnTable:
                             text[pos:m.start()])
                         n += c
                         out.append(seg)
-                        out.append(m.group(0))
+                        tok = m.group(0)
+                        if tok.startswith("`"):
+                            name = tok[1:-1].replace("``", "`").lower()
+                            if name in lut:
+                                out.append(lut[name])
+                                n += 1
+                            else:
+                                out.append(tok)
+                        else:
+                            out.append(tok)
                         pos = m.end()
                     seg, c = pat_all.subn(
                         lambda mm: lut[mm.group(1).lower()], text[pos:])
@@ -3322,22 +3613,32 @@ class TxnTable:
                     out.append(seg)
                     return "".join(out), n
 
+                # TRANSITIVE recompute (ADVICE r12): a generated g1
+                # reading generated g2 which reads a SET column must
+                # recompute too. Generation is acyclic in DECLARATION
+                # order (_apply_generated computes columns in dict
+                # order, so a gen can only read gens declared before
+                # it) — one pass in that order, folding each dirty
+                # gen's substituted expression into the LUT, reaches
+                # the fixed point.
+                lut = {c.lower(): f"({set_exprs[c]})" for c in set_exprs}
                 recompute = {}
                 for g, e in gens.items():
-                    new_e, n = _subst(e)
+                    new_e, n = _subst(e, lut)
                     if n:
                         recompute[g] = new_e
+                        lut[g.lower()] = f"({new_e})"
                 set_exprs = {**set_exprs, **recompute}
         live = self.snapshot_dirs(base)
-        _pcol = self._live_partition_col(live)
-        if _pcol is not None:
+        _pcols = self._live_partition_cols(live)
+        if _pcols is not None:
             # partition-granular UPDATE (r12): rewrite ONLY the
             # partitions holding matches; rows whose (possibly
             # generated) partition key changes under SET migrate to
             # their new col=value subdir in the same commit
             return self._update_where_partitioned(
                 spark, condition, set_exprs, meta, capture_changes,
-                base, live, _pcol, partition_prune, prune)
+                base, live, _pcols, partition_prune, prune)
         cond = F.expr(condition)
         snap_schema = self.read(spark, base).schema
         # merged-snapshot alignment inside _tagged_candidates: a
@@ -3456,11 +3757,11 @@ class TxnTable:
         if base is None:
             raise ValueError(f"nothing to compact: {self.path}")
         live = self.snapshot_dirs(base)
-        part_col = (self._live_partition_col(live)
-                    or self.generation_config().get("partition_by"))
+        part_keys = (self._live_partition_cols(live)
+                     or self._part_keys() or None)
         df = self.read(spark, base).coalesce(target_files)
-        adds = (self._write_data_partitioned(df, part_col)
-                if part_col else [self._write_data(df)])
+        adds = (self._write_data_partitioned(df, part_keys)
+                if part_keys else [self._write_data(df)])
         return self.commit(adds, live,
                            {**(meta or {}), "operation": "compact"},
                            expected_version=base)
@@ -3486,22 +3787,22 @@ class TxnTable:
             raise ValueError(f"nothing to compact: {self.path}")
         live = self.snapshot_dirs(base)
         df = self.read(spark, base)
-        part_col = (self._live_partition_col(live)
-                    or self.generation_config().get("partition_by"))
-        if part_col is not None:
+        part_keys = (self._live_partition_cols(live)
+                     or self._part_keys() or None)
+        if part_keys is not None:
             # clustering WITHIN the partition layout (r12): a plain
             # clustered rewrite would flatten col=value subdirs into
             # plain dirs and strand the table's partition bookkeeping;
             # the one-column z rewrite (interleave of one column = its
             # ranked range code) preserves the layout per z-bucket
-            if cluster_by == part_col:
+            if cluster_by in part_keys:
                 raise ValueError(
-                    "compact_clustered: the cluster column IS the "
+                    "compact_clustered: the cluster column IS a "
                     "partition key — the layout already prunes it; "
                     "cluster by a data column")
             adds = self._zorder_rewrite(spark, df, [cluster_by],
                                         target_dirs, 6,
-                                        part_col=part_col)
+                                        part_cols=part_keys)
             return self.commit(adds, live,
                                {**(meta or {}), "operation": "compact",
                                 "cluster_by": cluster_by},
@@ -3562,26 +3863,26 @@ class TxnTable:
         if base is None:
             raise ValueError(f"nothing to compact: {self.path}")
         live = self.snapshot_dirs(base)
-        part_col = (self._live_partition_col(live)
-                    or self.generation_config().get("partition_by"))
-        if part_col is not None:
+        part_keys = (self._live_partition_cols(live)
+                     or self._part_keys() or None)
+        if part_keys is not None:
             # ZORDER WITHIN the partition layout (Delta's OPTIMIZE
-            # ZORDER on a partitioned table): the partition key is
-            # constant per subdir — it prunes via the layout already,
-            # so it drops out of the cluster set and each z-bucket
-            # writes col=value subdirs
-            cluster_by = [c for c in cluster_by if c != part_col]
+            # ZORDER on a partitioned table): the partition keys are
+            # constant per subdir — they prune via the layout already,
+            # so they drop out of the cluster set and each z-bucket
+            # writes nested col=value subdirs
+            cluster_by = [c for c in cluster_by if c not in part_keys]
             if not cluster_by:
                 raise ValueError(
-                    "compact_zorder: every cluster column equals the "
-                    "partition key — the layout already prunes it; "
+                    "compact_zorder: every cluster column equals a "
+                    "partition key — the layout already prunes them; "
                     "cluster by data columns")
-        if len(cluster_by) == 1 and part_col is None:
+        if len(cluster_by) == 1 and part_keys is None:
             return self.compact_clustered(
                 spark, cluster_by[0], target_dirs, meta)
         adds = self._zorder_rewrite(
             spark, self.read(spark, base), cluster_by, target_dirs,
-            bits, part_col=part_col)
+            bits, part_cols=part_keys)
         return self.commit(adds, live,
                            {**(meta or {}), "operation": "compact",
                             "zorder_by": list(cluster_by)},
@@ -3589,15 +3890,16 @@ class TxnTable:
 
     def _zorder_rewrite(self, spark: SparkSession, df: DataFrame,
                         cluster_by: list[str], target_dirs: int,
-                        bits: int, part_col: str | None = None
+                        bits: int,
+                        part_cols: list[str] | None = None
                         ) -> list[str]:
         """Z-order ``df`` into ``target_dirs`` new commit dirs; returns
-        their rel paths (caller commits). With ``part_col`` (r12,
-        Delta's OPTIMIZE ZORDER on a partitioned table) each z-bucket
-        writes ``col=value`` SUBDIRS — the adds are per-(z-bucket x
-        partition), so both the partition key's metadata pruning and
-        the cluster columns' tight per-dir stats apply to every
-        read."""
+        their rel paths (caller commits). With ``part_cols`` (r12,
+        Delta's OPTIMIZE ZORDER on a partitioned table; r13 nested
+        multi-key) each z-bucket writes ``col=value`` SUBDIRS — the
+        adds are per-(z-bucket x partition), so both the partition
+        keys' metadata pruning and the cluster columns' tight per-dir
+        stats apply to every read."""
         from pyspark.sql import functions as F
         from pyspark.sql.types import (
             DateType,
@@ -3667,7 +3969,7 @@ class TxnTable:
         staged = self._to_physical(staged)
         tmp_rel = os.path.join(_DATA_DIR, f".zorder-{uuid.uuid4().hex}")
         tmp_abs = os.path.join(self.path, tmp_rel)
-        pcols = ["_bucket"] + ([part_col] if part_col else [])
+        pcols = ["_bucket"] + (list(part_cols) if part_cols else [])
         staged.write.partitionBy(*pcols).parquet(tmp_abs)
         adds = []
         for d in sorted(os.listdir(tmp_abs)):
@@ -3675,11 +3977,20 @@ class TxnTable:
                 continue
             rel = os.path.join(_DATA_DIR, uuid.uuid4().hex)
             os.rename(os.path.join(tmp_abs, d), os.path.join(self.path, rel))
-            if part_col:
-                adds.extend(sorted(
-                    os.path.join(rel, s)
-                    for s in os.listdir(os.path.join(self.path, rel))
-                    if s.startswith(f"{part_col}=")))
+            if part_cols:
+                # collect the nested LEAF subdirs (depth = #keys)
+                stack = [(rel, 0)]
+                while stack:
+                    r, depth = stack.pop()
+                    for s in sorted(os.listdir(
+                            os.path.join(self.path, r))):
+                        if "=" not in s:
+                            continue
+                        sub = os.path.join(r, s)
+                        if depth + 1 == len(part_cols):
+                            adds.append(sub)
+                        else:
+                            stack.append((sub, depth + 1))
             else:
                 adds.append(rel)
         import shutil
@@ -3725,16 +4036,16 @@ class TxnTable:
                 *[os.path.join(self.path, d) for d in tail])
         else:
             df = self._read_dirs(spark, tail)
-        part_col = (self._live_partition_col(tail)
-                    or self.generation_config().get("partition_by"))
-        if part_col is not None:
-            cluster_by = [c for c in cluster_by if c != part_col]
+        part_keys = (self._live_partition_cols(tail)
+                     or self._part_keys() or None)
+        if part_keys is not None:
+            cluster_by = [c for c in cluster_by if c not in part_keys]
             if not cluster_by:
                 raise ValueError(
                     "compact_zorder_incremental: every cluster column "
-                    "equals the partition key — cluster by data columns")
+                    "equals a partition key — cluster by data columns")
         adds = self._zorder_rewrite(spark, df, cluster_by, target_dirs,
-                                    bits, part_col=part_col)
+                                    bits, part_cols=part_keys)
         return self.commit(adds, tail,
                            {**(meta or {}), "operation": "compact",
                             "zorder_by": list(cluster_by),
@@ -3780,18 +4091,17 @@ class TxnTable:
         if base is None:
             return None
         live = self.snapshot_dirs(base)
-        col = self._live_partition_col(live)
-        if col is None:
-            if not live and self.generation_config().get("partition_by"):
+        cols = self._live_partition_cols(live)
+        if cols is None:
+            if not live and self._part_keys():
                 return None  # fully-purged declared table: no-op
             raise ValueError(
                 "compact_partitions_if_needed on an unpartitioned "
                 f"table: {self.path} — use compact_if_needed")
         segs: dict[str, list[str]] = {}
         for d in live:
-            p = _partition_of(d)
-            if p is not None:
-                segs.setdefault(p[1], []).append(d)
+            if _partition_segs(d):
+                segs.setdefault(_partition_suffix(d), []).append(d)
         per_val = Counter({s: len(ds) for s, ds in segs.items()})
         hot = sorted(s for s, c in per_val.items()
                      if c > max_dirs_per_value)
@@ -3802,8 +4112,8 @@ class TxnTable:
         df = (self._read_dirs(spark, removes,
                               self._dvs_for(removes, base),
                               version=base)
-              .repartition(len(hot), col))
-        adds = self._write_data_partitioned(df, col)
+              .repartition(len(hot), *cols))
+        adds = self._write_data_partitioned(df, cols)
         return self.commit(
             adds, removes,
             {**(meta or {}), "operation": "compact",

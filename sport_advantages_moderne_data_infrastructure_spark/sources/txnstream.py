@@ -43,9 +43,11 @@ from .txnlog import TxnConflictError, TxnTable
 @dataclass
 class _FilePartition(InputPartition):
     path: str  # one parquet file; value may be a partition-subdir file
-    part_col: str | None = None
-    part_val: str | None = None
-    part_type: str = "string"  # "int32" | "int64" | "string"
+    # partition keys of the file's (possibly nested, r13 multi-key)
+    # col=value subdir path, in layout order; empty for plain dirs
+    part_cols: tuple = ()
+    part_vals: tuple = ()
+    part_types: tuple = ()  # per key: "int32" | "int64" | "string"
     # change-feed reads: _change_type to attach ("insert" for append
     # commits; None when the file already carries the column, i.e. a
     # merge/delete change file) and the commit version, or None outside
@@ -94,18 +96,35 @@ def _infer_part_type(vals: list[str]) -> str:
 
 
 def _files_of(table: TxnTable, rel_dirs: list[str]) -> list[_FilePartition]:
+    from .txnlog import _partition_segs, _unescape_partition
+
     parts = []
-    vals = []
+    col_vals: dict[str, list[str]] = {}
     for rel in rel_dirs:
-        base = os.path.basename(rel)
-        col, _, val = base.partition("=") if "=" in base else (None, "", None)
-        if val is not None:
-            vals.append(val)
+        segs = _partition_segs(rel)
+        for c, v in segs:
+            col_vals.setdefault(c, []).append(v)
         for f in sorted(glob.glob(os.path.join(table.path, rel, "*.parquet"))):
-            parts.append(_FilePartition(f, col, val))
-    ptype = _infer_part_type(vals) if vals else "string"
+            parts.append(_FilePartition(
+                f, tuple(c for c, _ in segs),
+                tuple(_unescape_partition(v) for _, v in segs)))
+    # per-key type: the RECORDED write-time type when generation.json
+    # carries one (r13 — a string '1998' key must not come back int),
+    # else the r3 inference over all live values of that key
+    lut = table._partition_type_lut()
+    types: dict[str, str] = {}
+    for c, vals in col_vals.items():
+        rec = lut.get(c)
+        if rec in ("int", "integer"):
+            types[c] = "int32"
+        elif rec in ("bigint", "long"):
+            types[c] = "int64"
+        elif rec is not None:
+            types[c] = "string"
+        else:
+            types[c] = _infer_part_type(vals)
     for p in parts:
-        p.part_type = ptype
+        p.part_types = tuple(types[c] for c in p.part_cols)
     return parts
 
 
@@ -183,7 +202,7 @@ def _read_file(p: _FilePartition | None):
         t = t.rename_columns(
             [p.rename.get(n, n) for n in t.schema.names])
     if p.want is not None:
-        appended = {p.part_col} if p.part_col is not None else set()
+        appended = set(p.part_cols)
         if p.change_type is not None:
             appended.add("_change_type")
         if p.commit_version is not None:
@@ -229,14 +248,14 @@ def _read_file(p: _FilePartition | None):
             gone = set(dead.to_pylist())
             t = t.take(pa.array(
                 [i for i in range(len(t)) if i not in gone], pa.int64()))
-    if p.part_col is not None:
-        if p.part_type == "int32":
-            arr = pa.array([int(p.part_val)] * len(t), pa.int32())
-        elif p.part_type == "int64":
-            arr = pa.array([int(p.part_val)] * len(t), pa.int64())
+    for c, v, ty in zip(p.part_cols, p.part_vals, p.part_types):
+        if ty == "int32":
+            arr = pa.array([int(v)] * len(t), pa.int32())
+        elif ty == "int64":
+            arr = pa.array([int(v)] * len(t), pa.int64())
         else:
-            arr = pa.array([p.part_val] * len(t), pa.string())
-        t = t.append_column(p.part_col, arr)
+            arr = pa.array([v] * len(t), pa.string())
+        t = t.append_column(c, arr)
     if p.change_type is not None:
         t = t.append_column("_change_type",
                             pa.array([p.change_type] * len(t), pa.string()))
@@ -637,11 +656,18 @@ class TxnLogDataSource(DataSource):
                 else f
                 for f in pq.read_schema(newest[0].path)])
             spark_schema = from_arrow_schema(arrow)
-            if newest[0].part_col is not None:
-                ptype = {"int32": IntegerType(), "int64": LongType(),
-                         "string": StringType()}[files[0].part_type]
-                spark_schema = spark_schema.add(
-                    StructField(newest[0].part_col, ptype))
+            if newest[0].part_cols:
+                m = {"int32": IntegerType(), "int64": LongType(),
+                     "string": StringType()}
+                # types come from the FULL live file set (matching what
+                # _read_file attaches executor-side), names/order from
+                # the newest commit's layout
+                full = next((p for p in files if p.part_cols),
+                            newest[0])
+                ty = dict(zip(full.part_cols, full.part_types))
+                for c in newest[0].part_cols:
+                    spark_schema = spark_schema.add(
+                        StructField(c, m[ty.get(c, "string")]))
         if str(self.options.get("readChangeFeed", "false")).lower() == "true":
             spark_schema = (spark_schema
                             .add(StructField("_change_type", StringType()))

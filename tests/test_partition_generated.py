@@ -112,15 +112,19 @@ def test_overwrite_partitions_through_generation(spark, tmp_path):
 
 def test_declaration_guards(spark, tmp_path):
     o = _orders(spark, 20)
-    # identity and partition_by exclude each other, both directions
+    # identity and partition_by COMPOSE (r13, lifting the r12
+    # exclusion) — but the identity column itself can never be a
+    # partition key (unique per row = one subdir per row)
     t1 = TxnTable(str(tmp_path / "i"))
     t1.set_identity_column("rid")
+    t1.set_partition_column("o_custkey")  # no longer refuses
     with pytest.raises(ValueError, match="identity"):
-        t1.set_partition_column("o_custkey")
+        t1.set_partition_column("rid")
     t2 = TxnTable(str(tmp_path / "j"))
     t2.set_partition_column("o_custkey")
-    with pytest.raises(ValueError, match="unpartitioned write path"):
-        t2.set_identity_column("rid")
+    t2.set_identity_column("rid")  # no longer refuses
+    with pytest.raises(ValueError, match="partition key"):
+        t2.set_identity_column("o_custkey")
     # declaring over a live unpartitioned layout refuses (mixed layout)
     t3 = TxnTable(str(tmp_path / "k"))
     t3.append(o)
