@@ -607,6 +607,14 @@ def q_txn_dv_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     # time-travel/CDF booleans are literal-TRUE-able: if a
     # pre-boundary snapshot ever grows the new columns, or the change
     # feed fails to null-fill across the boundary, the hash flips.
+    driver=False,  # rotated out r13 (green r10-r12; slot went to
+    # txn_multicol_partitions. The schema-change machinery stays gated
+    # STRICTER via txn_column_mapping (rename + physical-name
+    # indirection over an evolved schema) and txn_type_widening
+    # (widened reads across a type boundary), both of which exercise
+    # the same evolution commit path; this row stays DuckDB-verified
+    # per pytest run and the mergeSchema/autoMerge legs keep their
+    # tests in tests/test_txnlog.py).
     oracle=(
         "WITH base AS (SELECT o_orderkey AS k, o_totalprice AS price "
         "FROM orders WHERE o_orderkey % 4 = 0), "
@@ -846,6 +854,13 @@ _MC_SRC = ("SELECT o_orderkey AS k, o_totalprice * 2 AS val, "
     # the same conditions — the relational twin of the operator, so
     # every clause's row routing is value-verified; cdf_ok pins the
     # delete pre-images in the change feed.
+    driver=False,  # rotated out r13 (green r11-r12; slot went to
+    # txn_identity_partitioned. The clause surface survives STRICTLY
+    # HARDER inside the still-gated stream_cdc_apply_equiv — same
+    # matched_delete/insert routing, whose oracle literally calls
+    # merge_clauses_sql — reached through micro-batches + the replay
+    # ledger instead of one batch call; this row stays DuckDB-verified
+    # per pytest run and the clause grid keeps tests/test_txnlog.py).
     oracle=(
         "SELECT k, val, TRUE AS cdf_ok FROM ("
         + merge_clauses_sql(
@@ -920,6 +935,15 @@ def q_txn_merge_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ids) and rid_unique (windowed count per id == 1). Any allocation
     # drift, id reuse, update reassignment, or generation skew flips a
     # boolean or a value and the full hash mismatches.
+    driver=False,  # rotated out r13 (green r11-r12; slot went to
+    # stream_partitioned_sink_equiv. Both halves survive HARDER in
+    # still-gated rows: the generated surface via
+    # txn_generated_partitions — recompute-on-UPDATE plus
+    # partition-by-generated, strictly past this row's append-time
+    # generation — and the identity allocation via the incoming
+    # txn_identity_partitioned, where the high water rides
+    # partition-granular commit docs across append/overwrite/merge;
+    # this row stays DuckDB-verified per pytest run).
     oracle=(
         "SELECT o_orderkey, CAST(ROUND((CASE WHEN o_orderkey % 6 = 0 "
         "THEN o_totalprice * 2 ELSE o_totalprice END) * 100) AS "
@@ -1058,6 +1082,266 @@ def q_txn_generated_partitions(spark: SparkSession,
             .select("o_orderkey", "total_cents", "order_month",
                     "p_cents", F.lit(prune_ok).alias("prune_ok"))
             .orderBy("o_orderkey"))
+
+
+@register(
+    "txn_multicol_partitions",  # new r13, gated immediately (slot:
+    # txn_schema_evolution demoted — see its comment). VERDICT r12 #1:
+    # multi-column partition layouts — Delta's canonical 100 TB shape
+    # (a GENERATED date key × a plain business key, what the
+    # reference's `final` table — date × business_unity — actually
+    # needs, read_delta.py:219-222). Orders lays out as NESTED
+    # order_year=YYYY/o_orderstatus=S subdirs, the log's
+    # partition-granular add/remove unit; one overwrite replaces
+    # exactly the (1997, F) key TUPLE (full-granularity dynamic
+    # partition overwrite, doubled prices), a second replaces every
+    # status subpartition under 1995 through the leading-PREFIX
+    # granularity (tripled prices — the whole-date-reload shape at
+    # coarser grain); then a BOTH-key conjunction read plans only the
+    # matching nested subdirs. prune_ok derives from the pruned plan's
+    # actual inputFiles across BOTH path segments (metadata pruning,
+    # never a post-filter) and is folded into the hashed frame; the
+    # oracle recomputes both overwrites relationally.
+    oracle=(
+        "SELECT o_orderkey, STRFTIME(o_orderdate, '%Y') AS order_year, "
+        "o_orderstatus, "
+        "CAST(ROUND((CASE WHEN STRFTIME(o_orderdate, '%Y') = '1997' "
+        "AND o_orderstatus = 'F' THEN o_totalprice * 2 "
+        "WHEN STRFTIME(o_orderdate, '%Y') = '1995' "
+        "THEN o_totalprice * 3 ELSE o_totalprice END) * 100) "
+        "AS BIGINT) AS cents, "
+        "CAST(1 AS BOOLEAN) AS prune_ok "
+        "FROM orders WHERE STRFTIME(o_orderdate, '%Y') >= '1995' "
+        "AND o_orderstatus = 'F' ORDER BY o_orderkey"))
+def q_txn_multicol_partitions(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Nested partition layout end to end: declare
+    ``[order_year (generated), o_orderstatus (plain)]``, load orders,
+    overwrite the exact (1997, F) tuple with doubled prices, overwrite
+    the whole 1995 year prefix (every status subdir) with tripled
+    prices, then ``read_partitions_where("order_year >= '1995' AND
+    o_orderstatus = 'F'")`` — a conjunction over BOTH keys evaluated on
+    the tiny typed values frame — and assert from the plan's
+    inputFiles that only matching ``order_year=…/o_orderstatus=F``
+    subdirs were planned."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..sources.tables import load_table
+    from ..sources.txnlog import TxnTable
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate", "o_orderstatus")
+    t = TxnTable(tempfile.mkdtemp(prefix="samdis_txn_mcp_"))
+    t.set_generated_column(
+        "order_year", "DATE_FORMAT(o_orderdate, 'yyyy')")
+    t.set_partition_column(["order_year", "o_orderstatus"])
+    t.append(o)
+    yr = F.date_format("o_orderdate", "yyyy")
+    t.overwrite_partitions(
+        o.filter((yr == "1997") & (F.col("o_orderstatus") == "F"))
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2),
+        ["order_year", "o_orderstatus"])
+    t.overwrite_partitions(
+        o.filter(yr == "1995")
+        .withColumn("o_totalprice", F.col("o_totalprice") * 3),
+        "order_year")
+
+    pruned = t.read_partitions_where(
+        spark, "order_year >= '1995' AND o_orderstatus = 'F'")
+
+    def _seg(f: str, key: str) -> str | None:
+        for s in f.split("/"):
+            if s.startswith(key + "="):
+                return s.split("=", 1)[1]
+        return None
+
+    files = pruned.inputFiles()
+    prune_ok = bool(files) and all(
+        (_seg(f, "order_year") or "") >= "1995"
+        and _seg(f, "o_orderstatus") == "F" for f in files)
+    return (pruned.select(
+        "o_orderkey",
+        F.col("order_year").cast("string").alias("order_year"),
+        F.col("o_orderstatus").cast("string").alias("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint")
+        .alias("cents"),
+        F.lit(bool(prune_ok)).alias("prune_ok"))
+        .orderBy("o_orderkey"))
+
+
+@register(
+    "txn_identity_partitioned",  # new r13, gated immediately (slot:
+    # txn_merge_clauses demoted — see its comment). VERDICT r12 #2:
+    # identity allocation × partitioned layout (r12 EXCLUDED the
+    # combination; Delta supports both together). Orders partition by
+    # o_orderstatus with an engine-allocated rid: append A (ids
+    # 1..nA), append B (nA+1..nA+nB), ONE overwrite_partitions of the
+    # 'P' partition with doubled prices (replaced rows' ids RETIRE —
+    # the new rows take a fresh block past nA+nB, identity never
+    # reuses values), then a MERGE inserting the final third (fresh
+    # ids past that). The allocation high water rides the SAME commit
+    # doc as the partition-granular adds/removes, so a replayed or
+    # conflicting writer can't double-allocate. Ids are
+    # nondeterministic across engines, so the contract hashes what IS
+    # deterministic per row: the value (oracle recomputes the doubled
+    # 'P' prices) and three literal-TRUE booleans — rid_ok (each row's
+    # id falls in its commit's contiguous block), rid_unique (windowed
+    # count per id == 1), prune_ok (a one-partition read plans only
+    # o_orderstatus=F subdirs, from the plan's actual inputFiles).
+    oracle=(
+        "SELECT o_orderkey, o_orderstatus, "
+        "CAST(ROUND((CASE WHEN o_orderstatus = 'P' AND "
+        "o_orderkey % 3 <> 2 THEN o_totalprice * 2 "
+        "ELSE o_totalprice END) * 100) AS BIGINT) AS cents, "
+        "CAST(1 AS BOOLEAN) AS rid_ok, "
+        "CAST(1 AS BOOLEAN) AS rid_unique, "
+        "CAST(1 AS BOOLEAN) AS prune_ok "
+        "FROM orders ORDER BY o_orderkey"))
+def q_txn_identity_partitioned(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """IDENTITY on a partitioned table through a four-commit history:
+    two appends (contiguous id blocks), a partition-granular overwrite
+    of the 'P' subdir (retired ids, fresh block), a MERGE insert
+    (fresh block). Every commit publishes partition-granular
+    col=value adds AND the allocation high water in one commit doc —
+    the r13 composition that r12's set_partition_column refused."""
+    import tempfile
+
+    from pyspark.sql import Window as W_
+    from pyspark.sql import functions as F
+
+    from ..sources.tables import load_table
+    from ..sources.txnlog import TxnTable
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus")
+    t = TxnTable(tempfile.mkdtemp(prefix="samdis_txn_idp_"))
+    t.set_identity_column("rid", start=1, step=1)
+    t.set_partition_column("o_orderstatus")
+
+    a = o.filter(F.col("o_orderkey") % 3 == 0)
+    b = o.filter(F.col("o_orderkey") % 3 == 1)
+    na, nb = a.count(), b.count()
+    t.append(a)
+    t.append(b)
+    ab_p = (a.unionByName(b).filter(F.col("o_orderstatus") == "P")
+            .withColumn("o_totalprice", F.col("o_totalprice") * 2))
+    np_ = ab_p.count()
+    t.overwrite_partitions(ab_p, "o_orderstatus")
+    t.merge(spark, o.filter(F.col("o_orderkey") % 3 == 2),
+            key="o_orderkey")
+
+    pruned = t.read_partitions_where(spark, "o_orderstatus = 'F'")
+    files = pruned.inputFiles()
+    prune_ok = bool(files) and all(
+        "/o_orderstatus=F/" in f or f.rstrip("/").split("/")[-2]
+        == "o_orderstatus=F" for f in files)
+
+    s = t.read(spark)
+    cls = F.col("o_orderkey") % 3
+    is_p = F.col("o_orderstatus") == "P"
+    rid_ok = (
+        F.when((cls == 2), F.col("rid") > na + nb + np_)
+        .when(is_p, (F.col("rid") > na + nb)
+              & (F.col("rid") <= na + nb + np_))
+        .when(cls == 0, F.col("rid") <= na)
+        .otherwise((F.col("rid") > na) & (F.col("rid") <= na + nb)))
+    uniq = F.count(F.lit(1)).over(W_.partitionBy("rid")) == 1
+    return (s.select(
+        "o_orderkey",
+        F.col("o_orderstatus").cast("string").alias("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint")
+        .alias("cents"),
+        rid_ok.alias("rid_ok"), uniq.alias("rid_unique"),
+        F.lit(bool(prune_ok)).alias("prune_ok"))
+        .orderBy("o_orderkey"))
+
+
+@register(
+    "stream_partitioned_sink_equiv",  # new r13, gated immediately
+    # (slot: txn_generated_identity demoted — see its comment).
+    # VERDICT r12 #4: streaming ingest into a partition-by-GENERATED
+    # target, externally hashed (the r12 sink routing — foreachBatch
+    # append() on declared layouts, commit 23b1d51 — was pytest-pinned
+    # only). A file feed of orders streams through
+    # write_stream_txn_append with maxFilesPerTrigger=1 (two
+    # micro-batches, each ONE atomic partition-granular commit of
+    # order_month=… subdirs computed by the writer), the SAME stream
+    # restarts on its checkpoint (the stream_batch_id ledger commits
+    # nothing — replay_ok), then a metadata-pruned read through the
+    # generated key plans only matching subdirs (prune_ok from the
+    # pruned plan's actual inputFiles). Oracle = plain relational
+    # recomputation of the fed rows under the month filter.
+    oracle=(
+        "SELECT o_orderkey, STRFTIME(o_orderdate, '%Y-%m') AS "
+        "order_month, "
+        "CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents, "
+        "CAST(1 AS BOOLEAN) AS replay_ok, "
+        "CAST(1 AS BOOLEAN) AS prune_ok "
+        "FROM orders WHERE STRFTIME(o_orderdate, '%Y-%m') >= "
+        "'1998-01' ORDER BY o_orderkey"),
+    tags=("K1", "T1", "T4"))
+def q_stream_partitioned_sink_equiv(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Streaming append into a date-partitioned transactional table:
+    the sink routes each micro-batch through append() on the declared
+    layout, so ingest lands as order_month=<yyyy-MM> subdirs with the
+    replay guard intact across restarts, and the table is immediately
+    partition-prunable — the 100 TB ingest shape (continuous arrival,
+    daily-partition reads). Reference anchor: SaveDelta.scala:157-163
+    (checkpointed Delta append sink — unpartitioned there)."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..sources.tables import load_table
+    from ..sources.txnlog import TxnTable
+    from ..streaming import pipeline as P
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate")
+    root = tempfile.mkdtemp(prefix="samdis_sps_")
+    t = TxnTable(os.path.join(root, "t"))
+    t.set_generated_column(
+        "order_month", "DATE_FORMAT(o_orderdate, 'yyyy-MM')")
+    t.set_partition_column("order_month")
+
+    src = os.path.join(root, "feed")
+    o.filter("o_orderkey % 2 = 0").coalesce(1).write.mode(
+        "append").parquet(src)
+    o.filter("o_orderkey % 2 = 1").coalesce(1).write.mode(
+        "append").parquet(src)
+
+    def _run():
+        feed = (spark.readStream.schema(o.schema)
+                .option("maxFilesPerTrigger", 1).parquet(src))
+        q = P.write_stream_txn_append(
+            feed, t.path, os.path.join(root, "ck"), app_id="sps")
+        q.awaitTermination(300)
+        q.stop()
+
+    _run()
+    v = t.latest_version()
+    _run()  # restart on the same checkpoint: the ledger replays nothing
+    replay_ok = t.latest_version() == v
+
+    pruned = t.read_partitions_where(spark, "order_month >= '1998-01'")
+    files = pruned.inputFiles()
+    prune_ok = bool(files) and all(
+        seg.split("=", 1)[1] >= "1998-01"
+        for f in files
+        for seg in f.split("/") if seg.startswith("order_month="))
+    return (pruned.select(
+        "o_orderkey",
+        F.col("order_month").cast("string").alias("order_month"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint")
+        .alias("cents"),
+        F.lit(bool(replay_ok)).alias("replay_ok"),
+        F.lit(bool(prune_ok)).alias("prune_ok"))
+        .orderBy("o_orderkey"))
 
 
 # the streaming CDC-APPLY feed: batch A carries the even keys (an

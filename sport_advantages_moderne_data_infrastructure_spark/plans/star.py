@@ -1180,6 +1180,14 @@ def q_exact_quantiles_bracketed(spark: SparkSession,
     # ann_refine_recall_floor, which are STRICTER — PQ subquantizers
     # vs one scalar quantizer — and the SQ8 row stays DuckDB-verified
     # per pytest run).
+    driver=False,  # rotated out r13 (green r9-r12; VERDICT r12 #7:
+    # the slot passes to grouped_quantiles_prod, which shares this
+    # row's oracle TEXT verbatim — identical result set by
+    # construction — so the gate's hash coverage is unchanged while
+    # the identical-oracle-twin carve-out in tests/test_driver_gate.py
+    # retires entirely: both twins have now held a direct slot. The
+    # adversarial config stays benched (bench=True), job-count-pinned
+    # in tests/test_sketches.py, and DuckDB-verified per pytest run).
     # Per-group EXACT order statistics — the grouped twin of
     # exact_quantiles_bracketed, completing the sketch family the way
     # heavy_hitters_by_type completed MG: the per-segment p50/p95
@@ -1234,10 +1242,12 @@ def q_grouped_quantiles_exact(spark: SparkSession,
     # accuracy/direct_limit every test-scale group is direct-readable
     # (zero sketch rounds: one combined sizes+grid job, one shared
     # ranked read), which is exactly the production shape until groups
-    # pass ~100k rows. driver=False: same semantics as the gated
-    # adversarial row (identical oracle), parity-verified per pytest
-    # run, no driver slot spent.
-    driver=False, bench=True,
+    # pass ~100k rows. Gated r13 (VERDICT r12 #7): takes the direct
+    # slot from its adversarial twin grouped_quantiles_exact (green
+    # r9-r12) — identical oracle text, so the swap keeps hash coverage
+    # while retiring tests/test_driver_gate.py's identical-oracle-twin
+    # carve-out (both twins have now held a direct slot).
+    bench=True,
     oracle=(
         "WITH t AS (SELECT event_type, value, ROW_NUMBER() OVER "
         "(PARTITION BY event_type ORDER BY value) AS rn, "

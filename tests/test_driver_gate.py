@@ -83,30 +83,10 @@ def test_never_gated_set_is_exactly_the_adc_exception():
         f"driver rows missing from tests/gated_history.json: "
         f"{sorted(current - manifest)} — add them when gating")
     never = set(catalog.REGISTRY) - manifest
-    # r12 (VERDICT r11 #5): the oracle-text-identity exemption is now
-    # a CLOSED allowlist, not an open rule — each entry names the twin
-    # pair explicitly, the twins' oracle TEXTS must match (so the
-    # gate's hash of the gated member covers the exempt one's result
-    # set), and the gated member must have held a driver slot within
-    # the last three recorded rounds (a stale twin stops shielding).
-    TWIN_ALLOWLIST = {
-        # production-config cost-curve twin of the gated adversarial
-        # bracketing row — identical result set by construction
-        "grouped_quantiles_prod": "grouped_quantiles_exact",
-    }
-    recent = set()
-    for f in sorted(glob.glob(os.path.join(
-            here, "..", "CORRECTNESS_r*.json")))[-3:]:
-        recent |= set(json.load(open(f)))
-    current_driver = {n for n, q in catalog.REGISTRY.items() if q.driver}
-    for exempt, gated in TWIN_ALLOWLIST.items():
-        assert (catalog.REGISTRY[exempt].oracle
-                == catalog.REGISTRY[gated].oracle), (
-            f"twin allowlist stale: {exempt} and {gated} no longer "
-            "share oracle text")
-        assert gated in recent | current_driver, (
-            f"twin allowlist stale: {gated} has not held a driver "
-            f"slot recently — {exempt} is effectively ungated")
-    never -= set(TWIN_ALLOWLIST)
+    # r13 (VERDICT r12 #7): the identical-oracle-twin carve-out is
+    # RETIRED — grouped_quantiles_prod took a direct slot from its
+    # adversarial twin, so every oracle-bearing registry row has now
+    # held (or holds) a gate slot and the never-gated set is exactly
+    # the three documented no-SQL-oracle ADC bench rows again.
     assert never == {"ann_pq_topk", "ann_ivfpq_topk",
                      "ann_ivfpq_refined_topk"}, sorted(never)
