@@ -816,3 +816,138 @@ def test_check_constraints_on_partitioned_writes(spark, tmp_path):
         t.append(bad)
     assert t.latest_version() == v0
     assert t.read(spark).count() == 20  # nothing partial became live
+
+
+def test_repartition_table_retrofit_unpartitioned(spark, tmp_path):
+    """VERDICT r12 #5: retrofit-on-declare. A populated UNPARTITIONED
+    table gains a generated partition layout in one atomic commit; old
+    snapshots stay time-travel-readable on their original plain files,
+    the new snapshot prunes, and later appends land partitioned."""
+    o = _orders(spark)
+    t = TxnTable(str(tmp_path / "rt"))
+    t.append(o.limit(150))
+    v_plain = t.latest_version()
+    plain_dirs = t.snapshot_dirs(v_plain)
+    assert all("=" not in d.split("/")[-1] for d in plain_dirs)
+    t.set_generated_column("order_month",
+                           "DATE_FORMAT(o_orderdate, 'yyyy-MM')")
+    v = t.repartition_table(spark, "order_month")
+    assert v == v_plain + 1
+    # ONE commit: the whole live set flipped to col=value subdirs
+    dirs = t.snapshot_dirs()
+    assert dirs and all("order_month=" in d for d in dirs)
+    # row set unchanged (plus the backfilled generated key)
+    got = t.read(spark)
+    assert got.count() == 150
+    assert got.filter(F.expr(
+        "CAST(order_month AS STRING) != "
+        "DATE_FORMAT(o_orderdate, 'yyyy-MM')")).count() == 0
+    # TIME TRAVEL: the pre-retrofit version still reads its ORIGINAL
+    # plain files — retrofit supersedes, never destroys
+    old = t.read(spark, version=v_plain)
+    assert old.count() == 150
+    assert "order_month" not in old.columns
+    assert set(old.inputFiles()) == {
+        f for d in plain_dirs for f in old.inputFiles()
+        if f"/{d}/" in f or d in f}
+    # the declaration landed: a later append routes partitioned,
+    # and the pruned read plans only matching subdirs
+    t.append(o.offset(150))
+    assert all("order_month=" in d for d in t.snapshot_dirs())
+    months = sorted(r[0] for r in t.read(spark)
+                    .select(F.col("order_month").cast("string"))
+                    .distinct().collect())
+    cut = months[len(months) // 2]
+    pruned = t.read_partitions_where(spark, f"order_month >= '{cut}'")
+    assert pruned.count() == t.read(spark).filter(
+        F.col("order_month").cast("string") >= cut).count() > 0
+    assert all(seg.split("=", 1)[1] >= cut
+               for f in pruned.inputFiles()
+               for seg in f.split("/") if seg.startswith("order_month="))
+
+
+def test_repartition_table_layout_evolution(spark, tmp_path):
+    """Re-partitioning an ALREADY-partitioned table to different keys:
+    the old layout's snapshots stay readable, the new layout prunes on
+    the new key list."""
+    o = _orders(spark).withColumn(
+        "bucket", (F.col("o_orderkey") % 3).cast("string"))
+    t = TxnTable(str(tmp_path / "evo"))
+    t.set_partition_column("bucket")
+    t.append(o)
+    v_old = t.latest_version()
+    t.set_generated_column("order_year",
+                           "DATE_FORMAT(o_orderdate, 'yyyy')")
+    t.repartition_table(spark, ["order_year", "bucket"])
+    dirs = t.snapshot_dirs()
+    assert dirs and all("order_year=" in d and "bucket=" in d
+                        for d in dirs)
+    # old snapshot: single-key layout, full row set
+    assert t.read(spark, version=v_old).count() == 200
+    old_dirs = t.snapshot_dirs(v_old)
+    assert all("order_year=" not in d for d in old_dirs)
+    # both-key pruning works on the evolved layout
+    pruned = t.read_partitions_where(
+        spark, "order_year >= '1996' AND bucket = '1'")
+    want = t.read(spark).filter(
+        (F.col("order_year").cast("string") >= "1996")
+        & (F.col("bucket") == "1"))
+    assert pruned.count() == want.count() > 0
+
+
+def test_repartition_table_identity_rows_keep_ids(spark, tmp_path):
+    """A layout rewrite is not an allocation: identity ids survive the
+    retrofit byte-for-byte, and the high water is untouched (the next
+    append continues past it, never reissuing)."""
+    o = _orders(spark, 60)
+    t = TxnTable(str(tmp_path / "idr"))
+    t.set_identity_column("rid")
+    t.append(o.limit(40))
+    before = {r["o_orderkey"]: r["rid"]
+              for r in t.read(spark).collect()}
+    t.set_generated_column("order_month",
+                           "DATE_FORMAT(o_orderdate, 'yyyy-MM')")
+    t.repartition_table(spark, "order_month")
+    after = {r["o_orderkey"]: r["rid"] for r in t.read(spark).collect()}
+    assert after == before
+    t.append(o.offset(40))
+    rids = [r["rid"] for r in t.read(spark).collect()]
+    assert len(rids) == len(set(rids)) == 60
+    assert {r for r in rids if r > 40} and min(
+        r["rid"] for r in t.read(spark)
+        .join(o.offset(40).select("o_orderkey"), "o_orderkey")
+        .collect()) > 40
+
+
+def test_repartition_table_guards(spark, tmp_path):
+    """Empty table -> declaration only; identity key refused; missing
+    column named clearly; generated backfill fills pre-declaration
+    rows."""
+    t = TxnTable(str(tmp_path / "g"))
+    assert t.repartition_table(spark, "o_orderdate") == -1
+    assert t._part_keys() == ["o_orderdate"]
+
+    o = _orders(spark, 30)
+    t2 = TxnTable(str(tmp_path / "g2"))
+    t2.set_identity_column("rid")
+    t2.append(o)
+    with pytest.raises(ValueError, match="identity"):
+        t2.repartition_table(spark, "rid")
+    with pytest.raises(ValueError, match="lacks"):
+        t2.repartition_table(spark, "no_such_col")
+
+    # pre-declaration rows read NULL for a later-declared generated
+    # column; the retrofit backfills them from the expression
+    t3 = TxnTable(str(tmp_path / "g3"))
+    t3.append(o.limit(15))
+    t3.set_generated_column("order_month",
+                            "DATE_FORMAT(o_orderdate, 'yyyy-MM')")
+    # these 15 materialize the column (schema widens by the new key)
+    t3.append(o.offset(15), merge_schema=True)
+    assert t3.read(spark).filter("order_month IS NULL").count() == 15
+    t3.repartition_table(spark, "order_month")
+    s = t3.read(spark)
+    assert s.filter("order_month IS NULL").count() == 0
+    assert s.filter(F.expr(
+        "CAST(order_month AS STRING) != "
+        "DATE_FORMAT(o_orderdate, 'yyyy-MM')")).count() == 0
