@@ -852,3 +852,72 @@ def test_partitioned_txn_matches_snapshot_model(spark, ops,
         got = Counter((r["id"], r["val"])
                       for r in t.read(spark, version=v).collect())
         assert got == m, f"time travel to v{v}"
+
+
+# identity × partitioned layout (r13, VERDICT r12 #2): the allocation
+# high water rides the same commit doc as the partition-granular
+# adds/removes, so ANY interleaving of identity appends with partitioned
+# overwrites must keep ids unique, block-contiguous per commit, and
+# never reused (an overwrite retires its replaced rows' ids).
+
+_IDP_OPS = st.lists(
+    st.one_of(
+        st.tuples(st.just("append"),
+                  st.lists(st.integers(0, 2), min_size=1, max_size=4)),
+        st.tuples(st.just("overwrite_day"), st.integers(0, 2),
+                  st.integers(1, 3)),
+    ),
+    min_size=1, max_size=5)
+
+
+@given(ops=_IDP_OPS)
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_identity_allocation_interleaves_partitioned_overwrites(
+        spark, ops, tmp_path_factory):
+    from sport_advantages_moderne_data_infrastructure_spark.sources.txnlog import (
+        TxnTable,
+    )
+
+    root = tmp_path_factory.mktemp("idpart")
+    t = TxnTable(str(root / "t"))
+    t.set_identity_column("rid")
+    t.set_partition_column("day")
+
+    # model: rows tagged with the 1-based write number w; write w
+    # allocated the contiguous block (cum[w-1], cum[w]]
+    cum = [0]
+    live: list[tuple[int, int]] = []  # (day, w) per live row
+
+    def apply(op, w):
+        if op[0] == "append":
+            days = op[1]
+            t.append(spark.createDataFrame(
+                [(d, w) for d in days], "day int, w int"))
+            cum.append(cum[-1] + len(days))
+            live.extend((d, w) for d in days)
+        else:
+            d, n = op[1], op[2]
+            t.overwrite_partitions(
+                spark.createDataFrame([(d, w)] * n, "day int, w int"),
+                "day")
+            cum.append(cum[-1] + n)
+            live[:] = [(dd, ww) for dd, ww in live if dd != d]
+            live.extend((d, w) for _ in range(n))
+
+    for w, op in enumerate(ops, start=1):
+        apply(op, w)
+        rows = [(r["day"], r["w"], r["rid"])
+                for r in t.read(spark).collect()]
+        # row multiset matches the model
+        from collections import Counter as C_
+        assert C_((d, ww) for d, ww, _ in rows) == C_(live), f"after {op}"
+        rids = [r for _, _, r in rows]
+        assert len(rids) == len(set(rids)), "rid collision"
+        # every live row's id sits inside its write's contiguous block
+        for d, ww, r in rows:
+            assert cum[ww - 1] < r <= cum[ww], (
+                f"rid {r} outside write {ww}'s block "
+                f"({cum[ww - 1]}, {cum[ww]}] after {op}")
+        # the layout never flattens
+        assert all("day=" in dd for dd in t.snapshot_dirs())
