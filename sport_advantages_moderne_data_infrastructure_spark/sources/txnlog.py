@@ -4144,7 +4144,8 @@ class TxnTable:
 
     def compact_partitions_if_needed(self, spark: SparkSession,
                                      max_dirs_per_value: int = 8,
-                                     meta: dict | None = None
+                                     meta: dict | None = None,
+                                     files_per_value: int = 1
                                      ) -> int | None:
         """Partition-granular OPTIMIZE (r12, Delta's ``OPTIMIZE ...
         WHERE <partition>``), the maintenance policy for the maintained
@@ -4185,11 +4186,28 @@ class TxnTable:
         if not hot:
             return None
         removes = [d for s in hot for d in segs[s]]
-        # one task per hot value -> one output file per rewritten dir
-        df = (self._read_dirs(spark, removes,
-                              self._dvs_for(removes, base),
-                              version=base)
-              .repartition(len(hot), *cols))
+        df = self._read_dirs(spark, removes,
+                             self._dvs_for(removes, base),
+                             version=base)
+        if files_per_value <= 1:
+            # one task per hot value -> one output file per rewritten
+            # dir (the tidiest layout — but write parallelism is capped
+            # at len(hot), which serializes a big hot value)
+            df = df.repartition(len(hot), *cols)
+        else:
+            # bin-pack like Delta's OPTIMIZE: ``files_per_value`` files
+            # per rewritten value, one exchange task per (value, slice)
+            # — rewrite parallelism scales with hot_data/target_file_
+            # size instead of len(hot), which is what keeps a single
+            # hot date partition's compaction wide at 100 TB
+            from pyspark.sql import functions as F
+
+            slice_col = F.pmod(F.hash(*df.columns),
+                               F.lit(files_per_value))
+            df = (df.withColumn("_slice", slice_col)
+                  .repartition(len(hot) * files_per_value,
+                               *cols, "_slice")
+                  .drop("_slice"))
         adds = self._write_data_partitioned(df, cols)
         return self.commit(
             adds, removes,

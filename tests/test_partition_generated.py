@@ -1160,3 +1160,26 @@ def test_partitioned_appends_deletes_race_maintenance(spark, tmp_path):
     assert got == want
     assert t.read(spark).count() == len(want)  # exactly-once, no dupes
     assert all("day=" in d for d in t.snapshot_dirs())
+
+
+def test_compact_partitions_bin_packed_files_per_value(spark, tmp_path):
+    """files_per_value > 1 (r13): the hot-value rewrite bin-packs like
+    Delta's OPTIMIZE — parallelism scales with data, not len(hot) —
+    while staying row-identical and below the fragmentation threshold."""
+    t = TxnTable(str(tmp_path / "bp"))
+    t.set_partition_column("day")
+    for b in range(6):  # day=0 fragments across 6 dirs; day=1 stays cold
+        t.append(_mk_rows(spark, [(10 * b + j, 0, b) for j in range(3)]
+                          + ([(999, 1, 1)] if b == 0 else [])))
+    before = {(r["id"], r["day"], r["val"])
+              for r in t.read(spark).collect()}
+    cold = [d for d in t.snapshot_dirs() if "day=1" in d]
+    v = t.compact_partitions_if_needed(spark, max_dirs_per_value=4,
+                                       files_per_value=3)
+    assert v is not None
+    after_dirs = t.snapshot_dirs()
+    hot = [d for d in after_dirs if "day=0" in d]
+    assert 1 <= len(hot) <= 3  # bin-packed, back under the threshold
+    assert [d for d in after_dirs if "day=1" in d] == cold  # untouched
+    assert {(r["id"], r["day"], r["val"])
+            for r in t.read(spark).collect()} == before
