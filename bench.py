@@ -445,6 +445,17 @@ def main() -> None:
     row_ops = bench_row_ops(spark, sf_dir)  # per-leg 2-rep min inside
     print(f"# row_ops: {row_ops}", file=sys.stderr)
 
+    # skew-mitigation gate (r13, VERDICT r12 #6): the salted hot-key
+    # join must beat the plain shuffle at the same answer — both rows
+    # are in the timed bench set (min over 2 passes each), so the ratio
+    # is a same-run, same-weather comparison. 0.95 leaves noise margin
+    # over the observed quiet-box ~0.72; it only applies where the
+    # fixture's straggler actually dominates (sf >= 0.1 — below that
+    # stage fixed costs swamp the hot task and the ratio is noise).
+    skew_ratio = (round(timings["skew_salted_join"]
+                        / timings["skew_plain_join"], 3)
+                  if timings.get("skew_plain_join") else None)
+
     floor_checks = _floor_vals()
     floors = {k: {"floor": FLOORS[k], "effective": eff_floors[k],
                   "value": v,
@@ -489,11 +500,16 @@ def main() -> None:
         # sf >= 0.1 (below that, fixed micro-batch overhead fails them by
         # construction). Previously `None and ratios` masked a ratio
         # regression as None when floors didn't apply (ADVICE r5).
+        "skew_ratio": skew_ratio,
+        "skew_ratio_ok": ((skew_ratio is not None and skew_ratio < 0.95)
+                          if floors_apply else None),
         "floors_ok": (row_ops["ratios_ok"] if not floors_apply
                       else (all(f["ok"] for f in floors.values())
                             and all(b["ok"] is not False
                                     for b in budgets.values())
-                            and row_ops["ratios_ok"])),
+                            and row_ops["ratios_ok"]
+                            and skew_ratio is not None
+                            and skew_ratio < 0.95)),
         "sf": sf_val,
     }
     _emit(doc, floors, budgets)

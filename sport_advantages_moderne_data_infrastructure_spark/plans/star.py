@@ -1821,3 +1821,119 @@ def q_order_price_quartile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.min("o_totalprice"), 2).alias("min_price"),
                  F.round(F.max("o_totalprice"), 2).alias("max_price"))
             .orderBy("o_orderpriority", "quartile"))
+
+
+# --- skew-mitigation bench pair (r13, VERDICT r12 #6) -------------------
+# A deliberately hot-keyed fixture: HALF of lineitem's join keys collapse
+# onto ONE part key, so a plain shuffle join puts ~300k of 600k fact rows
+# (sf0.1) on a single reducer — the 100 TB straggler shape. Both rows
+# compute the identical answer under identical conf (broadcast OFF: the
+# modeled scenario is a dim too big to broadcast, which is when
+# operators/skew.py applies; AQE skew-join OFF: its documented gap — the
+# engine must pre-partition, or the join is not an SMJ). The pair is
+# benched every round; bench.py gates skew_ratio = salted/plain < 1.0 so
+# "salting beats the plain shuffle at the same answer" is a measured
+# claim, not prose. Both stay DuckDB-verified per pytest run
+# (driver=False: the relational join/agg shapes are already gate-covered
+# by prime_query_sql / pricing-family rows).
+
+_SKEW_ORACLE = (
+    "SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS cnt, "
+    "ROUND(SUM(l_extendedprice), 2) AS revenue "
+    "FROM (SELECT CASE WHEN l_orderkey % 2 = 0 THEN 1 "
+    "ELSE l_partkey END AS k, l_extendedprice FROM lineitem) f "
+    "JOIN (SELECT CASE WHEN p_partkey <= 32 THEN 1 ELSE p_partkey END "
+    "AS k, p_brand FROM part) p USING (k) "
+    "GROUP BY p_brand ORDER BY p_brand")
+
+
+def _skew_fixture(spark: SparkSession, sf_dir: str):
+    # the skew lands on the JOIN OUTPUT, not the shuffle: half the fact
+    # keys collapse onto key 1, and key 1 carries 32 dim matches (parts
+    # 1..32 remapped), so the plain join's hot reducer emits and
+    # aggregates ~9.6M rows at sf0.1 while a balanced one handles ~10k
+    # — the straggler dominates the stage without inflating the shuffle
+    # itself (a 20x-replicated-shuffle variant of this fixture spilled
+    # and measured memory pressure, not skew)
+    li = load_table(spark, sf_dir, "lineitem")
+    fact = li.select(
+        F.when(F.col("l_orderkey") % 2 == 0, F.lit(1))
+        .otherwise(F.col("l_partkey")).alias("k"),
+        "l_extendedprice",
+        # row-unique salt source: a key-derived salt would keep the hot
+        # key on one reducer (see salted_join's docstring)
+        F.xxhash64("l_orderkey", "l_linenumber").alias("_rowid"))
+    dim = load_table(spark, sf_dir, "part").select(
+        F.when(F.col("p_partkey") <= 32, F.lit(1))
+        .otherwise(F.col("p_partkey")).alias("k"), "p_brand")
+    return fact, dim
+
+
+class _no_broadcast_no_aqe_skew:
+    """Pin the comparison's conf: no auto-broadcast (the dim is a stand-
+    in for one too big to broadcast) and no AQE skew-join rescue (the
+    manual-salting use case is exactly where AQE can't help). Restores
+    on exit."""
+
+    _KEYS = ("spark.sql.autoBroadcastJoinThreshold",
+             "spark.sql.adaptive.skewJoin.enabled")
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def __enter__(self):
+        self.saved = {k: self.spark.conf.get(k) for k in self._KEYS}
+        self.spark.conf.set(self._KEYS[0], "-1")
+        self.spark.conf.set(self._KEYS[1], "false")
+
+    def __exit__(self, *exc):
+        for k, v in self.saved.items():
+            self.spark.conf.set(k, v)
+
+
+@register(
+    "skew_plain_join",  # r13 (VERDICT r12 #6) — the STRAGGLER baseline:
+    # one reducer owns half the fact rows. Benched so skew_ratio has a
+    # same-run denominator.
+    driver=False, bench=True, oracle=_SKEW_ORACLE)
+def q_skew_plain_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-keyed join, plain shuffle: the partition holding key 1 does
+    half the stage's work — the wall-clock this row reports IS the
+    straggler cost that salting removes."""
+    fact, dim = _skew_fixture(spark, sf_dir)
+    with _no_broadcast_no_aqe_skew(spark):
+        out = (fact.join(dim, "k")
+               .groupBy("p_brand")
+               .agg(F.count(F.lit(1)).alias("cnt"),
+                    F.round(F.sum("l_extendedprice"), 2)
+                    .alias("revenue"))
+               .orderBy("p_brand"))
+        out.collect()  # execute INSIDE the pinned conf
+    return out
+
+
+@register(
+    "skew_salted_join",  # r13 (VERDICT r12 #6) — the mitigation:
+    # operators/skew.salted_join spreads the hot key over 32 salt
+    # buckets (fact side appends a row-unique salt, dim side explodes
+    # x32), so no reducer owns more than ~1/32 of the hot key. Same
+    # answer, same conf, same oracle as skew_plain_join; bench.py gates
+    # salted/plain < 1.0 every round.
+    driver=False, bench=True, oracle=_SKEW_ORACLE)
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-keyed join through salted_join (operators/skew.py): the
+    shuffle key becomes (k, salt), the dim replicates x buckets — hot
+    work spreads across the cluster instead of one straggler."""
+    from ..operators.skew import salted_join
+
+    fact, dim = _skew_fixture(spark, sf_dir)
+    with _no_broadcast_no_aqe_skew(spark):
+        out = (salted_join(fact, dim, on="k", buckets=32,
+                           salt_from="_rowid")
+               .groupBy("p_brand")
+               .agg(F.count(F.lit(1)).alias("cnt"),
+                    F.round(F.sum("l_extendedprice"), 2)
+                    .alias("revenue"))
+               .orderBy("p_brand"))
+        out.collect()
+    return out
