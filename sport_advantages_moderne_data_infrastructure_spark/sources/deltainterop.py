@@ -268,33 +268,26 @@ def _checkpoint_at(log_dir: str, ceiling: int | None) -> int | None:
     return best
 
 
-def read_delta_dir(spark: SparkSession, path: str,
-                   version: int | None = None) -> DataFrame:
-    """Read a Delta-format directory (real delta-spark output or
-    :func:`export_delta_log`'s) with plain Spark: replay
-    ``_delta_log``'s JSON commits (from the newest single-part parquet
-    checkpoint at/below the target, when one exists — checkpoints are
-    plain parquet), reconcile ``add``/``remove`` by path, then ONE
-    parquet scan of the live files with the partition columns joined
-    back from ``partitionValues`` via a broadcast file→values frame on
-    ``_metadata.file_path``."""
+def _replay_log(spark: SparkSession, log_dir: str,
+                version: int | None) -> tuple[dict, dict | None]:
+    """(live add actions keyed by decoded path, last metaData) at
+    ``version`` — from the newest single-part parquet checkpoint at or
+    below the target (plain parquet, no delta jars) plus the JSON tail.
+    Tolerates log retention: JSON commits older than the checkpoint may
+    be deleted (Delta's logRetentionDuration cleanup) since the
+    checkpoint carries their state."""
     from urllib.parse import unquote
 
-    from pyspark.sql.types import StructType
-
-    log_dir = os.path.join(path, "_delta_log")
-    if not os.path.isdir(log_dir):
-        raise ValueError(f"not a Delta table (no _delta_log): {path}")
     versions = _log_versions(log_dir)
     if version is not None:
         versions = [v for v in versions if v <= version]
-        if not versions:
-            raise ValueError(f"no commits at or below version "
-                             f"{version} in {log_dir}")
+    cp = _checkpoint_at(log_dir, version)
+    if cp is None and not versions:
+        raise ValueError(
+            f"no commits{'' if version is None else f' at or below version {version}'} in {log_dir}")
 
     live: dict[str, dict] = {}  # decoded path -> add action
     meta: dict | None = None
-    cp = _checkpoint_at(log_dir, versions[-1] if versions else None)
     if cp is not None:
         cpdf = spark.read.parquet(
             os.path.join(log_dir, f"{cp:020d}.checkpoint.parquet"))
@@ -328,6 +321,70 @@ def read_delta_dir(spark: SparkSession, path: str,
                     live[unquote(a["path"])] = a
                 elif "remove" in action:
                     live.pop(unquote(action["remove"]["path"]), None)
+    return live, meta
+
+
+def export_delta_checkpoint(spark: SparkSession, path: str) -> str:
+    """Write a single-part parquet CHECKPOINT of the latest exported
+    state plus ``_last_checkpoint`` — after this, a Delta reader (this
+    module's or a real one) plans from the checkpoint + the JSON tail
+    instead of replaying every commit, and JSON commits at or below the
+    checkpoint become ELIGIBLE for log-retention cleanup (Delta's
+    logRetentionDuration). The checkpoint frame is built the way real
+    writers build it: the action state as one struct-typed parquet
+    (protocol + last metaData + every live add), written via a temp
+    JSONL so Spark's own JSON inference produces the struct schema a
+    foreign reader expects. Run after :func:`export_delta_log`; re-run
+    after each re-export. The O(commits) log walk becomes O(tail) — the
+    2,880-commits-per-day streaming-table shape."""
+    import glob as _glob
+    import shutil as _shutil
+    import tempfile
+
+    log_dir = os.path.join(path, "_delta_log")
+    versions = _log_versions(log_dir)
+    if not versions:
+        raise ValueError(f"no JSON commits to checkpoint in {log_dir}")
+    v = versions[-1]
+    live, meta = _replay_log(spark, log_dir, None)
+    if meta is None:
+        raise ValueError(f"no metaData action found in {log_dir}")
+    actions = ([{"protocol": {"minReaderVersion": 1,
+                              "minWriterVersion": 2}},
+                {"metaData": meta}]
+               + [{"add": live[k]} for k in sorted(live)])
+    tmp = tempfile.mkdtemp(prefix="samdis_delta_cp_")
+    jsonl = os.path.join(tmp, "actions.jsonl")
+    with open(jsonl, "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+    out = os.path.join(tmp, "cp")
+    spark.read.json(jsonl).coalesce(1).write.parquet(out)
+    part = _glob.glob(os.path.join(out, "part-*.parquet"))[0]
+    cp_name = f"{v:020d}.checkpoint.parquet"
+    _shutil.copy(part, os.path.join(log_dir, cp_name))
+    with open(os.path.join(log_dir, "_last_checkpoint"), "w") as fh:
+        json.dump({"version": v, "size": len(actions)}, fh)
+    _shutil.rmtree(tmp, ignore_errors=True)
+    return os.path.join(log_dir, cp_name)
+
+
+def read_delta_dir(spark: SparkSession, path: str,
+                   version: int | None = None) -> DataFrame:
+    """Read a Delta-format directory (real delta-spark output or
+    :func:`export_delta_log`'s) with plain Spark: replay
+    ``_delta_log``'s JSON commits (from the newest single-part parquet
+    checkpoint at/below the target, when one exists — checkpoints are
+    plain parquet), reconcile ``add``/``remove`` by path, then ONE
+    parquet scan of the live files with the partition columns joined
+    back from ``partitionValues`` via a broadcast file→values frame on
+    ``_metadata.file_path``."""
+    from pyspark.sql.types import StructType
+
+    log_dir = os.path.join(path, "_delta_log")
+    if not os.path.isdir(log_dir):
+        raise ValueError(f"not a Delta table (no _delta_log): {path}")
+    live, meta = _replay_log(spark, log_dir, version)
     if meta is None:
         raise ValueError(f"no metaData action found in {log_dir}")
     if (meta.get("configuration") or {}).get(

@@ -239,3 +239,38 @@ def test_reader_empty_and_retrofit_layouts(spark, tmp_path):
     empty = read_delta_dir(spark, e.path)
     assert empty.count() == 0
     assert "o_orderkey" in empty.columns
+
+
+def test_export_checkpoint_and_log_retention(spark, tmp_path):
+    """export_delta_checkpoint writes a single-part parquet checkpoint
+    + _last_checkpoint at the latest version; the reader then plans
+    from it, so JSON commits at/below the checkpoint can be cleaned up
+    (Delta's logRetentionDuration) without losing the snapshot."""
+    from sport_advantages_moderne_data_infrastructure_spark.sources.deltainterop import (
+        export_delta_checkpoint,
+    )
+
+    o = _orders(spark, 90)
+    t = TxnTable(str(tmp_path / "cp"))
+    t.append(o.limit(30))
+    t.append(o.offset(30).limit(30))
+    t.delete_where(spark, "o_orderkey % 5 = 0")
+    export_delta_log(t)
+    want = _rows(t.read(spark).select("o_orderkey", "o_totalprice"))
+
+    cp = export_delta_checkpoint(spark, t.path)
+    log = os.path.join(t.path, "_delta_log")
+    assert os.path.basename(cp) == f"{2:020d}.checkpoint.parquet"
+    last = json.load(open(os.path.join(log, "_last_checkpoint")))
+    assert last["version"] == 2
+    # simulate log retention: drop every JSON commit the checkpoint
+    # covers — the snapshot must survive on checkpoint state alone
+    for v in range(3):
+        os.remove(os.path.join(log, f"{v:020d}.json"))
+    got = read_delta_dir(spark, t.path)
+    assert _rows(got.select("o_orderkey", "o_totalprice")) == want
+    # a new export tail past the checkpoint keeps composing
+    t.append(o.offset(60))
+    export_delta_log(t)  # rewrites the full log; v3 is the new tail
+    got2 = read_delta_dir(spark, t.path)
+    assert got2.count() == t.read(spark).count()
