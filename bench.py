@@ -154,6 +154,10 @@ QUERY_BUDGETS = {
     "ann_filtered_topk": 1.08,      # ann_sq8_topk's exhaustive integer
     # rerank + the documents lang filter join; re-pinned from the r11
     # at-HEAD min 0.722 the round it first ran
+    # r13-added query (1.5x the r13 local full-bench min 1.293; the
+    # skew_plain_baseline pseudo-entry is deliberately unbudgeted —
+    # it is the straggler cost skew_ratio measures, not an operator)
+    "skew_salted_join": 1.94,
 }
 
 # --- Cross-round noise calibration (VERDICT r10 #3) ---------------------

@@ -199,17 +199,33 @@ def _export_schema(table: TxnTable, doc: dict, part_cols: list[str],
     types come from the write-time partition_types record)."""
     from pyspark.sql.types import _parse_datatype_string
 
-    sch = doc.get("schema") or carried
+    sch = doc.get("schema")
     if sch is None:
+        # partitioned commits record no doc schema (the partition key
+        # lives in the path) — derive the adds' struct from a footer
+        # and MERGE over the carried schema, so a schema-EVOLVING
+        # partitioned append (merge_schema widening) still exports its
+        # new column instead of silently carrying the stale shape
+        footer = None
         for rel in doc["adds"]:
             for f in _files_of(table, rel):
                 st = TxnTable._footer_struct(  # noqa: SLF001
                     os.path.join(table.path, f))
                 if st is not None:
-                    sch = st.jsonValue()
+                    footer = st.jsonValue()
                     break
-            if sch is not None:
+            if footer is not None:
                 break
+        if carried is None:
+            sch = footer
+        elif footer is None:
+            sch = carried
+        else:
+            have = {f["name"] for f in carried.get("fields", [])}
+            sch = {**carried,
+                   "fields": list(carried["fields"])
+                   + [f for f in footer["fields"]
+                      if f["name"] not in have]}
     if sch is None:
         return None
     names = {f["name"] for f in sch.get("fields", [])}

@@ -274,3 +274,29 @@ def test_export_checkpoint_and_log_retention(spark, tmp_path):
     export_delta_log(t)  # rewrites the full log; v3 is the new tail
     got2 = read_delta_dir(spark, t.path)
     assert got2.count() == t.read(spark).count()
+
+
+def test_export_schema_evolving_partitioned_overwrite(spark, tmp_path):
+    """Schema evolution on a PARTITIONED table rides overwrite() of
+    the evolved shape (merge_schema appends are refused on declared
+    layouts), and a partitioned commit records no doc schema (the key
+    lives in the path) — the exporter must merge the adds' footer
+    struct over the carried schema so the widened column reaches
+    metaData instead of being silently dropped."""
+    o = _orders(spark, 60)
+    t = TxnTable(str(tmp_path / "evo"))
+    t.set_generated_column("order_month",
+                           "DATE_FORMAT(o_orderdate, 'yyyy-MM')")
+    t.set_partition_column("order_month")
+    t.append(o.limit(30))
+    t.overwrite(o.withColumn(
+        "note", F.concat(F.lit("n"), F.col("o_orderkey"))))
+    export_delta_log(t)
+    got = read_delta_dir(spark, t.path)
+    assert "note" in got.columns
+    assert got.filter("note IS NOT NULL").count() == 60
+    assert got.count() == 60
+    # the pre-evolution version still reads with its own (narrower)
+    # metaData through the exported log
+    v0 = read_delta_dir(spark, t.path, version=0)
+    assert "note" not in v0.columns and v0.count() == 30
