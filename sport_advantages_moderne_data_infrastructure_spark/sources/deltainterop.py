@@ -403,16 +403,29 @@ def read_delta_dir(spark: SparkSession, path: str,
     live, meta = _replay_log(spark, log_dir, version)
     if meta is None:
         raise ValueError(f"no metaData action found in {log_dir}")
-    if (meta.get("configuration") or {}).get(
-            "delta.columnMapping.mode", "none") not in ("none", ""):
+    cm_mode = (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none") or "none"
+    if cm_mode not in ("none", "name"):
         raise ValueError(
-            "read_delta_dir: column-mapped Delta tables are not "
-            "supported by this reader — read via delta-spark")
+            f"read_delta_dir: column mapping mode {cm_mode!r} is not "
+            "supported by this reader (parquet field-id resolution "
+            "needs a delta-aware scan) — read via delta-spark")
 
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     part_cols = list(meta.get("partitionColumns") or [])
+    # 'name' mode: files store PHYSICAL column names (Delta's rename/
+    # drop indirection); the schema's field metadata carries the
+    # logical->physical map. Read by physical name, rename back, and
+    # look partitionValues up by physical key (the spec keys them
+    # physically; exports from pre-mapping writers key logically, so
+    # fall back).
+    phys = {f.name: (f.metadata or {}).get(
+        "delta.columnMapping.physicalName", f.name)
+        for f in schema.fields} if cm_mode == "name" else {
+        f.name: f.name for f in schema.fields}
     data_schema = StructType(
-        [f for f in schema.fields if f.name not in part_cols])
+        [f.__class__(phys[f.name], f.dataType, f.nullable)
+         for f in schema.fields if f.name not in part_cols])
     if not live:
         return spark.createDataFrame([], schema)
 
@@ -422,12 +435,21 @@ def read_delta_dir(spark: SparkSession, path: str,
           .withColumn("__fp", F.regexp_replace(
               F.col("_metadata.file_path"), "^[a-zA-Z][a-zA-Z0-9+.-]*:/*",
               "/")))
+    for fld in schema.fields:
+        if fld.name not in part_cols and phys[fld.name] != fld.name:
+            df = df.withColumnRenamed(phys[fld.name], fld.name)
     if not part_cols:
-        return df.drop("__fp")
+        return df.drop("__fp").select(
+            *[f.name for f in schema.fields if f.name not in part_cols])
     # file -> partition values, broadcast-joined back in one pass
+    def _pval(f: str, c: str):
+        pv = live[f].get("partitionValues", {}) or {}
+        if phys[c] in pv:
+            return pv[phys[c]]
+        return pv.get(c)
+
     rows = [(os.path.abspath(os.path.join(path, f)),
-             *[live[f].get("partitionValues", {}).get(c)
-               for c in part_cols])
+             *[_pval(f, c) for c in part_cols])
             for f in files]
     map_schema = ", ".join(["__fp string"]
                            + [f"`{c}` string" for c in part_cols])

@@ -300,3 +300,68 @@ def test_export_schema_evolving_partitioned_overwrite(spark, tmp_path):
     # metaData through the exported log
     v0 = read_delta_dir(spark, t.path, version=0)
     assert "note" not in v0.columns and v0.count() == 30
+
+
+def test_reader_name_mode_column_mapping(spark, tmp_path):
+    """A foreign Delta table with columnMapping.mode=name (the shape
+    every renamed/dropped-column Delta table has): files carry
+    PHYSICAL col-<uuid> names, partitionValues key physically, and the
+    reader renames back through the schema's field metadata."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "cmname")
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log)
+    schema_json = {
+        "type": "struct", "fields": [
+            {"name": "id", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName":
+                              "col-aaa"}},
+            {"name": "v", "type": "double", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName":
+                              "col-bbb"}},
+            {"name": "day", "type": "integer", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 3,
+                          "delta.columnMapping.physicalName":
+                              "col-ccc"}},
+        ]}
+    meta = {"id": "y", "format": {"provider": "parquet"},
+            "schemaString": json.dumps(schema_json),
+            "partitionColumns": ["day"],
+            "configuration": {"delta.columnMapping.mode": "name",
+                              "delta.columnMapping.maxColumnId": "3"}}
+
+    def write_part(name, rows):
+        os.makedirs(os.path.join(root, os.path.dirname(name)) or root,
+                    exist_ok=True)
+        pq.write_table(pa.table({
+            "col-aaa": pa.array([r[0] for r in rows], pa.int64()),
+            "col-bbb": pa.array([r[1] for r in rows], pa.float64())}),
+            os.path.join(root, name))
+        return name
+
+    f0 = write_part("part-000.parquet", [(1, 1.0), (2, 2.0)])
+    f1 = write_part("part-001.parquet", [(3, 3.0)])
+    with open(os.path.join(log, f"{0:020d}.json"), "w") as fh:
+        fh.write(json.dumps({"protocol": {
+            "minReaderVersion": 2, "minWriterVersion": 5}}) + "\n")
+        fh.write(json.dumps({"metaData": meta}) + "\n")
+        for p, d in ((f0, "7"), (f1, "8")):
+            fh.write(json.dumps({"add": {
+                "path": p, "partitionValues": {"col-ccc": d},
+                "size": os.path.getsize(os.path.join(root, p)),
+                "modificationTime": 0, "dataChange": True}}) + "\n")
+    got = read_delta_dir(spark, root)
+    assert set(got.columns) == {"id", "v", "day"}
+    assert dict(got.dtypes)["day"] == "int"
+    assert _rows(got) == {(1, 1.0, 7), (2, 2.0, 7), (3, 3.0, 8)}
+    # 'id' mode still refuses loudly
+    meta2 = {**meta, "configuration": {
+        "delta.columnMapping.mode": "id"}}
+    with open(os.path.join(log, f"{1:020d}.json"), "w") as fh:
+        fh.write(json.dumps({"metaData": meta2}) + "\n")
+    with pytest.raises(ValueError, match="column mapping mode"):
+        read_delta_dir(spark, root)
