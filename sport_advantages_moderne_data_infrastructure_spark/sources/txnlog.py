@@ -527,11 +527,17 @@ class TxnTable:
     # decided per ROW by whether the third-from-last segment is the
     # data dir itself (a partition segment always carries '=' and a
     # commit uuid is hex, so neither can collide with the literal)
+    #: depth-AGNOSTIC (r13): the commit root is always data/<32-hex>
+    #: and every partition segment below it carries '=' with no '/', so
+    #: one anchored regexp recovers the table-relative path at ANY
+    #: nesting depth — the pre-r13 fixed-depth CASE handled plain and
+    #: single-key layouts but silently mangled a multi-key path's key
+    #: (dropped the data/ prefix), committing DVs whose dir mapping
+    #: matched no live dir: the delete reported success and masked
+    #: nothing on read.
     _DV_FILE_KEY = (
-        "CASE WHEN substring_index(substring_index("
-        f"_metadata.file_path, '/', -3), '/', 1) = '{_DATA_DIR}' "
-        "THEN substring_index(_metadata.file_path, '/', -3) "
-        "ELSE substring_index(_metadata.file_path, '/', -4) END")
+        "regexp_extract(_metadata.file_path, "
+        f"'/({_DATA_DIR}/[0-9a-f]{{32}}(?:/[^/]+=[^/]*)*/[^/]+)$', 1)")
 
     def _apply_dvs(self, spark: SparkSession, df: DataFrame,
                    dvs: dict[str, dict]) -> DataFrame:

@@ -1183,3 +1183,109 @@ def test_compact_partitions_bin_packed_files_per_value(spark, tmp_path):
     assert [d for d in after_dirs if "day=1" in d] == cold  # untouched
     assert {(r["id"], r["day"], r["val"])
             for r in t.read(spark).collect()} == before
+
+
+# --- multi-key layout ops (r13 review pass) -------------------------------
+
+def _mtable(spark, tmp_path, name="mk"):
+    o = (_orders(spark)
+         .withColumn("bucket",
+                     (F.col("o_orderkey") % 3).cast("string")))
+    t = TxnTable(str(tmp_path / name))
+    t.set_generated_column("order_year",
+                           "DATE_FORMAT(o_orderdate, 'yyyy')")
+    t.set_partition_column(["order_year", "bucket"])
+    t.append(o)
+    return t, o
+
+
+def test_multikey_trailing_and_leading_only_pruning(spark, tmp_path):
+    """Predicates over ANY key subset prune on a nested layout: a
+    trailing-key-only filter keeps every year's matching bucket subdir,
+    a leading-key-only filter keeps whole year subtrees."""
+    t, o = _mtable(spark, tmp_path)
+    trail = t.read_partitions_where(spark, "bucket = '1'")
+    want = o.filter("o_orderkey % 3 = 1").count()
+    assert trail.count() == want > 0
+    assert all("/bucket=1" in f or f.split("/")[-2] == "bucket=1"
+               for f in trail.inputFiles())
+    lead = t.read_partitions_where(spark, "order_year = '1996'")
+    assert lead.count() == o.filter(
+        "DATE_FORMAT(o_orderdate, 'yyyy') = '1996'").count() > 0
+    assert all("order_year=1996" in f for f in lead.inputFiles())
+
+
+def test_multikey_row_level_ops_and_purges(spark, tmp_path):
+    """DELETE/UPDATE WHERE on a nested layout: a both-key predicate is
+    a metadata-only purge, a trailing-key predicate purges across
+    years, a data predicate rewrites only matching subdirs, and an
+    update migrating the GENERATED leading key moves rows between
+    nested subdirs."""
+    t, o = _mtable(spark, tmp_path)
+    n0 = t.read(spark).count()
+    # metadata-only purge at the exact tuple grain
+    gone = o.filter("DATE_FORMAT(o_orderdate, 'yyyy') = '1995' "
+                    "AND o_orderkey % 3 = 0").count()
+    assert gone > 0
+    t.delete_where(spark, "order_year = '1995' AND bucket = '0'")
+    assert t.read(spark).count() == n0 - gone
+    assert not [d for d in t.snapshot_dirs()
+                if "order_year=1995" in d and "bucket=0" in d]
+    # trailing-key purge sweeps every year's bucket=2 subdir
+    gone2 = t.read(spark).filter("bucket = '2'").count()
+    t.delete_where(spark, "bucket = '2'")
+    assert t.read(spark).count() == n0 - gone - gone2
+    assert not [d for d in t.snapshot_dirs() if "bucket=2" in d]
+    # data-predicate delete: rewrites, stays nested
+    k = t.read(spark).orderBy("o_orderkey").first()["o_orderkey"]
+    t.delete_where(spark, f"o_orderkey = {k}")
+    assert t.read(spark).filter(f"o_orderkey = {k}").count() == 0
+    assert all("order_year=" in d and "bucket=" in d
+               for d in t.snapshot_dirs())
+    # generated-key migration: bump the date a year -> the row must
+    # move to its new order_year subdir and recompute the key
+    k2 = t.read(spark).orderBy("o_orderkey").first()["o_orderkey"]
+    y2 = t.read(spark).filter(f"o_orderkey = {k2}").first()
+    t.update_where(spark, f"o_orderkey = {k2}",
+                   {"o_orderdate": "o_orderdate + INTERVAL 1 YEAR"})
+    r = t.read(spark).filter(f"o_orderkey = {k2}").first()
+    assert int(str(r["order_year"])) == int(str(y2["order_year"])) + 1
+    pruned = t.read_partitions_where(
+        spark, f"order_year = '{r['order_year']}'")
+    assert pruned.filter(f"o_orderkey = {k2}").count() == 1
+
+
+def test_multikey_dv_merge_compact_time_travel(spark, tmp_path):
+    """DV deletes, MERGE upserts, partition-granular compaction and
+    time travel all preserve a nested layout and its answers."""
+    t, o = _mtable(spark, tmp_path)
+    v0 = t.latest_version()
+    live0 = set(t.snapshot_dirs())
+    t.delete_where(spark, "o_orderkey <= 5", use_dv=True)
+    assert set(t.snapshot_dirs()) == live0  # DV: no rewrite
+    n_dv = o.filter("o_orderkey <= 5").count()
+    assert t.read(spark).count() == 200 - n_dv
+    ups = (o.limit(40)
+           .withColumn("o_totalprice", F.col("o_totalprice") * 2))
+    t.merge(spark, ups, key="o_orderkey")
+    s = t.read(spark)
+    assert all("order_year=" in d and "bucket=" in d
+               for d in t.snapshot_dirs())
+    # merged rows doubled; the DV'd rows came back via the merge only
+    # if they were in ups (merge inserts unmatched)
+    doubled = s.join(ups.select("o_orderkey"), "o_orderkey")
+    base = o.join(ups.select("o_orderkey"), "o_orderkey")
+    assert abs(doubled.agg(F.sum("o_totalprice")).first()[0]
+               - 2 * base.agg(F.sum("o_totalprice")).first()[0]) < 1e-6
+    # fragment one tuple with small appends, then hot-only compaction
+    frag = o.limit(4).withColumn("bucket", F.lit("9"))
+    for _ in range(4):
+        t.append(frag)
+    before = t.read(spark).count()
+    v = t.compact_partitions_if_needed(spark, max_dirs_per_value=3)
+    assert v is not None
+    assert t.read(spark).count() == before
+    assert all("order_year=" in d and "bucket=" in d
+               for d in t.snapshot_dirs())
+    # time travel to the pristine load
+    assert t.read(spark, version=v0).count() == 200
