@@ -1289,3 +1289,26 @@ def test_multikey_dv_merge_compact_time_travel(spark, tmp_path):
                for d in t.snapshot_dirs())
     # time travel to the pristine load
     assert t.read(spark, version=v0).count() == 200
+
+
+def test_multikey_python_datasource_read(spark, tmp_path):
+    """The txnlog Python DataSource reconstructs BOTH nested partition
+    keys (recorded types, DV mask applied) — the r13 multi-key carry in
+    sources/txnstream.py."""
+    from sport_advantages_moderne_data_infrastructure_spark.sources import (
+        txnstream,
+    )
+
+    spark.dataSource.register(txnstream.TxnLogDataSource)
+    t, o = _mtable(spark, tmp_path, "ds")
+    t.delete_where(spark, "o_orderkey % 11 = 0", use_dv=True)
+    df = spark.read.format("txnlog").load(t.path)
+    want = t.read(spark)
+    assert df.count() == want.count()
+    assert dict(df.dtypes)["order_year"] == "string"  # recorded type
+    assert dict(df.dtypes)["bucket"] == "string"
+    a = {(r["o_orderkey"], str(r["order_year"]), str(r["bucket"]))
+         for r in df.collect()}
+    b = {(r["o_orderkey"], str(r["order_year"]), str(r["bucket"]))
+         for r in want.collect()}
+    assert a == b
