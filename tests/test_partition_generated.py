@@ -1312,3 +1312,113 @@ def test_multikey_python_datasource_read(spark, tmp_path):
     b = {(r["o_orderkey"], str(r["order_year"]), str(r["bucket"]))
          for r in want.collect()}
     assert a == b
+
+
+def test_multikey_ops_match_snapshot_model_any_interleaving(
+        spark, tmp_path_factory):
+    """The r13 multi-key layout under the same snapshot-model
+    discipline: random interleavings of appends, FULL-TUPLE and
+    LEADING-PREFIX overwrites, trailing-key purges, DV deletes,
+    compaction and restore — every state matches the model, the nested
+    layout never flattens, time travel replays exactly."""
+    from collections import Counter
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "id int, day int, grp string, val int")
+
+    ops_strategy = st.lists(
+        st.one_of(
+            st.tuples(st.just("append"),
+                      st.lists(st.tuples(st.integers(0, 9),
+                                         st.integers(0, 1),
+                                         st.sampled_from(["a", "b"]),
+                                         st.integers(0, 5)),
+                               min_size=1, max_size=3)),
+            st.tuples(st.just("overwrite_tuple"), st.integers(0, 1),
+                      st.sampled_from(["a", "b"]),
+                      st.lists(st.tuples(st.integers(0, 9),
+                                         st.integers(0, 5)),
+                               min_size=1, max_size=2)),
+            st.tuples(st.just("overwrite_prefix"), st.integers(0, 1),
+                      st.lists(st.tuples(st.integers(0, 9),
+                                         st.sampled_from(["a", "b"]),
+                                         st.integers(0, 5)),
+                               min_size=1, max_size=3)),
+            st.tuples(st.just("purge_grp"), st.sampled_from(["a", "b"])),
+            st.tuples(st.just("delete_id"), st.integers(0, 9),
+                      st.booleans()),
+            st.just(("compact_parts",)),
+            st.tuples(st.just("restore"), st.integers(0, 10)),
+        ),
+        min_size=2, max_size=5)
+
+    @given(ops=ops_strategy)
+    @settings(max_examples=4, deadline=None,
+              suppress_health_check=[
+                  HealthCheck.function_scoped_fixture])
+    def run(ops):
+        root = tmp_path_factory.mktemp("mkprop")
+        t = TxnTable(str(root / "t"))
+        t.set_partition_column(["day", "grp"])
+        seed = [(0, 0, "a", 0), (1, 1, "b", 1), (2, 0, "b", 2)]
+        t.append(mk(seed))
+        history = [Counter(seed)]
+        model = history[0]
+
+        def snap():
+            return Counter(
+                (r["id"], r["day"], r["grp"], r["val"])
+                for r in t.read(spark).collect())
+
+        for op in ops:
+            before_v = t.latest_version()
+            if op[0] == "append":
+                t.append(mk(op[1]))
+                model = model + Counter(op[1])
+            elif op[0] == "overwrite_tuple":
+                d, g = op[1], op[2]
+                rows = [(i, d, g, v) for i, v in op[3]]
+                t.overwrite_partitions(mk(rows), ["day", "grp"])
+                model = Counter({k: c for k, c in model.items()
+                                 if (k[1], k[2]) != (d, g)}) \
+                    + Counter(rows)
+            elif op[0] == "overwrite_prefix":
+                d = op[1]
+                rows = [(i, d, g, v) for i, g, v in op[2]]
+                t.overwrite_partitions(mk(rows), "day")
+                model = Counter({k: c for k, c in model.items()
+                                 if k[1] != d}) + Counter(rows)
+            elif op[0] == "purge_grp":
+                t.delete_where(spark, f"grp = '{op[1]}'")
+                model = Counter({k: c for k, c in model.items()
+                                 if k[2] != op[1]})
+            elif op[0] == "delete_id":
+                t.delete_where(spark, f"id = {op[1]}", use_dv=op[2])
+                model = Counter({k: c for k, c in model.items()
+                                 if k[0] != op[1]})
+            elif op[0] == "compact_parts":
+                t.compact_partitions_if_needed(spark,
+                                               max_dirs_per_value=1)
+            elif op[0] == "restore":
+                target = op[1] % len(history)
+                t.restore(target)
+                model = history[target]
+            assert all("day=" in d and "grp=" in d
+                       for d in t.snapshot_dirs()), op
+            if t.latest_version() != before_v:
+                history.append(model)
+            else:
+                model = history[-1]
+            assert snap() == model, f"after {op}"
+
+        for v, m in enumerate(history):
+            got = Counter(
+                (r["id"], r["day"], r["grp"], r["val"])
+                for r in t.read(spark, version=v).collect())
+            assert got == m, f"time travel to v{v}"
+
+    run()
