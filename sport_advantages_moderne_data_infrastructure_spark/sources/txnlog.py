@@ -1573,34 +1573,80 @@ class TxnTable:
                .select(*df.columns, name))
         return out, {"identity_high_water": base + step * acc}, df
 
+    def _interleaved_allocation(self, v0: int | None) -> bool:
+        """True when any commit AFTER ``v0`` carries an identity high
+        water — i.e. a racing writer allocated ids, making this
+        writer's allocation stale. False means the interleaved commits
+        were non-allocating (deletes, compactions, plain appends): the
+        allocation is still valid and only the commit needs rebasing —
+        Delta's logical conflict resolution, which saves the data
+        rewrite (the expensive leg, since ids are baked into the
+        files)."""
+        latest = self.latest_version()
+        v = latest
+        floor = -1 if v0 is None else v0
+        while v is not None and v > floor:
+            if "identity_high_water" in (self._doc(v).get("meta") or {}):
+                return True
+            v -= 1
+        return False
+
+    @staticmethod
+    def _conflict_backoff(attempt: int) -> None:
+        """Jittered exponential backoff between identity commit
+        retries: an allocating retry rewrites its data (seconds), so
+        without desynchronization N concurrent allocators re-collide
+        every round and a writer can starve past any retry budget —
+        the same reason Delta's commit loop backs off."""
+        import random
+        import time as _time
+
+        _time.sleep(min(1.0, random.uniform(0, 0.05 * (2 ** attempt))))
+
     def _append_identity(self, df: DataFrame, meta: dict | None,
                          ident: dict, retries: int = 5) -> int:
         """Identity-allocating append: unlike a blind append, losing the
-        commit race here IS a semantic conflict (the loser's ids came
-        from a stale high water), so each retry re-reads the high
-        water, RE-ASSIGNS, rewrites the data, and re-commits against
-        the version it allocated at."""
+        commit race here IS a semantic conflict ONLY when a racing
+        commit also allocated (the loser's ids came from a stale high
+        water) — then the retry re-reads the high water, RE-ASSIGNS,
+        rewrites the data, and re-commits against the version it
+        allocated at. Races with non-allocating commits just rebase
+        the same files (no rewrite). Jittered backoff desynchronizes
+        concurrent allocators between rounds."""
         import shutil
 
         last_err = None
-        for _ in range(max(1, retries)):
+        # attempt floor 20: every lost round means ANOTHER writer's
+        # commit landed (global progress), so attempts bound how many
+        # competing commits this writer tolerates — not a luck budget.
+        # The caller's retries can only raise it.
+        for attempt in range(max(1, retries, 20)):
             v0 = self.latest_version()
+            if v0 is None:
+                v0 = -1  # commit's explicit expect-EMPTY base: a racing
+                # first commit must conflict, never absorb (bare None
+                # would resolve at commit time and double-issue ids)
             out, hw_meta, handle = self._assign_identity(df, ident)
             try:
                 self._check_append_schema(out)
                 mapping, cm_o, used_o = self._extend_mapping(out.columns)
                 rel = self._write_data(out, mapping=mapping)
-                try:
-                    return self.commit(
-                        [rel], [], {**(meta or {}), **hw_meta},
-                        expected_version=v0, column_mapping=cm_o,
-                        physical_used=used_o)
-                except TxnConflictError as e:
-                    last_err = e  # stale allocation: scrap and redo
-                    shutil.rmtree(os.path.join(self.path, rel),
-                                  ignore_errors=True)
+                while True:
+                    try:
+                        return self.commit(
+                            [rel], [], {**(meta or {}), **hw_meta},
+                            expected_version=v0, column_mapping=cm_o,
+                            physical_used=used_o)
+                    except TxnConflictError as e:
+                        if self._interleaved_allocation(v0):
+                            last_err = e  # stale allocation: scrap, redo
+                            shutil.rmtree(os.path.join(self.path, rel),
+                                          ignore_errors=True)
+                            break
+                        v0 = self.latest_version()  # rebase, keep files
             finally:
                 handle.unpersist()
+            self._conflict_backoff(attempt)
         raise last_err
 
     def _merge_identity(self, spark: SparkSession, updates: DataFrame,
@@ -2216,6 +2262,20 @@ class TxnTable:
                     "col=value subdirs")
         if expected_version is None:
             expected_version = self.latest_version()
+        elif expected_version == -1:
+            # explicit "I based my work on an EMPTY table" (r13): the
+            # bare None is ambiguous — passing latest_version() of an
+            # empty table through meant "resolve at commit time", which
+            # silently REBASED a first-commit race onto the winner
+            # instead of conflicting (two concurrent identity
+            # bootstraps both committed ids 1..N). -1 pins version 0;
+            # a racer who got there first makes the put-if-absent
+            # conflict like any other stale base.
+            expected_version = None
+            prev = self.latest_version()
+            if prev is not None:
+                raise TxnConflictError(
+                    f"version 0 already committed at {self.path}")
         version = 0 if expected_version is None else expected_version + 1
         if version == 0:
             # preserve floors declared BEFORE the first commit (a
@@ -2374,28 +2434,44 @@ class TxnTable:
                 # allocated at. The high-water meta rides the SAME
                 # commit doc as the partition-granular adds.
                 last: TxnConflictError | None = None
-                for _ in range(max(1, retries)):
+                # attempt floor 20 — see _append_identity: attempts
+                # bound tolerated competing commits, not luck
+                for attempt in range(max(1, retries, 20)):
                     v0 = self.latest_version()
+                    if v0 is None:
+                        v0 = -1  # expect-EMPTY base (see
+                        # _append_identity): first-commit races
+                        # conflict, never absorb
                     out, hw_meta, handle = self._assign_identity(
                         df, ident)
                     try:
                         self._check_append_schema(out)
                         adds = self._write_data_partitioned(
                             out, part_keys)
-                        try:
-                            return self.commit(
-                                adds, [],
-                                {**(meta or {}), **hw_meta,
-                                 "partition_by": pb},
-                                expected_version=v0)
-                        except TxnConflictError as e:
-                            last = e  # stale allocation: scrap, redo
-                            _shutil.rmtree(
-                                os.path.join(self.path,
-                                             _commit_root(adds[0])),
-                                ignore_errors=True)
+                        while True:
+                            try:
+                                return self.commit(
+                                    adds, [],
+                                    {**(meta or {}), **hw_meta,
+                                     "partition_by": pb},
+                                    expected_version=v0)
+                            except TxnConflictError as e:
+                                if self._interleaved_allocation(v0):
+                                    last = e  # stale ids: scrap, redo
+                                    _shutil.rmtree(
+                                        os.path.join(
+                                            self.path,
+                                            _commit_root(adds[0])),
+                                        ignore_errors=True)
+                                    break
+                                # non-allocating racer (delete,
+                                # compaction, plain append): the ids
+                                # are still valid — rebase the same
+                                # partition-granular adds, no rewrite
+                                v0 = self.latest_version()
                     finally:
                         handle.unpersist()
+                    self._conflict_backoff(attempt)
                 raise last
             # partition-declared table (r12): the append's unit of add
             # is the col=value subdir — blind appends still never touch
@@ -2538,6 +2614,10 @@ class TxnTable:
         # read afterwards (which would commit a STALE high water and let
         # later appends re-issue ids the interleaved append handed out)
         base = self.latest_version()
+        if base is None and ident is not None:
+            base = -1  # expect-EMPTY base (see _append_identity): a
+            # racing first commit must conflict, not be absorbed with
+            # a stale high water
         if ident is not None:
             # overwrite KEEPS the high water (Delta's rule: identity
             # never re-issues values a previous snapshot handed out)

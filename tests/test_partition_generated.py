@@ -1422,3 +1422,44 @@ def test_multikey_ops_match_snapshot_model_any_interleaving(
             assert got == m, f"time travel to v{v}"
 
     run()
+
+
+def test_identity_partitioned_appends_race(spark, tmp_path):
+    """Identity allocation under REAL thread races on a partitioned
+    table (the r13 composition): concurrent appenders all allocate
+    through the optimistic-commit high water — ids must come out
+    globally unique and exactly 1..N, with the layout intact."""
+    import threading
+
+    t = TxnTable(str(tmp_path / "idrace"))
+    t.set_identity_column("rid")
+    t.set_partition_column("day")
+
+    n_writers, n_batches, rows_per = 3, 3, 4
+    errors: list = []
+
+    def appender(w):
+        try:
+            for b in range(n_batches):
+                t.append(spark.createDataFrame(
+                    [(100 * w + 10 * b + j, j % 2) for j in
+                     range(rows_per)], "id int, day int"))
+        except Exception as e:  # pragma: no cover - surfaced below
+            errors.append(e)
+
+    threads = [threading.Thread(target=appender, args=(w,))
+               for w in range(n_writers)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+
+    total = n_writers * n_batches * rows_per
+    rows = t.read(spark).collect()
+    assert len(rows) == total
+    rids = sorted(r["rid"] for r in rows)
+    # unique AND gapless: a lost race that re-issued or skipped a block
+    # breaks exact-sequence 1..N
+    assert rids == list(range(1, total + 1)), rids[:10]
+    assert all("day=" in d for d in t.snapshot_dirs())
