@@ -23,10 +23,12 @@ directions without requiring delta jars:
   by file count, broadcast-sized by construction).
 
 Scope notes (documented refusals, not silent drift):
-- Deletion vectors don't export (Delta's DV sidecar is a RoaringBitmap
-  format this engine doesn't write) — ``compact()`` first, which
-  materializes DVs; ingest likewise refuses a log carrying DV-bearing
-  adds rather than resurrecting deleted rows.
+- Delta's DV sidecar is a RoaringBitmap format this engine doesn't
+  write, so a DV-bearing snapshot exports via
+  ``materialize_dvs=True`` — one export-only OPTIMIZE-style commit
+  rewrites just the masked dirs (the txn table keeps its DVs) — or via
+  ``compact()`` first; ingest refuses a log carrying DV-bearing adds
+  rather than resurrecting deleted rows.
 - Column-mapped tables don't export (physical-name indirection);
   ingest handles ``name``-mode mapping by renaming physical parquet
   columns back to logical ones from the schema's field metadata.
@@ -79,7 +81,8 @@ def _gen_field_metadata(cfg: dict, name: str) -> dict:
     return md
 
 
-def export_delta_log(table: TxnTable) -> str:
+def export_delta_log(table: TxnTable, spark: SparkSession | None = None,
+                     materialize_dvs: bool = False) -> str:
     """Write ``<table.path>/_delta_log`` mirroring the txn table's FULL
     commit history as Delta-protocol JSON commits (one
     ``<version 0-padded to 20>.json`` per txn version, dir-level
@@ -92,8 +95,10 @@ def export_delta_log(table: TxnTable) -> str:
     real delta jars at the :mod:`..sources.io` format seam).
 
     Fidelity caveats (loud where it matters, documented where it
-    doesn't): the LIVE snapshot is refused while deletion vectors are
-    outstanding (below); histories that CONTAINED a since-materialized
+    doesn't): a LIVE snapshot with outstanding deletion vectors needs
+    ``materialize_dvs=True`` (the exported log then carries ONE extra
+    synthetic commit at txn-latest+1 swapping the masked dirs for
+    export-only rewrites under ``_delta_export/``); histories that CONTAINED a since-materialized
     DV export fine, but time-traveling the exported log INTO the DV era
     reads those versions as if un-deleted (the mask lived outside the
     add/remove file set) — the live snapshot and every non-DV version
@@ -101,12 +106,19 @@ def export_delta_log(table: TxnTable) -> str:
     their early adds to files and should not be exported."""
     if table.latest_version() is None:
         raise ValueError(f"nothing to export: {table.path}")
-    if table.snapshot_dvs():
+    live_dvs = table.snapshot_dvs()
+    if live_dvs and not materialize_dvs:
         raise ValueError(
             "export_delta_log: live deletion vectors present — Delta "
             "DV sidecars are a RoaringBitmap format this engine does "
-            "not write; run compact()/compact_partitions_if_needed() "
-            "first (rewrites materialize the DV mask)")
+            "not write; pass materialize_dvs=True (with a spark "
+            "session) to append an export-only materialization commit "
+            "for the masked dirs, or run compact()/"
+            "compact_partitions_if_needed() first")
+    if live_dvs and spark is None:
+        raise ValueError(
+            "export_delta_log(materialize_dvs=True) needs a spark "
+            "session to rewrite the DV'd dirs")
     if table.column_mapping(None):
         raise ValueError(
             "export_delta_log: column mapping active — physical-name "
@@ -186,7 +198,62 @@ def export_delta_log(table: TxnTable) -> str:
         }})
         with open(os.path.join(log_dir, f"{v:020d}.json"), "w") as fh:
             fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+    if live_dvs:
+        _export_dv_materialization(table, spark, log_dir, live_dvs)
     return log_dir
+
+
+def _export_dv_materialization(table: TxnTable, spark: SparkSession,
+                               log_dir: str, dvs: dict) -> None:
+    """One SYNTHETIC final commit (txn latest + 1) in the exported log:
+    for each DV'd live dir, rewrite its masked rows into an
+    export-only parquet under ``_delta_export/`` (outside the txn
+    vacuum's sweep roots, so retention can't eat the exported table's
+    files) and swap the add — exactly what Delta records when OPTIMIZE
+    materializes DVs, flagged dataChange=false. The txn table itself
+    is untouched: its DVs stay live, its version count unchanged; only
+    the exported view gains the commit. Re-exports clear the previous
+    materialization dir."""
+    import shutil as _shutil
+    import time as _time
+
+    exp_root = os.path.join(table.path, "_delta_export")
+    _shutil.rmtree(exp_root, ignore_errors=True)
+    v = table.latest_version() + 1
+    ts_ms = int(_time.time() * 1000)
+    actions: list[dict] = []
+    for d in sorted(dvs):
+        ref = dvs[d]
+        segs = _partition_segs(d)
+        pvals = {col: (None if raw == _HIVE_NULL
+                       else _unescape_partition(raw))
+                 for col, raw in segs}
+        df = table._read_dirs(  # noqa: SLF001 — package-internal
+            spark, [d], {d: ref})
+        if segs:  # partition cols live in the path, not the files
+            df = df.drop(*[c for c, _ in segs])
+        rel = os.path.join("_delta_export", _uuid.uuid4().hex)
+        df.write.parquet(os.path.join(table.path, rel))
+        for f in _files_of(table, rel):
+            actions.append({"add": {
+                "path": f.replace(os.sep, "/"),
+                "partitionValues": pvals,
+                "size": os.path.getsize(os.path.join(table.path, f)),
+                "modificationTime": ts_ms,
+                "dataChange": False,
+            }})
+        for f in _files_of(table, d):
+            actions.append({"remove": {
+                "path": f.replace(os.sep, "/"),
+                "deletionTimestamp": ts_ms,
+                "dataChange": False,
+            }})
+    actions.append({"commitInfo": {
+        "timestamp": ts_ms, "operation": "OPTIMIZE",
+        "engineInfo": "samdis-txnlog-export (DV materialization)",
+    }})
+    with open(os.path.join(log_dir, f"{v:020d}.json"), "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
 
 
 def _export_schema(table: TxnTable, doc: dict, part_cols: list[str],

@@ -111,11 +111,24 @@ def test_export_refusals_are_loud(spark, tmp_path):
     t.delete_where(spark, "o_orderkey % 3 = 0", use_dv=True)
     with pytest.raises(ValueError, match="deletion vectors"):
         export_delta_log(t)
-    t.compact(spark)  # materializes the DV mask
-    export_delta_log(t)  # now exports cleanly
+    # materialize_dvs: ONE export-only OPTIMIZE commit swaps the
+    # masked dirs — the txn table keeps its DVs and version count
+    v_txn = t.latest_version()
+    export_delta_log(t, spark, materialize_dvs=True)
     got = read_delta_dir(spark, t.path)
     assert got.filter("o_orderkey % 3 = 0").count() == 0
     assert got.count() == t.read(spark).count()
+    assert t.latest_version() == v_txn          # txn untouched
+    assert t.snapshot_dvs()                     # DVs still live
+    # pre-materialization version through the exported log: unmasked
+    # (the documented DV-era caveat)
+    assert read_delta_dir(spark, t.path, version=v_txn).count() == 40
+    # a full compact still works as the alternative
+    t.compact(spark)
+    export_delta_log(t)
+    got2 = read_delta_dir(spark, t.path)
+    assert got2.count() == t.read(spark).count()
+    assert got2.filter("o_orderkey % 3 = 0").count() == 0
 
     m = TxnTable(str(tmp_path / "cm"))
     m.append(o)
