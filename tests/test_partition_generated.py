@@ -1463,3 +1463,45 @@ def test_identity_partitioned_appends_race(spark, tmp_path):
     # breaks exact-sequence 1..N
     assert rids == list(range(1, total + 1)), rids[:10]
     assert all("day=" in d for d in t.snapshot_dirs())
+
+
+def test_multikey_prune_scoping_composes(spark, tmp_path):
+    """partition_prune (both-key and trailing-key), footer-stats prune,
+    and read_base_range's leading-generated-key inference all compose
+    on a nested layout — each scopes exactly, leaves other partitions
+    untouched, never flattens."""
+    t, o = _mtable(spark, tmp_path, "pp")
+    n0 = t.read(spark).count()
+    want = t.read(spark).filter(
+        "order_year='1996' AND bucket='1' AND o_orderkey % 2 = 0"
+    ).count()
+    t.delete_where(spark, "o_orderkey % 2 = 0",
+                   partition_prune="order_year = '1996' AND bucket = '1'")
+    assert n0 - t.read(spark).count() == want > 0
+
+    before = t.read(spark).filter("bucket='2'") \
+        .agg(F.sum("o_totalprice")).first()[0]
+    t.update_where(spark, "o_totalprice > 0",
+                   {"o_totalprice": "o_totalprice * 2"},
+                   partition_prune="bucket = '2'")
+    after = t.read(spark).filter("bucket='2'") \
+        .agg(F.sum("o_totalprice")).first()[0]
+    assert abs(after - 2 * before) < 1e-6
+
+    rb = t.read_base_range(spark, "o_orderdate",
+                           "1996-01-01", "1997-12-31")
+    assert rb.count() == t.read(spark).filter(
+        "o_orderdate >= '1996-01-01' AND o_orderdate <= '1997-12-31'"
+    ).count() > 0
+    years = {seg.split("=")[1] for f in rb.inputFiles()
+             for seg in f.split("/") if seg.startswith("order_year=")}
+    assert years <= {"1996", "1997"}
+
+    n1 = t.read(spark).count()
+    w = t.read(spark).filter(
+        "o_orderkey >= 50 AND o_orderkey <= 80").count()
+    t.delete_where(spark, "o_orderkey >= 50 AND o_orderkey < 81",
+                   prune=("o_orderkey", 50, 80))
+    assert n1 - t.read(spark).count() == w
+    assert all("order_year=" in d and "bucket=" in d
+               for d in t.snapshot_dirs())
