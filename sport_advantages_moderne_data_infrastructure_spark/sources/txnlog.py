@@ -804,7 +804,7 @@ class TxnTable:
         """Plan a union over plain commit dirs and partition subdirs.
         Partition subdirs are read with ``basePath`` = their commit dir so
         Spark re-derives the partition column from the path. ``dvs``
-        (deletion-vector mapping for the plain dirs) is anti-joined out
+        (deletion-vector mapping, either layout) is anti-joined out
         at the scan. On column-mapped tables the result is the LOGICAL
         view at ``version`` (``mapped=False`` keeps raw physical names —
         the CDF reader aliases once at its anchor instead)."""

@@ -378,3 +378,36 @@ def test_reader_name_mode_column_mapping(spark, tmp_path):
         fh.write(json.dumps({"metaData": meta2}) + "\n")
     with pytest.raises(ValueError, match="column mapping mode"):
         read_delta_dir(spark, root)
+
+
+def test_materialize_dvs_on_partitioned_table(spark, tmp_path):
+    """DV materialization export on a PARTITIONED table: only the
+    masked subdirs rewrite (cold partitions keep their original files
+    in the exported log), partitionValues survive, and the exported
+    snapshot equals the engine's own DV-masked read."""
+    from sport_advantages_moderne_data_infrastructure_spark.sources.deltainterop import (
+        read_delta_dir as rdd,
+    )
+
+    o = _orders(spark, 100)
+    t = TxnTable(str(tmp_path / "pdv"))
+    t.set_generated_column("order_month",
+                           "DATE_FORMAT(o_orderdate, 'yyyy-MM')")
+    t.set_partition_column("order_month")
+    t.append(o)
+    t.delete_where(spark, "o_orderkey % 4 = 0", use_dv=True)
+    dv_dirs = set(t.snapshot_dvs())
+    assert dv_dirs
+    export_delta_log(t, spark, materialize_dvs=True)
+    got = rdd(spark, t.path)
+    want = t.read(spark)
+    assert got.count() == want.count()
+    assert got.filter("o_orderkey % 4 = 0").count() == 0
+    assert _rows(got.select(
+        "o_orderkey", F.col("order_month").cast("string"))) == _rows(
+        want.select("o_orderkey", F.col("order_month").cast("string")))
+    # cold partitions keep their ORIGINAL files in the exported view
+    cold = [f for f in got.inputFiles()
+            if "/data/" in f
+            and not any(d in f for d in dv_dirs)]
+    assert cold, "expected untouched original files for unmasked dirs"
