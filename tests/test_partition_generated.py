@@ -1505,3 +1505,50 @@ def test_multikey_prune_scoping_composes(spark, tmp_path):
     assert n1 - t.read(spark).count() == w
     assert all("order_year=" in d and "bucket=" in d
                for d in t.snapshot_dirs())
+
+
+def test_streaming_sink_into_identity_multikey_target(spark, tmp_path):
+    """The full r13 composition through the streaming sink: generated
+    leading key × plain key × identity on one declared target — two
+    micro-batches land as nested subdirs with unique engine ids, the
+    checkpoint restart replays nothing, and both-key pruning works on
+    the ingested table."""
+    import os
+
+    from sport_advantages_moderne_data_infrastructure_spark.streaming import (
+        pipeline as P,
+    )
+
+    root = str(tmp_path)
+    o = (_orders(spark, 120)
+         .withColumn("bucket", (F.col("o_orderkey") % 2).cast("string")))
+    t = TxnTable(os.path.join(root, "t"))
+    t.set_generated_column("order_year",
+                           "DATE_FORMAT(o_orderdate, 'yyyy')")
+    t.set_identity_column("rid")
+    t.set_partition_column(["order_year", "bucket"])
+    src = os.path.join(root, "feed")
+    o.limit(60).coalesce(1).write.mode("append").parquet(src)
+    o.offset(60).coalesce(1).write.mode("append").parquet(src)
+
+    def run():
+        feed = (spark.readStream.schema(o.schema)
+                .option("maxFilesPerTrigger", 1).parquet(src))
+        q = P.write_stream_txn_append(
+            feed, t.path, os.path.join(root, "ck"), app_id="mk")
+        q.awaitTermination(240)
+        q.stop()
+
+    run()
+    v = t.latest_version()
+    run()  # restart on the same checkpoint
+    assert t.latest_version() == v  # the ledger replays nothing
+    s = t.read(spark)
+    assert s.count() == 120
+    assert s.select("rid").distinct().count() == 120
+    assert all("order_year=" in d and "bucket=" in d
+               for d in t.snapshot_dirs())
+    pruned = t.read_partitions_where(
+        spark, "order_year >= '1997' AND bucket = '1'")
+    assert pruned.count() == s.filter(
+        "order_year >= '1997' AND bucket = '1'").count() > 0
