@@ -1552,3 +1552,28 @@ def test_streaming_sink_into_identity_multikey_target(spark, tmp_path):
         spark, "order_year >= '1997' AND bucket = '1'")
     assert pruned.count() == s.filter(
         "order_year >= '1997' AND bucket = '1'").count() > 0
+
+
+def test_streaming_change_feed_from_multikey_table(spark, tmp_path):
+    """readChangeFeed through the Python DataSource on a NESTED layout:
+    both partition keys reconstruct per change row and the generated
+    value holds."""
+    from sport_advantages_moderne_data_infrastructure_spark.sources import (
+        txnstream,
+    )
+
+    spark.dataSource.register(txnstream.TxnLogDataSource)
+    t, o = _mtable(spark, tmp_path, "cdf")
+    src = (spark.readStream.format("txnlog")
+           .option("readChangeFeed", "true").load(t.path))
+    q = (src.writeStream.format("memory").queryName("mk_cdf")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    q.stop()
+    mem = spark.sql("select * from mk_cdf")
+    assert mem.count() == 200
+    assert {"order_year", "bucket", "_change_type"} <= set(mem.columns)
+    assert mem.filter(
+        "CAST(order_year AS STRING) != "
+        "DATE_FORMAT(o_orderdate, 'yyyy')").count() == 0
+    assert mem.filter("_change_type = 'insert'").count() == 200
