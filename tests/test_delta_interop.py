@@ -130,11 +130,46 @@ def test_export_refusals_are_loud(spark, tmp_path):
     assert got2.count() == t.read(spark).count()
     assert got2.filter("o_orderkey % 3 = 0").count() == 0
 
+def test_export_name_mapped_table_roundtrip(spark, tmp_path):
+    """Column-mapped (name mode) tables EXPORT now (r14, VERDICT r13
+    #5): physical parquet names stay in the files, the metaData's
+    logical schema carries delta.columnMapping.physicalName/.id field
+    metadata with ids stable across the history, the activating commit
+    emits the protocol upgrade, and the foreign reader renames back —
+    byte-equal to the engine's own read."""
+    o = _orders(spark, 60)
     m = TxnTable(str(tmp_path / "cm"))
     m.append(o)
     m.rename_column("o_totalprice", "price")
-    with pytest.raises(ValueError, match="column mapping"):
-        export_delta_log(m)
+    m.append(o.offset(60).limit(0).withColumnRenamed(
+        "o_totalprice", "price"))  # post-rename era commit
+    log_dir = export_delta_log(m)
+    # activation-era commit carries the protocol upgrade + mapped meta
+    v_act = 1
+    kinds, meta = [], None
+    with open(os.path.join(log_dir, f"{v_act:020d}.json")) as fh:
+        for ln in fh:
+            a = json.loads(ln)
+            kinds.append(next(iter(a)))
+            if "metaData" in a:
+                meta = a["metaData"]
+    assert "protocol" in kinds
+    assert meta is not None
+    assert meta["configuration"]["delta.columnMapping.mode"] == "name"
+    fields = {f["name"]: f
+              for f in json.loads(meta["schemaString"])["fields"]}
+    assert fields["price"]["metadata"][
+        "delta.columnMapping.physicalName"] == "o_totalprice"
+    assert isinstance(
+        fields["price"]["metadata"]["delta.columnMapping.id"], int)
+    got = read_delta_dir(spark, m.path)
+    want = m.read(spark)
+    assert set(got.columns) == set(want.columns)
+    assert _rows(got.select("o_orderkey", "price")) == _rows(
+        want.select("o_orderkey", "price"))
+    # pre-activation version still reads with its era's plain schema
+    v0 = read_delta_dir(spark, m.path, version=0)
+    assert "o_totalprice" in v0.columns and v0.count() == 60
 
 
 def test_reader_handles_foreign_log_and_checkpoint(spark, tmp_path):
@@ -411,3 +446,261 @@ def test_materialize_dvs_on_partitioned_table(spark, tmp_path):
             if "/data/" in f
             and not any(d in f for d in dv_dirs)]
     assert cold, "expected untouched original files for unmasked dirs"
+
+
+# --- r14: distributed replay, multi-part checkpoints, path encoding ------
+
+
+def test_multipart_checkpoint_roundtrip(spark, tmp_path):
+    """parts>1 emits a spec-named multi-part checkpoint
+    (<v>.checkpoint.<i>.<n>.parquet + parts in _last_checkpoint); the
+    reader unions the parts and survives log retention on them alone.
+    An INCOMPLETE part set is skipped (never a partial read): with the
+    JSON log still present replay stays correct, and with the log
+    cleaned the reader fails loudly instead of dropping files."""
+    import glob
+    import re
+
+    from sport_advantages_moderne_data_infrastructure_spark.sources.deltainterop import (
+        export_delta_checkpoint,
+    )
+
+    o = _orders(spark, 90)
+    t = TxnTable(str(tmp_path / "mp"))
+    t.append(o.limit(45))
+    t.append(o.offset(45))
+    t.delete_where(spark, "o_orderkey % 3 = 0")
+    export_delta_log(t)
+    want = _rows(t.read(spark).select("o_orderkey", "o_totalprice"))
+    export_delta_checkpoint(spark, t.path, parts=3)
+    log = os.path.join(t.path, "_delta_log")
+    parts = sorted(glob.glob(os.path.join(
+        log, "*.checkpoint.*.parquet")))
+    assert len(parts) >= 2  # multi-part set landed
+    pat = re.compile(r"\.checkpoint\.(\d{10})\.(\d{10})\.parquet$")
+    ns = {pat.search(p).group(2) for p in parts}
+    assert len(ns) == 1 and int(next(iter(ns))) == len(parts)
+    last = json.load(open(os.path.join(log, "_last_checkpoint")))
+    assert last["parts"] == len(parts)
+    # retention: snapshot survives on the multi-part checkpoint alone
+    for v in range(t.latest_version() + 1):
+        os.remove(os.path.join(log, f"{v:020d}.json"))
+    got = read_delta_dir(spark, t.path)
+    assert _rows(got.select("o_orderkey", "o_totalprice")) == want
+    # incomplete part set: reader must not read the remaining parts
+    os.remove(parts[-1])
+    with pytest.raises(ValueError, match="no commits|metaData"):
+        read_delta_dir(spark, t.path)
+
+
+def test_checkpoint_is_spec_shaped(spark, tmp_path):
+    """The exported checkpoint carries the EXPLICIT protocol schema
+    (ADVICE r13): map<string,string> partitionValues (not a
+    JSON-inferred struct) and remove tombstones for the dead set —
+    what a FOREIGN reader plans from."""
+    from pyspark.sql.types import MapType
+
+    from sport_advantages_moderne_data_infrastructure_spark.sources.deltainterop import (
+        export_delta_checkpoint,
+    )
+
+    o = _orders(spark, 60)
+    t = TxnTable(str(tmp_path / "shape"))
+    t.set_generated_column("order_month",
+                           "DATE_FORMAT(o_orderdate, 'yyyy-MM')")
+    t.set_partition_column("order_month")
+    t.append(o)
+    t.overwrite_partitions(
+        o.limit(20).withColumn("o_totalprice",
+                               F.col("o_totalprice") * 2),
+        "order_month")
+    export_delta_log(t)
+    cp = export_delta_checkpoint(spark, t.path)
+    cpdf = spark.read.parquet(cp)
+    add_t = cpdf.schema["add"].dataType
+    assert isinstance(add_t["partitionValues"].dataType, MapType)
+    assert "remove" in cpdf.columns
+    n_tomb = cpdf.filter("remove IS NOT NULL").count()
+    assert n_tomb > 0  # the overwritten partitions' dead files
+    pv = cpdf.filter("add IS NOT NULL") \
+        .selectExpr("add.partitionValues['order_month'] AS m").collect()
+    assert all(r["m"] for r in pv)
+    # and protocol + metaData rows are present exactly once
+    assert cpdf.filter("protocol IS NOT NULL").count() == 1
+    assert cpdf.filter("metaData IS NOT NULL").count() == 1
+
+
+def test_path_encoding_roundtrip_hostile_values(spark, tmp_path):
+    """ADVICE r13 (medium): partition values containing ':', '=', '%',
+    '+' and spaces Hive-escape on disk; the exported action paths are
+    RFC-percent-encoded so the reader's decode recovers the on-disk
+    name — the exact corruption class where a raw path resolves to a
+    nonexistent file. Verified end-to-end: export -> read_delta_dir
+    equals the engine's own read, and verify=True's existence check
+    passes (it would raise on any drift)."""
+    rows = [(1, "a:b"), (2, "c=d"), (3, "e%3Af"), (4, "g h"),
+            (5, "i+j"), (6, "k%l")]
+    df = spark.createDataFrame(rows, "id int, k string")
+    t = TxnTable(str(tmp_path / "hostile"))
+    t.set_partition_column("k")
+    t.append(df)
+    log_dir = export_delta_log(t)
+    # the log's add paths must be percent-encoded (no raw '%XX' that
+    # decodes into a different on-disk name)
+    from urllib.parse import unquote
+    with open(os.path.join(log_dir, f"{0:020d}.json")) as fh:
+        adds = [json.loads(ln)["add"] for ln in fh
+                if ln.strip() and "add" in json.loads(ln)]
+    assert adds
+    for a in adds:
+        decoded = unquote(a["path"])
+        assert os.path.isfile(os.path.join(t.path, decoded)), decoded
+    got = read_delta_dir(spark, t.path)
+    assert _rows(got) == set(rows)
+    # verify=False path (inner-join liveness) agrees
+    assert _rows(read_delta_dir(spark, t.path, verify=False)) \
+        == set(rows)
+
+
+def test_verify_raises_on_missing_file(spark, tmp_path):
+    """verify=True (default) proves every logged file exists before
+    the scan: deleting a data file out from under the log raises with
+    the missing name instead of silently returning fewer rows (ADVICE
+    r13: a mapping miss must fail loudly)."""
+    o = _orders(spark, 40)
+    t = TxnTable(str(tmp_path / "miss"))
+    t.set_generated_column("order_month",
+                           "DATE_FORMAT(o_orderdate, 'yyyy-MM')")
+    t.set_partition_column("order_month")
+    t.append(o)
+    export_delta_log(t)
+    victim = None
+    for root, _, files in os.walk(t.path):
+        if "_delta_log" in root:
+            continue
+        for f in files:
+            if f.endswith(".parquet"):
+                victim = os.path.join(root, f)
+                break
+        if victim:
+            break
+    os.remove(victim)
+    with pytest.raises(ValueError, match="missing"):
+        read_delta_dir(spark, t.path)
+
+
+def test_reader_distributed_tail_over_checkpoint(spark, tmp_path):
+    """Tail semantics over a checkpoint, applied as anti-join + union:
+    a checkpointed add REMOVED in the tail disappears, a checkpointed
+    add RE-ADDED in the tail takes the tail's action (no duplicate),
+    and a fresh tail add appears — plus version-pinned time travel
+    below the checkpoint falls back to pure JSON replay."""
+    from sport_advantages_moderne_data_infrastructure_spark.sources.deltainterop import (
+        export_delta_checkpoint,
+    )
+
+    o = _orders(spark, 80)
+    t = TxnTable(str(tmp_path / "tail"))
+    t.append(o.limit(40))
+    t.append(o.offset(40).limit(20))
+    export_delta_log(t)
+    export_delta_checkpoint(spark, t.path)  # checkpoint at v1
+    # tail past the checkpoint: a delete rewrite (removes + re-adds
+    # surviving rows) and a fresh append
+    t.delete_where(spark, "o_orderkey % 2 = 0")
+    t.append(o.offset(60))
+    export_delta_log(t)  # rewrites JSON; checkpoint at v1 still valid
+    got = read_delta_dir(spark, t.path)
+    want = t.read(spark)
+    assert _rows(got.select("o_orderkey", "o_totalprice")) == _rows(
+        want.select("o_orderkey", "o_totalprice"))
+    assert got.count() == want.count()  # no dup from re-added files
+    # time travel below the checkpoint (pure JSON replay)
+    assert read_delta_dir(spark, t.path, version=0).count() == 40
+
+
+def test_foreign_multikey_name_mapped_evolved(spark, tmp_path):
+    """Composition the r13 suite tested only separately (VERDICT r13
+    #5): a FOREIGN log with a MULTI-KEY partition layout under
+    name-mode column mapping and an evolved (widened) schema, with a
+    spec-shaped multi-part checkpoint carrying >1 physically-keyed
+    partitionValues — reads back with logical names, typed keys, and
+    the evolved column null-filled for pre-evolution files."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "compose")
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log)
+
+    def fld(name, typ, fid, phys):
+        return {"name": name, "type": typ, "nullable": True,
+                "metadata": {"delta.columnMapping.id": fid,
+                             "delta.columnMapping.physicalName": phys}}
+
+    schema_v0 = {"type": "struct", "fields": [
+        fld("id", "long", 1, "col-i"), fld("v", "double", 2, "col-v"),
+        fld("year", "integer", 3, "col-y"),
+        fld("region", "string", 4, "col-r")]}
+    schema_v1 = {"type": "struct",
+                 "fields": schema_v0["fields"]
+                 + [fld("note", "string", 5, "col-n")]}
+
+    def meta(sjson):
+        return {"id": "z", "format": {"provider": "parquet"},
+                "schemaString": json.dumps(sjson),
+                "partitionColumns": ["year", "region"],
+                "configuration": {
+                    "delta.columnMapping.mode": "name",
+                    "delta.columnMapping.maxColumnId": "5"}}
+
+    def write_part(name, rows, with_note=False):
+        os.makedirs(os.path.join(root, os.path.dirname(name)),
+                    exist_ok=True)
+        cols = {"col-i": pa.array([r[0] for r in rows], pa.int64()),
+                "col-v": pa.array([r[1] for r in rows], pa.float64())}
+        if with_note:
+            cols["col-n"] = pa.array([r[2] for r in rows],
+                                     pa.string())
+        pq.write_table(pa.table(cols), os.path.join(root, name))
+        return name
+
+    f0 = write_part("year=2023/region=EU/p0.parquet",
+                    [(1, 1.0), (2, 2.0)])
+    f1 = write_part("year=2024/region=US/p1.parquet", [(3, 3.0)])
+    f2 = write_part("year=2024/region=EU/p2.parquet",
+                    [(4, 4.0, "n4")], with_note=True)
+
+    def add(p, y, r):
+        return {"add": {
+            "path": p,
+            "partitionValues": {"col-y": str(y), "col-r": r},
+            "size": os.path.getsize(os.path.join(root, p)),
+            "modificationTime": 0, "dataChange": True}}
+
+    with open(os.path.join(log, f"{0:020d}.json"), "w") as fh:
+        fh.write(json.dumps({"protocol": {
+            "minReaderVersion": 2, "minWriterVersion": 5}}) + "\n")
+        fh.write(json.dumps({"metaData": meta(schema_v0)}) + "\n")
+        fh.write(json.dumps(add(f0, 2023, "EU")) + "\n")
+        fh.write(json.dumps(add(f1, 2024, "US")) + "\n")
+    with open(os.path.join(log, f"{1:020d}.json"), "w") as fh:
+        fh.write(json.dumps({"metaData": meta(schema_v1)}) + "\n")
+        fh.write(json.dumps(add(f2, 2024, "EU")) + "\n")
+
+    got = read_delta_dir(spark, root)
+    assert set(got.columns) == {"id", "v", "year", "region", "note"}
+    assert dict(got.dtypes)["year"] == "int"
+    assert _rows(got) == {
+        (1, 1.0, 2023, "EU", None), (2, 2.0, 2023, "EU", None),
+        (3, 3.0, 2024, "US", None), (4, 4.0, 2024, "EU", "n4")}
+    # now roundtrip THROUGH this module's spec-shaped checkpoint:
+    # multi-part, physically-keyed multi-key partitionValues
+    from sport_advantages_moderne_data_infrastructure_spark.sources.deltainterop import (
+        export_delta_checkpoint,
+    )
+    export_delta_checkpoint(spark, root, parts=2)
+    for v in range(2):
+        os.remove(os.path.join(log, f"{v:020d}.json"))
+    again = read_delta_dir(spark, root)
+    assert _rows(again) == _rows(got)
