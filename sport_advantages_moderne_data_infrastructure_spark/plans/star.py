@@ -1844,9 +1844,16 @@ def q_order_price_quartile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 # answer" is a measured claim, not prose; result parity between the two
 # plans is pinned at tests/test_scale_paths.py.
 
+# revenue aggregates as EXACT integer cents (ADVICE r13: the hot key
+# sums ~19M doubles under two different partitionings — salted vs
+# plain — and FP summation order can drift past a cent at that
+# magnitude, making a ROUND(SUM(double), 2) parity pin flake-prone at
+# larger SFs; per-row cents are exact for 2-decimal prices and bigint
+# summation is order-independent)
 _SKEW_ORACLE = (
     "SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS cnt, "
-    "ROUND(SUM(l_extendedprice), 2) AS revenue "
+    "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) "
+    "AS revenue_cents "
     "FROM (SELECT CASE WHEN l_orderkey % 2 = 0 THEN 1 "
     "ELSE l_partkey END AS k, l_extendedprice FROM lineitem) f "
     "JOIN (SELECT CASE WHEN p_partkey <= 64 THEN 1 ELSE p_partkey END "
@@ -1911,8 +1918,8 @@ def skew_plain_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = (fact.join(dim, "k")
                .groupBy("p_brand")
                .agg(F.count(F.lit(1)).alias("cnt"),
-                    F.round(F.sum("l_extendedprice"), 2)
-                    .alias("revenue"))
+                    F.sum(F.round(F.col("l_extendedprice") * 100)
+                          .cast("bigint")).alias("revenue_cents"))
                .orderBy("p_brand"))
         rows = out.collect()  # execute INSIDE the pinned conf; the
         # returned frame is the collected result (25 rows), so callers
@@ -1946,8 +1953,8 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                            salt_from="_rowid")
                .groupBy("p_brand")
                .agg(F.count(F.lit(1)).alias("cnt"),
-                    F.round(F.sum("l_extendedprice"), 2)
-                    .alias("revenue"))
+                    F.sum(F.round(F.col("l_extendedprice") * 100)
+                          .cast("bigint")).alias("revenue_cents"))
                .orderBy("p_brand"))
         rows = out.collect()
     return spark.createDataFrame(rows, out.schema)

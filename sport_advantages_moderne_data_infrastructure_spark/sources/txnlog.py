@@ -1631,19 +1631,36 @@ class TxnTable:
                 self._check_append_schema(out)
                 mapping, cm_o, used_o = self._extend_mapping(out.columns)
                 rel = self._write_data(out, mapping=mapping)
-                while True:
+                # rebase retries are BOUNDED against the same budget as
+                # allocating attempts (ADVICE r13: an unbounded inner
+                # loop let a steady stream of non-allocating racers —
+                # plain appends/deletes — spin this writer forever,
+                # bypassing the attempt bound that only governed
+                # allocation conflicts), and each rebase backs off like
+                # an allocating retry so N rebasing writers desync.
+                for rebase in range(max(1, retries, 20)):
                     try:
                         return self.commit(
                             [rel], [], {**(meta or {}), **hw_meta},
                             expected_version=v0, column_mapping=cm_o,
                             physical_used=used_o)
                     except TxnConflictError as e:
+                        last_err = e
                         if self._interleaved_allocation(v0):
-                            last_err = e  # stale allocation: scrap, redo
+                            # stale allocation: scrap files, redo
                             shutil.rmtree(os.path.join(self.path, rel),
                                           ignore_errors=True)
                             break
                         v0 = self.latest_version()  # rebase, keep files
+                        self._conflict_backoff(rebase)
+                else:
+                    # rebase budget exhausted on non-allocating
+                    # conflicts: surface the conflict rather than
+                    # retrying forever (the files are orphaned adds a
+                    # vacuum sweeps; a re-run re-attempts cleanly)
+                    shutil.rmtree(os.path.join(self.path, rel),
+                                  ignore_errors=True)
+                    raise last_err
             finally:
                 handle.unpersist()
             self._conflict_backoff(attempt)
