@@ -501,7 +501,13 @@ def q_txn_clone_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("txn_metadata_counts",  # new r6, gated immediately (slot:
-          # order_price_quartile_bands demoted — triple-green)
+          # order_price_quartile_bands demoted — triple-green).
+          # Rotated OUT r14 per the recorded r14 seeds (7x green
+          # r6-r13; the metadata-only agg shape stays gated via
+          # txn_generated_partitions' prune discipline and measured by
+          # p_purge_ratio; slot freed for txn_replace_where). Stays
+          # parity-tested per pytest run.
+          driver=False,
           oracle=(
               "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, "
               "MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key, "
@@ -2307,3 +2313,184 @@ def q_delta_log_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (ur.join(pr, "o_orderkey")
             .select("o_orderkey", "cents", "order_month", "p_cents")
             .orderBy("o_orderkey"))
+
+
+@register(
+    "txn_replace_where",  # new r14, gated immediately (slot:
+    # txn_metadata_counts demoted per the recorded r14 rotation seeds —
+    # see its comment). VERDICT r13 #2: Delta's replaceWhere accepts
+    # ARBITRARY partition-key predicates; overwrite_partitions' full-
+    # tuple/leading-prefix granularity could not express a trailing-key
+    # or range replace except as delete+append (two commits, not
+    # atomic). Three predicate-scoped ATOMIC commits on a nested
+    # [order_year (generated), o_orderstatus] layout: a TRAILING-key
+    # replace ("status F across all years", doubled), a range × key
+    # conjunction ("1996-1997 O", tripled), and an empty-source
+    # predicate DELETE of the (1995, P) partition. replace_ok derives
+    # from each commit doc's ACTUAL remove set matching the
+    # predicate-selected live dirs exactly (the same discipline as
+    # txn_multicol_partitions' prune_ok — metadata resolution, never a
+    # post-filter); the oracle recomputes all three replaces
+    # relationally.
+    oracle=(
+        "SELECT o_orderkey, STRFTIME(o_orderdate, '%Y') AS order_year, "
+        "o_orderstatus, "
+        "CAST(ROUND((CASE WHEN o_orderstatus = 'F' "
+        "THEN o_totalprice * 2 "
+        "WHEN o_orderstatus = 'O' AND STRFTIME(o_orderdate, '%Y') "
+        "IN ('1996', '1997') THEN o_totalprice * 3 "
+        "ELSE o_totalprice END) * 100) AS BIGINT) AS cents, "
+        "CAST(1 AS BOOLEAN) AS replace_ok "
+        "FROM orders WHERE NOT (o_orderstatus = 'P' AND "
+        "STRFTIME(o_orderdate, '%Y') = '1995') ORDER BY o_orderkey"))
+def q_txn_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atomic predicate-scoped replace (txnlog.replace_where — Delta's
+    replaceWhere over partition keys): trailing-key, range-conjunction,
+    and empty-source-delete shapes, each ONE commit whose remove set is
+    resolved metadata-only from the typed partition values and checked
+    here against the predicate-selected dirs exactly."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..sources.tables import load_table
+    from ..sources.txnlog import TxnTable, _partition_segs
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate", "o_orderstatus")
+    t = TxnTable(tempfile.mkdtemp(prefix="samdis_txn_rw_"))
+    t.set_generated_column(
+        "order_year", "DATE_FORMAT(o_orderdate, 'yyyy')")
+    t.set_partition_column(["order_year", "o_orderstatus"])
+    t.append(o)
+
+    def live_matching(pred) -> list:
+        return sorted(
+            d for d in t.snapshot_dirs()
+            if _partition_segs(d)
+            and pred(dict(_partition_segs(d))))
+
+    yr = F.date_format("o_orderdate", "yyyy")
+    # trailing-key replace: every year's F partition in ONE commit
+    exp_f = live_matching(lambda s: s["o_orderstatus"] == "F")
+    v1 = t.replace_where(
+        spark,
+        o.filter("o_orderstatus = 'F'")
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2),
+        "o_orderstatus = 'F'")
+    ok1 = sorted(t._doc(v1)["removes"]) == exp_f  # noqa: SLF001
+    # range × key conjunction
+    exp_o = live_matching(
+        lambda s: s["o_orderstatus"] == "O"
+        and "1996" <= s["order_year"] <= "1997")
+    v2 = t.replace_where(
+        spark,
+        o.filter((F.col("o_orderstatus") == "O")
+                 & yr.between("1996", "1997"))
+        .withColumn("o_totalprice", F.col("o_totalprice") * 3),
+        "order_year BETWEEN '1996' AND '1997' "
+        "AND o_orderstatus = 'O'")
+    ok2 = sorted(t._doc(v2)["removes"]) == exp_o  # noqa: SLF001
+    # empty-source predicate DELETE of one exact partition
+    exp_p = live_matching(
+        lambda s: s["o_orderstatus"] == "P"
+        and s["order_year"] == "1995")
+    v3 = t.replace_where(
+        spark, o.filter(F.lit(False)),
+        "order_year = '1995' AND o_orderstatus = 'P'")
+    doc3 = t._doc(v3)  # noqa: SLF001
+    ok3 = sorted(doc3["removes"]) == exp_p and bool(exp_p) \
+        and not doc3["adds"]
+    replace_ok = bool(ok1 and ok2 and ok3)
+    return (t.read(spark).select(
+        "o_orderkey",
+        F.col("order_year").cast("string").alias("order_year"),
+        F.col("o_orderstatus").cast("string").alias("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint")
+        .alias("cents"),
+        F.lit(replace_ok).alias("replace_ok"))
+        .orderBy("o_orderkey"))
+
+
+@register(
+    "delta_interop_checkpointed",  # new r14, gated immediately (slot:
+    # multimodal_frame_sample demoted per the recorded r14 rotation
+    # seeds — see its comment). VERDICT r13 #1 made REAL as a gate row:
+    # the exported Delta log gains a spec-shaped MULTI-part parquet
+    # checkpoint (map-typed partitionValues, remove tombstones), every
+    # JSON commit is then deleted (Delta's logRetentionDuration
+    # cleanup), and the pure-Spark reader must reproduce the snapshot
+    # from the checkpoint parts ALONE — distributed reconstruction
+    # (checkpoint DataFrame + empty tail), dir-manifest-fed scan,
+    # partition column re-attached from physically-bounded mapping.
+    # parts_ok/tomb_ok/shape_ok fold the checkpoint's structure into
+    # the hashed frame; the oracle recomputes the overwrite + delete
+    # history relationally.
+    oracle=(
+        "SELECT o_orderkey, "
+        "STRFTIME(o_orderdate, '%Y-%m') AS order_month, "
+        "CAST(ROUND((CASE WHEN STRFTIME(o_orderdate, '%Y-%m') = "
+        "'1997-03' THEN o_totalprice * 2 ELSE o_totalprice END) * 100) "
+        "AS BIGINT) AS cents, "
+        "CAST(1 AS BOOLEAN) AS parts_ok, "
+        "CAST(1 AS BOOLEAN) AS tomb_ok, "
+        "CAST(1 AS BOOLEAN) AS shape_ok "
+        "FROM orders WHERE o_orderkey % 9 <> 0 ORDER BY o_orderkey"))
+def q_delta_interop_checkpointed(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Export → multi-part checkpoint → log-retention cleanup →
+    checkpoint-only foreign read: any file dropped by a checkpoint
+    part, an unapplied tombstone, or struct-typed (non-spec)
+    partitionValues is a flag or hash mismatch."""
+    import glob
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import MapType
+
+    from ..sources.deltainterop import (
+        export_delta_checkpoint,
+        export_delta_log,
+        read_delta_dir,
+    )
+    from ..sources.tables import load_table
+    from ..sources.txnlog import TxnTable
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate")
+    t = TxnTable(tempfile.mkdtemp(prefix="samdis_dic_"))
+    t.set_generated_column(
+        "order_month", "DATE_FORMAT(o_orderdate, 'yyyy-MM')")
+    t.set_partition_column("order_month")
+    t.append(o)
+    month_of = F.date_format("o_orderdate", "yyyy-MM")
+    t.overwrite_partitions(
+        o.filter(month_of == "1997-03")
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2),
+        "order_month")
+    t.delete_where(spark, "o_orderkey % 9 = 0")  # rewrite -> tombstones
+    export_delta_log(t)
+    cp0 = export_delta_checkpoint(spark, t.path, parts=3)
+    log_dir = os.path.join(t.path, "_delta_log")
+    parts = sorted(glob.glob(
+        os.path.join(log_dir, "*.checkpoint.*.parquet")))
+    parts_ok = len(parts) >= 2 and cp0 in parts
+    cpdf = spark.read.parquet(*parts)
+    tomb_ok = cpdf.filter("remove IS NOT NULL").count() > 0
+    shape_ok = isinstance(
+        cpdf.schema["add"].dataType["partitionValues"].dataType,
+        MapType)
+    for f in os.listdir(log_dir):  # retention: checkpoint-only planning
+        if f.endswith(".json"):
+            os.remove(os.path.join(log_dir, f))
+    got = read_delta_dir(spark, t.path)
+    return (got.select(
+        "o_orderkey",
+        F.col("order_month").cast("string").alias("order_month"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint")
+        .alias("cents"),
+        F.lit(bool(parts_ok)).alias("parts_ok"),
+        F.lit(bool(tomb_ok)).alias("tomb_ok"),
+        F.lit(bool(shape_ok)).alias("shape_ok"))
+        .orderBy("o_orderkey"))

@@ -1832,7 +1832,12 @@ def q_multimodal_bmp_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.resize_bmp_features(MM.synth_bmp(docs))
 
 
-@register("multimodal_frame_sample",  # new in r4, gated immediately
+@register("multimodal_frame_sample",  # new in r4, gated immediately.
+          # Rotated OUT r14 per the recorded r14 seeds (9x green
+          # r4-r13; the Arrow-batch plumbing stays pinned by tests and
+          # the BMP/PNG/WAV rows stay parity-tested; slot freed for
+          # delta_interop_checkpointed). Parity-tested per pytest run.
+          driver=False,
           oracle=MM.FRAME_SAMPLE_SQL)
 def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FRAME-SAMPLE stage: every 2nd frame of a deterministic fake video
