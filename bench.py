@@ -85,7 +85,10 @@ QUERY_BUDGETS = {
     "ann_cosine_topk": 1.25,        # min 0.835
     "ann_sq8_topk": 1.19,           # min 0.793
     "dedup_exact": 0.48,            # min 0.319
-    "dedup_jaccard_pairs": 2.15,    # min 1.436
+    "dedup_jaccard_pairs": 2.15,    # min 1.436 — KEPT at r14's re-base
+    # check: quiet-box two-run values 1.469/1.593 sit well inside, so
+    # the rolling min stands and the r13 at-budget reading was retry
+    # weather (per-query retry counts now make that visible directly)
     "dedup_minhash_lsh": 0.72,      # min 0.483
     "dedup_lsh_verified": 2.02,     # min 1.349
     "activity_agg": 0.39,           # min 0.263
@@ -94,7 +97,9 @@ QUERY_BUDGETS = {
     "cdc_parse_project": 1.58,      # min 0.982; +7% r12 margin for the
     # symmetric noise clamp (fast-box ratio peaked at 0.75 of the old
     # budget, inside the new x0.8 tight side)
-    "session_windows_batch": 0.75,  # min 0.502
+    "session_windows_batch": 0.69,  # re-pinned r14 from a quiet-box
+    # two-run min 0.459 (was 0.75/min 0.502; the r13 at-budget reading
+    # was retry weather — VERDICT r13 #3's re-base)
     "funnel_click_purchase": 0.42,  # min 0.282
     "pricing_summary": 0.42,        # min 0.278
     "revenue_by_nation": 1.11,      # min 0.740
@@ -107,7 +112,9 @@ QUERY_BUDGETS = {
     "ann_ivfpq_topk": 1.96,         # min 1.305 (post-LUT-planning fix)
     "dedup_chunks": 1.26,           # min 0.784; +7% r12 margin (see
     # cdc_parse_project)
-    "mixture_token_budget": 0.96,   # min 0.640
+    "mixture_token_budget": 0.94,   # re-pinned r14 from a quiet-box
+    # two-run min 0.627 (was 0.96/min 0.640 — VERDICT r13 #3's re-base
+    # of the three rows that sat at exactly ratio 1.00 in r13)
     "scd2_employee_sport_dim": 0.62,  # min 0.415
     "interval_join_events": 0.59,   # min 0.396
     "timeseries_gapfill": 0.44,     # min 0.295 (new r6; local sf0.1 runs)

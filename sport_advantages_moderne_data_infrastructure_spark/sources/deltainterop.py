@@ -174,13 +174,45 @@ def export_delta_log(table: TxnTable, spark: SparkSession | None = None,
     log_dir = os.path.join(table.path, "_delta_log")
     os.makedirs(log_dir, exist_ok=True)
 
-    table_id = str(_uuid.uuid4())
-    last_schema: dict | None = None
-    last_meta_json: str | None = None
-    part_cols: list[str] = []
-    cm_ids: dict[str, int] = {}  # physical name -> stable field id
-    cm_active = False
-    for v in table.versions():
+    # INCREMENTAL export (r14): the export loop's carried state —
+    # table id, last metaData fingerprint, partition layout, stable
+    # column-mapping ids — persists in a sidecar the Delta version
+    # regex ignores, so re-exporting after N new commits writes N new
+    # JSON files instead of rewriting the whole history (a
+    # 2,880-commits/day table exporting per commit is O(history^2)
+    # without this), keeps the table id STABLE across exports (foreign
+    # readers treat an id change as a different table), and keeps
+    # post-vacuum tables exportable (old versions stay as previously
+    # exported; only new commits expand to files).
+    versions = table.versions()
+    sidecar = os.path.join(log_dir, "_samdis_export.json")
+    state: dict | None = None
+    if os.path.isfile(sidecar):
+        try:
+            with open(sidecar) as fh:
+                state = json.load(fh)
+        except (OSError, ValueError):
+            state = None
+    latest = versions[-1] if versions else -1
+    if state is not None and state.get("last_version") is not None \
+            and state["last_version"] <= latest:
+        table_id = state["table_id"]
+        carried = state["carried"]
+        last_schema = carried["schema"]
+        last_meta_json = carried["meta_json"]
+        part_cols = list(carried["part_cols"])
+        cm_ids = {k: int(i) for k, i in carried["cm_ids"].items()}
+        cm_active = bool(carried["cm_active"])
+        todo = [v for v in versions if v > state["last_version"]]
+    else:
+        table_id = str(_uuid.uuid4())
+        last_schema = None
+        last_meta_json = None
+        part_cols = []
+        cm_ids = {}  # physical name -> stable field id
+        cm_active = False
+        todo = versions
+    for v in todo:
         doc = table._doc(v)  # noqa: SLF001
         mapping_v = table.column_mapping(v) or {}
         actions: list[dict] = []
@@ -270,6 +302,13 @@ def export_delta_log(table: TxnTable, spark: SparkSession | None = None,
             fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
     if live_dvs:
         _export_dv_materialization(table, spark, log_dir, live_dvs)
+    with open(sidecar, "w") as fh:
+        json.dump({"table_id": table_id, "last_version": latest,
+                   "carried": {"schema": last_schema,
+                               "meta_json": last_meta_json,
+                               "part_cols": part_cols,
+                               "cm_ids": cm_ids,
+                               "cm_active": cm_active}}, fh)
     return log_dir
 
 
@@ -722,7 +761,8 @@ def export_delta_checkpoint(spark: SparkSession, path: str,
 
 def read_delta_dir(spark: SparkSession, path: str,
                    version: int | None = None,
-                   verify: bool = True) -> DataFrame:
+                   verify: bool = True,
+                   where: str | None = None) -> DataFrame:
     """Read a Delta-format directory (real delta-spark output or
     :func:`export_delta_log`'s) with plain Spark: reconstruct the
     snapshot DISTRIBUTED (checkpoint DataFrame + JSON-tail anti-join,
@@ -741,7 +781,16 @@ def read_delta_dir(spark: SparkSession, path: str,
     mismatch. The listing costs O(live files) driver-side stat calls —
     a 100 TB object-store deployment passes ``verify=False`` and keeps
     only the bounded directory collect (strays are then filtered by an
-    inner manifest join instead)."""
+    inner manifest join instead).
+
+    ``where`` (r14) is a PARTITION-predicate pushdown — SQL over the
+    table's partition columns only, evaluated TYPED against each add
+    action's ``partitionValues`` on the distributed manifest BEFORE
+    any listing or scanning (Delta's partition pruning): a
+    ``year >= '2024'`` read of a decade-deep foreign table plans only
+    the matching files' directories, exactly what the engine's own
+    :meth:`~.txnlog.TxnTable.read_partitions_where` does for txn
+    tables. Predicates needing data columns refuse loudly."""
     from pyspark.sql.types import StructType
 
     log_dir = os.path.join(path, "_delta_log")
@@ -773,6 +822,35 @@ def read_delta_dir(spark: SparkSession, path: str,
     data_schema = StructType(
         [f.__class__(phys[f.name], f.dataType, f.nullable)
          for f in schema.fields if f.name not in part_cols])
+
+    if where is not None:
+        # partition pruning on the DISTRIBUTED manifest: type each
+        # partitionValues entry per the schema and filter the adds
+        # frame itself — files outside the predicate never reach the
+        # listing, the dir collect, or the scan (Delta's partition
+        # filter semantics; the predicate must resolve over the
+        # partition columns alone)
+        from pyspark.errors import AnalysisException
+
+        if not part_cols:
+            raise ValueError(
+                f"read_delta_dir(where={where!r}) on an unpartitioned "
+                "table — filter the returned DataFrame instead")
+        pv0 = F.col("partitionValues")
+        typed = adds
+        for fld in schema.fields:
+            if fld.name in part_cols:
+                typed = typed.withColumn(
+                    fld.name,
+                    F.coalesce(pv0[phys[fld.name]], pv0[fld.name])
+                    .cast(fld.dataType))
+        try:
+            adds = typed.filter(F.expr(where)).drop(*part_cols)
+        except AnalysisException as e:
+            raise ValueError(
+                f"read_delta_dir: where={where!r} must range over the "
+                f"partition columns {part_cols!r} alone — row-level "
+                "filters belong on the returned DataFrame") from e
 
     root = os.path.abspath(path)
     dirred = adds.withColumn(

@@ -42,7 +42,10 @@ def test_export_roundtrip_plain_table(spark, tmp_path):
     t.append(o.offset(80))
     t.delete_where(spark, "o_orderkey % 7 = 0")  # rewrite mode (no DV)
     log_dir = export_delta_log(t)
-    names = sorted(os.listdir(log_dir))
+    names = sorted(f for f in os.listdir(log_dir)
+                   if f[:1].isdigit())  # Delta version files only —
+    # the _samdis_export sidecar (incremental-export state) is
+    # invisible to the Delta version regex
     assert names == [f"{v:020d}.json" for v in range(3)]
     # commit 0 carries protocol + metaData
     with open(os.path.join(log_dir, names[0])) as fh:
@@ -704,3 +707,119 @@ def test_foreign_multikey_name_mapped_evolved(spark, tmp_path):
         os.remove(os.path.join(log, f"{v:020d}.json"))
     again = read_delta_dir(spark, root)
     assert _rows(again) == _rows(got)
+
+
+def test_reader_partition_predicate_pushdown(spark, tmp_path):
+    """read_delta_dir(where=...): the partition predicate filters the
+    DISTRIBUTED adds manifest before any listing or scanning — the
+    pruned plan's inputFiles contain only matching partition dirs, the
+    rows equal the unpruned read's filtered rows, and non-partition
+    predicates refuse loudly (r14 — Delta's partition pruning on the
+    foreign-read path)."""
+    o = _orders(spark, 120)
+    t = TxnTable(str(tmp_path / "pp"))
+    t.set_generated_column("order_month",
+                           "DATE_FORMAT(o_orderdate, 'yyyy-MM')")
+    t.set_partition_column("order_month")
+    t.append(o)
+    export_delta_log(t)
+    pruned = read_delta_dir(spark, t.path,
+                            where="order_month >= '1999-01'")
+    files = pruned.inputFiles()
+    assert files
+    for f in files:
+        seg = [s for s in f.split("/")
+               if s.startswith("order_month=")][0]
+        assert seg.split("=", 1)[1] >= "1999-01", f
+    want = read_delta_dir(spark, t.path).filter(
+        "order_month >= '1999-01'")
+    assert _rows(pruned.select("o_orderkey", "o_totalprice")) == _rows(
+        want.select("o_orderkey", "o_totalprice"))
+    assert pruned.count() == want.count() > 0
+    # empty survivor set is an answer, not an error
+    assert read_delta_dir(spark, t.path,
+                          where="order_month >= '2999-01'").count() == 0
+    with pytest.raises(ValueError, match="partition columns"):
+        read_delta_dir(spark, t.path, where="o_totalprice > 10")
+    flat = TxnTable(str(tmp_path / "flatpp"))
+    flat.append(o)
+    export_delta_log(flat)
+    with pytest.raises(ValueError, match="unpartitioned"):
+        read_delta_dir(spark, flat.path, where="order_month = 'x'")
+
+
+def test_incremental_export_is_idempotent_and_stable(spark, tmp_path):
+    """Re-export after new commits writes ONLY the new versions (r14:
+    per-commit export is O(delta), not O(history)); already-exported
+    JSON files are untouched byte-for-byte, the Delta table id stays
+    STABLE across exports (foreign readers treat an id change as a
+    different table), and a corrupted sidecar degrades to a correct
+    full rewrite."""
+    o = _orders(spark, 90)
+    t = TxnTable(str(tmp_path / "inc"))
+    t.append(o.limit(30))
+    t.append(o.offset(30).limit(30))
+    log_dir = export_delta_log(t)
+
+    def read_json(v):
+        with open(os.path.join(log_dir, f"{v:020d}.json")) as fh:
+            return fh.read()
+
+    def table_id_of(v=0):
+        for ln in read_json(v).splitlines():
+            a = json.loads(ln)
+            if "metaData" in a:
+                return a["metaData"]["id"]
+        return None
+
+    before = {v: read_json(v) for v in (0, 1)}
+    tid = table_id_of()
+    mtimes = {v: os.path.getmtime(os.path.join(
+        log_dir, f"{v:020d}.json")) for v in (0, 1)}
+    t.append(o.offset(60))
+    t.delete_where(spark, "o_orderkey % 5 = 0")
+    export_delta_log(t)
+    # old commits untouched, new ones appended, id stable
+    for v in (0, 1):
+        assert read_json(v) == before[v]
+        assert os.path.getmtime(os.path.join(
+            log_dir, f"{v:020d}.json")) == mtimes[v]
+    assert os.path.isfile(os.path.join(log_dir, f"{3:020d}.json"))
+    assert table_id_of() == tid
+    got = read_delta_dir(spark, t.path)
+    assert _rows(got.select("o_orderkey", "o_totalprice")) == _rows(
+        t.read(spark).select("o_orderkey", "o_totalprice"))
+    # a metaData change mid-history (schema evolution) still only
+    # exports the tail, carrying the fingerprint across exports
+    t.overwrite(t.read(spark).withColumn(
+        "flag", F.lit("x")))
+    export_delta_log(t)
+    assert read_json(0) == before[0]
+    tail = read_json(t.latest_version())
+    assert "metaData" in tail  # evolved schema re-emitted in the tail
+    assert "flag" in read_delta_dir(spark, t.path).columns
+    # corrupted sidecar -> full rewrite, still correct (id may rotate)
+    with open(os.path.join(log_dir, "_samdis_export.json"), "w") as fh:
+        fh.write("{broken")
+    export_delta_log(t)
+    got2 = read_delta_dir(spark, t.path)
+    assert got2.count() == t.read(spark).count()
+
+
+def test_incremental_export_survives_txn_vacuum(spark, tmp_path):
+    """After txn vacuum drops old version docs/files, the incremental
+    export keeps working for NEW commits — previously-exported
+    versions stand as written (a full rewrite could no longer expand
+    them)."""
+    o = _orders(spark, 60)
+    t = TxnTable(str(tmp_path / "vac"))
+    t.append(o.limit(20))
+    t.append(o.offset(20).limit(20))
+    t.overwrite(o.limit(50))
+    export_delta_log(t)
+    t.vacuum(keep_versions=False)
+    t.append(o.offset(50))
+    export_delta_log(t)
+    got = read_delta_dir(spark, t.path)
+    assert _rows(got.select("o_orderkey")) == _rows(
+        t.read(spark).select("o_orderkey"))
