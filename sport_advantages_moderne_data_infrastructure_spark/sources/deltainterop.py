@@ -759,10 +759,43 @@ def export_delta_checkpoint(spark: SparkSession, path: str,
     return os.path.join(log_dir, names[0])
 
 
+def _version_at_timestamp(log_dir: str, ts: float) -> int:
+    """Largest retained version whose commit timestamp is at/below
+    ``ts`` (epoch seconds) — Delta's ``timestampAsOf``. Timestamps
+    come from each retained JSON commit's ``commitInfo`` (falling back
+    to the commit file's mtime when a foreign log omits it, the same
+    fallback delta-spark applies); versions cleaned by log retention
+    cannot be timestamp-addressed, matching delta-spark's contract.
+    O(retained versions) driver-side, bounded by retention."""
+    ts_ms = ts * 1000.0
+    best = None
+    versions = _log_versions(log_dir)
+    for v in versions:
+        p = os.path.join(log_dir, f"{v:020d}.json")
+        t = None
+        with open(p) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                action = json.loads(line)
+                if "commitInfo" in action:
+                    t = action["commitInfo"].get("timestamp")
+        if t is None:
+            t = os.path.getmtime(p) * 1000.0
+        if t <= ts_ms:
+            best = v
+    if best is None:
+        raise ValueError(
+            f"no retained commit at or before timestamp {ts} in "
+            f"{log_dir} (earliest retained versions: {versions[:3]})")
+    return best
+
+
 def read_delta_dir(spark: SparkSession, path: str,
                    version: int | None = None,
                    verify: bool = True,
-                   where: str | None = None) -> DataFrame:
+                   where: str | None = None,
+                   timestamp: float | None = None) -> DataFrame:
     """Read a Delta-format directory (real delta-spark output or
     :func:`export_delta_log`'s) with plain Spark: reconstruct the
     snapshot DISTRIBUTED (checkpoint DataFrame + JSON-tail anti-join,
@@ -790,12 +823,21 @@ def read_delta_dir(spark: SparkSession, path: str,
     ``year >= '2024'`` read of a decade-deep foreign table plans only
     the matching files' directories, exactly what the engine's own
     :meth:`~.txnlog.TxnTable.read_partitions_where` does for txn
-    tables. Predicates needing data columns refuse loudly."""
+    tables. Predicates needing data columns refuse loudly.
+
+    ``timestamp`` (epoch seconds, r14) is Delta's ``timestampAsOf``:
+    the snapshot at the largest retained version whose commit
+    timestamp is at/below it (mutually exclusive with ``version``)."""
     from pyspark.sql.types import StructType
 
     log_dir = os.path.join(path, "_delta_log")
     if not os.path.isdir(log_dir):
         raise ValueError(f"not a Delta table (no _delta_log): {path}")
+    if timestamp is not None:
+        if version is not None:
+            raise ValueError(
+                "read_delta_dir: pass version OR timestamp, not both")
+        version = _version_at_timestamp(log_dir, timestamp)
     adds, meta, _ = _snapshot_state(spark, log_dir, version)
     if meta is None:
         raise ValueError(f"no metaData action found in {log_dir}")

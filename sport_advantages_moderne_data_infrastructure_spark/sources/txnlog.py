@@ -2828,7 +2828,8 @@ class TxnTable:
                 handle.unpersist()
 
     def replace_where(self, spark: SparkSession, df: DataFrame,
-                      condition: str, meta: dict | None = None) -> int:
+                      condition: str, meta: dict | None = None,
+                      allow_row_predicates: bool = False) -> int:
         """Atomic predicate-scoped replace — Delta's ``replaceWhere``
         over partition keys (r14, VERDICT r13 #2): ONE commit removes
         exactly the live partitions whose TYPED key values satisfy
@@ -2849,7 +2850,19 @@ class TxnTable:
         DELETE in one commit. Reference anchor: the reference's Delta
         overwrite sink (spark/SaveDelta.scala:157-163) exposed
         ``replaceWhere`` as the idempotent-reload knob; this is that
-        surface on the txn format."""
+        surface on the txn format.
+
+        ``allow_row_predicates=True`` (r14, Delta's ARBITRARY
+        replaceWhere): a predicate over data columns deletes exactly
+        the matching ROWS and inserts ``df`` in the same atomic
+        commit — the partitions actually holding matches are found by
+        one column-pruned sizing scan (:meth:`_hot_partitions`), their
+        NON-matching rows rewrite as survivors alongside the new data,
+        and untouched partitions keep their files. Without the flag a
+        data-column predicate refuses (metadata-only pruning is the
+        default contract; the flag is the explicit opt-in to a
+        rewriting scan, mirroring Delta's own
+        partition-vs-arbitrary distinction)."""
         import re
 
         from pyspark.errors import AnalysisException
@@ -2891,23 +2904,39 @@ class TxnTable:
         if gcfg.get("generated"):
             df = self._apply_generated(df)
         # remove set: metadata-only evaluation over the typed live
-        # partition values (any key subset prunes; a predicate that
-        # needs data columns is out of contract and refuses loudly)
+        # partition values (any key subset prunes); a predicate that
+        # needs data columns refuses unless allow_row_predicates opts
+        # in to the arbitrary-replaceWhere sizing scan + survivor
+        # rewrite
         part_dirs = [d for d in live if _partition_segs(d)]
         removes: list[str] = []
+        survivors: DataFrame | None = None
         if part_dirs:
             vf, segs = self._typed_partition_values(
                 spark, part_dirs, keys)
             try:
                 hot = {r["__seg"] for r in
                        vf.filter(F.expr(condition)).collect()}
+                removes = [d for s in sorted(hot) for d in segs[s]]
             except AnalysisException as e:
-                raise ValueError(
-                    f"replace_where condition {condition!r} must "
-                    f"resolve over the partition keys {keys!r} alone "
-                    "(Delta's replaceWhere contract); row-level "
-                    "predicates are delete_where() + append()") from e
-            removes = [d for s in sorted(hot) for d in segs[s]]
+                if not allow_row_predicates:
+                    raise ValueError(
+                        f"replace_where condition {condition!r} must "
+                        f"resolve over the partition keys {keys!r} "
+                        "alone (Delta's replaceWhere contract); pass "
+                        "allow_row_predicates=True for the arbitrary-"
+                        "predicate form (one sizing scan + survivor "
+                        "rewrite of the matching partitions)") from e
+                _, _, cands = self._hot_partitions(
+                    spark, condition, base, part_dirs, keys)
+                removes = cands
+                if cands:
+                    snap = self._read_dirs(
+                        spark, cands, self._dvs_for(cands, base),
+                        version=base)
+                    # NULL-evaluating rows do NOT match -> survive
+                    survivors = snap.filter(
+                        ~F.coalesce(F.expr(condition), F.lit(False)))
         # source containment: every incoming row must satisfy the
         # predicate (NULL does not satisfy) — checked BEFORE any write
         # so a violation leaves no orphan files
@@ -2920,9 +2949,13 @@ class TxnTable:
         hw_meta: dict = {}
         handle = None
         if ident is not None:
+            # new rows allocate fresh ids; survivors (row-predicate
+            # mode) keep the ids baked into their rewritten rows
             df, hw_meta, handle = self._assign_identity(df, ident)
         try:
-            adds = self._write_data_partitioned(df, keys)
+            write_df = df if survivors is None \
+                else survivors.unionByName(df)
+            adds = self._write_data_partitioned(write_df, keys)
             return self.commit(adds, removes,
                                {**(meta or {}), **hw_meta,
                                 "operation": "replace_where",

@@ -823,3 +823,67 @@ def test_incremental_export_survives_txn_vacuum(spark, tmp_path):
     got = read_delta_dir(spark, t.path)
     assert _rows(got.select("o_orderkey")) == _rows(
         t.read(spark).select("o_orderkey"))
+
+
+def test_reader_timestamp_as_of(spark, tmp_path):
+    """timestampAsOf (r14): a foreign log with explicit commitInfo
+    timestamps time-travels by epoch seconds — the largest version at
+    or below the requested instant — with version/timestamp mutual
+    exclusion and a loud too-early error; a log with NO commitInfo
+    falls back to commit-file mtimes (delta-spark's own fallback)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "tsaof")
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log)
+    meta = {"id": "ts", "format": {"provider": "parquet"},
+            "schemaString": json.dumps({"type": "struct", "fields": [
+                {"name": "x", "type": "long", "nullable": True,
+                 "metadata": {}}]}),
+            "partitionColumns": [], "configuration": {}}
+
+    def wfile(name, vals):
+        pq.write_table(pa.table({"x": pa.array(vals, pa.int64())}),
+                       os.path.join(root, name))
+        return name
+
+    t0, t1, t2 = 1_000_000_000_000, 1_000_000_600_000, 1_000_001_200_000
+    for v, (ts, adds) in enumerate([
+            (t0, [wfile("a.parquet", [1])]),
+            (t1, [wfile("b.parquet", [2])]),
+            (t2, [wfile("c.parquet", [3])])]):
+        with open(os.path.join(log, f"{v:020d}.json"), "w") as fh:
+            if v == 0:
+                fh.write(json.dumps({"protocol": {
+                    "minReaderVersion": 1,
+                    "minWriterVersion": 2}}) + "\n")
+                fh.write(json.dumps({"metaData": meta}) + "\n")
+            for p in adds:
+                fh.write(json.dumps({"add": {
+                    "path": p,
+                    "partitionValues": {},
+                    "size": os.path.getsize(os.path.join(root, p)),
+                    "modificationTime": ts,
+                    "dataChange": True}}) + "\n")
+            fh.write(json.dumps({"commitInfo": {
+                "timestamp": ts, "operation": "WRITE"}}) + "\n")
+
+    # between v1 and v2 -> v1's snapshot; exactly at v2 -> v2
+    assert _rows(read_delta_dir(
+        spark, root, timestamp=(t1 + 1000) / 1000.0)) == {(1,), (2,)}
+    assert _rows(read_delta_dir(
+        spark, root, timestamp=t2 / 1000.0)) == {(1,), (2,), (3,)}
+    with pytest.raises(ValueError, match="at or before"):
+        read_delta_dir(spark, root, timestamp=(t0 - 1000) / 1000.0)
+    with pytest.raises(ValueError, match="not both"):
+        read_delta_dir(spark, root, version=1, timestamp=t1 / 1000.0)
+    # our own exports carry commitInfo timestamps from the txn docs —
+    # latest-instant travel resolves to the live snapshot
+    o = _orders(spark, 30)
+    t = TxnTable(str(tmp_path / "own"))
+    t.append(o)
+    export_delta_log(t)
+    import time as _time
+    got = read_delta_dir(spark, t.path, timestamp=_time.time() + 60)
+    assert got.count() == 30

@@ -145,3 +145,86 @@ def test_identity_table_allocates_fresh_ids(spark, tmp_path):
     assert len(rids) == len(set(rids))  # never reused
     new_ids = [r["rid"] for r in rows if r["o_orderstatus"] == "F"]
     assert new_ids and min(new_ids) > hw0  # fresh block past the HW
+
+
+def test_arbitrary_row_predicate_replace(spark, tmp_path):
+    """allow_row_predicates=True (Delta's arbitrary replaceWhere): a
+    data-column predicate deletes exactly the matching ROWS and
+    inserts the source in the SAME atomic commit — non-matching rows
+    of the touched partitions survive the rewrite, partitions with no
+    matches keep their original files, and without the flag the
+    predicate refuses."""
+    t, o = _mk(spark, tmp_path)
+    v0 = t.latest_version()
+    with pytest.raises(ValueError, match="allow_row_predicates"):
+        t.replace_where(spark, o.limit(0), "o_totalprice > 150000")
+    # a high cut so the match set is sparse across partitions
+    cut = float(o.approxQuantile("o_totalprice", [0.93], 0.0)[0])
+    exp_pairs = {
+        (r["y"], r["s"]) for r in
+        o.filter(F.col("o_totalprice") > cut).select(
+            F.date_format("o_orderdate", "yyyy").alias("y"),
+            F.col("o_orderstatus").alias("s")).distinct().collect()}
+    new_rows = (o.filter(F.col("o_totalprice") > cut).limit(5)
+                .withColumn("o_totalprice", F.lit(cut + 1.0))
+                .withColumn("o_orderkey",
+                            F.col("o_orderkey") + 10_000_000))
+    v = t.replace_where(spark, new_rows, f"o_totalprice > {cut}",
+                        allow_row_predicates=True)
+    assert v == v0 + 1  # one atomic commit
+    doc = t._doc(v)  # noqa: SLF001
+    # removes are EXACTLY the partitions that actually held matches
+    # (the sizing scan's contract) — not every live dir
+    got_pairs = {(dict(_partition_segs(d))["order_year"],
+                  dict(_partition_segs(d))["o_orderstatus"])
+                 for d in doc["removes"]}
+    assert got_pairs == exp_pairs
+    assert len(doc["removes"]) < len(t.snapshot_dirs(v0))
+    got = t.read(spark)
+    # every original over-cut row is gone; the 5 inserts are present;
+    # survivors of the touched partitions kept
+    assert got.filter((F.col("o_totalprice") > cut)
+                      & (F.col("o_orderkey") < 10_000_000)).count() == 0
+    assert got.filter("o_orderkey >= 10000000").count() == 5
+    want_survivors = o.filter(F.col("o_totalprice") <= cut).count()
+    assert got.filter("o_orderkey < 10000000").count() == want_survivors
+
+
+def test_row_predicate_containment_still_enforced(spark, tmp_path):
+    """Even in arbitrary mode, source rows must satisfy the predicate
+    — a violating insert raises before any write."""
+    t, o = _mk(spark, tmp_path)
+    v0 = t.latest_version()
+    with pytest.raises(ValueError, match="violate"):
+        t.replace_where(spark, o.limit(10), "o_totalprice > 1e12",
+                        allow_row_predicates=True)
+    assert t.latest_version() == v0
+
+
+def test_row_predicate_identity_survivors_keep_ids(spark, tmp_path):
+    """Identity x arbitrary replaceWhere: survivors keep their baked
+    ids through the rewrite; inserts allocate past the high water in
+    the same commit; global uniqueness holds."""
+    o = _orders(spark)
+    t = TxnTable(str(tmp_path / "idrow"))
+    t.set_identity_column("rid")
+    t.set_partition_column("o_orderstatus")
+    t.append(o)
+    before = {r["o_orderkey"]: r["rid"]
+              for r in t.read(spark).select("o_orderkey", "rid")
+              .collect()}
+    hw0 = max(before.values())
+    cut = 150000.0
+    inserts = (o.filter(F.col("o_totalprice") > cut).limit(3)
+               .withColumn("o_orderkey",
+                           F.col("o_orderkey") + 10_000_000))
+    t.replace_where(spark, inserts, f"o_totalprice > {cut}",
+                    allow_row_predicates=True)
+    rows = t.read(spark).select("o_orderkey", "rid").collect()
+    rids = [r["rid"] for r in rows]
+    assert len(rids) == len(set(rids))
+    for r in rows:
+        if r["o_orderkey"] < 10_000_000:
+            assert r["rid"] == before[r["o_orderkey"]]  # survivor id
+        else:
+            assert r["rid"] > hw0  # fresh allocation
