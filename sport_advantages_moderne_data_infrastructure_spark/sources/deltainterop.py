@@ -69,10 +69,12 @@ _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 #: columns every replayed add action carries through reconstruction:
 #: ``path`` is the DECODED table-relative path (the join/anti-join
 #: key), ``path_enc`` the log's original encoded string (what a
-#: checkpoint must re-emit verbatim so foreign readers agree).
+#: checkpoint must re-emit verbatim so foreign readers agree);
+#: ``stats`` is the per-file Delta stats JSON (file skipping).
 _ADDS_DDL = ("path string, path_enc string, "
              "partitionValues map<string,string>, size bigint, "
-             "modificationTime bigint, dataChange boolean")
+             "modificationTime bigint, dataChange boolean, "
+             "stats string")
 
 
 def _quote_path(rel: str) -> str:
@@ -82,6 +84,70 @@ def _quote_path(rel: str) -> str:
     nonexistent path whenever a partition value contains ``%``/``:``
     etc.)."""
     return _urlquote(rel.replace(os.sep, "/"), safe="/")
+
+
+#: string stats longer than this are dropped rather than truncated: a
+#: truncated MAX is an invalid upper bound unless padded with the
+#: spec's 0xFF tie-breaking suffix, so short-and-exact beats long-and-
+#:  subtly-wrong
+_STATS_MAX_STR = 64
+
+
+def _file_stats(abs_path: str) -> str | None:
+    """Delta per-file ``stats`` JSON (numRecords / minValues /
+    maxValues / nullCount) from the parquet FOOTER's row-group
+    statistics — metadata-only, no data read, the same numbers real
+    writers record at write time. Exact for integral/floating/boolean
+    columns and short strings; columns without footer stats (or with
+    long strings) are simply omitted — absent stats mean "cannot
+    skip", never a wrong bound. Returns None when the footer is
+    unreadable (stats are an optimization, not a correctness
+    input)."""
+    try:
+        import pyarrow.parquet as _pq
+
+        md = _pq.ParquetFile(abs_path).metadata
+    except Exception:
+        return None
+    mins: dict = {}
+    maxs: dict = {}
+    nulls: dict = {}
+    for ci in range(md.num_columns):
+        col0 = md.row_group(0).column(ci) if md.num_row_groups else None
+        if col0 is None or "." in col0.path_in_schema:
+            continue  # nested columns: skip
+        name = col0.path_in_schema
+        lo = hi = None
+        nn = 0
+        ok = True
+        for ri in range(md.num_row_groups):
+            st = md.row_group(ri).column(ci).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            mn, mx = st.min, st.max
+            if isinstance(mn, bytes):
+                try:
+                    mn, mx = mn.decode(), mx.decode()
+                except UnicodeDecodeError:
+                    ok = False
+                    break
+            if not isinstance(mn, (int, float, str, bool)):
+                ok = False  # dates/timestamps/decimals: out of scope
+                break
+            if isinstance(mn, str) and (len(mn) > _STATS_MAX_STR
+                                        or len(mx) > _STATS_MAX_STR):
+                ok = False
+                break
+            lo = mn if lo is None else min(lo, mn)
+            hi = mx if hi is None else max(hi, mx)
+            nn += st.null_count if st.has_null_count else 0
+        if ok and lo is not None:
+            mins[name] = lo
+            maxs[name] = hi
+            nulls[name] = nn
+    return json.dumps({"numRecords": md.num_rows, "minValues": mins,
+                       "maxValues": maxs, "nullCount": nulls})
 
 
 def _decode_path_col(col):
@@ -276,14 +342,18 @@ def export_delta_log(table: TxnTable, spark: SparkSession | None = None,
                 for col, raw in _partition_segs(rel)}
             for f in _files_of(table, rel):
                 absf = os.path.join(table.path, f)
-                actions.append({"add": {
+                add = {
                     "path": _quote_path(f),
                     "partitionValues": pvals,
                     "size": os.path.getsize(absf),
                     "modificationTime": ts_ms,
                     "dataChange": doc.get("meta", {}).get(
                         "operation") != "compact",
-                }})
+                }
+                st = _file_stats(absf)
+                if st is not None:
+                    add["stats"] = st
+                actions.append({"add": add})
         for rel in doc["removes"]:
             for f in _files_of(table, rel):
                 actions.append({"remove": {
@@ -548,7 +618,7 @@ def _adds_frame(spark: SparkSession, actions) -> DataFrame:
     rows = [(a["path"], a["path_enc"],
              {k: v for k, v in (a.get("partitionValues") or {}).items()},
              a.get("size"), a.get("modificationTime"),
-             bool(a.get("dataChange", True)))
+             bool(a.get("dataChange", True)), a.get("stats"))
             for a in actions]
     return spark.createDataFrame(rows, _ADDS_DDL)
 
@@ -610,7 +680,8 @@ def _checkpoint_frame(spark: SparkSession, parts: list[str]
         pv.alias("partitionValues"),
         sub("size", "bigint").alias("size"),
         sub("modificationTime", "bigint").alias("modificationTime"),
-        sub("dataChange", "boolean").alias("dataChange")))
+        sub("dataChange", "boolean").alias("dataChange"),
+        sub("stats", "string").alias("stats")))
     return adds, meta
 
 
@@ -661,7 +732,8 @@ _CP_DDL = (
     "schemaString:string,partitionColumns:array<string>,"
     "configuration:map<string,string>,createdTime:bigint>, "
     "add struct<path:string,partitionValues:map<string,string>,"
-    "size:bigint,modificationTime:bigint,dataChange:boolean>, "
+    "size:bigint,modificationTime:bigint,dataChange:boolean,"
+    "stats:string>, "
     "remove struct<path:string,deletionTimestamp:bigint,"
     "dataChange:boolean>")
 
@@ -731,7 +803,8 @@ def export_delta_checkpoint(spark: SparkSession, path: str,
             F.col("partitionValues"),
             F.col("size"),
             F.col("modificationTime"),
-            F.col("dataChange")).alias("add"),
+            F.col("dataChange"),
+            F.col("stats")).alias("add"),
         F.lit(None).cast(
             "struct<path:string,deletionTimestamp:bigint,"
             "dataChange:boolean>").alias("remove"))
@@ -795,7 +868,8 @@ def read_delta_dir(spark: SparkSession, path: str,
                    version: int | None = None,
                    verify: bool = True,
                    where: str | None = None,
-                   timestamp: float | None = None) -> DataFrame:
+                   timestamp: float | None = None,
+                   range_filter: tuple | None = None) -> DataFrame:
     """Read a Delta-format directory (real delta-spark output or
     :func:`export_delta_log`'s) with plain Spark: reconstruct the
     snapshot DISTRIBUTED (checkpoint DataFrame + JSON-tail anti-join,
@@ -827,7 +901,16 @@ def read_delta_dir(spark: SparkSession, path: str,
 
     ``timestamp`` (epoch seconds, r14) is Delta's ``timestampAsOf``:
     the snapshot at the largest retained version whose commit
-    timestamp is at/below it (mutually exclusive with ``version``)."""
+    timestamp is at/below it (mutually exclusive with ``version``).
+
+    ``range_filter=(col, lo, hi)`` (r14) is Delta DATA SKIPPING: files
+    whose per-file ``stats`` bounds prove no row can satisfy
+    ``lo <= col <= hi`` (either bound may be None) drop from the
+    manifest before listing/scanning, and the exact residual filter
+    applies after the scan — equals ``read().filter(lo <= col <= hi)``
+    whatever the stats coverage (a file without stats is always
+    scanned; bounds are conservative). The column is a LOGICAL name;
+    stats keys are physical under column mapping."""
     from pyspark.sql.types import StructType
 
     log_dir = os.path.join(path, "_delta_log")
@@ -893,6 +976,42 @@ def read_delta_dir(spark: SparkSession, path: str,
                 f"read_delta_dir: where={where!r} must range over the "
                 f"partition columns {part_cols!r} alone — row-level "
                 "filters belong on the returned DataFrame") from e
+
+    if range_filter is not None:
+        rcol, rlo, rhi = range_filter
+        rfld = next((f for f in schema.fields if f.name == rcol), None)
+        if rfld is None:
+            raise ValueError(
+                f"range_filter column {rcol!r} is not in the table "
+                f"schema {[f.name for f in schema.fields]}")
+        if rcol in part_cols:
+            raise ValueError(
+                f"range_filter column {rcol!r} is a partition key — "
+                "use where= (metadata pruning) instead")
+        # file skipping on the DISTRIBUTED manifest: drop files whose
+        # stats bounds prove emptiness; missing stats scan (bounds are
+        # conservative, the residual filter below keeps it exact)
+        pcol = phys[rcol]
+        smin = F.get_json_object(
+            "stats", f"$.minValues.{pcol}").cast(rfld.dataType)
+        smax = F.get_json_object(
+            "stats", f"$.maxValues.{pcol}").cast(rfld.dataType)
+        mask = F.lit(True)
+        if rlo is not None:
+            mask = mask & (smax.isNull() | (smax >= F.lit(rlo)))
+        if rhi is not None:
+            mask = mask & (smin.isNull() | (smin <= F.lit(rhi)))
+        adds = adds.filter(mask)
+
+    def _residual(out_df: DataFrame) -> DataFrame:
+        if range_filter is None:
+            return out_df
+        c, lo, hi = range_filter
+        if lo is not None:
+            out_df = out_df.filter(F.col(c) >= lo)
+        if hi is not None:
+            out_df = out_df.filter(F.col(c) <= hi)
+        return out_df
 
     root = os.path.abspath(path)
     dirred = adds.withColumn(
@@ -969,7 +1088,7 @@ def read_delta_dir(spark: SparkSession, path: str,
     keep = [f.name for f in schema.fields]
     need_liveness = not verify  # verified dirs scan exactly the manifest
     if not part_cols and not need_liveness:
-        return df.drop("__fp").select(*keep)
+        return _residual(df.drop("__fp").select(*keep))
 
     # file -> partition values mapping, built FROM the distributed adds
     # frame (never a driver-side row list); physical partitionValues
@@ -988,8 +1107,9 @@ def read_delta_dir(spark: SparkSession, path: str,
     mapping = F.broadcast(mapping) if adds.count() <= 200_000 \
         else mapping
     if need_liveness and not part_cols:
-        return (df.join(mapping.select("__fp"), "__fp", "left_semi")
-                .drop("__fp").select(*keep))
+        return _residual(
+            df.join(mapping.select("__fp"), "__fp", "left_semi")
+            .drop("__fp").select(*keep))
     if need_liveness:
         out = df.join(mapping, "__fp")
     else:
@@ -1009,4 +1129,4 @@ def read_delta_dir(spark: SparkSession, path: str,
                 dict((f.name, f.dataType) for f in
                      schema.fields)[c])).alias(c)
               for c in part_cols])
-    return out.select(*keep)
+    return _residual(out.select(*keep))

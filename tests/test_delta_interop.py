@@ -887,3 +887,60 @@ def test_reader_timestamp_as_of(spark, tmp_path):
     import time as _time
     got = read_delta_dir(spark, t.path, timestamp=_time.time() + 60)
     assert got.count() == 30
+
+
+def test_per_file_stats_and_data_skipping(spark, tmp_path):
+    """Exported add actions carry per-file Delta stats JSON
+    (numRecords/minValues/maxValues/nullCount from the parquet
+    footers — what real writers record), and
+    read_delta_dir(range_filter=(col, lo, hi)) skips files whose
+    bounds prove emptiness while staying EXACT via the residual
+    filter — including when the stats ride a checkpoint after log
+    retention (r14: Delta data skipping on the foreign-read path)."""
+    from sport_advantages_moderne_data_infrastructure_spark.sources.deltainterop import (
+        export_delta_checkpoint,
+    )
+
+    o = _orders(spark, 90)
+    t = TxnTable(str(tmp_path / "stats"))
+    # three single-file commits with disjoint o_orderkey ranges
+    keys = [r["o_orderkey"] for r in
+            o.select("o_orderkey").orderBy("o_orderkey").collect()]
+    c1, c2 = keys[29], keys[59]
+    t.append(o.filter(F.col("o_orderkey") <= c1).repartition(1))
+    t.append(o.filter((F.col("o_orderkey") > c1)
+                      & (F.col("o_orderkey") <= c2)).repartition(1))
+    t.append(o.filter(F.col("o_orderkey") > c2).repartition(1))
+    log_dir = export_delta_log(t)
+    with open(os.path.join(log_dir, f"{0:020d}.json")) as fh:
+        adds = [json.loads(ln)["add"] for ln in fh
+                if ln.strip() and "add" in json.loads(ln)]
+    st = json.loads(adds[0]["stats"])
+    assert st["numRecords"] == 30
+    assert st["minValues"]["o_orderkey"] == keys[0]
+    assert st["maxValues"]["o_orderkey"] == c1
+    assert st["nullCount"]["o_orderkey"] == 0
+
+    lo, hi = c1 + 1, c2  # exactly the middle file's range
+    pruned = read_delta_dir(spark, t.path,
+                            range_filter=("o_orderkey", lo, hi))
+    assert len(pruned.inputFiles()) == 1  # two files skipped by stats
+    want = read_delta_dir(spark, t.path).filter(
+        (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") <= hi))
+    assert _rows(pruned) == _rows(want)
+    assert pruned.count() == 30
+    # open bounds + exactness
+    top = read_delta_dir(spark, t.path,
+                         range_filter=("o_orderkey", c2 + 1, None))
+    assert len(top.inputFiles()) == 1 and top.count() == 30
+    # stats survive the checkpoint + log retention
+    export_delta_checkpoint(spark, t.path)
+    for v in range(3):
+        os.remove(os.path.join(log_dir, f"{v:020d}.json"))
+    pruned2 = read_delta_dir(spark, t.path,
+                             range_filter=("o_orderkey", lo, hi))
+    assert len(pruned2.inputFiles()) == 1
+    assert _rows(pruned2) == _rows(want)
+    # unknown column and partition-key misuse refuse loudly
+    with pytest.raises(ValueError, match="not in the table"):
+        read_delta_dir(spark, t.path, range_filter=("nope", 1, 2))
