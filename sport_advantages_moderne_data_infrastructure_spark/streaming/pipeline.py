@@ -212,7 +212,8 @@ def write_stream_merge_txn(df: DataFrame, target: str, checkpoint: str,
 def write_stream_txn_append(df: DataFrame, target: str, checkpoint: str,
                             app_id: str | None = None,
                             available_now: bool = True,
-                            processing_time: str | None = None):
+                            processing_time: str | None = None,
+                            export_delta: bool = False):
     """Exactly-once streaming APPEND into a transactional table on the
     JVM write path: each micro-batch writes its parquet with Spark's
     native writer (whole-stage codegen straight into the commit dir — no
@@ -228,7 +229,13 @@ def write_stream_txn_append(df: DataFrame, target: str, checkpoint: str,
     metadata only, O(files-per-batch), fine at micro-batch file counts —
     executor-computed stats stay the DataSource path's advantage).
     Reference anchor: SaveDelta.scala:157-163 (checkpointed Delta append
-    sink)."""
+    sink).
+
+    ``export_delta=True`` (r14) re-exports the table's Delta-protocol
+    ``_delta_log`` after every committed micro-batch — the INCREMENTAL
+    export writes only the new commit's JSON (O(batch), the
+    export-per-commit shape the interop module documents), so a real
+    Delta reader can tail the streamed table continuously."""
     import os
     import shutil as _shutil
 
@@ -256,12 +263,14 @@ def write_stream_txn_append(df: DataFrame, target: str, checkpoint: str,
             from .scd2 import _routed_append
 
             _routed_append(table, batch_df, batch_id, app_id, meta)
+            _maybe_export(table)
             return
         rel = table._write_data(batch_df)  # noqa: SLF001 — package-internal
         for _ in range(5):  # blind append: commit races are retryable
             try:
                 table.commit([rel], [], meta)
                 table.checkpoint_if_needed()
+                _maybe_export(table)
                 return
             except TxnConflictError:
                 from .scd2 import _ledger_seen
@@ -272,6 +281,13 @@ def write_stream_txn_append(df: DataFrame, target: str, checkpoint: str,
                     return
         table.commit([rel], [], meta)
         table.checkpoint_if_needed()
+        _maybe_export(table)
+
+    def _maybe_export(table) -> None:
+        if export_delta:
+            from ..sources.deltainterop import export_delta_log
+
+            export_delta_log(table)
 
     w = (df.writeStream.foreachBatch(_append)
          .option("checkpointLocation", checkpoint))

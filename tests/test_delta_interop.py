@@ -944,3 +944,50 @@ def test_per_file_stats_and_data_skipping(spark, tmp_path):
     # unknown column and partition-key misuse refuse loudly
     with pytest.raises(ValueError, match="not in the table"):
         read_delta_dir(spark, t.path, range_filter=("nope", 1, 2))
+
+
+def test_streaming_sink_exports_delta_per_batch(spark, tmp_path):
+    """write_stream_txn_append(export_delta=True): every committed
+    micro-batch incrementally re-exports the Delta log (one new JSON
+    per commit, early commits untouched), so a foreign Delta reader
+    can tail the streamed table; a checkpointed RESTART replays
+    nothing and leaves the exported view consistent."""
+    from sport_advantages_moderne_data_infrastructure_spark.sources import (
+        domain as D,
+    )
+    from sport_advantages_moderne_data_infrastructure_spark.streaming import (
+        pipeline as P,
+    )
+
+    root = tmp_path
+    src = str(root / "src")
+    target = str(root / "tgt")
+    ckpt = str(root / "ckpt")
+    (D.cdc_events(spark, "/root/testdata/sf0.001").limit(400)
+     .repartition(4).write.parquet(src))
+    stream = P.stream_cdc_from_files(spark, src,
+                                     max_files_per_trigger=1)
+    q = P.write_stream_txn_append(stream, target, ckpt,
+                                  app_id="exp", export_delta=True)
+    q.awaitTermination(300)
+    t = TxnTable(target)
+    assert t.latest_version() is not None and t.latest_version() >= 1
+    log_dir = os.path.join(target, "_delta_log")
+    sidecar = json.load(open(os.path.join(log_dir,
+                                          "_samdis_export.json")))
+    assert sidecar["last_version"] == t.latest_version()
+    got = read_delta_dir(spark, target)
+    want = t.read(spark)
+    assert got.count() == want.count() > 0
+    assert _rows(got.select("id", "sport_type")) == _rows(
+        want.select("id", "sport_type"))
+    mtime0 = os.path.getmtime(os.path.join(log_dir, f"{0:020d}.json"))
+    # restart on the same checkpoint: no replays, export untouched
+    q2 = P.write_stream_txn_append(
+        P.stream_cdc_from_files(spark, src, max_files_per_trigger=1),
+        target, ckpt, app_id="exp", export_delta=True)
+    q2.awaitTermination(300)
+    assert t.latest_version() == sidecar["last_version"]
+    assert read_delta_dir(spark, target).count() == want.count()
+    assert os.path.getmtime(os.path.join(
+        log_dir, f"{0:020d}.json")) == mtime0
