@@ -864,6 +864,27 @@ def _version_at_timestamp(log_dir: str, ts: float) -> int:
     return best
 
 
+def export_delta_checkpoint_if_needed(spark: SparkSession, path: str,
+                                      interval: int = 10,
+                                      parts: int = 1) -> str | None:
+    """Checkpoint cadence (Delta's ``checkpointInterval``): write a
+    checkpoint only when at least ``interval`` JSON commits have
+    accumulated past the newest complete one — the policy that keeps
+    :func:`_snapshot_state`'s tail bounded on a continuously-written
+    table (2,880 commits/day at a 10-commit cadence is a ≤10-commit
+    replay walk, whatever the table size). Returns the checkpoint
+    path, or None when under cadence."""
+    log_dir = os.path.join(path, "_delta_log")
+    versions = _log_versions(log_dir)
+    if not versions:
+        return None
+    cp = _checkpoint_parts(log_dir, None)
+    floor = -1 if cp is None else cp[0]
+    if versions[-1] - floor < interval:
+        return None
+    return export_delta_checkpoint(spark, path, parts=parts)
+
+
 def read_delta_dir(spark: SparkSession, path: str,
                    version: int | None = None,
                    verify: bool = True,
@@ -962,15 +983,26 @@ def read_delta_dir(spark: SparkSession, path: str,
                 f"read_delta_dir(where={where!r}) on an unpartitioned "
                 "table — filter the returned DataFrame instead")
         pv0 = F.col("partitionValues")
-        typed = adds
-        for fld in schema.fields:
-            if fld.name in part_cols:
-                typed = typed.withColumn(
-                    fld.name,
-                    F.coalesce(pv0[phys[fld.name]], pv0[fld.name])
-                    .cast(fld.dataType))
+        reserved = {"path", "path_enc", "partitionValues", "size",
+                    "modificationTime", "dataChange", "stats"}
+        typed_cols = [
+            F.coalesce(pv0[phys[f.name]], pv0[f.name])
+            .cast(f.dataType).alias(f.name)
+            for f in schema.fields if f.name in part_cols]
         try:
-            adds = typed.filter(F.expr(where)).drop(*part_cols)
+            if any(c in reserved for c in part_cols):
+                # a partition key named like a manifest column (e.g.
+                # 'size' or 'path') would collide in an in-place typed
+                # frame — evaluate on a detached (key-marked) frame
+                # and semi-join the manifest back on the marker
+                flt = (adds.select(F.col("path").alias("__mfp"),
+                                   *typed_cols)
+                       .filter(F.expr(where))
+                       .select(F.col("__mfp").alias("path")))
+                adds = adds.join(F.broadcast(flt), "path", "left_semi")
+            else:
+                adds = adds.select("*", *typed_cols) \
+                    .filter(F.expr(where)).drop(*part_cols)
         except AnalysisException as e:
             raise ValueError(
                 f"read_delta_dir: where={where!r} must range over the "

@@ -285,9 +285,16 @@ def write_stream_txn_append(df: DataFrame, target: str, checkpoint: str,
 
     def _maybe_export(table) -> None:
         if export_delta:
-            from ..sources.deltainterop import export_delta_log
+            from ..sources.deltainterop import (
+                export_delta_checkpoint_if_needed,
+                export_delta_log,
+            )
 
             export_delta_log(table)
+            # checkpoint cadence keeps the foreign reader's JSON-tail
+            # replay bounded as the streamed history grows
+            export_delta_checkpoint_if_needed(
+                df.sparkSession, table.path)
 
     w = (df.writeStream.foreachBatch(_append)
          .option("checkpointLocation", checkpoint))

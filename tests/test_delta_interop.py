@@ -991,3 +991,72 @@ def test_streaming_sink_exports_delta_per_batch(spark, tmp_path):
     assert read_delta_dir(spark, target).count() == want.count()
     assert os.path.getmtime(os.path.join(
         log_dir, f"{0:020d}.json")) == mtime0
+
+
+def test_where_pushdown_reserved_name_partition_key(spark, tmp_path):
+    """A foreign table whose partition key collides with a manifest
+    column name ('size') still prunes correctly via the detached
+    evaluation frame — an in-place typed column would have clobbered
+    the manifest."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "resv")
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log)
+    meta = {"id": "r", "format": {"provider": "parquet"},
+            "schemaString": json.dumps({"type": "struct", "fields": [
+                {"name": "x", "type": "long", "nullable": True,
+                 "metadata": {}},
+                {"name": "size", "type": "integer", "nullable": True,
+                 "metadata": {}}]}),
+            "partitionColumns": ["size"], "configuration": {}}
+
+    def wfile(name, vals):
+        os.makedirs(os.path.join(root, os.path.dirname(name)),
+                    exist_ok=True)
+        pq.write_table(pa.table({"x": pa.array(vals, pa.int64())}),
+                       os.path.join(root, name))
+        return name
+
+    f0 = wfile("size=1/a.parquet", [10])
+    f1 = wfile("size=2/b.parquet", [20])
+    with open(os.path.join(log, f"{0:020d}.json"), "w") as fh:
+        fh.write(json.dumps({"protocol": {
+            "minReaderVersion": 1, "minWriterVersion": 2}}) + "\n")
+        fh.write(json.dumps({"metaData": meta}) + "\n")
+        for p, s in ((f0, "1"), (f1, "2")):
+            fh.write(json.dumps({"add": {
+                "path": p, "partitionValues": {"size": s},
+                "size": os.path.getsize(os.path.join(root, p)),
+                "modificationTime": 0, "dataChange": True}}) + "\n")
+    got = read_delta_dir(spark, root, where="size = 2")
+    assert _rows(got) == {(20, 2)}
+    assert len(got.inputFiles()) == 1
+
+
+def test_export_checkpoint_cadence(spark, tmp_path):
+    """export_delta_checkpoint_if_needed: no checkpoint under the
+    interval, one at/above it, and none again until the interval
+    re-accumulates past the new checkpoint."""
+    from sport_advantages_moderne_data_infrastructure_spark.sources.deltainterop import (
+        export_delta_checkpoint_if_needed,
+    )
+
+    o = _orders(spark, 40)
+    t = TxnTable(str(tmp_path / "cad"))
+    for i in range(3):
+        t.append(o.offset(10 * i).limit(10))
+    export_delta_log(t)
+    assert export_delta_checkpoint_if_needed(
+        spark, t.path, interval=10) is None
+    assert export_delta_checkpoint_if_needed(
+        spark, t.path, interval=3) is not None
+    # newly checkpointed: cadence resets
+    assert export_delta_checkpoint_if_needed(
+        spark, t.path, interval=3) is None
+    t.append(o.offset(30))
+    export_delta_log(t)
+    assert export_delta_checkpoint_if_needed(
+        spark, t.path, interval=1) is not None
+    assert read_delta_dir(spark, t.path).count() == 40
