@@ -1059,9 +1059,11 @@ def read_delta_dir(spark: SparkSession, path: str,
             for r in dirred.groupBy("__dir").agg(
                 F.collect_list(F.regexp_replace(
                     "path", "^.*/", "")).alias("fs")).collect()}
+        n_files = sum(len(v) for v in per_dir.values())
     else:
-        per_dir = {r["__dir"]: []
-                   for r in dirred.select("__dir").distinct().collect()}
+        counts = dirred.groupBy("__dir").count().collect()
+        per_dir = {r["__dir"]: [] for r in counts}
+        n_files = sum(r["count"] for r in counts)
     if not per_dir:
         return spark.createDataFrame([], schema)
     dirs = sorted(per_dir)
@@ -1134,10 +1136,10 @@ def read_delta_dir(spark: SparkSession, path: str,
         if fld.name in part_cols:
             mapping = mapping.withColumn(
                 fld.name, F.col(fld.name).cast(fld.dataType))
-    # the mapping frame is bounded by live-file count; broadcast while
-    # that is broadcast-sized, else let AQE pick the join strategy
-    mapping = F.broadcast(mapping) if adds.count() <= 200_000 \
-        else mapping
+    # the mapping frame is bounded by live-file count (known from the
+    # dir manifest — no extra job); broadcast while broadcast-sized,
+    # else let AQE pick the join strategy
+    mapping = F.broadcast(mapping) if n_files <= 200_000 else mapping
     if need_liveness and not part_cols:
         return _residual(
             df.join(mapping.select("__fp"), "__fp", "left_semi")
