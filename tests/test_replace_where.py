@@ -228,3 +228,54 @@ def test_row_predicate_identity_survivors_keep_ids(spark, tmp_path):
             assert r["rid"] == before[r["o_orderkey"]]  # survivor id
         else:
             assert r["rid"] > hw0  # fresh allocation
+
+
+# --- property: replace_where == (partition delete + append) composed ------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_PREDS = st.sampled_from([
+    "o_orderstatus = 'F'",
+    "o_orderstatus IN ('O', 'P')",
+    "order_year >= '1997'",
+    "order_year BETWEEN '1996' AND '1998' AND o_orderstatus = 'P'",
+    "order_year < '1996' OR o_orderstatus = 'F'",
+    "order_year = '2999'",  # empty match set
+])
+
+
+@given(pred=_PREDS, frac=st.sampled_from([0, 3, 7]))
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_replace_where_equals_delete_plus_append(spark,
+                                                 tmp_path_factory,
+                                                 pred, frac):
+    """For ANY partition-key predicate, one replace_where commit must
+    equal the two-commit composition: drop every row of the matching
+    partitions, then append the source — same final rows, and the
+    source rows (filtered to the predicate) all land."""
+    tmp = tmp_path_factory.mktemp("rw_prop")
+    o = _orders(spark, 120)
+    src = (o.filter(F.expr(pred.replace(
+        "order_year", "DATE_FORMAT(o_orderdate, 'yyyy')")))
+           .limit(40 if frac else 0)
+           .withColumn("o_totalprice", F.col("o_totalprice") + frac))
+
+    a = TxnTable(str(tmp / "a"))
+    b = TxnTable(str(tmp / "b"))
+    for t in (a, b):
+        t.set_generated_column("order_year",
+                               "DATE_FORMAT(o_orderdate, 'yyyy')")
+        t.set_partition_column(["order_year", "o_orderstatus"])
+        t.append(o)
+    a.replace_where(spark, src, pred)
+    # composition on b: partition-scoped delete (via empty replace),
+    # then plain append of the same source
+    b.replace_where(spark, o.filter(F.lit(False)), pred)
+    if src.count():
+        b.append(src)
+    cols = ["o_orderkey", "o_totalprice", "o_orderstatus"]
+    ra = {tuple(r) for r in a.read(spark).select(*cols).collect()}
+    rb = {tuple(r) for r in b.read(spark).select(*cols).collect()}
+    assert ra == rb
