@@ -2424,8 +2424,14 @@ def q_txn_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (checkpoint DataFrame + empty tail), dir-manifest-fed scan,
     # partition column re-attached from physically-bounded mapping.
     # parts_ok/tomb_ok/shape_ok fold the checkpoint's structure into
-    # the hashed frame; the oracle recomputes the overwrite + delete
-    # history relationally.
+    # the hashed frame; prune_ok pins where= partition pushdown
+    # (month-subdir-only inputFiles, checkpoint-only metadata) and
+    # skip_ok pins range_filter= DATA SKIPPING (one-of-three
+    # disjoint-range files planned on per-file stats bounds, row-
+    # exact) — both read paths gated in THIS row so the registry
+    # holds no never-gated duplicates (test_driver_gate invariant);
+    # the oracle recomputes the overwrite + delete history
+    # relationally.
     oracle=(
         "SELECT o_orderkey, "
         "STRFTIME(o_orderdate, '%Y-%m') AS order_month, "
@@ -2434,7 +2440,9 @@ def q_txn_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
         "AS BIGINT) AS cents, "
         "CAST(1 AS BOOLEAN) AS parts_ok, "
         "CAST(1 AS BOOLEAN) AS tomb_ok, "
-        "CAST(1 AS BOOLEAN) AS shape_ok "
+        "CAST(1 AS BOOLEAN) AS shape_ok, "
+        "CAST(1 AS BOOLEAN) AS prune_ok, "
+        "CAST(1 AS BOOLEAN) AS skip_ok "
         "FROM orders WHERE o_orderkey % 9 <> 0 ORDER BY o_orderkey"))
 def q_delta_interop_checkpointed(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
@@ -2485,6 +2493,32 @@ def q_delta_interop_checkpointed(spark: SparkSession,
         if f.endswith(".json"):
             os.remove(os.path.join(log_dir, f))
     got = read_delta_dir(spark, t.path)
+    # where= pushdown leg, checkpoint-only: partition pruning must
+    # plan only matching month subdirs (from the plan's inputFiles)
+    pruned = read_delta_dir(spark, t.path,
+                            where="order_month >= '1998-01'")
+    pfiles = pruned.inputFiles()
+    prune_ok = bool(pfiles) and all(
+        seg.split("=", 1)[1] >= "1998-01"
+        for f in pfiles
+        for seg in f.split("/") if seg.startswith("order_month="))
+    # stats-skipping leg: three disjoint-key single-file commits; the
+    # middle-range read must plan exactly ONE file (the other two
+    # skipped on per-file stats bounds alone) and stay row-exact
+    s = TxnTable(tempfile.mkdtemp(prefix="samdis_dic_s_"))
+    mx = o.agg(F.max("o_orderkey")).first()[0]  # bounded probe
+    c1, c2 = mx // 3, 2 * (mx // 3)
+    s.append(o.filter(F.col("o_orderkey") <= c1).repartition(1))
+    s.append(o.filter((F.col("o_orderkey") > c1)
+                      & (F.col("o_orderkey") <= c2)).repartition(1))
+    s.append(o.filter(F.col("o_orderkey") > c2).repartition(1))
+    export_delta_log(s)
+    sk = read_delta_dir(spark, s.path,
+                        range_filter=("o_orderkey", c1 + 1, c2))
+    skip_ok = (len(sk.inputFiles()) == 1
+               and sk.count() == o.filter(
+                   (F.col("o_orderkey") > c1)
+                   & (F.col("o_orderkey") <= c2)).count())
     return (got.select(
         "o_orderkey",
         F.col("order_month").cast("string").alias("order_month"),
@@ -2492,109 +2526,7 @@ def q_delta_interop_checkpointed(spark: SparkSession,
         .alias("cents"),
         F.lit(bool(parts_ok)).alias("parts_ok"),
         F.lit(bool(tomb_ok)).alias("tomb_ok"),
-        F.lit(bool(shape_ok)).alias("shape_ok"))
-        .orderBy("o_orderkey"))
-
-
-@register(
-    "delta_stats_skipping",  # new r14, driver=False (pytest-parity
-    # surface; the driver window is full at 50). Delta DATA SKIPPING
-    # on the foreign-read path: exported add actions carry per-file
-    # stats JSON from the parquet footers, and
-    # read_delta_dir(range_filter=...) drops files whose bounds prove
-    # emptiness BEFORE listing or scanning — skip_ok pins that the
-    # middle-third read planned exactly one of the three disjoint-
-    # range files; the residual filter keeps the answer exact, which
-    # the oracle recomputes relationally.
-    driver=False,
-    oracle=(
-        "WITH m AS (SELECT MAX(o_orderkey) AS mx FROM orders) "
-        "SELECT o_orderkey, "
-        "CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents, "
-        "CAST(1 AS BOOLEAN) AS skip_ok FROM orders, m "
-        "WHERE o_orderkey > mx // 3 AND o_orderkey <= 2 * (mx // 3) "
-        "ORDER BY o_orderkey"))
-def q_delta_stats_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Three disjoint-key-range single-file commits -> export with
-    per-file stats -> a middle-range read plans ONE input file (two
-    skipped on stats bounds alone) and equals the relational range
-    select."""
-    import tempfile
-
-    from pyspark.sql import functions as F
-
-    from ..sources.deltainterop import export_delta_log, read_delta_dir
-    from ..sources.tables import load_table
-    from ..sources.txnlog import TxnTable
-
-    o = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_totalprice")
-    mx = o.agg(F.max("o_orderkey")).first()[0]  # bounded probe
-    c1, c2 = mx // 3, 2 * (mx // 3)
-    t = TxnTable(tempfile.mkdtemp(prefix="samdis_dss_"))
-    t.append(o.filter(F.col("o_orderkey") <= c1).repartition(1))
-    t.append(o.filter((F.col("o_orderkey") > c1)
-                      & (F.col("o_orderkey") <= c2)).repartition(1))
-    t.append(o.filter(F.col("o_orderkey") > c2).repartition(1))
-    export_delta_log(t)
-    got = read_delta_dir(spark, t.path,
-                         range_filter=("o_orderkey", c1 + 1, c2))
-    skip_ok = len(got.inputFiles()) == 1
-    return (got.select(
-        "o_orderkey",
-        F.round(F.col("o_totalprice") * 100).cast("bigint")
-        .alias("cents"),
+        F.lit(bool(shape_ok)).alias("shape_ok"),
+        F.lit(bool(prune_ok)).alias("prune_ok"),
         F.lit(bool(skip_ok)).alias("skip_ok"))
-        .orderBy("o_orderkey"))
-
-
-@register(
-    "delta_where_pushdown",  # new r14, driver=False (pytest-parity
-    # surface). Partition-predicate pushdown on the FOREIGN-read path:
-    # read_delta_dir(where=...) filters the distributed adds manifest
-    # on typed partitionValues BEFORE any listing or scan — prune_ok
-    # derives from the pruned plan's actual inputFiles (metadata
-    # pruning, never a post-filter), the same discipline as the
-    # engine's own read_partitions_where rows.
-    driver=False,
-    oracle=(
-        "SELECT o_orderkey, "
-        "STRFTIME(o_orderdate, '%Y-%m') AS order_month, "
-        "CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents, "
-        "CAST(1 AS BOOLEAN) AS prune_ok "
-        "FROM orders WHERE STRFTIME(o_orderdate, '%Y-%m') >= '1999-01' "
-        "ORDER BY o_orderkey"))
-def q_delta_where_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Partition-by-generated export -> where= read plans only the
-    matching month subdirs (asserted from inputFiles) and equals the
-    relational month filter."""
-    import tempfile
-
-    from pyspark.sql import functions as F
-
-    from ..sources.deltainterop import export_delta_log, read_delta_dir
-    from ..sources.tables import load_table
-    from ..sources.txnlog import TxnTable
-
-    o = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_totalprice", "o_orderdate")
-    t = TxnTable(tempfile.mkdtemp(prefix="samdis_dwp_"))
-    t.set_generated_column(
-        "order_month", "DATE_FORMAT(o_orderdate, 'yyyy-MM')")
-    t.set_partition_column("order_month")
-    t.append(o)
-    export_delta_log(t)
-    got = read_delta_dir(spark, t.path,
-                         where="order_month >= '1999-01'")
-    files = got.inputFiles()
-    prune_ok = bool(files) and all(
-        seg.split("=", 1)[1] >= "1999-01"
-        for f in files
-        for seg in f.split("/") if seg.startswith("order_month="))
-    return (got.select(
-        "o_orderkey",
-        F.col("order_month").cast("string").alias("order_month"),
-        F.round(F.col("o_totalprice") * 100).cast("bigint")
-        .alias("cents"),
-        F.lit(bool(prune_ok)).alias("prune_ok"))
         .orderBy("o_orderkey"))
