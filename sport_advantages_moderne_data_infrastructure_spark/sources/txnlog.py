@@ -2927,8 +2927,14 @@ class TxnTable:
                         "allow_row_predicates=True for the arbitrary-"
                         "predicate form (one sizing scan + survivor "
                         "rewrite of the matching partitions)") from e
+                # Delta's conjunct splitting: key-only conjuncts of a
+                # mixed predicate prune the sizing scan metadata-only
+                # ("year = '1997' AND price > x" scans one year, not
+                # the table)
+                pp = self._metadata_conjuncts(vf, condition)
                 _, _, cands = self._hot_partitions(
-                    spark, condition, base, part_dirs, keys)
+                    spark, condition, base, part_dirs, keys,
+                    partition_prune=pp)
                 removes = cands
                 if cands:
                     snap = self._read_dirs(
@@ -3368,6 +3374,79 @@ class TxnTable:
     #: conditions outright, and so do the partitioned legs here
     _NONDET_PAT = (r"\b(?:rand|randn|random|uuid|shuffle|"
                    r"monotonically_increasing_id)\s*\(")
+
+    @staticmethod
+    def _split_top_and(text: str) -> list[str]:
+        """Top-level ``AND`` conjuncts of a SQL predicate — a tiny
+        tokenizer respecting quotes (with ``''`` escapes) and paren
+        depth. Only space-delimited ``AND`` splits; anything it cannot
+        split simply yields the whole predicate, which is always a
+        CORRECT (just unoptimized) answer for the prune-extraction
+        caller."""
+        out: list[str] = []
+        cur: list[str] = []
+        depth = 0
+        i, n = 0, len(text)
+        while i < n:
+            ch = text[i]
+            if ch in ("'", '"'):
+                q = ch
+                cur.append(ch)
+                i += 1
+                while i < n:
+                    cur.append(text[i])
+                    if text[i] == q:
+                        if (q == "'" and i + 1 < n
+                                and text[i + 1] == "'"):
+                            cur.append(text[i + 1])
+                            i += 2
+                            continue
+                        i += 1
+                        break
+                    i += 1
+                continue
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            if depth == 0 and text[i:i + 5].upper() == " AND ":
+                out.append("".join(cur))
+                cur = []
+                i += 5
+                continue
+            cur.append(ch)
+            i += 1
+        out.append("".join(cur))
+        return [c.strip() for c in out if c.strip()]
+
+    def _metadata_conjuncts(self, vf, condition: str) -> str | None:
+        """The conjunction of ``condition``'s top-level AND conjuncts
+        that RESOLVE over the typed partition-values frame alone —
+        Delta's conjunct splitting: for ``year = '1997' AND price >
+        x``, the year leg prunes the sizing scan metadata-only while
+        the mixed predicate still evaluates per row. Sound because a
+        row satisfying the conjunction satisfies every conjunct, so
+        its partition's key values satisfy each key-only conjunct.
+        None when nothing splits out (scan stays unbounded but
+        correct)."""
+        from pyspark.errors import AnalysisException
+        from pyspark.sql import functions as F
+
+        parts = self._split_top_and(condition)
+        if len(parts) <= 1:
+            return None
+        keep = []
+        for c in parts:
+            try:
+                vf.filter(F.expr(c))
+                keep.append(c)
+            except AnalysisException:
+                continue
+        if not keep or len(keep) == len(parts):
+            # all-resolvable means the caller's metadata path already
+            # handled it; nothing-resolvable means nothing to prune
+            return None
+        return " AND ".join(f"({c})" for c in keep)
 
     def _hot_partitions(self, spark: SparkSession, condition: str,
                         base: int, live: list[str],
