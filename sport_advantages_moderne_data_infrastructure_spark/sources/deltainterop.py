@@ -251,7 +251,11 @@ def export_delta_log(table: TxnTable, spark: SparkSession | None = None,
     # post-vacuum tables exportable (old versions stay as previously
     # exported; only new commits expand to files).
     versions = table.versions()
-    sidecar = os.path.join(log_dir, "_samdis_export.json")
+    # sidecar name carries NO .json suffix: log-retention sweeps
+    # delete *.json commits at/below a checkpoint, and losing the
+    # state would mint a new table id and re-expand the whole history
+    # (wrongly, for vacuumed versions) on the next export
+    sidecar = os.path.join(log_dir, "_samdis_export")
     state: dict | None = None
     if os.path.isfile(sidecar):
         try:
@@ -767,7 +771,18 @@ def export_delta_checkpoint(spark: SparkSession, path: str,
     adds, meta, dead = _snapshot_state(spark, log_dir, None)
     if meta is None:
         raise ValueError(f"no metaData action found in {log_dir}")
-    n_adds = adds.count()
+
+    prot_t = "struct<minReaderVersion:int,minWriterVersion:int>"
+    meta_t = ("struct<id:string,name:string,description:string,"
+              "format:struct<provider:string,"
+              "options:map<string,string>>,schemaString:string,"
+              "partitionColumns:array<string>,"
+              "configuration:map<string,string>,createdTime:bigint>")
+    add_t = ("struct<path:string,partitionValues:map<string,string>,"
+             "size:bigint,modificationTime:bigint,dataChange:boolean,"
+             "stats:string>")
+    rem_t = ("struct<path:string,deletionTimestamp:bigint,"
+             "dataChange:boolean>")
 
     fmt = meta.get("format") or {}
     meta_row = (meta.get("id"), meta.get("name"),
@@ -780,24 +795,41 @@ def export_delta_checkpoint(spark: SparkSession, path: str,
                 {k: str(val) for k, val in
                  (meta.get("configuration") or {}).items()},
                 meta.get("createdTime"))
-    local_rows = [((1, 2), None, None, None),
-                  (None, meta_row, None, None)]
-    for p in sorted(dead):
-        r = dead[p]
-        local_rows.append((None, None, None,
-                           (r["path_enc"], r.get("deletionTimestamp"),
-                            bool(r.get("dataChange", True)))))
-    local = spark.createDataFrame(local_rows, _CP_DDL)
+    local = spark.createDataFrame(
+        [((1, 2), None, None, None), (None, meta_row, None, None)],
+        _CP_DDL)
+
+    # remove TOMBSTONES carry FORWARD across re-checkpoints: the
+    # spec's reason checkpoints hold them (VACUUM/foreign-reader
+    # coordination for not-yet-expired removed files) — the tail's
+    # dead set alone would silently drop the PREVIOUS checkpoint's
+    # tombstones one checkpoint early. Kept distributed; a tombstone
+    # whose path is live again (re-added) drops.
+    tomb = spark.createDataFrame(
+        [(dead[p]["path_enc"], dead[p].get("deletionTimestamp"),
+          bool(dead[p].get("dataChange", True)))
+         for p in sorted(dead)],
+        "path string, deletionTimestamp bigint, dataChange boolean")
+    prior = _checkpoint_parts(log_dir, None)
+    if prior is not None:
+        pr = spark.read.parquet(*prior[1])
+        if "remove" in pr.columns:
+            tomb = tomb.unionByName(
+                pr.filter("remove IS NOT NULL").select(
+                    F.col("remove.path").cast("string").alias("path"),
+                    F.col("remove.deletionTimestamp").cast("bigint")
+                    .alias("deletionTimestamp"),
+                    F.col("remove.dataChange").cast("boolean")
+                    .alias("dataChange")))
+    tomb = (tomb.groupBy("path")
+            .agg(F.max("deletionTimestamp").alias("deletionTimestamp"),
+                 F.max("dataChange").alias("dataChange"))
+            .join(adds.select(F.col("path_enc").alias("path")),
+                  "path", "left_anti"))
+
     add_rows = adds.select(
-        F.lit(None).cast(
-            "struct<minReaderVersion:int,minWriterVersion:int>"
-        ).alias("protocol"),
-        F.lit(None).cast(
-            "struct<id:string,name:string,description:string,"
-            "format:struct<provider:string,options:map<string,string>>,"
-            "schemaString:string,partitionColumns:array<string>,"
-            "configuration:map<string,string>,createdTime:bigint>"
-        ).alias("metaData"),
+        F.lit(None).cast(prot_t).alias("protocol"),
+        F.lit(None).cast(meta_t).alias("metaData"),
         F.struct(
             F.col("path_enc").alias("path"),
             F.col("partitionValues"),
@@ -805,10 +837,14 @@ def export_delta_checkpoint(spark: SparkSession, path: str,
             F.col("modificationTime"),
             F.col("dataChange"),
             F.col("stats")).alias("add"),
-        F.lit(None).cast(
-            "struct<path:string,deletionTimestamp:bigint,"
-            "dataChange:boolean>").alias("remove"))
-    cp_df = local.unionByName(add_rows)
+        F.lit(None).cast(rem_t).alias("remove"))
+    rem_rows = tomb.select(
+        F.lit(None).cast(prot_t).alias("protocol"),
+        F.lit(None).cast(meta_t).alias("metaData"),
+        F.lit(None).cast(add_t).alias("add"),
+        F.struct("path", "deletionTimestamp", "dataChange")
+        .alias("remove"))
+    cp_df = local.unionByName(add_rows).unionByName(rem_rows)
 
     tmp = tempfile.mkdtemp(prefix="samdis_delta_cp_")
     out = os.path.join(tmp, "cp")
@@ -821,9 +857,15 @@ def export_delta_checkpoint(spark: SparkSession, path: str,
     else:
         names = [f"{v:020d}.checkpoint.{i + 1:010d}.{n:010d}.parquet"
                  for i in range(n)]
+    # action count from the WRITTEN footers (driver-side metadata) —
+    # a separate count() would re-execute the whole reconstruction
+    import pyarrow.parquet as _papq
+
+    n_actions = sum(_papq.ParquetFile(f).metadata.num_rows
+                    for f in files)
     for src, name in zip(files, names):
         _shutil.copy(src, os.path.join(log_dir, name))
-    last: dict = {"version": v, "size": n_adds + len(local_rows)}
+    last: dict = {"version": v, "size": n_actions}
     if n > 1:
         last["parts"] = n
     with open(os.path.join(log_dir, "_last_checkpoint"), "w") as fh:
@@ -983,31 +1025,33 @@ def read_delta_dir(spark: SparkSession, path: str,
                 f"read_delta_dir(where={where!r}) on an unpartitioned "
                 "table — filter the returned DataFrame instead")
         pv0 = F.col("partitionValues")
-        reserved = {"path", "path_enc", "partitionValues", "size",
-                    "modificationTime", "dataChange", "stats"}
         typed_cols = [
             F.coalesce(pv0[phys[f.name]], pv0[f.name])
             .cast(f.dataType).alias(f.name)
             for f in schema.fields if f.name in part_cols]
+        # VALIDATE the predicate against a LINEAGE-FREE empty frame of
+        # the partition columns alone before evaluating: Spark's
+        # missing-reference resolution lets df.select(keys).filter(x)
+        # reach THROUGH the select into the child plan, so a predicate
+        # naming a manifest column (a data column called 'size', a
+        # typo'd 'path') would resolve silently against FILE metadata
+        # and return a wrong subset — the detached probe has no child
+        # to fall back to and refuses like any data column.
+        from pyspark.sql.types import StructType as _ST
+
+        probe = spark.createDataFrame([], _ST(
+            [f for f in schema.fields if f.name in part_cols]))
         try:
-            if any(c in reserved for c in part_cols):
-                # a partition key named like a manifest column (e.g.
-                # 'size' or 'path') would collide in an in-place typed
-                # frame — evaluate on a detached (key-marked) frame
-                # and semi-join the manifest back on the marker
-                flt = (adds.select(F.col("path").alias("__mfp"),
-                                   *typed_cols)
-                       .filter(F.expr(where))
-                       .select(F.col("__mfp").alias("path")))
-                adds = adds.join(F.broadcast(flt), "path", "left_semi")
-            else:
-                adds = adds.select("*", *typed_cols) \
-                    .filter(F.expr(where)).drop(*part_cols)
+            probe.filter(F.expr(where))
         except AnalysisException as e:
             raise ValueError(
                 f"read_delta_dir: where={where!r} must range over the "
                 f"partition columns {part_cols!r} alone — row-level "
                 "filters belong on the returned DataFrame") from e
+        flt = (adds.select(F.col("path").alias("__mfp"), *typed_cols)
+               .filter(F.expr(where))
+               .select(F.col("__mfp").alias("path")))
+        adds = adds.join(flt, "path", "left_semi")
 
     if range_filter is not None:
         rcol, rlo, rhi = range_filter
@@ -1073,8 +1117,16 @@ def read_delta_dir(spark: SparkSession, path: str,
     # would double-read the nested one's files), and under verify any
     # dir holding stray files or subdirectories
     problem = {d for d in dirs if d == ""}
-    for i, d in enumerate(dirs[:-1]):
-        if d and dirs[i + 1].startswith(d + "/"):
+    from bisect import bisect_left
+    for d in dirs:
+        if not d:
+            continue
+        # a dir that path-prefixes ANY other manifest dir (not just
+        # the lexicographic neighbor — 'data-old' sorts between
+        # 'data' and 'data/part') must scan file-explicit, or its
+        # recursive scan double-reads the nested dir's files
+        i = bisect_left(dirs, d + "/")
+        if i < len(dirs) and dirs[i].startswith(d + "/"):
             problem.add(d)
     if verify:
         for d in dirs:
@@ -1087,12 +1139,19 @@ def read_delta_dir(spark: SparkSession, path: str,
                     "path-encoding drift between the log and the "
                     "filesystem)")
             on_disk = set()
-            has_subdir = False
+            stray = False
             for entry in os.listdir(absd):
                 if os.path.isdir(os.path.join(absd, entry)):
-                    has_subdir = True
-                elif entry.endswith(".parquet"):
+                    stray = True  # nested dirs: recursive scan would
+                    # swallow their files
+                elif entry in want:
                     on_disk.add(entry)
+                elif entry[:1] not in ("_", "."):
+                    # ANY non-hidden non-manifest file is a stray —
+                    # not just dead parquet: a tool-dropped notes.txt
+                    # would fail a whole-directory parquet scan
+                    # (Spark's path filter skips only _ and . names)
+                    stray = True
             missing = want - on_disk
             if missing:
                 raise ValueError(
@@ -1101,7 +1160,7 @@ def read_delta_dir(spark: SparkSession, path: str,
                     f"{sorted(missing)[:3]}… — vacuumed data files "
                     "or a path-encoding drift between the log and "
                     "the filesystem")
-            if d and (has_subdir or (on_disk - want)):
+            if d and stray:
                 problem.add(d)
     scan_paths = [os.path.join(root, d) for d in dirs
                   if d not in problem]

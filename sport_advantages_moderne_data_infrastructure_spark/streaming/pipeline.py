@@ -247,7 +247,13 @@ def write_stream_txn_append(df: DataFrame, target: str, checkpoint: str,
         table = TxnTable(target)
         seen = table.max_stream_batch_id(app_id)
         if seen is not None and batch_id <= seen:
-            return  # replay of an already-committed batch
+            # replay of an already-committed batch: still catch up the
+            # export — a crash BETWEEN commit and export would
+            # otherwise leave the exported log one commit behind
+            # indefinitely on a quiet stream (incremental export is a
+            # no-op when already current)
+            _maybe_export(table)
+            return
         meta = {"stream_batch_id": batch_id, "operation": "stream_append"}
         if app_id is not None:
             meta["stream_app_id"] = app_id
@@ -278,6 +284,8 @@ def write_stream_txn_append(df: DataFrame, target: str, checkpoint: str,
                     # racer was our own replay: drop the duplicate dir
                     _shutil.rmtree(os.path.join(target, rel),
                                    ignore_errors=True)
+                    _maybe_export(table)  # crash-between-commit-and-
+                    # export catch-up, same as the seen path above
                     return
         table.commit([rel], [], meta)
         table.checkpoint_if_needed()

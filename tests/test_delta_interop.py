@@ -799,7 +799,7 @@ def test_incremental_export_is_idempotent_and_stable(spark, tmp_path):
     assert "metaData" in tail  # evolved schema re-emitted in the tail
     assert "flag" in read_delta_dir(spark, t.path).columns
     # corrupted sidecar -> full rewrite, still correct (id may rotate)
-    with open(os.path.join(log_dir, "_samdis_export.json"), "w") as fh:
+    with open(os.path.join(log_dir, "_samdis_export"), "w") as fh:
         fh.write("{broken")
     export_delta_log(t)
     got2 = read_delta_dir(spark, t.path)
@@ -974,7 +974,7 @@ def test_streaming_sink_exports_delta_per_batch(spark, tmp_path):
     assert t.latest_version() is not None and t.latest_version() >= 1
     log_dir = os.path.join(target, "_delta_log")
     sidecar = json.load(open(os.path.join(log_dir,
-                                          "_samdis_export.json")))
+                                          "_samdis_export")))
     assert sidecar["last_version"] == t.latest_version()
     got = read_delta_dir(spark, target)
     want = t.read(spark)
@@ -1177,3 +1177,65 @@ def test_duckdb_independent_log_reconstruction(spark, tmp_path):
                F.col("order_month").cast("string")
                .alias("order_month")).collect()}
     assert duck == eng
+
+
+def test_review_r14_reader_edge_cases(spark, tmp_path):
+    """Round-14 self-review pins: (1) a where= predicate naming a DATA
+    column that collides with a manifest column ('size') refuses
+    instead of silently pruning on FILE size; (2) a sibling dir
+    sorting between a parent and its nested manifest dir ('d-old'
+    between 'd' and 'd/part') does not double-read the nested files
+    under verify=False; (3) a non-parquet stray file routes its dir to
+    the explicit-file scan instead of failing the whole read."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "edges")
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log)
+    meta = {"id": "e", "format": {"provider": "parquet"},
+            "schemaString": json.dumps({"type": "struct", "fields": [
+                {"name": "x", "type": "long", "nullable": True,
+                 "metadata": {}},
+                {"name": "size", "type": "long", "nullable": True,
+                 "metadata": {}},
+                {"name": "day", "type": "integer", "nullable": True,
+                 "metadata": {}}]}),
+            "partitionColumns": ["day"], "configuration": {}}
+
+    def wfile(name, rows):
+        os.makedirs(os.path.join(root, os.path.dirname(name)),
+                    exist_ok=True)
+        pq.write_table(pa.table({
+            "x": pa.array([r[0] for r in rows], pa.int64()),
+            "size": pa.array([r[1] for r in rows], pa.int64())}),
+            os.path.join(root, name))
+        return name
+
+    f0 = wfile("d/a.parquet", [(1, 111)])
+    f1 = wfile("d-old/b.parquet", [(2, 222)])
+    f2 = wfile("d/part/c.parquet", [(3, 333)])
+    with open(os.path.join(log, f"{0:020d}.json"), "w") as fh:
+        fh.write(json.dumps({"protocol": {
+            "minReaderVersion": 1, "minWriterVersion": 2}}) + "\n")
+        fh.write(json.dumps({"metaData": meta}) + "\n")
+        for p, day in ((f0, "1"), (f1, "2"), (f2, "3")):
+            fh.write(json.dumps({"add": {
+                "path": p, "partitionValues": {"day": day},
+                "size": os.path.getsize(os.path.join(root, p)),
+                "modificationTime": 0, "dataChange": True}}) + "\n")
+
+    want = {(1, 111, 1), (2, 222, 2), (3, 333, 3)}
+    # (2) nested-sibling layout: no duplicates either mode
+    assert _rows(read_delta_dir(spark, root)) == want
+    assert _rows(read_delta_dir(spark, root, verify=False)) == want
+    # (1) data column named like a manifest column refuses in where=
+    with pytest.raises(ValueError, match="partition columns"):
+        read_delta_dir(spark, root, where="size > 0")
+    # still prunes fine on the real partition key
+    assert _rows(read_delta_dir(spark, root, where="day >= 2")) == {
+        (2, 222, 2), (3, 333, 3)}
+    # (3) a non-parquet stray file must not fail the dir scan
+    with open(os.path.join(root, "d-old", "notes.txt"), "w") as fh:
+        fh.write("tool-dropped junk")
+    assert _rows(read_delta_dir(spark, root)) == want
