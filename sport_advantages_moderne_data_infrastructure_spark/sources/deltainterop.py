@@ -33,16 +33,19 @@ requiring delta jars:
   instead of silently dropping rows (the join itself carries an
   in-plan ``raise_error`` guard for the same reason).
 
-Scope notes (documented refusals, not silent drift):
-- Delta's DV sidecar is a RoaringBitmap format this engine doesn't
-  write, so a DV-bearing snapshot exports via
-  ``materialize_dvs=True`` — one export-only OPTIMIZE-style commit
-  rewrites just the masked dirs (the txn table keeps its DVs) — or via
-  ``compact()`` first; ingest refuses a log carrying DV-bearing adds
-  rather than resurrecting deleted rows.
-- Ingest handles ``name``-mode column mapping by renaming physical
+Scope notes:
+- Deletion vectors interop NATIVELY (r14 session 3, via
+  :mod:`.dvcodec` — the public RoaringFormatSpec + PROTOCOL.md DV
+  framing): the reader decodes ``i``/``u``/``p`` descriptors
+  executor-side and anti-joins the masked (file, row_index) pairs out
+  of the scan; the exporter emits the engine's own live and historical
+  DVs as inline descriptors (``inline_dvs=True``) with the protocol
+  v3/v7 feature upgrade, or materializes them (``materialize_dvs=
+  True``) for consumers on pre-DV reader versions.
+- Ingest handles BOTH column-mapping modes: ``name`` renames physical
   parquet columns back to logical ones from the schema's field
-  metadata; ``id`` mode (parquet field-id resolution) refuses.
+  metadata; ``id`` resolves by parquet field id through Spark's
+  native ``spark.sql.parquet.fieldId.read.enabled`` scan path.
 """
 
 from __future__ import annotations
@@ -58,6 +61,7 @@ from urllib.parse import unquote as _urlunquote
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .dvcodec import encode_inline
 from .txnlog import (
     TxnTable,
     _partition_segs,
@@ -70,11 +74,18 @@ _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 #: ``path`` is the DECODED table-relative path (the join/anti-join
 #: key), ``path_enc`` the log's original encoded string (what a
 #: checkpoint must re-emit verbatim so foreign readers agree);
-#: ``stats`` is the per-file Delta stats JSON (file skipping).
+#: ``stats`` is the per-file Delta stats JSON (file skipping); ``dv``
+#: the add's deletionVector descriptor as JSON (null for most files —
+#: decoded and applied as a row_index anti-join at scan time).
 _ADDS_DDL = ("path string, path_enc string, "
              "partitionValues map<string,string>, size bigint, "
              "modificationTime bigint, dataChange boolean, "
-             "stats string")
+             "stats string, dv string")
+
+#: the deletionVector descriptor struct as it appears in checkpoint
+#: add actions (PROTOCOL.md, Deletion Vector Descriptor Schema)
+_DV_DDL = ("struct<storageType:string,pathOrInlineDv:string,"
+           "offset:int,sizeInBytes:int,cardinality:bigint>")
 
 
 def _quote_path(rel: str) -> str:
@@ -160,6 +171,34 @@ def _decode_path_col(col):
     return F.coalesce(F.try_url_decode(protected), col)
 
 
+def _dv_positions_frame(spark: SparkSession, adds: DataFrame,
+                        root: str) -> DataFrame:
+    """(``__fp`` absolute decoded path, ``__ri`` row index) of every
+    row masked by a deletion vector in the manifest — the anti-join
+    side of the scan. Descriptors decode EXECUTOR-side through one
+    Arrow ``mapInPandas`` over the (small) DV-bearing slice of the
+    adds frame: inline payloads are already in the action, ``u``/``p``
+    sidecars are read and checksum-verified where the task runs, so
+    decode cost scales with executors and the driver never
+    materializes a position list."""
+    from .dvcodec import decode_descriptor
+
+    def _decode(batches):
+        import pandas as pd
+        for pdf in batches:
+            paths: list[str] = []
+            idxs: list[int] = []
+            for p, dvj in zip(pdf["path"], pdf["dv"]):
+                for ri in decode_descriptor(root, json.loads(dvj)):
+                    paths.append(root + "/" + p)
+                    idxs.append(ri)
+            yield pd.DataFrame({"__fp": paths, "__ri": idxs})
+
+    return (adds.filter(F.col("dv").isNotNull())
+            .select("path", "dv")
+            .mapInPandas(_decode, "__fp string, __ri bigint"))
+
+
 def _files_of(table: TxnTable, rel_dir: str) -> list[str]:
     """Table-relative parquet files under one commit (sub)dir."""
     out = []
@@ -188,8 +227,54 @@ def _gen_field_metadata(cfg: dict, name: str) -> dict:
     return md
 
 
+def _protocol_for(cm: bool, dv: bool, cfg: dict) -> dict:
+    """The protocol action for a feature tier: legacy versions while
+    they suffice, the table-features form (reader 3 / writer 7 with
+    explicit feature lists — PROTOCOL.md: Table Features) once
+    deletion vectors force it. The writer list names the legacy
+    features the table actually uses, as the spec requires of an
+    upgrade."""
+    if dv:
+        rf = ["deletionVectors"] + (["columnMapping"] if cm else [])
+        wf = (set(rf)
+              | ({"generatedColumns"} if cfg.get("generated") else set())
+              | ({"identityColumns"} if cfg.get("identity") else set()))
+        return {"minReaderVersion": 3, "minWriterVersion": 7,
+                "readerFeatures": sorted(rf),
+                "writerFeatures": sorted(wf)}
+    if cm:
+        return {"minReaderVersion": 2, "minWriterVersion": 5}
+    return {"minReaderVersion": 1, "minWriterVersion": 2}
+
+
+def _dv_positions_by_file(table: TxnTable, ref: dict
+                          ) -> dict[str, list[int]] | None:
+    """src_file -> sorted deleted row indexes for one txn DV ref, read
+    driver-side with pyarrow (DV position files are KB-sized by
+    design — the whole point of a DV delete). None when the position
+    file was vacuumed (a HISTORICAL era whose mask is gone — the
+    exported version then reads as un-deleted, the documented
+    time-travel caveat; a LIVE ref's file exists by table
+    invariant)."""
+    import pyarrow.parquet as _pq
+
+    p = os.path.join(table.path, ref["path"])
+    try:
+        t = _pq.read_table(p, columns=["src_file", "row_idx"])
+    except (OSError, FileNotFoundError):
+        return None
+    out: dict[str, list[int]] = {}
+    for f, ri in zip(t.column("src_file").to_pylist(),
+                     t.column("row_idx").to_pylist()):
+        out.setdefault(f, []).append(ri)
+    for v in out.values():
+        v.sort()
+    return out
+
+
 def export_delta_log(table: TxnTable, spark: SparkSession | None = None,
-                     materialize_dvs: bool = False) -> str:
+                     materialize_dvs: bool = False,
+                     inline_dvs: bool = False) -> str:
     """Write ``<table.path>/_delta_log`` mirroring the txn table's FULL
     commit history as Delta-protocol JSON commits (one
     ``<version 0-padded to 20>.json`` per txn version, dir-level
@@ -211,28 +296,42 @@ def export_delta_log(table: TxnTable, spark: SparkSession | None = None,
     mapping emits the protocol upgrade action (reader 2 / writer 5)
     mid-log exactly where real writers record an upgrade.
 
-    Fidelity caveats (loud where it matters, documented where it
-    doesn't): a LIVE snapshot with outstanding deletion vectors needs
-    ``materialize_dvs=True`` (the exported log then carries ONE extra
-    synthetic commit at txn-latest+1 swapping the masked dirs for
-    export-only rewrites under ``_delta_export/``); histories that CONTAINED a since-materialized
-    DV export fine, but time-traveling the exported log INTO the DV era
-    reads those versions as if un-deleted (the mask lived outside the
-    add/remove file set) — the live snapshot and every non-DV version
-    stay exact. Vacuumed histories (keep_versions=False) cannot expand
+    Deletion vectors (r14 session 3): ``inline_dvs=True`` exports the
+    table's DV history NATIVELY — each txn DV commit becomes the
+    remove(old-descriptor) + add(new inline ``i``-storage descriptor)
+    pair real DV writers emit (RoaringBitmapArray payload from
+    :mod:`.dvcodec`, stats re-marked ``tightBounds: false``), with the
+    protocol upgraded to the table-features form (reader 3 / writer 7,
+    ``deletionVectors`` listed) at the first DV commit and
+    ``delta.enableDeletionVectors=true`` in the configuration. Every
+    version including the DV eras then time-travels exactly.
+    ``materialize_dvs=True`` remains the pre-DV-reader alternative: ONE
+    extra synthetic commit at txn-latest+1 swaps the masked dirs for
+    export-only rewrites under ``_delta_export/``. Without either
+    flag, a live-DV snapshot refuses loudly.
+
+    Remaining fidelity caveats: a DV era whose position file was since
+    VACUUMED exports those historical versions as if un-deleted (the
+    mask is gone; the live snapshot and every other version stay
+    exact). Vacuumed histories (keep_versions=False) cannot expand
     their early adds to files and should not be exported."""
     if table.latest_version() is None:
         raise ValueError(f"nothing to export: {table.path}")
-    live_dvs = table.snapshot_dvs()
-    if live_dvs and not materialize_dvs:
+    if materialize_dvs and inline_dvs:
         raise ValueError(
-            "export_delta_log: live deletion vectors present — Delta "
-            "DV sidecars are a RoaringBitmap format this engine does "
-            "not write; pass materialize_dvs=True (with a spark "
-            "session) to append an export-only materialization commit "
-            "for the masked dirs, or run compact()/"
+            "export_delta_log: pass materialize_dvs OR inline_dvs, "
+            "not both")
+    live_dvs = table.snapshot_dvs()
+    if live_dvs and not (materialize_dvs or inline_dvs):
+        raise ValueError(
+            "export_delta_log: live deletion vectors present — pass "
+            "inline_dvs=True to export them as native Delta inline "
+            "DV descriptors (readers need DV support: reader "
+            "version 3), materialize_dvs=True (with a spark session) "
+            "to append an export-only materialization commit for the "
+            "masked dirs, or run compact()/"
             "compact_partitions_if_needed() first")
-    if live_dvs and spark is None:
+    if live_dvs and materialize_dvs and spark is None:
         raise ValueError(
             "export_delta_log(materialize_dvs=True) needs a spark "
             "session to rewrite the DV'd dirs")
@@ -273,6 +372,8 @@ def export_delta_log(table: TxnTable, spark: SparkSession | None = None,
         part_cols = list(carried["part_cols"])
         cm_ids = {k: int(i) for k, i in carried["cm_ids"].items()}
         cm_active = bool(carried["cm_active"])
+        dv_active = bool(carried.get("dv_active", False))
+        exp_dvs = dict(carried.get("exp_dvs", {}))
         todo = [v for v in versions if v > state["last_version"]]
     else:
         table_id = str(_uuid.uuid4())
@@ -281,25 +382,24 @@ def export_delta_log(table: TxnTable, spark: SparkSession | None = None,
         part_cols = []
         cm_ids = {}  # physical name -> stable field id
         cm_active = False
+        dv_active = False
+        exp_dvs = {}  # file -> its current exported DV descriptor
         todo = versions
     for v in todo:
         doc = table._doc(v)  # noqa: SLF001
         mapping_v = table.column_mapping(v) or {}
+        doc_dvs = doc.get("dvs", {}) if inline_dvs else {}
         actions: list[dict] = []
-        if v == 0:
-            actions.append({"protocol": {"minReaderVersion": 1,
-                                         "minWriterVersion": 2}})
-        if mapping_v and not cm_active:
-            # mapping activation: real writers record the protocol
-            # upgrade in the enabling commit (PROTOCOL.md: Column
-            # Mapping requires reader 2 / writer 5)
-            cm_active = True
-            if v > 0:
-                actions.append({"protocol": {"minReaderVersion": 2,
-                                             "minWriterVersion": 5}})
-            else:
-                actions[0] = {"protocol": {"minReaderVersion": 2,
-                                           "minWriterVersion": 5}}
+        # protocol: emitted at v0 and at every feature-tier upgrade —
+        # column mapping activation (reader 2 / writer 5) and the
+        # first DV commit (table-features form), exactly where real
+        # writers record them (PROTOCOL.md)
+        prev_tier = (cm_active, dv_active)
+        cm_active = cm_active or bool(mapping_v)
+        dv_active = dv_active or bool(doc_dvs)
+        if v == 0 or (cm_active, dv_active) != prev_tier:
+            actions.append(
+                {"protocol": _protocol_for(cm_active, dv_active, cfg)})
         # per-version partition layout (a repartition_table retrofit
         # changes it mid-history; the reader's snapshot follows the
         # LAST metaData, which is the live layout)
@@ -325,6 +425,8 @@ def export_delta_log(table: TxnTable, spark: SparkSession | None = None,
                 "delta.columnMapping.mode": "name",
                 "delta.columnMapping.maxColumnId":
                     str(max(cm_ids.values(), default=0))}
+        if dv_active:
+            configuration["delta.enableDeletionVectors"] = "true"
         meta_json = json.dumps(
             {"schema": schema_out, "parts": part_cols,
              "conf": configuration}, sort_keys=True)
@@ -358,14 +460,64 @@ def export_delta_log(table: TxnTable, spark: SparkSession | None = None,
                 if st is not None:
                     add["stats"] = st
                 actions.append({"add": add})
+        # DV commits (inline_dvs): each dir-level mask change becomes
+        # the remove(previous descriptor) + add(new inline descriptor)
+        # pair real DV writers emit — the remove references the file's
+        # PRIOR incarnation (its old descriptor, or none) so a foreign
+        # reader's (path, dvId)-keyed reconciliation never sees two
+        # live instances of one path. Files untouched by both the old
+        # and new mask emit nothing.
+        for d, ref in sorted(doc_dvs.items()):
+            pvals = {
+                col: (None if raw == _HIVE_NULL
+                      else _unescape_partition(raw))
+                for col, raw in _partition_segs(d)}
+            by_file = (_dv_positions_by_file(table, ref)
+                       if ref is not None else {})
+            if by_file is None:
+                by_file = {}  # vacuumed historical mask: era exports
+                # un-deleted (docstring caveat)
+            for f in _files_of(table, d):
+                old = exp_dvs.pop(f, None)
+                pos = by_file.get(f)
+                if old is None and pos is None:
+                    continue
+                rm = {"path": _quote_path(f),
+                      "deletionTimestamp": ts_ms, "dataChange": True}
+                if old is not None:
+                    rm["deletionVector"] = old
+                actions.append({"remove": rm})
+                absf = os.path.join(table.path, f)
+                add = {"path": _quote_path(f),
+                       "partitionValues": pvals,
+                       "size": os.path.getsize(absf),
+                       "modificationTime": ts_ms, "dataChange": True}
+                st = _file_stats(absf)
+                if pos is not None:
+                    desc = encode_inline(pos)
+                    add["deletionVector"] = desc
+                    exp_dvs[f] = desc
+                    if st is not None:
+                        # physical footer bounds are WIDE once rows
+                        # are masked (PROTOCOL.md: tightBounds)
+                        stj = json.loads(st)
+                        stj["tightBounds"] = False
+                        st = json.dumps(stj)
+                if st is not None:
+                    add["stats"] = st
+                actions.append({"add": add})
         for rel in doc["removes"]:
             for f in _files_of(table, rel):
-                actions.append({"remove": {
+                rm = {
                     "path": _quote_path(f),
                     "deletionTimestamp": ts_ms,
                     "dataChange": doc.get("meta", {}).get(
                         "operation") != "compact",
-                }})
+                }
+                old = exp_dvs.pop(f, None)
+                if old is not None:
+                    rm["deletionVector"] = old
+                actions.append({"remove": rm})
         actions.append({"commitInfo": {
             "timestamp": ts_ms,
             "operation": doc.get("meta", {}).get("operation",
@@ -374,7 +526,7 @@ def export_delta_log(table: TxnTable, spark: SparkSession | None = None,
         }})
         with open(os.path.join(log_dir, f"{v:020d}.json"), "w") as fh:
             fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
-    if live_dvs:
+    if live_dvs and materialize_dvs:
         _export_dv_materialization(table, spark, log_dir, live_dvs)
     with open(sidecar, "w") as fh:
         json.dump({"table_id": table_id, "last_version": latest,
@@ -382,7 +534,9 @@ def export_delta_log(table: TxnTable, spark: SparkSession | None = None,
                                "meta_json": last_meta_json,
                                "part_cols": part_cols,
                                "cm_ids": cm_ids,
-                               "cm_active": cm_active}}, fh)
+                               "cm_active": cm_active,
+                               "dv_active": dv_active,
+                               "exp_dvs": exp_dvs}}, fh)
     return log_dir
 
 
@@ -586,11 +740,21 @@ def _tail_replay(log_dir: str, versions: list[int]
     ``path_enc``. Driver-side and O(tail) BY DESIGN: the tail is the
     commits past the newest checkpoint, bounded by checkpoint cadence
     regardless of table size (the checkpoint side of reconstruction
-    stays distributed — see :func:`_snapshot_state`)."""
+    stays distributed — see :func:`_snapshot_state`).
+
+    Actions within one version reconcile ORDER-INDEPENDENTLY, the way
+    the spec keys them: a deletion-vector update commit legally carries
+    BOTH a remove (the file's previous DV incarnation) and an add (the
+    new descriptor) for the same path — the add wins for that path, the
+    remove only tombstones when the path is not re-added in the same
+    version. A path-sequential replay would have made the outcome
+    depend on the writer's line order."""
     live: dict[str, dict] = {}
     dead: dict[str, dict] = {}
     meta: dict | None = None
     for v in versions:
+        vadds: dict[str, dict] = {}
+        vrems: dict[str, dict] = {}
         with open(os.path.join(log_dir, f"{v:020d}.json")) as fh:
             for line in fh:
                 if not line.strip():
@@ -600,20 +764,22 @@ def _tail_replay(log_dir: str, versions: list[int]
                     meta = action["metaData"]
                 elif "add" in action:
                     a = action["add"]
-                    if a.get("deletionVector"):
-                        raise ValueError(
-                            "read_delta_dir: add action carries a "
-                            "deletion vector — this reader would "
-                            "resurrect deleted rows; read via "
-                            "delta-spark or rewrite the table")
                     p = _urlunquote(a["path"])
-                    live[p] = {**a, "path": p, "path_enc": a["path"]}
-                    dead.pop(p, None)
+                    dv = a.get("deletionVector")
+                    vadds[p] = {**a, "path": p, "path_enc": a["path"],
+                                "dv": (json.dumps(dv)
+                                       if dv is not None else None)}
                 elif "remove" in action:
                     r = action["remove"]
                     p = _urlunquote(r["path"])
-                    live.pop(p, None)
-                    dead[p] = {**r, "path": p, "path_enc": r["path"]}
+                    vrems[p] = {**r, "path": p, "path_enc": r["path"]}
+        for p, r in vrems.items():
+            if p not in vadds:
+                live.pop(p, None)
+                dead[p] = r
+        for p, a in vadds.items():
+            live[p] = a
+            dead.pop(p, None)
     return live, dead, meta
 
 
@@ -622,7 +788,8 @@ def _adds_frame(spark: SparkSession, actions) -> DataFrame:
     rows = [(a["path"], a["path_enc"],
              {k: v for k, v in (a.get("partitionValues") or {}).items()},
              a.get("size"), a.get("modificationTime"),
-             bool(a.get("dataChange", True)), a.get("stats"))
+             bool(a.get("dataChange", True)), a.get("stats"),
+             a.get("dv"))
             for a in actions]
     return spark.createDataFrame(rows, _ADDS_DDL)
 
@@ -652,18 +819,22 @@ def _checkpoint_frame(spark: SparkSession, parts: list[str]
         return _adds_frame(spark, []), meta
     add_t = cpdf.schema["add"].dataType
     names = set(add_t.fieldNames())
-    if "deletionVector" in names and cpdf.filter(
-            "add IS NOT NULL AND add.deletionVector IS NOT NULL"
-    ).limit(1).count():
-        raise ValueError(
-            "read_delta_dir: checkpoint add carries a deletion "
-            "vector — this reader would resurrect deleted rows; "
-            "read via delta-spark or rewrite the table")
 
     def sub(name: str, ddl: str):
         if name in names:
             return F.col(f"add.{name}").cast(ddl)
         return F.lit(None).cast(ddl)
+
+    # deletionVector descriptors ride along as JSON (applied as a
+    # row_index anti-join at scan time — r14 session 3; DV-bearing
+    # checkpoints no longer refuse). null-valued struct fields are
+    # pruned so the JSON matches what the tail replay produces.
+    if "deletionVector" in names:
+        dv = F.when(F.col("add.deletionVector").isNotNull(),
+                    F.to_json("add.deletionVector",
+                              {"ignoreNullFields": "true"}))
+    else:
+        dv = F.lit(None).cast("string")
 
     if "partitionValues" not in names:
         pv = F.lit(None).cast("map<string,string>")
@@ -685,7 +856,8 @@ def _checkpoint_frame(spark: SparkSession, parts: list[str]
         sub("size", "bigint").alias("size"),
         sub("modificationTime", "bigint").alias("modificationTime"),
         sub("dataChange", "boolean").alias("dataChange"),
-        sub("stats", "string").alias("stats")))
+        sub("stats", "string").alias("stats"),
+        dv.alias("dv")))
     return adds, meta
 
 
@@ -737,7 +909,7 @@ _CP_DDL = (
     "configuration:map<string,string>,createdTime:bigint>, "
     "add struct<path:string,partitionValues:map<string,string>,"
     "size:bigint,modificationTime:bigint,dataChange:boolean,"
-    "stats:string>, "
+    f"stats:string,deletionVector:{_DV_DDL}>, "
     "remove struct<path:string,deletionTimestamp:bigint,"
     "dataChange:boolean>")
 
@@ -780,7 +952,7 @@ def export_delta_checkpoint(spark: SparkSession, path: str,
               "configuration:map<string,string>,createdTime:bigint>")
     add_t = ("struct<path:string,partitionValues:map<string,string>,"
              "size:bigint,modificationTime:bigint,dataChange:boolean,"
-             "stats:string>")
+             f"stats:string,deletionVector:{_DV_DDL}>")
     rem_t = ("struct<path:string,deletionTimestamp:bigint,"
              "dataChange:boolean>")
 
@@ -836,7 +1008,9 @@ def export_delta_checkpoint(spark: SparkSession, path: str,
             F.col("size"),
             F.col("modificationTime"),
             F.col("dataChange"),
-            F.col("stats")).alias("add"),
+            F.col("stats"),
+            F.from_json("dv", _DV_DDL).alias("deletionVector"))
+        .alias("add"),
         F.lit(None).cast(rem_t).alias("remove"))
     rem_rows = tomb.select(
         F.lit(None).cast(prot_t).alias("protocol"),
@@ -989,11 +1163,10 @@ def read_delta_dir(spark: SparkSession, path: str,
         raise ValueError(f"no metaData action found in {log_dir}")
     cm_mode = (meta.get("configuration") or {}).get(
         "delta.columnMapping.mode", "none") or "none"
-    if cm_mode not in ("none", "name"):
+    if cm_mode not in ("none", "name", "id"):
         raise ValueError(
-            f"read_delta_dir: column mapping mode {cm_mode!r} is not "
-            "supported by this reader (parquet field-id resolution "
-            "needs a delta-aware scan) — read via delta-spark")
+            f"read_delta_dir: unknown column mapping mode {cm_mode!r}"
+            " — read via delta-spark")
 
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     part_cols = list(meta.get("partitionColumns") or [])
@@ -1002,14 +1175,45 @@ def read_delta_dir(spark: SparkSession, path: str,
     # logical->physical map. Read by physical name, rename back, and
     # look partitionValues up by physical key (the spec keys them
     # physically; exports from pre-mapping writers key logically, so
-    # fall back).
+    # fall back). 'id' mode (r14 session 3) resolves by PARQUET FIELD
+    # ID instead: Spark's native reader does exactly that when the
+    # requested schema carries ``parquet.field.id`` metadata and
+    # ``spark.sql.parquet.fieldId.read.enabled`` is on, so the scan
+    # requests the LOGICAL names directly with each field's
+    # ``delta.columnMapping.id`` attached — no rename pass, and a file
+    # whose footer names drifted from physicalName still resolves
+    # (that is id mode's whole point). partitionValues stay keyed by
+    # physical name in both modes.
     phys = {f.name: (f.metadata or {}).get(
         "delta.columnMapping.physicalName", f.name)
-        for f in schema.fields} if cm_mode == "name" else {
+        for f in schema.fields} if cm_mode in ("name", "id") else {
         f.name: f.name for f in schema.fields}
-    data_schema = StructType(
-        [f.__class__(phys[f.name], f.dataType, f.nullable)
-         for f in schema.fields if f.name not in part_cols])
+    if cm_mode == "id":
+        missing_ids = [
+            f.name for f in schema.fields if f.name not in part_cols
+            and (f.metadata or {}).get("delta.columnMapping.id") is None]
+        if missing_ids:
+            raise ValueError(
+                "read_delta_dir: column mapping mode 'id' but fields "
+                f"{missing_ids!r} carry no delta.columnMapping.id — "
+                "corrupt metaData")
+        data_schema = StructType(
+            [f.__class__(
+                f.name, f.dataType, f.nullable,
+                {"parquet.field.id":
+                 int(f.metadata["delta.columnMapping.id"])})
+             for f in schema.fields if f.name not in part_cols])
+        # session-level toggle (there is no per-scan option); harmless
+        # to leave on — schemas without parquet.field.id metadata are
+        # resolved by name exactly as before, and a field-id-less file
+        # under an id-requesting schema fails loudly (ignoreMissing
+        # stays false)
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled",
+                       "true")
+    else:
+        data_schema = StructType(
+            [f.__class__(phys[f.name], f.dataType, f.nullable)
+             for f in schema.fields if f.name not in part_cols])
 
     if where is not None:
         # partition pruning on the DISTRIBUTED manifest: type each
@@ -1096,18 +1300,29 @@ def read_delta_dir(spark: SparkSession, path: str,
     # bounded collect: one row per live parent DIRECTORY (the
     # partition-count-shaped manifest); file NAMES ride along only
     # under verify (the listing comparison needs them) — the
-    # verify=False path collects just the distinct dirs
+    # verify=False path collects just the distinct dirs. The same
+    # single job also counts DV-bearing adds and sums their descriptor
+    # cardinalities (what the anti-join below sizes its broadcast
+    # decision on) — no extra pass over the manifest.
+    dv_agg = [
+        F.sum(F.when(F.col("dv").isNotNull(), 1).otherwise(0))
+        .alias("dvn"),
+        F.sum(F.coalesce(F.get_json_object("dv", "$.cardinality")
+                         .cast("bigint"), F.lit(0))).alias("dvc")]
     if verify:
-        per_dir: dict[str, list[str]] = {
-            r["__dir"]: r["fs"]
-            for r in dirred.groupBy("__dir").agg(
-                F.collect_list(F.regexp_replace(
-                    "path", "^.*/", "")).alias("fs")).collect()}
+        rows = dirred.groupBy("__dir").agg(
+            F.collect_list(F.regexp_replace(
+                "path", "^.*/", "")).alias("fs"), *dv_agg).collect()
+        per_dir: dict[str, list[str]] = {r["__dir"]: r["fs"]
+                                         for r in rows}
         n_files = sum(len(v) for v in per_dir.values())
     else:
-        counts = dirred.groupBy("__dir").count().collect()
-        per_dir = {r["__dir"]: [] for r in counts}
-        n_files = sum(r["count"] for r in counts)
+        rows = dirred.groupBy("__dir").agg(
+            F.count("*").alias("n"), *dv_agg).collect()
+        per_dir = {r["__dir"]: [] for r in rows}
+        n_files = sum(r["n"] for r in rows)
+    n_dv_files = sum(r["dvn"] for r in rows)
+    dv_cardinality = sum(r["dvc"] for r in rows)
     if not per_dir:
         return spark.createDataFrame([], schema)
     dirs = sorted(per_dir)
@@ -1175,9 +1390,23 @@ def read_delta_dir(spark: SparkSession, path: str,
           .withColumn("__fp", _decode_path_col(F.regexp_replace(
               F.col("_metadata.file_path"),
               "^[a-zA-Z][a-zA-Z0-9+.-]*:/*", "/"))))
-    for fld in schema.fields:
-        if fld.name not in part_cols and phys[fld.name] != fld.name:
-            df = df.withColumnRenamed(phys[fld.name], fld.name)
+    if cm_mode == "name":  # id mode already scanned by logical name
+        for fld in schema.fields:
+            if fld.name not in part_cols and phys[fld.name] != fld.name:
+                df = df.withColumnRenamed(phys[fld.name], fld.name)
+    if n_dv_files:
+        # deletion vectors: anti-join the masked (file, row_index)
+        # pairs out of the scan — the exact shape txnlog._apply_dvs
+        # uses for the engine's own DVs. The positions side is sized
+        # by the descriptors' summed cardinality (known from the
+        # manifest collect above): broadcast while it fits an
+        # executor's hash side comfortably, else a shuffled join.
+        positions = _dv_positions_frame(spark, adds, root)
+        if dv_cardinality <= 2_000_000:
+            positions = F.broadcast(positions)
+        df = (df.withColumn("__ri", F.col("_metadata.row_index"))
+              .join(positions, ["__fp", "__ri"], "left_anti")
+              .drop("__ri"))
     keep = [f.name for f in schema.fields]
     need_liveness = not verify  # verified dirs scan exactly the manifest
     if not part_cols and not need_liveness:

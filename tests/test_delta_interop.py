@@ -252,13 +252,29 @@ def test_reader_handles_foreign_log_and_checkpoint(spark, tmp_path):
     # version param: at v1 f1 is still live, f3 absent
     assert _rows(read_delta_dir(spark, root, version=1)) == {
         (1, 1.0, 1), (2, 2.0, 1), (3, 3.0, 2), (4, 4.0, 2)}
-    # DV-bearing adds refuse rather than resurrect deleted rows
+    # DV-bearing adds now APPLY (r14 session 3): a foreign inline
+    # descriptor masks exactly its row indexes out of the scan
+    from sport_advantages_moderne_data_infrastructure_spark.sources.dvcodec import (
+        encode_inline,
+    )
+
     with open(os.path.join(log, f"{3:020d}.json"), "w") as fh:
+        a = add(f3, 3)
+        a["add"]["deletionVector"] = encode_inline([0])  # mask id=5
+        fh.write(json.dumps(a) + "\n")
+        fh.write(json.dumps({"remove": {
+            "path": f3, "deletionTimestamp": 3,
+            "dataChange": True}}) + "\n")
+    assert _rows(read_delta_dir(spark, root)) == {
+        (1, 1.0, 1), (2, 2.0, 1), (4, 4.0, 2)}
+    # a MALFORMED descriptor fails loudly at materialization, never a
+    # silent wrong mask
+    with open(os.path.join(log, f"{4:020d}.json"), "w") as fh:
         a = add(f3, 3)
         a["add"]["deletionVector"] = {"storageType": "u"}
         fh.write(json.dumps(a) + "\n")
-    with pytest.raises(ValueError, match="deletion vector"):
-        read_delta_dir(spark, root)
+    with pytest.raises(Exception, match="malformed deletion vector"):
+        read_delta_dir(spark, root).count()
 
 
 def test_reader_empty_and_retrofit_layouts(spark, tmp_path):
@@ -409,11 +425,23 @@ def test_reader_name_mode_column_mapping(spark, tmp_path):
     assert set(got.columns) == {"id", "v", "day"}
     assert dict(got.dtypes)["day"] == "int"
     assert _rows(got) == {(1, 1.0, 7), (2, 2.0, 7), (3, 3.0, 8)}
-    # 'id' mode still refuses loudly
+    # 'id' mode is READ natively now (r14 session 3, parquet field-id
+    # resolution) — but THESE files carry no field ids, so the scan
+    # must fail loudly (a field-id-less file under an id-mode table is
+    # corrupt) rather than silently resolve by name; an unknown future
+    # mode still refuses up front
     meta2 = {**meta, "configuration": {
         "delta.columnMapping.mode": "id"}}
     with open(os.path.join(log, f"{1:020d}.json"), "w") as fh:
         fh.write(json.dumps({"metaData": meta2}) + "\n")
+    # NB: .collect(), not .count() — a count prunes every data column
+    # out of the scan, so no field id is ever requested
+    with pytest.raises(Exception, match="[Ff]ield Id|field id"):
+        read_delta_dir(spark, root).collect()
+    meta3 = {**meta, "configuration": {
+        "delta.columnMapping.mode": "something-new"}}
+    with open(os.path.join(log, f"{2:020d}.json"), "w") as fh:
+        fh.write(json.dumps({"metaData": meta3}) + "\n")
     with pytest.raises(ValueError, match="column mapping mode"):
         read_delta_dir(spark, root)
 
@@ -1239,3 +1267,214 @@ def test_review_r14_reader_edge_cases(spark, tmp_path):
     with open(os.path.join(root, "d-old", "notes.txt"), "w") as fh:
         fh.write("tool-dropped junk")
     assert _rows(read_delta_dir(spark, root)) == want
+
+
+def test_inline_dv_export_roundtrip(spark, tmp_path):
+    """Native DV export (r14 session 3): a live-DV snapshot exports as
+    real inline deletion-vector descriptors — remove(old)+add(new)
+    pairs, protocol upgraded to the table-features form at the first
+    DV commit, delta.enableDeletionVectors declared — and the reader
+    applies them as a row_index anti-join, so EVERY version including
+    the DV eras time-travels exactly. No materialization rewrite, no
+    synthetic commit: version numbers stay 1:1 with the txn log."""
+    from sport_advantages_moderne_data_infrastructure_spark.sources.deltainterop import (
+        export_delta_checkpoint,
+    )
+
+    o = _orders(spark, 100)
+    t = TxnTable(str(tmp_path / "idv"))
+    t.append(o)
+    t.delete_where(spark, "o_orderkey % 3 = 0", use_dv=True)
+    t.delete_where(spark, "o_orderkey % 5 = 0", use_dv=True)  # DV-on-DV
+    assert t.snapshot_dvs()
+    log_dir = export_delta_log(t, inline_dvs=True)
+
+    # exported versions 1:1 with txn versions (no synthetic commit)
+    names = sorted(f for f in os.listdir(log_dir) if f[:1].isdigit())
+    assert names == [f"{v:020d}.json" for v in range(3)]
+
+    # v1 carries the feature-protocol upgrade + DV-enabled config +
+    # inline adds whose stats are re-marked wide
+    with open(os.path.join(log_dir, names[1])) as fh:
+        acts = [json.loads(ln) for ln in fh if ln.strip()]
+    prot = [a["protocol"] for a in acts if "protocol" in a]
+    assert prot and prot[0]["minReaderVersion"] == 3 \
+        and prot[0]["minWriterVersion"] == 7 \
+        and "deletionVectors" in prot[0]["readerFeatures"]
+    conf = [a["metaData"]["configuration"] for a in acts
+            if "metaData" in a]
+    assert conf and conf[0]["delta.enableDeletionVectors"] == "true"
+    dv_adds = [a["add"] for a in acts
+               if "add" in a and a["add"].get("deletionVector")]
+    assert dv_adds
+    assert all(a["deletionVector"]["storageType"] == "i"
+               for a in dv_adds)
+    assert all(json.loads(a["stats"])["tightBounds"] is False
+               for a in dv_adds if "stats" in a)
+    # v2 (the second mask on the same dirs) must remove the PREVIOUS
+    # DV incarnation by descriptor, or a (path, dvId)-keyed foreign
+    # reconciliation sees two live instances of one path
+    with open(os.path.join(log_dir, names[2])) as fh:
+        acts2 = [json.loads(ln) for ln in fh if ln.strip()]
+    rms2 = [a["remove"] for a in acts2 if "remove" in a]
+    assert rms2 and all(r.get("deletionVector") for r in rms2)
+
+    # snapshot + both time-travel points exact vs the engine's read
+    cols = ("o_orderkey", "o_totalprice")
+    assert _rows(read_delta_dir(spark, t.path).select(*cols)) == _rows(
+        t.read(spark).select(*cols))
+    assert read_delta_dir(spark, t.path, version=0).count() == 100
+    assert _rows(read_delta_dir(
+        spark, t.path, version=1).select(*cols)) == _rows(
+        t.read(spark, version=1).select(*cols))
+
+    # checkpoint carries the descriptors; retention-cleaned log reads
+    # from checkpoint state alone
+    export_delta_checkpoint(spark, t.path)
+    for f in os.listdir(log_dir):
+        if f.endswith(".json"):
+            os.remove(os.path.join(log_dir, f))
+    assert _rows(read_delta_dir(spark, t.path).select(*cols)) == _rows(
+        t.read(spark).select(*cols))
+
+
+def test_inline_dv_export_partitioned_incremental(spark, tmp_path):
+    """Inline DV export composes with generated-column partition
+    layouts and the incremental (sidecar-carried) export: a rewrite
+    delete AFTER the DV era re-exports incrementally and the reader
+    tracks the materialization."""
+    o = _orders(spark, 120)
+    t = TxnTable(str(tmp_path / "pdv"))
+    t.set_generated_column(
+        "order_month", "DATE_FORMAT(o_orderdate, 'yyyy-MM')")
+    t.set_partition_column("order_month")
+    t.append(o)
+    t.delete_where(spark, "o_orderkey % 4 = 1", use_dv=True)
+    export_delta_log(t, inline_dvs=True)
+    cols = ("o_orderkey", "o_totalprice")
+    got = read_delta_dir(spark, t.path)
+    assert "order_month" in got.columns
+    assert _rows(got.select(*cols)) == _rows(
+        t.read(spark).select(*cols))
+    # rewrite-mode delete materializes the DVs; incremental re-export
+    # (sidecar state: exported descriptors retire with their files)
+    t.delete_where(spark, "o_orderkey % 4 = 2")
+    export_delta_log(t, inline_dvs=True)
+    assert _rows(read_delta_dir(spark, t.path).select(*cols)) == _rows(
+        t.read(spark).select(*cols))
+
+
+def test_reader_foreign_sidecar_dv(spark, tmp_path):
+    """A foreign log whose DV lives in an on-disk sidecar file (the
+    ``u`` storage real writers default to, random-prefix layout):
+    framing, CRC, and uuid-derived file name all resolve through the
+    scan's anti-join."""
+    import glob as _glob
+    import uuid as _u
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sport_advantages_moderne_data_infrastructure_spark.sources.dvcodec import (
+        write_dv_file,
+    )
+
+    root = str(tmp_path / "udv")
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log)
+    pq.write_table(pa.table({
+        "k": pa.array(list(range(20)), pa.int64())}),
+        os.path.join(root, "f0.parquet"))
+    schema = {"type": "struct", "fields": [
+        {"name": "k", "type": "long", "nullable": True,
+         "metadata": {}}]}
+    desc = write_dv_file(root, [[0, 3, 19]], prefix="ab")[0]
+    acts = [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors"]}},
+        {"metaData": {"id": str(_u.uuid4()),
+                      "format": {"provider": "parquet", "options": {}},
+                      "schemaString": json.dumps(schema),
+                      "partitionColumns": [],
+                      "configuration": {}, "createdTime": 0}},
+        {"add": {"path": "f0.parquet", "partitionValues": {},
+                 "size": os.path.getsize(
+                     os.path.join(root, "f0.parquet")),
+                 "modificationTime": 0, "dataChange": True,
+                 "deletionVector": desc}}]
+    with open(os.path.join(log, f"{0:020d}.json"), "w") as fh:
+        for a in acts:
+            fh.write(json.dumps(a) + "\n")
+    got = sorted(r["k"] for r in read_delta_dir(spark, root).collect())
+    assert got == [k for k in range(20) if k not in (0, 3, 19)]
+    # corrupt the sidecar payload: the CRC must fail the read loudly
+    f = _glob.glob(os.path.join(root, "ab",
+                                "deletion_vector_*.bin"))[0]
+    raw = bytearray(open(f, "rb").read())
+    raw[7] ^= 0xFF
+    open(f, "wb").write(bytes(raw))
+    with pytest.raises(Exception, match="checksum|DV"):
+        read_delta_dir(spark, root).collect()
+
+
+def test_reader_id_mode_column_mapping(spark, tmp_path):
+    """columnMapping.mode=id resolves data columns by PARQUET FIELD ID
+    through Spark's native fieldId read path: one footer name is
+    deliberately drifted away from physicalName metadata, so only
+    id-resolution (never a name fallback) can produce these values."""
+    import uuid as _u
+
+    from pyspark.sql import functions as SF
+
+    root = str(tmp_path / "idmode")
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    df = spark.range(50).select(
+        SF.col("id").cast("int").alias(
+            "col-aaaa", metadata={"parquet.field.id": 7}),
+        (SF.col("id") * 2.0).alias(
+            "totally-drifted-name", metadata={"parquet.field.id": 3}))
+    df.coalesce(1).write.parquet(os.path.join(root, "d1"))
+    import glob as _glob
+    f1 = os.path.relpath(_glob.glob(
+        os.path.join(root, "d1", "part-*.parquet"))[0], root)
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log)
+    schema = {"type": "struct", "fields": [
+        {"name": "key", "type": "integer", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 7,
+                      "delta.columnMapping.physicalName": "col-aaaa"}},
+        {"name": "val", "type": "double", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 3,
+                      "delta.columnMapping.physicalName":
+                          "col-bbbb"}}]}
+    acts = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {"id": str(_u.uuid4()),
+                      "format": {"provider": "parquet", "options": {}},
+                      "schemaString": json.dumps(schema),
+                      "partitionColumns": [],
+                      "configuration": {
+                          "delta.columnMapping.mode": "id",
+                          "delta.columnMapping.maxColumnId": "7"},
+                      "createdTime": 0}},
+        {"add": {"path": f1, "partitionValues": {},
+                 "size": os.path.getsize(os.path.join(root, f1)),
+                 "modificationTime": 0, "dataChange": True}}]
+    with open(os.path.join(log, f"{0:020d}.json"), "w") as fh:
+        for a in acts:
+            fh.write(json.dumps(a) + "\n")
+    got = read_delta_dir(spark, root)
+    assert got.columns == ["key", "val"]
+    rows = sorted((r["key"], r["val"]) for r in got.collect())
+    assert rows[:3] == [(0, 0.0), (1, 2.0), (2, 4.0)]
+    assert len(rows) == 50
+    # a metaData claiming id mode whose fields carry no ids is corrupt
+    bad = {**acts[1]["metaData"], "schemaString": json.dumps(
+        {"type": "struct", "fields": [
+            {"name": "key", "type": "integer", "nullable": True,
+             "metadata": {}}]})}
+    with open(os.path.join(log, f"{1:020d}.json"), "w") as fh:
+        fh.write(json.dumps({"metaData": bad}) + "\n")
+    with pytest.raises(ValueError, match="delta.columnMapping.id"):
+        read_delta_dir(spark, root)
