@@ -2257,14 +2257,21 @@ def scd2_runs(df: DataFrame, key: str, attr: str, ts: str,
     # stream_leakage_splits_equiv demoted — see its comment); oracle =
     # the relational recomputation of both histories, so a file missed
     # by an add, an unapplied remove, mis-decoded partitionValues or a
-    # stale metaData is a hash mismatch.
+    # stale metaData is a hash mismatch. r14 session 3 adds a THIRD
+    # leg: the same delete performed as a DELETION VECTOR (use_dv) and
+    # exported NATIVELY (inline_dvs=True — RoaringBitmapArray inline
+    # descriptors per PROTOCOL.md, sources/dvcodec.py), so the foreign
+    # reader's row_index anti-join is externally hashed too: a
+    # mis-encoded bitmap, an unapplied mask, or an off-by-one row
+    # index makes dv_cents disagree with the relational recompute.
     oracle=(
         "SELECT o_orderkey, "
         "CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents, "
         "STRFTIME(o_orderdate, '%Y-%m') AS order_month, "
         "CAST(ROUND((CASE WHEN STRFTIME(o_orderdate, '%Y-%m') = "
         "'1999-03' THEN o_totalprice * 2 ELSE o_totalprice END) * 100) "
-        "AS BIGINT) AS p_cents "
+        "AS BIGINT) AS p_cents, "
+        "CAST(ROUND(o_totalprice * 100) AS BIGINT) AS dv_cents "
         "FROM orders WHERE o_orderkey % 7 <> 0 ORDER BY o_orderkey"))
 def q_delta_log_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Export → foreign-read round trip on plain AND partitioned
@@ -2301,6 +2308,15 @@ def q_delta_log_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "order_month")
     export_delta_log(p)
 
+    # DV leg: the SAME delete as a deletion vector, exported natively
+    # (inline RoaringBitmapArray descriptors) — no rewrite, no
+    # materialization commit; the foreign read must mask exactly the
+    # rows the rewrite-mode leg physically dropped
+    d = TxnTable(tempfile.mkdtemp(prefix="samdis_dlr_d_"))
+    d.append(o)
+    d.delete_where(spark, "o_orderkey % 7 = 0", use_dv=True)
+    export_delta_log(d, inline_dvs=True)
+
     ur = read_delta_dir(spark, u.path).select(
         "o_orderkey",
         F.round(F.col("o_totalprice") * 100).cast("bigint")
@@ -2310,8 +2326,13 @@ def q_delta_log_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("order_month").cast("string").alias("order_month"),
         F.round(F.col("o_totalprice") * 100).cast("bigint")
         .alias("p_cents"))
-    return (ur.join(pr, "o_orderkey")
-            .select("o_orderkey", "cents", "order_month", "p_cents")
+    dr = read_delta_dir(spark, d.path).select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint")
+        .alias("dv_cents"))
+    return (ur.join(pr, "o_orderkey").join(dr, "o_orderkey")
+            .select("o_orderkey", "cents", "order_month", "p_cents",
+                    "dv_cents")
             .orderBy("o_orderkey"))
 
 
