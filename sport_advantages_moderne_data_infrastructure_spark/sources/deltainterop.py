@@ -274,7 +274,8 @@ def _dv_positions_by_file(table: TxnTable, ref: dict
 
 def export_delta_log(table: TxnTable, spark: SparkSession | None = None,
                      materialize_dvs: bool = False,
-                     inline_dvs: bool = False) -> str:
+                     inline_dvs: bool = False,
+                     dv_inline_threshold: int = 32_768) -> str:
     """Write ``<table.path>/_delta_log`` mirroring the txn table's FULL
     commit history as Delta-protocol JSON commits (one
     ``<version 0-padded to 20>.json`` per txn version, dir-level
@@ -461,12 +462,20 @@ def export_delta_log(table: TxnTable, spark: SparkSession | None = None,
                     add["stats"] = st
                 actions.append({"add": add})
         # DV commits (inline_dvs): each dir-level mask change becomes
-        # the remove(previous descriptor) + add(new inline descriptor)
-        # pair real DV writers emit — the remove references the file's
+        # the remove(previous descriptor) + add(new descriptor) pair
+        # real DV writers emit — the remove references the file's
         # PRIOR incarnation (its old descriptor, or none) so a foreign
         # reader's (path, dvId)-keyed reconciliation never sees two
         # live instances of one path. Files untouched by both the old
-        # and new mask emit nothing.
+        # and new mask emit nothing. Small masks ride INLINE in the
+        # action; masks past ``dv_inline_threshold`` serialized bytes
+        # batch into ONE on-disk ``u``-storage sidecar per commit
+        # under ``_delta_dvs/`` (outside the txn vacuum's sweep
+        # roots) — a million-row mask inflating every log read by MBs
+        # of z85 is the exact case the spec's sidecar storage exists
+        # for.
+        dv_changes: list[tuple[str, dict | None, list | None,
+                               dict]] = []
         for d, ref in sorted(doc_dvs.items()):
             pvals = {
                 col: (None if raw == _HIVE_NULL
@@ -482,30 +491,43 @@ def export_delta_log(table: TxnTable, spark: SparkSession | None = None,
                 pos = by_file.get(f)
                 if old is None and pos is None:
                     continue
-                rm = {"path": _quote_path(f),
-                      "deletionTimestamp": ts_ms, "dataChange": True}
-                if old is not None:
-                    rm["deletionVector"] = old
-                actions.append({"remove": rm})
-                absf = os.path.join(table.path, f)
-                add = {"path": _quote_path(f),
-                       "partitionValues": pvals,
-                       "size": os.path.getsize(absf),
-                       "modificationTime": ts_ms, "dataChange": True}
-                st = _file_stats(absf)
-                if pos is not None:
-                    desc = encode_inline(pos)
-                    add["deletionVector"] = desc
-                    exp_dvs[f] = desc
-                    if st is not None:
-                        # physical footer bounds are WIDE once rows
-                        # are masked (PROTOCOL.md: tightBounds)
-                        stj = json.loads(st)
-                        stj["tightBounds"] = False
-                        st = json.dumps(stj)
+                dv_changes.append((f, old, pos, pvals))
+        descs: dict[int, dict] = {
+            i: encode_inline(pos)
+            for i, (_, _, pos, _) in enumerate(dv_changes)
+            if pos is not None}
+        big = sorted(i for i, dsc in descs.items()
+                     if dsc["sizeInBytes"] > dv_inline_threshold)
+        if big:
+            from .dvcodec import write_dv_file
+            udescs = write_dv_file(
+                table.path, [dv_changes[i][2] for i in big],
+                prefix="_delta_dvs")
+            descs.update(zip(big, udescs))
+        for i, (f, old, pos, pvals) in enumerate(dv_changes):
+            rm = {"path": _quote_path(f),
+                  "deletionTimestamp": ts_ms, "dataChange": True}
+            if old is not None:
+                rm["deletionVector"] = old
+            actions.append({"remove": rm})
+            absf = os.path.join(table.path, f)
+            add = {"path": _quote_path(f),
+                   "partitionValues": pvals,
+                   "size": os.path.getsize(absf),
+                   "modificationTime": ts_ms, "dataChange": True}
+            st = _file_stats(absf)
+            if pos is not None:
+                add["deletionVector"] = descs[i]
+                exp_dvs[f] = descs[i]
                 if st is not None:
-                    add["stats"] = st
-                actions.append({"add": add})
+                    # physical footer bounds are WIDE once rows are
+                    # masked (PROTOCOL.md: tightBounds)
+                    stj = json.loads(st)
+                    stj["tightBounds"] = False
+                    st = json.dumps(stj)
+            if st is not None:
+                add["stats"] = st
+            actions.append({"add": add})
         for rel in doc["removes"]:
             for f in _files_of(table, rel):
                 rm = {
@@ -734,8 +756,9 @@ def _checkpoint_parts(log_dir: str,
 
 
 def _tail_replay(log_dir: str, versions: list[int]
-                 ) -> tuple[dict, dict, dict | None]:
-    """(live adds, dead removes, last metaData) from the JSON tail —
+                 ) -> tuple[dict, dict, dict | None, dict | None]:
+    """(live adds, dead removes, last metaData, last protocol) from
+    the JSON tail —
     keyed by DECODED path, each action keeping its original encoded
     ``path_enc``. Driver-side and O(tail) BY DESIGN: the tail is the
     commits past the newest checkpoint, bounded by checkpoint cadence
@@ -752,6 +775,7 @@ def _tail_replay(log_dir: str, versions: list[int]
     live: dict[str, dict] = {}
     dead: dict[str, dict] = {}
     meta: dict | None = None
+    proto: dict | None = None
     for v in versions:
         vadds: dict[str, dict] = {}
         vrems: dict[str, dict] = {}
@@ -762,6 +786,8 @@ def _tail_replay(log_dir: str, versions: list[int]
                 action = json.loads(line)
                 if "metaData" in action:
                     meta = action["metaData"]
+                elif "protocol" in action:
+                    proto = action["protocol"]
                 elif "add" in action:
                     a = action["add"]
                     p = _urlunquote(a["path"])
@@ -780,7 +806,7 @@ def _tail_replay(log_dir: str, versions: list[int]
         for p, a in vadds.items():
             live[p] = a
             dead.pop(p, None)
-    return live, dead, meta
+    return live, dead, meta, proto
 
 
 def _adds_frame(spark: SparkSession, actions) -> DataFrame:
@@ -795,8 +821,9 @@ def _adds_frame(spark: SparkSession, actions) -> DataFrame:
 
 
 def _checkpoint_frame(spark: SparkSession, parts: list[str]
-                      ) -> tuple[DataFrame, dict | None]:
-    """(adds frame, metaData) from a parquet checkpoint, DISTRIBUTED:
+                      ) -> tuple[DataFrame, dict | None, dict | None]:
+    """(adds frame, metaData, protocol) from a parquet checkpoint,
+    DISTRIBUTED:
     the checkpoint reads as a DataFrame and stays one — no driver-side
     add-action dict, however many million files the snapshot holds
     (VERDICT r13 #1). Handles both spec-shaped map-typed
@@ -810,13 +837,21 @@ def _checkpoint_frame(spark: SparkSession, parts: list[str]
     cpdf = spark.read.parquet(*parts)
     cols = cpdf.columns
     meta = None
+    proto = None
     if "metaData" in cols:
         m = cpdf.filter("metaData IS NOT NULL") \
             .select("metaData").collect()
         if m:
             meta = m[-1]["metaData"].asDict(recursive=True)
+    if "protocol" in cols:
+        pr = cpdf.filter("protocol IS NOT NULL") \
+            .select("protocol").collect()
+        if pr:
+            proto = {k: v for k, v in
+                     pr[-1]["protocol"].asDict(recursive=True).items()
+                     if v is not None}
     if "add" not in cols:
-        return _adds_frame(spark, []), meta
+        return _adds_frame(spark, []), meta, proto
     add_t = cpdf.schema["add"].dataType
     names = set(add_t.fieldNames())
 
@@ -858,13 +893,14 @@ def _checkpoint_frame(spark: SparkSession, parts: list[str]
         sub("dataChange", "boolean").alias("dataChange"),
         sub("stats", "string").alias("stats"),
         dv.alias("dv")))
-    return adds, meta
+    return adds, meta, proto
 
 
 def _snapshot_state(spark: SparkSession, log_dir: str,
                     version: int | None
-                    ) -> tuple[DataFrame, dict | None, dict]:
-    """(live adds frame, last metaData, dead tombstones) at
+                    ) -> tuple[DataFrame, dict | None, dict, dict | None]:
+    """(live adds frame, last metaData, dead tombstones, last
+    protocol) at
     ``version``. The checkpoint contributes DISTRIBUTED state; the
     JSON tail applies over it as ONE broadcast anti-join (its removed
     + superseded paths) plus a union of its own adds — reconstruction
@@ -880,11 +916,12 @@ def _snapshot_state(spark: SparkSession, log_dir: str,
         raise ValueError(
             f"no commits{'' if version is None else f' at or below version {version}'} in {log_dir}")
     tail_versions = [v for v in versions if cp is None or v > cp[0]]
-    live, dead, tmeta = _tail_replay(log_dir, tail_versions)
+    live, dead, tmeta, tproto = _tail_replay(log_dir, tail_versions)
     if cp is None:
-        return _adds_frame(spark, live.values()), tmeta, dead
-    cp_adds, cmeta = _checkpoint_frame(spark, cp[1])
+        return _adds_frame(spark, live.values()), tmeta, dead, tproto
+    cp_adds, cmeta, cproto = _checkpoint_frame(spark, cp[1])
     meta = tmeta or cmeta
+    proto = tproto or cproto
     drop = sorted(set(dead) | set(live))
     adds = cp_adds
     if drop:
@@ -894,7 +931,7 @@ def _snapshot_state(spark: SparkSession, log_dir: str,
             "path", "left_anti")
     if live:
         adds = adds.unionByName(_adds_frame(spark, live.values()))
-    return adds, meta, dead
+    return adds, meta, dead, proto
 
 
 # checkpoint action schema per PROTOCOL.md (Checkpoint Schema): the
@@ -902,7 +939,8 @@ def _snapshot_state(spark: SparkSession, log_dir: str,
 # so a FOREIGN reader plans from it, not just this module's (ADVICE
 # r13: JSON-schema inference produced struct-typed partitionValues)
 _CP_DDL = (
-    "protocol struct<minReaderVersion:int,minWriterVersion:int>, "
+    "protocol struct<minReaderVersion:int,minWriterVersion:int,"
+    "readerFeatures:array<string>,writerFeatures:array<string>>, "
     "metaData struct<id:string,name:string,description:string,"
     "format:struct<provider:string,options:map<string,string>>,"
     "schemaString:string,partitionColumns:array<string>,"
@@ -940,11 +978,13 @@ def export_delta_checkpoint(spark: SparkSession, path: str,
     if not versions:
         raise ValueError(f"no JSON commits to checkpoint in {log_dir}")
     v = versions[-1]
-    adds, meta, dead = _snapshot_state(spark, log_dir, None)
+    adds, meta, dead, proto = _snapshot_state(spark, log_dir, None)
     if meta is None:
         raise ValueError(f"no metaData action found in {log_dir}")
 
-    prot_t = "struct<minReaderVersion:int,minWriterVersion:int>"
+    prot_t = ("struct<minReaderVersion:int,minWriterVersion:int,"
+              "readerFeatures:array<string>,"
+              "writerFeatures:array<string>>")
     meta_t = ("struct<id:string,name:string,description:string,"
               "format:struct<provider:string,"
               "options:map<string,string>>,schemaString:string,"
@@ -967,8 +1007,16 @@ def export_delta_checkpoint(spark: SparkSession, path: str,
                 {k: str(val) for k, val in
                  (meta.get("configuration") or {}).items()},
                 meta.get("createdTime"))
+    # the checkpoint must carry the table's ACTUAL protocol — a
+    # DV-bearing or column-mapped snapshot checkpointed as (1, 2)
+    # would have a real reader plan features it cannot honor
+    proto = proto or {"minReaderVersion": 1, "minWriterVersion": 2}
+    proto_row = (proto.get("minReaderVersion", 1),
+                 proto.get("minWriterVersion", 2),
+                 proto.get("readerFeatures"),
+                 proto.get("writerFeatures"))
     local = spark.createDataFrame(
-        [((1, 2), None, None, None), (None, meta_row, None, None)],
+        [(proto_row, None, None, None), (None, meta_row, None, None)],
         _CP_DDL)
 
     # remove TOMBSTONES carry FORWARD across re-checkpoints: the
@@ -1158,7 +1206,7 @@ def read_delta_dir(spark: SparkSession, path: str,
             raise ValueError(
                 "read_delta_dir: pass version OR timestamp, not both")
         version = _version_at_timestamp(log_dir, timestamp)
-    adds, meta, _ = _snapshot_state(spark, log_dir, version)
+    adds, meta, _, _ = _snapshot_state(spark, log_dir, version)
     if meta is None:
         raise ValueError(f"no metaData action found in {log_dir}")
     cm_mode = (meta.get("configuration") or {}).get(

@@ -1478,3 +1478,156 @@ def test_reader_id_mode_column_mapping(spark, tmp_path):
         fh.write(json.dumps({"metaData": bad}) + "\n")
     with pytest.raises(ValueError, match="delta.columnMapping.id"):
         read_delta_dir(spark, root)
+
+
+def test_large_dv_masks_export_as_sidecar_files(spark, tmp_path):
+    """Masks past dv_inline_threshold serialized bytes batch into ONE
+    ``u``-storage sidecar per commit under _delta_dvs/ (a million-row
+    mask inflating every log read by MBs of z85 is what the spec's
+    sidecar storage exists for); the reader resolves the uuid-derived
+    path and the result is byte-identical to the engine's own read."""
+    import glob as _glob
+
+    from pyspark.sql import functions as SF
+
+    from sport_advantages_moderne_data_infrastructure_spark.sources.deltainterop import (
+        export_delta_checkpoint,
+    )
+
+    t = TxnTable(str(tmp_path / "bigdv"))
+    src = spark.range(20_000).select(
+        SF.col("id").alias("k"), (SF.col("id") % 7).alias("v"))
+    t.append(src.repartition(2))
+    t.delete_where(spark, "k % 3 = 1", use_dv=True)
+    export_delta_log(t, inline_dvs=True, dv_inline_threshold=1024)
+    side = _glob.glob(os.path.join(
+        t.path, "_delta_dvs", "deletion_vector_*.bin"))
+    assert len(side) == 1  # both files' masks batch into one sidecar
+    log = os.path.join(t.path, "_delta_log")
+    with open(os.path.join(log, f"{1:020d}.json")) as fh:
+        acts = [json.loads(ln) for ln in fh if ln.strip()]
+    dvs = [a["add"]["deletionVector"] for a in acts
+           if "add" in a and a["add"].get("deletionVector")]
+    assert dvs and all(
+        d["storageType"] == "u"
+        and d["pathOrInlineDv"].startswith("_delta_dvs")
+        for d in dvs)
+    got = read_delta_dir(spark, t.path)
+    assert _rows(got) == _rows(t.read(spark).select("k", "v"))
+    # checkpoint-only read resolves the sidecar too
+    export_delta_checkpoint(spark, t.path)
+    for f in os.listdir(log):
+        if f.endswith(".json"):
+            os.remove(os.path.join(log, f))
+    assert _rows(read_delta_dir(spark, t.path)) == _rows(
+        t.read(spark).select("k", "v"))
+
+
+def test_checkpoint_carries_true_protocol(spark, tmp_path):
+    """The checkpoint's protocol row reflects the table's ACTUAL
+    feature tier — a DV-bearing snapshot checkpointed as reader 1 /
+    writer 2 would have a real reader plan features it cannot honor;
+    a plain table stays at the legacy tier with null feature lists."""
+    import glob as _glob
+
+    from pyspark.sql import functions as SF
+
+    from sport_advantages_moderne_data_infrastructure_spark.sources.deltainterop import (
+        export_delta_checkpoint,
+    )
+
+    src = spark.range(500).select(
+        SF.col("id").alias("k"), (SF.col("id") % 5).alias("v"))
+    t = TxnTable(str(tmp_path / "dvp"))
+    t.append(src)
+    t.delete_where(spark, "k % 9 = 2", use_dv=True)
+    export_delta_log(t, inline_dvs=True)
+    export_delta_checkpoint(spark, t.path)
+    cp = _glob.glob(os.path.join(
+        t.path, "_delta_log", "*.checkpoint.parquet"))[0]
+    pr = spark.read.parquet(cp).filter(
+        "protocol IS NOT NULL").collect()[0]["protocol"]
+    assert pr["minReaderVersion"] == 3 \
+        and pr["minWriterVersion"] == 7 \
+        and "deletionVectors" in pr["readerFeatures"]
+
+    u = TxnTable(str(tmp_path / "plain"))
+    u.append(src.limit(50))
+    export_delta_log(u)
+    export_delta_checkpoint(spark, u.path)
+    cp2 = _glob.glob(os.path.join(
+        u.path, "_delta_log", "*.checkpoint.parquet"))[0]
+    pr2 = spark.read.parquet(cp2).filter(
+        "protocol IS NOT NULL").collect()[0]["protocol"]
+    assert pr2["minReaderVersion"] == 1 \
+        and pr2["readerFeatures"] is None
+
+
+def test_duckdb_parses_dv_descriptors(spark, tmp_path):
+    """Cross-engine DV leg: DuckDB's OWN JSON and parquet readers
+    parse the exported descriptors from both the commit log and the
+    checkpoint, the codec decodes the inline payloads, and DuckDB's
+    per-file parquet row counts minus the decoded masks reproduce the
+    Spark reader's row count — the DV pipeline's numbers verified by
+    a second engine end-to-end (delta extension itself is
+    download-blocked; see PLANS.md)."""
+    import duckdb
+    import glob as _glob
+
+    from pyspark.sql import functions as SF
+
+    from sport_advantages_moderne_data_infrastructure_spark.sources.deltainterop import (
+        export_delta_checkpoint,
+    )
+    from sport_advantages_moderne_data_infrastructure_spark.sources.dvcodec import (
+        decode_descriptor,
+    )
+
+    t = TxnTable(str(tmp_path / "ddv"))
+    src = spark.range(3_000).select(
+        SF.col("id").alias("k"), (SF.col("id") % 11).alias("v"))
+    t.append(src.repartition(2))
+    t.delete_where(spark, "k % 4 = 3", use_dv=True)
+    export_delta_log(t, inline_dvs=True)
+    export_delta_checkpoint(spark, t.path)
+    log = os.path.join(t.path, "_delta_log")
+    con = duckdb.connect()
+
+    # descriptors from the JSON commit, via DuckDB's JSON reader
+    jrows = con.execute(
+        "SELECT add.path AS path, add.deletionVector AS dv "
+        f"FROM read_json('{os.path.join(log, '*.json')}', "
+        "format='newline_delimited', union_by_name=true) "
+        "WHERE add IS NOT NULL AND add.deletionVector IS NOT NULL"
+    ).fetchall()
+    assert len(jrows) == 2  # one DV'd add per data file
+    # same descriptors out of the checkpoint parquet
+    cp = _glob.glob(os.path.join(log, "*.checkpoint.parquet"))[0]
+    crows = con.execute(
+        "SELECT add.path AS path, add.deletionVector AS dv "
+        f"FROM read_parquet('{cp}') "
+        "WHERE add IS NOT NULL AND add.deletionVector IS NOT NULL"
+    ).fetchall()
+    jmap = {p: json.loads(d) if isinstance(d, str) else d
+            for p, d in jrows}
+    cmap = dict(crows)
+    assert set(jmap) == set(cmap)
+    masked = 0
+    for p in jmap:
+        jd, cd = jmap[p], cmap[p]
+        for k in ("storageType", "pathOrInlineDv", "sizeInBytes",
+                  "cardinality"):
+            assert jd[k] == cd[k], (k, jd, cd)
+        positions = decode_descriptor(t.path, jd)
+        assert len(positions) == jd["cardinality"]
+        # DuckDB counts the file's physical rows; the mask must fit
+        n_phys = con.execute(
+            "SELECT COUNT(*) FROM read_parquet(?)",
+            [os.path.join(t.path, p)]).fetchone()[0]
+        assert positions[-1] < n_phys
+        masked += len(positions)
+    n_live = read_delta_dir(spark, t.path).count()
+    n_total = con.execute(
+        "SELECT COUNT(*) FROM read_parquet(?)",
+        [os.path.join(t.path, "data/*/*.parquet")]).fetchone()[0]
+    assert n_total - masked == n_live == 2_250
