@@ -227,24 +227,34 @@ def _gen_field_metadata(cfg: dict, name: str) -> dict:
     return md
 
 
-def _protocol_for(cm: bool, dv: bool, cfg: dict) -> dict:
-    """The protocol action for a feature tier: legacy versions while
-    they suffice, the table-features form (reader 3 / writer 7 with
-    explicit feature lists — PROTOCOL.md: Table Features) once
-    deletion vectors force it. The writer list names the legacy
-    features the table actually uses, as the spec requires of an
-    upgrade."""
+def _protocol_for(cm: bool, dv: bool, cfg: dict,
+                  cdf: bool = False) -> dict:
+    """The protocol action for a feature tier: the legacy version
+    LADDER while it suffices (PROTOCOL.md's cumulative writer
+    versions — change data feed and generated columns need writer 4,
+    column mapping writer 5 + reader 2, identity columns writer 6),
+    the table-features form (reader 3 / writer 7 with explicit
+    feature lists) once deletion vectors force it. The writer list
+    names the legacy features the table actually uses, as the spec
+    requires of an upgrade."""
     if dv:
         rf = ["deletionVectors"] + (["columnMapping"] if cm else [])
         wf = (set(rf)
               | ({"generatedColumns"} if cfg.get("generated") else set())
-              | ({"identityColumns"} if cfg.get("identity") else set()))
+              | ({"identityColumns"} if cfg.get("identity") else set())
+              | ({"changeDataFeed"} if cdf else set()))
         return {"minReaderVersion": 3, "minWriterVersion": 7,
                 "readerFeatures": sorted(rf),
                 "writerFeatures": sorted(wf)}
+    writer = 2
+    if cdf or cfg.get("generated"):
+        writer = 4
     if cm:
-        return {"minReaderVersion": 2, "minWriterVersion": 5}
-    return {"minReaderVersion": 1, "minWriterVersion": 2}
+        writer = max(writer, 5)
+    if cfg.get("identity"):
+        writer = max(writer, 6)
+    return {"minReaderVersion": 2 if cm else 1,
+            "minWriterVersion": writer}
 
 
 def _dv_positions_by_file(table: TxnTable, ref: dict
@@ -272,10 +282,36 @@ def _dv_positions_by_file(table: TxnTable, ref: dict
     return out
 
 
+def _split_cdc_by_partition(table: TxnTable, spark: SparkSession,
+                            changes_rel: str,
+                            part_cols: list[str]) -> list[dict]:
+    """One commit's change files re-laid hive-partitioned under
+    ``_delta_cdc/`` (export-only, outside the txn vacuum's sweep
+    roots) and returned as spec ``cdc`` actions: Delta CDC files must
+    not carry partition columns in-file — each file's values ride the
+    action's ``partitionValues``. One spark job per commit, sized by
+    that commit's CHANGE volume (not the table)."""
+    src = spark.read.parquet(os.path.join(table.path, changes_rel))
+    rel_out = os.path.join("_delta_cdc", _uuid.uuid4().hex)
+    (src.write.partitionBy(*part_cols)
+        .parquet(os.path.join(table.path, rel_out)))
+    out = []
+    for f in _files_of(table, rel_out):
+        pvals = {col: (None if raw == _HIVE_NULL
+                       else _unescape_partition(raw))
+                 for col, raw in _partition_segs(f)}
+        out.append({"cdc": {
+            "path": _quote_path(f), "partitionValues": pvals,
+            "size": os.path.getsize(os.path.join(table.path, f)),
+            "dataChange": False}})
+    return out
+
+
 def export_delta_log(table: TxnTable, spark: SparkSession | None = None,
                      materialize_dvs: bool = False,
                      inline_dvs: bool = False,
-                     dv_inline_threshold: int = 32_768) -> str:
+                     dv_inline_threshold: int = 32_768,
+                     export_cdf: bool = True) -> str:
     """Write ``<table.path>/_delta_log`` mirroring the txn table's FULL
     commit history as Delta-protocol JSON commits (one
     ``<version 0-padded to 20>.json`` per txn version, dir-level
@@ -374,6 +410,7 @@ def export_delta_log(table: TxnTable, spark: SparkSession | None = None,
         cm_ids = {k: int(i) for k, i in carried["cm_ids"].items()}
         cm_active = bool(carried["cm_active"])
         dv_active = bool(carried.get("dv_active", False))
+        cdf_active = bool(carried.get("cdf_active", False))
         exp_dvs = dict(carried.get("exp_dvs", {}))
         todo = [v for v in versions if v > state["last_version"]]
     else:
@@ -384,23 +421,53 @@ def export_delta_log(table: TxnTable, spark: SparkSession | None = None,
         cm_ids = {}  # physical name -> stable field id
         cm_active = False
         dv_active = False
+        cdf_active = False
         exp_dvs = {}  # file -> its current exported DV descriptor
         todo = versions
     for v in todo:
         doc = table._doc(v)  # noqa: SLF001
         mapping_v = table.column_mapping(v) or {}
         doc_dvs = doc.get("dvs", {}) if inline_dvs else {}
+        # CDF (r14 session 3): a commit's row-level change files
+        # (Delta's _change_data in miniature — same schema, data
+        # columns + _change_type) export as ``cdc`` actions so a
+        # foreign CDF reader replays MERGE/DELETE rewrites row-level
+        # instead of mis-deriving them from the add/remove file swap.
+        # Verbatim (a view of the existing files) when the table is
+        # unpartitioned and unmapped; partitioned-unmapped change
+        # files SPLIT once per commit into hive dirs under
+        # ``_delta_cdc/`` (cdc files must not carry partition columns
+        # in-file — they ride partitionValues) when a spark session is
+        # available; the mapped+partitioned compose and the
+        # spark-less partitioned export SKIP the cdc actions for that
+        # commit (foreign readers fall back to spec derive — same
+        # no-cdc shape every Delta table without CDF has).
+        changes_rel = doc.get("changes") if export_cdf else None
+        cdc_actions: list[dict] = []
+        if changes_rel:
+            if not part_cols and not mapping_v:
+                for f in _files_of(table, changes_rel):
+                    cdc_actions.append({"cdc": {
+                        "path": _quote_path(f), "partitionValues": {},
+                        "size": os.path.getsize(
+                            os.path.join(table.path, f)),
+                        "dataChange": False}})
+            elif part_cols and not mapping_v and spark is not None:
+                cdc_actions = _split_cdc_by_partition(
+                    table, spark, changes_rel, part_cols)
         actions: list[dict] = []
         # protocol: emitted at v0 and at every feature-tier upgrade —
-        # column mapping activation (reader 2 / writer 5) and the
-        # first DV commit (table-features form), exactly where real
-        # writers record them (PROTOCOL.md)
-        prev_tier = (cm_active, dv_active)
+        # CDF (writer 4), column mapping activation (reader 2 /
+        # writer 5), and the first DV commit (table-features form),
+        # exactly where real writers record them (PROTOCOL.md)
+        prev_tier = (cm_active, dv_active, cdf_active)
         cm_active = cm_active or bool(mapping_v)
         dv_active = dv_active or bool(doc_dvs)
-        if v == 0 or (cm_active, dv_active) != prev_tier:
+        cdf_active = cdf_active or bool(cdc_actions)
+        if v == 0 or (cm_active, dv_active, cdf_active) != prev_tier:
             actions.append(
-                {"protocol": _protocol_for(cm_active, dv_active, cfg)})
+                {"protocol": _protocol_for(cm_active, dv_active, cfg,
+                                           cdf_active)})
         # per-version partition layout (a repartition_table retrofit
         # changes it mid-history; the reader's snapshot follows the
         # LAST metaData, which is the live layout)
@@ -428,6 +495,8 @@ def export_delta_log(table: TxnTable, spark: SparkSession | None = None,
                     str(max(cm_ids.values(), default=0))}
         if dv_active:
             configuration["delta.enableDeletionVectors"] = "true"
+        if cdf_active:
+            configuration["delta.enableChangeDataFeed"] = "true"
         meta_json = json.dumps(
             {"schema": schema_out, "parts": part_cols,
              "conf": configuration}, sort_keys=True)
@@ -540,6 +609,7 @@ def export_delta_log(table: TxnTable, spark: SparkSession | None = None,
                 if old is not None:
                     rm["deletionVector"] = old
                 actions.append({"remove": rm})
+        actions.extend(cdc_actions)
         actions.append({"commitInfo": {
             "timestamp": ts_ms,
             "operation": doc.get("meta", {}).get("operation",
@@ -558,6 +628,7 @@ def export_delta_log(table: TxnTable, spark: SparkSession | None = None,
                                "cm_ids": cm_ids,
                                "cm_active": cm_active,
                                "dv_active": dv_active,
+                               "cdf_active": cdf_active,
                                "exp_dvs": exp_dvs}}, fh)
     return log_dir
 
@@ -1500,3 +1571,168 @@ def read_delta_dir(spark: SparkSession, path: str,
                      schema.fields)[c])).alias(c)
               for c in part_cols])
     return _residual(out.select(*keep))
+
+
+def _cdf_empty(spark: SparkSession, schema) -> DataFrame:
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    return spark.createDataFrame([], StructType(
+        list(schema.fields)
+        + [StructField("_change_type", StringType(), True),
+           StructField("_commit_version", LongType(), True),
+           StructField("_commit_timestamp", LongType(), True)]))
+
+
+def read_delta_changes(spark: SparkSession, path: str,
+                       since_version: int,
+                       upto: int | None = None) -> DataFrame:
+    """Delta CHANGE DATA FEED read over a Delta-format directory (real
+    delta-spark output or :func:`export_delta_log`'s) with plain
+    Spark: every row changed by commits AFTER ``since_version``
+    (through ``upto`` inclusive when given), with ``_change_type``,
+    ``_commit_version``, and ``_commit_timestamp`` — the same contract
+    as ``table_changes`` / ``readChangeFeed``.
+
+    Per-commit semantics follow the spec exactly: when a commit
+    carries ``cdc`` actions, they are the COMPLETE row-level record
+    for that commit (its add/remove actions are ignored for CDF);
+    otherwise the feed DERIVES — every ``dataChange=true`` add's rows
+    are inserts and every ``dataChange=true`` remove's rows are
+    deletes (the remove's file must still exist — tombstoned data
+    files are only reclaimed by vacuum after the retention window,
+    which is exactly the window CDF reads are valid in; a vacuumed
+    file raises rather than silently dropping deletes). A derive-mode
+    commit whose adds carry deletion vectors raises (its row-level
+    delta exists only as bitmaps) — resync from a snapshot, Delta's
+    own behavior for DV writes without CDC.
+
+    Partition columns attach from each action's ``partitionValues``
+    when the file doesn't carry them (real Delta CDC files never do;
+    this module's verbatim-exported change files do — both shapes
+    read). The driver-side walk is bounded by the requested version
+    RANGE — the shape every CDF consumer has — never table size."""
+    log_dir = os.path.join(path, "_delta_log")
+    if not os.path.isdir(log_dir):
+        raise ValueError(f"not a Delta table (no _delta_log): {path}")
+    from pyspark.sql.types import StructType
+
+    anchor = upto
+    _, meta, _, _ = _snapshot_state(spark, log_dir, anchor)
+    if meta is None:
+        raise ValueError(f"no metaData action found in {log_dir}")
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    part_cols = list(meta.get("partitionColumns") or [])
+    cm_mode = (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none") or "none"
+    phys = {f.name: (f.metadata or {}).get(
+        "delta.columnMapping.physicalName", f.name)
+        for f in schema.fields}
+    root = os.path.abspath(path)
+    versions = [v for v in _log_versions(log_dir)
+                if v > since_version and (upto is None or v <= upto)]
+
+    def _attach(df: DataFrame, entries: list[tuple[str, dict]],
+                ctype: str | None) -> DataFrame:
+        """Rename physical columns back, attach partition columns
+        from partitionValues where the files don't carry them, and
+        project to the table schema (+_change_type)."""
+        for fld in schema.fields:
+            p = phys[fld.name]
+            if p != fld.name and p in df.columns \
+                    and fld.name not in df.columns:
+                df = df.withColumnRenamed(p, fld.name)
+        missing = [c for c in part_cols if c not in df.columns]
+        if missing:
+            pmap = spark.createDataFrame(
+                [(root + "/" + e, {k: v for k, v in (pv or {}).items()})
+                 for e, pv in entries],
+                "__fp string, __pv map<string,string>")
+            df = (df.withColumn("__fp", _decode_path_col(
+                F.regexp_replace(F.col("_metadata.file_path"),
+                                 "^[a-zA-Z][a-zA-Z0-9+.-]*:/*", "/")))
+                .join(F.broadcast(pmap), "__fp"))
+            for c in missing:
+                df = df.withColumn(
+                    c, F.coalesce(F.col("__pv")[phys[c]],
+                                  F.col("__pv")[c]))
+        typed = [F.col(f.name).cast(f.dataType).alias(f.name)
+                 for f in schema.fields]
+        ct = (F.lit(ctype) if ctype is not None
+              else F.col("_change_type"))
+        return df.select(*typed, ct.alias("_change_type"))
+
+    frames = []
+    for v in versions:
+        cdc: list[tuple[str, dict]] = []
+        adds: list[tuple[str, dict]] = []
+        rems: list[tuple[str, dict]] = []
+        dv_add = False
+        ts = None
+        with open(os.path.join(log_dir, f"{v:020d}.json")) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                action = json.loads(line)
+                if "cdc" in action:
+                    a = action["cdc"]
+                    cdc.append((_urlunquote(a["path"]),
+                                a.get("partitionValues")))
+                elif "add" in action:
+                    a = action["add"]
+                    if a.get("dataChange", True):
+                        adds.append((_urlunquote(a["path"]),
+                                     a.get("partitionValues")))
+                        dv_add = dv_add or bool(a.get("deletionVector"))
+                elif "remove" in action:
+                    r = action["remove"]
+                    if r.get("dataChange", True):
+                        rems.append((_urlunquote(r["path"]),
+                                     r.get("partitionValues")))
+                elif "commitInfo" in action:
+                    ts = action["commitInfo"].get("timestamp")
+        if ts is None:
+            ts = int(os.path.getmtime(
+                os.path.join(log_dir, f"{v:020d}.json")) * 1000)
+
+        def _scan(entries):
+            missing = [e for e, _ in entries if not os.path.isfile(
+                os.path.join(root, e))]
+            if missing:
+                raise ValueError(
+                    f"read_delta_changes: version {v} references "
+                    f"file(s) gone from disk (vacuumed?): "
+                    f"{missing[:3]}… — the change window exceeds the "
+                    "retention window; resync from a snapshot read")
+            return (spark.read.option("mergeSchema", "true")
+                    .parquet(*[os.path.join(root, e)
+                               for e, _ in entries]))
+
+        if cdc:
+            frames.append(_attach(_scan(cdc), cdc, None)
+                          .withColumn("_commit_version", F.lit(v))
+                          .withColumn("_commit_timestamp", F.lit(ts)))
+            continue
+        if dv_add:
+            raise ValueError(
+                f"read_delta_changes: version {v} is a deletion-"
+                "vector write with no cdc actions — its row-level "
+                "delta exists only as bitmaps; resync from a "
+                "snapshot read")
+        for entries, ctype in ((adds, "insert"), (rems, "delete")):
+            if entries:
+                frames.append(
+                    _attach(_scan(entries), entries, ctype)
+                    .withColumn("_commit_version", F.lit(v))
+                    .withColumn("_commit_timestamp", F.lit(ts)))
+    if not frames:
+        return _cdf_empty(spark, schema)
+    from functools import reduce
+
+    return reduce(
+        lambda a, b: a.unionByName(b, allowMissingColumns=True),
+        frames)

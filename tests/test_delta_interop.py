@@ -1631,3 +1631,171 @@ def test_duckdb_parses_dv_descriptors(spark, tmp_path):
         "SELECT COUNT(*) FROM read_parquet(?)",
         [os.path.join(t.path, "data/*/*.parquet")]).fetchone()[0]
     assert n_total - masked == n_live == 2_250
+
+
+def test_cdf_export_and_foreign_read(spark, tmp_path):
+    """Change-data-feed interop (r14 session 3): commits with change
+    files export spec ``cdc`` actions (verbatim views of the existing
+    change parquet on unpartitioned tables), the protocol climbs the
+    legacy ladder to writer 4 at the first CDF commit,
+    delta.enableChangeDataFeed lands in the configuration, and the
+    foreign reader's per-commit replay (cdc when present, spec derive
+    otherwise) matches the engine's own read_changes exactly."""
+    from pyspark.sql import functions as SF
+
+    from sport_advantages_moderne_data_infrastructure_spark.sources.deltainterop import (
+        read_delta_changes,
+    )
+
+    def _r(df, *cols):
+        return sorted(tuple(r) for r in df.select(*cols).collect())
+
+    t = TxnTable(str(tmp_path / "cdf"))
+    src = spark.range(800).select(
+        SF.col("id").alias("k"), (SF.col("id") % 9).alias("v"))
+    t.append(src)
+    t.delete_where(spark, "k % 10 = 3")
+    t.update_where(spark, "k % 100 = 7", {"v": "99"})
+    log_dir = export_delta_log(t)
+    with open(os.path.join(log_dir, f"{1:020d}.json")) as fh:
+        acts1 = [json.loads(ln) for ln in fh if ln.strip()]
+    assert [a for a in acts1 if "cdc" in a]
+    prots1 = [a["protocol"] for a in acts1 if "protocol" in a]
+    assert prots1 and prots1[0] == {"minReaderVersion": 1,
+                                    "minWriterVersion": 4}
+    conf1 = [a["metaData"]["configuration"] for a in acts1
+             if "metaData" in a]
+    assert conf1 and conf1[0]["delta.enableChangeDataFeed"] == "true"
+
+    cols = ("k", "v", "_change_type", "_commit_version")
+    assert _r(read_delta_changes(spark, t.path, 0), *cols) == _r(
+        t.read_changes(spark, 0), *cols)
+    # bounded window
+    assert _r(read_delta_changes(spark, t.path, 1, upto=2),
+              *cols) == _r(t.read_changes(spark, 1, upto=2), *cols)
+    # derive-mode commit (plain append, no cdc): adds become inserts
+    g0 = read_delta_changes(spark, t.path, -1, upto=0)
+    assert g0.count() == 800
+    assert {r["_change_type"] for r in
+            g0.select("_change_type").distinct().collect()} \
+        == {"insert"}
+    # _commit_timestamp rides along (Delta's third CDF column)
+    assert "_commit_timestamp" in g0.columns
+
+
+def test_cdf_partitioned_split_export(spark, tmp_path):
+    """Partitioned tables split each commit's change files into hive
+    dirs under _delta_cdc/ (spec CDC files must NOT carry partition
+    columns in-file — values ride the action's partitionValues); the
+    foreign reader re-attaches them and matches read_changes."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+    from pyspark.sql import functions as SF
+
+    from sport_advantages_moderne_data_infrastructure_spark.sources.deltainterop import (
+        read_delta_changes,
+    )
+
+    p = TxnTable(str(tmp_path / "cdfp"))
+    src = spark.range(600).select(
+        SF.col("id").alias("k"), (SF.col("id") % 9).alias("v"))
+    p.set_generated_column("b", "CAST(k % 4 AS STRING)")
+    p.set_partition_column("b")
+    p.append(src)
+    p.delete_where(spark, "k % 7 = 2")
+    export_delta_log(p, spark)
+    split = _glob.glob(os.path.join(
+        p.path, "_delta_cdc", "*", "b=*", "*.parquet"))
+    assert split
+    assert all("b" not in _pq.ParquetFile(f).schema_arrow.names
+               for f in split)
+    got = read_delta_changes(spark, p.path, 0)
+    want = p.read_changes(spark, 0)
+    key = lambda df: sorted(tuple(r) for r in df.select(  # noqa: E731
+        "k", "v", F.col("b").cast("string"),
+        "_change_type", "_commit_version").collect())
+    assert key(got) == key(want)
+    # spark-less export of a partitioned CDF table skips cdc for the
+    # commit (foreign derive fallback) instead of failing
+    p2 = TxnTable(str(tmp_path / "cdfp2"))
+    p2.set_partition_column("v")
+    p2.append(src.limit(40))
+    log2 = export_delta_log(p2)  # append-only: derive covers it
+    g2 = read_delta_changes(spark, p2.path, -1)
+    assert g2.count() == 40
+    assert log2  # exported without a session
+
+
+def test_cdf_foreign_derive_semantics(spark, tmp_path):
+    """Spec derive on a hand-built foreign log: dataChange adds are
+    inserts, dataChange removes are deletes (file must still exist —
+    vacuumed raises), dataChange=false actions (OPTIMIZE) contribute
+    nothing, and a DV write without cdc raises resync."""
+    import uuid as _u
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sport_advantages_moderne_data_infrastructure_spark.sources.deltainterop import (
+        read_delta_changes,
+    )
+    from sport_advantages_moderne_data_infrastructure_spark.sources.dvcodec import (
+        encode_inline,
+    )
+
+    root = str(tmp_path / "fcdf")
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log)
+    pq.write_table(pa.table({"k": pa.array([1, 2, 3], pa.int64())}),
+                   os.path.join(root, "f0.parquet"))
+    pq.write_table(pa.table({"k": pa.array([4, 5], pa.int64())}),
+                   os.path.join(root, "f1.parquet"))
+    schema = {"type": "struct", "fields": [
+        {"name": "k", "type": "long", "nullable": True,
+         "metadata": {}}]}
+
+    def w(v, *acts):
+        with open(os.path.join(log, f"{v:020d}.json"), "w") as fh:
+            for a in acts:
+                fh.write(json.dumps(a) + "\n")
+
+    def add(p, dc=True, dv=None):
+        a = {"path": p, "partitionValues": {}, "size": 1,
+             "modificationTime": 0, "dataChange": dc}
+        if dv:
+            a["deletionVector"] = dv
+        return {"add": a}
+
+    w(0,
+      {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+      {"metaData": {"id": str(_u.uuid4()),
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": json.dumps(schema),
+                    "partitionColumns": [], "configuration": {},
+                    "createdTime": 0}},
+      add("f0.parquet"),
+      {"commitInfo": {"timestamp": 1000}})
+    # v1: remove f0 (delete), add f1 (insert) — one derive commit
+    w(1, {"remove": {"path": "f0.parquet", "deletionTimestamp": 2,
+                     "dataChange": True}},
+      add("f1.parquet"),
+      {"commitInfo": {"timestamp": 2000}})
+    got = read_delta_changes(spark, root, 0)
+    rows = sorted((r["k"], r["_change_type"]) for r in got.collect())
+    assert rows == [(1, "delete"), (2, "delete"), (3, "delete"),
+                    (4, "insert"), (5, "insert")]
+    assert {r["_commit_timestamp"] for r in got.collect()} == {2000}
+    # dataChange=false (compaction) contributes nothing
+    w(2, {"remove": {"path": "f1.parquet", "deletionTimestamp": 3,
+                     "dataChange": False}},
+      add("f2.parquet", dc=False))
+    assert read_delta_changes(spark, root, 1).count() == 0
+    # DV write without cdc: resync error
+    w(3, add("f1.parquet", dv=encode_inline([0])))
+    with pytest.raises(ValueError, match="resync"):
+        read_delta_changes(spark, root, 2)
+    # vacuumed remove target: loud error, never silent delete loss
+    os.remove(os.path.join(root, "f0.parquet"))
+    with pytest.raises(ValueError, match="vacuumed"):
+        read_delta_changes(spark, root, 0, upto=1).collect()
