@@ -443,6 +443,9 @@ def export_delta_log(table: TxnTable, spark: SparkSession | None = None,
         # commit (foreign readers fall back to spec derive — same
         # no-cdc shape every Delta table without CDF has).
         changes_rel = doc.get("changes") if export_cdf else None
+        if changes_rel and not os.path.isdir(
+                os.path.join(table.path, changes_rel)):
+            changes_rel = None  # vacuumed change dir: derive fallback
         cdc_actions: list[dict] = []
         if changes_rel:
             if not part_cols and not mapping_v:
@@ -1627,8 +1630,8 @@ def read_delta_changes(spark: SparkSession, path: str,
         raise ValueError(f"no metaData action found in {log_dir}")
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     part_cols = list(meta.get("partitionColumns") or [])
-    cm_mode = (meta.get("configuration") or {}).get(
-        "delta.columnMapping.mode", "none") or "none"
+    # physicalName metadata is the rename key under EITHER mapping
+    # mode (id-mode cdc files are physical-named too)
     phys = {f.name: (f.metadata or {}).get(
         "delta.columnMapping.physicalName", f.name)
         for f in schema.fields}
@@ -1651,15 +1654,26 @@ def read_delta_changes(spark: SparkSession, path: str,
             pmap = spark.createDataFrame(
                 [(root + "/" + e, {k: v for k, v in (pv or {}).items()})
                  for e, pv in entries],
-                "__fp string, __pv map<string,string>")
+                "__fp string, __pv map<string,string>") \
+                .withColumn("__hit", F.lit(True))
             df = (df.withColumn("__fp", _decode_path_col(
                 F.regexp_replace(F.col("_metadata.file_path"),
                                  "^[a-zA-Z][a-zA-Z0-9+.-]*:/*", "/")))
-                .join(F.broadcast(pmap), "__fp"))
+                .join(F.broadcast(pmap), "__fp", "left"))
+            # a scanned change file that misses the action mapping is
+            # path-normalization drift — raise in-plan, never
+            # silently null partition values (ADVICE r13 join class)
+            guard = F.when(
+                F.col("__hit").isNull(),
+                F.raise_error(F.concat(F.lit(
+                    "read_delta_changes: scanned file failed to "
+                    "match its action's partitionValues: "),
+                    F.col("__fp"))))
             for c in missing:
                 df = df.withColumn(
                     c, F.coalesce(F.col("__pv")[phys[c]],
-                                  F.col("__pv")[c]))
+                                  F.col("__pv")[c],
+                                  guard.cast("string")))
         typed = [F.col(f.name).cast(f.dataType).alias(f.name)
                  for f in schema.fields]
         ct = (F.lit(ctype) if ctype is not None
