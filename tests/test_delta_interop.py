@@ -1799,3 +1799,46 @@ def test_cdf_foreign_derive_semantics(spark, tmp_path):
     os.remove(os.path.join(root, "f0.parquet"))
     with pytest.raises(ValueError, match="vacuumed"):
         read_delta_changes(spark, root, 0, upto=1).collect()
+
+
+def test_txn_actions_export_and_watermark(spark, tmp_path):
+    """Streaming-sink commits (stream_app_id / stream_batch_id — the
+    keys every streaming sink in streaming/*.py records) export as
+    Delta SetTransaction actions; the per-app high-water reconstructs
+    from the log, rides the checkpoint (PROTOCOL.md: checkpoints hold
+    the newest txn per appId), and survives log retention — a foreign
+    exactly-once writer keyed on the appId keeps its idempotence
+    watermark."""
+    from pyspark.sql import functions as SF
+
+    from sport_advantages_moderne_data_infrastructure_spark.sources.deltainterop import (
+        export_delta_checkpoint,
+        read_delta_txn_versions,
+    )
+
+    t = TxnTable(str(tmp_path / "txna"))
+    src = spark.range(100).select(SF.col("id").alias("k"))
+    t.append(src.limit(40), meta={
+        "operation": "stream_append",
+        "stream_app_id": "appA", "stream_batch_id": 0})
+    t.append(src.offset(40).limit(30), meta={
+        "operation": "stream_append",
+        "stream_app_id": "appA", "stream_batch_id": 1})
+    t.append(src.offset(70), meta={
+        "operation": "stream_append",
+        "stream_app_id": "appB", "stream_batch_id": 5})
+    log_dir = export_delta_log(t)
+    with open(os.path.join(log_dir, f"{1:020d}.json")) as fh:
+        acts = [json.loads(ln) for ln in fh if ln.strip()]
+    txns = [a["txn"] for a in acts if "txn" in a]
+    assert len(txns) == 1 and txns[0]["appId"] == "appA" \
+        and txns[0]["version"] == 1
+    assert read_delta_txn_versions(spark, t.path) == {
+        "appA": 1, "appB": 5}
+    export_delta_checkpoint(spark, t.path)
+    for f in os.listdir(log_dir):
+        if f.endswith(".json"):
+            os.remove(os.path.join(log_dir, f))
+    assert read_delta_txn_versions(spark, t.path) == {
+        "appA": 1, "appB": 5}
+    assert read_delta_dir(spark, t.path).count() == 100
