@@ -955,7 +955,7 @@ def bench_delta_replay(spark) -> dict:
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            adds, _meta, _dead = _snapshot_state(spark, log, None)
+            adds, *_rest = _snapshot_state(spark, log, None)
             adds.count()  # materialize the reconstruction
             best = min(best, time.perf_counter() - t0)
         return best
