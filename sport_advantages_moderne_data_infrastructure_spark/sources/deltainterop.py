@@ -228,7 +228,7 @@ def _gen_field_metadata(cfg: dict, name: str) -> dict:
 
 
 def _protocol_for(cm: bool, dv: bool, cfg: dict,
-                  cdf: bool = False) -> dict:
+                  cdf: bool = False, cons: dict | None = None) -> dict:
     """The protocol action for a feature tier: the legacy version
     LADDER while it suffices (PROTOCOL.md's cumulative writer
     versions — change data feed and generated columns need writer 4,
@@ -242,11 +242,14 @@ def _protocol_for(cm: bool, dv: bool, cfg: dict,
         wf = (set(rf)
               | ({"generatedColumns"} if cfg.get("generated") else set())
               | ({"identityColumns"} if cfg.get("identity") else set())
-              | ({"changeDataFeed"} if cdf else set()))
+              | ({"changeDataFeed"} if cdf else set())
+              | ({"checkConstraints"} if cons else set()))
         return {"minReaderVersion": 3, "minWriterVersion": 7,
                 "readerFeatures": sorted(rf),
                 "writerFeatures": sorted(wf)}
     writer = 2
+    if cons:
+        writer = 3  # CHECK constraints: legacy writer 3
     if cdf or cfg.get("generated"):
         writer = 4
     if cm:
@@ -373,6 +376,7 @@ def export_delta_log(table: TxnTable, spark: SparkSession | None = None,
             "export_delta_log(materialize_dvs=True) needs a spark "
             "session to rewrite the DV'd dirs")
     cfg = table.generation_config()
+    cons = table.check_constraints()
     log_dir = os.path.join(table.path, "_delta_log")
     os.makedirs(log_dir, exist_ok=True)
 
@@ -470,7 +474,7 @@ def export_delta_log(table: TxnTable, spark: SparkSession | None = None,
         if v == 0 or (cm_active, dv_active, cdf_active) != prev_tier:
             actions.append(
                 {"protocol": _protocol_for(cm_active, dv_active, cfg,
-                                           cdf_active)})
+                                           cdf_active, cons)})
         # streaming exactly-once watermark: a commit written by the
         # streaming sink records (stream_app_id, stream_batch_id) —
         # exported as Delta's SetTransaction action, the same idempotent
@@ -513,6 +517,11 @@ def export_delta_log(table: TxnTable, spark: SparkSession | None = None,
             configuration["delta.enableDeletionVectors"] = "true"
         if cdf_active:
             configuration["delta.enableChangeDataFeed"] = "true"
+        for cname, cexpr in sorted(cons.items()):
+            # Delta records CHECK constraints as configuration entries
+            # (PROTOCOL.md: CHECK Constraints) — a real writer refuses
+            # to write without enforcing them (legacy writer 3)
+            configuration[f"delta.constraints.{cname}"] = cexpr
         meta_json = json.dumps(
             {"schema": schema_out, "parts": part_cols,
              "conf": configuration}, sort_keys=True)
@@ -805,6 +814,12 @@ def _log_versions(log_dir: str) -> list[int]:
 _MULTIPART_RE = re.compile(
     r"^(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet$")
 
+#: V2 ("uuid-named") checkpoints — PROTOCOL.md: V2 Checkpoint Spec.
+#: The manifest parquet may carry ``sidecar`` actions pointing at
+#: add/remove files under ``_delta_log/_sidecars/``.
+_V2_RE = re.compile(
+    r"^(\d{20})\.checkpoint\.[A-Za-z0-9][A-Za-z0-9-]*\.parquet$")
+
 
 def _checkpoint_parts(log_dir: str,
                       ceiling: int | None
@@ -820,6 +835,7 @@ def _checkpoint_parts(log_dir: str,
     (silently file-dropping) read."""
     singles: dict[int, str] = {}
     multis: dict[int, dict[int, dict[int, str]]] = {}
+    v2s: dict[int, str] = {}
     for f in os.listdir(log_dir):
         if f.endswith(".checkpoint.parquet"):
             head = f.split(".")[0]
@@ -830,11 +846,18 @@ def _checkpoint_parts(log_dir: str,
         if m:
             v, i, n = int(m.group(1)), int(m.group(2)), int(m.group(3))
             multis.setdefault(v, {}).setdefault(n, {})[i] = f
-    for v in sorted(set(singles) | set(multis), reverse=True):
+            continue
+        m2 = _V2_RE.match(f)
+        if m2:
+            v2s[int(m2.group(1))] = f  # any one manifest per version
+    for v in sorted(set(singles) | set(multis) | set(v2s),
+                    reverse=True):
         if ceiling is not None and v > ceiling:
             continue
         if v in singles:
             return v, [os.path.join(log_dir, singles[v])]
+        if v in v2s:
+            return v, [os.path.join(log_dir, v2s[v])]
         for n, parts in sorted(multis.get(v, {}).items()):
             if len(parts) == n:
                 return v, [os.path.join(log_dir, parts[i])
@@ -953,8 +976,41 @@ def _checkpoint_frame(spark: SparkSession, parts: list[str]
             if prev is None or (t.get("version") or 0) >= \
                     (prev.get("version") or 0):
                 txns[t.get("appId", "")] = t
-    if "add" not in cols:
-        return _adds_frame(spark, []), meta, proto, txns
+    # V2 checkpoints: the manifest's ``sidecar`` actions point at
+    # add/remove files under ``_delta_log/_sidecars/`` — the modern
+    # delta-spark layout. Resolve and union their adds with the
+    # manifest's own (classic checkpoints simply have no sidecar
+    # column).
+    sidecar_paths: list[str] = []
+    if "sidecar" in cols:
+        log_dir = os.path.dirname(parts[0])
+        for r in cpdf.filter("sidecar IS NOT NULL") \
+                .select("sidecar.path").collect():
+            sp = r["path"]
+            if "://" in sp or os.path.isabs(sp):
+                sidecar_paths.append(sp)
+            else:
+                sidecar_paths.append(
+                    os.path.join(log_dir, "_sidecars", sp))
+    adds = (_adds_of_actions(cpdf) if "add" in cols
+            else _adds_frame(spark, []))
+    if sidecar_paths:
+        sdf = spark.read.parquet(*sidecar_paths)
+        if "add" in sdf.columns:  # remove-only sidecars contribute none
+            adds = adds.unionByName(_adds_of_actions(sdf))
+    return adds, meta, proto, txns
+
+
+def _adds_of_actions(cpdf: DataFrame) -> DataFrame:
+    """The replay-shaped adds frame out of one action frame (a classic
+    checkpoint, a v2 manifest, or a v2 sidecar file). Handles both
+    spec-shaped map-typed ``partitionValues`` and struct-typed ones
+    (JSON-schema-inferred checkpoints); deletionVector descriptors
+    ride along as JSON."""
+    from itertools import chain
+
+    from pyspark.sql.types import MapType, StructType
+
     add_t = cpdf.schema["add"].dataType
     names = set(add_t.fieldNames())
 
@@ -963,10 +1019,6 @@ def _checkpoint_frame(spark: SparkSession, parts: list[str]
             return F.col(f"add.{name}").cast(ddl)
         return F.lit(None).cast(ddl)
 
-    # deletionVector descriptors ride along as JSON (applied as a
-    # row_index anti-join at scan time — r14 session 3; DV-bearing
-    # checkpoints no longer refuse). null-valued struct fields are
-    # pruned so the JSON matches what the tail replay produces.
     if "deletionVector" in names:
         dv = F.when(F.col("add.deletionVector").isNotNull(),
                     F.to_json("add.deletionVector",
@@ -987,7 +1039,7 @@ def _checkpoint_frame(spark: SparkSession, parts: list[str]
                 for f in pv_t.fields))
         else:
             pv = F.lit(None).cast("map<string,string>")
-    adds = (cpdf.filter("add IS NOT NULL").select(
+    return (cpdf.filter("add IS NOT NULL").select(
         _decode_path_col(F.col("add.path")).alias("path"),
         F.col("add.path").alias("path_enc"),
         pv.alias("partitionValues"),
@@ -996,7 +1048,6 @@ def _checkpoint_frame(spark: SparkSession, parts: list[str]
         sub("dataChange", "boolean").alias("dataChange"),
         sub("stats", "string").alias("stats"),
         dv.alias("dv")))
-    return adds, meta, proto, txns
 
 
 def _snapshot_state(spark: SparkSession, log_dir: str,

@@ -1842,3 +1842,85 @@ def test_txn_actions_export_and_watermark(spark, tmp_path):
     assert read_delta_txn_versions(spark, t.path) == {
         "appA": 1, "appB": 5}
     assert read_delta_dir(spark, t.path).count() == 100
+
+
+def test_check_constraints_export(spark, tmp_path):
+    """CHECK constraints export as delta.constraints.* configuration
+    entries with the legacy writer-3 protocol floor (PROTOCOL.md:
+    CHECK Constraints) — a real writer then refuses to write without
+    enforcing them, matching the engine's own write-time checks."""
+    from pyspark.sql import functions as SF
+
+    t = TxnTable(str(tmp_path / "cons"))
+    t.append(spark.range(10).select(SF.col("id").alias("k")))
+    t.add_check_constraint("k_pos", "k >= 0")
+    log_dir = export_delta_log(t)
+    with open(os.path.join(log_dir, f"{0:020d}.json")) as fh:
+        acts = [json.loads(ln) for ln in fh if ln.strip()]
+    conf = [a["metaData"]["configuration"] for a in acts
+            if "metaData" in a][0]
+    prot = [a["protocol"] for a in acts if "protocol" in a][0]
+    assert conf["delta.constraints.k_pos"] == "k >= 0"
+    assert prot["minWriterVersion"] == 3
+
+
+def test_reader_v2_checkpoint_with_sidecars(spark, tmp_path):
+    """A V2 (uuid-named) checkpoint — the modern delta-spark layout —
+    reads with NO JSON commits at all: the manifest's sidecar actions
+    resolve under _delta_log/_sidecars/ and their adds union with the
+    manifest's own."""
+    import glob as _glob
+    import shutil
+    import uuid as _u
+
+    from pyspark.sql import functions as SF
+
+    root = str(tmp_path / "v2")
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(os.path.join(log, "_sidecars"))
+    d1 = spark.range(10).select(SF.col("id").cast("int").alias("k"))
+    d1.coalesce(1).write.parquet(os.path.join(root, "d1"))
+    d2 = spark.range(10, 25).select(
+        SF.col("id").cast("int").alias("k"))
+    d2.coalesce(1).write.parquet(os.path.join(root, "d2"))
+    f1 = os.path.relpath(_glob.glob(
+        os.path.join(root, "d1", "part-*.parquet"))[0], root)
+    f2 = os.path.relpath(_glob.glob(
+        os.path.join(root, "d2", "part-*.parquet"))[0], root)
+    schema = {"type": "struct", "fields": [
+        {"name": "k", "type": "integer", "nullable": True,
+         "metadata": {}}]}
+    # sidecar file: one add action per data file
+    side = spark.createDataFrame(
+        [((f1, {}, os.path.getsize(os.path.join(root, f1)), 0,
+           True),),
+         ((f2, {}, os.path.getsize(os.path.join(root, f2)), 0,
+           True),)],
+        "add struct<path:string,partitionValues:map<string,string>,"
+        "size:bigint,modificationTime:bigint,dataChange:boolean>")
+    side.coalesce(1).write.parquet(str(tmp_path / "s"))
+    sname = "sidecar-001.parquet"
+    shutil.copy(_glob.glob(str(tmp_path / "s" / "part-*.parquet"))[0],
+                os.path.join(log, "_sidecars", sname))
+    man = spark.createDataFrame(
+        [((1, 2), None, None, None),
+         (None, (str(_u.uuid4()), json.dumps(schema), []), None,
+          None),
+         (None, None, (1,), None),
+         (None, None, None,
+          (sname, os.path.getsize(
+              os.path.join(log, "_sidecars", sname)), 0))],
+        "protocol struct<minReaderVersion:int,minWriterVersion:int>, "
+        "metaData struct<id:string,schemaString:string,"
+        "partitionColumns:array<string>>, "
+        "checkpointMetadata struct<version:bigint>, "
+        "sidecar struct<path:string,sizeInBytes:bigint,"
+        "modificationTime:bigint>")
+    man.coalesce(1).write.parquet(str(tmp_path / "m"))
+    shutil.copy(_glob.glob(str(tmp_path / "m" / "part-*.parquet"))[0],
+                os.path.join(
+                    log, f"{0:020d}.checkpoint.{_u.uuid4()}.parquet"))
+    with open(os.path.join(log, "_last_checkpoint"), "w") as fh:
+        json.dump({"version": 0, "size": 4}, fh)
+    got = read_delta_dir(spark, root)
+    assert sorted(r["k"] for r in got.collect()) == list(range(25))
