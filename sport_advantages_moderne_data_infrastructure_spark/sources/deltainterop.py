@@ -815,10 +815,12 @@ _MULTIPART_RE = re.compile(
     r"^(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet$")
 
 #: V2 ("uuid-named") checkpoints — PROTOCOL.md: V2 Checkpoint Spec.
-#: The manifest parquet may carry ``sidecar`` actions pointing at
-#: add/remove files under ``_delta_log/_sidecars/``.
+#: The manifest (parquet or JSON format, both spec-legal) may carry
+#: ``sidecar`` actions pointing at add/remove files under
+#: ``_delta_log/_sidecars/``.
 _V2_RE = re.compile(
-    r"^(\d{20})\.checkpoint\.[A-Za-z0-9][A-Za-z0-9-]*\.parquet$")
+    r"^(\d{20})\.checkpoint\.[A-Za-z0-9][A-Za-z0-9-]*"
+    r"\.(?:parquet|json)$")
 
 
 def _checkpoint_parts(log_dir: str,
@@ -952,7 +954,13 @@ def _checkpoint_frame(spark: SparkSession, parts: list[str]
 
     from pyspark.sql.types import MapType, StructType
 
-    cpdf = spark.read.parquet(*parts)
+    # a v2 manifest may be JSON-format; spark.read.json yields the
+    # same action-frame shape (struct-typed partitionValues included,
+    # which _adds_of_actions already normalizes)
+    if parts[0].endswith(".json"):
+        cpdf = spark.read.json(parts)
+    else:
+        cpdf = spark.read.parquet(*parts)
     cols = cpdf.columns
     meta = None
     proto = None

@@ -1924,3 +1924,49 @@ def test_reader_v2_checkpoint_with_sidecars(spark, tmp_path):
         json.dump({"version": 0, "size": 4}, fh)
     got = read_delta_dir(spark, root)
     assert sorted(r["k"] for r in got.collect()) == list(range(25))
+
+
+def test_reader_v2_json_manifest(spark, tmp_path):
+    """V2 manifests may be JSON-format (spec-legal alternative to
+    parquet): newline actions incl. sidecar pointers read identically."""
+    import glob as _glob
+    import shutil
+    import uuid as _u
+
+    from pyspark.sql import functions as SF
+
+    root = str(tmp_path / "v2j")
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(os.path.join(log, "_sidecars"))
+    d1 = spark.range(12).select(SF.col("id").cast("int").alias("k"))
+    d1.coalesce(1).write.parquet(os.path.join(root, "d1"))
+    f1 = os.path.relpath(_glob.glob(
+        os.path.join(root, "d1", "part-*.parquet"))[0], root)
+    schema = {"type": "struct", "fields": [
+        {"name": "k", "type": "integer", "nullable": True,
+         "metadata": {}}]}
+    side = spark.createDataFrame(
+        [((f1, {}, os.path.getsize(os.path.join(root, f1)), 0,
+           True),)],
+        "add struct<path:string,partitionValues:map<string,string>,"
+        "size:bigint,modificationTime:bigint,dataChange:boolean>")
+    side.coalesce(1).write.parquet(str(tmp_path / "s"))
+    sname = "sc-1.parquet"
+    shutil.copy(_glob.glob(str(tmp_path / "s" / "part-*.parquet"))[0],
+                os.path.join(log, "_sidecars", sname))
+    man = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {"id": str(_u.uuid4()),
+                      "schemaString": json.dumps(schema),
+                      "partitionColumns": []}},
+        {"checkpointMetadata": {"version": 0}},
+        {"sidecar": {"path": sname,
+                     "sizeInBytes": os.path.getsize(
+                         os.path.join(log, "_sidecars", sname)),
+                     "modificationTime": 0}}]
+    with open(os.path.join(
+            log, f"{0:020d}.checkpoint.{_u.uuid4()}.json"), "w") as fh:
+        for a in man:
+            fh.write(json.dumps(a) + "\n")
+    got = read_delta_dir(spark, root)
+    assert sorted(r["k"] for r in got.collect()) == list(range(12))
