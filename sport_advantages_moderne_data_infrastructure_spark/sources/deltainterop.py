@@ -867,15 +867,90 @@ def _checkpoint_parts(log_dir: str,
     return None
 
 
-def _tail_replay(log_dir: str, versions: list[int]
+#: Log-compaction files (PROTOCOL.md: Log Compaction Files):
+#: ``<x>.<y>.compacted.json`` holds the action-reconciliation result of
+#: commits [x, y] — readers may substitute it for the individual
+#: commit files when constructing the log segment.
+_COMPACTED_RE = re.compile(r"^(\d{20})\.(\d{20})\.compacted\.json$")
+
+
+def _compaction_files(log_dir: str) -> list[tuple[int, int, str]]:
+    """Sorted (start, end, filename) of every log-compaction file."""
+    out = []
+    for f in os.listdir(log_dir):
+        m = _COMPACTED_RE.match(f)
+        if m:
+            out.append((int(m.group(1)), int(m.group(2)), f))
+    return sorted(out)
+
+
+def _tail_units(log_dir: str, floor: int | None,
+                ceiling: int | None) -> list[tuple]:
+    """Ordered replay units covering versions (floor, target] — each
+    ``("json", v)`` or ``("compacted", x, y, filename)``. Compaction
+    files substitute for their covered range (PREFERRING the longest
+    usable span — fewer files listed and opened), which also lets a
+    log whose per-commit JSONs were retention-cleaned remain readable
+    as long as a compaction spans them. A version that is neither
+    present as JSON nor covered by a usable compaction is a LOUD
+    error — the old json-only listing silently replayed around such a
+    gap, which reconstructs a wrong (file-dropping) snapshot."""
+    jsons = set(_log_versions(log_dir))
+    comps = _compaction_files(log_dir)
+    lo = -1 if floor is None else floor
+    candidates = [v for v in jsons if v > lo] + \
+        [y for _x, y, _f in comps if y > lo]
+    known_max = max(candidates, default=lo)
+    if ceiling is not None:
+        candidates = [v for v in candidates if v <= ceiling]
+    target = max(candidates, default=lo)
+    if ceiling is not None and lo < ceiling <= known_max \
+            and target < ceiling:
+        # the requested version EXISTED (the log records versions past
+        # it) but its per-commit granularity is gone — compacted at a
+        # coarser span or retention-cleaned; falling back to `target`
+        # would silently time-travel to an older snapshot
+        raise ValueError(
+            f"cannot reconstruct version {ceiling} of {log_dir}: "
+            f"commits in ({target}, {ceiling}] are missing — "
+            "log-compacted at a coarser span or retention-cleaned")
+    if not candidates:
+        return []
+    units: list[tuple] = []
+    v = lo + 1
+    while v <= target:
+        # a compaction whose range STRADDLES v (x <= v) is usable even
+        # when x is below the replay position: it carries the NET
+        # state of [x, y], so batch-applying it over an already-
+        # applied sub-prefix is idempotent — every path it touches
+        # lands on its state-at-y, untouched paths keep prior state
+        spans = [(x, y, f) for x, y, f in comps
+                 if x <= v <= y and y <= target]
+        if spans:
+            x, y, f = max(spans, key=lambda s: (s[1], -s[0]))
+            units.append(("compacted", x, y, f))
+            v = y + 1
+        elif v in jsons:
+            units.append(("json", v))
+            v += 1
+        else:
+            raise ValueError(
+                f"log gap at version {v} in {log_dir}: commit JSON "
+                "missing and no log-compaction file covers it — "
+                "refusing a silently file-dropping replay")
+    return units
+
+
+def _tail_replay(log_dir: str, units: list
                  ) -> tuple[dict, dict, dict | None, dict | None, dict]:
     """(live adds, dead removes, last metaData, last protocol, latest
-    txn version per appId) from the JSON tail —
-    keyed by DECODED path, each action keeping its original encoded
-    ``path_enc``. Driver-side and O(tail) BY DESIGN: the tail is the
-    commits past the newest checkpoint, bounded by checkpoint cadence
-    regardless of table size (the checkpoint side of reconstruction
-    stays distributed — see :func:`_snapshot_state`).
+    txn version per appId) from the JSON tail — ``units`` as
+    :func:`_tail_units` produces them (plain ints are accepted as
+    ``("json", v)``); keyed by DECODED path, each action keeping its
+    original encoded ``path_enc``. Driver-side and O(tail) BY DESIGN:
+    the tail is the commits past the newest checkpoint, bounded by
+    checkpoint cadence regardless of table size (the checkpoint side
+    of reconstruction stays distributed — see :func:`_snapshot_state`).
 
     Actions within one version reconcile ORDER-INDEPENDENTLY, the way
     the spec keys them: a deletion-vector update commit legally carries
@@ -883,16 +958,22 @@ def _tail_replay(log_dir: str, versions: list[int]
     new descriptor) for the same path — the add wins for that path, the
     remove only tombstones when the path is not re-added in the same
     version. A path-sequential replay would have made the outcome
-    depend on the writer's line order."""
+    depend on the writer's line order. A log-compaction unit replays
+    the same way as one batch: the file already holds its range's
+    reconciled net state."""
     live: dict[str, dict] = {}
     dead: dict[str, dict] = {}
     meta: dict | None = None
     proto: dict | None = None
     txns: dict[str, dict] = {}
-    for v in versions:
+    for unit in units:
+        if isinstance(unit, int):
+            unit = ("json", unit)
+        fname = f"{unit[1]:020d}.json" if unit[0] == "json" \
+            else unit[3]
         vadds: dict[str, dict] = {}
         vrems: dict[str, dict] = {}
-        with open(os.path.join(log_dir, f"{v:020d}.json")) as fh:
+        with open(os.path.join(log_dir, fname)) as fh:
             for line in fh:
                 if not line.strip():
                     continue
@@ -1071,16 +1152,13 @@ def _snapshot_state(spark: SparkSession, log_dir: str,
     JSON commits at/below the checkpoint may be deleted (Delta's
     logRetentionDuration cleanup) since the checkpoint carries their
     state."""
-    versions = _log_versions(log_dir)
-    if version is not None:
-        versions = [v for v in versions if v <= version]
     cp = _checkpoint_parts(log_dir, version)
-    if cp is None and not versions:
+    units = _tail_units(log_dir, None if cp is None else cp[0],
+                        version)
+    if cp is None and not units:
         raise ValueError(
             f"no commits{'' if version is None else f' at or below version {version}'} in {log_dir}")
-    tail_versions = [v for v in versions if cp is None or v > cp[0]]
-    live, dead, tmeta, tproto, ttxns = _tail_replay(log_dir,
-                                                    tail_versions)
+    live, dead, tmeta, tproto, ttxns = _tail_replay(log_dir, units)
     if cp is None:
         return (_adds_frame(spark, live.values()), tmeta, dead,
                 tproto, ttxns)
@@ -1327,6 +1405,65 @@ def export_delta_checkpoint_if_needed(spark: SparkSession, path: str,
     if versions[-1] - floor < interval:
         return None
     return export_delta_checkpoint(spark, path, parts=parts)
+
+
+def compact_delta_log(path: str, start: int, end: int) -> str:
+    """Write a LOG-COMPACTION file ``<start>.<end>.compacted.json``
+    (PROTOCOL.md: Log Compaction Files) holding the action-
+    reconciliation of commits [start, end]: net live adds, remove
+    tombstones, the range's latest ``metaData``/``protocol``, and the
+    newest ``txn`` per appId — actions re-emitted with their ORIGINAL
+    encoded paths so the compaction is byte-compatible with what a
+    real writer's reconciliation would keep. Readers (this module's
+    :func:`_tail_units` and spec-following foreign ones) substitute
+    the file for the covered commits, so a high-cadence streaming
+    table's tail replay opens O(tail / compaction-span) files; it also
+    keeps a log readable after the covered per-commit JSONs are
+    retention-cleaned without forcing a full checkpoint.
+
+    Every version in [start, end] must exist as a JSON commit (a
+    compaction is built FROM commits; compacting over a gap would bake
+    the gap's absence in silently). Atomic: temp-file + rename."""
+    log_dir = os.path.join(path, "_delta_log")
+    if not os.path.isdir(log_dir):
+        log_dir = path if os.path.basename(path) == "_delta_log" \
+            else log_dir
+    if start > end or start < 0:
+        raise ValueError(f"invalid compaction range [{start}, {end}]")
+    have = set(_log_versions(log_dir))
+    missing = [v for v in range(start, end + 1) if v not in have]
+    if missing:
+        raise ValueError(
+            f"cannot compact [{start}, {end}] in {log_dir}: commit "
+            f"JSON missing for version(s) {missing[:5]}")
+    live, dead, meta, proto, txns = _tail_replay(
+        log_dir, list(range(start, end + 1)))
+
+    def _raw(action: dict) -> dict:
+        out = {k: v for k, v in action.items()
+               if k not in ("path", "path_enc", "dv")}
+        out["path"] = action["path_enc"]
+        return out
+
+    lines: list[str] = []
+    if proto is not None:
+        lines.append(json.dumps({"protocol": proto}))
+    if meta is not None:
+        lines.append(json.dumps({"metaData": meta}))
+    for app in sorted(txns):
+        lines.append(json.dumps({"txn": txns[app]}))
+    for p in sorted(dead):
+        lines.append(json.dumps({"remove": _raw(dead[p])}))
+    for p in sorted(live):
+        lines.append(json.dumps({"add": _raw(live[p])}))
+    name = f"{start:020d}.{end:020d}.compacted.json"
+    tmp = os.path.join(log_dir, f".tmp-{_uuid.uuid4().hex}")
+    with open(tmp, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, os.path.join(log_dir, name))
+    return os.path.join(log_dir, name)
 
 
 def read_delta_dir(spark: SparkSession, path: str,

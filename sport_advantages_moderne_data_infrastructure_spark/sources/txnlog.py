@@ -2829,7 +2829,8 @@ class TxnTable:
 
     def replace_where(self, spark: SparkSession, df: DataFrame,
                       condition: str, meta: dict | None = None,
-                      allow_row_predicates: bool = False) -> int:
+                      allow_row_predicates: bool = False,
+                      retries: int = 5) -> int:
         """Atomic predicate-scoped replace — Delta's ``replaceWhere``
         over partition keys (r14, VERDICT r13 #2): ONE commit removes
         exactly the live partitions whose TYPED key values satisfy
@@ -2862,8 +2863,33 @@ class TxnTable:
         data-column predicate refuses (metadata-only pruning is the
         default contract; the flag is the explicit opt-in to a
         rewriting scan, mirroring Delta's own
-        partition-vs-arbitrary distinction)."""
+        partition-vs-arbitrary distinction).
+
+        Concurrency (r14, the seeded replace_where-under-race item):
+        losing the commit race is resolved OPTIMISTICALLY, the way
+        Delta's conflict checker classifies it, instead of raising on
+        any interleaving. Because the remove set is a pure function of
+        the predicate and the live snapshot, re-resolving it against
+        the winner's snapshot and re-committing serializes this
+        replace AFTER the racer — the final state is exactly what
+        calling replace_where at the later version would produce:
+
+        - partition-key predicates rebase METADATA-ONLY: the written
+          add files are reused untouched (the add content depends only
+          on ``df``), the remove set re-resolves over the new typed
+          partition values, bounded by the same attempt budget as
+          identity appends, with jittered backoff so concurrent
+          writers desynchronize;
+        - row-predicate mode and interleaved identity ALLOCATION redo
+          the attempt from the new base (survivors / baked ids came
+          from the stale snapshot; the stale files are scrapped like
+          a lost identity append);
+        - a concurrent SCHEMA change or partition-LAYOUT change is a
+          genuine :class:`TxnConflictError` (Delta's metadata-changed
+          class — the written files embody the old shape, no rebase
+          can absorb that)."""
         import re
+        import shutil
 
         from pyspark.errors import AnalysisException
         from pyspark.sql import functions as F
@@ -2874,26 +2900,8 @@ class TxnTable:
                 "replace_where — partition-granular semantics would "
                 "evaluate it more than once with different outcomes; "
                 "materialize the random choice into a column first")
-        base = self.latest_version()
-        if self.column_mapping(base):
-            raise ValueError(
-                "column mapping is not supported on partitioned tables")
-        gcfg = self.generation_config()
-        declared = self._part_keys(gcfg)
-        live = self.snapshot_dirs(base)
-        live_cols = self._live_partition_cols(live)
-        keys = declared or live_cols
-        if not keys:
-            raise ValueError(
-                f"replace_where on an unpartitioned table: {self.path}"
-                " — use overwrite() or delete_where() + append()")
-        if live and live_cols is not None and live_cols != keys:
-            raise ValueError(
-                f"replace_where on a table whose live layout is "
-                f"partitioned by {live_cols!r}, not {keys!r} — "
-                "predicate-scoped commits need a consistently "
-                "partitioned table")
-        ident = gcfg.get("identity")
+        gcfg0 = self.generation_config()
+        ident = gcfg0.get("identity")
         if ident is not None and re.search(
                 rf"\b{re.escape(ident['col'])}\b", condition):
             raise ValueError(
@@ -2901,77 +2909,187 @@ class TxnTable:
                 f"ALWAYS AS IDENTITY column {ident['col']!r} — ids "
                 "are assigned at commit time, so source rows cannot "
                 "be proven to satisfy it")
-        if gcfg.get("generated"):
+        if gcfg0.get("generated"):
             df = self._apply_generated(df)
-        # remove set: metadata-only evaluation over the typed live
-        # partition values (any key subset prunes); a predicate that
-        # needs data columns refuses unless allow_row_predicates opts
-        # in to the arbitrary-replaceWhere sizing scan + survivor
-        # rewrite
-        part_dirs = [d for d in live if _partition_segs(d)]
-        removes: list[str] = []
-        survivors: DataFrame | None = None
-        if part_dirs:
-            vf, segs = self._typed_partition_values(
-                spark, part_dirs, keys)
-            try:
-                hot = {r["__seg"] for r in
-                       vf.filter(F.expr(condition)).collect()}
-                removes = [d for s in sorted(hot) for d in segs[s]]
-            except AnalysisException as e:
-                if not allow_row_predicates:
-                    raise ValueError(
-                        f"replace_where condition {condition!r} must "
-                        f"resolve over the partition keys {keys!r} "
-                        "alone (Delta's replaceWhere contract); pass "
-                        "allow_row_predicates=True for the arbitrary-"
-                        "predicate form (one sizing scan + survivor "
-                        "rewrite of the matching partitions)") from e
-                # Delta's conjunct splitting: key-only conjuncts of a
-                # mixed predicate prune the sizing scan metadata-only
-                # ("year = '1997' AND price > x" scans one year, not
-                # the table)
-                pp = self._metadata_conjuncts(vf, condition)
-                _, _, cands = self._hot_partitions(
-                    spark, condition, base, part_dirs, keys,
-                    partition_prune=pp)
-                removes = cands
-                if cands:
-                    snap = self._read_dirs(
-                        spark, cands, self._dvs_for(cands, base),
-                        version=base)
-                    # NULL-evaluating rows do NOT match -> survive
-                    survivors = snap.filter(
-                        ~F.coalesce(F.expr(condition), F.lit(False)))
+
+        def _resolve(base: int | None):
+            """(keys, removes, survivors, gcfg) against the snapshot at
+            ``base`` — a pure function of (predicate, snapshot), so a
+            conflict rebase re-runs it against the winner's version."""
+            if self.column_mapping(base):
+                raise ValueError(
+                    "column mapping is not supported on partitioned "
+                    "tables")
+            gcfg = self.generation_config()
+            declared = self._part_keys(gcfg)
+            live = self.snapshot_dirs(base)
+            live_cols = self._live_partition_cols(live)
+            keys = declared or live_cols
+            if not keys:
+                raise ValueError(
+                    f"replace_where on an unpartitioned table: "
+                    f"{self.path} — use overwrite() or delete_where() "
+                    "+ append()")
+            if live and live_cols is not None and live_cols != keys:
+                raise ValueError(
+                    f"replace_where on a table whose live layout is "
+                    f"partitioned by {live_cols!r}, not {keys!r} — "
+                    "predicate-scoped commits need a consistently "
+                    "partitioned table")
+            # remove set: metadata-only evaluation over the typed live
+            # partition values (any key subset prunes); a predicate
+            # that needs data columns refuses unless
+            # allow_row_predicates opts in to the arbitrary-
+            # replaceWhere sizing scan + survivor rewrite
+            part_dirs = [d for d in live if _partition_segs(d)]
+            removes: list[str] = []
+            survivors: DataFrame | None = None
+            if part_dirs:
+                vf, segs = self._typed_partition_values(
+                    spark, part_dirs, keys)
+                try:
+                    hot = {r["__seg"] for r in
+                           vf.filter(F.expr(condition)).collect()}
+                    removes = [d for s in sorted(hot) for d in segs[s]]
+                except AnalysisException as e:
+                    if not allow_row_predicates:
+                        raise ValueError(
+                            f"replace_where condition {condition!r} "
+                            f"must resolve over the partition keys "
+                            f"{keys!r} alone (Delta's replaceWhere "
+                            "contract); pass allow_row_predicates="
+                            "True for the arbitrary-predicate form "
+                            "(one sizing scan + survivor rewrite of "
+                            "the matching partitions)") from e
+                    # Delta's conjunct splitting: key-only conjuncts
+                    # of a mixed predicate prune the sizing scan
+                    # metadata-only ("year = '1997' AND price > x"
+                    # scans one year, not the table)
+                    pp = self._metadata_conjuncts(vf, condition)
+                    _, _, cands = self._hot_partitions(
+                        spark, condition, base, part_dirs, keys,
+                        partition_prune=pp)
+                    removes = cands
+                    if cands:
+                        snap = self._read_dirs(
+                            spark, cands, self._dvs_for(cands, base),
+                            version=base)
+                        # NULL-evaluating rows do NOT match -> survive
+                        survivors = snap.filter(
+                            ~F.coalesce(F.expr(condition),
+                                        F.lit(False)))
+            return keys, removes, survivors, gcfg
+
         # source containment: every incoming row must satisfy the
-        # predicate (NULL does not satisfy) — checked BEFORE any write
-        # so a violation leaves no orphan files
+        # predicate (NULL does not satisfy) — checked ONCE before any
+        # write (df never changes across conflict retries) so a
+        # violation leaves no orphan files
         if df.filter(~F.coalesce(F.expr(condition),
                                  F.lit(False))).limit(1).count():
             raise ValueError(
                 f"replace_where: source rows violate {condition!r} — "
                 "every incoming row must satisfy the replace "
                 "predicate; nothing was committed")
-        hw_meta: dict = {}
-        handle = None
-        if ident is not None:
-            # new rows allocate fresh ids; survivors (row-predicate
-            # mode) keep the ids baked into their rewritten rows
-            df, hw_meta, handle = self._assign_identity(df, ident)
-        try:
-            write_df = df if survivors is None \
-                else survivors.unionByName(df)
-            adds = self._write_data_partitioned(write_df, keys)
-            return self.commit(adds, removes,
-                               {**(meta or {}), **hw_meta,
-                                "operation": "replace_where",
-                                "predicate": condition,
-                                "partition_by":
-                                    gcfg.get("partition_by", keys)},
-                               expected_version=base)
-        finally:
-            if handle is not None:
-                handle.unpersist()
+
+        def _schema_at(v: int | None):
+            """Comparable schema signature at ``v``: the log-recorded
+            schema when present, else ONE live file's footer names +
+            the path's partition keys (partition-granular commits may
+            not record a merged schema — name-set drift still catches
+            the add/drop-column racers that would strand the written
+            files on a stale shape)."""
+            if v is None:
+                return None
+            s = self.table_schema(v)
+            if s is not None:
+                return ("json", s.jsonValue())
+            import glob as _glob
+
+            import pyarrow.parquet as pq
+            for d in reversed(self.snapshot_dirs(v)):
+                files = _glob.glob(
+                    os.path.join(self.path, d, "*.parquet"))
+                if files:
+                    names = set(pq.read_schema(files[0]).names)
+                    names.update(c for c, _ in _partition_segs(d))
+                    return ("names", tuple(sorted(names)))
+            return None
+
+        def _scrap(rels: list[str] | None) -> None:
+            for rel in rels or []:
+                shutil.rmtree(os.path.join(self.path, rel),
+                              ignore_errors=True)
+
+        budget = max(1, retries, 20)
+        last_err: Exception | None = None
+        for attempt in range(budget):
+            base = self.latest_version()
+            keys, removes, survivors, gcfg = _resolve(base)
+            hw_meta: dict = {}
+            handle = None
+            out = df
+            if ident is not None:
+                # new rows allocate fresh ids; survivors (row-
+                # predicate mode) keep the ids baked into their
+                # rewritten rows
+                out, hw_meta, handle = self._assign_identity(df, ident)
+            try:
+                write_df = out if survivors is None \
+                    else survivors.unionByName(out)
+                rel_adds = self._write_data_partitioned(write_df, keys)
+            finally:
+                if handle is not None:
+                    handle.unpersist()
+            cmeta = {**(meta or {}), **hw_meta,
+                     "operation": "replace_where",
+                     "predicate": condition,
+                     "partition_by": gcfg.get("partition_by", keys)}
+            redo = False
+            for rebase in range(budget):
+                try:
+                    return self.commit(rel_adds, removes, cmeta,
+                                       expected_version=base)
+                except TxnConflictError as e:
+                    last_err = e
+                    newbase = self.latest_version()
+                    if _schema_at(base) != _schema_at(newbase):
+                        _scrap(rel_adds)
+                        raise TxnConflictError(
+                            f"concurrent schema change under "
+                            f"replace_where at {self.path} (v{base} "
+                            f"-> v{newbase}) — the written files "
+                            "embody the old schema; re-run against "
+                            "the evolved table") from e
+                    if survivors is not None or (
+                            ident is not None
+                            and self._interleaved_allocation(base)):
+                        # stale snapshot baked into the files: redo
+                        # the whole attempt from the winner's version
+                        redo = True
+                        break
+                    try:
+                        keys2, removes2, _s, gcfg = _resolve(newbase)
+                    except ValueError:
+                        _scrap(rel_adds)
+                        raise
+                    if keys2 != keys:
+                        _scrap(rel_adds)
+                        raise TxnConflictError(
+                            f"concurrent partition-layout change "
+                            f"under replace_where at {self.path} "
+                            f"({keys!r} -> {keys2!r})") from e
+                    removes, base = removes2, newbase
+                    self._conflict_backoff(rebase)
+            else:
+                # rebase budget exhausted on non-absorbing conflicts:
+                # surface the conflict (the files are orphaned adds a
+                # vacuum sweeps; a re-run re-attempts cleanly)
+                _scrap(rel_adds)
+                raise last_err
+            if redo:
+                _scrap(rel_adds)
+                self._conflict_backoff(attempt)
+        raise last_err
 
     def merge(self, spark: SparkSession, updates: DataFrame,
               key: str | list[str],

@@ -1970,3 +1970,140 @@ def test_reader_v2_json_manifest(spark, tmp_path):
             fh.write(json.dumps(a) + "\n")
     got = read_delta_dir(spark, root)
     assert sorted(r["k"] for r in got.collect()) == list(range(12))
+
+
+# --- log-compaction files (r14 session 5; PROTOCOL.md Log Compaction) ----
+
+
+def test_log_compaction_roundtrip_and_retention(spark, tmp_path):
+    """compact_delta_log writes <x>.<y>.compacted.json holding the
+    range's reconciled net state; the reader substitutes it for the
+    covered commits (surviving their retention cleanup), time travel
+    BELOW the range stays intact, and time travel INTO the covered
+    range — whose per-commit granularity is gone — refuses loudly
+    instead of reconstructing a wrong snapshot."""
+    from sport_advantages_moderne_data_infrastructure_spark.sources.deltainterop import (
+        compact_delta_log,
+    )
+
+    o = _orders(spark)
+    t = TxnTable(str(tmp_path / "lc"))
+    t.append(o.limit(40))
+    t.append(o.offset(40).limit(40))
+    t.delete_where(spark, "o_orderkey % 7 = 0")
+    t.append(o.offset(80))
+    export_delta_log(t)
+    want = _rows(t.read(spark).select("o_orderkey", "o_totalprice"))
+    v0_count = t.read(spark, version=0).count()
+    log = os.path.join(t.path, "_delta_log")
+
+    cf = compact_delta_log(t.path, 1, 3)
+    assert os.path.basename(cf) == f"{1:020d}.{3:020d}.compacted.json"
+    # with the JSONs still present, a mid-range time travel uses them
+    assert read_delta_dir(spark, t.path, version=2).count() \
+        == t.read(spark, version=2).count()
+    # retention-clean the covered commits: snapshot must survive on
+    # the compaction alone
+    for v in (1, 2, 3):
+        os.remove(os.path.join(log, f"{v:020d}.json"))
+    got = read_delta_dir(spark, t.path)
+    assert _rows(got.select("o_orderkey", "o_totalprice")) == want
+    assert read_delta_dir(spark, t.path, version=0).count() == v0_count
+    assert read_delta_dir(spark, t.path, version=3).count() \
+        == t.read(spark).count()
+    with pytest.raises(ValueError, match="cannot reconstruct version 2"):
+        read_delta_dir(spark, t.path, version=2)
+
+
+def test_log_gap_without_compaction_is_loud(spark, tmp_path):
+    """A missing commit JSON with no covering compaction used to be
+    replayed AROUND silently (a file-dropping snapshot); it must
+    raise."""
+    o = _orders(spark, 60)
+    t = TxnTable(str(tmp_path / "gap"))
+    t.append(o.limit(20))
+    t.append(o.offset(20).limit(20))
+    t.append(o.offset(40))
+    export_delta_log(t)
+    log = os.path.join(t.path, "_delta_log")
+    os.remove(os.path.join(log, f"{1:020d}.json"))
+    with pytest.raises(ValueError, match="log gap at version 1"):
+        read_delta_dir(spark, t.path)
+
+
+def test_log_compaction_straddling_a_checkpoint(spark, tmp_path):
+    """A compaction overlapping the checkpoint floor is usable: it
+    carries the NET state of its range, so batch-applying it over the
+    checkpoint's already-included sub-prefix is idempotent — the tail
+    past the checkpoint reads from it even when x < floor."""
+    from sport_advantages_moderne_data_infrastructure_spark.sources.deltainterop import (
+        compact_delta_log,
+        export_delta_checkpoint,
+    )
+
+    o = _orders(spark)
+    t = TxnTable(str(tmp_path / "str"))
+    t.append(o.limit(30))           # v0
+    t.append(o.offset(30).limit(30))  # v1
+    export_delta_log(t)
+    export_delta_checkpoint(spark, t.path)  # checkpoint at v1
+    t.delete_where(spark, "o_orderkey % 5 = 0")  # v2
+    t.append(o.offset(60))          # v3
+    export_delta_log(t)
+    compact_delta_log(t.path, 1, 3)  # straddles the floor (1 <= 1)
+    want = _rows(t.read(spark).select("o_orderkey", "o_totalprice"))
+    log = os.path.join(t.path, "_delta_log")
+    for v in (2, 3):
+        os.remove(os.path.join(log, f"{v:020d}.json"))
+    got = read_delta_dir(spark, t.path)
+    assert _rows(got.select("o_orderkey", "o_totalprice")) == want
+
+
+def test_compaction_refuses_a_gapped_range(spark, tmp_path):
+    """Compacting over a missing commit would bake the gap in
+    silently — it must refuse."""
+    from sport_advantages_moderne_data_infrastructure_spark.sources.deltainterop import (
+        compact_delta_log,
+    )
+
+    o = _orders(spark, 60)
+    t = TxnTable(str(tmp_path / "cgap"))
+    t.append(o.limit(20))
+    t.append(o.offset(20).limit(20))
+    t.append(o.offset(40))
+    export_delta_log(t)
+    log = os.path.join(t.path, "_delta_log")
+    os.remove(os.path.join(log, f"{1:020d}.json"))
+    with pytest.raises(ValueError, match="missing for version"):
+        compact_delta_log(t.path, 0, 2)
+
+
+def test_compaction_preserves_partition_values_and_encoding(
+        spark, tmp_path):
+    """Compacted add actions re-emit the ORIGINAL encoded paths and
+    partitionValues — a partitioned (generated-key) table read through
+    a compaction attaches partition columns identically."""
+    from sport_advantages_moderne_data_infrastructure_spark.sources.deltainterop import (
+        compact_delta_log,
+    )
+
+    o = _orders(spark)
+    t = TxnTable(str(tmp_path / "pc"))
+    t.set_generated_column("order_year",
+                           "DATE_FORMAT(o_orderdate, 'yyyy')")
+    t.set_partition_column("order_year")
+    t.append(o.limit(60))
+    t.replace_where(
+        spark,
+        o.limit(60).filter("DATE_FORMAT(o_orderdate, 'yyyy') = '1997'")
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1),
+        "order_year = '1997'")
+    t.append(o.offset(60))
+    export_delta_log(t)
+    want = _rows(t.read(spark).select("o_orderkey", "order_year"))
+    compact_delta_log(t.path, 0, 2)
+    log = os.path.join(t.path, "_delta_log")
+    for v in (0, 1, 2):
+        os.remove(os.path.join(log, f"{v:020d}.json"))
+    got = read_delta_dir(spark, t.path)
+    assert _rows(got.select("o_orderkey", "order_year")) == want

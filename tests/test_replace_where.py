@@ -336,3 +336,274 @@ def test_split_top_and_tokenizer():
         == ["a BETWEEN 1", "5", "b = 2"]  # BETWEEN splits "wrong" —
     # harmless: the fragments fail to resolve and drop out of the
     # prune (never out of the full predicate)
+
+
+# --- replace_where under commit races (r14, seeded r15 candidate) ---------
+# Delta's optimistic-concurrency classification: disjoint racers are
+# ABSORBED by a metadata-only rebase (the written files are reused and
+# the remove set re-resolves against the winner's snapshot, serializing
+# the replace AFTER the racer); stale-snapshot cases (row-predicate
+# survivors, interleaved identity allocation) redo from the new base;
+# concurrent schema/layout changes are genuine TxnConflictErrors.
+
+from sport_advantages_moderne_data_infrastructure_spark.sources.txnlog import (  # noqa: E402
+    TxnConflictError,
+)
+
+
+def _racing_commit(monkeypatch, racer_fn, times=1):
+    """Patch TxnTable.commit so the first ``times`` replace_where
+    commits fire ``racer_fn()`` FIRST (a racing writer landing between
+    this writer's file write and its log link) and then attempt the
+    real commit — which loses the put-if-absent race deterministically."""
+    real = TxnTable.commit
+    state = {"left": times}
+
+    def patched(self, adds, removes, meta=None, **kw):
+        if (meta or {}).get("operation") == "replace_where" \
+                and state["left"] > 0:
+            state["left"] -= 1
+            racer_fn()
+        return real(self, adds, removes, meta, **kw)
+
+    monkeypatch.setattr(TxnTable, "commit", patched)
+    return state
+
+
+def test_disjoint_racer_is_rebased_not_conflicted(
+        spark, tmp_path, monkeypatch):
+    """An append landing in NON-matching partitions between the
+    replace's write and its commit is absorbed: the written files are
+    reused, the remove set is re-resolved (unchanged here), and the
+    replace lands one version later — no error, no data rewrite."""
+    t, o = _mk(spark, tmp_path)
+    v0 = t.latest_version()
+    racer = TxnTable(t.path)
+    extra = (o.filter("o_orderstatus = 'O'").limit(20)
+             .withColumn("o_orderkey",
+                         F.col("o_orderkey") + 20_000_000))
+    state = _racing_commit(monkeypatch, lambda: racer.append(extra))
+    exp_removes = sorted(
+        d for d in t.snapshot_dirs(v0)
+        if dict(_partition_segs(d)).get("o_orderstatus") == "F")
+    src = (o.filter("o_orderstatus = 'F'")
+           .withColumn("o_totalprice", F.col("o_totalprice") * 2))
+    v = t.replace_where(spark, src, "o_orderstatus = 'F'")
+    assert state["left"] == 0  # the race actually fired
+    assert v == v0 + 2  # racer took v0+1; the rebase landed after it
+    assert sorted(t._doc(v)["removes"]) == exp_removes  # noqa: SLF001
+    got = t.read(spark)
+    # racer rows survived (disjoint), replaced content landed
+    assert got.filter("o_orderkey >= 20000000").count() == 20
+    assert got.filter("o_orderstatus = 'F'").count() == \
+        o.filter("o_orderstatus = 'F'").count()
+    doubled = {r["o_orderkey"] for r in o.filter("o_orderstatus = 'F'")
+               .collect()}
+    chk = got.filter("o_orderstatus = 'F'") \
+        .join(o.filter("o_orderstatus = 'F'")
+              .select("o_orderkey",
+                      (F.col("o_totalprice") * 2).alias("want")),
+              "o_orderkey")
+    assert chk.filter(
+        F.abs(F.col("o_totalprice") - F.col("want")) > 1e-6).count() == 0
+    assert len(doubled) == chk.count()
+
+
+def test_matching_racer_serializes_before_the_replace(
+        spark, tmp_path, monkeypatch):
+    """A racer appending rows INTO a matching partition is also
+    absorbed — by serializing the replace AFTER it: the re-resolved
+    remove set picks up the racer's new dir, so its rows are replaced
+    exactly as if the replace had been issued later."""
+    t, o = _mk(spark, tmp_path)
+    v0 = t.latest_version()
+    racer = TxnTable(t.path)
+    extra = (o.filter("o_orderstatus = 'F'").limit(10)
+             .withColumn("o_orderkey",
+                         F.col("o_orderkey") + 20_000_000))
+    state = _racing_commit(monkeypatch, lambda: racer.append(extra))
+    src = (o.filter("o_orderstatus = 'F'")
+           .withColumn("o_totalprice", F.col("o_totalprice") * 2))
+    v = t.replace_where(spark, src, "o_orderstatus = 'F'")
+    assert state["left"] == 0
+    doc = t._doc(v)  # noqa: SLF001
+    # the racer's F dirs are in the re-resolved remove set
+    racer_dirs = set(t._doc(v0 + 1)["adds"])  # noqa: SLF001
+    f_racer = {d for d in racer_dirs
+               if dict(_partition_segs(d)).get("o_orderstatus") == "F"}
+    assert f_racer and f_racer <= set(doc["removes"])
+    got = t.read(spark)
+    # the racer's matching rows were REPLACED (serialize-after), and
+    # the final F content is exactly the source
+    assert got.filter("o_orderkey >= 20000000").count() == 0
+    assert got.filter("o_orderstatus = 'F'").count() == src.count()
+
+
+def test_concurrent_schema_change_is_a_genuine_conflict(
+        spark, tmp_path, monkeypatch):
+    """A racing schema evolution makes the written files embody a
+    stale shape — that is Delta's metadata-changed class and must
+    surface as TxnConflictError, never be absorbed."""
+    t, o = _mk(spark, tmp_path)
+    racer = TxnTable(t.path)
+
+    def evolve():
+        racer.overwrite(o.withColumn("extra", F.lit(1)))
+
+    _racing_commit(monkeypatch, evolve)
+    with pytest.raises(TxnConflictError, match="schema"):
+        t.replace_where(
+            spark,
+            o.filter("o_orderstatus = 'F'"),
+            "o_orderstatus = 'F'")
+
+
+def test_interleaved_identity_allocation_redoes_with_fresh_ids(
+        spark, tmp_path, monkeypatch):
+    """A racer that ALLOCATES identity ids between the replace's
+    assign and its commit invalidates the baked ids — the attempt is
+    scrapped and redone from the new high water; ids stay globally
+    unique and the replace still lands."""
+    o = _orders(spark)
+    t = TxnTable(str(tmp_path / "idrace"))
+    t.set_identity_column("rid")
+    t.set_partition_column("o_orderstatus")
+    t.append(o)
+    racer = TxnTable(t.path)
+    extra = (o.filter("o_orderstatus = 'O'").limit(15)
+             .withColumn("o_orderkey",
+                         F.col("o_orderkey") + 20_000_000))
+    state = _racing_commit(monkeypatch, lambda: racer.append(extra))
+    src = (o.filter("o_orderstatus = 'F'")
+           .withColumn("o_totalprice", F.col("o_totalprice") * 2))
+    t.replace_where(spark, src, "o_orderstatus = 'F'")
+    assert state["left"] == 0
+    rows = t.read(spark).select("rid", "o_orderkey").collect()
+    rids = [r["rid"] for r in rows]
+    assert len(rids) == len(set(rids))  # no id collision with racer
+    assert len(rows) == o.count() + 15
+    # no orphan data dirs from the scrapped attempt: everything on
+    # disk is either live or a TOMBSTONED remove (time-travel keeps
+    # removed dirs until vacuum — those are not orphans)
+    live = set(t.snapshot_dirs())
+    tombstoned = {d for v in range(t.latest_version() + 1)
+                  for d in t._doc(v)["removes"]}  # noqa: SLF001
+    import os as _os
+    on_disk = set()
+    for root, _dirs, files in _os.walk(t.path):
+        if any(f.endswith(".parquet") for f in files):
+            rel = _os.path.relpath(root, t.path)
+            if not rel.startswith("_"):
+                on_disk.add(rel)
+    assert on_disk <= live | tombstoned
+    assert live <= on_disk
+
+
+def test_row_predicate_racer_forces_full_redo(
+        spark, tmp_path, monkeypatch):
+    """Row-predicate mode: survivors were computed from the stale
+    snapshot, so a racer append forces a full redo — the redo's
+    sizing scan sees the racer's rows, replaced content matches a
+    relational recompute over the POST-racer table."""
+    t, o = _mk(spark, tmp_path)
+    racer = TxnTable(t.path)
+    cut = 150000.0
+    extra = (o.limit(12)
+             .withColumn("o_orderkey",
+                         F.col("o_orderkey") + 20_000_000))
+    state = _racing_commit(monkeypatch, lambda: racer.append(extra))
+    inserts = (o.filter(F.col("o_totalprice") > cut).limit(3)
+               .withColumn("o_orderkey",
+                           F.col("o_orderkey") + 30_000_000))
+    t.replace_where(spark, inserts, f"o_totalprice > {cut}",
+                    allow_row_predicates=True)
+    assert state["left"] == 0
+    got = t.read(spark)
+    post = o.unionByName(extra)  # the post-racer table
+    # every over-cut row (racer's included) is gone; inserts present;
+    # all under-cut rows (racer's included) survive
+    assert got.filter((F.col("o_totalprice") > cut)
+                      & (F.col("o_orderkey") < 30_000_000)).count() == 0
+    assert got.filter("o_orderkey >= 30000000").count() == 3
+    assert got.filter("o_orderkey < 30000000").count() == \
+        post.filter(F.col("o_totalprice") <= cut).count()
+
+
+def test_conflict_budget_is_bounded_and_scraps_files(
+        spark, tmp_path, monkeypatch):
+    """Non-absorbing conflicts on EVERY attempt exhaust the bounded
+    budget (never spin), surface the TxnConflictError, and leave no
+    orphan data dirs behind."""
+    t, o = _mk(spark, tmp_path)
+    v0 = t.latest_version()
+    monkeypatch.setattr(TxnTable, "_conflict_backoff",
+                        staticmethod(lambda attempt: None))
+    real = TxnTable.commit
+
+    def always_conflict(self, adds, removes, meta=None, **kw):
+        if (meta or {}).get("operation") == "replace_where":
+            raise TxnConflictError("induced")
+        return real(self, adds, removes, meta, **kw)
+
+    monkeypatch.setattr(TxnTable, "commit", always_conflict)
+    with pytest.raises(TxnConflictError):
+        t.replace_where(
+            spark, o.filter("o_orderstatus = 'F'"),
+            "o_orderstatus = 'F'")
+    assert t.latest_version() == v0  # nothing committed
+    live = set(t.snapshot_dirs())
+    import os as _os
+    on_disk = set()
+    for root, _dirs, files in _os.walk(t.path):
+        if any(f.endswith(".parquet") for f in files):
+            rel = _os.path.relpath(root, t.path)
+            if not rel.startswith("_"):
+                on_disk.add(rel)
+    assert on_disk == live
+
+
+def test_true_thread_race_with_appenders(spark, tmp_path):
+    """REAL threads: a replace racing blind appenders lands without
+    error and the final state is a legal serialization — every
+    appender row outside the predicate survives, the replaced
+    partition holds either pre- or post-append content replaced."""
+    import threading
+
+    t, o = _mk(spark, tmp_path)
+    errs: list[Exception] = []
+
+    def appender(w):
+        try:
+            tt = TxnTable(t.path)
+            for i in range(3):
+                tt.append(o.filter("o_orderstatus = 'O'").limit(5)
+                          .withColumn(
+                              "o_orderkey",
+                              F.col("o_orderkey")
+                              + (20_000_000 * (w + 1) + i * 1_000)))
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    def replacer():
+        try:
+            tt = TxnTable(t.path)
+            tt.replace_where(
+                spark,
+                o.filter("o_orderstatus = 'F'")
+                .withColumn("o_totalprice", F.col("o_totalprice") * 2),
+                "o_orderstatus = 'F'")
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    ths = [threading.Thread(target=appender, args=(w,))
+           for w in range(2)] + [threading.Thread(target=replacer)]
+    for th in ths:
+        th.start()
+    for th in ths:
+        th.join()
+    assert not errs, errs
+    got = t.read(spark)
+    # all 2*3*5 appended O rows survived; F content fully replaced
+    assert got.filter("o_orderkey >= 20000000").count() == 30
+    assert got.filter("o_orderstatus = 'F'").count() == \
+        o.filter("o_orderstatus = 'F'").count()
