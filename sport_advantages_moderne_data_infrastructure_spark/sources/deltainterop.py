@@ -228,25 +228,37 @@ def _gen_field_metadata(cfg: dict, name: str) -> dict:
 
 
 def _protocol_for(cm: bool, dv: bool, cfg: dict,
-                  cdf: bool = False, cons: dict | None = None) -> dict:
+                  cdf: bool = False, cons: dict | None = None,
+                  ict: bool = False) -> dict:
     """The protocol action for a feature tier: the legacy version
     LADDER while it suffices (PROTOCOL.md's cumulative writer
     versions — change data feed and generated columns need writer 4,
     column mapping writer 5 + reader 2, identity columns writer 6),
     the table-features form (reader 3 / writer 7 with explicit
-    feature lists) once deletion vectors force it. The writer list
-    names the legacy features the table actually uses, as the spec
-    requires of an upgrade."""
+    feature lists) once deletion vectors force it. In-commit
+    timestamps are a WRITER-only table feature: they force the
+    writer-features form (writer 7 + ``inCommitTimestamp`` listed,
+    legacy features the table uses spelled out, as the spec requires
+    of an upgrade) while the reader version stays wherever the read
+    features put it. The writer list names the legacy features the
+    table actually uses."""
+    legacy_wf = (
+        ({"columnMapping"} if cm else set())
+        | ({"generatedColumns"} if cfg.get("generated") else set())
+        | ({"identityColumns"} if cfg.get("identity") else set())
+        | ({"changeDataFeed"} if cdf else set())
+        | ({"checkConstraints"} if cons else set())
+        | ({"inCommitTimestamp"} if ict else set()))
     if dv:
         rf = ["deletionVectors"] + (["columnMapping"] if cm else [])
-        wf = (set(rf)
-              | ({"generatedColumns"} if cfg.get("generated") else set())
-              | ({"identityColumns"} if cfg.get("identity") else set())
-              | ({"changeDataFeed"} if cdf else set())
-              | ({"checkConstraints"} if cons else set()))
+        wf = set(rf) | legacy_wf
         return {"minReaderVersion": 3, "minWriterVersion": 7,
                 "readerFeatures": sorted(rf),
                 "writerFeatures": sorted(wf)}
+    if ict:
+        return {"minReaderVersion": 2 if cm else 1,
+                "minWriterVersion": 7,
+                "writerFeatures": sorted(legacy_wf)}
     writer = 2
     if cons:
         writer = 3  # CHECK constraints: legacy writer 3
@@ -314,7 +326,8 @@ def export_delta_log(table: TxnTable, spark: SparkSession | None = None,
                      materialize_dvs: bool = False,
                      inline_dvs: bool = False,
                      dv_inline_threshold: int = 32_768,
-                     export_cdf: bool = True) -> str:
+                     export_cdf: bool = True,
+                     in_commit_timestamps: bool = False) -> str:
     """Write ``<table.path>/_delta_log`` mirroring the txn table's FULL
     commit history as Delta-protocol JSON commits (one
     ``<version 0-padded to 20>.json`` per txn version, dir-level
@@ -349,6 +362,18 @@ def export_delta_log(table: TxnTable, spark: SparkSession | None = None,
     extra synthetic commit at txn-latest+1 swaps the masked dirs for
     export-only rewrites under ``_delta_export/``. Without either
     flag, a live-DV snapshot refuses loudly.
+
+    ``in_commit_timestamps=True`` (r14 session 5) exports the ICT
+    writer feature modern delta-spark enables by default: every
+    commitInfo carries a STRICTLY monotonic ``inCommitTimestamp``
+    (seeded from the txn commit clock, bumped past ties/skew), the
+    configuration declares ``delta.enableInCommitTimestamps`` — plus
+    the spec's enablement version/timestamp boundary configs when the
+    feature turns on mid-log via an incremental re-export — and the
+    protocol takes the writer-features form (writer 7,
+    ``inCommitTimestamp`` listed). Once on, the feature stays on
+    across re-exports. ``timestampAsOf`` readers (this module's
+    included) then prefer the ICT over file times.
 
     Remaining fidelity caveats: a DV era whose position file was since
     VACUUMED exports those historical versions as if un-deleted (the
@@ -416,6 +441,9 @@ def export_delta_log(table: TxnTable, spark: SparkSession | None = None,
         dv_active = bool(carried.get("dv_active", False))
         cdf_active = bool(carried.get("cdf_active", False))
         exp_dvs = dict(carried.get("exp_dvs", {}))
+        ict_active = bool(carried.get("ict_active", False))
+        ict_last = int(carried.get("ict_last", -1))
+        ict_confs = dict(carried.get("ict_confs", {}))
         todo = [v for v in versions if v > state["last_version"]]
     else:
         table_id = str(_uuid.uuid4())
@@ -427,7 +455,20 @@ def export_delta_log(table: TxnTable, spark: SparkSession | None = None,
         dv_active = False
         cdf_active = False
         exp_dvs = {}  # file -> its current exported DV descriptor
+        ict_active = False
+        ict_last = -1  # newest inCommitTimestamp written (strict ++)
+        ict_confs = {}
         todo = versions
+    # in-commit timestamps (PROTOCOL.md: In-Commit Timestamps; a
+    # WRITER table feature, on by default in modern delta-spark): once
+    # requested the feature stays active across incremental re-exports
+    # (like the other feature flags); enabling MID-LOG records the
+    # spec's enablement boundary configs at the first ICT commit
+    ict_enable_at = None
+    if in_commit_timestamps and not ict_active:
+        ict_active = True
+        ict_enable_at = todo[0] if todo else None
+        ict_confs = {"delta.enableInCommitTimestamps": "true"}
     for v in todo:
         doc = table._doc(v)  # noqa: SLF001
         mapping_v = table.column_mapping(v) or {}
@@ -471,10 +512,25 @@ def export_delta_log(table: TxnTable, spark: SparkSession | None = None,
         cm_active = cm_active or bool(mapping_v)
         dv_active = dv_active or bool(doc_dvs)
         cdf_active = cdf_active or bool(cdc_actions)
-        if v == 0 or (cm_active, dv_active, cdf_active) != prev_tier:
+        if v == 0 or (cm_active, dv_active, cdf_active) != prev_tier \
+                or v == ict_enable_at:
             actions.append(
                 {"protocol": _protocol_for(cm_active, dv_active, cfg,
-                                           cdf_active, cons)})
+                                           cdf_active, cons,
+                                           ict=ict_active)})
+        ts_ms = int(doc.get("ts", time.time()) * 1000)
+        ict_ms = None
+        if ict_active:
+            # strictly monotonic per the spec — a same-millisecond (or
+            # clock-skewed) txn commit still advances the ICT clock
+            ict_ms = max(ts_ms, ict_last + 1)
+            ict_last = ict_ms
+            if v == ict_enable_at and v > 0:
+                ict_confs = {
+                    **ict_confs,
+                    "delta.inCommitTimestampEnablementVersion": str(v),
+                    "delta.inCommitTimestampEnablementTimestamp":
+                        str(ict_ms)}
         # streaming exactly-once watermark: a commit written by the
         # streaming sink records (stream_app_id, stream_batch_id) —
         # exported as Delta's SetTransaction action, the same idempotent
@@ -522,6 +578,7 @@ def export_delta_log(table: TxnTable, spark: SparkSession | None = None,
             # (PROTOCOL.md: CHECK Constraints) — a real writer refuses
             # to write without enforcing them (legacy writer 3)
             configuration[f"delta.constraints.{cname}"] = cexpr
+        configuration.update(ict_confs)
         meta_json = json.dumps(
             {"schema": schema_out, "parts": part_cols,
              "conf": configuration}, sort_keys=True)
@@ -535,7 +592,6 @@ def export_delta_log(table: TxnTable, spark: SparkSession | None = None,
                 "createdTime": int(doc.get("ts", time.time()) * 1000),
             }})
             last_meta_json = meta_json
-        ts_ms = int(doc.get("ts", time.time()) * 1000)
         for rel in doc["adds"]:
             pvals = {
                 col: (None if raw == _HIVE_NULL
@@ -637,6 +693,8 @@ def export_delta_log(table: TxnTable, spark: SparkSession | None = None,
         actions.extend(cdc_actions)
         actions.append({"commitInfo": {
             "timestamp": ts_ms,
+            **({"inCommitTimestamp": ict_ms}
+               if ict_ms is not None else {}),
             "operation": doc.get("meta", {}).get("operation",
                                                  "WRITE").upper(),
             "engineInfo": "samdis-txnlog-export",
@@ -644,7 +702,12 @@ def export_delta_log(table: TxnTable, spark: SparkSession | None = None,
         with open(os.path.join(log_dir, f"{v:020d}.json"), "w") as fh:
             fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
     if live_dvs and materialize_dvs:
-        _export_dv_materialization(table, spark, log_dir, live_dvs)
+        mat_ict = None
+        if ict_active:
+            ict_last = max(int(time.time() * 1000), ict_last + 1)
+            mat_ict = ict_last
+        _export_dv_materialization(table, spark, log_dir, live_dvs,
+                                   ict_ms=mat_ict)
     with open(sidecar, "w") as fh:
         json.dump({"table_id": table_id, "last_version": latest,
                    "carried": {"schema": last_schema,
@@ -654,12 +717,16 @@ def export_delta_log(table: TxnTable, spark: SparkSession | None = None,
                                "cm_active": cm_active,
                                "dv_active": dv_active,
                                "cdf_active": cdf_active,
-                               "exp_dvs": exp_dvs}}, fh)
+                               "exp_dvs": exp_dvs,
+                               "ict_active": ict_active,
+                               "ict_last": ict_last,
+                               "ict_confs": ict_confs}}, fh)
     return log_dir
 
 
 def _export_dv_materialization(table: TxnTable, spark: SparkSession,
-                               log_dir: str, dvs: dict) -> None:
+                               log_dir: str, dvs: dict,
+                               ict_ms: int | None = None) -> None:
     """One SYNTHETIC final commit (txn latest + 1) in the exported log:
     for each DV'd live dir, rewrite its masked rows into an
     export-only parquet under ``_delta_export/`` (outside the txn
@@ -704,7 +771,10 @@ def _export_dv_materialization(table: TxnTable, spark: SparkSession,
                 "dataChange": False,
             }})
     actions.append({"commitInfo": {
-        "timestamp": ts_ms, "operation": "OPTIMIZE",
+        "timestamp": ts_ms,
+        **({"inCommitTimestamp": ict_ms}
+           if ict_ms is not None else {}),
+        "operation": "OPTIMIZE",
         "engineInfo": "samdis-txnlog-export (DV materialization)",
     }})
     with open(os.path.join(log_dir, f"{v:020d}.json"), "w") as fh:
@@ -1374,7 +1444,12 @@ def _version_at_timestamp(log_dir: str, ts: float) -> int:
                     continue
                 action = json.loads(line)
                 if "commitInfo" in action:
-                    t = action["commitInfo"].get("timestamp")
+                    ci = action["commitInfo"]
+                    # inCommitTimestamp wins when present (the ICT
+                    # table feature — the spec's authoritative commit
+                    # clock, monotonic where file times are not)
+                    t = ci.get("inCommitTimestamp",
+                               ci.get("timestamp"))
         if t is None:
             t = os.path.getmtime(p) * 1000.0
         if t <= ts_ms:
@@ -1951,7 +2026,9 @@ def read_delta_changes(spark: SparkSession, path: str,
                         rems.append((_urlunquote(r["path"]),
                                      r.get("partitionValues")))
                 elif "commitInfo" in action:
-                    ts = action["commitInfo"].get("timestamp")
+                    _ci = action["commitInfo"]
+                    ts = _ci.get("inCommitTimestamp",
+                                 _ci.get("timestamp"))
         if ts is None:
             ts = int(os.path.getmtime(
                 os.path.join(log_dir, f"{v:020d}.json")) * 1000)

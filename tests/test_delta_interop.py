@@ -2107,3 +2107,84 @@ def test_compaction_preserves_partition_values_and_encoding(
         os.remove(os.path.join(log, f"{v:020d}.json"))
     got = read_delta_dir(spark, t.path)
     assert _rows(got.select("o_orderkey", "order_year")) == want
+
+
+# --- in-commit timestamps (r14 session 5; PROTOCOL.md ICT feature) -------
+
+
+def test_ict_export_monotonic_and_timestamp_travel(spark, tmp_path):
+    """in_commit_timestamps=True: every commitInfo carries a STRICTLY
+    increasing inCommitTimestamp, the protocol takes the
+    writer-features form with inCommitTimestamp listed, the
+    configuration declares the feature, and timestampAsOf resolves
+    through the ICT — even when the commit files' mtimes are garbage
+    (the exact failure ICT exists to fix)."""
+    o = _orders(spark, 90)
+    t = TxnTable(str(tmp_path / "ict"))
+    t.append(o.limit(30))
+    t.append(o.offset(30).limit(30))
+    t.append(o.offset(60))
+    log = export_delta_log(t, in_commit_timestamps=True)
+    icts, proto, conf = [], None, None
+    for v in range(3):
+        with open(os.path.join(log, f"{v:020d}.json")) as fh:
+            for ln in fh:
+                a = json.loads(ln) if ln.strip() else {}
+                if "commitInfo" in a:
+                    icts.append(a["commitInfo"]["inCommitTimestamp"])
+                if "protocol" in a:
+                    proto = a["protocol"]
+                if "metaData" in a:
+                    conf = a["metaData"]["configuration"]
+    assert len(icts) == 3 and icts == sorted(icts)
+    assert len(set(icts)) == 3  # strictly monotonic
+    assert proto["minWriterVersion"] == 7
+    assert "inCommitTimestamp" in proto["writerFeatures"]
+    assert conf["delta.enableInCommitTimestamps"] == "true"
+    # garbage mtimes: ICT must still resolve timestamp travel
+    for v in range(3):
+        os.utime(os.path.join(log, f"{v:020d}.json"), (0, 0))
+    got = read_delta_dir(spark, t.path, timestamp=icts[1] / 1000.0)
+    assert got.count() == t.read(spark, version=1).count()
+    with pytest.raises(ValueError, match="no retained commit"):
+        read_delta_dir(spark, t.path,
+                       timestamp=(icts[0] - 10_000) / 1000.0)
+
+
+def test_ict_midlog_enablement_boundary(spark, tmp_path):
+    """Enabling ICT on an incremental re-export records the spec's
+    enablement version + timestamp configs at the boundary commit;
+    pre-boundary commits keep their plain commitInfo and the feature
+    stays on for subsequent re-exports."""
+    o = _orders(spark, 90)
+    t = TxnTable(str(tmp_path / "mid"))
+    t.append(o.limit(30))
+    export_delta_log(t)  # v0: no ICT
+    t.append(o.offset(30).limit(30))
+    export_delta_log(t, in_commit_timestamps=True)  # v1: boundary
+    t.append(o.offset(60))
+    export_delta_log(t)  # v2: feature must STAY on
+    log = os.path.join(t.path, "_delta_log")
+    per_v = {}
+    conf = None
+    for v in range(3):
+        ci = None
+        with open(os.path.join(log, f"{v:020d}.json")) as fh:
+            for ln in fh:
+                a = json.loads(ln) if ln.strip() else {}
+                if "commitInfo" in a:
+                    ci = a["commitInfo"]
+                if "metaData" in a:
+                    conf = a["metaData"]["configuration"]
+        per_v[v] = ci
+    assert "inCommitTimestamp" not in per_v[0]
+    assert "inCommitTimestamp" in per_v[1]
+    assert "inCommitTimestamp" in per_v[2]
+    assert per_v[2]["inCommitTimestamp"] > per_v[1]["inCommitTimestamp"]
+    assert conf["delta.enableInCommitTimestamps"] == "true"
+    assert conf["delta.inCommitTimestampEnablementVersion"] == "1"
+    assert int(conf["delta.inCommitTimestampEnablementTimestamp"]) \
+        == per_v[1]["inCommitTimestamp"]
+    # snapshot still reads clean through the mixed-era log
+    got = read_delta_dir(spark, t.path)
+    assert got.count() == t.read(spark).count()
