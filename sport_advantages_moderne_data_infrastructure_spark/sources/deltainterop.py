@@ -1954,7 +1954,22 @@ def read_delta_changes(spark: SparkSession, path: str,
         "delta.columnMapping.physicalName", f.name)
         for f in schema.fields}
     root = os.path.abspath(path)
-    versions = [v for v in _log_versions(log_dir)
+    jsons = set(_log_versions(log_dir))
+    known_max = max([*jsons, since_version,
+                     *[y for _x, y, _f in _compaction_files(log_dir)]])
+    hi = known_max if upto is None else min(upto, known_max)
+    missing = [v for v in range(since_version + 1, hi + 1)
+               if v not in jsons]
+    if missing:
+        # CDF needs PER-COMMIT granularity: a commit JSON gone to log
+        # compaction or retention cleanup cannot be derived from the
+        # net state — silently skipping it would drop its changes
+        raise ValueError(
+            f"change feed for ({since_version}, {hi}] in {log_dir}: "
+            f"commit JSON missing for version(s) {missing[:5]} "
+            "(log-compacted or retention-cleaned) — resync from a "
+            "snapshot at or after the missing range")
+    versions = [v for v in jsons
                 if v > since_version and (upto is None or v <= upto)]
 
     def _attach(df: DataFrame, entries: list[tuple[str, dict]],

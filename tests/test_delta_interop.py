@@ -2188,3 +2188,31 @@ def test_ict_midlog_enablement_boundary(spark, tmp_path):
     # snapshot still reads clean through the mixed-era log
     got = read_delta_dir(spark, t.path)
     assert got.count() == t.read(spark).count()
+
+
+def test_change_feed_refuses_compacted_range(spark, tmp_path):
+    """CDF needs per-commit granularity: reading a window whose commit
+    JSONs went to log compaction raises (resync guidance) instead of
+    silently dropping the compacted commits' changes; windows before
+    and after the compacted range still read."""
+    from sport_advantages_moderne_data_infrastructure_spark.sources.deltainterop import (
+        compact_delta_log,
+        read_delta_changes,
+    )
+
+    o = _orders(spark, 90)
+    t = TxnTable(str(tmp_path / "cdfc"))
+    t.append(o.limit(30))
+    t.append(o.offset(30).limit(30))
+    t.append(o.offset(60))
+    export_delta_log(t)
+    compact_delta_log(t.path, 0, 1)
+    log = os.path.join(t.path, "_delta_log")
+    for v in (0, 1):
+        os.remove(os.path.join(log, f"{v:020d}.json"))
+    with pytest.raises(ValueError, match="log-compacted"):
+        read_delta_changes(spark, t.path, 0)
+    # the snapshot itself still reads through the compaction
+    assert read_delta_dir(spark, t.path).count() == t.read(spark).count()
+    # a window entirely past the compacted range is still servable
+    assert read_delta_changes(spark, t.path, 1).count() == 30
