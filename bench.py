@@ -965,16 +965,36 @@ def bench_delta_replay(spark) -> dict:
     long_tail = build(20_000, 60)
     t_small, t_large = measure(small), measure(large)
     t_long = measure(long_tail)
+    # log compaction (r14 session 5): compacting the 60-commit tail
+    # into one <x>.<y>.compacted.json collapses the tail segment to a
+    # single replay unit — the reader must pick it up and stay at
+    # least as fast (the wall-time win grows with tail length; the
+    # unit-count collapse is the structural guarantee)
+    from sport_advantages_moderne_data_infrastructure_spark.sources.deltainterop import (
+        _tail_units,
+        compact_delta_log,
+    )
+    lt_log = os.path.join(long_tail, "_delta_log")
+    units_before = len(_tail_units(lt_log, 0, None))
+    compact_delta_log(long_tail, 1, 60)
+    units_after = len(_tail_units(lt_log, 0, None))
+    t_compacted = measure(long_tail)
     for r in (small, large, long_tail):
         shutil.rmtree(r, ignore_errors=True)
     ratio = round(t_large / max(t_small, 1e-9), 3)
+    c_ratio = round(t_compacted / max(t_long, 1e-9), 3)
     return {
         "files_small": 2_500, "files_large": 20_000,
         "t_small_sec": round(t_small, 3),
         "t_large_sec": round(t_large, 3),
         "t_long_tail_sec": round(t_long, 3),
+        "t_compacted_tail_sec": round(t_compacted, 3),
+        "tail_units_before": units_before,
+        "tail_units_after": units_after,
+        "tail_compaction_ratio": c_ratio,
         "table_scaling_ratio": ratio,
-        "scaling_ok": ratio < 3.0,
+        "scaling_ok": ratio < 3.0 and units_after == 1
+        and c_ratio < 1.5,
     }
 
 
