@@ -1482,6 +1482,42 @@ def export_delta_checkpoint_if_needed(spark: SparkSession, path: str,
     return export_delta_checkpoint(spark, path, parts=parts)
 
 
+def compact_delta_log_if_needed(path: str, span: int = 10,
+                                ) -> str | None:
+    """Log-compaction CADENCE (the maintenance twin of
+    :func:`export_delta_checkpoint_if_needed`): when at least ``span``
+    consecutive JSON commits have accumulated past both the newest
+    complete checkpoint and the newest compaction, compact the oldest
+    such full span into one ``.compacted.json``. A continuously-
+    written table maintained this way keeps its tail segment at
+    O(tail / span) replay units between checkpoints — cheaper than
+    checkpointing every ``span`` commits (a compaction is a bounded
+    JSON rewrite, never a full-state parquet dump). Returns the
+    compaction path, or None when under cadence."""
+    log_dir = os.path.join(path, "_delta_log")
+    if not os.path.isdir(log_dir):
+        raise ValueError(f"not a Delta table (no _delta_log): {path}")
+    versions = _log_versions(log_dir)
+    if not versions:
+        return None
+    cp = _checkpoint_parts(log_dir, None)
+    floor = -1 if cp is None else cp[0]
+    comp_end = max([y for _x, y, _f in _compaction_files(log_dir)],
+                   default=-1)
+    lo = max(floor, comp_end) + 1
+    have = set(versions)
+    # oldest contiguous full span past the floor
+    while lo + span - 1 <= versions[-1]:
+        window = list(range(lo, lo + span))
+        if all(v in have for v in window):
+            return compact_delta_log(path, lo, lo + span - 1)
+        # a hole below means those commits are gone (retention);
+        # restart the span search past it
+        missing = [v for v in window if v not in have]
+        lo = missing[-1] + 1
+    return None
+
+
 def compact_delta_log(path: str, start: int, end: int) -> str:
     """Write a LOG-COMPACTION file ``<start>.<end>.compacted.json``
     (PROTOCOL.md: Log Compaction Files) holding the action-

@@ -2216,3 +2216,32 @@ def test_change_feed_refuses_compacted_range(spark, tmp_path):
     assert read_delta_dir(spark, t.path).count() == t.read(spark).count()
     # a window entirely past the compacted range is still servable
     assert read_delta_changes(spark, t.path, 1).count() == 30
+
+
+def test_compaction_cadence(spark, tmp_path):
+    """compact_delta_log_if_needed compacts the oldest full span past
+    the newest checkpoint/compaction once `span` commits accumulate,
+    returns None under cadence, and successive calls chain spans —
+    keeping the tail at O(tail/span) replay units."""
+    from sport_advantages_moderne_data_infrastructure_spark.sources.deltainterop import (
+        _tail_units,
+        compact_delta_log_if_needed,
+    )
+
+    o = _orders(spark, 120)
+    t = TxnTable(str(tmp_path / "cad"))
+    for i in range(8):
+        t.append(o.offset(15 * i).limit(15))
+    export_delta_log(t)
+    assert compact_delta_log_if_needed(t.path, span=10) is None
+    p1 = compact_delta_log_if_needed(t.path, span=4)
+    assert p1 and os.path.basename(p1) \
+        == f"{0:020d}.{3:020d}.compacted.json"
+    p2 = compact_delta_log_if_needed(t.path, span=4)
+    assert p2 and os.path.basename(p2) \
+        == f"{4:020d}.{7:020d}.compacted.json"
+    assert compact_delta_log_if_needed(t.path, span=4) is None
+    log = os.path.join(t.path, "_delta_log")
+    assert len(_tail_units(log, None, None)) == 2
+    got = read_delta_dir(spark, t.path)
+    assert got.count() == t.read(spark).count()
