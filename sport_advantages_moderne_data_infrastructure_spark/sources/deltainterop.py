@@ -229,7 +229,7 @@ def _gen_field_metadata(cfg: dict, name: str) -> dict:
 
 def _protocol_for(cm: bool, dv: bool, cfg: dict,
                   cdf: bool = False, cons: dict | None = None,
-                  ict: bool = False) -> dict:
+                  ict: bool = False, v2cp: bool = False) -> dict:
     """The protocol action for a feature tier: the legacy version
     LADDER while it suffices (PROTOCOL.md's cumulative writer
     versions — change data feed and generated columns need writer 4,
@@ -248,9 +248,15 @@ def _protocol_for(cm: bool, dv: bool, cfg: dict,
         | ({"identityColumns"} if cfg.get("identity") else set())
         | ({"changeDataFeed"} if cdf else set())
         | ({"checkConstraints"} if cons else set())
-        | ({"inCommitTimestamp"} if ict else set()))
-    if dv:
-        rf = ["deletionVectors"] + (["columnMapping"] if cm else [])
+        | ({"inCommitTimestamp"} if ict else set())
+        | ({"v2Checkpoint"} if v2cp else set()))
+    if dv or v2cp:
+        # v2Checkpoint is a READER+writer feature (PROTOCOL.md: V2
+        # Checkpoint Table Feature) — like DVs it forces the full
+        # table-features form
+        rf = ((["deletionVectors"] if dv else [])
+              + (["columnMapping"] if cm else [])
+              + (["v2Checkpoint"] if v2cp else []))
         wf = set(rf) | legacy_wf
         return {"minReaderVersion": 3, "minWriterVersion": 7,
                 "readerFeatures": sorted(rf),
@@ -327,7 +333,8 @@ def export_delta_log(table: TxnTable, spark: SparkSession | None = None,
                      inline_dvs: bool = False,
                      dv_inline_threshold: int = 32_768,
                      export_cdf: bool = True,
-                     in_commit_timestamps: bool = False) -> str:
+                     in_commit_timestamps: bool = False,
+                     v2_checkpoints: bool = False) -> str:
     """Write ``<table.path>/_delta_log`` mirroring the txn table's FULL
     commit history as Delta-protocol JSON commits (one
     ``<version 0-padded to 20>.json`` per txn version, dir-level
@@ -444,6 +451,7 @@ def export_delta_log(table: TxnTable, spark: SparkSession | None = None,
         ict_active = bool(carried.get("ict_active", False))
         ict_last = int(carried.get("ict_last", -1))
         ict_confs = dict(carried.get("ict_confs", {}))
+        v2cp_active = bool(carried.get("v2cp_active", False))
         todo = [v for v in versions if v > state["last_version"]]
     else:
         table_id = str(_uuid.uuid4())
@@ -458,6 +466,7 @@ def export_delta_log(table: TxnTable, spark: SparkSession | None = None,
         ict_active = False
         ict_last = -1  # newest inCommitTimestamp written (strict ++)
         ict_confs = {}
+        v2cp_active = False
         todo = versions
     # in-commit timestamps (PROTOCOL.md: In-Commit Timestamps; a
     # WRITER table feature, on by default in modern delta-spark): once
@@ -469,6 +478,14 @@ def export_delta_log(table: TxnTable, spark: SparkSession | None = None,
         ict_active = True
         ict_enable_at = todo[0] if todo else None
         ict_confs = {"delta.enableInCommitTimestamps": "true"}
+    # v2 checkpoints (PROTOCOL.md: V2 Checkpoint Table Feature): a
+    # reader+writer feature — declaring it in the protocol is what
+    # LICENSES export_delta_checkpoint(format="v2"); enabling mid-log
+    # upgrades the protocol at the first new exported commit
+    v2cp_enable_at = None
+    if v2_checkpoints and not v2cp_active:
+        v2cp_active = True
+        v2cp_enable_at = todo[0] if todo else None
     for v in todo:
         doc = table._doc(v)  # noqa: SLF001
         mapping_v = table.column_mapping(v) or {}
@@ -513,11 +530,12 @@ def export_delta_log(table: TxnTable, spark: SparkSession | None = None,
         dv_active = dv_active or bool(doc_dvs)
         cdf_active = cdf_active or bool(cdc_actions)
         if v == 0 or (cm_active, dv_active, cdf_active) != prev_tier \
-                or v == ict_enable_at:
+                or v == ict_enable_at or v == v2cp_enable_at:
             actions.append(
                 {"protocol": _protocol_for(cm_active, dv_active, cfg,
                                            cdf_active, cons,
-                                           ict=ict_active)})
+                                           ict=ict_active,
+                                           v2cp=v2cp_active)})
         ts_ms = int(doc.get("ts", time.time()) * 1000)
         ict_ms = None
         if ict_active:
@@ -720,7 +738,8 @@ def export_delta_log(table: TxnTable, spark: SparkSession | None = None,
                                "exp_dvs": exp_dvs,
                                "ict_active": ict_active,
                                "ict_last": ict_last,
-                               "ict_confs": ict_confs}}, fh)
+                               "ict_confs": ict_confs,
+                               "v2cp_active": v2cp_active}}, fh)
     return log_dir
 
 
@@ -1267,8 +1286,47 @@ _CP_DDL = (
     "txn struct<appId:string,version:bigint,lastUpdated:bigint>")
 
 
+def _checkpoint_removes(spark: SparkSession,
+                        parts: list[str]) -> DataFrame:
+    """(path, deletionTimestamp, dataChange) tombstones of a prior
+    checkpoint — classic parquet parts, JSON-format v2 manifests, and
+    sidecar-carried removes all read. The re-checkpoint writer carries
+    these FORWARD (a v2 prior whose removes live in sidecars would
+    otherwise silently lose its tombstones one checkpoint early)."""
+    cpdf = (spark.read.json(parts) if parts[0].endswith(".json")
+            else spark.read.parquet(*parts))
+
+    def _rems(df: DataFrame) -> DataFrame:
+        return df.filter("remove IS NOT NULL").select(
+            F.col("remove.path").cast("string").alias("path"),
+            F.col("remove.deletionTimestamp").cast("bigint")
+            .alias("deletionTimestamp"),
+            F.col("remove.dataChange").cast("boolean")
+            .alias("dataChange"))
+
+    out = spark.createDataFrame(
+        [], "path string, deletionTimestamp bigint, "
+            "dataChange boolean")
+    if "remove" in cpdf.columns:
+        out = out.unionByName(_rems(cpdf))
+    if "sidecar" in cpdf.columns:
+        log_dir = os.path.dirname(parts[0])
+        sps = []
+        for r in cpdf.filter("sidecar IS NOT NULL") \
+                .select("sidecar.path").collect():
+            sp = r["path"]
+            sps.append(sp if ("://" in sp or os.path.isabs(sp))
+                       else os.path.join(log_dir, "_sidecars", sp))
+        if sps:
+            sdf = spark.read.parquet(*sps)
+            if "remove" in sdf.columns:
+                out = out.unionByName(_rems(sdf))
+    return out
+
+
 def export_delta_checkpoint(spark: SparkSession, path: str,
-                            parts: int = 1) -> str:
+                            parts: int = 1,
+                            format: str = "classic") -> str:
     """Write a parquet CHECKPOINT of the latest exported state plus
     ``_last_checkpoint`` — after this, a Delta reader (this module's or
     a real one) plans from the checkpoint + the JSON tail instead of
@@ -1283,7 +1341,19 @@ def export_delta_checkpoint(spark: SparkSession, path: str,
     ``parts``) — the shape real writers emit at scale. Run after
     :func:`export_delta_log`; re-run after each re-export. The
     O(commits) log walk becomes O(tail) — the 2,880-commits-per-day
-    streaming-table shape."""
+    streaming-table shape.
+
+    ``format="v2"`` (r14 session 5) writes the V2 layout modern
+    delta-spark emits: a uuid-named parquet MANIFEST
+    (``<v>.checkpoint.<uuid>.parquet`` — protocol, metaData, txn,
+    ``checkpointMetadata``, and ``sidecar`` pointer actions) with the
+    add/remove actions in ``parts`` sidecar parquet files under
+    ``_delta_log/_sidecars/``. Requires the table's protocol to
+    declare the ``v2Checkpoint`` reader feature — export the log with
+    ``export_delta_log(..., v2_checkpoints=True)`` first (readers
+    unaware of the feature must refuse such tables, so the
+    declaration is mandatory, PROTOCOL.md: V2 Checkpoint Table
+    Feature)."""
     import glob as _glob
     import shutil as _shutil
     import tempfile
@@ -1358,15 +1428,7 @@ def export_delta_checkpoint(spark: SparkSession, path: str,
         "path string, deletionTimestamp bigint, dataChange boolean")
     prior = _checkpoint_parts(log_dir, None)
     if prior is not None:
-        pr = spark.read.parquet(*prior[1])
-        if "remove" in pr.columns:
-            tomb = tomb.unionByName(
-                pr.filter("remove IS NOT NULL").select(
-                    F.col("remove.path").cast("string").alias("path"),
-                    F.col("remove.deletionTimestamp").cast("bigint")
-                    .alias("deletionTimestamp"),
-                    F.col("remove.dataChange").cast("boolean")
-                    .alias("dataChange")))
+        tomb = tomb.unionByName(_checkpoint_removes(spark, prior[1]))
     tomb = (tomb.groupBy("path")
             .agg(F.max("deletionTimestamp").alias("deletionTimestamp"),
                  F.max("dataChange").alias("dataChange"))
@@ -1395,6 +1457,62 @@ def export_delta_checkpoint(spark: SparkSession, path: str,
         .alias("remove"),
         F.lit(None).cast(txn_t).alias("txn"))
     cp_df = local.unionByName(add_rows).unionByName(rem_rows)
+
+    if format == "v2":
+        import pyarrow.parquet as _papq
+        if "v2Checkpoint" not in (proto.get("readerFeatures") or []):
+            raise ValueError(
+                "export_delta_checkpoint(format='v2'): the table's "
+                "protocol does not declare the v2Checkpoint reader "
+                "feature — re-export the log with export_delta_log("
+                "..., v2_checkpoints=True) first (readers unaware of "
+                "the feature must refuse v2-checkpointed tables, so "
+                "the declaration is mandatory)")
+        side_df = (add_rows.select("add", "remove")
+                   .unionByName(rem_rows.select("add", "remove")))
+        tmp = tempfile.mkdtemp(prefix="samdis_delta_v2cp_")
+        out = os.path.join(tmp, "sc")
+        (side_df.repartition(max(1, parts)) if parts > 1
+         else side_df.coalesce(1)).write.parquet(out)
+        os.makedirs(os.path.join(log_dir, "_sidecars"), exist_ok=True)
+        side_actions: list[tuple] = []
+        n_actions = 0
+        for src in sorted(_glob.glob(os.path.join(out,
+                                                  "part-*.parquet"))):
+            name = f"{_uuid.uuid4().hex}.parquet"
+            dst = os.path.join(log_dir, "_sidecars", name)
+            _shutil.copy(src, dst)
+            n_actions += _papq.ParquetFile(dst).metadata.num_rows
+            side_actions.append(
+                (name, os.path.getsize(dst),
+                 int(os.path.getmtime(dst) * 1000)))
+        man_ddl = (_CP_DDL
+                   + ", checkpointMetadata struct<version:bigint>"
+                   ", sidecar struct<path:string,sizeInBytes:bigint,"
+                   "modificationTime:bigint>")
+        base5 = [(proto_row, None, None, None, None),
+                 (None, meta_row, None, None, None)] + txn_rows
+        man_rows = [r + (None, None) for r in base5]
+        man_rows.append((None,) * 5 + ((v,), None))
+        man_rows.extend((None,) * 5 + (None, s) for s in side_actions)
+        man_out = os.path.join(tmp, "man")
+        spark.createDataFrame(man_rows, man_ddl) \
+            .coalesce(1).write.parquet(man_out)
+        man_name = f"{v:020d}.checkpoint.{_uuid.uuid4().hex}.parquet"
+        _shutil.copy(
+            sorted(_glob.glob(os.path.join(man_out,
+                                           "part-*.parquet")))[0],
+            os.path.join(log_dir, man_name))
+        with open(os.path.join(log_dir, "_last_checkpoint"),
+                  "w") as fh:
+            json.dump({"version": v,
+                       "size": n_actions + len(man_rows)}, fh)
+        _shutil.rmtree(tmp, ignore_errors=True)
+        return os.path.join(log_dir, man_name)
+    if format != "classic":
+        raise ValueError(
+            f"unknown checkpoint format {format!r} — 'classic' or "
+            "'v2'")
 
     tmp = tempfile.mkdtemp(prefix="samdis_delta_cp_")
     out = os.path.join(tmp, "cp")
@@ -1463,7 +1581,9 @@ def _version_at_timestamp(log_dir: str, ts: float) -> int:
 
 def export_delta_checkpoint_if_needed(spark: SparkSession, path: str,
                                       interval: int = 10,
-                                      parts: int = 1) -> str | None:
+                                      parts: int = 1,
+                                      format: str = "classic"
+                                      ) -> str | None:
     """Checkpoint cadence (Delta's ``checkpointInterval``): write a
     checkpoint only when at least ``interval`` JSON commits have
     accumulated past the newest complete one — the policy that keeps
@@ -1479,7 +1599,8 @@ def export_delta_checkpoint_if_needed(spark: SparkSession, path: str,
     floor = -1 if cp is None else cp[0]
     if versions[-1] - floor < interval:
         return None
-    return export_delta_checkpoint(spark, path, parts=parts)
+    return export_delta_checkpoint(spark, path, parts=parts,
+                                   format=format)
 
 
 def compact_delta_log_if_needed(path: str, span: int = 10,

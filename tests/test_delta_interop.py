@@ -2245,3 +2245,86 @@ def test_compaction_cadence(spark, tmp_path):
     assert len(_tail_units(log, None, None)) == 2
     got = read_delta_dir(spark, t.path)
     assert got.count() == t.read(spark).count()
+
+
+# --- V2 checkpoint WRITE (r14 session 5) ---------------------------------
+
+
+def test_v2_checkpoint_write_roundtrip(spark, tmp_path):
+    """export_delta_checkpoint(format='v2') writes the modern layout —
+    uuid-named parquet manifest (protocol/metaData/checkpointMetadata/
+    sidecar actions) + add/remove sidecars under _delta_log/_sidecars —
+    requires the v2Checkpoint protocol declaration, and the snapshot
+    survives full log-retention cleanup on the v2 checkpoint alone."""
+    from sport_advantages_moderne_data_infrastructure_spark.sources.deltainterop import (
+        export_delta_checkpoint,
+    )
+
+    o = _orders(spark, 90)
+    t = TxnTable(str(tmp_path / "v2w"))
+    t.append(o.limit(30))
+    t.append(o.offset(30).limit(30))
+    t.delete_where(spark, "o_orderkey % 5 = 0")
+    # without the protocol declaration: refuse
+    export_delta_log(t)
+    with pytest.raises(ValueError, match="v2Checkpoint"):
+        export_delta_checkpoint(spark, t.path, format="v2")
+    # fresh export with the feature declared
+    import shutil as _sh
+    _sh.rmtree(os.path.join(t.path, "_delta_log"))
+    log = export_delta_log(t, v2_checkpoints=True)
+    with open(os.path.join(log, f"{0:020d}.json")) as fh:
+        proto = next(json.loads(ln)["protocol"] for ln in fh
+                     if ln.strip() and "protocol" in ln)
+    assert proto["minReaderVersion"] == 3
+    assert "v2Checkpoint" in proto["readerFeatures"]
+    assert "v2Checkpoint" in proto["writerFeatures"]
+    want = _rows(t.read(spark).select("o_orderkey", "o_totalprice"))
+    man = export_delta_checkpoint(spark, t.path, format="v2")
+    base = os.path.basename(man)
+    assert base.startswith(f"{2:020d}.checkpoint.") \
+        and base.endswith(".parquet")
+    scs = os.listdir(os.path.join(log, "_sidecars"))
+    assert len(scs) == 1 and scs[0].endswith(".parquet")
+    # manifest carries checkpointMetadata + sidecar pointer actions
+    import pyarrow.parquet as papq
+    mt = papq.read_table(man)
+    cols = mt.column_names
+    assert "checkpointMetadata" in cols and "sidecar" in cols
+    # retention-clean EVERY json commit: v2 checkpoint alone suffices
+    for v in range(3):
+        os.remove(os.path.join(log, f"{v:020d}.json"))
+    got = read_delta_dir(spark, t.path)
+    assert _rows(got.select("o_orderkey", "o_totalprice")) == want
+
+
+def test_v2_checkpoint_multi_sidecar_and_tombstone_carry(
+        spark, tmp_path):
+    """parts>1 splits the add/remove actions across sidecars; a LATER
+    classic re-checkpoint carries the v2 prior's sidecar-held
+    tombstones forward (the _checkpoint_removes path)."""
+    from sport_advantages_moderne_data_infrastructure_spark.sources.deltainterop import (
+        export_delta_checkpoint,
+    )
+
+    o = _orders(spark, 90)
+    t = TxnTable(str(tmp_path / "v2m"))
+    t.append(o.limit(45))
+    t.delete_where(spark, "o_orderkey % 3 = 0")  # tombstones at v1
+    log = export_delta_log(t, v2_checkpoints=True)
+    export_delta_checkpoint(spark, t.path, parts=2, format="v2")
+    assert len(os.listdir(os.path.join(log, "_sidecars"))) == 2
+    want1 = _rows(t.read(spark).select("o_orderkey", "o_totalprice"))
+    assert _rows(read_delta_dir(spark, t.path)
+                 .select("o_orderkey", "o_totalprice")) == want1
+    # new commit, re-export, CLASSIC re-checkpoint over the v2 prior
+    t.append(o.offset(45))
+    export_delta_log(t)
+    cp = export_delta_checkpoint(spark, t.path)
+    pr = spark.read.parquet(cp)
+    carried = pr.filter("remove IS NOT NULL").count()
+    assert carried > 0  # v2 sidecar tombstones survived the rollover
+    for v in range(3):
+        os.remove(os.path.join(log, f"{v:020d}.json"))
+    got = read_delta_dir(spark, t.path)
+    assert got.count() == t.read(spark).count()
