@@ -2328,3 +2328,114 @@ def test_v2_checkpoint_multi_sidecar_and_tombstone_carry(
         os.remove(os.path.join(log, f"{v:020d}.json"))
     got = read_delta_dir(spark, t.path)
     assert got.count() == t.read(spark).count()
+
+
+def test_duckdb_parses_v2_checkpoint_and_compacted_tail(
+        spark, tmp_path):
+    """Foreign-engine validation of the r14-session-5 artifacts: DuckDB
+    independently parses the V2 MANIFEST parquet, follows its sidecar
+    pointer actions to the add/remove sidecar files with its own
+    parquet reader, parses the LOG-COMPACTION file as the JSON tail,
+    reconstructs the live set in SQL, and must agree byte-for-byte
+    with both the Spark reader and the engine's native read — so the
+    v2/compaction writers and readers cannot share a
+    self-consistent-but-wrong shape."""
+    import glob
+
+    import duckdb
+
+    from sport_advantages_moderne_data_infrastructure_spark.sources.deltainterop import (
+        compact_delta_log,
+        export_delta_checkpoint,
+    )
+
+    o = _orders(spark, 100)
+    t = TxnTable(str(tmp_path / "duckv2"))
+    t.set_generated_column("order_month",
+                           "DATE_FORMAT(o_orderdate, 'yyyy-MM')")
+    t.set_partition_column("order_month")
+    t.append(o.limit(60))                                  # v0
+    t.delete_where(spark, "o_orderkey % 6 = 0")            # v1
+    t.append(o.offset(60).limit(20))                       # v2
+    t.append(o.offset(80))                                 # v3
+    log = export_delta_log(t, v2_checkpoints=True)
+    # v2 checkpoint at v1, then compact the [2,3] tail and clean it
+    keep = {f: open(os.path.join(log, f)).read()
+            for f in os.listdir(log) if f.endswith(".json")
+            and f[:1].isdigit() and int(f[:-5]) > 1}
+    for f in list(keep):
+        os.remove(os.path.join(log, f))
+    export_delta_checkpoint(spark, t.path, format="v2")
+    for f, body in keep.items():
+        with open(os.path.join(log, f), "w") as fh:
+            fh.write(body)
+    compact_delta_log(t.path, 2, 3)
+    for v in (2, 3):
+        os.remove(os.path.join(log, f"{v:020d}.json"))
+
+    con = duckdb.connect()
+    man = glob.glob(os.path.join(log, "*.checkpoint.*.parquet"))[0]
+    side = con.execute(f"""
+        SELECT sidecar.path FROM read_parquet('{man}')
+        WHERE sidecar IS NOT NULL""").fetchall()
+    assert side, "manifest must carry sidecar pointer actions"
+    side_files = [os.path.join(log, "_sidecars", p) for (p,) in side]
+    assert all(os.path.isfile(f) for f in side_files)
+    cmeta = con.execute(f"""
+        SELECT checkpointMetadata.version FROM read_parquet('{man}')
+        WHERE checkpointMetadata IS NOT NULL""").fetchone()
+    assert cmeta == (1,)
+    con.execute(f"""
+        CREATE TABLE cp_adds AS
+        SELECT add.path AS path,
+               add.partitionValues['order_month'][1] AS month
+        FROM read_parquet({side_files!r}) WHERE add IS NOT NULL""")
+    comp = os.path.join(
+        log, f"{2:020d}.{3:020d}.compacted.json")
+    con.execute(f"""
+        CREATE TABLE tail_actions AS
+        SELECT * FROM read_json_auto('{comp}',
+                                     format='newline_delimited',
+                                     union_by_name=true)""")
+    cols = {r[0] for r in con.execute(
+        "SELECT column_name FROM information_schema.columns "
+        "WHERE table_name = 'tail_actions'").fetchall()}
+    rm = ("SELECT remove.path FROM tail_actions "
+          "WHERE remove IS NOT NULL") if "remove" in cols else \
+         "SELECT NULL WHERE 1=0"
+    ad = ("SELECT add.path AS path, "
+          "add.partitionValues.order_month AS month "
+          "FROM tail_actions WHERE add IS NOT NULL") \
+        if "add" in cols else "SELECT NULL, NULL WHERE 1=0"
+    live = con.execute(f"""
+        WITH removed AS ({rm}),
+             tadds AS ({ad})
+        SELECT path, month FROM cp_adds
+        WHERE path NOT IN (SELECT * FROM removed)
+          AND path NOT IN (SELECT path FROM tadds)
+        UNION ALL SELECT path, month FROM tadds
+        WHERE path NOT IN (SELECT * FROM removed)""").fetchall()
+    from urllib.parse import unquote as _uq
+    live = [(_uq(p), m) for p, m in live]
+    assert live
+    files = [os.path.join(t.path, p) for p, _ in live]
+    assert all(os.path.isfile(f) for f in files)
+    month_of = {os.path.join(t.path, p): m for p, m in live}
+    rows = con.execute(f"""
+        SELECT filename, o_orderkey,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM read_parquet({files!r}, filename=true,
+                          hive_partitioning=false)""").fetchall()
+    duck = {(k, c, month_of[fn]) for fn, k, c in rows}
+
+    def _cents(df):
+        return {(r["o_orderkey"], r["cents"], r["order_month"])
+                for r in df.select(
+                    "o_orderkey",
+                    F.round(F.col("o_totalprice") * 100).cast("bigint")
+                    .alias("cents"),
+                    F.col("order_month").cast("string")
+                    .alias("order_month")).collect()}
+
+    assert duck == _cents(read_delta_dir(spark, t.path))
+    assert duck == _cents(t.read(spark))
