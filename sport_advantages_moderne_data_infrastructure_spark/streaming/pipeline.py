@@ -294,15 +294,20 @@ def write_stream_txn_append(df: DataFrame, target: str, checkpoint: str,
     def _maybe_export(table) -> None:
         if export_delta:
             from ..sources.deltainterop import (
+                compact_delta_log_if_needed,
                 export_delta_checkpoint_if_needed,
                 export_delta_log,
             )
 
             export_delta_log(table)
             # checkpoint cadence keeps the foreign reader's JSON-tail
-            # replay bounded as the streamed history grows
+            # replay bounded as the streamed history grows; between
+            # checkpoints, log compaction keeps the tail SEGMENT at
+            # O(tail/span) replay units (r14 session 5 — a bounded
+            # JSON rewrite, far cheaper than an extra checkpoint)
             export_delta_checkpoint_if_needed(
                 df.sparkSession, table.path)
+            compact_delta_log_if_needed(table.path, span=5)
 
     w = (df.writeStream.foreachBatch(_append)
          .option("checkpointLocation", checkpoint))

@@ -992,7 +992,7 @@ def test_streaming_sink_exports_delta_per_batch(spark, tmp_path):
     target = str(root / "tgt")
     ckpt = str(root / "ckpt")
     (D.cdc_events(spark, "/root/testdata/sf0.001").limit(400)
-     .repartition(4).write.parquet(src))
+     .repartition(6).write.parquet(src))
     stream = P.stream_cdc_from_files(spark, src,
                                      max_files_per_trigger=1)
     q = P.write_stream_txn_append(stream, target, ckpt,
@@ -1009,6 +1009,13 @@ def test_streaming_sink_exports_delta_per_batch(spark, tmp_path):
     assert got.count() == want.count() > 0
     assert _rows(got.select("id", "sport_type")) == _rows(
         want.select("id", "sport_type"))
+    # the per-batch maintenance also writes log compactions at its
+    # 5-commit span (6 micro-batch commits -> one [0,4] compaction),
+    # and the compacted log still reads identically
+    assert t.latest_version() >= 5
+    comps = [f for f in os.listdir(log_dir)
+             if f.endswith(".compacted.json")]
+    assert f"{0:020d}.{4:020d}.compacted.json" in comps
     mtime0 = os.path.getmtime(os.path.join(log_dir, f"{0:020d}.json"))
     # restart on the same checkpoint: no replays, export untouched
     q2 = P.write_stream_txn_append(
