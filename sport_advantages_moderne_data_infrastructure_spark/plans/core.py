@@ -2452,7 +2452,15 @@ def q_txn_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact) — both read paths gated in THIS row so the registry
     # holds no never-gated duplicates (test_driver_gate invariant);
     # the oracle recomputes the overwrite + delete history
-    # relationally.
+    # relationally. Session 5 folds the new interop machinery into the
+    # same row: ict_ok pins in-commit-timestamp timestampAsOf
+    # resolution under GARBAGE file mtimes (monotonic ICTs, travel to
+    # the middle commit lands on its snapshot), v2_ok pins the V2
+    # checkpoint WRITE (uuid manifest + sidecars, preferred by the
+    # reader over the coexisting multi-part parts, byte-equal read),
+    # and compact_ok pins the log-compaction roundtrip ON THE SKIPPING
+    # TABLE (tail compacted to one unit, covered JSONs deleted, stats
+    # skipping still plans one-of-three files through the compaction).
     oracle=(
         "SELECT o_orderkey, "
         "STRFTIME(o_orderdate, '%Y-%m') AS order_month, "
@@ -2463,7 +2471,10 @@ def q_txn_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(1 AS BOOLEAN) AS tomb_ok, "
         "CAST(1 AS BOOLEAN) AS shape_ok, "
         "CAST(1 AS BOOLEAN) AS prune_ok, "
-        "CAST(1 AS BOOLEAN) AS skip_ok "
+        "CAST(1 AS BOOLEAN) AS skip_ok, "
+        "CAST(1 AS BOOLEAN) AS ict_ok, "
+        "CAST(1 AS BOOLEAN) AS v2_ok, "
+        "CAST(1 AS BOOLEAN) AS compact_ok "
         "FROM orders WHERE o_orderkey % 9 <> 0 ORDER BY o_orderkey"))
 def q_delta_interop_checkpointed(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
@@ -2479,6 +2490,7 @@ def q_delta_interop_checkpointed(spark: SparkSession,
     from pyspark.sql.types import MapType
 
     from ..sources.deltainterop import (
+        compact_delta_log,
         export_delta_checkpoint,
         export_delta_log,
         read_delta_dir,
@@ -2499,7 +2511,28 @@ def q_delta_interop_checkpointed(spark: SparkSession,
         .withColumn("o_totalprice", F.col("o_totalprice") * 2),
         "order_month")
     t.delete_where(spark, "o_orderkey % 9 = 0")  # rewrite -> tombstones
-    export_delta_log(t)
+    export_delta_log(t, in_commit_timestamps=True, v2_checkpoints=True)
+    log_dir0 = os.path.join(t.path, "_delta_log")
+    # ICT leg: timestampAsOf must resolve through the monotonic
+    # inCommitTimestamps even when every commit file's mtime is
+    # GARBAGE (zeroed) — travel to the middle ICT lands on v1
+    import json as _json
+
+    icts = []
+    for v in range(3):
+        p = os.path.join(log_dir0, f"{v:020d}.json")
+        with open(p) as fh:
+            for line in fh:
+                if '"commitInfo"' in line:
+                    icts.append(_json.loads(line)
+                                ["commitInfo"]["inCommitTimestamp"])
+        os.utime(p, (0, 0))
+    ict_ok = (len(icts) == 3 and icts == sorted(icts)
+              and len(set(icts)) == 3
+              and read_delta_dir(
+                  spark, t.path,
+                  timestamp=icts[1] / 1000.0).count()
+              == t.read(spark, version=1).count())
     cp0 = export_delta_checkpoint(spark, t.path, parts=3)
     log_dir = os.path.join(t.path, "_delta_log")
     parts = sorted(glob.glob(
@@ -2523,6 +2556,19 @@ def q_delta_interop_checkpointed(spark: SparkSession,
         seg.split("=", 1)[1] >= "1998-01"
         for f in pfiles
         for seg in f.split("/") if seg.startswith("order_month="))
+    # V2-checkpoint WRITE leg: a uuid manifest + sidecar layout at the
+    # same version is PREFERRED by the reader over the coexisting
+    # multi-part parts and must read byte-equal (checkpoint-only —
+    # the JSONs are already retention-cleaned above)
+    man = export_delta_checkpoint(spark, t.path, format="v2")
+    v2r = read_delta_dir(spark, t.path)
+    cmp_cols = ["o_orderkey", "order_month", "o_totalprice"]
+    v2_ok = (os.path.basename(man).split(".")[1] == "checkpoint"
+             and os.path.isdir(os.path.join(log_dir0, "_sidecars"))
+             and v2r.select(*cmp_cols)
+             .exceptAll(got.select(*cmp_cols)).count() == 0
+             and got.select(*cmp_cols)
+             .exceptAll(v2r.select(*cmp_cols)).count() == 0)
     # stats-skipping leg: three disjoint-key single-file commits; the
     # middle-range read must plan exactly ONE file (the other two
     # skipped on per-file stats bounds alone) and stay row-exact
@@ -2536,10 +2582,23 @@ def q_delta_interop_checkpointed(spark: SparkSession,
     export_delta_log(s)
     sk = read_delta_dir(spark, s.path,
                         range_filter=("o_orderkey", c1 + 1, c2))
-    skip_ok = (len(sk.inputFiles()) == 1
-               and sk.count() == o.filter(
-                   (F.col("o_orderkey") > c1)
-                   & (F.col("o_orderkey") <= c2)).count())
+    mid_count = o.filter((F.col("o_orderkey") > c1)
+                         & (F.col("o_orderkey") <= c2)).count()
+    skip_ok = (len(sk.inputFiles()) == 1 and sk.count() == mid_count)
+    # log-compaction leg: compact the whole 3-commit log, delete the
+    # covered JSONs, and the compaction alone must serve BOTH the full
+    # snapshot and the stats-skipping plan (adds carry their stats
+    # through the compaction verbatim)
+    compact_delta_log(s.path, 0, 2)
+    s_log = os.path.join(s.path, "_delta_log")
+    for v in range(3):
+        os.remove(os.path.join(s_log, f"{v:020d}.json"))
+    sk2 = read_delta_dir(spark, s.path,
+                         range_filter=("o_orderkey", c1 + 1, c2))
+    compact_ok = (len(sk2.inputFiles()) == 1
+                  and sk2.count() == mid_count
+                  and read_delta_dir(spark, s.path).count()
+                  == o.count())
     return (got.select(
         "o_orderkey",
         F.col("order_month").cast("string").alias("order_month"),
@@ -2549,5 +2608,8 @@ def q_delta_interop_checkpointed(spark: SparkSession,
         F.lit(bool(tomb_ok)).alias("tomb_ok"),
         F.lit(bool(shape_ok)).alias("shape_ok"),
         F.lit(bool(prune_ok)).alias("prune_ok"),
-        F.lit(bool(skip_ok)).alias("skip_ok"))
+        F.lit(bool(skip_ok)).alias("skip_ok"),
+        F.lit(bool(ict_ok)).alias("ict_ok"),
+        F.lit(bool(v2_ok)).alias("v2_ok"),
+        F.lit(bool(compact_ok)).alias("compact_ok"))
         .orderBy("o_orderkey"))

@@ -1360,9 +1360,13 @@ def export_delta_checkpoint(spark: SparkSession, path: str,
 
     log_dir = os.path.join(path, "_delta_log")
     versions = _log_versions(log_dir)
-    if not versions:
-        raise ValueError(f"no JSON commits to checkpoint in {log_dir}")
-    v = versions[-1]
+    prior0 = _checkpoint_parts(log_dir, None)
+    v = max(versions[-1] if versions else -1,
+            prior0[0] if prior0 is not None else -1,
+            max([y for _x, y, _f in _compaction_files(log_dir)],
+                default=-1))
+    if v < 0:
+        raise ValueError(f"no commits to checkpoint in {log_dir}")
     adds, meta, dead, proto, txns = _snapshot_state(spark, log_dir,
                                                     None)
     if meta is None:
