@@ -135,18 +135,21 @@ class DeltaDirStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         vs = _versions(self._log)
         latest = vs[-1] if vs else self._start_after
-        if self._max_versions is not None:
-            # rate limit: at most N versions per micro-batch (Delta's
-            # maxFilesPerTrigger analog at version granularity)
-            latest = min(latest, self._committed + self._max_versions)
+        # rate limit: at most N versions per micro-batch (Delta's
+        # maxFilesPerTrigger analog at version granularity). Engages
+        # from the SECOND planned batch: Spark queries latestOffset
+        # before initialOffset on a fresh start and resumes restarts
+        # from its own checkpoint, so the stream's true position is
+        # unknowable on the first call — capping it relative to
+        # startingVersion could land BELOW a restart's checkpointed
+        # offset and stall the stream forever. The first micro-batch
+        # therefore catches up wholesale; every later one is bounded
+        # via the position partitions() records.
+        if self._max_versions is not None \
+                and getattr(self, "_last_start", None) is not None:
+            latest = min(latest,
+                         self._last_start + self._max_versions)
         return {"version": max(latest, self._start_after)}
-
-    @property
-    def _committed(self) -> int:
-        # latestOffset is called after initial/restart offset is
-        # known; Spark drives (start, end] through partitions(), so
-        # the floor for rate limiting is the last end we planned from
-        return getattr(self, "_last_start", self._start_after)
 
     def partitions(self, start: dict, end: dict
                    ) -> Sequence[InputPartition]:
