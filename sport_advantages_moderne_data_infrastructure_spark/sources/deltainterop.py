@@ -1286,6 +1286,43 @@ _CP_DDL = (
     "txn struct<appId:string,version:bigint,lastUpdated:bigint>")
 
 
+#: reader features this module can honor. PROTOCOL.md's reader
+#: contract: a reader MUST refuse tables whose readerFeatures it does
+#: not implement — an unknown feature means the bytes on disk need
+#: semantics this reader lacks, and reading anyway returns wrong rows
+#: silently (resurrected deletes, stale columns, missed clustering).
+_SUPPORTED_READER_FEATURES = {
+    "deletionVectors",       # dvcodec decode + row_index anti-join
+    "columnMapping",         # name + id modes
+    "v2Checkpoint",          # uuid manifests + sidecars
+    "timestampNtz",          # Spark-native TIMESTAMP_NTZ
+    "typeWidening",          # declared-schema scan; Spark 4 parquet
+    "typeWidening-preview",  # type promotion upcasts narrow files
+    "vacuumProtocolCheck",   # imposes no read-time behavior
+}
+
+
+def _check_reader_features(proto: dict | None, where: str) -> None:
+    """Refuse tables this reader cannot faithfully read — Delta's
+    reader-version/feature contract, enforced where a generic reader
+    would otherwise produce silently wrong rows."""
+    if not proto:
+        return
+    rv = proto.get("minReaderVersion", 1)
+    if rv > 3:
+        raise ValueError(
+            f"{where}: table requires reader protocol version {rv}, "
+            "above the highest this reader implements (3) — refusing "
+            "a potentially wrong read")
+    unknown = sorted(set(proto.get("readerFeatures") or [])
+                     - _SUPPORTED_READER_FEATURES)
+    if unknown:
+        raise ValueError(
+            f"{where}: table requires reader feature(s) {unknown} "
+            "this reader does not implement — refusing a potentially "
+            "wrong read (PROTOCOL.md reader contract)")
+
+
 def _checkpoint_removes(spark: SparkSession,
                         parts: list[str]) -> DataFrame:
     """(path, deletionTimestamp, dataChange) tombstones of a prior
@@ -1759,9 +1796,11 @@ def read_delta_dir(spark: SparkSession, path: str,
             raise ValueError(
                 "read_delta_dir: pass version OR timestamp, not both")
         version = _version_at_timestamp(log_dir, timestamp)
-    adds, meta, _, _, _ = _snapshot_state(spark, log_dir, version)
+    adds, meta, _, proto_, _ = _snapshot_state(spark, log_dir,
+                                               version)
     if meta is None:
         raise ValueError(f"no metaData action found in {log_dir}")
+    _check_reader_features(proto_, "read_delta_dir")
     cm_mode = (meta.get("configuration") or {}).get(
         "delta.columnMapping.mode", "none") or "none"
     if cm_mode not in ("none", "name", "id"):
@@ -2104,9 +2143,10 @@ def read_delta_changes(spark: SparkSession, path: str,
     from pyspark.sql.types import StructType
 
     anchor = upto
-    _, meta, _, _, _ = _snapshot_state(spark, log_dir, anchor)
+    _, meta, _, proto_, _ = _snapshot_state(spark, log_dir, anchor)
     if meta is None:
         raise ValueError(f"no metaData action found in {log_dir}")
+    _check_reader_features(proto_, "read_delta_changes")
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     part_cols = list(meta.get("partitionColumns") or [])
     # physicalName metadata is the rename key under EITHER mapping

@@ -3047,11 +3047,23 @@ class TxnTable:
             redo = False
             for rebase in range(budget):
                 try:
+                    # -1 pins "I based this on an EMPTY table": a
+                    # racing first commit must CONFLICT here (and be
+                    # re-resolved below), never be absorbed by
+                    # commit()'s resolve-at-commit-time None path —
+                    # its dirs may match the predicate
                     return self.commit(rel_adds, removes, cmeta,
-                                       expected_version=base)
+                                       expected_version=(
+                                           -1 if base is None
+                                           else base))
                 except TxnConflictError as e:
                     last_err = e
                     newbase = self.latest_version()
+                    if base is None:
+                        # no baseline to rebase against — redo the
+                        # whole attempt from the racer's snapshot
+                        redo = True
+                        break
                     if _schema_at(base) != _schema_at(newbase):
                         _scrap(rel_adds)
                         raise TxnConflictError(

@@ -109,6 +109,36 @@ def _latest_meta(log_dir: str) -> dict:
     raise ValueError(f"no metaData action found in {log_dir}")
 
 
+def _latest_proto(log_dir: str) -> dict | None:
+    """Newest protocol action (JSON commits newest-first, checkpoint
+    manifest fallback) — input to the reader-features gate."""
+    for v in reversed(_versions(log_dir)):
+        proto = None
+        for a in _commit_actions(log_dir, v):
+            if "protocol" in a:
+                proto = a["protocol"]
+        if proto is not None:
+            return proto
+    from ..sources.deltainterop import _checkpoint_parts
+    cp = _checkpoint_parts(log_dir, None)
+    if cp is not None:
+        if cp[1][0].endswith(".json"):
+            with open(cp[1][0]) as fh:
+                for ln in fh:
+                    a = json.loads(ln) if ln.strip() else {}
+                    if "protocol" in a:
+                        return a["protocol"]
+        else:
+            import pyarrow.parquet as pq
+            for part in cp[1]:
+                t = pq.read_table(part, columns=["protocol"])
+                for row in t.column("protocol").to_pylist():
+                    if row and row.get("minReaderVersion") is not None:
+                        return {k: v for k, v in row.items()
+                                if v is not None}
+    return None
+
+
 class DeltaDirStreamReader(DataSourceStreamReader):
     def __init__(self, schema: StructType, options: dict):
         self._schema = schema
@@ -252,6 +282,9 @@ class DeltaDirDataSource(DataSource):
             raise ValueError(
                 f"delta_dir source: not a Delta table (no _delta_log)"
                 f": {path!r}")
+        from ..sources.deltainterop import _check_reader_features
+        _check_reader_features(_latest_proto(_log_dir(path)),
+                               "delta_dir source")
         meta = _latest_meta(_log_dir(path))
         mode = (meta.get("configuration") or {}).get(
             "delta.columnMapping.mode", "none")

@@ -2446,3 +2446,67 @@ def test_duckdb_parses_v2_checkpoint_and_compacted_tail(
 
     assert duck == _cents(read_delta_dir(spark, t.path))
     assert duck == _cents(t.read(spark))
+
+
+def test_unknown_reader_features_refuse(spark, tmp_path):
+    """PROTOCOL.md reader contract: a table declaring reader features
+    this reader does not implement must REFUSE (reading anyway
+    returns silently wrong rows); known features still read, and the
+    stream source enforces the same gate."""
+    import uuid as _u
+
+    from sport_advantages_moderne_data_infrastructure_spark.sources.deltainterop import (
+        read_delta_changes,
+    )
+    from sport_advantages_moderne_data_infrastructure_spark.streaming.deltasource import (
+        stream_delta_dir,
+    )
+
+    root = str(tmp_path / "f")
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log)
+    (spark.range(5).selectExpr("id AS k")
+     .coalesce(1).write.parquet(str(tmp_path / "d")))
+    import glob as _glob
+    import shutil as _sh
+    src = _glob.glob(str(tmp_path / "d" / "part-*.parquet"))[0]
+    _sh.copy(src, os.path.join(root, "f1.parquet"))
+    schema = {"type": "struct", "fields": [
+        {"name": "k", "type": "long", "nullable": True,
+         "metadata": {}}]}
+
+    def write_log(reader_features):
+        with open(os.path.join(log, f"{0:020d}.json"), "w") as fh:
+            fh.write(json.dumps({"protocol": {
+                "minReaderVersion": 3, "minWriterVersion": 7,
+                "readerFeatures": reader_features,
+                "writerFeatures": reader_features}}) + "\n")
+            fh.write(json.dumps({"metaData": {
+                "id": str(_u.uuid4()),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps(schema),
+                "partitionColumns": [], "configuration": {}}}) + "\n")
+            fh.write(json.dumps({"add": {
+                "path": "f1.parquet", "partitionValues": {},
+                "size": os.path.getsize(
+                    os.path.join(root, "f1.parquet")),
+                "modificationTime": 0, "dataChange": True}}) + "\n")
+
+    write_log(["v2Checkpoint", "timestampNtz"])  # all supported
+    assert read_delta_dir(spark, root).count() == 5
+    write_log(["v2Checkpoint", "futureMagicFeature"])
+    with pytest.raises(ValueError, match="futureMagicFeature"):
+        read_delta_dir(spark, root)
+    with pytest.raises(ValueError, match="futureMagicFeature"):
+        read_delta_changes(spark, root, -1)
+    with pytest.raises(Exception, match="futureMagicFeature"):
+        stream_delta_dir(spark, root, startingVersion="earliest")
+    # a reader protocol version above 3 is equally unknown
+    with open(os.path.join(log, f"{0:020d}.json")) as fh:
+        lines = fh.read().splitlines()
+    lines[0] = json.dumps({"protocol": {"minReaderVersion": 4,
+                                        "minWriterVersion": 7}})
+    with open(os.path.join(log, f"{0:020d}.json"), "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    with pytest.raises(ValueError, match="reader protocol version 4"):
+        read_delta_dir(spark, root)

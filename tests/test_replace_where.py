@@ -607,3 +607,32 @@ def test_true_thread_race_with_appenders(spark, tmp_path):
     assert got.filter("o_orderkey >= 20000000").count() == 30
     assert got.filter("o_orderstatus = 'F'").count() == \
         o.filter("o_orderstatus = 'F'").count()
+
+
+def test_empty_table_racing_first_append(spark, tmp_path, monkeypatch):
+    """replace_where based on an EMPTY table racing a first append:
+    the race must not be absorbed by commit-time base resolution (the
+    racer's dirs may match the predicate) — the attempt redoes from
+    the racer's snapshot and the matching rows are replaced."""
+    o = _orders(spark)
+    t = TxnTable(str(tmp_path / "e"))
+    t.set_partition_column("o_orderstatus")
+    racer = TxnTable(t.path)
+    extra = o.limit(40)  # racer's first commit: every status
+    state = _racing_commit(monkeypatch, lambda: racer.append(extra))
+    src = (o.filter("o_orderstatus = 'F'").limit(10)
+           .withColumn("o_orderkey",
+                       F.col("o_orderkey") + 30_000_000))
+    v = t.replace_where(spark, src, "o_orderstatus = 'F'")
+    assert state["left"] == 0
+    doc = t._doc(v)  # noqa: SLF001
+    # the racer's F dir is in the remove set (serialize-after)
+    assert any(dict(_partition_segs(d)).get("o_orderstatus") == "F"
+               for d in doc["removes"])
+    got = t.read(spark)
+    assert got.filter("o_orderstatus = 'F' AND o_orderkey < 30000000")\
+        .count() == 0
+    assert got.filter("o_orderkey >= 30000000").count() == 10
+    # the racer's non-matching rows survive
+    assert got.filter("o_orderstatus != 'F'").count() == \
+        extra.filter("o_orderstatus != 'F'").count()
