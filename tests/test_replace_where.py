@@ -636,3 +636,79 @@ def test_empty_table_racing_first_append(spark, tmp_path, monkeypatch):
     # the racer's non-matching rows survive
     assert got.filter("o_orderstatus != 'F'").count() == \
         extra.filter("o_orderstatus != 'F'").count()
+
+
+# --- property: races serialize the replace AFTER every racer --------------
+
+_RACER_OPS = st.lists(
+    st.sampled_from(["append_O", "append_F", "append_P", "delete_O"]),
+    min_size=1, max_size=3)
+
+
+@given(pred=_PREDS, ops=_RACER_OPS)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_race_property_serializes_after_racers(
+        spark, tmp_path_factory, monkeypatch, pred, ops):
+    """For ANY partition predicate and ANY bounded sequence of racer
+    commits landing between the replace's write and its commit, the
+    final table equals the RELATIONAL recompute of: racers applied
+    first, then the replace — Delta's serialize-after outcome. Covers
+    rebase chains (multiple racers -> multiple commit losses)."""
+    tmp_path = tmp_path_factory.mktemp("rwrace")
+    t, o = _mk(spark, tmp_path)
+    racer = TxnTable(t.path)
+    seq = list(ops)
+
+    def fire():
+        op = seq.pop(0)
+        if op == "delete_O":
+            racer.delete_where(spark, "o_orderstatus = 'O' "
+                               "AND o_orderkey % 11 = 0")
+        else:
+            status = op[-1]
+            racer.append(
+                o.filter(f"o_orderstatus = '{status}'").limit(7)
+                .withColumn("o_orderkey",
+                            F.col("o_orderkey") + 40_000_000))
+
+    real = TxnTable.commit
+    state = {"left": len(seq)}
+
+    def patched(self, adds, removes, meta=None, **kw):
+        if (meta or {}).get("operation") == "replace_where" \
+                and state["left"] > 0:
+            state["left"] -= 1
+            fire()
+        return real(self, adds, removes, meta, **kw)
+
+    monkeypatch.setattr(TxnTable, "commit", patched)
+    src = (o.filter(F.expr(pred.replace(
+        "order_year", "DATE_FORMAT(o_orderdate, 'yyyy')")))
+        .withColumn("o_totalprice", F.col("o_totalprice") + 5))
+    t.replace_where(spark, src, pred)
+    monkeypatch.setattr(TxnTable, "commit", real)
+    assert state["left"] == 0
+    # model: racers first, then replace over the post-racer table
+    base = o
+    for op in ops:
+        if op == "delete_O":
+            base = base.filter(~((F.col("o_orderstatus") == "O")
+                                 & (F.col("o_orderkey") % 11 == 0)))
+        else:
+            status = op[-1]
+            base = base.unionByName(
+                o.filter(f"o_orderstatus = '{status}'").limit(7)
+                .withColumn("o_orderkey",
+                            F.col("o_orderkey") + 40_000_000))
+    cond = F.expr(pred.replace("order_year",
+                               "DATE_FORMAT(o_orderdate, 'yyyy')"))
+    want_df = base.filter(~F.coalesce(cond, F.lit(False))) \
+        .unionByName(src)
+    got = {(r["o_orderkey"], r["cents"]) for r in t.read(spark).select(
+        "o_orderkey", F.round(F.col("o_totalprice") * 100)
+        .cast("bigint").alias("cents")).collect()}
+    want = {(r["o_orderkey"], r["cents"]) for r in want_df.select(
+        "o_orderkey", F.round(F.col("o_totalprice") * 100)
+        .cast("bigint").alias("cents")).collect()}
+    assert got == want
