@@ -143,12 +143,17 @@ def build_ivf_index(embeddings: DataFrame, centroids: list[list[float]],
     base = embeddings.select(
         "vec_id", "embedding",
         F.sqrt(F.expr(dot_expr("embedding", "embedding"))).alias("e_norm"))
-    # repartition ON the partition column before partitionBy: each write
-    # task then owns whole centroid lists, so the layout is k files — not
-    # (shuffle-partitions × k) splinter files whose open/close dominates
-    # the build and whose tiny footers dominate later probe scans
+    # range-partition ON (centroid_id, vec_id) before partitionBy: each
+    # write task owns a contiguous slice of one centroid's list, so the
+    # layout is ~defaultParallelism files spread across the k centroid
+    # dirs — not (shuffle-partitions × k) splinter files, and not the k
+    # whole-list files of a plain repartition("centroid_id"), which
+    # capped every downstream probe scan at k tasks (k=16 at sandbox
+    # scale on 32 cores; guide §6 — file count follows the session's
+    # parallelism, clustering follows the probe key)
+    n = embeddings.sparkSession.sparkContext.defaultParallelism
     (assign_centroids(base, centroids)
-     .repartition("centroid_id")
+     .repartitionByRange(n, "centroid_id", "vec_id")
      .write.mode("overwrite").partitionBy("centroid_id").parquet(path))
 
 

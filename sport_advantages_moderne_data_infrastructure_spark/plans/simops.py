@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..sources.tables import load_table
+from ..sources.tables import load_table, write_index_clustered
 from .catalog import register
 
 from ..functions.vectors import dot_expr  # noqa: E402  (shared vector math)
@@ -593,7 +593,10 @@ def sq8_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     if path is None:
         import tempfile
         path = tempfile.mkdtemp(prefix="samdis_sq8_idx_") + "/codes.parquet"
-        sq8_codes(spark, sf_dir).write.parquet(path)
+        # vec_id-clustered, defaultParallelism files (guide §6): the
+        # exhaustive integer rerank scans every code row — single-file
+        # layout made that scan one task
+        write_index_clustered(sq8_codes(spark, sf_dir), path, "vec_id")
         _SQ8_IDX[sf_dir] = path
     return spark.read.parquet(path)
 
@@ -736,7 +739,11 @@ def ensure_pq_index(spark: SparkSession, sf_dir: str):
         _PQ_CB[sf_dir] = PQ.train_pq_codebooks(e, m=32, k=16)
     if sf_dir not in _PQ_IDX:
         path = tempfile.mkdtemp(prefix="samdis_pq_idx_") + "/codes.parquet"
-        PQ.pq_encode(e, _PQ_CB[sf_dir]).write.parquet(path)
+        # vec_id-clustered, defaultParallelism files (guide §6): ADC
+        # scoring scans every code row — single-file layout made that
+        # scan one task
+        write_index_clustered(PQ.pq_encode(e, _PQ_CB[sf_dir]), path,
+                              "vec_id")
         _PQ_IDX[sf_dir] = path
     return _PQ_CB[sf_dir], spark.read.parquet(_PQ_IDX[sf_dir])
 

