@@ -46,11 +46,17 @@ def parse_cdc(raw: DataFrame, value_col: str = "value") -> DataFrame:
 
     Replaces spark/SaveDelta.scala:134-149 (P1, P2, F1, F2, F3, P5).
     """
+    # explode(array(env)) is a semantic no-op (one row in, one row out,
+    # NULL passes through) whose Generate node blocks filter pushdown:
+    # without it Catalyst pushes the ``id IS NOT NULL`` predicate below
+    # the projection by SUBSTITUTING the whole from_json expression into
+    # the filter, so every record paid the JSON parse twice — once in the
+    # pushed filter, once in the surviving-row projection (the guide §4.4
+    # duplicated-expensive-expression shape, with from_json in place of a
+    # UDF). One parse per record now, batch and streaming alike.
+    env = F.from_json(F.col(value_col).cast("string"), ENVELOPE_SCHEMA)
     after = (
-        raw.select(
-            F.from_json(F.col(value_col).cast("string"), ENVELOPE_SCHEMA)
-            .alias("env")
-        )
+        raw.select(F.explode(F.array(env)).alias("env"))
         .select("env.payload.after.*")
     )
     return (

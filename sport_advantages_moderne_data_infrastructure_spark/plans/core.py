@@ -177,7 +177,15 @@ def q_unmasked_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_cdc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC envelope parse (SaveDelta.scala:134-149) as a batch transform —
     the same function the streaming pipeline applies."""
-    return parse_cdc(D.cdc_events(spark, sf_dir))
+    raw = D.cdc_events(spark, sf_dir)
+    # a Kafka source provides N partitions of parallelism; the batch twin
+    # reads a single parquet split, which would run the whole parse on
+    # one core — spread iff the input is narrower than the session's
+    # parallelism (a well-partitioned 100 TB input passes through)
+    n = spark.sparkContext.defaultParallelism
+    if raw.rdd.getNumPartitions() < n:
+        raw = raw.repartition(n)
+    return parse_cdc(raw)
 
 
 @register("notifier_filter",
