@@ -39,6 +39,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _spread(vals: DataFrame) -> DataFrame:
+    """Round-robin the bracketing engines' projected slice across the
+    session's parallelism iff the scan gives fewer partitions. The
+    iterative engines re-read this frame every round (sketch, verify,
+    ranked read — all grouped aggs with map-side partial aggregation,
+    so ANY partitioning works); a narrow input (one small parquet
+    split, an AQE-coalesced upstream) would otherwise run every round
+    single-threaded against the persisted one-partition frame. A
+    well-partitioned production input passes through untouched — no
+    shuffle added."""
+    n = vals.sparkSession.sparkContext.defaultParallelism
+    if vals.rdd.getNumPartitions() < n:
+        vals = vals.repartition(n)
+    return vals
+
+
 def mg_partial(df: DataFrame, col: str, k: int) -> DataFrame:
     """Per-partition Misra-Gries counters (<= k rows per task) WITH
     their residual weights — the mergeable form (Agarwal et al. 2012,
@@ -428,6 +444,24 @@ def _bracket_states(vals: DataFrame, col: str, st: list["_QState"],
     every TakeOrdered-small bracket (see exact_quantiles' doc — this
     is a pure extraction; the job counts those tests pin live here).
     Mutates each state's ``val`` in place."""
+    from pyspark import StorageLevel
+
+    # every round re-reads the projected 1-column slice (sketch, verify,
+    # ranked read) — spread a narrow scan across the session cores and
+    # persist for the life of the loop, the same iterative multi-job
+    # discipline as the grouped engine (persist adds no jobs, so the
+    # pinned job counts are unchanged)
+    vals = _spread(vals).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        _bracket_loop_rounds(vals, col, st, accuracy, max_rounds,
+                             direct_limit)
+    finally:
+        vals.unpersist()
+
+
+def _bracket_loop_rounds(vals: DataFrame, col: str, st: list["_QState"],
+                         accuracy: int, max_rounds: int,
+                         direct_limit: int) -> None:
     threshold = max(2 * accuracy, direct_limit)
     sketch_rounds = 0
     while True:
@@ -564,7 +598,7 @@ def grouped_exact_quantiles(df: DataFrame, group_col: str, col: str,
     # scale this is the projected (group, value) pair, not the table
     from pyspark import StorageLevel
 
-    vals = vals.persist(StorageLevel.MEMORY_AND_DISK)
+    vals = _spread(vals).persist(StorageLevel.MEMORY_AND_DISK)
     first = (vals.groupBy(group_col)
              .agg(F.count(F.lit(1)).alias("__n"),
                   F.expr(f"approx_percentile({col}, array({pcts}), "
@@ -619,21 +653,71 @@ def _grouped_bracket_loop(spark, vals, group_col, col, gtype,
     guard = math.ceil(grid / accuracy) + 1
     pcts = ", ".join(repr(i / grid) for i in range(grid + 1))
 
+    def _sql_lit(v, dtype) -> str:
+        """A driver-side scalar as exact SQL text. Doubles go through a
+        STRING cast so any repr round-trips bit-exactly; strings get
+        standard quote doubling."""
+        if v is None:
+            return f"CAST(NULL AS {dtype.simpleString()})"
+        if isinstance(dtype, T.DoubleType):
+            return f"CAST('{float(v)!r}' AS DOUBLE)"
+        if isinstance(dtype, T.StringType):
+            s = str(v).replace("'", "''")
+            return f"'{s}'"
+        if isinstance(dtype, (T.IntegerType, T.LongType)):
+            return str(int(v))
+        if isinstance(dtype, T.BooleanType):
+            return "TRUE" if v else "FALSE"
+        return f"CAST('{v}' AS {dtype.simpleString()})"
+
+    gcol = f"`{group_col}`"
+    vcol = f"`{col}`"
+
+    def _match_sql(g) -> str:
+        """Null-safe group-match predicate against a DRIVER-SIDE group
+        value (a NULL group is a real group). Struct-typed keys — the
+        streaming serve's composite (group, bucket) cells — compare
+        field-by-field, since struct literals are not expressible."""
+        if isinstance(gtype, T.StructType):
+            return " AND ".join(
+                f"({gcol}.`{f.name}` <=> {_sql_lit(v, f.dataType)})"
+                for f, v in zip(gtype.fields, tuple(g)))
+        return f"({gcol} <=> {_sql_lit(g, gtype)})"
+
     def _tag(frame_rows, extra_fields, bracket_filter: bool):
-        """Broadcast the per-state bracket frame (__g, __si, ...extra)
-        against the data on the group key (null-safe: a NULL group is
-        a real group), optionally slicing to in-bracket rows."""
-        fields = ([T.StructField("__g", gtype),
-                   T.StructField("__si", T.IntegerType())]
-                  + extra_fields)
-        b = spark.createDataFrame(frame_rows, T.StructType(fields))
-        j = vals.join(F.broadcast(b),
-                      F.col(group_col).eqNullSafe(F.col("__g")))
-        if bracket_filter:
-            j = j.filter(F.col("__lo").isNull()
-                         | ((F.col(col) >= F.col("__lo"))
-                            & (F.col(col) <= F.col("__hi"))))
-        return j
+        """Tag rows with the bracket states they fall in — as ONE
+        literal projection built as a single SQL expression (r14):
+        each state contributes a group-guarded struct literal to an
+        array; rows explode only the states they match. This replaces
+        the per-round createDataFrame + BroadcastExchange + broadcast
+        join (~0.3 s of driver/exchange overhead per round at
+        sf0.1/32 cores); building the expression as SQL TEXT matters
+        as much as dropping the join — per-state Column operations
+        were ~50 py4j round trips each, the parsed string is one call
+        total. The bracket slice rides INSIDE each state's guard, so
+        out-of-bracket rows never leave the Generate. Same tagged
+        schema (__si, ...extra) as the join produced — the shape the
+        flat engine's _read_ready_brackets always used."""
+        elems = []
+        for row in frame_rows:
+            g, si, extras = row[0], row[1], row[2:]
+            guard = _match_sql(g)
+            if bracket_filter and extras[0] is not None:
+                # __lo/__hi lead the extras by construction
+                lo = _sql_lit(extras[0], dbl)
+                hi = _sql_lit(extras[1], dbl)
+                guard = (f"({guard} AND {vcol} >= {lo}"
+                         f" AND {vcol} <= {hi})")
+            parts = [f"'__si', {int(si)}"]
+            parts += [f"'{fdef.name}', {_sql_lit(v, fdef.dataType)}"
+                      for fdef, v in zip(extra_fields, extras)]
+            elems.append(
+                f"IF({guard}, named_struct({', '.join(parts)}), NULL)")
+        tag_expr = (f"filter(array({', '.join(elems)}), "
+                    f"s -> s IS NOT NULL)")
+        tagged = vals.select(
+            vcol, F.explode(F.expr(tag_expr)).alias("__s"))
+        return tagged.select(vcol, "__s.*")
 
     dbl = T.DoubleType()
     sketch_rounds = 0

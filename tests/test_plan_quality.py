@@ -39,8 +39,22 @@ def test_topk_is_take_ordered(spark, sf_dir):
 
 
 def test_cdc_parse_is_exchange_free(spark, sf_dir):
+    """The parse itself must stay shuffle-free: no hash or range
+    partitioning anywhere in the plan. The ONE allowed Exchange is the
+    batch twin's guarded ROUND-ROBIN input spread (r14: a single-split
+    parquet source would run the whole parse on one core; a partitioned
+    production input passes through untouched) — a deliberate input-skew
+    fix below the parse, not a shuffle the parse demands."""
+    import re
+
     plan = _plan(catalog.REGISTRY["cdc_parse_project"].spark_fn(spark, sf_dir))
-    assert "Exchange" not in plan, "stateless parse must not shuffle"
+    assert "hashpartitioning" not in plan, "stateless parse must not shuffle"
+    assert "rangepartitioning" not in plan, "stateless parse must not shuffle"
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, flags=re.M)
+    assert len(exchanges) <= 1, (
+        "at most the round-robin input spread: " + plan)
+    if exchanges:
+        assert "RoundRobinPartitioning" in plan, plan
 
 
 def test_simhash_pairs_is_hash_join_not_nested_loop(spark, sf_dir):
