@@ -295,17 +295,28 @@ def lsh_candidate_pairs(corpus: DataFrame,
     generation then never touches the corpus at all."""
     if sigs is None:
         sigs = minhash_signatures(corpus, hashes=hashes)
-    bands = signature_bands(sigs).cache()
-    a = bands.alias("a")
-    b_ = bands.alias("b")
-    return (
-        a.join(b_, (F.col("a.band") == F.col("b.band"))
-               & (F.col("a.key") == F.col("b.key"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    bands = signature_bands(sigs)
+    # bucket-grouped pair generation (r14): ONE shuffle of the band
+    # table into its (band, key) buckets, then each bucket emits its
+    # C(n,2) ordered pairs as a projection — the band self-join shape
+    # shuffled the same table TWICE (both join sides) plus the joined
+    # pair stream into distinct, and needed a cache to stop the sig
+    # pipeline running per side. Output is identical: a doc appears
+    # once per band, so the sorted bucket's (i < j) expansion is
+    # exactly the a.doc_id < b.doc_id join, and the cross-band
+    # distinct is unchanged. Candidate volume per bucket is C(n,2)
+    # either way — the LSH key design, not the pairing shape, bounds
+    # that at scale.
+    pair_structs = F.expr(
+        "flatten(transform(ds, (x, i) -> "
+        "transform(slice(ds, i + 2, size(ds) - i - 1), "
+        "y -> struct(x AS doc_a, y AS doc_b))))")
+    return (bands.groupBy("band", "key")
+            .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+            .filter(F.size("ds") >= 2)
+            .select(F.explode(pair_structs).alias("p"))
+            .select("p.doc_a", "p.doc_b")
+            .distinct())
 
 
 def signature_bands_sql(sigs_cte: str) -> str:
@@ -439,9 +450,15 @@ def jaccard_for_pairs(corpus: DataFrame, pairs: DataFrame,
     - the index is broadcast-semi-restricted to docs that appear in a pair
       BEFORE any join (candidates ≪ corpus — the full index never
       shuffles for the verify stage);
-    - the b-side joins on BOTH (doc_b, h), so only true intersections
-      materialize (joining on doc_b alone would cross every a-shingle with
-      every b-shingle of the pair — |A|×|B| rows per pair pre-filter).
+    - each candidate doc's (distinct) shingle set collects into ONE
+      array row, and the pair join scores set overlap with
+      array_intersect — the restricted index is scanned once and
+      reduced to O(candidate docs) rows before any pair-level work
+      (r14; the previous shape scanned the restricted index three
+      times — sizes, a-side, b-side — and ran the intersection as a
+      row-level (doc_b, h) join: three index scans and four shuffles
+      for the same answer). shingle_hashes is distinct per (doc_id,
+      h), so set intersection is exactly the row-match count.
     """
     if capped is None:
         base = (shingle_hashes(corpus).cache() if hashes is None else hashes)
@@ -452,19 +469,23 @@ def jaccard_for_pairs(corpus: DataFrame, pairs: DataFrame,
     pairs = pairs.localCheckpoint()
     cand_docs = (pairs.select(F.explode(F.array("doc_a", "doc_b"))
                               .alias("doc_id")).distinct())
-    sh = capped.join(F.broadcast(cand_docs), "doc_id")
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("h").alias("h"))
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("h").alias("h"))
-    inter = (
-        pairs.join(a, "doc_a").join(b, ["doc_b", "h"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    # O(candidate docs) rows, each carrying its bounded per-doc shingle
+    # set — materialize once; the a/b consumers below would otherwise
+    # re-run the index scan + groupBy per side
+    docsets = (capped.join(F.broadcast(cand_docs), "doc_id")
+               .groupBy("doc_id")
+               .agg(F.collect_list("h").alias("hs"),
+                    F.count(F.lit(1)).alias("n"))).localCheckpoint()
+    a = docsets.select(F.col("doc_id").alias("doc_a"),
+                       F.col("hs").alias("hs_a"), F.col("n").alias("na"))
+    b = docsets.select(F.col("doc_id").alias("doc_b"),
+                       F.col("hs").alias("hs_b"), F.col("n").alias("nb"))
     jac = F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))
-    return (inter.join(na, "doc_a").join(nb, "doc_b")
+    return (pairs.join(a, "doc_a").join(b, "doc_b")
+            .withColumn("c", F.size(F.array_intersect("hs_a", "hs_b")))
+            # inner-join semantics of the row-level shape: pairs with an
+            # empty intersection never materialized there — drop them
+            .filter(F.col("c") >= 1)
             .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard")))
 
 
@@ -657,20 +678,25 @@ def repeated_span_positions(corpus: DataFrame,
         .select("doc_id", F.col("pos").cast("bigint").alias("pos"),
                 F.xxhash64(win).alias("h1"),
                 F.xxhash64(F.lit(1), win).alias("h2")))
+    # duplicate marking as ONE window over the hash pair (r14): the
+    # groupBy + semi-join shape shuffled the position table twice (the
+    # partial-agg side is ~full volume too — most windows are unique,
+    # so map-side aggregation collapses almost nothing); the window
+    # shuffles it once and counts within each (h1, h2) partition.
+    # Per-key groups are duplicate-class-sized (a handful of rows), so
+    # the window buffers nothing of consequence.
+    from pyspark.sql import Window as Wn
+
+    w = Wn.partitionBy("h1", "h2")
     if policy == "keep_one":
-        dup = (pos.groupBy("h1", "h2")
-               .agg(F.count(F.lit(1)).alias("c"),
-                    F.min(F.struct("doc_id", "pos")).alias("cn"))
-               .filter(F.col("c") >= 2)
-               .select("h1", "h2", "cn"))
-        return (pos.join(dup, ["h1", "h2"])
-                .filter(~((F.col("doc_id") == F.col("cn.doc_id"))
-                          & (F.col("pos") == F.col("cn.pos"))))
+        return (pos.withColumn("c", F.count(F.lit(1)).over(w))
+                .withColumn("cn", F.min(F.struct("doc_id", "pos")).over(w))
+                .filter((F.col("c") >= 2)
+                        & ~((F.col("doc_id") == F.col("cn.doc_id"))
+                            & (F.col("pos") == F.col("cn.pos"))))
                 .select("doc_id", "pos"))
-    dup = (pos.groupBy("h1", "h2").agg(F.count(F.lit(1)).alias("c"))
-           .filter(F.col("c") >= 2).select("h1", "h2"))
-    return (pos.join(dup, ["h1", "h2"], "left_semi")
-            .select("doc_id", "pos"))
+    return (pos.withColumn("c", F.count(F.lit(1)).over(w))
+            .filter(F.col("c") >= 2).select("doc_id", "pos"))
 
 
 def repeated_spans(corpus: DataFrame,
