@@ -2331,9 +2331,16 @@ def q_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
                     lambda i: F.md5(
                         F.array_join(F.slice("w", i * 10 + 1, 10), " "))))
             .alias("h")))
-    firstseen = chunks.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    # first-seen as a window over the chunk hash (r14): chunk hashes
+    # are mostly-unique, so groupBy(h).min + join-back collapsed
+    # little map-side and shuffled the chunk stream twice; the window
+    # shuffles it once (measured 0.68s -> 0.38s at sf0.1/32 cores,
+    # byte-equal output)
+    from pyspark.sql import Window as W
+
     return (
-        chunks.join(firstseen, "h")
+        chunks.withColumn("first_doc",
+                          F.min("doc_id").over(W.partitionBy("h")))
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
              F.sum((F.col("first_doc") < F.col("doc_id")).cast("int"))
@@ -2547,9 +2554,18 @@ def q_bigram_surprisal_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ELSE CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>) "
             "END")).alias("p"))
           .select("doc_id", "p.w1", "p.w2"))
-    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    # bigram counts as a window over (w1, w2) rather than groupBy +
+    # join-back (r14): the bigram vocabulary is mostly-unique, so the
+    # groupBy's map-side partial aggregation collapsed almost nothing
+    # and the count join shuffled the bigram stream TWICE (partials +
+    # join side) — the window shuffles it once. c1 keeps the agg +
+    # broadcast shape: the unigram vocab IS collapsible and tiny.
+    from pyspark.sql import Window as W
+
     c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    scored = (bg.join(c12, ["w1", "w2"]).join(F.broadcast(c1), "w1")
+    scored = (bg.withColumn("c12", F.count(F.lit(1))
+                            .over(W.partitionBy("w1", "w2")))
+              .join(F.broadcast(c1), "w1")
               .select("doc_id", F.expr("c1 div c12").alias("s")))
     return (scored.groupBy("doc_id")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
@@ -2619,11 +2635,13 @@ def q_mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     than a per-source window, which would serialize each source through
     one task. Weight-0 sources get quota 0 and drop out entirely.
 
-    Multi-pass note: the quota/offset sides re-aggregate the corpus, so
-    the executed plan tokenizes it ~3×. At 100 TB you'd materialize the
-    (doc_id, source, n_tokens, pri) projection once — ~1% of corpus
+    Multi-pass note: the quota/offset sides re-consume the tokenized
+    projection, so mixture_select materializes it once per run
+    (localCheckpoint — r14; the lazy plan tokenized the corpus ~3×).
+    That frame is (doc_id, source, n_tokens, pri) — ~1% of corpus
     bytes, the same store-the-derived-column discipline as the minhash/
-    SQ8 index artifacts — and every pass after the first reads that."""
+    SQ8 index artifacts; a 100 TB deployment stores it as a table and
+    every pass reads that."""
     return mixture_select(load_table(spark, sf_dir, "documents"))
 
 
@@ -2632,12 +2650,17 @@ def mixture_select(docs: DataFrame) -> DataFrame:
     reused by the registered query and the 10× scaling stress."""
     from pyspark.sql import Window as Wn
 
+    # materialize the tokenized projection ONCE (r14): the quota and
+    # offset sides re-consume it, so the lazy plan tokenized the corpus
+    # ~3x per run. The checkpointed frame is (doc_id, source, n_tokens,
+    # pri) — ~1% of corpus bytes, exactly the derived-column artifact
+    # the 100 TB note below says a deployment would store.
     d = (docs
          .select("doc_id", "source",
                  F.size(F.split(F.trim("text"), " +")).cast("bigint")
                  .alias("n_tokens"),
                  F.md5(F.col("doc_id").cast("string")).alias("pri"))
-         .withColumn("bkt", F.substring("pri", 1, 2)))
+         .withColumn("bkt", F.substring("pri", 1, 2))).localCheckpoint()
     s = (d.groupBy("source").agg(F.sum("n_tokens").alias("src_tok"))
          .withColumn("w", F.expr(_MIX_W_SPARK)))
     # global totals via an unpartitioned window over the tiny per-source

@@ -268,19 +268,22 @@ def test_training_shards_one_corpus_shuffle(spark, sf_dir):
 
 
 def test_repeated_spans_bucketed_plan(spark, sf_dir):
-    """dedup_repeated_spans: duplicated-window marking must stay an
-    equi (semi) join on the window hash + ONE islands window — a
-    nested loop means all-pairs span comparison came back, and a
-    range partition means someone added a presentation sort of the
-    full position set."""
+    """dedup_repeated_spans: duplicated-window marking must stay
+    keyed on the window hash — since r14 a count window over
+    (h1, h2) (ONE shuffle of the position table) plus the islands
+    window, never a join of the position table against itself (two
+    full-volume shuffles) and never a nested loop (all-pairs span
+    comparison); a range partition means someone added a presentation
+    sort of the full position set."""
     import re
     plan = _plan(catalog.REGISTRY["dedup_repeated_spans"]
                  .spark_fn(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
     assert "rangepartitioning" not in plan, plan
     n_hash = len(re.findall(r"Arguments: hashpartitioning", plan))
-    assert 1 <= n_hash <= 4, plan
-    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan
+    assert 1 <= n_hash <= 3, plan
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 2, plan
 
 
 def test_span_scrub_no_presentation_sort(spark, sf_dir):
