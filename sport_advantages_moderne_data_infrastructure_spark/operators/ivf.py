@@ -92,10 +92,21 @@ def train_centroids(embeddings: DataFrame, k: int = 16, seed: int = 42,
     return [[float(v) for v in c] for c in C]
 
 
+def _centroids_sql(centroids: list[list[float]]) -> str:
+    """The centroid matrix as ONE SQL array literal. repr round-trips
+    doubles bit-exactly (the pq.py _arr convention), and building the
+    text costs a single parse call — F.lit(nested_list) built a Column
+    per element (~k*dim py4j round trips: measured 0.46 s of every
+    IVF-family query's plan build at k=16, dim=64)."""
+    return "array(" + ",".join(
+        "array(" + ",".join(f"{float(v)!r}D" for v in c) + ")"
+        for c in centroids) + ")"
+
+
 def _with_cdists(df: DataFrame, centroids: list[list[float]]) -> DataFrame:
     """+ __cdists: array of squared-L2 distances to each centroid (pure
     projection; the centroid matrix rides along as a literal array)."""
-    return (df.withColumn("__cvecs", F.lit(centroids))
+    return (df.withColumn("__cvecs", F.expr(_centroids_sql(centroids)))
             .withColumn("__cdists", F.expr(_CDISTS))
             .drop("__cvecs"))
 
