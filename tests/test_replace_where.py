@@ -658,19 +658,27 @@ def test_race_property_serializes_after_racers(
     tmp_path = tmp_path_factory.mktemp("rwrace")
     t, o = _mk(spark, tmp_path)
     racer = TxnTable(t.path)
-    seq = list(ops)
+    # each delete position gets its own modulus: a repeated "delete
+    # everything matching %11" racer is a NO-OP (no commit, so no
+    # commit-loss to rebase past) — distinct slices keep every scripted
+    # op an actual commit, which fire() asserts below
+    del_mods = (11, 13, 17)
+    seq = list(enumerate(ops))
 
     def fire():
-        op = seq.pop(0)
+        i, op = seq.pop(0)
+        pre = racer.latest_version()
         if op == "delete_O":
             racer.delete_where(spark, "o_orderstatus = 'O' "
-                               "AND o_orderkey % 11 = 0")
+                               f"AND o_orderkey % {del_mods[i]} = 0")
         else:
             status = op[-1]
             racer.append(
                 o.filter(f"o_orderstatus = '{status}'").limit(7)
                 .withColumn("o_orderkey",
                             F.col("o_orderkey") + 40_000_000))
+        assert racer.latest_version() == pre + 1, \
+            f"racer op {op}@{i} did not commit"
 
     real = TxnTable.commit
     state = {"left": len(seq)}
@@ -691,10 +699,11 @@ def test_race_property_serializes_after_racers(
     assert state["left"] == 0
     # model: racers first, then replace over the post-racer table
     base = o
-    for op in ops:
+    for i, op in enumerate(ops):
         if op == "delete_O":
             base = base.filter(~((F.col("o_orderstatus") == "O")
-                                 & (F.col("o_orderkey") % 11 == 0)))
+                                 & (F.col("o_orderkey")
+                                    % del_mods[i] == 0)))
         else:
             status = op[-1]
             base = base.unionByName(
