@@ -170,13 +170,19 @@ def capped_shingle_hashes_sql(corpus_cte: str) -> str:
 
 def jaccard_pairs(corpus: DataFrame, threshold: float = 0.5,
                   hashes: DataFrame | None = None,
-                  capped: DataFrame | None = None) -> DataFrame:
+                  capped: DataFrame | None = None,
+                  sizes: DataFrame | None = None) -> DataFrame:
     """Jaccard over the capped hashed-shingle inverted index: candidate
     pairs come from the equi-join on shingle hash (docs sharing none never
     meet); the DF cap bounds docs-per-shingle. ``capped``: a PRE-BUILT
     capped index (the stop-set pass is corpus-level, so the index build
     materializes it once — queries then skip the per-run df>cap
-    aggregation entirely)."""
+    aggregation entirely). ``sizes``: a PRE-BUILT (doc_id, n) per-doc
+    set-size table (index metadata, derived from the capped index at
+    build time exactly like bm25_index's df.parquet) — without it the
+    size joins re-aggregate the index per join side: two extra index
+    scans and two extra shuffles per query for a value the snapshot
+    already determines."""
     if capped is not None:
         sh = capped
     else:
@@ -184,7 +190,8 @@ def jaccard_pairs(corpus: DataFrame, threshold: float = 0.5,
         # cached: the capped index feeds three consumers (pair generation
         # and both size joins) — else each re-runs the stop-set anti-join
         sh = capped_shingle_hashes(corpus, hashes=base).cache()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    if sizes is None:
+        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     # bounded pair generation off the posting lists: with df ≤ cap, each
     # shingle's sorted id list yields ≤ C(cap,2) pairs via an array
     # transform — the index shuffles ONCE (groupBy h) instead of twice

@@ -150,7 +150,15 @@ def bm25_topk(postings: DataFrame, df: DataFrame,
     qt_df = F.broadcast(query_terms).join(df, "tok")
     cand = (postings.join(F.broadcast(qt_df), "tok")
             .select("query_id", "doc_id", (idf * tf_part).alias("ts")))
-    scored = (cand.groupBy("query_id", "doc_id")
+    # ONE exchange for agg + window (guide §2.4): hash-clustering the
+    # candidate stream by query_id alone satisfies both the (query_id,
+    # doc_id) aggregation and the per-query top-k window, where the
+    # default plan shuffled candidates by (query_id, doc_id) and then
+    # re-shuffled the scored rows by query_id. collect_list has no
+    # map-side reduction, so the bytes crossing the single exchange are
+    # the same rows the first of the two exchanges carried.
+    scored = (cand.repartition("query_id")
+              .groupBy("query_id", "doc_id")
               .agg(F.aggregate(F.array_sort(F.collect_list("ts")),
                                F.lit(0.0), lambda a, x: a + x)
                    .alias("score")))

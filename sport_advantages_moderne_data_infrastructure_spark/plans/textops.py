@@ -171,13 +171,34 @@ def capped_shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _CAPPED_IDX.get(sf_dir)
     if path is None:
         import tempfile
-        path = tempfile.mkdtemp(prefix="samdis_capped_idx_") + "/index.parquet"
+        base = tempfile.mkdtemp(prefix="samdis_capped_idx_")
+        path = base + "/index.parquet"
         write_index_clustered(
             DD.capped_shingle_hashes(
                 near_corpus(spark, sf_dir),
                 hashes=shingle_index(spark, sf_dir)), path, "h")
+        # per-doc set sizes as index METADATA (the bm25_index df.parquet
+        # convention): every Jaccard-scoring consumer joins |A| and |B|
+        # onto its pair stream, and deriving them per query re-scanned
+        # and re-aggregated the index once per join side (guide §2.4 —
+        # remove shuffles outright). One rollup of the just-written
+        # artifact, paid once per corpus snapshot.
+        (spark.read.parquet(path).groupBy("doc_id")
+         .agg(F.count(F.lit(1)).alias("n"))
+         .write.parquet(base + "/sizes.parquet"))
         _CAPPED_IDX[sf_dir] = path
     return spark.read.parquet(path)
+
+
+def capped_index_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n) sidecar of the capped index — see capped_shingle_index.
+    Tiny at any corpus size relative to the index itself (one row per doc,
+    two narrow columns), so the optimizer's size estimate picks broadcast
+    joins at bench scale and falls back to shuffles when a snapshot's doc
+    count makes broadcast impossible — the decision stays size-driven."""
+    capped_shingle_index(spark, sf_dir)  # ensure the artifact pair exists
+    base = _CAPPED_IDX[sf_dir].rsplit("/", 1)[0]
+    return spark.read.parquet(base + "/sizes.parquet")
 
 
 def minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -208,9 +229,11 @@ def minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
           bench=True)
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-SHINGLE_LEN-gram Jaccard near-dup pairs (threshold 0.5)
-    over the materialized CAPPED shingle inverted index."""
+    over the materialized CAPPED shingle inverted index (+ its per-doc
+    sizes sidecar — the query scans the index ONCE, for pair counts)."""
     return DD.jaccard_pairs(near_corpus(spark, sf_dir),
-                            capped=capped_shingle_index(spark, sf_dir))
+                            capped=capped_shingle_index(spark, sf_dir),
+                            sizes=capped_index_sizes(spark, sf_dir))
 
 
 @register("minhash_signatures", driver=False,  # intermediate stage of
@@ -1592,7 +1615,8 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = near_corpus(spark, sf_dir)
     pairs = DD.jaccard_pairs(
         corpus,
-        capped=capped_shingle_index(spark, sf_dir)).select("doc_a", "doc_b")
+        capped=capped_shingle_index(spark, sf_dir),
+        sizes=capped_index_sizes(spark, sf_dir)).select("doc_a", "doc_b")
     nodes = corpus.select("doc_id").distinct()
     labels = DD.connected_components(nodes, pairs)
     return labels.select(
@@ -1624,7 +1648,8 @@ def q_dedup_clusters_large_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = near_corpus(spark, sf_dir)
     pairs = DD.jaccard_pairs(
         corpus,
-        capped=capped_shingle_index(spark, sf_dir)).select("doc_a", "doc_b")
+        capped=capped_shingle_index(spark, sf_dir),
+        sizes=capped_index_sizes(spark, sf_dir)).select("doc_a", "doc_b")
     nodes = corpus.select("doc_id").distinct()
     labels = DD.connected_components_two_phase(nodes, pairs)
     return labels.select(
@@ -1668,7 +1693,8 @@ def q_leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = near_corpus(spark, sf_dir)
     pairs = DD.jaccard_pairs(
         corpus,
-        capped=capped_shingle_index(spark, sf_dir)).select("doc_a", "doc_b")
+        capped=capped_shingle_index(spark, sf_dir),
+        sizes=capped_index_sizes(spark, sf_dir)).select("doc_a", "doc_b")
     nodes = corpus.select("doc_id").distinct()
     labels = DD.connected_components_two_phase(nodes, pairs)
     h = F.expr(
@@ -1728,7 +1754,8 @@ def q_stream_leakage_splits_equiv(spark: SparkSession,
     corpus = near_corpus(spark, sf_dir)
     pairs = DD.jaccard_pairs(
         corpus,
-        capped=capped_shingle_index(spark, sf_dir)).select("doc_a", "doc_b")
+        capped=capped_shingle_index(spark, sf_dir),
+        sizes=capped_index_sizes(spark, sf_dir)).select("doc_a", "doc_b")
     nodes = corpus.select("doc_id").distinct()
     root = tempfile.mkdtemp(prefix="samdis_stream_cc_")
     assign, remap = _tables(root)
