@@ -55,6 +55,15 @@ def _hyperplane(p: int, dim: int) -> list[float]:
 N_PLANES = 4  # 16 buckets — sized for the 500-2000-vector test corpus
 
 
+def _plane_sql(plane: list[float]) -> str:
+    """A hyperplane as ONE parsed SQL array literal (the pq.py _arr /
+    ivf.py _centroids_sql convention): repr round-trips doubles
+    bit-exactly, and one F.expr parse replaces dim F.lit Column
+    constructions per plane (~N_PLANES*dim py4j round trips of pure
+    plan-build time, paid by every LSH-family query)."""
+    return "array(" + ",".join(f"{float(v)!r}D" for v in plane) + ")"
+
+
 @register("ann_lsh_bucketed", bench=True, driver=False)  # approximation —
 # no SQL-expressible per-row contract; its HARD driver contract is
 # ann_lsh_recall below (integer overlap vs brute force, full DuckDB
@@ -80,8 +89,7 @@ def ann_lsh_topk(e: DataFrame, dim: int, query_pred, k: int = 10) -> DataFrame:
 
     def bucket_col():
         b = None
-        for p, plane in enumerate(planes):
-            arr = F.array(*[F.lit(v) for v in plane])
+        for p in range(len(planes)):
             dot = F.expr(
                 "aggregate(zip_with(embedding, {a}, (x, y) -> "
                 "CAST(x AS DOUBLE) * y), CAST(0 AS DOUBLE), "
@@ -93,7 +101,7 @@ def ann_lsh_topk(e: DataFrame, dim: int, query_pred, k: int = 10) -> DataFrame:
     with_planes = e
     for p, plane in enumerate(planes):
         with_planes = with_planes.withColumn(
-            f"pl_{p}", F.array(*[F.lit(v) for v in plane]))
+            f"pl_{p}", F.expr(_plane_sql(plane)))
     bucketed = with_planes.withColumn("bucket", bucket_col().cast("int")) \
         .select("vec_id", "embedding", "bucket",
                 F.sqrt(F.expr(dot_expr("embedding", "embedding")))
@@ -289,7 +297,7 @@ def q_embedding_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_planes = corpus
     for p, plane in enumerate(planes):
         with_planes = with_planes.withColumn(
-            f"pl_{p}", F.array(*[F.lit(v) for v in plane]))
+            f"pl_{p}", F.expr(_plane_sql(plane)))
     bucket = None
     for p in range(len(planes)):
         dot = F.expr(
