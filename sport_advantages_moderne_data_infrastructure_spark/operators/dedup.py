@@ -252,11 +252,17 @@ def _perm_expr(j: int) -> str:
 def minhash_signatures(corpus: DataFrame,
                        hashes: DataFrame | None = None) -> DataFrame:
     """k=N_MINHASH minhash values per doc (signature ≈ Jaccard sketch).
-    ``hashes``: precomputed shingle_hashes to share across stages."""
+    ``hashes``: precomputed shingle_hashes to share across stages.
+    Built as ONE parsed SQL statement: per-permutation Column
+    construction was 2·N_MINHASH py4j round trips of pure plan-build
+    time, paid per call — the streaming dedup sink pays it once per
+    MICRO-BATCH (guide §4's boundary-cost rule applied to the
+    driver↔JVM hop)."""
     sh = shingle_hashes(corpus) if hashes is None else hashes
-    return sh.groupBy("doc_id").agg(*[
-        F.expr(_perm_expr(j)).alias(f"sig_{j}") for j in range(N_MINHASH)
-    ])
+    exprs = ", ".join(
+        f"{_perm_expr(j)} AS sig_{j}" for j in range(N_MINHASH))
+    return sh.sparkSession.sql(
+        f"SELECT doc_id, {exprs} FROM {{sh}} GROUP BY doc_id", sh=sh)
 
 
 def minhash_signatures_sql(corpus_cte: str) -> str:
@@ -279,17 +285,18 @@ def signature_bands(sigs: DataFrame) -> DataFrame:
     pass (a per-band union would recompute the upstream shingle+minhash
     pipeline per branch — LSH_BANDS× the work). This band table is the
     ONLY shuffled/persisted artifact of the LSH path, and the streaming
-    incremental-dedup index stores exactly these rows."""
-    band_structs = F.array(*[
-        F.struct(
-            F.lit(b).alias("band"),
-            F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
-            .alias("key"))
-        for b, cols in enumerate(_band_key_cols())
-    ])
-    return (sigs.select("doc_id", F.explode(band_structs).alias("bk"))
-            .select("doc_id", F.col("bk.band").alias("band"),
-                    F.col("bk.key").alias("key")))
+    incremental-dedup index stores exactly these rows. One parsed SQL
+    statement (the minhash_signatures rationale): the per-band
+    struct/concat Column construction was ~6·N_MINHASH py4j round trips
+    per call, paid per streaming micro-batch."""
+    structs = ", ".join(
+        "named_struct('band', {b}, 'key', concat_ws('|', {cols}))".format(
+            b=b, cols=", ".join(f"CAST({c} AS STRING)" for c in cols))
+        for b, cols in enumerate(_band_key_cols()))
+    return sigs.sparkSession.sql(
+        "SELECT doc_id, bk.band AS band, bk.key AS key FROM "
+        f"(SELECT doc_id, explode(array({structs})) AS bk FROM {{sigs}})",
+        sigs=sigs)
 
 
 def lsh_candidate_pairs(corpus: DataFrame,

@@ -110,6 +110,10 @@ def dedup_batch(batch_df: DataFrame, index_bands: DataFrame | None):
         dups = intra_dups.unionByName(cross_dups).distinct()
     else:
         dups = intra_dups
+    # two consumers (the uniques anti-join and the kept_bands anti-join
+    # build separate broadcasts): without the cache the window +
+    # index-semi-join pipeline re-runs for the index append
+    dups = dups.cache()
     uniques = exact.join(dups, "doc_id", "left_anti")
     kept_bands = bands.join(dups, "doc_id", "left_anti")
     return uniques, kept_bands
@@ -133,14 +137,23 @@ def write_stream_dedup(stream_docs: DataFrame, corpus_path: str,
                if TxnTable.is_table(index_path) else None)
         uniques, kept_bands = dedup_batch(batch_df, idx)
         uniques = uniques.cache()  # two consumers + deterministic replay
+        # bound files per micro-batch append (guide §6 small files): the
+        # frames arrive split across every shuffle partition, so a
+        # ~3.5k-doc batch wrote defaultParallelism near-empty files per
+        # state table — slowing both the write and every later batch's
+        # index read. Scale-adaptive (cluster-core-derived), never below
+        # the write's own data size: coalesce only narrows, the rows are
+        # identical.
+        spread = max(
+            1, batch_df.sparkSession.sparkContext.defaultParallelism // 8)
         try:
             if uniques.isEmpty():
                 return
             # corpus FIRST (see module docstring for the crash argument)
-            _guarded_append(corpus_path, uniques, batch_id, app_id,
-                            "stream_dedup_append")
-            _guarded_append(index_path, kept_bands, batch_id, app_id,
-                            "stream_dedup_index")
+            _guarded_append(corpus_path, uniques.coalesce(spread),
+                            batch_id, app_id, "stream_dedup_append")
+            _guarded_append(index_path, kept_bands.coalesce(spread),
+                            batch_id, app_id, "stream_dedup_index")
         finally:
             uniques.unpersist()
 
