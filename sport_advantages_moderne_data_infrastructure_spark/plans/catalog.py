@@ -90,19 +90,24 @@ def build_indexes(spark, sf_dir: str) -> None:
     def _text_chain(pool) -> None:
         # the DAG is shingle → {capped, minhash}: both downstream
         # artifacts derive only from the shingle index, so they build in
-        # parallel once it lands; the IVF build is fully independent.
-        # Concurrent Spark jobs interleave under the FIFO scheduler —
-        # small-stage builds underuse the cluster alone, which is exactly
-        # why real index pipelines parallelize their DAG branches.
+        # parallel once it lands; the IVF and BM25 builds are fully
+        # independent. Concurrent Spark jobs interleave under the FIFO
+        # scheduler — small-stage builds underuse the cluster alone,
+        # which is exactly why real index pipelines parallelize their
+        # DAG branches.
         textops.shingle_index(spark, sf_dir)
         for f in [pool.submit(textops.capped_shingle_index, spark, sf_dir),
                   pool.submit(textops.minhash_index, spark, sf_dir)]:
             f.result()
-        textops.bm25_index(spark, sf_dir)  # independent of the shingle
-        # DAG but serialized after it — the pool is already saturated
 
-    with ThreadPoolExecutor(max_workers=4) as pool:
+    # bm25 rides its own pool slot (r14): it depends only on documents,
+    # yet was serialized BEHIND the whole shingle DAG — the build's
+    # critical path was (shingle → capped/minhash → bm25) for no data
+    # reason. Worker count covers every task incl. the two the text
+    # chain re-submits, so nothing queues behind a blocked parent.
+    with ThreadPoolExecutor(max_workers=7) as pool:
         futs = [pool.submit(_text_chain, pool),
+                pool.submit(textops.bm25_index, spark, sf_dir),
                 pool.submit(simops.ensure_ivf_index, spark, sf_dir),
                 pool.submit(simops.sq8_index, spark, sf_dir),
                 pool.submit(simops.ensure_pq_index, spark, sf_dir)]
