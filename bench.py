@@ -89,7 +89,14 @@ QUERY_BUDGETS = {
     # check: quiet-box two-run values 1.469/1.593 sit well inside, so
     # the rolling min stands and the r13 at-budget reading was retry
     # weather (per-query retry counts now make that visible directly)
-    "dedup_minhash_lsh": 0.72,      # min 0.483
+    "dedup_minhash_lsh": 0.83,      # re-pinned r14 from a quiet-box
+    # two-run in-suite min 0.552 (was 0.72/min 0.483 — an r5-era min
+    # this fixed-overhead-dominated ~0.6 s query no longer reaches
+    # in-bench: r13's own recorded value was 0.552, and an r14 run on
+    # a 0.79x-calibration box read 0.608 best-of-4 — the x0.8 fast-box
+    # clamp then put the effective budget at 0.576 and flagged pure
+    # scheduling noise as a miss. Same re-base discipline as
+    # session_windows_batch/mixture_token_budget, VERDICT r13 #3.)
     "dedup_lsh_verified": 2.02,     # min 1.349
     "activity_agg": 0.39,           # min 0.263
     "final_table": 0.54,            # min 0.363
