@@ -867,7 +867,10 @@ def q_hybrid_chunk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(F.broadcast(qt_df), "tok")
             .select("query_id", "doc_id", "pos",
                     (idf * tf_part).alias("ts")))
-    cscore = (cand.groupBy("query_id", "doc_id", "pos")
+    # one exchange for agg + both windows (the _chunk_tdoc / bm25_topk
+    # r14 shape)
+    cscore = (cand.repartition("query_id")
+              .groupBy("query_id", "doc_id", "pos")
               .agg(F.aggregate(F.array_sort(F.collect_list("ts")),
                                F.lit(0.0), lambda a, x: a + x)
                    .alias("score")))
@@ -930,7 +933,13 @@ def _chunk_tdoc(qt: DataFrame, ctf_dl: DataFrame, cdf: DataFrame,
     cand = (ctf_dl.join(F.broadcast(qt_df), "tok")
             .select("query_id", "doc_id", "pos",
                     (idf * tf_part).alias("ts")))
-    cscore = (cand.groupBy("query_id", "doc_id", "pos")
+    # ONE exchange for the whole scoring path (the bm25_topk r14
+    # shape): clustering candidates by query_id alone satisfies the
+    # 3-key aggregation AND both windows — the default plan shuffled
+    # this stream three times (agg keys, then (query_id, doc_id), then
+    # query_id).
+    cscore = (cand.repartition("query_id")
+              .groupBy("query_id", "doc_id", "pos")
               .agg(F.aggregate(F.array_sort(F.collect_list("ts")),
                                F.lit(0.0), lambda a, x: a + x)
                    .alias("score")))
