@@ -75,6 +75,10 @@ def main() -> int:
     env = dict(os.environ)
     # N concurrent driver JVMs: cap each so the sum fits the box
     env.setdefault("SPARK_GRAFT_DRIVER_MEM", "10g")
+    # ptest runs the FULL tier (r15): plain `pytest tests/` runs the
+    # fast default tier sized for the driver's serial verify window —
+    # see tests/test_tiers.json and scripts/retier_tests.py
+    env.setdefault("SPARK_GRAFT_FULL_TESTS", "1")
 
     t0 = time.time()
     procs = []
