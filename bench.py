@@ -176,6 +176,60 @@ QUERY_BUDGETS = {
     "skew_salted_join": 2.38,
 }
 
+# --- Budget re-base rule (r15, VERDICT r14 #8) ---------------------------
+# The QUERY_BUDGETS table above was hand-pinned at 1.5x rolling mins, and
+# several rows froze on r5-era mins that fixed-overhead-dominated
+# sub-second queries no longer reach in-suite; the x0.8 fast-box clamp
+# (which assumes box calibration scales EVERY query) then turned that
+# staleness into false misses (dedup_minhash_lsh, r14). The policy is now
+# UNIFORM and self-updating instead of per-row hand edits:
+#
+#   budget(q) = max(1.5 x min(q's value in the TWO most recent committed
+#                             driver artifacts BENCH_r<N>.json),
+#                   BUDGET_FLOOR_SEC)
+#
+# and the effective (noise-scaled) budget never drops below
+# BUDGET_FLOOR_SEC either. The literal table remains as provenance and as
+# the fallback for queries not present in both artifacts (newly added
+# bench rows get a rule-based budget the round after they first report —
+# same grace rule as before). Driver artifacts only ratchet between
+# rounds, so within a round the gate is exactly as stable as the old
+# hand-pinned table; per-query retry visibility (VERDICT r13 #3) is kept.
+BUDGET_FLOOR_SEC = 0.45  # ~1.5x the observed 0.26-0.35 s fixed-overhead
+# floor of the cheapest rows (job scheduling + plan compile + scan setup;
+# calibration alone is 0.15-0.23 s): below this a wall-clock gate
+# measures box weather, not the operator, so no budget may demand it.
+
+
+def rebased_budgets() -> dict[str, float]:
+    """QUERY_BUDGETS re-based per the rule above from the committed
+    driver artifacts next to this file. Falls back to the literal table
+    wherever two rounds of driver data don't exist."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds: list[tuple[int, dict]] = []
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", os.path.basename(p))
+        if not m:  # excludes variant artifacts (e.g. BENCH_r14_c8.json)
+            continue
+        try:
+            with open(p) as fh:
+                q = (json.load(fh).get("parsed") or {}).get("queries")
+        except (OSError, ValueError):
+            continue
+        if isinstance(q, dict) and q:
+            rounds.append((int(m.group(1)), q))
+    rounds = sorted(rounds)[-2:]
+    out = dict(QUERY_BUDGETS)
+    for name in QUERY_BUDGETS:
+        vals = [qs[name] for _, qs in rounds if name in qs]
+        if rounds and len(vals) == len(rounds):
+            out[name] = round(max(1.5 * min(vals), BUDGET_FLOOR_SEC), 3)
+    return out
+
+
 # --- Cross-round noise calibration (VERDICT r10 #3) ---------------------
 # BENCH_r10 shipped floors_ok:false on 3.6-8.9% stream-floor misses while
 # the box ran 1.28x slower than r9 per calibration_sec, and the same-HEAD
@@ -224,9 +278,15 @@ def effective_floors(scale: float) -> dict[str, float]:
     return {k: round(v / max(scale, 1.0), 1) for k, v in FLOORS.items()}
 
 
-def effective_budgets(scale: float) -> dict[str, float]:
-    """Per-query wall-clock budgets this run actually gates on (sec)."""
-    return {n: round(b * scale, 3) for n, b in QUERY_BUDGETS.items()}
+def effective_budgets(scale: float,
+                      base: dict[str, float] | None = None,
+                      ) -> dict[str, float]:
+    """Per-query wall-clock budgets this run actually gates on (sec):
+    the re-based table, noise-scaled, floor-bounded (a fast-box clamp
+    may never demand a wall time below the fixed-overhead floor)."""
+    base = rebased_budgets() if base is None else base
+    return {n: max(round(b * scale, 3), BUDGET_FLOOR_SEC)
+            for n, b in base.items()}
 
 
 def main() -> None:
@@ -283,7 +343,8 @@ def main() -> None:
     calibration = _calibrate()
     noise = noise_scale(calibration)
     eff_floors = effective_floors(noise)
-    eff_budgets = effective_budgets(noise)
+    base_budgets = rebased_budgets()
+    eff_budgets = effective_budgets(noise, base_budgets)
     print(f"# calibration: {calibration:.3f}s (noise_scale {noise})",
           file=sys.stderr)
 
@@ -480,7 +541,7 @@ def main() -> None:
                    "ok": ((timings[n] <= eff_budgets[n])
                           if floors_apply else None)
                    if n in timings else None}
-               for n, b in QUERY_BUDGETS.items()}
+               for n, b in base_budgets.items()}
     passed_on_retry = sorted(
         n for n, b in budgets.items()
         if b["retries"] and b["ok"])
@@ -529,6 +590,12 @@ def main() -> None:
         "final_pipeline": final_pipe,
         "floors": floors,
         "query_budgets": budgets,
+        # r15 (VERDICT r14 #8): budgets re-base UNIFORMLY each round as
+        # max(1.5 x trailing-2-driver-round min, floor) — see
+        # rebased_budgets(); the literal QUERY_BUDGETS table is the
+        # fallback for rows without two rounds of driver data
+        "budget_rule": ("max(1.5*min(last 2 BENCH_r*.json), "
+                        f"{BUDGET_FLOOR_SEC})"),
         # per-run (unmerged) streaming metrics + retry counts, so a reader
         # can see when a composite/floor only passed on retry and which
         # single run produced which number (ADVICE r5)

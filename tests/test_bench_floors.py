@@ -93,16 +93,22 @@ def test_noise_scale_policy():
     eff_b = bench.effective_budgets(s)
     for k, v in bench.FLOORS.items():
         assert eff_f[k] == round(v / s, 1)
-    for n, b in bench.QUERY_BUDGETS.items():
-        assert eff_b[n] == round(b * s, 3)
+    # r15 (VERDICT r14 #8): budgets re-base uniformly from the last two
+    # committed driver artifacts and are floor-bounded — a clamp may
+    # never demand a wall time below the fixed-overhead floor
+    base = bench.rebased_budgets()
+    eff_b = bench.effective_budgets(s, base)
+    for n, b in base.items():
+        assert eff_b[n] == max(round(b * s, 3), bench.BUDGET_FLOOR_SEC)
     # on a FAST box only budgets tighten; floors stay raw (measured
     # throughput rises with box speed, so raw floors already catch
     # fast-box regressions — tightening them 25% would pin them at the
     # steady-state band and guarantee weather reds)
     assert bench.effective_floors(0.8) == {
         k: round(float(v), 1) for k, v in bench.FLOORS.items()}
-    assert bench.effective_budgets(0.8) == {
-        n: round(b * 0.8, 3) for n, b in bench.QUERY_BUDGETS.items()}
+    assert bench.effective_budgets(0.8, base) == {
+        n: max(round(b * 0.8, 3), bench.BUDGET_FLOOR_SEC)
+        for n, b in base.items()}
     # the r10 misses (3.6-8.9% under raw floors at calibration 0.235)
     # would have gated GREEN under this policy
     for miss_key, miss_val in [("stream_dedup_docs_per_sec", 1153.7),
@@ -128,7 +134,10 @@ def test_fast_box_regression_goes_red():
                                       "BENCH_r11.json")))["parsed"]
     s = bench.noise_scale(0.136)
     assert s == 0.8
-    eff_b = bench.effective_budgets(s)
+    # historical replay of the CLAMP mechanism: use the r11-era literal
+    # table as the base (the r15 re-base rule would anachronistically
+    # apply r13/r14 mins to r11 measurements)
+    eff_b = bench.effective_budgets(s, bench.QUERY_BUDGETS)
     measured = {k: v for k, v in r11["queries"].items()
                 if k in eff_b}
     assert len(measured) > 30
@@ -143,3 +152,45 @@ def test_fast_box_regression_goes_red():
     caught = [k for k, v in measured.items() if v * 1.3 > eff_b[k]]
     assert len(caught) >= len(measured) // 3, (
         f"only {len(caught)}/{len(measured)} 30%-regressions caught")
+
+
+def test_budget_rebase_rule():
+    """r15 (VERDICT r14 #8): budgets derive UNIFORMLY from the two most
+    recent committed driver artifacts — max(1.5 x trailing-2-round min,
+    BUDGET_FLOOR_SEC) — instead of per-row hand edits over stale
+    rolling minima. Pins: every budgeted query gets a rule value when
+    both artifacts carry it; variant artifacts (BENCH_r14_c8.json's
+    8-core run) are excluded; the floor bounds both the base budget and
+    the effective (noise-scaled) one."""
+    import json
+    import os
+
+    import bench
+
+    here = os.path.dirname(__file__)
+    arts = []
+    for fn in sorted(os.listdir(os.path.join(here, ".."))):
+        import re
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", fn)
+        if not m:
+            continue
+        q = (json.load(open(os.path.join(here, "..", fn)))
+             .get("parsed") or {}).get("queries")
+        if q:
+            arts.append((int(m.group(1)), q))
+    arts = sorted(arts)[-2:]
+    assert len(arts) == 2, "needs two committed driver rounds"
+    rb = bench.rebased_budgets()
+    assert set(rb) == set(bench.QUERY_BUDGETS)
+    for n, b in rb.items():
+        vals = [q[n] for _, q in arts if n in q]
+        if len(vals) == 2:
+            assert b == round(max(1.5 * min(vals),
+                                  bench.BUDGET_FLOOR_SEC), 3), n
+        else:  # fallback: the literal table (new bench rows)
+            assert b == bench.QUERY_BUDGETS[n], n
+        assert b >= bench.BUDGET_FLOOR_SEC
+    # the r14 failure mode this retires: dedup_minhash_lsh's budget now
+    # tracks the demonstrated two-round min instead of an r5-era pin
+    eff = bench.effective_budgets(0.8, rb)
+    assert all(v >= bench.BUDGET_FLOOR_SEC for v in eff.values())
