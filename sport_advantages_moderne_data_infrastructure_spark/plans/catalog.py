@@ -87,30 +87,34 @@ def build_indexes(spark, sf_dir: str) -> None:
 
     from . import simops, textops
 
+    # the DAG is shingle → {capped, minhash}: both downstream artifacts
+    # derive only from the shingle index, so they build in parallel once
+    # it lands; the IVF and BM25 builds are fully independent. Concurrent
+    # Spark jobs interleave under the FIFO scheduler — small-stage builds
+    # underuse the cluster alone, which is exactly why real index
+    # pipelines parallelize their DAG branches.
+    nested = [textops.capped_shingle_index, textops.minhash_index]
+
     def _text_chain(pool) -> None:
-        # the DAG is shingle → {capped, minhash}: both downstream
-        # artifacts derive only from the shingle index, so they build in
-        # parallel once it lands; the IVF and BM25 builds are fully
-        # independent. Concurrent Spark jobs interleave under the FIFO
-        # scheduler — small-stage builds underuse the cluster alone,
-        # which is exactly why real index pipelines parallelize their
-        # DAG branches.
         textops.shingle_index(spark, sf_dir)
-        for f in [pool.submit(textops.capped_shingle_index, spark, sf_dir),
-                  pool.submit(textops.minhash_index, spark, sf_dir)]:
+        for f in [pool.submit(fn, spark, sf_dir) for fn in nested]:
             f.result()
 
     # bm25 rides its own pool slot (r14): it depends only on documents,
     # yet was serialized BEHIND the whole shingle DAG — the build's
     # critical path was (shingle → capped/minhash → bm25) for no data
-    # reason. Worker count covers every task incl. the two the text
-    # chain re-submits, so nothing queues behind a blocked parent.
-    with ThreadPoolExecutor(max_workers=7) as pool:
-        futs = [pool.submit(_text_chain, pool),
-                pool.submit(textops.bm25_index, spark, sf_dir),
-                pool.submit(simops.ensure_ivf_index, spark, sf_dir),
-                pool.submit(simops.sq8_index, spark, sf_dir),
-                pool.submit(simops.ensure_pq_index, spark, sf_dir)]
+    # reason.
+    roots = [textops.bm25_index, simops.ensure_ivf_index,
+             simops.sq8_index, simops.ensure_pq_index]
+    # Worker count is DERIVED from the submit structure (ADVICE r14 —
+    # a hand-kept constant deadlocks silently when a task is added):
+    # every root + the chain parent (which blocks a worker on its
+    # children's result()) + the nested children it re-submits must all
+    # be schedulable at once.
+    with ThreadPoolExecutor(
+            max_workers=1 + len(roots) + len(nested)) as pool:
+        futs = [pool.submit(_text_chain, pool)]
+        futs += [pool.submit(fn, spark, sf_dir) for fn in roots]
         for f in futs:
             f.result()  # re-raise any build failure
 

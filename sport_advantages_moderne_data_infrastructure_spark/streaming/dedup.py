@@ -77,11 +77,19 @@ def _guarded_append(table_path: str, df: DataFrame, batch_id: int,
         f"could not commit batch {batch_id} to {table_path}")
 
 
-def dedup_batch(batch_df: DataFrame, index_bands: DataFrame | None):
+def dedup_batch(batch_df: DataFrame, index_bands: DataFrame | None,
+                caches: list | None = None):
     """(uniques, their_bands) for one micro-batch against the current
     band index — the pure function both the sink and its tests share.
     ``batch_df`` needs (doc_id, text); ``index_bands`` is the persisted
-    (doc_id, band, key) table or None for a fresh corpus."""
+    (doc_id, band, key) table or None for a fresh corpus.
+
+    ``caches``: when the caller passes a list, every intermediate this
+    function caches (bands, the dup-id set) is appended to it so the
+    caller can unpersist after the batch is consumed — a long-running
+    processingTime stream would otherwise leak one cached plan + its
+    blocks per micro-batch (ADVICE r14). Batch callers (the gated
+    static twin) may omit it: their session clears the cache per run."""
     from pyspark.sql import Window as W
 
     # 1. exact intra-batch: lowest doc_id per digest survives
@@ -94,6 +102,8 @@ def dedup_batch(batch_df: DataFrame, index_bands: DataFrame | None):
 
     sigs = minhash_signatures(exact)
     bands = signature_bands(sigs).cache()
+    if caches is not None:
+        caches.append(bands)
 
     # 2. near-dup intra-batch: within each colliding band key, only the
     # lowest doc_id survives (applied across all its bands)
@@ -114,6 +124,8 @@ def dedup_batch(batch_df: DataFrame, index_bands: DataFrame | None):
     # build separate broadcasts): without the cache the window +
     # index-semi-join pipeline re-runs for the index append
     dups = dups.cache()
+    if caches is not None:
+        caches.append(dups)
     uniques = exact.join(dups, "doc_id", "left_anti")
     kept_bands = bands.join(dups, "doc_id", "left_anti")
     return uniques, kept_bands
@@ -135,15 +147,18 @@ def write_stream_dedup(stream_docs: DataFrame, corpus_path: str,
             return
         idx = (TxnTable(index_path).read(batch_df.sparkSession)
                if TxnTable.is_table(index_path) else None)
-        uniques, kept_bands = dedup_batch(batch_df, idx)
+        caches: list = []
+        uniques, kept_bands = dedup_batch(batch_df, idx, caches=caches)
         uniques = uniques.cache()  # two consumers + deterministic replay
         # bound files per micro-batch append (guide §6 small files): the
         # frames arrive split across every shuffle partition, so a
         # ~3.5k-doc batch wrote defaultParallelism near-empty files per
         # state table — slowing both the write and every later batch's
-        # index read. Scale-adaptive (cluster-core-derived), never below
-        # the write's own data size: coalesce only narrows, the rows are
-        # identical.
+        # index read. Scale-adaptive (cluster-core-derived); on sessions
+        # under 16 cores the target floors at 1, i.e. single-file
+        # appends BY DESIGN — micro-batches there are far below one
+        # healthy parquet file, and coalesce only narrows partitioning,
+        # the rows are identical (ADVICE r14).
         spread = max(
             1, batch_df.sparkSession.sparkContext.defaultParallelism // 8)
         try:
@@ -156,6 +171,9 @@ def write_stream_dedup(stream_docs: DataFrame, corpus_path: str,
                             batch_id, app_id, "stream_dedup_index")
         finally:
             uniques.unpersist()
+            for c in caches:  # bands + dup-id set (ADVICE r14: a
+                c.unpersist()  # processingTime stream leaked one cached
+                # plan/blocks per micro-batch otherwise)
 
     writer = stream_docs.writeStream.foreachBatch(_process) \
         .option("checkpointLocation", checkpoint)

@@ -364,6 +364,7 @@ def test_stream_dedup_incremental(spark, tmp_path):
     src = str(tmp_path / "src")
     corpus, index = str(tmp_path / "corpus"), str(tmp_path / "index")
     ck = str(tmp_path / "ck")
+    n_cached0 = spark.sparkContext._jsc.getPersistentRDDs().size()
 
     # batch 1: base + its exact dup + fresh  -> keeps {1, 3}
     _docs_df(spark, [(1, base), (2, base), (3, fresh)]) \
@@ -404,6 +405,12 @@ def test_stream_dedup_incremental(spark, tmp_path):
                TxnTable(index).read(spark).select("doc_id")
                .distinct().collect()}
     assert idx_ids == kept
+    # ADVICE r14: every per-micro-batch cache (bands, dup-id set,
+    # uniques) must be unpersisted once its batch commits — a
+    # processingTime stream otherwise leaks one cached plan + blocks
+    # per micro-batch for the life of the query
+    assert (spark.sparkContext._jsc.getPersistentRDDs().size()
+            == n_cached0), "stream dedup leaked cached micro-batch frames"
 
 
 def test_interval_join_stream_static_equals_batch(spark, sf_dir,
