@@ -44,6 +44,19 @@ SIMHASH_MAX_HAMMING = 2
 # near-dup corpora. Dropped from the index AND the per-doc set sizes, so
 # jaccard stays |A∩B|/|A∪B| over the capped shingle space in both engines.
 JACCARD_DF_CAP = 8
+# §5 guards (VERDICT r14 #5): the bucket-grouped LSH pair expansion and
+# the per-doc shingle-set rows each materialize one logical group inside
+# one task with no spill path — these caps turn the "LSH key / capped
+# index bounds it" design invariants into CHECKED preconditions that
+# fail loudly (raise_error inside the same job) instead of OOMing an
+# executor on a pathological corpus. Normal-path plans are unchanged
+# (one CASE in a projection); both caps sit ~3 orders of magnitude
+# above the observed bench-scale maxima.
+LSH_BUCKET_CAP = 8192        # docs per (band,key) bucket: C(n,2) structs
+# materialize per bucket — 8192 → ~33.5M pairs ≈ ~1 GB peak per task
+DOC_SHINGLE_SET_CAP = 4_000_000  # shingle hashes per candidate doc's
+# set row (~32 MB array) — per-doc sets are text-length-bounded, this
+# catches a malformed megadoc before two of them meet in array_intersect
 
 
 # --- hashed shingles ------------------------------------------------------
@@ -310,6 +323,25 @@ def lsh_candidate_pairs(corpus: DataFrame,
     if sigs is None:
         sigs = minhash_signatures(corpus, hashes=hashes)
     bands = signature_bands(sigs)
+    # §5 guard (VERDICT r14 #5a): each (band, key) bucket materializes
+    # its doc list — and its C(n,2) pair expansion — inside ONE task
+    # with no spill path, so a degenerate hot bucket (a corpus of
+    # near-identical docs that exact-dedup didn't thin) would OOM an
+    # executor instead of spilling like the old self-join. The LSH key
+    # design bounds bucket size on any sane corpus; this makes that a
+    # CHECKED precondition: the run fails loudly at the cap (a ~1 GB
+    # per-task expansion) with the remedy in the message, rather than
+    # dying opaquely. Rides the same job — no extra pass, no plan-shape
+    # change on the normal path (one CASE in the projection).
+    ds_guard = F.when(
+        F.size("ds") <= LSH_BUCKET_CAP, F.col("ds")).otherwise(
+        F.raise_error(F.concat(
+            F.lit("lsh_candidate_pairs: a (band,key) bucket holds "),
+            F.size("ds").cast("string"),
+            F.lit(f" docs > LSH_BUCKET_CAP={LSH_BUCKET_CAP}; its C(n,2)"
+                  " pair expansion would materialize in one task."
+                  " Exact-dedup the corpus first or raise the cap"
+                  " knowingly."))))
     # bucket-grouped pair generation (r14): ONE shuffle of the band
     # table into its (band, key) buckets, then each bucket emits its
     # C(n,2) ordered pairs as a projection — the band self-join shape
@@ -328,6 +360,7 @@ def lsh_candidate_pairs(corpus: DataFrame,
     return (bands.groupBy("band", "key")
             .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
             .filter(F.size("ds") >= 2)
+            .withColumn("ds", ds_guard)
             .select(F.explode(pair_structs).alias("p"))
             .select("p.doc_a", "p.doc_b")
             .distinct())
@@ -489,7 +522,20 @@ def jaccard_for_pairs(corpus: DataFrame, pairs: DataFrame,
     docsets = (capped.join(F.broadcast(cand_docs), "doc_id")
                .groupBy("doc_id")
                .agg(F.collect_list("h").alias("hs"),
-                    F.count(F.lit(1)).alias("n"))).localCheckpoint()
+                    F.count(F.lit(1)).alias("n"))
+               # §5 guard (VERDICT r14 #5b): a per-doc set row holds the
+               # doc's whole (capped) shingle set in one array cell —
+               # checked precondition, see DOC_SHINGLE_SET_CAP
+               .withColumn("hs", F.when(
+                   F.col("n") <= DOC_SHINGLE_SET_CAP, F.col("hs"))
+                   .otherwise(F.raise_error(F.concat(
+                       F.lit("jaccard_for_pairs: doc "),
+                       F.col("doc_id").cast("string"),
+                       F.lit(" carries "), F.col("n").cast("string"),
+                       F.lit(" shingles > DOC_SHINGLE_SET_CAP="
+                             f"{DOC_SHINGLE_SET_CAP}; split or drop the"
+                             " megadoc upstream")))))
+               ).localCheckpoint()
     a = docsets.select(F.col("doc_id").alias("doc_a"),
                        F.col("hs").alias("hs_a"), F.col("n").alias("na"))
     b = docsets.select(F.col("doc_id").alias("doc_b"),
