@@ -163,9 +163,19 @@ def build_ivf_index(embeddings: DataFrame, centroids: list[list[float]],
     # scale on 32 cores; guide §6 — file count follows the session's
     # parallelism, clustering follows the probe key)
     n = embeddings.sparkSession.sparkContext.defaultParallelism
-    (assign_centroids(base, centroids)
-     .repartitionByRange(n, "centroid_id", "vec_id")
-     .write.mode("overwrite").partitionBy("centroid_id").parquet(path))
+    # persisted for the write's duration (r15, VERDICT r14 #3): the
+    # range sampler is its own job, so the k-distance assignment ran
+    # twice per build — see sources/tables.write_index_clustered
+    from pyspark import StorageLevel
+
+    assigned = assign_centroids(base, centroids).persist(
+        StorageLevel.MEMORY_AND_DISK)
+    try:
+        (assigned
+         .repartitionByRange(n, "centroid_id", "vec_id")
+         .write.mode("overwrite").partitionBy("centroid_id").parquet(path))
+    finally:
+        assigned.unpersist()
 
 
 def ivf_topk(embeddings: DataFrame, centroids: list[list[float]],

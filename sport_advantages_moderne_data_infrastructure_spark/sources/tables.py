@@ -67,11 +67,27 @@ def write_index_clustered(df: DataFrame, path: str, *keys: str) -> None:
     not a constant: local[4] gets 4 files, a 100-node cluster gets its
     own parallelism; a deployment would additionally cap file size via
     maxRecordsPerFile).
+
+    The input is persisted for the duration of the write (r15, VERDICT
+    r14 #3): ``repartitionByRange`` runs a separate range-boundary
+    sampling JOB over its child before the write job, so an uncached
+    derived frame (shingle explode+md5+distinct, PQ encode, minhash agg)
+    was computed twice per artifact — the dominant term of the r14
+    index_build regression. MEMORY_AND_DISK spills gracefully; at a
+    scale where the artifact frame shouldn't be cached at all, a
+    deployment materializes it as a staging table and range-writes from
+    that (same one-computation property, storage-backed).
     """
+    from pyspark import StorageLevel
+
     n = df.sparkSession.sparkContext.defaultParallelism
-    (df.repartitionByRange(n, *keys)
-       .sortWithinPartitions(*keys)
-       .write.parquet(path))
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        (df.repartitionByRange(n, *keys)
+           .sortWithinPartitions(*keys)
+           .write.parquet(path))
+    finally:
+        df.unpersist()
 
 
 def register_star_views(spark: SparkSession, sf_dir: str) -> None:
